@@ -1,0 +1,52 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic embedding stand-ins (SURVEY.md §2.9 V1).
+  *
+  * The reference embeds with multilingual-e5-large (`backend/services/
+  * embeddings.py:32-67`) — a pluggable model stage in our engine
+  * (`graft.index.ModelStage`). The native deterministic path builds sparse
+  * lexical vectors as pure Catalyst expressions so the whole index pipeline
+  * is codegen'd and oracle-checkable.
+  */
+object Embed {
+
+  /** Whitespace tokenization, lowercased — matches the reference's explicit
+    * whitespace semantics (`rag.py:232`). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Fixed-vocabulary count vector: v[i] = occurrences of vocab(i). The
+    * deterministic analog of a bag-of-words embedding (array<double>). */
+  def vocabVector(text: Column, vocab: Seq[String]): Column = {
+    val toks = tokens(text)
+    array(vocab.map(wd => size(filter(toks, t => t === wd)).cast("double")): _*)
+  }
+
+  /** Hashing-TF vector of dimension `dim` using Spark's murmur3 `hash`. */
+  def hashingTf(text: Column, dim: Int): Column = {
+    val toks = tokens(text)
+    val buckets = transform(toks, t => pmod(hash(t), lit(dim)))
+    array((0 until dim).map(i => size(filter(buckets, b => b === i)).cast("double")): _*)
+  }
+
+  /** L2-normalize an array<double> vector (null-safe; zero vector stays 0). */
+  def l2Normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    transform(vec, x => when(norm > 0, x / norm).otherwise(lit(0.0)))
+  }
+
+  /** Dot product of two equal-length numeric arrays — sequential fold in
+    * element order (deterministic IEEE result). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity (vectors need not be pre-normalized). */
+  def cosine(a: Column, b: Column): Column = {
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
+  }
+}

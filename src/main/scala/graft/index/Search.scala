@@ -1,0 +1,67 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search (SURVEY.md §2.9 V2; prompt: similarity-search
+  * family).
+  *
+  * Brute-force top-k is the exact baseline: one scan, a dot-product
+  * expression, and `TakeOrderedAndProject` (no full sort — Spark keeps a
+  * per-partition heap of k then merges on the driver). At 100 TB the scan
+  * dominates; the scale path is `lshTopK`: bucket vectors by random
+  * hyperplane signs (SimHash for cosine), join the query's bucket only,
+  * then exact-rank the candidates — turning O(N) per query into
+  * O(N / 2^bits) with a partition-pruned parquet read when the table is
+  * written `partitionBy(bucket)`.
+  */
+object Search {
+
+  /** Exact brute-force top-k by dot product against a single query vector
+    * (supplied as a literal array column). Deterministic: ties broken by id. */
+  def bruteForceTopK(index: DataFrame, vecCol: String, idCol: String, query: Column, k: Int): DataFrame =
+    index
+      .withColumn("score", Embed.dot(col(vecCol), query))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Sign-random-projection (SimHash) bucket id for cosine LSH: bit i = sign
+    * of dot(vec, plane_i). Planes are deterministic pseudo-random from a
+    * seed so the query side can compute the same bucket. */
+  def srpBucket(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
+    val planes: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    }
+    val bitCols = planes.map { p =>
+      val plane = array(p.map(lit): _*)
+      when(Embed.dot(vec, plane) >= 0, 1).otherwise(0)
+    }
+    bitCols.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) => acc + b * (1 << i) }
+  }
+
+  /** LSH-accelerated top-k: restrict the exact ranking to the query's
+    * bucket (plus optional multi-probe neighbors). */
+  def lshTopK(index: DataFrame, vecCol: String, idCol: String, query: Column,
+              dim: Int, bits: Int, k: Int, maxHamming: Int = 0): DataFrame = {
+    val bucketed = index.withColumn("bucket", srpBucket(col(vecCol), dim, bits))
+    val qb = srpBucket(query, dim, bits)
+    // multi-probe: accept buckets within `maxHamming` bit flips of the query's
+    val candidates = bucketed.filter(bit_count(col("bucket").bitwiseXOR(qb)) <= maxHamming)
+    bruteForceTopK(candidates.drop("bucket"), vecCol, idCol, query, k)
+  }
+
+  /** All-pairs near-duplicate by cosine ≥ threshold within a blocking key
+    * (label/band) — self-join inside blocks only, never a full cross join. */
+  def nearDuplicatePairs(index: DataFrame, vecCol: String, idCol: String, blockCol: String,
+                         threshold: Double): DataFrame = {
+    val a = index.select(col(blockCol).as("b"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = index.select(col(blockCol).as("b"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Embed.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("b"), col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chunk-boundary scan and rollups (SURVEY.md §2.5 W4/W6, §2.4 A6/A7,
+  * §2.8 F13/F19).
+  *
+  *  - W4 boundary scan: ref `backend/services/chunking.py:216-298` — break on
+  *    section change / overflow / marker, then running group id.
+  *  - W6 running budget: ref `backend/services/rag.py:276-299`.
+  *  - F13 chunk fingerprint: ref `backend/services/chunking.py:401-415`.
+  *
+  * Two W4 variants are provided: the window-function approximation (pure
+  * Catalyst, one shuffle) and the exact stateful scan (`groupByKey` +
+  * `flatMapGroups`, one doc per group — still fully distributed because
+  * state never spans a document).
+  */
+object Chunking {
+
+  /** W6/P11: keep rows while the running sum of `cost` (inclusive) stays
+    * within `budget`, per partition in `orderCol` order. */
+  def withinBudget(df: DataFrame, partCols: Seq[Column], orderCol: Column, cost: Column,
+                   budget: Long, out: String = "in_budget"): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, sum(cost).over(w) <= budget)
+  }
+
+  /** W4 (windowed approximation): chunk id = floor(cumulative-length /
+    * maxChars) plus explicit break flags folded in via gaps-and-islands. */
+  def chunkIdApprox(df: DataFrame, partCols: Seq[Column], orderCol: Column, contentLen: Column,
+                    explicitBreak: Column, maxChars: Long, out: String = "chunk_id"): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(contentLen).over(w)
+    val overflowBucket = floor((cum - lit(1)) / lit(maxChars))
+    val explicitGroup = sum(explicitBreak.cast("long")).over(w)
+    df.withColumn(out, concat_ws("_", overflowBucket, explicitGroup))
+  }
+
+  /** W4 (exact): stateful scan per key — the running total resets at each
+    * break, matching the reference's loop semantics exactly. Input rows must
+    * carry (key, ord, len, explicitBreak); emits (key, ord, chunkId). */
+  def chunkIdExact(df: DataFrame, keyCol: String, ordCol: String, lenCol: String,
+                   breakCol: String, maxChars: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).cast("long"), col(ordCol).cast("long"),
+      col(lenCol).cast("long"), col(breakCol).cast("boolean")).as[(Long, Long, Long, Boolean)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val sorted = it.toVector.sortBy(_._2)
+      var chunk = 0L
+      var run = 0L
+      sorted.map { case (_, ord, len, brk) =>
+        if (brk || run + len > maxChars) { chunk += 1; run = 0L }
+        run += len
+        (key, ord, chunk)
+      }
+    }.toDF(keyCol, ordCol, "chunk_id")
+  }
+
+  /** F13: content fingerprint — md5 over normalized content + salt columns. */
+  def fingerprint(cols: Column*): Column = md5(concat_ws("", cols: _*))
+
+  /** F19: semantic row serialization `col=val | col=val` over zipped
+    * name/value arrays, capped at `maxCols`, skipping long cells. */
+  def serializeRow(names: Column, values: Column, maxCols: Int = 5, maxCell: Int = 100): Column = {
+    val zipped = slice(zip_with(names, values, (n, v) => struct(n.as("n"), v.as("v"))), 1, maxCols)
+    val kept = filter(zipped, s => length(s.getField("v")) <= maxCell)
+    concat_ws(" | ", transform(kept, s => concat(s.getField("n"), lit("="), s.getField("v"))))
+  }
+
+  /** A6: chunk metadata rollup — representative page, capped page set,
+    * block-type set, char count. */
+  def chunkRollup(df: DataFrame, keyCols: Seq[Column], page: Column, blockType: Column,
+                  content: Column): DataFrame =
+    df.groupBy(keyCols: _*).agg(
+      min(page).as("page"),
+      slice(sort_array(collect_set(page)), 1, 10).as("pages"),
+      sort_array(collect_set(blockType)).as("block_types"),
+      sum(length(content)).as("n_chars"),
+      count(lit(1)).as("n_blocks"))
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/row cleaning operators (SURVEY.md §2.2 P1–P11).
+  *
+  * All deterministic-path operators are pure Catalyst column expressions
+  * (codegen'd, no UDFs), mirroring the reference's cleaner semantics:
+  *  - P1 normalize: ref `ingestion/cleaner.py:36-59`
+  *  - P2 noise filter: ref `ingestion/cleaner.py:62-84`
+  *  - P3 Thai de-hyphenation: ref `ingestion/table_extractor.py:72-83`
+  *  - P4 header/footer cut: ref `ingestion/pdf_parser.py:152-171,332`
+  *  - P9 doc_id sanitize: ref `backend/main.py:48-68`
+  *  - P10 HTML sanitize: ref `backend/services/rag.py:122-127`
+  */
+object Cleaning {
+
+  /** P1: strip control/zero-width/NBSP chars, collapse inline whitespace,
+    * trim space around newlines, cap blank lines at 2. */
+  def normalizeText(c: Column): Column = {
+    val noCtl = regexp_replace(c, "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u200B\\u200C\\u200D\\uFEFF]", "")
+    val nbsp = regexp_replace(noCtl, "\\u00A0", " ")
+    val collapsed = regexp_replace(nbsp, "[ \\t]+", " ")
+    val trimNl = regexp_replace(regexp_replace(collapsed, " *\\n *", "\n"), "\\n{3,}", "\n\n")
+    trim(trimNl)
+  }
+
+  /** P2: true when a block is noise — bare page number, ≤1 word char, or
+    * punctuation-only. Word chars include Thai range as in the ref. */
+  def isNoise(c: Column): Column = {
+    val bare = trim(c)
+    val pageNum = bare.rlike("^-?\\s*\\d+\\s*-?$")
+    val wordChars = length(regexp_replace(bare, "[^A-Za-z0-9\\u0E00-\\u0E7F]", ""))
+    pageNum || (wordChars <= 1)
+  }
+
+  /** P3: remove line breaks between Thai characters, collapse whitespace,
+    * strip `...` dot leaders. Java regex lookaround handles the Thai range. */
+  def dehyphenateThai(c: Column): Column = {
+    val joined = regexp_replace(c, "(?<=[\\u0E00-\\u0E7F])\\s*[\\r\\n]+\\s*(?=[\\u0E00-\\u0E7F])", "")
+    val noLeader = regexp_replace(joined, "\\.{3,}", " ")
+    regexp_replace(noLeader, "\\s+", " ")
+  }
+
+  /** P4: keep only blocks inside the content band of the page
+    * (drop headers above 7% and footers below 93% of page height). */
+  def inContentBand(y0: Column, y1: Column, pageHeight: Column): Column =
+    (y1 >= pageHeight * 0.07) && (y0 <= pageHeight * 0.93)
+
+  /** P9: doc_id sanitize — lowercase, whitespace→`_`, keep `[a-z0-9_-]` plus
+    * the Thai block. */
+  def sanitizeDocId(c: Column): Column =
+    regexp_replace(regexp_replace(lower(trim(c)), "\\s+", "_"), "[^a-z0-9_\\-\\u0E00-\\u0E7F]", "")
+
+  /** P10: strip script tags, inline `on*=` handlers and `javascript:` URIs. */
+  def sanitizeHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script.*?</script>", "")
+    val noHandlers = regexp_replace(noScript, "(?i)\\son\\w+\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", "")
+    regexp_replace(noHandlers, "(?i)javascript:", "")
+  }
+
+  /** F3: section-title normalize — strip `1.`, `1.1`, `A)` style prefixes,
+    * collapse whitespace, cap at 150 chars. Ref `ingestion/pdf_parser.py:87-92`. */
+  def normalizeSectionTitle(c: Column): Column =
+    substring(trim(regexp_replace(regexp_replace(c, "^\\s*(\\d+(\\.\\d+)*[.)]?|[A-Za-z][.)])\\s+", ""), "\\s+", " ")), 1, 150)
+
+  /** F10: safe float parse — strip commas/currency, accounting-negative
+    * `(123.45)` → -123.45. Ref `ingestion/semantic_enricher.py:504-518`. */
+  def parseMoney(c: Column): Column = {
+    val cleaned = regexp_replace(c, "[,฿$\\s]|(บาท)|(baht)", "")
+    val isParenNeg = cleaned.rlike("^\\(.*\\)$")
+    val core = regexp_replace(cleaned, "[()]", "").cast("double")
+    when(isParenNeg, -core).otherwise(core)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.index.Embed
+
+/** Large-scale deduplication operators (prompt: training-data pipeline
+  * family; generalizes the reference's content-hash dedup, SURVEY.md §2.3 J2).
+  *
+  * Scale design: every variant is blocking-based — candidates are generated
+  * by equi-joins on a short key (hash / band / bucket), never by a cross
+  * join, so the shuffle volume is O(N) + O(candidate pairs). All hashes are
+  * built from `md5` so the same signatures are computable by any engine
+  * (and by the DuckDB oracle).
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-content hash, keep the first row per
+    * group in (tieBreak) order — deterministic first-wins. */
+  def exact(df: DataFrame, content: Column, tieBreak: Column): DataFrame = {
+    val withHash = df.withColumn("_h", md5(lower(regexp_replace(content, "\\s+", " "))))
+    val w = Window.partitionBy(col("_h")).orderBy(tieBreak)
+    withHash.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_h", "_rn")
+  }
+
+  /** Word w-shingles of a text (distinct, whitespace-tokenized, lowercase). */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(1), n - w + 1), i => concat_ws(" ", slice(toks, i, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Character n-grams of a text (distinct). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val len = length(text)
+    array_distinct(
+      when(len >= n, transform(sequence(lit(1), len - n + 1), i => substring(text, i, lit(n)).cast("string")))
+      .otherwise(array(text)))
+  }
+
+  /** MinHash signature: one value per seed, sig_i = min over shingles of
+    * md5(shingle + "#" + i). Lexicographic min over md5 hex is a uniform
+    * permutation-min — engine-portable (no murmur dependence). */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => md5(concat(s, lit(s"#$i")))))
+    }: _*)
+
+  /** LSH band keys: split the signature into bands of `rowsPerBand`, hash
+    * each band — docs sharing any band key are candidate pairs. */
+  def lshBandKeys(signature: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val bands = numHashes / rowsPerBand
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"), md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: explode band keys, self-join per band,
+    * then verify with exact Jaccard over the shingle sets. Returns
+    * (id_a, id_b, jaccard) with jaccard ≥ threshold. */
+  def minHashDuplicates(df: DataFrame, idCol: String, text: Column,
+                        shingleWidth: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+                        threshold: Double = 0.7): DataFrame = {
+    val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
+    val a = base.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint over tokens, engine-portable: bit j of the
+    * fingerprint is the sign of sum over tokens of (+1 if the j-th hex char
+    * of md5(token) is ≥ '8' else -1). Returns a `bits`-char 0/1 string
+    * (bits ≤ 32, the md5 hex length). */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val hashes = transform(toks, t => md5(t))
+    val bitCols = (1 to bits).map { j =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(substring(h, j, 1).rlike("[89a-f]"), 1).otherwise(-1))
+      when(votes >= 0, "1").otherwise("0")
+    }
+    concat(bitCols: _*)
+  }
+
+  /** n-gram Jaccard similarity between two texts. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val ga = charNgrams(lower(a), n)
+    val gb = charNgrams(lower(b), n)
+    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold pairs within a blocking key. */
+  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                          threshold: Double): DataFrame =
+    graft.index.Search.nearDuplicatePairs(df, vecCol, idCol, blockCol, threshold)
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-block operators over `columns: array<string>` /
+  * `rows: array<array<string>>` (SURVEY.md §2.2 P5/P6, §2.3 J1/J2,
+  * §2.4 A2, §2.8 F11/F12, §2.11 explode-transactions).
+  *
+  * Everything is higher-order array expressions — the whole family stays
+  * inside whole-stage codegen.
+  */
+object TableOps {
+
+  /** P5: normalize every cell, pad rows to the max width, drop all-empty
+    * rows. Ref `ingestion/cleaner.py:134-207`. */
+  def cleanRows(rows: Column): Column = {
+    val cleaned = transform(rows, r => transform(r, c => trim(regexp_replace(coalesce(c, lit("")), "\\s+", " "))))
+    val width = array_max(transform(cleaned, r => size(r)))
+    val padded = transform(cleaned, r =>
+      concat(r, transform(sequence(lit(1), greatest(width - size(r), lit(0))), _ => lit(""))))
+    filter(padded, r => exists(r, c => c =!= ""))
+  }
+
+  /** P6: junk-table predicate — too small, or contains a known junk phrase. */
+  def isJunkTable(columns: Column, rows: Column, junkPhrases: Seq[String]): Column = {
+    val tooSmall = size(rows) <= 1 || size(columns) <= 1
+    val junk = junkPhrases.map(p => exists(rows, r => exists(r, c => lower(c).contains(p))))
+      .foldLeft(lit(false))(_ || _)
+    tooSmall || junk
+  }
+
+  /** J2: cross-extractor content hash — md5 of the whitespace-stripped,
+    * lowercased concatenation of all cells. Ref `table_extractor.py:98-108`. */
+  def contentHash(rows: Column): Column =
+    md5(lower(regexp_replace(concat_ws("", flatten(rows)), "[\\s\\u200B]+", "")))
+
+  /** J2 dedup with deterministic first-wins: keep the first row per hash in
+    * `(priority, tieBreak)` order (ref keeps first-seen in iteration order). */
+  def dedupByHash(df: DataFrame, hash: Column, priority: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(hash).orderBy(priority, tieBreak)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** J1: keep all `primary` rows; keep `secondary` rows only for keys absent
+    * from primary (the Camelot-beats-vision anti-join + union). */
+  def preferPrimary(primary: DataFrame, secondary: DataFrame, keys: Seq[String]): DataFrame = {
+    val surviving = secondary.join(primary.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    primary.unionByName(surviving, allowMissingColumns = true)
+  }
+
+  /** F11: header canonicalization — ordered substring→canonical map,
+    * first match wins. Ref `ingestion/semantic_enricher.py:383-427`. */
+  def canonicalizeHeader(h: Column, mapping: Seq[(String, String)], default: String = "other"): Column = {
+    val lc = lower(h)
+    mapping.foldRight(lit(default): Column) { case ((key, canon), rest) =>
+      when(lc.contains(key), canon).otherwise(rest)
+    }
+  }
+
+  /** A2: numeric column aggregate over exploded rows — parse cell `colIdx`
+    * as a number and aggregate per table. Trust gate applied by caller. */
+  def computeFromTable(df: DataFrame, tableId: Column, rows: Column, colIdx: Int): DataFrame =
+    df.select(tableId.as("table_id"), explode(rows).as("r"))
+      .select(col("table_id"), Cleaning.parseMoney(element_at(col("r"), colIdx + 1)).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("table_id")
+      .agg(sum("v").as("sum_v"), avg("v").as("avg_v"), max("v").as("max_v"), count(lit(1)).as("n"))
+
+  /** Explode-transactions (§2.11): rows → one record per row with named
+    * fields resolved via the canonical header index map. */
+  def explodeTransactions(df: DataFrame, tableId: Column, columns: Column, rows: Column): DataFrame =
+    df.select(tableId.as("table_id"), columns.as("cols"), posexplode(rows).as(Seq("row_idx", "r")))
+      .select(col("table_id"), col("row_idx"),
+        Chunking.serializeRow(col("cols"), col("r"), maxCols = 8, maxCell = 100).as("record"))
+
+  /** F12: render a table to markdown — header row, separator, data rows. */
+  def toMarkdown(columns: Column, rows: Column): Column = {
+    val header = concat(lit("| "), concat_ws(" | ", columns), lit(" |"))
+    val sep = concat(lit("|"), concat_ws("|", transform(columns, _ => lit(" --- "))), lit("|"))
+    val body = concat_ws("\n", transform(rows, r => concat(lit("| "), concat_ws(" | ", r), lit(" |"))))
+    concat_ws("\n", array(header, sep, body))
+  }
+
+  /** W5: sub-table split — rows matching a header pattern start a new named
+    * sub-table; forward-fill the header over subsequent rows. */
+  def splitSubTables(df: DataFrame, tableId: Column, rows: Column, headerPattern: String): DataFrame = {
+    val exploded = df.select(tableId.as("table_id"), posexplode(rows).as(Seq("ord", "r")))
+      .withColumn("hdr", when(element_at(col("r"), 1).rlike(headerPattern), element_at(col("r"), 1)))
+    Sections.forwardFill(exploded, Seq(col("table_id")), col("ord"), col("hdr"), "sub_table")
+      .filter(col("hdr").isNull) // header rows become group labels, not data
+      .drop("hdr")
+  }
+}

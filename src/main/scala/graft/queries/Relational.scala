@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.TestTables._
+
+/** Relational operator inventory over the TPC-H-ish tables
+  * (SURVEY.md §2.3 J1–J6, §2.4 A2/A4/A8/A10(+rollup), §2.6 T1/T3/T4,
+  * §2.7 U-family).
+  *
+  * Scale notes: J3 broadcasts the small build side explicitly; aggregates
+  * are partial-agg friendly (plain hash aggregates on low-cardinality
+  * keys); anti joins ship only the key column of the probe side.
+  */
+object Relational extends QuerySet {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val q1Pricing = Q("q1_pricing_summary",
+    Some("""SELECT l_returnflag, l_linestatus,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS sum_disc_price,
+            round(avg(l_discount), 6) AS avg_disc,
+            count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(9,2)")))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"))
+
+  /** J1: left-anti join — customers with no orders (the Camelot-beats-vision
+    * keep-only-missing-keys shape). */
+  val j1Anti = Q("j1_anti_join",
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""),
+    (s, d) => customer(s, d)
+      .join(orders(s, d).select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"))
+
+  /** J3: broadcast equi-join + backfill (fact enriched from a dim) and a
+    * grouped rollup of the joined result. */
+  val j3Broadcast = Q("j3_broadcast_join",
+    Some("""SELECT o_orderpriority,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS revenue,
+            count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, d) => lineitem(s, d)
+      .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(9,2)")))
+          .cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"))
+
+  /** J4: distinct-keys-then-join (retrieval→Q&A shape): distinct event users
+    * joined to the customer dim, rolled up by segment. */
+  val j4DistinctJoin = Q("j4_distinct_join",
+    Some("""SELECT c_mktsegment, count(*) AS n_users
+            FROM (SELECT DISTINCT user_id FROM events) u
+            JOIN customer ON c_custkey = user_id
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    (s, d) => events(s, d).select("user_id").distinct()
+      .join(broadcast(customer(s, d)), col("c_custkey") === col("user_id"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_users"))
+      .orderBy("c_mktsegment"))
+
+  /** J5: small-dim chain join + first-match-per-group (row_number=1). */
+  val j5FirstMatch = Q("j5_first_match_join",
+    Some("""SELECT r_name, s_name, s_acctbal FROM (
+              SELECT r.r_name, s.s_name, s.s_acctbal,
+                     row_number() OVER (PARTITION BY r.r_name ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                              JOIN region r ON n.n_regionkey = r.r_regionkey) t
+            WHERE rn = 1 ORDER BY r_name"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val joined = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      val w = Window.partitionBy(col("r_name")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("r_name", "s_name", "s_acctbal")
+        .orderBy("r_name")
+    })
+
+  /** A4: validation stats — min/max + duplicate-key detection via
+    * group-count (hash aggregate). */
+  val a4Validation = Q("a4_validation_stats",
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+            CAST(min(o_orderdate) AS DATE) AS first_order, CAST(max(o_orderdate) AS DATE) AS last_order
+            FROM orders GROUP BY o_custkey HAVING count(*) > 12 ORDER BY o_custkey"""),
+    (s, d) => orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderdate")).cast("date").as("first_order"),
+        max(col("o_orderdate")).cast("date").as("last_order"))
+      .filter(col("n_orders") > 12)
+      .orderBy("o_custkey"))
+
+  /** A8: grouped average + grade banding (when-chain). */
+  val a8Banding = Q("a8_avg_banding",
+    Some("""SELECT event_type, round(avg(value), 6) AS avg_value,
+            CASE WHEN avg(value) >= 120 THEN 'high' WHEN avg(value) >= 80 THEN 'mid' ELSE 'low' END AS band
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => events(s, d).groupBy("event_type")
+      .agg(round(avg(col("value")), 6).as("avg_value"),
+        when(avg(col("value")) >= 120, "high").when(avg(col("value")) >= 80, "mid")
+          .otherwise("low").as("band"))
+      .orderBy("event_type"))
+
+  /** A10: distinct-key summaries — countDistinct + sorted collect_set. */
+  val a10Distinct = Q("a10_distinct_sets",
+    Some("""SELECT user_id, count(DISTINCT event_type) AS n_types,
+            (SELECT string_agg(t, ',' ORDER BY t)
+             FROM (SELECT DISTINCT event_type AS t FROM events e2 WHERE e2.user_id = e.user_id) x) AS types
+            FROM events e GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => events(s, d).groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+      .orderBy("user_id"))
+
+  /** Rollup (grouping sets) — declared per SURVEY §2.4 to lock the
+    * capability Spark adds over the reference. */
+  val a11Rollup = Q("a11_rollup",
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, d) => lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
+  /** T1: global top-k with deterministic tiebreak
+    * (plans as TakeOrderedAndProject — no full sort). */
+  val t1TopK = Q("t1_topk",
+    Some("""SELECT event_id, user_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 10"""),
+    (s, d) => events(s, d).select("event_id", "user_id", "value")
+      .orderBy(col("value").desc, col("event_id")).limit(10))
+
+  /** T3/T4: ordered scan + newest-N. */
+  val t4LastN = Q("t4_last_n",
+    Some("""SELECT event_id, user_id, event_type FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 50"""),
+    (s, d) => events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts").desc, col("event_id").desc).limit(50).drop("ts"))
+
+  /** U2: anti-join-then-union (prefer-primary): high-value lineitems kept
+    * wholesale, low-value ones only for orderkeys with no high-value item. */
+  val u2UnionAnti = Q("u2_union_after_anti",
+    Some("""WITH hi AS (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice >= 5000),
+                 lo AS (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice < 5000)
+            SELECT * FROM (
+              SELECT * FROM hi
+              UNION ALL
+              SELECT * FROM lo WHERE NOT EXISTS (SELECT 1 FROM hi WHERE hi.l_orderkey = lo.l_orderkey)
+            ) t ORDER BY l_orderkey, l_linenumber"""),
+    (s, d) => {
+      val li = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val hi = li.filter(col("l_extendedprice") >= 5000)
+      val lo = li.filter(col("l_extendedprice") < 5000)
+      graft.ops.TableOps.preferPrimary(hi, lo, Seq("l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** U4: relational EXCEPT — event users that are not customers. */
+  val u4Except = Q("u4_except",
+    Some("""SELECT id FROM (
+              SELECT DISTINCT user_id AS id FROM events
+              EXCEPT
+              SELECT c_custkey AS id FROM customer) t ORDER BY id"""),
+    (s, d) => events(s, d).select(col("user_id").as("id")).distinct()
+      .except(customer(s, d).select(col("c_custkey").as("id")))
+      .orderBy("id"))
+
+  /** S9: projection + order (doc listing). */
+  val s9Listing = Q("s9_doc_listing",
+    Some("SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"),
+    (s, d) => documents(s, d).select("doc_id", "source", "lang", "n_chars").orderBy("doc_id"))
+
+  def all: Seq[Q] = Seq(q1Pricing, j1Anti, j3Broadcast, j4DistinctJoin, j5FirstMatch,
+    a4Validation, a8Banding, a10Distinct, a11Rollup, t1TopK, t4LastN, u2UnionAnti,
+    u4Except, s9Listing)
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.TestTables._
+import graft.ops.{Cleaning, Sections, TextAnalysis}
+import graft.index.Rerank
+
+/** Text-operator inventory over `documents` (SURVEY.md §2.2 P1/P2/P9,
+  * §2.8 F-family, §2.9 V3 fallback; prompt family: text analysis).
+  *
+  * All pure expressions — the map stages carry no shuffle; the only
+  * exchanges are the final presentation sorts.
+  */
+object TextQueries extends QuerySet {
+
+  /** Deterministic mixed-quality content: every 7th doc becomes a bare page
+    * number, every 11th a punctuation-only scrap — computed identically in
+    * both engines so the noise filter has real work to do. */
+  private val mixedSql =
+    """CASE WHEN doc_id % 7 = 0 THEN concat('- ', CAST(doc_id AS VARCHAR), ' -')
+            WHEN doc_id % 11 = 0 THEN '***'
+            ELSE text END"""
+  private def mixed = when(col("doc_id") % 7 === 0, concat(lit("- "), col("doc_id").cast("string"), lit(" -")))
+    .when(col("doc_id") % 11 === 0, lit("***"))
+    .otherwise(col("text"))
+
+  /** P1: text normalization (control/zero-width strip, whitespace collapse). */
+  val p1Normalize = Q("p1_normalize",
+    Some("""SELECT doc_id, trim(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text,
+                '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                '\x{00A0}', ' ', 'g'),
+                '[ \t]+', ' ', 'g'),
+                ' *\n *', '\n', 'g'),
+                '\n{3,}', '\n\n', 'g')) AS norm_text
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), Cleaning.normalizeText(col("text")).as("norm_text"))
+      .orderBy("doc_id"))
+
+  /** P2: noise filter over deterministically-degraded content. */
+  val p2Noise = Q("p2_noise_filter",
+    Some(s"""SELECT doc_id FROM (SELECT doc_id, $mixedSql AS content FROM documents) t
+             WHERE NOT (regexp_full_match(trim(content), '-?\\s*[0-9]+\\s*-?')
+                        OR length(regexp_replace(trim(content), '[^A-Za-z0-9\\x{0E00}-\\x{0E7F}]', '', 'g')) <= 1)
+             ORDER BY doc_id"""),
+    (s, d) => documents(s, d).withColumn("content", mixed)
+      .filter(!Cleaning.isNoise(col("content")))
+      .select("doc_id").orderBy("doc_id"))
+
+  /** P9: doc_id sanitization. */
+  val p9Sanitize = Q("p9_docid_sanitize",
+    Some("""SELECT doc_id,
+            regexp_replace(regexp_replace(lower(trim(concat(upper(source), ' Doc #', CAST(doc_id AS VARCHAR), '!'))), '\s+', '_', 'g'), '[^a-z0-9_\-\x{0E00}-\x{0E7F}]', '', 'g') AS clean_id
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        Cleaning.sanitizeDocId(concat(upper(col("source")), lit(" Doc #"), col("doc_id").cast("string"), lit("!"))).as("clean_id"))
+      .orderBy("doc_id"))
+
+  /** F16: rule-based classifier — first-match keyword cascade. */
+  val f16Classify = Q("f16_classifier",
+    Some("""SELECT label, count(*) AS n FROM (
+              SELECT CASE
+                WHEN lower(text) ~ '.*(stream|window).*' THEN 'streaming'
+                WHEN lower(text) ~ '.*(join|merge).*' THEN 'relational'
+                WHEN lower(text) ~ '.*(vector|embed).*' THEN 'vector'
+                WHEN lower(text) ~ '.*(scan|filter).*' THEN 'scan'
+                ELSE 'generic' END AS label
+              FROM documents) t GROUP BY label ORDER BY label"""),
+    (s, d) => documents(s, d)
+      .select(Sections.classify(col("text"), Seq(
+        "streaming" -> ".*(stream|window).*",
+        "relational" -> ".*(join|merge).*",
+        "vector" -> ".*(vector|embed).*",
+        "scan" -> ".*(scan|filter).*"), "generic").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label"))
+
+  /** A7/F4: intent scoring — keyword-hit counts → ranked intents, primary
+    * intent = max by (score, name). */
+  val a7Intent = Q("a7_intent_primary",
+    Some("""WITH c AS (
+              SELECT doc_id, 'agg' AS intent, len(regexp_extract_all(lower(text), 'agg')) AS score FROM documents
+              UNION ALL SELECT doc_id, 'join', len(regexp_extract_all(lower(text), 'join')) FROM documents
+              UNION ALL SELECT doc_id, 'scan', len(regexp_extract_all(lower(text), 'scan')) FROM documents
+              UNION ALL SELECT doc_id, 'sort', len(regexp_extract_all(lower(text), 'sort')) FROM documents),
+            r AS (SELECT doc_id, intent,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, intent) AS rn
+                  FROM c WHERE score > 0)
+            SELECT d.doc_id, r.intent AS primary_intent
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+            ORDER BY d.doc_id"""),
+    (s, d) => {
+      val scores = Sections.intentScores(col("text"), Seq(
+        "agg" -> "agg", "join" -> "join", "scan" -> "scan", "sort" -> "sort"))
+      documents(s, d)
+        .select(col("doc_id"), Sections.primaryIntent(scores).as("primary_intent"))
+        .orderBy("doc_id")
+    })
+
+  /** F5: entity extraction — regexp_extract_all + distinct + cap. */
+  val f5Entities = Q("f5_entity_extract",
+    Some("""SELECT doc_id,
+            coalesce(list_aggregate(list_sort(list_distinct(regexp_extract_all(text, '\b(spark|hash|vector|stream)\b'))), 'string_agg', ','), '') AS entities
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(",", sort_array(array_distinct(
+          regexp_extract_all(col("text"), lit("\\b(spark|hash|vector|stream)\\b"), lit(0))))).as("entities"))
+      .orderBy("doc_id"))
+
+  /** F7: stopword-free keyword overlap between a fixed query and content. */
+  val f7Overlap = Q("f7_keyword_overlap",
+    Some("""SELECT doc_id, len(list_intersect(
+              list_distinct(string_split_regex(lower('the fast hash join over a stream'), '\s+')) ,
+              list_distinct(string_split_regex(lower(text), '\s+'))
+            )) - len(list_intersect(
+              ['the','a','over'],
+              list_distinct(string_split_regex(lower(text), '\s+'))
+            )) AS overlap
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        Rerank.keywordOverlap(col("text"), lit("the fast hash join over a stream"),
+          Seq("the", "a", "over")).as("overlap"))
+      .orderBy("doc_id"))
+
+  /** T2+F8: keyword rerank with sigmoid normalization, top-20. */
+  val t2Rerank = Q("t2_keyword_rerank",
+    Some("""SELECT doc_id, round(1.0 / (1.0 + exp(-(
+              (CASE WHEN contains(lower(text), 'spark') THEN 1.0 ELSE 0 END) +
+              (CASE WHEN contains(lower(text), 'join') THEN 1.0 ELSE 0 END) +
+              (CASE WHEN contains(lower(text), 'stream') THEN 1.0 ELSE 0 END) +
+              (CASE WHEN contains(lower(text), 'spark join') THEN 3.0 ELSE 0 END)))), 6) AS score
+            FROM documents ORDER BY score DESC, doc_id LIMIT 20"""),
+    (s, d) => {
+      val score = Rerank.sigmoid(Rerank.keywordScore(col("text"), Seq("spark", "join", "stream"), "spark join"))
+      Rerank.topK(documents(s, d).select(col("doc_id"), round(score, 6).as("score")),
+        col("score"), col("doc_id"), 20)
+    })
+
+  /** F9: string-similarity ratio via levenshtein (nation×region small join). */
+  val f9Similarity = Q("f9_levenshtein_ratio",
+    Some("""SELECT n_name, r_name,
+            round(1.0 - CAST(levenshtein(lower(n_name), lower(r_name)) AS DOUBLE) /
+                  greatest(length(n_name), length(r_name)), 6) AS sim
+            FROM nation, region ORDER BY n_name, r_name"""),
+    (s, d) => nation(s, d).crossJoin(broadcast(region(s, d)))
+      .select(col("n_name"), col("r_name"),
+        round(lit(1.0) - levenshtein(lower(col("n_name")), lower(col("r_name"))).cast("double") /
+          greatest(length(col("n_name")), length(col("r_name"))), 6).as("sim"))
+      .orderBy("n_name", "r_name"))
+
+  /** F10: money parsing with currency symbols and accounting negatives —
+    * strings synthesized deterministically from order totals. */
+  val f10Money = Q("f10_money_parse",
+    Some("""SELECT o_orderkey, round(CASE WHEN raw LIKE '(%' THEN -core ELSE core END, 2) AS amount
+            FROM (
+              SELECT o_orderkey, raw,
+                CAST(regexp_replace(regexp_replace(raw, '[,฿$\s]|(บาท)|(baht)', '', 'g'), '[()]', '', 'g') AS DOUBLE) AS core
+              FROM (
+                SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 THEN concat('(', printf('%.2f', o_totalprice), ')')
+                       WHEN o_orderkey % 3 = 1 THEN concat('$', printf('%.2f', o_totalprice))
+                       ELSE concat('฿1,23', printf('%.2f', o_totalprice), ' บาท') END AS raw
+                FROM orders) a) b ORDER BY o_orderkey"""),
+    (s, d) => {
+      val formatted = format_string("%.2f", col("o_totalprice"))
+      val raw = when(col("o_orderkey") % 3 === 0, concat(lit("("), formatted, lit(")")))
+        .when(col("o_orderkey") % 3 === 1, concat(lit("$"), formatted))
+        .otherwise(concat(lit("฿1,23"), formatted, lit(" บาท")))
+      orders(s, d)
+        .select(col("o_orderkey"), round(Cleaning.parseMoney(raw), 2).as("amount"))
+        .orderBy("o_orderkey")
+    })
+
+  /** F11: header canonicalization — ordered substring→canon mapping. */
+  val f11Canon = Q("f11_header_canon",
+    Some("""SELECT p_partkey,
+            CASE WHEN contains(lower(p_type), 'brass') THEN 'metal'
+                 WHEN contains(lower(p_type), 'steel') THEN 'metal'
+                 WHEN contains(lower(p_type), 'copper') THEN 'metal'
+                 WHEN contains(lower(p_type), 'anodized') THEN 'coated'
+                 WHEN contains(lower(p_type), 'polished') THEN 'coated'
+                 ELSE 'other' END AS canon
+            FROM part ORDER BY p_partkey"""),
+    (s, d) => part(s, d)
+      .select(col("p_partkey"),
+        graft.ops.TableOps.canonicalizeHeader(col("p_type"), Seq(
+          "brass" -> "metal", "steel" -> "metal", "copper" -> "metal",
+          "anodized" -> "coated", "polished" -> "coated")).as("canon"))
+      .orderBy("p_partkey"))
+
+  /** F13: content fingerprint via md5. */
+  val f13Md5 = Q("f13_md5_fingerprint",
+    Some("""SELECT doc_id, md5(concat(lower(text), '|', lang)) AS fp
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), graft.ops.Chunking.fingerprint(lower(col("text")), lit("|"), col("lang")).as("fp"))
+      .orderBy("doc_id"))
+
+  /** F14: id-from-filename normalization. */
+  val f14IdFromName = Q("f14_id_from_filename",
+    Some("""SELECT doc_id, regexp_replace(regexp_extract(concat(source, '/report ', CAST(doc_id AS VARCHAR), ' final.pdf'), '([^/]+)\.pdf$', 1), '[ \-]+', '_', 'g') AS stem_id
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_extract(concat(col("source"), lit("/report "), col("doc_id").cast("string"), lit(" final.pdf")), "([^/]+)\\.pdf$", 1),
+          "[ \\-]+", "_").as("stem_id"))
+      .orderBy("doc_id"))
+
+  /** F21/F20: JSON extraction from the events props column. */
+  val f21Json = Q("f21_json_extract",
+    Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id"""),
+    (s, d) => events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id"))
+
+  /** Language ID (prompt: text analysis) — stopword-profile scoring,
+    * checked against the labeled lang column. */
+  val x1LangAgg = Q("x1_token_stats",
+    Some("""SELECT lang, count(*) AS n_docs,
+            sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS total_tokens,
+            round(avg(length(text)), 6) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, d) => documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        round(avg(length(col("text"))), 6).as("avg_chars"))
+      .orderBy("lang"))
+
+  /** Subword (BPE-ish) counting. */
+  val x3Subword = Q("x3_subword_count",
+    Some("""SELECT doc_id,
+            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id"))
+
+  def all: Seq[Q] = Seq(p1Normalize, p2Noise, p9Sanitize, f16Classify, a7Intent,
+    f5Entities, f7Overlap, t2Rerank, f9Similarity, f10Money, f11Canon, f13Md5,
+    f14IdFromName, f21Json, x1LangAgg, x3Subword)
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.TestTables._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.index.{Embed, Search}
+
+/** Vector / dedup / similarity inventory (SURVEY.md §2.9 V1–V2; prompt
+  * families: deduplication, similarity search, multimodal, text analysis).
+  *
+  * All signatures are md5-based so the DuckDB oracle can compute identical
+  * values; dot products fold left-to-right in element order so the IEEE
+  * result is engine-independent.
+  */
+object VectorQueries extends QuerySet {
+
+  /** V1: deterministic bag-of-words embedding over a fixed vocabulary,
+    * L2-normalized, serialized for comparison. */
+  val v1Embed = Q("v1_vocab_embed",
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            v AS (
+              SELECT doc_id, [
+                CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE),
+                CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE),
+                CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE),
+                CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE),
+                CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE),
+                CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)] AS vec
+              FROM t),
+            n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+            SELECT doc_id, list_aggregate(list_transform(vec,
+              x -> CAST(round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 6) AS VARCHAR)), 'string_agg', ',') AS embedding
+            FROM n ORDER BY doc_id"""),
+    (s, d) => {
+      val vec = Embed.l2Normalize(Embed.vocabVector(col("text"),
+        Seq("spark", "join", "stream", "hash", "sort", "vector")))
+      documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(",", transform(vec, x => round(x, 6).cast("string"))).as("embedding"))
+        .orderBy("doc_id")
+    })
+
+  /** V2: brute-force ANN top-k against the vec_id=0 query vector. */
+  val v2AnnTopK = Q("v2_ann_topk",
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+            FROM embeddings, q
+            ORDER BY score DESC, vec_id LIMIT 10"""),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+    })
+
+  /** Embedding near-dup pairs within a label block (cosine ≥ 0.95). */
+  val d5EmbedDup = Q("d5_embedding_dup_pairs",
+    Some("""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95
+            ORDER BY id_a, id_b"""),
+    (s, d) => Search.nearDuplicatePairs(embeddings(s, d), "embedding", "vec_id", "label", 0.95)
+      .select(col("b").as("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b"))
+
+  /** Exact dedup: first-wins per normalized-content hash. */
+  val d1Exact = Q("d1_exact_dedup",
+    Some("""SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+              FROM documents) t WHERE rn = 1 ORDER BY doc_id"""),
+    (s, d) => Dedup.exact(documents(s, d), col("text"), col("doc_id"))
+      .select("doc_id", "source").orderBy("doc_id"))
+
+  /** MinHash signature (first 4 permutations, serialized) — the md5-min
+    * construction is engine-portable. */
+  val d2MinHash = Q("d2_minhash_signature",
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
+              FROM t)
+            SELECT doc_id,
+              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#0'))), 'min') AS h0,
+              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#1'))), 'min') AS h1,
+              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#2'))), 'min') AS h2,
+              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#3'))), 'min') AS h3
+            FROM sh ORDER BY doc_id"""),
+    (s, d) => {
+      val sig = Dedup.minHashSignature(Dedup.wordShingles(col("text"), 3), 4)
+      documents(s, d).select(col("doc_id"),
+        element_at(sig, 1).as("h0"), element_at(sig, 2).as("h1"),
+        element_at(sig, 3).as("h2"), element_at(sig, 4).as("h3"))
+        .orderBy("doc_id")
+    })
+
+  /** MinHash + LSH banding: candidate pairs sharing a band, verified by
+    * exact Jaccard ≥ 0.8 over the shingle sets. */
+  val d2MinHashPairs = Q("d2_minhash_lsh_pairs",
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
+              FROM t),
+            sig AS (
+              SELECT doc_id, shingles, [
+                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#0'))), 'min'),
+                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#1'))), 'min'),
+                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#2'))), 'min'),
+                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#3'))), 'min'),
+                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#4'))), 'min'),
+                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#5'))), 'min')] AS sg
+              FROM sh),
+            bands AS (
+              SELECT doc_id, shingles, unnest([
+                concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
+                concat('1:', md5(concat_ws('|', sg[3], sg[4]))),
+                concat('2:', md5(concat_ws('|', sg[5], sg[6])))]) AS band
+              FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+              FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
+    (s, d) => Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+        shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b"))
+
+  /** SimHash 16-bit fingerprint (md5-hex-vote construction). */
+  val d3SimHash = Q("d3_simhash",
+    Some("""WITH t AS (
+              SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), x -> md5(x)) AS hs
+              FROM documents)
+            SELECT doc_id, list_aggregate(list_transform(range(1, 17),
+              j -> CASE WHEN list_sum(list_transform(hs,
+                     h -> CASE WHEN h[j] BETWEEN '8' AND 'f' THEN 1 ELSE -1 END)) >= 0
+                   THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+            FROM t ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), Dedup.simHash(col("text"), 16).as("simhash"))
+      .orderBy("doc_id"))
+
+  /** Character-n-gram Jaccard similarity between deterministic doc pairs
+    * (doc i vs doc i+1). */
+  val d4NgramJaccard = Q("d4_ngram_jaccard",
+    Some("""WITH g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                       i -> substr(lower(text), CAST(i AS INT), 3))) AS grams
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a"""),
+    (s, d) => {
+      val g = documents(s, d).select(col("doc_id"), lower(col("text")).as("t"))
+      val a = g.select(col("doc_id").as("id_a"), col("t").as("ta"))
+      val b = g.select(col("doc_id").as("id_b"), col("t").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), round(Dedup.ngramJaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
+        .orderBy("id_a")
+    })
+
+  /** Text-analysis fingerprint + quality score. */
+  val x4Fingerprint = Q("x4_doc_fingerprint",
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 4
+                THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
+              FROM t)
+            SELECT doc_id, list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp
+            FROM sh ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(lower(col("text")), 4).as("fp"))
+      .orderBy("doc_id"))
+
+  /** Multimodal plumbing: opaque binary column + typed metadata — byte
+    * length and sha256 computed on the binary payload. */
+  val m1Binary = Q("m1_binary_metadata",
+    Some("""SELECT doc_id, length(text) AS n_bytes, sha256(text) AS digest,
+              CASE WHEN length(text) > 300 THEN 'large' ELSE 'small' END AS size_class
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest"),
+        when(length(col("text")) > 300, "large").otherwise("small").as("size_class"))
+      .orderBy("doc_id"))
+
+  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, d5EmbedDup, d1Exact, d2MinHash,
+    d2MinHashPairs, d3SimHash, d4NgramJaccard, x4Fingerprint, m1Binary)
+}

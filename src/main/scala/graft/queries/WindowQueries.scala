@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.TestTables._
+import graft.ops.{Layout, Merge, Sections, Chunking}
+
+/** Window / order-dependent operator inventory over `events`
+  * (SURVEY.md §2.5 W1–W6, §2.4 A1/A9, §2.8 F17).
+  *
+  * `events` plays the role of the ordered block stream: `user_id` ↦ doc_id
+  * partition, `ts` ↦ reading order, `event_type` ↦ block type. All stages
+  * share one `(user_id)` hash partitioning + `(ts, event_id)` sort, so a
+  * multi-stage window pipeline incurs a single shuffle.
+  */
+object WindowQueries extends QuerySet {
+
+  /** W1: reading-order ordinal — coarse bucket + fine key + stable id. */
+  val w1Order = Q("w1_reading_order",
+    Some("""SELECT event_id, user_id,
+            row_number() OVER (PARTITION BY user_id ORDER BY CAST(floor(value/50) AS BIGINT), epoch_us(ts), event_id) AS ord
+            FROM events ORDER BY event_id"""),
+    (s, d) => Layout.readingOrder(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        Seq(col("user_id")), floor(col("value") / 50), col("ts_us"), col("event_id"))
+      .select("event_id", "user_id", "ord").orderBy("event_id"))
+
+  /** W2: gaps-and-islands sessionization (30-min inactivity gap). */
+  val w2Session = Q("w2_sessionize",
+    Some("""WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, event_id, value,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+    (s, d) => {
+      val withSession = Merge.sessionize(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        Seq(col("user_id")), col("ts"), col("event_id"), gapSeconds = 1800)
+      withSession.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("session_value"))
+        .orderBy("user_id", "session_id")
+    })
+
+  /** W3: section forward-fill — most recent signup event id per user. */
+  val w3Ffill = Q("w3_forward_fill",
+    Some("""SELECT event_id, user_id,
+            last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+            FROM events ORDER BY event_id"""),
+    (s, d) => Sections.forwardFill(events(s, d), Seq(col("user_id")),
+        col("ts"), when(col("event_type") === "signup", col("event_id")), "last_signup")
+      .select("event_id", "user_id", "last_signup").orderBy("event_id"))
+
+  /** W4 (windowed form): chunk ids from running char budget + explicit
+    * breaks, over the documents stream partitioned by source. */
+  val w4Chunk = Q("w4_chunk_boundaries",
+    Some("""SELECT doc_id, source, concat(
+              CAST(CAST(floor((sum(n_chars) OVER w - 1) / 1200) AS BIGINT) AS VARCHAR), '_',
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER w AS VARCHAR)) AS chunk_id
+            FROM documents
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY doc_id"""),
+    (s, d) => Chunking.chunkIdApprox(documents(s, d), Seq(col("source")), col("doc_id"),
+        col("n_chars"), col("lang") === "en", maxChars = 1200)
+      .select("doc_id", "source", "chunk_id").orderBy("doc_id"))
+
+  /** W5: sub-group split — signup events open a new sub-group per user
+    * (header-row split shape), rolled up per sub-group. */
+  val w5Split = Q("w5_subgroup_split",
+    Some("""WITH g AS (
+              SELECT user_id, event_id, value,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sub_id
+              FROM events)
+            SELECT user_id, sub_id, count(*) AS n, min(event_id) AS first_event
+            FROM g GROUP BY user_id, sub_id ORDER BY user_id, sub_id"""),
+    (s, d) => Merge.islandId(events(s, d), Seq(col("user_id")), col("ts"),
+        when(col("event_type") === "signup", 1L).otherwise(0L), "sub_id")
+      .groupBy("user_id", "sub_id")
+      .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))
+      .orderBy("user_id", "sub_id"))
+
+  /** W6/P11: running budget cutoff — keep events while the per-user
+    * cumulative value stays within 500. */
+  val w6Budget = Q("w6_running_budget",
+    Some("""SELECT event_id, user_id FROM (
+              SELECT event_id, user_id,
+                sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+              FROM events) t WHERE running <= 500 ORDER BY event_id"""),
+    (s, d) => {
+      // order by (ts, event_id): encode both in one sort key via struct order
+      val df = events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("running", sum(col("value")).over(w))
+        .filter(col("running") <= 500)
+        .select("event_id", "user_id").orderBy("event_id")
+    })
+
+  /** A1: exact per-group median (the page-font-median shape). */
+  val a1Median = Q("a1_group_median",
+    Some("""SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => events(s, d).groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"))
+      .orderBy("event_type"))
+
+  /** A9: argmax per group — the best-match row via row_number. */
+  val a9Argmax = Q("a9_argmax",
+    Some("""SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+              FROM events) t WHERE rn = 1 ORDER BY user_id"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      events(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_id", "value").orderBy("user_id")
+    })
+
+  /** F17: any-in-partition flag broadcast — users that ever errored. */
+  val f17AnyFlag = Q("f17_partition_flag",
+    Some("""SELECT event_id, user_id,
+            CASE WHEN max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id) = 1 THEN true ELSE false END AS user_has_error
+            FROM events ORDER BY event_id"""),
+    (s, d) => Sections.anyInPartition(events(s, d), Seq(col("user_id")),
+        col("event_type") === "error", "user_has_error")
+      .select("event_id", "user_id", "user_has_error").orderBy("event_id"))
+
+  def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w5Split, w6Budget,
+    a1Median, a9Argmax, f17AnyFlag)
+}
