@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val querySets: Seq[QuerySet] =
-    Seq(Relational, WindowQueries, TextQueries, VectorQueries, StreamingQueries)
+    Seq(Relational, WindowQueries, TextQueries, VectorQueries, StreamingQueries,
+      TableQueries, MiscQueries)
 
   private lazy val catalog: Seq[Q] = querySets.flatMap(_.all)
 

@@ -47,8 +47,8 @@ object Chunking {
                    breakCol: String, maxChars: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(keyCol).cast("long"), col(ordCol).cast("long"),
-      col(lenCol).cast("long"), col(breakCol).cast("boolean")).as[(Long, Long, Long, Boolean)]
+    val rows = df.select(col(keyCol).cast("string"), col(ordCol).cast("long"),
+      col(lenCol).cast("long"), col(breakCol).cast("boolean")).as[(String, Long, Long, Boolean)]
     rows.groupByKey(_._1).flatMapGroups { (key, it) =>
       val sorted = it.toVector.sortBy(_._2)
       var chunk = 0L

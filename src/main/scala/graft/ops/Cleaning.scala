@@ -40,7 +40,7 @@ object Cleaning {
   def dehyphenateThai(c: Column): Column = {
     val joined = regexp_replace(c, "(?<=[\\u0E00-\\u0E7F])\\s*[\\r\\n]+\\s*(?=[\\u0E00-\\u0E7F])", "")
     val noLeader = regexp_replace(joined, "\\.{3,}", " ")
-    regexp_replace(noLeader, "\\s+", " ")
+    trim(regexp_replace(noLeader, "\\s+", " "))
   }
 
   /** P4: keep only blocks inside the content band of the page
@@ -70,7 +70,8 @@ object Cleaning {
   def parseMoney(c: Column): Column = {
     val cleaned = regexp_replace(c, "[,฿$\\s]|(บาท)|(baht)", "")
     val isParenNeg = cleaned.rlike("^\\(.*\\)$")
-    val core = regexp_replace(cleaned, "[()]", "").cast("double")
+    // try_cast: unparseable input → null (a plain cast throws under ANSI mode)
+    val core = regexp_replace(cleaned, "[()]", "").try_cast("double")
     when(isParenNeg, -core).otherwise(core)
   }
 }

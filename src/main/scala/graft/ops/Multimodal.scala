@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (prompt family: multimodal; SURVEY.md §1
+  * ImageBlock / §2.1 S2).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct —
+  * the Spark-native shape for image/audio/video at 100 TB (payloads in
+  * parquet binary or referenced by path; metadata columns prunable without
+  * touching bytes). Decode/feature-extraction is a per-partition batch stage
+  * (the Scala analog of `mapInPandas`); the actual codec call is STUBBED
+  * (no image/audio libs in this container) behind `FeatureExtractor` with a
+  * deterministic fake, so the distributed plumbing — schema, batching,
+  * partition flow — is real and tested.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a string payload column as (binary payload, typed metadata). */
+  def asMediaColumn(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+    df.withColumn("payload", col(payloadCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        (length(col(payloadCol)) % 640).cast("int").as("width"),
+        (length(col(payloadCol)) % 480).cast("int").as("height"),
+        length(col(payloadCol)).cast("long").as("n_bytes")))
+
+  /** Batch feature-extraction contract over raw payload bytes. */
+  trait FeatureExtractor extends Serializable {
+    def extractBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]]
+  }
+
+  /** STUB decoder: deterministic fake features (byte histogram moments) in
+    * place of a real image/audio decode — same signature, batch shape, and
+    * partition behavior as a real codec stage. */
+  object StubExtractor extends FeatureExtractor {
+    def extractBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { bytes =>
+        val n = math.max(bytes.length, 1)
+        val mean = bytes.foldLeft(0L)(_ + _ & 0xff).toFloat / n
+        val mx = if (bytes.isEmpty) 0f else (bytes.map(_ & 0xff).max).toFloat
+        Array(n.toFloat, mean, mx, bytes.count(_ == ' ').toFloat)
+      }
+  }
+
+  /** Distributed decode/extract: per-partition batches through the
+    * extractor, emitting a features array column. Partition count (and so
+    * batch size) is controlled upstream via repartition. */
+  def extractFeatures(df: DataFrame, extractor: FeatureExtractor): DataFrame = {
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val outSchema = df.schema.add("features", ArrayType(FloatType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val buffered = rows.toVector
+      val feats = extractor.extractBatch(
+        buffered.iterator.map(r => r.getAs[Array[Byte]](payloadIdx))).toVector
+      buffered.iterator.zip(feats.iterator).map { case (r, f) => Row.fromSeq(r.toSeq :+ f.toSeq) }
+    }(enc)
+  }
+
+  /** Frame-sampling shape: explode a media row into k evenly-spaced frame
+    * offsets (the video analog; offsets only, decode stays stubbed). */
+  def sampleFrames(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(transform(sequence(lit(0), lit(k - 1)),
+        i => (i * col("media_meta.n_bytes") / k).cast("long"))))
+}

@@ -18,8 +18,10 @@ object TableOps {
   def cleanRows(rows: Column): Column = {
     val cleaned = transform(rows, r => transform(r, c => trim(regexp_replace(coalesce(c, lit("")), "\\s+", " "))))
     val width = array_max(transform(cleaned, r => size(r)))
+    // array_repeat, not sequence: sequence(1, 0) yields a DESCENDING [1,0],
+    // so short rows would gain two phantom cells instead of zero
     val padded = transform(cleaned, r =>
-      concat(r, transform(sequence(lit(1), greatest(width - size(r), lit(0))), _ => lit(""))))
+      concat(r, array_repeat(lit(""), greatest(width - size(r), lit(0)).cast("int"))))
     filter(padded, r => exists(r, c => c =!= ""))
   }
 

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.TestTables._
+import graft.ops.{Cleaning, Layout, Merge, Chunking, TextAnalysis}
+import graft.index.Rerank
+
+/** Remaining scalar / projection / rollup inventory (SURVEY.md §2.2
+  * P3/P4/P7/P10, §2.4 A3/A5/A6, §2.6 T5, §2.7 U1, §2.8
+  * F1/F2/F3/F6/F15/F18/F20 + date functions, S4 schema'd JSON read;
+  * prompt family: quality scoring).
+  */
+object MiscQueries extends QuerySet {
+
+  /** F1: block-type detect on deterministically-prefixed content. */
+  val f1BlockType = Q("f1_block_type",
+    Some("""SELECT doc_id, CASE
+              WHEN regexp_matches(upper(trim(content)), '^(WARNING|CAUTION|DANGER|คำเตือน|ข้อควรระวัง)[:\s]') THEN 'warning'
+              WHEN regexp_matches(upper(trim(content)), '^(NOTE|NOTICE|REMARK|หมายเหตุ)[:\s]') THEN 'note'
+              WHEN regexp_matches(upper(trim(content)), '^(STEP\s*[0-9]+|[0-9]+[.)]\s|ขั้นตอนที่)') THEN 'step'
+              ELSE 'paragraph' END AS block_type
+            FROM (SELECT doc_id, CASE
+                    WHEN doc_id % 5 = 0 THEN concat('Warning: ', text)
+                    WHEN doc_id % 5 = 1 THEN concat('Note: ', text)
+                    WHEN doc_id % 5 = 2 THEN concat('Step 3 ', text)
+                    ELSE text END AS content FROM documents) t
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val content = when(col("doc_id") % 5 === 0, concat(lit("Warning: "), col("text")))
+        .when(col("doc_id") % 5 === 1, concat(lit("Note: "), col("text")))
+        .when(col("doc_id") % 5 === 2, concat(lit("Step 3 "), col("text")))
+        .otherwise(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), Layout.blockType(content).as("block_type"))
+        .orderBy("doc_id")
+    })
+
+  /** F2+A1: heading detect against the per-partition median (window). */
+  val f2Heading = Q("f2_heading_detect",
+    Some("""SELECT event_id,
+              (value > quantile_cont(value, 0.5) OVER (PARTITION BY event_type) * 1.2
+               AND length(event_type) < 200
+               AND NOT regexp_full_match(event_type, '[\d\s.,%-]+')) AS is_heading
+            FROM events ORDER BY event_id"""),
+    (s, d) => {
+      val df = Layout.partitionMedian(events(s, d), Seq(col("event_type")), col("value"), "med")
+      df.select(col("event_id"),
+        Layout.isHeading(col("value"), col("med"), col("event_type")).as("is_heading"))
+        .orderBy("event_id")
+    })
+
+  /** F3: section-title normalization (numbered-prefix strip + cap). */
+  val f3Title = Q("f3_title_normalize",
+    Some("""SELECT p_partkey, substr(trim(regexp_replace(regexp_replace(
+              concat('1.2 ', p_name, '   x'), '^\s*(\d+(\.\d+)*[.)]?|[A-Za-z][.)])\s+', '', 'g'), '\s+', ' ', 'g')), 1, 150) AS title
+            FROM part ORDER BY p_partkey"""),
+    (s, d) => part(s, d)
+      .select(col("p_partkey"),
+        Cleaning.normalizeSectionTitle(concat(lit("1.2 "), col("p_name"), lit("   x"))).as("title"))
+      .orderBy("p_partkey"))
+
+  /** F6: answer-scope mapping from block type. */
+  val f6Scope = Q("f6_answer_scope",
+    Some("""SELECT doc_id, CASE bt WHEN 'step' THEN 'procedure' WHEN 'warning' THEN 'warning'
+              WHEN 'note' THEN 'note' ELSE 'general' END AS answer_scope
+            FROM (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'step'
+                    WHEN doc_id % 4 = 1 THEN 'warning' WHEN doc_id % 4 = 2 THEN 'note'
+                    ELSE 'paragraph' END AS bt FROM documents) t ORDER BY doc_id"""),
+    (s, d) => {
+      val bt = when(col("doc_id") % 4 === 0, "step").when(col("doc_id") % 4 === 1, "warning")
+        .when(col("doc_id") % 4 === 2, "note").otherwise("paragraph")
+      documents(s, d)
+        .select(col("doc_id"),
+          when(bt === "step", "procedure").when(bt === "warning", "warning")
+            .when(bt === "note", "note").otherwise("general").as("answer_scope"))
+        .orderBy("doc_id")
+    })
+
+  /** P3: Thai de-hyphenation — planted Thai junctions + dot leaders.
+    * (Isolated junctions, so the capture-group oracle matches the
+    * lookaround implementation exactly.) */
+  val p3Thai = Q("p3_thai_dehyphen",
+    Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+              concat('กา', chr(10), 'รา ', substr(text, 1, 40), ' ...... ', 'ไท', chr(10), 'ย'),
+              '([\x{0E00}-\x{0E7F}])\s*[\r\n]+\s*([\x{0E00}-\x{0E7F}])', '\1\2', 'g'),
+              '\.{3,}', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), Cleaning.dehyphenateThai(
+        concat(lit("กา\nรา "), substring(col("text"), 1, 40), lit(" ...... "), lit("ไท\nย"))).as("cleaned"))
+      .orderBy("doc_id"))
+
+  /** P4: header/footer band cut on synthesized layout boxes. */
+  val p4Band = Q("p4_content_band",
+    Some("""SELECT event_id FROM (
+              SELECT event_id, value % 800 AS y0, value % 800 + 20 AS y1 FROM events) t
+            WHERE y1 >= 0.07 * 800 AND y0 <= 0.93 * 800 ORDER BY event_id"""),
+    (s, d) => {
+      val df = events(s, d)
+        .withColumn("y0", col("value") % 800)
+        .withColumn("y1", col("value") % 800 + 20)
+      df.filter(Cleaning.inContentBand(col("y0"), col("y1"), lit(800.0)))
+        .select("event_id").orderBy("event_id")
+    })
+
+  /** P7: relevance gate (score/overlap thresholds) end-to-end. */
+  val p7Relevance = Q("p7_relevance_filter",
+    Some("""WITH scored AS (
+              SELECT doc_id,
+                1.0 / (1.0 + exp(-((CASE WHEN contains(lower(text), 'vector') THEN 1.0 ELSE 0.0 END) +
+                                   (CASE WHEN contains(lower(text), 'hash') THEN 1.0 ELSE 0.0 END) - 1.0))) AS score,
+                len(list_intersect(['vector', 'hash'],
+                    list_distinct(string_split_regex(lower(text), '\s+')))) AS overlap
+              FROM documents)
+            SELECT doc_id, round(score, 6) AS score FROM scored
+            WHERE score >= 0.25 AND (overlap >= 1 OR score >= 0.75)
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val score = Rerank.sigmoid(
+        Rerank.keywordScore(col("text"), Seq("vector", "hash"), "__nophrase__") - lit(1.0))
+      val overlap = Rerank.keywordOverlap(col("text"), lit("vector hash"), Seq("zzzz"))
+      documents(s, d)
+        .select(col("doc_id"), score.as("score"), overlap.as("overlap"))
+        .filter(Rerank.relevanceFilter(col("score"), col("overlap")))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    })
+
+  /** P10: HTML sanitization (script strip, handler strip, javascript:). */
+  val p10Html = Q("p10_html_sanitize",
+    Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+              concat('<div onclick="x()" onmouseover=bad>', substr(text, 1, 30),
+                     '<script>alert(1)</script><a href="javascript:boom()">ok</a></div>'),
+              '(?is)<script.*?</script>', '', 'g'),
+              '(?i)\son\w+\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', '', 'g'),
+              '(?i)javascript:', '', 'g') AS safe_html
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), Cleaning.sanitizeHtml(
+        concat(lit("<div onclick=\"x()\" onmouseover=bad>"), substring(col("text"), 1, 30),
+          lit("<script>alert(1)</script><a href=\"javascript:boom()\">ok</a></div>"))).as("safe_html"))
+      .orderBy("doc_id"))
+
+  /** F15: Q&A pair extraction via regex with lookahead-free form. */
+  val f15Qna = Q("f15_qna_extract",
+    Some("""SELECT doc_id,
+              coalesce(list_aggregate(regexp_extract_all(
+                concat('Q: what is ', source, '? A: ', lang, '. Q: where? A: here.'),
+                'Q: ([^?]+)\?', 1), 'string_agg', ';'), '') AS questions
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(";", regexp_extract_all(
+          concat(lit("Q: what is "), col("source"), lit("? A: "), col("lang"), lit(". Q: where? A: here.")),
+          lit("Q: ([^?]+)\\?"), lit(1))).as("questions"))
+      .orderBy("doc_id"))
+
+  /** F18: query-intent routing on short query strings. */
+  val f18Intent = Q("f18_query_intent",
+    Some("""SELECT doc_id, CASE
+              WHEN regexp_matches(q, '(table|column|row)') THEN 'table'
+              WHEN regexp_matches(q, '(image|figure|chart)') THEN 'image'
+              WHEN regexp_matches(q, '(text|paragraph|section)') THEN 'text'
+              ELSE 'general' END AS intent
+            FROM (SELECT doc_id, substr(lower(text), 1, 40) AS q FROM documents) t
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val q = substring(lower(col("text")), 1, 40)
+      documents(s, d)
+        .select(col("doc_id"),
+          when(q.rlike("(table|column|row)"), "table")
+            .when(q.rlike("(image|figure|chart)"), "image")
+            .when(q.rlike("(text|paragraph|section)"), "text")
+            .otherwise("general").as("intent"))
+        .orderBy("doc_id")
+    })
+
+  /** F20: metadata scalarization — struct → JSON string. */
+  val f20ToJson = Q("f20_to_json",
+    Some("""SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS meta
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("meta"))
+      .orderBy("doc_id"))
+
+  /** S4: schema'd JSON parse (from_json) with backfill coalesce. */
+  val s4FromJson = Q("s4_json_schema_read",
+    Some("""SELECT event_id, coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k,
+              coalesce(CAST(json_extract(props, '$.missing') AS VARCHAR), 'default') AS missing
+            FROM events ORDER BY event_id"""),
+    (s, d) => {
+      val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("missing", org.apache.spark.sql.types.StringType))))
+      events(s, d)
+        .select(col("event_id"),
+          coalesce(parsed.getField("k"), lit(-1L)).as("k"),
+          coalesce(parsed.getField("missing"), lit("default")).as("missing"))
+        .orderBy("event_id")
+    })
+
+  /** U1: three-way unionByName of per-modality chunk frames. */
+  val u1Union3 = Q("u1_union_three_sources",
+    Some("""SELECT chunk_source, count(*) AS n FROM (
+              SELECT 'text' AS chunk_source, CAST(doc_id AS VARCHAR) AS id FROM documents
+              UNION ALL SELECT 'table', CAST(p_partkey AS VARCHAR) FROM part
+              UNION ALL SELECT 'image', CAST(s_suppkey AS VARCHAR) FROM supplier) t
+            GROUP BY chunk_source ORDER BY chunk_source"""),
+    (s, d) => {
+      val t1 = documents(s, d).select(lit("text").as("chunk_source"), col("doc_id").cast("string").as("id"))
+      val t2 = part(s, d).select(lit("table").as("chunk_source"), col("p_partkey").cast("string").as("id"))
+      val t3 = supplier(s, d).select(lit("image").as("chunk_source"), col("s_suppkey").cast("string").as("id"))
+      t1.unionByName(t2).unionByName(t3)
+        .groupBy("chunk_source").agg(count(lit(1)).as("n"))
+        .orderBy("chunk_source")
+    })
+
+  /** T5: capped sorted sets (slice of sort_array of collect_set). */
+  val t5Caps = Q("t5_capped_sets",
+    Some("""SELECT user_id,
+              list_aggregate(list_transform(
+                list_slice(list_sort(list_distinct(list(CAST(CAST(ts AS DATE) AS VARCHAR)))), 1, 5),
+                x -> x), 'string_agg', ',') AS first_days
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => events(s, d)
+      .groupBy("user_id")
+      .agg(concat_ws(",", slice(sort_array(collect_set(col("ts").cast("date").cast("string"))), 1, 5)).as("first_days"))
+      .orderBy("user_id"))
+
+  /** Date functions: truncation, extraction, iso weekday. */
+  val dt1Dates = Q("dt1_date_functions",
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              isodow(CAST(min(ts) AS DATE)) AS iso_dow, count(*) AS n,
+              min(CAST(date_trunc('hour', ts) = date_trunc('day', ts) AS INT)) AS any_midnight
+            FROM events GROUP BY day ORDER BY day"""),
+    (s, d) => events(s, d)
+      .withColumn("day", col("ts").cast("date").cast("string"))
+      .groupBy("day")
+      .agg((weekday(min(col("ts")).cast("date")) + 1).cast("long").as("iso_dow"),
+        count(lit(1)).as("n"),
+        min((date_trunc("hour", col("ts")) === date_trunc("day", col("ts"))).cast("int")).as("any_midnight"))
+      .select("day", "iso_dow", "n", "any_midnight")
+      .orderBy("day"))
+
+  /** A3: per-key ordered collect_list rollup, serialized. */
+  val a3Collect = Q("a3_collect_rollup",
+    Some("""SELECT o_custkey, list_aggregate(list(o_orderstatus ORDER BY o_orderkey), 'string_agg', '') AS statuses
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    (s, d) => orders(s, d)
+      .groupBy("o_custkey")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))))
+        .getField("v")).as("statuses"))
+      .orderBy("o_custkey"))
+
+  /** A5: merged-group metadata union — ordered concat + envelope + tag set. */
+  val a5MergeGroups = Q("a5_merge_metadata",
+    Some("""SELECT user_id,
+              list_aggregate(list(event_type ORDER BY ts, event_id), 'string_agg', chr(10)) AS content,
+              list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',') AS tags,
+              round(min(value), 2) AS x0, round(max(value), 2) AS x1, count(*) AS n_parts
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      val df = events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Merge.mergeGroups(df, Seq(col("user_id")),
+          struct(col("ts_us"), col("event_id")), col("event_type"),
+          array(col("event_type")), col("value"), col("value"), col("value"), col("value"))
+        .select(col("user_id"), col("content"),
+          concat_ws(",", sort_array(col("tags"))).as("tags"),
+          round(col("x0"), 2).as("x0"), round(col("x1"), 2).as("x1"), col("n_parts"))
+        .orderBy("user_id")
+    })
+
+  /** A6: chunk metadata rollup (capped page set, type set, char count). */
+  val a6ChunkRollup = Q("a6_chunk_rollup",
+    Some("""SELECT source AS chunk_key, min(doc_id % 10) AS page,
+              list_aggregate(list_transform(list_slice(list_sort(list_distinct(list(doc_id % 10))), 1, 10),
+                x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS pages,
+              list_aggregate(list_sort(list_distinct(list(lang))), 'string_agg', ',') AS block_types,
+              sum(length(text)) AS n_chars, count(*) AS n_blocks
+            FROM documents GROUP BY source ORDER BY chunk_key"""),
+    (s, d) => Chunking.chunkRollup(
+        documents(s, d).withColumn("page", col("doc_id") % 10),
+        Seq(col("source")), col("page"), col("lang"), col("text"))
+      .select(col("source").as("chunk_key"), col("page"),
+        concat_ws(",", transform(col("pages"), _.cast("string"))).as("pages"),
+        concat_ws(",", col("block_types")).as("block_types"),
+        col("n_chars"), col("n_blocks"))
+      .orderBy("chunk_key"))
+
+  /** Quality scoring (prompt: text analysis) — banded blend in [0,1]. */
+  val x2Quality = Q("x2_quality_score",
+    Some("""WITH c AS (
+              SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
+                list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id, len, CAST(len(toks) AS DOUBLE) AS ntok,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len, 1.0) AS alpha_ratio,
+                CAST(len(list_filter(toks, t -> list_contains(['the', 'a', 'of', 'and'], t))) AS DOUBLE) AS sw_hits
+              FROM c)
+            SELECT doc_id, round(
+              (CASE WHEN len >= 200 AND len <= 5000 THEN 1.0 WHEN len >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+              + alpha_ratio * 0.3
+              + least(sw_hits / greatest(ntok, 1.0) * 3.0, 1.0) * 0.2
+              + (CASE WHEN (len - ntok + 1.0) / greatest(ntok, 1.0) >= 3
+                       AND (len - ntok + 1.0) / greatest(ntok, 1.0) <= 10 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+            FROM m ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      .orderBy("doc_id"))
+
+  def all: Seq[Q] = Seq(f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
+    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
+    t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality)
+}

@@ -205,6 +205,38 @@ object VectorQueries extends QuerySet {
         when(length(col("text")) > 300, "large").otherwise("small").as("size_class"))
       .orderBy("doc_id"))
 
-  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, d5EmbedDup, d1Exact, d2MinHash,
+  /** V2 scale path: SRP-LSH bucketed top-k. The oracle SQL is generated
+    * from the same deterministic hyperplanes (seed 42) the Spark side uses,
+    * baked in as literals — both engines compute identical bucket ids, so
+    * the candidate set (and thus the exact re-ranking) matches. */
+  val v3LshTopK: Q = {
+    val dim = 64; val bits = 6
+    val planes: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(42)
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    }
+    def planeSql(p: Seq[Double]) = p.map(v => f"$v%.17g").mkString("[", ",", "]")
+    val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    Q("v3_lsh_topk",
+      Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+               SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+               FROM b, q WHERE b.bucket = q.qb
+               ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val qVec = transform(col("qv"), x => x.cast("double"))
+        val bucketed = emb.crossJoin(broadcast(q))
+          .withColumn("bucket", Search.srpBucket(col("embedding"), dim, bits))
+        bucketed.filter(col("bucket") === Search.srpBucket(qVec, dim, bits))
+          .select(col("vec_id"), round(Embed.dot(col("embedding"), qVec), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
+  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, x4Fingerprint, m1Binary)
 }

@@ -139,6 +139,32 @@ object WindowQueries extends QuerySet {
         col("event_type") === "error", "user_has_error")
       .select("event_id", "user_id", "user_has_error").orderBy("event_id"))
 
-  def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w5Split, w6Budget,
-    a1Median, a9Argmax, f17AnyFlag)
+  /** W4 (exact): stateful chunk scan — the running char budget resets at
+    * each break, matching the reference's loop exactly. Spark side is
+    * `groupByKey(source).flatMapGroups` (one doc-stream per group, fully
+    * distributed); the oracle replays the same recursion as a recursive CTE. */
+  val w4Exact = Q("w4_chunk_exact",
+    Some("""WITH RECURSIVE base AS (
+              SELECT source, doc_id, n_chars, (lang = 'en') AS brk,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents),
+            scan AS (
+              SELECT source, rn, doc_id,
+                CASE WHEN brk OR n_chars > 1200 THEN 1 ELSE 0 END AS chunk,
+                CAST(n_chars AS BIGINT) AS run
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.source, b.rn, b.doc_id,
+                s.chunk + CASE WHEN b.brk OR s.run + b.n_chars > 1200 THEN 1 ELSE 0 END,
+                CASE WHEN b.brk OR s.run + b.n_chars > 1200 THEN b.n_chars ELSE s.run + b.n_chars END
+              FROM scan s JOIN base b ON b.source = s.source AND b.rn = s.rn + 1)
+            SELECT source, doc_id, CAST(chunk AS BIGINT) AS chunk_id
+            FROM scan ORDER BY source, doc_id"""),
+    (s, d) => Chunking.chunkIdExact(
+        documents(s, d).withColumn("brk", col("lang") === "en"),
+        "source", "doc_id", "n_chars", "brk", maxChars = 1200)
+      .orderBy("source", "doc_id"))
+
+  def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
+    w6Budget, a1Median, a9Argmax, f17AnyFlag)
 }

@@ -1,0 +1,86 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingestion (SURVEY.md §2.10, ref upload→ingest loop
+  * `backend/main.py:233-332` made Spark-native).
+  *
+  * Batch/streaming parity by construction: every transform here is a
+  * `DataFrame => DataFrame` function that the batch queries also use — the
+  * streaming driver just binds them to `readStream`/`writeStream`. The
+  * ref's subprocess-per-uploaded-file loop becomes a file-source micro-batch
+  * with `foreachBatch` running the identical batch pipeline.
+  *
+  * Scale: the file source lists incrementally (maxFilesPerTrigger bounds a
+  * batch); state stores (dedup, windows) are keyed by (id) / (window) and
+  * pruned by watermark, so state size is bounded by the watermark horizon,
+  * not the stream length.
+  */
+object Ingest {
+
+  /** S8: landing-directory file source → the same batch operators via
+    * foreachBatch. `process` is the batch pipeline (e.g. clean→chunk→index). */
+  def fileIngest(spark: SparkSession, landingDir: String, schema: StructType,
+                 process: DataFrame => DataFrame,
+                 sink: (DataFrame, Long) => Unit,
+                 maxFilesPerTrigger: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) => sink(process(batch), id) }
+  }
+
+  /** Event-time tumbling/sliding window aggregate with watermark — the
+    * streaming form of `StreamingQueries.st1/st2`. */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     windowLen: String, slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None    => window(col(tsCol), windowLen)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Streaming dedup within the watermark horizon — the incremental form of
+    * `StreamingQueries.st3` (first event per key wins; late duplicates
+    * beyond the watermark are dropped by state expiry, which is the
+    * documented approximation at scale). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Stateful sessionization with `flatMapGroupsWithState`-style semantics
+    * via the built-in session window — the streaming form of
+    * `WindowQueries.w2Session`. */
+  def sessionWindows(events: DataFrame, tsCol: String, watermark: String,
+                     gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("session_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** S7: append-mode QA-log sink (JSONL in the ref → parquet append here). */
+  def appendLogSink(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+}

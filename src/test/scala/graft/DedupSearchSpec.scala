@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.index.{Embed, Search}
+
+class DedupSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHash+LSH surfaces planted near-duplicates, not unrelated docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about spark sql window functions and joins"),
+      (4L, "yet another unrelated document mentioning vectors and embeddings only")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashDuplicates(docs, "doc_id", col("text"),
+      shingleWidth = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("SimHash fingerprints of near-identical texts are hamming-close") {
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val fps = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog every single morning"),
+      ("b", "the quick brown fox jumps over the lazy dog every single evening"),
+      ("c", "spark catalyst optimizer rewrites logical plans into physical plans")
+    ).toDF("id", "t").select(col("id"), Dedup.simHash(col("t"), 16).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hamming(fps("a"), fps("b")) <= 4)
+    assert(hamming(fps("a"), fps("c")) > hamming(fps("a"), fps("b")))
+  }
+
+  test("brute-force top-k ranks the query vector itself first") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val top = Search.bruteForceTopK(emb.crossJoin(broadcast(q)), "embedding", "vec_id",
+      transform(col("qv"), x => x.cast("double")), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head == 7L)
+  }
+
+  test("LSH top-k returns the query's bucket-mates ranked exactly; query first") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val top = Search.lshTopK(emb.crossJoin(broadcast(q)), "embedding", "vec_id",
+      transform(col("qv"), x => x.cast("double")), dim = 64, bits = 6, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.nonEmpty && top.head == 7L)
+  }
+
+  test("exact dedup keeps first-seen row per normalized content") {
+    val df = Seq((1L, "Same  Text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val kept = Dedup.exact(df, lower(col("t")), col("id")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("embedding cosine of identical vectors is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))).toDF("a", "b")
+    val c = df.select(Embed.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

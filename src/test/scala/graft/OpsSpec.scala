@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1 normalizeText strips control chars, collapses space, caps blank lines; idempotent") {
+    val raw = "a b\u200B  c\t d \n\n\n\n e f"
+    val df = Seq(raw).toDF("t").select(Cleaning.normalizeText(col("t")).as("n"))
+    val once = df.collect()(0).getString(0)
+    assert(once == "a b c d\n\ne f")
+    val twice = Seq(once).toDF("t").select(Cleaning.normalizeText(col("t")).as("n")).collect()(0).getString(0)
+    assert(twice == once, "normalization must be idempotent")
+  }
+
+  test("P2 isNoise flags page numbers and punct-only blocks") {
+    val df = Seq("- 12 -", "***", "k", "real content here").toDF("t")
+      .select(col("t"), Cleaning.isNoise(col("t")).as("noise"))
+    val m = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(m("- 12 -") && m("***") && m("k") && !m("real content here"))
+  }
+
+  test("F10 parseMoney handles commas, currency, accounting negatives") {
+    val df = Seq("$1,234.56", "(789.10)", "฿55 บาท", "12.5", "junk").toDF("t")
+      .select(Cleaning.parseMoney(col("t")).as("v"))
+    val vs = df.collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(vs(0).contains(1234.56) && vs(1).contains(-789.10) && vs(2).contains(55.0) && vs(3).contains(12.5) && vs(4).isEmpty)
+  }
+
+  test("P3 dehyphenateThai joins Thai across line breaks, keeps Latin breaks") {
+    val out = Seq("กา\nรา and eng\nlish ......").toDF("t")
+      .select(Cleaning.dehyphenateThai(col("t")).as("n")).collect()(0).getString(0)
+    assert(out == "การา and eng lish")
+  }
+
+  test("P5 cleanRows pads ragged rows to max width and drops empty rows") {
+    val df = Seq(
+      (1, Seq(Seq(" a ", "b"), Seq("c"), Seq("", " ")))
+    ).toDF("id", "rows").select(TableOps.cleanRows(col("rows")).as("r"))
+    val r = df.collect()(0).getSeq[Seq[String]](0)
+    assert(r == Seq(Seq("a", "b"), Seq("c", "")))
+  }
+
+  test("W4 chunkIdExact resets budget at breaks; approx differs only on reset semantics") {
+    val rows = Seq(
+      ("d1", 1L, 500L, false), ("d1", 2L, 500L, false), ("d1", 3L, 500L, false),
+      ("d1", 4L, 100L, true), ("d1", 5L, 1300L, false))
+    val df = rows.toDF("k", "ord", "len", "brk")
+    val exact = Chunking.chunkIdExact(df, "k", "ord", "len", "brk", 1200)
+      .orderBy("ord").collect().map(_.getLong(2)).toSeq
+    // 500, 500(=1000), 500(overflow→1), 100(brk→2), 1300(overflow→3)
+    assert(exact == Seq(0L, 0L, 1L, 2L, 3L))
+  }
+
+  test("J1 preferPrimary keeps secondary rows only for missing keys") {
+    val p = Seq((1, "p"), (2, "p")).toDF("k", "src")
+    val s = Seq((2, "s"), (3, "s")).toDF("k", "src")
+    val out = TableOps.preferPrimary(p, s, Seq("k")).orderBy("k", "src")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "p"), (2, "p"), (3, "s")))
+  }
+
+  test("F11 canonicalizeHeader first-match-wins with default") {
+    val out = Seq("Total Amount (THB)", "วันที่ date", "whatever").toDF("h")
+      .select(TableOps.canonicalizeHeader(col("h"), Seq("amount" -> "amount", "date" -> "date")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("amount", "date", "other"))
+  }
+
+  test("TextAnalysis languageId picks profile with most marker hits") {
+    val profiles = Seq("en" -> Seq("the", "and", "of"), "de" -> Seq("der", "und", "das"))
+    val out = Seq("the cat and the dog", "der hund und das haus", "xyz").toDF("t")
+      .select(TextAnalysis.languageId(col("t"), profiles).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.udf.{EchoStage, ModelStage}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ModelStage.applyStage batches per partition and applies fallback on empty") {
+    object UpperOrEmpty extends ModelStage {
+      def transformBatch(in: Iterator[String]): Iterator[String] =
+        in.map(s => if (s.startsWith("skip")) "" else s.toUpperCase)
+    }
+    val df = Seq("hello", "skip me", "world").toDF("t")
+    val out = ModelStage.applyStage(df, "t", "label", UpperOrEmpty, lit("FALLBACK"))
+      .orderBy("t").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("HELLO", "FALLBACK", "WORLD"))
+  }
+
+  test("Multimodal: binary payload + metadata + stubbed feature extraction") {
+    val docs = graft.tables.TestTables.documents(spark, sf).limit(20)
+    val media = Multimodal.asMediaColumn(docs, "text", "image/fake")
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubExtractor)
+    val row = feats.select(col("media_meta.n_bytes"), col("features")).collect()(0)
+    assert(row.getLong(0) > 0)
+    val f = row.getSeq[Float](1)
+    assert(f.length == 4 && f(0) == row.getLong(0).toFloat)
+  }
+
+  test("Multimodal.sampleFrames explodes k evenly spaced offsets") {
+    val docs = graft.tables.TestTables.documents(spark, sf).limit(3)
+    val media = Multimodal.asMediaColumn(docs, "text", "video/fake")
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 12)
+    assert(frames.filter(col("frame_idx") >= col("media_meta.n_bytes")).count() == 0)
+  }
+
+  test("Validator passes clean testdata and counts planted violations") {
+    val report = graft.eval.Validator.validateAll(spark, sf)
+    val errs = report.filter(col("severity") === "error" && col("n_violations") > 0).count()
+    assert(errs == 0, "testdata should be referentially clean")
+    // planted violation check
+    val dirty = Seq((1L, ""), (1L, "x")).toDF("doc_id", "text")
+    assert(graft.eval.Validator.duplicateIds(dirty, "doc_id") == 1)
+    assert(graft.eval.Validator.missingRequired(dirty, Seq("text")) == 1)
+  }
+
+  test("Eval deterministic judge scores containment > partial > miss, rolls up by level") {
+    val qs = Seq(
+      ("easy", "q1", "the answer is forty two", "forty two"),
+      ("easy", "q2", "partial overlap of some tokens", "overlap tokens only half"),
+      ("hard", "q3", "nothing relevant here", "completely absent words")
+    ).toDF("level", "q", "answer", "truth")
+    val (judged, summary) = graft.eval.Eval.run(qs, identity)
+    val scores = judged.orderBy("q").collect().map(_.getAs[Int]("score")).toSeq
+    assert(scores == Seq(5, 3, 1))
+    val grades = summary.collect().map(r => r.getAs[String]("level") -> r.getAs[String]("grade")).toMap
+    assert(grades("easy") == "Excellent" && grades("hard") == "Poor")
+  }
+
+  test("query catalog: every oracle key has a query; entry returns rows") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+    assert(qk.size >= 80)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stream.Ingest
+
+/** Batch/streaming parity: the streaming operators over the events table
+  * (replayed as a file stream) must match their batch counterparts. */
+class StreamingSpec extends SparkSpec {
+
+  private def streamEvents = {
+    // re-materialize events (µs timestamps) as a parquet dir usable as a file source
+    val dir = "/tmp/graft_stream_src"
+    val batch = graft.tables.TestTables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(dir)
+    val schema = batch.schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String, mode: String) = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("streaming windowed counts equal batch window aggregation") {
+    // complete mode: append only emits watermark-closed windows, and a single
+    // AvailableNow replay never advances the watermark past the tail
+    val streamed = runToMemory(
+      Ingest.windowedCounts(streamEvents, "ts", "30 minutes", "10 minutes"), "win_out", "complete")
+      .select(col("window_start"), col("event_type"), col("n"))
+    val batch = graft.tables.TestTables.events(spark, sf)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup equals batch first-per-key (within watermark)") {
+    val streamed = runToMemory(
+      Ingest.dedupWithinWatermark(streamEvents, "ts", "2 hours", Seq("user_id", "event_type")),
+      "dedup_out", "append")
+    val batchCount = graft.tables.TestTables.events(spark, sf)
+      .dropDuplicates(Seq("user_id", "event_type", "ts")).count()
+    assert(streamed.count() == batchCount)
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val streamed = runToMemory(
+      Ingest.sessionWindows(streamEvents, "ts", "2 hours", "30 minutes"), "sess_out", "append")
+    assert(streamed.count() > 0)
+    assert(streamed.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
+    val dir = "/tmp/graft_stream_src"
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val schema = graft.tables.TestTables.events(spark, sf).schema
+    val writer = Ingest.fileIngest(spark, dir, schema,
+      process = df => df.filter(col("event_type") === "purchase"),
+      sink = (batch, _) => seen.addAndGet(batch.count()))
+    val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val expected = graft.tables.TestTables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(seen.get() == expected)
+  }
+}
