@@ -56,11 +56,16 @@ object Search {
     * (label/band) — self-join inside blocks only, never a full cross join. */
   def nearDuplicatePairs(index: DataFrame, vecCol: String, idCol: String, blockCol: String,
                          threshold: Double): DataFrame = {
-    val a = index.select(col(blockCol).as("b"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = index.select(col(blockCol).as("b"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("b"))
+    // norms once per row (O(N·d)), not once per pair (O(N²·d)): cosine over
+    // the pair join then only costs the dot product
+    val withNorm = index.select(col(blockCol).as("b"), col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val a = withNorm.select(col("b"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val bb = withNorm.select(col("b"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(bb, Seq("b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Embed.cosine(col("va"), col("vb")))
+      .withColumn("cos", when(col("na") > 0 && col("nb") > 0,
+        Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0)))
       .filter(col("cos") >= threshold)
       .select(col("b"), col("id_a"), col("id_b"), col("cos"))
   }

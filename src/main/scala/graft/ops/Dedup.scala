@@ -66,9 +66,13 @@ object Dedup {
   def minHashDuplicates(df: DataFrame, idCol: String, text: Column,
                         shingleWidth: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
+    // cache: the signature computation (numHashes × md5 per shingle) is the
+    // dominant cost and feeds both sides of the self-join — without the
+    // cache it runs twice
     val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
       .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
+      .cache()
     val a = base.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band"))

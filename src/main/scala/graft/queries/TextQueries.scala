@@ -49,6 +49,18 @@ object TextQueries extends QuerySet {
       .filter(!Cleaning.isNoise(col("content")))
       .select("doc_id").orderBy("doc_id"))
 
+  /** P8: metadata filters — the ref's native-where vs python-refilter dual
+    * path collapses to one Catalyst `isin` predicate (pushed to parquet). */
+  val p8Metadata = Q("p8_metadata_filter",
+    Some("""SELECT doc_id, lang, source FROM documents
+            WHERE lang IN ('en', 'de') AND source IN ('src1', 'src3', 'src5') AND n_chars >= 100
+            ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .filter(col("lang").isin("en", "de") && col("source").isin("src1", "src3", "src5")
+        && col("n_chars") >= 100)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id"))
+
   /** P9: doc_id sanitization. */
   val p9Sanitize = Q("p9_docid_sanitize",
     Some("""SELECT doc_id,
@@ -242,7 +254,7 @@ object TextQueries extends QuerySet {
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id"))
 
-  def all: Seq[Q] = Seq(p1Normalize, p2Noise, p9Sanitize, f16Classify, a7Intent,
+  def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword)
 }
