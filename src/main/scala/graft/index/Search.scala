@@ -52,6 +52,28 @@ object Search {
     bruteForceTopK(candidates.drop("bucket"), vecCol, idCol, query, k)
   }
 
+  /** IVF-style partitioned ANN: assign every vector to its nearest
+    * centroid (argmin over `centroids`, a small broadcastable list), then
+    * restrict the exact search to the query's cell. At scale the index is
+    * written `partitionBy(cell)` so a query reads one partition; `nprobe`
+    * generalizes to scanning the n nearest cells. */
+  def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cv = array(c.map(lit): _*)
+      val d2 = aggregate(zip_with(vec, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(i).as("cell"))
+    }
+    element_at(sort_array(array(scored: _*)), 1).getField("cell")
+  }
+
+  def ivfTopK(index: DataFrame, vecCol: String, idCol: String, query: Column,
+              centroids: Seq[Seq[Double]], k: Int): DataFrame = {
+    val celled = index.withColumn("cell", ivfCell(col(vecCol), centroids))
+    val qCell = ivfCell(query, centroids)
+    bruteForceTopK(celled.filter(col("cell") === qCell).drop("cell"), vecCol, idCol, query, k)
+  }
+
   /** All-pairs near-duplicate by cosine ≥ threshold within a blocking key
     * (label/band) — self-join inside blocks only, never a full cross join. */
   def nearDuplicatePairs(index: DataFrame, vecCol: String, idCol: String, blockCol: String,

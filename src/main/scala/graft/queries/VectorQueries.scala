@@ -237,6 +237,54 @@ object VectorQueries extends QuerySet {
       })
   }
 
-  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, d5EmbedDup, d1Exact, d2MinHash,
+  /** V2 scale path #2: IVF-partitioned ANN — nearest-centroid cell
+    * assignment, exact search restricted to the query's cell. Oracle SQL is
+    * generated from the same seeded centroids; argmin tie-break (lower cell
+    * id) is mirrored by the CASE/least chain. */
+  val v4IvfTopK: Q = {
+    val dim = 64; val nCells = 4
+    val centroids: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(7)
+      Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
+    }
+    def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+    def d2Sql(c: Seq[Double]) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i]::DOUBLE - (${cSql(c)})[i]) * (e[i]::DOUBLE - (${cSql(c)})[i])))"
+    val dCols = centroids.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(", ")
+    val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
+                          WHEN d1 <= least(d2, d3) THEN 1
+                          WHEN d2 <= d3 THEN 2 ELSE 3 END"""
+    Q("v4_ivf_topk",
+      Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
+               c AS (SELECT vec_id, e, $cellSql AS cell FROM d),
+               q AS (SELECT e AS qv, cell AS qcell FROM c WHERE vec_id = 0)
+               SELECT vec_id, round(list_dot_product(CAST(e AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+               FROM c, q WHERE c.cell = q.qcell
+               ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val qVec = transform(col("qv"), x => x.cast("double"))
+        val celled = emb.crossJoin(broadcast(q))
+          .withColumn("cell", Search.ivfCell(col("embedding"), centroids))
+        celled.filter(col("cell") === Search.ivfCell(qVec, centroids))
+          .select(col("vec_id"), round(Embed.dot(col("embedding"), qVec), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
+  /** 100 TB distinct-count path: HLL sketch (approx_count_distinct).
+    * Engine sketches differ, so no cross-engine oracle — the driver's
+    * rows-only check applies; exactness is asserted in ScalaTest against
+    * the exact count within HLL error bounds. */
+  val a12Approx = Q("a12_approx_distinct", None,
+    (s, d) => documents(s, d)
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("source")).as("approx_sources"),
+        approx_count_distinct(col("doc_id"), 0.02).as("approx_docs"))
+      .orderBy("lang"))
+
+  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, a12Approx,
+    d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, x4Fingerprint, m1Binary)
 }
