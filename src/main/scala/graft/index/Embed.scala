@@ -19,10 +19,14 @@ object Embed {
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Fixed-vocabulary count vector: v[i] = occurrences of vocab(i). The
-    * deterministic analog of a bag-of-words embedding (array<double>). */
+    * deterministic analog of a bag-of-words embedding (array<double>).
+    * Single fold over the tokens — a per-vocab-word filter would re-split
+    * the text once per vocabulary entry. */
   def vocabVector(text: Column, vocab: Seq[String]): Column = {
     val toks = tokens(text)
-    array(vocab.map(wd => size(filter(toks, t => t === wd)).cast("double")): _*)
+    val vocabArr = array(vocab.map(lit): _*)
+    aggregate(toks, array_repeat(lit(0.0), vocab.size), (acc, t) =>
+      zip_with(acc, transform(vocabArr, w => when(t === w, 1.0).otherwise(0.0)), (a, b) => a + b))
   }
 
   /** Hashing-TF vector of dimension `dim` using Spark's murmur3 `hash`. */

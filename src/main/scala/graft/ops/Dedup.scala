@@ -43,12 +43,21 @@ object Dedup {
       .otherwise(array(text)))
   }
 
-  /** MinHash signature: one value per seed, sig_i = min over shingles of
-    * md5(shingle + "#" + i). Lexicographic min over md5 hex is a uniform
-    * permutation-min — engine-portable (no murmur dependence). */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
+  /** md5 per shingle — materialize this as its own column (one pass) and
+    * feed it to `minHashSignature`; inlining it there would recompute the
+    * digests once per permutation. */
+  def shingleHashes(shingles: Column): Column = transform(shingles, s => md5(s))
+
+  /** MinHash signature from pre-computed shingle digests: permutation i is
+    * the lexicographic order of the hex string rotated by r(i) characters —
+    * one digest per shingle total, and each permutation-min is a cheap
+    * string-slice scan. Engine-portable (md5 + substring only). */
+  def rotationOffset(i: Int): Int = (i * 7) % 31 + 1
+
+  def minHashSignature(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => md5(concat(s, lit(s"#$i")))))
+      val r = rotationOffset(i)
+      array_min(transform(hashes, h => concat(substring(h, r + 1, 32 - r), substring(h, 1, r))))
     }: _*)
 
   /** LSH band keys: split the signature into bands of `rowsPerBand`, hash
@@ -66,11 +75,14 @@ object Dedup {
   def minHashDuplicates(df: DataFrame, idCol: String, text: Column,
                         shingleWidth: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
-    // cache: the signature computation (numHashes × md5 per shingle) is the
-    // dominant cost and feeds both sides of the self-join — without the
-    // cache it runs twice
+    // cache: the signature computation is the dominant cost and feeds both
+    // sides of the self-join — without the cache it runs twice. Shingles
+    // and digests are separate projections so each is evaluated once
+    // (CollapseProject keeps non-cheap expressions at their boundary).
     val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("sig", minHashSignature(col("hs"), numHashes))
+      .drop("hs")
       .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
       .cache()
     val a = base.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -91,12 +103,16 @@ object Dedup {
   def simHash(text: Column, bits: Int = 16): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
     val hashes = transform(toks, t => md5(t))
-    val bitCols = (1 to bits).map { j =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(substring(h, j, 1).rlike("[89a-f]"), 1).otherwise(-1))
-      when(votes >= 0, "1").otherwise("0")
-    }
-    concat(bitCols: _*)
+    // single fold with a `bits`-wide counter array: the digest `h` is a
+    // bound lambda value, so md5 runs once per token (a per-bit aggregate
+    // would re-hash every token for every bit)
+    val zero = array_repeat(lit(0), bits)
+    val votes = aggregate(hashes, zero, (acc, h) =>
+      zip_with(acc,
+        transform(sequence(lit(1), lit(bits)),
+          j => when(substring(h, j, lit(1)).rlike("[89a-f]"), 1).otherwise(-1)),
+        (a, b) => a + b))
+    concat_ws("", transform(votes, v => when(v >= 0, "1").otherwise("0")))
   }
 
   /** n-gram Jaccard similarity between two texts. */

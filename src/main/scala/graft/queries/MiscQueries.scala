@@ -311,7 +311,30 @@ object MiscQueries extends QuerySet {
         TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
       .orderBy("doc_id"))
 
+  /** §3.2 end-to-end: the full ask pipeline (metadata filter → score →
+    * over-fetch top-k → relevance filter → final top-k) via `query.Ask`.
+    * Scores take discrete sigmoid values, so ordering ties break on doc_id
+    * identically in both engines. */
+  val ask1Pipeline = Q("ask1_pipeline",
+    Some("""WITH scored AS (
+              SELECT doc_id,
+                1.0 / (1.0 + exp(-((CASE WHEN contains(lower(text), 'spark') THEN 1.0 ELSE 0.0 END) +
+                                   (CASE WHEN contains(lower(text), 'join') THEN 1.0 ELSE 0.0 END) +
+                                   (CASE WHEN contains(lower(text), 'stream') THEN 1.0 ELSE 0.0 END) +
+                                   (CASE WHEN contains(lower(text), 'spark join stream') THEN 3.0 ELSE 0.0 END)))) AS score,
+                len(list_intersect(
+                  list_distinct(string_split_regex('spark join stream', '\s+')),
+                  list_distinct(string_split_regex(lower(text), '\s+')))) AS overlap
+              FROM documents),
+            fetched AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15)
+            SELECT doc_id, round(score, 6) AS score FROM fetched
+            WHERE score >= 0.25 AND (overlap >= 1 OR score >= 0.75)
+            ORDER BY score DESC, doc_id LIMIT 5"""),
+    (s, d) => graft.query.Ask.ask(documents(s, d), "doc_id", "text", "spark join stream",
+        graft.query.Ask.AskConfig(topK = 5, stopwords = Seq("zzzz")))
+      .select(col("doc_id"), round(col("score"), 6).as("score")))
+
   def all: Seq[Q] = Seq(f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
-    t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality)
+    t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality, ask1Pipeline)
 }

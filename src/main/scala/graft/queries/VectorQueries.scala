@@ -34,11 +34,14 @@ object VectorQueries extends QuerySet {
               x -> CAST(round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 6) AS VARCHAR)), 'string_agg', ',') AS embedding
             FROM n ORDER BY doc_id"""),
     (s, d) => {
-      val vec = Embed.l2Normalize(Embed.vocabVector(col("text"),
-        Seq("spark", "join", "stream", "hash", "sort", "vector")))
+      // vec materialized as its own projection: l2Normalize references it
+      // twice (norm + scale), which would otherwise recompute the fold
       documents(s, d)
+        .withColumn("vec", Embed.vocabVector(col("text"),
+          Seq("spark", "join", "stream", "hash", "sort", "vector")))
         .select(col("doc_id"),
-          concat_ws(",", transform(vec, x => round(x, 6).cast("string"))).as("embedding"))
+          concat_ws(",", transform(Embed.l2Normalize(col("vec")),
+            x => round(x, 6).cast("string"))).as("embedding"))
         .orderBy("doc_id")
     })
 
@@ -76,8 +79,8 @@ object VectorQueries extends QuerySet {
     (s, d) => Dedup.exact(documents(s, d), col("text"), col("doc_id"))
       .select("doc_id", "source").orderBy("doc_id"))
 
-  /** MinHash signature (first 4 permutations, serialized) — the md5-min
-    * construction is engine-portable. */
+  /** MinHash signature (4 rotation-permutations of one md5 per shingle,
+    * serialized) — engine-portable, one digest pass. */
   val d2MinHash = Q("d2_minhash_signature",
     Some("""WITH t AS (
               SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
@@ -87,18 +90,22 @@ object VectorQueries extends QuerySet {
                 THEN list_distinct(list_transform(range(1, len(toks) - 1),
                      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
-              FROM t)
+              FROM t),
+            hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh)
             SELECT doc_id,
-              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#0'))), 'min') AS h0,
-              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#1'))), 'min') AS h1,
-              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#2'))), 'min') AS h2,
-              list_aggregate(list_transform(shingles, s -> md5(concat(s, '#3'))), 'min') AS h3
-            FROM sh ORDER BY doc_id"""),
+              list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min') AS h0,
+              list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min') AS h1,
+              list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min') AS h2,
+              list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min') AS h3
+            FROM hs ORDER BY doc_id"""),
     (s, d) => {
-      val sig = Dedup.minHashSignature(Dedup.wordShingles(col("text"), 3), 4)
-      documents(s, d).select(col("doc_id"),
-        element_at(sig, 1).as("h0"), element_at(sig, 2).as("h1"),
-        element_at(sig, 3).as("h2"), element_at(sig, 4).as("h3"))
+      val sig = Dedup.minHashSignature(col("hs"), 4)
+      documents(s, d)
+        .withColumn("sh", Dedup.wordShingles(col("text"), 3))
+        .withColumn("hs", Dedup.shingleHashes(col("sh")))
+        .select(col("doc_id"),
+          element_at(sig, 1).as("h0"), element_at(sig, 2).as("h1"),
+          element_at(sig, 3).as("h2"), element_at(sig, 4).as("h3"))
         .orderBy("doc_id")
     })
 
@@ -114,15 +121,16 @@ object VectorQueries extends QuerySet {
                      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
               FROM t),
+            hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
             sig AS (
               SELECT doc_id, shingles, [
-                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#0'))), 'min'),
-                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#1'))), 'min'),
-                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#2'))), 'min'),
-                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#3'))), 'min'),
-                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#4'))), 'min'),
-                list_aggregate(list_transform(shingles, s -> md5(concat(s, '#5'))), 'min')] AS sg
-              FROM sh),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 30, 3), substr(h, 1, 29))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 6, 27), substr(h, 1, 5))), 'min')] AS sg
+              FROM hs),
             bands AS (
               SELECT doc_id, shingles, unnest([
                 concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
@@ -167,11 +175,17 @@ object VectorQueries extends QuerySet {
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a"""),
     (s, d) => {
-      val g = documents(s, d).select(col("doc_id"), lower(col("text")).as("t"))
-      val a = g.select(col("doc_id").as("id_a"), col("t").as("ta"))
-      val b = g.select(col("doc_id").as("id_b"), col("t").as("tb"))
+      // grams built once per doc before the join — computing them inside the
+      // pair expression would rebuild each doc's gram set four times
+      val g = documents(s, d)
+        .select(col("doc_id"), Dedup.charNgrams(lower(col("text")), 3).as("grams"))
+        .cache() // both sides of the shifted self-join read the gram sets
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
       a.join(b, col("id_b") === col("id_a") + 1)
-        .select(col("id_a"), col("id_b"), round(Dedup.ngramJaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
         .orderBy("id_a")
     })
 
