@@ -19,21 +19,17 @@ object SparkEntry {
   private lazy val catalog: Seq[Q] = querySets.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * End-to-end ask-pipeline slice: clean → score → threshold-filter →
-    * top-k (SURVEY §3.2 steps 3–6 as one DataFrame). */
+    * The full lifecycle in one DAG (SURVEY §3.1 + §3.2): synthesize text
+    * blocks → ingest pipeline (clean → order → sections → chunk → dedup →
+    * embed) → retrieval over the chunk index (score → filter → top-k). */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    val docs = graft.tables.TestTables.documents(spark, d)
-    val score = graft.index.Rerank.sigmoid(
-      graft.index.Rerank.keywordScore(col("text"), Seq("spark", "join", "stream"), "spark join"))
-    val overlap = graft.index.Rerank.keywordOverlap(col("text"),
-      lit("spark join stream"), Seq("the", "a"))
-    docs
-      .select(col("doc_id"), graft.ops.Cleaning.normalizeText(col("text")).as("content"),
-        score.as("score"), overlap.as("overlap"))
-      .filter(graft.index.Rerank.relevanceFilter(col("score"), col("overlap"), 0.25, 0.75))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
+    val blocks = graft.pipeline.IngestPipeline.blocksFromDocuments(spark, d)
+    val chunks = graft.pipeline.IngestPipeline.run(blocks)
+    graft.query.Ask.ask(chunks, "chunk_id", "content", "spark join stream",
+        graft.query.Ask.AskConfig(topK = 10))
+      .select(col("doc_id"), col("chunk_id"), col("section"), col("score"),
+        substring(col("content"), 1, 120).as("snippet"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
