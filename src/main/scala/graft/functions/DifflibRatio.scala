@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** difflib-compatible sequence similarity (SURVEY.md §4 custom-Expression
+  * candidate; ref `backend/services/rag.py:432-433` uses
+  * `SequenceMatcher.ratio` as the no-reranker Q&A match score).
+  *
+  * `ratio` reproduces CPython difflib's algorithm exactly for inputs under
+  * the autojunk threshold (200 chars; above it CPython starts dropping
+  * "popular" characters — we deliberately skip autojunk, which only makes
+  * long-string scores slightly more accurate): recursive longest-matching-
+  * block decomposition, M = total matched chars, ratio = 2M / (|a|+|b|).
+  *
+  * Implemented as a native `BinaryExpression` with `doGenCode` so it stays
+  * inside whole-stage codegen (a Scala UDF would break the codegen stage
+  * and add serialization per row).
+  */
+object DifflibRatio {
+
+  /** CPython difflib SequenceMatcher.find_longest_match + ratio. */
+  def ratio(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    val la = sa.length
+    val lb = sb.length
+    if (la + lb == 0) return 1.0 // difflib: ratio of two empty sequences is 1
+    // b2j: char → ascending positions in b
+    val b2j = new java.util.HashMap[Char, java.util.ArrayList[Int]]()
+    var j = 0
+    while (j < lb) {
+      val c = sb.charAt(j)
+      var l = b2j.get(c)
+      if (l == null) { l = new java.util.ArrayList[Int](); b2j.put(c, l) }
+      l.add(j)
+      j += 1
+    }
+
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      var j2len = new java.util.HashMap[Int, Int]()
+      var i = alo
+      while (i < ahi) {
+        val newj2len = new java.util.HashMap[Int, Int]()
+        val positions = b2j.get(sa.charAt(i))
+        if (positions != null) {
+          var pi = 0
+          while (pi < positions.size()) {
+            val jj = positions.get(pi)
+            if (jj >= blo) {
+              if (jj < bhi) {
+                val k = j2len.getOrDefault(jj - 1, 0) + 1
+                newj2len.put(jj, k)
+                if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
+              }
+            }
+            pi += 1
+          }
+        }
+        j2len = newj2len
+        i += 1
+      }
+      (besti, bestj, bestsize)
+    }
+
+    // matching_blocks: recursive decomposition (iterative queue, as CPython)
+    var matched = 0
+    val queue = scala.collection.mutable.Stack[(Int, Int, Int, Int)]((0, la, 0, lb))
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      val (i, jm, k) = longestMatch(alo, ahi, blo, bhi)
+      if (k > 0) {
+        matched += k
+        queue.push((alo, i, blo, jm))
+        queue.push((i + k, ahi, jm + k, bhi))
+      }
+    }
+    2.0 * matched / (la + lb)
+  }
+}
+
+case class DifflibRatioExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "difflib_ratio"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DifflibRatio.ratio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DifflibRatio.ratio($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: per-session (`register`) or cluster-wide via
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+object GraftFunctions {
+  val info = new ExpressionInfo(classOf[DifflibRatioExpr].getName, "difflib_ratio")
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "difflib_ratio", exprs => DifflibRatioExpr(exprs(0), exprs(1)), "built-in")
+
+  /** Column API without needing prior registration. */
+  def difflib_ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(
+      implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("difflib_ratio", a, b)
+  }
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("difflib_ratio"),
+      GraftFunctions.info,
+      (exprs: Seq[Expression]) => DifflibRatioExpr(exprs(0), exprs(1))))
+}

@@ -164,6 +164,19 @@ object TextQueries extends QuerySet {
           greatest(length(col("n_name")), length(col("r_name"))), 6).as("sim"))
       .orderBy("n_name", "r_name"))
 
+  /** F9 exact-parity variant: difflib SequenceMatcher.ratio as a native
+    * codegen'd Catalyst expression (graft.functions.DifflibRatioExpr).
+    * No DuckDB oracle exists for difflib semantics → rows-only check;
+    * exact parity with CPython is asserted in DifflibSpec. */
+  val f9Difflib = Q("f9b_difflib_ratio", None,
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      nation(s, d).crossJoin(broadcast(region(s, d)))
+        .selectExpr("n_name", "r_name",
+          "round(difflib_ratio(lower(n_name), lower(r_name)), 6) AS sim")
+        .orderBy("n_name", "r_name")
+    })
+
   /** F10: money parsing with currency symbols and accounting negatives —
     * strings synthesized deterministically from order totals. */
   val f10Money = Q("f10_money_parse",
@@ -255,6 +268,6 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id"))
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
-    f5Entities, f7Overlap, t2Rerank, f9Similarity, f10Money, f11Canon, f13Md5,
+    f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword)
 }
