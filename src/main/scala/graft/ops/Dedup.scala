@@ -74,30 +74,37 @@ object Dedup {
     }: _*)
   }
 
-  /** MinHash+LSH candidate pairs: explode band keys, self-join per band,
-    * then verify with exact Jaccard over the shingle sets. Returns
-    * (id_a, id_b, jaccard) with jaccard ≥ threshold. */
+  /** MinHash+LSH candidate pairs: explode band keys, self-join per band on
+    * (band, id) ONLY, dedup candidate pairs, then join the shingle sets
+    * back for exact-Jaccard verification. Two-pass shape: the wide shingle
+    * arrays never ride the band shuffle — at scale the band join moves
+    * O(N·bands) short rows and only candidates (typically ≪ N) pay the
+    * array transfer. Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. */
   def minHashDuplicates(df: DataFrame, idCol: String, text: Column,
                         shingleWidth: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
-    // cache: the signature computation is the dominant cost and feeds both
-    // sides of the self-join — without the cache it runs twice. Shingles
-    // and digests are separate projections so each is evaluated once
-    // (CollapseProject keeps non-cheap expressions at their boundary).
+    // cache: the signature computation feeds both join sides and the
+    // verification re-fetch. Shingles and digests are separate projections
+    // so each is evaluated once (CollapseProject keeps non-cheap
+    // expressions at their boundary).
     val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
       .withColumn("hs", shingleHashes(col("sh")))
       .withColumn("sig", minHashSignature(col("hs"), numHashes))
       .drop("hs")
-      .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
       .cache()
-    val a = base.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+    val bands = base.select(col("id"),
+      explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
+    val candidates = bands.select(col("band"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

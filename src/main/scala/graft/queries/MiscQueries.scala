@@ -334,7 +334,45 @@ object MiscQueries extends QuerySet {
         graft.query.Ask.AskConfig(topK = 5, stopwords = Seq("zzzz")))
       .select(col("doc_id"), round(col("score"), 6).as("score")))
 
+  /** J6/A8: the eval pipeline — golden questions → answer stage → judge
+    * stage → per-level rollup with grade banding, via `eval.Eval`. Truths
+    * are synthesized so both contained (score 5), partially-overlapping
+    * (3), and missed (1) branches fire. */
+  val j6Eval = Q("j6_eval_pipeline",
+    Some("""WITH qs AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'easy' WHEN doc_id % 3 = 1 THEN 'medium' ELSE 'hard' END AS level,
+                text AS answer,
+                CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 24)
+                     ELSE concat(substr(text, 1, 12), ' zzzq wwwx') END AS truth
+              FROM documents),
+            judged AS (
+              SELECT level,
+                CASE WHEN contains(na, nt) THEN 5
+                     WHEN 2 * len(list_filter(tt, t -> contains(na, t))) >= len(tt) THEN 3
+                     ELSE 1 END AS score
+              FROM (
+                SELECT level,
+                  lower(regexp_replace(answer, '\s+', ' ', 'g')) AS na,
+                  lower(regexp_replace(truth, '\s+', ' ', 'g')) AS nt,
+                  list_distinct(list_filter(string_split_regex(lower(regexp_replace(truth, '\s+', ' ', 'g')), ' '), t -> t <> '')) AS tt
+                FROM qs) x)
+            SELECT level, avg(score) AS avg_score, count(*) AS n,
+              CASE WHEN avg(score) >= 4 THEN 'Excellent' WHEN avg(score) >= 3.5 THEN 'Good'
+                   WHEN avg(score) >= 2.5 THEN 'Fair' ELSE 'Poor' END AS grade
+            FROM judged GROUP BY level ORDER BY level"""),
+    (s, d) => {
+      val questions = documents(s, d).select(
+        when(col("doc_id") % 3 === 0, "easy").when(col("doc_id") % 3 === 1, "medium")
+          .otherwise("hard").as("level"),
+        col("text").as("answer"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 1, 24))
+          .otherwise(concat(substring(col("text"), 1, 12), lit(" zzzq wwwx"))).as("truth"))
+      graft.eval.Eval.run(questions, identity)._2
+    })
+
   def all: Seq[Q] = Seq(f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
-    t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality, ask1Pipeline)
+    t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
+    ask1Pipeline, j6Eval)
 }

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("fileIngest runs the FULL ingest pipeline per micro-batch (S8 loop, native)") {
+    val dir = "/tmp/graft_stream_docs"
+    graft.tables.TestTables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+    val schema = graft.tables.TestTables.documents(spark, sf).schema
+    val chunkCount = new java.util.concurrent.atomic.AtomicLong(0)
+    def blocksOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "(?<=\\w) (?=batch|stream|join|table)"))
+        .as(Seq("ord0", "content")))
+      .withColumn("page", (col("ord0") / 5).cast("int"))
+      .withColumn("font_size", when(col("ord0") % 7 === 0, 18.0).otherwise(10.0))
+      .withColumn("y0", (col("ord0") % 5) * 150.0 + 60.0)
+      .withColumn("x0", lit(72.0))
+    val writer = Ingest.fileIngest(spark, dir, schema,
+      process = docs => graft.pipeline.IngestPipeline.run(blocksOf(docs)),
+      sink = (chunks, _) => chunkCount.addAndGet(chunks.count()))
+    val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batchChunks = graft.pipeline.IngestPipeline.run(
+      graft.pipeline.IngestPipeline.blocksFromDocuments(spark, sf)).count()
+    assert(chunkCount.get() == batchChunks, "streamed pipeline must equal batch pipeline")
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
