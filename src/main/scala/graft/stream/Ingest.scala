@@ -75,6 +75,31 @@ object Ingest {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming exact chunker — `flatMapGroupsWithState` carrying (chunk,
+    * runningChars) per document across micro-batches, the incremental form
+    * of `Chunking.chunkIdExact` (same reset-on-break/overflow semantics).
+    * Blocks must arrive ordered within a document (ingest order); state is
+    * two longs per in-flight doc, so memory is bounded by concurrent docs,
+    * not stream length. */
+  def chunkIdExactStream(blocks: org.apache.spark.sql.Dataset[(String, Long, Long, Boolean)],
+                         maxChars: Long): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import blocks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def advance(key: String, rows: Iterator[(String, Long, Long, Boolean)],
+                state: GroupState[(Long, Long)]): Iterator[(String, Long, Long)] = {
+      var (chunk, run) = state.getOption.getOrElse((0L, 0L))
+      val out = rows.toVector.sortBy(_._2).map { case (_, ord, len, brk) =>
+        if (brk || run + len > maxChars) { chunk += 1; run = 0L }
+        run += len
+        (key, ord, chunk)
+      }
+      state.update((chunk, run))
+      out.iterator
+    }
+    blocks.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
+  }
+
   /** S7: append-mode QA-log sink (JSONL in the ref → parquet append here). */
   def appendLogSink(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

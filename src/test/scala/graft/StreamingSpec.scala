@@ -73,6 +73,30 @@ class StreamingSpec extends SparkSpec {
     assert(chunkCount.get() == batchChunks, "streamed pipeline must equal batch pipeline")
   }
 
+  test("streaming exact chunker (flatMapGroupsWithState) matches batch chunkIdExact") {
+    import spark.implicits._
+    val rows = Seq(
+      ("d1", 1L, 500L, false), ("d1", 2L, 500L, false), ("d1", 3L, 500L, false),
+      ("d1", 4L, 100L, true), ("d1", 5L, 1300L, false),
+      ("d2", 1L, 1200L, false), ("d2", 2L, 1L, false))
+    val dir = "/tmp/graft_stream_blocks"
+    rows.toDF("k", "ord", "len", "brk").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[(String, Long, Long, Boolean)]
+    val q = Ingest.chunkIdExactStream(src, 1200)
+      .toDF("k", "ord", "chunk_id")
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("chunk_out").orderBy("k", "ord")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ops.Chunking.chunkIdExact(rows.toDF("k", "ord", "len", "brk"),
+        "k", "ord", "len", "brk", 1200)
+      .orderBy("k", "ord")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
