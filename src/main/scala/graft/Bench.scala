@@ -28,8 +28,14 @@ object Bench {
     materialize(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { materialize(fn(spark, sfDir)); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      // isolate measurements: caches built by one query must not occupy
+      // storage memory while the next runs
+      spark.catalog.clearCache()
+      // a failure is recorded as -1, never as a fast-looking elapsed time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

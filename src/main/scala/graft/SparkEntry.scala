@@ -26,7 +26,10 @@ object SparkEntry {
     val d = "/root/testdata/sf0.001"
     val blocks = graft.pipeline.IngestPipeline.blocksFromDocuments(spark, d)
     val chunks = graft.pipeline.IngestPipeline.run(blocks)
-    graft.query.Ask.ask(chunks, "chunk_id", "content", "spark join stream",
+      // chunk_id is only unique per doc — Ask's top-k tiebreak needs a
+      // globally unique id for deterministic results
+      .withColumn("uid", concat_ws("#", col("doc_id"), col("chunk_id")))
+    graft.query.Ask.ask(chunks, "uid", "content", "spark join stream",
         graft.query.Ask.AskConfig(topK = 10))
       .select(col("doc_id"), col("chunk_id"), col("section"), col("score"),
         substring(col("content"), 1, 120).as("snippet"))

@@ -36,7 +36,10 @@ object Merge {
     // parquet read; second-truncation would misclassify fractional gaps)
     val isBreak = when(prev.isNull || unix_micros(ts) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
-    islandId(df.withColumn("_brk", isBreak), partCols, ts, col("_brk"), out)
+    // the running sum must use the same (ts, tieBreak) order as the lag —
+    // ordering by ts alone makes session ids nondeterministic on tied
+    // timestamps
+    islandId(df.withColumn("_brk", isBreak), partCols, struct(ts, tieBreak), col("_brk"), out)
       .drop("_brk")
   }
 

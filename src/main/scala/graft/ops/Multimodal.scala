@@ -54,15 +54,18 @@ object Multimodal {
   /** Distributed decode/extract: per-partition batches through the
     * extractor, emitting a features array column. Partition count (and so
     * batch size) is controlled upstream via repartition. */
-  def extractFeatures(df: DataFrame, extractor: FeatureExtractor): DataFrame = {
+  def extractFeatures(df: DataFrame, extractor: FeatureExtractor, batchSize: Int = 256): DataFrame = {
     val payloadIdx = df.schema.fieldIndex("payload")
     val outSchema = df.schema.add("features", ArrayType(FloatType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // bounded batches: media payloads are large, so never hold a whole
+    // partition (let alone two copies of it) on the executor heap
     df.mapPartitions { rows =>
-      val buffered = rows.toVector
-      val feats = extractor.extractBatch(
-        buffered.iterator.map(r => r.getAs[Array[Byte]](payloadIdx))).toVector
-      buffered.iterator.zip(feats.iterator).map { case (r, f) => Row.fromSeq(r.toSeq :+ f.toSeq) }
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = extractor.extractBatch(
+          batch.iterator.map(r => r.getAs[Array[Byte]](payloadIdx))).toVector
+        batch.iterator.zip(feats.iterator).map { case (r, f) => Row.fromSeq(r.toSeq :+ f.toSeq) }
+      }
     }(enc)
   }
 

@@ -36,9 +36,10 @@ object IngestPipeline {
       .withColumn("content", Cleaning.normalizeText(col("content")))
       .filter(!Cleaning.isNoise(col("content")))
 
-    // W1: reading order within (doc, page)
+    // W1: reading order — page first, then the y-bucket (y0 recycles on
+    // every page, so bucketing by y alone would interleave pages)
     val ordered = Layout.readingOrder(cleaned, Seq(col("doc_id")),
-      floor(col("y0") / 12), col("x0"), col("ord0"))
+      struct(col("page"), floor(col("y0") / 12)), col("x0"), col("ord0"))
 
     // A1+F2: heading detection against the per-doc font median
     val withMedian = Layout.partitionMedian(ordered, Seq(col("doc_id")), col("font_size"), "font_med")

@@ -232,15 +232,15 @@ object MiscQueries extends QuerySet {
   val dt1Dates = Q("dt1_date_functions",
     Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
               isodow(CAST(min(ts) AS DATE)) AS iso_dow, count(*) AS n,
-              min(CAST(date_trunc('hour', ts) = date_trunc('day', ts) AS INT)) AS any_midnight
+              min(CAST(date_trunc('hour', ts) = date_trunc('day', ts) AS INT)) AS all_midnight
             FROM events GROUP BY day ORDER BY day"""),
     (s, d) => events(s, d)
       .withColumn("day", col("ts").cast("date").cast("string"))
       .groupBy("day")
       .agg((weekday(min(col("ts")).cast("date")) + 1).cast("long").as("iso_dow"),
         count(lit(1)).as("n"),
-        min((date_trunc("hour", col("ts")) === date_trunc("day", col("ts"))).cast("int")).as("any_midnight"))
-      .select("day", "iso_dow", "n", "any_midnight")
+        min((date_trunc("hour", col("ts")) === date_trunc("day", col("ts"))).cast("int")).as("all_midnight"))
+      .select("day", "iso_dow", "n", "all_midnight")
       .orderBy("day"))
 
   /** A3: per-key ordered collect_list rollup, serialized. */

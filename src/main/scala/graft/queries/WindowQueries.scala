@@ -58,7 +58,8 @@ object WindowQueries extends QuerySet {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
             FROM events ORDER BY event_id"""),
     (s, d) => Sections.forwardFill(events(s, d), Seq(col("user_id")),
-        col("ts"), when(col("event_type") === "signup", col("event_id")), "last_signup")
+        struct(col("ts"), col("event_id")),
+        when(col("event_type") === "signup", col("event_id")), "last_signup")
       .select("event_id", "user_id", "last_signup").orderBy("event_id"))
 
   /** W4 (windowed form): chunk ids from running char budget + explicit
@@ -85,7 +86,8 @@ object WindowQueries extends QuerySet {
               FROM events)
             SELECT user_id, sub_id, count(*) AS n, min(event_id) AS first_event
             FROM g GROUP BY user_id, sub_id ORDER BY user_id, sub_id"""),
-    (s, d) => Merge.islandId(events(s, d), Seq(col("user_id")), col("ts"),
+    (s, d) => Merge.islandId(events(s, d), Seq(col("user_id")),
+        struct(col("ts"), col("event_id")),
         when(col("event_type") === "signup", 1L).otherwise(0L), "sub_id")
       .groupBy("user_id", "sub_id")
       .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))

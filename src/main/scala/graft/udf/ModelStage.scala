@@ -33,17 +33,20 @@ object ModelStage {
     * is carried through untouched. The deterministic `fallback` column
     * expression is used where the stage emits null/empty. */
   def applyStage(df: DataFrame, inCol: String, outCol: String, stage: ModelStage,
-                 fallback: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+                 fallback: Column, batchSize: Int = 1024): DataFrame = {
     val inIdx = df.schema.fieldIndex(inCol)
     val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.StringType)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // bounded batches (never the whole partition on heap); null inputs
+    // bypass the stage entirely and emit null so the fallback column fires
     val out = df.mapPartitions { rows =>
-      val buffered = rows.toVector
-      val outputs = stage.transformBatch(buffered.iterator.map(r => String.valueOf(r.get(inIdx)))).toVector
-      buffered.iterator.zip(outputs.iterator).map { case (r, o) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ o)
+      rows.grouped(batchSize).flatMap { batch =>
+        val present = batch.filter(r => !r.isNullAt(inIdx))
+        val outputs = stage.transformBatch(present.iterator.map(_.getString(inIdx)))
+        batch.iterator.map { r =>
+          val o = if (r.isNullAt(inIdx)) null else outputs.next()
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ o)
+        }
       }
     }(enc)
     out.withColumn(outCol,

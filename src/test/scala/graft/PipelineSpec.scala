@@ -16,6 +16,11 @@ class PipelineSpec extends SparkSpec {
     val out = ModelStage.applyStage(df, "t", "label", UpperOrEmpty, lit("FALLBACK"))
       .orderBy("t").collect().map(_.getString(1)).toSeq
     assert(out == Seq("HELLO", "FALLBACK", "WORLD"))
+    // null inputs bypass the stage and take the fallback (never the string "null")
+    val withNull = Seq(Some("ok"), None).toDF("t")
+    val out2 = ModelStage.applyStage(withNull, "t", "label", UpperOrEmpty, lit("FALLBACK"))
+      .collect().map(_.getString(1)).toSet
+    assert(out2 == Set("OK", "FALLBACK"))
   }
 
   test("Multimodal: binary payload + metadata + stubbed feature extraction") {
