@@ -12,6 +12,24 @@ import graft.index.Rerank
   */
 object MiscQueries extends QuerySet {
 
+  /** S3: OCR routing — use digital text when meaningful (>5 word chars),
+    * otherwise route to the OCR stage (here: the deterministic fallback
+    * marker; the real stage is a pluggable `udf.ModelStage`). */
+  val s3Routing = Q("s3_ocr_routing",
+    Some("""SELECT doc_id,
+              CASE WHEN length(regexp_replace(trim(content), '[^A-Za-z0-9]', '', 'g')) > 5
+                   THEN trim(content) ELSE concat('OCR:', CAST(doc_id AS VARCHAR)) END AS routed
+            FROM (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN ' . . ' ELSE substr(text, 1, 40) END AS content
+                  FROM documents) t ORDER BY doc_id"""),
+    (s, d) => {
+      val content = when(col("doc_id") % 6 === 0, lit(" . . ")).otherwise(substring(col("text"), 1, 40))
+      documents(s, d)
+        .select(col("doc_id"),
+          when(length(regexp_replace(trim(content), "[^A-Za-z0-9]", "")) > 5, trim(content))
+            .otherwise(concat(lit("OCR:"), col("doc_id").cast("string"))).as("routed"))
+        .orderBy("doc_id")
+    })
+
   /** F1: block-type detect on deterministically-prefixed content. */
   val f1BlockType = Q("f1_block_type",
     Some("""SELECT doc_id, CASE
@@ -371,7 +389,7 @@ object MiscQueries extends QuerySet {
       graft.eval.Eval.run(questions, identity)._2
     })
 
-  def all: Seq[Q] = Seq(f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
+  def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, j6Eval)

@@ -50,6 +50,19 @@ class DedupSearchSpec extends SparkSpec {
     assert(top.nonEmpty && top.head == 7L)
   }
 
+  test("IVF top-k finds the query in its own cell, ranked first") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val centroids = {
+      val rng = new scala.util.Random(7)
+      Seq.fill(4)(Seq.fill(64)(rng.nextGaussian() * 0.05))
+    }
+    val top = Search.ivfTopK(emb.crossJoin(broadcast(q)), "embedding", "vec_id",
+      transform(col("qv"), x => x.cast("double")), centroids, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.nonEmpty && top.head == 3L)
+  }
+
   test("exact dedup keeps first-seen row per normalized content") {
     val df = Seq((1L, "Same  Text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
     val kept = Dedup.exact(df, lower(col("t")), col("id")).select("id")

@@ -97,6 +97,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("appendLogSink persists the stream as append-mode parquet (S7 QA log)") {
+    val out = "/tmp/graft_qalog_out"; val ckpt = "/tmp/graft_qalog_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = Ingest.appendLogSink(streamEvents.select("event_id", "ts", "event_type"), out, ckpt).start()
+    q.awaitTermination(60000)
+    val logged = spark.read.parquet(out)
+    assert(logged.count() == graft.tables.TestTables.events(spark, sf).count())
+    // T4 last-N read-back over the log
+    val lastN = logged.orderBy(col("ts").desc, col("event_id").desc).limit(5).collect()
+    assert(lastN.length == 5)
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
