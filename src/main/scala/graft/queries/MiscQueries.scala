@@ -112,7 +112,8 @@ object MiscQueries extends QuerySet {
   val p4Band = Q("p4_content_band",
     Some("""SELECT event_id FROM (
               SELECT event_id, value % 800 AS y0, value % 800 + 20 AS y1 FROM events) t
-            WHERE y1 >= 0.07 * 800 AND y0 <= 0.93 * 800 ORDER BY event_id"""),
+            WHERE y1 >= 0.07 * CAST(800 AS DOUBLE) AND y0 <= 0.93 * CAST(800 AS DOUBLE)
+            ORDER BY event_id"""),
     (s, d) => {
       val df = events(s, d)
         .withColumn("y0", col("value") % 800)

@@ -59,14 +59,17 @@ object VectorQueries extends QuerySet {
         .orderBy(col("score").desc, col("vec_id")).limit(10)
     })
 
-  /** Embedding near-dup pairs within a label block (cosine ≥ 0.95). */
+  /** Embedding near-dup pairs within a label block. Threshold 0.42 sits in
+    * the tail of the within-label cosine distribution (max ≈0.47), so the
+    * query returns a real, non-empty pair set at every SF — a 0.95-style
+    * threshold would pass vacuously with zero rows. */
   val d5EmbedDup = Q("d5_embedding_dup_pairs",
     Some("""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
             FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.42
             ORDER BY id_a, id_b"""),
-    (s, d) => Search.nearDuplicatePairs(embeddings(s, d), "embedding", "vec_id", "label", 0.95)
+    (s, d) => Search.nearDuplicatePairs(embeddings(s, d), "embedding", "vec_id", "label", 0.42)
       .select(col("b").as("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b"))
 
