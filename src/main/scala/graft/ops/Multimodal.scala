@@ -75,4 +75,21 @@ object Multimodal {
     df.withColumn("frame_idx",
       explode(transform(sequence(lit(0), lit(k - 1)),
         i => (i * col("media_meta.n_bytes") / k).cast("long"))))
+
+  /** Resize stage: recompute target dimensions preserving aspect ratio
+    * (fit inside maxW×maxH) and update the metadata struct. The pixel
+    * resample itself belongs to the stubbed decode stage — this is the
+    * metadata/planning half that a real codec stage would consume, kept as
+    * pure Catalyst expressions so planning never touches payload bytes. */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("media_meta.width").cast("double")
+    val h = col("media_meta.height").cast("double")
+    val scale = least(lit(maxW) / greatest(w, lit(1.0)), lit(maxH) / greatest(h, lit(1.0)), lit(1.0))
+    df.withColumn("media_meta", struct(
+      col("media_meta.media_type").as("media_type"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      col("media_meta.n_bytes").as("n_bytes")))
+      .withColumn("resize_scale", scale)
+  }
 }

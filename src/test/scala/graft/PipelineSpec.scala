@@ -33,6 +33,15 @@ class PipelineSpec extends SparkSpec {
     assert(f.length == 4 && f(0) == row.getLong(0).toFloat)
   }
 
+  test("Multimodal.resizeMeta fits dimensions inside the target box, preserving aspect") {
+    val docs = graft.tables.TestTables.documents(spark, sf).limit(50)
+    val media = Multimodal.asMediaColumn(docs, "text", "image/fake")
+    val resized = Multimodal.resizeMeta(media, 64, 48)
+    val rows = resized.select(col("media_meta.width"), col("media_meta.height"), col("resize_scale")).collect()
+    assert(rows.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 48))
+    assert(rows.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) > 0.0))
+  }
+
   test("Multimodal.sampleFrames explodes k evenly spaced offsets") {
     val docs = graft.tables.TestTables.documents(spark, sf).limit(3)
     val media = Multimodal.asMediaColumn(docs, "text", "video/fake")
