@@ -84,4 +84,15 @@ object Bundle {
   def writeBundle(df: DataFrame, out: String, buckets: Int = 256): Unit =
     df.withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(buckets)))
       .write.mode("overwrite").partitionBy("doc_bucket").parquet(out)
+
+  /** Co-located join persistence: save as a bucketed+sorted table so
+    * repeated joins/aggregations on `key` run with NO exchange — the
+    * canonical 100 TB pattern for fact tables that are joined on the same
+    * key every query (blocks ⋈ chunks ⋈ embeddings on doc/chunk id).
+    * Requires a table catalog (saveAsTable); plain parquet paths cannot
+    * carry bucket metadata. */
+  def writeBucketedTable(df: DataFrame, table: String, key: String, buckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

@@ -64,6 +64,30 @@ class BundlePipelineSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("bucketed tables join with no exchange (co-located join)") {
+    val docs = graft.tables.TestTables.documents(spark, sf)
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+      .withColumnRenamed("vec_id", "doc_id")
+    Seq("b_docs", "b_emb").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Bundle.writeBucketedTable(docs, "b_docs", "doc_id", buckets = 8)
+    Bundle.writeBucketedTable(emb, "b_emb", "doc_id", buckets = 8)
+    // force the sort-merge path (small test tables would otherwise broadcast,
+    // which sidesteps bucketing entirely); at fact×fact scale SMJ is what runs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_docs").join(spark.table("b_emb"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed SMJ must not shuffle either side:\n$plan")
+      assert(joined.count() == emb.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IngestPipeline end-to-end: blocks → sections → chunks → embeddings") {
     val blocks = IngestPipeline.blocksFromDocuments(spark, sf)
     val chunks = IngestPipeline.run(blocks)
