@@ -40,11 +40,18 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** Character n-grams of a text (distinct). */
+  /** Character n-grams of a text (distinct). Zip-shifted over a one-time
+    * char split: `substring(text, i, n)` per position is O(i) on
+    * UTF8String (it scans for the char offset), making the naive form
+    * quadratic per document. */
   def charNgrams(text: Column, n: Int): Column = {
-    val len = length(text)
+    val chars = split(text, "")
+    val len = size(chars)
+    val joined = (2 to n).foldLeft(chars) { (acc, k) =>
+      zip_with(acc, slice(chars, lit(k), greatest(len - k + 1, lit(0))), (a, b) => concat(a, b))
+    }
     array_distinct(
-      when(len >= n, transform(sequence(lit(1), len - n + 1), i => substring(text, i, lit(n)).cast("string")))
+      when(len >= n, slice(joined, lit(1), len - n + 1))
       .otherwise(array(text)))
   }
 
