@@ -127,8 +127,11 @@ object Relational extends QuerySet {
              FROM (SELECT DISTINCT event_type AS t FROM events e2 WHERE e2.user_id = e.user_id) x) AS types
             FROM events e GROUP BY user_id ORDER BY user_id"""),
     (s, d) => events(s, d).groupBy("user_id")
-      .agg(countDistinct(col("event_type")).as("n_types"),
-        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+      // one aggregate: n_types derives from the collected set — a separate
+      // countDistinct would add an Expand + second aggregation pass
+      .agg(sort_array(collect_set(col("event_type"))).as("_set"))
+      .select(col("user_id"), size(col("_set")).cast("long").as("n_types"),
+        concat_ws(",", col("_set")).as("types"))
       .orderBy("user_id"))
 
   /** Rollup (grouping sets) — declared per SURVEY §2.4 to lock the
