@@ -296,7 +296,7 @@ object MiscQueries extends QuerySet {
               list_aggregate(list_transform(list_slice(list_sort(list_distinct(list(doc_id % 10))), 1, 10),
                 x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS pages,
               list_aggregate(list_sort(list_distinct(list(lang))), 'string_agg', ',') AS block_types,
-              sum(length(text)) AS n_chars, count(*) AS n_blocks
+              CAST(sum(length(text)) AS BIGINT) AS n_chars, count(*) AS n_blocks
             FROM documents GROUP BY source ORDER BY chunk_key"""),
     (s, d) => Chunking.chunkRollup(
         documents(s, d).withColumn("page", col("doc_id") % 10),

@@ -8,9 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Conventions for hash-parity with the DuckDB oracle:
   *  - every output column is explicitly aliased, same name in both;
   *  - every query ends with a deterministic total ORDER BY;
-  *  - double aggregates are `round(_, 6)` in both engines; money sums go
-  *    through decimal(18,2) casts (exact, order-independent) — source money
-  *    columns hold 2-decimal values so the casts are lossless;
+  *  - NO DECIMAL or HUGEINT output columns, ever: the driver's hasher
+  *    fetches the oracle through pandas, which coerces both to float64
+  *    ("1.10" → 1.1, 5 → 5.0) while Spark's parquet keeps Decimal/int64 —
+  *    bit-exact values still hash-mismatch. Money sums go through
+  *    decimal(18,2) internally (exact, order-independent — source money
+  *    columns hold 2-decimal values so the casts are lossless) but are
+  *    EMITTED as integer cents/1e-4 units cast to BIGINT; DuckDB integer
+  *    sums get CAST(... AS BIGINT) to undo HUGEINT promotion;
+  *  - averages are exact-integer sums divided as doubles with the same
+  *    expression tree in both engines — never `round(avg(x), n)`;
   *  - timestamps are emitted as `unix_micros` bigints or dates, never raw
   *    nanosecond timestamps (parquet ns vs Spark µs truncation).
   */

@@ -16,23 +16,27 @@ object Relational extends QuerySet {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Money sums go through decimal internally (exact, order-independent)
+    * but are EMITTED as integer cents / 1e-4 units (BIGINT): DECIMAL and
+    * HUGEINT outputs hash-diverge at the driver (pandas coerces them to
+    * float64 — "1.10" becomes 1.1 — while parquet keeps Decimal/int64). */
   val q1Pricing = Q("q1_pricing_summary",
     Some("""SELECT l_returnflag, l_linestatus,
-            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS sum_disc_price,
-            round(avg(l_discount), 6) AS avg_disc,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_cents,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) * 10000 AS BIGINT) AS sum_disc_price_e4,
+            CAST(CAST(sum(CAST(l_discount AS DECIMAL(9,2))) * 100 AS BIGINT) AS DOUBLE) / 100 / count(*) AS avg_disc,
             count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""),
     (s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(9,2)")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        (sum(dec(col("l_quantity"))) * 100).cast("long").as("sum_qty_cents"),
+        (sum(dec(col("l_extendedprice"))) * 100).cast("long").as("sum_base_price_cents"),
+        (sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(9,2)"))) * 10000)
+          .cast("long").as("sum_disc_price_e4"),
+        ((sum(col("l_discount").cast("decimal(9,2)")) * 100).cast("long").cast("double") / 100 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus"))
 
@@ -52,7 +56,7 @@ object Relational extends QuerySet {
     * grouped rollup of the joined result. */
   val j3Broadcast = Q("j3_broadcast_join",
     Some("""SELECT o_orderpriority,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS revenue,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) * 10000 AS BIGINT) AS revenue_e4,
             count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
@@ -60,8 +64,8 @@ object Relational extends QuerySet {
       .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(9,2)")))
-          .cast("decimal(38,4)").as("revenue"),
+        (sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(9,2)"))) * 10000)
+          .cast("long").as("revenue_e4"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority"))
 
@@ -138,12 +142,12 @@ object Relational extends QuerySet {
     * capability Spark adds over the reference. */
   val a11Rollup = Q("a11_rollup",
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
     (s, d) => lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), (sum(dec(col("l_quantity"))) * 100).cast("long").as("sum_qty_cents"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   /** T1: global top-k with deterministic tiebreak

@@ -18,14 +18,14 @@ object StreamingQueries extends QuerySet {
   val st1Tumbling = Q("st1_tumbling_window",
     Some("""SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) AS window_start_us, event_type,
               count(*) AS n,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+              CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
             FROM events GROUP BY window_start_us, event_type
             ORDER BY window_start_us, event_type"""),
     (s, d) => events(s, d)
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
-      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"), col("total_value"))
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("total_value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"), col("total_value_cents"))
       .orderBy("window_start_us", "event_type"))
 
   /** Sliding 10-minute window, 5-minute slide. */
@@ -39,13 +39,13 @@ object StreamingQueries extends QuerySet {
               SELECT window_start_us, value FROM slid
               WHERE epoch_us(ts) >= window_start_us AND epoch_us(ts) < window_start_us + 600000000)
             SELECT window_start_us, count(*) AS n,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+              CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
             FROM valid GROUP BY window_start_us ORDER BY window_start_us"""),
     (s, d) => events(s, d)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
-      .select(unix_micros(col("w.start")).as("window_start_us"), col("n"), col("total_value"))
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("total_value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("n"), col("total_value_cents"))
       .orderBy("window_start_us"))
 
   /** Streaming-dedup analog: first event per (user_id, event_type) in event

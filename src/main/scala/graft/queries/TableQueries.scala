@@ -104,7 +104,7 @@ object TableQueries extends QuerySet {
                     CAST(regexp_replace(regexp_replace(r[2], '[,฿$\s]|(บาท)|(baht)', '', 'g'), '[()]', '', 'g') AS DOUBLE) AS v
                   FROM x)
             SELECT o_custkey AS table_id,
-              CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v,
+              CAST(sum(CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_v_cents,
               CAST(sum(CAST(round(v * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_v,
               round(max(v), 2) AS max_v, count(*) AS n
             FROM p GROUP BY o_custkey ORDER BY table_id"""),
@@ -119,7 +119,7 @@ object TableQueries extends QuerySet {
       t.select(col("o_custkey").as("table_id"), explode(col("rows")).as("r"))
         .select(col("table_id"), Cleaning.parseMoney(element_at(col("r"), 2)).as("v"))
         .groupBy("table_id")
-        .agg(sum(col("v").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_v"),
+        .agg((sum(col("v").cast("decimal(18,2)")) * 100).cast("long").as("sum_v_cents"),
           (sum(round(col("v") * 100, 0).cast("bigint")).cast("double") / 100 / count(lit(1))).as("avg_v"),
           round(max(col("v")), 2).as("max_v"),
           count(lit(1)).as("n"))

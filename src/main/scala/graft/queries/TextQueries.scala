@@ -248,14 +248,14 @@ object TextQueries extends QuerySet {
     * checked against the labeled lang column. */
   val x1LangAgg = Q("x1_token_stats",
     Some("""SELECT lang, count(*) AS n_docs,
-            sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS total_tokens,
-            round(avg(length(text)), 6) AS avg_chars
+            CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+            CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang"""),
     (s, d) => documents(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
-        round(avg(length(col("text"))), 6).as("avg_chars"))
+        (sum(length(col("text"))).cast("long").cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy("lang"))
 
   /** Subword (BPE-ish) counting. */

@@ -34,11 +34,11 @@ object WindowQueries extends QuerySet {
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, event_id, value,
-                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_cents
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
     (s, d) => {
       val withSession = Merge.sessionize(
@@ -46,7 +46,7 @@ object WindowQueries extends QuerySet {
         Seq(col("user_id")), col("ts"), col("event_id"), gapSeconds = 1800)
       withSession.groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("session_value"))
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("session_value_cents"))
         .orderBy("user_id", "session_id")
     })
 
@@ -80,9 +80,9 @@ object WindowQueries extends QuerySet {
   val w5Split = Q("w5_subgroup_split",
     Some("""WITH g AS (
               SELECT user_id, event_id, value,
-                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sub_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sub_id
               FROM events)
             SELECT user_id, sub_id, count(*) AS n, min(event_id) AS first_event
             FROM g GROUP BY user_id, sub_id ORDER BY user_id, sub_id"""),
