@@ -74,6 +74,23 @@ object Search {
     bruteForceTopK(celled.filter(col("cell") === qCell).drop("cell"), vecCol, idCol, query, k)
   }
 
+  /** Persist an ANN index partitioned by its bucket/cell assignment so
+    * query-time reads touch only the probed partitions. This is the 100 TB
+    * path for [[lshTopK]]/[[ivfTopK]]: computing the bucket per row at query
+    * time still scans the whole index; a `partitionBy(bucket)` layout turns
+    * the bucket predicate into partition pruning at the file listing. */
+  def writePartitionedIndex(index: DataFrame, bucket: Column, out: String,
+                            bucketCol: String = "bucket"): Unit =
+    index.withColumn(bucketCol, bucket).write.mode("overwrite").partitionBy(bucketCol).parquet(out)
+
+  /** Read a partitioned index pruned to the query's bucket: broadcast the
+    * single-row query (bucket precomputed on the query side) and join on
+    * the partition column — dynamic partition pruning restricts the scan to
+    * the matching partition directories, no full-index scan. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                 queryRow: DataFrame, bucketCol: String = "bucket"): DataFrame =
+    spark.read.parquet(indexPath).join(broadcast(queryRow), Seq(bucketCol))
+
   /** All-pairs near-duplicate by cosine ≥ threshold within a blocking key
     * (label/band) — self-join inside blocks only, never a full cross join. */
   def nearDuplicatePairs(index: DataFrame, vecCol: String, idCol: String, blockCol: String,

@@ -290,6 +290,75 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** V2 scale path, end-to-end: the SRP index is WRITTEN `partitionBy
+    * (bucket)` and read back pruned — the bucket predicate arrives as a
+    * dynamic partition filter at the file listing, so the scan touches one
+    * bucket directory instead of the whole index (AnnPruneSpec asserts the
+    * file-level pruning). Oracle: identical semantics to v3 (same seed-42
+    * hyperplanes baked as literals). */
+  val v3bLshPruned: Q = {
+    val dim = 64; val bits = 6
+    val planes: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(42)
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    }
+    def planeSql(p: Seq[Double]) = p.map(v => f"$v%.17g").mkString("[", ",", "]")
+    val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    Q("v3b_lsh_pruned_topk",
+      Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+               SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+               FROM b, q WHERE b.bucket = q.qb
+               ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_srp_index_${Integer.toHexString(d.hashCode)}"
+        Search.writePartitionedIndex(emb, Search.srpBucket(col("embedding"), dim, bits), out)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Search.srpBucket(col("embedding"), dim, bits).as("bucket"))
+        Search.readPruned(s, out, q)
+          .select(col("vec_id"),
+            round(Embed.dot(col("embedding"), transform(col("qv"), x => x.cast("double"))), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
+  /** IVF variant of the pruned-read path: index written `partitionBy(cell)`. */
+  val v4bIvfPruned: Q = {
+    val dim = 64; val nCells = 4
+    val centroids: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(7)
+      Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
+    }
+    def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+    def d2Sql(c: Seq[Double]) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i]::DOUBLE - (${cSql(c)})[i]) * (e[i]::DOUBLE - (${cSql(c)})[i])))"
+    val dCols = centroids.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(", ")
+    val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
+                          WHEN d1 <= least(d2, d3) THEN 1
+                          WHEN d2 <= d3 THEN 2 ELSE 3 END"""
+    Q("v4b_ivf_pruned_topk",
+      Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
+               c AS (SELECT vec_id, e, $cellSql AS cell FROM d),
+               q AS (SELECT e AS qv, cell AS qcell FROM c WHERE vec_id = 0)
+               SELECT vec_id, round(list_dot_product(CAST(e AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+               FROM c, q WHERE c.cell = q.qcell
+               ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${Integer.toHexString(d.hashCode)}"
+        Search.writePartitionedIndex(emb, Search.ivfCell(col("embedding"), centroids), out, bucketCol = "cell")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Search.ivfCell(col("embedding"), centroids).as("cell"))
+        Search.readPruned(s, out, q, bucketCol = "cell")
+          .select(col("vec_id"),
+            round(Embed.dot(col("embedding"), transform(col("qv"), x => x.cast("double"))), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
   /** 100 TB distinct-count path: HLL sketch (approx_count_distinct).
     * Engine sketches differ, so no cross-engine oracle — the driver's
     * rows-only check applies; exactness is asserted in ScalaTest against
@@ -301,7 +370,7 @@ object VectorQueries extends QuerySet {
         approx_count_distinct(col("doc_id"), 0.02).as("approx_docs"))
       .orderBy("lang"))
 
-  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, a12Approx,
+  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, x4Fingerprint, m1Binary)
 }
