@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   *
   * The reference embeds with multilingual-e5-large (`backend/services/
   * embeddings.py:32-67`) — a pluggable model stage in our engine
-  * (`graft.index.ModelStage`). The native deterministic path builds sparse
+  * (`graft.udf.ModelStage`). The native deterministic path builds sparse
   * lexical vectors as pure Catalyst expressions so the whole index pipeline
   * is codegen'd and oracle-checkable.
   */

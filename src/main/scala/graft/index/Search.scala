@@ -91,8 +91,43 @@ object Search {
                  queryRow: DataFrame, bucketCol: String = "bucket"): DataFrame =
     spark.read.parquet(indexPath).join(broadcast(queryRow), Seq(bucketCol))
 
-  /** All-pairs near-duplicate by cosine ≥ threshold within a blocking key
-    * (label/band) — self-join inside blocks only, never a full cross join. */
+  /** Scale-safe near-duplicate pair generation: candidates must share at
+    * least one SRP band (`bitsPerBand` bits of a `numBands*bitsPerBand`-bit
+    * signature), then exact cosine ≥ threshold verifies every candidate.
+    * Band buckets track true duplicate density — unlike a fixed-cardinality
+    * label block, where 100× the data means 100× the block size and
+    * 10,000× the pair volume. Two-pass like the MinHash-LSH join: only
+    * (id, band) rides the band shuffle; vectors and norms are re-fetched
+    * for the surviving candidate pairs. */
+  def lshNearDuplicatePairs(index: DataFrame, vecCol: String, idCol: String,
+                            dim: Int, bitsPerBand: Int, numBands: Int,
+                            threshold: Double, seed: Int = 43): DataFrame = {
+    val sigd = index.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", srpBucket(col("v"), dim, bitsPerBand * numBands, seed))
+    val mask = (1 << bitsPerBand) - 1
+    val bandKeys = array((0 until numBands).map(b =>
+      concat_ws(":", lit(b), shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))): _*)
+    val banded = sigd.select(col("id"), explode(bandKeys).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val withNorm = sigd.select(col("id"), col("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", when(col("na") > 0 && col("nb") > 0,
+        Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0)))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** All-pairs near-duplicate by cosine ≥ threshold within a blocking key —
+    * self-join inside blocks only, never a full cross join. Only safe when
+    * the blocking key's per-block size is KNOWN bounded (e.g. a tenant or
+    * shard key); for open-ended corpora use [[lshNearDuplicatePairs]],
+    * whose block sizes track duplicate density instead of growing with the
+    * data. */
   def nearDuplicatePairs(index: DataFrame, vecCol: String, idCol: String, blockCol: String,
                          threshold: Double): DataFrame = {
     // norms once per row (O(N·d)), not once per pair (O(N²·d)): cosine over

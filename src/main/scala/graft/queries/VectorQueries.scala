@@ -59,19 +59,42 @@ object VectorQueries extends QuerySet {
         .orderBy(col("score").desc, col("vec_id")).limit(10)
     })
 
-  /** Embedding near-dup pairs within a label block. Threshold 0.42 sits in
-    * the tail of the within-label cosine distribution (max ≈0.47), so the
-    * query returns a real, non-empty pair set at every SF — a 0.95-style
-    * threshold would pass vacuously with zero rows. */
-  val d5EmbedDup = Q("d5_embedding_dup_pairs",
-    Some("""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
-            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.42
-            ORDER BY id_a, id_b"""),
-    (s, d) => Search.nearDuplicatePairs(embeddings(s, d), "embedding", "vec_id", "label", 0.42)
-      .select(col("b").as("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-      .orderBy("id_a", "id_b"))
+  /** Embedding near-dup pairs, LSH-band-blocked: candidates share ≥1 of 4
+    * four-bit SRP bands (16 seed-43 hyperplanes, baked into the oracle as
+    * literals so both engines derive identical band keys), then exact
+    * cosine ≥ 0.42 verifies. The threshold sits in the tail of the global
+    * cosine distribution (≈30 qualifying pairs per SF, max ≈0.51), so the
+    * banded recall (~50% at cos 0.42) still returns a real, non-empty pair
+    * set at every SF — a 0.95-style threshold would pass vacuously. */
+  val d5EmbedDup: Q = {
+    val dim = 64; val bitsPerBand = 4; val numBands = 4
+    val planes: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(43)
+      Seq.fill(bitsPerBand * numBands)(Seq.fill(dim)(rng.nextGaussian()))
+    }
+    def planeSql(p: Seq[Double]) = p.map(v => f"$v%.17g").mkString("[", ",", "]")
+    def bandSql(b: Int) = (0 until bitsPerBand).map { j =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(planes(b * bitsPerBand + j))}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandsSql = (0 until numBands).map(b => s"concat('$b', ':', ${bandSql(b)})").mkString("[", ", ", "]")
+    Q("d5_embedding_dup_pairs",
+      Some(s"""WITH banded AS (
+                SELECT vec_id, embedding, unnest($bandsSql) AS band FROM embeddings),
+              cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id)
+              SELECT id_a, id_b,
+                round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = id_a
+              JOIN embeddings eb ON eb.vec_id = id_b
+              WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.42
+              ORDER BY id_a, id_b"""),
+      (s, d) => Search.lshNearDuplicatePairs(embeddings(s, d), "embedding", "vec_id",
+          dim, bitsPerBand, numBands, threshold = 0.42, seed = 43)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b"))
+  }
 
   /** Exact dedup: first-wins per normalized-content hash. */
   val d1Exact = Q("d1_exact_dedup",

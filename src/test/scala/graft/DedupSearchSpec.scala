@@ -70,6 +70,23 @@ class DedupSearchSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("LSH-banded near-dup pairs are a verified subset of brute-force pairs") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val banded = Search.lshNearDuplicatePairs(emb, "embedding", "vec_id",
+      dim = 64, bitsPerBand = 4, numBands = 4, threshold = 0.42, seed = 43)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(banded.nonEmpty, "banding must retain some qualifying pairs (vacuous otherwise)")
+    assert(banded.forall(_._3 >= 0.42), "every emitted pair is exact-cosine verified")
+    // subset of the exact all-pairs result (blocking can only drop, never invent)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Embed.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.42)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.forall(p => brute.contains((p._1, p._2))))
+  }
+
   test("embedding cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))).toDF("a", "b")
     val c = df.select(Embed.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
