@@ -85,6 +85,65 @@ object TableOps {
     concat_ws("\n", array(header, sep, body))
   }
 
+  /** HTML `<table>` → struct(columns, rows, has_complex_body,
+    * has_complex_header) — the vision-LLM table ingestion step (ref
+    * `ingestion/table_extractor.py:115-268`, SimpleTableParser):
+    *
+    *  - the first cell-bearing `<tr>` is the header, regardless of
+    *    thead/tbody placement (vision OCR is messy about those);
+    *  - body rows are padded/truncated to the header width;
+    *  - `rowspan>1` on a header cell → `has_complex_header` (colspan in a
+    *    header is acceptable for flat extraction);
+    *  - any rowspan/colspan>1 on a body cell → `has_complex_body`, and the
+    *    structured output is forced empty (merged data cells make the grid
+    *    unreliable) — as is a header with zero body rows;
+    *  - cell text is tag-stripped, entity-decoded (the common charrefs:
+    *    amp/lt/gt/quot/#39/nbsp), whitespace-collapsed and trimmed, the
+    *    same normalization [[cleanRows]] applies.
+    *
+    * Pure regexp + higher-order array expressions — parsing stays inside
+    * codegen, no UDF. */
+  def parseHtmlTable(html: Column): Column = {
+    val trPat = "(?is)<tr(?:\\s[^>]*)?>(.*?)</tr>"
+    val cellPat = "(?is)<t[hd](?:\\s[^>]*)?>(.*?)</t[hd]>"
+    // a span attribute with integer value > 1 anywhere in a cell tag
+    val spanPat = "(?is)<t[hd][^>]*\\s(?:rowspan|colspan)\\s*=\\s*\"?0*(?:[2-9]|[1-9][0-9]+)"
+    val headerSpanPat = "(?is)<t[hd][^>]*\\srowspan\\s*=\\s*\"?0*(?:[2-9]|[1-9][0-9]+)"
+
+    def cleanCell(c: Column): Column = {
+      val noTags = regexp_replace(c, "<[^>]*>", "")
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&nbsp;" -> " ", "&amp;" -> "&") // &amp; last, or it would re-decode
+        .foldLeft(noTags) { case (acc, (k, v)) => regexp_replace(acc, k, v) }
+      trim(regexp_replace(decoded, "\\s+", " "))
+    }
+    def rawCells(tr: Column): Column = regexp_extract_all(tr, lit(cellPat), lit(1))
+    def cellsOf(tr: Column): Column = transform(rawCells(tr), cleanCell(_))
+
+    val trs = filter(regexp_extract_all(html, lit(trPat), lit(1)),
+      tr => size(rawCells(tr)) > 0)
+    val emptyCols = array().cast("array<string>")
+    val emptyRows = array().cast("array<array<string>>")
+    val columns = when(size(trs) >= 1, cellsOf(element_at(trs, 1))).otherwise(emptyCols)
+    val bodyTrs = slice(trs, lit(2), greatest(size(trs) - 1, lit(0)))
+    val ncols = size(columns)
+    // pad/truncate every body row to the header width (try_element_at:
+    // out-of-range is a pad, not an ANSI error)
+    val rows = when(ncols >= 1,
+      transform(bodyTrs, tr => {
+        val cells = cellsOf(tr)
+        transform(sequence(lit(1), ncols), i => coalesce(try_element_at(cells, i), lit("")))
+      })).otherwise(emptyRows)
+    val complexHeader = coalesce(try_element_at(trs, lit(1)).rlike(headerSpanPat), lit(false))
+    val complexBody = exists(bodyTrs, tr => tr.rlike(spanPat))
+    val forceEmpty = complexBody || (ncols > 0 && size(bodyTrs) === 0)
+    struct(
+      when(forceEmpty, emptyCols).otherwise(columns).as("columns"),
+      when(forceEmpty, emptyRows).otherwise(rows).as("rows"),
+      forceEmpty.as("has_complex_body"),
+      complexHeader.as("has_complex_header"))
+  }
+
   /** W5: sub-table split — rows matching a header pattern start a new named
     * sub-table; forward-fill the header over subsequent rows. */
   def splitSubTables(df: DataFrame, tableId: Column, rows: Column, headerPattern: String): DataFrame = {

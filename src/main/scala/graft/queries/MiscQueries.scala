@@ -353,6 +353,40 @@ object MiscQueries extends QuerySet {
         graft.query.Ask.AskConfig(topK = 5, stopwords = Seq("zzzz")))
       .select(col("doc_id"), round(col("score"), 6).as("score")))
 
+  /** §3.2 step 9: SHOW_TABLE tag resolution — answers carry
+    * `[SHOW_TABLE:CAT=x]` tags (two per answer, one sometimes unresolvable)
+    * that are extracted, first-match-joined to the region table dim, and
+    * substituted with wrapped HTML (`Ask.resolveShowTableTags`). The oracle
+    * builds the RESOLVED answers directly from the base columns — an
+    * independent ground truth for extract+join+replace. */
+  val ask2ShowTable = Q("ask2_show_table",
+    Some("""WITH r AS (
+              SELECT lower(r_name) AS cat,
+                concat('<br><div class=''table-responsive''><table><tr><td>', r_name, '</td></tr></table></div><br>') AS repl
+              FROM region),
+            c AS (
+              SELECT c_custkey, c_mktsegment,
+                ['africa','america','asia','europe','middle east','nowhere'][CAST(c_custkey % 6 AS INT) + 1] AS cat1,
+                ['africa','america','asia','europe','middle east'][CAST(c_custkey % 5 AS INT) + 1] AS cat2
+              FROM customer)
+            SELECT c_custkey,
+              concat('Summary for ', c_mktsegment, ': ', coalesce(r1.repl, ''), ' details ', coalesce(r2.repl, ''), ' end') AS answer
+            FROM c LEFT JOIN r r1 ON r1.cat = c.cat1 LEFT JOIN r r2 ON r2.cat = c.cat2
+            ORDER BY c_custkey"""),
+    (s, d) => {
+      val cats1 = array(Seq("africa", "america", "asia", "europe", "middle east", "nowhere").map(lit): _*)
+      val cats2 = array(Seq("africa", "america", "asia", "europe", "middle east").map(lit): _*)
+      val answers = customer(s, d).select(col("c_custkey"),
+        concat(lit("Summary for "), col("c_mktsegment"),
+          lit(": [SHOW_TABLE:CAT="), element_at(cats1, (col("c_custkey") % 6).cast("int") + 1),
+          lit("] details [SHOW_TABLE:CAT="), element_at(cats2, (col("c_custkey") % 5).cast("int") + 1),
+          lit("] end")).as("answer"))
+      val dim = region(s, d).select(lower(col("r_name")).as("cat"),
+        concat(lit("<table><tr><td>"), col("r_name"), lit("</td></tr></table>")).as("html_content"))
+      graft.query.Ask.resolveShowTableTags(answers, "c_custkey", "answer", dim, "cat", "html_content")
+        .orderBy("c_custkey")
+    })
+
   /** J6/A8: the eval pipeline — golden questions → answer stage → judge
     * stage → per-level rollup with grade banding, via `eval.Eval`. Truths
     * are synthesized so both contained (score 5), partially-overlapping
@@ -393,5 +427,5 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, j6Eval)
+    ask1Pipeline, ask2ShowTable, j6Eval)
 }

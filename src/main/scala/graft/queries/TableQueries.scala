@@ -126,6 +126,59 @@ object TableQueries extends QuerySet {
         .orderBy("table_id")
     })
 
+  /** HTML→(columns, rows) parsing — the vision-table ingestion step. The
+    * Spark side RENDERS deterministic HTML per region (with per-region
+    * dirt: ragged rows, extra cells, a body colspan, a header rowspan,
+    * nested tags, entities) and parses it back with
+    * `TableOps.parseHtmlTable`; the oracle derives the expected parse
+    * directly from the base nation columns — an independent ground truth
+    * that fails if any parsing step (tr/cell extraction, entity decode,
+    * pad/truncate, complex-flag forcing) is wrong. */
+  val p12HtmlParse = Q("p12_html_table_parse",
+    Some("""WITH exp AS (
+              SELECT n_regionkey,
+                string_agg(
+                  CASE WHEN n_regionkey = 1 AND n_nationkey % 2 = 1 THEN concat(n_name, ',')
+                       ELSE concat(n_name, ',c ', CAST(n_nationkey AS VARCHAR)) END,
+                  ';' ORDER BY n_nationkey) AS rows_all,
+                count(*) AS n_all
+              FROM nation GROUP BY n_regionkey)
+            SELECT n_regionkey,
+              CASE WHEN n_regionkey = 3 THEN '' ELSE 'name|comment&note' END AS cols,
+              CASE WHEN n_regionkey = 3 THEN 0 ELSE n_all END AS n_rows,
+              CASE WHEN n_regionkey = 3 THEN '' ELSE rows_all END AS rows_ser,
+              (n_regionkey = 3) AS has_complex_body,
+              (n_regionkey = 4) AS has_complex_header
+            FROM exp ORDER BY n_regionkey"""),
+    (s, d) => {
+      val n = nation(s, d)
+      val headerHtml = when(col("n_regionkey") === 4,
+          lit("<tr><th rowspan=\"2\"> name </th><th>comment&amp;note</th></tr>"))
+        .otherwise(lit("<tr><th> name </th><th>comment&amp;note</th></tr>"))
+      val td2 = concat(lit("<td>c "), col("n_nationkey").cast("string"), lit("</td>"))
+      val rowHtml =
+        when(col("n_nationkey") === 13, // region 3: one merged body row
+          lit("<tr><td colspan=\"2\">merged</td></tr>"))
+        .when(col("n_regionkey") === 1 && col("n_nationkey") % 2 === 1,
+          concat(lit("<tr><td><b>"), col("n_name"), lit("</b></td></tr>")))
+        .when(col("n_regionkey") === 2,
+          concat(lit("<tr><td><b>"), col("n_name"), lit("</b></td>"), td2, lit("<td>extra</td></tr>")))
+        .otherwise(concat(lit("<tr><td><b>"), col("n_name"), lit("</b></td>"), td2, lit("</tr>")))
+      val assembled = n
+        .groupBy(col("n_regionkey"), headerHtml.as("hdr"))
+        .agg(concat_ws("", sort_array(collect_list(struct(col("n_nationkey").as("k"), rowHtml.as("h"))))
+          .getField("h")).as("body"))
+        .select(col("n_regionkey"), concat(lit("<table>"), col("hdr"), col("body"), lit("</table>")).as("html"))
+      assembled
+        .withColumn("t", TableOps.parseHtmlTable(col("html")))
+        .select(col("n_regionkey"),
+          concat_ws("|", col("t.columns")).as("cols"),
+          size(col("t.rows")).cast("long").as("n_rows"),
+          concat_ws(";", transform(col("t.rows"), r => concat_ws(",", r))).as("rows_ser"),
+          col("t.has_complex_body"), col("t.has_complex_header"))
+        .orderBy("n_regionkey")
+    })
+
   /** F12: markdown rendering of a (columns, rows) table. */
   val f12Markdown = Q("f12_markdown_render",
     Some(s"""WITH t AS ($dirtyTablesSql)
@@ -212,5 +265,5 @@ object TableQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(tb1Clean, tb2Junk, j2HashDedup, a2TableCompute, f12Markdown,
-    f19Serialize, tx1Explode, w5SubTable)
+    f19Serialize, tx1Explode, w5SubTable, p12HtmlParse)
 }

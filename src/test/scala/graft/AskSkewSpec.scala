@@ -28,6 +28,38 @@ class AskSkewSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en"))
   }
 
+  test("ask with scoreFn composes embedding similarity into the pipeline") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        concat(lit("doc "), col("vec_id")).as("text"))
+    val qv = emb.filter(col("doc_id") === 0).select(col("embedding").as("qv"))
+    val corpus = emb.crossJoin(broadcast(qv))
+    val hits = Ask.ask(corpus, "doc_id", "text", "irrelevant keywords",
+      Ask.AskConfig(topK = 3, minScore = 0.0, semanticOnly = 0.0),
+      scoreFn = Some(graft.index.Embed.cosine(col("embedding"), col("qv"))))
+      .collect()
+    assert(hits.length == 3)
+    // the query vector itself must rank first under cosine scoring
+    assert(hits.head.getAs[Long]("doc_id") == 0L)
+    assert(math.abs(hits.head.getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("resolveShowTableTags substitutes, repeats, and strips unresolved") {
+    val answers = Seq(
+      (1L, "a [SHOW_TABLE:CAT=x] b [SHOW_TABLE:CAT=x] c"), // same tag twice
+      (2L, "see [SHOW_TABLE:CAT=y] and [SHOW_TABLE:CAT=missing]"),
+      (3L, "no tags here")).toDF("id", "answer")
+    val tables = Seq(("x", "<table>X</table>"), ("y", "<table>Y</table>"),
+      ("y", "<table>ZZZ-later</table>")).toDF("cat", "html")
+    val out = Ask.resolveShowTableTags(answers, "id", "answer", tables, "cat", "html")
+      .orderBy("id").collect().map(_.getAs[String]("answer"))
+    val wrapX = "<br><div class='table-responsive'><table>X</table></div><br>"
+    val wrapY = "<br><div class='table-responsive'><table>Y</table></div><br>"
+    assert(out(0) == s"a $wrapX b $wrapX c")
+    assert(out(1) == s"see $wrapY and ") // first-match on y; unresolved removed
+    assert(out(2) == "no tags here")
+  }
+
   test("qnaFallback accepts only close question matches") {
     val pairs = Seq(
       ("how do i reset the password", "use the reset link"),

@@ -76,4 +76,54 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("en", "de", "und"))
   }
+
+  test("parseHtmlTable: plain table, nested tags, entities, whitespace") {
+    val html = """<table>
+      <thead><tr><th> Item &amp; Co </th><th>Price</th></tr></thead>
+      <tbody><tr><td><b>apple  pie</b></td><td> 1.50 </td></tr>
+             <tr><td>bread&nbsp;loaf</td><td>2.00</td></tr></tbody></table>"""
+    val r = parsed(html)
+    assert(r.cols == Seq("Item & Co", "Price"))
+    assert(r.rows == Seq(Seq("apple pie", "1.50"), Seq("bread loaf", "2.00")))
+    assert(!r.complexBody && !r.complexHeader)
+  }
+
+  test("parseHtmlTable: ragged rows pad, long rows truncate to header width") {
+    val html = "<table><tr><th>a</th><th>b</th></tr>" +
+      "<tr><td>1</td></tr><tr><td>2</td><td>3</td><td>4</td></tr></table>"
+    val r = parsed(html)
+    assert(r.rows == Seq(Seq("1", ""), Seq("2", "3")))
+  }
+
+  test("parseHtmlTable: body colspan forces empty output with complex_body") {
+    val html = "<table><tr><th>a</th><th>b</th></tr>" +
+      "<tr><td colspan=\"2\">merged</td></tr><tr><td>x</td><td>y</td></tr></table>"
+    val r = parsed(html)
+    assert(r.cols.isEmpty && r.rows.isEmpty && r.complexBody)
+  }
+
+  test("parseHtmlTable: header rowspan flags complex_header but keeps data") {
+    val html = "<table><tr><th rowspan=\"2\">a</th><th>b</th></tr>" +
+      "<tr><td>x</td><td>y</td></tr></table>"
+    val r = parsed(html)
+    assert(r.cols == Seq("a", "b") && r.rows == Seq(Seq("x", "y")))
+    assert(r.complexHeader && !r.complexBody)
+  }
+
+  test("parseHtmlTable: header-only and cell-free tables are forced empty") {
+    val headerOnly = parsed("<table><tr><th>a</th><th>b</th></tr></table>")
+    assert(headerOnly.cols.isEmpty && headerOnly.rows.isEmpty && headerOnly.complexBody)
+    val noCells = parsed("<p>no table here</p>")
+    assert(noCells.cols.isEmpty && noCells.rows.isEmpty && !noCells.complexBody)
+  }
+
+  private case class ParsedTable(cols: Seq[String], rows: Seq[Seq[String]],
+                                 complexBody: Boolean, complexHeader: Boolean)
+
+  private def parsed(html: String): ParsedTable = {
+    val row = Seq(html).toDF("h").select(TableOps.parseHtmlTable(col("h")).as("t"))
+      .select("t.columns", "t.rows", "t.has_complex_body", "t.has_complex_header")
+      .collect()(0)
+    ParsedTable(row.getSeq[String](0), row.getSeq[Seq[String]](1), row.getBoolean(2), row.getBoolean(3))
+  }
 }
