@@ -353,6 +353,69 @@ object MiscQueries extends QuerySet {
         graft.query.Ask.AskConfig(topK = 5, stopwords = Seq("zzzz")))
       .select(col("doc_id"), round(col("score"), 6).as("score")))
 
+  /** §5.2: the full validator report (ref `ingestion/validator.py`
+    * validate_all) over the synthetic block model — every issue code with
+    * its violation count. The oracle recomputes each count from the same
+    * doc_id arithmetic the model plants violations with. */
+  val a13Validator = Q("a13_validator_report",
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN '' ELSE concat(source, '/', CAST(doc_id AS VARCHAR), '.pdf') END AS file_name,
+                CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 10 END AS pc
+              FROM documents),
+            blk AS (
+              SELECT doc_id, 'text' AS bt, text FROM documents
+              UNION ALL SELECT doc_id, 'text', text FROM documents WHERE doc_id % 29 = 0
+              UNION ALL SELECT doc_id, 'table', text FROM documents WHERE doc_id % 3 = 1
+              UNION ALL SELECT doc_id, 'image', text FROM documents WHERE doc_id % 3 = 2),
+            b AS (
+              SELECT blk.doc_id, bt,
+                CASE WHEN blk.doc_id % 19 = 0 THEN -1 WHEN blk.doc_id % 13 = 0 THEN 12 ELSE CAST(blk.doc_id % 10 AS INT) + 1 END AS page,
+                CASE WHEN blk.doc_id % 31 = 0 THEN 'x' ELSE text END AS content,
+                (blk.doc_id % 37 = 0) AS bbox_invalid,
+                (blk.doc_id % 41 = 0 AND blk.doc_id % 37 <> 0) AS bbox_oop,
+                (blk.doc_id % 5 = 0) AS no_section, (blk.doc_id % 7 = 0) AS no_role,
+                (blk.doc_id % 11 = 0) AS no_cols, (blk.doc_id % 47 = 0) AS no_rows,
+                (blk.doc_id % 43 = 0) AS ragged, (blk.doc_id % 53 = 0) AS no_cat,
+                (blk.doc_id % 59 = 0) AS no_path, m.pc
+              FROM blk JOIN m ON blk.doc_id = m.doc_id)
+            SELECT code, severity, n_violations FROM (
+              SELECT 'MISSING_DOC_ID' AS code, 'error' AS severity, (SELECT count(*) FILTER (doc_id IS NULL) FROM m) AS n_violations
+              UNION ALL SELECT 'MISSING_FILE_NAME', 'warning', (SELECT count(*) FILTER (file_name = '') FROM m)
+              UNION ALL SELECT 'INVALID_PAGE_COUNT', 'warning', (SELECT count(*) FILTER (pc <= 0) FROM m)
+              UNION ALL SELECT 'PAGE_COUNT_MISMATCH', 'warning', (SELECT count(*) FROM (SELECT doc_id, max(page) AS mp FROM b GROUP BY doc_id) x JOIN m ON x.doc_id = m.doc_id WHERE mp > pc)
+              UNION ALL SELECT 'MISSING_PAGE_COUNT', 'warning', CAST(0 AS BIGINT)
+              UNION ALL SELECT 'NO_TEXT_BLOCKS', 'error', (SELECT count(*) FROM m WHERE doc_id NOT IN (SELECT doc_id FROM b WHERE bt = 'text'))
+              UNION ALL SELECT 'DUPLICATE_TEXT_ID', 'warning', (SELECT count(*) FROM (SELECT doc_id FROM b WHERE bt = 'text' GROUP BY doc_id HAVING count(*) > 1) z)
+              UNION ALL SELECT 'DUPLICATE_TABLE_ID', 'warning', CAST(0 AS BIGINT)
+              UNION ALL SELECT 'DUPLICATE_IMAGE_ID', 'warning', CAST(0 AS BIGINT)
+              UNION ALL SELECT 'TEXT_PAGE_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'text' AND page <= 0) FROM b)
+              UNION ALL SELECT 'TEXT_PAGE_OUT_OF_RANGE', 'warning', (SELECT count(*) FILTER (bt = 'text' AND page > pc) FROM b)
+              UNION ALL SELECT 'TEXT_BLOCK_VERY_LONG', 'info', (SELECT count(*) FILTER (bt = 'text' AND length(content) > 500) FROM b)
+              UNION ALL SELECT 'TEXT_BLOCK_VERY_SHORT', 'info', (SELECT count(*) FILTER (bt = 'text' AND length(trim(content)) < 2) FROM b)
+              UNION ALL SELECT 'TEXT_BBOX_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'text' AND bbox_invalid) FROM b)
+              UNION ALL SELECT 'BBOX_OUT_OF_PAGE', 'warning', (SELECT count(*) FILTER (bt <> 'image' AND bbox_oop) FROM b)
+              UNION ALL SELECT 'TEXT_NO_SECTION', 'info', (SELECT count(*) FILTER (bt = 'text' AND no_section) FROM b)
+              UNION ALL SELECT 'TEXT_NO_ROLE', 'info', (SELECT count(*) FILTER (bt = 'text' AND no_role) FROM b)
+              UNION ALL SELECT 'TABLE_PAGE_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'table' AND page <= 0) FROM b)
+              UNION ALL SELECT 'TABLE_PAGE_OUT_OF_RANGE', 'warning', (SELECT count(*) FILTER (bt = 'table' AND page > pc) FROM b)
+              UNION ALL SELECT 'TABLE_NO_HEADER', 'warning', (SELECT count(*) FILTER (bt = 'table' AND no_cols AND NOT no_rows) FROM b)
+              UNION ALL SELECT 'TABLE_NO_ROWS', 'warning', (SELECT count(*) FILTER (bt = 'table' AND NOT no_cols AND no_rows) FROM b)
+              UNION ALL SELECT 'ROW_LEN_MISMATCH', 'warning', (SELECT count(*) FILTER (bt = 'table' AND NOT no_rows AND (no_cols OR ragged)) FROM b)
+              UNION ALL SELECT 'TABLE_BBOX_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'table' AND bbox_invalid) FROM b)
+              UNION ALL SELECT 'TABLE_NO_CATEGORY', 'info', (SELECT count(*) FILTER (bt = 'table' AND no_cat) FROM b)
+              UNION ALL SELECT 'IMAGE_NO_PATH', 'warning', (SELECT count(*) FILTER (bt = 'image' AND no_path) FROM b)
+              UNION ALL SELECT 'IMAGE_PAGE_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'image' AND page <= 0) FROM b)
+              UNION ALL SELECT 'IMAGE_PAGE_OUT_OF_RANGE', 'warning', (SELECT count(*) FILTER (bt = 'image' AND page > pc) FROM b)
+              UNION ALL SELECT 'DUPLICATE_DOC_ID', 'error', (SELECT count(*) FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1) z)
+              UNION ALL SELECT 'MISSING_DOC_FIELDS', 'error', (SELECT count(*) FILTER (doc_id IS NULL OR text IS NULL OR text = '' OR lang IS NULL OR lang = '') FROM documents)
+              UNION ALL SELECT 'ORDER_KEY_BROKEN_REF', 'error', (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT DISTINCT o_orderkey FROM orders) z)
+              UNION ALL SELECT 'CUST_KEY_BROKEN_REF', 'warning', (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders EXCEPT SELECT DISTINCT c_custkey FROM customer) z)
+              UNION ALL SELECT 'DISCOUNT_OUT_OF_RANGE', 'warning', (SELECT count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem)
+              UNION ALL SELECT 'NEGATIVE_PRICE', 'error', (SELECT count(*) FILTER (l_extendedprice < 0) FROM lineitem)
+            ) t ORDER BY code"""),
+    (s, d) => graft.eval.Validator.validateAll(s, d).orderBy("code"))
+
   /** §3.2 step 9: SHOW_TABLE tag resolution — answers carry
     * `[SHOW_TABLE:CAT=x]` tags (two per answer, one sometimes unresolvable)
     * that are extracted, first-match-joined to the region table dim, and
@@ -427,5 +490,5 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, j6Eval)
+    ask1Pipeline, ask2ShowTable, a13Validator, j6Eval)
 }

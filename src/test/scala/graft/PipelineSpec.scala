@@ -54,10 +54,16 @@ class PipelineSpec extends SparkSpec {
     val report = graft.eval.Validator.validateAll(spark, sf)
     val errs = report.filter(col("severity") === "error" && col("n_violations") > 0).count()
     assert(errs == 0, "testdata should be referentially clean")
+    assert(report.count() >= 15, "the suite must emit the full issue-code set")
     // planted violation check
     val dirty = Seq((1L, ""), (1L, "x")).toDF("doc_id", "text")
-    assert(graft.eval.Validator.duplicateIds(dirty, "doc_id") == 1)
-    assert(graft.eval.Validator.missingRequired(dirty, Seq("text")) == 1)
+    val dup = graft.eval.Validator.duplicateIdFrame(dirty, Seq("doc_id"), "D")
+      .collect()(0).getAs[Long]("n_violations")
+    assert(dup == 1)
+    val missing = graft.eval.Validator.checkFrame(dirty, Seq(
+      graft.eval.Validator.Check("M", "error", col("text").isNull || col("text") === "")))
+      .collect()(0).getAs[Long]("n_violations")
+    assert(missing == 1)
   }
 
   test("Eval deterministic judge scores containment > partial > miss, rolls up by level") {
