@@ -101,9 +101,12 @@ case class DifflibRatioExpr(left: Expression, right: Expression) extends BinaryE
 object GraftFunctions {
   val info = new ExpressionInfo(classOf[DifflibRatioExpr].getName, "difflib_ratio")
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "difflib_ratio", exprs => DifflibRatioExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDotExpr(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API without needing prior registration. */
   def difflib_ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(
@@ -114,9 +117,14 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("difflib_ratio"),
       GraftFunctions.info,
       (exprs: Seq[Expression]) => DifflibRatioExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
+      ArrayDot.info,
+      (exprs: Seq[Expression]) => ArrayDotExpr(exprs(0), exprs(1))))
+  }
 }

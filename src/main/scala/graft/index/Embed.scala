@@ -38,19 +38,29 @@ object Embed {
 
   /** L2-normalize an array<double> vector (null-safe; zero vector stays 0). */
   def l2Normalize(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    val norm = sqrt(norm2(vec))
     transform(vec, x => when(norm > 0, x / norm).otherwise(lit(0.0)))
   }
 
   /** Dot product of two equal-length numeric arrays — sequential fold in
-    * element order (deterministic IEEE result). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    * element order (deterministic IEEE result, bit-identical to the HOF
+    * `aggregate(zip_with(...))` formulation and DuckDB's
+    * `list_dot_product`). Runs as the native codegen'd `array_dot`
+    * expression (`graft.functions.ArrayDotExpr`) — the HOF chain is
+    * interpreted per row, which dominated the candidate-verify joins. */
+  def dot(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.GraftFunctions.register(spark)
+    call_function("array_dot", a, b)
+  }
+
+  /** Squared L2 norm as a self-dot (same codegen'd expression). */
+  def norm2(a: Column): Column = dot(a, a)
 
   /** Cosine similarity (vectors need not be pre-normalized). */
   def cosine(a: Column, b: Column): Column = {
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val na = sqrt(norm2(a))
+    val nb = sqrt(norm2(b))
     when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
 }

@@ -112,7 +112,7 @@ object Search {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val withNorm = sigd.select(col("id"), col("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("nrm", sqrt(Embed.norm2(col("v"))))
     cand
       .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
@@ -133,7 +133,7 @@ object Search {
     // norms once per row (O(N·d)), not once per pair (O(N²·d)): cosine over
     // the pair join then only costs the dot product
     val withNorm = index.select(col(blockCol).as("b"), col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("nrm", sqrt(Embed.norm2(col("v"))))
     val a = withNorm.select(col("b"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val bb = withNorm.select(col("b"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(bb, Seq("b"))
