@@ -94,27 +94,26 @@ object Validator {
       Check("MISSING_FILE_NAME", "warning", col("file_name").isNull || col("file_name") === ""),
       Check("INVALID_PAGE_COUNT", "warning", col("page_count").isNotNull && col("page_count") <= 0)))
 
-    val pcMismatch = issueCount(
-      blocks.groupBy("doc_id").agg(max(col("page")).as("_maxp"))
-        .join(broadcast(meta.select("doc_id", "page_count")), Seq("doc_id"))
-        .filter(col("_maxp") > col("page_count")),
-      "PAGE_COUNT_MISMATCH", "warning")
+    // per-doc rollup once, outer-joined to meta: PAGE_COUNT_MISMATCH,
+    // MISSING_PAGE_COUNT and NO_TEXT_BLOCKS share a single aggregation pass
+    val perDoc = meta.select(col("doc_id"), col("page_count"))
+      .join(blocks.groupBy("doc_id").agg(
+        max(col("page")).as("_maxp"),
+        max(col("page").isNotNull).as("_haspage"),
+        max(col("block_type") === "text").as("_hastext")), Seq("doc_id"), "left")
+    val docChecks = checkFrame(perDoc, Seq(
+      Check("PAGE_COUNT_MISMATCH", "warning", col("_maxp") > col("page_count")),
+      Check("MISSING_PAGE_COUNT", "warning",
+        col("page_count").isNull && coalesce(col("_haspage"), lit(false))),
+      Check("NO_TEXT_BLOCKS", "error", !coalesce(col("_hastext"), lit(false)))))
 
-    val missingPc = issueCount(
-      meta.filter(col("page_count").isNull)
-        .join(blocks.filter(col("page").isNotNull).select("doc_id").distinct(), Seq("doc_id"), "left_semi"),
-      "MISSING_PAGE_COUNT", "warning")
+    // all three per-type duplicate-id codes from one groupBy
+    val dupCounts = blocks.groupBy("block_type", "doc_id", "block_id")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+    val dups = checkFrame(dupCounts, Seq("text", "table", "image").map(t =>
+      Check(s"DUPLICATE_${t.toUpperCase}_ID", "warning", col("block_type") === t)))
 
-    val noText = issueCount(
-      meta.join(blocks.filter(col("block_type") === "text").select("doc_id").distinct(),
-        Seq("doc_id"), "left_anti"),
-      "NO_TEXT_BLOCKS", "error")
-
-    val dups = Seq("text", "table", "image").map(t =>
-      duplicateIdFrame(blocks.filter(col("block_type") === t), Seq("doc_id", "block_id"),
-        s"DUPLICATE_${t.toUpperCase}_ID"))
-
-    (Seq(metaChecks, pcMismatch, missingPc, noText) ++ dups :+ rowChecks).reduce(_ unionByName _)
+    Seq(metaChecks, docChecks, dups, rowChecks).reduce(_ unionByName _)
   }
 
   /** Synthetic block model over the documents table: every doc gets a text
