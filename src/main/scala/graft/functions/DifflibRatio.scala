@@ -106,6 +106,10 @@ object GraftFunctions {
       "difflib_ratio", exprs => DifflibRatioExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDotExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_mins", exprs => MinHashMinsExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBitsExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API without needing prior registration. */
@@ -126,5 +130,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
       ArrayDot.info,
       (exprs: Seq[Expression]) => ArrayDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_mins"),
+      MinHashMins.info,
+      (exprs: Seq[Expression]) => MinHashMinsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits"),
+      SimHashBits.info,
+      (exprs: Seq[Expression]) => SimHashBitsExpr(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass signature builders for the dedup family (SURVEY.md §4
+  * custom-Expression candidates; prompt family: deduplication).
+  *
+  * Both replace chains of interpreted higher-order expressions with a
+  * single compiled scan per row, byte-identical to the HOF formulations
+  * they replace (and therefore to the DuckDB oracle SQL, which mirrors
+  * those formulations):
+  *
+  *  - [[MinHashMinsExpr]]: the rotation-permutation MinHash — for
+  *    permutation i, the lexicographic min over shingle digests of the hex
+  *    string rotated by `(i*7)%31+1` chars. The HOF form runs one
+  *    interpreted transform+array_min pass per permutation; this runs all
+  *    permutations in one scan.
+  *  - [[SimHashBitsExpr]]: per-bit ±1 votes by the j-th hex char of each
+  *    token digest (≥ '8' votes +1), emitted as a 0/1 string. The HOF form
+  *    zip_withs a bits-wide counter array per token, interpreted.
+  */
+object SigExprs {
+
+  /** substring(h, r+1, 32-r) ++ substring(h, 1, r) — byte-exact mirror of
+    * the SQL rotation, general-length safe (md5 hex is always 32). */
+  private def rotated(h: Array[Byte], r: Int): UTF8String = {
+    val len = h.length
+    val c1 = math.max(0, math.min(32 - r, len - r))
+    val c2 = math.min(r, len)
+    val out = new Array[Byte](c1 + c2)
+    if (c1 > 0) System.arraycopy(h, r, out, 0, c1)
+    if (c2 > 0) System.arraycopy(h, 0, out, c1, c2)
+    UTF8String.fromBytes(out)
+  }
+
+  def minhashMins(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[AnyRef](numHashes)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      // array_min semantics: null elements are skipped
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getUTF8String(i).getBytes
+        var k = 0
+        while (k < numHashes) {
+          val u = rotated(h, (k * 7) % 31 + 1)
+          if (mins(k) == null || u.compareTo(mins(k).asInstanceOf[UTF8String]) < 0) mins(k) = u
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhashBits(hashes: ArrayData, bits: Int): UTF8String = {
+    val votes = new Array[Int](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i)) {
+        // HOF parity: a null digest votes -1 on every bit (when(null rlike…)
+        // falls through to otherwise(-1))
+        var j = 0
+        while (j < bits) { votes(j) -= 1; j += 1 }
+      } else {
+        val h = hashes.getUTF8String(i).getBytes
+        var j = 0
+        while (j < bits) {
+          // [89a-f] on lowercase hex; positions past the digest vote -1
+          val up = j < h.length && {
+            val c = h(j)
+            (c >= '8' && c <= '9') || (c >= 'a' && c <= 'f')
+          }
+          votes(j) += (if (up) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](bits)
+    var j = 0
+    while (j < bits) { out(j) = if (votes(j) >= 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** `minhash_mins(array<string>, n)` → array<string> of rotation-permutation
+  * minima. `n` must be a foldable integer literal. */
+case class MinHashMinsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_mins"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigExprs.minhashMins(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigExprs.minhashMins($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash_bits(array<string>, bits)` → 0/1 fingerprint string. */
+case class SimHashBitsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigExprs.simhashBits(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigExprs.simhashBits($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }
+object SimHashBits { val info = new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits") }

@@ -62,15 +62,17 @@ object Dedup {
 
   /** MinHash signature from pre-computed shingle digests: permutation i is
     * the lexicographic order of the hex string rotated by r(i) characters —
-    * one digest per shingle total, and each permutation-min is a cheap
-    * string-slice scan. Engine-portable (md5 + substring only). */
+    * one digest per shingle total. Engine-portable semantics (md5 +
+    * substring only, mirrored by the oracle SQL), executed as the native
+    * one-pass `minhash_mins` expression (`functions.MinHashMinsExpr`) —
+    * the HOF form runs one interpreted transform+array_min per
+    * permutation. */
   def rotationOffset(i: Int): Int = (i * 7) % 31 + 1
 
-  def minHashSignature(hashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      val r = rotationOffset(i)
-      array_min(transform(hashes, h => concat(substring(h, r + 1, 32 - r), substring(h, 1, r))))
-    }: _*)
+  def minHashSignature(hashes: Column, numHashes: Int): Column = {
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_mins", hashes, lit(numHashes))
+  }
 
   /** LSH band keys: split the signature into bands of `rowsPerBand`, hash
     * each band — docs sharing any band key are candidate pairs. */
@@ -122,16 +124,11 @@ object Dedup {
   def simHash(text: Column, bits: Int = 16): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
     val hashes = transform(toks, t => md5(t))
-    // single fold with a `bits`-wide counter array: the digest `h` is a
-    // bound lambda value, so md5 runs once per token (a per-bit aggregate
-    // would re-hash every token for every bit)
-    val zero = array_repeat(lit(0), bits)
-    val votes = aggregate(hashes, zero, (acc, h) =>
-      zip_with(acc,
-        transform(sequence(lit(1), lit(bits)),
-          j => when(substring(h, j, lit(1)).rlike("[89a-f]"), 1).otherwise(-1)),
-        (a, b) => a + b))
-    concat_ws("", transform(votes, v => when(v >= 0, "1").otherwise("0")))
+    // one compiled pass over the digests (`functions.SimHashBitsExpr`) —
+    // the HOF form zip_withs a bits-wide counter array per token,
+    // interpreted; md5 still runs once per token either way
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("simhash_bits", hashes, lit(bits))
   }
 
   /** n-gram Jaccard similarity between two texts. */
