@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (prompt family:
@@ -54,4 +55,62 @@ object TextAnalysis {
     * 1-hash MinHash usable as a near-dup blocking key. */
   def fingerprint(text: Column, shingleWidth: Int = 4): Column =
     array_min(transform(Dedup.wordShingles(text, shingleWidth), s => md5(s)))
+
+  /** Repetition stats (Gopher-style quality filters): per document, the
+    * duplicate-word fraction, the fraction of all word-bigrams taken by
+    * the most frequent bigram, and the longest run of one repeated token.
+    * Relational formulation — posexplode + windows + hash aggregates — so
+    * the heavy per-gram counting shuffles on doc_id and scales as a
+    * standard aggregation rather than an O(n²)-per-row array expression. */
+  def repetitionStats(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val base = df.select(idCol.as("doc_id"),
+      filter(split(lower(text), "\\s+"), t => t =!= "").as("toks"))
+    val e = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val seq2 = e
+      .withColumn("nxt", lead("w", 1).over(w))
+      .withColumn("brk", when(lag("w", 1).over(w) === col("w"), 0).otherwise(1))
+    val runs = seq2
+      .withColumn("run_id", sum("brk").over(w))
+      .groupBy("doc_id", "run_id").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id").agg(max("run_len").as("max_run"))
+    val words = e.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+    val bigrams = seq2.filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat(col("w"), lit(" "), col("nxt")).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").as("max_bg"), sum("n").as("tot_bg"))
+    words.join(runs, Seq("doc_id")).join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens")).as("dup_word_frac"),
+        coalesce(col("max_bg").cast("double") / col("tot_bg"), lit(0.0)).as("top_bigram_frac"),
+        col("max_run"))
+  }
+
+  /** Hex threshold for [[hashSamplePredicate]]: the first 8 hex digits of
+    * floor(rate·2³²), zero-padded to md5 width — lexicographic compare on
+    * lowercase hex equals numeric compare, so the predicate is portable to
+    * any engine with md5. */
+  def hexThreshold(rate: Double): String =
+    f"${math.floor(rate * 4294967296.0).toLong}%08x" + "0" * 24
+
+  /** Deterministic hash sampling: keep a row iff md5(key) falls below the
+    * rate threshold. Seedless and engine-portable — the same key always
+    * samples the same way, so reruns, retries, and cross-engine checks
+    * agree (a `rand()` sample would be none of those). */
+  def hashSamplePredicate(key: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else md5(key.cast("string")) < lit(hexThreshold(rate))
+
+  /** Stratified deterministic sampling — the data-mixing primitive: each
+    * stratum keeps its own rate (e.g. up-weight rare languages, downsample
+    * crawl dumps). */
+  def sampleByStrata(df: DataFrame, key: Column, stratum: Column,
+                     rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldRight(lit(hexThreshold(defaultRate)): Column) {
+      case ((s, r), rest) => when(stratum === s, lit(hexThreshold(r))).otherwise(rest)
+    }
+    df.filter(md5(key.cast("string")) < threshold)
+  }
 }

@@ -258,6 +258,59 @@ object TextQueries extends QuerySet {
         (sum(length(col("text"))).cast("long").cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy("lang"))
 
+  /** Repetition stats (Gopher-style quality filters): duplicate-word
+    * fraction, top-bigram fraction, longest same-token run — the
+    * training-data repetition signals, as explode+window+agg (shuffles on
+    * doc_id, no per-row quadratic array work). */
+  val x5Repetition = Q("x5_repetition_stats",
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            e AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+            s2 AS (
+              SELECT doc_id, pos, w,
+                lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+                CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos) = w THEN 0 ELSE 1 END AS brk
+              FROM e),
+            r AS (SELECT doc_id, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM s2),
+            runs AS (
+              SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM (
+                SELECT doc_id, run_id, count(*) AS run_len FROM r GROUP BY doc_id, run_id) z
+              GROUP BY doc_id),
+            words AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct FROM e GROUP BY doc_id),
+            bgs AS (
+              SELECT doc_id, max(n) AS max_bg, sum(n) AS tot_bg FROM (
+                SELECT doc_id, concat(w, ' ', nxt) AS g, count(*) AS n FROM s2 WHERE nxt IS NOT NULL
+                GROUP BY doc_id, g) z
+              GROUP BY doc_id)
+            SELECT words.doc_id, n_tokens,
+              CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
+              coalesce(CAST(max_bg AS DOUBLE) / tot_bg, 0.0) AS top_bigram_frac,
+              max_run
+            FROM words JOIN runs ON words.doc_id = runs.doc_id
+            LEFT JOIN bgs ON words.doc_id = bgs.doc_id
+            ORDER BY words.doc_id"""),
+    (s, d) => TextAnalysis.repetitionStats(documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id"))
+
+  /** Stratified deterministic sampling — the data-mixing primitive:
+    * per-language keep rates via seedless md5 thresholds, so the same doc
+    * always samples the same way in any engine. */
+  val x6Sample: Q = {
+    val rates = Seq("en" -> 0.5, "zh" -> 0.25)
+    val defaultRate = 0.1
+    val caseSql = rates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${TextAnalysis.hexThreshold(r)}'"
+    }.mkString("CASE lang ", " ", s" ELSE '${TextAnalysis.hexThreshold(defaultRate)}' END")
+    Q("x6_stratified_sample",
+      Some(s"""SELECT doc_id, lang FROM documents
+               WHERE md5(CAST(doc_id AS VARCHAR)) < $caseSql
+               ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.sampleByStrata(documents(s, d), col("doc_id"), col("lang"),
+          rates, defaultRate)
+        .select("doc_id", "lang").orderBy("doc_id"))
+  }
+
   /** Subword (BPE-ish) counting. */
   val x3Subword = Q("x3_subword_count",
     Some("""SELECT doc_id,
@@ -269,5 +322,5 @@ object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword)
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample)
 }

@@ -77,6 +77,29 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("en", "de", "und"))
   }
 
+  test("repetitionStats computes dup fraction, top bigram, longest run") {
+    val df = Seq(
+      (1L, "a b a b a b"),        // toks 6, distinct 2; bigram "a b" 3 of 5; runs all len 1
+      (2L, "x x x y z")           // toks 5, distinct 3; top bigram "x x" 2 of 4; run of x = 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 6 && math.abs(out(0).getDouble(2) - 4.0 / 6) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - 3.0 / 5) < 1e-12 && out(0).getLong(4) == 1)
+    assert(out(1).getLong(1) == 5 && math.abs(out(1).getDouble(2) - 2.0 / 5) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) - 2.0 / 4) < 1e-12 && out(1).getLong(4) == 3)
+  }
+
+  test("hash sampling is deterministic and tracks the rate") {
+    val df = spark.range(10000).toDF("id")
+    val kept = df.filter(TextAnalysis.hashSamplePredicate(col("id"), 0.25)).count()
+    assert(math.abs(kept / 10000.0 - 0.25) < 0.02, s"kept $kept of 10000 at rate 0.25")
+    val again = df.filter(TextAnalysis.hashSamplePredicate(col("id"), 0.25)).count()
+    assert(kept == again, "same keys must sample identically on rerun")
+    assert(df.filter(TextAnalysis.hashSamplePredicate(col("id"), 1.0)).count() == 10000)
+    assert(df.filter(TextAnalysis.hashSamplePredicate(col("id"), 0.0)).count() == 0)
+  }
+
   test("parseHtmlTable: plain table, nested tags, entities, whitespace") {
     val html = """<table>
       <thead><tr><th> Item &amp; Co </th><th>Price</th></tr></thead>
