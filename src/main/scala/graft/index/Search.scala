@@ -91,6 +91,21 @@ object Search {
                  queryRow: DataFrame, bucketCol: String = "bucket"): DataFrame =
     spark.read.parquet(indexPath).join(broadcast(queryRow), Seq(bucketCol))
 
+  /** Multi-probe pruned read: fan the query row out to every bucket within
+    * `maxHamming` bit flips of its own (the XOR masks are enumerated on
+    * the driver — at most 2^bits, and bits is small by construction), THEN
+    * join on the partition column. The scan still prunes — it lists the
+    * probed partition directories instead of one — which is how recall is
+    * bought back without giving up the pruned read. */
+  def readPrunedMultiProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                           queryRow: DataFrame, bits: Int, maxHamming: Int,
+                           bucketCol: String = "bucket"): DataFrame = {
+    val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
+    val probes = queryRow.withColumn(bucketCol,
+      explode(array(masks.map(m => col(bucketCol).bitwiseXOR(lit(m))): _*)))
+    spark.read.parquet(indexPath).join(broadcast(probes), Seq(bucketCol))
+  }
+
   /** Scale-safe near-duplicate pair generation: candidates must share at
     * least one SRP band (`bitsPerBand` bits of a `numBands*bitsPerBand`-bit
     * signature), then exact cosine ≥ threshold verifies every candidate.

@@ -79,6 +79,36 @@ class AnnPruneSpec extends SparkSpec {
       reference.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("multi-probe pruned read scans neighbor buckets only, matches in-scan multi-probe") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec_srp"
+    Search.writePartitionedIndex(emb, Search.srpBucket(col("embedding"), dim, bits), out)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), Search.srpBucket(col("embedding"), dim, bits).as("bucket"))
+    val pruned = Search.readPrunedMultiProbe(spark, out, q, bits, maxHamming = 1)
+      .withColumn("score", Embed.dot(col("embedding"), transform(col("qv"), x => x.cast("double"))))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+    val scan = indexScan(pruned)
+    assert(scan.partitionFilters.nonEmpty)
+    // probes = bucket + `bits` single-flip neighbors; must stay under the full index
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = {
+      import java.nio.file._
+      val s = Files.walk(Paths.get(out))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(filesRead <= bits + 1 && filesRead < totalFiles,
+      s"multi-probe read $filesRead of $totalFiles files")
+    val reference = Search.lshTopK(
+      emb.crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")))),
+      "embedding", "vec_id", transform(col("qv"), x => x.cast("double")), dim, bits, 5, maxHamming = 1)
+      .select(col("vec_id"), round(col("score"), 6).as("score")).collect()
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      reference.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("IVF index written partitionBy(cell) prunes the same way") {
     val emb = graft.tables.TestTables.embeddings(spark, sf)
     val centroids: Seq[Seq[Double]] = {
