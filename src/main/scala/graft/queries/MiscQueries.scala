@@ -353,6 +353,43 @@ object MiscQueries extends QuerySet {
         graft.query.Ask.AskConfig(topK = 5, stopwords = Seq("zzzz")))
       .select(col("doc_id"), round(col("score"), 6).as("score")))
 
+  /** Skew tooling, oracle-checked: the two-phase salted aggregation must
+    * be indistinguishable from a plain GROUP BY (the salt only spreads the
+    * hot key over more reducers). Values aggregate as integer cents so the
+    * partial→final re-aggregation is exact and order-independent — a
+    * salted double sum would be bit-nondeterministic. */
+  val k1SaltedAgg = Q("k1_salted_agg",
+    Some("""SELECT user_id,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents,
+              count(*) AS n
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      val cents = events(s, d).select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+      graft.ops.Skew.saltedAgg(cents, Seq("user_id"), saltBuckets = 8,
+          aggs = Map("value_cents" -> "sum"))
+        .join(events(s, d).groupBy("user_id").agg(count(lit(1)).as("n")), Seq("user_id"))
+        .select(col("user_id"), col("sum_value_cents"), col("n"))
+        .orderBy("user_id")
+    })
+
+  /** Replicated-dim skew join vs the plain join it must equal: events
+    * joined to the customer dim with the three hottest users replicated. */
+  val k2SkewJoin = Q("k2_skew_join",
+    Some("""SELECT c_mktsegment, count(*) AS n,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    (s, d) => {
+      val fact = events(s, d).select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+      val dim = customer(s, d).select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ops.Skew.skewJoin(fact, dim, "user_id", hotKeys = Seq(1L, 2L, 3L), saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_value_cents"))
+        .orderBy("c_mktsegment")
+    })
+
   /** §5.2: the full validator report (ref `ingestion/validator.py`
     * validate_all) over the synthetic block model — every issue code with
     * its violation count. The oracle recomputes each count from the same
@@ -490,5 +527,5 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, a13Validator, j6Eval)
+    ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, j6Eval)
 }
