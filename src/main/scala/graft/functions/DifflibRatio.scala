@@ -110,6 +110,8 @@ object GraftFunctions {
       "minhash_mins", exprs => MinHashMinsExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_bits", exprs => SimHashBitsExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API without needing prior registration. */
@@ -138,5 +140,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits"),
       SimHashBits.info,
       (exprs: Seq[Expression]) => SimHashBitsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("char_ngrams"),
+      CharNgrams.info,
+      (exprs: Seq[Expression]) => CharNgramsExpr(exprs(0), exprs(1))))
   }
 }

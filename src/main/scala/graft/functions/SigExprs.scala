@@ -57,6 +57,27 @@ object SigExprs {
     new GenericArrayData(mins)
   }
 
+  /** Distinct character n-grams in first-occurrence order — code-point
+    * stepping (matches SQL substring semantics and the previous
+    * split("")+zip_with formulation on BMP text); a text shorter than n
+    * yields itself as the single gram. */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val total = cps.length
+    if (total < n) return new GenericArrayData(Array[Any](text))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= total) {
+      seen.add(new String(cps, i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def simhashBits(hashes: ArrayData, bits: Int): UTF8String = {
     val votes = new Array[Int](bits)
     val n = hashes.numElements()
@@ -120,5 +141,21 @@ case class SimHashBitsExpr(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** `char_ngrams(string, n)` → array<string> of distinct n-grams. */
+case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigExprs.charNgrams(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigExprs.charNgrams($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }
 object SimHashBits { val info = new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits") }
+object CharNgrams { val info = new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams") }

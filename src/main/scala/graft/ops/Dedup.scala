@@ -40,19 +40,14 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** Character n-grams of a text (distinct). Zip-shifted over a one-time
-    * char split: `substring(text, i, n)` per position is O(i) on
-    * UTF8String (it scans for the char offset), making the naive form
-    * quadratic per document. */
+  /** Character n-grams of a text (distinct, first-occurrence order).
+    * Native one-pass expression (`functions.CharNgramsExpr`) — the HOF
+    * zip-shift form ran interpreted array passes per document, and a
+    * per-position `substring(text, i, n)` would be quadratic on
+    * UTF8String (each call scans for the char offset). */
   def charNgrams(text: Column, n: Int): Column = {
-    val chars = split(text, "")
-    val len = size(chars)
-    val joined = (2 to n).foldLeft(chars) { (acc, k) =>
-      zip_with(acc, slice(chars, lit(k), greatest(len - k + 1, lit(0))), (a, b) => concat(a, b))
-    }
-    array_distinct(
-      when(len >= n, slice(joined, lit(1), len - n + 1))
-      .otherwise(array(text)))
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("char_ngrams", text, lit(n))
   }
 
   /** md5 per shingle — materialize this as its own column (one pass) and
