@@ -110,6 +110,24 @@ class StreamingSpec extends SparkSpec {
     assert(lastN.length == 5)
   }
 
+  test("text-analysis + sampling ops run unchanged under structured streaming") {
+    // map-only operators (quality score, language id, hash sampling, native
+    // signatures) must be streamable as-is: same expressions, same rows
+    val dir = "/tmp/graft_stream_docs"
+    val docs = graft.tables.TestTables.documents(spark, sf)
+    docs.write.mode("overwrite").parquet(dir)
+    val streamDocs = spark.readStream.schema(docs.schema).parquet(dir)
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .filter(graft.ops.TextAnalysis.hashSamplePredicate(col("doc_id"), 0.5))
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of")).as("quality"),
+        graft.ops.Dedup.simHash(col("text"), 16).as("sim"))
+    val streamed = runToMemory(enrich(streamDocs), "ta_out", "append")
+    val batch = enrich(docs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
