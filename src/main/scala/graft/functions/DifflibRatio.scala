@@ -112,6 +112,8 @@ object GraftFunctions {
       "simhash_bits", exprs => SimHashBitsExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API without needing prior registration. */
@@ -144,5 +146,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("char_ngrams"),
       CharNgrams.info,
       (exprs: Seq[Expression]) => CharNgramsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      WordShingles.info,
+      (exprs: Seq[Expression]) => WordShinglesExpr(exprs(0), exprs(1))))
   }
 }

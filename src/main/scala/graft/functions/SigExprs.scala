@@ -78,6 +78,32 @@ object SigExprs {
     new GenericArrayData(out)
   }
 
+  /** Distinct space-joined word w-shingles in first-occurrence order;
+    * fewer than w tokens yield the whole token list as one shingle (the
+    * zip-shift HOF fallback semantics, concat_ws-style). */
+  def wordShingles(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = toks.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    if (n < w)
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(sep, words: _*)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i + w <= n) {
+      val slice = new Array[UTF8String](w)
+      System.arraycopy(words, i, slice, 0, w)
+      seen.add(UTF8String.concatWs(sep, slice: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def simhashBits(hashes: ArrayData, bits: Int): UTF8String = {
     val votes = new Array[Int](bits)
     val n = hashes.numElements()
@@ -156,6 +182,22 @@ case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** `word_shingles(array<string>, w)` → array<string> of distinct shingles. */
+case class WordShinglesExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigExprs.wordShingles(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigExprs.wordShingles($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShingles { val info = new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles") }
 object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }
 object SimHashBits { val info = new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits") }
 object CharNgrams { val info = new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams") }

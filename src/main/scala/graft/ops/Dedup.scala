@@ -26,18 +26,14 @@ object Dedup {
   }
 
   /** Word w-shingles of a text (distinct, whitespace-tokenized, lowercase).
-    * Built by zipping the token array against its shifted tails — each zip
-    * is one linear pass, vs. a per-position `slice` allocation (O(n·w)
-    * array churn) for the index-based form. Same output values. */
+    * Native one-pass expression (`functions.WordShinglesExpr`); the
+    * tokenize stays a HOF (split+filter), the shingle build and distinct
+    * run compiled. Fewer than w tokens yield the space-joined token list
+    * as the single shingle (the previous zip-shift fallback). */
   def wordShingles(text: Column, w: Int): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
-    val n = size(toks)
-    val joined = (2 to w).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k), greatest(n - k + 1, lit(0))), (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(
-      when(n >= w, slice(joined, lit(1), n - w + 1))
-      .otherwise(array(concat_ws(" ", toks))))
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("word_shingles", toks, lit(w))
   }
 
   /** Character n-grams of a text (distinct, first-occurrence order).
