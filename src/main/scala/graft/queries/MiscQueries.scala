@@ -390,6 +390,26 @@ object MiscQueries extends QuerySet {
         .orderBy("c_mktsegment")
     })
 
+  /** Bucketed-table co-located join, oracle-checked end-to-end: both sides
+    * persist `bucketBy(8, doc_id)` (`io.Bundle.writeBucketedTable`) and the
+    * join result must equal the plain join — BundlePipelineSpec asserts
+    * the exchange-free SMJ plan; this query pins the values. */
+  val k3Bucketed = Q("k3_bucketed_join",
+    Some("""SELECT lang, count(*) AS n, CAST(sum(label) AS BIGINT) AS sum_label
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val suffix = Integer.toHexString(d.hashCode)
+      val tD = s"graft_bdocs_$suffix"; val tE = s"graft_bemb_$suffix"
+      graft.io.Bundle.writeBucketedTable(documents(s, d).select("doc_id", "lang"), tD, "doc_id", buckets = 8)
+      graft.io.Bundle.writeBucketedTable(
+        embeddings(s, d).select(col("vec_id").as("doc_id"), col("label")), tE, "doc_id", buckets = 8)
+      s.table(tD).join(s.table(tE), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("label").cast("long")).as("sum_label"))
+        .orderBy("lang")
+    })
+
   /** §5.2: the full validator report (ref `ingestion/validator.py`
     * validate_all) over the synthetic block model — every issue code with
     * its violation count. The oracle recomputes each count from the same
@@ -527,5 +547,5 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, j6Eval)
+    ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval)
 }
