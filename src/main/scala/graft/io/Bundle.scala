@@ -91,8 +91,18 @@ object Bundle {
     * key every query (blocks ⋈ chunks ⋈ embeddings on doc/chunk id).
     * Requires a table catalog (saveAsTable); plain parquet paths cannot
     * carry bucket metadata. */
-  def writeBucketedTable(df: DataFrame, table: String, key: String, buckets: Int = 64): Unit =
+  def writeBucketedTable(df: DataFrame, table: String, key: String, buckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    // a stale warehouse dir with no catalog entry (e.g. from a previous
+    // session) makes saveAsTable fail with LOCATION_ALREADY_EXISTS — drop
+    // the table AND clear the leftover location
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 }
