@@ -19,9 +19,11 @@ object SparkEntry {
   private lazy val catalog: Seq[Q] = querySets.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full lifecycle in one DAG (SURVEY §3.1 + §3.2): synthesize text
-    * blocks → ingest pipeline (clean → order → sections → chunk → dedup →
-    * embed) → retrieval over the chunk index (score → filter → top-k). */
+    * The full lifecycle in one DAG (SURVEY §3.1 + §3.2 steps 1–9):
+    * synthesize text blocks → ingest pipeline (clean → order → sections →
+    * chunk → dedup → embed) → retrieval over the chunk index (score →
+    * filter → top-k) → answer assembly with `[SHOW_TABLE:CAT=…]` tags
+    * resolved against the per-section table dim (step 9). */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     val blocks = graft.pipeline.IngestPipeline.blocksFromDocuments(spark, d)
@@ -29,10 +31,17 @@ object SparkEntry {
       // chunk_id is only unique per doc — Ask's top-k tiebreak needs a
       // globally unique id for deterministic results
       .withColumn("uid", concat_ws("#", col("doc_id"), col("chunk_id")))
-    graft.query.Ask.ask(chunks, "uid", "content", "spark join stream",
+    val hits = graft.query.Ask.ask(chunks, "uid", "content", "spark join stream",
         graft.query.Ask.AskConfig(topK = 10))
-      .select(col("doc_id"), col("chunk_id"), col("section"), col("score"),
-        substring(col("content"), 1, 120).as("snippet"))
+    // step 9: each hit's draft answer embeds a table tag for its section;
+    // the section dim supplies the substituted HTML
+    val answers = hits.select(col("uid"), col("doc_id"), col("chunk_id"), col("score"),
+      concat(substring(col("content"), 1, 120),
+        lit(" [SHOW_TABLE:CAT="), col("section"), lit("]")).as("answer"))
+    val sectionDim = chunks.select(col("section").as("cat"),
+      concat(lit("<table><tr><td>"), col("section"), lit("</td></tr></table>")).as("html")).distinct()
+    graft.query.Ask.resolveShowTableTags(answers, "uid", "answer", sectionDim, "cat", "html")
+      .select(col("doc_id"), col("chunk_id"), col("score"), col("answer"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
