@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,6 +32,28 @@ object Multimodal {
         (length(col(payloadCol)) % 640).cast("int").as("width"),
         (length(col(payloadCol)) % 480).cast("int").as("height"),
         length(col(payloadCol)).cast("long").as("n_bytes")))
+
+  /** REAL header-level metadata decode — no codec required: container
+    * formats carry their dimensions in fixed magic-byte layouts, so width/
+    * height parse as pure byte expressions (substring + hex + conv stay in
+    * codegen; planning never touches more than the first 26 payload
+    * bytes). PNG (IHDR, big-endian), GIF (screen descriptor,
+    * little-endian), BMP (BITMAPINFOHEADER, little-endian); anything else
+    * → null (the pixel decode itself stays a [[FeatureExtractor]] stage). */
+  def imageDims(payload: Column): Column = {
+    def be(pos: Int, len: Int) =
+      conv(hex(substring(payload, pos, len)), 16, 10).cast("int")
+    def le(pos: Int, len: Int) =
+      conv(concat((pos + len - 1 to pos by -1).map(i => hex(substring(payload, i, 1))): _*), 16, 10).cast("int")
+    val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    val sig6 = substring(payload, 1, 6).cast("string")
+    val isGif = sig6 === "GIF87a" || sig6 === "GIF89a"
+    val isBmp = substring(payload, 1, 2).cast("string") === "BM"
+    when(isPng, struct(lit("png").as("format"), be(17, 4).as("width"), be(21, 4).as("height")))
+      .when(isGif, struct(lit("gif").as("format"), le(7, 2).as("width"), le(9, 2).as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"), le(19, 4).as("width"), le(23, 4).as("height")))
+      .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
+  }
 
   /** Batch feature-extraction contract over raw payload bytes. */
   trait FeatureExtractor extends Serializable {

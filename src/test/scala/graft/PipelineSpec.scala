@@ -50,6 +50,25 @@ class PipelineSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") >= col("media_meta.n_bytes")).count() == 0)
   }
 
+  test("imageDims parses real PNG/GIF/BMP headers from raw bytes") {
+    def be4(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le(v: Int, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D.toByte, 0x0A.toByte,
+      0x1A.toByte, 0x0A.toByte) ++ be4(13) ++ "IHDR".getBytes ++ be4(640) ++ be4(480) ++ Array(8.toByte)
+    val gif = "GIF89a".getBytes ++ le(320, 2) ++ le(200, 2) ++ Array(0.toByte)
+    val bmp = "BM".getBytes ++ Array.fill(16)(0.toByte) ++ le(1024, 4) ++ le(768, 4)
+    val junk = "not an image at all".getBytes
+    val rows = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("junk", junk)).toDF("name", "payload")
+      .select(col("name"), Multimodal.imageDims(col("payload")).as("d"))
+      .select("name", "d.format", "d.width", "d.height")
+      .collect().map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(rows("png") == (("png", 640, 480)))
+    assert(rows("gif") == (("gif", 320, 200)))
+    assert(rows("bmp") == (("bmp", 1024, 768)))
+    assert(rows("junk")._1 == null)
+  }
+
   test("Validator passes clean testdata and counts planted violations") {
     val report = graft.eval.Validator.validateAll(spark, sf)
     val errs = report.filter(col("severity") === "error" && col("n_violations") > 0).count()
