@@ -68,4 +68,89 @@ class PropertySpec extends SparkSpec {
     val exact = docs.select(col("doc_id")).distinct().count()
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  // ---- native expressions ≡ the HOF formulations they replaced ----
+  // The oracle only exercises the test corpus; these pin the equivalence on
+  // seeded random inputs including unicode, repeats, empties, and the
+  // short-input fallbacks.
+
+  private def randomTexts(n: Int, unicode: Boolean): Seq[String] = {
+    val words = Seq("spark", "join", "δédüp", "流", "a", "bb", "x1", "", "the")
+    Seq.fill(n)((0 until rng.nextInt(24)).map { _ =>
+      if (unicode) words(rng.nextInt(words.length)) else words(rng.nextInt(4) max 3)
+    }.mkString(" "))
+  }
+
+  test("array_dot equals the interpreted aggregate(zip_with) fold bit-for-bit") {
+    val vecs = Seq.fill(150)(Seq.fill(16)(rng.nextGaussian().toFloat))
+    val pairs = vecs.zip(vecs.reverse).toDF("a", "b")
+    val out = pairs.select(
+      graft.index.Embed.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    assert(out.forall(r => java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("minhash_mins equals per-rotation array_min over rotated digests") {
+    val df = randomTexts(120, unicode = false).toDF("t")
+      .withColumn("hs", transform(split(col("t"), " "), x => md5(x)))
+    val native = df.select(Dedup.minHashSignature(col("hs"), 4).as("sig"))
+    val hof = df.select(array((0 until 4).map { i =>
+      val r = Dedup.rotationOffset(i)
+      array_min(transform(col("hs"), h => concat(substring(h, r + 1, 32 - r), substring(h, 1, r))))
+    }: _*).as("sig"))
+    assert(native.collect().map(_.getSeq[String](0)).toSeq ==
+      hof.collect().map(_.getSeq[String](0)).toSeq)
+  }
+
+  test("simhash_bits equals the zip_with vote fold") {
+    val texts = randomTexts(120, unicode = true)
+    val native = texts.toDF("t").select(Dedup.simHash(col("t"), 16).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    val hof = texts.toDF("t").select({
+      val toks = filter(split(lower(col("t")), "\\s+"), t => t =!= "")
+      val hashes = transform(toks, t => md5(t))
+      val votes = aggregate(hashes, array_repeat(lit(0), 16), (acc, h) =>
+        zip_with(acc,
+          transform(sequence(lit(1), lit(16)),
+            j => when(substring(h, j, lit(1)).rlike("[89a-f]"), 1).otherwise(-1)),
+          (a, b) => a + b))
+      concat_ws("", transform(votes, v => when(v >= 0, "1").otherwise("0"))).as("s")
+    }).collect().map(_.getString(0)).toSeq
+    assert(native == hof)
+  }
+
+  test("char_ngrams equals the zip-shift + array_distinct formulation (incl. unicode)") {
+    val texts = randomTexts(150, unicode = true)
+    val native = texts.toDF("t").select(Dedup.charNgrams(lower(col("t")), 3).as("g"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val hof = texts.toDF("t").select({
+      val chars = split(lower(col("t")), "")
+      val len = size(chars)
+      val joined = (2 to 3).foldLeft(chars) { (acc, k) =>
+        zip_with(acc, slice(chars, lit(k), greatest(len - k + 1, lit(0))), (a, b) => concat(a, b))
+      }
+      array_distinct(
+        when(len >= 3, slice(joined, lit(1), len - 3 + 1)).otherwise(array(lower(col("t"))))).as("g")
+    }).collect().map(_.getSeq[String](0)).toSeq
+    assert(native == hof)
+  }
+
+  test("word_shingles equals the zip-shift formulation (incl. short-text fallback)") {
+    val texts = randomTexts(150, unicode = true)
+    val native = texts.toDF("t").select(Dedup.wordShingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val hof = texts.toDF("t").select({
+      val toks = filter(split(lower(col("t")), "\\s+"), t => t =!= "")
+      val n = size(toks)
+      val joined = (2 to 3).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), greatest(n - k + 1, lit(0))), (a, b) => concat(a, lit(" "), b))
+      }
+      array_distinct(
+        when(n >= 3, slice(joined, lit(1), n - 3 + 1)).otherwise(array(concat_ws(" ", toks)))).as("s")
+    }).collect().map(_.getSeq[String](0)).toSeq
+    assert(native == hof)
+  }
 }
