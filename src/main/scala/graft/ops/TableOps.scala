@@ -61,6 +61,25 @@ object TableOps {
     }
   }
 
+  /** Table-role rule (ref `ingestion/semantic_enricher.py:433-451`):
+    * transaction_table when a date-ish and an amount-ish header co-occur,
+    * summary_table on summary keywords anywhere in the joined header,
+    * other_table otherwise. Thai keywords included as in the reference. */
+  def tableRole(columns: Column): Column = {
+    val lowered = transform(columns, c => lower(c))
+    def anyHeader(keys: Seq[String]) =
+      keys.map(k => exists(lowered, h => h.contains(k))).reduce(_ || _)
+    val hasDate = anyHeader(Seq("date", "วันที่"))
+    val hasAmount = anyHeader(Seq("amount", "ยอดเงิน", "debit",
+      "credit", "ยอดคงเหลือ", "balance"))
+    val joined = concat_ws(" ", lowered)
+    val isSummary = Seq("summary", "สรุป", "total", "รวม")
+      .map(k => joined.contains(k)).reduce(_ || _)
+    when(hasDate && hasAmount, "transaction_table")
+      .when(isSummary, "summary_table")
+      .otherwise("other_table")
+  }
+
   /** A2: numeric column aggregate over exploded rows — parse cell `colIdx`
     * as a number and aggregate per table. Trust gate applied by caller. */
   def computeFromTable(df: DataFrame, tableId: Column, rows: Column, colIdx: Int): DataFrame =

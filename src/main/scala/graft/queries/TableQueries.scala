@@ -179,6 +179,30 @@ object TableQueries extends QuerySet {
         .orderBy("n_regionkey")
     })
 
+  /** F22: table-role classification (ref `semantic_enricher.py:433-451`) —
+    * per-region synthetic headers exercise the transaction (date+amount,
+    * incl. Thai keywords), summary, and fallback branches; the oracle
+    * derives the expected role directly from the region key. */
+  val f22TableRole = Q("f22_table_role",
+    Some("""SELECT r_regionkey,
+              CASE r_regionkey
+                WHEN 0 THEN 'transaction_table'
+                WHEN 1 THEN 'summary_table'
+                WHEN 3 THEN 'transaction_table'
+                WHEN 4 THEN 'summary_table'
+                ELSE 'other_table' END AS role
+            FROM region ORDER BY r_regionkey"""),
+    (s, d) => {
+      val headers =
+        when(col("r_regionkey") === 0, array(lit("Date"), lit("Amount"), lit("Notes")))
+        .when(col("r_regionkey") === 1, array(lit("Item"), lit("Grand Total")))
+        .when(col("r_regionkey") === 3, array(lit("วันที่"), lit("Balance")))
+        .when(col("r_regionkey") === 4, array(lit("สรุปยอด"), lit("x")))
+        .otherwise(array(lit("name"), lit("key")))
+      region(s, d).select(col("r_regionkey"), TableOps.tableRole(headers).as("role"))
+        .orderBy("r_regionkey")
+    })
+
   /** F12: markdown rendering of a (columns, rows) table. */
   val f12Markdown = Q("f12_markdown_render",
     Some(s"""WITH t AS ($dirtyTablesSql)
@@ -265,5 +289,5 @@ object TableQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(tb1Clean, tb2Junk, j2HashDedup, a2TableCompute, f12Markdown,
-    f19Serialize, tx1Explode, w5SubTable, p12HtmlParse)
+    f19Serialize, tx1Explode, w5SubTable, p12HtmlParse, f22TableRole)
 }
