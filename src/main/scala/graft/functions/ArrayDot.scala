@@ -24,6 +24,10 @@ import org.apache.spark.sql.types._
 case class ArrayDotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+  // null is produced for length mismatch / null elements even when both
+  // children are non-nullable — without this override consumers may skip
+  // the isNull check and read the uninitialized 0.0 slot
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType

@@ -101,7 +101,17 @@ case class DifflibRatioExpr(left: Expression, right: Expression) extends BinaryE
 object GraftFunctions {
   val info = new ExpressionInfo(classOf[DifflibRatioExpr].getName, "difflib_ratio")
 
+  // once-per-session guard: column builders call register() on every
+  // construction (srpBucket alone builds 16+ dot columns), and repeated
+  // registry mutation is wasted work. NOTE: builders resolve the session
+  // via SparkSession.active — in a multi-session app, register explicitly
+  // on each session (or install GraftExtensions cluster-wide).
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "difflib_ratio", exprs => DifflibRatioExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

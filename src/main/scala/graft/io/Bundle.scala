@@ -97,8 +97,15 @@ object Bundle {
     // session) makes saveAsTable fail with LOCATION_ALREADY_EXISTS — drop
     // the table AND clear the leftover location
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // mirror the metastore's location convention: lowercase names,
+    // databases as <db>.db/ directories
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val relative = table.toLowerCase.split('.') match {
+      case Array(db, t) => s"$db.db/$t"
+      case Array(t) => t
+      case parts => parts.mkString("/")
+    }
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$relative")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -41,17 +41,25 @@ object Multimodal {
     * little-endian), BMP (BITMAPINFOHEADER, little-endian); anything else
     * → null (the pixel decode itself stays a [[FeatureExtractor]] stage). */
   def imageDims(payload: Column): Column = {
+    // parse as LONG (8 hex digits can exceed Int.MaxValue; an ANSI int
+    // cast would throw CAST_OVERFLOW on e.g. a top-down BMP's negative
+    // two's-complement height), then sign-fold and validate
     def be(pos: Int, len: Int) =
-      conv(hex(substring(payload, pos, len)), 16, 10).cast("int")
+      conv(hex(substring(payload, pos, len)), 16, 10).cast("long")
     def le(pos: Int, len: Int) =
-      conv(concat((pos + len - 1 to pos by -1).map(i => hex(substring(payload, i, 1))): _*), 16, 10).cast("int")
+      conv(concat((pos + len - 1 to pos by -1).map(i => hex(substring(payload, i, 1))): _*), 16, 10).cast("long")
+    def signed32(v: Column) = when(v > Int.MaxValue, v - 4294967296L).otherwise(v)
+    // a plausible dimension: positive and within 2^31-1; BMP height is
+    // two's-complement (negative = top-down rows) → absolute value
+    def dim(v: Column) = when(v >= 1 && v <= Int.MaxValue, v.cast("int"))
+    def bmpDim(v: Column) = dim(abs(signed32(v)))
     val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val sig6 = substring(payload, 1, 6).cast("string")
     val isGif = sig6 === "GIF87a" || sig6 === "GIF89a"
     val isBmp = substring(payload, 1, 2).cast("string") === "BM"
-    when(isPng, struct(lit("png").as("format"), be(17, 4).as("width"), be(21, 4).as("height")))
-      .when(isGif, struct(lit("gif").as("format"), le(7, 2).as("width"), le(9, 2).as("height")))
-      .when(isBmp, struct(lit("bmp").as("format"), le(19, 4).as("width"), le(23, 4).as("height")))
+    when(isPng, struct(lit("png").as("format"), dim(be(17, 4)).as("width"), dim(be(21, 4)).as("height")))
+      .when(isGif, struct(lit("gif").as("format"), dim(le(7, 2)).as("width"), dim(le(9, 2)).as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"), bmpDim(le(19, 4)).as("width"), bmpDim(le(23, 4)).as("height")))
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
   }
 

@@ -90,9 +90,14 @@ object TextAnalysis {
   /** Hex threshold for [[hashSamplePredicate]]: the first 8 hex digits of
     * floor(rate·2³²), zero-padded to md5 width — lexicographic compare on
     * lowercase hex equals numeric compare, so the predicate is portable to
-    * any engine with md5. */
+    * any engine with md5. Clamped: rate ≥ 1 yields "g" (greater than every
+    * hex digest → keep all; an unclamped 2³² would format as NINE hex
+    * digits and silently keep only digests starting with '0'); rate ≤ 0
+    * yields "" (below every digest → keep none). */
   def hexThreshold(rate: Double): String =
-    f"${math.floor(rate * 4294967296.0).toLong}%08x" + "0" * 24
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) ""
+    else f"${math.floor(rate * 4294967296.0).toLong}%08x" + "0" * 24
 
   /** Deterministic hash sampling: keep a row iff md5(key) falls below the
     * rate threshold. Seedless and engine-portable — the same key always

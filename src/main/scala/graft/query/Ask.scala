@@ -87,11 +87,14 @@ object Ask {
     val dim = tables.withColumn("_rn", rn).filter(col("_rn") === 1)
       .select(trim(col(catCol)).as("_cat"),
         concat(lit("<br><div class='table-responsive'>"), col(htmlCol), lit("</div><br>")).as("_repl"))
+    // sort_array: collect_list order is nondeterministic, and if a
+    // replacement HTML ever contained a tag literal itself, fold order
+    // would change the output — sorting pins it
     val tags = answers.select(col(idCol),
         explode(array_distinct(regexp_extract_all(col(answerCol), lit(tagPat), lit(1)))).as("_tag"))
       .join(broadcast(dim), trim(col("_tag")) === col("_cat"), "left")
       .groupBy(idCol)
-      .agg(collect_list(struct(col("_tag"), coalesce(col("_repl"), lit("")).as("_repl"))).as("_subs"))
+      .agg(sort_array(collect_list(struct(col("_tag"), coalesce(col("_repl"), lit("")).as("_repl")))).as("_subs"))
     answers.join(tags, Seq(idCol), "left")
       .withColumn(answerCol,
         when(col("_subs").isNull, col(answerCol))

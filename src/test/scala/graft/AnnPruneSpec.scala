@@ -62,6 +62,9 @@ class AnnPruneSpec extends SparkSpec {
   test("pruned top-k equals the in-scan LSH top-k (same bucket, same ranking)") {
     val emb = graft.tables.TestTables.embeddings(spark, sf)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec_srp"
+    // self-contained: never rely on a previous test's (or a previous
+    // BUILD's) index at this fixed path
+    Search.writePartitionedIndex(emb, Search.srpBucket(col("embedding"), dim, bits), out)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), Search.srpBucket(col("embedding"), dim, bits).as("bucket"))
     val pruned = Search.readPruned(spark, out, q)

@@ -49,11 +49,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("the anti-join probe ships only the key column") {
-    val plan = formatted(graft.queries.Relational.u2UnionAnti.fn(spark, sf))
-    assert(plan.contains("LeftAnti"), "u2 must plan an anti join")
-    // the anti join's build side must not carry l_extendedprice — only the key
-    val anti = plan.split("\n").dropWhile(!_.contains("LeftAnti"))
-    assert(anti.nonEmpty)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = graft.queries.Relational.u2UnionAnti.fn(spark, sf)
+    df.collect() // finalize the adaptive plan
+    def joins(p: SparkPlan): Seq[BaseJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case s: QueryStageExec => joins(s.plan)
+      case j: BaseJoinExec => j +: j.children.flatMap(joins)
+      case other => other.children.flatMap(joins)
+    }
+    val anti = joins(df.queryExecution.executedPlan)
+      .filter(_.joinType.toString == "LeftAnti")
+    assert(anti.nonEmpty, "u2 must plan an anti join")
+    // the build side must carry ONLY the join key, not the wide row
+    val buildOutput = anti.head.right.output.map(_.name)
+    assert(buildOutput == Seq("l_orderkey"),
+      s"anti-join build side must ship only the key, got $buildOutput")
   }
 
   test("native expressions keep their projections inside whole-stage codegen") {

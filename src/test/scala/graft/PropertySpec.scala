@@ -76,9 +76,8 @@ class PropertySpec extends SparkSpec {
 
   private def randomTexts(n: Int, unicode: Boolean): Seq[String] = {
     val words = Seq("spark", "join", "δédüp", "流", "a", "bb", "x1", "", "the")
-    Seq.fill(n)((0 until rng.nextInt(24)).map { _ =>
-      if (unicode) words(rng.nextInt(words.length)) else words(rng.nextInt(4) max 3)
-    }.mkString(" "))
+    val pool = if (unicode) words else words.filter(w => w.nonEmpty && w.forall(_ < 128))
+    Seq.fill(n)((0 until rng.nextInt(24)).map(_ => pool(rng.nextInt(pool.length))).mkString(" "))
   }
 
   test("array_dot equals the interpreted aggregate(zip_with) fold bit-for-bit") {

@@ -60,18 +60,10 @@ def canon_arrow_type(t):
     return str(t)
 
 
+# The ban below makes a pandas-coercion mimic unnecessary: any column that
+# WOULD coerce (decimal/hugeint) fails outright, which is exactly the
+# driver-observable outcome — the catalog must not emit such types at all.
 FRAGILE = re.compile(r"decimal|hugeint")
-
-
-def pandas_coerce(v, ctype):
-    """Mimic duckdb .df(): DECIMAL and HUGEINT become float64."""
-    if v is None:
-        return None
-    if ctype.endswith("[]"):
-        return [pandas_coerce(x, ctype[:-2]) for x in v]
-    if ctype.startswith("decimal") or ctype == "hugeint":
-        return float(v)
-    return v
 
 
 def norm(v):
@@ -138,8 +130,6 @@ def main():
             print(f"FAIL {name}: fragile output types (driver hasher diverges on these): {frag}")
             n_fail += 1
             continue
-        # mimic the driver's pandas fetch on the oracle side
-        drows = [tuple(pandas_coerce(v, ty) for v, ty in zip(r, dtypes)) for r in drows]
         sc, _, sr, _ = load_rows(scols, srows)
         dc, _, dr, dorder = load_rows(dcols, drows)
         if sc != dc:
