@@ -26,16 +26,23 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // warmup: JVM/codegen/session startup out of the measured numbers
     materialize(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000))
+    // SPARK_GRAFT_BENCH_REPS>1 → record the median of N runs per query
+    // (this host shows ±15-30% run-to-run variance; medians compare fairly)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { materialize(fn(spark, sfDir)); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { materialize(fn(spark, sfDir)); true } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        // isolate measurements: caches built by one query must not occupy
+        // storage memory while the next runs
+        spark.catalog.clearCache()
+        // a failure is recorded as -1, never as a fast-looking elapsed time
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // isolate measurements: caches built by one query must not occupy
-      // storage memory while the next runs
-      spark.catalog.clearCache()
-      // a failure is recorded as -1, never as a fast-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
