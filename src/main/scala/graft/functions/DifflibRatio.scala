@@ -103,15 +103,18 @@ object GraftFunctions {
 
   // once-per-session guard: column builders call register() on every
   // construction (srpBucket alone builds 16+ dot columns), and repeated
-  // registry mutation is wasted work. NOTE: builders resolve the session
-  // via SparkSession.active — in a multi-session app, register explicitly
-  // on each session (or install GraftExtensions cluster-wide).
+  // registry mutation is wasted work. Synchronized with add-AFTER-register:
+  // a losing thread must not proceed to analyze a call_function column
+  // while the winner is still mid-registration (Verify builds queries on a
+  // thread pool). NOTE: builders resolve the session via
+  // SparkSession.active — in a multi-session app, register explicitly on
+  // each session (or install GraftExtensions cluster-wide).
   private val registeredSessions =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    if (!registeredSessions.add(spark)) return
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = registeredSessions.synchronized {
+    if (registeredSessions.contains(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "difflib_ratio", exprs => DifflibRatioExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -124,6 +127,7 @@ object GraftFunctions {
       "char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+    registeredSessions.add(spark)
   }
 
   /** Column API without needing prior registration. */
