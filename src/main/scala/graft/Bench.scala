@@ -44,16 +44,32 @@ object Bench {
       val t = if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout through sbt is polluted with log noise (round-1 driver bench
-    // recorded parsed:null) — also write the line to a file it can read
+    // The driver captures only the last ~2000 chars of stdout (round-2 bench
+    // recorded parsed:null because the full 100-query line was 3.2k chars and
+    // its '{"metric"' start fell outside the window). stdout gets a compact
+    // line — total plus the headline queries — guaranteed to fit; the full
+    // per-query map goes to BENCH.json.
+    val headline = Seq(
+      "q1_pricing_summary", "a13_validator_report", "a11_rollup",
+      "a2_table_compute", "a10_distinct_sets", "d2_minhash_lsh_pairs",
+      "d5_embedding_dup_pairs", "v2_ann_topk", "v3b_lsh_pruned_topk",
+      "v4b_ivf_pruned_topk", "x5_repetition_stats", "s4_json_schema_read",
+      "j3_broadcast_join", "w2_sessionize", "st1_tumbling_window",
+      "u2_union_after_anti", "k3_bucketed_join", "p12_html_table_parse",
+      "ask2_show_table", "x4_doc_fingerprint")
+    val byName = results.toMap
+    val qsHead = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val jsonCompact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"detail":"BENCH.json","sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    println(jsonCompact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (jsonFull + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

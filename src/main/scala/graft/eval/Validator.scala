@@ -55,7 +55,17 @@ object Validator {
       .join(dim.select(col(pk)).distinct(), col(fk) === col(pk), "left_anti"), code, severity)
 
   /** The reference's validate_all over the block model. `longContent` is
-    * the TEXT_BLOCK_VERY_LONG threshold (ref: 8000). */
+    * the TEXT_BLOCK_VERY_LONG threshold (ref: 8000).
+    *
+    * Reference codes structurally N/A here: TEXT/TABLE/IMAGE_DOC_ID_MISMATCH
+    * guard against a block whose embedded doc_id disagrees with its parent
+    * document's — in this flattened block model doc_id IS the grouping key
+    * the blocks are carried under, so the mismatch cannot be represented
+    * (the ref stores blocks nested inside a document object with their own
+    * id fields). MISSING_FILE is likewise N/A: it stats the source PDF on
+    * local disk, a driver-side filesystem check with no distributed analog
+    * over parquet-resident data (MISSING_FILE_NAME covers the metadata
+    * half). */
   def validateBlocks(blocks: DataFrame, meta: DataFrame, longContent: Int = 8000): DataFrame = {
     val isText = col("block_type") === "text"
     val isTable = col("block_type") === "table"
@@ -85,6 +95,7 @@ object Validator {
         isTable && exists(col("rows"), r => size(r) =!= size(col("columns")))),
       Check("TABLE_BBOX_INVALID", "warning", isTable && bboxInvalid),
       Check("TABLE_NO_CATEGORY", "info", isTable && col("category").isNull),
+      Check("TABLE_NO_ROLE", "info", isTable && col("role").isNull),
       Check("IMAGE_NO_PATH", "warning", isImage && (col("image_path").isNull || col("image_path") === "")),
       Check("IMAGE_PAGE_INVALID", "warning", isImage && col("page") <= 0),
       Check("IMAGE_PAGE_OUT_OF_RANGE", "warning", isImage && col("page") > col("_pc"))))
@@ -138,7 +149,8 @@ object Validator {
       when(d % 11 === 0, array().cast("array<string>")).otherwise(array(lit("a"), lit("b"))).as("columns"),
       when(d % 47 === 0, array().cast("array<array<string>>"))
         .when(d % 43 === 0, array(array(lit("1")))).otherwise(array(array(lit("1"), lit("2")))).as("rows"),
-      when(d % 53 =!= 0, "c").as("category"))
+      when(d % 53 =!= 0, "c").as("category"),
+      when(d % 61 =!= 0, "transaction_table").as("role"))
     val img = docs.filter(d % 3 === 2).select(d.as("doc_id"),
       concat(d.cast("string"), lit("-i")).as("block_id"), lit("image").as("block_type"),
       page.as("page"),

@@ -33,15 +33,18 @@ case class ArrayDotExpr(left: Expression, right: Expression) extends BinaryExpre
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // DecimalType is NumericType but has no fixed-width accessor in getD /
+    // CodeGenerator.getValue's primitive cast — reject it at analysis time
+    // rather than failing at runtime (cast the column to double first)
     def ok(t: DataType) = t match {
-      case ArrayType(et, _) => et.isInstanceOf[NumericType]
+      case ArrayType(et, _) => et.isInstanceOf[NumericType] && !et.isInstanceOf[DecimalType]
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"array_dot requires two numeric arrays, got ${left.dataType} and ${right.dataType}")
+        s"array_dot requires two non-decimal numeric arrays, got ${left.dataType} and ${right.dataType}")
   }
 
   private def getD(arr: ArrayData, t: DataType, i: Int): Double = t match {

@@ -93,21 +93,41 @@ object Bundle {
     * carry bucket metadata. */
   def writeBucketedTable(df: DataFrame, table: String, key: String, buckets: Int = 64): Unit = {
     val spark = df.sparkSession
-    // a stale warehouse dir with no catalog entry (e.g. from a previous
-    // session) makes saveAsTable fail with LOCATION_ALREADY_EXISTS — drop
-    // the table AND clear the leftover location
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    // A stale warehouse dir with no catalog entry (e.g. from a previous
+    // session) makes saveAsTable fail with LOCATION_ALREADY_EXISTS, so the
+    // real location must be cleared. But the location is only guessable by
+    // convention when no catalog entry exists: an EXTERNAL table's data
+    // must survive the drop, and a custom-LOCATION database breaks the
+    // convention path — so resolve through the catalog first.
+    val meta =
+      if (spark.catalog.tableExists(table))
+        Some(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // mirror the metastore's location convention: lowercase names,
-    // databases as <db>.db/ directories
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val relative = table.toLowerCase.split('.') match {
-      case Array(db, t) => s"$db.db/$t"
-      case Array(t) => t
-      case parts => parts.mkString("/")
+    val locToClear: Option[org.apache.hadoop.fs.Path] = meta match {
+      case Some(m) if m.tableType == CatalogTableType.MANAGED =>
+        // DROP already deleted it; clear again defensively (some Hadoop
+        // FS impls leave empty dirs) using the CATALOG's location
+        Some(new org.apache.hadoop.fs.Path(m.location))
+      case Some(_) => None // EXTERNAL: DROP preserves data — never delete
+      case None =>
+        // no catalog entry: orphaned dir from a crashed session — fall
+        // back to the metastore's naming convention (lowercase names,
+        // databases as <db>.db/ directories)
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        val relative = table.toLowerCase.split('.') match {
+          case Array(db, t) => s"$db.db/$t"
+          case Array(t) => t
+          case parts => parts.mkString("/")
+        }
+        Some(new org.apache.hadoop.fs.Path(s"$warehouse/$relative"))
     }
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$relative")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    locToClear.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)

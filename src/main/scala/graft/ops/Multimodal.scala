@@ -56,10 +56,20 @@ object Multimodal {
     val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val sig6 = substring(payload, 1, 6).cast("string")
     val isGif = sig6 === "GIF87a" || sig6 === "GIF89a"
-    val isBmp = substring(payload, 1, 2).cast("string") === "BM"
+    // "BM" alone doesn't pin the DIB layout: the header-size field (bytes
+    // 14-17 LE) selects it. 40/52/56/108/124 share 32-bit signed dims at
+    // offset 18/22; an OS/2 BITMAPCOREHEADER (12) stores UNSIGNED 16-bit
+    // dims at offset 18/20 — reading it as 32-bit yields a plausible-
+    // looking wrong value (width16|height16<<16), so it gets its own branch
+    // and any other header size returns null rather than garbage.
+    val hasBmpMagic = substring(payload, 1, 2).cast("string") === "BM"
+    val dibSize = le(15, 4)
+    val isInfoBmp = hasBmpMagic && dibSize.isin(40, 52, 56, 108, 124)
+    val isCoreBmp = hasBmpMagic && dibSize === 12
     when(isPng, struct(lit("png").as("format"), dim(be(17, 4)).as("width"), dim(be(21, 4)).as("height")))
       .when(isGif, struct(lit("gif").as("format"), dim(le(7, 2)).as("width"), dim(le(9, 2)).as("height")))
-      .when(isBmp, struct(lit("bmp").as("format"), bmpDim(le(19, 4)).as("width"), bmpDim(le(23, 4)).as("height")))
+      .when(isInfoBmp, struct(lit("bmp").as("format"), bmpDim(le(19, 4)).as("width"), bmpDim(le(23, 4)).as("height")))
+      .when(isCoreBmp, struct(lit("bmp").as("format"), dim(le(19, 2)).as("width"), dim(le(21, 2)).as("height")))
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
   }
 

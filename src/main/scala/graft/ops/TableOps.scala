@@ -153,8 +153,16 @@ object TableOps {
         val cells = cellsOf(tr)
         transform(sequence(lit(1), ncols), i => coalesce(try_element_at(cells, i), lit("")))
       })).otherwise(emptyRows)
-    val complexHeader = coalesce(try_element_at(trs, lit(1)).rlike(headerSpanPat), lit(false))
-    val complexBody = exists(bodyTrs, tr => tr.rlike(spanPat))
+    // Reference fidelity (table_extractor.py:162-175): `is_header_row =
+    // (not self.rows)` is evaluated at cell-START time, and the first body
+    // row is only appended to `rows` at its tr-END — so "header territory"
+    // spans the first TWO <tr>s. A rowspan>1 there sets has_complex_header;
+    // a colspan there is acceptable for flat extraction (no flag). Only
+    // spans in the third <tr> onward mark the body complex.
+    val headerTerritory = slice(trs, lit(1), least(size(trs), lit(2)))
+    val laterBodyTrs = slice(trs, lit(3), greatest(size(trs) - 2, lit(0)))
+    val complexHeader = exists(headerTerritory, tr => tr.rlike(headerSpanPat))
+    val complexBody = exists(laterBodyTrs, tr => tr.rlike(spanPat))
     val forceEmpty = complexBody || (ncols > 0 && size(bodyTrs) === 0)
     struct(
       when(forceEmpty, emptyCols).otherwise(columns).as("columns"),

@@ -434,6 +434,7 @@ object MiscQueries extends QuerySet {
                 (blk.doc_id % 5 = 0) AS no_section, (blk.doc_id % 7 = 0) AS no_role,
                 (blk.doc_id % 11 = 0) AS no_cols, (blk.doc_id % 47 = 0) AS no_rows,
                 (blk.doc_id % 43 = 0) AS ragged, (blk.doc_id % 53 = 0) AS no_cat,
+                (blk.doc_id % 61 = 0) AS t_no_role,
                 (blk.doc_id % 59 = 0) AS no_path, m.pc
               FROM blk JOIN m ON blk.doc_id = m.doc_id)
             SELECT code, severity, n_violations FROM (
@@ -461,6 +462,7 @@ object MiscQueries extends QuerySet {
               UNION ALL SELECT 'ROW_LEN_MISMATCH', 'warning', (SELECT count(*) FILTER (bt = 'table' AND NOT no_rows AND (no_cols OR ragged)) FROM b)
               UNION ALL SELECT 'TABLE_BBOX_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'table' AND bbox_invalid) FROM b)
               UNION ALL SELECT 'TABLE_NO_CATEGORY', 'info', (SELECT count(*) FILTER (bt = 'table' AND no_cat) FROM b)
+              UNION ALL SELECT 'TABLE_NO_ROLE', 'info', (SELECT count(*) FILTER (bt = 'table' AND t_no_role) FROM b)
               UNION ALL SELECT 'IMAGE_NO_PATH', 'warning', (SELECT count(*) FILTER (bt = 'image' AND no_path) FROM b)
               UNION ALL SELECT 'IMAGE_PAGE_INVALID', 'warning', (SELECT count(*) FILTER (bt = 'image' AND page <= 0) FROM b)
               UNION ALL SELECT 'IMAGE_PAGE_OUT_OF_RANGE', 'warning', (SELECT count(*) FILTER (bt = 'image' AND page > pc) FROM b)

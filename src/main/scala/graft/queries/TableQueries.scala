@@ -138,7 +138,8 @@ object TableQueries extends QuerySet {
     Some("""WITH exp AS (
               SELECT n_regionkey,
                 string_agg(
-                  CASE WHEN n_regionkey = 1 AND n_nationkey % 2 = 1 THEN concat(n_name, ',')
+                  CASE WHEN n_nationkey = 0 THEN 'merged0,'
+                       WHEN n_regionkey = 1 AND n_nationkey % 2 = 1 THEN concat(n_name, ',')
                        ELSE concat(n_name, ',c ', CAST(n_nationkey AS VARCHAR)) END,
                   ';' ORDER BY n_nationkey) AS rows_all,
                 count(*) AS n_all
@@ -148,7 +149,7 @@ object TableQueries extends QuerySet {
               CASE WHEN n_regionkey = 3 THEN 0 ELSE n_all END AS n_rows,
               CASE WHEN n_regionkey = 3 THEN '' ELSE rows_all END AS rows_ser,
               (n_regionkey = 3) AS has_complex_body,
-              (n_regionkey = 4) AS has_complex_header
+              (n_regionkey IN (2, 4)) AS has_complex_header
             FROM exp ORDER BY n_regionkey"""),
     (s, d) => {
       val n = nation(s, d)
@@ -157,8 +158,16 @@ object TableQueries extends QuerySet {
         .otherwise(lit("<tr><th> name </th><th>comment&amp;note</th></tr>"))
       val td2 = concat(lit("<td>c "), col("n_nationkey").cast("string"), lit("</td>"))
       val rowHtml =
-        when(col("n_nationkey") === 13, // region 3: one merged body row
+        when(col("n_nationkey") === 13, // region 3: merged LATER body row → complex body
           lit("<tr><td colspan=\"2\">merged</td></tr>"))
+        // region 0's FIRST body row carries a colspan — reference header-
+        // territory rule: extracted flat, no complex flag
+        .when(col("n_nationkey") === 0,
+          lit("<tr><td colspan=\"2\">merged0</td></tr>"))
+        // region 2's FIRST body row carries a rowspan — header territory:
+        // flags has_complex_header, row still extracted
+        .when(col("n_nationkey") === 2,
+          concat(lit("<tr><td rowspan=\"2\"><b>"), col("n_name"), lit("</b></td>"), td2, lit("<td>extra</td></tr>")))
         .when(col("n_regionkey") === 1 && col("n_nationkey") % 2 === 1,
           concat(lit("<tr><td><b>"), col("n_name"), lit("</b></td></tr>")))
         .when(col("n_regionkey") === 2,

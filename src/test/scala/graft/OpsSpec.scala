@@ -119,10 +119,26 @@ class OpsSpec extends SparkSpec {
   }
 
   test("parseHtmlTable: body colspan forces empty output with complex_body") {
+    // the span sits in the SECOND body row — the first is header territory
     val html = "<table><tr><th>a</th><th>b</th></tr>" +
-      "<tr><td colspan=\"2\">merged</td></tr><tr><td>x</td><td>y</td></tr></table>"
+      "<tr><td>x</td><td>y</td></tr><tr><td colspan=\"2\">merged</td></tr></table>"
     val r = parsed(html)
     assert(r.cols.isEmpty && r.rows.isEmpty && r.complexBody)
+  }
+
+  test("parseHtmlTable: first-body-row spans are header territory (ref fidelity)") {
+    // ref table_extractor.py: is_header_row = (not self.rows) holds while
+    // the first body row's cells are processed — a colspan there is
+    // extracted flat with no flag, a rowspan there flags the HEADER
+    val colspan1 = parsed("<table><tr><th>a</th><th>b</th></tr>" +
+      "<tr><td colspan=\"2\">merged</td></tr><tr><td>x</td><td>y</td></tr></table>")
+    assert(colspan1.cols == Seq("a", "b"))
+    assert(colspan1.rows == Seq(Seq("merged", ""), Seq("x", "y")))
+    assert(!colspan1.complexBody && !colspan1.complexHeader)
+    val rowspan1 = parsed("<table><tr><th>a</th><th>b</th></tr>" +
+      "<tr><td rowspan=\"2\">x</td><td>y</td></tr></table>")
+    assert(rowspan1.rows == Seq(Seq("x", "y")))
+    assert(rowspan1.complexHeader && !rowspan1.complexBody)
   }
 
   test("parseHtmlTable: header rowspan flags complex_header but keeps data") {

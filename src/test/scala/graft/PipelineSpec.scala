@@ -56,9 +56,15 @@ class PipelineSpec extends SparkSpec {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D.toByte, 0x0A.toByte,
       0x1A.toByte, 0x0A.toByte) ++ be4(13) ++ "IHDR".getBytes ++ be4(640) ++ be4(480) ++ Array(8.toByte)
     val gif = "GIF89a".getBytes ++ le(320, 2) ++ le(200, 2) ++ Array(0.toByte)
-    val bmp = "BM".getBytes ++ Array.fill(16)(0.toByte) ++ le(1024, 4) ++ le(768, 4)
+    // BITMAPINFOHEADER: 12 file-header bytes after "BM", DIB size = 40
+    val bmp = "BM".getBytes ++ Array.fill(12)(0.toByte) ++ le(40, 4) ++ le(1024, 4) ++ le(768, 4)
+    // OS/2 BITMAPCOREHEADER: DIB size = 12, UNSIGNED 16-bit dims
+    val bmpCore = "BM".getBytes ++ Array.fill(12)(0.toByte) ++ le(12, 4) ++ le(320, 2) ++ le(240, 2)
+    // "BM" magic but an unknown DIB header size — must be null, not garbage
+    val bmpBad = "BM".getBytes ++ Array.fill(12)(0.toByte) ++ le(64, 4) ++ le(1024, 4) ++ le(768, 4)
     val junk = "not an image at all".getBytes
-    val rows = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("junk", junk)).toDF("name", "payload")
+    val rows = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("bmpCore", bmpCore),
+      ("bmpBad", bmpBad), ("junk", junk)).toDF("name", "payload")
       .select(col("name"), Multimodal.imageDims(col("payload")).as("d"))
       .select("name", "d.format", "d.width", "d.height")
       .collect().map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
@@ -66,6 +72,8 @@ class PipelineSpec extends SparkSpec {
     assert(rows("png") == (("png", 640, 480)))
     assert(rows("gif") == (("gif", 320, 200)))
     assert(rows("bmp") == (("bmp", 1024, 768)))
+    assert(rows("bmpCore") == (("bmp", 320, 240)))
+    assert(rows("bmpBad")._1 == null)
     assert(rows("junk")._1 == null)
   }
 

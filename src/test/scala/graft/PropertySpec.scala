@@ -92,6 +92,20 @@ class PropertySpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("array_dot rejects decimal arrays at analysis time (no runtime blowup)") {
+    // DecimalType is NumericType but has no primitive accessor — it must be
+    // refused by checkInputDataTypes, not fail inside eval/codegen
+    val df = Seq((Seq(BigDecimal(1.5)), Seq(BigDecimal(2.5)))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.index.Embed.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("non-decimal"))
+    // the documented workaround — cast to double first — works
+    val ok = df.select(graft.index.Embed.dot(
+      col("a").cast("array<double>"), col("b").cast("array<double>")).as("d")).collect()
+    assert(ok(0).getDouble(0) == 3.75)
+  }
+
   test("minhash_mins equals per-rotation array_min over rotated digests") {
     val df = randomTexts(120, unicode = false).toDF("t")
       .withColumn("hs", transform(split(col("t"), " "), x => md5(x)))

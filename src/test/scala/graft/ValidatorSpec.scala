@@ -27,8 +27,8 @@ class ValidatorSpec extends SparkSpec {
     Blk(doc, id, "text", Some(page), content, bbox, section, role, null, null, null, null)
   private def tbl(doc: Long, id: String, page: Int = 1, bbox: Seq[Double] = bbox4,
                   columns: Seq[String] = Seq("a", "b"), rows: Seq[Seq[String]] = Seq(Seq("1", "2")),
-                  category: String = "c") =
-    Blk(doc, id, "table", Some(page), null, bbox, null, null, category, columns, rows, null)
+                  category: String = "c", role: String = "transaction_table") =
+    Blk(doc, id, "table", Some(page), null, bbox, null, role, category, columns, rows, null)
   private def img(doc: Long, id: String, page: Int = 1, path: String = "/img/x") =
     Blk(doc, id, "image", Some(page), null, null, null, null, null, null, null, path)
 
@@ -52,6 +52,7 @@ class ValidatorSpec extends SparkSpec {
       tbl(16, "tb-ragged", rows = Seq(Seq("1"))),           // ROW_LEN_MISMATCH
       tbl(17, "tb-bbox", bbox = Seq(1.0)),                  // TABLE_BBOX_INVALID
       tbl(18, "tb-nocat", category = null),                 // TABLE_NO_CATEGORY
+      tbl(27, "tb-norole", role = null),                    // TABLE_NO_ROLE
       img(19, "im-dup"), img(19, "im-dup"),                 // DUPLICATE_IMAGE_ID
       img(20, "im-nopath", path = null),                    // IMAGE_NO_PATH
       img(21, "im-badpage", page = -2),                     // IMAGE_PAGE_INVALID
@@ -61,7 +62,8 @@ class ValidatorSpec extends SparkSpec {
       Meta(23, "", Some(10)),                               // MISSING_FILE_NAME
       Meta(24, "f.pdf", Some(0)),                           // INVALID_PAGE_COUNT
       Meta(25, "f.pdf", None),                              // MISSING_PAGE_COUNT (block 25 has a page)
-      Meta(26, "f.pdf", Some(10))                           // NO_TEXT_BLOCKS (no blocks at all)
+      Meta(26, "f.pdf", Some(10)),                          // NO_TEXT_BLOCKS (no blocks at all)
+      Meta(27, "27.pdf", Some(10))
     ) ++ (1L to 22L).map(i => Meta(i, s"$i.pdf", Some(10)))).toDF()
     val allBlocks = blocks.unionByName(Seq(txt(25, "t-paged")).toDF())
 
@@ -72,7 +74,7 @@ class ValidatorSpec extends SparkSpec {
       "MISSING_DOC_ID" -> 0L, "MISSING_FILE_NAME" -> 1L, "INVALID_PAGE_COUNT" -> 1L,
       "PAGE_COUNT_MISMATCH" -> 3L, // docs 4, 13, 22 (page 99 > 10)
       "MISSING_PAGE_COUNT" -> 1L,
-      "NO_TEXT_BLOCKS" -> 15L, // 11-22 (table/image-only) + blockless 23, 24, 26
+      "NO_TEXT_BLOCKS" -> 16L, // 11-22, 27 (table/image-only) + blockless 23, 24, 26
       "DUPLICATE_TEXT_ID" -> 1L, "DUPLICATE_TABLE_ID" -> 1L, "DUPLICATE_IMAGE_ID" -> 1L,
       "TEXT_PAGE_INVALID" -> 1L, "TEXT_PAGE_OUT_OF_RANGE" -> 1L,
       "TEXT_BLOCK_VERY_LONG" -> 1L, "TEXT_BLOCK_VERY_SHORT" -> 1L,
@@ -80,7 +82,7 @@ class ValidatorSpec extends SparkSpec {
       "TEXT_NO_SECTION" -> 1L, "TEXT_NO_ROLE" -> 1L,
       "TABLE_PAGE_INVALID" -> 1L, "TABLE_PAGE_OUT_OF_RANGE" -> 1L,
       "TABLE_NO_HEADER" -> 1L, "TABLE_NO_ROWS" -> 1L, "ROW_LEN_MISMATCH" -> 2L,
-      "TABLE_BBOX_INVALID" -> 1L, "TABLE_NO_CATEGORY" -> 1L,
+      "TABLE_BBOX_INVALID" -> 1L, "TABLE_NO_CATEGORY" -> 1L, "TABLE_NO_ROLE" -> 1L,
       "IMAGE_NO_PATH" -> 1L, "IMAGE_PAGE_INVALID" -> 1L, "IMAGE_PAGE_OUT_OF_RANGE" -> 1L)
     expected.foreach { case (code, n) =>
       assert(got.get(code).contains(n), s"$code: expected $n got ${got.get(code)}")
