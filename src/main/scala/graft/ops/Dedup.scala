@@ -133,4 +133,68 @@ object Dedup {
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
                           threshold: Double): DataFrame =
     graft.index.Search.nearDuplicatePairs(df, vecCol, idCol, blockCol, threshold)
+
+  /** Benchmark decontamination (GPT-3 appendix-C style): flag training
+    * documents sharing any word n-gram with an evaluation set.
+    *
+    * Returns (id, n_shared) for contaminated training docs only — n_shared
+    * counts the doc's DISTINCT n-grams that appear anywhere in the eval
+    * set. The eval gram set is broadcast: benchmark suites are tiny
+    * relative to a pre-training corpus (MBs vs TBs), so the training side —
+    * the 100 TB side — is never shuffled; the whole check is one map-side
+    * semi-join at scan bandwidth. If an eval set ever outgrew broadcast,
+    * drop the hint and let AQE pick a shuffle join — semantics unchanged.
+    *
+    * `n` is a parameter (the canonical 13 assumes natural prose; shorter
+    * grams suit short/synthetic documents). */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("g"))
+    val evalGrams = grams(evalSet).select("g").distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      // wordShingles is distinct per doc, so a plain count is the number
+      // of distinct contaminated grams
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Connected components over an undirected edge list (a, b) — the
+    * cluster step that turns pairwise near-duplicates into dedup groups
+    * (keep one doc per component). Returns (id, cluster_id) for every
+    * vertex, cluster_id = min id in the component.
+    *
+    * Min-label propagation: each round every vertex takes the min of its
+    * own label and its neighbors'; converged when no label changed. Rounds
+    * needed = graph diameter, and near-dup graphs are shallow (clusters of
+    * copies, not long chains), so this is a handful of self-join rounds
+    * even at 100 TB. Each round is one shuffle join on the edge list;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1. The per-round `count` is a scalar
+    * aggregate (no data to the driver). */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+                          maxIterations: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = sym.join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("id")).agg(min("lbl").as("_nbr"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("lbl").as("_old")), "id")
+        .filter(col("lbl") < col("_old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIterations rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

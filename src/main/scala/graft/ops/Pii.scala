@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over text columns (prompt family:
+  * training-data pipeline; complements the reference's text sanitizers —
+  * `ingestion/text_processor.py` strips noise, this strips identifiers a
+  * pre-training corpus must not carry).
+  *
+  * Pure `regexp_replace`/`regexp_extract_all` chains — codegen'd, map-only,
+  * zero shuffle: at 100 TB this runs at scan bandwidth alongside the other
+  * per-document cleaners. Patterns are deliberately RE2-compatible (no
+  * lookaround, no backreferences) so any engine — and the DuckDB oracle —
+  * can evaluate the same semantics.
+  *
+  * Redaction order matters and is fixed: emails first (their domains
+  * contain dots and digits an IP/phone pattern could half-match), then
+  * IPv4 (dotted digit groups would otherwise be eaten by the phone
+  * pattern, whose character class includes '.'), then phones.
+  */
+object Pii {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // international or separator-formatted numbers, ≥8 chars end-to-end:
+  // +66-2-123-0456, (202)555-0143 (after the leading paren), 202.555.0143.
+  // ' ' is deliberately NOT in the class: allowing it would swallow any
+  // run of space-separated numbers ("in 2015 2016 2017"), so
+  // space-separated groups redact only their longest spaceless span.
+  val PhonePattern = "\\+?\\d[\\d().-]{6,}\\d"
+
+  /** Count matches of each PII class (on the UNredacted text). */
+  def countEmails(text: Column): Column = size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def countIpv4(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+  def countPhones(text: Column): Column =
+    size(regexp_extract_all(regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>"), lit(PhonePattern), lit(0)))
+
+  /** Replace every email/IPv4/phone with a typed placeholder token. */
+  def redact(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Redaction + per-class counts in one struct (counts reflect the
+    * pre-redaction text, consistent with `redact`'s ordering). */
+  def scrub(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    struct(
+      regexp_replace(noIp, PhonePattern, "<PHONE>").as("text"),
+      countEmails(text).as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(noIp, lit(PhonePattern), lit(0))).as("n_phones"))
+  }
+}

@@ -320,7 +320,51 @@ object TextQueries extends QuerySet {
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id"))
 
+  /** PII scrub: the corpus text is deterministic word salad with no real
+    * identifiers, so the PII-bearing text is synthesized from base columns
+    * identically in both engines (the oracle-strong pattern), then redacted
+    * and counted with the same RE2-compatible patterns. Rows with
+    * doc_id % 3 = 0 carry a phone; every row carries an email + an IPv4. */
+  val pii1Scrub: Q = {
+    val email = graft.ops.Pii.EmailPattern
+    val ip = graft.ops.Pii.Ipv4Pattern
+    val phone = graft.ops.Pii.PhonePattern
+    Q("pii1_scrub",
+      Some(s"""WITH s AS (
+                SELECT doc_id, concat('Reach u', doc_id, '@', source, '.example.com or ',
+                  CASE WHEN doc_id % 3 = 0
+                       THEN concat('+1-202-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                       ELSE 'nobody' END,
+                  ' via 10.', CAST(doc_id % 200 AS VARCHAR), '.0.',
+                  CAST((doc_id * 7) % 250 AS VARCHAR), ' :: ', substr(text, 1, 40)) AS t
+                FROM documents),
+              r1 AS (SELECT doc_id, t, regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM s),
+              r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM r1)
+              SELECT doc_id,
+                regexp_replace(t2, '$phone', '<PHONE>', 'g') AS clean,
+                len(regexp_extract_all(t, '$email')) AS n_emails,
+                len(regexp_extract_all(t1, '$ip')) AS n_ips,
+                len(regexp_extract_all(t2, '$phone')) AS n_phones
+              FROM r2 ORDER BY doc_id"""),
+      (s, d) => {
+        val synth = concat(lit("Reach u"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".example.com or "),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("+1-202-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("nobody")),
+          lit(" via 10."), (col("doc_id") % 200).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 250).cast("string"), lit(" :: "), substring(col("text"), 1, 40))
+        val sc = graft.ops.Pii.scrub(synth)
+        documents(s, d)
+          .select(col("doc_id"), sc.getField("text").as("clean"),
+            sc.getField("n_emails").cast("long").as("n_emails"),
+            sc.getField("n_ips").cast("long").as("n_ips"),
+            sc.getField("n_phones").cast("long").as("n_phones"))
+          .orderBy("doc_id")
+      })
+  }
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample)
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, pii1Scrub)
 }

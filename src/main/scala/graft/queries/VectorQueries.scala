@@ -393,7 +393,86 @@ object VectorQueries extends QuerySet {
         approx_count_distinct(col("doc_id"), 0.02).as("approx_docs"))
       .orderBy("lang"))
 
+  /** Benchmark decontamination (GPT-3 appendix-C style): the eval "suite"
+    * is a deterministic slice of the corpus (doc_id % 13 = 0); flag every
+    * other document sharing a word 4-gram with it, counting the distinct
+    * shared grams. Scale shape: eval grams broadcast, train side never
+    * shuffles (map-side semi-join at scan bandwidth). */
+  val d6Decontaminate = Q("d6_decontaminate",
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 4
+                THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+              FROM t),
+            g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 13 = 0)
+            SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM g WHERE doc_id % 13 <> 0 AND g IN (SELECT g FROM ev)
+            GROUP BY doc_id ORDER BY id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("id")
+    })
+
+  /** Dedup clustering: connected components over the MinHash+LSH near-dup
+    * pair list (the step that turns pairwise duplicates into keep-one
+    * groups). Oracle: the d2 pair pipeline + a recursive-CTE transitive
+    * closure, min reachable id per vertex. */
+  val d7DedupClusters = Q("d7_dedup_clusters",
+    Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
+              FROM t),
+            hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+            sig AS (
+              SELECT doc_id, shingles, [
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 30, 3), substr(h, 1, 29))), 'min'),
+                list_aggregate(list_transform(hs, h -> concat(substr(h, 6, 27), substr(h, 1, 5))), 'min')] AS sg
+              FROM hs),
+            bands AS (
+              SELECT doc_id, shingles, unnest([
+                concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
+                concat('1:', md5(concat_ws('|', sg[3], sg[4]))),
+                concat('2:', md5(concat_ws('|', sg[5], sg[6])))]) AS band
+              FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS id, u AS r FROM e
+              UNION
+              SELECT e.u AS id, reach.r FROM e JOIN reach ON e.v = reach.id)
+            SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id ORDER BY id"""),
+    (s, d) => {
+      val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+        shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy("id")
+    })
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
-    d2MinHashPairs, d3SimHash, d4NgramJaccard, x4Fingerprint, m1Binary)
+    d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
+    x4Fingerprint, m1Binary)
 }
