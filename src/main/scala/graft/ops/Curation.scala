@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composed pipeline a 100 TB
+  * pre-training run actually executes, as one DataFrame→DataFrame call
+  * (prompt families: dedup + text analysis + PII, composed; generalizes the
+  * reference's ingest lifecycle — clean/filter/dedup — from documents to a
+  * corpus, cf. reference ingestion/text_processor.py + SURVEY.md §3.1).
+  *
+  * Stage order and its scale rationale (stages are ordered so the expensive
+  * shuffling steps see the fewest rows):
+  *   1. quality filter   — map-only expression, runs at scan bandwidth,
+  *                         drops low-value docs before anything shuffles;
+  *   2. PII redaction    — map-only regexp chain on the survivors;
+  *   3. exact dedup      — one hash shuffle on md5(normalized text);
+  *   4. near-dup cluster — MinHash+LSH band join (O(N·bands) short rows)
+  *                         + connected components over the pair list (pair
+  *                         graphs are tiny relative to the corpus), keep
+  *                         the min-id doc per duplicate cluster;
+  *   5. decontamination  — broadcast semi-join against the eval suite's
+  *                         n-gram set (eval sets are MBs; the corpus side
+  *                         never shuffles), drop any doc sharing a gram;
+  *   6. stratified sample— seedless md5-threshold mixing by stratum,
+  *                         map-only, reproducible across reruns/engines.
+  *
+  * Every stage is engine-portable (md5 + regex + relational ops only), so
+  * the whole pipeline has a line-by-line DuckDB oracle
+  * (`queries/MiscQueries.c1CurationPipeline`).
+  */
+object Curation {
+
+  /** @param minQuality    keep docs with qualityScore ≥ this
+    * @param stopwords     quality-score stopword profile
+    * @param shingleWidth  word-shingle width for MinHash
+    * @param numHashes     MinHash signature length
+    * @param rowsPerBand   LSH band height (numHashes / rowsPerBand bands)
+    * @param jaccard       verified-Jaccard near-dup threshold
+    * @param decontamN     word-n-gram width for eval-overlap removal
+    * @param rates         per-stratum keep rates (mixing weights)
+    * @param defaultRate   keep rate for unlisted strata */
+  final case class CurationConfig(
+    minQuality: Double = 0.5,
+    stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+    shingleWidth: Int = 3,
+    numHashes: Int = 6,
+    rowsPerBand: Int = 2,
+    jaccard: Double = 0.8,
+    decontamN: Int = 4,
+    rates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.25),
+    defaultRate: Double = 0.1)
+
+  /** Returns the curated corpus: (id, stratum, quality, text) with `text`
+    * redacted; survivors of all six stages, one row per kept document. */
+  def curate(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+             evalSet: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
+    // 1+2: quality gate then redaction, one fused map stage over the scan
+    val scored = docs.select(
+      col(idCol).as("id"), col(stratumCol).as("stratum"),
+      TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
+      Pii.redact(col(textCol)).as("text"))
+      .filter(col("quality") >= cfg.minQuality)
+    // 3: exact dedup — first-wins (min id) per normalized-content hash
+    val exact = Dedup.exact(scored, col("text"), col("id"))
+    // 4: near-dup clustering; drop every doc whose cluster has a smaller id
+    val pairs = Dedup.minHashDuplicates(exact, "id", col("text"),
+      cfg.shingleWidth, cfg.numHashes, cfg.rowsPerBand, cfg.jaccard)
+    // loser/contaminated sets are usually small but CAN be corpus-scale on
+    // duplicate-heavy crawls — no broadcast hint; AQE picks the strategy
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("cluster_id") < col("id")).select("id")
+    val deduped = exact.join(losers, Seq("id"), "left_anti")
+    // 5: benchmark decontamination — any shared eval n-gram disqualifies
+    val evalNorm = evalSet.select(col(idCol).as("id"), col(textCol).as("text"))
+    val contaminated = Dedup.decontaminate(deduped, evalNorm, "id", "text", cfg.decontamN)
+      .select("id")
+    val clean = deduped.join(contaminated, Seq("id"), "left_anti")
+    // 6: deterministic mixing by stratum
+    TextAnalysis.sampleByStrata(clean, col("id"), col("stratum"), cfg.rates, cfg.defaultRate)
+      .select("id", "stratum", "quality", "text")
+  }
+}

@@ -546,8 +546,117 @@ object MiscQueries extends QuerySet {
       graft.eval.Eval.run(questions, identity)._2
     })
 
+  /** The full corpus-curation pipeline (quality gate → PII redaction →
+    * exact dedup → LSH near-dup clustering → benchmark decontamination →
+    * stratified mixing) as ONE oracle-checked query: documents with
+    * doc_id % 13 = 0 play the held-out eval suite, the rest the corpus.
+    * Every stage's SQL fragment is the already-verified oracle of its
+    * standalone query (x2 / pii1 / d1 / d7 / d6 / x6), chained on CTEs. */
+  val c1Curation: Q = {
+    val email = graft.ops.Pii.EmailPattern
+    val ip = graft.ops.Pii.Ipv4Pattern
+    val phone = graft.ops.Pii.PhonePattern
+    val thrEn = TextAnalysis.hexThreshold(0.5)
+    val thrZh = TextAnalysis.hexThreshold(0.25)
+    val thrDef = TextAnalysis.hexThreshold(0.1)
+    Q("c1_curation_pipeline",
+      Some(s"""WITH RECURSIVE corpus AS (
+                SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 <> 0),
+              qm AS (
+                SELECT doc_id, lang, text, CAST(length(text) AS DOUBLE) AS len,
+                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+                FROM corpus),
+              qq AS (
+                SELECT doc_id AS id, lang AS stratum, round(
+                  (CASE WHEN len >= 200 AND len <= 5000 THEN 1.0 WHEN len >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+                  + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len, 1.0) * 0.3
+                  + least(CAST(len(list_filter(toks, t -> list_contains(['the', 'a', 'of', 'and'], t))) AS DOUBLE)
+                          / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 3.0, 1.0) * 0.2
+                  + (CASE WHEN (len - CAST(len(toks) AS DOUBLE) + 1.0) / greatest(CAST(len(toks) AS DOUBLE), 1.0) >= 3
+                           AND (len - CAST(len(toks) AS DOUBLE) + 1.0) / greatest(CAST(len(toks) AS DOUBLE), 1.0) <= 10
+                      THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS text
+                FROM qm),
+              qs AS (SELECT * FROM qq WHERE quality >= 0.5),
+              ex AS (
+                SELECT id, stratum, quality, text FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY id) AS rn
+                  FROM qs) t WHERE rn = 1),
+              dt AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM ex),
+              dsh AS (
+                SELECT id, CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
+                FROM dt),
+              dhs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM dsh),
+              dsig AS (
+                SELECT id, shingles, [
+                  list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min'),
+                  list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min'),
+                  list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min'),
+                  list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min'),
+                  list_aggregate(list_transform(hs, h -> concat(substr(h, 30, 3), substr(h, 1, 29))), 'min'),
+                  list_aggregate(list_transform(hs, h -> concat(substr(h, 6, 27), substr(h, 1, 5))), 'min')] AS sg
+                FROM dhs),
+              dbands AS (
+                SELECT id, shingles, unnest([
+                  concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
+                  concat('1:', md5(concat_ws('|', sg[3], sg[4]))),
+                  concat('2:', md5(concat_ws('|', sg[5], sg[6])))]) AS band
+                FROM dsig),
+              dpairs AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM dbands a JOIN dbands b ON a.band = b.band AND a.id < b.id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+              de AS (SELECT id_a AS u, id_b AS v FROM dpairs
+                     UNION SELECT id_b AS u, id_a AS v FROM dpairs),
+              reach AS (
+                SELECT u AS id, u AS r FROM de
+                UNION
+                SELECT de.u AS id, reach.r FROM de JOIN reach ON de.v = reach.id),
+              losers AS (
+                SELECT id FROM (SELECT id, min(r) AS cid FROM reach GROUP BY id) t WHERE cid < id),
+              dd AS (SELECT * FROM ex WHERE id NOT IN (SELECT id FROM losers)),
+              gt AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM dd),
+              gsh AS (
+                SELECT id, CASE WHEN len(toks) >= 4
+                  THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+                FROM gt),
+              et AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                     FROM documents WHERE doc_id % 13 = 0),
+              esh AS (
+                SELECT CASE WHEN len(toks) >= 4
+                  THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+                FROM et),
+              eg AS (SELECT DISTINCT unnest(sh) AS g FROM esh),
+              contaminated AS (
+                SELECT DISTINCT id FROM (SELECT id, unnest(sh) AS g FROM gsh) t
+                WHERE g IN (SELECT g FROM eg)),
+              clean AS (SELECT * FROM dd WHERE id NOT IN (SELECT id FROM contaminated))
+              SELECT id, stratum, quality, text FROM clean
+              WHERE md5(CAST(id AS VARCHAR)) <
+                CASE stratum WHEN 'en' THEN '$thrEn' WHEN 'zh' THEN '$thrZh' ELSE '$thrDef' END
+              ORDER BY id"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.ops.Curation.curate(
+          docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text", "lang",
+          docs.filter(col("doc_id") % 13 === 0))
+          .orderBy("id")
+      })
+  }
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval)
+    ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
+    c1Curation)
 }
