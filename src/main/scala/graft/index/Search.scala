@@ -158,4 +158,37 @@ object Search {
       .filter(col("cos") >= threshold)
       .select(col("b"), col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Product quantization: the compressed-index ANN scale path. A d-dim
+    * vector becomes M small codes (one per subspace, argmin-distance
+    * centroid, ties → lower code — the ivfCell construction per subspace).
+    * At 100 TB the win is storage/bandwidth: a 64-float embedding column
+    * (256 B) becomes M=4 byte-sized codes; the scoring scan reads ONLY the
+    * codes column (parquet column pruning) against a per-query lookup
+    * table, never the raw vectors. */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]], subDim: Int): Column =
+    array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val sub = slice(vec, m * subDim + 1, subDim)
+      val scored = cents.zipWithIndex.map { case (c, k) =>
+        val cv = array(c.map(lit): _*)
+        val d2 = aggregate(zip_with(sub, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d2.as("d2"), lit(k).as("code"))
+      }
+      element_at(sort_array(array(scored: _*)), 1).getField("code")
+    }: _*)
+
+  /** Asymmetric-distance (ADC) dot-product score: sum over subspaces of
+    * dot(query subvector, the centroid the code names) — the query side
+    * stays exact, only the index side is quantized. */
+  def pqAdcScore(codes: Column, query: Column, codebooks: Seq[Seq[Seq[Double]]],
+                 subDim: Int): Column =
+    codebooks.zipWithIndex.map { case (cents, m) =>
+      val qSub = slice(query, m * subDim + 1, subDim)
+      val dots = cents.map { c =>
+        aggregate(zip_with(qSub, array(c.map(lit): _*), (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x)
+      }
+      element_at(array(dots: _*), element_at(codes, m + 1) + 1)
+    }.reduce(_ + _)
 }

@@ -393,6 +393,52 @@ object VectorQueries extends QuerySet {
         approx_count_distinct(col("doc_id"), 0.02).as("approx_docs"))
       .orderBy("lang"))
 
+  /** V2 scale path #3: product quantization — each 64-dim vector becomes 4
+    * one-byte codes (argmin centroid per 16-dim subspace), scored against a
+    * per-query ADC lookup table; the scan reads only the codes column.
+    * Oracle generated from the same seed-11 codebooks; per-subspace argmin
+    * mirrored by the v4 CASE/least chain. */
+  val v5PqTopK: Q = {
+    val dim = 64; val m = 4; val k = 4; val subDim = dim / m
+    val codebooks: Seq[Seq[Seq[Double]]] = {
+      val rng = new scala.util.Random(11)
+      Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(rng.nextGaussian() * 0.2)))
+    }
+    def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+    def d2Sql(mi: Int, c: Seq[Double]) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> (e[${mi * subDim} + i]::DOUBLE - (${cSql(c)})[i]) * (e[${mi * subDim} + i]::DOUBLE - (${cSql(c)})[i])))"
+    val dCols = (for (mi <- 0 until m; ki <- 0 until k)
+      yield s"${d2Sql(mi, codebooks(mi)(ki))} AS d${mi}_$ki").mkString(", ")
+    def codeSql(mi: Int) =
+      s"""CASE WHEN d${mi}_0 <= least(d${mi}_1, d${mi}_2, d${mi}_3) THEN 0
+               WHEN d${mi}_1 <= least(d${mi}_2, d${mi}_3) THEN 1
+               WHEN d${mi}_2 <= d${mi}_3 THEN 2 ELSE 3 END AS code_$mi"""
+    def lutSql(mi: Int, ki: Int) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> qv[${mi * subDim} + i]::DOUBLE * (${cSql(codebooks(mi)(ki))})[i])) AS q${mi}_$ki"
+    val luts = (for (mi <- 0 until m; ki <- 0 until k) yield lutSql(mi, ki)).mkString(", ")
+    def scoreSql(mi: Int) =
+      s"(CASE code_$mi WHEN 0 THEN q${mi}_0 WHEN 1 THEN q${mi}_1 WHEN 2 THEN q${mi}_2 ELSE q${mi}_3 END)"
+    val score = (0 until m).map(scoreSql).mkString(" + ")
+    Q("v5_pq_topk",
+      Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
+               c AS (SELECT vec_id, ${(0 until m).map(codeSql).mkString(", ")} FROM d),
+               q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+               lut AS (SELECT $luts FROM q)
+               SELECT vec_id, round($score, 6) AS score
+               FROM c, lut
+               ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        emb.withColumn("codes", Search.pqCodes(col("embedding"), codebooks, subDim))
+          .select(col("vec_id"), col("codes"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Search.pqAdcScore(col("codes"), col("qv"), codebooks, subDim), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
   /** Benchmark decontamination (GPT-3 appendix-C style): the eval "suite"
     * is a deterministic slice of the corpus (doc_id % 13 = 0); flag every
     * other document sharing a word 4-gram with it, counting the distinct
@@ -471,7 +517,7 @@ object VectorQueries extends QuerySet {
       Dedup.connectedComponents(pairs).orderBy("id")
     })
 
-  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned, a12Approx,
+  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned, v5PqTopK, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     x4Fingerprint, m1Binary)

@@ -92,4 +92,23 @@ class DedupSearchSpec extends SparkSpec {
     val c = df.select(Embed.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("PQ codes pick the argmin centroid per subspace; ADC scores via the code's LUT entry") {
+    // 2 subspaces of 2 dims, 2 centroids each — codes and score computable by hand
+    val codebooks = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val df = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (2L, Seq(0.1f, 0.9f, 0.8f, 0.1f)))
+      .toDF("id", "v")
+      .withColumn("codes", Search.pqCodes(col("v"), codebooks, subDim = 2))
+    val codes = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes(1L) == Seq(0, 1)) // [1,0]→centroid0, [0,1]→centroid1
+    assert(codes(2L) == Seq(1, 0)) // [.1,.9]→centroid1, [.8,.1]→centroid0
+    // ADC for doc 1 with query [2,3,4,5]: dot([2,3],[1,0]) + dot([4,5],[0,1]) = 2 + 5
+    val score = df.filter(col("id") === 1)
+      .select(Search.pqAdcScore(col("codes"),
+        typedLit(Seq(2.0, 3.0, 4.0, 5.0)), codebooks, subDim = 2).as("s"))
+      .head().getDouble(0)
+    assert(score == 7.0)
+  }
 }
