@@ -179,8 +179,11 @@ object Dedup {
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // seed with round 1 for free: min(own id, min neighbor) needs only the
+    // groupBy that vertex-set extraction would cost anyway
+    var labels = sym.groupBy(col("u"))
+      .agg(least(col("u"), min("v")).as("lbl"))
+      .select(col("u").as("id"), col("lbl")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {

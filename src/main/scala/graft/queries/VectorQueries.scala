@@ -245,6 +245,38 @@ object VectorQueries extends QuerySet {
         when(length(col("text")) > 300, "large").otherwise("small").as("size_class"))
       .orderBy("doc_id"))
 
+  /** Multimodal decoder, oracle-gated end-to-end: REAL image byte headers
+    * (PNG big-endian IHDR, GIF little-endian logical screen, plus garbage
+    * payloads) are synthesized from doc_id arithmetic, then
+    * `Multimodal.imageDims` must recover the planted dimensions from the
+    * raw bytes — the oracle knows only the arithmetic, so any decoder
+    * offset/endianness bug hash-fails the gate. */
+  val m2ImageDims = Q("m2_image_dims",
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+              CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(doc_id % 1000 + 1 AS INT) END AS width,
+              CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST((doc_id * 3) % 800 + 1 AS INT) END AS height
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = ((col("doc_id") * 3) % 800 + 1).cast("int")
+      def le16(v: org.apache.spark.sql.Column) = {
+        val bx = lpad(hex(v), 4, "0")
+        concat(substring(bx, 3, 2), substring(bx, 1, 2))
+      }
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h))
+      val payload = when(col("doc_id") % 5 === 0, unhex(lit("DEADBEEF")))
+        .when(col("doc_id") % 2 === 0, unhex(pngHex))
+        .otherwise(unhex(gifHex))
+      val dims = graft.ops.Multimodal.imageDims(payload)
+      documents(s, d)
+        .select(col("doc_id"), dims.getField("format").as("format"),
+          dims.getField("width").as("width"), dims.getField("height").as("height"))
+        .orderBy("doc_id")
+    })
+
   /** V2 scale path: SRP-LSH bucketed top-k. The oracle SQL is generated
     * from the same deterministic hyperplanes (seed 42) the Spark side uses,
     * baked in as literals — both engines compute identical bucket ids, so
@@ -520,5 +552,5 @@ object VectorQueries extends QuerySet {
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned, v5PqTopK, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    x4Fingerprint, m1Binary)
+    x4Fingerprint, m1Binary, m2ImageDims)
 }

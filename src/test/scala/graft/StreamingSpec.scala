@@ -121,7 +121,8 @@ class StreamingSpec extends SparkSpec {
       .filter(graft.ops.TextAnalysis.hashSamplePredicate(col("doc_id"), 0.5))
       .select(col("doc_id"),
         graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of")).as("quality"),
-        graft.ops.Dedup.simHash(col("text"), 16).as("sim"))
+        graft.ops.Dedup.simHash(col("text"), 16).as("sim"),
+        graft.ops.Pii.redact(col("text")).as("clean"))
     val streamed = runToMemory(enrich(streamDocs), "ta_out", "append")
     val batch = enrich(docs)
     assert(streamed.count() > 0)
