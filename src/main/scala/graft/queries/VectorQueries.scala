@@ -430,12 +430,15 @@ object VectorQueries extends QuerySet {
     * per-query ADC lookup table; the scan reads only the codes column.
     * Oracle generated from the same seed-11 codebooks; per-subspace argmin
     * mirrored by the v4 CASE/least chain. */
-  val v5PqTopK: Q = {
-    val dim = 64; val m = 4; val k = 4; val subDim = dim / m
-    val codebooks: Seq[Seq[Seq[Double]]] = {
-      val rng = new scala.util.Random(11)
-      Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(rng.nextGaussian() * 0.2)))
-    }
+  private val pqSubDim = 16
+  private val pqCodebooks: Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(11)
+    Seq.fill(4)(Seq.fill(4)(Seq.fill(pqSubDim)(rng.nextGaussian() * 0.2)))
+  }
+
+  private val pqOracle: String = {
+    val m = 4; val k = 4; val subDim = pqSubDim
+    val codebooks = pqCodebooks
     def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
     def d2Sql(mi: Int, c: Seq[Double]) =
       s"list_sum(list_transform(range(1, ${subDim + 1}), i -> (e[${mi * subDim} + i]::DOUBLE - (${cSql(c)})[i]) * (e[${mi * subDim} + i]::DOUBLE - (${cSql(c)})[i])))"
@@ -451,25 +454,46 @@ object VectorQueries extends QuerySet {
     def scoreSql(mi: Int) =
       s"(CASE code_$mi WHEN 0 THEN q${mi}_0 WHEN 1 THEN q${mi}_1 WHEN 2 THEN q${mi}_2 ELSE q${mi}_3 END)"
     val score = (0 until m).map(scoreSql).mkString(" + ")
-    Q("v5_pq_topk",
-      Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
-               c AS (SELECT vec_id, ${(0 until m).map(codeSql).mkString(", ")} FROM d),
-               q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-               lut AS (SELECT $luts FROM q)
-               SELECT vec_id, round($score, 6) AS score
-               FROM c, lut
-               ORDER BY score DESC, vec_id LIMIT 5"""),
-      (s, d) => {
-        val emb = embeddings(s, d)
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        emb.withColumn("codes", Search.pqCodes(col("embedding"), codebooks, subDim))
-          .select(col("vec_id"), col("codes"))
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            round(Search.pqAdcScore(col("codes"), col("qv"), codebooks, subDim), 6).as("score"))
-          .orderBy(col("score").desc, col("vec_id")).limit(5)
-      })
+    s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
+        c AS (SELECT vec_id, ${(0 until m).map(codeSql).mkString(", ")} FROM d),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (SELECT $luts FROM q)
+        SELECT vec_id, round($score, 6) AS score
+        FROM c, lut
+        ORDER BY score DESC, vec_id LIMIT 5"""
   }
+
+  val v5PqTopK: Q = Q("v5_pq_topk", Some(pqOracle),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.withColumn("codes", Search.pqCodes(col("embedding"), pqCodebooks, pqSubDim))
+        .select(col("vec_id"), col("codes"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Search.pqAdcScore(col("codes"), col("qv"), pqCodebooks, pqSubDim), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(5)
+    })
+
+  /** The stored form of v5 — the codes table is WRITTEN once (4 small ints
+    * per vector instead of 64 floats) and the scoring scan reads ONLY that
+    * table: at 100 TB this is the ~60× storage/bandwidth reduction that
+    * makes brute-ranking a whole corpus per query feasible. Same oracle as
+    * v5 (identical semantics; the raw query vector still comes exact from
+    * the source table). */
+  val v5bPqStored: Q = Q("v5b_pq_stored_topk", Some(pqOracle),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_codes_${Integer.toHexString(d.hashCode)}"
+      emb.select(col("vec_id"), Search.pqCodes(col("embedding"), pqCodebooks, pqSubDim).as("codes"))
+        .write.mode("overwrite").parquet(out)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Search.pqAdcScore(col("codes"), col("qv"), pqCodebooks, pqSubDim), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(5)
+    })
 
   /** Benchmark decontamination (GPT-3 appendix-C style): the eval "suite"
     * is a deterministic slice of the corpus (doc_id % 13 = 0); flag every
@@ -549,7 +573,8 @@ object VectorQueries extends QuerySet {
       Dedup.connectedComponents(pairs).orderBy("id")
     })
 
-  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned, v5PqTopK, a12Approx,
+  def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
+    v5PqTopK, v5bPqStored, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     x4Fingerprint, m1Binary, m2ImageDims)

@@ -83,4 +83,30 @@ class PlanSpec extends SparkSpec {
       .select(graft.index.Embed.dot(col("embedding"), col("embedding")).as("d"))
     assert(codegenProject(dot), "array_dot must stay in codegen")
   }
+
+  test("d6 decontamination joins the corpus map-side: broadcast semi, no shuffle join") {
+    val plan = formatted(graft.queries.VectorQueries.d6Decontaminate.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval grams must broadcast into a semi join:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), "the corpus side must not shuffle for the semi join")
+  }
+
+  test("c1 curation pushes its filters to the scan and top-1-dedups map-side") {
+    val plan = formatted(graft.queries.MiscQueries.c1Curation.fn(spark, sf))
+    val read = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("lang") && !read.contains("n_chars"),
+      s"curation must scan only the columns it uses: $read")
+    assert(plan.contains("WindowGroupLimit"),
+      "exact dedup must plan the partial/final top-1-per-group optimization")
+  }
+
+  test("v5b scores from the stored codes table — the scan never touches embeddings") {
+    val df = graft.queries.VectorQueries.v5bPqStored.fn(spark, sf)
+    val plan = formatted(df)
+    val codesScan = plan.linesIterator.filter(_.contains("graft_pq_codes")).mkString
+    assert(codesScan.nonEmpty, s"expected a scan of the stored codes table:\n${plan.take(1200)}")
+    val reads = "ReadSchema:.*".r.findAllIn(plan).toSeq
+    assert(reads.exists(r => r.contains("codes") && !r.contains("embedding")),
+      s"the scoring side must read codes only, got: $reads")
+  }
 }
