@@ -166,4 +166,34 @@ class PropertySpec extends SparkSpec {
     }).collect().map(_.getSeq[String](0)).toSeq
     assert(native == hof)
   }
+
+  test("Pii.redact is idempotent on random identifier-laced strings") {
+    // placeholders carry no digits or '@', so a second pass must be a no-op
+    val parts = Seq("call ", "+1-202-555-0143", " or ", "bob@x.example.com", " ip ",
+      "10.0.0.1", " t 192.168. ", "word ", "+66(2)1230456", "a@b", " 7 ")
+    // adversarial: no separators — glued identifiers ("a@b.comx@y.com") make
+    // the greedy classes split matches oddly, but a second pass must still
+    // be a no-op
+    val glued = Seq.fill(300)((0 until rng.nextInt(8)).map(_ => parts(rng.nextInt(parts.length))).mkString)
+    val once = glued.toDF("t").select(graft.ops.Pii.redact(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("t").select(graft.ops.Pii.redact(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once)
+    // realistic: space-separated identifiers must all be caught
+    val spaced = Seq.fill(300)((0 until rng.nextInt(8)).map(_ => parts(rng.nextInt(parts.length))).mkString(" "))
+    val clean = spaced.toDF("t").select(graft.ops.Pii.redact(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(clean.forall(s => !s.contains("@x.example.com") && !s.contains("10.0.0.1")))
+  }
+
+  test("curation survivors are a subset of the corpus with unchanged ids and strata") {
+    val docs = graft.tables.TestTables.documents(spark, sf)
+    val out = graft.ops.Curation.curate(
+      docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text", "lang",
+      docs.filter(col("doc_id") % 13 === 0))
+    val joined = out.join(docs.select(col("doc_id").as("id"), col("lang").as("l")), Seq("id"), "left")
+    assert(joined.filter(col("l").isNull || col("l") =!= col("stratum")).count() == 0)
+    assert(out.count() < docs.count())
+  }
 }
