@@ -61,7 +61,13 @@ object Curation {
       TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
       Pii.redact(col(textCol)).as("text"))
       .filter(col("quality") >= cfg.minQuality)
-    // 3: exact dedup — first-wins (min id) per normalized-content hash
+    // 3: exact dedup — first-wins (min id) per normalized-content hash.
+    // No explicit persist: the chain up to the dedup window is an identical
+    // exchange subtree for all three downstream consumers, so ReuseExchange
+    // computes it once and the consumers re-read the shuffle files (tested
+    // faster than MEMORY_AND_DISK persist, which only added a
+    // materialization barrier). At cluster scale this cut point is where a
+    // real pipeline would write the deduped corpus to storage instead.
     val exact = Dedup.exact(scored, col("text"), col("id"))
     // 4: near-dup clustering; drop every doc whose cluster has a smaller id
     val pairs = Dedup.minHashDuplicates(exact, "id", col("text"),

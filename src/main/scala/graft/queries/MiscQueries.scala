@@ -552,15 +552,14 @@ object MiscQueries extends QuerySet {
     * doc_id % 13 = 0 play the held-out eval suite, the rest the corpus.
     * Every stage's SQL fragment is the already-verified oracle of its
     * standalone query (x2 / pii1 / d1 / d7 / d6 / x6), chained on CTEs. */
-  val c1Curation: Q = {
+  private def curationSql(extraWhere: String): String = {
     val email = graft.ops.Pii.EmailPattern
     val ip = graft.ops.Pii.Ipv4Pattern
     val phone = graft.ops.Pii.PhonePattern
     val thrEn = TextAnalysis.hexThreshold(0.5)
     val thrZh = TextAnalysis.hexThreshold(0.25)
     val thrDef = TextAnalysis.hexThreshold(0.1)
-    Q("c1_curation_pipeline",
-      Some(s"""WITH RECURSIVE corpus AS (
+    s"""WITH RECURSIVE corpus AS (
                 SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 <> 0),
               qm AS (
                 SELECT doc_id, lang, text, CAST(length(text) AS DOUBLE) AS len,
@@ -644,19 +643,36 @@ object MiscQueries extends QuerySet {
               SELECT id, stratum, quality, text FROM clean
               WHERE md5(CAST(id AS VARCHAR)) <
                 CASE stratum WHEN 'en' THEN '$thrEn' WHEN 'zh' THEN '$thrZh' ELSE '$thrDef' END
-              ORDER BY id"""),
-      (s, d) => {
-        val docs = documents(s, d)
-        graft.ops.Curation.curate(
-          docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text", "lang",
-          docs.filter(col("doc_id") % 13 === 0))
-          .orderBy("id")
-      })
+              $extraWhere
+              ORDER BY id"""
   }
+
+  private def curated(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = documents(s, d)
+    graft.ops.Curation.curate(
+      docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text", "lang",
+      docs.filter(col("doc_id") % 13 === 0))
+  }
+
+  val c1Curation: Q = Q("c1_curation_pipeline", Some(curationSql("")),
+    (s, d) => curated(s, d).orderBy("id"))
+
+  /** The consumption layout: the curated corpus is WRITTEN
+    * `partitionBy(stratum)` — the directory layout a mixture-sampling
+    * trainer reads one language at a time — and one stratum is read back
+    * with the filter arriving as a partition-level file prune (PlanSpec
+    * asserts PartitionFilters), not a scan-and-discard. */
+  val c1bCurationStored: Q = Q("c1b_curation_stored", Some(curationSql("AND stratum = 'en'")),
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_curated_${Integer.toHexString(d.hashCode)}"
+      curated(s, d).write.mode("overwrite").partitionBy("stratum").parquet(out)
+      s.read.parquet(out).filter(col("stratum") === "en")
+        .select("id", "stratum", "quality", "text").orderBy("id")
+    })
 
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
-    c1Curation)
+    c1Curation, c1bCurationStored)
 }

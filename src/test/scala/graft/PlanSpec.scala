@@ -109,4 +109,11 @@ class PlanSpec extends SparkSpec {
     assert(reads.exists(r => r.contains("codes") && !r.contains("embedding")),
       s"the scoring side must read codes only, got: $reads")
   }
+
+  test("c1b reads the stored curated corpus with a partition-level stratum prune") {
+    val plan = formatted(graft.queries.MiscQueries.c1bCurationStored.fn(spark, sf))
+    val pf = "PartitionFilters:.*".r.findAllIn(plan).toSeq
+    assert(pf.exists(_.contains("stratum")),
+      s"stratum filter must prune partitions at the file listing, got: $pf")
+  }
 }
