@@ -173,7 +173,8 @@ object Search {
         val cv = array(c.map(lit): _*)
         val d2 = aggregate(zip_with(sub, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (acc, x) => acc + x)
-        struct(d2.as("d2"), lit(k).as("code"))
+        // tinyint code: the stored table is genuinely M bytes per vector
+        struct(d2.as("d2"), lit(k.toByte).as("code"))
       }
       element_at(sort_array(array(scored: _*)), 1).getField("code")
     }: _*)

@@ -83,15 +83,18 @@ object Dedup {
   def minHashDuplicates(df: DataFrame, idCol: String, text: Column,
                         shingleWidth: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
-    // cache: the signature computation feeds both join sides and the
-    // verification re-fetch. Shingles and digests are separate projections
-    // so each is evaluated once (CollapseProject keeps non-cheap
-    // expressions at their boundary).
+    // localCheckpoint (not cache): the signature computation feeds both
+    // join sides and the verification re-fetch, so it must materialize
+    // once — but a .cache() registers in the CacheManager and pins
+    // corpus-sized shingle arrays for the whole session across repeated
+    // calls (d2/d7/c1 each build one); checkpointed blocks are released
+    // when the frame is garbage-collected. Shingles and digests are
+    // separate projections so each is evaluated once.
     val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
       .withColumn("hs", shingleHashes(col("sh")))
       .withColumn("sig", minHashSignature(col("hs"), numHashes))
       .drop("hs")
-      .cache()
+      .localCheckpoint()
     val bands = base.select(col("id"),
       explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
     val candidates = bands.select(col("band"), col("id").as("id_a"))
@@ -189,12 +192,14 @@ object Dedup {
     while (changed > 0 && iter < maxIterations) {
       val neighborMin = sym.join(labels.select(col("id").as("v"), col("lbl")), "v")
         .groupBy(col("u").as("id")).agg(min("lbl").as("_nbr"))
+      // carry the previous label through the checkpoint so the convergence
+      // count is a filter on materialized data, not another shuffle join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("_nbr"), col("lbl"))).as("lbl"))
+        .select(col("id"), least(col("lbl"), coalesce(col("_nbr"), col("lbl"))).as("lbl"),
+          col("lbl").as("_old"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("lbl").as("_old")), "id")
-        .filter(col("lbl") < col("_old")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("_old")).count()
+      labels = next.select("id", "lbl")
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIterations rounds")

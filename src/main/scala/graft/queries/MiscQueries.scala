@@ -582,37 +582,11 @@ object MiscQueries extends QuerySet {
                 SELECT id, stratum, quality, text FROM (
                   SELECT *, row_number() OVER (
                     PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY id) AS rn
-                  FROM qs) t WHERE rn = 1),
-              dt AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM ex),
-              dsh AS (
-                SELECT id, CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
-                FROM dt),
-              dhs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM dsh),
-              dsig AS (
-                SELECT id, shingles, [
-                  list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min'),
-                  list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min'),
-                  list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min'),
-                  list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min'),
-                  list_aggregate(list_transform(hs, h -> concat(substr(h, 30, 3), substr(h, 1, 29))), 'min'),
-                  list_aggregate(list_transform(hs, h -> concat(substr(h, 6, 27), substr(h, 1, 5))), 'min')] AS sg
-                FROM dhs),
-              dbands AS (
-                SELECT id, shingles, unnest([
-                  concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
-                  concat('1:', md5(concat_ws('|', sg[3], sg[4]))),
-                  concat('2:', md5(concat_ws('|', sg[5], sg[6])))]) AS band
-                FROM dsig),
-              dpairs AS (
-                SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM dbands a JOIN dbands b ON a.band = b.band AND a.id < b.id
-                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
-              de AS (SELECT id_a AS u, id_b AS v FROM dpairs
-                     UNION SELECT id_b AS u, id_a AS v FROM dpairs),
+                  FROM qs) _w WHERE rn = 1),
+              dsrc AS (SELECT id, text FROM ex),
+              ${graft.queries.OracleSql.lshPairsCtes("dsrc", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)},
+              de AS (SELECT id_a AS u, id_b AS v FROM pairs
+                     UNION SELECT id_b AS u, id_a AS v FROM pairs),
               reach AS (
                 SELECT u AS id, u AS r FROM de
                 UNION
@@ -620,21 +594,11 @@ object MiscQueries extends QuerySet {
               losers AS (
                 SELECT id FROM (SELECT id, min(r) AS cid FROM reach GROUP BY id) t WHERE cid < id),
               dd AS (SELECT * FROM ex WHERE id NOT IN (SELECT id FROM losers)),
-              gt AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM dd),
-              gsh AS (
-                SELECT id, CASE WHEN len(toks) >= 4
-                  THEN list_distinct(list_transform(range(1, len(toks) - 2),
-                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
-                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
-                FROM gt),
-              et AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              gt AS (SELECT id, ${graft.queries.OracleSql.toksSql} AS toks FROM dd),
+              gsh AS (SELECT id, ${graft.queries.OracleSql.shinglesSql(4)} AS sh FROM gt),
+              et AS (SELECT ${graft.queries.OracleSql.toksSql} AS toks
                      FROM documents WHERE doc_id % 13 = 0),
-              esh AS (
-                SELECT CASE WHEN len(toks) >= 4
-                  THEN list_distinct(list_transform(range(1, len(toks) - 2),
-                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
-                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
-                FROM et),
+              esh AS (SELECT ${graft.queries.OracleSql.shinglesSql(4)} AS sh FROM et),
               eg AS (SELECT DISTINCT unnest(sh) AS g FROM esh),
               contaminated AS (
                 SELECT DISTINCT id FROM (SELECT id, unnest(sh) AS g FROM gsh) t

@@ -24,3 +24,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(name: String, oracle: Option[String], fn: (SparkSession, String) => DataFrame)
 
 trait QuerySet { def all: Seq[Q] }
+
+/** Shared DuckDB oracle fragments for the dedup family — ONE source of
+  * truth for the SQL that must mirror `graft.ops.Dedup` exactly. The
+  * rotation table is generated from the same `Dedup.rotationOffset` the
+  * Spark expression uses, so a parameter change cannot de-synchronize the
+  * copies (d2 / d7 / c1 / d6 / x4 all build on these).
+  */
+object OracleSql {
+
+  /** Word w-shingles of `toks` (a filtered lowercase token list), mirroring
+    * `Dedup.wordShingles`: distinct, space-joined; fewer than w tokens →
+    * the space-joined token list as the single shingle, where an EMPTY
+    * token list yields '' (Spark's concat_ws over zero tokens), not NULL
+    * (DuckDB's string_agg over an empty list). */
+  def shinglesSql(w: Int): String =
+    s"""CASE WHEN len(toks) >= $w
+         THEN list_distinct(list_transform(range(1, len(toks) - ${w - 2}),
+              i -> concat(${(0 until w).map(j => s"toks[i+$j]").mkString(", ' ', ")})))
+         ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END"""
+
+  /** The tokenize every shingle build starts from: lowercase whitespace
+    * split with empty tokens dropped (mirrors the Spark HOF in
+    * `Dedup.wordShingles`). */
+  val toksSql: String = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** MinHash permutation i over a column `hs` of per-shingle md5 digests:
+    * the lexicographic min of each digest rotated by
+    * `Dedup.rotationOffset(i)` hex chars. */
+  def minhashSql(i: Int): String = {
+    val r = graft.ops.Dedup.rotationOffset(i)
+    s"list_aggregate(list_transform(hs, h -> concat(substr(h, ${r + 1}, ${32 - r}), substr(h, 1, $r))), 'min')"
+  }
+
+  /** LSH band keys for a signature list column `sg`: bands of `rows`
+    * consecutive mins, each md5'd with its band index prefix (mirrors
+    * `Dedup.lshBandKeys`). */
+  def bandsSql(numHashes: Int, rows: Int): String = {
+    val bands = (0 until numHashes / rows).map { b =>
+      val parts = (1 to rows).map(j => s"sg[${b * rows + j}]").mkString(", ")
+      s"concat('$b:', md5(concat_ws('|', $parts)))"
+    }
+    s"unnest([${bands.mkString(", ")}])"
+  }
+
+  /** The full candidate-pair CTE chain over a source CTE `src(id, text)`:
+    * tokenize → shingle → digest → minhash signature → LSH bands →
+    * verified pairs with UNROUNDED Jaccard ≥ `threshold` (Spark filters
+    * before rounding — the rounded value is for display only). Emits CTE
+    * definitions `t,sh,hs,sig,bands,pairs`; `pairs` has (id_a, id_b,
+    * jacc raw double). */
+  def lshPairsCtes(src: String, shingleWidth: Int, numHashes: Int, rows: Int,
+                   threshold: Double): String = {
+    val jacc = """CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.shingles, b.shingles)))"""
+    s"""t AS (SELECT id, $toksSql AS toks FROM $src),
+        sh AS (SELECT id, ${shinglesSql(shingleWidth)} AS shingles FROM t),
+        hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+        sig AS (SELECT id, shingles, [${(0 until numHashes).map(minhashSql).mkString(",\n          ")}] AS sg FROM hs),
+        bands AS (SELECT id, shingles, ${bandsSql(numHashes, rows)} AS band FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, $jacc AS jacc
+          FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id
+          WHERE $jacc >= $threshold)"""
+  }
+}

@@ -108,21 +108,11 @@ object VectorQueries extends QuerySet {
   /** MinHash signature (4 rotation-permutations of one md5 per shingle,
     * serialized) — engine-portable, one digest pass. */
   val d2MinHash = Q("d2_minhash_signature",
-    Some("""WITH t AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CASE WHEN len(toks) >= 3
-                THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
-              FROM t),
-            hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh)
-            SELECT doc_id,
-              list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min') AS h0,
-              list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min') AS h1,
-              list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min') AS h2,
-              list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min') AS h3
+    Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT id, ${OracleSql.shinglesSql(3)} AS shingles FROM t),
+            hs AS (SELECT id, list_transform(shingles, s -> md5(s)) AS hs FROM sh)
+            SELECT id AS doc_id,
+              ${(0 until 4).map(i => s"${OracleSql.minhashSql(i)} AS h$i").mkString(",\n              ")}
             FROM hs ORDER BY doc_id"""),
     (s, d) => {
       val sig = Dedup.minHashSignature(col("hs"), 4)
@@ -138,37 +128,9 @@ object VectorQueries extends QuerySet {
   /** MinHash + LSH banding: candidate pairs sharing a band, verified by
     * exact Jaccard ≥ 0.8 over the shingle sets. */
   val d2MinHashPairs = Q("d2_minhash_lsh_pairs",
-    Some("""WITH t AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CASE WHEN len(toks) >= 3
-                THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
-              FROM t),
-            hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
-            sig AS (
-              SELECT doc_id, shingles, [
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 30, 3), substr(h, 1, 29))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 6, 27), substr(h, 1, 5))), 'min')] AS sg
-              FROM hs),
-            bands AS (
-              SELECT doc_id, shingles, unnest([
-                concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
-                concat('1:', md5(concat_ws('|', sg[3], sg[4]))),
-                concat('2:', md5(concat_ws('|', sg[5], sg[6])))]) AS band
-              FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                      len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-              FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
+    Some(s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
+            ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)}
+            SELECT id_a, id_b, round(jacc, 6) AS jaccard FROM pairs ORDER BY id_a, id_b"""),
     (s, d) => Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
         shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -205,7 +167,10 @@ object VectorQueries extends QuerySet {
       // pair expression would rebuild each doc's gram set four times
       val g = documents(s, d)
         .select(col("doc_id"), Dedup.charNgrams(lower(col("text")), 3).as("grams"))
-        .cache() // both sides of the shifted self-join read the gram sets
+        // both sides of the shifted self-join read the gram sets; checkpoint
+        // (not cache) so the blocks free on GC instead of pinning the
+        // CacheManager for the session
+        .localCheckpoint()
       val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
       val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
       a.join(b, col("id_b") === col("id_a") + 1)
@@ -217,16 +182,9 @@ object VectorQueries extends QuerySet {
 
   /** Text-analysis fingerprint + quality score. */
   val x4Fingerprint = Q("x4_doc_fingerprint",
-    Some("""WITH t AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CASE WHEN len(toks) >= 4
-                THEN list_distinct(list_transform(range(1, len(toks) - 2),
-                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
-                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
-              FROM t)
-            SELECT doc_id, list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp
+    Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT id, ${OracleSql.shinglesSql(4)} AS shingles FROM t)
+            SELECT id AS doc_id, list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp
             FROM sh ORDER BY doc_id"""),
     (s, d) => documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(lower(col("text")), 4).as("fp"))
@@ -475,8 +433,8 @@ object VectorQueries extends QuerySet {
         .orderBy(col("score").desc, col("vec_id")).limit(5)
     })
 
-  /** The stored form of v5 — the codes table is WRITTEN once (4 small ints
-    * per vector instead of 64 floats) and the scoring scan reads ONLY that
+  /** The stored form of v5 — the codes table is WRITTEN once (4 tinyint
+    * codes per vector instead of 64 floats) and the scoring scan reads ONLY that
     * table: at 100 TB this is the ~60× storage/bandwidth reduction that
     * makes brute-ranking a whole corpus per query feasible. Same oracle as
     * v5 (identical semantics; the raw query vector still comes exact from
@@ -501,20 +459,13 @@ object VectorQueries extends QuerySet {
     * shared grams. Scale shape: eval grams broadcast, train side never
     * shuffles (map-side semi-join at scan bandwidth). */
   val d6Decontaminate = Q("d6_decontaminate",
-    Some("""WITH t AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CASE WHEN len(toks) >= 4
-                THEN list_distinct(list_transform(range(1, len(toks) - 2),
-                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
-                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
-              FROM t),
-            g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-            ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 13 = 0)
-            SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_shared
-            FROM g WHERE doc_id % 13 <> 0 AND g IN (SELECT g FROM ev)
-            GROUP BY doc_id ORDER BY id"""),
+    Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT id, ${OracleSql.shinglesSql(4)} AS sh FROM t),
+            g AS (SELECT id, unnest(sh) AS g FROM sh),
+            ev AS (SELECT DISTINCT g FROM g WHERE id % 13 = 0)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM g WHERE id % 13 <> 0 AND g IN (SELECT g FROM ev)
+            GROUP BY id ORDER BY id"""),
     (s, d) => {
       val docs = documents(s, d)
       Dedup.decontaminate(
@@ -529,36 +480,8 @@ object VectorQueries extends QuerySet {
     * groups). Oracle: the d2 pair pipeline + a recursive-CTE transitive
     * closure, min reachable id per vertex. */
   val d7DedupClusters = Q("d7_dedup_clusters",
-    Some("""WITH RECURSIVE t AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CASE WHEN len(toks) >= 3
-                THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-                ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS shingles
-              FROM t),
-            hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
-            sig AS (
-              SELECT doc_id, shingles, [
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 2, 31), substr(h, 1, 1))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 9, 24), substr(h, 1, 8))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 16, 17), substr(h, 1, 15))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 23, 10), substr(h, 1, 22))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 30, 3), substr(h, 1, 29))), 'min'),
-                list_aggregate(list_transform(hs, h -> concat(substr(h, 6, 27), substr(h, 1, 5))), 'min')] AS sg
-              FROM hs),
-            bands AS (
-              SELECT doc_id, shingles, unnest([
-                concat('0:', md5(concat_ws('|', sg[1], sg[2]))),
-                concat('1:', md5(concat_ws('|', sg[3], sg[4]))),
-                concat('2:', md5(concat_ws('|', sg[5], sg[6])))]) AS band
-              FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+    Some(s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+            ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)},
             e AS (SELECT id_a AS u, id_b AS v FROM pairs
                   UNION SELECT id_b AS u, id_a AS v FROM pairs),
             reach AS (

@@ -101,7 +101,7 @@ class DedupSearchSpec extends SparkSpec {
     val df = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (2L, Seq(0.1f, 0.9f, 0.8f, 0.1f)))
       .toDF("id", "v")
       .withColumn("codes", Search.pqCodes(col("v"), codebooks, subDim = 2))
-    val codes = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val codes = df.collect().map(r => r.getLong(0) -> r.getSeq[Byte](2).map(_.toInt)).toMap
     assert(codes(1L) == Seq(0, 1)) // [1,0]→centroid0, [0,1]→centroid1
     assert(codes(2L) == Seq(1, 0)) // [.1,.9]→centroid1, [.8,.1]→centroid0
     // ADC for doc 1 with query [2,3,4,5]: dot([2,3],[1,0]) + dot([4,5],[0,1]) = 2 + 5

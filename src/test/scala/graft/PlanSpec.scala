@@ -93,9 +93,11 @@ class PlanSpec extends SparkSpec {
 
   test("c1 curation pushes its filters to the scan and top-1-dedups map-side") {
     val plan = formatted(graft.queries.MiscQueries.c1Curation.fn(spark, sf))
-    val read = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
-    assert(read.contains("doc_id") && read.contains("lang") && !read.contains("n_chars"),
-      s"curation must scan only the columns it uses: $read")
+    // several scans print (corpus, eval set, checkpointed frames) — assert
+    // the corpus scan exists with a pruned schema, wherever it appears
+    val reads = "ReadSchema:.*".r.findAllIn(plan).toSeq
+    assert(reads.exists(r => r.contains("doc_id") && r.contains("lang") && !r.contains("n_chars")),
+      s"curation must scan only the columns it uses: $reads")
     assert(plan.contains("WindowGroupLimit"),
       "exact dedup must plan the partial/final top-1-per-group optimization")
   }
