@@ -167,6 +167,28 @@ object WindowQueries extends QuerySet {
         "source", "doc_id", "n_chars", "brk", maxChars = 1200)
       .orderBy("source", "doc_id"))
 
+  /** As-of join (attribution): each click event joins the latest view of
+    * the same user at-or-before its timestamp. Oracle: DuckDB's native
+    * ASOF LEFT JOIN — the Spark side must reproduce an actual engine
+    * primitive, inclusive-tie semantics included. Views are pre-reduced to
+    * one row per (user, ts) so the carried value is order-independent. */
+  val j7Asof = Q("j7_asof_join",
+    Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, max(event_id) AS view_id
+                  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.view_id
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY event_id"""),
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.ops.Temporal.asofJoin(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("view_id"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
-    w6Budget, a1Median, a9Argmax, f17AnyFlag)
+    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof)
 }

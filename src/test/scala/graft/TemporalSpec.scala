@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      (1L, "u1", 100L), // after right@50 and right@100 → inclusive tie picks 100
+      (2L, "u1", 99L),  // between 50 and 100 → 50
+      (3L, "u1", 10L),  // before any right row → null
+      (4L, "u2", 500L), // other key: only u2's rows are visible → 400
+      (5L, "u3", 500L)  // key with no right rows at all → null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("u1", 50L, "a"), ("u1", 100L, "b"), ("u1", 200L, "c"),
+      ("u2", 400L, "x")
+    ).toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "b", 2L -> "a", 3L -> null, 4L -> "x", 5L -> null))
+  }
+
+  test("asofJoin carries multiple right value columns and keeps the left payload") {
+    val left = Seq((1L, "u", 10L, "keep")).toDF("id", "k", "ts", "payload")
+    val right = Seq(("u", 5L, 42L, 3.5)).toDF("k", "ts", "rid", "score")
+    val row = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("rid", "score")).head()
+    assert(row.getAs[String]("payload") == "keep")
+    assert(row.getAs[Long]("rid") == 42L && row.getAs[Double]("score") == 3.5)
+  }
+}
