@@ -51,4 +51,31 @@ object Temporal {
       .filter(col("_side") === 1)
       .drop("_side")
   }
+
+  /** Keyless interval-containment join: pair every point with every
+    * interval containing it (`start ≤ ts < end`). Without a key, Spark
+    * plans an inequality join as BroadcastNestedLoopJoin — O(N·M) and a
+    * driver OOM at scale. The bucket trick makes it an equi-join: points
+    * land in ONE bucket of width `maxLen`; an interval of length ≤ maxLen
+    * spans at most two buckets and is exploded into each; the bucket
+    * equi-join then shuffles O(N + 2M) rows and the exact predicate
+    * filters within buckets. Each (point, interval) pair meets in exactly
+    * one bucket — the point's — so no post-join dedup is needed.
+    *
+    * `tsCol`/`startCol`/`endCol` are epoch-µs longs (cast timestamps with
+    * `unix_micros` first); `maxLen` must bound every interval's length. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                tsCol: String, startCol: String, endCol: String, maxLen: Long): DataFrame = {
+    val p = points.withColumn("_b", floor(col(tsCol) / maxLen))
+    // empty intervals would make `sequence` run DESCENDING (wrong buckets);
+    // they can match nothing, so drop them. Intervals longer than maxLen
+    // stay correct (sequence covers every spanned bucket) — maxLen only
+    // bounds the explosion factor.
+    val i = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_b", explode(sequence(floor(col(startCol) / maxLen),
+        floor((col(endCol) - 1) / maxLen))))
+    p.join(i, Seq("_b"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_b")
+  }
 }

@@ -189,6 +189,31 @@ object WindowQueries extends QuerySet {
         .orderBy("event_id")
     })
 
+  /** Keyless range join (incident attribution): every error event opens a
+    * 5-minute incident window; count the clicks landing in each window.
+    * The oracle is a plain inequality join; the Spark side must reach the
+    * same pairs through the bucket equi-join (PlanSpec asserts no
+    * nested-loop plan). */
+  val r1Range = Q("r1_range_join",
+    Some("""WITH inc AS (SELECT event_id AS incident_id, epoch_us(ts) AS s
+                         FROM events WHERE event_type = 'error'),
+            p AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+            SELECT incident_id, CAST(count(*) AS BIGINT) AS n_clicks
+            FROM inc JOIN p ON p.t >= inc.s AND p.t < inc.s + 300000000
+            GROUP BY incident_id ORDER BY incident_id"""),
+    (s, d) => {
+      val ev = events(s, d)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 300000000L).as("e"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("t"))
+      graft.ops.Temporal.rangeJoin(clicks, incidents, "t", "s", "e", maxLen = 300000000L)
+        .groupBy("incident_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("incident_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
-    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof)
+    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range)
 }

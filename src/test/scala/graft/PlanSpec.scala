@@ -112,6 +112,13 @@ class PlanSpec extends SparkSpec {
       s"the scoring side must read codes only, got: $reads")
   }
 
+  test("r1 range join plans a hash/merge equi-join on the bucket, never a nested loop") {
+    val plan = formatted(graft.queries.WindowQueries.r1Range.fn(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the bucket trick must turn the inequality join into an equi-join:\n${plan.take(1200)}")
+    assert(plan.contains("Join"), "expected a join in the r1 plan")
+  }
+
   test("c1b reads the stored curated corpus with a partition-level stratum prune") {
     val plan = formatted(graft.queries.MiscQueries.c1bCurationStored.fn(spark, sf))
     val pf = "PartitionFilters:.*".r.findAllIn(plan).toSeq

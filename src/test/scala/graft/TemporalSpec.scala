@@ -30,4 +30,24 @@ class TemporalSpec extends SparkSpec {
     assert(row.getAs[String]("payload") == "keep")
     assert(row.getAs[Long]("rid") == 42L && row.getAs[Double]("score") == 3.5)
   }
+
+  test("rangeJoin matches [start, end) exactly once per containing interval") {
+    val points = Seq(10L, 100L, 199L, 200L, 250L).map(Tuple1(_)).toDF("t")
+    val intervals = Seq(
+      (1L, 100L, 200L),  // catches 100 (inclusive start), 199; NOT 200 (exclusive end)
+      (2L, 150L, 260L),  // overlaps interval 1: 199 pairs with both; 200, 250
+      (3L, 300L, 300L),  // empty — dropped
+      (4L, 0L, 1000L)    // longer than maxLen: still catches everything
+    ).toDF("iid", "s", "e")
+    val pairs = Temporal.rangeJoin(points, intervals, "t", "s", "e", maxLen = 100L)
+      .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set(
+      (1L, 100L), (1L, 199L),
+      (2L, 199L), (2L, 200L), (2L, 250L),
+      (4L, 10L), (4L, 100L), (4L, 199L), (4L, 200L), (4L, 250L)))
+    // exactly-once: no (point, interval) pair duplicated by the bucket explode
+    val all = Temporal.rangeJoin(points, intervals, "t", "s", "e", maxLen = 100L)
+      .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all.size == all.distinct.size)
+  }
 }
