@@ -163,6 +163,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental dedup — the production update path: dedup a NEW batch
+    * against an EXISTING corpus without re-deduping the corpus. Returns
+    * the batch rows that are neither exact copies (same normalized-content
+    * hash) nor near-duplicates (shared LSH band + verified Jaccard ≥
+    * threshold) of any corpus document; batch-internal duplicates are NOT
+    * removed here (run `exact`/`minHashDuplicates` on the batch for that).
+    *
+    * Scale shape: both checks are equi-joins keyed on hash/band — the
+    * corpus side ships only (key) resp. (band, shingles-on-candidates);
+    * in production the corpus hashes and band keys are precomputed and
+    * stored (the same bucketed layout `io.Bundle.writeBucketedTable`
+    * provides), so each increment pays O(batch) + the candidate joins,
+    * never O(corpus). */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                         shingleWidth: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
+                         threshold: Double = 0.8): DataFrame = {
+    def contentHash(df: DataFrame) =
+      md5(lower(regexp_replace(col(textCol), "\\s+", " ")))
+    val exactSurvivors = batch
+      .join(corpus.select(contentHash(corpus).as("_h")).distinct(),
+        contentHash(batch) === col("_h"), "left_anti")
+    def sigs(df: DataFrame) = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .withColumn("sig", minHashSignature(shingleHashes(col("sh")), numHashes))
+    def bands(df: DataFrame) = sigs(df)
+      .select(col("id"), col("sh"), explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
+    val nearDupIds = bands(exactSurvivors)
+      .join(bands(corpus).select(col("band"), col("sh").as("sh_c")), Seq("band"))
+      .filter(size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
+        size(array_union(col("sh"), col("sh_c"))) >= threshold)
+      .select("id").distinct()
+    exactSurvivors.join(nearDupIds, exactSurvivors(idCol) === nearDupIds("id"), "left_anti")
+  }
+
   /** Connected components over an undirected edge list (a, b) — the
     * cluster step that turns pairwise near-duplicates into dedup groups
     * (keep one doc per component). Returns (id, cluster_id) for every

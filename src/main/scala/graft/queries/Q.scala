@@ -74,18 +74,27 @@ object OracleSql {
     * before rounding — the rounded value is for display only). Emits CTE
     * definitions `t,sh,hs,sig,bands,pairs`; `pairs` has (id_a, id_b,
     * jacc raw double). */
+  /** Exact Jaccard between the shingle sets of join sides aliased a/b. */
+  val jaccSql: String =
+    """CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       len(list_distinct(list_concat(a.shingles, b.shingles)))"""
+
+  /** CTE chain from a source CTE `src(id, text)` to an exploded band table
+    * `<p>bands(id, shingles, band)`, with every CTE name prefixed by `p`
+    * so two sides can coexist in one query. */
+  def bandedCtes(p: String, src: String, shingleWidth: Int, numHashes: Int,
+                 rows: Int): String =
+    s"""${p}t AS (SELECT id, $toksSql AS toks FROM $src),
+        ${p}sh AS (SELECT id, ${shinglesSql(shingleWidth)} AS shingles FROM ${p}t),
+        ${p}hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM ${p}sh),
+        ${p}sig AS (SELECT id, shingles, [${(0 until numHashes).map(minhashSql).mkString(",\n          ")}] AS sg FROM ${p}hs),
+        ${p}bands AS (SELECT id, shingles, ${bandsSql(numHashes, rows)} AS band FROM ${p}sig)"""
+
   def lshPairsCtes(src: String, shingleWidth: Int, numHashes: Int, rows: Int,
-                   threshold: Double): String = {
-    val jacc = """CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                  len(list_distinct(list_concat(a.shingles, b.shingles)))"""
-    s"""t AS (SELECT id, $toksSql AS toks FROM $src),
-        sh AS (SELECT id, ${shinglesSql(shingleWidth)} AS shingles FROM t),
-        hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
-        sig AS (SELECT id, shingles, [${(0 until numHashes).map(minhashSql).mkString(",\n          ")}] AS sg FROM hs),
-        bands AS (SELECT id, shingles, ${bandsSql(numHashes, rows)} AS band FROM sig),
+                   threshold: Double): String =
+    s"""${bandedCtes("", src, shingleWidth, numHashes, rows)},
         pairs AS (
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b, $jacc AS jacc
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, $jaccSql AS jacc
           FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id
-          WHERE $jacc >= $threshold)"""
-  }
+          WHERE $jaccSql >= $threshold)"""
 }

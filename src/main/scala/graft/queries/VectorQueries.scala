@@ -475,6 +475,31 @@ object VectorQueries extends QuerySet {
         .orderBy("id")
     })
 
+  /** Incremental dedup — the production update loop: a new batch
+    * (doc_id % 4 = 0) is deduped AGAINST the standing corpus (the rest)
+    * without touching corpus-internal duplicates; exact-hash anti-join
+    * first, then cross-set LSH band join with Jaccard verification. */
+  val d8Incremental = Q("d8_incremental_dedup",
+    Some(s"""WITH b0 AS (SELECT doc_id AS id, text, source FROM documents WHERE doc_id % 4 = 0),
+            c0 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 4 <> 0),
+            ch AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h FROM c0),
+            b1 AS (SELECT * FROM b0
+                   WHERE md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) NOT IN (SELECT h FROM ch)),
+            ${OracleSql.bandedCtes("x", "b1", shingleWidth = 3, numHashes = 6, rows = 2)},
+            ${OracleSql.bandedCtes("c", "c0", shingleWidth = 3, numHashes = 6, rows = 2)},
+            nd AS (SELECT DISTINCT a.id FROM xbands a JOIN cbands b ON a.band = b.band
+                   WHERE ${OracleSql.jaccSql} >= 0.8)
+            SELECT id AS doc_id, source FROM b1
+            WHERE id NOT IN (SELECT id FROM nd) ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text")
+        .select("doc_id", "source").orderBy("doc_id")
+    })
+
   /** Dedup clustering: connected components over the MinHash+LSH near-dup
     * pair list (the step that turns pairwise duplicates into keep-one
     * groups). Oracle: the d2 pair pipeline + a recursive-CTE transitive
@@ -500,5 +525,5 @@ object VectorQueries extends QuerySet {
     v5PqTopK, v5bPqStored, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    x4Fingerprint, m1Binary, m2ImageDims)
+    d8Incremental, x4Fingerprint, m1Binary, m2ImageDims)
 }

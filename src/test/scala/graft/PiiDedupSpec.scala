@@ -60,6 +60,22 @@ class PiiDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dedupAgainstCorpus drops exact and near copies of corpus docs, keeps novel ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different corpus content about catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick  brown fox jumps over the lazy dog near the river bank"), // exact mod whitespace
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"), // near dup
+      (12L, "a genuinely novel batch document with fresh words and new phrasing"),
+      (13L, "a genuinely novel batch document with fresh words and new phrasing") // batch-internal dup: KEPT
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L))
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)
