@@ -16,10 +16,16 @@ import graft.index.Embed
   */
 object Dedup {
 
+  /** Whitespace-normalized content hash — THE exact-dedup key, shared by
+    * `exact` and `dedupAgainstCorpus` (and mirrored in every oracle as
+    * md5(lower(regexp_replace(text, '\s+', ' ', 'g')))). */
+  def contentHash(content: Column): Column =
+    md5(lower(regexp_replace(content, "\\s+", " ")))
+
   /** Exact dedup: group by normalized-content hash, keep the first row per
     * group in (tieBreak) order — deterministic first-wins. */
   def exact(df: DataFrame, content: Column, tieBreak: Column): DataFrame = {
-    val withHash = df.withColumn("_h", md5(lower(regexp_replace(content, "\\s+", " "))))
+    val withHash = df.withColumn("_h", contentHash(content))
     val w = Window.partitionBy(col("_h")).orderBy(tieBreak)
     withHash.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_h", "_rn")
@@ -179,18 +185,28 @@ object Dedup {
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
                          shingleWidth: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
                          threshold: Double = 0.8): DataFrame = {
-    def contentHash(df: DataFrame) =
-      md5(lower(regexp_replace(col(textCol), "\\s+", " ")))
+    // checkpoint: feeds both the band build and the final anti-join — the
+    // batch scan + corpus-hash anti-join subtree must not run twice
     val exactSurvivors = batch
-      .join(corpus.select(contentHash(corpus).as("_h")).distinct(),
-        contentHash(batch) === col("_h"), "left_anti")
-    def sigs(df: DataFrame) = df
+      .join(corpus.select(contentHash(corpus(textCol)).as("_h")).distinct(),
+        contentHash(batch(textCol)) === col("_h"), "left_anti")
+      .localCheckpoint()
+    // two-pass band join, same shape as minHashDuplicates: only (id, band)
+    // rides the band shuffle; shingle arrays are fetched back for the
+    // candidate ids alone — never replicated per band across the corpus
+    def base(df: DataFrame) = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
       .withColumn("sig", minHashSignature(shingleHashes(col("sh")), numHashes))
-    def bands(df: DataFrame) = sigs(df)
-      .select(col("id"), col("sh"), explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
-    val nearDupIds = bands(exactSurvivors)
-      .join(bands(corpus).select(col("band"), col("sh").as("sh_c")), Seq("band"))
+      .localCheckpoint()
+    val bBase = base(exactSurvivors)
+    val cBase = base(corpus)
+    def bandsOf(b: DataFrame, id: String) = b.select(col("id").as(id),
+      explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
+    val candidates = bandsOf(bBase, "id").join(bandsOf(cBase, "id_c"), Seq("band"))
+      .select("id", "id_c").distinct()
+    val nearDupIds = candidates
+      .join(bBase.select(col("id"), col("sh")), Seq("id"))
+      .join(cBase.select(col("id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
       .filter(size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
         size(array_union(col("sh"), col("sh_c"))) >= threshold)
       .select("id").distinct()

@@ -34,6 +34,8 @@ object Temporal {
     require(!(left.columns ++ right.columns).exists(c => c == "_ts" || c == "_side"),
       "asofJoin reserves _ts/_side")
     val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    require(rightVals.intersect(leftPayload ++ keys).isEmpty,
+      s"rightVals collide with left columns: ${rightVals.intersect(leftPayload ++ keys).mkString(", ")}")
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
         leftPayload.map(col) ++
@@ -45,9 +47,16 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the latest right ROW as one struct: a right row always yields a
+    // non-null struct even when its value columns are null, so a genuine
+    // NULL value is carried (not skipped for a stale older one) and all
+    // rightVals come from the SAME matched row — per-column
+    // last(ignoreNulls) would violate both
+    val rowCarry = last(
+      when(col("_side") === 0, struct(rightVals.map(col): _*)), ignoreNulls = true).over(w)
     l.unionByName(r)
       .select(keys.map(col) ++ leftPayload.map(col) ++
-        rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+ col("_side"): _*)
+        rightVals.map(c => rowCarry.getField(c).as(c)) :+ col("_side"): _*)
       .filter(col("_side") === 1)
       .drop("_side")
   }
@@ -62,18 +71,22 @@ object Temporal {
     * filters within buckets. Each (point, interval) pair meets in exactly
     * one bucket — the point's — so no post-join dedup is needed.
     *
-    * `tsCol`/`startCol`/`endCol` are epoch-µs longs (cast timestamps with
-    * `unix_micros` first); `maxLen` must bound every interval's length. */
+    * `tsCol`/`startCol`/`endCol` are NON-NEGATIVE epoch-µs longs (cast
+    * timestamps with `unix_micros` first); `maxLen` must bound every
+    * interval's length. Buckets use integer `div`, never double division —
+    * epoch-nanos magnitudes exceed 2^53, where a double floor(x/m) can
+    * land a point one bucket off and silently miss containing intervals. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 tsCol: String, startCol: String, endCol: String, maxLen: Long): DataFrame = {
-    val p = points.withColumn("_b", floor(col(tsCol) / maxLen))
+    require(!(points.columns ++ intervals.columns).contains("_b"), "rangeJoin reserves _b")
+    val p = points.withColumn("_b", expr(s"$tsCol div ${maxLen}L"))
     // empty intervals would make `sequence` run DESCENDING (wrong buckets);
     // they can match nothing, so drop them. Intervals longer than maxLen
     // stay correct (sequence covers every spanned bucket) — maxLen only
     // bounds the explosion factor.
     val i = intervals.filter(col(endCol) > col(startCol))
-      .withColumn("_b", explode(sequence(floor(col(startCol) / maxLen),
-        floor((col(endCol) - 1) / maxLen))))
+      .withColumn("_b", explode(sequence(expr(s"$startCol div ${maxLen}L"),
+        expr(s"($endCol - 1) div ${maxLen}L"))))
     p.join(i, Seq("_b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_b")

@@ -68,12 +68,6 @@ object OracleSql {
     s"unnest([${bands.mkString(", ")}])"
   }
 
-  /** The full candidate-pair CTE chain over a source CTE `src(id, text)`:
-    * tokenize → shingle → digest → minhash signature → LSH bands →
-    * verified pairs with UNROUNDED Jaccard ≥ `threshold` (Spark filters
-    * before rounding — the rounded value is for display only). Emits CTE
-    * definitions `t,sh,hs,sig,bands,pairs`; `pairs` has (id_a, id_b,
-    * jacc raw double). */
   /** Exact Jaccard between the shingle sets of join sides aliased a/b. */
   val jaccSql: String =
     """CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
@@ -90,6 +84,10 @@ object OracleSql {
         ${p}sig AS (SELECT id, shingles, [${(0 until numHashes).map(minhashSql).mkString(",\n          ")}] AS sg FROM ${p}hs),
         ${p}bands AS (SELECT id, shingles, ${bandsSql(numHashes, rows)} AS band FROM ${p}sig)"""
 
+  /** The full self-join candidate-pair chain over a source CTE
+    * `src(id, text)`: `bandedCtes` plus a `pairs` CTE holding
+    * (id_a, id_b, jacc) with UNROUNDED Jaccard ≥ `threshold` — Spark
+    * filters before rounding; the rounded value is for display only. */
   def lshPairsCtes(src: String, shingleWidth: Int, numHashes: Int, rows: Int,
                    threshold: Double): String =
     s"""${bandedCtes("", src, shingleWidth, numHashes, rows)},

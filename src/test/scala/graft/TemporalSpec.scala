@@ -31,6 +31,28 @@ class TemporalSpec extends SparkSpec {
     assert(row.getAs[Long]("rid") == 42L && row.getAs[Double]("score") == 3.5)
   }
 
+  test("asofJoin carries the latest right ROW even when its values are null") {
+    // DuckDB ASOF semantics: the ts=50 row matches; its NULL value must be
+    // returned, not the older non-null from ts=10 — and both value columns
+    // must come from the SAME right row
+    val left = Seq((1L, "u", 100L)).toDF("id", "k", "ts")
+    val right = Seq(
+      ("u", 10L, Some("a"), Some(1L)),
+      ("u", 50L, None: Option[String], Some(2L))
+    ).toDF("k", "ts", "v", "n")
+    val row = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v", "n")).head()
+    assert(row.getAs[String]("v") == null)
+    assert(row.getAs[Long]("n") == 2L)
+  }
+
+  test("asofJoin rejects rightVals that collide with left columns") {
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "ts")
+    val right = Seq(("u", 5L, "x")).toDF("k", "ts", "id")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("id"))
+    }
+  }
+
   test("rangeJoin matches [start, end) exactly once per containing interval") {
     val points = Seq(10L, 100L, 199L, 200L, 250L).map(Tuple1(_)).toDF("t")
     val intervals = Seq(
