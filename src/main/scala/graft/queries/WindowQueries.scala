@@ -167,6 +167,39 @@ object WindowQueries extends QuerySet {
         "source", "doc_id", "n_chars", "brk", maxChars = 1200)
       .orderBy("source", "doc_id"))
 
+  /** Sequence packing — pre-training batch assembly: documents are packed
+    * greedily into fixed token-budget training sequences, within
+    * deterministic distributed buckets (doc_id div 50) so the scan
+    * parallelizes while every bucket's packing is exact and reproducible.
+    * Reuses the W4 exact stateful chunker with tokens as the length. */
+  val x7Pack = Q("x7_sequence_pack",
+    Some("""WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id // 50 AS bucket,
+                len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ntok
+              FROM documents),
+            base AS (SELECT bucket, doc_id, ntok,
+                row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+            scan AS (
+              SELECT bucket, rn, doc_id,
+                CASE WHEN ntok > 256 THEN 1 ELSE 0 END AS chunk,
+                CAST(ntok AS BIGINT) AS run
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.bucket, b.rn, b.doc_id,
+                s.chunk + CASE WHEN s.run + b.ntok > 256 THEN 1 ELSE 0 END,
+                CASE WHEN s.run + b.ntok > 256 THEN b.ntok ELSE s.run + b.ntok END
+              FROM scan s JOIN base b ON b.bucket = s.bucket AND b.rn = s.rn + 1)
+            SELECT bucket, doc_id, CAST(chunk AS BIGINT) AS seq_id
+            FROM scan ORDER BY bucket, doc_id"""),
+    (s, d) => Chunking.chunkIdExact(
+        documents(s, d)
+          .withColumn("bucket", expr("doc_id div 50"))
+          .withColumn("ntok", graft.ops.TextAnalysis.tokenCount(col("text")))
+          .withColumn("nobrk", lit(false)),
+        "bucket", "doc_id", "ntok", "nobrk", maxChars = 256)
+      .select(col("bucket").cast("long").as("bucket"), col("doc_id"), col("chunk_id").as("seq_id"))
+      .orderBy("bucket", "doc_id"))
+
   /** As-of join (attribution): each click event joins the latest view of
     * the same user at-or-before its timestamp. Oracle: DuckDB's native
     * ASOF LEFT JOIN — the Spark side must reproduce an actual engine
@@ -215,5 +248,5 @@ object WindowQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
-    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range)
+    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, x7Pack)
 }

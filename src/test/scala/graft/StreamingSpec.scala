@@ -129,6 +129,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental dedup runs in a foreachBatch ingest loop, matching the batch result") {
+    // the production loop: each arriving micro-batch is deduped against the
+    // standing corpus before admission — same operator, same results
+    val docs = graft.tables.TestTables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+    val dir = "/tmp/graft_stream_incr"
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val admitted = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.schema(docs.schema).parquet(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.dedupAgainstCorpus(b, corpus, "doc_id", "text")
+          .select("doc_id").collect().foreach(r => admitted.synchronized { admitted += r.getLong(0) })
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val expected = graft.ops.Dedup.dedupAgainstCorpus(batchDocs, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.toSet == expected && expected.nonEmpty)
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
