@@ -19,14 +19,24 @@ object SparkEntry {
   private lazy val catalog: Seq[Q] = querySets.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full lifecycle in one DAG (SURVEY §3.1 + §3.2 steps 1–9):
-    * synthesize text blocks → ingest pipeline (clean → order → sections →
-    * chunk → dedup → embed) → retrieval over the chunk index (score →
-    * filter → top-k) → answer assembly with `[SHOW_TABLE:CAT=…]` tags
-    * resolved against the per-section table dim (step 9). */
+    * The full lifecycle in one DAG (SURVEY §3.1 + §3.2 steps 1–10, plus
+    * the corpus-curation front door): curate the raw corpus (quality →
+    * PII redact → dedup → cluster → decontaminate → mix) → synthesize
+    * text blocks → ingest pipeline (clean → order → sections → chunk →
+    * dedup → embed) → retrieval over the chunk index (score → filter →
+    * top-k) → answer assembly with `[SHOW_TABLE:CAT=…]` tags resolved
+    * against the per-section table dim (step 9) → sources projection. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    val blocks = graft.pipeline.IngestPipeline.blocksFromDocuments(spark, d)
+    val docs = graft.tables.TestTables.documents(spark, d)
+    // keep-everything mixing rates: curation here demonstrates the stage
+    // order; the flagship shouldn't sample away retrieval content
+    val curated = graft.ops.Curation.curate(
+      docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text", "lang",
+      docs.filter(col("doc_id") % 13 === 0),
+      graft.ops.Curation.CurationConfig(minQuality = 0.3, rates = Seq.empty, defaultRate = 1.0))
+      .select(col("id").as("doc_id"), col("text"))
+    val blocks = graft.pipeline.IngestPipeline.blocksFromFrame(curated)
     val chunks = graft.pipeline.IngestPipeline.run(blocks)
       // chunk_id is only unique per doc — Ask's top-k tiebreak needs a
       // globally unique id for deterministic results

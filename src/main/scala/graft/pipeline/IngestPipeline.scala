@@ -92,13 +92,16 @@ object IngestPipeline {
   /** Synthesize text blocks from the testdata documents table (documents ↦
     * one block per sentence-ish slice) — the fixture generator used by the
     * pipeline test and the flagship entry. */
-  def blocksFromDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.tables.TestTables.documents(spark, dir)
+  def blocksFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    blocksFromFrame(graft.tables.TestTables.documents(spark, dir))
+
+  /** Same synthetic flattening over an arbitrary (doc_id, text) frame —
+    * lets the flagship run the curation stage BEFORE ingest. */
+  def blocksFromFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(split(col("text"), "(?<=\\w) (?=batch|stream|join|table)"))
         .as(Seq("ord0", "content")))
       .withColumn("page", (col("ord0") / 5).cast("int"))
       .withColumn("font_size", when(col("ord0") % 7 === 0, 18.0).otherwise(10.0))
       .withColumn("y0", (col("ord0") % 5) * 150.0 + 60.0)
       .withColumn("x0", lit(72.0))
-  }
 }
