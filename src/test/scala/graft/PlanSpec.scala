@@ -112,6 +112,13 @@ class PlanSpec extends SparkSpec {
       s"the scoring side must read codes only, got: $reads")
   }
 
+  test("j7 as-of runs joinless: one union + one window, no join operator at all") {
+    val plan = formatted(graft.queries.WindowQueries.j7Asof.fn(spark, sf))
+    assert(!plan.contains("Join"),
+      s"the as-of must be the union+window formulation, not a join:\n${plan.take(1200)}")
+    assert(plan.contains("Window"), "expected the carrying window in the j7 plan")
+  }
+
   test("r1 range join plans a hash/merge equi-join on the bucket, never a nested loop") {
     val plan = formatted(graft.queries.WindowQueries.r1Range.fn(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
