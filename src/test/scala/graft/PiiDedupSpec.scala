@@ -76,6 +76,21 @@ class PiiDedupSpec extends SparkSpec {
     assert(kept == Set(12L, 13L))
   }
 
+  test("empty inputs flow through the new operators without errors") {
+    val empty = spark.emptyDataFrame.select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    assert(graft.ops.Dedup.connectedComponents(empty).count() == 0)
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val noDocs = docs.limit(0)
+    // empty eval set → nothing contaminated; empty train → empty result
+    assert(graft.ops.Dedup.decontaminate(docs, noDocs, "doc_id", "text", 3).count() == 0)
+    assert(graft.ops.Dedup.decontaminate(noDocs, docs, "doc_id", "text", 3).count() == 0)
+    // empty corpus → the whole batch is admitted
+    assert(graft.ops.Dedup.dedupAgainstCorpus(docs, noDocs, "doc_id", "text").count() == 1)
+    val noIntervals = Seq((1L, 2L, 3L)).toDF("iid", "s", "e").limit(0)
+    assert(graft.ops.Temporal.rangeJoin(Seq(Tuple1(5L)).toDF("t"), noIntervals,
+      "t", "s", "e", 10L).count() == 0)
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)
