@@ -394,32 +394,83 @@ object VectorQueries extends QuerySet {
     Seq.fill(4)(Seq.fill(4)(Seq.fill(pqSubDim)(rng.nextGaussian() * 0.2)))
   }
 
-  private val pqOracle: String = {
-    val m = 4; val k = 4; val subDim = pqSubDim
-    val codebooks = pqCodebooks
-    def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+  // ---- shared SQL fragment builders for the PQ family (v5/v5b/v6) ----
+  private def vecSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+  /** per-(subspace, centroid) squared distance, named d<m>_<k>, over `e`. */
+  private val pqDCols: String = {
     def d2Sql(mi: Int, c: Seq[Double]) =
-      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> (e[${mi * subDim} + i]::DOUBLE - (${cSql(c)})[i]) * (e[${mi * subDim} + i]::DOUBLE - (${cSql(c)})[i])))"
-    val dCols = (for (mi <- 0 until m; ki <- 0 until k)
-      yield s"${d2Sql(mi, codebooks(mi)(ki))} AS d${mi}_$ki").mkString(", ")
-    def codeSql(mi: Int) =
-      s"""CASE WHEN d${mi}_0 <= least(d${mi}_1, d${mi}_2, d${mi}_3) THEN 0
-               WHEN d${mi}_1 <= least(d${mi}_2, d${mi}_3) THEN 1
-               WHEN d${mi}_2 <= d${mi}_3 THEN 2 ELSE 3 END AS code_$mi"""
+      s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> (e[${mi * pqSubDim} + i]::DOUBLE - (${vecSql(c)})[i]) * (e[${mi * pqSubDim} + i]::DOUBLE - (${vecSql(c)})[i])))"
+    (for (mi <- 0 until 4; ki <- 0 until 4)
+      yield s"${d2Sql(mi, pqCodebooks(mi)(ki))} AS d${mi}_$ki").mkString(", ")
+  }
+  /** per-subspace argmin code (ties → lower), mirroring sort_array. */
+  private def pqCodeSql(mi: Int) =
+    s"""CASE WHEN d${mi}_0 <= least(d${mi}_1, d${mi}_2, d${mi}_3) THEN 0
+             WHEN d${mi}_1 <= least(d${mi}_2, d${mi}_3) THEN 1
+             WHEN d${mi}_2 <= d${mi}_3 THEN 2 ELSE 3 END AS code_$mi"""
+  private val pqCodeCols: String = (0 until 4).map(pqCodeSql).mkString(", ")
+  /** the query-side ADC lookup table over `qv`. */
+  private val pqLutCols: String = {
     def lutSql(mi: Int, ki: Int) =
-      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> qv[${mi * subDim} + i]::DOUBLE * (${cSql(codebooks(mi)(ki))})[i])) AS q${mi}_$ki"
-    val luts = (for (mi <- 0 until m; ki <- 0 until k) yield lutSql(mi, ki)).mkString(", ")
-    def scoreSql(mi: Int) =
-      s"(CASE code_$mi WHEN 0 THEN q${mi}_0 WHEN 1 THEN q${mi}_1 WHEN 2 THEN q${mi}_2 ELSE q${mi}_3 END)"
-    val score = (0 until m).map(scoreSql).mkString(" + ")
-    s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
-        c AS (SELECT vec_id, ${(0 until m).map(codeSql).mkString(", ")} FROM d),
+      s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> qv[${mi * pqSubDim} + i]::DOUBLE * (${vecSql(pqCodebooks(mi)(ki))})[i])) AS q${mi}_$ki"
+    (for (mi <- 0 until 4; ki <- 0 until 4) yield lutSql(mi, ki)).mkString(", ")
+  }
+  private val pqScoreSql: String = (0 until 4).map(mi =>
+    s"(CASE code_$mi WHEN 0 THEN q${mi}_0 WHEN 1 THEN q${mi}_1 WHEN 2 THEN q${mi}_2 ELSE q${mi}_3 END)")
+    .mkString(" + ")
+
+  private val pqOracle: String =
+    s"""WITH d AS (SELECT vec_id, embedding AS e, $pqDCols FROM embeddings),
+        c AS (SELECT vec_id, $pqCodeCols FROM d),
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        lut AS (SELECT $luts FROM q)
-        SELECT vec_id, round($score, 6) AS score
+        lut AS (SELECT $pqLutCols FROM q)
+        SELECT vec_id, round($pqScoreSql, 6) AS score
         FROM c, lut
         ORDER BY score DESC, vec_id LIMIT 5"""
+
+  // ---- shared IVF fragments (same seed-7 centroids as v4/v4b) ----
+  private val ivfCentroids: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(4)(Seq.fill(64)(rng.nextGaussian() * 0.05))
   }
+  private val ivfDCols: String = ivfCentroids.zipWithIndex.map { case (c, i) =>
+    s"list_sum(list_transform(range(1, 65), i -> (e[i]::DOUBLE - (${vecSql(c)})[i]) * (e[i]::DOUBLE - (${vecSql(c)})[i]))) AS ivfd$i"
+  }.mkString(", ")
+  private val ivfCellSql: String =
+    """CASE WHEN ivfd0 <= least(ivfd1, ivfd2, ivfd3) THEN 0
+            WHEN ivfd1 <= least(ivfd2, ivfd3) THEN 1
+            WHEN ivfd2 <= ivfd3 THEN 2 ELSE 3 END"""
+
+  /** The production ANN layout, composed end-to-end: IVF cell partitioning
+    * for the pruned read (only the query's cell directory is listed) plus
+    * PQ codes inside each cell for compressed ADC scoring — the stored
+    * index holds 4 tinyint codes per vector and the query never touches a
+    * raw corpus embedding. Oracle: the v4 cell chain + the v5 code/LUT
+    * chain fused in one statement, same seeded literals. */
+  val v6IvfPq: Q = Q("v6_ivf_pq_topk",
+    Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $ivfDCols, $pqDCols FROM embeddings),
+            c AS (SELECT vec_id, e, $ivfCellSql AS cell, $pqCodeCols FROM d),
+            q AS (SELECT e AS qv, cell AS qcell FROM c WHERE vec_id = 0),
+            lut AS (SELECT $pqLutCols FROM q)
+            SELECT vec_id, round($pqScoreSql, 6) AS score
+            FROM c, q, lut WHERE c.cell = q.qcell
+            ORDER BY score DESC, vec_id LIMIT 5"""),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${Integer.toHexString(d.hashCode)}"
+      // project embeddings away BEFORE the write: the stored index is
+      // (vec_id, codes) under cell directories — nothing else
+      val indexDf = emb.select(col("vec_id"),
+        Search.pqCodes(col("embedding"), pqCodebooks, pqSubDim).as("codes"),
+        Search.ivfCell(col("embedding"), ivfCentroids).as("cell"))
+      Search.writePartitionedIndex(indexDf, col("cell"), out, bucketCol = "cell")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), Search.ivfCell(col("embedding"), ivfCentroids).as("cell"))
+      Search.readPruned(s, out, q, bucketCol = "cell")
+        .select(col("vec_id"),
+          round(Search.pqAdcScore(col("codes"), col("qv"), pqCodebooks, pqSubDim), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(5)
+    })
 
   val v5PqTopK: Q = Q("v5_pq_topk", Some(pqOracle),
     (s, d) => {
@@ -522,7 +573,7 @@ object VectorQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
-    v5PqTopK, v5bPqStored, a12Approx,
+    v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     d8Incremental, x4Fingerprint, m1Binary, m2ImageDims)

@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), "expected a join in the r1 plan")
   }
 
+  test("v6 scores the IVF+PQ index from pruned cell directories, codes only") {
+    val plan = formatted(graft.queries.VectorQueries.v6IvfPq.fn(spark, sf))
+    val pf = "PartitionFilters:.*".r.findAllIn(plan).toSeq
+    assert(pf.exists(_.contains("cell")), s"cell must prune at the file listing: $pf")
+    val reads = "ReadSchema:.*".r.findAllIn(plan).toSeq
+    assert(reads.exists(r => r.contains("codes") && !r.contains("embedding")),
+      s"the index scan must read codes only, got: $reads")
+  }
+
   test("c1b reads the stored curated corpus with a partition-level stratum prune") {
     val plan = formatted(graft.queries.MiscQueries.c1bCurationStored.fn(spark, sf))
     val pf = "PartitionFilters:.*".r.findAllIn(plan).toSeq
