@@ -239,12 +239,17 @@ object VectorQueries extends QuerySet {
     * from the same deterministic hyperplanes (seed 42) the Spark side uses,
     * baked in as literals — both engines compute identical bucket ids, so
     * the candidate set (and thus the exact re-ranking) matches. */
+  /** THE seed-42 SRP hyperplanes — single construction shared by v3 and
+    * v3b so both provably hash into one bucket layout (matches
+    * `Search.srpBucket(seed = 42)`). */
+  private val srpPlanes: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(6)(Seq.fill(64)(rng.nextGaussian()))
+  }
+
   val v3LshTopK: Q = {
     val dim = 64; val bits = 6
-    val planes: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(42)
-      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
-    }
+    val planes = srpPlanes
     def planeSql(p: Seq[Double]) = p.map(v => f"$v%.17g").mkString("[", ",", "]")
     val bucketSql = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) >= 0 THEN ${1 << i} ELSE 0 END)"
@@ -271,13 +276,21 @@ object VectorQueries extends QuerySet {
     * assignment, exact search restricted to the query's cell. Oracle SQL is
     * generated from the same seeded centroids; argmin tie-break (lower cell
     * id) is mirrored by the CASE/least chain. */
+  /** Literal-array SQL for a centroid/hyperplane vector — 17 significant
+    * digits round-trips any double exactly. */
+  private def vecSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+
+  /** THE seed-7 IVF centroids — single construction shared by v4, v4b and
+    * v6 so the three queries provably use one index layout. */
+  private val ivfCentroids: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(4)(Seq.fill(64)(rng.nextGaussian() * 0.05))
+  }
+
   val v4IvfTopK: Q = {
-    val dim = 64; val nCells = 4
-    val centroids: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(7)
-      Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
-    }
-    def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+    val dim = 64
+    val centroids = ivfCentroids
+    def cSql(c: Seq[Double]) = vecSql(c)
     def d2Sql(c: Seq[Double]) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i]::DOUBLE - (${cSql(c)})[i]) * (e[i]::DOUBLE - (${cSql(c)})[i])))"
     val dCols = centroids.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(", ")
@@ -311,10 +324,7 @@ object VectorQueries extends QuerySet {
     * hyperplanes baked as literals). */
   val v3bLshPruned: Q = {
     val dim = 64; val bits = 6
-    val planes: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(42)
-      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
-    }
+    val planes = srpPlanes
     def planeSql(p: Seq[Double]) = p.map(v => f"$v%.17g").mkString("[", ",", "]")
     val bucketSql = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) >= 0 THEN ${1 << i} ELSE 0 END)"
@@ -340,12 +350,9 @@ object VectorQueries extends QuerySet {
 
   /** IVF variant of the pruned-read path: index written `partitionBy(cell)`. */
   val v4bIvfPruned: Q = {
-    val dim = 64; val nCells = 4
-    val centroids: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(7)
-      Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
-    }
-    def cSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
+    val dim = 64
+    val centroids = ivfCentroids
+    def cSql(c: Seq[Double]) = vecSql(c)
     def d2Sql(c: Seq[Double]) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i]::DOUBLE - (${cSql(c)})[i]) * (e[i]::DOUBLE - (${cSql(c)})[i])))"
     val dCols = centroids.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(", ")
@@ -395,7 +402,6 @@ object VectorQueries extends QuerySet {
   }
 
   // ---- shared SQL fragment builders for the PQ family (v5/v5b/v6) ----
-  private def vecSql(c: Seq[Double]) = c.map(v => f"$v%.17g").mkString("[", ",", "]")
   /** per-(subspace, centroid) squared distance, named d<m>_<k>, over `e`. */
   private val pqDCols: String = {
     def d2Sql(mi: Int, c: Seq[Double]) =
@@ -428,11 +434,7 @@ object VectorQueries extends QuerySet {
         FROM c, lut
         ORDER BY score DESC, vec_id LIMIT 5"""
 
-  // ---- shared IVF fragments (same seed-7 centroids as v4/v4b) ----
-  private val ivfCentroids: Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(7)
-    Seq.fill(4)(Seq.fill(64)(rng.nextGaussian() * 0.05))
-  }
+  // ---- shared IVF fragments over the seed-7 centroids ----
   private val ivfDCols: String = ivfCentroids.zipWithIndex.map { case (c, i) =>
     s"list_sum(list_transform(range(1, 65), i -> (e[i]::DOUBLE - (${vecSql(c)})[i]) * (e[i]::DOUBLE - (${vecSql(c)})[i]))) AS ivfd$i"
   }.mkString(", ")

@@ -175,7 +175,7 @@ object WindowQueries extends QuerySet {
   val x7Pack = Q("x7_sequence_pack",
     Some("""WITH RECURSIVE d AS (
               SELECT doc_id, doc_id // 50 AS bucket,
-                len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ntok
+                coalesce(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS ntok
               FROM documents),
             base AS (SELECT bucket, doc_id, ntok,
                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
@@ -194,7 +194,10 @@ object WindowQueries extends QuerySet {
     (s, d) => Chunking.chunkIdExact(
         documents(s, d)
           .withColumn("bucket", expr("doc_id div 50"))
-          .withColumn("ntok", graft.ops.TextAnalysis.tokenCount(col("text")))
+          // coalesce in BOTH engines: a NULL text would null-poison the
+          // DuckDB running sum but CRASH the non-nullable Dataset encoder
+          // in chunkIdExact — make the zero-length semantics explicit
+          .withColumn("ntok", coalesce(graft.ops.TextAnalysis.tokenCount(col("text")), lit(0)))
           .withColumn("nobrk", lit(false)),
         "bucket", "doc_id", "ntok", "nobrk", maxChars = 256)
       .select(col("bucket").cast("long").as("bucket"), col("doc_id"), col("chunk_id").as("seq_id"))

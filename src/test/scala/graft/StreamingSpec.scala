@@ -144,7 +144,7 @@ class StreamingSpec extends SparkSpec {
           .select("doc_id").collect().foreach(r => admitted.synchronized { admitted += r.getLong(0) })
         ()
       }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming incremental dedup did not finish in time")
     val expected = graft.ops.Dedup.dedupAgainstCorpus(batchDocs, corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted.toSet == expected && expected.nonEmpty)
