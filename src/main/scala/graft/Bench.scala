@@ -60,7 +60,9 @@ object Bench {
       "v4b_ivf_pruned_topk", "x5_repetition_stats", "s4_json_schema_read",
       "j3_broadcast_join", "w2_sessionize", "st1_tumbling_window",
       "u2_union_after_anti", "k3_bucketed_join", "p12_html_table_parse",
-      "ask2_show_table", "x4_doc_fingerprint")
+      "ask2_show_table", "x4_doc_fingerprint",
+      "c1_curation_pipeline", "v6_ivf_pq_topk", "d7_dedup_clusters",
+      "d8_incremental_dedup", "j7_asof_join", "r1_range_join")
     val byName = results.toMap
     val qsHead = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
