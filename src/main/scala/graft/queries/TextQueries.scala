@@ -293,6 +293,39 @@ object TextQueries extends QuerySet {
     (s, d) => TextAnalysis.repetitionStats(documents(s, d), col("doc_id"), col("text"))
       .orderBy("doc_id"))
 
+  /** KenLM-style LM quality scoring with a self-built unigram model:
+    * add-one-smoothed mean token log-probability per document — the
+    * perplexity filter of CCNet/Gopher pipelines, minus the external
+    * model. Scale shape: the model is ONE word-count aggregate (vocab-
+    * bounded, broadcastable at any corpus size); scoring is a token→count
+    * equi-join + per-doc aggregate. Both engines compute
+    * (Σ ln(c+1) − n·ln(N+V))/n and round to 6dp. */
+  val x8Unigram = Q("x8_unigram_logprob",
+    Some("""WITH t AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v FROM cnt)
+            SELECT doc_id,
+              round((sum(ln(c + 1)) - count(*) * ln(n_total + v)) / count(*), 6) AS mean_logprob,
+              CAST(count(*) AS BIGINT) AS n_tokens
+            FROM t JOIN cnt USING (w) CROSS JOIN tot
+            GROUP BY doc_id, n_total, v ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val totals = counts.agg(sum("c").cast("double").as("n_total"),
+        count(lit(1)).cast("double").as("v"))
+      toks.join(counts, "w")
+        .crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(round((sum(log(col("c") + 1)) - count(lit(1)) * log(first(col("n_total")) + first(col("v"))))
+            / count(lit(1)), 6).as("mean_logprob"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    })
+
   /** Stratified deterministic sampling — the data-mixing primitive:
     * per-language keep rates via seedless md5 thresholds, so the same doc
     * always samples the same way in any engine. */
@@ -366,5 +399,5 @@ object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, pii1Scrub)
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub)
 }
