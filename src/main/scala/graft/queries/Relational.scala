@@ -150,6 +150,19 @@ object Relational extends QuerySet {
       .agg(count(lit(1)).as("n"), (sum(dec(col("l_quantity"))) * 100).cast("long").as("sum_qty_cents"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
+  /** CUBE companion to a11: every grouping-set combination in one Expand —
+    * the §2.4 multi-dimensional summary the rollup can't express (it skips
+    * the (∅, l_linestatus) sets). Same cents-BIGINT money convention. */
+  val a14Cube = Q("a14_cube",
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), (sum(dec(col("l_quantity"))) * 100).cast("long").as("sum_qty_cents"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
   /** T1: global top-k with deterministic tiebreak
     * (plans as TakeOrderedAndProject — no full sort). */
   val t1TopK = Q("t1_topk",
@@ -199,6 +212,6 @@ object Relational extends QuerySet {
     (s, d) => documents(s, d).select("doc_id", "source", "lang", "n_chars").orderBy("doc_id"))
 
   def all: Seq[Q] = Seq(q1Pricing, j1Anti, j3Broadcast, j4DistinctJoin, j5FirstMatch,
-    a4Validation, a8Banding, a10Distinct, a11Rollup, t1TopK, t4LastN, u2UnionAnti,
+    a4Validation, a8Banding, a10Distinct, a11Rollup, a14Cube, t1TopK, t4LastN, u2UnionAnti,
     u4Except, s9Listing)
 }
