@@ -118,4 +118,35 @@ object TextAnalysis {
     }
     df.filter(md5(key.cast("string")) < threshold)
   }
+
+  /** Lowercase whitespace tokens with empties dropped — the corpus-stats
+    * tokenize shared by the LM scores and [[bpePairCounts]]. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Adjacent-symbol pairs inside each word — the statistic the BPE merge
+    * step maximizes: the most frequent pair becomes the next merge rule.
+    * Distributed shape: explode to one row per pair occurrence (map-only),
+    * hash-aggregate on a small key space with map-side combine — the plan
+    * a tokenizer-training pass over 100 TB wants. Guarded for 1-char
+    * words: Spark's `sequence(1, 0)` counts DOWN, so the empty case must
+    * be explicit. */
+  def bpePairCounts(docs: DataFrame, text: Column, topN: Int): DataFrame = {
+    val words = docs.select(explode(tokens(text)).as("w"))
+    val pairs = when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1), i => col("w").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    words.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topN)
+  }
+
+  /** Adjacent token pairs of a token-array column, as (p, w) structs —
+    * the bigram events an interpolated bigram LM trains on. Zip-shift, no
+    * window: pair generation stays a map stage. */
+  def adjacentTokenPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("p"), element_at(toks, i + 1).as("w"))))
+      .otherwise(array().cast("array<struct<p:string,w:string>>"))
 }

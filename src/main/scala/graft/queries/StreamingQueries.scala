@@ -79,5 +79,40 @@ object StreamingQueries extends QuerySet {
         .orderBy("user_id")
     })
 
-  def all: Seq[Q] = Seq(st1Tumbling, st2Sliding, st3Dedup, st4Watermark)
+  /** Native `session_window` sessionization (the operator Structured
+    * Streaming runs incrementally with a watermark — unlike w2's
+    * gaps-and-islands windows, this survives unbounded streams because
+    * state is per open session, not per user history). Session semantics:
+    * events chain while the next start lands strictly inside
+    * [prev_ts, prev_ts + gap), so the break condition is `diff >= gap` —
+    * one tick different from w2's `diff > gap`. Window end is
+    * last_ts + gap by definition. */
+  val st5Session = Q("st5_session_window",
+    Some("""WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, value, epoch_us(ts) AS ts_us,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+            SELECT user_id, min(ts_us) AS session_start_us,
+                   max(ts_us) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_cents
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us"""),
+    (s, d) => events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("session_value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("session_value_cents"))
+      .orderBy("user_id", "session_start_us"))
+
+  def all: Seq[Q] = Seq(st1Tumbling, st2Sliding, st3Dedup, st4Watermark, st5Session)
 }

@@ -397,7 +397,110 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** BM25 keyword retrieval over the corpus: one-row stats agg (N, avgdl,
+    * per-term df) broadcast into a map-only scoring scan, global top-15 via
+    * TakeOrderedAndProject. The oracle SQL is generated from the SAME term
+    * list and k1/b constants so the two expression trees are provably
+    * identical; ranking happens on the 6-dp-rounded score (see
+    * `Bm25.topK`). */
+  val b1Bm25: Q = {
+    val terms = Seq("spark", "join", "stream")
+    val k1 = 1.2; val b = 0.75
+    val dfsSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(",\n                ")
+    val termSql = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / avgdl))"""
+    }.mkString("\n              + ")
+    val tfsSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n                ")
+    Q("b1_bm25_topk",
+      Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+                $dfsSql
+              FROM t),
+            d AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                $tfsSql
+              FROM t),
+            scored AS (
+              SELECT doc_id, round(
+                $termSql, 6) AS bm25
+              FROM d CROSS JOIN stats)
+            SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+            ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      (s, d) => graft.index.Bm25.topK(documents(s, d), "doc_id", "text", terms, k = 15,
+          k1 = k1, b = b)
+        .orderBy(col("bm25").desc, col("doc_id")))
+  }
+
+  /** The BPE merge-step statistic: corpus-wide counts of adjacent symbol
+    * pairs within words (round 1 of tokenizer training — the top pair is
+    * the next merge rule). Explode-to-pairs is map-only; the aggregate's
+    * key space is tiny, so map-side partial aggregation collapses the
+    * shuffle to per-executor partials. */
+  val tok1BpePairs = Q("tok1_bpe_pairs",
+    Some(s"""WITH t AS (SELECT ${OracleSql.toksSql} AS toks FROM documents),
+            w AS (SELECT unnest(toks) AS w FROM t),
+            p AS (SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w)
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""),
+    (s, d) => TextAnalysis.bpePairCounts(documents(s, d), col("text"), topN = 20)
+      .orderBy(col("cnt").desc, col("pair")))
+
+  /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
+    * unigram + bigram counts on the corpus itself, score each doc's mean
+    * ln(0.7·P_bigram + 0.3·P_unigram) with add-one smoothing. All ratio
+    * inputs are exact integers and both engines build the same expression
+    * tree, so the doubles agree (ln parity at 6 dp — x8 precedent). */
+  val x9Bigram = Q("x9_bigram_logprob",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v FROM cnt),
+            bp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> [toks[i], toks[i+1]])) AS pr FROM t),
+            b AS (SELECT doc_id, pr[1] AS p, pr[2] AS w FROM bp),
+            bcnt AS (SELECT p, w, count(*) AS cb FROM b GROUP BY p, w),
+            scored AS (
+              SELECT b.doc_id,
+                ln(0.7 * (CAST(cb AS DOUBLE) + 1.0) / (CAST(cp.c AS DOUBLE) + v)
+                 + 0.3 * (CAST(cw.c AS DOUBLE) + 1.0) / (n_total + v)) AS lp
+              FROM b JOIN bcnt USING (p, w)
+              JOIN cnt cp ON cp.w = b.p
+              JOIN cnt cw ON cw.w = b.w
+              CROSS JOIN tot)
+            SELECT doc_id, round(sum(lp) / count(*), 6) AS mean_logprob,
+              CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val tok = t.select(col("doc_id"), explode(col("toks")).as("w"))
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").cast("double").as("n_total"), count(lit(1)).cast("double").as("v"))
+      val b = t.select(col("doc_id"), explode(TextAnalysis.adjacentTokenPairs(col("toks"))).as("pr"))
+        .select(col("doc_id"), col("pr.p").as("p"), col("pr.w").as("w"))
+      val bcnt = b.groupBy("p", "w").agg(count(lit(1)).as("cb"))
+      b.join(bcnt, Seq("p", "w"))
+        .join(cnt.select(col("w").as("p"), col("c").as("cp")), Seq("p"))
+        .join(cnt.select(col("w"), col("c").as("cw")), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log(lit(0.7) * (col("cb").cast("double") + 1.0) / (col("cp").cast("double") + col("v"))
+            + lit(0.3) * (col("cw").cast("double") + 1.0) / (col("n_total") + col("v"))))
+        .groupBy("doc_id")
+        .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mean_logprob"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub)
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
+    b1Bm25, tok1BpePairs, x9Bigram)
 }
