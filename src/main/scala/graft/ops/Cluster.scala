@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.index.{Embed, Search}
+
+/** Distributed k-means + SemDeDup-style semantic deduplication
+  * (prompt families: deduplication + similarity search; the
+  * embedding-cluster analog of the reference's text near-dup removal).
+  *
+  * The Lloyd update is built to be ORDER-INDEPENDENT so an external oracle
+  * can reproduce it bit-for-bit: per-cell element means are summed in
+  * DECIMAL (exact, commutative — a double sum would pick up the shuffle's
+  * reduction order) and emitted as doubles rounded to 8 dp. Everything
+  * else is the standard scale shape: assignment is a broadcast of the
+  * O(k·d) centroid table against a scan, the update is one hash aggregate
+  * keyed (cell, position), and no step ever collects data rows to the
+  * driver — at 100 TB the only growing cost is the scan itself.
+  *
+  * SemDeDup (Abbas et al. 2023): cluster the corpus by embedding, then
+  * remove near-duplicates WITHIN each cluster — the cluster acts as the
+  * blocking key, so the pairwise step is quadratic only inside a cluster.
+  * Production sizing picks k ∝ N/target-cluster-size to keep per-cluster
+  * work bounded; here k is small because the gate corpus is.
+  */
+object Cluster {
+
+  /** Deterministic seeded init centroids (k × dim) — the same constructor
+    * the oracle SQL bakes in as literals. */
+  def seededCentroids(k: Int, dim: Int, seed: Int, scale: Double): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k)(Seq.fill(dim)(rng.nextGaussian() * scale))
+  }
+
+  /** One exact Lloyd iteration: assign every vector to its nearest init
+    * centroid (argmin d², ties → lower cell), then recompute each cell's
+    * element-wise mean. Returns the new centroid table (cell, centroid),
+    * k rows. Decimal(25,10) sums keep the mean exact and
+    * order-independent; the /count division and 8-dp round then yield the
+    * same double in any engine. */
+  def lloydOnce(emb: DataFrame, vecCol: String, init: Seq[Seq[Double]]): DataFrame =
+    // cell materialized BEFORE the generator select: a generator in the
+    // same projection re-resolves the other expressions and strips the
+    // field aliases inside ivfCell's argmin struct
+    emb.withColumn("cell", Search.ivfCell(col(vecCol), init))
+      .select(col("cell"), posexplode(col(vecCol)))
+      .groupBy("cell", "pos")
+      .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double") / count(lit(1)), 8).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** Assign every vector to its nearest centroid from a centroid TABLE
+    * (not literals): broadcast the k rows, score each (vector, cell) pair,
+    * keep the argmin (ties → lower cell). Output: idCol, vecCol, cell. */
+  def assign(emb: DataFrame, vecCol: String, idCol: String, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val rn = row_number().over(Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell")))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** SemDeDup pair generation: one Lloyd iteration from the seeded init,
+    * final assignment, then exact-cosine pairs ≥ threshold within each
+    * cluster (the cluster is the blocking key). */
+  def semanticDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+                       init: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val cents = lloydOnce(emb, vecCol, init)
+    val assigned = assign(emb, vecCol, idCol, cents)
+    Search.nearDuplicatePairs(assigned, vecCol, idCol, "cell", threshold)
+      .withColumnRenamed("b", "cell")
+  }
+}

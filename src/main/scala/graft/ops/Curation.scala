@@ -86,4 +86,22 @@ object Curation {
     TextAnalysis.sampleByStrata(clean, col("id"), col("stratum"), cfg.rates, cfg.defaultRate)
       .select("id", "stratum", "quality", "text")
   }
+
+  /** Per-domain curation report — the decision table a crawl-mixing pass
+    * reads: volume, length profile, and the share of docs inside the keep
+    * band, plus the domain-level verdict. One hash aggregate over the
+    * corpus (map-side combine; domain cardinality is tiny next to doc
+    * count), so it runs at scan bandwidth at any scale. Averages are
+    * exact-integer sums divided once as doubles (the oracle-parity rule). */
+  def domainStats(docs: DataFrame, domainCol: Column, charsCol: Column,
+                  keepLo: Long = 200L, keepHi: Long = 5000L,
+                  keepThreshold: Double = 0.6): DataFrame = {
+    val inBand = sum(when(charsCol.between(keepLo, keepHi), 1L).otherwise(0L))
+    docs.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(charsCol).cast("long").as("total_chars"),
+        (sum(charsCol).cast("double") / count(lit(1))).as("mean_chars"),
+        (inBand.cast("double") / count(lit(1))).as("keep_rate"))
+      .withColumn("domain_kept", (col("keep_rate") >= keepThreshold).cast("long"))
+  }
 }

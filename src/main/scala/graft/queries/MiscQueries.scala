@@ -634,9 +634,23 @@ object MiscQueries extends QuerySet {
         .select("id", "stratum", "quality", "text").orderBy("id")
     })
 
+  /** Per-domain curation decision table: volume, length profile, share of
+    * docs inside the keep band, and the domain verdict — the report a
+    * crawl-mixing pass reads before assigning per-domain sample rates. */
+  val dom1DomainStats: Q = Q("dom1_domain_stats",
+    Some("""SELECT source AS domain, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+              CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate,
+              CAST(CASE WHEN CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.6
+                   THEN 1 ELSE 0 END AS BIGINT) AS domain_kept
+            FROM documents GROUP BY source ORDER BY domain"""),
+    (s, d) => graft.ops.Curation.domainStats(documents(s, d), col("source"), col("n_chars"))
+      .orderBy("domain"))
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
-    c1Curation, c1bCurationStored)
+    c1Curation, c1bCurationStored, dom1DomainStats)
 }

@@ -574,9 +574,56 @@ object VectorQueries extends QuerySet {
       Dedup.connectedComponents(pairs).orderBy("id")
     })
 
+  /** SemDeDup: k-means-blocked embedding near-dup pairs. The oracle
+    * replays the ENTIRE pipeline — seeded init (literals below), argmin
+    * assignment, the Lloyd centroid update (decimal-exact means, so the
+    * shuffle's reduction order can't leak into the result), the
+    * reassignment, and the within-cluster cosine pairs — so any
+    * divergence in the clustering itself hash-fails the gate, not just
+    * the final pair list. */
+  val d9SemDedup: Q = {
+    val k = 4; val dim = 64; val threshold = 0.4
+    val init = graft.ops.Cluster.seededCentroids(k, dim, seed = 11, scale = 0.05)
+    def d2Sql(c: Seq[Double]) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i] - (${vecSql(c)})[i]) * (e[i] - (${vecSql(c)})[i])))"
+    val dCols = init.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(",\n                ")
+    val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
+                          WHEN d1 <= least(d2, d3) THEN 1
+                          WHEN d2 <= d3 THEN 2 ELSE 3 END"""
+    Q("d9_semantic_dedup",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              d AS (SELECT vec_id, e,
+                $dCols
+                FROM e),
+              a0 AS (SELECT vec_id, e, $cellSql AS cell FROM d),
+              el AS (SELECT cell, i, e[i] AS x FROM a0, range(1, ${dim + 1}) t(i)),
+              cent AS (SELECT cell, i,
+                  round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+                FROM el GROUP BY cell, i),
+              cl AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cent GROUP BY cell),
+              d1 AS (SELECT vec_id, e, cl.cell AS cell,
+                  list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> (e[i] - centroid[i]) * (e[i] - centroid[i]))) AS d2
+                FROM e CROSS JOIN cl),
+              a1 AS (SELECT vec_id, e, cell FROM (
+                  SELECT vec_id, e, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM d1) t WHERE rn = 1),
+              p AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_cosine_similarity(a.e, b.e) AS cos
+                FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.e, b.e) >= $threshold)
+              SELECT cell, id_a, id_b, round(cos, 4) AS cos FROM p
+              ORDER BY id_a, id_b"""),
+      (s, d) => graft.ops.Cluster.semanticDupPairs(embeddings(s, d), "embedding", "vec_id",
+          init, threshold)
+        .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b"))
+  }
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    d8Incremental, x4Fingerprint, m1Binary, m2ImageDims)
+    d8Incremental, d9SemDedup, x4Fingerprint, m1Binary, m2ImageDims)
 }

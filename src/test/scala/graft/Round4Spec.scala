@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Cluster, Curation, TextAnalysis}
+import graft.index.Bm25
+
+/** Round-4 operators: BM25 retrieval, BPE pair counts, bigram events,
+  * per-domain stats, and the exact k-means / SemDeDup path. */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- BM25 ---------------------------------------------------------------
+
+  test("BM25 ranks term-bearing docs, drops zero-score docs, matches hand formula") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark and flink"),
+      (3L, "nothing relevant at all")).toDF("id", "text")
+    val out = Bm25.topK(docs, "id", "text", Seq("spark"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "doc 3 has no term and must be dropped")
+    // hand computation: N=3, df=2, idf=ln(1+(3-2+0.5)/(2+0.5)); avgdl=(3+3+4)/3
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val avgdl = 10.0 / 3.0
+    def score(tf: Double, dl: Double) =
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0).getDouble(1) - score(3.0, 3.0)) < 1e-9)
+    assert(math.abs(out(1).getDouble(1) - score(1.0, 3.0)) < 1e-9)
+  }
+
+  test("BM25 stats row carries n_docs, avgdl, and per-term dfs") {
+    val docs = Seq("a b", "b c", "c d").toDF("text")
+    val r = Bm25.corpusStats(docs, col("text"), Seq("b", "z")).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Double]("avgdl") == 2.0)
+    assert(r.getAs[Long]("df_0") == 2L && r.getAs[Long]("df_1") == 0L)
+  }
+
+  // --- BPE pairs / bigram events ------------------------------------------
+
+  test("bpePairCounts counts every adjacent-symbol occurrence inside words only") {
+    val docs = Seq("abc ab", "x ab").toDF("text")
+    val m = TextAnalysis.bpePairCounts(docs, col("text"), topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // words: abc, ab, x, ab → pairs ab(×3: from abc, ab, ab), bc(×1); "x" yields none
+    assert(m == Map("ab" -> 3L, "bc" -> 1L))
+  }
+
+  test("adjacentTokenPairs zip-shifts; 1-token and empty arrays yield no pairs") {
+    val df = Seq(Seq("a", "b", "c"), Seq("a"), Seq.empty[String]).toDF("toks")
+      .select(TextAnalysis.adjacentTokenPairs(col("toks")).as("pr"))
+    val rows = df.collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))))
+    assert(rows(0) == Seq(("a", "b"), ("b", "c")))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+  }
+
+  // --- domain stats -------------------------------------------------------
+
+  test("domainStats computes keep band inclusively and the domain verdict") {
+    val docs = Seq(
+      ("a", 200L), ("a", 5000L), ("a", 100L),   // 2/3 in band → kept at 0.6
+      ("b", 199L), ("b", 5001L)                  // 0/2 in band → dropped
+    ).toDF("source", "n_chars")
+    val m = Curation.domainStats(docs, col("source"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Long]("n_docs") == 3L)
+    assert(m("a").getAs[Long]("total_chars") == 5300L)
+    assert(m("a").getAs[Double]("keep_rate") == 2.0 / 3.0)
+    assert(m("a").getAs[Long]("domain_kept") == 1L)
+    assert(m("b").getAs[Double]("keep_rate") == 0.0 && m("b").getAs[Long]("domain_kept") == 0L)
+  }
+
+  // --- k-means / SemDeDup -------------------------------------------------
+
+  private val init2 = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+
+  test("lloydOnce recomputes per-cell element-wise means exactly") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(9.0f, 10.0f)), (4L, Seq(10.0f, 9.0f))).toDF("vec_id", "embedding")
+    val cents = Cluster.lloydOnce(emb, "embedding", init2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0) == Seq(0.5, 0.5))
+    assert(cents(1) == Seq(9.5, 9.5))
+  }
+
+  test("assign takes the nearest updated centroid; exact ties go to the lower cell") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(9.0f, 10.0f)), (4L, Seq(10.0f, 9.0f)),
+      (5L, Seq(5.0f, 5.0f))).toDF("vec_id", "embedding") // equidistant from (0.5,0.5) and (9.5,9.5)
+    val cents = Cluster.lloydOnce(emb.filter(col("vec_id") <= 4), "embedding", init2)
+    val cells = Cluster.assign(emb, "embedding", "vec_id", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells(1) == 0 && cells(2) == 0 && cells(3) == 1 && cells(4) == 1)
+    assert(cells(5) == 0, "tie must break to the lower cell id")
+  }
+
+  test("semanticDupPairs pairs near-identical vectors only within their cluster") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)),     // near-dups, cell 0
+      (3L, Seq(9.0f, 9.0f)), (4L, Seq(0.0f, 9.5f))).toDF("vec_id", "embedding")
+    val pairs = Cluster.semanticDupPairs(emb, "embedding", "vec_id", init2, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      "only the co-clustered near-dup pair qualifies; cross-cluster pairs are never scored")
+  }
+
+  test("semanticDupPairs on the gate corpus is non-vacuous and symmetric-free") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val init = Cluster.seededCentroids(4, 64, seed = 11, scale = 0.05)
+    val pairs = Cluster.semanticDupPairs(emb, "embedding", "vec_id", init, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+}
