@@ -228,10 +228,16 @@ object VectorQueries extends QuerySet {
       val payload = when(col("doc_id") % 5 === 0, unhex(lit("DEADBEEF")))
         .when(col("doc_id") % 2 === 0, unhex(pngHex))
         .otherwise(unhex(gifHex))
-      val dims = graft.ops.Multimodal.imageDims(payload)
+      // payload bound to an ATTRIBUTE before imageDims sees it: the Column
+      // DSL substitutes its argument tree into every internal reference, so
+      // passing the synthesized when/unhex chain directly embeds ~70 copies
+      // of it in the plan (85 KB of expression, janino-compiled per field).
+      // Two projections keep the decoder referencing one computed column.
       documents(s, d)
-        .select(col("doc_id"), dims.getField("format").as("format"),
-          dims.getField("width").as("width"), dims.getField("height").as("height"))
+        .withColumn("payload", payload)
+        .withColumn("d", graft.ops.Multimodal.imageDims(col("payload")))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"))
         .orderBy("doc_id")
     })
 

@@ -141,4 +141,35 @@ class PlanSpec extends SparkSpec {
     assert(pf.exists(_.contains("stratum")),
       s"stratum filter must prune partitions at the file listing, got: $pf")
   }
+
+  test("b1 BM25 broadcasts the one-row stats and takes top-k without a global sort") {
+    val plan = formatted(graft.queries.TextQueries.b1Bm25.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must not globally sort:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the stats row must broadcast, never shuffle the corpus")
+  }
+
+  test("d9 k-means broadcasts the centroid table; the pair join is an equi-join on cell") {
+    val plan = formatted(graft.queries.VectorQueries.d9SemDedup.fn(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the O(k·d) centroid table must broadcast against the scan")
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairing must block on the cell key, never cross-join the corpus")
+  }
+
+  test("m2 builds the image payload once: the decoder references an attribute, not 70 copies") {
+    val plan = graft.queries.VectorQueries.m2ImageDims.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val copies = "unhex".r.findAllIn(plan).length
+    assert(copies <= 6,
+      s"payload synthesis must appear once in the plan, found $copies unhex sites " +
+        "(the Column DSL re-embeds a non-attribute argument at every internal reference)")
+  }
+
+  test("dom1 domain stats aggregate partially before the exchange") {
+    val plan = formatted(graft.queries.MiscQueries.dom1DomainStats.fn(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "domain stats must combine map-side — the domain key space is tiny next to doc count")
+  }
 }
