@@ -141,6 +141,17 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topN)
   }
 
+  /** Deterministic train/val/test assignment: the md5-threshold ladder over
+    * cumulative fractions — the same seedless, engine-portable mechanism as
+    * [[hashSamplePredicate]], so a document's split never changes across
+    * reruns, engines, or cluster layouts (a `rand()` split would violate
+    * all three). `cuts` are (label, cumulativeFraction) in ladder order;
+    * everything past the last cut gets `rest`. */
+  def assignSplit(key: Column, cuts: Seq[(String, Double)], rest: String): Column =
+    cuts.foldRight(lit(rest): Column) { case ((label, cum), tail) =>
+      when(md5(key.cast("string")) < lit(hexThreshold(cum)), label).otherwise(tail)
+    }
+
   /** Adjacent token pairs of a token-array column, as (p, w) structs —
     * the bigram events an interpolated bigram LM trains on. Zip-shift, no
     * window: pair generation stays a map stage. */

@@ -648,9 +648,27 @@ object MiscQueries extends QuerySet {
     (s, d) => graft.ops.Curation.domainStats(documents(s, d), col("source"), col("n_chars"))
       .orderBy("domain"))
 
+  /** Exact interpolated percentiles (p25/p50/p90) of event values per
+    * type — the latency/size distribution report. Exact `percentile`
+    * (sort-based) rather than the t-digest approximation so the oracle is
+    * bit-checkable; outputs rounded at 6 dp to absorb the two engines'
+    * algebraically-equal-but-differently-associated interpolation forms. */
+  val a15Percentiles: Q = Q("a15_percentiles",
+    Some("""SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .orderBy("event_type"))
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
-    c1Curation, c1bCurationStored, dom1DomainStats)
+    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles)
 }

@@ -499,8 +499,25 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Deterministic 80/10/10 train/val/test split — seedless md5-threshold
+    * ladder, so the assignment is stable across reruns, engines, and
+    * cluster layouts. */
+  val x10Split: Q = {
+    val cuts = Seq("train" -> 0.8, "val" -> 0.9)
+    val t1 = TextAnalysis.hexThreshold(0.8); val t2 = TextAnalysis.hexThreshold(0.9)
+    Q("x10_train_val_test_split",
+      Some(s"""SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+                    ELSE 'test' END AS split
+               FROM documents ORDER BY doc_id"""),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.assignSplit(col("doc_id"), cuts, "test").as("split"))
+        .orderBy("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, x9Bigram)
+    b1Bm25, tok1BpePairs, x9Bigram, x10Split)
 }

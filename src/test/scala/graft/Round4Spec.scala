@@ -70,6 +70,23 @@ class Round4Spec extends SparkSpec {
     assert(m("b").getAs[Double]("keep_rate") == 0.0 && m("b").getAs[Long]("domain_kept") == 0L)
   }
 
+  // --- split assignment ---------------------------------------------------
+
+  test("assignSplit is a proper ladder: exhaustive, stable, and rate-shaped") {
+    val docs = spark.range(0, 10000).toDF("id")
+    val out = docs.select(col("id"),
+        TextAnalysis.assignSplit(col("id"), Seq("train" -> 0.8, "val" -> 0.9), "test").as("s"))
+    val counts = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 10k keys land within a loose band of the 80/10/10 target
+    assert(counts("train") > 7500 && counts("train") < 8500, s"got $counts")
+    assert(counts("val") > 600 && counts("val") < 1400, s"got $counts")
+    // deterministic: the same keys assign identically on a re-evaluation
+    val again = docs.select(
+      TextAnalysis.assignSplit(col("id"), Seq("train" -> 0.8, "val" -> 0.9), "test").as("s2"))
+    assert(out.select("s").exceptAll(again.select(col("s2").as("s"))).isEmpty)
+  }
+
   // --- k-means / SemDeDup -------------------------------------------------
 
   private val init2 = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
