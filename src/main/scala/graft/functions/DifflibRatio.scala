@@ -127,6 +127,8 @@ object GraftFunctions {
       "char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_hashes", exprs => WinnowHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     registeredSessions.add(spark)
   }
 
@@ -164,5 +166,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
       WordShingles.info,
       (exprs: Seq[Expression]) => WordShinglesExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_hashes"),
+      WinnowHashes.info,
+      (exprs: Seq[Expression]) => WinnowHashesExpr(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -104,6 +104,66 @@ object SigExprs {
     new GenericArrayData(out)
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".getBytes
+
+  private def md5hex(bytes: Array[Byte]): UTF8String = {
+    val md = md5Local.get(); md.reset()
+    val dig = md.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(dig(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Winnowing (Schleimer et al.): md5-hex every POSITIONAL character
+    * k-gram (code-point stepping; text shorter than k hashes whole), then
+    * the lexicographic min of every w-wide sliding hash window (fewer
+    * than w hashes → one window over all), distinct in first-occurrence
+    * order. One compiled pass; the HOF formulation re-evaluated the hash
+    * chain inside the window lambda (O(L²) md5 calls) and per-position
+    * substring is O(position) on UTF8String. */
+  def winnowHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val total = cps.length
+    val hs: Array[UTF8String] =
+      if (total < k) Array(md5hex(text.getBytes))
+      else {
+        val arr = new Array[UTF8String](total - k + 1)
+        var i = 0
+        while (i + k <= total) {
+          arr(i) = md5hex(new String(cps, i, k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+        arr
+      }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (hs.length < w) {
+      var m = hs(0); var i = 1
+      while (i < hs.length) { if (hs(i).compareTo(m) < 0) m = hs(i); i += 1 }
+      seen.add(m)
+    } else {
+      var j = 0
+      while (j + w <= hs.length) {
+        var m = hs(j); var i = j + 1
+        while (i < j + w) { if (hs(i).compareTo(m) < 0) m = hs(i); i += 1 }
+        seen.add(m)
+        j += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j2 = 0
+    while (it.hasNext) { out(j2) = it.next(); j2 += 1 }
+    new GenericArrayData(out)
+  }
+
   def simhashBits(hashes: ArrayData, bits: Int): UTF8String = {
     val votes = new Array[Int](bits)
     val n = hashes.numElements()
@@ -197,6 +257,25 @@ case class WordShinglesExpr(left: Expression, right: Expression) extends BinaryE
     copy(left = newLeft, right = newRight)
 }
 
+/** `winnow_hashes(string, k, w)` → array<string> of distinct winnowed
+  * window-min md5s (positional k-grams). */
+case class WinnowHashesExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    SigExprs.winnowHashes(a.asInstanceOf[UTF8String], b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.SigExprs.winnowHashes($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WinnowHashes { val info = new ExpressionInfo(classOf[WinnowHashesExpr].getName, "winnow_hashes") }
 object WordShingles { val info = new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles") }
 object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }
 object SimHashBits { val info = new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits") }

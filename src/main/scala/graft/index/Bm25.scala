@@ -28,21 +28,23 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Lowercase whitespace tokens with empties dropped — the same tokenize
-    * every shingle/LM build uses (`Dedup.wordShingles`, x8). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    * every shingle/LM build uses (delegates to the single shared
+    * construction, `TextAnalysis.tokens`). */
+  def tokens(text: Column): Column = graft.ops.TextAnalysis.tokens(text)
 
   /** One-row corpus statistics: `n_docs`, `avgdl` (double), and `df_i` for
-    * each query term, in term order. */
+    * each query term, in term order. The token array is bound to an
+    * attribute first — inlining the tokenize tree into avgdl plus every
+    * df aggregate would re-tokenize each document terms+1 times. */
   def corpusStats(docs: DataFrame, textCol: Column, terms: Seq[String]): DataFrame = {
-    val toks = tokens(textCol)
+    val toks = col("__bm25_toks")
     val dfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
     }
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
       (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl")) ++ dfAggs
-    docs.agg(aggs.head, aggs.tail: _*)
+    docs.withColumn("__bm25_toks", tokens(textCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Score every document against `terms` and keep the global top `k`
@@ -54,7 +56,9 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
     val stats = corpusStats(docs, col(textCol), terms)
-    val toks = tokens(col(textCol))
+    // bind toks to an attribute: inlined, the tokenize tree would be
+    // re-evaluated in dl and in every per-term tf
+    val toks = col("__bm25_toks")
     val dl = size(toks).cast("double")
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       val tf = size(filter(toks, x => x === t)).cast("double")
@@ -63,7 +67,8 @@ object Bm25 {
         / (col(s"df_$i").cast("double") + 0.5))
       idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl")))
     }
-    docs.crossJoin(broadcast(stats))
+    docs.withColumn("__bm25_toks", tokens(col(textCol)))
+      .crossJoin(broadcast(stats))
       .withColumn("bm25", round(perTerm.reduce(_ + _), roundTo))
       .filter(col("bm25") > 0.0)
       .select(col(idCol), col("bm25"))

@@ -152,6 +152,23 @@ object TextAnalysis {
       when(md5(key.cast("string")) < lit(hexThreshold(cum)), label).otherwise(tail)
     }
 
+  /** Winnowing fingerprints (Schleimer et al., MOSS): md5 every positional
+    * character k-gram, take the min hash of every w-wide sliding window,
+    * dedupe. Guarantees a shared fingerprint for any sufficiently long
+    * shared substring — the local-dup detection x4's single global min
+    * can't give — while selecting only ~2/(w+1) of the hashes. Map-only,
+    * one compiled pass per document (`functions.WinnowHashesExpr`): the
+    * HOF formulation re-evaluated the hash chain inside the window lambda
+    * — O(L²) md5 calls, unusable past toy scale — and per-position
+    * `substring` is O(position) on UTF8String. NULL text fingerprints as
+    * '' (coalesced here so both engines agree). Short-text conventions
+    * mirror the shingle ops: text shorter than k → itself as the one
+    * gram; fewer than w hashes → one window over them all. */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("winnow_hashes", coalesce(text, lit("")), lit(k), lit(w))
+  }
+
   /** Adjacent token pairs of a token-array column, as (p, w) structs —
     * the bigram events an interpolated bigram LM trains on. Zip-shift, no
     * window: pair generation stays a map stage. */

@@ -86,16 +86,20 @@ object StreamingQueries extends QuerySet {
     * events chain while the next start lands strictly inside
     * [prev_ts, prev_ts + gap), so the break condition is `diff >= gap` —
     * one tick different from w2's `diff > gap`. Window end is
-    * last_ts + gap by definition. */
+    * last_ts + gap by definition. The oracle's two window sorts tiebreak
+    * on event_id: without it, a same-µs pair straddling a session break
+    * could sort differently in the lag pass and the running-sum pass and
+    * attach one event to the previous session (tied events always merge
+    * under session_window, so the pinned order matches Spark). */
   val st5Session = Q("st5_session_window",
     Some("""WITH flagged AS (
-              SELECT user_id, ts, value,
+              SELECT user_id, ts, event_id, value,
                 CASE WHEN lag(ts) OVER w IS NULL
                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, value, epoch_us(ts) AS ts_us,
-                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               FROM flagged)
             SELECT user_id, min(ts_us) AS session_start_us,

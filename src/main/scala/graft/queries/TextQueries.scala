@@ -516,8 +516,73 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id"))
   }
 
+  /** Winnowing fingerprint summary: per doc, the size and lexicographic
+    * bounds of the winnowed hash set (k=5 char-grams, w=4 windows). The
+    * set itself is what a local-dup index stores; the summary keeps the
+    * gate output compact while still pinning the whole selection. */
+  val x11Winnow = Q("x11_winnowing",
+    Some("""WITH l AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN length(t) >= 5
+                     THEN list_transform(range(1, length(t) - 3),
+                            i -> md5(substr(t, CAST(i AS INT), 5)))
+                     ELSE [md5(t)] END AS hs
+              FROM l),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) >= 4
+                     THEN list_transform(range(1, len(hs) - 2),
+                            j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))
+                     ELSE [list_aggregate(hs, 'min')] END AS wins
+              FROM g),
+            f AS (SELECT doc_id, list_distinct(wins) AS fp FROM w)
+            SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+              list_aggregate(fp, 'min') AS fp_min, list_aggregate(fp, 'max') AS fp_max
+            FROM f ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .withColumn("fp", TextAnalysis.winnowingFingerprints(lower(col("text")), k = 5, w = 4))
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+        array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+      .orderBy("doc_id"))
+
+  /** Per-document top-3 TF-IDF terms — the keyword-extraction staple.
+    * Scores are ranked on the 6-dp-rounded value (b1's rule) so libm ln
+    * drift can't flip the per-doc ordering between engines. */
+  val x12Tfidf = Q("x12_tfidf_top_terms",
+    Some(s"""WITH t AS (SELECT doc_id, unnest(${OracleSql.toksSql}) AS w FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY doc_id, w),
+            df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, w AS term,
+                round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+              FROM tf JOIN df USING (w) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, score,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+              FROM scored)
+            SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
+            ORDER BY doc_id, rn"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d).select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val tf = t.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")), 6))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("w").as("term"), col("score"))
+        .orderBy("doc_id", "rn")
+    })
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, x9Bigram, x10Split)
+    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf)
 }

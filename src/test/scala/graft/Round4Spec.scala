@@ -87,6 +87,27 @@ class Round4Spec extends SparkSpec {
     assert(out.select("s").exceptAll(again.select(col("s2").as("s"))).isEmpty)
   }
 
+  // --- winnowing ----------------------------------------------------------
+
+  test("winnowing guarantees a shared fingerprint for a long shared substring") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq("AAAA " + shared + " BBBB", "cccc " + shared + " dddd", "zz unrelated zz")
+      .toDF("t").select(TextAnalysis.winnowingFingerprints(col("t"), k = 5, w = 4).as("fp"))
+    val fps = df.collect().map(_.getSeq[String](0).toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty,
+      "docs sharing a 43-char substring must share a winnowed fingerprint")
+    assert((fps(0) intersect fps(2)).isEmpty, "unrelated docs should not collide")
+  }
+
+  test("winnowing short-text conventions: sub-k text hashes whole, sub-w windows collapse") {
+    val df = Seq("abc", "abcdefg").toDF("t")
+      .select(col("t"), TextAnalysis.winnowingFingerprints(col("t"), k = 5, w = 4).as("fp"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("abc").length == 1, "text shorter than k → one fingerprint (md5 of the text)")
+    // 7 chars → 3 grams → fewer than w hashes → one window over them all
+    assert(rows("abcdefg").length == 1)
+  }
+
   // --- k-means / SemDeDup -------------------------------------------------
 
   private val init2 = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
