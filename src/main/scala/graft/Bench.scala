@@ -62,7 +62,8 @@ object Bench {
       "u2_union_after_anti", "k3_bucketed_join", "p12_html_table_parse",
       "ask2_show_table", "x4_doc_fingerprint",
       "c1_curation_pipeline", "v6_ivf_pq_topk", "d7_dedup_clusters",
-      "d8_incremental_dedup", "j7_asof_join", "r1_range_join")
+      "d8_incremental_dedup", "j7_asof_join", "r1_range_join",
+      "d9_semantic_dedup", "b1_bm25_topk", "x11_winnowing", "st5_session_window")
     val byName = results.toMap
     val qsHead = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")

@@ -122,7 +122,9 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"),
         graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of")).as("quality"),
         graft.ops.Dedup.simHash(col("text"), 16).as("sim"),
-        graft.ops.Pii.redact(col("text")).as("clean"))
+        graft.ops.Pii.redact(col("text")).as("clean"),
+        graft.ops.TextAnalysis.assignSplit(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.9), "test").as("split"),
+        size(graft.ops.TextAnalysis.winnowingFingerprints(lower(col("text")), 5, 4)).as("n_fp"))
     val streamed = runToMemory(enrich(streamDocs), "ta_out", "append")
     val batch = enrich(docs)
     assert(streamed.count() > 0)
