@@ -167,6 +167,27 @@ class PropertySpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("winnow_hashes equals the zip-shift + window-min formulation (incl. unicode)") {
+    val texts = randomTexts(150, unicode = true)
+    val native = texts.toDF("t")
+      .select(graft.ops.TextAnalysis.winnowingFingerprints(lower(col("t")), k = 5, w = 4).as("fp"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val hof = texts.toDF("t").select({
+      val chars = split(lower(col("t")), "")
+      val len = size(chars)
+      val joined = (2 to 5).foldLeft(chars) { (acc, k) =>
+        zip_with(acc, slice(chars, lit(k), greatest(len - k + 1, lit(0))), (a, b) => concat(a, b))
+      }
+      val grams = when(len >= 5, slice(joined, lit(1), len - 5 + 1)).otherwise(array(lower(col("t"))))
+      val hs = transform(grams, g => md5(g))
+      val wins = when(size(hs) >= 4,
+          transform(sequence(lit(1), size(hs) - 3), j => array_min(slice(hs, j, lit(4)))))
+        .otherwise(array(array_min(hs)))
+      array_distinct(wins).as("fp")
+    }).collect().map(_.getSeq[String](0)).toSeq
+    assert(native == hof)
+  }
+
   test("Pii.redact is idempotent on random identifier-laced strings") {
     // placeholders carry no digits or '@', so a second pass must be a no-op
     val parts = Seq("call ", "+1-202-555-0143", " or ", "bob@x.example.com", " ip ",
