@@ -129,6 +129,8 @@ object GraftFunctions {
       "word_shingles", exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_hashes", exprs => WinnowHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalizeExpr(exprs(0)), "built-in")
     registeredSessions.add(spark)
   }
 
@@ -170,5 +172,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_hashes"),
       WinnowHashes.info,
       (exprs: Seq[Expression]) => WinnowHashesExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info,
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs(0))))
   }
 }

@@ -164,6 +164,17 @@ object SigExprs {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the normalize-
+    * before-hash step every dedup pipeline needs so 'é' and 'e'+COMBINING
+    * ACUTE hash identically. JDK Normalizer implements the same Unicode
+    * standard algorithm as DuckDB's utf8proc-backed nfc_normalize. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: NFC-normalized already (the overwhelmingly common case)
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def simhashBits(hashes: ArrayData, bits: Int): UTF8String = {
     val votes = new Array[Int](bits)
     val n = hashes.numElements()
@@ -275,6 +286,23 @@ case class WinnowHashesExpr(first: Expression, second: Expression, third: Expres
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `nfc_normalize(string)` → NFC-composed string. */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SigExprs.nfcNormalize(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SigExprs.nfcNormalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize { val info = new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize") }
 object WinnowHashes { val info = new ExpressionInfo(classOf[WinnowHashesExpr].getName, "winnow_hashes") }
 object WordShingles { val info = new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles") }
 object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
+  /** Unicode NFC canonical composition (native `functions.
+    * NfcNormalizeExpr`) — run before any hash-based dedup so 'é' and
+    * 'e'+COMBINING ACUTE produce one digest; fast-paths already-normalized
+    * text (the overwhelmingly common case) without allocation. */
+  def nfcNormalize(c: Column): Column = {
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
+  }
+
   /** P1: strip control/zero-width/NBSP chars, collapse inline whitespace,
     * trim space around newlines, cap blank lines at 2. */
   def normalizeText(c: Column): Column = {

@@ -581,8 +581,37 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id", "rn")
     })
 
+  /** Unicode NFC normalization, oracle-gated: every third doc gets a
+    * decomposed suffix (e + U+0301 + a + U+0308) synthesized identically
+    * in both engines; the normalizer must compose it (é, ä — length
+    * drops by 2) and leave the rest byte-identical. DuckDB's
+    * utf8proc-backed nfc_normalize is the independent reference for the
+    * JDK Normalizer implementation. */
+  val p13Nfc = Q("p13_unicode_nfc",
+    Some("""WITH s AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(substr(text, 1, 40), 'e', chr(769), 'a', chr(776))
+                     ELSE substr(text, 1, 40) END AS raw
+              FROM documents),
+            n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM s)
+            SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_norm,
+              md5(norm) AS digest
+            FROM n ORDER BY doc_id"""),
+    (s, d) => {
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(substring(col("text"), 1, 40), lit("e\u0301a\u0308")))
+        .otherwise(substring(col("text"), 1, 40))
+      documents(s, d)
+        .withColumn("raw", raw)
+        .withColumn("norm", Cleaning.nfcNormalize(col("raw")))
+        .select(col("doc_id"), length(col("raw")).as("len_raw"),
+          length(col("norm")).as("len_norm"), md5(col("norm").cast("binary")).as("digest"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf)
+    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc)
 }

@@ -580,6 +580,34 @@ object VectorQueries extends QuerySet {
       Dedup.connectedComponents(pairs).orderBy("id")
     })
 
+  /** Dedup-audit histogram: how big do near-dup clusters get? The report a
+    * curation run reads to sanity-check its LSH thresholds (a fat tail =
+    * template spam / boilerplate). Cluster sizes count the singleton-free
+    * clusters d7 emits; two tiny aggregates on top of the same pair
+    * machinery. */
+  val d7bClusterHistogram = Q("d7b_cluster_histogram",
+    Some(s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+            ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)},
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS id, u AS r FROM e
+              UNION
+              SELECT e.u AS id, reach.r FROM e JOIN reach ON e.v = reach.id),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                      FROM labels GROUP BY cluster_id)
+            SELECT cluster_size, count(*) AS n_clusters FROM sizes
+            GROUP BY cluster_size ORDER BY cluster_size"""),
+    (s, d) => {
+      val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+        shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).cast("long").as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    })
+
   /** SemDeDup: k-means-blocked embedding near-dup pairs. The oracle
     * replays the ENTIRE pipeline — seeded init (literals below), argmin
     * assignment, the Lloyd centroid update (decimal-exact means, so the
@@ -631,5 +659,5 @@ object VectorQueries extends QuerySet {
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    d8Incremental, d9SemDedup, x4Fingerprint, m1Binary, m2ImageDims)
+    d7bClusterHistogram, d8Incremental, d9SemDedup, x4Fingerprint, m1Binary, m2ImageDims)
 }

@@ -87,6 +87,21 @@ class Round4Spec extends SparkSpec {
     assert(out.select("s").exceptAll(again.select(col("s2").as("s"))).isEmpty)
   }
 
+  // --- unicode normalization ----------------------------------------------
+
+  test("nfcNormalize composes decomposed sequences, is idempotent, keeps NFC text identical") {
+    val decomposed = "cafe\u0301 a\u0308 \u0e44\u0e17\u0e22" // explicit escapes, no raw combining chars
+    val df = Seq(decomposed, "plain ascii", "\u00e9").toDF("t")
+      .select(col("t"), graft.ops.Cleaning.nfcNormalize(col("t")).as("n"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows(decomposed) == "caf\u00e9 \u00e4 \u0e44\u0e17\u0e22")
+    assert(rows("plain ascii") == "plain ascii")
+    assert(rows("\u00e9") == "\u00e9")
+    val twice = Seq(rows(decomposed)).toDF("t")
+      .select(graft.ops.Cleaning.nfcNormalize(col("t")).as("n")).collect()(0).getString(0)
+    assert(twice == rows(decomposed), "NFC must be idempotent")
+  }
+
   // --- winnowing ----------------------------------------------------------
 
   test("winnowing guarantees a shared fingerprint for a long shared substring") {
