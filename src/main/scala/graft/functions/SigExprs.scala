@@ -128,7 +128,10 @@ object SigExprs {
     * order. One compiled pass; the HOF formulation re-evaluated the hash
     * chain inside the window lambda (O(L²) md5 calls) and per-position
     * substring is O(position) on UTF8String. */
-  def winnowHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+  def winnowHashes(text: UTF8String, kIn: Int, wIn: Int): ArrayData = {
+    // SQL-callable with arbitrary literals: clamp degenerate k/w to 1
+    // (charNgrams-style) instead of crashing the task
+    val k = math.max(kIn, 1); val w = math.max(wIn, 1)
     val s = text.toString
     val cps = s.codePoints().toArray
     val total = cps.length
@@ -169,8 +172,11 @@ object SigExprs {
     * ACUTE hash identically. JDK Normalizer implements the same Unicode
     * standard algorithm as DuckDB's utf8proc-backed nfc_normalize. */
   def nfcNormalize(text: UTF8String): UTF8String = {
+    // pure-ASCII fast path: one byte per char ⇒ no combining sequences ⇒
+    // already NFC, no String allocation at all (most corpora hit this)
+    if (text.numBytes == text.numChars) return text
     val s = text.toString
-    // fast path: NFC-normalized already (the overwhelmingly common case)
+    // second fast path: normalized already, return the original buffer
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
     else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }

@@ -18,8 +18,10 @@ object Cleaning {
 
   /** Unicode NFC canonical composition (native `functions.
     * NfcNormalizeExpr`) — run before any hash-based dedup so 'é' and
-    * 'e'+COMBINING ACUTE produce one digest; fast-paths already-normalized
-    * text (the overwhelmingly common case) without allocation. */
+    * 'e'+COMBINING ACUTE produce one digest. Pure-ASCII rows (the
+    * overwhelmingly common case) return the original buffer with no
+    * allocation; non-ASCII rows pay one isNormalized scan and only
+    * actually-decomposed text pays the normalize. */
   def nfcNormalize(c: Column): Column = {
     graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
     org.apache.spark.sql.functions.call_function("nfc_normalize", c)

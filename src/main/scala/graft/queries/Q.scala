@@ -95,4 +95,18 @@ object OracleSql {
           SELECT DISTINCT a.id AS id_a, b.id AS id_b, $jaccSql AS jacc
           FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id
           WHERE $jaccSql >= $threshold)"""
+
+  /** Transitive closure over a `pairs(id_a, id_b)` CTE — the SQL mirror of
+    * `Dedup.connectedComponents` (min-label propagation): `labels(id,
+    * cluster_id)` assigns every pair member its component's minimum id.
+    * ONE copy shared by d7 and d7b so the histogram can never disagree
+    * with the cluster labels it summarizes. Requires WITH RECURSIVE. */
+  val closureCtes: String =
+    """e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       reach AS (
+         SELECT u AS id, u AS r FROM e
+         UNION
+         SELECT e.u AS id, reach.r FROM e JOIN reach ON e.v = reach.id),
+       labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 }

@@ -588,20 +588,23 @@ object TextQueries extends QuerySet {
     * utf8proc-backed nfc_normalize is the independent reference for the
     * JDK Normalizer implementation. */
   val p13Nfc = Q("p13_unicode_nfc",
+    // text coalesced in BOTH engines: Spark concat null-propagates while
+    // DuckDB concat skips NULLs \u2014 without the coalesce a NULL text row
+    // would diverge
     Some("""WITH s AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 3 = 0
-                     THEN concat(substr(text, 1, 40), 'e', chr(769), 'a', chr(776))
-                     ELSE substr(text, 1, 40) END AS raw
+                     THEN concat(substr(coalesce(text, ''), 1, 40), 'e', chr(769), 'a', chr(776))
+                     ELSE substr(coalesce(text, ''), 1, 40) END AS raw
               FROM documents),
             n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM s)
             SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_norm,
               md5(norm) AS digest
             FROM n ORDER BY doc_id"""),
     (s, d) => {
-      val raw = when(col("doc_id") % 3 === 0,
-          concat(substring(col("text"), 1, 40), lit("e\u0301a\u0308")))
-        .otherwise(substring(col("text"), 1, 40))
+      val base = substring(coalesce(col("text"), lit("")), 1, 40)
+      val raw = when(col("doc_id") % 3 === 0, concat(base, lit("e\u0301a\u0308")))
+        .otherwise(base)
       documents(s, d)
         .withColumn("raw", raw)
         .withColumn("norm", Cleaning.nfcNormalize(col("raw")))

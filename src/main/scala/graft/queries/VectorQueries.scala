@@ -566,14 +566,9 @@ object VectorQueries extends QuerySet {
   val d7DedupClusters = Q("d7_dedup_clusters",
     Some(s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
             ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)},
-            e AS (SELECT id_a AS u, id_b AS v FROM pairs
-                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
-            reach AS (
-              SELECT u AS id, u AS r FROM e
-              UNION
-              SELECT e.u AS id, reach.r FROM e JOIN reach ON e.v = reach.id)
-            SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id ORDER BY id"""),
+            ${OracleSql.closureCtes}
+            SELECT id, CAST(cluster_id AS BIGINT) AS cluster_id
+            FROM labels ORDER BY id"""),
     (s, d) => {
       val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
         shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
@@ -588,13 +583,7 @@ object VectorQueries extends QuerySet {
   val d7bClusterHistogram = Q("d7b_cluster_histogram",
     Some(s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
             ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)},
-            e AS (SELECT id_a AS u, id_b AS v FROM pairs
-                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
-            reach AS (
-              SELECT u AS id, u AS r FROM e
-              UNION
-              SELECT e.u AS id, reach.r FROM e JOIN reach ON e.v = reach.id),
-            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            ${OracleSql.closureCtes},
             sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
                       FROM labels GROUP BY cluster_id)
             SELECT cluster_size, count(*) AS n_clusters FROM sizes
