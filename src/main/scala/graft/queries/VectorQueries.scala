@@ -604,17 +604,21 @@ object VectorQueries extends QuerySet {
     * reassignment, and the within-cluster cosine pairs — so any
     * divergence in the clustering itself hash-fails the gate, not just
     * the final pair list. */
-  val d9SemDedup: Q = {
+  /** THE d9 clustering parameters + oracle CTE chain — one construction
+    * shared by d9 (the pair list) and d9b (the keep decision) so the two
+    * provably describe the same clustering. The chain ends at CTE
+    * `p(cell, id_a, id_b, cos)`. */
+  private object SemDedup {
     val k = 4; val dim = 64; val threshold = 0.4
-    val init = graft.ops.Cluster.seededCentroids(k, dim, seed = 11, scale = 0.05)
-    def d2Sql(c: Seq[Double]) =
+    val init: Seq[Seq[Double]] = graft.ops.Cluster.seededCentroids(k, dim, seed = 11, scale = 0.05)
+    private def d2Sql(c: Seq[Double]) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i] - (${vecSql(c)})[i]) * (e[i] - (${vecSql(c)})[i])))"
-    val dCols = init.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(",\n                ")
-    val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
+    private val dCols = init.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(",\n                ")
+    private val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
                           WHEN d1 <= least(d2, d3) THEN 1
                           WHEN d2 <= d3 THEN 2 ELSE 3 END"""
-    Q("d9_semantic_dedup",
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    val ctes: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               d AS (SELECT vec_id, e,
                 $dCols
                 FROM e),
@@ -635,18 +639,42 @@ object VectorQueries extends QuerySet {
               p AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
                   list_cosine_similarity(a.e, b.e) AS cos
                 FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-                WHERE list_cosine_similarity(a.e, b.e) >= $threshold)
+                WHERE list_cosine_similarity(a.e, b.e) >= $threshold)"""
+  }
+
+  val d9SemDedup: Q =
+    Q("d9_semantic_dedup",
+      Some(s"""${SemDedup.ctes}
               SELECT cell, id_a, id_b, round(cos, 4) AS cos FROM p
               ORDER BY id_a, id_b"""),
       (s, d) => graft.ops.Cluster.semanticDupPairs(embeddings(s, d), "embedding", "vec_id",
-          init, threshold)
+          SemDedup.init, SemDedup.threshold)
         .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b"))
-  }
+
+  /** The SemDeDup DECISION: keep-one-per-near-dup-group, first-wins on the
+    * lower id (any vector that pairs with a smaller id is dropped — the
+    * same rule curate's MinHash stage applies to text). Survivor list =
+    * corpus minus losers via a left anti join. */
+  val d9bSemKeep: Q =
+    Q("d9b_semantic_keep",
+      Some(s"""${SemDedup.ctes},
+              losers AS (SELECT DISTINCT id_b AS vec_id FROM p)
+              SELECT vec_id, label FROM embeddings
+              WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+              ORDER BY vec_id"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val losers = graft.ops.Cluster.semanticDupPairs(emb, "embedding", "vec_id",
+            SemDedup.init, SemDedup.threshold)
+          .select(col("id_b").as("vec_id")).distinct()
+        emb.join(losers, Seq("vec_id"), "left_anti")
+          .select("vec_id", "label").orderBy("vec_id")
+      })
 
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    d7bClusterHistogram, d8Incremental, d9SemDedup, x4Fingerprint, m1Binary, m2ImageDims)
+    d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, x4Fingerprint, m1Binary, m2ImageDims)
 }

@@ -87,6 +87,22 @@ class Round4Spec extends SparkSpec {
     assert(out.select("s").exceptAll(again.select(col("s2").as("s"))).isEmpty)
   }
 
+  // --- source-format breadth ----------------------------------------------
+
+  test("documents round-trip through JSONL and CSV sources losslessly") {
+    val docs = graft.tables.TestTables.documents(spark, sf).limit(200)
+    val jdir = "/tmp/graft_jsonl_rt"
+    docs.write.mode("overwrite").json(jdir) // JSON lines, the interchange staple
+    val jback = spark.read.schema(docs.schema).json(jdir)
+    assert(jback.exceptAll(docs).isEmpty && docs.exceptAll(jback).isEmpty)
+    val cdir = "/tmp/graft_csv_rt"
+    docs.write.mode("overwrite").option("header", true).csv(cdir)
+    // multiLine: text columns carry newlines inside quoted fields
+    val cback = spark.read.schema(docs.schema)
+      .option("header", true).option("multiLine", true).csv(cdir)
+    assert(cback.exceptAll(docs).isEmpty && docs.exceptAll(cback).isEmpty)
+  }
+
   // --- unicode normalization ----------------------------------------------
 
   test("nfcNormalize composes decomposed sequences, is idempotent, keeps NFC text identical") {
