@@ -82,6 +82,12 @@ class PlanSpec extends SparkSpec {
     val dot = graft.tables.TestTables.embeddings(spark, sf)
       .select(graft.index.Embed.dot(col("embedding"), col("embedding")).as("d"))
     assert(codegenProject(dot), "array_dot must stay in codegen")
+    val winnow = graft.tables.TestTables.documents(spark, sf)
+      .select(graft.ops.TextAnalysis.winnowingFingerprints(lower(col("text")), 5, 4).as("fp"))
+    assert(codegenProject(winnow), "winnow_hashes must stay in codegen")
+    val nfc = graft.tables.TestTables.documents(spark, sf)
+      .select(graft.ops.Cleaning.nfcNormalize(col("text")).as("n"))
+    assert(codegenProject(nfc), "nfc_normalize must stay in codegen")
   }
 
   test("d6 decontamination joins the corpus map-side: broadcast semi, no shuffle join") {
