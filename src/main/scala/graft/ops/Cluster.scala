@@ -39,17 +39,43 @@ object Cluster {
     * k rows. Decimal(25,10) sums keep the mean exact and
     * order-independent; the /count division and 8-dp round then yield the
     * same double in any engine. */
-  def lloydOnce(emb: DataFrame, vecCol: String, init: Seq[Seq[Double]]): DataFrame =
-    // cell materialized BEFORE the generator select: a generator in the
-    // same projection re-resolves the other expressions and strips the
-    // field aliases inside ivfCell's argmin struct
-    emb.withColumn("cell", Search.ivfCell(col(vecCol), init))
+  /** The decimal-exact element-wise mean per cell of an assigned frame
+    * (cell, vecCol) — one hash aggregate keyed (cell, position), then the
+    * k-row centroid assembly. */
+  private def decimalMeans(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col(vecCol)))
       .groupBy("cell", "pos")
       .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double") / count(lit(1)), 8).as("c"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
         x => x.getField("c")).as("centroid"))
+
+  def lloydOnce(emb: DataFrame, vecCol: String, init: Seq[Seq[Double]]): DataFrame =
+    // cell materialized BEFORE the generator select: a generator in the
+    // same projection re-resolves the other expressions and strips the
+    // field aliases inside ivfCell's argmin struct
+    decimalMeans(emb.withColumn("cell", Search.ivfCell(col(vecCol), init)), vecCol)
+
+  /** Full Lloyd loop: iteration 1 assigns against the seeded literals,
+    * every later one against the evolving k-row centroid table (broadcast
+    * join — the loop never moves data rows to the driver). Each round is
+    * one assignment pass + one (cell, position) aggregate; the centroid
+    * frame is localCheckpoint-ed so lineage stays flat across rounds
+    * (k·d rows — the materialization is trivial). The gate query (d9)
+    * runs exactly one iteration because its oracle unrolls the update;
+    * this loop is the production entry point where convergence, not
+    * replayability, is the goal. */
+  def lloyd(emb: DataFrame, vecCol: String, idCol: String, init: Seq[Seq[Double]],
+            iterations: Int): DataFrame = {
+    var cents = lloydOnce(emb, vecCol, init).localCheckpoint()
+    var i = 1
+    while (i < iterations) {
+      cents = decimalMeans(assign(emb, vecCol, idCol, cents), vecCol).localCheckpoint()
+      i += 1
+    }
+    cents
+  }
 
   /** Assign every vector to its nearest centroid from a centroid TABLE
     * (not literals): broadcast the k rows, score each (vector, cell) pair,

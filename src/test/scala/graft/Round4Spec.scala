@@ -165,6 +165,19 @@ class Round4Spec extends SparkSpec {
     assert(cells(5) == 0, "tie must break to the lower cell id")
   }
 
+  test("lloyd loop is a fixed point once assignments stop moving") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(9.0f, 10.0f)), (4L, Seq(10.0f, 9.0f))).toDF("vec_id", "embedding")
+    // this toy set converges after one update, so extra rounds must not move
+    // the centroids (decimal-exact means make the fixed point bit-stable)
+    val once = Cluster.lloydOnce(emb, "embedding", init2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val thrice = Cluster.lloyd(emb, "embedding", "vec_id", init2, iterations = 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(thrice == once)
+  }
+
   test("semanticDupPairs pairs near-identical vectors only within their cluster") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)),     // near-dups, cell 0
