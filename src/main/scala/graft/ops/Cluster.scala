@@ -33,15 +33,11 @@ object Cluster {
     Seq.fill(k)(Seq.fill(dim)(rng.nextGaussian() * scale))
   }
 
-  /** One exact Lloyd iteration: assign every vector to its nearest init
-    * centroid (argmin d², ties → lower cell), then recompute each cell's
-    * element-wise mean. Returns the new centroid table (cell, centroid),
-    * k rows. Decimal(25,10) sums keep the mean exact and
-    * order-independent; the /count division and 8-dp round then yield the
-    * same double in any engine. */
   /** The decimal-exact element-wise mean per cell of an assigned frame
     * (cell, vecCol) — one hash aggregate keyed (cell, position), then the
-    * k-row centroid assembly. */
+    * k-row centroid assembly. Decimal(25,10) sums keep the mean exact and
+    * order-independent; the /count division and 8-dp round then yield the
+    * same double in any engine. */
   private def decimalMeans(assigned: DataFrame, vecCol: String): DataFrame =
     assigned
       .select(col("cell"), posexplode(col(vecCol)))
@@ -51,6 +47,10 @@ object Cluster {
       .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
         x => x.getField("c")).as("centroid"))
 
+  /** One exact Lloyd iteration: assign every vector to its nearest init
+    * centroid (argmin d², ties → lower cell), then recompute each cell's
+    * element-wise mean. Returns the new centroid table (cell, centroid),
+    * k rows. */
   def lloydOnce(emb: DataFrame, vecCol: String, init: Seq[Seq[Double]]): DataFrame =
     // cell materialized BEFORE the generator select: a generator in the
     // same projection re-resolves the other expressions and strips the
@@ -68,6 +68,7 @@ object Cluster {
     * replayability, is the goal. */
   def lloyd(emb: DataFrame, vecCol: String, idCol: String, init: Seq[Seq[Double]],
             iterations: Int): DataFrame = {
+    require(iterations >= 1, s"lloyd needs at least one iteration, got $iterations")
     var cents = lloydOnce(emb, vecCol, init).localCheckpoint()
     var i = 1
     while (i < iterations) {

@@ -299,7 +299,11 @@ object TextQueries extends QuerySet {
     * model. Scale shape: the model is ONE word-count aggregate (vocab-
     * bounded, broadcastable at any corpus size); scoring is a token→count
     * equi-join + per-doc aggregate. Both engines compute
-    * (Σ ln(c+1) − n·ln(N+V))/n and round to 6dp. */
+    * (Σ ln(c+1) − n·ln(N+V))/n and round to 6dp. The Σ runs in
+    * DECIMAL(25,15) — a raw double sum picks up the shuffle's reduction
+    * order, which differs from the oracle's sequential sum (the d9 rule;
+    * at 6-dp rounding the drift only bites at a boundary, but a flaky
+    * gate is the worst failure mode). */
   val x8Unigram = Q("x8_unigram_logprob",
     Some("""WITH t AS (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
@@ -307,7 +311,7 @@ object TextQueries extends QuerySet {
             cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
             tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v FROM cnt)
             SELECT doc_id,
-              round((sum(ln(c + 1)) - count(*) * ln(n_total + v)) / count(*), 6) AS mean_logprob,
+              round((CAST(sum(CAST(ln(c + 1) AS DECIMAL(25,15))) AS DOUBLE) - count(*) * ln(n_total + v)) / count(*), 6) AS mean_logprob,
               CAST(count(*) AS BIGINT) AS n_tokens
             FROM t JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id, n_total, v ORDER BY doc_id"""),
@@ -320,7 +324,8 @@ object TextQueries extends QuerySet {
       toks.join(counts, "w")
         .crossJoin(broadcast(totals))
         .groupBy("doc_id")
-        .agg(round((sum(log(col("c") + 1)) - count(lit(1)) * log(first(col("n_total")) + first(col("v"))))
+        .agg(round((sum(log(col("c") + 1).cast("decimal(25,15)")).cast("double")
+            - count(lit(1)) * log(first(col("n_total")) + first(col("v"))))
             / count(lit(1)), 6).as("mean_logprob"),
           count(lit(1)).as("n_tokens"))
         .orderBy("doc_id")
@@ -475,7 +480,8 @@ object TextQueries extends QuerySet {
               JOIN cnt cp ON cp.w = b.p
               JOIN cnt cw ON cw.w = b.w
               CROSS JOIN tot)
-            SELECT doc_id, round(sum(lp) / count(*), 6) AS mean_logprob,
+            SELECT doc_id,
+              round(CAST(sum(CAST(lp AS DECIMAL(25,15))) AS DOUBLE) / count(*), 6) AS mean_logprob,
               CAST(count(*) AS BIGINT) AS n_bigrams
             FROM scored GROUP BY doc_id ORDER BY doc_id"""),
     (s, d) => {
@@ -494,7 +500,8 @@ object TextQueries extends QuerySet {
           log(lit(0.7) * (col("cb").cast("double") + 1.0) / (col("cp").cast("double") + col("v"))
             + lit(0.3) * (col("cw").cast("double") + 1.0) / (col("n_total") + col("v"))))
         .groupBy("doc_id")
-        .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mean_logprob"),
+        // decimal sum: order-independent across the shuffle (the d9 rule)
+        .agg(round(sum(col("lp").cast("decimal(25,15)")).cast("double") / count(lit(1)), 6).as("mean_logprob"),
           count(lit(1)).as("n_bigrams"))
         .orderBy("doc_id")
     })

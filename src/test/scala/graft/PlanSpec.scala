@@ -169,7 +169,7 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val copies = "unhex".r.findAllIn(plan).length
     assert(copies <= 6,
-      s"payload synthesis must appear once in the plan, found $copies unhex sites " +
+      s"payload synthesis must stay bounded (one binding, ≤6 unhex sites), found $copies " +
         "(the Column DSL re-embeds a non-attribute argument at every internal reference)")
   }
 

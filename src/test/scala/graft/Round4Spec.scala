@@ -90,12 +90,16 @@ class Round4Spec extends SparkSpec {
   // --- source-format breadth ----------------------------------------------
 
   test("documents round-trip through JSONL and CSV sources losslessly") {
-    val docs = graft.tables.TestTables.documents(spark, sf).limit(200)
-    val jdir = "/tmp/graft_jsonl_rt"
+    // deterministic subset (a bare limit() re-evaluates per action and may
+    // pick different rows for the write and the compare); per-run temp dirs
+    // so concurrent test runs can't clobber each other
+    val docs = graft.tables.TestTables.documents(spark, sf).filter(col("doc_id") < 200)
+    val base = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val jdir = s"$base/jsonl"
     docs.write.mode("overwrite").json(jdir) // JSON lines, the interchange staple
     val jback = spark.read.schema(docs.schema).json(jdir)
     assert(jback.exceptAll(docs).isEmpty && docs.exceptAll(jback).isEmpty)
-    val cdir = "/tmp/graft_csv_rt"
+    val cdir = s"$base/csv"
     docs.write.mode("overwrite").option("header", true).csv(cdir)
     // multiLine: text columns carry newlines inside quoted fields
     val cback = spark.read.schema(docs.schema)
