@@ -620,8 +620,42 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Zipf profile: the top-20 rank/frequency table with each rank's
+    * cumulative share of all tokens — the one-glance corpus-health report
+    * (a too-steep curve = boilerplate, too-flat = noise). Share is an
+    * exact-integer ratio divided once as doubles, so no rounding is
+    * needed for parity. */
+  val x13Zipf = Q("x13_zipf_stats",
+    Some(s"""WITH t AS (SELECT unnest(${OracleSql.toksSql}) AS w FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM cnt),
+            ranked AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM cnt),
+            cum AS (SELECT rank, w, c,
+                sum(c) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+              FROM ranked)
+            SELECT rank, w AS term, CAST(c AS BIGINT) AS cnt,
+              CAST(cumc AS DOUBLE) / n_total AS cum_share
+            FROM cum CROSS JOIN tot
+            WHERE rank <= 20 ORDER BY rank"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").cast("double").as("n_total"))
+      cnt
+        .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        .withColumn("cumc", sum(col("c")).over(
+          Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(tot))
+        .select(col("rank").cast("long").as("rank"), col("w").as("term"),
+          col("c").as("cnt"), (col("cumc").cast("double") / col("n_total")).as("cum_share"))
+        .orderBy("rank")
+    })
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc)
+    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf)
 }
