@@ -104,4 +104,33 @@ object Curation {
         (inBand.cast("double") / count(lit(1))).as("keep_rate"))
       .withColumn("domain_kept", (col("keep_rate") >= keepThreshold).cast("long"))
   }
+
+  /** Temperature-scaled domain mixture weights (the α-sampling rule of
+    * multilingual/multi-domain pre-training, cf. the mixing in XLM-R /
+    * Gopher): each domain's sampling weight ∝ (token share)^α, normalized;
+    * α = 0.5 flattens the natural distribution so small domains are
+    * up-sampled. `epochs` is the implied pass count over each domain when
+    * the sampled corpus is held at the original total token budget —
+    * weight·total/tokens (>1 = up-sampled, <1 = down-sampled).
+    *
+    * Scale shape: one map-side-combined hash aggregate over the corpus
+    * (domain cardinality is bounded), then domain-table-only arithmetic —
+    * the corpus is scanned exactly once. Cross-engine exactness: α = 0.5
+    * runs as IEEE-exact `sqrt`, and the normalizer Σ√share is summed in
+    * DECIMAL(25,15) so the reduction order of a parallel double-sum can't
+    * leak into the weights (the x8 rule). */
+  def mixtureWeights(docs: DataFrame, domainCol: Column, text: Column): DataFrame = {
+    val per = docs.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(text).cast("long")).as("tokens"))
+    val total = per.agg(sum(col("tokens")).cast("double").as("total_tokens"))
+    val shared = per.crossJoin(broadcast(total))
+      .withColumn("s", sqrt(col("tokens").cast("double") / col("total_tokens")))
+    val norm = shared.agg(sum(col("s").cast("decimal(25,15)")).cast("double").as("sum_s"))
+    shared.crossJoin(broadcast(norm))
+      .select(col("domain"), col("n_docs"), col("tokens"),
+        round(col("s") / col("sum_s"), 6).as("weight"),
+        round(col("s") / col("sum_s") * col("total_tokens") / col("tokens").cast("double"), 6)
+          .as("epochs"))
+  }
 }

@@ -177,4 +177,78 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("p"), element_at(toks, i + 1).as("w"))))
       .otherwise(array().cast("array<struct<p:string,w:string>>"))
+
+  /** URL canonicalization — the key-building step of crawl dedup (two
+    * fetches of one page must collide BEFORE content dedup ever runs):
+    * lowercase scheme+host, strip `www.`, drop the fragment, drop default
+    * ports (:80 http / :443 https), collapse the path's trailing slashes,
+    * and drop tracking params (utm_*, ref, fbclid, gclid) while sorting
+    * the survivors so param order can't split a URL into two keys.
+    * Pure RE2-compatible expressions — map-only at any scale. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_replace(lower(regexp_extract(hostPort, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "https" && port === "443") || (scheme === "http" && port === "80"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val rawPath = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)=")))
+    val queryPart = when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    concat(scheme, lit("://"), host, portPart, path, queryPart)
+  }
+
+  /** Consecutive `w`-token span strings of a text column, in order — the
+    * unit of C4-style span-level dedup. Built by slicing the token array
+    * (map-only, no shuffle, no per-token explode): span i = tokens
+    * [i·w, i·w+w). Empty text → empty array (guarded: Spark's
+    * `sequence(0, -1)` counts DOWN rather than yielding empty). */
+  def spanSegments(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    val nSeg = floor((size(toks) + lit(w - 1)) / lit(w.toDouble)).cast("int")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+  }
+
+  /** C4-style global span dedup: every document is cut into consecutive
+    * `w`-token spans, each distinct span text survives only at its FIRST
+    * occurrence corpus-wide (ordered by doc id, then position — the same
+    * deterministic first-wins rule as exact dedup), and each document is
+    * reassembled from its surviving spans. Returns one row per input
+    * document: (doc_id, n_spans, n_kept, kept_text).
+    *
+    * Scale shape: span build is map-only array slicing; the dedup is ONE
+    * shuffle on the span text (candidate volume O(tokens/w), winner =
+    * row_number over the span partition); reassembly is one aggregate on
+    * doc_id with an order-struct sort, so no ordering depends on shuffle
+    * nondeterminism. Boilerplate spans (headers, license blocks) are
+    * exactly the hot keys — the span partition count grows with corpus
+    * size, and a pathological single span is bounded by doc count, the
+    * same profile `Skew.saltedAgg` covers if needed. */
+  def spanDedup(df: DataFrame, idCol: Column, text: Column, w: Int): DataFrame = {
+    val segs = df.select(idCol.as("doc_id"),
+        posexplode(spanSegments(text, w)).as(Seq("seg_idx", "seg")))
+    val win = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    val kept = segs.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+    val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("kept_text"))
+    df.select(idCol.as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

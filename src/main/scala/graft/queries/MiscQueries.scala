@@ -666,9 +666,32 @@ object MiscQueries extends QuerySet {
         round(percentile(col("value"), lit(0.9)), 6).as("p90"))
       .orderBy("event_type"))
 
+  /** Temperature-scaled (α = 0.5) domain mixture weights — the sampling
+    * table a multi-domain pre-training run derives from per-domain token
+    * counts. The oracle replays the same sqrt-share normalization with the
+    * Σ√share normalizer summed in DECIMAL(25,15) on both sides (the x8
+    * rule: a parallel double-sum's reduction order must not reach the
+    * output). */
+  val dom2Mixture: Q = Q("dom2_mixture_weights",
+    Some("""WITH per AS (
+              SELECT source AS domain, count(*) AS n_docs,
+                CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS tokens
+              FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total_tokens FROM per),
+            sh AS (SELECT domain, n_docs, tokens, total_tokens,
+                sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS s
+              FROM per CROSS JOIN tot),
+            nrm AS (SELECT CAST(sum(CAST(s AS DECIMAL(25,15))) AS DOUBLE) AS sum_s FROM sh)
+            SELECT domain, n_docs, tokens,
+              round(s / sum_s, 6) AS weight,
+              round(s / sum_s * total_tokens / CAST(tokens AS DOUBLE), 6) AS epochs
+            FROM sh CROSS JOIN nrm ORDER BY domain"""),
+    (s, d) => graft.ops.Curation.mixtureWeights(documents(s, d), col("source"), col("text"))
+      .orderBy("domain"))
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
-    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles)
+    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture)
 }

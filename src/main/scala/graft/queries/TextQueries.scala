@@ -654,8 +654,87 @@ object TextQueries extends QuerySet {
         .orderBy("rank")
     })
 
+  /** URL canonicalization (crawl-dedup key building): a messy URL is
+    * synthesized from base columns identically in both engines (the
+    * oracle-strong pattern) — uppercase scheme/www/host, a default or
+    * non-default port by parity, doubled trailing slashes, tracking
+    * params out of order, a fragment — and `TextAnalysis.normalizeUrl`
+    * must collapse all of it to the canonical form the oracle rebuilds
+    * step by step. */
+  val p14Url = Q("p14_url_normalize",
+    Some("""WITH u AS (
+              SELECT doc_id, concat('HTTPS://WWW.', upper(source), '.Example.COM',
+                CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END,
+                '/Docs/', CAST(doc_id AS VARCHAR), '//?utm_source=feed&ref=abc&id=',
+                CAST(doc_id AS VARCHAR), '&b=2&a=1#sec', lang) AS url
+              FROM documents),
+            nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+            parts AS (SELECT doc_id,
+                lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+                regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS rawpath,
+                regexp_extract(nf, '\?([^#]*)', 1) AS query
+              FROM nf),
+            p2 AS (SELECT doc_id, scheme,
+                regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                list_sort(list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))) AS kept
+              FROM parts)
+            SELECT doc_id, host, concat(scheme, '://', host,
+              CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                        OR (scheme = 'http' AND port = '80')
+                   THEN '' ELSE concat(':', port) END,
+              path,
+              CASE WHEN len(kept) = 0 THEN '' ELSE concat('?', array_to_string(kept, '&')) END)
+              AS url_norm
+            FROM p2 ORDER BY doc_id"""),
+    (s, d) => {
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8443")),
+        lit("/Docs/"), col("doc_id").cast("string"), lit("//?utm_source=feed&ref=abc&id="),
+        col("doc_id").cast("string"), lit("&b=2&a=1#sec"), col("lang"))
+      documents(s, d)
+        .withColumn("url_norm", TextAnalysis.normalizeUrl(url))
+        .select(col("doc_id"),
+          regexp_extract(col("url_norm"), "^[a-z]+://([^/:?#]*)", 1).as("host"),
+          col("url_norm"))
+        .orderBy("doc_id")
+    })
+
+  /** C4-style global span dedup: 8-token spans, first occurrence
+    * corpus-wide wins, documents reassembled from their surviving spans.
+    * The oracle replays the whole pipeline — segment build, global
+    * first-wins, ordered reassembly — so the kept_text strings are
+    * compared byte-for-byte. */
+  val d10SpanDedup = Q("d10_span_dedup",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            segd AS (SELECT doc_id,
+                list_transform(range(0, (len(toks) + 7) // 8),
+                  i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS segs
+              FROM t),
+            seg AS (SELECT doc_id, unnest(segs) AS seg,
+                generate_subscripts(segs, 1) - 1 AS seg_idx
+              FROM segd),
+            k AS (SELECT doc_id, seg_idx, seg,
+                row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+              FROM seg),
+            tot AS (SELECT doc_id, count(*) AS n_spans FROM seg GROUP BY doc_id),
+            ka AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+              FROM k WHERE rn = 1 GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+              coalesce(kept_text, '') AS kept_text
+            FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN ka USING (doc_id)
+            ORDER BY d.doc_id"""),
+    (s, d) => TextAnalysis.spanDedup(documents(s, d), col("doc_id"), col("text"), 8)
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf)
+    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf,
+    p14Url, d10SpanDedup)
 }

@@ -201,4 +201,79 @@ class Round4Spec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.distinct.length == pairs.length)
   }
+
+  // --- URL canonicalization ------------------------------------------------
+
+  test("normalizeUrl lowercases scheme/host, drops default ports, tracking params, fragments") {
+    val cases = Seq(
+      "HTTPS://WWW.Site.COM:443/A/B//?utm_source=x&ref=y&b=2&a=1#frag",
+      "http://site.com:8080/p", // non-default port survives
+      "https://site.com",       // empty path -> '/'
+      "http://www.site.com:80/?gclid=1&fbclid=2&utm_campaign=z") // all params tracked
+    val out = cases.toDF("u")
+      .select(TextAnalysis.normalizeUrl(col("u")).as("n")).collect().map(_.getString(0))
+    assert(out(0) == "https://site.com/A/B?a=1&b=2")
+    assert(out(1) == "http://site.com:8080/p")
+    assert(out(2) == "https://site.com/")
+    assert(out(3) == "http://site.com/")
+  }
+
+  test("normalizeUrl makes param order and www-prefix collide to one key") {
+    val df = Seq("https://www.s.com/p?b=2&a=1", "HTTPS://S.com/p/?a=1&b=2").toDF("u")
+      .select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+    assert(df.distinct().count() == 1)
+  }
+
+  // --- span dedup -----------------------------------------------------------
+
+  test("spanDedup keeps the first corpus-wide occurrence of each span and reassembles in order") {
+    val shared = (1 to 8).map(i => s"tok$i").mkString(" ") // exactly one 8-token span
+    val docs = Seq(
+      (1L, shared + " unique one two three"),
+      (2L, shared + " other tail words here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, col("doc_id"), col("text"), 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2) // doc 1 keeps both spans
+    assert(out(0).getString(3) == shared + " unique one two three")
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 1,
+      "doc 2's copy of the shared span must be dropped")
+    assert(out(1).getString(3) == "other tail words here")
+    assert(out(2).getLong(1) == 0 && out(2).getString(3) == "")
+  }
+
+  test("spanDedup dedupes repeated spans inside one document too") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, s"$span $span")).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedup(docs, col("doc_id"), col("text"), 8).collect()(0)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1 && r.getString(3) == span)
+  }
+
+  test("spanSegments covers every token exactly once with a ragged tail") {
+    val df = Seq("a b c d e f g h i j").toDF("t")
+      .select(TextAnalysis.spanSegments(col("t"), 4).as("s"))
+    assert(df.collect()(0).getSeq[String](0) == Seq("a b c d", "e f g h", "i j"))
+  }
+
+  // --- mixture weights ------------------------------------------------------
+
+  test("mixtureWeights: weights sum to ~1 and alpha=0.5 up-samples small domains") {
+    val docs = Seq.tabulate(90)(i => ("big", "w " * 20)) ++ Seq.tabulate(10)(i => ("small", "w " * 20))
+    val df = docs.toDF("source", "text")
+    val out = Curation.mixtureWeights(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(out("small")._2 > 1.0, "small domain is up-sampled (epochs > 1)")
+    assert(out("big")._2 < 1.0, "big domain is down-sampled")
+    // sqrt flattening: weight ratio is sqrt(9) = 3, not 9
+    assert(math.abs(out("big")._1 / out("small")._1 - 3.0) < 1e-4)
+  }
+
+  test("documents round-trip through the ORC source losslessly") {
+    val docs = graft.tables.TestTables.documents(spark, sf).filter(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orc"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docs.schema).orc(dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }
