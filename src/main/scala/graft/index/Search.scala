@@ -159,6 +159,35 @@ object Search {
       .select(col("b"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most cosine-similar vectors carrying a DIFFERENT
+    * label — the "semi-hard" negatives a triplet/InfoNCE batch builder
+    * wants (a random negative is too easy to teach anything; the nearest
+    * wrong-label neighbors carry the gradient). Blocking: IVF cell over a
+    * shared seeded centroid set, so pair scoring is quadratic only inside
+    * a cell (the SemDeDup argument) — and negatives outside the anchor's
+    * cell are by construction farther away, i.e. not hard. Norms are
+    * computed once per row; ranking is on the 4-dp-rounded cosine with an
+    * id tiebreak, so cross-engine FP drift cannot reorder the cutoff. */
+  def hardNegatives(emb: DataFrame, vecCol: String, idCol: String, labelCol: String,
+                    centroids: Seq[Seq[Double]], k: Int): DataFrame = {
+    val celled = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"), col(vecCol).as("v"),
+        ivfCell(col(vecCol), centroids).as("cell"))
+      .withColumn("nrm", sqrt(Embed.norm2(col("v"))))
+    val a = celled.select(col("cell"), col("id").as("id_a"), col("lbl").as("la"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = celled.select(col("cell"), col("id").as("id_b"), col("lbl").as("lb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("cos", round(when(col("na") > 0 && col("nb") > 0,
+        Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0)), 4))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("rank").cast("long").as("rank"), col("cos"))
+  }
+
   /** Product quantization: the compressed-index ANN scale path. A d-dim
     * vector becomes M small codes (one per subspace, argmin-distance
     * centroid, ties → lower code — the ivfCell construction per subspace).

@@ -234,20 +234,19 @@ object TextAnalysis {
     * size, and a pathological single span is bounded by doc count, the
     * same profile `Skew.saltedAgg` covers if needed. */
   def spanDedup(df: DataFrame, idCol: Column, text: Column, w: Int): DataFrame = {
-    val segs = df.select(idCol.as("doc_id"),
-        posexplode(spanSegments(text, w)).as(Seq("seg_idx", "seg")))
+    // per-doc span totals are the segment-array SIZE — map-only, no
+    // explode/aggregate branch (doc ids are unique by the op's contract)
+    val base = df.select(idCol.as("doc_id"), spanSegments(text, w).as("segs"))
+    val segs = base.select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
     val win = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
     val kept = segs.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
-    val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
     val keptAgg = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("kept_text"))
-    df.select(idCol.as("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
+    base.select(col("doc_id"), size(col("segs")).cast("long").as("n_spans"))
       .join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+      .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }

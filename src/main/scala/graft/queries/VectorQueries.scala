@@ -597,6 +597,25 @@ object VectorQueries extends QuerySet {
         .orderBy("cluster_size")
     })
 
+  /** Hard-negative mining (contrastive batch building): per anchor, the
+    * top-2 most-similar DIFFERENT-label vectors, IVF-cell-blocked — the
+    * pair scoring never leaves a cell. The oracle replays cell assignment
+    * (same seeded centroid literals as v4/v6), the wrong-label pair join,
+    * and the rounded-cosine ranking. */
+  val hn1HardNeg: Q = Q("hn1_hard_negatives",
+    Some(s"""WITH d AS (SELECT vec_id, label, embedding AS e, $ivfDCols FROM embeddings),
+            c AS (SELECT vec_id, label, e, $ivfCellSql AS cell FROM d),
+            j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])), 4) AS cos
+              FROM c a JOIN c b ON a.cell = b.cell AND a.label <> b.label),
+            r AS (SELECT id_a, id_b, cos,
+                row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM j)
+            SELECT id_a, id_b, CAST(rank AS BIGINT) AS rank, cos
+            FROM r WHERE rank <= 2 ORDER BY id_a, rank"""),
+    (s, d) => graft.index.Search.hardNegatives(embeddings(s, d), "embedding", "vec_id", "label",
+        ivfCentroids, 2)
+      .orderBy("id_a", "rank"))
+
   /** SemDeDup: k-means-blocked embedding near-dup pairs. The oracle
     * replays the ENTIRE pipeline — seeded init (literals below), argmin
     * assignment, the Lloyd centroid update (decimal-exact means, so the
@@ -676,5 +695,6 @@ object VectorQueries extends QuerySet {
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, x4Fingerprint, m1Binary, m2ImageDims)
+    d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, hn1HardNeg,
+    x4Fingerprint, m1Binary, m2ImageDims)
 }

@@ -202,6 +202,25 @@ class Round4Spec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  // --- hard negatives -------------------------------------------------------
+
+  test("hardNegatives ranks wrong-label neighbors by cosine and never pairs same-label") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 1),  // nearest wrong-label for anchor 1
+      (3L, Seq(0.0f, 1.0f), 1),  // farther wrong-label
+      (4L, Seq(1.0f, 0.05f), 0)) // same label as 1 — excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.index.Search
+      .hardNegatives(emb, "embedding", "vec_id", "label", Seq(Seq(0.0, 0.0)), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val for1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(for1 == Seq(2L, 3L), "anchor 1's negatives are 2 (closest) then 3, never same-label 4")
+    val labels = Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0)
+    assert(out.forall { case (a, b, _) => labels(a) != labels(b) })
+    assert(out.groupBy(_._1).forall(_._2.length <= 2), "k caps negatives per anchor")
+  }
+
   // --- URL canonicalization ------------------------------------------------
 
   test("normalizeUrl lowercases scheme/host, drops default ports, tracking params, fragments") {
