@@ -178,4 +178,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       "domain stats must combine map-side — the domain key space is tiny next to doc count")
   }
+
+  test("p14 URL canonicalization is map-only: no exchange except the output order") {
+    val plan = formatted(graft.queries.TextQueries.p14Url.fn(spark, sf))
+    // count operator headers ("(n) Exchange"), not every mention — the
+    // formatted details section repeats each operator name
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1, // one rangepartitioning for the deterministic ORDER BY
+      s"URL normalization must not shuffle (it is the KEY for a later dedup), found $exchanges:\n${plan.take(1200)}")
+  }
+
+  test("d10 span dedup limits the span group map-side before its one dedup shuffle") {
+    val plan = formatted(graft.ops.TextAnalysis.spanDedup(
+      graft.tables.TestTables.documents(spark, sf), col("doc_id"), col("text"), 8))
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      "the rank<=1 winner must prune per-partition BEFORE the span exchange (partial WindowGroupLimit)")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      "the reassembly join back to the doc table must broadcast the aggregated side")
+  }
+
+  test("hn1 hard negatives block on the cell equi-join, never a cross join") {
+    val plan = formatted(graft.queries.VectorQueries.hn1HardNeg.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the wrong-label pair join must be an equi-join on the IVF cell")
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-anchor top-k must prune via rank pushdown, not sort whole anchors")
+  }
 }
