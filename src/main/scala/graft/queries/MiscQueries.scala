@@ -308,8 +308,11 @@ object MiscQueries extends QuerySet {
       .orderBy("chunk_key"))
 
   /** Quality scoring (prompt: text analysis) — banded blend in [0,1]. */
-  val x2Quality = Q("x2_quality_score",
-    Some("""WITH c AS (
+  /** The x2 quality expression as a shared CTE chain ending at
+    * `q(doc_id, quality)` — ONE copy for x2 and the x14 decile bucketing,
+    * so the bucket boundaries provably bucket the same score x2 emits. */
+  private val qualityCtes: String =
+    """c AS (
               SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
                 list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
               FROM documents),
@@ -317,14 +320,19 @@ object MiscQueries extends QuerySet {
               SELECT doc_id, len, CAST(len(toks) AS DOUBLE) AS ntok,
                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len, 1.0) AS alpha_ratio,
                 CAST(len(list_filter(toks, t -> list_contains(['the', 'a', 'of', 'and'], t))) AS DOUBLE) AS sw_hits
-              FROM c)
-            SELECT doc_id, round(
-              (CASE WHEN len >= 200 AND len <= 5000 THEN 1.0 WHEN len >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
-              + alpha_ratio * 0.3
-              + least(sw_hits / greatest(ntok, 1.0) * 3.0, 1.0) * 0.2
-              + (CASE WHEN (len - ntok + 1.0) / greatest(ntok, 1.0) >= 3
-                       AND (len - ntok + 1.0) / greatest(ntok, 1.0) <= 10 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
-            FROM m ORDER BY doc_id"""),
+              FROM c),
+            q AS (
+              SELECT doc_id, round(
+                (CASE WHEN len >= 200 AND len <= 5000 THEN 1.0 WHEN len >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+                + alpha_ratio * 0.3
+                + least(sw_hits / greatest(ntok, 1.0) * 3.0, 1.0) * 0.2
+                + (CASE WHEN (len - ntok + 1.0) / greatest(ntok, 1.0) >= 3
+                         AND (len - ntok + 1.0) / greatest(ntok, 1.0) <= 10 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+              FROM m)"""
+
+  val x2Quality = Q("x2_quality_score",
+    Some(s"""WITH $qualityCtes
+            SELECT doc_id, quality FROM q ORDER BY doc_id"""),
     (s, d) => documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
@@ -666,6 +674,30 @@ object MiscQueries extends QuerySet {
         round(percentile(col("value"), lit(0.9)), 6).as("p90"))
       .orderBy("event_type"))
 
+  /** Decile bucketing by quality WITHOUT a global sort: a corpus-scale
+    * `ntile` forces every row through one partition, so the cuts come from
+    * one exact-percentile aggregate (9 doubles, broadcast) and assignment
+    * is a map-only comparison against them — the curriculum/quality-tier
+    * labeling pass of a pre-training pipeline. Cuts are 6-dp-rounded on
+    * both sides (the a15 rule) and ties land in the lower bucket via
+    * strict <. */
+  val x14QualityBuckets: Q = Q("x14_quality_buckets",
+    Some(s"""WITH $qualityCtes,
+            cuts AS (SELECT [${(1 to 9).map(i => s"round(quantile_cont(quality, 0.${i}), 6)").mkString(", ")}] AS cs FROM q)
+            SELECT doc_id, quality,
+              CAST(1 + len(list_filter(cs, c -> c < quality)) AS BIGINT) AS decile
+            FROM q CROSS JOIN cuts ORDER BY doc_id"""),
+    (s, d) => {
+      val scored = documents(s, d).select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      val cuts = scored.agg(
+        array((1 to 9).map(i => round(percentile(col("quality"), lit(i / 10.0)), 6)): _*).as("cs"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("quality"),
+          (lit(1) + size(filter(col("cs"), c => c < col("quality")))).cast("long").as("decile"))
+        .orderBy("doc_id")
+    })
+
   /** Temperature-scaled (α = 0.5) domain mixture weights — the sampling
     * table a multi-domain pre-training run derives from per-domain token
     * counts. The oracle replays the same sqrt-share normalization with the
@@ -693,5 +725,6 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
-    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture)
+    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
+    x14QualityBuckets)
 }

@@ -250,6 +250,30 @@ object WindowQueries extends QuerySet {
         .orderBy("incident_id")
     })
 
+  /** Sliding ROW-frame aggregates (the trailing-window smoothing report):
+    * per user, the mean and max of the last 7 events at every event. The
+    * frame sum runs in DECIMAL(18,2) on both sides — a sliding double sum
+    * is subtract-on-slide in one engine and re-add in the other, so only
+    * an exact frame sum divides to the identical double. One exchange on
+    * user_id; the frame never leaves a partition. */
+  val w7Rolling = Q("w7_rolling_frame",
+    Some("""SELECT user_id, event_id,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS roll_mean,
+              max(value) OVER w AS roll_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("roll_mean"),
+          max(col("value")).over(w).as("roll_max"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
-    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, x7Pack)
+    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, x7Pack, w7Rolling)
 }
