@@ -100,6 +100,15 @@ object Ingest {
       OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (user tier, doc metadata, domain verdicts). The static side
+    * is broadcast per micro-batch — stateless, no watermark, and the
+    * stream side never shuffles; the canonical Structured Streaming
+    * enrichment shape. Left join so unmatched stream rows survive with
+    * NULL dims (an inner join would silently drop late-registered keys). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** S7: append-mode QA-log sink (JSONL in the ref → parquet append here). */
   def appendLogSink(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

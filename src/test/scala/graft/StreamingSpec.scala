@@ -44,6 +44,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchCount)
   }
 
+  test("stream-static enrichment join matches the batch join, dims broadcast per micro-batch") {
+    val dim = graft.tables.TestTables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("tier", when(col("user_id") % 3 === 0, "gold").otherwise("standard"))
+      // hold back a third of the dim so the LEFT join semantics (unmatched
+      // stream rows survive with NULL tier) are actually exercised
+      .filter(col("user_id") % 7 =!= 0)
+    val streamed = runToMemory(
+      Ingest.enrichWithDim(streamEvents, dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("tier")), "enrich_out", "append")
+    val batch = graft.tables.TestTables.events(spark, sf)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("tier"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.filter(col("tier").isNull).count() > 0,
+      "held-back dim keys must appear as NULL-tier rows, not vanish")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val streamed = runToMemory(
       Ingest.sessionWindows(streamEvents, "ts", "2 hours", "30 minutes"), "sess_out", "append")
