@@ -226,25 +226,31 @@ object TextAnalysis {
     * document: (doc_id, n_spans, n_kept, kept_text).
     *
     * Scale shape: span build is map-only array slicing; the dedup is ONE
-    * shuffle on the span text (candidate volume O(tokens/w), winner =
-    * row_number over the span partition); reassembly is one aggregate on
-    * doc_id with an order-struct sort, so no ordering depends on shuffle
-    * nondeterminism. Boilerplate spans (headers, license blocks) are
-    * exactly the hot keys — the span partition count grows with corpus
-    * size, and a pathological single span is bounded by doc count, the
-    * same profile `Skew.saltedAgg` covers if needed. */
+    * shuffle on the span text (candidate volume O(tokens/w)). The winner
+    * is `min(struct(doc_id, seg_idx))` per span — a HASH aggregate, not a
+    * window: duplicate spans collapse in the map-side partial (boilerplate
+    * spans, the hot keys, shrink BEFORE the shuffle) and nothing is
+    * sorted; min-of-struct is order-independent, so shuffle
+    * nondeterminism cannot reach the result. The span being the group key
+    * means winners need no join back. Reassembly is one aggregate on
+    * doc_id with an order-struct sort. A pathological single span is
+    * bounded by doc count — the `Skew.saltedAgg` profile if a real crawl
+    * needs it. */
   def spanDedup(df: DataFrame, idCol: Column, text: Column, w: Int): DataFrame = {
-    // per-doc span totals are the segment-array SIZE — map-only, no
-    // explode/aggregate branch (doc ids are unique by the op's contract)
+    // per-doc span totals are ceil(tokens/w) — map-only, and WITHOUT
+    // building the span strings a second time (each branch of the plan
+    // re-executes its projection; counting must not pay the array_join)
     val base = df.select(idCol.as("doc_id"), spanSegments(text, w).as("segs"))
     val segs = base.select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
-    val win = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    val kept = segs.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+    val kept = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.seg_idx").as("seg_idx"), col("seg"))
     val keptAgg = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("kept_text"))
-    base.select(col("doc_id"), size(col("segs")).cast("long").as("n_spans"))
+    df.select(idCol.as("doc_id"),
+        floor((size(tokens(text)) + lit(w - 1)) / lit(w.toDouble)).cast("long").as("n_spans"))
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

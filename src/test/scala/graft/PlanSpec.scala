@@ -188,11 +188,14 @@ class PlanSpec extends SparkSpec {
       s"URL normalization must not shuffle (it is the KEY for a later dedup), found $exchanges:\n${plan.take(1200)}")
   }
 
-  test("d10 span dedup limits the span group map-side before its one dedup shuffle") {
+  test("d10 span dedup collapses duplicate spans map-side via a hash aggregate, no sort") {
     val plan = formatted(graft.ops.TextAnalysis.spanDedup(
       graft.tables.TestTables.documents(spark, sf), col("doc_id"), col("text"), 8))
-    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
-      "the rank<=1 winner must prune per-partition BEFORE the span exchange (partial WindowGroupLimit)")
+    assert(plan.contains("partial_min"),
+      "the first-wins winner must be a partial min(struct) BEFORE the span exchange " +
+        "(boilerplate spans shrink map-side)")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("RunningWindowFunction"),
+      "winner selection must be the hash aggregate, not a sort-based window")
     assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
       "the reassembly join back to the doc table must broadcast the aggregated side")
   }
