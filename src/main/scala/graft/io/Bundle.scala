@@ -85,6 +85,20 @@ object Bundle {
     df.withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(buckets)))
       .write.mode("overwrite").partitionBy("doc_bucket").parquet(out)
 
+  /** Training-shard export: bounded-size files, the format a data-loader
+    * fleet actually reads. `repartition(shards)` fixes the writer-task
+    * count (too many tasks → a small-files explosion that throttles any
+    * 100 TB consumer on file-open latency; too few → no read parallelism)
+    * and `maxRecordsPerFile` caps records per file so one skewed writer
+    * task still cannot emit a giant shard — the two knobs that control
+    * file sizing at scale. Rows are spread round-robin, so shard sizes are
+    * even by construction. */
+  def writeShards(df: DataFrame, out: String, shards: Int, maxRecordsPerFile: Long): Unit =
+    df.repartition(shards)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(out)
+
   /** Co-located join persistence: save as a bucketed+sorted table so
     * repeated joins/aggregations on `key` run with NO exchange — the
     * canonical 100 TB pattern for fact tables that are joined on the same

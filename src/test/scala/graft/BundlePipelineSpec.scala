@@ -64,6 +64,21 @@ class BundlePipelineSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("shard export bounds file count and records per file, loses nothing") {
+    val docs = graft.tables.TestTables.documents(spark, sf) // 500 rows at sf0.01
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/shards"
+    Bundle.writeShards(docs, out, shards = 4, maxRecordsPerFile = 100L)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    // 4 writer tasks x ~125 rows each / 100-record cap -> 2 files per task
+    assert(files.length >= 5 && files.length <= 8,
+      s"expected the 100-record cap to split each of 4 even shards once, got ${files.length} files")
+    val counts = files.map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.forall(_ <= 100L), s"every file must respect maxRecordsPerFile: ${counts.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("bucketed tables join with no exchange (co-located join)") {
     val docs = graft.tables.TestTables.documents(spark, sf)
     val emb = graft.tables.TestTables.embeddings(spark, sf)
