@@ -721,10 +721,39 @@ object MiscQueries extends QuerySet {
     (s, d) => graft.ops.Curation.mixtureWeights(documents(s, d), col("source"), col("text"))
       .orderBy("domain"))
 
+  /** Cross-source overlap matrix — corpus forensics: which pairs of
+    * sources share content (mirror sites, syndication, scraped reposts)?
+    * Distinct (source, 4-word-shingle) pairs self-joined on the shingle,
+    * counted per source pair, top-15. Scale shape: the distinct pass is a
+    * hash aggregate keyed (source, shingle); the self-join shuffles on the
+    * shingle key whose per-key fan-out is bounded by SOURCE COUNT (not
+    * corpus size) after the distinct, so the join output is
+    * O(shingles · sources²) worst-case and tiny in practice; the final
+    * top-15 is TakeOrderedAndProject. */
+  val dom3Overlap: Q = Q("dom3_source_overlap",
+    Some(s"""WITH t AS (SELECT source, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT source, ${graft.queries.OracleSql.shinglesSql(4)} AS shingles FROM t),
+            s AS (SELECT DISTINCT source, unnest(shingles) AS g FROM sh),
+            p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+                  FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared
+            FROM p ORDER BY shared DESC, src_a, src_b LIMIT 15"""),
+    (s, d) => {
+      val sh = documents(s, d)
+        .select(col("source"), explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("g"))
+        .distinct()
+      sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("src_a"), col("src_b")).limit(15)
+    })
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets)
+    x14QualityBuckets, dom3Overlap)
 }
