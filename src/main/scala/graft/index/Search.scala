@@ -106,6 +106,14 @@ object Search {
     spark.read.parquet(indexPath).join(broadcast(probes), Seq(bucketCol))
   }
 
+  /** Guarded cosine over pre-joined pair sides named (va, na) × (vb, nb) —
+    * the ONE copy of the zero-norm rule shared by every blocked pair join
+    * ([[lshNearDuplicatePairs]], [[nearDuplicatePairs]],
+    * [[hardNegatives]]): a zero-norm side scores 0.0, never NaN. */
+  private def guardedCos: Column =
+    when(col("na") > 0 && col("nb") > 0,
+      Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0))
+
   /** Scale-safe near-duplicate pair generation: candidates must share at
     * least one SRP band (`bitsPerBand` bits of a `numBands*bitsPerBand`-bit
     * signature), then exact cosine ≥ threshold verifies every candidate.
@@ -131,8 +139,7 @@ object Search {
     cand
       .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cos", when(col("na") > 0 && col("nb") > 0,
-        Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0)))
+      .withColumn("cos", guardedCos)
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -153,8 +160,7 @@ object Search {
     val bb = withNorm.select(col("b"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(bb, Seq("b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", when(col("na") > 0 && col("nb") > 0,
-        Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0)))
+      .withColumn("cos", guardedCos)
       .filter(col("cos") >= threshold)
       .select(col("b"), col("id_a"), col("id_b"), col("cos"))
   }
@@ -180,8 +186,7 @@ object Search {
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cell"))
       .filter(col("la") =!= col("lb"))
-      .withColumn("cos", round(when(col("na") > 0 && col("nb") > 0,
-        Embed.dot(col("va"), col("vb")) / (col("na") * col("nb"))).otherwise(lit(0.0)), 4))
+      .withColumn("cos", round(guardedCos, 4))
       .withColumn("rank",
         row_number().over(Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)

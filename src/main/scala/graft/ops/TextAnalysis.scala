@@ -182,13 +182,19 @@ object TextAnalysis {
     * fetches of one page must collide BEFORE content dedup ever runs):
     * lowercase scheme+host, strip `www.`, drop the fragment, drop default
     * ports (:80 http / :443 https), collapse the path's trailing slashes,
-    * and drop tracking params (utm_*, ref, fbclid, gclid) while sorting
-    * the survivors so param order can't split a URL into two keys.
-    * Pure RE2-compatible expressions — map-only at any scale. */
+    * and drop tracking params (utm_*, ref, fbclid, gclid — case-
+    * insensitively, an `UTM_SOURCE` variant must not split the key) while
+    * sorting the survivors so param order can't split a URL into two keys.
+    * Scheme-less input (a bare "example.com/a", common in crawl
+    * frontiers) passes through minus its fragment — distinct pages must
+    * never collapse to one degenerate key. Userinfo ("alice@host") is
+    * stripped before host extraction. IPv6 bracket hosts are out of
+    * scope. Pure RE2-compatible expressions — map-only at any scale. */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), "^[^@]*@", "")
     val host = regexp_replace(lower(regexp_extract(hostPort, "^([^:]*)", 1)), "^www\\.", "")
     val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val portPart = when(port === "" ||
@@ -199,10 +205,11 @@ object TextAnalysis {
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
     val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val kept = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)=")))
+      p => p =!= "" && !p.rlike("(?i)^(utm_[^=]*|ref|fbclid|gclid)=")))
     val queryPart = when(size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(kept, "&")))
-    concat(scheme, lit("://"), host, portPart, path, queryPart)
+    when(scheme === "", noFrag)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
   /** Consecutive `w`-token span strings of a text column, in order — the

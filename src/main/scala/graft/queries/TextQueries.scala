@@ -669,26 +669,27 @@ object TextQueries extends QuerySet {
                 CAST(doc_id AS VARCHAR), '&b=2&a=1#sec', lang) AS url
               FROM documents),
             nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
-            parts AS (SELECT doc_id,
+            parts AS (SELECT doc_id, nf,
                 lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+                regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
                 regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS rawpath,
                 regexp_extract(nf, '\?([^#]*)', 1) AS query
               FROM nf),
-            p2 AS (SELECT doc_id, scheme,
+            p2 AS (SELECT doc_id, nf, scheme,
                 regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
                 CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
                 list_sort(list_filter(string_split(query, '&'),
-                  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))) AS kept
+                  p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|ref|fbclid|gclid)='))) AS kept
               FROM parts)
-            SELECT doc_id, host, concat(scheme, '://', host,
-              CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-                        OR (scheme = 'http' AND port = '80')
-                   THEN '' ELSE concat(':', port) END,
-              path,
-              CASE WHEN len(kept) = 0 THEN '' ELSE concat('?', array_to_string(kept, '&')) END)
-              AS url_norm
+            SELECT doc_id, host, CASE WHEN scheme = '' THEN nf ELSE
+              concat(scheme, '://', host,
+                CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                          OR (scheme = 'http' AND port = '80')
+                     THEN '' ELSE concat(':', port) END,
+                path,
+                CASE WHEN len(kept) = 0 THEN '' ELSE concat('?', array_to_string(kept, '&')) END)
+              END AS url_norm
             FROM p2 ORDER BY doc_id"""),
     (s, d) => {
       val url = concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),

@@ -196,8 +196,9 @@ class PlanSpec extends SparkSpec {
         "(boilerplate spans shrink map-side)")
     assert(!plan.contains("WindowGroupLimit") && !plan.contains("RunningWindowFunction"),
       "winner selection must be the hash aggregate, not a sort-based window")
-    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
-      "the reassembly join back to the doc table must broadcast the aggregated side")
+    assert(!plan.contains("SortMergeJoin"),
+      "the only join (reassembly back to the doc table) must broadcast the aggregated side, " +
+        "never sort-merge")
   }
 
   test("hn1 hard negatives block on the cell equi-join, never a cross join") {

@@ -243,6 +243,20 @@ class Round4Spec extends SparkSpec {
     assert(df.distinct().count() == 1)
   }
 
+  test("normalizeUrl edge cases: scheme-less passthrough, userinfo strip, uppercase trackers") {
+    val out = Seq(
+      "example.com/a#frag",                 // no scheme: pass through minus fragment
+      "other.org/b",                        // no scheme: must NOT collide with the above
+      "https://alice:pw@a.com/x",           // userinfo stripped, host is a.com
+      "https://s.com/p?UTM_SOURCE=mail")    // uppercase tracker still dropped
+      .toDF("u").select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "example.com/a")
+    assert(out(1) == "other.org/b")
+    assert(out(2) == "https://a.com/x")
+    assert(out(3) == "https://s.com/p")
+  }
+
   // --- span dedup -----------------------------------------------------------
 
   test("spanDedup keeps the first corpus-wide occurrence of each span and reassembles in order") {
