@@ -597,6 +597,50 @@ object VectorQueries extends QuerySet {
         .orderBy("cluster_size")
     })
 
+  /** SimHash near-dup PAIRS via pigeonhole blocking (Manku-style): a
+    * Hamming-≤3 pair over 16 bits must share one of 4 signature quarters,
+    * so candidates come from a quarter equi-join. Signatures vote over word
+    * 3-shingle hashes (unigram votes degenerate on a topically-uniform
+    * corpus — see Dedup.simHashDuplicates); the oracle replays the
+    * signature, the blocking, and the exact Hamming check. */
+  val d3bSimHashPairs = Q("d3b_simhash_pairs",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT doc_id, ${OracleSql.shinglesSql(3)} AS shingles FROM t),
+            hsx AS (SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hs FROM sh),
+            s AS (
+              SELECT doc_id, list_aggregate(list_transform(range(1, 33),
+                j -> CASE WHEN list_sum(list_transform(hs,
+                       h -> CASE WHEN h[j] BETWEEN '8' AND 'f' THEN 1 ELSE -1 END)) >= 0
+                     THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+              FROM hsx),
+            blk AS (
+              SELECT doc_id, sig, concat(CAST(q AS VARCHAR), ':', substr(sig, q * 8 + 1, 8)) AS blk
+              FROM s, range(0, 4) r(q)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+              FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+            h AS (
+              SELECT id_a, id_b,
+                CAST(len(list_filter(range(1, 33), j -> sig_a[j] <> sig_b[j])) AS BIGINT) AS hamming
+              FROM cand)
+            SELECT id_a, id_b, hamming FROM h
+            WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+    (s, d) => Dedup.simHashDuplicates(documents(s, d), col("doc_id"), col("text"),
+        shingleWidth = 3, bits = 32, maxHamming = 3)
+      .orderBy("id_a", "id_b"))
+
+  /** Frame sampling (video analog): k = 4 evenly-spaced byte offsets per
+    * media row, exploded — the oracle replays the offset arithmetic with
+    * an explicit floor so double-division truncation matches. */
+  val m3FrameSample = Q("m3_frame_sample",
+    Some("""SELECT doc_id, CAST(floor(i * length(text) / 4.0) AS BIGINT) AS frame_idx
+            FROM documents, range(0, 4) t(i)
+            ORDER BY doc_id, frame_idx"""),
+    (s, d) => graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.asMediaColumn(documents(s, d), "text", "video"), 4)
+      .select(col("doc_id"), col("frame_idx"))
+      .orderBy("doc_id", "frame_idx"))
+
   /** Hard-negative mining (contrastive batch building): per anchor, the
     * top-2 most-similar DIFFERENT-label vectors, IVF-cell-blocked — the
     * pair scoring never leaves a cell. The oracle replays cell assignment
@@ -696,5 +740,5 @@ object VectorQueries extends QuerySet {
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, hn1HardNeg,
-    x4Fingerprint, m1Binary, m2ImageDims)
+    d3bSimHashPairs, m3FrameSample, x4Fingerprint, m1Binary, m2ImageDims)
 }

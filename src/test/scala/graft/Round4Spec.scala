@@ -221,6 +221,23 @@ class Round4Spec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length <= 2), "k caps negatives per anchor")
   }
 
+  // --- simhash pairs --------------------------------------------------------
+
+  test("simHashDuplicates pairs identical docs at hamming 0, skips unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical text
+      (3L, "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.simHashDuplicates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L },
+      "identical texts share the signature exactly")
+    assert(!out.exists { case (a, b, _) => a == 3L || b == 3L },
+      "a doc with fully disjoint shingles must not pair (random distance ≈ bits/2)")
+    assert(out.forall { case (a, b, _) => a < b }, "pairs are ordered, never mirrored")
+  }
+
   // --- URL canonicalization ------------------------------------------------
 
   test("normalizeUrl lowercases scheme/host, drops default ports, tracking params, fragments") {
