@@ -217,4 +217,53 @@ class PropertySpec extends SparkSpec {
     assert(joined.filter(col("l").isNull || col("l") =!= col("stratum")).count() == 0)
     assert(out.count() < docs.count())
   }
+
+  test("normalizeUrl is idempotent: a canonical URL maps to itself") {
+    val hosts = Seq("A.com", "www.B.org", "alice@C.net:443", "d.io:8080")
+    val urls = for (h <- hosts; p <- Seq("", "/x/y//", "/x?b=2&utm_source=z&a=1#f"))
+      yield s"HTTPS://$h$p"
+    val once = urls.toDF("u")
+      .select(graft.ops.TextAnalysis.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("u")
+      .select(graft.ops.TextAnalysis.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once)
+  }
+
+  test("spanDedup invariants on the gate corpus: kept ≤ total, singleton corpus keeps everything") {
+    val docs = graft.tables.TestTables.documents(spark, sf)
+    val out = graft.ops.TextAnalysis.spanDedup(docs, col("doc_id"), col("text"), 8)
+    assert(out.filter(col("n_kept") > col("n_spans")).count() == 0)
+    assert(out.count() == docs.count(), "one output row per input document")
+    // a document processed ALONE keeps every span (nothing outside to lose to)
+    val alone = graft.ops.TextAnalysis.spanDedup(
+      docs.filter(col("doc_id") === 7), col("doc_id"), col("text"), 8).collect()(0)
+    assert(alone.getLong(1) == alone.getLong(2))
+    // kept_text tokens are a subset of the original tokens
+    val orig = docs.filter(col("doc_id") === 7).select(col("text")).collect()(0).getString(0)
+    val keptToks = alone.getString(3).split("\\s+").toSet
+    assert(keptToks.subsetOf(orig.toLowerCase.split("\\s+").toSet + ""))
+  }
+
+  test("mixtureWeights sums to ~1 for random domain splits; uniform split → uniform weights") {
+    val docs = (1 to 300).map(i => (s"dom${rng.nextInt(7)}", "w " * (5 + rng.nextInt(20)))).toDF("source", "text")
+    val out = graft.ops.Curation.mixtureWeights(docs, col("source"), col("text")).collect()
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    val uniform = (1 to 100).map(i => (s"u${i % 4}", "a b c d e")).toDF("source", "text")
+    val uw = graft.ops.Curation.mixtureWeights(uniform, col("source"), col("text"))
+      .collect().map(_.getDouble(3))
+    assert(uw.forall(w => math.abs(w - 0.25) < 1e-6), s"uniform corpus → 0.25 each, got ${uw.toSeq}")
+  }
+
+  test("x14 decile cuts are monotone and every decile is non-empty on the gate corpus") {
+    val rows = graft.queries.MiscQueries.x14QualityBuckets.fn(spark, sf).collect()
+    val byDecile = rows.groupBy(_.getLong(2))
+    assert(byDecile.keySet == (1L to 10L).toSet, s"all 10 deciles populated: ${byDecile.keySet}")
+    // quality ranges must be ordered across deciles: max(d) <= min(d+1) can
+    // be violated only at exact-cut ties, which strict < sends downward
+    val ordered = (1L to 9L).forall { d =>
+      byDecile(d).map(_.getDouble(1)).max <= byDecile(d + 1).map(_.getDouble(1)).min + 1e-9 }
+    assert(ordered, "decile quality ranges must not interleave")
+  }
 }
