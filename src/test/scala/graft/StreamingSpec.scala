@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpec {
       "held-back dim keys must appear as NULL-tier rows, not vanish")
   }
 
+  test("checkpointed file ingest restarts exactly-once: no reprocessing, no gaps") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val landing = s"$base/landing"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = graft.tables.TestTables.documents(spark, sf)
+    val schema = docs.schema
+    // wave 1 lands, the query drains it and stops
+    docs.filter(col("doc_id") < 200).write.mode("overwrite").parquet(landing)
+    def start() = Ingest.fileIngest(spark, landing, schema,
+        b => b.select(col("doc_id")),
+        (b, _) => b.write.mode("append").parquet(outDir))
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val afterWave1 = spark.read.parquet(outDir).count()
+    // wave 2 lands while the query is DOWN; the restart must pick up only
+    // the new files (offsets come from the checkpoint, not the directory)
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .write.mode("append").parquet(landing)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(afterWave1 == docs.filter(col("doc_id") < 200).count())
+    assert(out.count() == docs.filter(col("doc_id") < 300).count(),
+      "every landed doc exactly once across the restart")
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "restart must not reprocess wave-1 files")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val streamed = runToMemory(
       Ingest.sessionWindows(streamEvents, "ts", "2 hours", "30 minutes"), "sess_out", "append")
