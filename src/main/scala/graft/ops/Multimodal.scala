@@ -116,6 +116,27 @@ object Multimodal {
       explode(transform(sequence(lit(0), lit(k - 1)),
         i => (i * col("media_meta.n_bytes") / k).cast("long"))))
 
+  /** Audio-window planning: fixed-size overlapping byte windows
+    * (win, hop) over each media payload — the segmentation a speech
+    * pipeline feeds to its decoder, as pure integer expressions (the
+    * decode itself stays a [[FeatureExtractor]] stage). The final window
+    * is truncated to the payload end; a payload shorter than one window
+    * yields exactly one window covering it. Map-only: one row explodes to
+    * its own windows, nothing shuffles. */
+  def audioWindows(df: DataFrame, win: Long, hop: Long): DataFrame = {
+    require(win > 0 && hop > 0, s"window/hop must be positive, got $win/$hop")
+    val n = col("media_meta.n_bytes")
+    val extra = greatest(n - win, lit(0L))
+    val nWin = (floor((extra + hop - 1) / lit(hop.toDouble)) + 1).cast("long")
+    df.withColumn("w",
+        explode(transform(sequence(lit(0L), nWin - 1),
+          i => struct((i * hop).as("win_start"),
+            least(lit(win), n - i * hop).as("win_len")))))
+      .withColumn("win_start", col("w.win_start"))
+      .withColumn("win_len", col("w.win_len"))
+      .drop("w")
+  }
+
   /** Resize stage: recompute target dimensions preserving aspect ratio
     * (fit inside maxW×maxH) and update the metadata struct. The pixel
     * resample itself belongs to the stubbed decode stage — this is the

@@ -641,6 +641,24 @@ object VectorQueries extends QuerySet {
       .select(col("doc_id"), col("frame_idx"))
       .orderBy("doc_id", "frame_idx"))
 
+  /** Audio-window planning (m4): 120-byte windows, 50-byte hop over each
+    * payload; the oracle replays the integer window arithmetic (count,
+    * starts, truncated tail) with the same floor semantics. */
+  val m4AudioWindows = Q("m4_audio_windows",
+    Some("""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+            w AS (SELECT doc_id, n,
+                1 + (greatest(n - 120, 0) + 49) // 50 AS nw
+              FROM m),
+            e AS (SELECT doc_id, n, unnest(range(0, nw)) AS i FROM w)
+            SELECT doc_id, CAST(i * 50 AS BIGINT) AS win_start,
+              CAST(least(120, n - i * 50) AS BIGINT) AS win_len
+            FROM e ORDER BY doc_id, win_start"""),
+    (s, d) => graft.ops.Multimodal.audioWindows(
+        graft.ops.Multimodal.asMediaColumn(documents(s, d), "text", "audio"),
+        win = 120L, hop = 50L)
+      .select(col("doc_id"), col("win_start"), col("win_len"))
+      .orderBy("doc_id", "win_start"))
+
   /** Hard-negative mining (contrastive batch building): per anchor, the
     * top-2 most-similar DIFFERENT-label vectors, IVF-cell-blocked — the
     * pair scoring never leaves a cell. The oracle replays cell assignment
@@ -740,5 +758,5 @@ object VectorQueries extends QuerySet {
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, hn1HardNeg,
-    d3bSimHashPairs, m3FrameSample, x4Fingerprint, m1Binary, m2ImageDims)
+    d3bSimHashPairs, m3FrameSample, m4AudioWindows, x4Fingerprint, m1Binary, m2ImageDims)
 }

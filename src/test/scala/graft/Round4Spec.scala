@@ -319,6 +319,20 @@ class Round4Spec extends SparkSpec {
     assert(math.abs(out("big")._1 / out("small")._1 - 3.0) < 1e-4)
   }
 
+  test("audioWindows covers every payload byte with overlapping windows") {
+    import graft.ops.Multimodal
+    val df = Seq((1L, "x" * 250), (2L, "y" * 80)).toDF("doc_id", "text")
+    val out = Multimodal.audioWindows(Multimodal.asMediaColumn(df, "text", "audio"), 120L, 50L)
+      .select("doc_id", "win_start", "win_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d1 = out.filter(_._1 == 1L).map(t => (t._2, t._3)).sorted.toSeq
+    // 250 bytes, win 120 hop 50: starts 0,50,100,150 — last truncated to 100
+    assert(d1 == Seq((0L, 120L), (50L, 120L), (100L, 120L), (150L, 100L)))
+    assert(d1.last._1 + d1.last._2 == 250L, "final window reaches the payload end")
+    val d2 = out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq
+    assert(d2 == Seq((0L, 80L)), "sub-window payload yields one covering window")
+  }
+
   test("documents round-trip through the ORC source losslessly") {
     val docs = graft.tables.TestTables.documents(spark, sf).filter(col("doc_id") < 200)
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orc"
