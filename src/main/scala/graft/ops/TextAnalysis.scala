@@ -256,8 +256,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("kept_text"))
+    // coalesce: NULL text tokenizes to NULL, which must count as 0 spans
+    // (matching the 0/''-coalesced kept columns), not propagate NULL
     df.select(idCol.as("doc_id"),
-        floor((size(tokens(text)) + lit(w - 1)) / lit(w.toDouble)).cast("long").as("n_spans"))
+        coalesce(floor((size(tokens(text)) + lit(w - 1)) / lit(w.toDouble)).cast("long"), lit(0L))
+          .as("n_spans"))
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

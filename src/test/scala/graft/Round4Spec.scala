@@ -292,6 +292,13 @@ class Round4Spec extends SparkSpec {
     assert(out(2).getLong(1) == 0 && out(2).getString(3) == "")
   }
 
+  test("spanDedup treats NULL text as an empty document, not a NULL row") {
+    val docs = Seq((1L, Option("a b")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedup(docs, col("doc_id"), col("text"), 8)
+      .filter(col("doc_id") === 2).collect()(0)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getString(3) == "")
+  }
+
   test("spanDedup dedupes repeated spans inside one document too") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs = Seq((7L, s"$span $span")).toDF("doc_id", "text")
