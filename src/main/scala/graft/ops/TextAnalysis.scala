@@ -178,6 +178,18 @@ object TextAnalysis {
         i => struct(element_at(toks, i).as("p"), element_at(toks, i + 1).as("w"))))
       .otherwise(array().cast("array<struct<p:string,w:string>>"))
 
+  /** SFT chat-template rendering: serialize a (system, user, assistant)
+    * triple into one training string with role markers, plus the 1-based
+    * character offset where the assistant span begins — the loss-mask
+    * boundary a completion-only SFT loss needs (everything before it is
+    * context, not target). Pure string expressions; a tokenizer-level
+    * mask is this same arithmetic over token counts (x1/x3). */
+  def chatTemplate(system: Column, user: Column, assistant: Column): Column = {
+    val prefix = concat(lit("<|system|>"), system, lit("<|user|>"), user, lit("<|assistant|>"))
+    struct(concat(prefix, assistant, lit("<|end|>")).as("sample"),
+      (length(prefix) + 1).cast("long").as("mask_start"))
+  }
+
   /** URL canonicalization — the key-building step of crawl dedup (two
     * fetches of one page must collide BEFORE content dedup ever runs):
     * lowercase scheme+host, strip `www.`, drop the fragment, drop default

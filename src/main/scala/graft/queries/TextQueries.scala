@@ -733,9 +733,36 @@ object TextQueries extends QuerySet {
     (s, d) => TextAnalysis.spanDedup(documents(s, d), col("doc_id"), col("text"), 8)
       .orderBy("doc_id"))
 
+  /** SFT sample construction: chat-template render + completion-only
+    * loss-mask boundary, synthesized from base columns identically in
+    * both engines. The oracle recomputes the prefix length arithmetic, so
+    * a template drift that would silently shift the mask hash-fails. */
+  val f23Chat = Q("f23_chat_template",
+    Some("""WITH s AS (
+              SELECT doc_id,
+                concat('<|system|>', 'You are a precise assistant.',
+                       '<|user|>', concat('What is ', source, '?'),
+                       '<|assistant|>') AS prefix,
+                substr(coalesce(text, ''), 1, 80) AS answer
+              FROM documents)
+            SELECT doc_id, concat(prefix, answer, '<|end|>') AS sample,
+              CAST(length(prefix) + 1 AS BIGINT) AS mask_start
+            FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      val ct = TextAnalysis.chatTemplate(
+        lit("You are a precise assistant."),
+        concat(lit("What is "), col("source"), lit("?")),
+        substring(coalesce(col("text"), lit("")), 1, 80))
+      documents(s, d)
+        .withColumn("ct", ct)
+        .select(col("doc_id"), col("ct.sample").as("sample"),
+          col("ct.mask_start").as("mask_start"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
     b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf,
-    p14Url, d10SpanDedup)
+    p14Url, d10SpanDedup, f23Chat)
 }
