@@ -750,10 +750,47 @@ object MiscQueries extends QuerySet {
         .orderBy(col("shared").desc, col("src_a"), col("src_b")).limit(15)
     })
 
+  /** Preference-pair construction (DPO/RLHF data prep): per prompt group
+    * (source here), the chosen sample is the highest-quality document and
+    * the rejected the lowest, with deterministic id tiebreaks; pairs with
+    * zero quality margin are dropped (no learning signal). ONE aggregate
+    * per group via min/max-by structs — no window, no self-join; at scale
+    * this is a map-side-combined hash aggregate over the corpus. */
+  val pref1DpoPairs: Q = Q("pref1_dpo_pairs",
+    Some(s"""WITH $qualityCtes,
+            ranked AS (
+              SELECT d.source, q.doc_id, q.quality,
+                row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, q.doc_id) AS rb,
+                row_number() OVER (PARTITION BY d.source ORDER BY q.quality ASC, q.doc_id DESC) AS rw
+              FROM q JOIN documents d USING (doc_id)),
+            best AS (SELECT source, doc_id AS chosen_id, quality AS best_q FROM ranked WHERE rb = 1),
+            worst AS (SELECT source, doc_id AS rejected_id, quality AS worst_q FROM ranked WHERE rw = 1)
+            SELECT source, chosen_id, rejected_id, round(best_q - worst_q, 6) AS margin
+            FROM best JOIN worst USING (source)
+            WHERE best_q > worst_q
+            ORDER BY source"""),
+    (s, d) => {
+      val scored = documents(s, d).select(col("source"), col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      // max_by equivalent with deterministic ties: order structs so the
+      // max is (highest quality, lowest id) and the min (lowest quality,
+      // highest id) — id negated inside the struct for the tiebreak
+      scored.groupBy("source")
+        .agg(
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+          min(struct(col("quality"), (-col("doc_id")).as("nid"))).as("worst"))
+        .select(col("source"),
+          (-col("best.nid")).cast("long").as("chosen_id"),
+          (-col("worst.nid")).cast("long").as("rejected_id"),
+          round(col("best.quality") - col("worst.quality"), 6).as("margin"))
+        .filter(col("margin") > 0)
+        .orderBy("source")
+    })
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, dom3Overlap)
+    x14QualityBuckets, dom3Overlap, pref1DpoPairs)
 }
