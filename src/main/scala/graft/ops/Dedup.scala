@@ -144,18 +144,28 @@ object Dedup {
     * and both blocks and the true pair set explode (measured: 411k
     * "pairs" at sf0.1 — a dense relation, not dedup). Shingles are
     * document-specific, which is why Manku's construction uses them.
-    * Gate sizing uses 32-bit signatures (8-bit quarters); a production
-    * run uses 64-bit signatures with 16-bit quarters, where each block
-    * key carries 65k values and block sizes track duplicate density. */
+    * 32 bits (8-bit quarters) is the ceiling of THIS construction — the
+    * md5-hex vote yields at most 32 signature bits, so wider signatures
+    * (the 64-bit/16-bit-quarter production sizing) need a second hash
+    * rotation first; the require below fails fast instead of silently
+    * degenerating the upper quarters into all-'0' universal block keys.
+    * NULL text signs as empty text (the oracle's convention), so NULL
+    * and '' documents pair together rather than silently vanishing. */
   def simHashDuplicates(df: DataFrame, idCol: Column, text: Column,
                         shingleWidth: Int = 3, bits: Int = 32,
                         maxHamming: Int = 3): DataFrame = {
     val quarters = maxHamming + 1
     val qw = bits / quarters
+    require(bits >= quarters && bits <= 32,
+      s"bits must be in [$quarters, 32] (md5 hex yields 32 vote positions; " +
+        s"also keeps conv+xor inside a long), got $bits")
     graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
     val sig = call_function("simhash_bits",
-      shingleHashes(wordShingles(text, shingleWidth)), lit(bits))
-    val sigs = df.select(idCol.as("id"), sig.as("sig"))
+      shingleHashes(wordShingles(coalesce(text, lit("")), shingleWidth)), lit(bits))
+    // localCheckpoint: the signature pipeline (tokenize → shingle → md5 per
+    // shingle → vote) feeds BOTH self-join sides — same hazard
+    // minHashDuplicates documents; without it the corpus-wide scan runs twice
+    val sigs = df.select(idCol.as("id"), sig.as("sig")).localCheckpoint()
     val blocked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(quarters - 1))).as("q"))
       .select(col("id"), col("sig"),

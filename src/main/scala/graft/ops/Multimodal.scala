@@ -124,7 +124,9 @@ object Multimodal {
     * yields exactly one window covering it. Map-only: one row explodes to
     * its own windows, nothing shuffles. */
   def audioWindows(df: DataFrame, win: Long, hop: Long): DataFrame = {
-    require(win > 0 && hop > 0, s"window/hop must be positive, got $win/$hop")
+    require(win > 0 && hop > 0 && hop <= win,
+      s"need 0 < hop <= win (hop > win would emit windows past the payload " +
+        s"end with non-positive lengths), got win=$win hop=$hop")
     val n = col("media_meta.n_bytes")
     val extra = greatest(n - win, lit(0L))
     val nWin = (floor((extra + hop - 1) / lit(hop.toDouble)) + 1).cast("long")

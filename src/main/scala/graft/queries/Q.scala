@@ -57,6 +57,18 @@ object OracleSql {
     s"list_aggregate(list_transform(hs, h -> concat(substr(h, ${r + 1}, ${32 - r}), substr(h, 1, $r))), 'min')"
   }
 
+  /** SimHash bit-string over a CTE column `hs` of per-item md5 digests —
+    * bit j is the sign of the ±1 votes of each digest's j-th hex char
+    * (mirrors `functions.SimHashBitsExpr` / `Dedup.simHash`). ONE copy
+    * shared by d3 (16 bits over unigram hashes) and d3b (32 bits over
+    * shingle hashes) so a vote/tie-rule change cannot de-synchronize
+    * them. */
+  def simhashSql(bits: Int): String =
+    s"""list_aggregate(list_transform(range(1, ${bits + 1}),
+        j -> CASE WHEN list_sum(list_transform(hs,
+               h -> CASE WHEN h[j] BETWEEN '8' AND 'f' THEN 1 ELSE -1 END)) >= 0
+             THEN '1' ELSE '0' END), 'string_agg', '')"""
+
   /** LSH band keys for a signature list column `sg`: bands of `rows`
     * consecutive mins, each md5'd with its band index prefix (mirrors
     * `Dedup.lshBandKeys`). */

@@ -749,9 +749,11 @@ object TextQueries extends QuerySet {
               CAST(length(prefix) + 1 AS BIGINT) AS mask_start
             FROM s ORDER BY doc_id"""),
     (s, d) => {
+      // source coalesced: Spark concat null-propagates while DuckDB's
+      // skips NULLs — without it a NULL source nulls the whole sample
       val ct = TextAnalysis.chatTemplate(
         lit("You are a precise assistant."),
-        concat(lit("What is "), col("source"), lit("?")),
+        concat(lit("What is "), coalesce(col("source"), lit("")), lit("?")),
         substring(coalesce(col("text"), lit("")), 1, 80))
       documents(s, d)
         .withColumn("ct", ct)

@@ -138,13 +138,10 @@ object VectorQueries extends QuerySet {
 
   /** SimHash 16-bit fingerprint (md5-hex-vote construction). */
   val d3SimHash = Q("d3_simhash",
-    Some("""WITH t AS (
-              SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), x -> md5(x)) AS hs
+    Some(s"""WITH t AS (
+              SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> md5(x)) AS hs
               FROM documents)
-            SELECT doc_id, list_aggregate(list_transform(range(1, 17),
-              j -> CASE WHEN list_sum(list_transform(hs,
-                     h -> CASE WHEN h[j] BETWEEN '8' AND 'f' THEN 1 ELSE -1 END)) >= 0
-                   THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+            SELECT doc_id, ${OracleSql.simhashSql(16)} AS simhash
             FROM t ORDER BY doc_id"""),
     (s, d) => documents(s, d)
       .select(col("doc_id"), Dedup.simHash(col("text"), 16).as("simhash"))
@@ -607,12 +604,7 @@ object VectorQueries extends QuerySet {
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
             sh AS (SELECT doc_id, ${OracleSql.shinglesSql(3)} AS shingles FROM t),
             hsx AS (SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hs FROM sh),
-            s AS (
-              SELECT doc_id, list_aggregate(list_transform(range(1, 33),
-                j -> CASE WHEN list_sum(list_transform(hs,
-                       h -> CASE WHEN h[j] BETWEEN '8' AND 'f' THEN 1 ELSE -1 END)) >= 0
-                     THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-              FROM hsx),
+            s AS (SELECT doc_id, ${OracleSql.simhashSql(32)} AS sig FROM hsx),
             blk AS (
               SELECT doc_id, sig, concat(CAST(q AS VARCHAR), ':', substr(sig, q * 8 + 1, 8)) AS blk
               FROM s, range(0, 4) r(q)),
@@ -633,11 +625,12 @@ object VectorQueries extends QuerySet {
     * media row, exploded — the oracle replays the offset arithmetic with
     * an explicit floor so double-division truncation matches. */
   val m3FrameSample = Q("m3_frame_sample",
-    Some("""SELECT doc_id, CAST(floor(i * length(text) / 4.0) AS BIGINT) AS frame_idx
+    Some("""SELECT doc_id, CAST(floor(i * length(coalesce(text, '')) / 4.0) AS BIGINT) AS frame_idx
             FROM documents, range(0, 4) t(i)
             ORDER BY doc_id, frame_idx"""),
     (s, d) => graft.ops.Multimodal.sampleFrames(
-        graft.ops.Multimodal.asMediaColumn(documents(s, d), "text", "video"), 4)
+        graft.ops.Multimodal.asMediaColumn(
+          documents(s, d).withColumn("text", coalesce(col("text"), lit(""))), "text", "video"), 4)
       .select(col("doc_id"), col("frame_idx"))
       .orderBy("doc_id", "frame_idx"))
 
