@@ -193,6 +193,36 @@ object Search {
       .select(col("id_a"), col("id_b"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** Scalar quantization (SQ8, the faiss IndexScalarQuantizer shape): each
+    * dimension maps to one byte via the corpus-wide per-dimension [lo, hi]
+    * range — a 64-float embedding (256 B) becomes 64 bytes with NO
+    * codebook training (PQ's cheaper, lower-ratio sibling). Stats are ONE
+    * aggregate over the corpus (2·dim doubles, broadcastable at any
+    * scale); encoding is map-only; scoring dequantizes against the raw
+    * query (asymmetric, like PQ's ADC). Constant dimensions (hi = lo)
+    * code as 0 and dequantize to lo exactly. */
+  def sqStats(emb: DataFrame, vecCol: String, dim: Int): DataFrame =
+    emb.agg(
+      array((1 to dim).map(i => min(element_at(col(vecCol), i).cast("double"))): _*).as("lo"),
+      array((1 to dim).map(i => max(element_at(col(vecCol), i).cast("double"))): _*).as("hi"))
+
+  /** Byte codes for one vector against broadcast `lo`/`hi` range arrays. */
+  def sqCodes(vec: Column, lo: Column, hi: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), i =>
+      when(element_at(hi, i) > element_at(lo, i),
+        round((element_at(vec, i).cast("double") - element_at(lo, i))
+          / (element_at(hi, i) - element_at(lo, i)) * 255).cast("int"))
+        .otherwise(lit(0)))
+
+  /** Asymmetric dequantized dot product: Σ (lo_i + c_i·Δ_i) · q_i, folded
+    * left-to-right in element order so the IEEE result is
+    * engine-independent. */
+  def sqDot(codes: Column, lo: Column, hi: Column, query: Column, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
+      acc + (element_at(lo, i)
+        + element_at(codes, i) * (element_at(hi, i) - element_at(lo, i)) / 255)
+        * element_at(query, i).cast("double"))
+
   /** Product quantization: the compressed-index ANN scale path. A d-dim
     * vector becomes M small codes (one per subspace, argmin-distance
     * centroid, ties → lower code — the ivfCell construction per subspace).

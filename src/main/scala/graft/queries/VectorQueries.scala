@@ -652,6 +652,39 @@ object VectorQueries extends QuerySet {
       .select(col("doc_id"), col("win_start"), col("win_len"))
       .orderBy("doc_id", "win_start"))
 
+  /** Scalar-quantized ANN top-k (v7): per-dimension [lo, hi] from ONE
+    * corpus aggregate, byte codes, asymmetric dequantized scoring against
+    * the raw vec_id=0 query — PQ's codebook-free sibling. The oracle
+    * replays stats, codes, and the sequential-fold dot. */
+  val v7SqTopK: Q = {
+    val dim = 64
+    val loSql = (1 to dim).map(i => s"min(e[$i])").mkString("[", ", ", "]")
+    val hiSql = (1 to dim).map(i => s"max(e[$i])").mkString("[", ", ", "]")
+    Q("v7_sq_topk",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              st AS (SELECT $loSql AS lo, $hiSql AS hi FROM e),
+              c AS (SELECT vec_id, list_transform(range(1, ${dim + 1}),
+                  i -> CASE WHEN hi[i] > lo[i]
+                       THEN CAST(round((e[i] - lo[i]) / (hi[i] - lo[i]) * 255) AS INT)
+                       ELSE 0 END) AS codes
+                FROM e, st),
+              q AS (SELECT e AS qv FROM e WHERE vec_id = 0)
+              SELECT vec_id, round(list_sum(list_transform(range(1, ${dim + 1}),
+                  i -> (lo[i] + codes[i] * (hi[i] - lo[i]) / 255) * qv[i])), 6) AS score
+              FROM c, st, q
+              ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val stats = Search.sqStats(emb, "embedding", dim)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        emb.crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+          .withColumn("codes", Search.sqCodes(col("embedding"), col("lo"), col("hi"), dim))
+          .select(col("vec_id"),
+            round(Search.sqDot(col("codes"), col("lo"), col("hi"), col("qv"), dim), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
   /** Hard-negative mining (contrastive batch building): per anchor, the
     * top-2 most-similar DIFFERENT-label vectors, IVF-cell-blocked — the
     * pair scoring never leaves a cell. The oracle replays cell assignment
@@ -751,5 +784,5 @@ object VectorQueries extends QuerySet {
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, hn1HardNeg,
-    d3bSimHashPairs, m3FrameSample, m4AudioWindows, x4Fingerprint, m1Binary, m2ImageDims)
+    d3bSimHashPairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint, m1Binary, m2ImageDims)
 }
