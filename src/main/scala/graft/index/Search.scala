@@ -214,14 +214,27 @@ object Search {
           / (element_at(hi, i) - element_at(lo, i)) * 255).cast("int"))
         .otherwise(lit(0)))
 
-  /** Asymmetric dequantized dot product: Σ (lo_i + c_i·Δ_i) · q_i, folded
-    * left-to-right in element order so the IEEE result is
-    * engine-independent. */
-  def sqDot(codes: Column, lo: Column, hi: Column, query: Column, dim: Int): Column =
-    aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
-      acc + (element_at(lo, i)
-        + element_at(codes, i) * (element_at(hi, i) - element_at(lo, i)) / 255)
-        * element_at(query, i).cast("double"))
+  /** Quantize-and-dequantize in ONE transform: the value the byte code
+    * reconstructs, straight from the raw vector. The fused form exists
+    * because nesting two HOFs (codes transform inside a scoring fold)
+    * lets CollapseProject inline the codes expression into the fold's
+    * lambda, re-evaluating the full 64-step encode on EVERY fold step —
+    * the m2 lesson (O(dim²) interpreted work, measured 8 s for what
+    * should cost 0.3 s). One transform, then the native `array_dot`. */
+  def sqDequantize(vec: Column, lo: Column, hi: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), i => {
+      val l = element_at(lo, i); val h = element_at(hi, i)
+      val c = when(h > l,
+        round((element_at(vec, i).cast("double") - l) / (h - l) * 255)).otherwise(lit(0))
+      l + c * (h - l) / 255
+    })
+
+  /** Asymmetric dequantized dot product against the raw query — folded
+    * left-to-right in element order (native array_dot) so the IEEE result
+    * is engine-independent. Pass `dq` as an ATTRIBUTE (a materialized
+    * column), never a synthesized transform tree. */
+  def sqDot(dq: Column, query: Column): Column =
+    Embed.dot(dq, transform(query, x => x.cast("double")))
 
   /** Product quantization: the compressed-index ANN scale path. A d-dim
     * vector becomes M small codes (one per subspace, argmin-distance

@@ -678,9 +678,11 @@ object VectorQueries extends QuerySet {
         val stats = Search.sqStats(emb, "embedding", dim)
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         emb.crossJoin(broadcast(stats)).crossJoin(broadcast(q))
-          .withColumn("codes", Search.sqCodes(col("embedding"), col("lo"), col("hi"), dim))
-          .select(col("vec_id"),
-            round(Search.sqDot(col("codes"), col("lo"), col("hi"), col("qv"), dim), 6).as("score"))
+          // fused quantize→dequantize (one transform), then the native dot —
+          // materializing codes and folding over them would re-run the
+          // 64-step encode inside every fold step (see Search.sqDequantize)
+          .withColumn("dq", Search.sqDequantize(col("embedding"), col("lo"), col("hi"), dim))
+          .select(col("vec_id"), round(Search.sqDot(col("dq"), col("qv")), 6).as("score"))
           .orderBy(col("score").desc, col("vec_id")).limit(5)
       })
   }
