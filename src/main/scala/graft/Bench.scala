@@ -26,9 +26,11 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // warmup: JVM/codegen/session startup out of the measured numbers
     materialize(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000))
-    // SPARK_GRAFT_BENCH_REPS>1 → record the median of N runs per query
-    // (this host shows ±15-30% run-to-run variance; medians compare fairly)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // Median of N runs per query, default 3: this host shows ±15-30%
+    // run-to-run variance plus rare multi-second stalls (round 4 recorded a
+    // 27.6 s outlier on a 1.4 s query) — a single-run headline number is
+    // not trustworthy. Set SPARK_GRAFT_BENCH_REPS=1 for a quick pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.index.{Embed, Search}
 
@@ -80,16 +79,25 @@ object Cluster {
 
   /** Assign every vector to its nearest centroid from a centroid TABLE
     * (not literals): broadcast the k rows, score each (vector, cell) pair,
-    * keep the argmin (ties → lower cell). Output: idCol, vecCol, cell. */
+    * keep the argmin (ties → lower cell). Output: idCol, vecCol, cell.
+    *
+    * The argmin is a `min_by` hash aggregate keyed on id, NOT a row_number
+    * window: the aggregate gets map-side partial combine (each task
+    * collapses its k candidate rows per id to one before the shuffle, so
+    * only (id, vec, cell) rides the wire — k× less shuffle input at k=64)
+    * and needs no sort. The ordering struct (d2, cell) is unique per
+    * candidate (cells are distinct), so the result is deterministic with
+    * ties broken toward the lower cell. */
   def assign(emb: DataFrame, vecCol: String, idCol: String, centroids: DataFrame): DataFrame = {
     val d2 = aggregate(
       zip_with(col(vecCol), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
-    val rn = row_number().over(Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell")))
     emb.crossJoin(broadcast(centroids))
       .withColumn("d2", d2)
-      .withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col(vecCol).as("v"), col("cell").as("cell")),
+        struct(col("d2"), col("cell"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol), col("best.cell").as("cell"))
   }
 
   /** SemDeDup pair generation: one Lloyd iteration from the seeded init,

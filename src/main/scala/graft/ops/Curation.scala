@@ -127,10 +127,15 @@ object Curation {
     val shared = per.crossJoin(broadcast(total))
       .withColumn("s", sqrt(col("tokens").cast("double") / col("total_tokens")))
     val norm = shared.agg(sum(col("s").cast("decimal(25,15)")).cast("double").as("sum_s"))
+    // greatest(tokens, 1): an all-empty-text domain has tokens = 0 and
+    // would otherwise 0/0 the epochs column (its share s is already 0, so
+    // the guarded result is a clean 0.0). A fully empty CORPUS remains a
+    // documented precondition (sum_s = 0 nulls every weight).
     shared.crossJoin(broadcast(norm))
       .select(col("domain"), col("n_docs"), col("tokens"),
         round(col("s") / col("sum_s"), 6).as("weight"),
-        round(col("s") / col("sum_s") * col("total_tokens") / col("tokens").cast("double"), 6)
+        round(col("s") / col("sum_s") * col("total_tokens")
+            / greatest(col("tokens"), lit(1L)).cast("double"), 6)
           .as("epochs"))
   }
 }

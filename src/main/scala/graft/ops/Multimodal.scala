@@ -129,7 +129,10 @@ object Multimodal {
         s"end with non-positive lengths), got win=$win hop=$hop")
     val n = col("media_meta.n_bytes")
     val extra = greatest(n - win, lit(0L))
-    val nWin = (floor((extra + hop - 1) / lit(hop.toDouble)) + 1).cast("long")
+    // integral `div`, not double floor-division: exact for any long payload
+    // (a double round-trip is only exact below 2^53), matching the
+    // oracle's integer `//`
+    val nWin = call_function("div", extra + lit(hop - 1), lit(hop)) + 1
     df.withColumn("w",
         explode(transform(sequence(lit(0L), nWin - 1),
           i => struct((i * hop).as("win_start"),

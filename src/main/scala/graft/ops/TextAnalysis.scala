@@ -199,9 +199,11 @@ object TextAnalysis {
     * sorting the survivors so param order can't split a URL into two keys.
     * Scheme-less input (a bare "example.com/a", common in crawl
     * frontiers) passes through minus its fragment — distinct pages must
-    * never collapse to one degenerate key. Userinfo ("alice@host") is
-    * stripped before host extraction. IPv6 bracket hosts are out of
-    * scope. Pure RE2-compatible expressions — map-only at any scale. */
+    * never collapse to one degenerate key; its query string is left as-is
+    * (param sorting/tracking-drop applies to absolute URLs only — out of
+    * scope by design, as is IPv6 bracket-host parsing). Userinfo
+    * ("alice@host") is stripped before host extraction. Pure
+    * RE2-compatible expressions — map-only at any scale. */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -216,8 +218,10 @@ object TextAnalysis {
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
     val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    // (=|$) drops valueless tracking params too ("?ref", "?utm_source") —
+    // a crawl frontier serves both forms and they must collapse to one key
     val kept = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike("(?i)^(utm_[^=]*|ref|fbclid|gclid)=")))
+      p => p =!= "" && !p.rlike("(?i)^(utm_[^=]*|ref|fbclid|gclid)(=|$)")))
     val queryPart = when(size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(kept, "&")))
     when(scheme === "", noFrag)

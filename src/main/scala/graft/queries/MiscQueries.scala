@@ -716,7 +716,7 @@ object MiscQueries extends QuerySet {
             nrm AS (SELECT CAST(sum(CAST(s AS DECIMAL(25,15))) AS DOUBLE) AS sum_s FROM sh)
             SELECT domain, n_docs, tokens,
               round(s / sum_s, 6) AS weight,
-              round(s / sum_s * total_tokens / CAST(tokens AS DOUBLE), 6) AS epochs
+              round(s / sum_s * total_tokens / CAST(greatest(tokens, 1) AS DOUBLE), 6) AS epochs
             FROM sh CROSS JOIN nrm ORDER BY domain"""),
     (s, d) => graft.ops.Curation.mixtureWeights(documents(s, d), col("source"), col("text"))
       .orderBy("domain"))

@@ -638,18 +638,26 @@ object TextQueries extends QuerySet {
             FROM cum CROSS JOIN tot
             WHERE rank <= 20 ORDER BY rank"""),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // NO global window: the full-vocabulary rank used to run through an
+      // unpartitioned row_number + cum-sum WindowExec — at web scale the
+      // vocabulary grows with the corpus (Heaps' law) and that plan moves
+      // the whole token-count table to one partition. Only ranks <= 20
+      // survive, so take the top 20 via orderBy().limit(20)
+      // (TakeOrderedAndProject: per-partition heaps, driver merge of 20-row
+      // slices) and derive rank + cumulative count from a 20x20 broadcast
+      // self-join — bounded by construction, no WindowExec anywhere.
       val cnt = documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val tot = cnt.agg(sum("c").cast("double").as("n_total"))
-      cnt
-        .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w"))))
-        .withColumn("cumc", sum(col("c")).over(
-          Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rank") <= 20)
+      val top = cnt.orderBy(col("c").desc, col("w")).limit(20)
+      val peers = top.select(col("w").as("w2"), col("c").as("c2"))
+      top.join(broadcast(peers),
+          col("c2") > col("c") || (col("c2") === col("c") && col("w2") <= col("w")))
+        .groupBy(col("w"), col("c"))
+        .agg(count(lit(1)).as("rank"), sum(col("c2")).as("cumc"))
         .crossJoin(broadcast(tot))
-        .select(col("rank").cast("long").as("rank"), col("w").as("term"),
+        .select(col("rank"), col("w").as("term"),
           col("c").as("cnt"), (col("cumc").cast("double") / col("n_total")).as("cum_share"))
         .orderBy("rank")
     })
@@ -663,10 +671,10 @@ object TextQueries extends QuerySet {
     * step by step. */
   val p14Url = Q("p14_url_normalize",
     Some("""WITH u AS (
-              SELECT doc_id, concat('HTTPS://WWW.', upper(source), '.Example.COM',
+              SELECT doc_id, concat('HTTPS://WWW.', upper(coalesce(source, '')), '.Example.COM',
                 CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END,
                 '/Docs/', CAST(doc_id AS VARCHAR), '//?utm_source=feed&ref=abc&id=',
-                CAST(doc_id AS VARCHAR), '&b=2&a=1#sec', lang) AS url
+                CAST(doc_id AS VARCHAR), '&b=2&a=1#sec', coalesce(lang, '')) AS url
               FROM documents),
             nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
             parts AS (SELECT doc_id, nf,
@@ -680,7 +688,7 @@ object TextQueries extends QuerySet {
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
                 CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
                 list_sort(list_filter(string_split(query, '&'),
-                  p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|ref|fbclid|gclid)='))) AS kept
+                  p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|ref|fbclid|gclid)(=|$)'))) AS kept
               FROM parts)
             SELECT doc_id, host, CASE WHEN scheme = '' THEN nf ELSE
               concat(scheme, '://', host,
@@ -692,10 +700,13 @@ object TextQueries extends QuerySet {
               END AS url_norm
             FROM p2 ORDER BY doc_id"""),
     (s, d) => {
-      val url = concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+      // coalesce both free-text columns: Spark's concat null-propagates
+      // while DuckDB's skips NULLs (the f23 rule) — a NULL source/lang row
+      // must not null the whole URL on the Spark side only
+      val url = concat(lit("HTTPS://WWW."), upper(coalesce(col("source"), lit(""))), lit(".Example.COM"),
         when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8443")),
         lit("/Docs/"), col("doc_id").cast("string"), lit("//?utm_source=feed&ref=abc&id="),
-        col("doc_id").cast("string"), lit("&b=2&a=1#sec"), col("lang"))
+        col("doc_id").cast("string"), lit("&b=2&a=1#sec"), coalesce(col("lang"), lit("")))
       documents(s, d)
         .withColumn("url_norm", TextAnalysis.normalizeUrl(url))
         .select(col("doc_id"),

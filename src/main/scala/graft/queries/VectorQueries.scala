@@ -595,8 +595,8 @@ object VectorQueries extends QuerySet {
     })
 
   /** SimHash near-dup PAIRS via pigeonhole blocking (Manku-style): a
-    * Hamming-≤3 pair over 16 bits must share one of 4 signature quarters,
-    * so candidates come from a quarter equi-join. Signatures vote over word
+    * Hamming-≤3 pair over 32 bits must share one of its 4 8-bit signature
+    * quarters, so candidates come from a quarter equi-join. Signatures vote over word
     * 3-shingle hashes (unigram votes degenerate on a topically-uniform
     * corpus — see Dedup.simHashDuplicates); the oracle replays the
     * signature, the blocking, and the exact Hamming check. */

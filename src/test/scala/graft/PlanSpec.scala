@@ -201,6 +201,35 @@ class PlanSpec extends SparkSpec {
         "never sort-merge")
   }
 
+  test("no catalog query plans an unpartitioned WindowExec") {
+    // An empty partitionSpec moves the ENTIRE input to one partition — the
+    // one plan shape that silently stops scaling (x13's old global rank
+    // window was the last instance). Pinned across the whole catalog:
+    // every window and window-group-limit must carry a partition key.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def offenders(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+        case s: QueryStageExec => offenders(s.plan)
+        case other => other.children.flatMap(offenders)
+      }
+      here ++ kids
+    }
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hits = offenders(fn(spark, sf).queryExecution.executedPlan)
+      if (hits.isEmpty) Nil else Seq(s"$name: ${hits.mkString(", ")}")
+    }
+    assert(bad.isEmpty,
+      s"global (unpartitioned) window plans found — these serialize at scale:\n${bad.mkString("\n")}")
+  }
+
   test("hn1 hard negatives block on the cell equi-join, never a cross join") {
     val plan = formatted(graft.queries.VectorQueries.hn1HardNeg.fn(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
