@@ -141,6 +141,81 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topN)
   }
 
+  /** BPE symbol-string encoding: each symbol wrapped in U+0001 separators
+    * ("•n••e••w•" for "new"), so a merge rule (a, b) is the literal string
+    * replace "•a••b•" → "•ab•" — left-to-right, non-overlapping, exactly
+    * the greedy merge-application order of Sennrich et al. 2016, and
+    * byte-identical across engines because `replace` has those semantics
+    * in both Spark (UTF8String.replace) and DuckDB. Symbols are [a-z]+
+    * (training filters the vocab to alphabetic words), so the separator
+    * can never collide with symbol content. */
+  private val BpeSep = "\u0001"
+
+  private def bpeInitEnc(word: Column): Column =
+    regexp_replace(word, "(.)", BpeSep + "$1" + BpeSep)
+
+  private def bpeSymbols(enc: Column): Column =
+    split(trim(enc, BpeSep), BpeSep + BpeSep)
+
+  private def bpeMergeRule(enc: Column, a: String, b: String): Column =
+    replace(enc, lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep), lit(BpeSep + a + b + BpeSep))
+
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016): starting from
+    * characters, repeatedly count adjacent symbol pairs over the word
+    * vocabulary (weighted by word frequency), take the most frequent pair
+    * (ties → lexicographic), rewrite every occurrence, repeat. Returns the
+    * learned merge table (step, lhs, rhs, cnt) — the tokenizer artifact.
+    *
+    * Distributed shape: the corpus collapses to its word-frequency VOCAB
+    * in one hash aggregate (the only corpus-sized pass); each merge round
+    * is then a map-only pair explode + one map-side-combined aggregate
+    * over the vocab, with only the single winning rule (3 scalars) pulled
+    * to the driver — the same scalar-only driver-loop contract as
+    * [[graft.ops.Dedup.connectedComponents]]. The vocab frame is
+    * localCheckpoint-ed per round so lineage stays flat across rounds.
+    * At 100 TB the corpus is scanned exactly once; rounds cost
+    * O(vocab), which Heaps' law keeps sublinear in corpus size. */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"bpeTrain needs at least one merge, got $nMerges")
+    val spark = docs.sparkSession
+    var vocab = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("enc", bpeInitEnc(col("w")))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val pairs = when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            j => struct(get(col("syms"), j).as("a"), get(col("syms"), j + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = vocab.select(col("cnt"), bpeSymbols(col("enc")).as("syms"))
+        .select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, t) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step, a, b, t))
+        vocab = vocab.withColumn("enc", bpeMergeRule(col("enc"), a, b)).localCheckpoint()
+        step += 1
+      }
+    }
+    spark.createDataFrame(learned.result()).toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** BPE ENCODER: apply a learned merge list to a word column, yielding its
+    * symbol array. Map-only (a chain of `nMerges` literal replaces compiled
+    * into one projection) — the inference half of [[bpeTrain]]. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    bpeSymbols(merges.foldLeft(bpeInitEnc(word)) {
+      case (e, (a, b)) => bpeMergeRule(e, a, b)
+    })
+
   /** Deterministic train/val/test assignment: the md5-threshold ladder over
     * cumulative fractions — the same seedless, engine-portable mechanism as
     * [[hashSamplePredicate]], so a document's split never changes across

@@ -458,6 +458,41 @@ object TextQueries extends QuerySet {
     (s, d) => TextAnalysis.bpePairCounts(documents(s, d), col("text"), topN = 20)
       .orderBy(col("cnt").desc, col("pair")))
 
+  /** The full iterative BPE merge LOOP (tok1 computes only round 1's
+    * statistic): k rounds of count-pairs → take the top pair → rewrite the
+    * vocabulary, emitting the learned merge table. The oracle replays all
+    * k rounds as an unrolled CTE chain over the same U+0001-separator
+    * encoding, with the merge application as a literal `replace` — greedy
+    * left-to-right non-overlapping in both engines — so every learned
+    * rule AND its count are compared exactly. */
+  private def bpeOracleSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""s$i AS (SELECT cnt, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms FROM v${i - 1}),
+            pr$i AS (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS pr FROM s$i),
+            p$i AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS total
+              FROM pr$i GROUP BY pr.a, pr.b),
+            t$i AS (SELECT a, b, total FROM p$i ORDER BY total DESC, a, b LIMIT 1),
+            v$i AS (SELECT w, cnt, replace(enc, chr(1)||a||chr(1)||chr(1)||b||chr(1),
+                chr(1)||a||b||chr(1)) AS enc FROM v${i - 1} CROSS JOIN t$i)"""
+    }.mkString(",\n            ")
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, total AS cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"""WITH t0 AS (SELECT ${OracleSql.toksSql} AS toks FROM documents),
+            words AS (SELECT unnest(toks) AS w FROM t0),
+            v0 AS (SELECT w, count(*) AS cnt,
+                regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc
+              FROM words WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+            $steps
+            SELECT step, lhs, rhs, cnt FROM ($sel) ORDER BY step"""
+  }
+
+  val tok2BpeMerges = Q("tok2_bpe_merges",
+    Some(bpeOracleSql(8)),
+    (s, d) => TextAnalysis.bpeTrain(documents(s, d), col("text"), nMerges = 8)
+      .orderBy("step"))
+
   /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
     * unigram + bigram counts on the corpus itself, score each doc's mean
     * ln(0.7·P_bigram + 0.3·P_unigram) with add-one smoothing. All ratio
@@ -776,6 +811,6 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf,
+    b1Bm25, tok1BpePairs, tok2BpeMerges, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf,
     p14Url, d10SpanDedup, f23Chat)
 }
