@@ -211,6 +211,44 @@ object SigExprs {
     while (j < bits) { out(j) = if (votes(j) >= 0) '1' else '0'; j += 1 }
     UTF8String.fromBytes(out)
   }
+
+  /** Wide SimHash: vote position j reads BIT j of the digest (hex char
+    * j/4, bit 3-(j%4), MSB-first) instead of only each hex char's top
+    * bit — one md5 yields up to 128 independent vote positions, so the
+    * 64-bit production fingerprint (Manku's sizing) needs no second hash
+    * pass. Null digests vote -1 everywhere (same convention as
+    * [[simhashBits]]). */
+  def simhashBits64(hashes: ArrayData, bits: Int): UTF8String = {
+    val votes = new Array[Int](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i)) {
+        var j = 0
+        while (j < bits) { votes(j) -= 1; j += 1 }
+      } else {
+        val h = hashes.getUTF8String(i).getBytes
+        var j = 0
+        while (j < bits) {
+          val ci = j >> 2
+          val up = ci < h.length && {
+            val c = h(ci)
+            val v = if (c >= '0' && c <= '9') c - '0'
+                    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+                    else 0
+            ((v >> (3 - (j & 3))) & 1) == 1
+          }
+          votes(j) += (if (up) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](bits)
+    var j = 0
+    while (j < bits) { out(j) = if (votes(j) >= 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `minhash_mins(array<string>, n)` → array<string> of rotation-permutation
@@ -239,6 +277,22 @@ case class SimHashBitsExpr(left: Expression, right: Expression) extends BinaryEx
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigExprs.simhashBits($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash_bits64(array<string>, bits)` → 0/1 fingerprint string with
+  * bit-level (not hex-char-level) votes — up to 128 bits per md5. */
+case class SimHashBits64Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigExprs.simhashBits64(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigExprs.simhashBits64($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -313,4 +367,5 @@ object WinnowHashes { val info = new ExpressionInfo(classOf[WinnowHashesExpr].ge
 object WordShingles { val info = new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles") }
 object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }
 object SimHashBits { val info = new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits") }
+object SimHashBits64 { val info = new ExpressionInfo(classOf[SimHashBits64Expr].getName, "simhash_bits64") }
 object CharNgrams { val info = new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams") }

@@ -185,6 +185,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** 64-bit SimHash near-dup pairs — the Manku PRODUCTION sizing
+    * (64-bit fingerprints, maxHamming 3 → four 16-bit quarter blocks),
+    * which [[simHashDuplicates]]'s hex-char voting cannot reach. Votes
+    * come from digest BITS (`simhash_bits64`: hex char j/4, bit 3-(j%4)),
+    * so one md5 per shingle still supplies all 64 positions — no second
+    * hash pass. Same two-pass blocking shape as the 32-bit form; the
+    * exact Hamming check runs as two codegen'd 32-bit conv/xor/popcount
+    * halves because a 64-one signature would overflow a signed-long
+    * conv. 16-bit quarters give 65,536 block values, so block sizes stay
+    * bounded at corpus scale (the 8-bit quarters of the 32-bit form
+    * yield only 256 — fine for a gate corpus, skew-prone at 100 TB). */
+  def simHash64Duplicates(df: DataFrame, idCol: Column, text: Column,
+                          shingleWidth: Int = 3, bits: Int = 64,
+                          maxHamming: Int = 3): DataFrame = {
+    val quarters = maxHamming + 1
+    val qw = bits / quarters
+    require(bits > 32 && bits <= 64 && bits % quarters == 0,
+      s"the wide variant covers (32, 64] with equal quarters " +
+        s"(use simHashDuplicates at or below 32 bits), got bits=$bits maxHamming=$maxHamming")
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    val sig = call_function("simhash_bits64",
+      shingleHashes(wordShingles(coalesce(text, lit("")), shingleWidth)), lit(bits))
+    val sigs = df.select(idCol.as("id"), sig.as("sig")).localCheckpoint()
+    val blocked = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(quarters - 1))).as("q"))
+      .select(col("id"), col("sig"),
+        concat_ws(":", col("q"), col("sig").substr(col("q") * qw + 1, lit(qw))).as("blk"))
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    val hi = bit_count(conv(col("sig_a").substr(1, 32), 2, 10).cast("long")
+      .bitwiseXOR(conv(col("sig_b").substr(1, 32), 2, 10).cast("long")))
+    val lo = bit_count(conv(col("sig_a").substr(33, bits - 32), 2, 10).cast("long")
+      .bitwiseXOR(conv(col("sig_b").substr(33, bits - 32), 2, 10).cast("long")))
+    cand.withColumn("hamming", (hi + lo).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** n-gram Jaccard similarity between two texts. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val ga = charNgrams(lower(a), n)

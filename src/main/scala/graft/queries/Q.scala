@@ -69,6 +69,18 @@ object OracleSql {
                h -> CASE WHEN h[j] BETWEEN '8' AND 'f' THEN 1 ELSE -1 END)) >= 0
              THEN '1' ELSE '0' END), 'string_agg', '')"""
 
+  /** Wide (bit-level-vote) SimHash over an `hs` digest-list column —
+    * mirrors `simhash_bits64`: vote position j reads digest BIT j (hex
+    * char (j-1)/4, bit 3-((j-1)%4), MSB-first), so one md5 supplies up to
+    * 128 positions. */
+  def simhash64Sql(bits: Int): String =
+    s"""list_aggregate(list_transform(range(1, ${bits + 1}),
+        j -> CASE WHEN list_sum(list_transform(hs,
+               h -> CASE WHEN (((strpos('0123456789abcdef', h[(j - 1) // 4 + 1]) - 1)
+                                >> (3 - ((j - 1) % 4))) & 1) = 1
+                    THEN 1 ELSE -1 END)) >= 0
+             THEN '1' ELSE '0' END), 'string_agg', '')"""
+
   /** LSH band keys for a signature list column `sg`: bands of `rows`
     * consecutive mins, each md5'd with its band index prefix (mirrors
     * `Dedup.lshBandKeys`). */

@@ -621,6 +621,32 @@ object VectorQueries extends QuerySet {
         shingleWidth = 3, bits = 32, maxHamming = 3)
       .orderBy("id_a", "id_b"))
 
+  /** 64-bit SimHash pairs — the Manku production sizing (64-bit
+    * fingerprint, Hamming ≤ 3, four 16-bit quarter blocks). Votes read
+    * digest bits rather than hex-char top bits, so one md5 per shingle
+    * still fills all 64 positions; the oracle replays the bit-level
+    * voting, the 16-char quarter blocking, and the exact Hamming check. */
+  val d3cSimHash64Pairs = Q("d3c_simhash64_pairs",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT doc_id, ${OracleSql.shinglesSql(3)} AS shingles FROM t),
+            hsx AS (SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hs FROM sh),
+            s AS (SELECT doc_id, ${OracleSql.simhash64Sql(64)} AS sig FROM hsx),
+            blk AS (
+              SELECT doc_id, sig, concat(CAST(q AS VARCHAR), ':', substr(sig, q * 16 + 1, 16)) AS blk
+              FROM s, range(0, 4) r(q)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+              FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+            h AS (
+              SELECT id_a, id_b,
+                CAST(len(list_filter(range(1, 65), j -> sig_a[j] <> sig_b[j])) AS BIGINT) AS hamming
+              FROM cand)
+            SELECT id_a, id_b, hamming FROM h
+            WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+    (s, d) => Dedup.simHash64Duplicates(documents(s, d), col("doc_id"), col("text"),
+        shingleWidth = 3, bits = 64, maxHamming = 3)
+      .orderBy("id_a", "id_b"))
+
   /** Frame sampling (video analog): k = 4 evenly-spaced byte offsets per
     * media row, exploded — the oracle replays the offset arithmetic with
     * an explicit floor so double-division truncation matches. */
@@ -786,5 +812,6 @@ object VectorQueries extends QuerySet {
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, hn1HardNeg,
-    d3bSimHashPairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint, m1Binary, m2ImageDims)
+    d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
+    m1Binary, m2ImageDims)
 }

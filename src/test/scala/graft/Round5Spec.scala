@@ -37,6 +37,34 @@ class Round5Spec extends SparkSpec {
     assert(m.count() == 0)
   }
 
+  // --- 64-bit SimHash -----------------------------------------------------
+
+  test("simHash64Duplicates pairs identical docs at hamming 0 and enforces its range") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "utterly different content with other words entirely now")).toDF("id", "text")
+    val pairs = graft.ops.Dedup.simHash64Duplicates(docs, col("id"), col("text")).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.simHash64Duplicates(docs, col("id"), col("text"), bits = 32)
+    }
+    intercept[IllegalArgumentException] {
+      // 64 bits / 7 quarters doesn't divide evenly
+      graft.ops.Dedup.simHash64Duplicates(docs, col("id"), col("text"), maxHamming = 6)
+    }
+  }
+
+  test("simhash_bits64 reads digest bits, not hex-char top bits") {
+    // md5("x") = 9dd4e461268c8034f5c8564e155c67a6 → first hex char '9' =
+    // 1001: positions 1-4 must be exactly "1001" with a single vote
+    graft.functions.GraftFunctions.register(spark)
+    val sig = Seq("x").toDF("t")
+      .select(expr("simhash_bits64(array(md5(t)), 8)").as("sig"))
+      .head().getString(0)
+    assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
+  }
+
   test("bpeTrain ignores non-alphabetic tokens and weights by frequency") {
     // "ab" appears 3×, "cd" 2×, "a1b!" filtered out entirely
     val docs = Seq("ab ab ab cd", "cd a1b!").toDF("text")
