@@ -33,12 +33,44 @@ object Multimodal {
         (length(col(payloadCol)) % 480).cast("int").as("height"),
         length(col(payloadCol)).cast("long").as("n_bytes")))
 
+  /** JPEG SOF dimension scan: unlike PNG/GIF/BMP, JPEG stores dimensions
+    * in a Start-of-Frame segment at a VARIABLE offset behind arbitrary
+    * APPn/COM/DQT segments, so the parse is a bounded marker walk, not a
+    * fixed read. Modeled as an `aggregate` fold over `maxHops` steps
+    * carrying the current marker offset: each step either freezes (SOF
+    * found → negated offset; malformed byte or SOS/EOI → 0) or hops
+    * `2 + big-endian segment length`. Returns (width, height) columns,
+    * null when no SOF is found within the hop budget. Still map-only and
+    * bounded: at most `maxHops` 1-2-byte reads from the payload prefix —
+    * a real-world SOF sits behind ~4-6 segments, so 12 hops covers it.
+    * (FF fill-byte padding between segments is out of scope — the walk
+    * targets well-formed streams and fails to null, never garbage.) */
+  private def jpegDims(payload: Column, maxHops: Int = 12): (Column, Column) = {
+    def u8(pos: Column) = conv(hex(payload.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(pos: Column) = conv(hex(payload.substr(pos.cast("int"), lit(2))), 16, 10).cast("long")
+    // SOF0-15 minus DHT (C4), JPG (C8), DAC (CC)
+    def isSof(m: Column) = m.between(192L, 207L) && m =!= 196L && m =!= 200L && m =!= 204L
+    val scan = aggregate(sequence(lit(1), lit(maxHops)), lit(3L), (acc, _) => {
+      val m = u8(acc + 1)
+      when(acc <= 0, acc) // frozen: found (<0) or failed (0)
+        .when(u8(acc) =!= 255L, lit(0L)) // not at a marker → malformed
+        .when(isSof(m), -acc)
+        .when(m === 218L || m === 217L, lit(0L)) // SOS/EOI: no SOF ahead
+        .otherwise(acc + 2 + be16(acc + 2))
+    })
+    // SOF layout from its FF byte: FF Cx | len(2) | precision(1) | h(2) | w(2)
+    val sof = -scan
+    (when(scan < 0, be16(sof + 7)), when(scan < 0, be16(sof + 5)))
+  }
+
   /** REAL header-level metadata decode — no codec required: container
     * formats carry their dimensions in fixed magic-byte layouts, so width/
     * height parse as pure byte expressions (substring + hex + conv stay in
     * codegen; planning never touches more than the first 26 payload
-    * bytes). PNG (IHDR, big-endian), GIF (screen descriptor,
-    * little-endian), BMP (BITMAPINFOHEADER, little-endian); anything else
+    * bytes), plus the bounded [[jpegDims]] marker walk for JPEG's
+    * variable-offset SOF. PNG (IHDR, big-endian), GIF (screen descriptor,
+    * little-endian), BMP (BITMAPINFOHEADER, little-endian), JPEG (SOF
+    * big-endian); anything else
     * → null (the pixel decode itself stays a [[FeatureExtractor]] stage). */
   def imageDims(payload: Column): Column = {
     // parse as LONG (8 hex digits can exceed Int.MaxValue; an ANSI int
@@ -66,8 +98,11 @@ object Multimodal {
     val dibSize = le(15, 4)
     val isInfoBmp = hasBmpMagic && dibSize.isin(40, 52, 56, 108, 124)
     val isCoreBmp = hasBmpMagic && dibSize === 12
+    val isJpeg = hex(substring(payload, 1, 2)) === "FFD8"
+    val (jw, jh) = jpegDims(payload)
     when(isPng, struct(lit("png").as("format"), dim(be(17, 4)).as("width"), dim(be(21, 4)).as("height")))
       .when(isGif, struct(lit("gif").as("format"), dim(le(7, 2)).as("width"), dim(le(9, 2)).as("height")))
+      .when(isJpeg, struct(lit("jpeg").as("format"), dim(jw).as("width"), dim(jh).as("height")))
       .when(isInfoBmp, struct(lit("bmp").as("format"), bmpDim(le(19, 4)).as("width"), bmpDim(le(23, 4)).as("height")))
       .when(isCoreBmp, struct(lit("bmp").as("format"), dim(le(19, 2)).as("width"), dim(le(21, 2)).as("height")))
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))

@@ -208,7 +208,9 @@ object VectorQueries extends QuerySet {
     * offset/endianness bug hash-fails the gate. */
   val m2ImageDims = Q("m2_image_dims",
     Some("""SELECT doc_id,
-              CASE WHEN doc_id % 5 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+              CASE WHEN doc_id % 5 = 0 THEN NULL
+                   WHEN doc_id % 6 = 0 THEN 'jpeg'
+                   WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(doc_id % 1000 + 1 AS INT) END AS width,
               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST((doc_id * 3) % 800 + 1 AS INT) END AS height
             FROM documents ORDER BY doc_id"""),
@@ -222,7 +224,18 @@ object VectorQueries extends QuerySet {
       val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
         lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))
       val gifHex = concat(lit("474946383961"), le16(w), le16(h))
+      // JPEG with the SOF0 at a doc-dependent VARIABLE offset: SOI, a full
+      // 16-byte JFIF APP0, then a COM segment of doc_id%7+1 filler bytes —
+      // so the decoder's marker walk (not a fixed-offset read) is what the
+      // oracle's expected dims actually gate
+      val jpegHex = concat(
+        lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFFE"),
+        lpad(hex(col("doc_id") % 7 + 3), 4, "0"),
+        expr("repeat('41', CAST(doc_id % 7 + 1 AS INT))"),
+        lit("FFC0" + "0011" + "08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03" + "011100021100031100"))
       val payload = when(col("doc_id") % 5 === 0, unhex(lit("DEADBEEF")))
+        .when(col("doc_id") % 6 === 0, unhex(jpegHex))
         .when(col("doc_id") % 2 === 0, unhex(pngHex))
         .otherwise(unhex(gifHex))
       // payload bound to an ATTRIBUTE before imageDims sees it: the Column

@@ -37,6 +37,27 @@ class Round5Spec extends SparkSpec {
     assert(m.count() == 0)
   }
 
+  // --- JPEG SOF dimension walk --------------------------------------------
+
+  test("imageDims JPEG: SOF behind variable segments; SOS/garbage fail to null") {
+    def dims(hex: String) = Seq(hex).toDF("hx")
+      .withColumn("payload", unhex(col("hx")))
+      .select(graft.ops.Multimodal.imageDims(col("payload")).as("d"))
+      .select(col("d.format"), col("d.width"), col("d.height"))
+      .head()
+    // SOI + APP0(JFIF) + COM("AB") + SOF0 320x240 (0x0140 x 0x00F0)
+    val good = "FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFFE00044142" + "FFC0001108" + "00F0" + "0140" + "03011100021100031100"
+    assert(dims(good) ==  org.apache.spark.sql.Row("jpeg", 320, 240))
+    // SOS before any SOF: dims must be null, format still jpeg
+    val sos = "FFD8" + "FFDA000C03011100021100031100003F00"
+    assert(dims(sos) == org.apache.spark.sql.Row("jpeg", null, null))
+    // truncated stream (marker walk runs off the payload): null dims
+    assert(dims("FFD8FFE0") == org.apache.spark.sql.Row("jpeg", null, null))
+    // non-marker byte where a marker should be: null dims
+    assert(dims("FFD8" + "0041") == org.apache.spark.sql.Row("jpeg", null, null))
+  }
+
   // --- 64-bit SimHash -----------------------------------------------------
 
   test("simHash64Duplicates pairs identical docs at hamming 0 and enforces its range") {
