@@ -361,6 +361,57 @@ object MiscQueries extends QuerySet {
         graft.query.Ask.AskConfig(topK = 5, stopwords = Seq("zzzz")))
       .select(col("doc_id"), round(col("score"), 6).as("score")))
 
+  /** The EMBEDDING-scored ask pipeline (V1 × V2 composed into retrieval):
+    * corpus rows get the seeded 6-word vocab embedding (v1's exact
+    * construction), the query embeds as the same vocab's normalized count
+    * vector (a 17-significant-digit literal on both sides), and
+    * `Ask.ask(scoreFn = …)` runs its full fetch → hybrid relevance filter
+    * → top-k over the 6-dp-rounded dot product. The oracle replays
+    * embedding, dot, overlap gate, and both cut points — so the composed
+    * retrieval DAG, not just its pieces, is hash-gated. */
+  val ask3Embedding: Q = {
+    val qn = 1.0 / math.sqrt(3.0) // "spark join stream" → 3 unit counts
+    val qwSql = f"$qn%.17g"
+    Q("ask3_embedding_pipeline",
+      Some(s"""WITH t AS (SELECT doc_id, text, ${OracleSql.toksSql} AS toks FROM documents),
+              v AS (SELECT doc_id, text, [
+                  CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE),
+                  CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE),
+                  CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE),
+                  CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE),
+                  CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE),
+                  CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)] AS vec
+                FROM t),
+              n AS (SELECT doc_id, text, vec,
+                  sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v),
+              e AS (SELECT doc_id, text,
+                  list_transform(vec, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) AS emb
+                FROM n),
+              scored AS (SELECT doc_id,
+                  round(list_dot_product(emb, [$qwSql, $qwSql, $qwSql, 0.0, 0.0, 0.0]), 6) AS score,
+                  len(list_intersect(
+                    list_distinct(string_split_regex('spark join stream', '\\s+')),
+                    list_distinct(string_split_regex(lower(text), '\\s+')))) AS overlap
+                FROM e),
+              fetched AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15)
+              SELECT doc_id, score FROM fetched
+              WHERE score >= 0.2 AND (overlap >= 1 OR score >= 0.6)
+              ORDER BY score DESC, doc_id LIMIT 5"""),
+      (s, d) => {
+        val vocab = Seq("spark", "join", "stream", "hash", "sort", "vector")
+        val corpus = documents(s, d)
+          .withColumn("vec", graft.index.Embed.vocabVector(col("text"), vocab))
+          .withColumn("embedding", graft.index.Embed.l2Normalize(col("vec")))
+        val qv = array(Seq(qn, qn, qn, 0.0, 0.0, 0.0).map(lit): _*)
+        val score = round(graft.index.Embed.dot(col("embedding"), qv), 6)
+        graft.query.Ask.ask(corpus, "doc_id", "text", "spark join stream",
+            graft.query.Ask.AskConfig(topK = 5, minScore = 0.2, semanticOnly = 0.6,
+              stopwords = Seq("zzzz")),
+            scoreFn = Some(score))
+          .select(col("doc_id"), col("score"))
+      })
+  }
+
   /** Skew tooling, oracle-checked: the two-phase salted aggregation must
     * be indistinguishable from a plain GROUP BY (the salt only spreads the
     * hot key over more reducers). Values aggregate as integer cents so the
@@ -790,7 +841,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs)
 }

@@ -765,12 +765,16 @@ object VectorQueries extends QuerySet {
     private val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
                           WHEN d1 <= least(d2, d3) THEN 1
                           WHEN d2 <= d3 THEN 2 ELSE 3 END"""
-    val ctes: String =
+    /** Prefix shared with d9c: embeddings cast + literal-centroid argmin
+      * assignment (a0) — iteration 0 of every Lloyd unroll. */
+    val assignCtes: String =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               d AS (SELECT vec_id, e,
                 $dCols
                 FROM e),
-              a0 AS (SELECT vec_id, e, $cellSql AS cell FROM d),
+              a0 AS (SELECT vec_id, e, $cellSql AS cell FROM d)"""
+    val ctes: String =
+      s"""$assignCtes,
               el AS (SELECT cell, i, e[i] AS x FROM a0, range(1, ${dim + 1}) t(i)),
               cent AS (SELECT cell, i,
                   round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
@@ -788,6 +792,45 @@ object VectorQueries extends QuerySet {
                   list_cosine_similarity(a.e, b.e) AS cos
                 FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
                 WHERE list_cosine_similarity(a.e, b.e) >= $threshold)"""
+  }
+
+  /** Multi-iteration Lloyd oracle: 3 full assign→decimal-mean rounds
+    * unrolled as a CTE chain, gating `Cluster.lloyd`'s production loop
+    * end-to-end (d9 unrolls only one round via `lloydOnce`). Every
+    * iteration's centroid means are DECIMAL(25,10)-summed and 8-dp-rounded
+    * on both sides, so the claim under test — the loop's results are
+    * reduction-order-independent and engine-exact — is proven for the
+    * iterated case, where a drifting double would compound. Output is the
+    * final centroid table flattened to (cell, pos, c). */
+  val d9cLloyd3: Q = {
+    val iters = 3
+    val dim = 64
+    val distSql = s"""list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> (e[i] - centroid[i]) * (e[i] - centroid[i])))"""
+    val chain = (1 to iters).map { it =>
+      val means = s"""el$it AS (SELECT cell, i, e[i] AS x FROM a${it - 1}, range(1, ${dim + 1}) t(i)),
+              cent$it AS (SELECT cell, i,
+                  round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+                FROM el$it GROUP BY cell, i)"""
+      val reassign = s""",
+              cl$it AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cent$it GROUP BY cell),
+              dd$it AS (SELECT vec_id, e, cl$it.cell AS cell, $distSql AS d2
+                FROM e CROSS JOIN cl$it),
+              a$it AS (SELECT vec_id, e, cell FROM (
+                  SELECT vec_id, e, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dd$it) t WHERE rn = 1)"""
+      if (it < iters) means + reassign else means
+    }.mkString(",\n              ")
+    Q("d9c_lloyd3_centroids",
+      Some(s"""${SemDedup.assignCtes},
+              $chain
+              SELECT cell, CAST(i - 1 AS INT) AS pos, c FROM cent$iters
+              ORDER BY cell, pos"""),
+      (s, d) => graft.ops.Cluster.lloyd(embeddings(s, d), "embedding", "vec_id",
+          SemDedup.init, iterations = iters)
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("pos", "c")))
+        .orderBy("cell", "pos"))
   }
 
   val d9SemDedup: Q =
@@ -824,7 +867,7 @@ object VectorQueries extends QuerySet {
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
-    d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, hn1HardNeg,
+    d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims)
 }
