@@ -100,6 +100,64 @@ object Ingest {
       OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
   }
 
+  /** TRUE stateful streaming sessionization — `Merge.sessionize`'s
+    * multi-predicate gap-break semantics under a watermark, via
+    * `flatMapGroupsWithState` (the built-in `session_window` of
+    * [[sessionWindows]] can only aggregate per session; this one assigns
+    * each EVENT its batch-identical 1-based session id).
+    *
+    * Event-time-correct buffering: per key, events are held in state until
+    * the watermark passes them (only then can no earlier event still
+    * arrive), then emitted in (ts, tie) order with a new session id
+    * whenever the gap from the previous emitted event exceeds
+    * `gapSeconds`. An event-time timeout armed on the EARLIEST pending
+    * event keeps flushing as the watermark advances even through no-data
+    * micro-batches; incoming events at or below the watermark are dropped
+    * (late-beyond-watermark, the same contract as every watermarked op).
+    * State per key is the pending buffer (bounded by the watermark
+    * horizon) plus two longs — the (last_ts, session_counter) carried
+    * FOREVER so session numbering stays continuous for however long a key
+    * stays live, across micro-batches and restarts alike.
+    *
+    * Output: (key, ts_us, tie, session_id). */
+  def sessionizeStream(events: DataFrame, tsCol: String, keyCol: String, tieCol: String,
+                       watermark: String, gapSeconds: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def advance(key: String, rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+                state: GroupState[(Seq[(Long, Long)], Long, Long)])
+        : Iterator[(String, Long, Long, Long)] = {
+      val (buf0, last0, sid0) = state.getOption.getOrElse((Seq.empty[(Long, Long)], Long.MinValue, 0L))
+      val horizonUs = state.getCurrentWatermarkMs() * 1000L
+      val incoming = rows.map(r => (r._3, r._4)).filter(_._1 > horizonUs)
+      val (ready, still) = (buf0 ++ incoming).sorted.partition(_._1 <= horizonUs)
+      var last = last0
+      var sid = sid0
+      val out = ready.map { case (ts, tie) =>
+        if (last == Long.MinValue || ts - last > gapSeconds * 1000000L) sid += 1
+        last = ts
+        (key, ts, tie, sid)
+      }
+      state.update((still, last, sid))
+      // re-arm on the earliest pending event: the flush must fire the
+      // moment the watermark passes IT, not the newest one
+      if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+      out.iterator
+    }
+    // the watermarked timestamp column must itself reach the grouped
+    // Dataset (the event-time-timeout checker looks for its watermark
+    // metadata in the child plan) — carried alongside its µs projection
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string"), col(tsCol),
+        unix_micros(col(tsCol)), col(tieCol).cast("long"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(advance)
+      .toDF(keyCol, "ts_us", tieCol, "session_id")
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension (user tier, doc metadata, domain verdicts). The static side
     * is broadcast per micro-batch — stateless, no watermark, and the

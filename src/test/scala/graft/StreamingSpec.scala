@@ -141,6 +141,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionizeStream matches batch Merge.sessionize across a restart (event-time)") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    def ev(k: String, s: Long, tie: Long) = (k, base + s * 1000000L, tie)
+    // A: events at 0s/30s (session 1) then 200s/230s (gap 170s → session 2)
+    // B: 10s (session 1) then 400s (session 2)
+    val p1 = Seq(ev("A", 0, 1), ev("A", 30, 2), ev("A", 200, 3), ev("B", 10, 1))
+    val p2 = Seq(ev("A", 230, 4), ev("B", 400, 2))
+    // far-future flushers: advance the watermark past every real event so
+    // the tail emits; they stay buffered themselves and are excluded below
+    val sentinels = Seq(ev("A", 100000, 99), ev("B", 100000, 99))
+    val dir = "/tmp/graft_stream_sess"; val ckpt = "/tmp/graft_stream_sess_ckpt"
+    val outDir = "/tmp/graft_stream_sess_out"
+    Seq(dir, ckpt, outDir).foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    def write(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("k", "us", "tie")
+        .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("tie"))
+        .write.mode("append").parquet(dir)
+    write(p1)
+    val schema = spark.read.parquet(dir).schema
+    def start() = Ingest.sessionizeStream(
+        spark.readStream.schema(schema).parquet(dir), "ts", "k", "tie",
+        watermark = "10 seconds", gapSeconds = 60)
+      .writeStream.format("parquet").option("path", outDir).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // phase-1 run must already flush everything the watermark passed
+    // (190s horizon → A@0, A@30, B@10) but hold A@200
+    assert(spark.read.parquet(outDir).count() == 3,
+      "expected exactly the 3 watermark-passed rows after run 1")
+    write(p2 ++ sentinels)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    def tup(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val streamed = tup(spark.read.parquet(outDir).collect()).filterNot(_._3 == 99L).sorted
+    val batch = graft.ops.Merge.sessionize(
+        (p1 ++ p2).toDF("k", "us", "tie")
+          .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("tie")),
+        Seq(col("k")), col("ts"), col("tie"), gapSeconds = 60)
+      .select(col("k"), unix_micros(col("ts")).as("us"), col("tie"), col("session_id"))
+      .collect()
+    assert(streamed == tup(batch).sorted,
+      s"stream/batch session ids diverge:\n stream=$streamed\n batch=${tup(batch).sorted}")
+    // the restart carried (last_ts, session_counter) through the
+    // checkpoint: A@200 emitted in run 2 must open session 2, not restart at 1
+    assert(streamed.collect { case ("A", ts, _, sid) if ts == base + 200000000L => sid } == Seq(2L))
+  }
+
   test("appendLogSink persists the stream as append-mode parquet (S7 QA log)") {
     val out = "/tmp/graft_qalog_out"; val ckpt = "/tmp/graft_qalog_ckpt"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
