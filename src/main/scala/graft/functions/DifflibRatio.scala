@@ -133,6 +133,17 @@ object GraftFunctions {
       "winnow_hashes", exprs => WinnowHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalizeExpr(exprs(0)), "built-in")
+    // Spark ships Bloom expressions for its runtime join filters but does
+    // not register them as SQL functions; surfaced here for the
+    // decontamination prefilter (analyzer wraps the AggregateFunction)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)), "built-in")
     registeredSessions.add(spark)
   }
 

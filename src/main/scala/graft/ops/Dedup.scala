@@ -264,6 +264,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s scale path
+    * for when the eval-gram set is too large to broadcast comfortably:
+    * the corpus gram stream is first cut down by a `might_contain` test
+    * against a Bloom filter of the eval grams (map-only, at scan
+    * bandwidth — the filter is a bounded bitmap, `numBits`), and only the
+    * bloom-POSITIVE grams reach the exact semi-join. False positives are
+    * removed by the exact join and false negatives are impossible, so the
+    * result is bit-identical to [[decontaminate]] — same oracle — while
+    * the exact join's probe side shrinks from every corpus gram to the
+    * (true hits + ε·false positives). The bitmap itself is the only
+    * driver traffic: a filter STATISTIC of fixed size (numBits/8 bytes),
+    * not data rows — the same compromise Spark's own runtime bloom join
+    * makes when it ships the filter between stages. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         estimatedItems: Long = 100000L,
+                         numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    def grams(df: DataFrame) =
+      df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("g"))
+    // checkpoint: feeds BOTH the bloom build and the verify semi-join —
+    // without it the eval scan + shingle explode runs twice
+    val evalGrams = grams(evalSet).select("g").distinct().localCheckpoint()
+    val bf = evalGrams
+      .select(call_function("bloom_filter_agg", xxhash64(col("g")),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    grams(train)
+      .filter(call_function("might_contain", lit(bf), xxhash64(col("g"))))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental dedup — the production update path: dedup a NEW batch
     * against an EXISTING corpus without re-deduping the corpus. Returns
     * the batch rows that are neither exact copies (same normalized-content

@@ -412,6 +412,45 @@ object MiscQueries extends QuerySet {
       })
   }
 
+  /** Retrieval-quality metrics (recall@k / MRR / nDCG@k) — the offline
+    * eval loop a retrieval stack is tuned with. Fixture: one deliberately
+    * query-blind ranking (global top-10 docs by length) scored against
+    * per-language relevance, so every metric is nontrivial and the
+    * DECIMAL-summed DCG + fixed-order IDCG fold are both exercised. The
+    * oracle replays ranking construction and all three metrics. */
+  val ev1Retrieval: Q = Q("ev1_retrieval_metrics",
+    Some("""WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+            top10 AS (SELECT doc_id, n_chars FROM d ORDER BY n_chars DESC, doc_id LIMIT 10),
+            rk AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS rank
+                   FROM top10 a JOIN top10 b
+                     ON b.n_chars > a.n_chars OR (b.n_chars = a.n_chars AND b.doc_id <= a.doc_id)
+                   GROUP BY a.doc_id),
+            rel AS (SELECT lang, count(*) AS n_rel FROM d GROUP BY lang),
+            hits AS (SELECT d.lang, rk.rank FROM rk JOIN d USING (doc_id)),
+            perq AS (SELECT lang, count(*) AS n_hits, min(rank) AS first_rank,
+                       sum(CAST(round(1.0 / log2(rank + 1), 9) AS DECIMAL(18,12))) AS dcg
+                     FROM hits GROUP BY lang)
+            SELECT lang, n_rel,
+              round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_rel, 6) AS recall_at_k,
+              round(coalesce(1.0 / first_rank, 0.0), 6) AS mrr,
+              round(CAST(coalesce(dcg, 0) AS DOUBLE) /
+                list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+                  i -> round(1.0 / log2(i + 1), 9))), 6) AS ndcg
+            FROM rel LEFT JOIN perq USING (lang) ORDER BY lang"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val top = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+      val peers = top.select(col("doc_id").as("d2"), col("n_chars").as("c2"))
+      val ranked = top.join(broadcast(peers),
+          col("c2") > col("n_chars") || (col("c2") === col("n_chars") && col("d2") <= col("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("rank"))
+      val rankedPerQ = docs.select(col("lang")).distinct().crossJoin(ranked)
+      graft.eval.Retrieval.metrics(rankedPerQ, docs.select(col("lang"), col("doc_id")),
+          "lang", "doc_id", "rank", k = 10)
+        .orderBy("lang")
+    })
+
   /** Skew tooling, oracle-checked: the two-phase salted aggregation must
     * be indistinguishable from a plain GROUP BY (the salt only spreads the
     * hot key over more reducers). Values aggregate as integer cents so the
@@ -841,7 +880,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs)
 }

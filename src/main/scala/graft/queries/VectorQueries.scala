@@ -544,6 +544,29 @@ object VectorQueries extends QuerySet {
         .orderBy("id")
     })
 
+  /** d6's SCALE PATH: identical decontamination result, but the corpus
+    * gram stream is prefiltered map-only by a Bloom filter of the eval
+    * grams before the exact semi-join — the shape for an eval set too
+    * large to broadcast comfortably. The oracle is d6's verbatim: false
+    * positives die in the exact join, false negatives are impossible, so
+    * the bloom path must hash-match the exact path. */
+  val d6bDecontaminateBloom = Q("d6b_decontaminate_bloom",
+    Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT id, ${OracleSql.shinglesSql(4)} AS sh FROM t),
+            g AS (SELECT id, unnest(sh) AS g FROM sh),
+            ev AS (SELECT DISTINCT g FROM g WHERE id % 13 = 0)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM g WHERE id % 13 <> 0 AND g IN (SELECT g FROM ev)
+            GROUP BY id ORDER BY id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("id")
+    })
+
   /** Incremental dedup — the production update loop: a new batch
     * (doc_id % 4 = 0) is deduped AGAINST the standing corpus (the rest)
     * without touching corpus-internal duplicates; exact-hash anti-join
@@ -866,7 +889,7 @@ object VectorQueries extends QuerySet {
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
-    d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d7DedupClusters,
+    d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims)

@@ -86,6 +86,23 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- Bloom-prefiltered decontamination ----------------------------------
+
+  test("decontaminateBloom is bit-identical to the exact path") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta shared phrase lives here today"),
+      (2L, "totally clean document nothing shared with eval rows"),
+      (3L, "another shared phrase lives here too for overlap")).toDF("id", "text")
+    val eval_ = Seq((10L, "the shared phrase lives here marker")).toDF("id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame) =
+      f(train, eval_, "id", "text", 4).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = run(graft.ops.Dedup.decontaminate)
+    val bloom = run(graft.ops.Dedup.decontaminateBloom(_, _, _, _, _))
+    assert(exact.nonEmpty, "fixture must actually share grams")
+    assert(bloom == exact)
+  }
+
   test("bpeTrain ignores non-alphabetic tokens and weights by frequency") {
     // "ab" appears 3×, "cd" 2×, "a1b!" filtered out entirely
     val docs = Seq("ab ab ab cd", "cd a1b!").toDF("text")
