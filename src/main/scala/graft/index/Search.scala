@@ -174,7 +174,14 @@ object Search {
     * a cell (the SemDeDup argument) — and negatives outside the anchor's
     * cell are by construction farther away, i.e. not hard. Norms are
     * computed once per row; ranking is on the 4-dp-rounded cosine with an
-    * id tiebreak, so cross-engine FP drift cannot reorder the cutoff. */
+    * id tiebreak, so cross-engine FP drift cannot reorder the cutoff.
+    *
+    * Production sizing: per-cell pair volume is quadratic in cell size,
+    * so the centroid count must be chosen proportional to
+    * N/target-cell-size (SemDeDup's k rule). A skewed corpus can still
+    * produce one fat cell; the mitigation is MORE centroids (finer
+    * cells), not salting — splitting a cell arbitrarily would hide true
+    * hard negatives from the anchors in the other half. */
   def hardNegatives(emb: DataFrame, vecCol: String, idCol: String, labelCol: String,
                     centroids: Seq[Seq[Double]], k: Int): DataFrame = {
     val celled = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"), col(vecCol).as("v"),

@@ -465,7 +465,7 @@ object TextQueries extends QuerySet {
     * encoding, with the merge application as a literal `replace` — greedy
     * left-to-right non-overlapping in both engines — so every learned
     * rule AND its count are compared exactly. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleCtes(k: Int): String = {
     val steps = (1 to k).map { i =>
       s"""s$i AS (SELECT cnt, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms FROM v${i - 1}),
             pr$i AS (SELECT cnt, unnest(list_transform(range(1, len(syms)),
@@ -476,15 +476,19 @@ object TextQueries extends QuerySet {
             v$i AS (SELECT w, cnt, replace(enc, chr(1)||a||chr(1)||chr(1)||b||chr(1),
                 chr(1)||a||b||chr(1)) AS enc FROM v${i - 1} CROSS JOIN t$i)"""
     }.mkString(",\n            ")
-    val sel = (1 to k)
-      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, total AS cnt FROM t$i")
-      .mkString(" UNION ALL ")
     s"""WITH t0 AS (SELECT ${OracleSql.toksSql} AS toks FROM documents),
             words AS (SELECT unnest(toks) AS w FROM t0),
             v0 AS (SELECT w, count(*) AS cnt,
                 regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc
               FROM words WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
-            $steps
+            $steps"""
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, total AS cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeOracleCtes(k)}
             SELECT step, lhs, rhs, cnt FROM ($sel) ORDER BY step"""
   }
 
@@ -492,6 +496,43 @@ object TextQueries extends QuerySet {
     Some(bpeOracleSql(8)),
     (s, d) => TextAnalysis.bpeTrain(documents(s, d), col("text"), nMerges = 8)
       .orderBy("step"))
+
+  /** The ENCODER applied at corpus scale: train 8 merges, re-encode the
+    * vocabulary with `bpeEncode` (a map-only chain of literal replaces),
+    * and report the corpus tokenization profile — total words / chars /
+    * symbols plus symbols-per-word and chars-per-symbol, the compression
+    * numbers a tokenizer run is judged by. The oracle reads the SAME
+    * unrolled chain's final vocabulary (v8), so the Spark encoder output
+    * is compared against the oracle's trained state symbol-for-symbol. */
+  val tok3BpeEncode = Q("tok3_bpe_encode_stats",
+    Some(s"""${bpeOracleCtes(8)},
+            stats AS (SELECT cnt, length(w) AS n_chars,
+                len(string_split(trim(enc, chr(1)), chr(1) || chr(1))) AS n_syms
+              FROM v8)
+            SELECT CAST(sum(cnt) AS BIGINT) AS total_words,
+              CAST(sum(n_chars * cnt) AS BIGINT) AS total_chars,
+              CAST(sum(n_syms * cnt) AS BIGINT) AS total_symbols,
+              round(CAST(sum(n_syms * cnt) AS DOUBLE) / sum(cnt), 6) AS symbols_per_word,
+              round(CAST(sum(n_chars * cnt) AS DOUBLE) / sum(n_syms * cnt), 6) AS chars_per_symbol
+            FROM stats"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, col("text"), nMerges = 8)
+        .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val symbols = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), length(col("w")).cast("long").as("n_chars"),
+          size(TextAnalysis.bpeEncode(col("w"), merges)).cast("long").as("n_syms"))
+      symbols.agg(
+        sum(col("cnt")).as("total_words"),
+        sum(col("n_chars") * col("cnt")).as("total_chars"),
+        sum(col("n_syms") * col("cnt")).as("total_symbols"),
+        round(sum(col("n_syms") * col("cnt")).cast("double") / sum(col("cnt")), 6)
+          .as("symbols_per_word"),
+        round(sum(col("n_chars") * col("cnt")).cast("double") / sum(col("n_syms") * col("cnt")), 6)
+          .as("chars_per_symbol"))
+    })
 
   /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
     * unigram + bigram counts on the corpus itself, score each doc's mean
@@ -811,6 +852,6 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, tok2BpeMerges, x9Bigram, x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf,
-    p14Url, d10SpanDedup, f23Chat)
+    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, x9Bigram, x10Split, x11Winnow, x12Tfidf,
+    p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat)
 }
