@@ -212,6 +212,43 @@ object SigExprs {
     UTF8String.fromBytes(out)
   }
 
+  /** Content-defined chunk boundaries (Rabin-Karp rolling hash): the
+    * 1-based END positions (in code points) of every `w`-wide window
+    * whose polynomial hash (base 257 mod 1e9+7, computed over code
+    * points) is divisible by `div` — the restic/Borg/LBFS chunking rule,
+    * giving expected chunk length ≈ `div` beyond the window. ONE O(L)
+    * pass per document: the window hash rolls (remove c_out·B^(w-1),
+    * multiply by B, add c_in, all mod M with positive folding), which is
+    * bit-identical to re-folding each window from zero — the form the
+    * DuckDB oracle replays in O(L·w). Boundaries move only if the LOCAL
+    * w-char context changes, so an edit reshuffles one chunk's
+    * neighborhood instead of re-cutting the whole document — the property
+    * that makes downstream chunk-level dedup edit-stable. */
+  def cdcBoundaries(text: UTF8String, w: Int, div: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints.toArray
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    if (w >= 1 && div >= 1 && n >= w) {
+      val B = 257L
+      val M = 1000000007L
+      var bw = 1L
+      var k = 1
+      while (k < w) { bw = bw * B % M; k += 1 }
+      var h = 0L
+      var i = 0
+      while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
+      if (h % div == 0) out += w
+      while (i < n) {
+        h = ((h - cps(i - w) * bw % M) % M + M) % M
+        h = (h * B + cps(i)) % M
+        i += 1
+        if (h % div == 0) out += i
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Wide SimHash: vote position j reads BIT j of the digest (hex char
     * j/4, bit 3-(j%4), MSB-first) instead of only each hex char's top
     * bit — one md5 yields up to 128 independent vote positions, so the
@@ -346,6 +383,24 @@ case class WinnowHashesExpr(first: Expression, second: Expression, third: Expres
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `cdc_boundaries(string, w, div)` → array<int> of 1-based window-end
+  * positions where the rolling hash is divisible by div. */
+case class CdcBoundariesExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    SigExprs.cdcBoundaries(a.asInstanceOf[UTF8String], b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.SigExprs.cdcBoundaries($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** `nfc_normalize(string)` → NFC-composed string. */
 case class NfcNormalizeExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -368,4 +423,5 @@ object WordShingles { val info = new ExpressionInfo(classOf[WordShinglesExpr].ge
 object MinHashMins { val info = new ExpressionInfo(classOf[MinHashMinsExpr].getName, "minhash_mins") }
 object SimHashBits { val info = new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits") }
 object SimHashBits64 { val info = new ExpressionInfo(classOf[SimHashBits64Expr].getName, "simhash_bits64") }
+object CdcBoundaries { val info = new ExpressionInfo(classOf[CdcBoundariesExpr].getName, "cdc_boundaries") }
 object CharNgrams { val info = new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams") }

@@ -82,4 +82,31 @@ object Chunking {
       sort_array(collect_set(blockType)).as("block_types"),
       sum(length(content)).as("n_chars"),
       count(lit(1)).as("n_blocks"))
+
+  /** Content-defined chunking (CDC): cut each document where the
+    * Rabin-Karp rolling hash of the trailing `w` code points divides
+    * `divisor` — the restic/Borg/LBFS rule. Unlike fixed-size or
+    * token-budget chunking, boundaries depend only on LOCAL content, so
+    * an insertion re-cuts one neighborhood instead of shifting every
+    * subsequent chunk — which is what makes chunk-digest dedup stable
+    * under edits. Map-only: one O(L) compiled pass per document
+    * (`functions.CdcBoundariesExpr`) then array slicing; no shuffle
+    * until the caller aggregates. The tail always closes at end-of-text;
+    * empty/NULL text yields no chunks. */
+  def cdcChunks(df: DataFrame, idCol: Column, text: Column, w: Int, divisor: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val t = coalesce(text, lit(""))
+    df.select(idCol.as("doc_id"), t.as("t"))
+      .withColumn("bounds", call_function("cdc_boundaries", col("t"), lit(w), lit(divisor)))
+      .withColumn("ends",
+        when(size(col("bounds")) > 0 && element_at(col("bounds"), -1) === length(col("t")),
+          col("bounds"))
+          .otherwise(concat(col("bounds"), array(length(col("t"))))))
+      .select(col("doc_id"), col("t"), col("ends"), posexplode(col("ends")).as(Seq("i0", "end")))
+      .withColumn("start", when(col("i0") === 0, lit(0)).otherwise(get(col("ends"), col("i0") - 1)))
+      .filter(col("end") > col("start"))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("chunk_idx"),
+        (col("end") - col("start")).cast("long").as("chunk_len"),
+        md5(col("t").substr(col("start") + 1, col("end") - col("start")).cast("binary")).as("digest"))
+  }
 }

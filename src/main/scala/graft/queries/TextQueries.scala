@@ -534,6 +534,36 @@ object TextQueries extends QuerySet {
           .as("chars_per_symbol"))
     })
 
+  /** Content-defined chunking: Rabin-Karp rolling-hash boundaries (w=16
+    * code points, divisor 64 → ~64-char expected chunks), tail closed at
+    * end-of-text, chunks emitted as (idx, len, md5). The oracle replays
+    * every window hash as an O(L·w) fold-from-zero — bit-identical to the
+    * native expression's O(L) rolling recurrence — then the same slicing. */
+  val cdc1Chunks = Q("cdc1_content_chunks",
+    Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            b AS (SELECT doc_id, t, list_filter(range(16, length(t) + 1),
+                    i -> list_reduce(list_transform(range(i - 15, i + 1),
+                           j -> CAST(ord(substr(t, CAST(j AS INT), 1)) AS BIGINT)),
+                           (acc, c) -> (acc * 257 + c) % 1000000007) % 64 = 0) AS bounds
+                  FROM d),
+            e AS (SELECT doc_id, t,
+                    CASE WHEN len(bounds) > 0 AND bounds[-1] = length(t) THEN bounds
+                         ELSE list_append(bounds, length(t)) END AS ends
+                  FROM b),
+            x AS (SELECT doc_id, t, ends, unnest(range(1, len(ends) + 1)) AS i FROM e),
+            c AS (SELECT doc_id, i AS chunk_idx,
+                    substr(t,
+                      CAST((CASE WHEN i = 1 THEN 0 ELSE ends[CAST(i - 1 AS INT)] END) + 1 AS INT),
+                      CAST(ends[CAST(i AS INT)]
+                        - (CASE WHEN i = 1 THEN 0 ELSE ends[CAST(i - 1 AS INT)] END) AS INT)) AS chunk
+                  FROM x)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS digest
+            FROM c WHERE length(chunk) > 0 ORDER BY doc_id, chunk_idx"""),
+    (s, d) => graft.ops.Chunking.cdcChunks(documents(s, d), col("doc_id"), col("text"),
+        w = 16, divisor = 64)
+      .orderBy("doc_id", "chunk_idx"))
+
   /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
     * unigram + bigram counts on the corpus itself, score each doc's mean
     * ln(0.7·P_bigram + 0.3·P_unigram) with add-one smoothing. All ratio
@@ -852,6 +882,6 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, x9Bigram, x10Split, x11Winnow, x12Tfidf,
-    p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat)
+    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, x9Bigram, x10Split, x11Winnow,
+    x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat)
 }

@@ -86,6 +86,30 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- Content-defined chunking -------------------------------------------
+
+  test("cdc chunking reconstructs the text and is edit-stable under a prefix edit") {
+    val text = (1 to 150).map(i => s"word$i token").mkString(" ")
+    val docs = Seq((1L, text), (2L, "EDITED PREFIX CHANGES EVERYTHING EARLY " + text))
+      .toDF("id", "text")
+    val ch = graft.ops.Chunking.cdcChunks(docs, col("id"), col("text"), w = 16, divisor = 64)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = ch.filter(_.getLong(0) == 1L)
+    val d2 = ch.filter(_.getLong(0) == 2L)
+    // chunks partition the text exactly
+    assert(d1.map(_.getLong(2)).sum == text.length)
+    assert(d1.length > 3, s"fixture must cut several chunks, got ${d1.length}")
+    // THE CDC property: an edit near the start must not re-cut the tail —
+    // the last chunks' digests survive byte-identical
+    val tail1 = d1.map(_.getString(3)).takeRight(2).toSeq
+    val tail2 = d2.map(_.getString(3)).takeRight(2).toSeq
+    assert(tail1 == tail2, "prefix edit re-cut the tail — boundaries are not content-defined")
+    // empty and NULL text yield no chunks
+    val empty = graft.ops.Chunking.cdcChunks(
+      Seq((3L, ""), (4L, null: String)).toDF("id", "text"), col("id"), col("text"), 16, 64)
+    assert(empty.count() == 0)
+  }
+
   // --- Bloom-prefiltered decontamination ----------------------------------
 
   test("decontaminateBloom is bit-identical to the exact path") {
