@@ -201,6 +201,30 @@ class PlanSpec extends SparkSpec {
         "never sort-merge")
   }
 
+  test("d6b bloom prefilter is a scan-side filter below a broadcast semi join") {
+    val plan = formatted(graft.queries.VectorQueries.d6bDecontaminateBloom.fn(spark, sf))
+    assert(plan.contains("might_contain"),
+      "the bloom test must run as a filter expression, not a join")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "the exact verify must stay a broadcast semi join")
+    assert(!plan.contains("SortMergeJoin"), "the corpus side must never shuffle")
+  }
+
+  test("ev1 retrieval metrics rank without any window operator") {
+    val plan = formatted(graft.queries.MiscQueries.ev1Retrieval.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-10 ranking must be per-partition heaps, not a global sort")
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindowFunction"),
+      "rank and DCG must come from joins/aggregates, not windows")
+  }
+
+  test("cdc1 chunking is map-only until the output ordering") {
+    val plan = formatted(graft.queries.TextQueries.cdc1Chunks.fn(spark, sf))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1, // one rangepartitioning for the deterministic ORDER BY
+      s"CDC must not shuffle (boundaries are per-document local), found $exchanges")
+  }
+
   test("no catalog query plans an unpartitioned WindowExec") {
     // An empty partitionSpec moves the ENTIRE input to one partition — the
     // one plan shape that silently stops scaling (x13's old global rank
