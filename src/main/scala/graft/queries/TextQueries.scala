@@ -564,6 +564,47 @@ object TextQueries extends QuerySet {
         w = 16, divisor = 64)
       .orderBy("doc_id", "chunk_idx"))
 
+  /** Count-Min sketch heavy hitters (Cormode-Muthukrishnan): a 4×256
+    * counter sketch built in ONE vocab-sized aggregate (update stream =
+    * vocab × 4 salted-md5 buckets, map-side combined to ≤1024 keys —
+    * the sketch shuffle is CONSTANT in corpus size, the property that
+    * makes CMS the 100 TB heavy-hitter tool), then the exact top-20
+    * tokens scored against it. Estimates obey est ≥ exact (one-sided CMS
+    * error, spec-pinned); the oracle replays the bucket hashing (last two
+    * md5 hex chars), the counter build, and the min-over-rows estimate. */
+  val sk1CmsHeavyHitters = Q("sk1_cms_heavy_hitters",
+    Some(s"""WITH t AS (SELECT unnest(${OracleSql.toksSql}) AS w FROM documents),
+            v AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+            ev AS (SELECT w, cnt, r, md5(concat(CAST(r AS VARCHAR), ':', w)) AS dig
+                   FROM v, range(0, 4) q(r)),
+            h AS (SELECT w, cnt, r,
+                (strpos('0123456789abcdef', substr(dig, 31, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(dig, 32, 1)) - 1 AS bucket
+              FROM ev),
+            sk AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c FROM h GROUP BY r, bucket),
+            top AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT 20),
+            est AS (SELECT top.w, top.cnt, min(sk.c) AS est
+                    FROM top JOIN h ON h.w = top.w
+                    JOIN sk ON sk.r = h.r AND sk.bucket = h.bucket
+                    GROUP BY top.w, top.cnt)
+            SELECT w AS term, CAST(cnt AS BIGINT) AS cnt, est
+            FROM est ORDER BY cnt DESC, term"""),
+    (s, d) => {
+      val cnt = documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val ev = cnt.select(col("w"), col("cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("dig", md5(concat(col("r").cast("string"), lit(":"), col("w")).cast("binary")))
+        .withColumn("bucket", conv(substring(col("dig"), 31, 2), 16, 10).cast("long"))
+      val sketch = ev.groupBy("r", "bucket").agg(sum("cnt").as("c"))
+      val top = cnt.orderBy(col("cnt").desc, col("w")).limit(20)
+      top.join(ev.select("w", "r", "bucket"), Seq("w"))
+        .join(sketch, Seq("r", "bucket"))
+        .groupBy("w", "cnt").agg(min("c").as("est"))
+        .select(col("w").as("term"), col("cnt"), col("est"))
+        .orderBy(col("cnt").desc, col("term"))
+    })
+
   /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
     * unigram + bigram counts on the corpus itself, score each doc's mean
     * ln(0.7·P_bigram + 0.3·P_unigram) with add-one smoothing. All ratio
@@ -882,6 +923,6 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, x9Bigram, x10Split, x11Winnow,
-    x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat)
+    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
+    x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat)
 }

@@ -86,6 +86,25 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- Count-Min sketch -----------------------------------------------------
+
+  test("CMS estimates are one-sided: est >= exact, exact when collision-free") {
+    val out = graft.queries.TextQueries.sk1CmsHeavyHitters
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never under-count: ${r.getString(0)} est=${r.getLong(2)} exact=${r.getLong(1)}")
+    }
+    // a 3-token vocab cannot collide in any of the 4 rows of 256 buckets
+    // unless md5 is adversarial — estimates must be exact
+    val tiny = Seq("aa bb cc aa bb aa").toDF("text")
+    import graft.ops.TextAnalysis
+    val cnt = tiny.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    assert(cnt.count() == 3)
+  }
+
   // --- Content-defined chunking -------------------------------------------
 
   test("cdc chunking reconstructs the text and is edit-stable under a prefix edit") {
