@@ -683,6 +683,37 @@ object VectorQueries extends QuerySet {
         shingleWidth = 3, bits = 64, maxHamming = 3)
       .orderBy("id_a", "id_b"))
 
+  /** REAL PDF text extraction (S1's front door, no codec needed): every
+    * row is wrapped into a structurally honest single-page PDF — raw or
+    * FlateDecode content stream by doc parity, show-text as one `Tj` or a
+    * kerned `TJ` array, parens escaped — and `Pdf.extractStage` (JDK
+    * Inflater + content-stream walk + escape-aware operator parse) must
+    * recover the planted text byte-for-byte. The oracle predicts the text
+    * from doc_id arithmetic, so a regression anywhere in the stream scan,
+    * inflate, operator regex, or unescape hash-fails. */
+  val pdf1TextExtract = Q("pdf1_text_extract",
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'raw' ELSE 'flate' END AS encoding,
+              concat('Report ', CAST(doc_id AS VARCHAR), ' total ',
+                CAST((doc_id * 7) % 1000 AS VARCHAR), ' USD',
+                CASE WHEN doc_id % 5 = 0 THEN ' with (escaped) parens' ELSE '' END) AS text_out
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        concat(lit("Report "), col("doc_id").cast("string"), lit(" total "),
+          ((col("doc_id") * 7) % 1000).cast("string"), lit(" USD"),
+          when(col("doc_id") % 5 === 0, lit(" with (escaped) parens"))
+            .otherwise(lit(""))).as("t"),
+        (col("doc_id") % 3 =!= 0).as("compress"),
+        (col("doc_id") % 4 === 0).as("split"))
+      val withPdf = graft.ops.Pdf.buildStage(planted, "t", "compress", "split", "payload")
+      graft.ops.Pdf.extractStage(withPdf, "payload", "text_out")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("raw")).otherwise(lit("flate")).as("encoding"),
+          col("text_out"))
+        .orderBy("doc_id")
+    })
+
   /** Frame sampling (video analog): k = 4 evenly-spaced byte offsets per
     * media row, exploded — the oracle replays the offset arithmetic with
     * an explicit floor so double-division truncation matches. */
@@ -892,5 +923,5 @@ object VectorQueries extends QuerySet {
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
-    m1Binary, m2ImageDims)
+    m1Binary, m2ImageDims, pdf1TextExtract)
 }

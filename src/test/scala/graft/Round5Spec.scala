@@ -86,6 +86,35 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- PDF text extraction --------------------------------------------------
+
+  test("Pdf.extractText reads a hand-written uncompressed PDF (ground truth)") {
+    // hand-authored bytes, NOT via buildMinimalPdf — the parser must read
+    // a document it did not produce
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n" +
+      "2 0 obj << /Length 61 >> stream\n" +
+      "BT /F1 10 Tf 10 10 Td (Hello \\(PDF\\) world) Tj (, part 2) ' ET\n" +
+      "endstream endobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(graft.ops.Pdf.extractText(pdf) == "Hello (PDF) world, part 2")
+  }
+
+  test("Pdf extraction: flate round-trip, TJ arrays, octal escapes, garbage safety") {
+    import graft.ops.Pdf
+    assert(Pdf.extractText(Pdf.buildMinimalPdf("plain flate text", compress = true))
+      == "plain flate text")
+    assert(Pdf.extractText(Pdf.buildMinimalPdf("split across a TJ array", compress = true,
+      splitShow = true)) == "split across a TJ array")
+    // octal escape \101 = 'A' inside a raw stream
+    val octal = ("%PDF-1.4\n1 0 obj << /Length 20 >> stream\n" +
+      "BT (oct\\101l) Tj ET\nendstream endobj\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(octal) == "octAl")
+    // not a PDF at all / truncated stream: empty, never a throw
+    assert(Pdf.extractText("DEADBEEF".getBytes) == "")
+    assert(Pdf.extractText(("%PDF-1.4\n1 0 obj << /Filter /FlateDecode /Length 5 >> stream\n" +
+      "ZZZZZ").getBytes("ISO-8859-1")) == "")
+  }
+
   // --- Count-Min sketch -----------------------------------------------------
 
   test("CMS estimates are one-sided: est >= exact, exact when collision-free") {
