@@ -412,6 +412,78 @@ object MiscQueries extends QuerySet {
       })
   }
 
+  /** OCR preprocessing, the statistic half (ref cv2 grayscale→Otsu):
+    * per-document synthetic RGB pixels → integer luma → Otsu's threshold
+    * computed RELATIONALLY — per-doc cumulative histogram windows
+    * (partitioned by doc, never global), between-class variance as
+    * (s0·w1 − s1·w0)²/(w0·w1) with every intermediate below 2^53 so the
+    * doubles are bit-identical across engines, argmax tie-broken to the
+    * lowest intensity. Output: threshold + foreground/background pixel
+    * counts. The full image pipeline (luma, 3×3 denoise, binarize bytes)
+    * runs in `ops.Ocr.preprocessStage`, spec-tested against this math. */
+  val ocr1Otsu: Q = Q("ocr1_otsu_binarize",
+    Some("""WITH n AS (SELECT doc_id, 400 + (doc_id % 7) * 30 AS n FROM documents),
+            ix AS (SELECT doc_id, unnest(range(0, n)) AS i FROM n),
+            px AS (SELECT doc_id, i,
+                CASE WHEN (i * 7 + doc_id) % 10 < 6 THEN 30 ELSE 190 END AS base
+              FROM ix),
+            lum AS (SELECT doc_id,
+                (299 * (base + i % 11) + 587 * (base + (i * 2) % 13)
+                  + 114 * (base + (i * 3) % 7)) // 1000 AS v
+              FROM px),
+            bins AS (SELECT doc_id, v, count(*) AS c FROM lum GROUP BY doc_id, v),
+            cum AS (SELECT doc_id, v, c,
+                sum(c) OVER (PARTITION BY doc_id ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w0,
+                sum(v * c) OVER (PARTITION BY doc_id ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+                sum(c) OVER (PARTITION BY doc_id) AS nn,
+                sum(v * c) OVER (PARTITION BY doc_id) AS ss
+              FROM bins),
+            scored AS (SELECT doc_id, v,
+                CAST((s0 * (nn - w0) - (ss - s0) * w0)
+                   * (s0 * (nn - w0) - (ss - s0) * w0) AS DOUBLE)
+                  / CAST(w0 * (nn - w0) AS DOUBLE) AS sigma
+              FROM cum WHERE w0 < nn),
+            mx AS (SELECT doc_id, max(sigma) AS msig FROM scored GROUP BY doc_id),
+            thr AS (SELECT s.doc_id, CAST(min(s.v) AS BIGINT) AS threshold
+                    FROM scored s JOIN mx USING (doc_id)
+                    WHERE s.sigma = mx.msig GROUP BY s.doc_id)
+            SELECT b.doc_id, t.threshold,
+              CAST(sum(CASE WHEN b.v > t.threshold THEN b.c ELSE 0 END) AS BIGINT) AS n_fg,
+              CAST(sum(CASE WHEN b.v <= t.threshold THEN b.c ELSE 0 END) AS BIGINT) AS n_bg
+            FROM bins b JOIN thr t USING (doc_id)
+            GROUP BY b.doc_id, t.threshold ORDER BY b.doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = (lit(400) + (col("doc_id") % 7) * 30).cast("long")
+      val base = when((col("i") * 7 + col("doc_id")) % 10 < 6, lit(30L)).otherwise(lit(190L))
+      val lum = documents(s, d).select(col("doc_id"), explode(sequence(lit(0L), n - 1)).as("i"))
+        .withColumn("base", base)
+        .select(col("doc_id"), call_function("div",
+          lit(299) * (col("base") + col("i") % 11) + lit(587) * (col("base") + (col("i") * 2) % 13)
+            + lit(114) * (col("base") + (col("i") * 3) % 7), lit(1000L)).as("v"))
+      val bins = lum.groupBy("doc_id", "v").agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy("doc_id").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("doc_id")
+      val cum = bins
+        .withColumn("w0", sum(col("c")).over(wOrd))
+        .withColumn("s0", sum(col("v") * col("c")).over(wOrd))
+        .withColumn("nn", sum(col("c")).over(wAll))
+        .withColumn("ss", sum(col("v") * col("c")).over(wAll))
+      val a = col("s0") * (col("nn") - col("w0")) - (col("ss") - col("s0")) * col("w0")
+      val scored = cum.filter(col("w0") < col("nn"))
+        .withColumn("sigma", (a * a).cast("double") / (col("w0") * (col("nn") - col("w0"))).cast("double"))
+      val thr = scored.groupBy("doc_id")
+        .agg(max_by(col("v"), struct(col("sigma"), (-col("v")).cast("double"))).as("threshold"))
+      bins.join(thr, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("threshold"))
+        .agg(sum(when(col("v") > col("threshold"), col("c")).otherwise(0L)).as("n_fg"),
+          sum(when(col("v") <= col("threshold"), col("c")).otherwise(0L)).as("n_bg"))
+        .orderBy("doc_id")
+    })
+
   /** Retrieval-quality metrics (recall@k / MRR / nDCG@k) — the offline
     * eval loop a retrieval stack is tuned with. Fixture: one deliberately
     * query-blind ranking (global top-10 docs by length) scored against
@@ -880,7 +952,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs)
 }

@@ -86,6 +86,43 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- OCR preprocessing ----------------------------------------------------
+
+  test("Ocr: luma, box denoise, Otsu, binarize are hand-exact") {
+    import graft.ops.Ocr
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte)
+    assert(Ocr.grayscale(rgb).map(_ & 0xff).toSeq == Seq(76, 149, 29))
+    val img = Array(10, 10, 10, 10, 100, 10, 10, 10, 10).map(_.toByte)
+    val den = Ocr.boxDenoise3(img, 3, 3).map(_ & 0xff)
+    assert(den(4) == 20, "center = mean of all 9")
+    assert(den(0) == 32, "corner = mean of its 4 existing neighbors")
+    val bimodal = (Array.fill(50)(40) ++ Array.fill(50)(200)).map(_.toByte)
+    val t = Ocr.otsuThreshold(bimodal)
+    assert(t >= 40 && t < 200, s"threshold $t must split the modes")
+    val bin = Ocr.binarize(bimodal, t).map(_ & 0xff)
+    assert(bin.count(_ == 255) == 50 && bin.count(_ == 0) == 50)
+    assert(Ocr.otsuThreshold(Array.fill(10)(7.toByte)) == -1, "constant image has no split")
+  }
+
+  test("Ocr stage output matches the relational ocr1 threshold on the fixture") {
+    import graft.ops.Ocr
+    val rel = graft.queries.MiscQueries.ocr1Otsu.fn(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 3).orderBy("doc_id").collect()
+    assert(rel.nonEmpty)
+    rel.foreach { r =>
+      val docId = r.getLong(0)
+      val n = (400 + (docId % 7) * 30).toInt
+      val px = Array.tabulate(n) { i =>
+        val base = if ((i.toLong * 7 + docId) % 10 < 6) 30L else 190L
+        val v = (299 * (base + i % 11) + 587 * (base + (i.toLong * 2) % 13) +
+          114 * (base + (i.toLong * 3) % 7)) / 1000
+        v.toByte
+      }
+      assert(Ocr.otsuThreshold(px).toLong == r.getLong(1),
+        s"doc $docId: JVM Otsu disagrees with the relational gate")
+    }
+  }
+
   // --- PDF text extraction --------------------------------------------------
 
   test("Pdf.extractText reads a hand-written uncompressed PDF (ground truth)") {
