@@ -152,6 +152,33 @@ class Round5Spec extends SparkSpec {
       "ZZZZZ").getBytes("ISO-8859-1")) == "")
   }
 
+  // --- PDF-to-retrieval composition -----------------------------------------
+
+  test("the S1 front door composes: PDF bytes -> extract -> ingest -> retrieval") {
+    // real flate-compressed PDFs carrying the corpus text, pushed through
+    // the SAME pipeline the flagship runs on pre-extracted text
+    val docs = graft.tables.TestTables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"),
+        lit(true).as("compress"), lit(false).as("split"))
+      .limit(50)
+    val pdfs = graft.ops.Pdf.buildStage(docs, "t", "compress", "split", "payload")
+      .select("doc_id", "payload")
+    val extracted = graft.ops.Pdf.extractStage(pdfs, "payload", "text")
+      .select(col("doc_id"), col("text"))
+    // extraction must be lossless for the text layer
+    val roundTrip = extracted.join(
+        docs.select(col("doc_id"), col("t")), Seq("doc_id"))
+      .filter(col("text") =!= col("t")).count()
+    assert(roundTrip == 0, "PDF round-trip must preserve the text layer byte-for-byte")
+    // and the recovered text drives the standard ingest + ask lifecycle
+    val chunks = graft.pipeline.IngestPipeline.run(
+        graft.pipeline.IngestPipeline.blocksFromFrame(extracted))
+      .withColumn("uid", concat_ws("#", col("doc_id"), col("chunk_id")))
+    val hits = graft.query.Ask.ask(chunks, "uid", "content", "spark join stream",
+      graft.query.Ask.AskConfig(topK = 5))
+    assert(hits.count() > 0, "retrieval over PDF-extracted text must return hits")
+  }
+
   // --- Count-Min sketch -----------------------------------------------------
 
   test("CMS estimates are one-sided: est >= exact, exact when collision-free") {
