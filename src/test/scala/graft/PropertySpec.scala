@@ -271,4 +271,74 @@ class PropertySpec extends SparkSpec {
       byDecile(d).map(_.getDouble(1)).max <= byDecile(d + 1).map(_.getDouble(1)).min + 1e-9 }
     assert(ordered, "decile quality ranges must not interleave")
   }
+
+  test("CDC chunks partition every random string exactly; boundaries are stable") {
+    val alphabet = "abcdefgh ijklmn opqrstu vwxyz,.!?"
+    val ss = (1 to 120).map(i =>
+      (0 until (20 + rng.nextInt(400))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def run() = graft.ops.Chunking.cdcChunks(df, col("id"), col("text"), w = 16, divisor = 64)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val out = run()
+    // exact partition: per doc, chunk lengths sum to the text length
+    val lenByDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    ss.zipWithIndex.foreach { case (t, i) =>
+      assert(lenByDoc.getOrElse(i.toLong, 0L) == t.length.toLong,
+        s"doc $i: chunks must cover the text exactly")
+    }
+    // chunk indices are 1..n contiguous
+    out.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq, s"doc $d chunk indices")
+    }
+    // determinism across runs
+    assert(run() == out)
+  }
+
+  test("BPE encode reconstructs every word under any learned merge list") {
+    val corpus = Seq.fill(40)(
+      (0 until (3 + rng.nextInt(8))).map(_ => "abcdef" (rng.nextInt(6)).toString * (1 + rng.nextInt(4))).mkString).mkString(" ")
+    val docs = Seq(corpus).toDF("text")
+    val merges = graft.ops.TextAnalysis.bpeTrain(docs, col("text"), nMerges = 6)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = corpus.split(" ").filter(_.matches("[a-z]+")).distinct.toSeq
+    val enc = words.toDF("w")
+      .select(col("w"), graft.ops.TextAnalysis.bpeEncode(col("w"), merges).as("syms"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    enc.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"symbols must concatenate back to '$w', got $syms")
+      assert(syms.forall(_.nonEmpty), "no empty symbols")
+    }
+  }
+
+  test("CMS estimates dominate exact counts on a random corpus") {
+    val words = (1 to 60).map(i => s"tok$i")
+    val corpus = (1 to 800).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    // plant the corpus into the sk1 shape directly (the query reads the
+    // documents table; this re-runs its aggregation chain on random data)
+    val cnt = Seq(corpus).toDF("text")
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ev = cnt.select(col("w"), col("cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("dig", md5(concat(col("r").cast("string"), lit(":"), col("w")).cast("binary")))
+      .withColumn("bucket", conv(substring(col("dig"), 31, 2), 16, 10).cast("long"))
+    val sketch = ev.groupBy("r", "bucket").agg(sum("cnt").as("c"))
+    val est = ev.join(sketch, Seq("r", "bucket"))
+      .groupBy("w", "cnt").agg(min("c").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (w, exact, e) =>
+      assert(e >= exact, s"CMS under-counted $w: est=$e exact=$exact")
+    }
+  }
+
+  test("simhash_bits64 emits exactly `bits` 0/1 chars and is deterministic") {
+    graft.functions.GraftFunctions.register(spark)
+    val ss = (1 to 50).map(i => s"random doc number $i with shared words").toDF("t")
+    def sigs = ss.select(expr("simhash_bits64(array(md5(t)), 64)").as("s"))
+      .collect().map(_.getString(0)).toSeq
+    val a = sigs
+    assert(a.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(a == sigs)
+  }
 }
