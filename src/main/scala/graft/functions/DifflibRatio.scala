@@ -191,5 +191,28 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info,
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits64"),
+      SimHashBits64.info,
+      (exprs: Seq[Expression]) => SimHashBits64Expr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_boundaries"),
+      CdcBoundaries.info,
+      (exprs: Seq[Expression]) => CdcBoundariesExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }
