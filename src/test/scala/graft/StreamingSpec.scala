@@ -206,6 +206,7 @@ class StreamingSpec extends SparkSpec {
     // map-only operators (quality score, language id, hash sampling, native
     // signatures) must be streamable as-is: same expressions, same rows
     val dir = "/tmp/graft_stream_docs"
+    graft.functions.GraftFunctions.register(spark)
     val docs = graft.tables.TestTables.documents(spark, sf)
     docs.write.mode("overwrite").parquet(dir)
     val streamDocs = spark.readStream.schema(docs.schema).parquet(dir)
@@ -216,7 +217,9 @@ class StreamingSpec extends SparkSpec {
         graft.ops.Dedup.simHash(col("text"), 16).as("sim"),
         graft.ops.Pii.redact(col("text")).as("clean"),
         graft.ops.TextAnalysis.assignSplit(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.9), "test").as("split"),
-        size(graft.ops.TextAnalysis.winnowingFingerprints(lower(col("text")), 5, 4)).as("n_fp"))
+        size(graft.ops.TextAnalysis.winnowingFingerprints(lower(col("text")), 5, 4)).as("n_fp"),
+        // round-5 map-only natives stream as-is too
+        expr("size(cdc_boundaries(coalesce(text, ''), 16, 64))").as("n_cdc"))
     val streamed = runToMemory(enrich(streamDocs), "ta_out", "append")
     val batch = enrich(docs)
     assert(streamed.count() > 0)
