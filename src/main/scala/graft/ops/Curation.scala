@@ -105,6 +105,45 @@ object Curation {
       .withColumn("domain_kept", (col("keep_rate") >= keepThreshold).cast("long"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document by the log-likelihood ratio of a TARGET-domain unigram LM
+    * against a raw-domain unigram LM (mean over tokens, add-one
+    * smoothing), then select k documents by Gumbel-top-k — which samples
+    * proportionally to the importance weights WITHOUT replacement, using
+    * seedless md5-derived uniforms so the "randomness" is deterministic,
+    * engine-portable, and rerun-stable (the hashSamplePredicate rule).
+    *
+    * Scale shape: both LMs are one vocab-bounded aggregate each
+    * (broadcastable at any corpus size); scoring is the x8 join shape
+    * (token→count equi-join + per-doc aggregate with DECIMAL-summed ln
+    * terms for reduction-order independence); selection is
+    * TakeOrderedAndProject on the 6-dp-rounded Gumbel score. */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: Column, text: Column,
+                         k: Int): DataFrame = {
+    def toks(df: DataFrame) = df.select(idCol.as("id"), explode(TextAnalysis.tokens(text)).as("w"))
+    val tt = toks(target)
+    val rr = toks(raw)
+    val ct = tt.groupBy("w").agg(count(lit(1)).as("ct"))
+    val cr = rr.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tot = ct.agg(sum("ct").cast("double").as("nt"), count(lit(1)).cast("double").as("vt"))
+      .crossJoin(cr.agg(sum("cr").cast("double").as("nr"), count(lit(1)).cast("double").as("vr")))
+    val sc = rr.join(cr, "w").join(ct, Seq("w"), "left")
+      .groupBy("id")
+      .agg(sum(log(coalesce(col("ct"), lit(0L)) + 1).cast("decimal(25,15)")).cast("double").as("st"),
+        sum(log(col("cr") + 1).cast("decimal(25,15)")).cast("double").as("sr"),
+        count(lit(1)).as("n"))
+    val u = (conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    sc.crossJoin(broadcast(tot))
+      .withColumn("logweight",
+        (col("st") - col("sr")) / col("n") - log(col("nt") + col("vt")) + log(col("nr") + col("vr")))
+      .withColumn("sel_score", round(col("logweight") - log(-log(u)), 6))
+      .select(col("id"), round(col("logweight"), 6).as("logweight"), col("sel_score"))
+      .orderBy(col("sel_score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Temperature-scaled domain mixture weights (the α-sampling rule of
     * multilingual/multi-domain pre-training, cf. the mixing in XLM-R /
     * Gopher): each domain's sampling weight ∝ (token share)^α, normalized;

@@ -412,6 +412,46 @@ object MiscQueries extends QuerySet {
       })
   }
 
+  /** DSIR-style data selection: importance-resample 100 non-English docs
+    * toward the English-corpus unigram distribution — log-likelihood-ratio
+    * weights (add-one, x8's DECIMAL-summed ln machinery) plus
+    * Gumbel-top-k with seedless md5 uniforms, so "sampling ∝ weight" is
+    * deterministic and the oracle can replay LMs, weights, Gumbel noise,
+    * and the cut exactly. */
+  val sel1Importance: Q = Q("sel1_importance_resample",
+    Some(s"""WITH tt AS (SELECT doc_id, unnest(${OracleSql.toksSql}) AS w
+                   FROM documents WHERE lang = 'en'),
+            rr AS (SELECT doc_id, unnest(${OracleSql.toksSql}) AS w
+                   FROM documents WHERE lang <> 'en'),
+            ct AS (SELECT w, count(*) AS ct FROM tt GROUP BY w),
+            cr AS (SELECT w, count(*) AS cr FROM rr GROUP BY w),
+            tot AS (SELECT
+                (SELECT CAST(sum(ct) AS DOUBLE) FROM ct) AS nt,
+                (SELECT CAST(count(*) AS DOUBLE) FROM ct) AS vt,
+                (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS nr,
+                (SELECT CAST(count(*) AS DOUBLE) FROM cr) AS vr),
+            sc AS (SELECT rr.doc_id AS id,
+                CAST(sum(CAST(ln(coalesce(ct.ct, 0) + 1) AS DECIMAL(25,15))) AS DOUBLE) AS st,
+                CAST(sum(CAST(ln(cr.cr + 1) AS DECIMAL(25,15))) AS DOUBLE) AS sr,
+                count(*) AS n
+              FROM rr JOIN cr USING (w) LEFT JOIN ct USING (w) GROUP BY rr.doc_id),
+            g AS (SELECT id,
+                (st - sr) / n - ln(nt + vt) + ln(nr + vr) AS logweight,
+                (list_reduce(list_transform(range(1, 9),
+                    i -> CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+                  (a, c) -> a * 16 + c) + 0.5) / 4294967296.0 AS u
+              FROM sc CROSS JOIN tot)
+            SELECT id, round(logweight, 6) AS logweight,
+              round(logweight - ln(-ln(u)), 6) AS sel_score
+            FROM g ORDER BY sel_score DESC, id LIMIT 100"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ops.Curation.importanceResample(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        col("doc_id"), col("text"), k = 100)
+    })
+
   /** OCR preprocessing, the statistic half (ref cv2 grayscale→Otsu):
     * per-document synthetic RGB pixels → integer luma → Otsu's threshold
     * computed RELATIONALLY — per-doc cumulative histogram windows
@@ -952,7 +992,8 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, sel1Importance,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs)
 }

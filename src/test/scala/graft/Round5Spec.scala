@@ -86,6 +86,24 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- DSIR importance resampling -------------------------------------------
+
+  test("importanceResample weights target-like docs above target-disjoint ones") {
+    val target = Seq((100L, "spark streaming shuffle join optimizer catalyst")).toDF("id", "text")
+    val raw = Seq(
+      (1L, "spark streaming join catalyst shuffle"), // shares the target vocabulary
+      (2L, "gardening tulips watering compost soil")) // disjoint
+      .toDF("id", "text")
+    val out = graft.ops.Curation.importanceResample(raw, target, col("id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(1L) > out(2L),
+      s"target-overlapping doc must out-weigh the disjoint one: $out")
+    // rerun-stable: the Gumbel uniforms are md5-derived, not rand()
+    val again = graft.ops.Curation.importanceResample(raw, target, col("id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(again == out)
+  }
+
   // --- OCR preprocessing ----------------------------------------------------
 
   test("Ocr: luma, box denoise, Otsu, binarize are hand-exact") {
