@@ -86,6 +86,29 @@ class Round5Spec extends SparkSpec {
     assert(sig == "10011101", s"expected bit pattern of 0x9d, got $sig")
   }
 
+  // --- CDC + incremental dedup composition ----------------------------------
+
+  test("CDC digests dedupe across document versions where fixed-size chunking cannot") {
+    // v2 = v1 with an inserted prefix: fixed-size windows all shift, but
+    // content-defined chunks re-align after the first boundary — the whole
+    // reason CDC exists as a dedup primitive
+    val body = (1 to 200).map(i => s"sentence$i piece").mkString(" ")
+    val docs = Seq((1L, body), (2L, "NEW INTRO PARAGRAPH ADDED IN V2 " + body)).toDF("id", "text")
+    val ch = graft.ops.Chunking.cdcChunks(docs, col("id"), col("text"), w = 16, divisor = 64)
+    val v1 = ch.filter(col("doc_id") === 1).select(col("digest")).distinct()
+    val v2 = ch.filter(col("doc_id") === 2).select(col("digest")).distinct()
+    val shared = v1.join(v2, Seq("digest")).count()
+    val v1n = v1.count()
+    assert(shared >= v1n / 2,
+      s"most of v1's chunk digests must survive the prefix edit (shared $shared of $v1n)")
+    // the fixed-size control: same width, boundaries at fixed offsets —
+    // the prefix shift misaligns every window
+    def fixed(t: String) = t.grouped(64).map(c => java.security.MessageDigest
+      .getInstance("MD5").digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString).toSet
+    val fixedShared = fixed(body).intersect(fixed("NEW INTRO PARAGRAPH ADDED IN V2 " + body)).size
+    assert(fixedShared <= 1, s"fixed-size chunking should share ~nothing after the shift, got $fixedShared")
+  }
+
   // --- DSIR importance resampling -------------------------------------------
 
   test("importanceResample weights target-like docs above target-disjoint ones") {
