@@ -291,9 +291,14 @@ object Dedup {
       .select(call_function("bloom_filter_agg", xxhash64(col("g")),
         lit(estimatedItems), lit(numBits)).as("bf"))
       .head.getAs[Array[Byte]](0)
+    // NO broadcast hint on the verify join — this path exists precisely
+    // for eval sets too big to broadcast, so the join strategy is left to
+    // AQE: with the bloom prefilter the probe side is already tiny, and a
+    // shuffled semi-join of survivors is the intended fallback when the
+    // eval-gram set itself cannot ship to every executor
     grams(train)
       .filter(call_function("might_contain", lit(bf), xxhash64(col("g"))))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .join(evalGrams, Seq("g"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }

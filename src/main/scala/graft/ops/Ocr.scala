@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, IntegerType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StructField}
 
 /** OCR preprocessing (ref `ingestion/ocr_extractor.py:64-147`: cv2
   * grayscale → denoise → Otsu binarize) implemented natively — the
@@ -110,25 +109,20 @@ object Ocr {
     px.map(p => if ((p & 0xff) > threshold) 255.toByte else 0.toByte)
 
   /** The full distributed preprocessing stage: interleaved-RGB payload →
-    * (binarized payload, otsu threshold), bounded batches per partition.
-    * Width/height come from companion int columns. */
+    * (binarized payload, otsu threshold), one row streamed at a time
+    * ([[Stages.appendFields]]). Width/height come from companion int
+    * columns. */
   def preprocessStage(df: DataFrame, payloadCol: String, wCol: String, hCol: String,
-                      outCol: String, thresholdCol: String,
-                      batchSize: Int = 64): DataFrame = {
+                      outCol: String, thresholdCol: String): DataFrame = {
     val pIdx = df.schema.fieldIndex(payloadCol)
     val wIdx = df.schema.fieldIndex(wCol)
     val hIdx = df.schema.fieldIndex(hCol)
-    val outSchema = df.schema.add(outCol, BinaryType).add(thresholdCol, IntegerType)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val gray = grayscale(r.getAs[Array[Byte]](pIdx))
-          val smooth = boxDenoise3(gray, r.getInt(wIdx), r.getInt(hIdx))
-          val t = otsuThreshold(smooth)
-          Row.fromSeq(r.toSeq :+ binarize(smooth, t) :+ t)
-        }
-      }
-    }(enc)
+    Stages.appendFields(df,
+      Seq(StructField(outCol, BinaryType), StructField(thresholdCol, IntegerType))) { r =>
+      val gray = grayscale(r.getAs[Array[Byte]](pIdx))
+      val smooth = boxDenoise3(gray, r.getInt(wIdx), r.getInt(hIdx))
+      val t = otsuThreshold(smooth)
+      Seq(binarize(smooth, t), t)
+    }
   }
 }

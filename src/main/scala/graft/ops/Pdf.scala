@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StringType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField}
 
 /** REAL PDF text-layer extraction — no external codec. The container has
   * no PDF library, but the PDF text layer needs none: content streams are
@@ -107,9 +106,13 @@ object Pdf {
     sb.toString
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    // end() in finally: Inflater holds NATIVE zlib memory that only a GC
+    // finalizer would otherwise reclaim — on an executor chewing through
+    // millions of PDFs (many corrupt, per the crawl contract above) the
+    // leak is invisible to the heap but OOM-kills the container
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
       val buf = new Array[Byte](8192)
@@ -118,9 +121,10 @@ object Pdf {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return None // stuck: corrupt
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
 
   // a PDF string literal: escaped chars or anything but backslash/parens
   private val StringLit = """\(((?:\\.|[^\\()])*)\)"""
@@ -166,21 +170,11 @@ object Pdf {
     } catch { case scala.util.control.NonFatal(_) => "" }
 
   /** Distributed extraction stage: binary `payloadCol` → string `outCol`,
-    * bounded batches per partition (payloads are large; never hold a
-    * whole partition twice on the heap). */
-  def extractStage(df: DataFrame, payloadCol: String, outCol: String,
-                   batchSize: Int = 64): DataFrame = {
+    * one row streamed at a time ([[Stages.appendFields]]). */
+  def extractStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
     val idx = df.schema.fieldIndex(payloadCol)
-    val outSchema = df.schema.add(outCol, StringType)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val text = extractText(r.getAs[Array[Byte]](idx))
-          Row.fromSeq(r.toSeq :+ text)
-        }
-      }
-    }(enc)
+    Stages.appendFields(df, Seq(StructField(outCol, StringType)))(
+      r => Seq(extractText(r.getAs[Array[Byte]](idx))))
   }
 
   /** Fixture-builder stage for the gate query: wrap a text column into a
@@ -192,13 +186,7 @@ object Pdf {
     val tIdx = df.schema.fieldIndex(textCol)
     val cIdx = df.schema.fieldIndex(compressCol)
     val sIdx = df.schema.fieldIndex(splitCol)
-    val outSchema = df.schema.add(outCol, BinaryType)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val pdf = buildMinimalPdf(r.getString(tIdx), r.getBoolean(cIdx), r.getBoolean(sIdx))
-        Row.fromSeq(r.toSeq :+ pdf)
-      }
-    }(enc)
+    Stages.appendFields(df, Seq(StructField(outCol, BinaryType)))(
+      r => Seq(buildMinimalPdf(r.getString(tIdx), r.getBoolean(cIdx), r.getBoolean(sIdx))))
   }
 }

@@ -180,4 +180,21 @@ object TableOps {
       .filter(col("hdr").isNull) // header rows become group labels, not data
       .drop("hdr")
   }
+
+  /** Competition rank + running value total over the top-n rows WITHOUT
+    * any window operator: TakeOrderedAndProject (per-partition heaps)
+    * selects the n rows, then a bounded n×n broadcast self-join derives
+    * rank and cumulative value — the plan shape that replaced the
+    * catalog's last unpartitioned WindowExec (x13) and is shared with
+    * ev1's ranking. Rank orders by (value DESC, id ASC); `cum` is the
+    * running sum of value through each rank. */
+  def broadcastTopRank(df: DataFrame, valueCol: String, idCol: String, n: Int): DataFrame = {
+    val top = df.select(col(idCol), col(valueCol))
+      .orderBy(col(valueCol).desc, col(idCol)).limit(n)
+    val peers = top.select(col(idCol).as("_id2"), col(valueCol).as("_v2"))
+    top.join(broadcast(peers),
+        col("_v2") > col(valueCol) || (col("_v2") === col(valueCol) && col("_id2") <= col(idCol)))
+      .groupBy(col(idCol), col(valueCol))
+      .agg(count(lit(1)).as("rank"), sum(col("_v2")).as("cum"))
+  }
 }

@@ -531,7 +531,7 @@ object MiscQueries extends QuerySet {
     * DECIMAL-summed DCG + fixed-order IDCG fold are both exercised. The
     * oracle replays ranking construction and all three metrics. */
   val ev1Retrieval: Q = Q("ev1_retrieval_metrics",
-    Some("""WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+    Some("""WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE lang IS NOT NULL),
             top10 AS (SELECT doc_id, n_chars FROM d ORDER BY n_chars DESC, doc_id LIMIT 10),
             rk AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS rank
                    FROM top10 a JOIN top10 b
@@ -550,13 +550,13 @@ object MiscQueries extends QuerySet {
                   i -> round(1.0 / log2(i + 1), 9))), 6) AS ndcg
             FROM rel LEFT JOIN perq USING (lang) ORDER BY lang"""),
     (s, d) => {
-      val docs = documents(s, d)
-      val top = docs.select(col("doc_id"), col("n_chars"))
-        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
-      val peers = top.select(col("doc_id").as("d2"), col("n_chars").as("c2"))
-      val ranked = top.join(broadcast(peers),
-          col("c2") > col("n_chars") || (col("c2") === col("n_chars") && col("d2") <= col("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("rank"))
+      // NULL-lang rows are excluded on BOTH sides: a NULL query key would
+      // sort NULLS FIRST in Spark but NULLS LAST in DuckDB (row-order hash
+      // divergence), and it can never equi-join the relevance table anyway
+      val docs = documents(s, d).filter(col("lang").isNotNull)
+      val ranked = graft.ops.TableOps
+        .broadcastTopRank(docs.select(col("doc_id"), col("n_chars")), "n_chars", "doc_id", 10)
+        .select("doc_id", "rank")
       val rankedPerQ = docs.select(col("lang")).distinct().crossJoin(ranked)
       graft.eval.Retrieval.metrics(rankedPerQ, docs.select(col("lang"), col("doc_id")),
           "lang", "doc_id", "rank", k = 10)

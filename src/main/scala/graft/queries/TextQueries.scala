@@ -519,6 +519,12 @@ object TextQueries extends QuerySet {
       val docs = documents(s, d)
       val merges = TextAnalysis.bpeTrain(docs, col("text"), nMerges = 8)
         .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // the unrolled oracle chain CROSS JOINs an empty t_i into an empty
+      // v8 if the vocabulary exhausts pairs early (one all-NULL stats row)
+      // while this side would return real totals for the shorter list —
+      // fail loudly instead of silently hash-diverging
+      require(merges.size == 8,
+        s"tok3 requires a corpus admitting 8 BPE merges, got ${merges.size}")
       val symbols = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -797,15 +803,10 @@ object TextQueries extends QuerySet {
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val tot = cnt.agg(sum("c").cast("double").as("n_total"))
-      val top = cnt.orderBy(col("c").desc, col("w")).limit(20)
-      val peers = top.select(col("w").as("w2"), col("c").as("c2"))
-      top.join(broadcast(peers),
-          col("c2") > col("c") || (col("c2") === col("c") && col("w2") <= col("w")))
-        .groupBy(col("w"), col("c"))
-        .agg(count(lit(1)).as("rank"), sum(col("c2")).as("cumc"))
+      graft.ops.TableOps.broadcastTopRank(cnt, "c", "w", 20)
         .crossJoin(broadcast(tot))
         .select(col("rank"), col("w").as("term"),
-          col("c").as("cnt"), (col("cumc").cast("double") / col("n_total")).as("cum_share"))
+          col("c").as("cnt"), (col("cum").cast("double") / col("n_total")).as("cum_share"))
         .orderBy("rank")
     })
 

@@ -231,12 +231,20 @@ class Round5Spec extends SparkSpec {
         s"CMS must never under-count: ${r.getString(0)} est=${r.getLong(2)} exact=${r.getLong(1)}")
     }
     // a 3-token vocab cannot collide in any of the 4 rows of 256 buckets
-    // unless md5 is adversarial — estimates must be exact
-    val tiny = Seq("aa bb cc aa bb aa").toDF("text")
+    // unless md5 is adversarial — estimates must be EXACT, not merely >=
     import graft.ops.TextAnalysis
-    val cnt = tiny.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val cnt = Seq("aa bb cc aa bb aa").toDF("text")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    assert(cnt.count() == 3)
+    val ev = cnt.select(col("w"), col("cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("dig", md5(concat(col("r").cast("string"), lit(":"), col("w")).cast("binary")))
+      .withColumn("bucket", conv(substring(col("dig"), 31, 2), 16, 10).cast("long"))
+    val sketch = ev.groupBy("r", "bucket").agg(sum("cnt").as("c"))
+    val est = ev.join(sketch, Seq("r", "bucket"))
+      .groupBy("w", "cnt").agg(min("c").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(est == Seq(("aa", 3L, 3L), ("bb", 2L, 2L), ("cc", 1L, 1L)),
+      s"collision-free vocab must estimate exactly, got $est")
   }
 
   // --- Content-defined chunking -------------------------------------------
