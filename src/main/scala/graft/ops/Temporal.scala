@@ -91,4 +91,30 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_b")
   }
+
+  /** Keyed recent-event pairing — the BATCH form of a stream-stream
+    * interval join: pair every left row with the right rows of the SAME
+    * key whose timestamp lies in `[leftTs - windowUs, leftTs]` (inclusive
+    * both ends, matching Spark's stream-stream `BETWEEN` join condition;
+    * `stream.Ingest.streamStreamJoin` runs the identical predicate
+    * incrementally under watermarks). Timestamps are epoch-µs longs.
+    *
+    * Shape: the naive formulation (equi-join on key + range predicate) is
+    * fine when the key is selective, but a hot key degenerates toward
+    * per-key quadratic work; bucketing by `windowUs` bounds each right
+    * row's replication at exactly 2 (its own bucket and the next — a
+    * look-back interval of width `windowUs` spans at most two buckets)
+    * and lets the range predicate run inside (key, bucket) groups. Same
+    * integer-`div` discipline as [[rangeJoin]]. */
+  def recentPairs(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!(left.columns ++ right.columns).contains("_b"), "recentPairs reserves _b")
+    val l = left.withColumn("_b", expr(s"$leftTs div ${windowUs}L"))
+    val r = right.withColumn("_b",
+      explode(array(expr(s"$rightTs div ${windowUs}L"), expr(s"$rightTs div ${windowUs}L + 1"))))
+    l.join(r, Seq(key, "_b"))
+      .filter(col(rightTs) >= col(leftTs) - windowUs && col(rightTs) <= col(leftTs))
+      .drop("_b")
+  }
 }

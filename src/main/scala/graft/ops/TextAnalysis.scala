@@ -253,6 +253,63 @@ object TextAnalysis {
         i => struct(element_at(toks, i).as("p"), element_at(toks, i + 1).as("w"))))
       .otherwise(array().cast("array<struct<p:string,w:string>>"))
 
+  /** Adjacent token triples of a token-array column, as (u, v, w) structs
+    * — the trigram events a backoff LM scores. Zip-shift like
+    * [[adjacentTokenPairs]]: generation stays a map stage (guarded for
+    * short docs — Spark's `sequence` counts DOWN on an empty range). */
+  def adjacentTokenTriples(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => struct(element_at(toks, i).as("u"), element_at(toks, i + 1).as("v"),
+          element_at(toks, i + 2).as("w"))))
+      .otherwise(array().cast("array<struct<u:string,v:string,w:string>>"))
+
+  /** Gopher rule-set quality filter (Rae et al. 2021, appendix A1.1 —
+    * the published rule battery behind `qualityScore`'s blended score):
+    * per document, every rule statistic plus the composed keep verdict.
+    * Kept iff word count ∈ [minWords, maxWords], mean word length ∈
+    * [minMeanLen, maxMeanLen], symbol-to-word ratio ('#' or '...')
+    * ≤ maxSymbolRatio, ≤ maxBulletFrac of lines start with a bullet,
+    * ≤ maxEllipsisFrac of lines end with an ellipsis, ≥ minAlphaFrac of
+    * words contain a letter, and ≥ minStopHits distinct stop words occur.
+    * Pure expressions — map-only at any corpus size; every ratio is a
+    * single exact-integer division so both engines produce bit-identical
+    * doubles. REF ingestion/quality_checker.py:44-101 gates on the same
+    * length/alpha/stopword families. */
+  def gopherRules(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val nW = greatest(nWords, lit(1L)).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW
+    val symRatio = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))).cast("double") / nW
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nW
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => l.startsWith("•") || l.startsWith("- "))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      symRatio <= maxSymbolRatio &&
+      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaFrac && stopHits >= minStopHits
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("n_stop_hits"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), keep.as("keep"))
+  }
+
   /** SFT chat-template rendering: serialize a (system, user, assistant)
     * triple into one training string with role markers, plus the 1-based
     * character offset where the assistant span begins — the loss-mask
@@ -356,5 +413,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** ExactSubstr-style duplicated-substring detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): mark
+    * every token position whose `w`-token gram occurs more than once
+    * corpus-wide, merge overlapping/adjacent marked grams into MAXIMAL
+    * duplicated spans, and report per-document duplication stats —
+    * (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac). Unlike
+    * [[spanDedup]]'s fixed non-overlapping windows, the grams here
+    * OVERLAP, so a duplicated run is found at any alignment and its full
+    * extent is recovered (a length-L shared run yields L-w+1 marked
+    * positions that merge back into one length-L span).
+    *
+    * Scale shape: gram build is map-only array slicing (no per-token
+    * explode of text copies beyond the gram rows); duplicate detection is
+    * ONE hash aggregate on gram text with map-side combine (hot
+    * boilerplate grams collapse before the shuffle — the d10 argument);
+    * the span merge runs in a window PARTITIONED by doc_id (never
+    * global), bounded by per-doc gram counts. The suffix-array pass of
+    * the paper is replaced by the gram-mark + merge equivalent because a
+    * distributed suffix sort would shuffle full suffixes; grams cap the
+    * shuffled key at `w` tokens with the same ≥`w`-token detection
+    * guarantee. */
+  def dupSubstringSpans(df: DataFrame, idCol: Column, text: Column, w: Int): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), tokens(coalesce(text, lit(""))).as("toks"))
+    val grams = base.select(col("doc_id"),
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w),
+            i => struct(i.as("pos"), array_join(slice(col("toks"), i + 1, lit(w)), " ").as("gram"))))
+          .otherwise(array().cast("array<struct<pos:int,gram:string>>")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val marked = grams.join(hot, Seq("gram")).select("doc_id", "pos")
+    // two length-w intervals [p1, p1+w) and [p2, p2+w), p2 > p1, belong to
+    // one maximal span iff p2 <= p1 + w (overlap or touch) — first row's
+    // NULL lag falls to the otherwise(0) branch and opens island 0
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = marked
+      .withColumn("brk", when(col("pos") - lag("pos", 1).over(wn) > w, 1).otherwise(lit(0)))
+      .withColumn("island", sum("brk").over(wn.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + w).as("e"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1L))).as("dup_frac"))
   }
 }

@@ -118,5 +118,45 @@ object StreamingQueries extends QuerySet {
         col("n_events"), col("session_value_cents"))
       .orderBy("user_id", "session_start_us"))
 
-  def all: Seq[Q] = Seq(st1Tumbling, st2Sliding, st3Dedup, st4Watermark, st5Session)
+  /** Stream-stream interval join, batch form (funnel attribution): each
+    * click pairs with the same user's views from the trailing 10 minutes
+    * (inclusive both ends — Spark's stream-stream BETWEEN condition),
+    * then rolls up per click. The batch pairing is
+    * `Temporal.recentPairs` — a BUCKETED equi-join on (user, bucket), so
+    * the plan is a hash join with bounded (2×) replication, never a
+    * nested loop; `stream.Ingest.streamStreamJoin` runs the identical
+    * predicate incrementally under watermarks (StreamingSpec pins the
+    * parity). Left join: a view-less click must surface with n_views=0,
+    * not vanish (funnel analysis needs the misses). */
+  val st6StreamJoin = Q("st6_stream_stream_join",
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS c_us FROM events
+                       WHERE event_type = 'click'),
+            v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us FROM events
+                  WHERE event_type = 'view')
+            SELECT c.event_id AS click_id, c.user_id, c.c_us AS click_us,
+              count(v.view_id) AS n_views,
+              max(v.v_us) AS last_view_us
+            FROM c LEFT JOIN v ON v.user_id = c.user_id
+              AND v.v_us >= c.c_us - 600000000 AND v.v_us <= c.c_us
+            GROUP BY c.event_id, c.user_id, c.c_us
+            ORDER BY click_id"""),
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), unix_micros(col("ts")).as("v_us"))
+      graft.ops.Temporal.recentPairs(clicks, views, "user_id", "c_us", "v_us", 600000000L)
+        .groupBy("click_id", "user_id", "c_us")
+        .agg(count(col("view_id")).as("n_views"), max(col("v_us")).as("last_view_us"))
+        // recentPairs is inner by construction — restore the view-less
+        // clicks with an outer join back to the click set
+        .join(clicks, Seq("click_id", "user_id", "c_us"), "right")
+        .select(col("click_id"), col("user_id"), col("c_us").as("click_us"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"), col("last_view_us"))
+        .orderBy("click_id")
+    })
+
+  def all: Seq[Q] = Seq(st1Tumbling, st2Sliding, st3Dedup, st4Watermark, st5Session,
+    st6StreamJoin)
 }

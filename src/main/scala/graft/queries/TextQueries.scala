@@ -921,9 +921,173 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff designed FOR
+    * distributed count tables: no discount normalization, so each order's
+    * counts aggregate independently). The model trains on the even-doc_id
+    * half of the corpus and scores every document, so held-out docs
+    * genuinely exercise all three backoff tiers: trigram hit →
+    * c3(uvw)/c2(uv); bigram fallback → 0.4·c2(vw)/c1(v); unigram floor →
+    * 0.4²·(c1(w)+1)/(N+V) (add-one, so an unseen word never hits ln 0).
+    *
+    * Scale shape: three Heaps-sublinear count aggregates (all map-side
+    * combined) + five hash equi-joins from the event table — no windows,
+    * no driver traffic; the DECIMAL(25,15) sum keeps the per-doc mean
+    * independent of shuffle reduction order (x8/x9 precedent). */
+  val x15Backoff = Q("x15_stupid_backoff",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            tr AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1), i -> toks[i])) AS u,
+                     unnest(list_transform(range(1, len(toks) - 1), i -> toks[i+1])) AS v,
+                     unnest(list_transform(range(1, len(toks) - 1), i -> toks[i+2])) AS w
+                   FROM t WHERE len(toks) >= 3),
+            train AS (SELECT toks FROM t WHERE doc_id % 2 = 0),
+            c1 AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM train) z GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v_size FROM c1),
+            c2 AS (SELECT p, w, count(*) AS c FROM (
+                     SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS p,
+                            unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w
+                     FROM train WHERE len(toks) >= 2) z GROUP BY p, w),
+            c3 AS (SELECT u, v, w, count(*) AS c FROM (
+                     SELECT unnest(list_transform(range(1, len(toks) - 1), i -> toks[i])) AS u,
+                            unnest(list_transform(range(1, len(toks) - 1), i -> toks[i+1])) AS v,
+                            unnest(list_transform(range(1, len(toks) - 1), i -> toks[i+2])) AS w
+                     FROM train WHERE len(toks) >= 3) z GROUP BY u, v, w),
+            scored AS (SELECT tr.doc_id,
+                CASE WHEN c3.c IS NOT NULL THEN CAST(c3.c AS DOUBLE) / CAST(c2uv.c AS DOUBLE)
+                     WHEN c2vw.c IS NOT NULL THEN 0.4 * CAST(c2vw.c AS DOUBLE) / CAST(c1v.c AS DOUBLE)
+                     ELSE 0.16 * (CAST(coalesce(c1w.c, 0) AS DOUBLE) + 1.0) / (n_total + v_size) END AS p
+              FROM tr
+              LEFT JOIN c3 ON c3.u = tr.u AND c3.v = tr.v AND c3.w = tr.w
+              LEFT JOIN c2 c2uv ON c2uv.p = tr.u AND c2uv.w = tr.v
+              LEFT JOIN c2 c2vw ON c2vw.p = tr.v AND c2vw.w = tr.w
+              LEFT JOIN c1 c1v ON c1v.w = tr.v
+              LEFT JOIN c1 c1w ON c1w.w = tr.w
+              CROSS JOIN tot)
+            SELECT doc_id,
+              round(CAST(sum(CAST(ln(p) AS DECIMAL(25,15))) AS DOUBLE) / count(*), 6) AS mean_logprob,
+              CAST(count(*) AS BIGINT) AS n_trigrams
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val tr = t.select(col("doc_id"), explode(TextAnalysis.adjacentTokenTriples(col("toks"))).as("g"))
+        .select(col("doc_id"), col("g.u").as("u"), col("g.v").as("v"), col("g.w").as("w"))
+      val train = t.filter(col("doc_id") % 2 === 0)
+      val c1 = train.select(explode(col("toks")).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = c1.agg(sum("c").cast("double").as("n_total"), count(lit(1)).cast("double").as("v_size"))
+      val c2 = train.select(explode(TextAnalysis.adjacentTokenPairs(col("toks"))).as("pr"))
+        .select(col("pr.p").as("p"), col("pr.w").as("w"))
+        .groupBy("p", "w").agg(count(lit(1)).as("c"))
+      val c3 = train.select(explode(TextAnalysis.adjacentTokenTriples(col("toks"))).as("g"))
+        .select(col("g.u").as("u"), col("g.v").as("v"), col("g.w").as("w"))
+        .groupBy("u", "v", "w").agg(count(lit(1)).as("c"))
+      val p = when(col("c3c").isNotNull, col("c3c").cast("double") / col("c2uv").cast("double"))
+        .when(col("c2vw").isNotNull,
+          lit(0.4) * col("c2vw").cast("double") / col("c1v").cast("double"))
+        .otherwise(lit(0.16) * (coalesce(col("c1w"), lit(0L)).cast("double") + 1.0)
+          / (col("n_total") + col("v_size")))
+      tr.join(c3.withColumnRenamed("c", "c3c"), Seq("u", "v", "w"), "left")
+        .join(c2.select(col("p").as("u"), col("w").as("v"), col("c").as("c2uv")), Seq("u", "v"), "left")
+        .join(c2.select(col("p").as("v"), col("w"), col("c").as("c2vw")), Seq("v", "w"), "left")
+        .join(c1.select(col("w").as("v"), col("c").as("c1v")), Seq("v"), "left")
+        .join(c1.withColumnRenamed("c", "c1w"), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", log(p))
+        .groupBy("doc_id")
+        // decimal sum: order-independent across the shuffle (the d9 rule)
+        .agg(round(sum(col("lp").cast("decimal(25,15)")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"),
+          count(lit(1)).as("n_trigrams"))
+        .orderBy("doc_id")
+    })
+
+  /** Gopher rule-set quality filter (Rae et al. 2021, appendix A1.1) —
+    * every rule statistic plus the composed keep verdict per document.
+    * The fixture text is single-line, so line structure is synthesized
+    * from the text identically in both engines (the oracle-strong
+    * pattern): ' a ' starts a bullet line, ' the ' ends a line with an
+    * ellipsis — giving the bullet/ellipsis line rules real work. Map-only
+    * except the output sort; every ratio is one exact-integer division. */
+  val x16Gopher = Q("x16_gopher_rules",
+    Some("""WITH s AS (SELECT doc_id,
+                replace(replace(coalesce(text, ''), ' a ', chr(10) || '• '), ' the ', '...' || chr(10)) AS t
+              FROM documents),
+            tk AS (SELECT doc_id, t,
+                list_filter(string_split_regex(lower(t), '\s+'), x -> x <> '') AS toks,
+                list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+              FROM s),
+            st AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(coalesce(list_aggregate(list_transform(toks, w -> length(w)), 'sum'), 0) AS DOUBLE)
+                  / greatest(len(toks), 1) AS mean_word_len,
+                CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS DOUBLE) / greatest(len(toks), 1) AS symbol_ratio,
+                CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                  / greatest(len(toks), 1) AS alpha_word_frac,
+                CAST(len(list_intersect(list_distinct(toks),
+                  ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop_hits,
+                CAST(len(list_filter(lines, l -> starts_with(l, '•') OR starts_with(l, '- '))) AS DOUBLE)
+                  / greatest(len(lines), 1) AS bullet_line_frac,
+                CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+                  / greatest(len(lines), 1) AS ellipsis_line_frac
+              FROM tk)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop_hits,
+              bullet_line_frac, ellipsis_line_frac,
+              (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+               AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS keep
+            FROM st ORDER BY doc_id"""),
+    (s, d) => {
+      val lified = replace(
+        replace(coalesce(col("text"), lit("")), lit(" a "), lit("\n• ")),
+        lit(" the "), lit("...\n"))
+      documents(s, d)
+        .withColumn("gr", TextAnalysis.gopherRules(lified))
+        .select(col("doc_id"), col("gr.n_words").as("n_words"),
+          col("gr.mean_word_len").as("mean_word_len"),
+          col("gr.symbol_ratio").as("symbol_ratio"),
+          col("gr.alpha_word_frac").as("alpha_word_frac"),
+          col("gr.n_stop_hits").as("n_stop_hits"),
+          col("gr.bullet_line_frac").as("bullet_line_frac"),
+          col("gr.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("gr.keep").as("keep"))
+        .orderBy("doc_id")
+    })
+
+  /** ExactSubstr-style duplicated-substring spans (Lee et al. 2022):
+    * 8-token OVERLAPPING grams mark duplicated positions corpus-wide;
+    * overlapping marks merge into maximal spans (so a shared 20-token run
+    * reports as ONE 20-token span, at any alignment — what d10's fixed
+    * non-overlapping windows cannot see). The oracle replays the mark +
+    * gaps-and-islands merge; the merge window is partitioned by doc_id. */
+  val d11DupSubstr = Q("d11_dup_substring_spans",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(range(1, len(toks) - 6)) - 1 AS pos,
+                    unnest(list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i : i+7], ' '))) AS gram
+                  FROM t WHERE len(toks) >= 8),
+            hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            m AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+            b AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                         THEN 1 ELSE 0 END AS brk FROM m),
+            isl AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM b),
+            sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, island),
+            agg AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens FROM sp GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+              CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              CAST(coalesce(dup_tokens, 0) AS DOUBLE) / greatest(len(toks), 1) AS dup_frac
+            FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id"""),
+    (s, d) => TextAnalysis.dupSubstringSpans(documents(s, d), col("doc_id"), col("text"), 8)
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
     b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
-    x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat)
+    x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
+    x15Backoff, x16Gopher, d11DupSubstr)
 }

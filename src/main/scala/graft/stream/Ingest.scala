@@ -158,6 +158,31 @@ object Ingest {
       .toDF(keyCol, "ts_us", tieCol, "session_id")
   }
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose event time lies within the trailing
+    * `[left.ts - window, left.ts]` interval — the funnel-attribution join
+    * (click ⋈ recent views). This is Spark's symmetric hash join: both
+    * sides shuffle ON THE KEY (an equi-join — never a nested loop), both
+    * buffer rows in state, and the watermark + time-bound condition is
+    * what lets state expire (a right row older than any joinable left row
+    * is dropped). `Temporal.recentPairs` is the batch form of the same
+    * predicate, and at 100 TB the streaming state bound is exactly the
+    * bucketed batch join's replication bound: the window length.
+    *
+    * Inputs must carry distinct column names apart from `key` (rename
+    * before calling). Returns the joined pairs with both timestamps. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, window: String): DataFrame = {
+    require(!(left.columns ++ right.columns).contains("_rk"), "streamStreamJoin reserves _rk")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, "_rk")
+    l.join(r, col(key) === col("_rk") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window") &&
+        col(rightTs) <= col(leftTs))
+      .drop("_rk")
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension (user tier, doc metadata, domain verdicts). The static side
     * is broadcast per micro-batch — stateless, no watermark, and the

@@ -254,6 +254,24 @@ class PlanSpec extends SparkSpec {
       s"global (unpartitioned) window plans found — these serialize at scale:\n${bad.mkString("\n")}")
   }
 
+  test("st6 stream-stream batch form joins on (key, bucket), never a nested loop") {
+    val plan = formatted(graft.queries.StreamingQueries.st6StreamJoin.fn(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"recentPairs must bucket the interval predicate into an equi-join:\n${plan.take(1200)}")
+  }
+
+  test("x15 backoff LM trains via hash aggregates and joins without windows") {
+    val plan = formatted(graft.queries.TextQueries.x15Backoff.fn(spark, sf))
+    assert(!plan.contains("Window"),
+      "count-table training and scoring must not plan any window")
+    // the only nested-loop is the deliberate 1-row broadcast stats frame
+    // (the x8/x9 shape); a CartesianProduct would mean a real cross join
+    assert(!plan.contains("CartesianProduct"),
+      "every model join must stay an equi-join (or the 1-row stats broadcast)")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "count-table joins must plan as hash/merge equi-joins")
+  }
+
   test("hn1 hard negatives block on the cell equi-join, never a cross join") {
     val plan = formatted(graft.queries.VectorQueries.hn1HardNeg.fn(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

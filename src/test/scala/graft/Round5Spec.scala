@@ -295,4 +295,78 @@ class Round5Spec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(m == Seq(("a", "b", 3L)))
   }
+
+  // --- Gopher rule battery ------------------------------------------------
+
+  test("gopherRules computes every rule statistic hand-exactly") {
+    // 4 non-empty lines: 2 bullets (50%), 1 ellipsis end (25%);
+    // words: 8 total, 'x7' and '9' and '•' among them
+    val text = "• alpha beta gamma\n- delta ...\n\nepsilon x7 9\nzeta"
+    val r = Seq(text).toDF("t")
+      .select(TextAnalysis.gopherRules(col("t"), minWords = 5, minStopHits = 0).as("g"))
+      .select("g.*").head()
+    // tokens: •,alpha,beta,gamma,-,delta,...,epsilon,x7,9,zeta
+    assert(r.getAs[Long]("n_words") == 11)
+    assert(r.getAs[Double]("alpha_word_frac") == 7.0 / 11.0)
+    assert(r.getAs[Double]("bullet_line_frac") == 0.5)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.25)
+    assert(r.getAs[Long]("n_stop_hits") == 0)
+  }
+
+  test("gopherRules keep verdict composes the published thresholds") {
+    val good = ("the data and the pipeline have results that scale with " +
+      "careful design of every stage ") * 5 // ~80 words, stopword-rich
+    val shout = "#### #### #### #### #### #### #### #### #### ####"
+    val rows = Seq((1L, good), (2L, shout), (3L, "tiny doc")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.gopherRules(col("t")).as("g"))
+      .select(col("id"), col("g.keep").as("keep"), col("g.n_words").as("n_words"),
+        col("g.symbol_ratio").as("sym"), col("g.alpha_word_frac").as("alpha"))
+      .orderBy("id").collect()
+    assert(rows(0).getBoolean(1), s"well-formed prose must pass: ${rows(0)}")
+    assert(!rows(1).getBoolean(1) && rows(1).getDouble(3) > 0.1, "symbol wall must fail")
+    assert(!rows(2).getBoolean(1), "a 2-word doc must fail the word-count band")
+  }
+
+  // --- ExactSubstr duplicated-substring spans ------------------------------
+
+  test("dupSubstringSpans merges overlapping marked grams into ONE maximal span") {
+    // docs 1 and 2 share a 12-token run at different alignments; with w=8
+    // that run yields 5 overlapping marked grams per doc, which must merge
+    // back into a single 12-token span — not report as 5 spans
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, s"v1 v2 v3 v4 v5 v6 v7 v8 $shared"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("id", "t")
+    val r = TextAnalysis.dupSubstringSpans(docs, col("id"), col("t"), 8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((1L, 20L, 1L, 12L), (2L, 20L, 1L, 12L), (3L, 10L, 0L, 0L)),
+      s"got $r")
+  }
+
+  test("dupSubstringSpans separates runs more than w apart; adjacency merges") {
+    // doc 4 repeats doc 5's two 8-gram blocks with 9 unique tokens between
+    // them → two separate spans of 8; back-to-back duplicated grams
+    // (distance exactly w) must merge
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 9).map(i => s"g$i").mkString(" ")
+    val df = Seq((4L, s"$a $gap $b"), (5L, s"$a x1 x2 x3 x4 x5 x6 x7 x8 x9 $b")).toDF("id", "t")
+    val r = TextAnalysis.dupSubstringSpans(df, col("id"), col("t"), 8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((4L, 2L, 16L), (5L, 2L, 16L)), s"got $r")
+  }
+
+  // --- trigram events -----------------------------------------------------
+
+  test("adjacentTokenTriples zip-shifts and guards short docs") {
+    val r = Seq("a b c d", "a b", "").toDF("t")
+      .select(TextAnalysis.adjacentTokenTriples(TextAnalysis.tokens(col("t"))).as("tr"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(
+        x => (x.getString(0), x.getString(1), x.getString(2))).toSeq).toSeq
+    assert(r(0) == Seq(("a", "b", "c"), ("b", "c", "d")))
+    assert(r(1).isEmpty && r(2).isEmpty)
+  }
 }

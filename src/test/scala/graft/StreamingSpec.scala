@@ -189,6 +189,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect { case ("A", ts, _, sid) if ts == base + 200000000L => sid } == Seq(2L))
   }
 
+  test("stream-stream interval join matches the batch recentPairs predicate") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    def row(id: Long, u: Long, s: Long) = (id, u, base + s * 1000000L)
+    // window 100 s: click c1@200 sees views @100(boundary, kept), @150, @200
+    // (equal ts, kept) but NOT @99 (past) or @201 (future); c2 has no views
+    val clicks = Seq(row(1L, 7L, 200), row(2L, 8L, 500))
+    val views = Seq(row(10L, 7L, 99), row(11L, 7L, 100), row(12L, 7L, 150),
+      row(13L, 7L, 200), row(14L, 7L, 201), row(15L, 9L, 150))
+    val dir = "/tmp/graft_ssj"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    clicks.toDF("click_id", "user_id", "c_us")
+      .select(col("click_id"), col("user_id"), expr("timestamp_micros(c_us)").as("c_ts"))
+      .write.parquet(s"$dir/clicks")
+    views.toDF("view_id", "user_id", "v_us")
+      .select(col("view_id"), col("user_id"), expr("timestamp_micros(v_us)").as("v_ts"))
+      .write.parquet(s"$dir/views")
+    def src(name: String) = spark.readStream
+      .schema(spark.read.parquet(s"$dir/$name").schema).parquet(s"$dir/$name")
+    val joined = Ingest.streamStreamJoin(src("clicks"), src("views"),
+      "user_id", "c_ts", "v_ts", watermark = "10 seconds", window = "100 seconds")
+    val streamed = runToMemory(
+        joined.select(col("click_id"), col("view_id")), "ssj_out", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val batch = graft.ops.Temporal.recentPairs(
+        clicks.toDF("click_id", "user_id", "c_us"),
+        views.toDF("view_id", "user_id", "v_us"),
+        "user_id", "c_us", "v_us", 100000000L)
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(batch == Seq((1L, 11L), (1L, 12L), (1L, 13L)),
+      s"batch pairing must keep both inclusive bounds and drop the rest: $batch")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("appendLogSink persists the stream as append-mode parquet (S7 QA log)") {
     val out = "/tmp/graft_qalog_out"; val ckpt = "/tmp/graft_qalog_ckpt"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
