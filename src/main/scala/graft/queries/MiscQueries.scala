@@ -952,6 +952,55 @@ object MiscQueries extends QuerySet {
         .orderBy(col("shared").desc, col("src_a"), col("src_b")).limit(15)
     })
 
+  /** Source-trust PageRank (the Common Crawl domain-centrality shape:
+    * rank sources by link-ish affinity before content filters run). The
+    * graph: source A → source B when they share ≥ 10 distinct 4-word
+    * shingles (the dom3 affinity, symmetrized by construction since
+    * shared-counts are symmetric). Three PageRank iterations via
+    * `Graph.pageRank`; the oracle replays them as an UNROLLED generated
+    * CTE chain (the tok2/d9c convention) from the same damping constants,
+    * so a drift in any iteration's arithmetic hash-fails. Ranks iterate
+    * as 12-dp doubles with DECIMAL(25,15) in-neighbor sums — both engines
+    * see bit-identical values every round. */
+  val pr1PageRank: Q = {
+    val iters = 3; val damping = 0.85; val base = 1.0 - damping; val minShared = 10
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(r.rank / CAST(o.deg AS DOUBLE) AS DECIMAL(25,15)) AS t
+                  FROM r${i - 1} r JOIN e ON e.src = r.node JOIN outdeg o ON o.src = e.src),
+            s$i AS (SELECT node, sum(t) AS s FROM c$i GROUP BY node),
+            r$i AS (SELECT n.node, round($base / t.n + $damping * coalesce(CAST(s.s AS DOUBLE), 0.0), 12) AS rank
+                  FROM nodes n CROSS JOIN tot t LEFT JOIN s$i s ON s.node = n.node)"""
+    }.mkString(",\n            ")
+    Q("pr1_source_pagerank",
+      Some(s"""WITH t AS (SELECT source, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT source, ${graft.queries.OracleSql.shinglesSql(4)} AS shingles FROM t),
+            sg AS (SELECT DISTINCT source, unnest(shingles) AS g FROM sh),
+            e AS (SELECT a.source AS src, b.source AS dst FROM sg a JOIN sg b
+                  ON a.g = b.g AND a.source <> b.source
+                  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+            nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) z),
+            outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN tot),
+            $iterCtes
+            SELECT node AS source, round(rank, 6) AS pagerank
+            FROM r$iters ORDER BY source"""),
+      (s, dir) => {
+        val sg = documents(s, dir)
+          .select(col("source"), explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("g"))
+          .distinct()
+        val e = sg.as("a").join(sg.as("b"),
+            col("a.g") === col("b.g") && col("a.source") =!= col("b.source"))
+          .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select("src", "dst")
+        graft.ops.Graph.pageRank(e, iters, damping)
+          .select(col("node").as("source"), round(col("rank"), 6).as("pagerank"))
+          .orderBy("source")
+      })
+  }
+
   /** Preference-pair construction (DPO/RLHF data prep): per prompt group
     * (source here), the chosen sample is the highest-quality document and
     * the rejected the lowest, with deterministic id tiebreaks; pairs with
@@ -995,5 +1044,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, dom3Overlap, pref1DpoPairs)
+    x14QualityBuckets, dom3Overlap, pref1DpoPairs, pr1PageRank)
 }

@@ -304,30 +304,69 @@ object TextQueries extends QuerySet {
     * order, which differs from the oracle's sequential sum (the d9 rule;
     * at 6-dp rounding the drift only bites at a boundary, but a flaky
     * gate is the worst failure mode). */
-  val x8Unigram = Q("x8_unigram_logprob",
-    Some("""WITH t AS (
+  /** The x8 unigram score as a shared CTE chain ending at
+    * `sc8(doc_id, mean_logprob, n_tokens)` — ONE copy for x8 and the sel2
+    * perplexity bucketing, so the bucket cuts provably bucket the same
+    * score x8 emits (the qualityCtes/x14 convention). */
+  private val unigramCtes: String =
+    """t8 AS (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
               FROM documents),
-            cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
-            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v FROM cnt)
-            SELECT doc_id,
-              round((CAST(sum(CAST(ln(c + 1) AS DECIMAL(25,15))) AS DOUBLE) - count(*) * ln(n_total + v)) / count(*), 6) AS mean_logprob,
-              CAST(count(*) AS BIGINT) AS n_tokens
-            FROM t JOIN cnt USING (w) CROSS JOIN tot
-            GROUP BY doc_id, n_total, v ORDER BY doc_id"""),
+            cnt8 AS (SELECT w, count(*) AS c FROM t8 GROUP BY w),
+            tot8 AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v FROM cnt8),
+            sc8 AS (
+              SELECT doc_id,
+                round((CAST(sum(CAST(ln(c + 1) AS DECIMAL(25,15))) AS DOUBLE) - count(*) * ln(n_total + v)) / count(*), 6) AS mean_logprob,
+                CAST(count(*) AS BIGINT) AS n_tokens
+              FROM t8 JOIN cnt8 USING (w) CROSS JOIN tot8
+              GROUP BY doc_id, n_total, v)"""
+
+  /** The x8 Spark plan, shared with sel2 (same single-copy rule). */
+  private def unigramScored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("v"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(round((sum(log(col("c") + 1).cast("decimal(25,15)")).cast("double")
+          - count(lit(1)) * log(first(col("n_total")) + first(col("v"))))
+          / count(lit(1)), 6).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  val x8Unigram = Q("x8_unigram_logprob",
+    Some(s"""WITH $unigramCtes
+            SELECT doc_id, mean_logprob, n_tokens FROM sc8 ORDER BY doc_id"""),
+    (s, d) => unigramScored(s, d).orderBy("doc_id"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head/middle/tail by LM-score terciles — the data-selection
+    * pass that keeps the fluent third of a crawl. Higher mean log-prob =
+    * lower perplexity = head. Cuts come from ONE exact-percentile
+    * aggregate over the 6-dp-rounded x8 score (two doubles, broadcast) and
+    * assignment is a map-only strict-< comparison — never a corpus-wide
+    * ntile (the x14 rule: a global rank serializes at scale). */
+  val sel2Perplexity = Q("sel2_perplexity_buckets",
+    Some(s"""WITH $unigramCtes,
+            cuts AS (SELECT [round(quantile_cont(mean_logprob, 1.0/3), 6),
+                             round(quantile_cont(mean_logprob, 2.0/3), 6)] AS cs FROM sc8)
+            SELECT doc_id, mean_logprob,
+              CASE len(list_filter(cs, c -> c < mean_logprob))
+                   WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+            FROM sc8 CROSS JOIN cuts ORDER BY doc_id"""),
     (s, d) => {
-      val toks = documents(s, d).select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
-      val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      val totals = counts.agg(sum("c").cast("double").as("n_total"),
-        count(lit(1)).cast("double").as("v"))
-      toks.join(counts, "w")
-        .crossJoin(broadcast(totals))
-        .groupBy("doc_id")
-        .agg(round((sum(log(col("c") + 1).cast("decimal(25,15)")).cast("double")
-            - count(lit(1)) * log(first(col("n_total")) + first(col("v"))))
-            / count(lit(1)), 6).as("mean_logprob"),
-          count(lit(1)).as("n_tokens"))
+      val scored = unigramScored(s, d).select(col("doc_id"), col("mean_logprob"))
+      val cuts = scored.agg(array(
+        round(percentile(col("mean_logprob"), lit(1.0) / 3), 6),
+        round(percentile(col("mean_logprob"), lit(2.0) / 3), 6)).as("cs"))
+      val nBelow = size(filter(col("cs"), c => c < col("mean_logprob")))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("mean_logprob"),
+          when(nBelow === 2, "head").when(nBelow === 1, "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     })
 
@@ -1089,5 +1128,5 @@ object TextQueries extends QuerySet {
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
     b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
-    x15Backoff, x16Gopher, d11DupSubstr)
+    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity)
 }

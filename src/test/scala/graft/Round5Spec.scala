@@ -359,6 +359,27 @@ class Round5Spec extends SparkSpec {
     assert(r == Seq((4L, 2L, 16L), (5L, 2L, 16L)), s"got $r")
   }
 
+  // --- PageRank -----------------------------------------------------------
+
+  test("pageRank matches the hand formula on a 3-node star; mass is conserved") {
+    // symmetrized star: A↔B, A↔C. deg A=2, B=C=1. After one round:
+    //   A = 0.15/3 + 0.85·(1/3 + 1/3)        (B and C each send their whole 1/3)
+    //   B = C = 0.15/3 + 0.85·(1/3 / 2)      (A splits its 1/3 across two out-edges)
+    val edges = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")).toDF("src", "dst")
+    val r1 = graft.ops.Graph.pageRank(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val base = 1.0 - 0.85
+    assert(math.abs(r1("A") - (base / 3 + 0.85 * (1.0 / 3 + 1.0 / 3))) < 1e-9)
+    assert(math.abs(r1("B") - (base / 3 + 0.85 * (1.0 / 3 / 2))) < 1e-9)
+    assert(r1("B") == r1("C"), "symmetric leaves must tie exactly")
+    // symmetric graph, no dangling nodes: total mass stays 1 through rounds
+    val r3 = graft.ops.Graph.pageRank(edges, 3).collect().map(_.getDouble(1)).sum
+    assert(math.abs(r3 - 1.0) < 1e-9, s"mass leaked: $r3")
+    // zero iterations = the uniform prior
+    val r0 = graft.ops.Graph.pageRank(edges, 0).collect().map(_.getDouble(1)).toSeq
+    assert(r0.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
   // --- trigram events -----------------------------------------------------
 
   test("adjacentTokenTriples zip-shifts and guards short docs") {
