@@ -37,7 +37,11 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges.select(col("src"), col("dst"))
+    // checkpoint the edge list: every iteration's rank materialization
+    // re-executes its lineage, and an edge build is typically the most
+    // expensive input in the whole loop (pr1's is a shingle self-join) —
+    // without this the build runs once PER ITERATION
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -108,6 +108,41 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
   }
 
+  /** WAV (RIFF) audio metadata — sample rate, channel count, bits per
+    * sample — decoded from the `fmt ` chunk, which sits at a VARIABLE
+    * offset behind optional LIST/JUNK/bext chunks: a bounded little-endian
+    * chunk walk, the RIFF analog of [[jpegDims]]'s marker walk. Each hop
+    * reads a 4-byte chunk id + 4-byte LE size and advances
+    * `8 + size + (size % 2)` (RIFF word-aligns odd chunks with a pad
+    * byte). Returns a (sample_rate, channels, bits) struct, null for
+    * non-RIFF/WAVE payloads or when no fmt chunk appears within the hop
+    * budget — fail-to-null, never garbage (the imageDims contract).
+    * Map-only, codegen-friendly, reads at most a few dozen header bytes. */
+  def wavMeta(payload: Column, maxHops: Int = 8): Column = {
+    def leAt(pos: Column, len: Int) =
+      conv(concat((len - 1 to 0 by -1).map(i =>
+        hex(payload.substr((pos + i).cast("int"), lit(1)))): _*), 16, 10).cast("long")
+    val isWav = substring(payload, 1, 4).cast("string") === "RIFF" &&
+      substring(payload, 9, 4).cast("string") === "WAVE"
+    val scan = aggregate(sequence(lit(1), lit(maxHops)), lit(13L), (acc, _) => {
+      val id = payload.substr(acc.cast("int"), lit(4)).cast("string")
+      val size = leAt(acc + 4, 4)
+      when(acc <= 0, acc) // frozen: found (<0) or failed (0)
+        .when(length(payload) < acc.cast("int") + 8, lit(0L)) // chunk header truncated
+        .when(id === "fmt ", -acc)
+        .otherwise(acc + 8 + size + size % 2)
+    })
+    // fmt data from its chunk start: id(4) size(4) | format(2) channels(2)
+    // rate(4) byte_rate(4) block_align(2) bits(2), all little-endian
+    val off = -scan + 8
+    def field(v: Column) = when(scan < 0 && v >= 1 && v <= Int.MaxValue, v.cast("int"))
+    when(isWav, struct(
+        field(leAt(off + 4, 4)).as("sample_rate"),
+        field(leAt(off + 2, 2)).as("channels"),
+        field(leAt(off + 14, 2)).as("bits")))
+      .otherwise(lit(null).cast("struct<sample_rate:int,channels:int,bits:int>"))
+  }
+
   /** Batch feature-extraction contract over raw payload bytes. */
   trait FeatureExtractor extends Serializable {
     def extractBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]]

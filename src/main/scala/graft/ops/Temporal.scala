@@ -106,6 +106,38 @@ object Temporal {
     * look-back interval of width `windowUs` spans at most two buckets)
     * and lets the range predicate run inside (key, bucket) groups. Same
     * integer-`div` discipline as [[rangeJoin]]. */
+  /** Keyed interval-overlap join: pair every left interval `[lS, lE)`
+    * with the right intervals `[rS, rE)` of the same key that OVERLAP it
+    * (`lS < rE && rS < lE`) — the alignment primitive of A/V-segment and
+    * session-incident analysis (and the interval analog of [[rangeJoin]]'s
+    * point-in-interval). Bucketed the same way: both sides explode to the
+    * width-`maxLen` buckets they span, the join runs on (key, bucket).
+    * Overlapping intervals can SHARE several buckets, so the filter keeps
+    * only the canonical meeting bucket — the one containing
+    * `greatest(lS, rS)`, which overlap guarantees lies inside both
+    * intervals — making each pair appear exactly once with no post-join
+    * dedup. `maxLen` must bound every interval's length on BOTH sides to
+    * cap replication (an interval explodes to ≤ 2 buckets when its length
+    * is ≤ maxLen; longer intervals stay correct, just wider). Bounds are
+    * non-negative epoch-µs longs; empty intervals (`end <= start`) match
+    * nothing and are dropped (Spark's `sequence` would count DOWN). */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+                  lStart: String, lEnd: String, rStart: String, rEnd: String,
+                  maxLen: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    require(!(left.columns ++ right.columns).contains("_b"), "overlapJoin reserves _b")
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("_b", explode(sequence(expr(s"$lStart div ${maxLen}L"),
+        expr(s"($lEnd - 1) div ${maxLen}L"))))
+    val r = right.filter(col(rEnd) > col(rStart))
+      .withColumn("_b", explode(sequence(expr(s"$rStart div ${maxLen}L"),
+        expr(s"($rEnd - 1) div ${maxLen}L"))))
+    l.join(r, Seq(key, "_b"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("_b") === expr(s"greatest($lStart, $rStart) div ${maxLen}L"))
+      .drop("_b")
+  }
+
   def recentPairs(left: DataFrame, right: DataFrame, key: String,
                   leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")

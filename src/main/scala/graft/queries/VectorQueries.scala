@@ -251,6 +251,52 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** REAL RIFF/WAV metadata decode (the m2 contract for audio): payloads
+    * are synthesized from doc_id arithmetic — every 4th doc hides the
+    * `fmt ` chunk behind a JUNK chunk of doc-dependent ODD/even size (so
+    * the decoder's chunk walk and RIFF word-alignment padding are what
+    * the oracle's expected fields actually gate), every 9th is garbage →
+    * NULL. The oracle knows only the arithmetic; an endianness or
+    * offset bug in `Multimodal.wavMeta` hash-fails. */
+  val m5WavMeta = Q("m5_wav_meta",
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(doc_id % 48000 + 8000 AS INT) END AS sample_rate,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(doc_id % 2 + 1 AS INT) END AS channels,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST((doc_id % 3 + 1) * 8 AS INT) END AS bits
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      def le16(v: org.apache.spark.sql.Column) = {
+        val bx = lpad(hex(v), 4, "0")
+        concat(substring(bx, 3, 2), substring(bx, 1, 2))
+      }
+      def le32(v: org.apache.spark.sql.Column) = {
+        val bx = lpad(hex(v), 8, "0")
+        concat(substring(bx, 7, 2), substring(bx, 5, 2),
+          substring(bx, 3, 2), substring(bx, 1, 2))
+      }
+      val rate = col("doc_id") % 48000 + 8000
+      val channels = col("doc_id") % 2 + 1
+      val bytesPerSample = col("doc_id") % 3 + 1 // bits = ×8, kept integral
+      val blockAlign = channels * bytesPerSample
+      val junkLen = col("doc_id") % 7 + 1
+      val junkHex = concat(lit("4A554E4B"), le32(junkLen),
+        expr("repeat('AB', CAST(doc_id % 7 + 1 AS INT))"),
+        when(junkLen % 2 === 1, lit("00")).otherwise(lit(""))) // RIFF odd-size pad
+      val fmtHex = concat(lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(channels),
+        le32(rate), le32(rate * blockAlign), le16(blockAlign), le16(bytesPerSample * 8))
+      val wavHex = concat(lit("52494646"), le32(lit(100)), lit("57415645"),
+        when(col("doc_id") % 4 === 0, junkHex).otherwise(lit("")), fmtHex)
+      val payload = when(col("doc_id") % 9 === 0, unhex(lit("BADC0FFE")))
+        .otherwise(unhex(wavHex))
+      // payload bound to an attribute first — the m2 plan-blowup lesson
+      documents(s, d)
+        .withColumn("payload", payload)
+        .withColumn("w", graft.ops.Multimodal.wavMeta(col("payload")))
+        .select(col("doc_id"), col("w.sample_rate").as("sample_rate"),
+          col("w.channels").as("channels"), col("w.bits").as("bits"))
+        .orderBy("doc_id")
+    })
+
   /** V2 scale path: SRP-LSH bucketed top-k. The oracle SQL is generated
     * from the same deterministic hyperplanes (seed 42) the Spark side uses,
     * baked in as literals — both engines compute identical bucket ids, so
@@ -630,6 +676,39 @@ object VectorQueries extends QuerySet {
         .orderBy("cluster_size")
     })
 
+  /** SOFT dedup: instead of dropping near-duplicates, downweight them —
+    * every member of a near-dup cluster gets sampling weight
+    * 1/cluster_size, so each duplicated content unit contributes ~one
+    * document's worth of mass to training (the keep-one d9b/c1 decision
+    * is the weight→{0,1} special case; soft weighting preserves benign
+    * variation that hard dedup throws away). Rides the d7 cluster
+    * machinery: one size aggregate + one broadcast-sized join back, then
+    * a left join so non-duplicated docs carry weight 1. The weight is a
+    * single exact-integer division — identical doubles in both engines. */
+  val d12SoftDedup = Q("d12_soft_dedup_weights",
+    Some(s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+            ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)},
+            ${OracleSql.closureCtes},
+            sizes AS (SELECT cluster_id, count(*) AS cs FROM labels GROUP BY cluster_id),
+            lab AS (SELECT l.id, s.cs FROM labels l JOIN sizes s USING (cluster_id))
+            SELECT d.doc_id, CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size,
+              1.0 / coalesce(cs, 1) AS weight
+            FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+        shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs)
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cs"))
+      val lab = labels.join(sizes, "cluster_id").select(col("id"), col("cs"))
+      documents(s, d).select(col("doc_id"))
+        .join(lab, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cs"), lit(1L)).cast("long").as("cluster_size"),
+          (lit(1.0) / coalesce(col("cs"), lit(1L))).as("weight"))
+        .orderBy("doc_id")
+    })
+
   /** SimHash near-dup PAIRS via pigeonhole blocking (Manku-style): a
     * Hamming-≤3 pair over 32 bits must share one of its 4 8-bit signature
     * quarters, so candidates come from a quarter equi-join. Signatures vote over word
@@ -923,5 +1002,5 @@ object VectorQueries extends QuerySet {
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
-    m1Binary, m2ImageDims, pdf1TextExtract)
+    m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta)
 }

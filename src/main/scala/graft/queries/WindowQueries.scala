@@ -250,6 +250,41 @@ object WindowQueries extends QuerySet {
         .orderBy("incident_id")
     })
 
+  /** Keyed interval-OVERLAP join (the r1 point-in-interval generalized to
+    * interval×interval — A/V-segment alignment, incident-vs-session
+    * forensics): per user, every purchase window [ts, ts+2h) paired with
+    * the error windows [ts, ts+1h) it overlaps, with the overlap length.
+    * `Temporal.overlapJoin` buckets both sides so the plan is a hash
+    * equi-join on (user, bucket) with each pair meeting exactly once in
+    * the bucket of greatest(start) — no nested loop, no dedup pass. */
+  val r2Overlap = Q("r2_interval_overlap",
+    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ps,
+                         epoch_us(ts) + 7200000000 AS pe
+                       FROM events WHERE event_type = 'purchase'),
+            er AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS es,
+                     epoch_us(ts) + 3600000000 AS ee
+                   FROM events WHERE event_type = 'error')
+            SELECT p.user_id, purchase_id, error_id,
+              least(pe, ee) - greatest(ps, es) AS overlap_us
+            FROM p JOIN er ON er.user_id = p.user_id AND p.ps < er.ee AND er.es < p.pe
+            ORDER BY purchase_id, error_id"""),
+    (s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) + 7200000000L).as("pe"))
+      val er = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts")).as("es"),
+          (unix_micros(col("ts")) + 3600000000L).as("ee"))
+      graft.ops.Temporal.overlapJoin(p, er, "user_id", "ps", "pe", "es", "ee",
+          maxLen = 7200000000L)
+        .select(col("user_id"), col("purchase_id"), col("error_id"),
+          (least(col("pe"), col("ee")) - greatest(col("ps"), col("es"))).as("overlap_us"))
+        .orderBy("purchase_id", "error_id")
+    })
+
   /** Sliding ROW-frame aggregates (the trailing-window smoothing report):
     * per user, the mean and max of the last 7 events at every event. The
     * frame sum runs in DECIMAL(18,2) on both sides — a sliding double sum
@@ -275,5 +310,5 @@ object WindowQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
-    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, x7Pack, w7Rolling)
+    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling)
 }

@@ -170,16 +170,23 @@ object Ingest {
     * bucketed batch join's replication bound: the window length.
     *
     * Inputs must carry distinct column names apart from `key` (rename
-    * before calling). Returns the joined pairs with both timestamps. */
+    * before calling). Returns the joined pairs with both timestamps.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form emits a
+    * left row with NULL right columns once the watermark proves no future
+    * right row can still match it — the funnel-miss record (a click that
+    * never had a view) surfacing from the stream itself, which is why the
+    * time bound + both-side watermarks are mandatory for outer joins. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
-                       watermark: String, window: String): DataFrame = {
+                       watermark: String, window: String,
+                       joinType: String = "inner"): DataFrame = {
     require(!(left.columns ++ right.columns).contains("_rk"), "streamStreamJoin reserves _rk")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, "_rk")
     l.join(r, col(key) === col("_rk") &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window") &&
-        col(rightTs) <= col(leftTs))
+        col(rightTs) <= col(leftTs), joinType)
       .drop("_rk")
   }
 

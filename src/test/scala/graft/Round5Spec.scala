@@ -359,6 +359,34 @@ class Round5Spec extends SparkSpec {
     assert(r == Seq((4L, 2L, 16L), (5L, 2L, 16L)), s"got $r")
   }
 
+  // --- WAV chunk walk -----------------------------------------------------
+
+  test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
+    def hx(s: String) = s.replaceAll("\\s", "")
+    def le32(v: Int) = f"$v%08X".grouped(2).toSeq.reverse.mkString
+    def le16(v: Int) = f"$v%04X".grouped(2).toSeq.reverse.mkString
+    val fmt = "666D7420" + le32(16) + le16(1) + le16(2) + le32(44100) +
+      le32(44100 * 4) + le16(4) + le16(16)
+    val cases = Seq(
+      // fmt directly after WAVE
+      "w1" -> hx(s"52494646 ${le32(100)} 57415645 $fmt"),
+      // fmt behind an ODD 3-byte JUNK chunk (walk must add the pad byte)
+      "w2" -> hx(s"52494646 ${le32(100)} 57415645 4A554E4B ${le32(3)} AABBCC 00 $fmt"),
+      // RIFF/WAVE but no fmt within the payload → null fields
+      "w3" -> hx(s"52494646 ${le32(100)} 57415645 4A554E4B ${le32(4)} AABBCCDD"),
+      // not RIFF at all → null struct
+      "w4" -> "DEADBEEF")
+    val out = cases.toDF("id", "hx")
+      .withColumn("payload", unhex(col("hx")))
+      .withColumn("w", graft.ops.Multimodal.wavMeta(col("payload")))
+      .select(col("id"), col("w.sample_rate"), col("w.channels"), col("w.bits"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(out("w1").contains((44100, 2, 16)))
+    assert(out("w2").contains((44100, 2, 16)), "odd-chunk pad byte must not derail the walk")
+    assert(out("w3").isEmpty && out("w4").isEmpty)
+  }
+
   // --- PageRank -----------------------------------------------------------
 
   test("pageRank matches the hand formula on a 3-node star; mass is conserved") {

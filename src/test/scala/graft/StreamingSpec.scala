@@ -224,6 +224,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("left-outer stream-stream join emits funnel misses after watermark passage") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val dir = "/tmp/graft_ssj_outer"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def write(name: String, rows: Seq[(Long, Long, Long)], ts: String): Unit =
+      rows.toDF("id", "user_id", "us")
+        .select(col("id"), col("user_id"), expr("timestamp_micros(us)").as(ts))
+        .write.mode("append").parquet(s"$dir/$name")
+    // c1 (user 7) has a view in-window; c2 (user 8) has none → funnel miss
+    write("clicks", Seq((1L, 7L, base + 200000000L), (2L, 8L, base + 500000000L)), "c_ts")
+    write("views", Seq((10L, 7L, base + 150000000L)), "v_ts")
+    def src(name: String) = spark.readStream
+      .schema(spark.read.parquet(s"$dir/$name").schema).parquet(s"$dir/$name")
+    val joined = Ingest.streamStreamJoin(
+      src("clicks").withColumnRenamed("id", "click_id"),
+      src("views").withColumnRenamed("id", "view_id"),
+      "user_id", "c_ts", "v_ts", watermark = "10 seconds", window = "100 seconds",
+      joinType = "left_outer")
+    val q = joined.select(col("click_id"), col("view_id"))
+      .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+    q.processAllAvailable()
+    // two sentinel waves on BOTH sides: the query watermark is the min of
+    // the two streams', it updates at end-of-batch, and state eviction
+    // (which emits the outer rows) runs in the batch AFTER the update
+    for (wave <- 1 to 2) {
+      write("clicks", Seq((900L + wave, 99L, base + 100000000000L)), "c_ts")
+      write("views", Seq((990L + wave, 99L, base + 100000000000L)), "v_ts")
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows.contains((1L, 10L)), s"matched pair must emit: $rows")
+    assert(rows.contains((2L, -1L)),
+      s"the view-less click must surface with a NULL view once expired: $rows")
+  }
+
   test("appendLogSink persists the stream as append-mode parquet (S7 QA log)") {
     val out = "/tmp/graft_qalog_out"; val ckpt = "/tmp/graft_qalog_ckpt"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))

@@ -72,4 +72,21 @@ class TemporalSpec extends SparkSpec {
       .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(all.size == all.distinct.size)
   }
+
+  test("overlapJoin pairs overlapping intervals exactly once; touching is not overlap") {
+    // key k: L1=[0,200) overlaps R1=[50,350) — they SHARE buckets {0,1} at
+    // maxLen=100, so the canonical-bucket filter must collapse the two
+    // join hits to exactly one pair; L1 touches R2=[200,300) end-to-start
+    // → NO pair; L2=[500,510) ⊂ R3=[400,600); other-key intervals never
+    // pair; the empty interval R4=[700,700) matches nothing and must not
+    // crash the bucket sequence
+    val left = Seq(("k", 1L, 0L, 200L), ("k", 2L, 500L, 510L), ("z", 3L, 0L, 200L))
+      .toDF("key", "lid", "ls", "le")
+    val right = Seq(("k", 10L, 50L, 350L), ("k", 11L, 200L, 300L),
+      ("k", 12L, 400L, 600L), ("k", 13L, 700L, 700L))
+      .toDF("key", "rid", "rs", "re")
+    val out = Temporal.overlapJoin(left, right, "key", "ls", "le", "rs", "re", maxLen = 100L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq((1L, 10L), (2L, 12L)), s"got $out")
+  }
 }
