@@ -310,6 +310,99 @@ object TextAnalysis {
       ellipsisFrac.as("ellipsis_line_frac"), keep.as("keep"))
   }
 
+  /** Piece vocabulary for unigram-LM segmentation (the SentencePiece
+    * vocabulary SHAPE, deterministically constructed rather than
+    * EM-trained): every single character of the corpus (guaranteeing any
+    * word segments) plus the top-`k` multi-character grams (length 2-4) by
+    * frequency-weighted occurrence count, with `logp = ln(count / total)`
+    * over the selected vocabulary. One gram aggregate (vocab-bounded) +
+    * a TakeOrdered top-k; ties at the k boundary break lexicographically
+    * so the vocabulary is reproducible across engines and runs.
+    * Input: `(word, wc)` word counts; output: `(piece, logp)`. */
+  def unigramPieceVocab(wordCounts: DataFrame, k: Int, maxPieceLen: Int = 4): DataFrame = {
+    val grams = wordCounts.select(col("wc"),
+      explode(flatten(array((1 to maxPieceLen).map { l =>
+        when(length(col("word")) >= l,
+          transform(sequence(lit(1), length(col("word")) - l + 1),
+            p => col("word").substr(p, lit(l))))
+          .otherwise(array().cast("array<string>"))
+      }: _*))).as("piece"))
+    val gcnt = grams.groupBy("piece").agg(sum("wc").as("c"))
+    val singles = gcnt.filter(length(col("piece")) === 1)
+    val multi = gcnt.filter(length(col("piece")) >= 2)
+      .orderBy(col("c").desc, col("piece")).limit(k)
+    val vocab = singles.unionByName(multi)
+    val tot = vocab.agg(sum("c").cast("double").as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), log(col("c").cast("double") / col("tot")).as("logp"))
+  }
+
+  /** Unigram-LM Viterbi segmentation — SentencePiece INFERENCE (Kudo
+    * 2018): segment each word into the vocabulary pieces maximizing
+    * Σ ln p(piece). The BPE encoder (tok2/tok3) replays learned merges;
+    * this is the other major tokenizer family, where segmentation is a
+    * per-word dynamic program (and beats greedy longest-match — pinned in
+    * Round5Spec).
+    *
+    * Distributed shape: candidate (start, len, piece) edges are map-only
+    * array builds; ONE hash equi-join attaches vocabulary log-probs; the
+    * DP is a bounded fold per word (edges ≤ maxPieceLen·|word|), run on
+    * DISTINCT words — Heaps-bounded, so at corpus scale the expensive
+    * part is a vocabulary-sized map stage, with stats joined back to
+    * documents at scan bandwidth. Forward scores fold positionally (no
+    * shuffle-order arithmetic) and the backtrack breaks score ties by
+    * longest piece, then lexicographic piece, then start — fully
+    * deterministic. Returns (word, pieces, n_pieces, score).
+    *
+    * `words` must carry distinct non-empty `word` rows; `vocab` is
+    * `(piece, logp)` and MUST contain every single character of every
+    * word (what [[unigramPieceVocab]] guarantees) — otherwise a word
+    * with an uncoverable prefix yields null score/pieces. */
+  def viterbiSegment(words: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val cand = words.select(col("word"),
+        explode(flatten(array((1 to maxPieceLen).map { l =>
+          when(length(col("word")) >= l,
+            transform(sequence(lit(0), length(col("word")) - l),
+              s => struct(s.as("start"), lit(l).as("len"),
+                col("word").substr(s + 1, lit(l)).as("piece"))))
+            .otherwise(array().cast("array<struct<start:int,len:int,piece:string>>"))
+        }: _*))).as("e"))
+      .select(col("word"), col("e.start").as("start"), col("e.len").as("len"), col("e.piece").as("piece"))
+    val withEdges = cand.join(vocab, "piece")
+      .groupBy("word")
+      .agg(collect_list(struct(col("start"), col("len"), col("piece"), col("logp"))).as("edges"))
+    val L = length(col("word"))
+    // forward pass: dp[0]=0; dp[i] = max over vocab edges ending at i of
+    // dp[start] + logp — the accumulator grows one position per step
+    val dp = aggregate(sequence(lit(1), L), array(lit(0.0)), (acc, i) =>
+      concat(acc, array(array_max(transform(
+        filter(col("edges"), e => e.getField("start") + e.getField("len") === i),
+        e => element_at(acc, e.getField("start") + 1) + e.getField("logp"))))))
+    // backtrack: from pos=L, repeatedly take the best-scoring edge ending
+    // at pos (ties: longest piece, then lexicographic, then start) and
+    // prepend its piece; freezes at pos=0. L steps always suffice.
+    val walk = aggregate(sequence(lit(1), L),
+      struct(L.cast("int").as("pos"), array().cast("array<string>").as("pieces")),
+      (acc, _) => {
+        val best = element_at(array_sort(transform(
+          filter(col("edges"), e => e.getField("start") + e.getField("len") === acc.getField("pos")),
+          e => struct(
+            (-(element_at(col("dp"), e.getField("start") + 1) + e.getField("logp"))).as("negs"),
+            (-e.getField("len")).as("neglen"),
+            e.getField("piece").as("piece"),
+            e.getField("start").as("start")))), 1)
+        when(acc.getField("pos") === 0, acc)
+          .otherwise(struct(best.getField("start").as("pos"),
+            concat(array(best.getField("piece")), acc.getField("pieces")).as("pieces")))
+      })
+    withEdges
+      .withColumn("dp", dp)
+      .withColumn("w", walk)
+      .select(col("word"), col("w.pieces").as("pieces"),
+        size(col("w.pieces")).cast("long").as("n_pieces"),
+        element_at(col("dp"), L + 1).as("score"))
+  }
+
   /** SFT chat-template rendering: serialize a (system, user, assistant)
     * triple into one training string with role markers, plus the 1-based
     * character offset where the assistant span begins — the loss-mask

@@ -1040,6 +1040,64 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Unigram-LM Viterbi segmentation (SentencePiece inference, Kudo 2018)
+    * — the OTHER tokenizer family next to tok1-3's BPE: per distinct
+    * corpus word, the max-probability segmentation score over a
+    * deterministically-constructed piece vocabulary (all single chars +
+    * top-50 multi-char grams, ln(count/total)). The oracle replays the
+    * forward DP as a RECURSIVE CTE with bounded lookback — pieces are ≤ 4
+    * chars, so carrying (dp[i], dp[i-1], dp[i-2], dp[i-3]) as columns
+    * makes each step four vocabulary lookups + a null-skipping greatest,
+    * exactly the candidate set of the Spark fold. Scores are identical
+    * doubles by construction (same ln inputs, same positional additions);
+    * the gate rounds at 6 dp (the x8 ln-parity rule). Segmentation
+    * backtrack (the piece strings) is Spark-side API, pinned in
+    * Round5Spec incl. the greedy-beating case. */
+  val tok4Viterbi: Q = {
+    val k = 50
+    Q("tok4_unigram_viterbi",
+      Some(s"""WITH RECURSIVE wcnt AS (
+              SELECT w AS word, count(*) AS wc FROM (
+                SELECT unnest(${OracleSql.toksSql}) AS w FROM documents) z GROUP BY w),
+            g AS (SELECT unnest(list_transform(range(1, length(word) - l + 2),
+                    p -> substr(word, CAST(p AS INT), CAST(l AS INT)))) AS piece, wc
+                  FROM wcnt CROSS JOIN range(1, 5) rl(l) WHERE length(word) >= l),
+            gcnt AS (SELECT piece, sum(wc) AS c FROM g GROUP BY piece),
+            singles AS (SELECT piece, c FROM gcnt WHERE length(piece) = 1),
+            multi AS (SELECT piece, c FROM gcnt WHERE length(piece) >= 2
+                      ORDER BY c DESC, piece LIMIT $k),
+            vocab AS (SELECT piece, c FROM singles UNION ALL SELECT piece, c FROM multi),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM vocab),
+            v AS (SELECT piece, ln(CAST(c AS DOUBLE) / tot) AS logp FROM vocab CROSS JOIN tot),
+            seg AS (
+              SELECT word, 0 AS i, CAST(0 AS DOUBLE) AS d0,
+                CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3
+              FROM wcnt
+              UNION ALL
+              SELECT s.word, s.i + 1,
+                greatest(s.d0 + v1.logp, s.d1 + v2.logp, s.d2 + v3.logp, s.d3 + v4.logp) AS d0,
+                s.d0 AS d1, s.d1 AS d2, s.d2 AS d3
+              FROM seg s
+              LEFT JOIN v v1 ON v1.piece = substr(s.word, s.i + 1, 1)
+              LEFT JOIN v v2 ON s.i >= 1 AND v2.piece = substr(s.word, s.i, 2)
+              LEFT JOIN v v3 ON s.i >= 2 AND v3.piece = substr(s.word, s.i - 1, 3)
+              LEFT JOIN v v4 ON s.i >= 3 AND v4.piece = substr(s.word, s.i - 2, 4)
+              WHERE s.i < length(s.word))
+            SELECT s.word, CAST(c.wc AS BIGINT) AS wc, round(s.d0, 6) AS score
+            FROM seg s JOIN wcnt c ON c.word = s.word
+            WHERE s.i = length(s.word) ORDER BY s.word"""),
+      (s, d) => {
+        val wcnt = documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wc"))
+        val vocab = TextAnalysis.unigramPieceVocab(wcnt, k)
+        TextAnalysis.viterbiSegment(wcnt.select("word"), vocab)
+          .join(wcnt, "word")
+          .select(col("word"), col("wc"), round(col("score"), 6).as("score"))
+          .orderBy("word")
+      })
+  }
+
   /** Gopher rule-set quality filter (Rae et al. 2021, appendix A1.1) —
     * every rule statistic plus the composed keep verdict per document.
     * The fixture text is single-line, so line structure is synthesized
@@ -1128,5 +1186,5 @@ object TextQueries extends QuerySet {
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
     b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
-    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity)
+    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi)
 }

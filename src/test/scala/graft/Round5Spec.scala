@@ -359,6 +359,38 @@ class Round5Spec extends SparkSpec {
     assert(r == Seq((4L, 2L, 16L), (5L, 2L, 16L)), s"got $r")
   }
 
+  // --- unigram-LM Viterbi segmentation --------------------------------------
+
+  test("viterbiSegment beats greedy longest-match and backtracks the true argmax") {
+    // p: a=.3, b=.05, aa=.05, ab=.6 — greedy longest-first on "aab" takes
+    // aa+b (ln .05 + ln .05 ≈ -5.99); the optimum is a+ab (≈ -1.71)
+    val vocab = Seq("a" -> 0.3, "b" -> 0.05, "aa" -> 0.05, "ab" -> 0.6)
+      .map { case (p, v) => (p, math.log(v)) }.toDF("piece", "logp")
+    val r = TextAnalysis.viterbiSegment(Seq("aab").toDF("word"), vocab).head()
+    assert(r.getSeq[String](1) == Seq("a", "ab"), s"got ${r.getSeq[String](1)}")
+    assert(r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - (math.log(0.3) + math.log(0.6))) < 1e-12)
+  }
+
+  test("viterbiSegment breaks exact score ties toward the longest piece") {
+    // logp(ab) == logp(a) + logp(b) exactly: [ab] and [a, b] tie — the
+    // deterministic rule picks the single longest piece
+    val vocab = Seq(("a", -1.0), ("b", -2.0), ("ab", -3.0)).toDF("piece", "logp")
+    val r = TextAnalysis.viterbiSegment(Seq("ab").toDF("word"), vocab).head()
+    assert(r.getSeq[String](1) == Seq("ab"))
+    assert(r.getDouble(3) == -3.0)
+  }
+
+  test("unigramPieceVocab keeps every single char and the lexicographic top-k ties") {
+    val wcnt = Seq(("ab", 3L), ("ba", 1L)).toDF("word", "wc")
+    // grams: a=4, b=4 (singles always kept); ab=3, ba=1 multi → k=1 keeps ab
+    val v = TextAnalysis.unigramPieceVocab(wcnt, k = 1, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(v.keySet == Set("a", "b", "ab"))
+    // tot = 4+4+3 = 11
+    assert(math.abs(v("ab") - math.log(3.0 / 11)) < 1e-12)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
