@@ -251,6 +251,61 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Distributed PCA (power iteration) over the embedding corpus: the
+    * top principal direction of the first 16 components + its eigenvalue
+    * — the compression/whitening pass a dense-retrieval index runs before
+    * quantization (v5-v7's PQ/SQ are the codebook side of the same
+    * family). Covariance is ONE DECIMAL-exact aggregate (O(N·d²) exploded
+    * rows, no cross join); the 5 iterations touch only the 16×16
+    * covariance frame. The oracle replays covariance AND all five
+    * iterations as a generated unrolled CTE chain (the pr1/tok2
+    * convention); iterated vectors are 12-dp-rounded so both engines see
+    * bit-identical values each round. */
+  val v8PcaTop: Q = {
+    val dim = 16; val iters = 5
+    val iterCtes = (1 to iters).map { k =>
+      s"""w$k AS (SELECT c.i, CAST(sum(CAST(c.cov * v.v AS DECIMAL(25,15))) AS DOUBLE) AS w
+                 FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+            n$k AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(25,15))) AS DOUBLE)) AS nrm FROM w$k),
+            v$k AS (SELECT i, round(w / nrm, 12) AS v FROM w$k CROSS JOIN n$k)"""
+    }.mkString(",\n            ")
+    Q("v8_pca_top_component",
+      Some(s"""WITH comp AS (
+              SELECT vec_id,
+                generate_subscripts(embedding[1:$dim], 1) - 1 AS i,
+                unnest(list_transform(embedding[1:$dim], x -> CAST(x AS DOUBLE))) AS x
+              FROM embeddings),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+            mu AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / n AS mu
+                   FROM comp CROSS JOIN nn GROUP BY i, n),
+            cen AS (SELECT vec_id, i, x - mu AS cx FROM comp JOIN mu USING (i)),
+            cov AS (SELECT a.i AS i, b.i AS j,
+                      CAST(sum(CAST(a.cx * b.cx AS DECIMAL(25,15))) AS DOUBLE) / n AS cov
+                    FROM cen a JOIN cen b ON a.vec_id = b.vec_id CROSS JOIN nn
+                    GROUP BY a.i, b.i, n),
+            v0 AS (SELECT CAST(i AS INT) AS i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v
+                   FROM range(0, $dim) r(i)),
+            $iterCtes,
+            wf AS (SELECT c.i, CAST(sum(CAST(c.cov * v.v AS DECIMAL(25,15))) AS DOUBLE) AS w
+                   FROM cov c JOIN v$iters v ON v.i = c.j GROUP BY c.i),
+            lam AS (SELECT CAST(sum(CAST(v.v * w.w AS DECIMAL(25,15))) AS DOUBLE) AS lam
+                    FROM v$iters v JOIN wf w USING (i))
+            SELECT CAST(v.i AS BIGINT) AS dim_idx, round(v.v, 6) AS loading,
+              round(lam, 6) AS eigenvalue
+            FROM v$iters v CROSS JOIN lam ORDER BY dim_idx"""),
+      (s, d) => {
+        val cov = graft.index.Pca.covariance(embeddings(s, d), "vec_id", "embedding", dim)
+        val v = graft.index.Pca.powerIteration(cov, dim, iters)
+        val wf = graft.index.Pca.matvec(cov, v)
+        val lam = v.join(wf, "i")
+          .agg(sum((col("v") * col("w")).cast("decimal(25,15)")).cast("double").as("lam"))
+        v.crossJoin(broadcast(lam))
+          .select(col("i").cast("long").as("dim_idx"), round(col("v"), 6).as("loading"),
+            round(col("lam"), 6).as("eigenvalue"))
+          .orderBy("dim_idx")
+      })
+  }
+
   /** REAL RIFF/WAV metadata decode (the m2 contract for audio): payloads
     * are synthesized from doc_id arithmetic — every 4th doc hides the
     * `fmt ` chunk behind a JUNK chunk of doc-dependent ODD/even size (so
@@ -1002,5 +1057,5 @@ object VectorQueries extends QuerySet {
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
-    m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta)
+    m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop)
 }

@@ -391,6 +391,26 @@ class Round5Spec extends SparkSpec {
     assert(math.abs(v("ab") - math.log(3.0 / 11)) < 1e-12)
   }
 
+  // --- PCA power iteration -------------------------------------------------
+
+  test("Pca recovers the hand-computable principal direction and eigenvalue") {
+    // points on the line y = x: covariance [[1.25,1.25],[1.25,1.25]],
+    // top eigenvector (1/√2, 1/√2), eigenvalue 2.5 — power iteration
+    // from e1 lands on it in one step
+    val emb = Seq(0f, 1f, 2f, 3f).zipWithIndex
+      .map { case (v, i) => (i.toLong, Seq(v, v)) }.toDF("vec_id", "embedding")
+    val cov = graft.index.Pca.covariance(emb, "vec_id", "embedding", 2)
+    val cm = cov.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cm.values.forall(v => math.abs(v - 1.25) < 1e-9), s"cov: $cm")
+    val v = graft.index.Pca.powerIteration(cov, 2, 3)
+      .orderBy("i").collect().map(_.getDouble(1))
+    assert(v.forall(x => math.abs(x - math.sqrt(0.5)) < 1e-9), s"v: ${v.toSeq}")
+    val lam = graft.index.Pca.matvec(cov, graft.index.Pca.powerIteration(cov, 2, 3))
+      .join(graft.index.Pca.powerIteration(cov, 2, 3), "i")
+      .agg(sum(col("v") * col("w"))).head().getDouble(0)
+    assert(math.abs(lam - 2.5) < 1e-9, s"lambda: $lam")
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
