@@ -306,6 +306,112 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09): BM25 top-20 and dense top-20 (dot product vs the vec_id=0
+    * query vector) fused by `sum 1/(60+rank)` over a full outer join —
+    * a doc ranked by only one retriever still fuses. Both rank
+    * derivations are bounded broadcast self-joins (`broadcastTopRank`),
+    * so after each retriever's own scale-safe candidate cut the fusion
+    * touches only O(N) rows; ranks are integers so the fused score is
+    * bit-exact in any engine. */
+  val rrf1Hybrid: Q = {
+    val terms = Seq("spark", "join", "stream")
+    val k1 = 1.2; val b = 0.75; val n = 20; val k0 = 60
+    val dfsSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val tfsSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(", ")
+    val termSql = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / avgdl))"""
+    }.mkString(" + ")
+    Q("rrf1_hybrid_topk",
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl, $dfsSql FROM t),
+            d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfsSql FROM t),
+            lex AS (SELECT doc_id, round($termSql, 6) AS bm25 FROM d CROSS JOIN stats),
+            lext AS (SELECT doc_id, bm25 FROM lex WHERE bm25 > 0.0
+                     ORDER BY bm25 DESC, doc_id LIMIT $n),
+            lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a FROM lext),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            vs AS (SELECT vec_id AS doc_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+              FROM embeddings, q),
+            vect AS (SELECT doc_id, score FROM vs ORDER BY score DESC, doc_id LIMIT $n),
+            vecr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM vect)
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_a, v.rank_b,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST($k0.0 AS DOUBLE) + CAST(rank_a AS DOUBLE)), CAST(0.0 AS DOUBLE))
+              + coalesce(CAST(1.0 AS DOUBLE) / (CAST($k0.0 AS DOUBLE) + CAST(rank_b AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+            FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+            ORDER BY rrf DESC, doc_id"""),
+      (s, d) => {
+        val lex = graft.index.Bm25.topK(documents(s, d), "doc_id", "text", terms, k = n, k1 = k1, b = b)
+        val lexRank = graft.ops.TableOps.broadcastTopRank(lex, "bm25", "doc_id", n)
+          .select(col("doc_id"), col("rank"))
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vec = emb.crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score"))
+        val vecRank = graft.ops.TableOps.broadcastTopRank(vec, "score", "doc_id", n)
+          .select(col("doc_id"), col("rank"))
+        graft.index.Fusion.rrf(lexRank, vecRank, "doc_id", "rank", k0)
+          .orderBy(col("rrf").desc, col("doc_id"))
+      })
+  }
+
+  /** MMR diversified top-5 (Carbonell/Goldstein, SIGIR'98) over the dense
+    * top-12 candidates: greedy argmax of `0.7*rel - 0.3*max-sim-to-
+    * selected`, every sim and step score 6-dp-rounded before comparison
+    * (ties → id asc) so both engines select identically. The oracle
+    * replays all 5 greedy steps as an unrolled CTE chain (the v8/tok2
+    * convention); candidate cut and the N×N sim matrix are bounded, so
+    * corpus scale never enters the loop. */
+  val mmr1Diverse: Q = {
+    val nCand = 12; val k = 5; val lambda = 0.7
+    val oneMinus = (1.0 - lambda).toString
+    val simExpr =
+      """round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"""
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (SELECT c.vec_id, round($lambda * c.rel - $oneMinus * coalesce(mx.pen, CAST(0.0 AS DOUBLE)), 6) AS mmr
+              FROM cand c
+              LEFT JOIN (SELECT i AS vec_id, max(sim) AS pen FROM sims
+                         JOIN sel${i - 1} s ON sims.j = s.vec_id GROUP BY i) mx USING (vec_id)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+              ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT $i AS step, vec_id, mmr FROM p$i)"""
+    }.mkString(",\n            ")
+    Q("mmr1_diverse_topk",
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            vs AS (SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS rel,
+                embedding
+              FROM embeddings, q),
+            cand AS (SELECT vec_id, rel, embedding FROM vs ORDER BY rel DESC, vec_id LIMIT $nCand),
+            sims AS (SELECT a.vec_id AS i, b.vec_id AS j, $simExpr AS sim
+                     FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+            p1 AS (SELECT vec_id, round($lambda * rel, 6) AS mmr FROM cand
+                   ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel1 AS (SELECT 1 AS step, vec_id, mmr FROM p1),
+            $steps
+            SELECT CAST(step AS INT) AS step, vec_id, mmr FROM sel$k ORDER BY step"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cands = emb.crossJoin(broadcast(q))
+          .select(col("vec_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("rel"),
+            col("embedding"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(nCand)
+        graft.index.Fusion.mmr(cands, "vec_id", "rel", "embedding", k, lambda)
+          .select(col("step").cast("int").as("step"), col("vec_id"), col("mmr"))
+          .orderBy("step")
+      })
+  }
+
   /** REAL RIFF/WAV metadata decode (the m2 contract for audio): payloads
     * are synthesized from doc_id arithmetic — every 4th doc hides the
     * `fmt ` chunk behind a JUNK chunk of doc-dependent ODD/even size (so
@@ -1057,5 +1163,6 @@ object VectorQueries extends QuerySet {
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
-    m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop)
+    m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
+    rrf1Hybrid, mmr1Diverse)
 }

@@ -411,6 +411,34 @@ class Round5Spec extends SparkSpec {
     assert(math.abs(lam - 2.5) < 1e-9, s"lambda: $lam")
   }
 
+  // --- Retrieval fusion -----------------------------------------------------
+
+  test("rrf fuses two rankings with 1/(k0+rank) and keeps single-list docs") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = graft.index.Fusion.rrf(a, b, "id", "rank", k0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-15)          // only list a
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-15) // both
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-15)          // only list b
+  }
+
+  test("mmr picks the diverse candidate over the redundant higher-rel one") {
+    // a=(1,0) rel 1.0; b=(2,0) rel 0.9 (sim(a,b)=1); c=(0,1) rel 0.5
+    // (sim to both = 0). Step 1: a (0.7). Step 2: b scores .63-.3=.33,
+    // c scores .35 -> c. Step 3: b (.33).
+    val cands = Seq(
+      (1L, 1.0, Seq(1.0f, 0.0f)),
+      (2L, 0.9, Seq(2.0f, 0.0f)),
+      (3L, 0.5, Seq(0.0f, 1.0f))).toDF("id", "rel", "vec")
+    val out = graft.index.Fusion.mmr(cands, "id", "rel", "vec", k = 3, lambda = 0.7)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), s"order: ${out.toSeq}")
+    assert(math.abs(out(0)._3 - 0.7) < 1e-9)
+    assert(math.abs(out(1)._3 - 0.35) < 1e-9)
+    assert(math.abs(out(2)._3 - 0.33) < 1e-9)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
