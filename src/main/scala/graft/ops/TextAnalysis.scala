@@ -119,6 +119,28 @@ object TextAnalysis {
     df.filter(md5(key.cast("string")) < threshold)
   }
 
+  /** Deterministic uniform in (0,1) from a key: the first 8 hex chars of
+    * md5(key) as an integer, offset by 0.5 and scaled by 2^-32 — never
+    * exactly 0 or 1 (safe under ln), exact in doubles (numerator < 2^33,
+    * divisor a power of two), and engine-portable (the DuckDB oracle
+    * rebuilds the same value with a strpos fold). */
+  def hashUniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long").cast("double") + 0.5) /
+      lit(4294967296.0)
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis, IPL 2006):
+    * each row draws a deterministic uniform u and ranks by ln(u)/w —
+    * taking the top-k of that key IS an exact weighted sample. One
+    * map-only key computation + `TakeOrderedAndProject` per-partition
+    * heaps: no shuffle of the corpus, no rejection loop, and the seedless
+    * md5 uniform makes the sample rerun/engine/layout-stable (the same
+    * discipline as [[hashSamplePredicate]]). Keys are rounded to 10 dp
+    * before ranking so libm `ln` drift cannot reorder the cutoff; ties
+    * break on the key column asc. Weights must be > 0. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    df.withColumn("es_key", round(log(hashUniform(key)) / weight.cast("double"), 10))
+      .orderBy(col("es_key").desc, key).limit(k)
+
   /** Lowercase whitespace tokens with empties dropped — the corpus-stats
     * tokenize shared by the LM scores and [[bpePairCounts]]. */
   def tokens(text: Column): Column =

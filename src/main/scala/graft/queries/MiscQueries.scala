@@ -620,6 +620,26 @@ object MiscQueries extends QuerySet {
         .orderBy("lang")
     })
 
+  /** Z-order (Morton) clustering key over the two join dimensions a
+    * lineitem lake is queried by — the data-skipping layout primitive
+    * (`ZOrder.layout` writes it; Round5Spec proves the bounding boxes
+    * shrink vs a linear sort). The oracle SQL is GENERATED from the same
+    * bit positions (`ZOrder.zValueSql`), so the interleave cannot drift
+    * between engines. Map-only bit expression, no UDF. */
+  val k4ZOrder: Q = {
+    val bits = 10
+    Q("k4_zorder_key",
+      Some(s"""WITH z AS (SELECT l_orderkey, l_linenumber,
+                CAST(${graft.ops.ZOrder.zValueSql("(l_partkey % 1024)", "(l_suppkey % 1024)", bits)} AS BIGINT) AS zkey
+              FROM lineitem)
+              SELECT l_orderkey, l_linenumber, zkey
+              FROM z ORDER BY zkey, l_orderkey, l_linenumber LIMIT 1000"""),
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.ZOrder.zValue(col("l_partkey") % 1024, col("l_suppkey") % 1024, bits).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber").limit(1000))
+  }
+
   /** §5.2: the full validator report (ref `ingestion/validator.py`
     * validate_all) over the synthetic block model — every issue code with
     * its violation count. The oracle recomputes each count from the same
@@ -1042,7 +1062,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs, pr1PageRank)
 }

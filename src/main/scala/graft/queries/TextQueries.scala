@@ -388,6 +388,27 @@ object TextQueries extends QuerySet {
         .select("doc_id", "lang").orderBy("doc_id"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): top-50
+    * by `ln(u)/w` with the deterministic md5 uniform and w = n_chars —
+    * longer docs proportionally likelier, yet seedless and rerun-stable.
+    * Map-only key + TakeOrderedAndProject; the oracle rebuilds the same
+    * uniform with a strpos hex fold. Keys are 10-dp-rounded before
+    * ranking so libm ln drift cannot reorder the cutoff. */
+  val x17Weighted = Q("x17_weighted_sample",
+    Some("""WITH h AS (SELECT doc_id, n_chars,
+              list_sum(list_transform(range(1, 9),
+                j -> CAST((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[j]) - 1) AS BIGINT)
+                     << (4 * (8 - CAST(j AS INT))))) AS hv
+              FROM documents),
+            k AS (SELECT doc_id, n_chars,
+              round(ln((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE), 10) AS es_key
+              FROM h)
+            SELECT doc_id, n_chars, es_key FROM k
+            ORDER BY es_key DESC, doc_id LIMIT 50"""),
+    (s, d) => TextAnalysis.weightedSample(documents(s, d), col("doc_id"), col("n_chars"), 50)
+      .select("doc_id", "n_chars", "es_key")
+      .orderBy(col("es_key").desc, col("doc_id")))
+
   /** Subword (BPE-ish) counting. */
   val x3Subword = Q("x3_subword_count",
     Some("""SELECT doc_id,
@@ -1186,5 +1207,5 @@ object TextQueries extends QuerySet {
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
     b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
-    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi)
+    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted)
 }

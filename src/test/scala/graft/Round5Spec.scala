@@ -439,6 +439,46 @@ class Round5Spec extends SparkSpec {
     assert(math.abs(out(2)._3 - 0.33) < 1e-9)
   }
 
+  // --- Z-order layout -------------------------------------------------------
+
+  test("zValue interleaves bits (hand cases) and layout shrinks bounding boxes") {
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(graft.ops.ZOrder.zValue(col("x"), col("y"), 4)).head().getLong(0)
+    // x=0101 -> even bits 1,0,1,0 at 0,2,4,6 = 0b00010001? x bit i -> pos 2i:
+    // x=5 (101): pos0=1,pos4=1 -> 17; y=3 (11): pos1=1,pos3=1 -> 10; z=27
+    assert(z == 27L, s"z=$z")
+    // 32x32 grid: z-order into 16 slices must give ~square per-slice boxes,
+    // far smaller on y-range than a linear sort by x (which leaves y 0..31)
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    // the win is the SECOND dimension's per-slice range: a linear sort by x
+    // clusters x perfectly but leaves every slice spanning all of y (range
+    // 32); z-order makes slices ~square (y-range 8) — that's what lets a
+    // y-predicate prune files at all
+    def avgYRange(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("y") - min("y") + 1).as("yr"))
+        .agg(avg("yr")).head().getDouble(0)
+    val zY = avgYRange(graft.ops.ZOrder.layout(grid, col("x"), col("y"), 5, 16))
+    val linY = avgYRange(grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    assert(zY <= linY / 2, s"z-order avg y-range $zY not < half of linear $linY")
+  }
+
+  // --- Weighted sampling ----------------------------------------------------
+
+  test("weightedSample is deterministic and weight-monotone in expectation") {
+    val rows = (0L until 400L).map(i => (i, if (i < 200) 1.0 else 20.0)).toDF("id", "w")
+    val s1 = graft.ops.TextAnalysis.weightedSample(rows, col("id"), col("w"), 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.ops.TextAnalysis.weightedSample(rows, col("id"), col("w"), 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                           // seedless determinism
+    assert(s1.size == 100)
+    val heavy = s1.count(_ >= 200)
+    assert(heavy > 75, s"only $heavy of 100 picks from the 20x-weight half")
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
