@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of a linear quality classifier by full-batch
+  * gradient descent — the DCLM/fastText-style "train a cheap classifier,
+  * filter the corpus with it" primitive (ref scores doc quality with
+  * heuristics in ingestion/validator.py; this learns the weights from
+  * labels instead).
+  *
+  * Scale shape: the feature frame is computed once and localCheckpoint-ed
+  * (d+1 doubles per row — the standard cached-training-set layout); each
+  * GD iteration is ONE map-side-combined aggregate over it (a d+1-value
+  * gradient row, bytes to the driver side of the plan), and the weight
+  * row rides a broadcast back into the next scoring pass. Corpus scale
+  * enters only as the embarrassingly-parallel scan; iterations add no
+  * shuffle.
+  *
+  * Determinism (the cross-engine discipline, proven by experiment —
+  * round 5): IEEE `exp` drifts 1 ulp between JVM and C libm on ~10% of
+  * inputs, so every sigmoid output is rounded to 9 dp BEFORE entering the
+  * gradient (sigmoid ∈ (0,1): 1 ulp ≈ 1e-16 vs a 1e-9 rounding boundary —
+  * crossings are vanishingly rare); gradient sums go through
+  * DECIMAL(25,15) (order-independent across any partitioning); weights
+  * are 12-dp-rounded after each update. Learning rate 0.5 is an exact
+  * binary fraction.
+  */
+object Classifier {
+
+  /** 9-dp-rounded logistic sigmoid — see the class note on libm drift. */
+  def sigmoid(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+
+  /** Train `iters` full-batch GD rounds of logistic regression on
+    * `features` (bias is implicit) against the 0/1 `label`. Returns one
+    * row per coefficient: `(feature_idx, weight)` with idx 0 = bias and
+    * idx i = features(i-1), weights at full 12-dp training precision. */
+  def logregTrain(df: DataFrame, features: Seq[Column], label: Column,
+                  iters: Int, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = features.size
+    val cols = features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") } :+
+      label.cast("double").as("y")
+    val data = df.select(cols: _*).localCheckpoint()
+    var w = data.sparkSession.range(1)
+      .select((0 to d).map(i => lit(0.0).as(s"w$i")): _*)
+    for (_ <- 1 to iters) {
+      val scored = data.crossJoin(broadcast(w))
+        .withColumn("p", sigmoid(margin(d)))
+      val gAggs = (lit(0.0) +: (0 until d).map(i => col(s"f$i"))).zipWithIndex.map {
+        case (_, 0) => (sum((col("p") - col("y")).cast("decimal(25,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("g0")
+        case (f, j) => (sum(((col("p") - col("y")) * f).cast("decimal(25,15)")).cast("double") /
+          count(lit(1)).cast("double")).as(s"g$j")
+      }
+      val grad = scored.agg(gAggs.head, gAggs.tail: _*)
+      w = w.crossJoin(broadcast(grad))
+        .select((0 to d).map(j => round(col(s"w$j") - lit(lr) * col(s"g$j"), 12).as(s"w$j")): _*)
+        .localCheckpoint()
+    }
+    w.select(posexplode(array((0 to d).map(j => col(s"w$j")): _*)))
+      .select(col("pos").cast("int").as("feature_idx"), col("col").as("weight"))
+  }
+
+  /** The linear margin `w0 + Σ f_i·w_{i+1}`, folded left-to-right so the
+    * floating-point association is fixed (the oracle mirrors it). */
+  private def margin(d: Int): Column =
+    (0 until d).foldLeft(col("w0"): Column)((acc, i) => acc + col(s"f$i") * col(s"w${i + 1}"))
+
+  /** Score rows with a trained weight row (same margin fold) and count
+    * correct 0.5-threshold predictions — the train-set accuracy check. */
+  def accuracy(df: DataFrame, features: Seq[Column], label: Column,
+               weights: DataFrame): DataFrame = {
+    val d = features.size
+    val cols = features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") } :+
+      label.cast("double").as("y")
+    val wRow = weights.groupBy()
+      .pivot("feature_idx", 0 to d).agg(first("weight"))
+      .select((0 to d).map(j => col(s"$j").as(s"w$j")): _*)
+    df.select(cols: _*).crossJoin(broadcast(wRow))
+      .withColumn("p", sigmoid(margin(d)))
+      .agg(sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_total"))
+  }
+}

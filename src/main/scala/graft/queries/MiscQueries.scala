@@ -620,6 +620,67 @@ object MiscQueries extends QuerySet {
         .orderBy("lang")
     })
 
+  /** Distributed logistic-regression training (5 full-batch GD rounds,
+    * lr=0.5 — an exact binary fraction) of a DCLM/fastText-style quality
+    * classifier: predict lang='en' from three cheap text statistics. Each
+    * round is ONE map-side-combined gradient aggregate over the cached
+    * feature frame; sigmoids are 9-dp-rounded before the gradient (IEEE
+    * exp drifts 1 ulp between JVM and C libm — measured — and sigmoid's
+    * (0,1) range makes the rounding collision-proof), gradient sums ride
+    * DECIMAL(25,15), weights round to 12 dp per update. The oracle
+    * replays all 5 rounds as an unrolled CTE chain plus the final
+    * accuracy pass. */
+  val ml1LogReg: Q = {
+    val iters = 5
+    val featSql = s"""SELECT doc_id,
+              CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS f0,
+              CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS f1,
+              CAST(n_chars AS DOUBLE) / (CAST(len(toks) AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS f2,
+              CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+            FROM (SELECT doc_id, n_chars, lang, ${OracleSql.toksSql} AS toks FROM documents)"""
+    def pSql(wcte: String) =
+      s"""round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          + exp(-(w0 + f0 * w1 + f1 * w2 + f2 * w3))), 9)"""
+    val steps = (1 to iters).map { k =>
+      val gs = (0 to 3).map { j =>
+        val term = if (j == 0) "p - y" else s"(p - y) * f${j - 1}"
+        s"CAST(sum(CAST($term AS DECIMAL(25,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS g$j"
+      }.mkString(",\n                ")
+      s"""p$k AS (SELECT f.*, ${pSql(s"w${k - 1}")} AS p FROM feat f CROSS JOIN w${k - 1}),
+            g$k AS (SELECT $gs FROM p$k),
+            w$k AS (SELECT ${(0 to 3).map(j => s"round(w$j - 0.5 * g$j, 12) AS w$j").mkString(", ")}
+              FROM w${k - 1} CROSS JOIN g$k)"""
+    }.mkString(",\n            ")
+    val names = Seq("bias", "len_k", "tok_h", "avg_wlen")
+    val melt = names.zipWithIndex.map { case (n, j) =>
+      s"SELECT $j AS feature_idx, '$n' AS feature, round(w$j, 6) AS weight, n_correct, n_total FROM w$iters CROSS JOIN acc"
+    }.mkString(" UNION ALL ")
+    Q("ml1_logreg_quality",
+      Some(s"""WITH feat AS ($featSql),
+            w0 AS (SELECT ${(0 to 3).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+            $steps,
+            pf AS (SELECT f.*, ${pSql(s"w$iters")} AS p FROM feat f CROSS JOIN w$iters),
+            acc AS (SELECT CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(count(*) AS BIGINT) AS n_total FROM pf)
+            SELECT * FROM ($melt) ORDER BY feature_idx"""),
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        val feats = Seq(
+          col("n_chars").cast("double") / lit(1000.0),
+          size(col("toks")).cast("double") / lit(100.0),
+          col("n_chars").cast("double") / (size(col("toks")).cast("double") + lit(1.0)))
+        val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val wts = graft.ops.Classifier.logregTrain(base, feats, y, iters = iters, lr = 0.5)
+        val acc = graft.ops.Classifier.accuracy(base, feats, y, wts)
+        wts.crossJoin(broadcast(acc))
+          .select(col("feature_idx"),
+            element_at(array(names.map(lit): _*), col("feature_idx") + 1).as("feature"),
+            round(col("weight"), 6).as("weight"), col("n_correct"), col("n_total"))
+          .orderBy("feature_idx")
+      })
+  }
+
   /** Z-order (Morton) clustering key over the two join dimensions a
     * lineitem lake is queried by — the data-skipping layout primitive
     * (`ZOrder.layout` writes it; Round5Spec proves the bounding boxes
@@ -1062,7 +1123,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs, pr1PageRank)
 }

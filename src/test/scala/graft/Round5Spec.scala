@@ -479,6 +479,23 @@ class Round5Spec extends SparkSpec {
     assert(heavy > 75, s"only $heavy of 100 picks from the 20x-weight half")
   }
 
+  // --- Logistic-regression GD -----------------------------------------------
+
+  test("logregTrain takes the hand-computable first GD step and separates") {
+    // balanced ±1 feature, y = (x > 0): after 1 iter from w=0 all p=0.5,
+    // so g0 = 0 and g1 = mean((0.5-y)x) = -0.5 -> w1 = 0.25 exactly
+    val rows = Seq((1.0, 1.0), (-1.0, 0.0), (1.0, 1.0), (-1.0, 0.0)).toDF("x", "y")
+    val w1 = graft.ops.Classifier.logregTrain(rows, Seq(col("x")), col("y"), iters = 1)
+      .orderBy("feature_idx").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w1(0) == 0.0 && w1(1) == 0.25, s"weights: $w1")
+    // more iterations keep growing the separating weight; accuracy 4/4
+    val w5 = graft.ops.Classifier.logregTrain(rows, Seq(col("x")), col("y"), iters = 5)
+    val wMap = w5.orderBy("feature_idx").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(wMap(1) > 0.25 && math.abs(wMap(0)) < 1e-9, s"weights: $wMap")
+    val acc = graft.ops.Classifier.accuracy(rows, Seq(col("x")), col("y"), w5).head()
+    assert(acc.getLong(0) == 4L && acc.getLong(1) == 4L)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
