@@ -620,6 +620,59 @@ object MiscQueries extends QuerySet {
         .orderBy("lang")
     })
 
+  /** Sentence BLEU-2 (Papineni et al. 2002) per document: the candidate
+    * is synthesized from the reference identically in both engines (the
+    * oracle-strong pattern) — first 80% of the tokens with every
+    * (doc_id+i)%7-th position replaced by 'xx', so clipping, truncation
+    * brevity penalty, and zero-match paths are all exercised. Clipped
+    * n-gram numerators/denominators are exact integers (emitted for the
+    * strong check); the composed ln/exp score is 6-dp-rounded. Explode →
+    * hash-agg → clip → sum: two bounded gram shuffles, no O(L²) HOF. */
+  val ev2Bleu = Q("ev2_bleu",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, CAST(greatest(((len(toks) * 4) - ((len(toks) * 4) % 5)) / 5, 1) AS BIGINT) + 1),
+                        i -> CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN 'xx' ELSE toks[i] END) END AS cand
+              FROM t),
+            cb AS (SELECT doc_id,
+                CASE WHEN len(cand) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(cand)), i -> concat(cand[i], ' ', cand[i + 1])) END AS grams,
+                CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i + 1])) END AS rgrams
+              FROM c),
+            cg1 AS (SELECT doc_id, g, count(*) AS c_cnt FROM (SELECT doc_id, unnest(cand) AS g FROM c) GROUP BY doc_id, g),
+            rg1 AS (SELECT doc_id, g, count(*) AS r_cnt FROM (SELECT doc_id, unnest(toks) AS g FROM c) GROUP BY doc_id, g),
+            n1 AS (SELECT doc_id, CAST(sum(least(c_cnt, coalesce(r_cnt, 0))) AS BIGINT) AS p1_num
+                   FROM cg1 LEFT JOIN rg1 USING (doc_id, g) GROUP BY doc_id),
+            cg2 AS (SELECT doc_id, g, count(*) AS c_cnt FROM (SELECT doc_id, unnest(grams) AS g FROM cb) GROUP BY doc_id, g),
+            rg2 AS (SELECT doc_id, g, count(*) AS r_cnt FROM (SELECT doc_id, unnest(rgrams) AS g FROM cb) GROUP BY doc_id, g),
+            n2 AS (SELECT doc_id, CAST(sum(least(c_cnt, coalesce(r_cnt, 0))) AS BIGINT) AS p2_num
+                   FROM cg2 LEFT JOIN rg2 USING (doc_id, g) GROUP BY doc_id),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS r_len, CAST(len(cand) AS BIGINT) AS c_len FROM c)
+            SELECT doc_id, coalesce(p1_num, 0) AS p1_num, c_len AS p1_den,
+              coalesce(p2_num, 0) AS p2_num, greatest(c_len - 1, 0) AS p2_den,
+              CASE WHEN coalesce(p1_num, 0) = 0 OR coalesce(p2_num, 0) = 0 OR greatest(c_len - 1, 0) = 0
+                   THEN CAST(0.0 AS DOUBLE)
+                   ELSE round((CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE)
+                                    ELSE exp(CAST(1.0 AS DOUBLE) - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)
+                        * exp(CAST(0.5 AS DOUBLE) * ln(CAST(p1_num AS DOUBLE) / CAST(c_len AS DOUBLE))
+                            + CAST(0.5 AS DOUBLE) * ln(CAST(p2_num AS DOUBLE) / CAST(greatest(c_len - 1, 0) AS DOUBLE))), 6) END AS bleu
+            FROM lens LEFT JOIN n1 USING (doc_id) LEFT JOIN n2 USING (doc_id)
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val base = documents(s, d).select(col("doc_id"), toks.as("ref"))
+      val n4 = size(col("ref")) * 4
+      val keep = greatest(((n4 - (n4 % 5)) / lit(5)).cast("int"), lit(1))
+      val withCand = base.withColumn("cand",
+        when(size(col("ref")) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), keep),
+            i => when(((i - 1 + col("doc_id")) % 7) === 0, lit("xx"))
+              .otherwise(element_at(col("ref"), i)))))
+      graft.eval.Eval.bleu2(withCand, "doc_id", "ref", "cand").orderBy("doc_id")
+    })
+
   /** Distributed logistic-regression training (5 full-batch GD rounds,
     * lr=0.5 — an exact binary fraction) of a DCLM/fastText-style quality
     * classifier: predict lang='en' from three cheap text statistics. Each
@@ -1122,7 +1175,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs, pr1PageRank)

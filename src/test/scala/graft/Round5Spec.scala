@@ -496,6 +496,30 @@ class Round5Spec extends SparkSpec {
     assert(acc.getLong(0) == 4L && acc.getLong(1) == 4L)
   }
 
+  // --- BLEU-2 ---------------------------------------------------------------
+
+  test("bleu2 matches the hand-computed clipped precisions and BP") {
+    // ref: the cat sat on the mat; cand: the cat the cat on
+    // p1 = (min(2,2)+min(2,1)+min(1,1))/5 = 4/5; p2 = 1/4 ("the cat" clipped
+    // to 1); c=5 < r=6 -> BP = exp(-0.2); bleu = exp(-0.2)*sqrt(0.2)
+    val df = Seq((1L, Seq("the", "cat", "sat", "on", "the", "mat"),
+      Seq("the", "cat", "the", "cat", "on"))).toDF("id", "ref", "cand")
+    val r = graft.eval.Eval.bleu2(df, "id", "ref", "cand").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((4L, 5L, 1L, 4L)))
+    val expected = math.exp(-0.2) * math.sqrt(0.8 * 0.25)
+    assert(math.abs(r.getDouble(5) - expected) < 1e-6, s"bleu=${r.getDouble(5)}")
+    // identical cand -> perfect score 1.0
+    val perfect = graft.eval.Eval.bleu2(
+      Seq((1L, Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("id", "ref", "cand"),
+      "id", "ref", "cand").head().getDouble(5)
+    assert(perfect == 1.0)
+    // no bigram overlap -> 0.0
+    val zero = graft.eval.Eval.bleu2(
+      Seq((1L, Seq("a", "b"), Seq("b", "a"))).toDF("id", "ref", "cand"),
+      "id", "ref", "cand").head().getDouble(5)
+    assert(zero == 0.0)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
