@@ -188,6 +188,29 @@ object TableOps {
     * catalog's last unpartitioned WindowExec (x13) and is shared with
     * ev1's ranking. Rank orders by (value DESC, id ASC); `cum` is the
     * running sum of value through each rank. */
+  /** SCD type-2 interval build from a version history: `(keyCols…, tsCol,
+    * attrCols…)` rows → one row per REAL attribute change, carrying
+    * `valid_from` / `valid_to` (null = open) / `is_current`. No-change
+    * versions are suppressed first (the change-detection half of a MERGE
+    * INTO), then intervals chain via lead(ts) — both windows partition by
+    * the business key, so the plan is one shuffle on the key and scales
+    * with the per-key version count, never the table. Determinism needs
+    * ts unique per key (true of any CDC feed with a monotonic LSN). */
+  def scd2(versions: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = versions
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= attrs)
+      .drop("_prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+
   def broadcastTopRank(df: DataFrame, valueCol: String, idCol: String, n: Int): DataFrame = {
     val top = df.select(col(idCol), col(valueCol))
       .orderBy(col(valueCol).desc, col(idCol)).limit(n)

@@ -620,6 +620,55 @@ object MiscQueries extends QuerySet {
         .orderBy("lang")
     })
 
+  /** WARC (ISO 28500) record parse — the crawl wire format: records are
+    * synthesized from doc fields identically in both engines (CRLF header
+    * block + blank line + payload), every 11th with a Content-Length
+    * overstated by 1 that the integrity check must flag. Header
+    * extraction is line-anchored so payload text cannot spoof a header;
+    * all parsing is codegen'd regexp/substring — a map-only crawl scan. */
+  val warc1Parse = Q("warc1_record_parse",
+    Some("""WITH synth AS (
+              SELECT doc_id,
+                concat('WARC/1.0', chr(13), chr(10),
+                  'WARC-Type: ', CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'response' WHEN 1 THEN 'request' ELSE 'metadata' END, chr(13), chr(10),
+                  'WARC-Record-ID: <urn:uuid:', CAST(doc_id AS VARCHAR), '>', chr(13), chr(10),
+                  'WARC-Target-URI: https://', coalesce(source, ''), '.example.com/', CAST(doc_id AS VARCHAR), chr(13), chr(10),
+                  'Content-Length: ', CAST(length(substr(text, 1, 60)) + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS VARCHAR), chr(13), chr(10),
+                  chr(13), chr(10), substr(text, 1, 60)) AS rec
+              FROM documents),
+            hp AS (SELECT doc_id,
+                split_part(rec, concat(chr(13), chr(10), chr(13), chr(10)), 1) AS headers,
+                regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1) AS payload
+              FROM synth)
+            SELECT doc_id,
+              regexp_extract(headers, '(?m)^WARC-Type: ([^\r\n]*)', 1) AS warc_type,
+              regexp_extract(headers, '(?m)^WARC-Record-ID: ([^\r\n]*)', 1) AS record_id,
+              regexp_extract(headers, '(?m)^WARC-Target-URI: ([^\r\n]*)', 1) AS target_uri,
+              CAST(regexp_extract(headers, '(?m)^Content-Length: ([^\r\n]*)', 1) AS BIGINT) AS declared_len,
+              CAST(length(payload) AS BIGINT) AS actual_len,
+              CAST(regexp_extract(headers, '(?m)^Content-Length: ([^\r\n]*)', 1) AS BIGINT) = CAST(length(payload) AS BIGINT) AS len_ok
+            FROM hp ORDER BY doc_id"""),
+    (s, d) => {
+      val crlf = lit("\r\n")
+      val payload = substring(col("text"), 1, 60)
+      val declared = (length(payload) +
+        when(col("doc_id") % 11 === 0, 1).otherwise(0)).cast("string")
+      val rec = concat(lit("WARC/1.0"), crlf,
+        lit("WARC-Type: "),
+        when(col("doc_id") % 3 === 0, "response")
+          .when(col("doc_id") % 3 === 1, "request").otherwise("metadata"), crlf,
+        lit("WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"), lit(">"), crlf,
+        lit("WARC-Target-URI: https://"), coalesce(col("source"), lit("")),
+        lit(".example.com/"), col("doc_id").cast("string"), crlf,
+        lit("Content-Length: "), declared, crlf, crlf, payload)
+      val p = graft.ops.Warc.parse(rec)
+      documents(s, d)
+        .select(col("doc_id"), p.as("w"))
+        .select(col("doc_id"), col("w.warc_type"), col("w.record_id"), col("w.target_uri"),
+          col("w.declared_len"), col("w.actual_len"), col("w.len_ok"))
+        .orderBy("doc_id")
+    })
+
   /** Sentence BLEU-2 (Papineni et al. 2002) per document: the candidate
     * is synthesized from the reference identically in both engines (the
     * oracle-strong pattern) — first 80% of the tokens with every
@@ -1175,7 +1224,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, warc1Parse, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, pref1DpoPairs, pr1PageRank)

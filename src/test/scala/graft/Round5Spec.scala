@@ -520,6 +520,40 @@ class Round5Spec extends SparkSpec {
     assert(zero == 0.0)
   }
 
+  // --- SCD2 -----------------------------------------------------------------
+
+  test("scd2 suppresses no-change versions and chains intervals") {
+    val hist = Seq(
+      (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"),   // t=20 is a no-change
+      (2L, 10L, "X")).toDF("k", "ts", "v")
+    val out = graft.ops.TableOps.scd2(hist, Seq("k"), "ts", Seq("v"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 10L, 30L, false),   // closed by the REAL change at 30, not 20
+      (1L, "B", 30L, -1L, true),
+      (2L, "X", 10L, -1L, true)))
+  }
+
+  // --- WARC parse -----------------------------------------------------------
+
+  test("warc parse is payload-spoof-proof and flags truncated records") {
+    // payload contains a fake "Content-Length: 999" line — must NOT win
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 26\r\n\r\n" +
+      "Content-Length: 999\r\nbody!"
+    val r = Seq(rec).toDF("rec").select(graft.ops.Warc.parse(col("rec")).as("w"))
+      .select("w.*").head()
+    assert(r.getAs[String]("warc_type") == "response")
+    assert(r.getAs[Long]("declared_len") == 26L)
+    assert(r.getAs[Long]("actual_len") == 26L && r.getAs[Boolean]("len_ok"))
+    // truncated fetch: declared 100, actual 5
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nabcde"
+    val rb = Seq(bad).toDF("rec").select(graft.ops.Warc.parse(col("rec")).as("w"))
+      .select("w.*").head()
+    assert(rb.getAs[Long]("actual_len") == 5L && !rb.getAs[Boolean]("len_ok"))
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
