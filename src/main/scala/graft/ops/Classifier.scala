@@ -68,6 +68,33 @@ object Classifier {
   private def margin(d: Int): Column =
     (0 until d).foldLeft(col("w0"): Column)((acc, i) => acc + col(s"f$i") * col(s"w${i + 1}"))
 
+  /** Closed-form OLS fit `y = intercept + slope·x` — in log-log space
+    * this is the scaling-law / power-law fit (Kaplan et al. 2020 style)
+    * a data pipeline runs to extrapolate loss-vs-tokens curves. ONE
+    * map-side-combined aggregate computes the five moment sums (each
+    * product 12-dp-rounded then DECIMAL(25,15)-summed —
+    * order-independent), and slope/intercept/r² are pure arithmetic on
+    * that single broadcast-sized row; corpus scale enters only as the
+    * moment scan. Callers should pre-round transcendental inputs (ln of
+    * counts) to 9 dp so libm drift never reaches the sums. Returns one
+    * row: (slope, intercept, r2, n). */
+  def olsFit(df: DataFrame, x: Column, y: Column): DataFrame = {
+    def dsum(c: Column) = sum(round(c, 12).cast("decimal(25,15)")).cast("double")
+    val m = df.select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("_x")).as("sx"), dsum(col("_y")).as("sy"),
+        dsum(col("_x") * col("_x")).as("sxx"),
+        dsum(col("_y") * col("_y")).as("syy"),
+        dsum(col("_x") * col("_y")).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    m.select((cov / varx).as("slope"),
+        ((col("sy") - (cov / varx) * col("sx")) / col("n")).as("intercept"),
+        ((cov * cov) / (varx * vary)).as("r2"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Score rows with a trained weight row (same margin fold) and count
     * correct 0.5-threshold predictions — the train-set accuracy check. */
   def accuracy(df: DataFrame, features: Seq[Column], label: Column,

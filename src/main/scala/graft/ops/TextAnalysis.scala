@@ -146,6 +146,31 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Per-group KL divergence `KL(P_group ‖ P_corpus)` over unigram
+    * distributions — the distribution-shift statistic a mixing pipeline
+    * watches per source/domain (a domain drifting from the corpus mix
+    * shows up as rising KL). Shape: one (group, token) hash aggregate
+    * (Heaps-sublinear key space), re-aggregated for the corpus marginal —
+    * no second tokenize pass — then a token-keyed equi-join; every
+    * `p·ln(p/q)` term is 12-dp-rounded and DECIMAL(25,15)-summed so the
+    * per-group total is reduction-order-independent. P's support is a
+    * subset of Q's by construction, so no zero-q guard is needed. */
+  def klBySource(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val gw = docs.select(group.as("g"), explode(tokens(text)).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val corpus = gw.groupBy("w").agg(sum("c").as("qc"))
+    val gtot = gw.groupBy("g").agg(sum("c").as("gt"))
+    val ctot = gw.agg(sum("c").as("ct"))
+    val p = col("c").cast("double") / col("gt").cast("double")
+    val q = col("qc").cast("double") / col("ct").cast("double")
+    gw.join(corpus, "w").join(gtot, "g").crossJoin(broadcast(ctot))
+      .select(col("g"), col("gt"), round(p * log(p / q), 12).as("term"))
+      .groupBy("g", "gt")
+      .agg(sum(col("term").cast("decimal(25,15)")).cast("double").as("kl"))
+      .select(col("g"), col("gt").cast("long").as("n_tokens"), round(col("kl"), 6).as("kl"))
+  }
+
   /** Adjacent-symbol pairs inside each word — the statistic the BPE merge
     * step maximizes: the most frequent pair becomes the next merge rule.
     * Distributed shape: explode to one row per pair occurrence (map-only),

@@ -620,6 +620,68 @@ object MiscQueries extends QuerySet {
         .orderBy("lang")
     })
 
+  /** Per-source KL divergence vs the corpus unigram mix — the
+    * distribution-shift statistic a mixing pipeline watches per domain.
+    * One (source, token) hash aggregate re-aggregated for the corpus
+    * marginal (no second tokenize), token-keyed equi-join, 12-dp-rounded
+    * `p·ln(p/q)` terms DECIMAL-summed per source. */
+  val dom4Kl = Q("dom4_kl_divergence",
+    Some(s"""WITH gw AS (SELECT g, w, count(*) AS c FROM (
+                SELECT coalesce(source, '') AS g, unnest(${OracleSql.toksSql}) AS w FROM documents)
+              GROUP BY g, w),
+            corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS qc FROM gw GROUP BY w),
+            gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS gt FROM gw GROUP BY g),
+            ctot AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM gw),
+            t AS (SELECT g, gt,
+                round((CAST(c AS DOUBLE) / CAST(gt AS DOUBLE))
+                  * ln((CAST(c AS DOUBLE) / CAST(gt AS DOUBLE)) / (CAST(qc AS DOUBLE) / CAST(ct AS DOUBLE))), 12) AS term
+              FROM gw JOIN corpus USING (w) JOIN gtot USING (g) CROSS JOIN ctot)
+            SELECT g AS source, gt AS n_tokens,
+              round(CAST(sum(CAST(term AS DECIMAL(25,15))) AS DOUBLE), 6) AS kl
+            FROM t GROUP BY g, gt ORDER BY source"""),
+    (s, d) => TextAnalysis.klBySource(documents(s, d), coalesce(col("source"), lit("")), col("text"))
+      .select(col("g").as("source"), col("n_tokens"), col("kl"))
+      .orderBy("source"))
+
+  /** Power-law (scaling-law) OLS fit in log-log space: a loss curve is
+    * synthesized from doc length with seedless md5 noise (identically in
+    * both engines), and the closed-form fit must recover slope ≈ -0.5.
+    * ONE moment aggregate (five 12-dp-rounded DECIMAL sums), arithmetic
+    * on the single stats row; ln inputs are 9-dp-rounded before any sum
+    * so libm drift never compounds. */
+  val ml2Powerlaw = Q("ml2_powerlaw_fit",
+    Some("""WITH h AS (SELECT doc_id, n_chars,
+              list_sum(list_transform(range(1, 9),
+                j -> CAST((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[j]) - 1) AS BIGINT)
+                     << (4 * (8 - CAST(j AS INT))))) AS hv
+              FROM documents),
+            pts AS (SELECT round(ln(CAST(n_chars AS DOUBLE)), 9) AS x,
+                round(CAST(-0.5 AS DOUBLE) * round(ln(CAST(n_chars AS DOUBLE)), 9) + CAST(8.0 AS DOUBLE)
+                  + ((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0 - CAST(0.5 AS DOUBLE)), 9) AS y
+              FROM h),
+            m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(CAST(round(x, 12) AS DECIMAL(25,15))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(round(y, 12) AS DECIMAL(25,15))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(round(x * x, 12) AS DECIMAL(25,15))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(round(y * y, 12) AS DECIMAL(25,15))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(round(x * y, 12) AS DECIMAL(25,15))) AS DOUBLE) AS sxy
+              FROM pts)
+            SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+              round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+              CAST(n AS BIGINT) AS n
+            FROM m"""),
+    (s, d) => {
+      val x = round(log(col("n_chars").cast("double")), 9)
+      val u = TextAnalysis.hashUniform(col("doc_id"))
+      val pts = documents(s, d).select(x.as("x"),
+        round(lit(-0.5) * x + lit(8.0) + (u - lit(0.5)), 9).as("y"))
+      graft.ops.Classifier.olsFit(pts, col("x"), col("y"))
+        .select(round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), col("n"))
+    })
+
   /** WARC (ISO 28500) record parse — the crawl wire format: records are
     * synthesized from doc fields identically in both engines (CRLF header
     * block + blank line + payload), every 11th with a Content-Length
@@ -1227,5 +1289,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, warc1Parse, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, dom3Overlap, pref1DpoPairs, pr1PageRank)
+    x14QualityBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
 }

@@ -554,6 +554,29 @@ class Round5Spec extends SparkSpec {
     assert(rb.getAs[Long]("actual_len") == 5L && !rb.getAs[Boolean]("len_ok"))
   }
 
+  // --- OLS fit / KL divergence ---------------------------------------------
+
+  test("olsFit recovers an exact noise-free line and r2 = 1") {
+    val pts = Seq((1.0, 5.0), (2.0, 7.0), (3.0, 9.0), (4.0, 11.0)).toDF("x", "y")
+    val r = graft.ops.Classifier.olsFit(pts, col("x"), col("y")).head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-9)   // slope
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)   // intercept
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)   // r2
+    assert(r.getLong(3) == 4L)
+  }
+
+  test("klBySource gives identical groups identical KL, all nonnegative") {
+    // the corpus is the blend of all groups, so every group that differs
+    // from the blend carries positive KL; a and b are identical -> equal KL
+    val docs = Seq(("a", "x y"), ("b", "x y"), ("c", "x x x y")).toDF("g", "text")
+    val out = graft.ops.TextAnalysis.klBySource(docs, col("g"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // a and b share the corpus-skewed-toward-x mix less than c does
+    assert(out("a") == out("b"))
+    assert(out.values.forall(_ >= 0.0), s"negative KL: $out")
+    assert(out("a") > 0.0 && out("c") > 0.0)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
