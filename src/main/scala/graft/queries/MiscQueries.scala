@@ -620,6 +620,57 @@ object MiscQueries extends QuerySet {
         .orderBy("lang")
     })
 
+  /** ROUGE-L (Lin 2004) per document: the candidate rotates the first 3
+    * tokens to the end (subsequence order survives — LCS stays near
+    * len-3, where BLEU's exact n-grams break) and substitutes every
+    * (doc_id+i)%9-th position with 'zz'. The LCS DP is a nested HOF fold
+    * in BOTH engines (match-position lists → row-DP), map-only with no
+    * shuffle; LCS/lengths are exact integers, F1 pure arithmetic. */
+  val ev3RougeL = Q("ev3_rouge_l",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            rt AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) <= 3 THEN toks
+                     ELSE list_concat(toks[4:], toks[1:3]) END AS rot
+              FROM t),
+            c AS (SELECT doc_id, toks AS ref,
+                CASE WHEN len(rot) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(rot) + 1),
+                        i -> CASE WHEN (i - 1 + doc_id) % 9 = 0 THEN 'zz' ELSE rot[i] END) END AS cand
+              FROM rt),
+            d AS (SELECT doc_id,
+                CASE WHEN len(ref) = 0 OR len(cand) = 0 THEN 0
+                     ELSE list_reduce(
+                        list_prepend(list_transform(range(0, len(ref) + 1), x -> 0),
+                          list_transform(cand, tok -> CAST(list_filter(range(1, len(ref) + 1), j -> ref[j] = tok) AS INT[]))),
+                        (old, m) -> list_reduce(
+                          list_prepend([0], list_transform(range(1, len(ref) + 1), j -> [CAST(j AS INT)])),
+                          (nr, jx) -> list_append(nr,
+                            CASE WHEN list_contains(m, jx[1]) THEN old[jx[1]] + 1
+                                 ELSE greatest(nr[len(nr)], old[jx[1] + 1]) END)))[len(ref) + 1]
+                END AS lcs,
+                len(ref) AS r_len, len(cand) AS c_len
+              FROM c)
+            SELECT doc_id, CAST(lcs AS BIGINT) AS lcs_len,
+              CAST(r_len AS BIGINT) AS r_len, CAST(c_len AS BIGINT) AS c_len,
+              CASE WHEN lcs = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE round(CAST(2.0 AS DOUBLE) * (CAST(lcs AS DOUBLE) / CAST(c_len AS DOUBLE))
+                        * (CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE))
+                        / ((CAST(lcs AS DOUBLE) / CAST(c_len AS DOUBLE)) + (CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE))), 6)
+              END AS rouge_f1
+            FROM d ORDER BY doc_id"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ref"))
+      val rot = when(size(col("ref")) <= 3, col("ref"))
+        .otherwise(concat(slice(col("ref"), lit(4), size(col("ref")) - 3), slice(col("ref"), 1, 3)))
+      val withCand = base.withColumn("rot", rot)
+        .withColumn("cand",
+          when(size(col("rot")) === 0, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("rot"))),
+              i => when(((i - 1 + col("doc_id")) % 9) === 0, lit("zz"))
+                .otherwise(element_at(col("rot"), i)))))
+      graft.eval.Eval.rougeL(withCand, "doc_id", "ref", "cand").orderBy("doc_id")
+    })
+
   /** Per-source KL divergence vs the corpus unigram mix — the
     * distribution-shift statistic a mixing pipeline watches per domain.
     * One (source, token) hash aggregate re-aggregated for the corpus
@@ -1286,7 +1337,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, warc1Parse, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)

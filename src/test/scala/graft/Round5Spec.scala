@@ -577,6 +577,25 @@ class Round5Spec extends SparkSpec {
     assert(out("a") > 0.0 && out("c") > 0.0)
   }
 
+  // --- ROUGE-L --------------------------------------------------------------
+
+  test("rougeL computes the hand LCS, survives rotation, handles empties") {
+    val cases = Seq(
+      (1L, Seq("a", "b", "c", "d", "e"), Seq("a", "x", "c", "e")),          // lcs 3
+      (2L, Seq("a", "b", "c", "d", "e", "f"), Seq("d", "e", "f", "a", "b", "c")), // lcs 3
+      (3L, Seq("a", "b"), Seq[String]()),                                   // empty cand
+      (4L, Seq("a", "b"), Seq("x", "y"))).toDF("id", "ref", "cand")         // lcs 0
+    val out = graft.eval.Eval.rougeL(cases, "id", "ref", "cand")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(out(0)._2 == 3L)
+    val f1 = 2.0 * (3.0 / 4) * (3.0 / 5) / (3.0 / 4 + 3.0 / 5)
+    assert(math.abs(out(0)._3 - f1) < 1e-6, s"f1=${out(0)._3}")
+    assert(out(1)._2 == 3L)    // rotation keeps a 3-token subsequence
+    assert(out(2)._2 == 0L && out(2)._3 == 0.0)
+    assert(out(3)._2 == 0L && out(3)._3 == 0.0)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
