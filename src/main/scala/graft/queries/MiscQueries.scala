@@ -782,6 +782,58 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** robots.txt (RFC 9309) longest-match crawl verdicts — the politeness
+    * gate before any fetch becomes a WARC record. A 7-rule set per host
+    * exercises longest-match override (Allow /private/4 inside Disallow
+    * /private), Allow-wins-ties (/public both ways), `*` wildcards
+    * (the tmp html rule) and the `$` anchor (/blog/14$ fires on /blog/14, not /blog/144). The pattern→regex
+    * translation runs as the same regexp_replace chain on the COLUMN in
+    * both engines; precedence is the integer key 2·len+allow under ONE
+    * max_by per (host, path) — no window, no per-URL rule loop. */
+  val rob1Robots = Q("rob1_robots_match",
+    Some("""WITH hosts AS (SELECT DISTINCT concat(coalesce(source, ''), '.example.com') AS host FROM documents),
+            ruleset AS (SELECT * FROM (VALUES
+              (false, '/private'), (true, '/private/4'), (true, '/public'), (false, '/public'),
+              (false, '/tmp/*.html'), (true, '/blog'), (false, '/blog/14$')) t(allow, pattern)),
+            rules AS (SELECT host, allow, pattern,
+                concat('^', regexp_replace(regexp_replace(regexp_replace(pattern,
+                  '([.^$+?()\[\]{}|\\])', '\\\1', 'g'), '\*', '.*', 'g'), '\\\$$', '$')) AS rx
+              FROM hosts CROSS JOIN ruleset),
+            urls AS (SELECT doc_id, concat(coalesce(source, ''), '.example.com') AS host,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN concat('/private/', CAST(doc_id AS VARCHAR))
+                  WHEN 1 THEN concat('/public/', CAST(doc_id AS VARCHAR))
+                  WHEN 2 THEN concat('/tmp/file', CAST(doc_id AS VARCHAR), '.html')
+                  WHEN 3 THEN concat('/public/img', CAST(doc_id AS VARCHAR))
+                  ELSE concat('/blog/', CAST(doc_id AS VARCHAR)) END AS path
+              FROM documents),
+            m AS (SELECT host, path,
+                max_by(allow, length(pattern) * 2 + CAST(allow AS INT)) AS verdict
+              FROM (SELECT DISTINCT host, path FROM urls) u JOIN rules USING (host)
+              WHERE regexp_matches(path, rx)
+              GROUP BY host, path)
+            SELECT doc_id, host, path, coalesce(verdict, true) AS allowed
+            FROM urls LEFT JOIN m USING (host, path)
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val host = concat(coalesce(col("source"), lit("")), lit(".example.com"))
+      val idStr = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/private/"), idStr))
+        .when(col("doc_id") % 5 === 1, concat(lit("/public/"), idStr))
+        .when(col("doc_id") % 5 === 2, concat(lit("/tmp/file"), idStr, lit(".html")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/public/img"), idStr))
+        .otherwise(concat(lit("/blog/"), idStr))
+      val urls = documents(s, d).select(col("doc_id"), host.as("host"), path.as("path"))
+      val ruleSet = Seq(false -> "/private", true -> "/private/4", true -> "/public",
+        false -> "/public", false -> "/tmp/*.html", true -> "/blog", false -> "/blog/14$")
+      val ruleRows = s.range(1).select(explode(array(ruleSet.map { case (a, p) =>
+        struct(lit(a).as("allow"), lit(p).as("pattern")) }: _*)).as("r")).select("r.*")
+      val rules = urls.select("host").distinct().crossJoin(broadcast(ruleRows))
+      graft.ops.Robots.decide(urls, rules)
+        .select("doc_id", "host", "path", "allowed")
+        .orderBy("doc_id")
+    })
+
   /** Sentence BLEU-2 (Papineni et al. 2002) per document: the candidate
     * is synthesized from the reference identically in both engines (the
     * oracle-strong pattern) — first 80% of the tokens with every
@@ -1337,7 +1389,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, rob1Robots, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)

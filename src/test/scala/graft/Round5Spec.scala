@@ -596,6 +596,26 @@ class Round5Spec extends SparkSpec {
     assert(out(3)._2 == 0L && out(3)._3 == 0.0)
   }
 
+  // --- robots.txt -----------------------------------------------------------
+
+  test("parseStarGroup extracts only the * group; decide applies RFC precedence") {
+    val robots =
+      "User-agent: googlebot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /private # comment\nAllow: /private/open\n" +
+        "Crawl-delay: 10\n\nUser-agent: other\nDisallow: /other"
+    val rules = Seq(robots).toDF("txt")
+      .select(explode(graft.ops.Robots.parseStarGroup(col("txt"))).as("r"))
+      .select("r.*").collect().map(r => (r.getBoolean(0), r.getString(1))).toSeq
+    assert(rules == Seq((false, "/private"), (true, "/private/open")),
+      s"rules: $rules")   // googlebot/other groups and Crawl-delay skipped
+    val urls = Seq(("h", "/private/x"), ("h", "/private/open/x"), ("h", "/free"))
+      .toDF("host", "path")
+    val ruleDf = rules.map { case (a, p) => ("h", a, p) }.toDF("host", "allow", "pattern")
+    val out = graft.ops.Robots.decide(urls, ruleDf)
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(out == Map("/private/x" -> false, "/private/open/x" -> true, "/free" -> true))
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
