@@ -76,25 +76,17 @@ object Eval {
   /** ROUGE-L (Lin, 2004): LCS-based recall/precision/F1 between reference
     * and candidate token arrays — BLEU's order-robust sibling (a candidate
     * that keeps the reference's subsequence order scores even where exact
-    * n-grams break). The LCS DP runs as a nested HOF fold entirely inside
-    * one row — match-position lists precomputed per candidate token, then
-    * a row-DP fold (O(r·c) per doc, map-only, no shuffle at all); a
-    * production hot path would lift the same recurrence into a codegen'd
-    * Expression the way `DifflibRatio` does. LCS and lengths are exact
+    * n-grams break). The LCS DP runs as the native codegen'd `lcs_len`
+    * expression (`graft.functions.LcsLenExpr` — compiled O(r·c) two-row
+    * DP; the equivalent nested-HOF fold measured 40 s at sf0.1 versus
+    * sub-second compiled, so the HOF shape lives only in the DuckDB
+    * oracle). Map-only, no shuffle at all. LCS and lengths are exact
     * integers (emitted for the strong check); F1 is pure arithmetic on
     * them (no transcendentals), 6-dp-rounded. */
   def rougeL(docs: DataFrame, idCol: String, refCol: String, candCol: String): DataFrame = {
     val ref = col(refCol); val cand = col(candCol)
-    val rlen = size(ref)
-    val matchLists = transform(cand, c => filter(sequence(lit(1), rlen), j => element_at(ref, j) === c))
-    val initRow = transform(sequence(lit(0), rlen), _ => lit(0))
-    val dp = aggregate(matchLists, initRow, (old, m) =>
-      aggregate(sequence(lit(1), rlen), array(lit(0)), (nr, j) =>
-        concat(nr, array(
-          when(array_contains(m, j), element_at(old, j) + 1)
-            .otherwise(greatest(element_at(nr, size(nr)), element_at(old, j + 1)))))))
-    val lcs = when(rlen === 0 || size(cand) === 0, lit(0))
-      .otherwise(element_at(dp, rlen + 1))
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    val lcs = call_function("lcs_len", ref, cand)
     val out = docs.select(col(idCol), lcs.cast("long").as("lcs_len"),
       size(ref).cast("long").as("r_len"), size(cand).cast("long").as("c_len"))
     val p = col("lcs_len").cast("double") / col("c_len").cast("double")

@@ -135,6 +135,8 @@ object GraftFunctions {
       "winnow_hashes", exprs => WinnowHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalizeExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lcs_len", exprs => LcsLenExpr(exprs(0), exprs(1)), "built-in")
     // Spark ships Bloom expressions for its runtime join filters but does
     // not register them as SQL functions; surfaced here for the
     // decontamination prefilter (analyzer wraps the AggregateFunction)
@@ -191,6 +193,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info,
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[LcsLenExpr].getName, "lcs_len"),
+      (exprs: Seq[Expression]) => LcsLenExpr(exprs(0), exprs(1))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits64"),
       SimHashBits64.info,
