@@ -226,6 +226,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Exact all-pairs Jaccard join via prefix filtering (PPJoin family —
+    * Chaudhuri/Ganti/Kaushik's SSJoin prefix filter; Xiao et al. 2008):
+    * two sets with Jaccard ≥ t MUST share at least one element among the
+    * first `s − ceil(t·s) + 1` of their elements under ANY common total
+    * order — so ordering every doc's shingles rarest-document-frequency-
+    * first and equi-joining only on those prefix elements yields exact
+    * results (zero false negatives, unlike MinHash banding) while the
+    * join key space shrinks to the rare tail of the vocabulary.
+    *
+    * Scale shape: one shingle aggregate for document frequencies, one
+    * gram-keyed join to attach them, a per-doc sort of its OWN shingles
+    * (sort_array inside the row — no window), then the prefix equi-join +
+    * exact verify on the candidate pairs only. The ordering key is the
+    * string `lpad(df) + U+0001 + gram` so both engines sort identically with
+    * plain binary string order. Verify filters on the UNROUNDED ratio
+    * (boundary-exact rationals) and emits it 6-dp-rounded. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         w: Int, threshold: Double): DataFrame = {
+    val g = df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))
+      .localCheckpoint()
+    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
+    val freq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    val keyed = ex.join(freq, "gram")
+      .select(col("id"),
+        concat(lpad(col("df").cast("string"), 10, "0"), lit("\u0001"), col("gram")).as("k"))
+    val prefixes = keyed.groupBy("id")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .select(col("id"), slice(col("ks"), lit(1),
+        (size(col("ks")) - ceil(size(col("ks")).cast("double") * lit(threshold)) + 1).cast("int")).as("prefix"))
+    val pe = prefixes.select(col("id"), explode(col("prefix")).as("k"))
+    val cand = pe.select(col("k"), col("id").as("id_a"))
+      .join(pe.select(col("k"), col("id").as("id_b")), "k")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
+      size(array_union(col("ga"), col("gb"))).cast("double")
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
   /** n-gram Jaccard similarity between two texts. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val ga = charNgrams(lower(a), n)

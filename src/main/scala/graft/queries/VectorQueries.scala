@@ -177,6 +177,36 @@ object VectorQueries extends QuerySet {
         .orderBy("id_a")
     })
 
+  /** Exact all-pairs Jaccard near-dup join via PPJoin prefix filtering
+    * (Xiao et al. 2008) — the zero-false-negative complement to d2's
+    * MinHash banding: docs ordered rarest-shingle-first must share a
+    * prefix shingle to reach Jaccard ≥ 0.5, so the candidate join runs
+    * on the rare vocabulary tail only. The fixture's planted near-dups
+    * sit at j ≥ 0.5 with the background at ≤ 0.025 (measured), so the
+    * threshold is exercised, not vacuous. Verification filters on the
+    * UNROUNDED exact ratio in both engines. */
+  val d13PrefixJaccard = Q("d13_prefix_jaccard_pairs",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            g AS (SELECT doc_id AS id, ${OracleSql.shinglesSql(3)} AS grams FROM t),
+            ex AS (SELECT id, unnest(grams) AS gram FROM g),
+            freq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+            keyed AS (SELECT id, concat(lpad(CAST(df AS VARCHAR), 10, '0'), chr(1), gram) AS k
+                      FROM ex JOIN freq USING (gram)),
+            pre AS (SELECT id, array_slice(list_sort(list(k)), 1,
+                      CAST(count(*) - ceil(CAST(count(*) AS DOUBLE) * 0.5) + 1 AS INT)) AS prefix
+                    FROM keyed GROUP BY id),
+            pe AS (SELECT id, unnest(prefix) AS k FROM pre),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM pe a JOIN pe b ON a.k = b.k AND a.id < b.id),
+            v AS (SELECT id_a, id_b,
+                    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS j
+                  FROM cand JOIN g ga ON ga.id = id_a JOIN g gb ON gb.id = id_b)
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM v
+            WHERE j >= 0.5 ORDER BY id_a, id_b"""),
+    (s, d) => Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text", w = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b"))
+
   /** Text-analysis fingerprint + quality score. */
   val x4Fingerprint = Q("x4_doc_fingerprint",
     Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
@@ -1164,5 +1194,5 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse)
+    rrf1Hybrid, mmr1Diverse, d13PrefixJaccard)
 }

@@ -616,6 +616,31 @@ class Round5Spec extends SparkSpec {
     assert(out == Map("/private/x" -> false, "/private/open/x" -> true, "/free" -> true))
   }
 
+  // --- PPJoin prefix-filtered Jaccard ---------------------------------------
+
+  test("prefixJaccardPairs equals brute-force exact Jaccard (no false negatives)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),    // near-dup of 1
+      (3L, "one two three four five six"),
+      (4L, "one two three four five seven"),         // near-dup of 3
+      (5L, "totally different words here now then")).toDF("id", "text")
+    val pp = graft.ops.Dedup.prefixJaccardPairs(docs, "id", "text", w = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute force over all 10 pairs
+    val g = docs.select(col("id"), graft.ops.Dedup.wordShingles(col("text"), 3).as("g"))
+    val brute = g.select(col("id").as("a"), col("g").as("ga"))
+      .crossJoin(g.select(col("id").as("b"), col("g").as("gb")))
+      .filter(col("a") < col("b"))
+      .withColumn("j", size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        size(array_union(col("ga"), col("gb"))).cast("double"))
+      .filter(col("j") >= 0.3)
+      .select("a", "b")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pp == brute, s"pp=$pp brute=$brute")
+    assert(pp == Seq((1L, 2L), (3L, 4L)))
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
