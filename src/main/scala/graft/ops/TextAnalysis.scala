@@ -141,6 +141,21 @@ object TextAnalysis {
     df.withColumn("es_key", round(log(hashUniform(key)) / weight.cast("double"), 10))
       .orderBy(col("es_key").desc, key).limit(k)
 
+  /** Per-group [[weightedSample]]: top-k of the Efraimidis–Spirakis key
+    * WITHIN each stratum (sample k docs per language/domain, ∝ weight) —
+    * the rank window partitions by the stratum, so Spark plans a
+    * WindowGroupLimit with per-partition top-k heaps; no global window,
+    * no per-group TakeOrdered loop. */
+  def weightedSamplePerGroup(df: DataFrame, key: Column, group: Column,
+                             weight: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(col("es_key").desc, key)
+    df.withColumn("es_key", round(log(hashUniform(key)) / weight.cast("double"), 10))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Lowercase whitespace tokens with empties dropped — the corpus-stats
     * tokenize shared by the LM scores and [[bpePairCounts]]. */
   def tokens(text: Column): Column =

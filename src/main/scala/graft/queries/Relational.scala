@@ -211,16 +211,24 @@ object Relational extends QuerySet {
     Some("SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"),
     (s, d) => documents(s, d).select("doc_id", "source", "lang", "n_chars").orderBy("doc_id"))
 
-  /** SCD type-2 merge (the versioned-dimension half of incremental
-    * ingestion): a 3-wave version history is synthesized from the customer
-    * dim identically in both engines — wave 2 changes every 4th key's
-    * segment, wave 3 changes every 8th EXCEPT every 16th, which repeats
-    * its wave-2 value and must be suppressed by change detection. Both
-    * windows partition by the business key (one shuffle, scales with
-    * per-key versions). Exercises: change suppression, interval chaining,
-    * open-interval `is_current`. */
-  val j8Scd2 = Q("j8_scd2_merge",
-    Some("""WITH hist AS (
+  /** ONE copy of the synthesized 3-wave SCD2 version history, shared by
+    * j8 and j8b (Spark builder + oracle CTE block) — wave 2 changes every
+    * 4th key's segment, wave 3 changes every 8th EXCEPT every 16th, which
+    * repeats its wave-2 value and must be suppressed by change
+    * detection. */
+  private def scd2Hist(c: DataFrame): DataFrame =
+    c.select(col("c_custkey"), lit(1L).as("ts"), col("c_mktsegment").as("segment"))
+      .unionByName(c.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), lit(2L).as("ts"),
+          concat(lit("SEG2_"), (col("c_custkey") % 3).cast("string")).as("segment")))
+      .unionByName(c.filter(col("c_custkey") % 8 === 0)
+        .select(col("c_custkey"), lit(3L).as("ts"),
+          when(col("c_custkey") % 16 === 0,
+            concat(lit("SEG2_"), (col("c_custkey") % 3).cast("string")))
+            .otherwise(lit("SEG3")).as("segment")))
+
+  private val scd2OracleCtes: String =
+    """hist AS (
               SELECT c_custkey, CAST(1 AS BIGINT) AS ts, c_mktsegment AS segment FROM customer
               UNION ALL
               SELECT c_custkey, 2, concat('SEG2_', CAST(c_custkey % 3 AS VARCHAR))
@@ -237,27 +245,38 @@ object Relational extends QuerySet {
               WHERE prev IS NULL OR segment <> prev),
             v AS (SELECT c_custkey, segment, ts AS valid_from,
                 lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
-              FROM chg)
+              FROM chg)"""
+
+  /** SCD type-2 merge (the versioned-dimension half of incremental
+    * ingestion) over the shared 3-wave history. Both windows partition by
+    * the business key (one shuffle, scales with per-key versions).
+    * Exercises: change suppression, interval chaining, open-interval
+    * `is_current`. */
+  val j8Scd2 = Q("j8_scd2_merge",
+    Some(s"""WITH $scd2OracleCtes
             SELECT c_custkey, segment, valid_from, valid_to,
               CASE WHEN valid_to IS NULL THEN true ELSE false END AS is_current
             FROM v ORDER BY c_custkey, valid_from"""),
-    (s, d) => {
-      val c = customer(s, d)
-      val hist = c.select(col("c_custkey"), lit(1L).as("ts"), col("c_mktsegment").as("segment"))
-        .unionByName(c.filter(col("c_custkey") % 4 === 0)
-          .select(col("c_custkey"), lit(2L).as("ts"),
-            concat(lit("SEG2_"), (col("c_custkey") % 3).cast("string")).as("segment")))
-        .unionByName(c.filter(col("c_custkey") % 8 === 0)
-          .select(col("c_custkey"), lit(3L).as("ts"),
-            when(col("c_custkey") % 16 === 0,
-              concat(lit("SEG2_"), (col("c_custkey") % 3).cast("string")))
-              .otherwise(lit("SEG3")).as("segment")))
-      graft.ops.TableOps.scd2(hist, Seq("c_custkey"), "ts", Seq("segment"))
-        .select("c_custkey", "segment", "valid_from", "valid_to", "is_current")
-        .orderBy("c_custkey", "valid_from")
-    })
+    (s, d) => graft.ops.TableOps.scd2(scd2Hist(customer(s, d)), Seq("c_custkey"), "ts", Seq("segment"))
+      .select("c_custkey", "segment", "valid_from", "valid_to", "is_current")
+      .orderBy("c_custkey", "valid_from"))
+
+  /** Time-travel (as-of) read over the j8 SCD2 history: the dimension
+    * state at ts=2 — every key resolves to exactly one version via the
+    * half-open interval `valid_from <= t < valid_to` (open intervals
+    * count as current). A map-only filter over the versioned table: the
+    * read side of SCD2 costs one predicate, never a window. */
+  val j8bScd2AsOf = Q("j8b_scd2_asof",
+    Some(s"""WITH $scd2OracleCtes
+            SELECT c_custkey, segment AS segment_at_t2
+            FROM v WHERE valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2)
+            ORDER BY c_custkey"""),
+    (s, d) => graft.ops.TableOps.scd2(scd2Hist(customer(s, d)), Seq("c_custkey"), "ts", Seq("segment"))
+      .filter(col("valid_from") <= 2 && (col("valid_to").isNull || col("valid_to") > 2))
+      .select(col("c_custkey"), col("segment").as("segment_at_t2"))
+      .orderBy("c_custkey"))
 
   def all: Seq[Q] = Seq(q1Pricing, j1Anti, j3Broadcast, j4DistinctJoin, j5FirstMatch,
     a4Validation, a8Banding, a10Distinct, a11Rollup, a14Cube, t1TopK, t4LastN, u2UnionAnti,
-    u4Except, s9Listing, j8Scd2)
+    u4Except, s9Listing, j8Scd2, j8bScd2AsOf)
 }

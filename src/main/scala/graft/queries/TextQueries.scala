@@ -409,6 +409,28 @@ object TextQueries extends QuerySet {
       .select("doc_id", "n_chars", "es_key")
       .orderBy(col("es_key").desc, col("doc_id")))
 
+  /** Per-language weighted sample (x17's key, stratified): top-5 ES keys
+    * within each lang — the "k docs per language, longer docs likelier"
+    * mixing primitive. The rank window partitions by lang
+    * (WindowGroupLimit per-partition heaps, no global window). */
+  val x18WeightedGroup = Q("x18_group_weighted_sample",
+    Some("""WITH h AS (SELECT doc_id, lang, n_chars,
+              list_sum(list_transform(range(1, 9),
+                j -> CAST((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[j]) - 1) AS BIGINT)
+                     << (4 * (8 - CAST(j AS INT))))) AS hv
+              FROM documents),
+            k AS (SELECT doc_id, lang, n_chars,
+              round(ln((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE), 10) AS es_key
+              FROM h),
+            r AS (SELECT doc_id, lang, n_chars, es_key,
+              row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM k)
+            SELECT doc_id, lang, n_chars, es_key FROM r WHERE rn <= 5
+            ORDER BY lang, es_key DESC, doc_id"""),
+    (s, d) => TextAnalysis.weightedSamplePerGroup(documents(s, d), col("doc_id"), col("lang"),
+        col("n_chars"), 5)
+      .select("doc_id", "lang", "n_chars", "es_key")
+      .orderBy(col("lang"), col("es_key").desc, col("doc_id")))
+
   /** Subword (BPE-ish) counting. */
   val x3Subword = Q("x3_subword_count",
     Some("""SELECT doc_id,
@@ -1207,5 +1229,6 @@ object TextQueries extends QuerySet {
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
     b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
-    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted)
+    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
+    x18WeightedGroup)
 }
