@@ -109,4 +109,27 @@ object Chunking {
         (col("end") - col("start")).cast("long").as("chunk_len"),
         md5(col("t").substr(col("start") + 1, col("end") - col("start")).cast("binary")).as("digest"))
   }
+
+  /** Cross-document chunk-level dedup accounting over [[cdcChunks]] — the
+    * storage-dedup statistic (how many bytes a content-addressed store
+    * would NOT write again): an occurrence is duplicate unless it is the
+    * corpus-wide FIRST holder of its digest, first = min (doc_id,
+    * chunk_idx) via one map-side-combined `min(struct)` per digest (the
+    * d10 winner pattern — hot digests shrink before the shuffle). Exact
+    * integer byte counts; ratio left as their exact division. */
+  def cdcDedupStats(df: DataFrame, idCol: Column, text: Column,
+                    w: Int, divisor: Int): DataFrame = {
+    val chunks = cdcChunks(df, idCol, text, w, divisor)
+    val first = chunks.groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    chunks.join(first, "digest")
+      .withColumn("is_dup",
+        !(col("doc_id") === col("f.doc_id") && col("chunk_idx") === col("f.chunk_idx")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_bytes"),
+        sum(when(col("is_dup"), col("chunk_len")).otherwise(0L)).as("dup_bytes"))
+      .withColumn("dup_ratio",
+        col("dup_bytes").cast("double") / col("total_bytes").cast("double"))
+  }
 }

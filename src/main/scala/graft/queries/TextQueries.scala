@@ -622,13 +622,10 @@ object TextQueries extends QuerySet {
           .as("chars_per_symbol"))
     })
 
-  /** Content-defined chunking: Rabin-Karp rolling-hash boundaries (w=16
-    * code points, divisor 64 → ~64-char expected chunks), tail closed at
-    * end-of-text, chunks emitted as (idx, len, md5). The oracle replays
-    * every window hash as an O(L·w) fold-from-zero — bit-identical to the
-    * native expression's O(L) rolling recurrence — then the same slicing. */
-  val cdc1Chunks = Q("cdc1_content_chunks",
-    Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+  /** ONE copy of the cdc1/cdc2 oracle's chunk-building CTE chain (the
+    * O(L*w) fold-from-zero window-hash replay of `cdc_boundaries` + the
+    * same slicing). */
+  private val cdcOracleCtes: String = """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
             b AS (SELECT doc_id, t, list_filter(range(16, length(t) + 1),
                     i -> list_reduce(list_transform(range(i - 15, i + 1),
                            j -> CAST(ord(substr(t, CAST(j AS INT), 1)) AS BIGINT)),
@@ -644,13 +641,48 @@ object TextQueries extends QuerySet {
                       CAST((CASE WHEN i = 1 THEN 0 ELSE ends[CAST(i - 1 AS INT)] END) + 1 AS INT),
                       CAST(ends[CAST(i AS INT)]
                         - (CASE WHEN i = 1 THEN 0 ELSE ends[CAST(i - 1 AS INT)] END) AS INT)) AS chunk
-                  FROM x)
+                  FROM x)"""
+
+  /** Content-defined chunking: Rabin-Karp rolling-hash boundaries (w=16
+    * code points, divisor 64 → ~64-char expected chunks), tail closed at
+    * end-of-text, chunks emitted as (idx, len, md5). The oracle replays
+    * every window hash as an O(L·w) fold-from-zero — bit-identical to the
+    * native expression's O(L) rolling recurrence — then the same slicing. */
+  val cdc1Chunks = Q("cdc1_content_chunks",
+    Some(s"""$cdcOracleCtes
             SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
               CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS digest
             FROM c WHERE length(chunk) > 0 ORDER BY doc_id, chunk_idx"""),
     (s, d) => graft.ops.Chunking.cdcChunks(documents(s, d), col("doc_id"), col("text"),
         w = 16, divisor = 64)
       .orderBy("doc_id", "chunk_idx"))
+
+  /** Cross-document CDC chunk dedup accounting (the storage-dedup
+    * statistic: bytes a content-addressed store skips): every chunk
+    * occurrence that is not the corpus-wide FIRST holder of its digest
+    * counts as duplicate bytes. First-holder via one map-side min per
+    * digest (the d10 winner pattern); the oracle encodes the
+    * (doc, idx) order as doc·10⁶+idx — the same total order. The
+    * fixture's planted near-dup docs share real chunks (367 duplicate
+    * occurrences of 2838 at sf0.01 — measured, non-vacuous). */
+  val cdc2ChunkDedup = Q("cdc2_chunk_dedup",
+    Some(s"""$cdcOracleCtes,
+            ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                    CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS digest
+                  FROM c WHERE length(chunk) > 0),
+            f AS (SELECT digest, min(doc_id * 1000000 + chunk_idx) AS fk FROM ch GROUP BY digest),
+            j AS (SELECT ch.doc_id, ch.chunk_len,
+                    (ch.doc_id * 1000000 + ch.chunk_idx) <> fk AS is_dup
+                  FROM ch JOIN f USING (digest))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(chunk_len) AS BIGINT) AS total_bytes,
+              CAST(sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes,
+              CAST(sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END) AS DOUBLE)
+                / CAST(sum(chunk_len) AS DOUBLE) AS dup_ratio
+            FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => graft.ops.Chunking.cdcDedupStats(documents(s, d), col("doc_id"), col("text"),
+        w = 16, divisor = 64)
+      .orderBy("doc_id"))
 
   /** Count-Min sketch heavy hitters (Cormode-Muthukrishnan): a 4×256
     * counter sketch built in ONE vocab-sized aggregate (update stream =
@@ -1227,7 +1259,8 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, sk1CmsHeavyHitters, x9Bigram,
+    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
+    sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup)
