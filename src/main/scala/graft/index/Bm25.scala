@@ -47,6 +47,65 @@ object Bm25 {
     docs.withColumn("__bm25_toks", tokens(textCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** BM25 with a RUNTIME term set — the inverted-index join shape
+    * ([[topK]]'s per-term stats columns need compile-time terms; a
+    * pseudo-relevance-feedback loop does not know its terms until it has
+    * retrieved): postings = explode(tokens), semi-joined to the
+    * broadcast term set, per-(doc, term) tf and per-term df as hash
+    * aggregates, then per-doc score summation. Because a groupBy sum has
+    * no fixed operand order, each term's contribution is cast to
+    * DECIMAL(25,15) before summing (order-independent, the d9
+    * discipline) — the static [[topK]] instead fixes the order in its
+    * expression tree. `termsDf` must have one `term` column. */
+  def topKDynamic(docs: DataFrame, idCol: String, textCol: String, termsDf: DataFrame,
+                  k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).as("_bid"), tokens(col(textCol)).as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val dl = base.select(col("_bid"), size(col("toks")).cast("double").as("dl"))
+    val posts = base.select(col("_bid"), explode(col("toks")).as("term"))
+    val tf = posts.join(broadcast(termsDf), "term")
+      .groupBy("_bid", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+      / (col("df").cast("double") + 0.5))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), "term").join(dl, "_bid").crossJoin(broadcast(stats))
+      .select(col("_bid"), contrib.as("contrib"))
+      .groupBy("_bid")
+      .agg(round(sum(col("contrib").cast("decimal(25,15)")).cast("double"), roundTo).as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .select(col("_bid").as(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** RM3-style expansion terms from a feedback set `(idCol, score)`:
+    * each candidate term (length ≥ `minLen`, not a seed) scores
+    * `Σ_d (tf_td / dl_d) · score_d` — relevance-weighted relative
+    * frequency (Lavrenko/Croft relevance models, the Anserini RM3
+    * default's shape) — summed in DECIMAL, top `n` by (6-dp score, term).
+    * All inputs to the weight are exact doubles, so both engines rank
+    * identically. */
+  def rm3ExpansionTerms(docs: DataFrame, idCol: String, textCol: String,
+                        feedback: DataFrame, seeds: Seq[String],
+                        n: Int, minLen: Int = 4): DataFrame = {
+    val base = docs.select(col(idCol).as("_bid"), tokens(col(textCol)).as("toks"))
+    val fb = feedback.select(col(idCol).as("_bid"), col("bm25").as("s"))
+    val fbToks = base.join(broadcast(fb), "_bid")
+      .select(col("_bid"), col("s"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(length(col("term")) >= minLen && !col("term").isin(seeds: _*))
+    fbToks.groupBy("_bid", "term", "s", "dl").agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("term"), ((col("tf") / col("dl")) * col("s")).as("w"))
+      .groupBy("term")
+      .agg(sum(col("w").cast("decimal(25,15)")).cast("double").as("w"))
+      .orderBy(round(col("w"), 6).desc, col("term"))
+      .limit(n)
+      .select("term")
+  }
+
   /** Score every document against `terms` and keep the global top `k`
     * (score desc, id asc; zero-scoring docs — no term present — dropped).
     * `k1`/`b` are the standard free parameters. The score is rounded to

@@ -525,6 +525,57 @@ object TextQueries extends QuerySet {
         .orderBy(col("bm25").desc, col("doc_id")))
   }
 
+  /** RM3 pseudo-relevance feedback (Lavrenko/Croft relevance models):
+    * seed-term BM25 top-10 → relevance-weighted expansion-term extraction
+    * (`Σ (tf/dl)·score`, length ≥ 4, seeds excluded) → top-5 expansion
+    * terms → re-retrieve with the widened query. Both retrieval passes
+    * use the DYNAMIC inverted-index BM25 (`Bm25.topKDynamic` — postings
+    * semi-joined to the broadcast term set; per-term contributions
+    * DECIMAL-summed because a groupBy sum has no fixed operand order).
+    * The oracle replays both passes and the expansion ranking. */
+  val b2Rm3: Q = {
+    val seeds = Seq("spark", "vector")
+    val k1 = 1.2; val b = 0.75
+    def scoreCte(tfCte: String, dfCte: String, out: String) =
+      s"""$out AS (SELECT id, round(CAST(sum(CAST(
+            ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+            * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
+          AS DECIMAL(25,15))) AS DOUBLE), 6) AS s
+          FROM $tfCte JOIN $dfCte USING (term) JOIN dl USING (id) CROSS JOIN n GROUP BY id)"""
+    Q("b2_rm3_expansion",
+      Some(s"""WITH base AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM base),
+            dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+            posts AS (SELECT id, unnest(toks) AS term FROM base),
+            seed AS (SELECT * FROM (VALUES ${seeds.map(t => s"('$t')").mkString(", ")}) t(term)),
+            tf1 AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM posts JOIN seed USING (term) GROUP BY id, term),
+            df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+            ${scoreCte("tf1", "df1", "c1")},
+            fb AS (SELECT id, s FROM c1 WHERE s > 0.0 ORDER BY s DESC, id LIMIT 10),
+            exf AS (SELECT p.id, p.term FROM posts p JOIN fb ON p.id = fb.id
+                    WHERE length(p.term) >= 4 AND p.term NOT IN (SELECT term FROM seed)),
+            tfe AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM exf GROUP BY id, term),
+            wexp AS (SELECT term, CAST(sum(CAST((tf / dl) * s AS DECIMAL(25,15))) AS DOUBLE) AS w
+                     FROM tfe JOIN dl USING (id) JOIN fb USING (id) GROUP BY term),
+            exp5 AS (SELECT term FROM wexp ORDER BY round(w, 6) DESC, term LIMIT 5),
+            allt AS (SELECT term FROM seed UNION SELECT term FROM exp5),
+            tf2 AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM posts JOIN allt USING (term) GROUP BY id, term),
+            df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+            ${scoreCte("tf2", "df2", "c2")}
+            SELECT id AS doc_id, s AS bm25 FROM c2 WHERE s > 0.0
+            ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val seedDf = s.range(1).select(explode(array(seeds.map(lit): _*)).as("term"))
+        val fb = graft.index.Bm25.topKDynamic(docsDf, "doc_id", "text", seedDf, k = 10, k1 = k1, b = b)
+        val exp = graft.index.Bm25.rm3ExpansionTerms(docsDf, "doc_id", "text", fb, seeds, n = 5)
+        val allT = seedDf.unionByName(exp).distinct()
+        graft.index.Bm25.topKDynamic(docsDf, "doc_id", "text", allT, k = 15, k1 = k1, b = b)
+          .orderBy(col("bm25").desc, col("doc_id"))
+      })
+  }
+
   /** The BPE merge-step statistic: corpus-wide counts of adjacent symbol
     * pairs within words (round 1 of tokenizer training — the top pair is
     * the next merge rule). Explode-to-pairs is map-only; the aggregate's
@@ -1259,7 +1310,7 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
+    b1Bm25, b2Rm3, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,

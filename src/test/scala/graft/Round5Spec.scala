@@ -641,6 +641,36 @@ class Round5Spec extends SparkSpec {
     assert(pp == Seq((1L, 2L), (3L, 4L)))
   }
 
+  // --- Dynamic BM25 / RM3 ---------------------------------------------------
+
+  test("topKDynamic matches the static topK score for the same term set") {
+    val docs = Seq(
+      (1L, "spark joins data with spark shuffle"),
+      (2L, "vector search with spark"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val terms = Seq("spark", "vector")
+    val static = graft.index.Bm25.topK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val termsDf = Seq("spark", "vector").toDF("term")
+    val dyn = graft.index.Bm25.topKDynamic(docs, "doc_id", "text", termsDf, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same docs retrieved; scores agree to the 6-dp rounding both apply
+    assert(dyn.keySet == static.keySet)
+    dyn.foreach { case (id, s) => assert(math.abs(s - static(id)) < 2e-6, s"$id: $s vs ${static(id)}") }
+  }
+
+  test("rm3ExpansionTerms excludes seeds and short tokens") {
+    val docs = Seq(
+      (1L, "spark spark distributed shuffle engine"),
+      (2L, "spark distributed runtime it is")).toDF("doc_id", "text")
+    val fb = Seq((1L, 2.0), (2L, 1.0)).toDF("doc_id", "bm25")
+    val terms = graft.index.Bm25.rm3ExpansionTerms(docs, "doc_id", "text", fb,
+      seeds = Seq("spark"), n = 10).collect().map(_.getString(0)).toSet
+    assert(!terms.contains("spark"))            // seed excluded
+    assert(!terms.contains("it") && !terms.contains("is"))  // < 4 chars
+    assert(terms.contains("distributed") && terms.contains("shuffle"))
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
