@@ -63,6 +63,38 @@ object Multimodal {
     (when(scan < 0, be16(sof + 7)), when(scan < 0, be16(sof + 5)))
   }
 
+  /** TIFF dimension read — the one header family where ENDIANNESS itself
+    * is data: the first two bytes ("II"/"MM") select little- or
+    * big-endian for every later field. The IFD sits at a variable
+    * offset; its 12-byte entries are tag-sorted, so ImageWidth (256) and
+    * ImageLength (257) are found by a bounded scan over at most
+    * `maxEntries` entries; values honor TIFF's left-justified short
+    * (type 3) vs long (type 4) value-field layout. Fail-to-null, never
+    * garbage (the [[imageDims]] contract); map-only byte expressions. */
+  private def tiffDims(payload: Column, maxEntries: Int = 8): (Column, Column) = {
+    val isLe = substring(payload, 1, 2).cast("string") === "II"
+    def u(pos: Column, len: Int): Column = {
+      val be = conv(hex(payload.substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+      val le = conv(concat((len - 1 to 0 by -1).map(i =>
+        hex(payload.substr((pos + i).cast("int"), lit(1)))): _*), 16, 10).cast("long")
+      // a hostile/corrupt offset can exceed int range — fail to null
+      // before any int cast (CaseWhen short-circuits, so the casts in the
+      // untaken branch never run)
+      when(pos > lit(Int.MaxValue.toLong - len), lit(null).cast("long"))
+        .otherwise(when(isLe, le).otherwise(be))
+    }
+    val ifd = u(lit(5L), 4) + 1 // stored offset is 0-based, substr is 1-based
+    val n = u(ifd, 2)
+    def entry(i: Column) = ifd + 2 + i * 12
+    def find(tag: Long) = try_element_at(filter(
+      transform(sequence(lit(0L), lit(maxEntries - 1L)), i => {
+        val t = u(entry(i) + 2, 2)
+        val v = when(t === 3L, u(entry(i) + 8, 2)).when(t === 4L, u(entry(i) + 8, 4))
+        when(i < n && u(entry(i), 2) === tag, v)
+      }), v => v.isNotNull), lit(1))
+    (find(256L), find(257L))
+  }
+
   /** REAL header-level metadata decode — no codec required: container
     * formats carry their dimensions in fixed magic-byte layouts, so width/
     * height parse as pure byte expressions (substring + hex + conv stay in
@@ -100,9 +132,12 @@ object Multimodal {
     val isCoreBmp = hasBmpMagic && dibSize === 12
     val isJpeg = hex(substring(payload, 1, 2)) === "FFD8"
     val (jw, jh) = jpegDims(payload)
+    val isTiff = hex(substring(payload, 1, 4)).isin("49492A00", "4D4D002A")
+    val (tw, th) = tiffDims(payload)
     when(isPng, struct(lit("png").as("format"), dim(be(17, 4)).as("width"), dim(be(21, 4)).as("height")))
       .when(isGif, struct(lit("gif").as("format"), dim(le(7, 2)).as("width"), dim(le(9, 2)).as("height")))
       .when(isJpeg, struct(lit("jpeg").as("format"), dim(jw).as("width"), dim(jh).as("height")))
+      .when(isTiff, struct(lit("tiff").as("format"), dim(tw).as("width"), dim(th).as("height")))
       .when(isInfoBmp, struct(lit("bmp").as("format"), bmpDim(le(19, 4)).as("width"), bmpDim(le(23, 4)).as("height")))
       .when(isCoreBmp, struct(lit("bmp").as("format"), dim(le(19, 2)).as("width"), dim(le(21, 2)).as("height")))
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))

@@ -281,6 +281,51 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** REAL TIFF dimension decode, BOTH endiannesses: every even doc_id is
+    * an "II" little-endian file, every odd a "MM" big-endian one — the
+    * same IFD walked under both byte orders. The IFD offset varies
+    * (doc_id%5 pad bytes), a dummy tag-254 entry precedes the dims (the
+    * scan must skip it), and ImageWidth alternates between SHORT
+    * (left-justified value field) and LONG types. Every 11th doc carries
+    * a bad magic and must fail to null, never garbage. */
+  val m6TiffDims = Q("m6_tiff_dims",
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'tiff' END AS format,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE CAST(doc_id % 500 + 1 AS INT) END AS width,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE CAST((doc_id * 7) % 400 + 1 AS INT) END AS height
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      val isLe = col("doc_id") % 2 === 0
+      def hx(v: org.apache.spark.sql.Column, bytes: Int) = lpad(hex(v), bytes * 2, "0")
+      def swap(h: org.apache.spark.sql.Column, bytes: Int) =
+        concat((bytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*)
+      def num(v: org.apache.spark.sql.Column, bytes: Int) =
+        when(isLe, swap(hx(v, bytes), bytes)).otherwise(hx(v, bytes))
+      def numL(v: Long, bytes: Int) = num(lit(v), bytes)
+      val w = (col("doc_id") % 500 + 1).cast("long")
+      val h = ((col("doc_id") * 7) % 400 + 1).cast("long")
+      val pad = (col("doc_id") % 5).cast("int")
+      val widthShort = col("doc_id") % 3 === 0
+      val e254 = concat(numL(254, 2), numL(4, 2), numL(1, 4), numL(0, 4))
+      val e256 = concat(numL(256, 2),
+        when(widthShort, numL(3, 2)).otherwise(numL(4, 2)), numL(1, 4),
+        when(widthShort, concat(num(w, 2), lit("0000"))).otherwise(num(w, 4)))
+      val e257 = concat(numL(257, 2), numL(4, 2), numL(1, 4), num(h, 4))
+      val tiffHex = concat(
+        when(isLe, "49492A00").otherwise("4D4D002A"),
+        num(lit(8) + pad, 4),                  // IFD offset (0-based)
+        expr("repeat('00', CAST(doc_id % 5 AS INT))"),
+        numL(3, 2), e254, e256, e257, lit("00000000"))
+      val payload = when(col("doc_id") % 11 === 0, unhex(lit("49494242"))) // bad magic
+        .otherwise(unhex(tiffHex))
+      documents(s, d)
+        .withColumn("payload", payload)
+        .withColumn("dm", graft.ops.Multimodal.imageDims(col("payload")))
+        .select(col("doc_id"), col("dm.format").as("format"),
+          col("dm.width").as("width"), col("dm.height").as("height"))
+        .orderBy("doc_id")
+    })
+
   /** Distributed PCA (power iteration) over the embedding corpus: the
     * top principal direction of the first 16 components + its eigenvalue
     * — the compression/whitening pass a dense-retrieval index runs before
@@ -1194,5 +1239,5 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse, d13PrefixJaccard)
+    rrf1Hybrid, mmr1Diverse, d13PrefixJaccard, m6TiffDims)
 }

@@ -671,6 +671,31 @@ class Round5Spec extends SparkSpec {
     assert(terms.contains("distributed") && terms.contains("shuffle"))
   }
 
+  // --- TIFF IFD walk --------------------------------------------------------
+
+  test("tiff dims decode under both endiannesses; garbage fails to null") {
+    def dims(hexStr: String): Option[(String, Option[Int], Option[Int])] = {
+      val r = Seq(hexStr).toDF("hx")
+        .select(graft.ops.Multimodal.imageDims(unhex(col("hx"))).as("d"))
+        .select("d.format", "d.width", "d.height").head()
+      def oi(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+      if (r.isNullAt(0)) None else Some((r.getString(0), oi(1), oi(2)))
+    }
+    // little-endian: IFD at 8, 2 entries: 256 SHORT 320 (left-justified), 257 LONG 200
+    val le = "49492A00" + "08000000" +
+      "0200" + "0001" + "0300" + "01000000" + "40010000" +
+      "0101" + "0400" + "01000000" + "C8000000" + "00000000"
+    assert(dims(le).contains(("tiff", Some(320), Some(200))))
+    // big-endian, same image
+    val be = "4D4D002A" + "00000008" +
+      "0002" + "0100" + "0003" + "00000001" + "01400000" +
+      "0101" + "0004" + "00000001" + "000000C8" + "00000000"
+    assert(dims(be).contains(("tiff", Some(320), Some(200))))
+    // IFD offset pointing past the payload: dims must be null, never garbage
+    assert(dims("49492A00FFFFFFFF").exists(t => t._2.isEmpty && t._3.isEmpty))
+    assert(dims("DEADBEEF").isEmpty)
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
