@@ -110,4 +110,51 @@ object Cluster {
     Search.nearDuplicatePairs(assigned, vecCol, idCol, "cell", threshold)
       .withColumnRenamed("b", "cell")
   }
+
+  /** Embedding-space outlier flagging — the quality-filter complement of
+    * SemDeDup (d9 drops redundant points NEAR their neighbors; this flags
+    * corrupt/off-distribution points FAR from everything): squared
+    * distance to the corpus centroid, flagged beyond
+    * `mean + sigmas·stddev` of that distance. Two DECIMAL-exact
+    * aggregates (per-dim means, then distance moments — both map-side
+    * combined, nothing driver-side) + a broadcast stats row.
+    *
+    * Drift engineering (measured on this query, round 5): per-term
+    * `CAST(x AS DECIMAL(25,15))` sums are order-independent but NOT
+    * drift-free — double→DECIMAL rounds differently between engines on
+    * ~0.1% of values and DECIMAL→DOUBLE is not correctly rounded in
+    * both, so a per-(id, dim) decimal-summed distance differed at 1 ulp
+    * on 15% of vectors (and double-rounding via round(round(x,9),6)
+    * flipped an exact decimal half). The distance therefore runs as ONE
+    * fixed-order compiled fold per row (`array_dot` on the centered
+    * vector against the broadcast centroid array): the only remaining
+    * drift is the centroid's own ≤1-ulp cast, which propagates at
+    * ~1e-18 — invisible to the 6-dp output rounding. DECIMAL sums stay
+    * where they belong: on the cross-partition aggregates (centroid and
+    * moment sums). */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, sigmas: Double): DataFrame = {
+    val comp = emb.select(col(idCol).as("_oid"),
+      posexplode(transform(slice(col(vecCol), 1, dim), v => v.cast("double"))).as(Seq("i", "x")))
+    val n = emb.agg(count(lit(1)).cast("double").as("n"))
+    val muArr = comp.groupBy("i")
+      .agg(sum(col("x").cast("decimal(25,15)")).cast("double").as("sx"))
+      .crossJoin(broadcast(n))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("i"), (col("sx") / col("n")).as("mu")))).as("ms"))
+      .select(transform(col("ms"), m => m.getField("mu")).as("mu_arr"))
+    val d2 = emb
+      .select(col(idCol).as("_oid"), transform(slice(col(vecCol), 1, dim), v => v.cast("double")).as("xs"))
+      .crossJoin(broadcast(muArr))
+      .select(col("_oid"), zip_with(col("xs"), col("mu_arr"), (a, b) => a - b).as("diff"))
+      .select(col("_oid"),
+        round(graft.index.Embed.dot(col("diff"), col("diff")), 6).as("d2"))
+    val stats = d2.agg(
+      (sum(col("d2").cast("decimal(25,15)")).cast("double") / count(lit(1)).cast("double")).as("m"),
+      (sum((col("d2") * col("d2")).cast("decimal(25,15)")).cast("double") / count(lit(1)).cast("double")).as("m2"))
+    d2.crossJoin(broadcast(stats))
+      .select(col("_oid").as(idCol), col("d2").as("dist2"),
+        (col("d2") >
+          col("m") + lit(sigmas) * sqrt(col("m2") - col("m") * col("m"))).as("is_outlier"))
+  }
 }

@@ -281,6 +281,37 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Embedding outliers: squared distance to the corpus centroid flagged
+    * beyond mean+2σ — the corrupt-point filter SemDeDup doesn't cover
+    * (d9 drops points NEAR neighbors; this flags points FAR from
+    * everything). The distance runs as ONE fixed-order compiled fold per
+    * row (centered vector dotted with itself against the broadcast
+    * centroid array) — per-term DECIMAL casts measurably drift between
+    * engines at 1 ulp, a fixed-order fold doesn't (see the op's drift
+    * note); DECIMAL stays on the cross-partition aggregates only. */
+  val d14Outliers = Q("d14_embedding_outliers",
+    Some("""WITH comp AS (SELECT vec_id,
+                generate_subscripts(embedding, 1) - 1 AS i,
+                unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+              FROM embeddings),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+            mu AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / n AS mu
+                   FROM comp CROSS JOIN nn GROUP BY i, n),
+            ma AS (SELECT list(mu ORDER BY i) AS mu_arr FROM mu),
+            d2 AS (SELECT vec_id, round(list_dot_product(df, df), 6) AS d2 FROM (
+                SELECT vec_id, list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) - mu_arr[i]) AS df
+                FROM embeddings CROSS JOIN ma) t),
+            st AS (SELECT CAST(sum(CAST(d2 AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m,
+                CAST(sum(CAST(d2 * d2 AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m2
+              FROM d2)
+            SELECT vec_id, d2 AS dist2,
+              d2 > m + 2.0 * sqrt(m2 - m * m) AS is_outlier
+            FROM d2 CROSS JOIN st ORDER BY vec_id"""),
+    (s, d) => graft.ops.Cluster.centroidOutliers(embeddings(s, d), "vec_id", "embedding",
+        dim = 64, sigmas = 2.0)
+      .orderBy("vec_id"))
+
   /** REAL TIFF dimension decode, BOTH endiannesses: every even doc_id is
     * an "II" little-endian file, every odd a "MM" big-endian one — the
     * same IFD walked under both byte orders. The IFD offset varies
@@ -1239,5 +1270,5 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse, d13PrefixJaccard, m6TiffDims)
+    rrf1Hybrid, mmr1Diverse, d13PrefixJaccard, m6TiffDims, d14Outliers)
 }

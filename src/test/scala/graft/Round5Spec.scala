@@ -696,6 +696,18 @@ class Round5Spec extends SparkSpec {
     assert(dims("DEADBEEF").isEmpty)
   }
 
+  // --- Embedding outliers ---------------------------------------------------
+
+  test("centroidOutliers flags the planted far point and nothing else") {
+    // 9 points near the origin + one far outlier
+    val vecs = (0L until 9L).map(i => (i, Seq(0.01f * i, 0.0f))) :+ (9L, Seq(50.0f, 50.0f))
+    val df = vecs.toDF("id", "vec")
+    val out = graft.ops.Cluster.centroidOutliers(df, "id", "vec", dim = 2, sigmas = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(9L), "far point not flagged")
+    assert((0L until 9L).forall(i => !out(i)), s"near points flagged: $out")
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
