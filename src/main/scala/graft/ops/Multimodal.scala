@@ -70,8 +70,16 @@ object Multimodal {
     * ImageLength (257) are found by a bounded scan over at most
     * `maxEntries` entries; values honor TIFF's left-justified short
     * (type 3) vs long (type 4) value-field layout. Fail-to-null, never
-    * garbage (the [[imageDims]] contract); map-only byte expressions. */
-  private def tiffDims(payload: Column, maxEntries: Int = 8): (Column, Column) = {
+    * garbage (the [[imageDims]] contract); map-only byte expressions.
+    *
+    * `maxEntries = 4` is spec-sound, not a shortcut: entries are sorted
+    * by tag and the only tags below ImageWidth(256) are NewSubfileType
+    * (254) and SubfileType(255), so the dims always sit within the first
+    * four entries of a well-formed IFD. Keeping the scan tight matters:
+    * every extra entry re-inlines the ifd-offset subtree into each byte
+    * read, and the whole [[imageDims]] expression must stay within
+    * codegen limits. */
+  private def tiffDims(payload: Column, maxEntries: Int = 4): (Column, Column) = {
     val isLe = substring(payload, 1, 2).cast("string") === "II"
     def u(pos: Column, len: Int): Column = {
       val be = conv(hex(payload.substr(pos.cast("int"), lit(len))), 16, 10).cast("long")

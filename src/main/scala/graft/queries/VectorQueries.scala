@@ -192,12 +192,14 @@ object VectorQueries extends QuerySet {
             freq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
             keyed AS (SELECT id, concat(lpad(CAST(df AS VARCHAR), 10, '0'), chr(1), gram) AS k
                       FROM ex JOIN freq USING (gram)),
-            pre AS (SELECT id, array_slice(list_sort(list(k)), 1,
+            pre AS (SELECT id, CAST(count(*) AS INT) AS s, array_slice(list_sort(list(k)), 1,
                       CAST(count(*) - ceil(CAST(count(*) AS DOUBLE) * 0.5) + 1 AS INT)) AS prefix
                     FROM keyed GROUP BY id),
-            pe AS (SELECT id, unnest(prefix) AS k FROM pre),
+            pe AS (SELECT id, s, unnest(prefix) AS k FROM pre),
             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM pe a JOIN pe b ON a.k = b.k AND a.id < b.id),
+                     FROM pe a JOIN pe b ON a.k = b.k AND a.id < b.id
+                       AND CAST(b.s AS DOUBLE) >= 0.5 * CAST(a.s AS DOUBLE)
+                       AND CAST(a.s AS DOUBLE) >= 0.5 * CAST(b.s AS DOUBLE)),
             v AS (SELECT id_a, id_b,
                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
                       / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS j
