@@ -161,6 +161,21 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Unicode script-composition counts — the multilingual-curation prior
+    * (fastText-style LID uses script share as its strongest signal; a
+    * mixed-script doc is the classic boilerplate/spam tell). Each script
+    * is counted as `length(text) - length(text with the script class
+    * removed)` — one codegen'd regexp_replace per script, map-only, no
+    * tokenize. `scripts` maps name → a regex character class whose
+    * PATTERN STRING should be interpolated verbatim into any oracle SQL
+    * so both engines match identical bytes. */
+  def scriptCounts(text: Column, scripts: Seq[(String, String)]): Column = {
+    val t = coalesce(text, lit(""))
+    struct(scripts.map { case (name, cls) =>
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long").as(name)
+    }: _*)
+  }
+
   /** Per-group KL divergence `KL(P_group ‖ P_corpus)` over unigram
     * distributions — the distribution-shift statistic a mixing pipeline
     * watches per source/domain (a domain drifting from the corpus mix

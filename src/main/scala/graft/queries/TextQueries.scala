@@ -708,6 +708,49 @@ object TextQueries extends QuerySet {
         w = 16, divisor = 64)
       .orderBy("doc_id", "chunk_idx"))
 
+  /** Unicode script-composition profile (the LID prior): multiscript text
+    * is synthesized from base columns identically in both engines —
+    * doc_id%4 CJK and doc_id%3 Cyrillic characters appended to the Latin
+    * body — and the per-script counts, Latin share, and arithmetic-only
+    * dominant-script verdict must all match. The script character
+    * classes are single Scala strings interpolated into BOTH the Spark
+    * regex and the oracle SQL, so the pattern bytes cannot drift. */
+  val x19Scripts: Q = {
+    val latin = "[A-Za-z]"; val cjk = "[一-鿿]"; val cyr = "[Ѐ-ӿ]"
+    Q("x19_script_ratios",
+      Some(s"""WITH t AS (SELECT doc_id,
+                concat(text, repeat('中', CAST(doc_id % 4 AS INT)),
+                  repeat('ы', CAST(doc_id % 3 AS INT))) AS t2
+              FROM documents),
+            c AS (SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_total,
+                CAST(length(t2) - length(regexp_replace(t2, '$latin', '', 'g')) AS BIGINT) AS n_latin,
+                CAST(length(t2) - length(regexp_replace(t2, '$cjk', '', 'g')) AS BIGINT) AS n_cjk,
+                CAST(length(t2) - length(regexp_replace(t2, '$cyr', '', 'g')) AS BIGINT) AS n_cyrillic
+              FROM t)
+            SELECT doc_id, n_total, n_latin, n_cjk, n_cyrillic,
+              CAST(n_latin AS DOUBLE) / CAST(greatest(n_total, 1) AS DOUBLE) AS latin_share,
+              CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic THEN 'latin'
+                   WHEN n_cjk >= n_cyrillic THEN 'cjk' ELSE 'cyrillic' END AS dominant
+            FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        val t2 = concat(col("text"),
+          expr("repeat('中', CAST(doc_id % 4 AS INT))"),
+          expr("repeat('ы', CAST(doc_id % 3 AS INT))"))
+        documents(s, d)
+          .withColumn("t2", t2)
+          .withColumn("c", TextAnalysis.scriptCounts(col("t2"),
+            Seq("n_latin" -> latin, "n_cjk" -> cjk, "n_cyrillic" -> cyr)))
+          .select(col("doc_id"), length(col("t2")).cast("long").as("n_total"),
+            col("c.n_latin"), col("c.n_cjk"), col("c.n_cyrillic"))
+          .withColumn("latin_share",
+            col("n_latin").cast("double") / greatest(col("n_total"), lit(1L)).cast("double"))
+          .withColumn("dominant",
+            when(col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_cyrillic"), "latin")
+              .when(col("n_cjk") >= col("n_cyrillic"), "cjk").otherwise("cyrillic"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Cross-document CDC chunk dedup accounting (the storage-dedup
     * statistic: bytes a content-addressed store skips): every chunk
     * occurrence that is not the corpus-wide FIRST holder of its digest
@@ -1314,5 +1357,5 @@ object TextQueries extends QuerySet {
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
-    x18WeightedGroup)
+    x18WeightedGroup, x19Scripts)
 }

@@ -708,6 +708,19 @@ class Round5Spec extends SparkSpec {
     assert((0L until 9L).forall(i => !out(i)), s"near points flagged: $out")
   }
 
+  // --- Script profile -------------------------------------------------------
+
+  test("scriptCounts counts per script class; dominant flips with the mix") {
+    val scripts = Seq("n_latin" -> "[A-Za-z]", "n_cjk" -> "[一-鿿]",
+      "n_cyrillic" -> "[Ѐ-ӿ]")
+    val rows = Seq("abc 中文文文 x", "ыы", "").toDF("t")
+      .select(graft.ops.TextAnalysis.scriptCounts(col("t"), scripts).as("c"))
+      .select("c.*").collect()
+    assert((rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2)) == ((4L, 4L, 0L)))
+    assert((rows(1).getLong(0), rows(1).getLong(1), rows(1).getLong(2)) == ((0L, 0L, 2L)))
+    assert((rows(2).getLong(0), rows(2).getLong(1), rows(2).getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   // --- WAV chunk walk -----------------------------------------------------
 
   test("wavMeta walks RIFF chunks incl. odd-size padding; fails to null, never garbage") {
