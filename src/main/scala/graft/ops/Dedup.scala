@@ -368,21 +368,26 @@ object Dedup {
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
                          shingleWidth: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
                          threshold: Double = 0.8): DataFrame = {
-    // checkpoint: feeds both the band build and the final anti-join — the
-    // batch scan + corpus-hash anti-join subtree must not run twice
-    val exactSurvivors = batch
-      .join(corpus.select(contentHash(corpus(textCol)).as("_h")).distinct(),
-        contentHash(batch(textCol)) === col("_h"), "left_anti")
-      .localCheckpoint()
-    // two-pass band join, same shape as minHashDuplicates: only (id, band)
-    // rides the band shuffle; shingle arrays are fetched back for the
-    // candidate ids alone — never replicated per band across the corpus
+    // ONE checkpointed base per side carrying hash + shingles + signature
+    // from a single scan; each base feeds its band build and the candidate
+    // shingle re-fetch (and cBase additionally the exact-hash side). This
+    // replaced a three-barrier chain (exactSurvivors + both bases) whose
+    // serialized materializations doubled d8's wall-clock round-over-round;
+    // two independent barriers is the minimum — each base genuinely feeds
+    // two different exchanges of the final plan.
     def base(df: DataFrame) = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .select(col(idCol).as("id"), contentHash(col(textCol)).as("_h"),
+        wordShingles(col(textCol), shingleWidth).as("sh"))
       .withColumn("sig", minHashSignature(shingleHashes(col("sh")), numHashes))
       .localCheckpoint()
-    val bBase = base(exactSurvivors)
+    val bBase = base(batch)
     val cBase = base(corpus)
+    // two-pass band join, same shape as minHashDuplicates: only (id, band)
+    // rides the band shuffle; shingle arrays are fetched back for the
+    // candidate ids alone — never replicated per band across the corpus.
+    // Banding the FULL batch (not just exact survivors) is result-identical:
+    // any extra near-dup id it surfaces is an exact copy that the hash
+    // anti-join below drops anyway.
     def bandsOf(b: DataFrame, id: String) = b.select(col("id").as(id),
       explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
     val candidates = bandsOf(bBase, "id").join(bandsOf(cBase, "id_c"), Seq("band"))
@@ -393,7 +398,10 @@ object Dedup {
       .filter(size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
         size(array_union(col("sh"), col("sh_c"))) >= threshold)
       .select("id").distinct()
-    exactSurvivors.join(nearDupIds, exactSurvivors(idCol) === nearDupIds("id"), "left_anti")
+    batch
+      .join(cBase.select(col("_h")).distinct(),
+        contentHash(batch(textCol)) === col("_h"), "left_anti")
+      .join(nearDupIds, batch(idCol) === nearDupIds("id"), "left_anti")
   }
 
   /** Connected components over an undirected edge list (a, b) — the

@@ -202,7 +202,10 @@ object TableOps {
     val attrs = struct(attrCols.map(col): _*)
     val changed = versions
       .withColumn("_prev", lag(attrs, 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= attrs)
+      // null-safe: a tracked attribute changing to/from NULL must still
+      // open a new interval (plain =!= yields NULL there and the filter
+      // would silently drop the version); <=> also covers the first row.
+      .filter(!(col("_prev") <=> attrs))
       .drop("_prev")
     changed
       .withColumn("valid_from", col(tsCol))

@@ -38,16 +38,19 @@ object Warc {
 
   /** Parsed record as typed columns + the Content-Length integrity flag:
     * (warc_type, record_id, target_uri, declared_len, actual_len,
-    * len_ok). */
+    * len_ok). Content-Length declares OCTETS (ISO 28500 §5.3), so
+    * actual_len measures UTF-8 bytes via a binary cast, not characters —
+    * a multibyte payload would otherwise be flagged as truncated. */
   def parse(rec: Column): Column = {
     val p = payload(rec)
     val declared = header(rec, "Content-Length").cast("long")
+    val octets = length(p.cast("binary")).cast("long")
     struct(
       header(rec, "WARC-Type").as("warc_type"),
       header(rec, "WARC-Record-ID").as("record_id"),
       header(rec, "WARC-Target-URI").as("target_uri"),
       declared.as("declared_len"),
-      length(p).cast("long").as("actual_len"),
-      (declared === length(p).cast("long")).as("len_ok"))
+      octets.as("actual_len"),
+      (declared === octets).as("len_ok"))
   }
 }

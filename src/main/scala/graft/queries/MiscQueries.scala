@@ -746,7 +746,7 @@ object MiscQueries extends QuerySet {
                   'WARC-Type: ', CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'response' WHEN 1 THEN 'request' ELSE 'metadata' END, chr(13), chr(10),
                   'WARC-Record-ID: <urn:uuid:', CAST(doc_id AS VARCHAR), '>', chr(13), chr(10),
                   'WARC-Target-URI: https://', coalesce(source, ''), '.example.com/', CAST(doc_id AS VARCHAR), chr(13), chr(10),
-                  'Content-Length: ', CAST(length(substr(text, 1, 60)) + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS VARCHAR), chr(13), chr(10),
+                  'Content-Length: ', CAST(strlen(substr(text, 1, 60)) + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS VARCHAR), chr(13), chr(10),
                   chr(13), chr(10), substr(text, 1, 60)) AS rec
               FROM documents),
             hp AS (SELECT doc_id,
@@ -758,13 +758,14 @@ object MiscQueries extends QuerySet {
               regexp_extract(headers, '(?m)^WARC-Record-ID: ([^\r\n]*)', 1) AS record_id,
               regexp_extract(headers, '(?m)^WARC-Target-URI: ([^\r\n]*)', 1) AS target_uri,
               CAST(regexp_extract(headers, '(?m)^Content-Length: ([^\r\n]*)', 1) AS BIGINT) AS declared_len,
-              CAST(length(payload) AS BIGINT) AS actual_len,
-              CAST(regexp_extract(headers, '(?m)^Content-Length: ([^\r\n]*)', 1) AS BIGINT) = CAST(length(payload) AS BIGINT) AS len_ok
+              CAST(strlen(payload) AS BIGINT) AS actual_len,
+              CAST(regexp_extract(headers, '(?m)^Content-Length: ([^\r\n]*)', 1) AS BIGINT) = CAST(strlen(payload) AS BIGINT) AS len_ok
             FROM hp ORDER BY doc_id"""),
     (s, d) => {
       val crlf = lit("\r\n")
       val payload = substring(col("text"), 1, 60)
-      val declared = (length(payload) +
+      // Content-Length declares octets (strlen on the DuckDB side).
+      val declared = (length(payload.cast("binary")) +
         when(col("doc_id") % 11 === 0, 1).otherwise(0)).cast("string")
       val rec = concat(lit("WARC/1.0"), crlf,
         lit("WARC-Type: "),

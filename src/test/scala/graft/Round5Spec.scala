@@ -552,6 +552,27 @@ class Round5Spec extends SparkSpec {
     val rb = Seq(bad).toDF("rec").select(graft.ops.Warc.parse(col("rec")).as("w"))
       .select("w.*").head()
     assert(rb.getAs[Long]("actual_len") == 5L && !rb.getAs[Boolean]("len_ok"))
+    // multibyte payload: Content-Length declares OCTETS (ISO 28500 §5.3) —
+    // "héllo" is 5 chars / 6 UTF-8 bytes; a char count would mis-flag it.
+    val mb = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 6\r\n\r\nhéllo"
+    val rm = Seq(mb).toDF("rec").select(graft.ops.Warc.parse(col("rec")).as("w"))
+      .select("w.*").head()
+    assert(rm.getAs[Long]("actual_len") == 6L && rm.getAs[Boolean]("len_ok"))
+  }
+
+  test("scd2 opens a new interval when an attribute changes to or from NULL") {
+    val hist = Seq(
+      (1L, 10L, Option("A")), (1L, 20L, None), (1L, 30L, Option("A")),
+      (2L, 10L, None), (2L, 20L, None)).toDF("k", "ts", "v")
+    val out = graft.ops.TableOps.scd2(hist, Seq("k"), "ts", Seq("v"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, Some("A"), 10L, 20L, false),   // A -> NULL is a REAL change
+      (1L, None, 20L, 30L, false),        // NULL -> A is a REAL change
+      (1L, Some("A"), 30L, -1L, true),
+      (2L, None, 10L, -1L, true)))        // NULL -> NULL is a no-change
   }
 
   // --- OLS fit / KL divergence ---------------------------------------------
