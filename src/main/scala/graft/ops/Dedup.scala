@@ -255,17 +255,31 @@ object Dedup {
       .agg(sort_array(collect_list(col("k"))).as("ks"))
       .select(col("id"), size(col("ks")).as("s"), slice(col("ks"), lit(1),
         (size(col("ks")) - ceil(size(col("ks")).cast("double") * lit(threshold)) + 1).cast("int")).as("prefix"))
-    val pe = prefixes.select(col("id"), col("s"), explode(col("prefix")).as("k"))
+    val pe = prefixes.select(col("id"), col("s"),
+      posexplode(col("prefix")).as(Seq("p0", "k")))
     // size filter (SSJoin): Jaccard >= t forces t·|A| <= |B| <= |A|/t, so
     // mismatched-size pairs never reach the array verify — lossless by the
     // bound, and it cut the candidate set ~2x on the wide size spread of
     // real corpora (measured sf0.1)
-    val cand = pe.select(col("k"), col("id").as("id_a"), col("s").as("sa"))
-      .join(pe.select(col("k"), col("id").as("id_b"), col("s").as("sb")), "k")
+    val sized = pe.select(col("k"), col("id").as("id_a"), col("s").as("sa"), (col("p0") + 1).as("pa"))
+      .join(pe.select(col("k"), col("id").as("id_b"), col("s").as("sb"), (col("p0") + 1).as("pb")), "k")
       .filter(col("id_a") < col("id_b") &&
         col("sb").cast("double") >= lit(threshold) * col("sa").cast("double") &&
         col("sa").cast("double") >= lit(threshold) * col("sb").cast("double"))
-      .select("id_a", "id_b").distinct()
+    // positional filter (PPJoin proper, Xiao et al. 2008 §3.2): let x be the
+    // FIRST common element of A and B in the global order — x must be a
+    // prefix-join match (any common y < x would sit in both prefixes too,
+    // since sorted position only shrinks), so min(struct(k,pa,pb)) finds it.
+    // No common element precedes x, hence overlap <= 1 + min(|A|-pa, |B|-pb);
+    // Jaccard >= t needs overlap >= t/(1+t)·(|A|+|B|). The 1e-9 slack keeps
+    // the float comparison lossless (it can only ADMIT extra candidates, and
+    // the exact verify below kills those).
+    val cand = sized
+      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(min(struct(col("k"), col("pa"), col("pb"))).as("m"))
+      .filter((lit(1) + least(col("sa") - col("m.pa"), col("sb") - col("m.pb"))).cast("double") + lit(1e-9) >=
+        lit(threshold / (1.0 + threshold)) * (col("sa") + col("sb")).cast("double"))
+      .select("id_a", "id_b")
     val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
       size(array_union(col("ga"), col("gb"))).cast("double")
     cand
