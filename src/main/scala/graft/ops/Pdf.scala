@@ -169,6 +169,302 @@ object Pdf {
       pieces.sortBy(_._1).map(_._2).mkString
     } catch { case scala.util.control.NonFatal(_) => "" }
 
+  // ---------------------------------------------------------------------
+  // Text POSITIONING (round 6): the Td/TD/Tm/T*/TL text-state machine from
+  // PDF 32000-1 §9.4, on top of a real content-stream tokenizer. This is
+  // the piece the ref's `ingestion/pdf_parser.py:391-485` gets from its
+  // PDF library — per-block (x, y, font size) that drives W1 reading
+  // order, F2 heading detection, and P4 header/footer cuts. No library is
+  // needed: the positioning operators live in the same content streams
+  // `extractText` already decodes.
+  //
+  // Semantics implemented (per spec):
+  //  - BT resets both the text matrix Tm and the line matrix Tlm to I.
+  //  - `tx ty Td` translates Tlm (Tlm ← [1 0 0 1 tx ty] × Tlm, Tm ← Tlm).
+  //  - `tx ty TD` = `-ty TL` then Td (sets the leading as a side effect).
+  //  - `a b c d e f Tm` replaces both matrices.
+  //  - `T*` = `0 -TL Td`; `'` = T* + show; `aw ac (s) "` = T* + show.
+  //  - `/F size Tf` sets the font size; the effective rendered size is
+  //    size × the vertical magnitude of Tm (hypot(b, d)) so a scaled Tm
+  //    reports the size a human sees, not the nominal operand.
+  //  - One BLOCK = one text line: consecutive shows (Tj / TJ / ' / ")
+  //    with no intervening line-move concatenate; any Td/TD/T*/Tm/BT/ET
+  //    flushes. Origin = Tm translation at the line's first show. Glyph
+  //    advances within a line are not tracked (needs per-font width
+  //    tables) — the line origin is what layout rules consume.
+  //
+  // The tokenizer is strictly more capable than the regex text path: it
+  // handles BALANCED unescaped parens in string literals, hex strings
+  // `<…>`, inline dicts `<<…>>`, comments, and nested arrays.
+  // Unknown operators clear the operand stack and move on — a graphics-
+  // heavy stream degrades to "no text", never to a task failure.
+
+  /** One positioned text line: `text` at device-space origin (`x`, `y`)
+    * with effective font size `size`. */
+  final case class TextBlock(text: String, x: Double, y: Double, size: Double)
+
+  private sealed trait Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TArr(items: List[Tok]) extends Tok
+  private final case class TOp(op: String) extends Tok
+
+  private def isDelim(c: Char) = c match {
+    case '(' | ')' | '<' | '>' | '[' | ']' | '{' | '}' | '/' | '%' => true
+    case _ => false
+  }
+  private def isWs(c: Char) = c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == ' '
+
+  /** PDF string literal body starting after '(': balanced unescaped
+    * parens per spec §7.3.4.2. Returns (unescaped-text, index-after-')'). */
+  private def readStringLit(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth > 0) sb.append(c)
+        i += 1
+      }
+    }
+    (unescape(sb.toString), i)
+  }
+
+  /** Tokenize one decoded content stream. Returns tokens in stream order;
+    * structural noise (dicts, comments, hex strings it can't type) is
+    * consumed, not thrown on. */
+  private def tokenize(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    def tokArray(from: Int): (List[Tok], Int) = {
+      val items = scala.collection.mutable.ListBuffer.empty[Tok]
+      var j = from
+      var done = false
+      while (j < s.length && !done) {
+        val c = s.charAt(j)
+        if (isWs(c)) j += 1
+        else if (c == ']') { done = true; j += 1 }
+        else if (c == '(') { val (t, nj) = readStringLit(s, j + 1); items += TStr(t); j = nj }
+        else if (c == '<' && j + 1 < s.length && s.charAt(j + 1) == '<') j = skipDict(j + 2)
+        else if (c == '<') { val (t, nj) = readHex(j + 1); items += TStr(t); j = nj }
+        else if (c == '[') { val (inner, nj) = tokArray(j + 1); items += TArr(inner); j = nj }
+        else { val (tok, nj) = readAtom(j); tok.foreach(items += _); j = nj }
+      }
+      (items.toList, j)
+    }
+    def skipDict(from: Int): Int = {
+      var j = from
+      var depth = 1
+      while (j < s.length && depth > 0) {
+        if (s.startsWith("<<", j)) { depth += 1; j += 2 }
+        else if (s.startsWith(">>", j)) { depth -= 1; j += 2 }
+        else j += 1
+      }
+      j
+    }
+    def readHex(from: Int): (String, Int) = {
+      var j = from
+      val hex = new StringBuilder
+      while (j < s.length && s.charAt(j) != '>') {
+        val c = s.charAt(j)
+        if (!isWs(c)) hex.append(c)
+        j += 1
+      }
+      if (hex.length % 2 == 1) hex.append('0') // spec: odd count → trailing 0
+      val txt = try {
+        val chars = hex.toString.grouped(2)
+          .map(h => Integer.parseInt(h, 16).toChar).mkString
+        chars
+      } catch { case _: NumberFormatException => "" }
+      (txt, math.min(j + 1, s.length))
+    }
+    def readAtom(from: Int): (Option[Tok], Int) = {
+      val c = s.charAt(from)
+      if (c == '/') {
+        var j = from + 1
+        while (j < s.length && !isWs(s.charAt(j)) && !isDelim(s.charAt(j))) j += 1
+        (Some(TOp("/" + s.substring(from + 1, j))), j) // names only matter as Tf operands; type-tag via prefix
+      } else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        var j = from + 1
+        while (j < s.length && (s.charAt(j) == '.' || (s.charAt(j) >= '0' && s.charAt(j) <= '9'))) j += 1
+        val t = try Some(TNum(s.substring(from, j).toDouble))
+                catch { case _: NumberFormatException => None }
+        (t, j)
+      } else if (c == '%') {
+        var j = from
+        while (j < s.length && s.charAt(j) != '\n' && s.charAt(j) != '\r') j += 1
+        (None, j)
+      } else if (isDelim(c)) (None, from + 1) // stray delimiter: consume
+      else {
+        var j = from
+        while (j < s.length && !isWs(s.charAt(j)) && !isDelim(s.charAt(j))) j += 1
+        (Some(TOp(s.substring(from, j))), j)
+      }
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) i += 1
+      else if (c == '(') { val (t, ni) = readStringLit(s, i + 1); out += TStr(t); i = ni }
+      else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') i = skipDict(i + 2)
+      else if (c == '<') { val (t, ni) = readHex(i + 1); out += TStr(t); i = ni }
+      else if (c == '[') { val (inner, ni) = tokArray(i + 1); out += TArr(inner); i = ni }
+      else { val (tok, ni) = readAtom(i); tok.foreach(out += _); i = ni }
+    }
+    out.toList
+  }
+
+  /** All positioned text lines of a PDF payload, in stream order. Never
+    * throws — broken payloads yield an empty list. */
+  def extractBlocks(bytes: Array[Byte]): Seq[TextBlock] =
+    try parseBlocks(contentStreams(bytes))
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def parseBlocks(content: String): Seq[TextBlock] = {
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[TextBlock]
+    var tm = Array(1.0, 0, 0, 1, 0, 0)  // a b c d e f
+    var tlm = Array(1.0, 0, 0, 1, 0, 0)
+    var fontSize = 0.0
+    var leading = 0.0
+    val line = new StringBuilder
+    var lx, ly, lsize = 0.0
+    def flush(): Unit =
+      if (line.nonEmpty) { blocks += TextBlock(line.toString, lx, ly, lsize); line.clear() }
+    def moveLine(tx: Double, ty: Double): Unit = {
+      flush()
+      val e = tx * tlm(0) + ty * tlm(2) + tlm(4)
+      val f = tx * tlm(1) + ty * tlm(3) + tlm(5)
+      tlm = Array(tlm(0), tlm(1), tlm(2), tlm(3), e, f)
+      tm = tlm.clone()
+    }
+    def show(s: String): Unit = {
+      if (line.isEmpty) {
+        lx = tm(4); ly = tm(5)
+        lsize = fontSize * math.hypot(tm(1), tm(3))
+      }
+      line ++= s
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    def num(fromTop: Int): Double =
+      stack.lift(stack.length - fromTop) match { case Some(TNum(v)) => v; case _ => 0.0 }
+    def topStr: Option[String] =
+      stack.lastOption.collect { case TStr(s) => s }
+    for (t <- tokenize(content)) t match {
+      case TOp(op) if !op.startsWith("/") =>
+        op match {
+          case "BT" => flush(); tm = Array(1.0, 0, 0, 1, 0, 0); tlm = tm.clone()
+          case "ET" => flush()
+          case "Tf" => fontSize = num(1)
+          case "TL" => leading = num(1)
+          case "Td" => moveLine(num(2), num(1))
+          case "TD" => leading = -num(1); moveLine(num(2), num(1))
+          case "T*" => moveLine(0, -leading)
+          case "Tm" =>
+            flush()
+            tlm = Array(num(6), num(5), num(4), num(3), num(2), num(1))
+            tm = tlm.clone()
+          case "Tj" => topStr.foreach(show)
+          case "'" => moveLine(0, -leading); topStr.foreach(show)
+          // `"`: aw ac (s) — word/char spacing affect glyph advance only,
+          // which block origins don't track; line-move + show is the
+          // text-state effect
+          case "\"" => moveLine(0, -leading); topStr.foreach(show)
+          case "TJ" =>
+            stack.lastOption.foreach {
+              case TArr(items) => items.foreach { case TStr(s) => show(s); case _ => () }
+              case _ => ()
+            }
+          case _ => () // q/Q/cm/re/Do/BDC/… — no text-state effect tracked
+        }
+        stack.clear()
+      case other => stack += other // numbers, strings, arrays, /names
+    }
+    flush()
+    blocks.toSeq
+  }
+
+  /** Layout-fixture builder: a single-page PDF whose FOUR blocks exercise
+    * every positioning operator the parser claims — block 0 via `Td`,
+    * block 1 via `TD` (which also sets the leading) shown as TWO `Tj`s
+    * that must merge into one line, block 2 via an explicit `Tm` shown as
+    * a kerned `TJ` array, block 3 via `'` (inherits block 2's x, block 1's
+    * leading, and block 2's font). Geometry is therefore PARTLY DERIVED:
+    * the extracted block 3 sits at (x2, y2 − (y0 − y1)) with size s2 —
+    * a regression in TD-leading or `'` inheritance shifts it. */
+  def buildLayoutPdf(b0: (String, Double, Double, Double),
+                     b1: (String, Double, Double, Double),
+                     b2: (String, Double, Double, Double),
+                     footerText: String,
+                     compress: Boolean): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def n(v: Double) = if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    val (t0, x0, y0, s0) = b0
+    val (t1, x1, y1, s1) = b1
+    val (t2, x2, y2, s2) = b2
+    val split = math.max(1, t1.length / 2)
+    val (t1a, t1b) = t1.splitAt(split)
+    val (t2a, t2b) = t2.splitAt(math.max(1, t2.length / 2))
+    val content = (s"BT /F1 ${n(s0)} Tf ${n(x0)} ${n(y0)} Td (${esc(t0)}) Tj " +
+      s"/F1 ${n(s1)} Tf ${n(x1 - x0)} ${n(y1 - y0)} TD (${esc(t1a)}) Tj (${esc(t1b)}) Tj " +
+      s"/F1 ${n(s2)} Tf 1 0 0 1 ${n(x2)} ${n(y2)} Tm [(${esc(t2a)}) -250 (${esc(t2b)})] TJ " +
+      s"(${esc(footerText)}) ' ET").getBytes(Ascii)
+    wrapContent(content, compress)
+  }
+
+  /** Wrap raw content-stream bytes into the minimal single-page shell
+    * `buildMinimalPdf` uses (shared so both fixture builders stay
+    * byte-layout-identical). */
+  private def wrapContent(content: Array[Byte], compress: Boolean): Array[Byte] = {
+    val (body, filter) =
+      if (compress) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(content); d.finish()
+        val buf = new Array[Byte](content.length * 2 + 64)
+        val nn = d.deflate(buf); d.end()
+        (java.util.Arrays.copyOf(buf, nn), " /Filter /FlateDecode")
+      } else (content, "")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${body.length}$filter >> stream\n")
+    out.write(body)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Distributed layout stage: binary `payloadCol` → `outCol` as
+    * `array<struct<text,x,y,size>>`, one payload at a time. Explode
+    * downstream with `posexplode` for per-block rows. */
+  def blocksStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val blockType = org.apache.spark.sql.types.StructType(Seq(
+      StructField("text", StringType),
+      StructField("x", org.apache.spark.sql.types.DoubleType),
+      StructField("y", org.apache.spark.sql.types.DoubleType),
+      StructField("size", org.apache.spark.sql.types.DoubleType)))
+    Stages.appendFields(df,
+      Seq(StructField(outCol, org.apache.spark.sql.types.ArrayType(blockType))))(
+      r => Seq(extractBlocks(r.getAs[Array[Byte]](idx))
+        .map(b => org.apache.spark.sql.Row(b.text, b.x, b.y, b.size))))
+  }
+
+  /** Fixture-builder stage for the layout gate queries: expects columns
+    * `t0,x0,y0,s0, t1,x1,y1,s1, t2,x2,y2,s2, t3, compress` and appends a
+    * binary `outCol` holding the four-block PDF from [[buildLayoutPdf]]. */
+  def buildLayoutStage(df: DataFrame, outCol: String): DataFrame =
+    Stages.appendFields(df, Seq(StructField(outCol, BinaryType))) { r =>
+      def b(i: Int) = (r.getAs[String](s"t$i"), r.getAs[Double](s"x$i"),
+        r.getAs[Double](s"y$i"), r.getAs[Double](s"s$i"))
+      Seq(buildLayoutPdf(b(0), b(1), b(2), r.getAs[String]("t3"), r.getAs[Boolean]("compress")))
+    }
+
   /** Distributed extraction stage: binary `payloadCol` → string `outCol`,
     * one row streamed at a time ([[Stages.appendFields]]). */
   def extractStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {

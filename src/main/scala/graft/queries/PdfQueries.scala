@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.tables.TestTables._
+import graft.ops.{Layout, Pdf}
+
+/** PDF LAYOUT gate queries (round 6) — the positioning half of S1
+  * (ref `ingestion/pdf_parser.py:391-485`): real Td, TD, Tm, T*, TL text-state
+  * decoding feeding the layout rules that previously ran on synthesized
+  * coordinates.
+  *
+  * Fixture contract (shared by all three queries, replayed by each
+  * oracle): every `documents` row becomes a four-block single-page PDF
+  * via [[Pdf.buildLayoutPdf]] —
+  *
+  *   block 0  "Heading n"           Td  at (72, 720)            size 18
+  *   block 1  "Body n alpha beta"   TD  at (72+n%5, 700)        size 10
+  *                                   (two Tj's that must merge; TD sets
+  *                                    leading = 720−700 = 20)
+  *   block 2  "Aside n right"       Tm  at (306|90, 730|520+n%7) size 10+n%3
+  *                                   (kerned TJ array)
+  *   block 3  "Footer n"            '   — DERIVED: inherits block 2's x
+  *                                   and font, block 1's leading, so it
+  *                                   must land at (x2, y2−20) size s2
+  *
+  * Block 3 is the behavioral pin: its coordinates appear NOWHERE in the
+  * builder inputs — only a correct TD-sets-leading + `'`-line-move
+  * implementation produces them. Odd doc_ids compress the content stream
+  * (FlateDecode), even ones stay raw.
+  */
+object PdfQueries extends QuerySet {
+
+  /** The common DuckDB CTE replaying the fixture geometry: one row per
+    * (doc, block) with the text/x/y/size the parser must recover. */
+  private val blocksCte =
+    """WITH p AS (
+         SELECT doc_id, doc_id % 5 AS m5, doc_id % 7 AS m7,
+                doc_id % 3 AS m3, doc_id % 2 AS m2
+         FROM documents),
+       g AS (
+         SELECT doc_id, m5,
+           CAST(CASE WHEN m2 = 0 THEN 306 ELSE 90 END AS DOUBLE) AS x2,
+           CAST(CASE WHEN m3 = 0 THEN 730 ELSE 520 + m7 END AS DOUBLE) AS y2,
+           CAST(10 + m3 AS DOUBLE) AS s2
+         FROM p),
+       b AS (
+         SELECT doc_id, 0 AS block_idx,
+           concat('Heading ', CAST(doc_id AS VARCHAR)) AS text,
+           CAST(72 AS DOUBLE) AS x, CAST(720 AS DOUBLE) AS y,
+           CAST(18 AS DOUBLE) AS font_size FROM g
+         UNION ALL
+         SELECT doc_id, 1, concat('Body ', CAST(doc_id AS VARCHAR), ' alpha beta'),
+           CAST(72 + m5 AS DOUBLE), CAST(700 AS DOUBLE), CAST(10 AS DOUBLE) FROM g
+         UNION ALL
+         SELECT doc_id, 2, concat('Aside ', CAST(doc_id AS VARCHAR), ' right'),
+           x2, y2, s2 FROM g
+         UNION ALL
+         SELECT doc_id, 3, concat('Footer ', CAST(doc_id AS VARCHAR)),
+           x2, y2 - 20, s2 FROM g)"""
+
+  /** Spark side of the same contract: fixture frame → PDF payload →
+    * [[Pdf.blocksStage]] → one row per extracted block. */
+  private def extracted(s: SparkSession, d: String): DataFrame = {
+    val fixture = documents(s, d).select(col("doc_id"),
+      concat(lit("Heading "), col("doc_id").cast("string")).as("t0"),
+      lit(72.0).as("x0"), lit(720.0).as("y0"), lit(18.0).as("s0"),
+      concat(lit("Body "), col("doc_id").cast("string"), lit(" alpha beta")).as("t1"),
+      (lit(72.0) + (col("doc_id") % 5).cast("double")).as("x1"),
+      lit(700.0).as("y1"), lit(10.0).as("s1"),
+      concat(lit("Aside "), col("doc_id").cast("string"), lit(" right")).as("t2"),
+      when(col("doc_id") % 2 === 0, 306.0).otherwise(90.0).as("x2"),
+      when(col("doc_id") % 3 === 0, 730.0)
+        .otherwise(lit(520.0) + (col("doc_id") % 7).cast("double")).as("y2"),
+      (lit(10.0) + (col("doc_id") % 3).cast("double")).as("s2"),
+      concat(lit("Footer "), col("doc_id").cast("string")).as("t3"),
+      (col("doc_id") % 2 === 1).as("compress"))
+    val withPdf = Pdf.buildLayoutStage(fixture, "payload")
+    Pdf.blocksStage(withPdf, "payload", "blocks")
+      .select(col("doc_id"), posexplode(col("blocks")).as(Seq("block_idx", "b")))
+      .select(col("doc_id"), col("block_idx"), col("b.text").as("text"),
+        col("b.x").as("x"), col("b.y").as("y"), col("b.size").as("font_size"))
+  }
+
+  /** pdf2: the raw positioned blocks — text, origin, and effective font
+    * size per block, hash-compared against the replayed geometry
+    * (including the fully derived block 3). */
+  val pdf2LayoutBlocks = Q("pdf2_layout_blocks",
+    Some(s"""$blocksCte
+            SELECT doc_id, block_idx, text, x, y, font_size
+            FROM b ORDER BY doc_id, block_idx"""),
+    (s, d) => extracted(s, d).orderBy("doc_id", "block_idx"))
+
+  /** pdf3 (W1 on REAL coordinates): two-column reading order — left
+    * column (x < 300) before right, top-to-bottom within a column. Odd
+    * docs put the Tm block in the LEFT column and (when doc_id % 3 = 0)
+    * ABOVE the heading, so the emitted order genuinely depends on the
+    * extracted y's, not on stream order. */
+  val pdf3ReadingOrder = Q("pdf3_reading_order",
+    Some(s"""$blocksCte
+            SELECT doc_id,
+              string_agg(text, ' | ' ORDER BY CASE WHEN x < 300 THEN 0 ELSE 1 END, y DESC, x) AS page_text
+            FROM b GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => extracted(s, d)
+      .withColumn("band", when(col("x") < 300, 0).otherwise(1))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("band"), (-col("y")).as("ny"),
+            col("x"), col("text")))),
+          b => b.getField("text")), " | ").as("page_text"))
+      .orderBy("doc_id"))
+
+  /** pdf4 (P4 + F2 on REAL layout): drop out-of-band blocks (y outside
+    * [60, 725] — catches the Tm block when it sits at 730), then flag
+    * headings with [[Layout.isHeading]] against the per-doc median of the
+    * EXTRACTED font sizes. */
+  private val numericOnlyRe = """'^[\d\s.,%-]+$'""" // Layout.isHeading's anchored rlike, DuckDB-quoted
+  val pdf4HeadingBand = Q("pdf4_heading_band",
+    Some(s"""$blocksCte,
+            inband AS (SELECT * FROM b WHERE y >= 60 AND y <= 725),
+            med AS (SELECT doc_id, median(font_size) AS m FROM inband GROUP BY doc_id)
+            SELECT i.doc_id AS doc_id, i.block_idx AS block_idx, i.text AS text,
+              (i.font_size > m.m * 1.2 AND length(i.text) < 200
+                AND NOT regexp_matches(i.text, $numericOnlyRe)) AS is_heading
+            FROM inband i JOIN med m ON i.doc_id = m.doc_id
+            ORDER BY doc_id, block_idx"""),
+    (s, d) => {
+      val inband = extracted(s, d).filter(col("y") >= 60 && col("y") <= 725)
+      Layout.partitionMedian(inband, Seq(col("doc_id")), col("font_size"), "m")
+        .select(col("doc_id"), col("block_idx"), col("text"),
+          Layout.isHeading(col("font_size"), col("m"), col("text")).as("is_heading"))
+        .orderBy("doc_id", "block_idx")
+    })
+
+  def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand)
+}

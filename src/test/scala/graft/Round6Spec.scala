@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pdf
+
+/** Round-6 additions: the PDF text-POSITIONING state machine (Td, TD, Tm,
+  * T*, TL, ', ", TJ) and the layout gate queries built on it. */
+class Round6Spec extends SparkSpec {
+
+  test("Pdf.extractBlocks decodes a hand-written positioned stream (ground truth)") {
+    // Hand-authored, NOT via the builder: Td absolute, TD with leading
+    // side effect, T* line advance, Tm replacement, ' inheritance.
+    val content =
+      "BT /F1 14 Tf 100 700 Td (line one) Tj " +
+        "0 -20 TD (line two) Tj " +
+        "T* (line three) Tj " +
+        "/F2 9 Tf 2 0 0 2 300 650 Tm (scaled) Tj " +
+        "(after scaled) ' ET"
+    val pdf = ("%PDF-1.4\n4 0 obj << /Length " + content.length + " >> stream\n" +
+      content + "\nendstream endobj\ntrailer\n%%EOF\n").getBytes("ISO-8859-1")
+    val b = Pdf.extractBlocks(pdf)
+    assert(b.map(_.text) == Seq("line one", "line two", "line three", "scaled", "after scaled"))
+    assert(b(0) == Pdf.TextBlock("line one", 100, 700, 14))
+    assert(b(1) == Pdf.TextBlock("line two", 100, 680, 14))  // TD moved and set leading=20
+    assert(b(2) == Pdf.TextBlock("line three", 100, 660, 14)) // T* reuses leading
+    // Tm with scale 2: effective size = 9 * hypot(0, 2) = 18
+    assert(b(3) == Pdf.TextBlock("scaled", 300, 650, 18))
+    // ': line matrix is the SCALED Tm, so (0,-20) maps through it: y = 650 - 2*20
+    assert(b(4) == Pdf.TextBlock("after scaled", 300, 610, 18))
+  }
+
+  test("Pdf.extractBlocks merges consecutive shows into one line; flushes on moves") {
+    val content = "BT /F1 10 Tf 10 10 Td (a) Tj ( b) Tj [( c) -120 ( d)] TJ 0 5 Td (next) Tj ET"
+    val pdf = ("x stream\n" + content + "\nendstream").getBytes("ISO-8859-1")
+    val b = Pdf.extractBlocks(pdf)
+    assert(b.map(_.text) == Seq("a b c d", "next"))
+    assert(b(1).x == 10.0 && b(1).y == 15.0)
+  }
+
+  test("Pdf.extractBlocks tokenizer: balanced parens, hex strings, dicts, comments") {
+    val content = "BT /F1 10 Tf 5 5 Td % a comment\n" +
+      "(nested (parens) survive) Tj <48692E> Tj " +
+      "/Tag << /K (not text) >> BDC (after dict) Tj ET"
+    val pdf = ("x stream\n" + content + "\nendstream").getBytes("ISO-8859-1")
+    val b = Pdf.extractBlocks(pdf)
+    assert(b.map(_.text) == Seq("nested (parens) surviveHi.after dict"))
+  }
+
+  test("Pdf.extractBlocks never throws on garbage") {
+    assert(Pdf.extractBlocks("not a pdf".getBytes) == Seq.empty)
+    assert(Pdf.extractBlocks(Array[Byte]()) == Seq.empty)
+    // no endstream → the stream is skipped (same contract as extractText)
+    val truncated = "x stream\nBT /F1 10 Tf 5 5 Td (unclosed".getBytes("ISO-8859-1")
+    assert(Pdf.extractBlocks(truncated) == Seq.empty)
+  }
+
+  test("Pdf.buildLayoutPdf round-trips through extractBlocks with derived footer") {
+    for (compress <- Seq(false, true)) {
+      val pdf = Pdf.buildLayoutPdf(
+        ("Heading 7", 72, 720, 18), ("Body 7 alpha beta", 74, 700, 10),
+        ("Aside 7 right", 90, 526, 11), "Footer 7", compress)
+      val b = Pdf.extractBlocks(pdf)
+      assert(b.size == 4, s"compress=$compress: $b")
+      assert(b(0) == Pdf.TextBlock("Heading 7", 72, 720, 18))
+      assert(b(1) == Pdf.TextBlock("Body 7 alpha beta", 74, 700, 10))
+      assert(b(2) == Pdf.TextBlock("Aside 7 right", 90, 526, 11))
+      // derived: x from block 2, y = y2 - (y0 - y1), size inherited from block 2
+      assert(b(3) == Pdf.TextBlock("Footer 7", 90, 506, 11))
+    }
+  }
+
+  test("pdf2/pdf3/pdf4 run end-to-end on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val blocks = graft.queries.PdfQueries.pdf2LayoutBlocks.fn(spark, d).collect()
+    assert(blocks.length % 4 == 0 && blocks.nonEmpty)
+    val doc0 = blocks.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(doc0.map(_.getString(2)).toSeq ==
+      Seq("Heading 0", "Body 0 alpha beta", "Aside 0 right", "Footer 0"))
+    assert(doc0(3).getDouble(3) == 306.0 && doc0(3).getDouble(4) == 710.0)
+
+    val order = graft.queries.PdfQueries.pdf3ReadingOrder.fn(spark, d).collect()
+    // doc 3: odd (left column) and %3==0 (Tm block at 730, above heading)
+    val d3 = order.find(_.getLong(0) == 3L).get.getString(1)
+    assert(d3 == "Aside 3 right | Heading 3 | Footer 3 | Body 3 alpha beta")
+    // doc 1: odd, aside at y=521 → natural top-down order
+    val d1 = order.find(_.getLong(0) == 1L).get.getString(1)
+    assert(d1 == "Heading 1 | Body 1 alpha beta | Aside 1 right | Footer 1")
+
+    val hb = graft.queries.PdfQueries.pdf4HeadingBand.fn(spark, d).collect()
+    val hb0 = hb.filter(_.getLong(0) == 0L)
+    assert(hb0.length == 3) // block 2 at y=730 is out of band for doc 0 (%3==0)
+    assert(hb0.count(_.getBoolean(3)) == 1 && hb0.find(_.getBoolean(3)).get.getInt(1) == 0)
+  }
+}
