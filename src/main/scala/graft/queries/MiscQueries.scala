@@ -783,6 +783,64 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Member-gzip WARC records — the wire format real Common Crawl
+    * segments actually use (ISO 28500 Annex D: one record = one complete
+    * gzip member, independently decompressible — which is what makes a
+    * 100 TB crawl splittable). The same synthesized records as warc1 are
+    * gzip-compressed executor-side (`java.util.zip`, the Pdf FlateDecode
+    * lesson), every 13th member is TRUNCATED by one byte (a cut-off
+    * fetch), then decompressed and parsed. The oracle never sees the
+    * compressed bytes — the gzip→gunzip round trip must be the identity,
+    * so it predicts the parse output directly from `documents`, with NULL
+    * rows exactly where the truncation must make `gunzipMember` fail
+    * (member_ok=false). A decompressor that "recovers" garbage instead of
+    * failing to null, or a fixture that doesn't really compress, both
+    * hash-fail. */
+  val warc2Gzip = Q("warc2_gzip_records",
+    Some("""WITH synth AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'response' WHEN 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+                concat('<urn:uuid:', CAST(doc_id AS VARCHAR), '>') AS record_id,
+                concat('https://', coalesce(source, ''), '.example.com/', CAST(doc_id AS VARCHAR)) AS target_uri,
+                CAST(strlen(substr(text, 1, 60)) + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS declared_len,
+                CAST(strlen(substr(text, 1, 60)) AS BIGINT) AS actual_len
+              FROM documents)
+            SELECT doc_id,
+              doc_id % 13 <> 0 AS member_ok,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE warc_type END AS warc_type,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE record_id END AS record_id,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE target_uri END AS target_uri,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE declared_len END AS declared_len,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE actual_len END AS actual_len,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE declared_len = actual_len END AS len_ok
+            FROM synth ORDER BY doc_id"""),
+    (s, d) => {
+      val crlf = lit("\r\n")
+      val payload = substring(col("text"), 1, 60)
+      val declared = (length(payload.cast("binary")) +
+        when(col("doc_id") % 11 === 0, 1).otherwise(0)).cast("string")
+      val rec = concat(lit("WARC/1.0"), crlf,
+        lit("WARC-Type: "),
+        when(col("doc_id") % 3 === 0, "response")
+          .when(col("doc_id") % 3 === 1, "request").otherwise("metadata"), crlf,
+        lit("WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"), lit(">"), crlf,
+        lit("WARC-Target-URI: https://"), coalesce(col("source"), lit("")),
+        lit(".example.com/"), col("doc_id").cast("string"), crlf,
+        lit("Content-Length: "), declared, crlf, crlf, payload)
+      val zipped = graft.ops.Warc.gzipStage(
+          documents(s, d).select(col("doc_id"), rec.as("rec")), "rec", "member")
+        // truncated fetch: the cut trailer must make decompression FAIL,
+        // not yield a shorter string
+        .withColumn("member", when(col("doc_id") % 13 === 0,
+          col("member").substr(lit(1), length(col("member")) - 1)).otherwise(col("member")))
+      val p = graft.ops.Warc.parse(col("rec2"))
+      graft.ops.Warc.gunzipStage(zipped, "member", "rec2")
+        .select(col("doc_id"), col("rec2").isNotNull.as("member_ok"), p.as("w"))
+        .select(col("doc_id"), col("member_ok"), col("w.warc_type"), col("w.record_id"),
+          col("w.target_uri"), col("w.declared_len"), col("w.actual_len"), col("w.len_ok"))
+        .orderBy("doc_id")
+    })
+
   /** robots.txt (RFC 9309) longest-match crawl verdicts — the politeness
     * gate before any fetch becomes a WARC record. A 7-rule set per host
     * exercises longest-match override (Allow /private/4 inside Disallow
@@ -1249,6 +1307,28 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Approximate-percentile variant of the x14 decile bucketing — the
+    * cuts come from `approx_percentile` (Greenwald–Khanna sketch, one
+    * mergeable aggregate) instead of exact `percentile` (a full
+    * sort-aggregate). At corpus scale the exact form's per-group sort is
+    * the bottleneck; the sketch's accuracy parameter (10000 ⇒ rank error
+    * ≤ N/10000) makes the cut drift bounded and testable. Rows-only by
+    * necessity (DuckDB's approx quantile is a different t-digest sketch —
+    * the a12 HLL precedent); the error bound against the exact cuts is
+    * pinned by Round6Spec. */
+  val x14bApproxBuckets: Q = Q("x14b_quality_buckets_approx", None,
+    (s, d) => {
+      val scored = documents(s, d).select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      val cuts = scored.agg(
+        array((1 to 9).map(i =>
+          round(percentile_approx(col("quality"), lit(i / 10.0), lit(10000)), 6)): _*).as("cs"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("quality"),
+          (lit(1) + size(filter(col("cs"), c => c < col("quality")))).cast("long").as("decile"))
+        .orderBy("doc_id")
+    })
+
   /** Temperature-scaled (α = 0.5) domain mixture weights — the sampling
     * table a multi-domain pre-training run derives from per-domain token
     * counts. The oracle replays the same sqrt-share normalization with the
@@ -1390,8 +1470,8 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, rob1Robots, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, rob1Robots, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
 }

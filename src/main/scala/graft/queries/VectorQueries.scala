@@ -520,6 +520,114 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** The FULL production retrieval stack composed as one gated DAG —
+    * what a real RAG user actually runs (ref `rag.py` steps 3–5 made
+    * hybrid): BM25 lexical top-20 (b1) ⊕ dense top-20 (v2) → RRF fusion
+    * (rrf1) → top-8 fused candidates → MMR diversified top-4 (mmr1) →
+    * relevance gate (p7's overlap-or-high-score rule). Every stage is
+    * individually hash-gated elsewhere; this row gates the COMPOSITION —
+    * rank handoffs, id alignment between the lexical and vector spaces,
+    * and the filter running on post-diversification rows. The oracle
+    * replays all four stages (BM25 closed form, full-outer RRF, unrolled
+    * greedy MMR, overlap gate) from scratch. Scale shape: corpus-side
+    * work is one BM25 stats pass + one ANN probe; everything after the
+    * two top-20 cuts touches ≤ 20 rows. */
+  val ask4Hybrid: Q = {
+    val terms = Seq("spark", "join", "stream")
+    val k1 = 1.2; val b = 0.75; val n = 20; val k0 = 60
+    val nCand = 8; val k = 4; val lambda = 0.7
+    val oneMinus = (1.0 - lambda).toString
+    val dfsSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val tfsSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(", ")
+    val termSql = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / avgdl))"""
+    }.mkString(" + ")
+    val simExpr =
+      """round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"""
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (SELECT c.vec_id, round($lambda * c.rel - $oneMinus * coalesce(mx.pen, CAST(0.0 AS DOUBLE)), 6) AS mmr
+              FROM cand c
+              LEFT JOIN (SELECT i AS vec_id, max(sim) AS pen FROM sims
+                         JOIN sel${i - 1} s ON sims.j = s.vec_id GROUP BY i) mx USING (vec_id)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+              ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT $i AS step, vec_id, mmr FROM p$i)"""
+    }.mkString(",\n            ")
+    val ovSql = s"len(list_intersect([${terms.map(t => s"'$t'").mkString(", ")}], " +
+      "list_distinct(string_split_regex(lower(d.text), '\\s+'))))"
+    Q("ask4_hybrid",
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl, $dfsSql FROM t),
+            dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfsSql FROM t),
+            lex AS (SELECT doc_id, round($termSql, 6) AS bm25 FROM dd CROSS JOIN stats),
+            lext AS (SELECT doc_id, bm25 FROM lex WHERE bm25 > 0.0
+                     ORDER BY bm25 DESC, doc_id LIMIT $n),
+            lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a FROM lext),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            vs AS (SELECT vec_id AS doc_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+              FROM embeddings, q),
+            vect AS (SELECT doc_id, score FROM vs ORDER BY score DESC, doc_id LIMIT $n),
+            vecr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM vect),
+            fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                coalesce(CAST(1.0 AS DOUBLE) / (CAST($k0.0 AS DOUBLE) + CAST(rank_a AS DOUBLE)), CAST(0.0 AS DOUBLE))
+                + coalesce(CAST(1.0 AS DOUBLE) / (CAST($k0.0 AS DOUBLE) + CAST(rank_b AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+              FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id),
+            cand0 AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT $nCand),
+            cand AS (SELECT c.doc_id AS vec_id, round(c.rrf, 6) AS rrf,
+                round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS rel,
+                e.embedding
+              FROM cand0 c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q),
+            sims AS (SELECT a.vec_id AS i, b.vec_id AS j, $simExpr AS sim
+                     FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+            p1 AS (SELECT vec_id, round($lambda * rel, 6) AS mmr FROM cand
+                   ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel1 AS (SELECT 1 AS step, vec_id, mmr FROM p1),
+            $steps
+            SELECT CAST(s.step AS INT) AS step, s.vec_id AS doc_id, c.rrf, c.rel, s.mmr,
+              CAST($ovSql AS BIGINT) AS overlap
+            FROM sel$k s
+            JOIN cand c ON c.vec_id = s.vec_id
+            JOIN documents d ON d.doc_id = s.vec_id
+            WHERE $ovSql >= 1 OR c.rel >= 0.75
+            ORDER BY step"""),
+      (s, d) => {
+        val lex = graft.index.Bm25.topK(documents(s, d), "doc_id", "text", terms, k = n, k1 = k1, b = b)
+        val lexRank = graft.ops.TableOps.broadcastTopRank(lex, "bm25", "doc_id", n)
+          .select(col("doc_id"), col("rank"))
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vec = emb.crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score"))
+        val vecRank = graft.ops.TableOps.broadcastTopRank(vec, "score", "doc_id", n)
+          .select(col("doc_id"), col("rank"))
+        val fused = graft.index.Fusion.rrf(lexRank, vecRank, "doc_id", "rank", k0)
+        val cand0 = fused.orderBy(col("rrf").desc, col("doc_id")).limit(nCand)
+        val cands = cand0.join(emb, cand0("doc_id") === emb("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(cand0("doc_id"), round(col("rrf"), 6).as("rrf"),
+            round(Embed.dot(col("embedding"), col("qv")), 6).as("rel"), col("embedding"))
+        val sel = graft.index.Fusion.mmr(cands, "doc_id", "rel", "embedding", k, lambda)
+        val docs = documents(s, d).select(col("doc_id"),
+          graft.index.Rerank.keywordOverlap(col("text"), lit(terms.mkString(" ")), Seq("zzzz"))
+            .cast("long").as("overlap"))
+        sel.join(cands.select("doc_id", "rrf", "rel"), Seq("doc_id"))
+          .join(docs, Seq("doc_id"))
+          .filter(col("overlap") >= 1 || col("rel") >= 0.75)
+          .select(col("step").cast("int").as("step"), col("doc_id"), col("rrf"), col("rel"),
+            col("mmr"), col("overlap"))
+          .orderBy("step")
+      })
+  }
+
   /** REAL RIFF/WAV metadata decode (the m2 contract for audio): payloads
     * are synthesized from doc_id arithmetic — every 4th doc hides the
     * `fmt ` chunk behind a JUNK chunk of doc-dependent ODD/even size (so
@@ -1272,5 +1380,5 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse, d13PrefixJaccard, m6TiffDims, d14Outliers)
+    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers)
 }

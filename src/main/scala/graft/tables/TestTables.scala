@@ -22,16 +22,26 @@ object TestTables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to a
-    * µs TimestampType with integer `div` (a double division would lose
-    * precision above 2^53 ns). DuckDB's `epoch_us` truncates ns→µs the same
-    * way, so oracle comparisons line up exactly. */
+  /** `events.ts` arrives in whichever parquet timestamp encoding the
+    * driver generated that round — TIMESTAMP(NANOS) in rounds 1–5 (which
+    * Spark's vectorized reader rejects outright, hence the nanos-as-long
+    * legacy conf + integer `div` truncation: a double division would lose
+    * precision above 2^53 ns), TIMESTAMP(MICROS) without UTC adjustment
+    * (→ TIMESTAMP_NTZ) since round 6. Normalize BOTH to the same µs
+    * TimestampType so every downstream query and oracle is
+    * encoding-agnostic; the NTZ cast interprets the naive value in the
+    * session timezone (pinned UTC by all three mains and the spec base),
+    * exactly how DuckDB's `epoch_us` reads it. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

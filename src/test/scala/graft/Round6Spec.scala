@@ -91,4 +91,50 @@ class Round6Spec extends SparkSpec {
     assert(hb0.length == 3) // block 2 at y=730 is out of band for doc 0 (%3==0)
     assert(hb0.count(_.getBoolean(3)) == 1 && hb0.find(_.getBoolean(3)).get.getInt(1) == 0)
   }
+
+  test("Warc gzip member round-trips; truncation and garbage fail to None") {
+    import graft.ops.Warc
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\nhello"
+    val member = Warc.gzipMember(rec.getBytes("UTF-8"))
+    assert(new String(Warc.gunzipMember(member).get, "UTF-8") == rec)
+    // multibyte payloads survive the UTF-8 round trip
+    val thai = "หัวข้อ ภาษาไทย — payload"
+    assert(new String(Warc.gunzipMember(Warc.gzipMember(thai.getBytes("UTF-8"))).get, "UTF-8") == thai)
+    // a cut trailer (truncated fetch) must FAIL, not return a prefix
+    assert(Warc.gunzipMember(member.dropRight(1)).isEmpty)
+    assert(Warc.gunzipMember(member.take(member.length / 2)).isEmpty)
+    // garbage bytes and the empty member fail closed too
+    assert(Warc.gunzipMember("not gzip at all".getBytes).isEmpty)
+    assert(Warc.gunzipMember(Array[Byte]()).isEmpty)
+    // zip-bomb guard: decompressed size past maxBytes → None, no OOM
+    val bomb = Warc.gzipMember(Array.fill[Byte](1 << 16)(65))
+    assert(Warc.gunzipMember(bomb, maxBytes = 1 << 10).isEmpty)
+    assert(Warc.gunzipMember(bomb, maxBytes = 1 << 20).get.length == (1 << 16))
+  }
+
+  test("warc2_gzip_records: corrupt members null out, intact members parse") {
+    val rows = graft.queries.MiscQueries.warc2Gzip.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val (bad, good) = rows.partition(_.getLong(0) % 13 == 0)
+    assert(bad.nonEmpty && bad.forall(r => !r.getBoolean(1) && r.isNullAt(2) && r.isNullAt(7)))
+    assert(good.forall(_.getBoolean(1)))
+    // the %11 Content-Length overstatement still surfaces through the member
+    assert(good.filter(_.getLong(0) % 11 == 0).forall(!_.getBoolean(7)))
+    assert(good.filter(r => r.getLong(0) % 11 != 0).forall(_.getBoolean(7)))
+  }
+
+  test("x14b approx buckets: cuts within sketch error bound of exact deciles") {
+    val d = "/root/testdata/sf0.01"
+    val exact = graft.queries.MiscQueries.x14QualityBuckets.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = graft.queries.MiscQueries.x14bApproxBuckets.fn(spark, d).collect()
+    assert(approx.length == exact.size)
+    // accuracy 10000 ⇒ rank error ≤ N/10000 < 1 row at sf0.01 — but the
+    // sketch may still place a cut on the far side of a tied/adjacent
+    // value, so the contract is: every doc within one decile of exact,
+    // and ≥99% agree exactly
+    val drift = approx.map(r => math.abs(r.getLong(2) - exact(r.getLong(0))))
+    assert(drift.max <= 1, s"decile drift > 1: ${drift.max}")
+    assert(drift.count(_ == 0) >= (approx.length * 99) / 100)
+  }
 }
