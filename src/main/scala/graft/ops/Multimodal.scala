@@ -151,6 +151,18 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
   }
 
+  /** Compiled [[imageDims]]: the native `image_dims` Expression — one JVM
+    * byte walk per row instead of the five-format hex/conv branch tree
+    * (which re-inlines its payload subtrees once per probe and pushes
+    * janino against codegen size limits when composed). Same output,
+    * bit-for-bit: Round6Spec sweeps both forms over the full fixture
+    * family plus truncation/garbage corpora. The Column form stays as the
+    * executable semantics spec; hot paths (m2/m6) use this one. */
+  def imageDimsNative(payload: Column): Column = {
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("image_dims", payload)
+  }
+
   /** WAV (RIFF) audio metadata — sample rate, channel count, bits per
     * sample — decoded from the `fmt ` chunk, which sits at a VARIABLE
     * offset behind optional LIST/JUNK/bext chunks: a bounded little-endian

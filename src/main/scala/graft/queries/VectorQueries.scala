@@ -270,14 +270,13 @@ object VectorQueries extends QuerySet {
         .when(col("doc_id") % 6 === 0, unhex(jpegHex))
         .when(col("doc_id") % 2 === 0, unhex(pngHex))
         .otherwise(unhex(gifHex))
-      // payload bound to an ATTRIBUTE before imageDims sees it: the Column
-      // DSL substitutes its argument tree into every internal reference, so
-      // passing the synthesized when/unhex chain directly embeds ~70 copies
-      // of it in the plan (85 KB of expression, janino-compiled per field).
-      // Two projections keep the decoder referencing one computed column.
+      // native compiled decoder (one byte walk per row); the Column-tree
+      // form it replaced needed the payload pre-bound to an attribute to
+      // avoid ~70 re-inlined copies of the synthesis chain — kept bound
+      // anyway so the fixture builder runs once per row
       documents(s, d)
         .withColumn("payload", payload)
-        .withColumn("d", graft.ops.Multimodal.imageDims(col("payload")))
+        .withColumn("d", graft.ops.Multimodal.imageDimsNative(col("payload")))
         .select(col("doc_id"), col("d.format").as("format"),
           col("d.width").as("width"), col("d.height").as("height"))
         .orderBy("doc_id")
@@ -353,7 +352,7 @@ object VectorQueries extends QuerySet {
         .otherwise(unhex(tiffHex))
       documents(s, d)
         .withColumn("payload", payload)
-        .withColumn("dm", graft.ops.Multimodal.imageDims(col("payload")))
+        .withColumn("dm", graft.ops.Multimodal.imageDimsNative(col("payload")))
         .select(col("doc_id"), col("dm.format").as("format"),
           col("dm.width").as("width"), col("dm.height").as("height"))
         .orderBy("doc_id")

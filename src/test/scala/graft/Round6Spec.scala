@@ -123,6 +123,65 @@ class Round6Spec extends SparkSpec {
     assert(good.filter(r => r.getLong(0) % 11 != 0).forall(_.getBoolean(7)))
   }
 
+  test("ImageDimsExpr matches the Column imageDims bit-for-bit on fixtures + adversarial sweeps") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val samples: Seq[Array[Byte]] = Seq(
+      // png 789×680
+      hx("89504E470D0A1A0A0000000D49484452 00000315 000002A8 08060000"),
+      // gif89a 789×680 LE, gif87a 1×1
+      hx("474946383961 1503 A802 F70000"),
+      hx("474946383761 0100 0100 80"),
+      // jpeg: SOI, APP0, COM(5), SOF0 680×789
+      hx("FFD8 FFE000104A46494600010100000100010000 FFFE0005414141 FFC00011 08 02A8 0315 03011100021100031100"),
+      // jpeg that hits EOI before any SOF; jpeg with a non-marker byte
+      hx("FFD8 FFE00004 4141 FFD9"),
+      hx("FFD8 00"),
+      // tiff LE: IFD@8, 2 entries (width SHORT 789, height LONG 680)
+      hx("49492A00 08000000 0200 0001 0300 01000000 15030000 0101 0400 01000000 A8020000 00000000"),
+      // tiff BE: same shape
+      hx("4D4D002A 00000008 0002 0100 0003 00000001 03150000 0101 0004 00000001 000002A8 00000000"),
+      // tiff with hostile IFD offset (overflow guard) and bad magic
+      hx("49492A00 FFFFFFFF"),
+      hx("49494242"),
+      // bmp BITMAPINFOHEADER 789×680, top-down (negative height), OS/2 core 789×680
+      hx("424D46000000 00000000 36000000 28000000 15030000 A8020000 0100"),
+      hx("424D46000000 00000000 36000000 28000000 15030000 58FDFFFF 0100"),
+      hx("424D1E000000 00000000 1A000000 0C000000 1503 A802 0100 0100"),
+      // bmp with an unrecognized DIB size must stay null
+      hx("424D1E000000 00000000 1A000000 1B000000 1503 A802"),
+      // wav/garbage/empty
+      hx("52494646 64000000 57415645 666D7420"),
+      hx("DEADBEEF"),
+      Array[Byte]())
+    val rng = new scala.util.Random(7)
+    val garbage = Seq.fill(60)(Array.fill[Byte](rng.nextInt(48))(rng.nextInt(256).toByte))
+    // every truncation prefix of every sample: the partial-read semantics
+    // (available-bytes parse vs null) are where the two forms could drift
+    val prefixes = samples.flatMap(b => (0 to b.length).map(b.take))
+    val corpus = (samples ++ prefixes ++ garbage).zipWithIndex.map { case (b, i) => (i, b) }
+    val out = corpus.toDF("id", "payload")
+      .select(col("id"),
+        graft.ops.Multimodal.imageDims(col("payload")).as("spec"),
+        graft.ops.Multimodal.imageDimsNative(col("payload")).as("native"))
+      .collect()
+    assert(out.length == corpus.length)
+    out.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"id=${r.get(0)}: spec=${r.get(1)} native=${r.get(2)} " +
+          s"payload=${corpus(r.getInt(0))._2.map("%02X".format(_)).mkString}")
+    }
+    // sanity on the planted values (both forms, not just equal-but-wrong)
+    val byId = out.map(r => r.getInt(0) -> r.getStruct(1)).toMap
+    assert(byId(0) != null && byId(0).getString(0) == "png" &&
+      byId(0).getInt(1) == 789 && byId(0).getInt(2) == 680)
+    assert(byId(3).getString(0) == "jpeg" && byId(3).getInt(1) == 789 && byId(3).getInt(2) == 680)
+    assert(byId(6).getInt(1) == 789 && byId(7).getInt(2) == 680)
+    assert(byId(11).getString(0) == "bmp" && byId(11).getInt(2) == 680) // |−680| top-down
+    assert(byId(12).getInt(1) == 789 && byId(12).getInt(2) == 680)     // OS/2 core
+  }
+
   test("x14b approx buckets: cuts within sketch error bound of exact deciles") {
     val d = "/root/testdata/sf0.01"
     val exact = graft.queries.MiscQueries.x14QualityBuckets.fn(spark, d).collect()
