@@ -115,13 +115,26 @@ object Ingest {
     * micro-batches; incoming events at or below the watermark are dropped
     * (late-beyond-watermark, the same contract as every watermarked op).
     * State per key is the pending buffer (bounded by the watermark
-    * horizon) plus two longs — the (last_ts, session_counter) carried
-    * FOREVER so session numbering stays continuous for however long a key
-    * stays live, across micro-batches and restarts alike.
+    * horizon) plus two longs — the (last_ts, session_counter) carried, by
+    * default, FOREVER so session numbering stays continuous for however
+    * long a key stays live, across micro-batches and restarts alike.
+    *
+    * `idleExpirySeconds` (state hygiene, round 6): with keys-forever
+    * semantics the state store grows with LIFETIME key cardinality — fine
+    * for user/session keys, unbounded for crawl-shaped keys (URLs, doc
+    * ids) where it becomes its own 100 TB problem. When set, a key whose
+    * buffer is empty and whose last event is `idleExpirySeconds` behind
+    * the watermark has its state REMOVED (an event-time timeout armed at
+    * last + expiry fires through no-data batches too). The documented
+    * trade: a key reappearing after expiry restarts session numbering at
+    * 1 — exactly the renumbering a batch job over a bounded window would
+    * produce; choose expiry ≥ the max meaningful session gap. Default
+    * None preserves keys-forever.
     *
     * Output: (key, ts_us, tie, session_id). */
   def sessionizeStream(events: DataFrame, tsCol: String, keyCol: String, tieCol: String,
-                       watermark: String, gapSeconds: Long): DataFrame = {
+                       watermark: String, gapSeconds: Long,
+                       idleExpirySeconds: Option[Long] = None): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     def advance(key: String, rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
@@ -138,10 +151,22 @@ object Ingest {
         last = ts
         (key, ts, tie, sid)
       }
-      state.update((still, last, sid))
-      // re-arm on the earliest pending event: the flush must fire the
-      // moment the watermark passes IT, not the newest one
-      if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+      val expired = still.isEmpty && last != Long.MinValue &&
+        idleExpirySeconds.exists(e => horizonUs >= last + e * 1000000L)
+      if (expired) state.remove()
+      else {
+        state.update((still, last, sid))
+        // re-arm on the earliest pending event: the flush must fire the
+        // moment the watermark passes IT, not the newest one
+        if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+        // idle key: arm the expiry timeout so removal fires even through
+        // no-data micro-batches (+1 ms over the floor-to-ms last so the
+        // µs-precision horizon check above is already true when it fires)
+        else idleExpirySeconds.foreach { e =>
+          if (last != Long.MinValue)
+            state.setTimeoutTimestamp(last / 1000L + e * 1000L + 1L)
+        }
+      }
       out.iterator
     }
     // the watermarked timestamp column must itself reach the grouped

@@ -189,6 +189,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect { case ("A", ts, _, sid) if ts == base + 200000000L => sid } == Seq(2L))
   }
 
+  test("sessionizeStream idle-key expiry shrinks state; live keys keep parity; reappearing key renumbers") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    def ev(k: String, s: Long, tie: Long) = (k, base + s * 1000000L, tie)
+    val dir = "/tmp/graft_sess_exp"; val ckpt = "/tmp/graft_sess_exp_ckpt"
+    val outDir = "/tmp/graft_sess_exp_out"
+    Seq(dir, ckpt, outDir).foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    def write(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("k", "us", "tie")
+        .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("tie"))
+        .write.mode("append").parquet(dir)
+    write(Seq(ev("A", 0, 1), ev("A", 30, 2), ev("B", 10, 1)))
+    val schema = spark.read.parquet(dir).schema
+    // one run per appended file = one micro-batch against the checkpointed
+    // watermark; expiry 600 s, so the C-sentinel watermark jumps expire A/B
+    def run(): Long = {
+      val q = Ingest.sessionizeStream(
+          spark.readStream.schema(schema).parquet(dir), "ts", "k", "tie",
+          watermark = "10 seconds", gapSeconds = 60, idleExpirySeconds = Some(600L))
+        .writeStream.format("parquet").option("path", outDir).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      val rows = Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+      q.stop()
+      rows
+    }
+    val afterBuffer = run()            // run 1: A/B buffered (wm starts at 0)
+    assert(afterBuffer == 2, s"expected A,B buffered in state, got $afterBuffer")
+    write(Seq(ev("C", 100000, 99)))
+    // run 2: the data batch (wm 20s) emits A@0/B@10; the watermark then
+    // jumps to 99990s and the engine immediately runs a TIMEOUT batch in
+    // which A@30 flushes and both idle keys pass the 600s expiry → removed
+    val afterExpiry = run()
+    assert(afterExpiry == 1, s"expected only the pending sentinel key after expiry, got $afterExpiry")
+    // live-key parity up to expiry: identical to batch sessionize
+    def emitted() = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filterNot(_._3 == 99L).toSeq.sorted
+    val batchRef = graft.ops.Merge.sessionize(
+        Seq(ev("A", 0, 1), ev("A", 30, 2), ev("B", 10, 1)).toDF("k", "us", "tie")
+          .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("tie")),
+        Seq(col("k")), col("ts"), col("tie"), gapSeconds = 60)
+      .select(col("k"), unix_micros(col("ts")).as("us"), col("tie"), col("session_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(emitted() == batchRef, s"pre-expiry parity broke:\n ${emitted()}\n $batchRef")
+    // the documented trade: A reappearing AFTER expiry restarts numbering
+    write(Seq(ev("A", 100500, 5)))
+    run()                              // run 3: new A buffered under fresh state
+    write(Seq(ev("C", 300000, 99)))
+    val tail = run()                   // run 4: wm → 299990s; timeout batch emits A, re-expires it
+    val aLate = emitted().collect { case ("A", ts, _, sid) if ts == base + 100500000000L => sid }
+    assert(aLate == Seq(1L), s"expired key must renumber from 1, got $aLate")
+    assert(tail == 1, s"reborn A must re-expire after emit, got $tail")
+  }
+
   test("stream-stream interval join matches the batch recentPairs predicate") {
     import spark.implicits._
     val base = 1700000000000000L // µs
