@@ -101,6 +101,70 @@ object Warc {
     finally if (in != null) in.close()
   }
 
+  /** Split a blob of CONCATENATED gzip members back into the individual
+    * decompressed records — the actual Common Crawl segment-file layout
+    * (thousands of member-gzip records back to back in one object; a
+    * reader seeks a split point, resynchronizes on a member boundary, and
+    * streams records). `GZIPInputStream` would silently fuse concatenated
+    * members into one byte stream, so this walks the RFC 1952 framing
+    * explicitly: header (magic/CM/FLG + optional FEXTRA/FNAME/FCOMMENT/
+    * FHCRC), raw-deflate body via `Inflater(nowrap)`, then the CRC32 +
+    * ISIZE trailer — BOTH verified, so a corrupted member can never
+    * masquerade as a short record. Strict quarantine contract: any
+    * malformed member fails the whole blob to None (the per-record
+    * recovery path is [[gunzipMember]] over pre-split members). */
+  def splitMembers(bytes: Array[Byte], maxBytes: Long = 1L << 30,
+                   maxMembers: Int = 1 << 20): Option[Vector[Array[Byte]]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var pos = 0
+    var count = 0
+    var total = 0L
+    try {
+      while (pos < bytes.length) {
+        if (count >= maxMembers) return None
+        if (pos + 10 > bytes.length) return None
+        if ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b ||
+          bytes(pos + 2) != 8) return None
+        val flg = bytes(pos + 3) & 0xff
+        var p = pos + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (p + 2 > bytes.length) return None
+          p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 }
+        if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 }
+        if ((flg & 2) != 0) p += 2
+        if (p > bytes.length) return None
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, p, bytes.length - p)
+          val bos = new java.io.ByteArrayOutputStream(1024)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n > 0) {
+              total += n
+              if (total > maxBytes) return None
+              bos.write(buf, 0, n)
+            } else if (!inf.finished()) return None // truncated mid-body
+          }
+          val member = bos.toByteArray
+          val trailer = p + inf.getBytesRead.toInt
+          if (trailer + 8 > bytes.length) return None
+          def le32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+          val crc = new java.util.zip.CRC32(); crc.update(member)
+          if (crc.getValue != le32(trailer)) return None
+          if (le32(trailer + 4) != (member.length.toLong & 0xffffffffL)) return None
+          out += member
+          pos = trailer + 8
+          count += 1
+        } finally inf.end()
+      }
+      Some(out.result())
+    } catch { case _: java.util.zip.DataFormatException => None }
+  }
+
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   /** Compress a string record column into a binary gzip-member column —
@@ -120,5 +184,18 @@ object Warc {
     val idx = df.schema.fieldIndex(memberCol)
     Stages.appendFields(df, Seq(StructField(outCol, StringType)))(
       r => Seq(gunzipMember(r.getAs[Array[Byte]](idx)).map(new String(_, Utf8)).orNull))
+  }
+
+  /** Split+decompress a concatenated-members blob column into an
+    * `array<string>` of records (null = quarantined blob). One row = one
+    * segment file: the 100 TB unit of work, processed without ever
+    * materializing more than one member's decompressed bytes at a time
+    * beyond the output array. */
+  def splitMembersStage(df: DataFrame, blobCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(blobCol)
+    Stages.appendFields(df,
+      Seq(StructField(outCol, org.apache.spark.sql.types.ArrayType(StringType))))(
+      r => Seq(splitMembers(r.getAs[Array[Byte]](idx))
+        .map(_.map(new String(_, Utf8))).orNull))
   }
 }

@@ -841,6 +841,68 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Concatenated-member WARC segment files — the layout a crawl
+    * ACTUALLY ships as (one object = thousands of back-to-back gzip
+    * members; ISO 28500 Annex D + RFC 1952 framing). Per source, every
+    * record's member is concatenated in doc_id order into one blob
+    * (HOF-folded binary concat after one hash aggregate — the segment
+    * builder), then `Warc.splitMembers` must walk the explicit gzip
+    * framing (header flags, raw-deflate body, CRC32 + ISIZE trailer, both
+    * verified) to recover every record with its position. The oracle
+    * never sees bytes: split∘concat∘gzip must be the identity, so it
+    * predicts (source, seq → record fields) straight from `documents`; a
+    * splitter that fuses members (GZIPInputStream semantics), drops the
+    * tail, or miscounts a header extension field hash-fails on seq
+    * alignment. */
+  val warc3Split = Q("warc3_member_split",
+    Some("""WITH synth AS (
+              SELECT doc_id, coalesce(source, '') AS src,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'response' WHEN 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+                concat('<urn:uuid:', CAST(doc_id AS VARCHAR), '>') AS record_id,
+                concat('https://', coalesce(source, ''), '.example.com/', CAST(doc_id AS VARCHAR)) AS target_uri,
+                CAST(strlen(substr(text, 1, 60)) + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS declared_len,
+                CAST(strlen(substr(text, 1, 60)) AS BIGINT) AS actual_len
+              FROM documents),
+            numbered AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY src ORDER BY doc_id) - 1 AS INT) AS seq
+              FROM synth)
+            SELECT src, seq, warc_type, record_id, target_uri,
+              declared_len, actual_len, declared_len = actual_len AS len_ok
+            FROM numbered ORDER BY src, seq"""),
+    (s, d) => {
+      val crlf = lit("\r\n")
+      val payload = substring(col("text"), 1, 60)
+      val declared = (length(payload.cast("binary")) +
+        when(col("doc_id") % 11 === 0, 1).otherwise(0)).cast("string")
+      val rec = concat(lit("WARC/1.0"), crlf,
+        lit("WARC-Type: "),
+        when(col("doc_id") % 3 === 0, "response")
+          .when(col("doc_id") % 3 === 1, "request").otherwise("metadata"), crlf,
+        lit("WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"), lit(">"), crlf,
+        lit("WARC-Target-URI: https://"), coalesce(col("source"), lit("")),
+        lit(".example.com/"), col("doc_id").cast("string"), crlf,
+        lit("Content-Length: "), declared, crlf, crlf, payload)
+      val members = graft.ops.Warc.gzipStage(
+        documents(s, d).select(col("doc_id"),
+          coalesce(col("source"), lit("")).as("src"), rec.as("rec")), "rec", "member")
+      // segment builder: one blob per source, members in doc_id order —
+      // sort_array on (doc_id, member) structs orders by id, the binary
+      // fold concatenates; blob size is bounded by the group, the 100 TB
+      // analog of one segment file per task
+      val blobs = members.groupBy("src")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("member")))).as("lst"))
+        .select(col("src"),
+          aggregate(transform(col("lst"), x => x("member")),
+            lit(Array.emptyByteArray), (a, b) => concat(a, b)).as("blob"))
+      val p = graft.ops.Warc.parse(col("rec"))
+      graft.ops.Warc.splitMembersStage(blobs, "blob", "recs")
+        .select(col("src"), posexplode(col("recs")).as(Seq("seq", "rec")))
+        .select(col("src"), col("seq"), p.as("w"))
+        .select(col("src"), col("seq"), col("w.warc_type"), col("w.record_id"),
+          col("w.target_uri"), col("w.declared_len"), col("w.actual_len"), col("w.len_ok"))
+        .orderBy("src", "seq")
+    })
+
   /** robots.txt (RFC 9309) longest-match crawl verdicts — the politeness
     * gate before any fetch becomes a WARC record. A 7-rule set per host
     * exercises longest-match override (Allow /private/4 inside Disallow
@@ -1470,7 +1532,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, rob1Robots, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)

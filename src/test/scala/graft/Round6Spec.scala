@@ -112,6 +112,35 @@ class Round6Spec extends SparkSpec {
     assert(Warc.gunzipMember(bomb, maxBytes = 1 << 20).get.length == (1 << 16))
   }
 
+  test("Warc.splitMembers walks concatenated gzip framing; corruption quarantines the blob") {
+    import graft.ops.Warc
+    val recs = (1 to 5).map(i => s"record $i payload ${"x" * (i * 7)}")
+    val blob = recs.flatMap(r => Warc.gzipMember(r.getBytes("UTF-8"))).toArray
+    assert(Warc.splitMembers(blob).get.map(new String(_, "UTF-8")) == recs)
+    // a truncated tail member fails the WHOLE blob (strict quarantine)
+    assert(Warc.splitMembers(blob.dropRight(1)).isEmpty)
+    // a flipped byte mid-blob: deflate error, CRC mismatch, or broken
+    // header — every path must land on None, never a wrong record
+    val bad = blob.clone(); bad(blob.length / 2) = (bad(blob.length / 2) ^ 0x01).toByte
+    assert(Warc.splitMembers(bad).isEmpty)
+    // hand-framed member with FLG.FNAME set: header extensions skipped
+    val content = "named member".getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](256); val n = d.deflate(buf); d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(content)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val named = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0) ++
+      "file.warc\u0000".getBytes("ISO-8859-1") ++ java.util.Arrays.copyOf(buf, n) ++
+      le32(crc.getValue) ++ le32(content.length.toLong)
+    assert(Warc.splitMembers(named ++ Warc.gzipMember("tail".getBytes("UTF-8"))).get
+      .map(new String(_, "UTF-8")) == Seq("named member", "tail"))
+    assert(Warc.splitMembers(Array[Byte]()).get.isEmpty)
+    assert(Warc.splitMembers("junk".getBytes).isEmpty)
+    // decompressed-size cap: strict None, not partial output
+    assert(Warc.splitMembers(Warc.gzipMember(Array.fill[Byte](4096)(66)), maxBytes = 1024).isEmpty)
+  }
+
   test("warc2_gzip_records: corrupt members null out, intact members parse") {
     val rows = graft.queries.MiscQueries.warc2Gzip.fn(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
