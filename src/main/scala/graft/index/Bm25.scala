@@ -81,6 +81,50 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Batched multi-query BM25 — the production retrieval shape
+    * ([[topKDynamic]] serves ONE query; an eval harness, a hard-negative
+    * miner, or an online service scores thousands): one corpus pass
+    * serves every query. Postings tokenize once and semi-join the union
+    * of all query terms; per-(doc, term) tf and per-term df are shared
+    * across queries (a term appearing in many queries is counted once);
+    * the per-(query, doc) score fan-out happens via a broadcast of the
+    * bounded (qid, term) map; and the per-query top-k is a rank window
+    * PARTITIONED BY qid — Spark's rank-limit pushdown turns it into
+    * WindowGroupLimit per-partition heaps, so no global sort and no
+    * unpartitioned window exists at any corpus size (the PlanSpec
+    * invariant). Contributions sum in DECIMAL (groupBy order freedom, the
+    * topKDynamic discipline). `queries` carries `(qidCol, queryCol)`;
+    * output `(qidCol, idCol, bm25, rank)` with rank 1..k per query. */
+  def topKBatch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, queryCol: String,
+                k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).as("_bid"), tokens(col(textCol)).as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.select(col(qidCol).as("_qid"),
+      explode(array_distinct(tokens(col(queryCol)))).as("term"))
+    val dl = base.select(col("_bid"), size(col("toks")).cast("double").as("dl"))
+    val posts = base.select(col("_bid"), explode(col("toks")).as("term"))
+    val tf = posts.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("_bid", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+      / (col("df").cast("double") + 0.5))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfT), "term").join(dl, "_bid").crossJoin(broadcast(stats))
+      .select(col("_qid"), col("_bid"), contrib.as("contrib"))
+      .groupBy("_qid", "_bid")
+      .agg(round(sum(col("contrib").cast("decimal(25,15)")).cast("double"), roundTo).as("bm25"))
+      .filter(col("bm25") > 0.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_qid")
+      .orderBy(col("bm25").desc, col("_bid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col("_bid").as(idCol), col("bm25"), col("rank"))
+  }
+
   /** RM3-style expansion terms from a feedback set `(idCol, score)`:
     * each candidate term (length ≥ `minLen`, not a seed) scores
     * `Σ_d (tf_td / dl_d) · score_d` — relevance-weighted relative

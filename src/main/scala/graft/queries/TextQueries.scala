@@ -576,6 +576,55 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** BATCHED multi-query BM25 — the shape an eval harness / hard-negative
+    * miner / online service actually runs: ONE corpus pass scores five
+    * queries (overlapping and disjoint term sets, one query whose terms
+    * miss the corpus entirely and must return nothing). Postings/tf/df
+    * are shared across queries; the per-query top-5 is a qid-PARTITIONED
+    * rank window (WindowGroupLimit heaps — no global sort at any corpus
+    * size). The oracle replays the shared-statistics join plan: a doc's
+    * score for query A must be identical whether or not query B also
+    * contains the term. */
+  val b3BatchBm25: Q = {
+    val qs = Seq(1 -> "spark join", 2 -> "join stream window", 3 -> "vector hash sort",
+      4 -> "the", 5 -> "zzzqx qqzzy")
+    val k = 5; val k1 = 1.2; val b = 0.75
+    val qsSql = qs.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+    Q("b3_batch_bm25",
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES $qsSql) q(qid, query)),
+            t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+            qterms AS (SELECT qid, unnest(list_distinct(list_filter(
+                string_split_regex(lower(query), '\\s+'), x -> x <> ''))) AS term FROM qs),
+            terms AS (SELECT DISTINCT term FROM qterms),
+            posts AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM posts JOIN terms USING (term) GROUP BY doc_id, term),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+            contrib AS (SELECT qid, doc_id,
+                ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS c
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN stats),
+            score AS (SELECT qid, doc_id,
+                round(CAST(sum(CAST(c AS DECIMAL(25,15))) AS DOUBLE), 6) AS bm25
+              FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, bm25,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+              FROM score WHERE bm25 > 0.0)
+            SELECT qid, doc_id, bm25, rank FROM ranked WHERE rank <= $k
+            ORDER BY qid, rank"""),
+      (s, d) => {
+        import s.implicits._
+        val queries = qs.toDF("qid", "query")
+        graft.index.Bm25.topKBatch(documents(s, d), "doc_id", "text",
+            queries, "qid", "query", k = k, k1 = k1, b = b)
+          .orderBy("qid", "rank")
+      })
+  }
+
   /** The BPE merge-step statistic: corpus-wide counts of adjacent symbol
     * pairs within words (round 1 of tokenizer training — the top pair is
     * the next merge rule). Explode-to-pairs is map-only; the aggregate's
@@ -1353,7 +1402,7 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
-    b1Bm25, b2Rm3, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
+    b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
