@@ -85,4 +85,27 @@ object Cleaning {
     val core = regexp_replace(cleaned, "[()]", "").try_cast("double")
     when(isParenNeg, -core).otherwise(core)
   }
+
+  private def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+
+  /** Boilerplate removal by line-level text/link density — the
+    * Kohlschütter boilerpipe / jusText heuristic that strips nav bars,
+    * "related links" blocks and footers from crawled HTML WITHOUT a DOM:
+    * a line survives iff its tag-stripped text is at least `minTextLen`
+    * chars AND its anchor-text share is at most num/den (integer
+    * cross-multiplied — `linkChars·den ≤ textLen·num` — so the density
+    * gate is exact, no float division to drift). Pure higher-order array
+    * expressions, map-only at any corpus size. Returns the kept lines'
+    * stripped text joined by newline. */
+  def mainContent(html: Column, minTextLen: Int = 20,
+                  linkDensityNum: Int = 1, linkDensityDen: Int = 3): Column = {
+    def textLen(line: Column) = length(trim(stripTags(line)))
+    def linkChars(line: Column) = aggregate(
+      regexp_extract_all(line, lit("(?i)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(stripTags(x)))
+    val kept = filter(split(html, "\n"), line =>
+      textLen(line) >= minTextLen &&
+        linkChars(line) * linkDensityDen <= textLen(line) * linkDensityNum)
+    concat_ws("\n", transform(kept, l => trim(stripTags(l))))
+  }
 }

@@ -55,4 +55,36 @@ object Pii {
       size(regexp_extract_all(noEmail, lit(Ipv4Pattern), lit(0))).as("n_ips"),
       size(regexp_extract_all(noIp, lit(PhonePattern), lit(0))).as("n_phones"))
   }
+
+  // ---------------------------------------------------------------------
+  // Payment-card detection (round 6): a bare \d{13,19} regex false-
+  // positives on order numbers, timestamps, and IDs constantly — real PII
+  // scrubbers validate the Luhn checksum (ISO/IEC 7812) before redacting.
+  // Spark ships `luhn_check` as a codegen'd expression since 3.5 —
+  // functions, not UDFs — so validation is map-only at any corpus size.
+
+  /** Candidate card numbers: maximal digit runs filtered to 13–19 chars
+    * (NOT a `\d{13,19}` regex with boundary lookarounds — RE2 engines
+    * like DuckDB's have no lookbehind, and the maximal-run form already
+    * prevents a 20+ digit run from yielding a "valid" 19-digit prefix). */
+  def cardCandidates(text: Column): Column =
+    filter(regexp_extract_all(text, lit("\\d+"), lit(0)),
+      x => length(x) >= 13 && length(x) <= 19)
+
+  /** Luhn validity of a digit-string column (built-in expression). */
+  def luhnValid(digits: Column): Column = call_function("luhn_check", digits)
+
+  /** The Luhn CHECK DIGIT for a payload (digits without the final check
+    * digit) — used by fixtures to plant valid/corrupt numbers with pure
+    * arithmetic both engines can replay: reversed-payload odd positions
+    * double (fold ≥5 digits back by 9), check = (10 − sum mod 10) mod 10. */
+  def luhnCheckDigit(payload: Column): Column = {
+    val r = reverse(payload)
+    val s = aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val d = r.substr(i, lit(1)).cast("int")
+      val dd = when(i % 2 === 1, d * 2).otherwise(d)
+      acc + when(dd > 9, dd - 9).otherwise(dd)
+    })
+    (lit(10) - s % 10) % 10
+  }
 }

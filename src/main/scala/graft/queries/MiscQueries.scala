@@ -160,6 +160,43 @@ object MiscQueries extends QuerySet {
           lit("<script>alert(1)</script><a href=\"javascript:boom()\">ok</a></div>"))).as("safe_html"))
       .orderBy("doc_id"))
 
+  /** P15: boilerplate removal by line-level text/link density (the
+    * boilerpipe/jusText heuristic, DOM-free): synthesized pages wrap real
+    * doc text in a link-dense nav bar, a too-short line, a "related
+    * articles" block (long enough but link-dominated — the density gate,
+    * not the length gate, must kill it) and a footer. The integer
+    * cross-multiplied density (linkChars·3 ≤ textLen) is exact in both
+    * engines; the oracle replays the whole line pipeline with the same
+    * regexes. */
+  val p15Boilerplate = Q("p15_boilerplate_extract",
+    Some("""WITH h AS (SELECT doc_id, concat_ws(chr(10),
+              '<div class=nav><a href=/>Home</a> <a href=/a>About</a> <a href=/c>Contact</a></div>',
+              concat('<p>', substr(text, 1, 80), '</p>'),
+              '<p>Short.</p>',
+              concat('<p>', substr(text, 81, 80), '</p>'),
+              '<div><a href=/x>Related articles</a> <a href=/y>More stories here</a></div>',
+              '<footer><a href=/p>Privacy</a> tiny</footer>') AS html FROM documents)
+            SELECT doc_id,
+              coalesce(list_aggregate(list_transform(list_filter(string_split(html, chr(10)),
+                line -> length(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) >= 20
+                    AND coalesce(list_sum(list_transform(regexp_extract_all(line, '(?i)<a[^>]*>(.*?)</a>', 1),
+                          x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0) * 3
+                        <= length(trim(regexp_replace(line, '<[^>]*>', '', 'g')))),
+                l -> trim(regexp_replace(l, '<[^>]*>', '', 'g'))), 'string_agg', chr(10)), '') AS main_text
+            FROM h ORDER BY doc_id"""),
+    (s, d) => {
+      val html = concat_ws("\n",
+        lit("<div class=nav><a href=/>Home</a> <a href=/a>About</a> <a href=/c>Contact</a></div>"),
+        concat(lit("<p>"), substring(col("text"), 1, 80), lit("</p>")),
+        lit("<p>Short.</p>"),
+        concat(lit("<p>"), substring(col("text"), 81, 80), lit("</p>")),
+        lit("<div><a href=/x>Related articles</a> <a href=/y>More stories here</a></div>"),
+        lit("<footer><a href=/p>Privacy</a> tiny</footer>"))
+      documents(s, d)
+        .select(col("doc_id"), Cleaning.mainContent(html).as("main_text"))
+        .orderBy("doc_id")
+    })
+
   /** F15: Q&A pair extraction via regex with lookahead-free form. */
   val f15Qna = Q("f15_qna_extract",
     Some("""SELECT doc_id,
@@ -955,6 +992,64 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Crawl-frontier politeness schedule — what a fetcher does with rob1's
+    * verdicts: allowed URLs only, one fetch per host per WAVE (wave n =
+    * the host's n-th politeness slot; all wave-1 fetches across hosts are
+    * concurrent). The wave is a host-PARTITIONED row_number — per-host
+    * sequencing is the semantics AND the scale shape (WindowGroupLimit-
+    * friendly, no global ordering exists anywhere; a global fetch queue
+    * would serialize the planet). Oracle replays verdicts + waves. */
+  val crawl1Frontier = Q("crawl1_frontier_schedule",
+    Some("""WITH hosts AS (SELECT DISTINCT concat(coalesce(source, ''), '.example.com') AS host FROM documents),
+            ruleset AS (SELECT * FROM (VALUES
+              (false, '/private'), (true, '/private/4'), (true, '/public'), (false, '/public'),
+              (false, '/tmp/*.html'), (true, '/blog'), (false, '/blog/14$')) t(allow, pattern)),
+            rules AS (SELECT host, allow, pattern,
+                concat('^', regexp_replace(regexp_replace(regexp_replace(pattern,
+                  '([.^$+?()\[\]{}|\\])', '\\\1', 'g'), '\*', '.*', 'g'), '\\\$$', '$')) AS rx
+              FROM hosts CROSS JOIN ruleset),
+            urls AS (SELECT doc_id, concat(coalesce(source, ''), '.example.com') AS host,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN concat('/private/', CAST(doc_id AS VARCHAR))
+                  WHEN 1 THEN concat('/public/', CAST(doc_id AS VARCHAR))
+                  WHEN 2 THEN concat('/tmp/file', CAST(doc_id AS VARCHAR), '.html')
+                  WHEN 3 THEN concat('/public/img', CAST(doc_id AS VARCHAR))
+                  ELSE concat('/blog/', CAST(doc_id AS VARCHAR)) END AS path
+              FROM documents),
+            m AS (SELECT host, path,
+                max_by(allow, length(pattern) * 2 + CAST(allow AS INT)) AS verdict
+              FROM (SELECT DISTINCT host, path FROM urls) u JOIN rules USING (host)
+              WHERE regexp_matches(path, rx)
+              GROUP BY host, path),
+            a AS (SELECT doc_id, host, path
+              FROM urls LEFT JOIN m USING (host, path)
+              WHERE coalesce(verdict, true)),
+            w AS (SELECT doc_id, host, path,
+                CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS wave
+              FROM a)
+            SELECT wave, host, path, doc_id FROM w ORDER BY wave, host, doc_id"""),
+    (s, d) => {
+      val host = concat(coalesce(col("source"), lit("")), lit(".example.com"))
+      val idStr = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/private/"), idStr))
+        .when(col("doc_id") % 5 === 1, concat(lit("/public/"), idStr))
+        .when(col("doc_id") % 5 === 2, concat(lit("/tmp/file"), idStr, lit(".html")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/public/img"), idStr))
+        .otherwise(concat(lit("/blog/"), idStr))
+      val urls = documents(s, d).select(col("doc_id"), host.as("host"), path.as("path"))
+      val ruleSet = Seq(false -> "/private", true -> "/private/4", true -> "/public",
+        false -> "/public", false -> "/tmp/*.html", true -> "/blog", false -> "/blog/14$")
+      val ruleRows = s.range(1).select(explode(array(ruleSet.map { case (a, p) =>
+        struct(lit(a).as("allow"), lit(p).as("pattern")) }: _*)).as("r")).select("r.*")
+      val rules = urls.select("host").distinct().crossJoin(broadcast(ruleRows))
+      val allowed = graft.ops.Robots.decide(urls, rules)
+        .filter(col("allowed")).select("doc_id", "host", "path")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("host").orderBy("doc_id")
+      allowed.withColumn("wave", row_number().over(w).cast("long"))
+        .select("wave", "host", "path", "doc_id")
+        .orderBy("wave", "host", "doc_id")
+    })
+
   /** Sentence BLEU-2 (Papineni et al. 2002) per document: the candidate
     * is synthesized from the reference identically in both engines (the
     * oracle-strong pattern) — first 80% of the tokens with every
@@ -1532,7 +1627,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)

@@ -484,6 +484,59 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Luhn-validated payment-card detection (ISO/IEC 7812) — the checksum
+    * gate a real PII scrubber runs before redacting: a bare 13-19-digit
+    * regex false-positives on order numbers and IDs, so candidates
+    * (maximal digit runs, length-filtered — RE2-safe, no lookbehind) are
+    * validated with Spark's built-in codegen'd `luhn_check`. Fixtures
+    * plant a 16-digit number whose check digit is COMPUTED by the Luhn
+    * arithmetic in both engines (corrupted +1 mod 10 every 3rd doc); the
+    * oracle re-validates with its own independent digit-fold, so a
+    * parity-offset bug in either direction hash-fails. The decoy order
+    * number (9 digits) and ref (5) must not surface as candidates. */
+  val pii2Luhn: Q = {
+    def luhnSumSql(c: String, doubledParity: Int) =
+      s"""CAST(list_sum(list_transform(range(1, length($c) + 1), i ->
+            CASE WHEN i % 2 = $doubledParity THEN
+              CASE WHEN CAST(substr(reverse($c), CAST(i AS INT), 1) AS INT) * 2 > 9
+                   THEN CAST(substr(reverse($c), CAST(i AS INT), 1) AS INT) * 2 - 9
+                   ELSE CAST(substr(reverse($c), CAST(i AS INT), 1) AS INT) * 2 END
+            ELSE CAST(substr(reverse($c), CAST(i AS INT), 1) AS INT) END)) AS BIGINT)"""
+    Q("pii2_luhn",
+      Some(s"""WITH s AS (SELECT doc_id,
+                lpad(CAST((doc_id * 7919 + 13) % 1000000000 AS VARCHAR), 15, '1') AS payload
+              FROM documents),
+            k AS (SELECT doc_id, payload,
+                (10 - ${luhnSumSql("payload", 1)} % 10) % 10 AS chk
+              FROM s),
+            cards AS (SELECT doc_id, concat(payload,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN (chk + 1) % 10 ELSE chk END AS VARCHAR)) AS card
+              FROM k),
+            txt AS (SELECT doc_id, card,
+                concat('order ', CAST(doc_id * 1000003 AS VARCHAR), ' card ', card, ' ref 12345') AS t
+              FROM cards),
+            cand AS (SELECT doc_id, t,
+                list_filter(regexp_extract_all(t, '\\d+'), x -> length(x) >= 13 AND length(x) <= 19) AS cs
+              FROM txt)
+            SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_candidates, cs[1] AS card,
+              ${luhnSumSql("cs[1]", 0)} % 10 = 0 AS luhn_ok
+            FROM cand ORDER BY doc_id"""),
+      (s, d) => {
+        val payload = lpad(((col("doc_id") * 7919 + 13) % 1000000000).cast("string"), 15, "1")
+        val chk = graft.ops.Pii.luhnCheckDigit(payload)
+        val card = concat(payload,
+          when(col("doc_id") % 3 === 0, (chk + 1) % 10).otherwise(chk).cast("string"))
+        val t = concat(lit("order "), (col("doc_id") * 1000003).cast("string"),
+          lit(" card "), card, lit(" ref 12345"))
+        documents(s, d)
+          .withColumn("cs", graft.ops.Pii.cardCandidates(t))
+          .select(col("doc_id"), size(col("cs")).cast("long").as("n_candidates"),
+            element_at(col("cs"), 1).as("card"),
+            graft.ops.Pii.luhnValid(element_at(col("cs"), 1)).as("luhn_ok"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** BM25 keyword retrieval over the corpus: one-row stats agg (N, avgdl,
     * per-term df) broadcast into a map-only scoring scan, global top-15 via
     * TakeOrderedAndProject. The oracle SQL is generated from the SAME term
@@ -1401,7 +1454,7 @@ object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub,
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,

@@ -211,6 +211,41 @@ class Round6Spec extends SparkSpec {
     assert(byId(12).getInt(1) == 789 && byId(12).getInt(2) == 680)     // OS/2 core
   }
 
+  test("Pii.luhnValid/luhnCheckDigit agree with known card checksums") {
+    import spark.implicits._
+    // 4539578763621486 is a textbook-valid Luhn number; +1 breaks it
+    val rows = Seq("4539578763621486", "4539578763621487", "79927398713", "79927398710")
+      .toDF("card")
+      .select(col("card"), graft.ops.Pii.luhnValid(col("card")).as("ok"),
+        graft.ops.Pii.luhnCheckDigit(expr("substring(card, 1, length(card) - 1)")).as("chk"))
+      .collect()
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, false, true, false))
+    // the generator must reproduce the valid numbers' own check digits
+    assert(rows(0).getInt(2) == 6 && rows(2).getInt(2) == 3)
+    // candidate extraction: 20-digit runs yield NO 19-digit prefix; short runs drop
+    val cands = Seq("pay 4539578763621486 ref 123 id 12345678901234567890 x")
+      .toDF("t").select(graft.ops.Pii.cardCandidates(col("t"))).first().getSeq[String](0)
+    assert(cands == Seq("4539578763621486"))
+  }
+
+  test("Cleaning.mainContent keeps dense text, drops nav/short/link-heavy lines") {
+    import spark.implicits._
+    val html = Seq(
+      "<div><a href=/>Home</a> <a href=/b>Blog</a></div>",          // link-dense nav
+      "<p>This paragraph is long enough to keep around here.</p>",  // keep
+      "<p>tiny</p>",                                                // short
+      "Sidebar <a href=/x>with one long anchor text inside it that dominates</a>", // density kill
+      "A plain unmarked line that is also long enough to survive.").mkString("\n")
+    val out = Seq(html).toDF("h")
+      .select(graft.ops.Cleaning.mainContent(col("h")).as("m")).first().getString(0)
+    assert(out == "This paragraph is long enough to keep around here.\n" +
+      "A plain unmarked line that is also long enough to survive.")
+    // empty page → empty string, not null
+    val empty = Seq("<div><a href=/>x</a></div>").toDF("h")
+      .select(graft.ops.Cleaning.mainContent(col("h"))).first().getString(0)
+    assert(empty == "")
+  }
+
   test("x14b approx buckets: cuts within sketch error bound of exact deciles") {
     val d = "/root/testdata/sf0.01"
     val exact = graft.queries.MiscQueries.x14QualityBuckets.fn(spark, d).collect()
