@@ -97,6 +97,22 @@ object Classifier {
 
   /** Score rows with a trained weight row (same margin fold) and count
     * correct 0.5-threshold predictions — the train-set accuracy check. */
+  /** Per-row inference with a trained weight frame — the "train once,
+    * score the corpus" half of the lifecycle: one broadcast of the
+    * (d+1)-row weight table into a map-only scan; keeps `keep` columns
+    * and appends the 9-dp sigmoid score `p`. */
+  def score(df: DataFrame, keep: Seq[Column], features: Seq[Column],
+            weights: DataFrame): DataFrame = {
+    val d = features.size
+    val cols = keep ++ features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }
+    val wRow = weights.groupBy()
+      .pivot("feature_idx", 0 to d).agg(first("weight"))
+      .select((0 to d).map(j => col(s"$j").as(s"w$j")): _*)
+    df.select(cols: _*).crossJoin(broadcast(wRow))
+      .withColumn("p", sigmoid(margin(d)))
+      .drop((0 to d).map(j => s"w$j") ++ (0 until d).map(i => s"f$i"): _*)
+  }
+
   def accuracy(df: DataFrame, features: Seq[Column], label: Column,
                weights: DataFrame): DataFrame = {
     val d = features.size

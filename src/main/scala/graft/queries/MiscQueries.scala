@@ -1113,35 +1113,48 @@ object MiscQueries extends QuerySet {
     * DECIMAL(25,15), weights round to 12 dp per update. The oracle
     * replays all 5 rounds as an unrolled CTE chain plus the final
     * accuracy pass. */
-  val ml1LogReg: Q = {
-    val iters = 5
-    val featSql = s"""SELECT doc_id,
+  // Shared logreg training CTE chain (ml1 gates the training, ml3 the
+  // corpus-scale inference over the SAME learned weights — one source of
+  // truth for the unrolled oracle so the two cannot drift).
+  private val mlIters = 5
+  private val mlFeatSql = s"""SELECT doc_id,
               CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS f0,
               CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS f1,
               CAST(n_chars AS DOUBLE) / (CAST(len(toks) AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS f2,
               CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
             FROM (SELECT doc_id, n_chars, lang, ${OracleSql.toksSql} AS toks FROM documents)"""
-    def pSql(wcte: String) =
-      s"""round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+  private val mlPSql =
+    s"""round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
           + exp(-(w0 + f0 * w1 + f1 * w2 + f2 * w3))), 9)"""
-    val steps = (1 to iters).map { k =>
+  private val mlTrainCtes: String = {
+    val steps = (1 to mlIters).map { k =>
       val gs = (0 to 3).map { j =>
         val term = if (j == 0) "p - y" else s"(p - y) * f${j - 1}"
         s"CAST(sum(CAST($term AS DECIMAL(25,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS g$j"
       }.mkString(",\n                ")
-      s"""p$k AS (SELECT f.*, ${pSql(s"w${k - 1}")} AS p FROM feat f CROSS JOIN w${k - 1}),
+      s"""p$k AS (SELECT f.*, $mlPSql AS p FROM feat f CROSS JOIN w${k - 1}),
             g$k AS (SELECT $gs FROM p$k),
             w$k AS (SELECT ${(0 to 3).map(j => s"round(w$j - 0.5 * g$j, 12) AS w$j").mkString(", ")}
               FROM w${k - 1} CROSS JOIN g$k)"""
     }.mkString(",\n            ")
+    s"""feat AS ($mlFeatSql),
+            w0 AS (SELECT ${(0 to 3).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+            $steps"""
+  }
+  private def mlFeatures: Seq[org.apache.spark.sql.Column] = Seq(
+    col("n_chars").cast("double") / lit(1000.0),
+    size(col("toks")).cast("double") / lit(100.0),
+    col("n_chars").cast("double") / (size(col("toks")).cast("double") + lit(1.0)))
+
+  val ml1LogReg: Q = {
+    val iters = mlIters
+    def pSql(wcte: String) = mlPSql
     val names = Seq("bias", "len_k", "tok_h", "avg_wlen")
     val melt = names.zipWithIndex.map { case (n, j) =>
       s"SELECT $j AS feature_idx, '$n' AS feature, round(w$j, 6) AS weight, n_correct, n_total FROM w$iters CROSS JOIN acc"
     }.mkString(" UNION ALL ")
     Q("ml1_logreg_quality",
-      Some(s"""WITH feat AS ($featSql),
-            w0 AS (SELECT ${(0 to 3).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
-            $steps,
+      Some(s"""WITH $mlTrainCtes,
             pf AS (SELECT f.*, ${pSql(s"w$iters")} AS p FROM feat f CROSS JOIN w$iters),
             acc AS (SELECT CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
                 CAST(count(*) AS BIGINT) AS n_total FROM pf)
@@ -1163,6 +1176,33 @@ object MiscQueries extends QuerySet {
           .orderBy("feature_idx")
       })
   }
+
+  /** Corpus-scale classifier INFERENCE — the other half of ml1's
+    * lifecycle and the way a DCLM/fastText-style quality model is
+    * actually used: train once (ml1's exact 5-round GD, same shared
+    * oracle CTE chain — the learned weights cannot drift between the two
+    * queries), then score EVERY document in one map-only scan with the
+    * (d+1)-row weight table broadcast. Per-doc outputs: 9-dp sigmoid
+    * score, predicted label, truth, and the confidence decile a curation
+    * pipeline would threshold on. */
+  val ml3Inference: Q = Q("ml3_logreg_inference",
+    Some(s"""WITH $mlTrainCtes,
+            pf AS (SELECT f.doc_id, f.y, $mlPSql AS p FROM feat f CROSS JOIN w$mlIters)
+            SELECT doc_id, p AS score, p >= 0.5 AS pred_en, y = 1.0 AS is_en,
+              CAST(least(floor(p * 10), 9) AS BIGINT) AS conf_decile
+            FROM pf ORDER BY doc_id"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+      val wts = graft.ops.Classifier.logregTrain(base, mlFeatures, y, iters = mlIters, lr = 0.5)
+      graft.ops.Classifier.score(base.withColumn("y", y),
+          Seq(col("doc_id"), col("y")), mlFeatures, wts)
+        .select(col("doc_id"), col("p").as("score"),
+          (col("p") >= 0.5).as("pred_en"), (col("y") === 1.0).as("is_en"),
+          least(floor(col("p") * 10), lit(9)).cast("long").as("conf_decile"))
+        .orderBy("doc_id")
+    })
 
   /** Z-order (Morton) clustering key over the two join dimensions a
     * lineitem lake is queried by — the data-skipping layout primitive
@@ -1628,7 +1668,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
 }
