@@ -214,6 +214,23 @@ object TableOps {
       .drop(tsCol)
   }
 
+  /** Merge ADDITIVE partial aggregates — the incremental
+    * materialized-view maintenance primitive: per-batch partials (counts,
+    * sums — anything commutative-monoid) re-aggregate by key with plain
+    * sums, and MUST equal the single-pass full aggregate. Ratios/averages
+    * are NOT additive and must be derived from merged sums afterward
+    * (avg-of-avgs is the classic incremental-pipeline bug this op's gate
+    * exists to catch). At 100 TB this is how daily stats absorb a delta
+    * without rescanning the corpus. */
+  def mergeAdditive(partials: Seq[DataFrame], keyCols: Seq[String],
+                    sumCols: Seq[String]): DataFrame = {
+    require(partials.nonEmpty, "need at least one partial frame")
+    val unioned = partials.reduce(_ unionByName _)
+    unioned.groupBy(keyCols.map(col): _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+  }
+
   def broadcastTopRank(df: DataFrame, valueCol: String, idCol: String, n: Int): DataFrame = {
     val top = df.select(col(idCol), col(valueCol))
       .orderBy(col(valueCol).desc, col(idCol)).limit(n)

@@ -1204,6 +1204,36 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Incremental aggregate maintenance — the materialized-view pattern a
+    * 100 TB stats table lives by: per-source token/char/doc stats are
+    * computed as TWO batch partials (a "snapshot" and a "delta", split by
+    * doc_id parity) and MERGED by summing — and the oracle computes the
+    * same stats in ONE full pass, so any non-additive leakage (the
+    * avg-of-avgs bug: ratios must derive from merged sums, never merge
+    * themselves) hash-fails. Exact-integer sums; the derived mean divides
+    * once at the end, 6-dp-rounded. */
+  val inc1Merge: Q = Q("inc1_merge_aggregates",
+    Some(s"""WITH t AS (SELECT source, n_chars, ${graft.queries.OracleSql.toksSql} AS toks FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+              round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+            FROM t GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("source"), col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      def partial(batch: org.apache.spark.sql.DataFrame) = batch.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("n_toks").as("sum_tokens"))
+      val snapshot = partial(base.filter(col("doc_id") % 2 === 0))
+      val delta = partial(base.filter(col("doc_id") % 2 =!= 0))
+      graft.ops.TableOps.mergeAdditive(Seq(snapshot, delta), Seq("source"),
+          Seq("n_docs", "sum_chars", "sum_tokens"))
+        .select(col("source"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+          round(col("sum_chars").cast("double") / col("n_docs").cast("double"), 6).as("avg_chars"))
+        .orderBy("source")
+    })
+
   /** Z-order (Morton) clustering key over the two join dimensions a
     * lineitem lake is queried by — the data-skipping layout primitive
     * (`ZOrder.layout` writes it; Round5Spec proves the bounding boxes
@@ -1668,7 +1698,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
 }

@@ -246,6 +246,21 @@ class Round6Spec extends SparkSpec {
     assert(empty == "")
   }
 
+  test("TableOps.mergeAdditive equals a single-pass aggregate; avg-of-avgs would not") {
+    import spark.implicits._
+    val rows = Seq(("a", 10L), ("a", 20L), ("a", 60L), ("b", 5L), ("b", 7L))
+      .toDF("k", "v").withColumn("one", lit(1L))
+    def part(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy("k").agg(sum("one").as("n"), sum("v").as("s"))
+    // lopsided split: batch 1 holds two 'a' rows, batch 2 the third —
+    // avg-of-avgs for 'a' would give (15 + 60)/2 = 37.5, truth is 30
+    val merged = graft.ops.TableOps.mergeAdditive(
+        Seq(part(rows.limit(2)), part(rows.offset(2))), Seq("k"), Seq("n", "s"))
+      .select(col("k"), (col("s").cast("double") / col("n")).as("avg"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged("a") == 30.0 && merged("b") == 6.0)
+  }
+
   test("x14b approx buckets: cuts within sketch error bound of exact deciles") {
     val d = "/root/testdata/sf0.01"
     val exact = graft.queries.MiscQueries.x14QualityBuckets.fn(spark, d).collect()
