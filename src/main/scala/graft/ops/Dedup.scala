@@ -327,6 +327,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Contamination FRACTION per training doc — the graded form of
+    * [[decontaminate]] (PaLM/Llama-style decontamination drops docs whose
+    * overlap share exceeds a threshold rather than any-hit): for every
+    * training doc, the share of its distinct n-grams that appear in the
+    * eval set. Same broadcast-eval-grams shape — the 100 TB training side
+    * never shuffles for the check; the per-doc denominator rides along
+    * from the shingle array already in hand. Returns every training doc
+    * (zero-overlap docs included) as (id, n_grams, n_shared, frac). */
+  def contaminationFraction(train: DataFrame, evalSet: DataFrame, idCol: String,
+                            textCol: String, n: Int): DataFrame = {
+    val trainGrams = train.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val evalGrams = evalSet.select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+    val shared = trainGrams.select(col("id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    trainGrams.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      // wordShingles yields ≥ 1 gram for any doc (short docs collapse to
+      // one whole-text gram), so the division is total
+      .withColumn("frac",
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Bloom-prefiltered decontamination — [[decontaminate]]'s scale path
     * for when the eval-gram set is too large to broadcast comfortably:
     * the corpus gram stream is first cut down by a `might_contain` test

@@ -966,6 +966,36 @@ object VectorQueries extends QuerySet {
         .orderBy("id")
     })
 
+  /** Graded contamination (PaLM/Llama-style): per TRAINING doc, the
+    * FRACTION of its distinct 4-grams that appear anywhere in the eval
+    * split, with the ≥5% drop verdict — the thresholded form real
+    * decontamination pipelines apply where d6's any-hit flag is too
+    * blunt. Every training doc emits a row (zero-overlap included), so
+    * the left-join null path and the short-doc single-gram denominator
+    * are both inside the hash. */
+  val d15Contamination = Q("d15_contamination_fraction",
+    Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            sh AS (SELECT id, ${OracleSql.shinglesSql(4)} AS sh FROM t),
+            g AS (SELECT id, unnest(sh) AS g FROM sh),
+            ev AS (SELECT DISTINCT g FROM g WHERE id % 13 = 0),
+            shd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM g WHERE id % 13 <> 0 AND g IN (SELECT g FROM ev)
+              GROUP BY id),
+            tr AS (SELECT id, CAST(len(sh) AS BIGINT) AS n_grams FROM sh WHERE id % 13 <> 0)
+            SELECT id, n_grams, coalesce(n_shared, 0) AS n_shared,
+              round(CAST(coalesce(n_shared, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS frac,
+              round(CAST(coalesce(n_shared, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) >= 0.05 AS contaminated
+            FROM tr LEFT JOIN shd USING (id) ORDER BY id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", n = 4)
+        .withColumn("contaminated", col("frac") >= 0.05)
+        .orderBy("id")
+    })
+
   /** d6's SCALE PATH: identical decontamination result, but the corpus
     * gram stream is prefiltered map-only by a Bloom filter of the eval
     * grams before the exact semi-join — the shape for an eval set too
@@ -1375,7 +1405,7 @@ object VectorQueries extends QuerySet {
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
-    d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d7DedupClusters,
+    d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d15Contamination, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
