@@ -133,5 +133,53 @@ object PdfQueries extends QuerySet {
         .orderBy("doc_id", "block_idx")
     })
 
-  def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand)
+  /** pdf5 (W2 on REAL layout): adjacent-block merge — the
+    * gaps-and-islands pass (ref `pdf_parser.py:184-254`) running on the
+    * EXTRACTED geometry: reading order per pdf3, then a new group
+    * whenever the column band changes, the font size changes, or the
+    * vertical gap exceeds one leading (20). The fixture geometry makes
+    * the merges non-trivial: aside+footer merge everywhere (gap exactly
+    * 20, same font), and for odd doc_id % 3 = 0 docs the footer lands
+    * between heading and body and merges with the BODY instead — an
+    * outcome that exists only if extraction, ordering, lag semantics and
+    * the break predicate are all right. */
+  val pdf5BlockMerge = Q("pdf5_block_merge",
+    Some(s"""$blocksCte,
+            mo AS (SELECT doc_id, text, x, y, font_size,
+                CASE WHEN x < 300 THEN 0 ELSE 1 END AS band FROM b),
+            ml AS (SELECT *, lag(band) OVER w AS pb, lag(font_size) OVER w AS ps,
+                lag(y) OVER w AS py
+              FROM mo WINDOW w AS (PARTITION BY doc_id ORDER BY band, y DESC, x)),
+            mf AS (SELECT *, CASE WHEN pb IS NULL OR pb <> band OR ps <> font_size
+                OR py - y > 20 THEN 1 ELSE 0 END AS brk FROM ml),
+            mg AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY band, y DESC, x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp FROM mf)
+            SELECT doc_id, grp,
+              string_agg(text, ' ' ORDER BY band, y DESC, x) AS merged_text,
+              CAST(count(*) AS BIGINT) AS n_parts,
+              max(y) AS y_top, min(y) AS y_bottom, max(font_size) AS font_size
+            FROM mg GROUP BY doc_id, grp ORDER BY doc_id, grp"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = extracted(s, d).withColumn("band", when(col("x") < 300, 0).otherwise(1))
+      val w = Window.partitionBy("doc_id").orderBy(col("band"), col("y").desc, col("x"))
+      val brk = when(lag(col("band"), 1).over(w).isNull ||
+        lag(col("band"), 1).over(w) =!= col("band") ||
+        lag(col("font_size"), 1).over(w) =!= col("font_size") ||
+        (lag(col("y"), 1).over(w) - col("y")) > 20, 1L).otherwise(0L)
+      graft.ops.Merge.islandId(o.withColumn("_brk", brk), Seq(col("doc_id")),
+          struct(col("band"), (-col("y")).as("ny"), col("x")), col("_brk"), "grp")
+        .groupBy("doc_id", "grp")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("band"), (-col("y")).as("ny"), col("x"),
+              col("text")))),
+            b => b.getField("text")), " ").as("merged_text"),
+          count(lit(1)).as("n_parts"),
+          max(col("y")).as("y_top"), min(col("y")).as("y_bottom"),
+          max(col("font_size")).as("font_size"))
+        .orderBy("doc_id", "grp")
+    })
+
+  def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge)
 }
