@@ -309,6 +309,68 @@ object WindowQueries extends QuerySet {
         .orderBy("event_id")
     })
 
+  /** W8: time-weighted linear interpolation of gapped values — the
+    * sensor/metrics gap-fill companion to w3's forward fill (w3 copies
+    * the last reading; interpolation weights the two surrounding readings
+    * by event-time distance, the standard resample-and-align pass).
+    * Gaps are planted (every 5th event's value nulled); each gap fills
+    * from the nearest non-null neighbors via two IGNORE-NULLS running
+    * windows (both key-partitioned — no global window), degrading to
+    * ffill/bfill at partition edges. The ratio arithmetic is written in
+    * the same operand order in both engines; 6-dp rounding on output. */
+  val w8Interpolate = Q("w8_linear_interpolate",
+    Some("""WITH g AS (SELECT user_id, event_id, ts,
+              CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+            FROM events),
+            n AS (SELECT user_id, event_id, ts, v,
+              last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+              last_value(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+              first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+              first_value(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+            FROM g)
+            SELECT user_id, event_id, v AS raw_value,
+              round(CASE
+                WHEN v IS NOT NULL THEN v
+                WHEN vp IS NOT NULL AND vn IS NOT NULL AND tn <> tp
+                  THEN vp + (vn - vp) * (CAST(epoch_us(ts) - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+                WHEN vp IS NOT NULL AND vn IS NOT NULL THEN vp
+                ELSE coalesce(vp, vn) END, 6) AS filled
+            FROM n ORDER BY event_id"""),
+    (s, d) => {
+      val v = when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+      val wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tUs = unix_micros(col("ts"))
+      val tp = last(when(col("v").isNotNull, tUs), ignoreNulls = true).over(wb)
+      val vp = last(col("v"), ignoreNulls = true).over(wb)
+      val tn = first(when(col("v").isNotNull, tUs), ignoreNulls = true).over(wf)
+      val vn = first(col("v"), ignoreNulls = true).over(wf)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), v.as("v"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("v"),
+          tp.as("tp"), vp.as("vp"), tn.as("tn"), vn.as("vn"))
+        .select(col("user_id"), col("event_id"), col("v").as("raw_value"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("vp").isNotNull && col("vn").isNotNull && col("tn") =!= col("tp"),
+              col("vp") + (col("vn") - col("vp")) *
+                ((unix_micros(col("ts")) - col("tp")).cast("double") /
+                  (col("tn") - col("tp")).cast("double")))
+            .when(col("vp").isNotNull && col("vn").isNotNull, col("vp"))
+            .otherwise(coalesce(col("vp"), col("vn"))), 6).as("filled"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
-    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling)
+    w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
+    w8Interpolate)
 }
