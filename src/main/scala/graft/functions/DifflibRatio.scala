@@ -208,6 +208,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       CdcBoundaries.info,
       (exprs: Seq[Expression]) => CdcBoundariesExpr(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDimsExpr].getName, "image_dims"),
+      (exprs: Seq[Expression]) => ImageDimsExpr(exprs(0))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -185,6 +185,29 @@ object TextAnalysis {
     * `p·ln(p/q)` term is 12-dp-rounded and DECIMAL(25,15)-summed so the
     * per-group total is reduction-order-independent. P's support is a
     * subset of Q's by construction, so no zero-q guard is needed. */
+  /** Per-doc character-level Shannon entropy — the compression-flavored
+    * quality signal (binary junk and encrypted blobs run high, repeated
+    * boilerplate runs low; CCNet/Gopher-adjacent filters threshold on
+    * it). Shape: one explode to (doc, char) rows, one map-side-combined
+    * hash aggregate over the per-doc alphabet (bounded keys), entropy
+    * terms 12-dp-rounded then DECIMAL-summed so a parallel sum's
+    * reduction order never reaches the output (the dom4 KL discipline).
+    * Returns (id, n, u, h): total chars, distinct chars, entropy in nats
+    * (un-rounded — callers round for display). Docs shorter than 1 char
+    * are the caller's left-join case. */
+  def charEntropy(docs: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val chars = docs.filter(length(text) >= 1)
+      .select(idCol.as("id"),
+        explode(transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))).as("c"))
+    val cnt = chars.groupBy("id", "c").agg(count(lit(1)).as("k"))
+    val tot = cnt.groupBy("id").agg(sum("k").as("n"), count(lit(1)).as("u"))
+    val p = col("k").cast("double") / col("n").cast("double")
+    cnt.join(tot, "id")
+      .select(col("id"), col("n"), col("u"), round(-p * log(p), 12).as("term"))
+      .groupBy("id", "n", "u")
+      .agg(sum(col("term").cast("decimal(25,15)")).cast("double").as("h"))
+  }
+
   def klBySource(docs: DataFrame, group: Column, text: Column): DataFrame = {
     val gw = docs.select(group.as("g"), explode(tokens(text)).as("w"))
       .groupBy("g", "w").agg(count(lit(1)).as("c"))

@@ -440,6 +440,42 @@ object TextQueries extends QuerySet {
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id"))
 
+  /** Character-level Shannon entropy per doc — the compression-flavored
+    * quality gate (high = binary junk/random, low = repeated
+    * boilerplate). One (doc, char) hash aggregate over the per-doc
+    * alphabet; terms 12-dp-rounded then DECIMAL-summed (the dom4 KL
+    * discipline) so reduction order never reaches the hash; nats and
+    * bits (÷ the exact ln 2 literal in BOTH engines) both emitted. */
+  val x20CharEntropy = Q("x20_char_entropy",
+    Some("""WITH ch AS (SELECT doc_id,
+              unnest(list_transform(range(1, length(text) + 1),
+                i -> substr(text, CAST(i AS INT), 1))) AS c
+              FROM documents WHERE length(text) >= 1),
+            cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS u
+              FROM cnt GROUP BY doc_id),
+            terms AS (SELECT doc_id, n, u,
+                round(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS term
+              FROM cnt JOIN tot USING (doc_id)),
+            e AS (SELECT doc_id, n, u, CAST(sum(CAST(term AS DECIMAL(25,15))) AS DOUBLE) AS h
+              FROM terms GROUP BY doc_id, n, u)
+            SELECT d.doc_id, coalesce(n, 0) AS n_chars, coalesce(u, 0) AS n_unique,
+              round(coalesce(h, 0.0), 6) AS entropy_nats,
+              round(coalesce(h, 0.0) / 0.6931471805599453, 6) AS bits_per_char
+            FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id ORDER BY d.doc_id"""),
+    (s, d) => {
+      val e = TextAnalysis.charEntropy(documents(s, d), col("doc_id"), col("text"))
+      documents(s, d).select(col("doc_id"))
+        .join(e.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_chars"),
+          coalesce(col("u"), lit(0L)).cast("long").as("n_unique"),
+          round(coalesce(col("h"), lit(0.0)), 6).as("entropy_nats"),
+          round(coalesce(col("h"), lit(0.0)) / lit(0.6931471805599453), 6).as("bits_per_char"))
+        .orderBy("doc_id")
+    })
+
   /** PII scrub: the corpus text is deterministic word salad with no real
     * identifiers, so the PII-bearing text is synthesized from base columns
     * identically in both engines (the oracle-strong pattern), then redacted
@@ -1454,7 +1490,7 @@ object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn,
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
