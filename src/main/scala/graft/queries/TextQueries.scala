@@ -476,6 +476,45 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Safety wordlist filter with obfuscation folding — the blocklist
+    * pass every production corpus runs, made non-trivial the way real
+    * content evades it: leet-speak substitutions (0→o, 1→i, 3→e, @→a,
+    * $→s) are folded by one codegen'd `translate` BEFORE tokenize +
+    * blocklist intersection, so 't0x1n' and 'v1per' hit the same list as
+    * their plain forms. Planted occurrences: obfuscated every 4th doc,
+    * plain every 4th+1, the rest must stay clean — both the catch and
+    * the no-false-positive side are in the hash. Map-only at any corpus
+    * size. */
+  val x21Safety: Q = {
+    val wordlist = Seq("toxin", "viper")
+    val wlSql = wordlist.map(w => s"'$w'").mkString("[", ", ", "]")
+    Q("x21_safety_wordlist",
+      Some(s"""WITH t AS (SELECT doc_id,
+                concat(text, CASE WHEN doc_id % 4 = 0 THEN ' t0x1n and v1per w@rning'
+                                  WHEN doc_id % 4 = 1 THEN ' toxin plainly'
+                                  ELSE '' END) AS raw
+              FROM documents),
+            n AS (SELECT doc_id,
+                list_filter(string_split_regex(translate(lower(raw), '013@$$', 'oieas'), '\\s+'),
+                  x -> x <> '') AS toks
+              FROM t)
+            SELECT doc_id,
+              CAST(len(list_filter(toks, x -> list_contains($wlSql, x))) AS BIGINT) AS n_hits,
+              len(list_filter(toks, x -> list_contains($wlSql, x))) >= 1 AS flagged
+            FROM n ORDER BY doc_id"""),
+      (s, d) => {
+        val raw = concat(col("text"),
+          when(col("doc_id") % 4 === 0, " t0x1n and v1per w@rning")
+            .when(col("doc_id") % 4 === 1, " toxin plainly").otherwise(""))
+        val toks = filter(split(translate(lower(raw), "013@$", "oieas"), "\\s+"), t => t =!= "")
+        val wl = array(wordlist.map(lit): _*)
+        val hits = size(filter(toks, x => array_contains(wl, x)))
+        documents(s, d)
+          .select(col("doc_id"), hits.cast("long").as("n_hits"), (hits >= 1).as("flagged"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** PII scrub: the corpus text is deterministic word salad with no real
     * identifiers, so the PII-bearing text is synthesized from base columns
     * identically in both engines (the oracle-strong pattern), then redacted
@@ -1490,7 +1529,7 @@ object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy,
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
