@@ -341,4 +341,53 @@ class PropertySpec extends SparkSpec {
     assert(a.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
     assert(a == sigs)
   }
+
+  test("charEntropy: 0 ≤ H ≤ ln(alphabet); uniform alphabet hits the bound, single char hits 0") {
+    val docs = Seq(
+      1L -> "aaaaaaaa",              // H = 0
+      2L -> "abcdabcdabcd",          // uniform over 4 → H = ln 4
+      3L -> "aab",                   // 2/3, 1/3 mix
+      4L -> Seq.fill(50)(rng.nextPrintableChar()).mkString).toDF("id", "t")
+    val out = graft.ops.TextAnalysis.charEntropy(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 == 0.0)
+    assert(math.abs(out(2L)._3 - math.log(4)) < 1e-9)
+    out.values.foreach { case (n, u, h) =>
+      assert(h >= -1e-12 && h <= math.log(u.toDouble) + 1e-9, s"H=$h outside [0, ln($u)]")
+      assert(u <= n)
+    }
+  }
+
+  test("luhnCheckDigit generates numbers luhn_check accepts, for random payloads") {
+    val payloads = Seq.fill(200)((1 to 10 + rng.nextInt(9)).map(_ => rng.nextInt(10)).mkString)
+    val ok = payloads.toDF("p")
+      .select(concat(col("p"), graft.ops.Pii.luhnCheckDigit(col("p")).cast("string")).as("card"))
+      .select(graft.ops.Pii.luhnValid(col("card")).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(ok.forall(identity), "generated check digit rejected by luhn_check")
+  }
+
+  test("mainContent output text is a subsequence of the stripped input lines") {
+    val pages = Seq.fill(60) {
+      (1 to 1 + rng.nextInt(6)).map { _ =>
+        val words = (1 to rng.nextInt(12)).map(_ => "w" + rng.nextInt(100)).mkString(" ")
+        if (rng.nextBoolean()) s"<p>$words</p>" else s"<a href=/x>$words</a> tail"
+      }.mkString("\n")
+    }
+    val rows = pages.toDF("h")
+      .select(col("h"), graft.ops.Cleaning.mainContent(col("h")).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val strippedLines = r.getString(0).split("\n").toSeq
+        .map(l => l.replaceAll("<[^>]*>", "").trim)
+      val kept = r.getString(1).split("\n").toSeq.filter(_.nonEmpty)
+      // order-preserving subsequence check
+      var i = 0
+      kept.foreach { k =>
+        val j = strippedLines.indexOf(k, i)
+        assert(j >= 0, s"kept line not found in order: $k")
+        i = j + 1
+      }
+    }
+  }
 }
