@@ -992,6 +992,50 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Link-graph extraction — the step between a fetched page (warc) and
+    * the domain graph PageRank ranks (pr1): absolute hrefs parsed from
+    * HTML, host-normalized (lowercased, ports stripped), RELATIVE links
+    * excluded, self-links kept, duplicate links counted. Per-(src, dst)
+    * edge weights from one explode + hash aggregate — the web-graph
+    * builder is a map + count at any crawl size. The fixture plants an
+    * absolute link to the doc's own host, a cross-host link (lang-derived
+    * so edges actually fan out), a RELATIVE link that must NOT become an
+    * edge, and a duplicated link that must count 2. */
+  val crawl2LinkGraph = Q("crawl2_link_graph",
+    Some("""WITH h AS (SELECT doc_id,
+              concat(coalesce(source, ''), '.example.com') AS src_host,
+              concat('<p><a href="https://', coalesce(source, ''), '.example.com/self">s</a> ',
+                '<a href="/relative/path">rel</a> ',
+                '<a href="HTTP://', coalesce(lang, 'xx'), '.Example.ORG:8080/page">x</a> ',
+                '<a href="http://', coalesce(lang, 'xx'), '.example.org:8080/other">x2</a></p>') AS html
+              FROM documents),
+            l AS (SELECT doc_id, src_host,
+                lower(string_split(unnest(regexp_extract_all(html, '(?i)href="https?://([^/"]+)', 1)), ':')[1]) AS dst_host
+              FROM h)
+            SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+            FROM l GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host"""),
+    (s, d) => {
+      val srcHost = concat(coalesce(col("source"), lit("")), lit(".example.com"))
+      val html = concat(
+        lit("<p><a href=\"https://"), coalesce(col("source"), lit("")),
+        lit(".example.com/self\">s</a> "),
+        lit("<a href=\"/relative/path\">rel</a> "),
+        lit("<a href=\"HTTP://"), coalesce(col("lang"), lit("xx")),
+        lit(".Example.ORG:8080/page\">x</a> "),
+        lit("<a href=\"http://"), coalesce(col("lang"), lit("xx")),
+        lit(".example.org:8080/other\">x2</a></p>"))
+      documents(s, d)
+        .select(col("doc_id"), srcHost.as("src_host"),
+          explode(regexp_extract_all(html, lit("(?i)href=\"https?://([^/\"]+)"), lit(1))).as("raw"))
+        .select(col("doc_id"), col("src_host"),
+          lower(element_at(split(col("raw"), ":"), 1)).as("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_pages"))
+        .orderBy("src_host", "dst_host")
+    })
+
   /** Crawl-frontier politeness schedule — what a fetcher does with rob1's
     * verdicts: allowed URLs only, one fetch per host per WAVE (wave n =
     * the host's n-th politeness slot; all wave-1 fetches across hosts are
@@ -1697,7 +1741,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, p15Boilerplate, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
