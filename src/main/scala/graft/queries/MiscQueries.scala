@@ -1600,6 +1600,52 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Per-source quality dashboard — the composed profile a curation run
+    * reviews before setting mixture weights: doc count, mean x2 quality,
+    * mean x20 entropy (bits/char), and the ≥0.5 quality pass count, per
+    * source. Both signal chains are the SHARED oracle CTEs (qualityCtes +
+    * the entropy chain), so the dashboard provably aggregates the same
+    * scores the per-doc gates emit; means are DECIMAL-summed then divided
+    * once (the dom2 discipline). */
+  val dom5Profile: Q = Q("dom5_quality_profile",
+    Some(s"""WITH $qualityCtes,
+            ech AS (SELECT doc_id,
+              unnest(list_transform(range(1, length(text) + 1),
+                i -> substr(text, CAST(i AS INT), 1))) AS ch
+              FROM documents WHERE length(text) >= 1),
+            ecnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k FROM ech GROUP BY doc_id, ch),
+            etot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM ecnt GROUP BY doc_id),
+            eterms AS (SELECT doc_id, n,
+                round(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS term
+              FROM ecnt JOIN etot USING (doc_id)),
+            e AS (SELECT doc_id, CAST(sum(CAST(term AS DECIMAL(25,15))) AS DOUBLE) AS h
+              FROM eterms GROUP BY doc_id),
+            j AS (SELECT d.source, q.quality,
+                round(coalesce(e.h, 0.0) / 0.6931471805599453, 9) AS bits
+              FROM documents d JOIN q ON q.doc_id = d.doc_id
+              LEFT JOIN e ON e.doc_id = d.doc_id)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              round(CAST(sum(CAST(quality AS DECIMAL(25,15))) AS DOUBLE) / count(*), 6) AS avg_quality,
+              round(CAST(sum(CAST(bits AS DECIMAL(25,15))) AS DOUBLE) / count(*), 6) AS avg_bits,
+              CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM j GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      val q = documents(s, d).select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      val e = TextAnalysis.charEntropy(documents(s, d), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("h"))
+      q.join(e, Seq("doc_id"), "left")
+        .select(col("source"), col("quality"),
+          round(coalesce(col("h"), lit(0.0)) / lit(0.6931471805599453), 9).as("bits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("quality").cast("decimal(25,15)")).cast("double") / count(lit(1)), 6).as("avg_quality"),
+          round(sum(col("bits").cast("decimal(25,15)")).cast("double") / count(lit(1)), 6).as("avg_bits"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    })
+
   /** Temperature-scaled (α = 0.5) domain mixture weights — the sampling
     * table a multi-domain pre-training run derives from per-domain token
     * counts. The oracle replays the same sqrt-share normalization with the
@@ -1744,5 +1790,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
 }
