@@ -161,6 +161,54 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Flesch reading-ease statistics over REAL punctuated text — the
+    * readability gate a curation pipeline bands educational content by
+    * (the FineWeb-Edu/Textbooks-style signal, rule-based form). Sentences
+    * are terminator runs (`[.!?]+`, floor 1); words are tokens with
+    * non-letters stripped; syllables use the standard vowel-group
+    * heuristic (runs of `[aeiouy]`, floor 1 per word). Pure codegen'd
+    * expressions — map-only at any corpus size. Returns a struct
+    * (n_sentences, n_words, n_syllables, flesch); flesch = 206.835 −
+    * 1.015·(words/sentence) − 84.6·(syllables/word), 6-dp. */
+  def fleschStats(text: Column): Column = {
+    val words = filter(transform(tokens(text), t => regexp_replace(t, "[^a-z]", "")),
+      w => w =!= "")
+    val nWords = size(words)
+    val nSent = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+    val nSyll = aggregate(words, lit(0),
+      (acc, w) => acc + greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)))
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / greatest(nWords, lit(1)).cast("double")
+    struct(
+      nSent.cast("long").as("n_sentences"),
+      nWords.cast("long").as("n_words"),
+      nSyll.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch"))
+  }
+
+  /** Distinct-n diversity (Li et al. 2016) — the standard text-generation
+    * degeneracy metric (and, over a training corpus, a repetition tell
+    * complementary to [[repetitionScore]]): distinct-1 = unique unigrams /
+    * total, distinct-2 = unique bigrams / total. One HOF expression chain
+    * per doc — bigrams via zip_with over two token-list slices, no
+    * explode, no shuffle. Returns a struct (n_unigrams, d1, n_bigrams,
+    * d2); d2 is NULL for docs with fewer than 2 tokens (no bigram is a
+    * fact, not a zero). */
+  def distinctN(text: Column): Column = {
+    val toks = tokens(text)
+    val n1 = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), greatest(n1 - 1, lit(0))),
+      slice(toks, lit(2), greatest(n1 - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val n2 = greatest(n1 - 1, lit(0))
+    struct(
+      n1.cast("long").as("n_unigrams"),
+      round(size(array_distinct(toks)).cast("double") / greatest(n1, lit(1)).cast("double"), 6).as("d1"),
+      n2.cast("long").as("n_bigrams"),
+      when(n2 >= 1,
+        round(size(array_distinct(bigrams)).cast("double") / n2.cast("double"), 6)).as("d2"))
+  }
+
   /** Unicode script-composition counts — the multilingual-curation prior
     * (fastText-style LID uses script share as its strongest signal; a
     * mixed-script doc is the classic boilerplate/spam tell). Each script

@@ -515,6 +515,107 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Deterministic sentence-structure synthesis: the corpus text is
+    * terminator-free word salad, so sentence boundaries are planted
+    * identically in both engines — every 9th token gains a terminator,
+    * cycling . ! ? by sentence index (the x21/pii1 oracle-strong fixture
+    * pattern). */
+  private val punctSql =
+    """array_to_string(list_transform(range(1, len(toks) + 1),
+         i -> concat(toks[i], CASE WHEN (i - 1) % 9 = 8
+           THEN ['.', '!', '?'][((i - 1) // 9) % 3 + 1] ELSE '' END)), ' ')"""
+  private def punctText: org.apache.spark.sql.Column = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    concat_ws(" ", transform(toks, (t, i) =>
+      concat(t, when(i % 9 === 8,
+        element_at(array(lit("."), lit("!"), lit("?")),
+          (floor(i / lit(9)) % 3 + 1).cast("int")))
+        .otherwise(lit("")))))
+  }
+
+  /** Flesch reading-ease banding (prompt: text analysis / quality
+    * scoring) — readability over the synthesized-punctuation text via
+    * [[TextAnalysis.fleschStats]]: terminator-run sentences, letter-only
+    * words, vowel-group syllables, the classic 206.835 − 1.015·wps −
+    * 84.6·spw score banded easy/medium/hard ON THE 6-DP-ROUNDED value
+    * (so a band boundary cannot drift between engines). Map-only. */
+  val x22Readability = Q("x22_readability",
+    Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+            p AS (SELECT doc_id, $punctSql AS ptext FROM t),
+            w AS (SELECT doc_id, ptext,
+                list_filter(list_transform(
+                  list_filter(string_split_regex(lower(ptext), '\\s+'), x -> x <> ''),
+                  x -> regexp_replace(x, '[^a-z]', '', 'g')), x -> x <> '') AS words
+              FROM p),
+            st AS (SELECT doc_id,
+                CAST(greatest(len(regexp_extract_all(ptext, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                CAST(len(words) AS BIGINT) AS n_words,
+                coalesce(CAST(list_sum(list_transform(words,
+                  x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT), 0) AS n_syllables
+              FROM w),
+            f AS (SELECT doc_id, n_sentences, n_words, n_syllables,
+                round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)), 6) AS flesch
+              FROM st)
+            SELECT doc_id, n_sentences, n_words, n_syllables, flesch,
+              CASE WHEN flesch >= 60 THEN 'easy' WHEN flesch >= 30 THEN 'medium' ELSE 'hard' END AS band
+            FROM f ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fleschStats(punctText).as("st"))
+      .select(col("doc_id"), col("st.n_sentences").as("n_sentences"),
+        col("st.n_words").as("n_words"), col("st.n_syllables").as("n_syllables"),
+        col("st.flesch").as("flesch"))
+      .withColumn("band", when(col("flesch") >= 60, "easy")
+        .when(col("flesch") >= 30, "medium").otherwise("hard"))
+      .orderBy("doc_id"))
+
+  /** Length winsorization — outlier clipping at the p05/p95 cuts (the
+    * tail-taming a loss-weighted sampler or length-bucketed batcher runs
+    * first). ONE percentile aggregate broadcasts two scalars; the clip
+    * itself is map-only — the x14 cut-table shape. */
+  val x23Winsorize = Q("x23_winsorize_length",
+    Some("""WITH cuts AS (SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 6) AS lo,
+                round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6) AS hi FROM documents)
+            SELECT doc_id, n_chars,
+              round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6) AS clipped,
+              (CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi) AS is_clipped
+            FROM documents CROSS JOIN cuts ORDER BY doc_id"""),
+    (s, d) => {
+      val cuts = documents(s, d).agg(
+        round(percentile(col("n_chars").cast("double"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("n_chars").cast("double"), lit(0.95)), 6).as("hi"))
+      documents(s, d).crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_chars"),
+          round(least(greatest(col("n_chars").cast("double"), col("lo")), col("hi")), 6).as("clipped"),
+          (col("n_chars").cast("double") < col("lo")
+            || col("n_chars").cast("double") > col("hi")).as("is_clipped"))
+        .orderBy("doc_id")
+    })
+
+  /** Distinct-n diversity (Li et al. 2016, the text-generation degeneracy
+    * metric) via [[TextAnalysis.distinctN]] — unique/total unigram and
+    * bigram ratios per doc; bigrams are a zip_with over two token-list
+    * slices (no explode, no shuffle), d2 NULL below 2 tokens. */
+  val x24DistinctN = Q("x24_distinct_n",
+    Some(s"""WITH t AS (SELECT doc_id, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            b AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i + 1]))
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+              FROM t)
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_unigrams,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS d1,
+              CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+              CASE WHEN len(toks) >= 2
+                THEN round(CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE), 6) END AS d2
+            FROM b ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.distinctN(col("text")).as("dn"))
+      .select(col("doc_id"), col("dn.n_unigrams").as("n_unigrams"), col("dn.d1").as("d1"),
+        col("dn.n_bigrams").as("n_bigrams"), col("dn.d2").as("d2"))
+      .orderBy("doc_id"))
+
   /** PII scrub: the corpus text is deterministic word salad with no real
     * identifiers, so the PII-bearing text is synthesized from base columns
     * identically in both engines (the oracle-strong pattern), then redacted
@@ -1530,6 +1631,7 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
+    x22Readability, x23Winsorize, x24DistinctN,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,

@@ -275,4 +275,42 @@ class Round6Spec extends SparkSpec {
     assert(drift.max <= 1, s"decile drift > 1: ${drift.max}")
     assert(drift.count(_ == 0) >= (approx.length * 99) / 100)
   }
+
+  test("TextAnalysis.fleschStats: hand-counted sentences, words, syllables") {
+    import spark.implicits._
+    // "the cat sat. it ran fast! done?" → 3 sentences, 7 words;
+    // syllables (vowel-group runs, floor 1): the=1 cat=1 sat=1 it=1
+    // ran=1 fast=1 done=2 → 8
+    val r = Seq("the cat sat. it ran fast! done?").toDF("t")
+      .select(graft.ops.TextAnalysis.fleschStats(col("t")).as("s"))
+      .select("s.n_sentences", "s.n_words", "s.n_syllables", "s.flesch").first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 7L, 8L)))
+    val expected = BigDecimal(206.835 - 1.015 * (7.0 / 3.0) - 84.6 * (8.0 / 7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expected)
+    // no terminators → sentence floor 1; empty text → zero words, flesch defined
+    val bare = Seq("just words no stops").toDF("t")
+      .select(graft.ops.TextAnalysis.fleschStats(col("t")).as("s")).select("s.n_sentences").first()
+    assert(bare.getLong(0) == 1L)
+    val empty = Seq("").toDF("t")
+      .select(graft.ops.TextAnalysis.fleschStats(col("t")).as("s"))
+      .select("s.n_words", "s.n_syllables").first()
+    assert((empty.getLong(0), empty.getLong(1)) == ((0L, 0L)))
+  }
+
+  test("TextAnalysis.distinctN: hand-counted unigram/bigram diversity") {
+    import spark.implicits._
+    // "a b a b" → 4 unigrams 2 unique (d1=0.5); bigrams: "a b","b a","a b"
+    // → 3 total 2 unique (d2=0.666667)
+    val r = Seq("a b a b").toDF("t")
+      .select(graft.ops.TextAnalysis.distinctN(col("t")).as("d"))
+      .select("d.n_unigrams", "d.d1", "d.n_bigrams", "d.d2").first()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.5)
+    assert(r.getLong(2) == 3L && r.getDouble(3) == 0.666667)
+    // single token: no bigrams → d2 NULL, not 0 (absence is a fact)
+    val one = Seq("solo").toDF("t")
+      .select(graft.ops.TextAnalysis.distinctN(col("t")).as("d"))
+      .select("d.n_bigrams", "d.d2").first()
+    assert(one.getLong(0) == 0L && one.isNullAt(1))
+  }
 }
