@@ -1248,6 +1248,63 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Classifier calibration — the reliability diagram + ECE every
+    * quality-classifier pipeline should gate on before its scores drive
+    * curation thresholds (a miscalibrated DCLM-style filter silently
+    * shifts the kept distribution). Composes the SAME shared training
+    * chain as ml1/ml3 (weights cannot drift), bins by confidence decile,
+    * and emits per-bin mean confidence vs empirical positive rate, the
+    * |gap|, and the bin's ECE contribution. Bins are RANGE-NORMALIZED
+    * deciles ((p − min)/(max − min), zero-span guarded) — the raw scores
+    * of a barely-trained model concentrate near one end, and a
+    * single-bin reliability table gates nothing. The 9-dp sigmoid scores
+    * are DECIMAL-summed per bin (order-independent); everything after
+    * the ml3-shaped scan is a ≤10-row aggregate. */
+  val ml4Calibration: Q = Q("ml4_calibration",
+    Some(s"""WITH $mlTrainCtes,
+            pf AS (SELECT f.doc_id, f.y, $mlPSql AS p FROM feat f CROSS JOIN w$mlIters),
+            mm AS (SELECT min(p) AS lo, greatest(max(p) - min(p), 1e-12) AS span FROM pf),
+            b AS (SELECT CAST(least(floor((p - lo) / span * 10), 9) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(p AS DECIMAL(25,15))) AS DOUBLE) AS sum_p,
+                CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              FROM pf CROSS JOIN mm GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM b)
+            SELECT bin, n_docs,
+              round(sum_p / CAST(n_docs AS DOUBLE), 6) AS avg_conf,
+              round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS frac_pos,
+              round(abs(sum_p / CAST(n_docs AS DOUBLE) - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS abs_gap,
+              round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                * abs(sum_p / CAST(n_docs AS DOUBLE) - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS ece_term
+            FROM b CROSS JOIN tot ORDER BY bin"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+      val wts = graft.ops.Classifier.logregTrain(base, mlFeatures, y, iters = mlIters, lr = 0.5)
+      val scored0 = graft.ops.Classifier.score(base.withColumn("y", y),
+        Seq(col("doc_id"), col("y")), mlFeatures, wts)
+      val mm = scored0.agg(min("p").as("lo"),
+        greatest(max(col("p")) - min(col("p")), lit(1e-12)).as("span"))
+      val scored = scored0.crossJoin(broadcast(mm))
+      val b = scored.groupBy(
+          least(floor((col("p") - col("lo")) / col("span") * 10), lit(9)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p").cast("decimal(25,15)")).cast("double").as("sum_p"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+      val tot = b.agg(sum("n_docs").as("n_total"))
+      val avgConf = col("sum_p") / col("n_docs").cast("double")
+      val fracPos = col("n_pos").cast("double") / col("n_docs").cast("double")
+      b.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_docs"),
+          round(avgConf, 6).as("avg_conf"),
+          round(fracPos, 6).as("frac_pos"),
+          round(abs(avgConf - fracPos), 6).as("abs_gap"),
+          round(col("n_docs").cast("double") / col("n_total").cast("double")
+            * abs(avgConf - fracPos), 6).as("ece_term"))
+        .orderBy("bin")
+    })
+
   /** Incremental aggregate maintenance — the materialized-view pattern a
     * 100 TB stats table lives by: per-source token/char/doc stats are
     * computed as TWO batch partials (a "snapshot" and a "delta", split by
@@ -1784,11 +1841,74 @@ object MiscQueries extends QuerySet {
         .orderBy("source")
     })
 
+  /** Bradley–Terry strengths from pairwise outcomes — the arena-style
+    * leaderboard computation (Hunter 2004 MM updates) over a match log
+    * synthesized identically in both engines: docs at stride 1/2/3 play
+    * a match, higher x2 quality wins (ties → lower doc_id), same-source
+    * matches dropped; items are sources. Spark runs
+    * [[graft.ops.Preference.bradleyTerry]] (one shuffle to pair counts,
+    * then k-item broadcast iterations); the oracle unrolls the SAME
+    * 3 MM iterations as CTEs — 12-dp-rounded terms, DECIMAL sums, so
+    * both engines walk bit-identical trajectories. */
+  val pref2BradleyTerry: Q = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""d$k AS (SELECT md.src,
+              CAST(sum(CAST(round(CAST(md.n AS DOUBLE) / (pa.p + pb.p), 12) AS DECIMAL(25,15))) AS DOUBLE) AS den
+            FROM md JOIN p${k - 1} pa ON pa.src = md.src JOIN p${k - 1} pb ON pb.src = md.opp
+            GROUP BY md.src),
+          r$k AS (SELECT d$k.src, round((CAST(coalesce(w.wins, 0) AS DOUBLE) + 0.5) / den, 12) AS praw
+            FROM d$k LEFT JOIN w ON w.src = d$k.src),
+          s$k AS (SELECT CAST(sum(CAST(praw AS DECIMAL(25,15))) AS DOUBLE) AS s FROM r$k),
+          p$k AS (SELECT src, round(praw / s, 12) AS p FROM r$k CROSS JOIN s$k)"""
+    }.mkString(",\n          ")
+    val strideUnion = (1 to 3).map { st =>
+      s"""SELECT a.source AS sa, b.source AS sb, a.quality AS qa, b.quality AS qb
+          FROM dq a JOIN dq b ON b.doc_id = a.doc_id + $st"""
+    }.mkString(" UNION ALL ")
+    Q("pref2_bradley_terry",
+      Some(s"""WITH $qualityCtes,
+          dq AS (SELECT d.doc_id, d.source, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id),
+          pr AS ($strideUnion),
+          mt AS (SELECT CASE WHEN qa >= qb THEN sa ELSE sb END AS winner,
+                        CASE WHEN qa >= qb THEN sb ELSE sa END AS loser
+                 FROM pr WHERE sa <> sb),
+          md AS (SELECT src, opp, CAST(count(*) AS BIGINT) AS n FROM (
+                   SELECT winner AS src, loser AS opp FROM mt
+                   UNION ALL SELECT loser AS src, winner AS opp FROM mt)
+                 GROUP BY src, opp),
+          w AS (SELECT winner AS src, CAST(count(*) AS BIGINT) AS wins FROM mt GROUP BY winner),
+          items AS (SELECT DISTINCT src FROM md),
+          kf AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM items),
+          p0 AS (SELECT src, round(CAST(1.0 AS DOUBLE) / k, 12) AS p FROM items CROSS JOIN kf),
+          $iterCtes,
+          nm AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_matches FROM md GROUP BY src)
+          SELECT p$iters.src AS item, CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+            nm.n_matches, round(p$iters.p, 6) AS strength
+          FROM p$iters JOIN nm ON nm.src = p$iters.src LEFT JOIN w ON w.src = p$iters.src
+          ORDER BY item"""),
+      (s, d) => {
+        val dq = documents(s, d).select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+        def side(n: String) = dq.select(col("doc_id").as(s"${n}_id"),
+          col("source").as(s"${n}_src"), col("quality").as(s"${n}_q"))
+        val pairs = (1 to 3).map { st =>
+          side("a").join(side("b"), col("b_id") === col("a_id") + st)
+        }.reduce(_ unionByName _)
+        val aWins = col("a_q") >= col("b_q")
+        val matches = pairs.filter(col("a_src") =!= col("b_src"))
+          .select(when(aWins, col("a_src")).otherwise(col("b_src")).as("winner"),
+            when(aWins, col("b_src")).otherwise(col("a_src")).as("loser"))
+        graft.ops.Preference.bradleyTerry(matches, iters = iters, prior = 0.5)
+          .orderBy("item")
+      })
+  }
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, ml2Powerlaw, pref1DpoPairs, pr1PageRank)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
 }

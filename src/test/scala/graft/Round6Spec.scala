@@ -276,6 +276,23 @@ class Round6Spec extends SparkSpec {
     assert(drift.count(_ == 0) >= (approx.length * 99) / 100)
   }
 
+  test("Preference.bradleyTerry: two-item fixed point matches hand MM algebra") {
+    import spark.implicits._
+    // A beats B twice, B beats A once: W=(2,1), n_AB=3, p0=(.5,.5) →
+    // den=3/1=3, praw=(2.5/3, 1.5/3), normalize → (0.625, 0.375) — a
+    // fixed point, so 3 iterations land exactly there
+    val m = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("winner", "loser")
+    val out = graft.ops.Preference.bradleyTerry(m).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") == ((2L, 3L, 0.625)))
+    assert(out("B") == ((1L, 3L, 0.375)))
+    // winless item: the half-win prior keeps strength finite positive
+    val oneSided = Seq(("A", "B")).toDF("winner", "loser")
+    val o = graft.ops.Preference.bradleyTerry(oneSided).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(o("A") == 0.75 && o("B") == 0.25)
+  }
+
   test("TextAnalysis.fleschStats: hand-counted sentences, words, syllables") {
     import spark.implicits._
     // "the cat sat. it ran fast! done?" → 3 sentences, 7 words;
