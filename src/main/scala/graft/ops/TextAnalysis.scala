@@ -209,6 +209,41 @@ object TextAnalysis {
         round(size(array_distinct(bigrams)).cast("double") / n2.cast("double"), 6)).as("d2"))
   }
 
+  /** Deflate compression ratio — the codec-based repetition/junk tell
+    * (a near-constant doc compresses toward 0; random bytes toward ~1):
+    * the signal CCNet-style curation uses alongside [[charEntropy]] and
+    * [[repetitionScore]], and the only one of the three that sees
+    * LONG-RANGE redundancy (a paragraph pasted 40 times fools per-char
+    * entropy, not the LZ window). Runs executor-side through the
+    * [[Stages.appendFields]] seam (Deflate is not a SQL expression) with
+    * a fresh level-6 `Deflater` per row, released in finally — JDK-built
+    * so the path is real, deterministic for a given JVM, and map-only at
+    * any corpus size. Appends (raw_len = UTF-8 octets, compressed_len,
+    * ratio 6-dp); empty/null text → ratio NULL (nothing to measure). */
+  def compressionStage(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val idx = df.schema.fieldIndex(textCol)
+    Stages.appendFields(df, Seq(StructField("raw_len", LongType),
+      StructField("compressed_len", LongType), StructField("ratio", DoubleType)))(
+      r => {
+        val t = if (r.isNullAt(idx)) null else r.getString(idx)
+        if (t == null || t.isEmpty) Seq[Any](if (t == null) null else 0L, null, null)
+        else {
+          val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val d = new java.util.zip.Deflater(6)
+          try {
+            d.setInput(raw); d.finish()
+            val buf = new Array[Byte](8192)
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            val ratio = BigDecimal(n.toDouble / raw.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Seq[Any](raw.length.toLong, n, ratio)
+          } finally d.end()
+        }
+      })
+  }
+
   /** Unicode script-composition counts — the multilingual-curation prior
     * (fastText-style LID uses script share as its strongest signal; a
     * mixed-script doc is the classic boilerplate/spam tell). Each script

@@ -616,6 +616,26 @@ object TextQueries extends QuerySet {
         col("dn.n_bigrams").as("n_bigrams"), col("dn.d2").as("d2"))
       .orderBy("doc_id"))
 
+  /** Deflate compression-ratio signal via
+    * [[TextAnalysis.compressionStage]] — the LZ-window repetition tell
+    * that catches long-range redundancy per-char entropy (x20) cannot.
+    * Every 5th doc is planted as one 30-char phrase pasted 40 times, so
+    * the repetitive band is non-empty and the flag non-vacuous.
+    * Rows-only by necessity (no Deflate in DuckDB SQL — the a12/f9b
+    * precedent); ratio ordering, determinism, and null edges are pinned
+    * by Round6Spec. */
+  val x25Compression = Q("x25_compression_ratio", None,
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat_ws(" ", transform(sequence(lit(1), lit(40)), _ => substring(col("text"), 1, 30))))
+          .otherwise(col("text")).as("t"))
+      TextAnalysis.compressionStage(planted, "t")
+        .select(col("doc_id"), col("raw_len"), col("compressed_len"), col("ratio"),
+          (col("ratio") < 0.2).as("is_repetitive"))
+        .orderBy("doc_id")
+    })
+
   /** PII scrub: the corpus text is deterministic word salad with no real
     * identifiers, so the PII-bearing text is synthesized from base columns
     * identically in both engines (the oracle-strong pattern), then redacted
@@ -1631,7 +1651,7 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
-    x22Readability, x23Winsorize, x24DistinctN,
+    x22Readability, x23Winsorize, x24DistinctN, x25Compression,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,

@@ -276,6 +276,28 @@ class Round6Spec extends SparkSpec {
     assert(drift.count(_ == 0) >= (approx.length * 99) / 100)
   }
 
+  test("TextAnalysis.compressionStage: repetition compresses, edges null out, reruns agree") {
+    import spark.implicits._
+    val rep = "lorem ipsum dolor " * 60
+    val varied = (1 to 180).map(i => s"w${i * 7919 % 997}x${i * 104729 % 991}").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null: String)).toDF("id", "t")
+    val out = graft.ops.TextAnalysis.compressionStage(df, "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // long-range repetition compresses far below varied text
+    assert(out(1L).getDouble(4) < 0.1)
+    assert(out(2L).getDouble(4) > out(1L).getDouble(4) * 3)
+    // ratio stays in a sane band; raw_len counts UTF-8 octets
+    assert(out(2L).getDouble(4) <= 1.2 && out(2L).getLong(2) == varied.length.toLong)
+    // empty → (0, null, null); null text → all null
+    assert(out(3L).getLong(2) == 0L && out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    assert(out(4L).isNullAt(2) && out(4L).isNullAt(4))
+    // deterministic across evaluations
+    val again = graft.ops.TextAnalysis.compressionStage(df, "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(again(1L).getDouble(4) == out(1L).getDouble(4)
+      && again(2L).getLong(3) == out(2L).getLong(3))
+  }
+
   test("Preference.bradleyTerry: two-item fixed point matches hand MM algebra") {
     import spark.implicits._
     // A beats B twice, B beats A once: W=(2,1), n_AB=3, p0=(.5,.5) →
