@@ -616,6 +616,50 @@ object TextQueries extends QuerySet {
         col("dn.n_bigrams").as("n_bigrams"), col("dn.d2").as("d2"))
       .orderBy("doc_id"))
 
+  /** Abbreviation-aware sentence segmentation — the chunker's natural
+    * boundary unit (sentence-boundary chunking beats fixed windows for
+    * RAG). No lookaround (RE2 has none): known abbreviations' dots are
+    * first swapped to a \u0001 marker (literal replace for the
+    * two-dot e.g./i.e., one anchored regexp for single-dot titles), a
+    * \u0002 marker is injected after each remaining terminator run, the
+    * split restores the protected dots. Every 6th doc is prefixed with
+    * an abbreviation-dense clause so the protection is load-bearing in
+    * the hash. Map-only until the final explode. */
+  val p16SentenceSplit: Q = Q("p16_sentence_split",
+    Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+            p AS (SELECT doc_id, concat(CASE WHEN doc_id % 6 = 0
+                THEN 'dr. x no. 7 arrived? e.g. see fig. 2 then ' ELSE '' END, $punctSql) AS t0 FROM t),
+            pr AS (SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    replace(replace(t0, 'e.g.', concat('e', chr(1), 'g', chr(1))),
+                      'i.e.', concat('i', chr(1), 'e', chr(1))),
+                    '(^|[ ])(dr|mr|mrs|ms|prof|etc|no|vs|fig)\\.', concat('\\1\\2', chr(1)), 'g'),
+                  '([.!?]+) ', concat('\\1', chr(2)), 'g') AS t4
+              FROM p),
+            sp AS (SELECT doc_id, list_filter(list_transform(string_split(t4, chr(2)),
+                x -> trim(replace(x, chr(1), '.'))), x -> x <> '') AS ss FROM pr),
+            se AS (SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
+                i -> {'idx': i - 1, 's': ss[i]})) AS u FROM sp)
+            SELECT doc_id, CAST(u.idx AS BIGINT) AS sent_idx, u.s AS sentence,
+              CAST(len(list_filter(string_split_regex(u.s, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words
+            FROM se ORDER BY doc_id, sent_idx"""),
+    (s, d) => {
+      val prefix = when(col("doc_id") % 6 === 0,
+        lit("dr. x no. 7 arrived? e.g. see fig. 2 then ")).otherwise(lit(""))
+      val t0 = concat(prefix, punctText)
+      val t2 = replace(replace(t0, lit("e.g."), lit("e\u0001g\u0001")),
+        lit("i.e."), lit("i\u0001e\u0001"))
+      val t3 = regexp_replace(t2, "(^|[ ])(dr|mr|mrs|ms|prof|etc|no|vs|fig)\\.", "$1$2\u0001")
+      val t4 = regexp_replace(t3, "([.!?]+) ", "$1\u0002")
+      val ss = filter(transform(split(t4, "\u0002"),
+        x => trim(replace(x, lit("\u0001"), lit(".")))), x => x =!= "")
+      documents(s, d).select(col("doc_id"), posexplode(ss).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"), col("sentence"),
+          size(filter(split(col("sentence"), "\\s+"), x => x =!= "")).cast("long").as("n_words"))
+        .orderBy("doc_id", "sent_idx")
+    })
+
   /** Deflate compression-ratio signal via
     * [[TextAnalysis.compressionStage]] — the LZ-window repetition tell
     * that catches long-range redundancy per-char entropy (x20) cannot.
@@ -1651,7 +1695,7 @@ object TextQueries extends QuerySet {
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
-    x22Readability, x23Winsorize, x24DistinctN, x25Compression,
+    x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
