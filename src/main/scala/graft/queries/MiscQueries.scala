@@ -1305,6 +1305,48 @@ object MiscQueries extends QuerySet {
         .orderBy("bin")
     })
 
+  /** Confusion matrix + precision/recall/F1 for the shared quality
+    * classifier — the completion of the ml family's evaluation story
+    * (ml1 trains, ml3 scores, ml4 calibrates, this grades): one
+    * map-side-combined aggregate over the scored scan, then pure
+    * arithmetic on four counters. F1 is derived from the SAME
+    * sum-expression tree in both engines (never from pre-rounded
+    * precision/recall — the avg-of-avgs lesson applied to ratios). */
+  val ml5Confusion: Q = Q("ml5_confusion",
+    Some(s"""WITH $mlTrainCtes,
+            pf AS (SELECT f.doc_id, f.y, $mlPSql AS p FROM feat f CROSS JOIN w$mlIters),
+            c AS (SELECT
+                CAST(sum(CASE WHEN p >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN p >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN p < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN p < 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM pf)
+            SELECT tp, fp, fn, tn,
+              round(CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE), 6) AS precision,
+              round(CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE), 6) AS recall,
+              round(CAST(2 * tp AS DOUBLE) / CAST(greatest(2 * tp + fp + fn, 1) AS DOUBLE), 6) AS f1,
+              round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+            FROM c"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+      val wts = graft.ops.Classifier.logregTrain(base, mlFeatures, y, iters = mlIters, lr = 0.5)
+      val scored = graft.ops.Classifier.score(base.withColumn("y", y),
+        Seq(col("doc_id"), col("y")), mlFeatures, wts)
+      val pos = col("p") >= 0.5
+      val c = scored.agg(
+        sum(when(pos && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(pos && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pos && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pos && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+      c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)).cast("double"), 6).as("precision"),
+        round(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)).cast("double"), 6).as("recall"),
+        round((col("tp") * 2).cast("double") / greatest(col("tp") * 2 + col("fp") + col("fn"), lit(1L)).cast("double"), 6).as("f1"),
+        round((col("tp") + col("tn")).cast("double") / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6).as("accuracy"))
+    })
+
   /** Incremental aggregate maintenance — the materialized-view pattern a
     * 100 TB stats table lives by: per-source token/char/doc stats are
     * computed as TWO batch partials (a "snapshot" and a "delta", split by
@@ -1908,7 +1950,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
 }

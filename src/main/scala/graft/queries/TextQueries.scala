@@ -680,6 +680,85 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** T5/UL2-style span corruption — the denoising-objective data prep:
+    * fixed-width 5-token spans, every 4th span masked (25% noise
+    * density), each masked run collapsed to one ordinal `<extra_id_k>`
+    * sentinel in the input and expanded to `sentinel + tokens` in the
+    * target. Pure HOF transforms over the token list (no explode, no
+    * shuffle) — the 100 TB objective-building pass is a straight map. */
+  val x26SpanCorruption = Q("x26_span_corruption",
+    Some(s"""WITH t AS (SELECT doc_id, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            e AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i -> {
+                't': toks[i], 'm': ((i - 1) // 5) % 4 = 3,
+                'k': ((i - 1) // 5) // 4, 'f': (i - 1) % 5 = 0 }) AS ms FROM t)
+            SELECT doc_id,
+              coalesce(array_to_string(list_filter(list_transform(ms, s ->
+                CASE WHEN NOT s.m THEN s.t
+                     WHEN s.f THEN concat('<extra_id_', CAST(s.k AS VARCHAR), '>')
+                     ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS corrupted,
+              coalesce(array_to_string(list_filter(list_transform(ms, s ->
+                CASE WHEN s.m AND s.f THEN concat('<extra_id_', CAST(s.k AS VARCHAR), '> ', s.t)
+                     WHEN s.m THEN s.t ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS target,
+              CAST(len(list_filter(ms, s -> s.m)) AS BIGINT) AS n_masked,
+              CAST(len(list_distinct(list_transform(list_filter(ms, s -> s.m), s -> s.k))) AS BIGINT) AS n_spans
+            FROM e ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val ms = transform(toks, (t, i) => {
+        val span = floor(i / lit(5)).cast("long")
+        struct(t.as("t"), (span % 4 === 3).as("m"),
+          floor(span / lit(4)).cast("long").as("k"), (i % 5 === 0).as("f"))
+      })
+      val corrupted = array_join(filter(transform(ms, e =>
+        when(!e.getField("m"), e.getField("t"))
+          .when(e.getField("f"),
+            concat(lit("<extra_id_"), e.getField("k").cast("string"), lit(">")))),
+        x => x.isNotNull), " ")
+      val target = array_join(filter(transform(ms, e =>
+        when(e.getField("m") && e.getField("f"),
+          concat(lit("<extra_id_"), e.getField("k").cast("string"), lit("> "), e.getField("t")))
+          .when(e.getField("m"), e.getField("t"))),
+        x => x.isNotNull), " ")
+      val masked = filter(ms, e => e.getField("m"))
+      documents(s, d).select(col("doc_id"), corrupted.as("corrupted"), target.as("target"),
+          size(masked).cast("long").as("n_masked"),
+          size(array_distinct(transform(masked, e => e.getField("k")))).cast("long").as("n_spans"))
+        .orderBy("doc_id")
+    })
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022) — the code-model
+    * pretraining reorder: token range split 40/40/20 into prefix / middle
+    * / suffix at exact integer cuts, emitted in PSM order with sentinel
+    * markers plus the three segment lengths. Map-only substring
+    * arithmetic on the token list. */
+  val x27FimTransform = Q("x27_fim_transform",
+    Some(s"""WITH t AS (SELECT doc_id, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            c AS (SELECT doc_id, toks, (len(toks) * 2) // 5 AS a, (len(toks) * 4) // 5 AS b FROM t)
+            SELECT doc_id,
+              concat('<PRE> ', array_to_string(toks[1:a], ' '),
+                ' <SUF> ', array_to_string(toks[b+1:len(toks)], ' '),
+                ' <MID> ', array_to_string(toks[a+1:b], ' ')) AS fim_text,
+              CAST(a AS BIGINT) AS n_prefix,
+              CAST(b - a AS BIGINT) AS n_middle,
+              CAST(len(toks) - b AS BIGINT) AS n_suffix
+            FROM c ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val n = size(toks)
+      val a = floor((n * 2) / lit(5)).cast("int")
+      val b = floor((n * 4) / lit(5)).cast("int")
+      documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), a.as("a"), b.as("b"), n.as("n"))
+        .select(col("doc_id"),
+          concat(lit("<PRE> "), array_join(slice(col("toks"), lit(1), col("a")), " "),
+            lit(" <SUF> "), array_join(slice(col("toks"), col("b") + 1, col("n") - col("b")), " "),
+            lit(" <MID> "), array_join(slice(col("toks"), col("a") + 1, col("b") - col("a")), " ")).as("fim_text"),
+          col("a").cast("long").as("n_prefix"),
+          (col("b") - col("a")).cast("long").as("n_middle"),
+          (col("n") - col("b")).cast("long").as("n_suffix"))
+        .orderBy("doc_id")
+    })
+
   /** PII scrub: the corpus text is deterministic word salad with no real
     * identifiers, so the PII-bearing text is synthesized from base columns
     * identically in both engines (the oracle-strong pattern), then redacted
@@ -1696,6 +1775,7 @@ object TextQueries extends QuerySet {
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
+    x26SpanCorruption, x27FimTransform,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
