@@ -209,6 +209,46 @@ object VectorQueries extends QuerySet {
     (s, d) => Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text", w = 3, threshold = 0.5)
       .orderBy("id_a", "id_b"))
 
+  /** LSH-recall audit — the engine grading its own approximation: the
+    * d2 MinHash banding chain's pairs measured against the exact-Jaccard
+    * ground truth the d13 PPJoin chain computes, both at the same
+    * threshold. Banding trades recall for candidate-set size; this row
+    * pins the trade on the corpus (and would flag a banding-parameter
+    * regression as a hash change). The audit join is on pair keys —
+    * O(pairs), nothing rescans the corpus. */
+  val d16LshRecall = Q("d16_lsh_recall",
+    Some(s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
+            ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.5)},
+            tt AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
+            gg AS (SELECT id, ${OracleSql.shinglesSql(3)} AS grams FROM tt),
+            exu AS (SELECT DISTINCT id, unnest(grams) AS gram FROM gg),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM exu a JOIN exu b ON a.gram = b.gram AND a.id < b.id),
+            v AS (SELECT id_a, id_b FROM cand
+                  JOIN gg ga ON ga.id = id_a JOIN gg gb ON gb.id = id_b
+                  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) >= 0.5),
+            hit AS (SELECT count(*) AS n_hit FROM pairs p JOIN v ON v.id_a = p.id_a AND v.id_b = p.id_b),
+            ne AS (SELECT count(*) AS n_exact FROM v),
+            nl AS (SELECT count(*) AS n_lsh FROM pairs)
+            SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+              CAST(n_hit AS BIGINT) AS n_hit,
+              round(CAST(n_hit AS DOUBLE) / CAST(greatest(n_exact, 1) AS DOUBLE), 6) AS recall
+            FROM ne CROSS JOIN nl CROSS JOIN hit"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val lsh = Dedup.minHashDuplicates(docs, "doc_id", col("text"),
+        shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.5).select("id_a", "id_b")
+      val exact = Dedup.prefixJaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val hit = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      ne.crossJoin(nl).crossJoin(hit).select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        round(col("n_hit").cast("double")
+          / greatest(col("n_exact"), lit(1L)).cast("double"), 6).as("recall"))
+    })
+
   /** Text-analysis fingerprint + quality score. */
   val x4Fingerprint = Q("x4_doc_fingerprint",
     Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
@@ -1409,5 +1449,5 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers)
+    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall)
 }
