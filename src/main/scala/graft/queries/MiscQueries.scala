@@ -1883,6 +1883,94 @@ object MiscQueries extends QuerySet {
         .orderBy("source")
     })
 
+  /** Gini–Simpson lexical diversity per source — the mixture-diagnostics
+    * twin of dom4's KL: 1 − Σp² (and its inverse-Simpson "effective
+    * vocabulary") says how concentrated each source's token distribution
+    * is. One (source, token) hash aggregate; the p² terms are
+    * 12-dp-rounded then DECIMAL-summed (the x20/dom4 discipline) so
+    * reduction order never reaches the hash. */
+  val dom6Gini: Q = Q("dom6_gini_diversity",
+    Some(s"""WITH t AS (SELECT source, unnest(${graft.queries.OracleSql.toksSql}) AS tok FROM documents),
+            cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY source, tok),
+            tot AS (SELECT source, CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS u
+              FROM cnt GROUP BY source),
+            terms AS (SELECT cnt.source,
+                round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS p2
+              FROM cnt JOIN tot ON tot.source = cnt.source),
+            g AS (SELECT source, CAST(sum(CAST(p2 AS DECIMAL(25,15))) AS DOUBLE) AS sp2
+              FROM terms GROUP BY source)
+            SELECT g.source, tot.n AS n_tokens, tot.u AS n_unique,
+              round(1.0 - sp2, 6) AS gini_simpson,
+              round(1.0 / greatest(sp2, 1e-12), 6) AS effective_vocab
+            FROM g JOIN tot ON tot.source = g.source ORDER BY g.source"""),
+    (s, d) => {
+      val cnt = documents(s, d)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("k"))
+      val tot = cnt.groupBy("source")
+        .agg(sum("k").as("n"), count(lit(1)).as("u"))
+      val p = col("k").cast("double") / col("n").cast("double")
+      val g = cnt.join(tot, Seq("source"))
+        .select(col("source"), round(p * p, 12).as("p2"))
+        .groupBy("source")
+        .agg(sum(col("p2").cast("decimal(25,15)")).cast("double").as("sp2"))
+      g.join(tot, Seq("source"))
+        .select(col("source"), col("n").cast("long").as("n_tokens"),
+          col("u").cast("long").as("n_unique"),
+          round(lit(1.0) - col("sp2"), 6).as("gini_simpson"),
+          round(lit(1.0) / greatest(col("sp2"), lit(1e-12)), 6).as("effective_vocab"))
+        .orderBy("source")
+    })
+
+  /** Cohen's kappa between two independent document judges — the
+    * inter-annotator agreement check an LLM-judge eval pipeline runs
+    * before trusting labels (raw agreement flatters judges that both
+    * say "good" to everything; kappa subtracts chance). Judge A = the
+    * shared x2 quality rule AT ITS OWN MEDIAN (a fixed 0.5 cut fires on
+    * 499/500 docs here — a degenerate marginal makes kappa vacuous);
+    * judge B = a length-band rule. One map-side-combined aggregate to
+    * four counters, then pure arithmetic — the SAME expression tree in
+    * both engines, marginals divided as doubles, nothing pre-rounded. */
+  val ev5JudgeKappa: Q = Q("ev5_judge_kappa",
+    Some(s"""WITH $qualityCtes,
+            med AS (SELECT round(quantile_cont(quality, 0.5), 6) AS m FROM q),
+            j AS (SELECT q.doc_id,
+                CASE WHEN q.quality >= m THEN 1 ELSE 0 END AS a,
+                CASE WHEN d.n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS b
+              FROM q JOIN documents d ON d.doc_id = q.doc_id CROSS JOIN med),
+            kc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+                CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM j)
+            SELECT n, agree, na, nb,
+              round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+              round((CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                + (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
+              round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                    + (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))))
+                / greatest(1.0 - ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                    + (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))), 1e-12), 6) AS kappa
+            FROM kc"""),
+    (s, d) => {
+      val q = graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and"))
+      val med = documents(s, d).select(q.as("quality"))
+        .agg(round(percentile(col("quality"), lit(0.5)), 6).as("m"))
+      val a = when(q >= col("m"), 1L).otherwise(0L)
+      val b = when(col("n_chars").between(200, 2000), 1L).otherwise(0L)
+      val c = documents(s, d).crossJoin(broadcast(med)).select(a.as("a"), b.as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+          sum("a").as("na"), sum("b").as("nb"))
+      val nD = col("n").cast("double")
+      val pa = col("na").cast("double") / nD
+      val pb = col("nb").cast("double") / nD
+      val po = col("agree").cast("double") / nD
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      c.select(col("n"), col("agree"), col("na"), col("nb"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / greatest(lit(1.0) - pe, lit(1e-12)), 6).as("kappa"))
+    })
+
   /** Bradley–Terry strengths from pairwise outcomes — the arena-style
     * leaderboard computation (Hunter 2004 MM updates) over a match log
     * synthesized identically in both engines: docs at stride 1/2/3 play
@@ -1952,5 +2040,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
 }

@@ -680,6 +680,37 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run
+    * before committing a vocab to a corpus mix: the top-64 tokens by
+    * global count (ties → token asc, so the cut is deterministic) become
+    * the vocabulary; each source reports its out-of-vocabulary token
+    * share. The vocab cut is a TakeOrderedAndProject (per-partition
+    * heaps, the t1 shape) broadcast into one left join — no global sort,
+    * no second corpus pass. */
+  val tok5VocabCoverage = Q("tok5_vocab_coverage",
+    Some(s"""WITH t AS (SELECT source, unnest(${graft.queries.OracleSql.toksSql}) AS tok FROM documents),
+            vc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+            vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 64),
+            j AS (SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                  FROM t LEFT JOIN vocab v ON v.tok = t.tok)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(oov) AS BIGINT) AS n_oov,
+              round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+            FROM j GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = t.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(64).select("tok")
+      val j = t.join(broadcast(vocab.withColumn("_v", lit(1))), Seq("tok"), "left")
+        .select(col("source"), when(col("_v").isNull, 1L).otherwise(0L).as("oov"))
+      j.groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6).as("oov_rate"))
+        .orderBy("source")
+    })
+
   /** T5/UL2-style span corruption — the denoising-objective data prep:
     * fixed-width 5-token spans, every 4th span masked (25% noise
     * density), each masked run collapsed to one ordinal `<extra_id_k>`
@@ -1775,7 +1806,7 @@ object TextQueries extends QuerySet {
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
-    x26SpanCorruption, x27FimTransform,
+    x26SpanCorruption, x27FimTransform, tok5VocabCoverage,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
