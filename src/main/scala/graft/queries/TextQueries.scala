@@ -625,8 +625,11 @@ object TextQueries extends QuerySet {
     * split restores the protected dots. Every 6th doc is prefixed with
     * an abbreviation-dense clause so the protection is load-bearing in
     * the hash. Map-only until the final explode. */
-  val p16SentenceSplit: Q = Q("p16_sentence_split",
-    Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+  /** The p16 sentence chain as shared CTEs ending at
+    * `sen(doc_id, sent_idx, sentence, n_words)` — ONE copy for the split
+    * gate and the p17 sentence-boundary chunker built on it. */
+  private val sentenceCtes: String =
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
             p AS (SELECT doc_id, concat(CASE WHEN doc_id % 6 = 0
                 THEN 'dr. x no. 7 arrived? e.g. see fig. 2 then ' ELSE '' END, $punctSql) AS t0 FROM t),
             pr AS (SELECT doc_id,
@@ -640,24 +643,72 @@ object TextQueries extends QuerySet {
             sp AS (SELECT doc_id, list_filter(list_transform(string_split(t4, chr(2)),
                 x -> trim(replace(x, chr(1), '.'))), x -> x <> '') AS ss FROM pr),
             se AS (SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
-                i -> {'idx': i - 1, 's': ss[i]})) AS u FROM sp)
-            SELECT doc_id, CAST(u.idx AS BIGINT) AS sent_idx, u.s AS sentence,
-              CAST(len(list_filter(string_split_regex(u.s, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words
-            FROM se ORDER BY doc_id, sent_idx"""),
+                i -> {'idx': i - 1, 's': ss[i]})) AS u FROM sp),
+            sen AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS sent_idx, u.s AS sentence,
+                CAST(len(list_filter(string_split_regex(u.s, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words
+              FROM se)"""
+
+  /** The Spark half of the shared sentence chain (same contract as the
+    * `sen` CTE). */
+  private def sentencesDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val prefix = when(col("doc_id") % 6 === 0,
+      lit("dr. x no. 7 arrived? e.g. see fig. 2 then ")).otherwise(lit(""))
+    val t0 = concat(prefix, punctText)
+    val t2 = replace(replace(t0, lit("e.g."), lit("e\u0001g\u0001")),
+      lit("i.e."), lit("i\u0001e\u0001"))
+    val t3 = regexp_replace(t2, "(^|[ ])(dr|mr|mrs|ms|prof|etc|no|vs|fig)\\.", "$1$2\u0001")
+    val t4 = regexp_replace(t3, "([.!?]+) ", "$1\u0002")
+    val ss = filter(transform(split(t4, "\u0002"),
+      x => trim(replace(x, lit("\u0001"), lit(".")))), x => x =!= "")
+    documents(s, d).select(col("doc_id"), posexplode(ss).as(Seq("sent_idx", "sentence")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"), col("sentence"),
+        size(filter(split(col("sentence"), "\\s+"), x => x =!= "")).cast("long").as("n_words"))
+  }
+
+  val p16SentenceSplit: Q = Q("p16_sentence_split",
+    Some(s"""WITH $sentenceCtes
+            SELECT doc_id, sent_idx, sentence, n_words
+            FROM sen ORDER BY doc_id, sent_idx"""),
+    (s, d) => sentencesDf(s, d).orderBy("doc_id", "sent_idx"))
+
+  /** Sentence-boundary chunking — the RAG chunker p16 exists for:
+    * sentences fill a 40-word budget greedily (never splitting a
+    * sentence), via the SAME exact stateful scan as w4/x7
+    * ([[graft.ops.Chunking.chunkIdExact]], one flatMapGroups stream per
+    * doc — fully distributed, keyed by doc); the oracle replays the
+    * recursion as a recursive CTE over the shared sentence chain. */
+  val p17SentenceChunks: Q = Q("p17_sentence_chunks",
+    Some(s"""WITH RECURSIVE $sentenceCtes,
+            base AS (SELECT doc_id, sent_idx, n_words,
+                row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx) AS rn FROM sen),
+            scan AS (
+              SELECT doc_id, rn, sent_idx,
+                CASE WHEN n_words > 40 THEN 1 ELSE 0 END AS chunk,
+                CAST(n_words AS BIGINT) AS run
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.doc_id, b.rn, b.sent_idx,
+                s.chunk + CASE WHEN s.run + b.n_words > 40 THEN 1 ELSE 0 END,
+                CASE WHEN s.run + b.n_words > 40 THEN b.n_words ELSE s.run + b.n_words END
+              FROM scan s JOIN base b ON b.doc_id = s.doc_id AND b.rn = s.rn + 1)
+            SELECT sc.doc_id, CAST(sc.chunk AS BIGINT) AS chunk_id,
+              CAST(count(*) AS BIGINT) AS n_sentences,
+              CAST(sum(sen.n_words) AS BIGINT) AS n_words,
+              CAST(min(sc.sent_idx) AS BIGINT) AS first_sent_idx
+            FROM scan sc JOIN sen ON sen.doc_id = sc.doc_id AND sen.sent_idx = sc.sent_idx
+            GROUP BY sc.doc_id, sc.chunk ORDER BY sc.doc_id, chunk_id"""),
     (s, d) => {
-      val prefix = when(col("doc_id") % 6 === 0,
-        lit("dr. x no. 7 arrived? e.g. see fig. 2 then ")).otherwise(lit(""))
-      val t0 = concat(prefix, punctText)
-      val t2 = replace(replace(t0, lit("e.g."), lit("e\u0001g\u0001")),
-        lit("i.e."), lit("i\u0001e\u0001"))
-      val t3 = regexp_replace(t2, "(^|[ ])(dr|mr|mrs|ms|prof|etc|no|vs|fig)\\.", "$1$2\u0001")
-      val t4 = regexp_replace(t3, "([.!?]+) ", "$1\u0002")
-      val ss = filter(transform(split(t4, "\u0002"),
-        x => trim(replace(x, lit("\u0001"), lit(".")))), x => x =!= "")
-      documents(s, d).select(col("doc_id"), posexplode(ss).as(Seq("sent_idx", "sentence")))
-        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"), col("sentence"),
-          size(filter(split(col("sentence"), "\\s+"), x => x =!= "")).cast("long").as("n_words"))
-        .orderBy("doc_id", "sent_idx")
+      val sent = sentencesDf(s, d)
+      val chunked = graft.ops.Chunking.chunkIdExact(
+          sent.withColumn("brk", lit(false)), "doc_id", "sent_idx", "n_words", "brk", maxChars = 40)
+        .select(col("doc_id").cast("long").as("doc_id"), col("sent_idx"), col("chunk_id"))
+      chunked.join(sent, Seq("doc_id", "sent_idx"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_sentences"), sum("n_words").as("n_words"),
+          min("sent_idx").as("first_sent_idx"))
+        .select(col("doc_id"), col("chunk_id"), col("n_sentences"),
+          col("n_words").cast("long").as("n_words"), col("first_sent_idx"))
+        .orderBy("doc_id", "chunk_id")
     })
 
   /** Deflate compression-ratio signal via
@@ -1806,7 +1857,7 @@ object TextQueries extends QuerySet {
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
-    x26SpanCorruption, x27FimTransform, tok5VocabCoverage,
+    x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
