@@ -1094,6 +1094,100 @@ object MiscQueries extends QuerySet {
         .orderBy("wave", "host", "doc_id")
     })
 
+  /** SQuAD-style token-overlap F1 (Rajpurkar et al. 2016) — the
+    * extractive-QA grading metric: MULTISET overlap (each token counts
+    * min(freq_pred, freq_gold) times — plain set intersect overcredits
+    * repeated tokens), precision vs the prediction, recall vs the gold,
+    * harmonic mean. Prediction synthesized from the reference in both
+    * engines (ev2's fixture pattern): first 60% of tokens, every
+    * (doc_id+i)%5-th replaced by 'zz' — so partial overlap, truncation,
+    * and zero-match rows all land in the hash. Per-row HOF fold over
+    * distinct tokens (O(u·n) on bounded doc lists), map-only. */
+  val ev6QaF1: Q = Q("ev6_qa_token_f1",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS gold FROM documents),
+            c AS (SELECT doc_id, gold,
+                CASE WHEN len(gold) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, CAST(greatest(((len(gold) * 3) - ((len(gold) * 3) % 5)) / 5, 1) AS BIGINT) + 1),
+                        i -> CASE WHEN (i - 1 + doc_id) % 5 = 0 THEN 'zz' ELSE gold[i] END) END AS pred
+              FROM t),
+            o AS (SELECT doc_id, pred, gold,
+                coalesce(CAST(list_sum(list_transform(list_distinct(pred),
+                  tk -> least(len(list_filter(pred, x -> x = tk)),
+                              len(list_filter(gold, x -> x = tk))))) AS BIGINT), 0) AS ov
+              FROM c)
+            SELECT doc_id, CAST(len(pred) AS BIGINT) AS n_pred,
+              CAST(len(gold) AS BIGINT) AS n_gold, ov AS overlap,
+              round(CAST(ov AS DOUBLE) / CAST(greatest(len(pred), 1) AS DOUBLE), 6) AS precision,
+              round(CAST(ov AS DOUBLE) / CAST(greatest(len(gold), 1) AS DOUBLE), 6) AS recall,
+              CASE WHEN ov = 0 THEN 0.0 ELSE
+                round(2.0 * (CAST(ov AS DOUBLE) / CAST(greatest(len(pred), 1) AS DOUBLE))
+                  * (CAST(ov AS DOUBLE) / CAST(greatest(len(gold), 1) AS DOUBLE))
+                  / ((CAST(ov AS DOUBLE) / CAST(greatest(len(pred), 1) AS DOUBLE))
+                    + (CAST(ov AS DOUBLE) / CAST(greatest(len(gold), 1) AS DOUBLE))), 6) END AS f1
+            FROM o ORDER BY doc_id"""),
+    (s, d) => {
+      val gold = TextAnalysis.tokens(col("text"))
+      val nc = greatest(floor((size(gold) * 3) / lit(5)).cast("int"), lit(1))
+      val pred = when(size(gold) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), nc), i =>
+          when((i - 1 + col("doc_id")) % 5 === 0, lit("zz"))
+            .otherwise(element_at(gold, i))))
+      val base = documents(s, d).select(col("doc_id"), pred.as("pred"), gold.as("gold"))
+      val ov = coalesce(aggregate(array_distinct(col("pred")), lit(0),
+        (acc, tk) => acc + least(size(filter(col("pred"), x => x === tk)),
+          size(filter(col("gold"), x => x === tk)))), lit(0)).cast("long")
+      val o = base.select(col("doc_id"), col("pred"), col("gold"), ov.as("ov"))
+      val prec = col("ov").cast("double") / greatest(size(col("pred")), lit(1)).cast("double")
+      val rec = col("ov").cast("double") / greatest(size(col("gold")), lit(1)).cast("double")
+      o.select(col("doc_id"), size(col("pred")).cast("long").as("n_pred"),
+          size(col("gold")).cast("long").as("n_gold"), col("ov").as("overlap"),
+          round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+          when(col("ov") === 0, 0.0)
+            .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+        .orderBy("doc_id")
+    })
+
+  /** Brier score + skill — the proper scoring rule completing the
+    * classifier-eval family (ml4 calibrates, ml5 thresholds, this scores
+    * the probabilities themselves): mean (p−y)², the climatology
+    * reference ȳ(1−ȳ) from the same scan, and the skill score
+    * 1 − BS/BS_ref. Squared-error terms 12-dp-rounded then
+    * DECIMAL-summed (dom4 discipline). */
+  val ml6Brier: Q = Q("ml6_brier",
+    Some(s"""WITH $mlTrainCtes,
+            pf AS (SELECT f.doc_id, f.y, $mlPSql AS p FROM feat f CROSS JOIN w$mlIters),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round((p - y) * (p - y), 12) AS DECIMAL(25,15))) AS DOUBLE) AS se,
+                CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+              FROM pf)
+            SELECT n, npos,
+              round(se / CAST(n AS DOUBLE), 6) AS brier,
+              round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+              round((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS brier_ref,
+              round(1.0 - (se / CAST(n AS DOUBLE))
+                / greatest((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 1e-12), 6) AS skill
+            FROM agg"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+      val wts = graft.ops.Classifier.logregTrain(base, mlFeatures, y, iters = mlIters, lr = 0.5)
+      val scored = graft.ops.Classifier.score(base.withColumn("y", y),
+        Seq(col("doc_id"), col("y")), mlFeatures, wts)
+      val agg = scored.agg(count(lit(1)).as("n"),
+        sum(round((col("p") - col("y")) * (col("p") - col("y")), 12)
+          .cast("decimal(25,15)")).cast("double").as("se"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("npos"))
+      val nD = col("n").cast("double")
+      val br = col("se") / nD
+      val pbar = col("npos").cast("double") / nD
+      val ref = pbar * (lit(1.0) - pbar)
+      agg.select(col("n"), col("npos"),
+        round(br, 6).as("brier"), round(pbar, 6).as("base_rate"),
+        round(ref, 6).as("brier_ref"),
+        round(lit(1.0) - br / greatest(ref, lit(1e-12)), 6).as("skill"))
+    })
+
   /** Sentence BLEU-2 (Papineni et al. 2002) per document: the candidate
     * is synthesized from the reference identically in both engines (the
     * oracle-strong pattern) — first 80% of the tokens with every
@@ -1160,17 +1254,17 @@ object MiscQueries extends QuerySet {
   // Shared logreg training CTE chain (ml1 gates the training, ml3 the
   // corpus-scale inference over the SAME learned weights — one source of
   // truth for the unrolled oracle so the two cannot drift).
-  private val mlIters = 5
-  private val mlFeatSql = s"""SELECT doc_id,
+  private lazy val mlIters = 5
+  private lazy val mlFeatSql = s"""SELECT doc_id,
               CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS f0,
               CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS f1,
               CAST(n_chars AS DOUBLE) / (CAST(len(toks) AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS f2,
               CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
             FROM (SELECT doc_id, n_chars, lang, ${OracleSql.toksSql} AS toks FROM documents)"""
-  private val mlPSql =
+  private lazy val mlPSql =
     s"""round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
           + exp(-(w0 + f0 * w1 + f1 * w2 + f2 * w3))), 9)"""
-  private val mlTrainCtes: String = {
+  private lazy val mlTrainCtes: String = {
     val steps = (1 to mlIters).map { k =>
       val gs = (0 to 3).map { j =>
         val term = if (j == 0) "p - y" else s"(p - y) * f${j - 1}"
@@ -2038,7 +2132,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
 }
