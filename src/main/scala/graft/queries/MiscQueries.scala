@@ -2065,6 +2065,53 @@ object MiscQueries extends QuerySet {
         round((po - pe) / greatest(lit(1.0) - pe, lit(1e-12)), 6).as("kappa"))
     })
 
+  /** Corpus data card — the datasheet-for-datasets summary row a corpus
+    * release ships (Gebru et al. 2021): size, token volume, language
+    * share, source fan-out, mean quality (shared x2 chain), and the
+    * exact-dup rate (d1's normalized-text key). One scan feeds four
+    * map-side-combined aggregates joined as 1-row frames; the dup rate
+    * is 1 − distinct keys / docs, so it mirrors exactly what d1 keeps.
+    * Exact-integer counts; means divide once at the end. */
+  val dom7Datacard: Q = Q("dom7_datacard",
+    Some(s"""WITH $qualityCtes,
+            base AS (SELECT d.doc_id, d.source, d.lang, d.n_chars,
+                len(${graft.queries.OracleSql.toksSql}) AS ntok,
+                md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS dk,
+                q.quality
+              FROM documents d JOIN q ON q.doc_id = d.doc_id),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT dk) AS BIGINT) AS n_unique,
+                CAST(sum(CAST(quality AS DECIMAL(25,15))) AS DOUBLE) AS sum_q
+              FROM base)
+            SELECT n_docs, n_tokens, n_chars, n_sources,
+              round(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pct_en,
+              round(sum_q / CAST(n_docs AS DOUBLE), 6) AS mean_quality,
+              round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+            FROM agg"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("dk"),
+        TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      val agg = base.agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("dk").as("n_unique"),
+        sum(col("quality").cast("decimal(25,15)")).cast("double").as("sum_q"))
+      val nD = col("n_docs").cast("double")
+      agg.select(col("n_docs"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_chars").cast("long").as("n_chars"), col("n_sources"),
+        round(col("n_en").cast("double") / nD, 6).as("pct_en"),
+        round(col("sum_q") / nD, 6).as("mean_quality"),
+        round(lit(1.0) - col("n_unique").cast("double") / nD, 6).as("dup_rate"))
+    })
+
   /** Bradley–Terry strengths from pairwise outcomes — the arena-style
     * leaderboard computation (Hunter 2004 MM updates) over a match log
     * synthesized identically in both engines: docs at stride 1/2/3 play
@@ -2134,5 +2181,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
 }
