@@ -370,7 +370,42 @@ object WindowQueries extends QuerySet {
         .orderBy("event_id")
     })
 
+  /** W9: exponentially-weighted moving average over the trailing 8
+    * events — the smoothing a metrics/telemetry pipeline layers on w7's
+    * flat rolling mean. α = 0.5 EXACTLY so every weight 0.5^k is a
+    * binary-exact double (pow returns it exactly in both engines); the
+    * weighted terms then fold IN FRAME ORDER as plain doubles on both
+    * sides (the d14 fixed-order-fold lesson: identical sequential IEEE
+    * adds match bit-for-bit where per-term DECIMAL casts drift). One
+    * exchange on user_id; the frame never leaves a partition. */
+  val w9Ewma = Q("w9_ewma",
+    Some("""WITH b AS (SELECT user_id, event_id,
+              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+            FROM events),
+            e AS (SELECT user_id, event_id,
+              list_sum(list_transform(range(1, len(l) + 1),
+                i -> l[i] * power(0.5, CAST(len(l) - i AS DOUBLE)))) AS num,
+              list_sum(list_transform(range(1, len(l) + 1),
+                i -> power(0.5, CAST(len(l) - i AS DOUBLE)))) AS den
+            FROM b)
+            SELECT user_id, event_id, round(num / den, 6) AS ewma
+            FROM e ORDER BY event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+      val l = col("l")
+      val idx = sequence(lit(1), size(l))
+      val num = aggregate(idx, lit(0.0),
+        (acc, i) => acc + element_at(l, i) * pow(lit(0.5), (size(l) - i).cast("double")))
+      val den = aggregate(idx, lit(0.0),
+        (acc, i) => acc + pow(lit(0.5), (size(l) - i).cast("double")))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), collect_list(col("value")).over(w).as("l"))
+        .select(col("user_id"), col("event_id"), round(num / den, 6).as("ewma"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
     w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
-    w8Interpolate)
+    w8Interpolate, w9Ewma)
 }
