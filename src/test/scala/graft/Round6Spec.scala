@@ -315,6 +315,41 @@ class Round6Spec extends SparkSpec {
     assert(o("A") == 0.75 && o("B") == 0.25)
   }
 
+  test("p17 sentence chunks: budget respected, no sentence split, chunks contiguous") {
+    val d = "/root/testdata/sf0.01"
+    val chunks = graft.queries.TextQueries.p17SentenceChunks.fn(spark, d).collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      val (nSent, nWords) = (r.getLong(2), r.getLong(3))
+      // a chunk exceeds the 40-word budget ONLY as a single oversized
+      // sentence (the never-split-a-sentence contract)
+      assert(nWords <= 40 || nSent == 1L, s"over-budget multi-sentence chunk: $r")
+      assert(nSent >= 1L)
+    }
+    // chunk ids are contiguous per doc; they open at 0 (first sentence
+    // fits) or 1 (first sentence alone over budget) — the w4 contract
+    chunks.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head <= 1L && ids.toSeq == (ids.head to ids.last).toSeq)
+    }
+    // and every p16 sentence is assigned to exactly one chunk
+    val nSentTotal = graft.queries.TextQueries.p16SentenceSplit.fn(spark, d).count()
+    assert(chunks.map(_.getLong(2)).sum == nSentTotal)
+  }
+
+  test("ev6 token F1: multiset overlap credits repeats at min frequency") {
+    import spark.implicits._
+    // pred = [a a b], gold = [a b b c]: overlap = min(2,1)+min(1,2) = 2;
+    // P = 2/3, R = 2/4, F1 = 2PR/(P+R) = 4/7
+    val pred = Seq("a", "a", "b"); val gold = Seq("a", "b", "b", "c")
+    val df = Seq((pred, gold)).toDF("pred", "gold")
+    val ov = coalesce(aggregate(array_distinct(col("pred")), lit(0),
+      (acc, tk) => acc + least(
+        size(filter(col("pred"), x => x === tk)),
+        size(filter(col("gold"), x => x === tk)))), lit(0))
+    assert(df.select(ov).first().getInt(0) == 2)
+  }
+
   test("TextAnalysis.fleschStats: hand-counted sentences, words, syllables") {
     import spark.implicits._
     // "the cat sat. it ran fast! done?" → 3 sentences, 7 words;
