@@ -561,7 +561,10 @@ object TextQueries extends QuerySet {
               CASE WHEN flesch >= 60 THEN 'easy' WHEN flesch >= 30 THEN 'medium' ELSE 'hard' END AS band
             FROM f ORDER BY doc_id"""),
     (s, d) => documents(s, d)
-      .select(col("doc_id"), TextAnalysis.fleschStats(punctText).as("st"))
+      // two-stage select: the synthesized text materializes once, not
+      // per fleschStats sub-expression (the ev6/m6 re-inlining trap)
+      .select(col("doc_id"), punctText.as("ptext"))
+      .select(col("doc_id"), TextAnalysis.fleschStats(col("ptext")).as("st"))
       .select(col("doc_id"), col("st.n_sentences").as("n_sentences"),
         col("st.n_words").as("n_words"), col("st.n_syllables").as("n_syllables"),
         col("st.flesch").as("flesch"))
@@ -785,12 +788,15 @@ object TextQueries extends QuerySet {
               CAST(len(list_distinct(list_transform(list_filter(ms, s -> s.m), s -> s.k))) AS BIGINT) AS n_spans
             FROM e ORDER BY doc_id"""),
     (s, d) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val ms = transform(toks, (t, i) => {
+      // materialize the marked list once — `ms` feeds four downstream
+      // expressions, and an inline transform subtree would re-tokenize
+      // per reference (the ev6/m6 re-inlining trap)
+      val msExpr = transform(TextAnalysis.tokens(col("text")), (t, i) => {
         val span = floor(i / lit(5)).cast("long")
         struct(t.as("t"), (span % 4 === 3).as("m"),
           floor(span / lit(4)).cast("long").as("k"), (i % 5 === 0).as("f"))
       })
+      val ms = col("ms")
       val corrupted = array_join(filter(transform(ms, e =>
         when(!e.getField("m"), e.getField("t"))
           .when(e.getField("f"),
@@ -802,7 +808,8 @@ object TextQueries extends QuerySet {
           .when(e.getField("m"), e.getField("t"))),
         x => x.isNotNull), " ")
       val masked = filter(ms, e => e.getField("m"))
-      documents(s, d).select(col("doc_id"), corrupted.as("corrupted"), target.as("target"),
+      documents(s, d).select(col("doc_id"), msExpr.as("ms"))
+        .select(col("doc_id"), corrupted.as("corrupted"), target.as("target"),
           size(masked).cast("long").as("n_masked"),
           size(array_distinct(transform(masked, e => e.getField("k")))).cast("long").as("n_spans"))
         .orderBy("doc_id")
