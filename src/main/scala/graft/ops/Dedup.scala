@@ -242,6 +242,39 @@ object Dedup {
     * string `lpad(df) + U+0001 + gram` so both engines sort identically with
     * plain binary string order. Verify filters on the UNROUNDED ratio
     * (boundary-exact rationals) and emits it 6-dp-rounded. */
+  /** Asymmetric CONTAINMENT near-dup pairs — max(|A∩B|/|A|, |A∩B|/|B|)
+    * ≥ threshold over the w-shingle sets. Jaccard misses the
+    * quote/subset case entirely (a doc fully contained in one 10× its
+    * size has Jaccard ≤ 0.1); containment is the dedup signal for
+    * boilerplate reposts, quoted articles, and prefix-truncated mirrors.
+    * Candidate blocking: pairs sharing ≥1 RARE shingle (df ≤ dfCap) —
+    * a contained doc shares ALL its shingles with its container, so any
+    * one of its rare shingles blocks the pair; only a doc whose every
+    * shingle is more common than dfCap escapes (documented trade; raise
+    * dfCap for boilerplate-heavy corpora). Per-gram join fan-out is
+    * ≤ dfCap² regardless of corpus size — the d13 scale contract. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       w: Int, dfCap: Int, threshold: Double): DataFrame = {
+    val g = df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))
+      .localCheckpoint() // shared by the blocking explode AND both verify joins
+    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
+    val freq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    val rare = ex.join(freq.filter(col("df") <= dfCap).select("gram"), "gram")
+    val cand = rare.select(col("gram"), col("id").as("id_a"))
+      .join(rare.select(col("gram"), col("id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val ca = inter.cast("double") / size(col("ga")).cast("double")
+    val cb = inter.cast("double") / size(col("gb")).cast("double")
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
+      .filter(greatest(ca, cb) >= threshold)
+      .select(col("id_a"), col("id_b"), inter.cast("long").as("n_shared"),
+        round(ca, 6).as("cont_a_in_b"), round(cb, 6).as("cont_b_in_a"))
+  }
+
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          w: Int, threshold: Double): DataFrame = {
     val g = df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))

@@ -249,6 +249,49 @@ object VectorQueries extends QuerySet {
           / greatest(col("n_exact"), lit(1L)).cast("double"), 6).as("recall"))
     })
 
+  /** Containment near-dup pairs ([[graft.ops.Dedup.containmentPairs]]) —
+    * the asymmetric subset/quote detector Jaccard misses. Every 23rd doc
+    * is planted as the 40%-token prefix of its predecessor (cross-row
+    * synthesis via a doc_id−1 self-join, identical in both engines), so
+    * true containment-1.0 pairs exist that have LOW Jaccard; the 0.9
+    * threshold also re-finds the corpus's symmetric near-dups. Blocking
+    * is rare-shingle (df ≤ 20) with ≤ df² fan-out per gram. */
+  val d17Containment = Q("d17_containment_pairs",
+    Some(s"""WITH tt AS (SELECT doc_id, text, ${OracleSql.toksSql} AS toks FROM documents),
+            src AS (SELECT a.doc_id AS id,
+                CASE WHEN a.doc_id % 23 = 0 AND b.doc_id IS NOT NULL
+                     THEN array_to_string(b.toks[1:CAST(greatest((len(b.toks) * 2) // 5, 3) AS BIGINT)], ' ')
+                     ELSE a.text END AS text
+              FROM tt a LEFT JOIN tt b ON b.doc_id = a.doc_id - 1),
+            t2 AS (SELECT id, ${OracleSql.toksSql} AS toks FROM src),
+            g AS (SELECT id, ${OracleSql.shinglesSql(3)} AS grams FROM t2),
+            ex AS (SELECT id, unnest(grams) AS gram FROM g),
+            freq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+            rare AS (SELECT ex.id, ex.gram FROM ex JOIN freq USING (gram) WHERE df <= 20),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM rare a JOIN rare b ON a.gram = b.gram AND a.id < b.id),
+            v AS (SELECT id_a, id_b,
+                CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
+                CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / CAST(len(ga.grams) AS DOUBLE) AS ca,
+                CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / CAST(len(gb.grams) AS DOUBLE) AS cb
+              FROM cand JOIN g ga ON ga.id = id_a JOIN g gb ON gb.id = id_b)
+            SELECT id_a, id_b, n_shared, round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a
+            FROM v WHERE greatest(ca, cb) >= 0.9 ORDER BY id_a, id_b"""),
+    (s, d) => {
+      val tt = documents(s, d).select(col("doc_id"), col("text"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      val prev = tt.select((col("doc_id") + 1).as("doc_id"),
+        col("toks").as("ptoks"), lit(1).as("_has"))
+      val planted = tt.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") % 23 === 0 && col("_has").isNotNull,
+            array_join(slice(col("ptoks"), lit(1),
+              greatest(floor((size(col("ptoks")) * 2) / lit(5)), lit(3)).cast("int")), " "))
+            .otherwise(col("text")).as("text"))
+      Dedup.containmentPairs(planted, "id", "text", w = 3, dfCap = 20, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    })
+
   /** Text-analysis fingerprint + quality score. */
   val x4Fingerprint = Q("x4_doc_fingerprint",
     Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
@@ -1449,5 +1492,5 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall)
+    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment)
 }
