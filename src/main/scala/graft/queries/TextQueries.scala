@@ -765,6 +765,39 @@ object TextQueries extends QuerySet {
         .orderBy("source")
     })
 
+  /** N-gram novelty rate — the ingest-order dedup accounting a rolling
+    * corpus tracks (how much of each new doc is content never seen
+    * before?): a 4-shingle is NOVEL in the doc where it first appears
+    * (min doc_id over the corpus — one hash aggregate on the gram key),
+    * and each doc reports its novel-gram share. Exact-dup docs score
+    * 0.0 novelty, fresh docs 1.0; the signal that drives d8-style
+    * incremental-dedup budgeting. One bounded-key shuffle (gram), one
+    * join back, no windows. */
+  val x28NgramNovelty = Q("x28_ngram_novelty",
+    Some(s"""WITH t AS (SELECT doc_id, ${graft.queries.OracleSql.toksSql} AS toks FROM documents),
+            g AS (SELECT doc_id, ${graft.queries.OracleSql.shinglesSql(4)} AS grams FROM t),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            first AS (SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY gram),
+            per AS (SELECT ex.doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              FROM ex JOIN first f USING (gram) GROUP BY ex.doc_id)
+            SELECT doc_id, n_grams, n_novel,
+              round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS novelty
+            FROM per ORDER BY doc_id"""),
+    (s, d) => {
+      val ex = documents(s, d)
+        .select(col("doc_id"), explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("gram"))
+      val first = ex.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      ex.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty"))
+        .orderBy("doc_id")
+    })
+
   /** T5/UL2-style span corruption — the denoising-objective data prep:
     * fixed-width 5-token spans, every 4th span masked (25% noise
     * density), each masked run collapsed to one ordinal `<extra_id_k>`
@@ -1864,7 +1897,7 @@ object TextQueries extends QuerySet {
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
-    x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks,
+    x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
