@@ -255,7 +255,8 @@ object VectorQueries extends QuerySet {
     * synthesis via a doc_id−1 self-join, identical in both engines), so
     * true containment-1.0 pairs exist that have LOW Jaccard; the 0.9
     * threshold also re-finds the corpus's symmetric near-dups. Blocking
-    * is rare-shingle (df ≤ 20) with ≤ df² fan-out per gram. */
+    * is probe×index on the (df, gram) order: each doc probes with its
+    * 3 globally-rarest shingles against a df≤200 occurrence index. */
   val d17Containment = Q("d17_containment_pairs",
     Some(s"""WITH tt AS (SELECT doc_id, text, ${OracleSql.toksSql} AS toks FROM documents),
             src AS (SELECT a.doc_id AS id,
@@ -267,9 +268,13 @@ object VectorQueries extends QuerySet {
             g AS (SELECT id, ${OracleSql.shinglesSql(3)} AS grams FROM t2),
             ex AS (SELECT id, unnest(grams) AS gram FROM g),
             freq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
-            rare AS (SELECT ex.id, ex.gram FROM ex JOIN freq USING (gram) WHERE df <= 20),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM rare a JOIN rare b ON a.gram = b.gram AND a.id < b.id),
+            keyed AS (SELECT id, df, concat(lpad(CAST(df AS VARCHAR), 10, '0'), chr(1), gram) AS k
+                      FROM ex JOIN freq USING (gram)),
+            probes AS (SELECT id, substr(unnest(array_slice(list_sort(list(k)), 1, 3)), 12) AS gram
+                       FROM keyed GROUP BY id),
+            idx AS (SELECT id, substr(k, 12) AS gram FROM keyed WHERE df <= 200),
+            cand AS (SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+                     FROM probes a JOIN idx b ON a.gram = b.gram AND a.id <> b.id),
             v AS (SELECT id_a, id_b,
                 CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
                 CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / CAST(len(ga.grams) AS DOUBLE) AS ca,
@@ -288,7 +293,8 @@ object VectorQueries extends QuerySet {
             array_join(slice(col("ptoks"), lit(1),
               greatest(floor((size(col("ptoks")) * 2) / lit(5)), lit(3)).cast("int")), " "))
             .otherwise(col("text")).as("text"))
-      Dedup.containmentPairs(planted, "id", "text", w = 3, dfCap = 20, threshold = 0.9)
+      Dedup.containmentPairs(planted, "id", "text", w = 3, probeK = 3,
+          indexDfCap = 200, threshold = 0.9)
         .orderBy("id_a", "id_b")
     })
 
