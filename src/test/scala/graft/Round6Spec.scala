@@ -350,6 +350,35 @@ class Round6Spec extends SparkSpec {
     assert(df.select(ov).first().getInt(0) == 2)
   }
 
+  test("Dedup.containmentPairs: strict subset always found; disjoint never") {
+    import spark.implicits._
+    // B holds 12 distinctive tokens; A is B's first 6 (strict shingle
+    // subset); C is disjoint. Probe blocking CANNOT miss A⊆B: A's
+    // rarest shingle is by definition one of B's.
+    val b = (1 to 12).map(i => s"tk$i").mkString(" ")
+    val a = (1 to 6).map(i => s"tk$i").mkString(" ")
+    val c = (1 to 8).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val out = graft.ops.Dedup.containmentPairs(df, "id", "text",
+      w = 3, probeK = 3, indexDfCap = 200, threshold = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // A has 4 shingles, all inside B's 10 → cont(A in B) = 1.0
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.4)
+  }
+
+  test("x28 novelty: an exact-dup doc scores 0.0, the corpus-first doc 1.0") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.queries.TextQueries.x28NgramNovelty.fn(spark, d).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(0L) == 1.0) // nothing precedes doc 0
+    // every doc is in (0, 1] no-NaN, and at least one later doc repeats
+    // enough earlier content to fall below 0.5 (the planted near-dups)
+    assert(rows.forall(r => r.getDouble(3) > 0.0 - 1e-9 && r.getDouble(3) <= 1.0))
+    assert(rows.exists(r => r.getLong(0) > 0 && r.getDouble(3) < 0.5))
+  }
+
   test("TextAnalysis.fleschStats: hand-counted sentences, words, syllables") {
     import spark.implicits._
     // "the cat sat. it ran fast! done?" → 3 sentences, 7 words;
