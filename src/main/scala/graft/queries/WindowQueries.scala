@@ -405,7 +405,52 @@ object WindowQueries extends QuerySet {
         .orderBy("event_id")
     })
 
+  /** W10: rolling z-score anomaly flags — the telemetry outlier gate
+    * layered on w7's frame: each event scored against the mean/std of
+    * its trailing 15-event window. Both moment sums run in
+    * DECIMAL(25,6)/(38,12) (exact, order-free); mean, variance, and z
+    * derive from the same exact sums with the same expression tree in
+    * both engines, so no sliding-sum drift can reach the hash. Windows
+    * with fewer than 5 events or ~zero variance emit NULL z (no basis),
+    * never a spurious flag. One exchange on user_id. */
+  val w10Anomaly = Q("w10_rolling_zscore",
+    Some("""WITH b AS (SELECT user_id, event_id, value,
+              CAST(count(*) OVER w AS BIGINT) AS n,
+              CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+              CAST(sum(CAST(value AS DECIMAL(25,6)) * CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING)),
+            z AS (SELECT user_id, event_id, value, n,
+              CASE WHEN n >= 5 AND (s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) > 1e-12
+                THEN round((value - s1 / CAST(n AS DOUBLE))
+                  / sqrt(s2 / CAST(n AS DOUBLE)
+                    - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))), 6)
+                END AS zscore
+            FROM b)
+            SELECT user_id, event_id, value, n AS n_window, zscore,
+              coalesce(abs(zscore) > 2.5, FALSE) AS is_anomaly
+            FROM z ORDER BY event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, -1)
+      val b = events(s, d).select(col("user_id"), col("event_id"), col("value"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("value").cast("decimal(25,6)")).over(w).cast("double").as("s1"),
+        sum(col("value").cast("decimal(25,6)") * col("value").cast("decimal(25,6)"))
+          .over(w).cast("double").as("s2"))
+      val nD = col("n").cast("double")
+      val mean = col("s1") / nD
+      val variance = col("s2") / nD - mean * mean
+      val z = when(col("n") >= 5 && variance > 1e-12,
+        round((col("value") - mean) / sqrt(variance), 6))
+      b.select(col("user_id"), col("event_id"), col("value"),
+          col("n").as("n_window"), z.as("zscore"),
+          coalesce(abs(z) > 2.5, lit(false)).as("is_anomaly"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
     w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
-    w8Interpolate, w9Ewma)
+    w8Interpolate, w9Ewma, w10Anomaly)
 }
