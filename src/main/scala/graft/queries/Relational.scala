@@ -206,6 +206,19 @@ object Relational extends QuerySet {
       .except(customer(s, d).select(col("c_custkey").as("id")))
       .orderBy("id"))
 
+  /** §2.7 set-op completion: INTERSECT (the u4 EXCEPT twin) — users who
+    * both emitted events AND exist as customers. Spark plans
+    * INTERSECT DISTINCT as a left-semi aggregate join — one shuffle on
+    * the id, no data duplication. */
+  val u5Intersect = Q("u5_intersect",
+    Some("""SELECT id FROM (
+              SELECT DISTINCT user_id AS id FROM events
+              INTERSECT
+              SELECT c_custkey AS id FROM customer) t ORDER BY id"""),
+    (s, d) => events(s, d).select(col("user_id").as("id")).distinct()
+      .intersect(customer(s, d).select(col("c_custkey").as("id")))
+      .orderBy("id"))
+
   /** S9: projection + order (doc listing). */
   val s9Listing = Q("s9_doc_listing",
     Some("SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"),
@@ -278,5 +291,5 @@ object Relational extends QuerySet {
 
   def all: Seq[Q] = Seq(q1Pricing, j1Anti, j3Broadcast, j4DistinctJoin, j5FirstMatch,
     a4Validation, a8Banding, a10Distinct, a11Rollup, a14Cube, t1TopK, t4LastN, u2UnionAnti,
-    u4Except, s9Listing, j8Scd2, j8bScd2AsOf)
+    u4Except, u5Intersect, s9Listing, j8Scd2, j8bScd2AsOf)
 }
