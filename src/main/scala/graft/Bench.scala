@@ -34,7 +34,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=d8_incremental_dedup,d13_… isolates queries for
     // regression hunts (the judge's median-of-3-in-isolation ask).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -48,12 +48,25 @@ object Bench {
         // a failure is recorded as -1, never as a fast-looking elapsed time
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val t = if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
-      name -> t
+      name -> times
+    }
+    val results = raw.map { case (name, times) =>
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
     }
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-query spread alongside the median: the round-6 weak flag (12.0 s
+    // driver vs 4.5 s isolated on d13) was unadjudicable because the
+    // snapshot held one number with no variance — min/max over the reps
+    // makes a stall visibly a stall rather than a regression.
+    val statsFull = raw.map { case (k, times) =>
+      val ok = !times.contains(-1.0)
+      val s = times.sorted
+      val (mn, md, mx) = if (ok) (s.head, s(reps / 2), s.last) else (-1.0, -1.0, -1.0)
+      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) +
+        ",\"max\":" + fmt(mx) + ",\"reps\":" + reps + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver captures only the last ~2000 chars of stdout (round-2 bench
     // recorded parsed:null because the full 100-query line was 3.2k chars and
@@ -75,7 +88,7 @@ object Bench {
     val qsHead = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val jsonCompact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"detail":"BENCH.json","sf":"$sfDir"}"""
-    val jsonFull = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"stats":$statsFull,"sf":"$sfDir"}"""
     println(jsonCompact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

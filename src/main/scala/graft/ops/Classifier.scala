@@ -105,12 +105,30 @@ object Classifier {
             weights: DataFrame): DataFrame = {
     val d = features.size
     val cols = keep ++ features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }
-    val wRow = weights.groupBy()
-      .pivot("feature_idx", 0 to d).agg(first("weight"))
-      .select((0 to d).map(j => col(s"$j").as(s"w$j")): _*)
+    val wRow = pivotWeights(weights, d)
     df.select(cols: _*).crossJoin(broadcast(wRow))
       .withColumn("p", sigmoid(margin(d)))
       .drop((0 to d).map(j => s"w$j") ++ (0 until d).map(i => s"f$i"): _*)
+  }
+
+  /** Pivot a (feature_idx, weight) frame into one (w0..wd) row, failing
+    * LOUDLY on a malformed frame: a missing index would pivot to NULL and
+    * a duplicate index to an arbitrary `first`, both of which silently
+    * poison every downstream sigmoid — so require exactly one weight per
+    * index 0..d before broadcasting. The check is a d-bounded aggregate
+    * on the (d+1)-row weight table, not a corpus-scale pass. */
+  private def pivotWeights(weights: DataFrame, d: Int): DataFrame = {
+    val counts = weights.filter(col("feature_idx").between(0, d))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("feature_idx")).as("nd"),
+        sum(when(col("weight").isNull, 1L).otherwise(0L)).as("nulls"))
+      .head()
+    require(counts.getLong(0) == d + 1 && counts.getLong(1) == d + 1 && counts.getLong(2) == 0,
+      s"weights frame must have exactly one non-null weight per feature_idx 0..$d " +
+        s"(got ${counts.getLong(0)} rows, ${counts.getLong(1)} distinct, ${counts.getLong(2)} null)")
+    weights.groupBy()
+      .pivot("feature_idx", 0 to d).agg(first("weight"))
+      .select((0 to d).map(j => col(s"$j").as(s"w$j")): _*)
   }
 
   def accuracy(df: DataFrame, features: Seq[Column], label: Column,
@@ -118,9 +136,7 @@ object Classifier {
     val d = features.size
     val cols = features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") } :+
       label.cast("double").as("y")
-    val wRow = weights.groupBy()
-      .pivot("feature_idx", 0 to d).agg(first("weight"))
-      .select((0 to d).map(j => col(s"$j").as(s"w$j")): _*)
+    val wRow = pivotWeights(weights, d)
     df.select(cols: _*).crossJoin(broadcast(wRow))
       .withColumn("p", sigmoid(margin(d)))
       .agg(sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("n_correct"),

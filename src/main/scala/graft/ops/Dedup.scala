@@ -250,11 +250,15 @@ object Dedup {
     * Candidate blocking is PROBE × INDEX on the d13 (df, gram) global
     * order: each doc probes with only its `probeK` globally-rarest
     * shingles, against an index of every (gram, doc) occurrence with
-    * df ≤ indexDfCap. A strictly contained doc's rarest shingle is BY
-    * DEFINITION also in its container, so strict containments cannot
-    * escape (partial ≥ t containments escape only if all probeK rarest
-    * shingles fall in the uncovered < 1−t tail — the LSH-banding-style
-    * recall trade d16 audits for Jaccard). Fan-out per gram is
+    * df ≤ indexDfCap. Recall contract: a strictly contained doc's
+    * rarest shingle is BY DEFINITION also in its container, so a strict
+    * containment is guaranteed found WHEN the contained doc's rarest
+    * probeK shingles have df ≤ indexDfCap — in a corpus so heavily
+    * clustered that even a doc's rarest shingle exceeds the cap, the
+    * pair is traded away, exactly like an LSH band miss (partial ≥ t
+    * containments additionally escape if all probeK rarest shingles
+    * fall in the uncovered < 1−t tail — the trade d16 audits for
+    * Jaccard; raise indexDfCap to buy recall back). Fan-out per gram is
     * df × (docs probing that gram) — naive rare×rare blocking measured
     * 9.7 s on clustered dup corpora (every shared rare gram emits
     * cluster² pairs); this shape is 2.6 s on the same fixture. */
@@ -299,12 +303,19 @@ object Dedup {
     val keyed = ex.join(freq, "gram")
       .select(col("id"),
         concat(lpad(col("df").cast("string"), 10, "0"), lit("\u0001"), col("gram")).as("k"))
-    val prefixes = keyed.groupBy("id")
+    // localCheckpoint: `pe` feeds BOTH sides of the self-join below — without
+    // materialization each side replays the explode→freq→join→sort chain
+    // (exchange reuse does not cover the post-aggregate projection), which
+    // measured as the bulk of the round-6 12 s driver outlier. The frame is
+    // one row per (doc, prefix element) — (1−t)·|grams| of the corpus, the
+    // small end of the DAG.
+    val pe = keyed.groupBy("id")
       .agg(sort_array(collect_list(col("k"))).as("ks"))
       .select(col("id"), size(col("ks")).as("s"), slice(col("ks"), lit(1),
         (size(col("ks")) - ceil(size(col("ks")).cast("double") * lit(threshold)) + 1).cast("int")).as("prefix"))
-    val pe = prefixes.select(col("id"), col("s"),
-      posexplode(col("prefix")).as(Seq("p0", "k")))
+      .select(col("id"), col("s"),
+        posexplode(col("prefix")).as(Seq("p0", "k")))
+      .localCheckpoint()
     // size filter (SSJoin): Jaccard >= t forces t·|A| <= |B| <= |A|/t, so
     // mismatched-size pairs never reach the array verify — lossless by the
     // bound, and it cut the candidate set ~2x on the wide size spread of

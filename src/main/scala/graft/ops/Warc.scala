@@ -83,6 +83,7 @@ object Warc {
     * exception. The Inflater's native memory is released via close() in
     * finally (the [[graft.ops.Pdf]] inflate lesson). */
   def gunzipMember(bytes: Array[Byte], maxBytes: Int = 1 << 24): Option[Array[Byte]] = {
+    if (bytes == null) return None // a NULL member column quarantines, not NPEs
     // the constructor itself reads (and may reject) the member header —
     // it must sit inside the try with the read loop
     var in: java.util.zip.GZIPInputStream = null
@@ -115,6 +116,7 @@ object Warc {
     * recovery path is [[gunzipMember]] over pre-split members). */
   def splitMembers(bytes: Array[Byte], maxBytes: Long = 1L << 30,
                    maxMembers: Int = 1 << 20): Option[Vector[Array[Byte]]] = {
+    if (bytes == null) return None // NULL blob column → quarantine the row
     val out = Vector.newBuilder[Array[Byte]]
     var pos = 0
     var count = 0
