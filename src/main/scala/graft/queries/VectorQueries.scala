@@ -1491,6 +1491,157 @@ object VectorQueries extends QuerySet {
           .select("vec_id", "label").orderBy("vec_id")
       })
 
+  /** REAL PNG pixel decode, oracle-gated end-to-end: complete PNGs
+    * (IHDR/PLTE/IDAT/IEND, CRC'd chunks, deflated scanlines) are encoded
+    * executor-side from doc_id arithmetic across all four supported color
+    * types with the filter type CYCLING per scanline ((y + doc_id) % 5 —
+    * every decode exercises Sub/Up/Average/Paeth, not just None), then
+    * `Image.decodePng` must recover the planted pixels through
+    * inflate + unfilter. The oracle never sees bytes: it predicts
+    * pixel_sum (over all unfiltered channel bytes) and the center-pixel
+    * gray probe from the same arithmetic, so a wrong unfilter offset, a
+    * swapped Paeth tiebreak, or a palette/luma slip hash-fails. Every 7th
+    * payload gets one mid-file byte flipped — CRC verification must turn
+    * exactly those rows into nulls (fail-to-null, never garbage). */
+  val m7PngDecode = Q("m7_png_decode",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 12 + 1 AS INT) AS w,
+              CAST((doc_id * 3) % 10 + 1 AS INT) AS h,
+              CAST(doc_id % 4 AS INT) AS sel
+            FROM documents),
+            q AS (SELECT doc_id, w, h, sel,
+              CASE sel WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 6 END AS color_type,
+              CASE sel WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 4 END AS channels
+            FROM p),
+            s AS (SELECT doc_id, w, h, sel, color_type, channels,
+              CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w * channels, 1), k ->
+                CASE WHEN sel = 2
+                  THEN ((k % (w * channels)) // channels * 3 + (k // (w * channels)) * 5 + doc_id) % 16
+                  ELSE ((k % (w * channels)) // channels * 7 + (k // (w * channels)) * 11 + (k % channels) * 29 + doc_id) % 256
+                END)) AS BIGINT) AS pixel_sum,
+              w // 2 AS x0, h // 2 AS y0
+            FROM q),
+            g AS (SELECT doc_id, w, h, sel, color_type, channels, pixel_sum,
+              CASE sel
+                WHEN 0 THEN (x0 * 7 + y0 * 11 + doc_id) % 256
+                WHEN 2 THEN (299 * (((x0 * 3 + y0 * 5 + doc_id) % 16) * 37 % 256)
+                           + 587 * (((x0 * 3 + y0 * 5 + doc_id) % 16) * 59 % 256)
+                           + 114 * (((x0 * 3 + y0 * 5 + doc_id) % 16) * 83 % 256)) // 1000
+                ELSE (299 * ((x0 * 7 + y0 * 11 + doc_id) % 256)
+                    + 587 * ((x0 * 7 + y0 * 11 + 29 + doc_id) % 256)
+                    + 114 * ((x0 * 7 + y0 * 11 + 58 + doc_id) % 256)) // 1000
+              END AS gray_mid
+            FROM s)
+            SELECT doc_id, doc_id % 7 <> 0 AS ok,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE w END AS width,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE h END AS height,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(color_type AS INT) END AS color_type,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(channels AS INT) END AS channels,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(gray_mid AS INT) END AS gray_mid
+            FROM g ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withPng = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 12 + 1).toInt; val h = ((id * 3) % 10 + 1).toInt
+        val sel = (id % 4).toInt
+        val ct = Seq(0, 2, 3, 6)(sel); val ch = Seq(1, 3, 1, 4)(sel)
+        val raw = new Array[Byte](w * h * ch)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+          val v = if (sel == 2) (x * 3 + y * 5 + id) % 16 else (x * 7 + y * 11 + c * 29 + id) % 256
+          raw(y * w * ch + x * ch + c) = v.toByte
+        }
+        val pal = if (sel == 2) Array.tabulate(48) { k =>
+          val j = k / 3
+          (if (k % 3 == 0) j * 37 % 256 else if (k % 3 == 1) j * 59 % 256 else j * 83 % 256).toByte
+        } else null
+        val png = graft.ops.Image.encodePng(w, h, ct, raw, y => ((y + id) % 5).toInt, pal)
+        // one flipped mid-file byte: always inside a CRC-covered span (the
+        // signature is 8 bytes, the midpoint of any complete PNG is past
+        // it), so decode must fail closed
+        if (id % 7 == 0) png(png.length / 2) = (png(png.length / 2) ^ 0xff).toByte
+        Seq(png)
+      }
+      graft.ops.Image.decodeStatsStage(withPng, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.color_type").as("color_type"), col("st.channels").as("channels"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id")
+    })
+
+  /** Perceptual-hash image near-dup pairs — the multimodal-dedup operator
+    * a training pipeline runs over figure/crawl images, gated end-to-end
+    * THROUGH the real PNG decode: each doc renders a 9×8 image whose
+    * pixel gradients encode a planted 64-bit signature (groups of 4 docs
+    * share a base signature; member m flips m known bits, so in-group
+    * Hamming distances are exactly |m₁−m₂| ≤ 3), PNG-encoded with
+    * cycling scanline filters and alternating gray/RGB color types. The
+    * engine decodes pixels, computes dHash (9×8 is the hash's native
+    * grid, so resize is identity and the oracle can predict every bit),
+    * and bands the fingerprints pigeonhole-style — the d3c machinery
+    * pointed at images. The oracle computes signatures, banding, and
+    * Hamming arithmetically; one wrong unfilter or one dHash bit off
+    * changes pair membership and hash-fails. */
+  val d18ImageNearDup = Q("d18_image_neardup_pairs",
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gb, CAST(doc_id % 4 AS INT) AS m FROM documents),
+            bits AS (SELECT doc_id, i,
+                (((((gb * 48271 + i * 16807) % 1000003) * ((gb * 48271 + i * 16807) % 1000003)) % 1000003) < 500002) <>
+                  list_contains(list_transform(range(CAST(m AS BIGINT)), j -> (gb * 7 + j * 19) % 64), i) AS b
+              FROM d, range(0, 64, 1) t(i)),
+            sig AS (SELECT doc_id, string_agg(CASE WHEN b THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+                    FROM bits GROUP BY doc_id),
+            blk AS (SELECT doc_id, sig,
+                concat(CAST(q AS VARCHAR), ':', substr(sig, CAST(q * 16 + 1 AS INT), 16)) AS blk
+              FROM sig, range(0, 4, 1) t(q)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+                     FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+            ham AS (SELECT id_a, id_b,
+                CAST(len(list_filter(range(1, 65, 1), i -> sig_a[i] <> sig_b[i])) AS BIGINT) AS hamming
+              FROM cand)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withPng = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val gb = id / 4; val m = (id % 4).toInt
+        // squared-residue bits mod a large prime: a LINEAR bit formula
+        // walks the modulus in small increments, producing run-structured
+        // signatures that nearly-collide across groups (measured 4× pair
+        // inflation); squaring decorrelates adjacent i, leaving exactly
+        // the 6-per-group planted pairs
+        val bits = Array.tabulate(64) { i =>
+          val v = (gb * 48271L + i * 16807L) % 1000003
+          v * v % 1000003 < 500002
+        }.zipWithIndex.map { case (b0, i) =>
+          b0 != (0 until m).exists(j => (gb * 7 + j * 19) % 64 == i)
+        }
+        // gradient walk: p(0,y)=128, each step ±1 by the planted bit, so
+        // dHash(p) == bits exactly and stays within byte range (128±8)
+        val gray = new Array[Int](72)
+        for (y <- 0 until 8) {
+          gray(y * 9) = 128
+          for (x <- 0 until 8)
+            gray(y * 9 + x + 1) = gray(y * 9 + x) + (if (bits(y * 8 + x)) 1 else -1)
+        }
+        val ct = if (id % 2 == 0) 0 else 2
+        val ch = if (ct == 0) 1 else 3
+        val raw = new Array[Byte](72 * ch)
+        for (i <- 0 until 72; c <- 0 until ch) raw(i * ch + c) = gray(i).toByte
+        // r=g=b ⇒ integer luma (299+587+114)p/1000 = p: the RGB path must
+        // reproduce the gray path bit-for-bit
+        Seq(graft.ops.Image.encodePng(9, 8, ct, raw, y => ((y + id) % 5).toInt))
+      }
+      val sigs = graft.ops.Image.dhashStage(withPng, "payload", "sig")
+      graft.ops.Image.imageNearDupPairs(sigs, "doc_id", "sig", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    })
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -1498,5 +1649,6 @@ object VectorQueries extends QuerySet {
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
-    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment)
+    rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
+    m7PngDecode, d18ImageNearDup)
 }
