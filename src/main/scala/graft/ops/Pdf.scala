@@ -414,6 +414,21 @@ object Pdf {
     wrapContent(content, compress)
   }
 
+  /** Arbitrary-geometry builder (the pdf6/pdf7 table fixtures): one
+    * absolutely-positioned show per block via `Tm` + `Tf`. The layout
+    * state machine itself is gated by [[buildLayoutPdf]]'s derived
+    * block 3; this builder's job is carrying a PLANTED GRID through the
+    * full parse so the table detector must rediscover it. */
+  def buildBlocksPdf(blocks: Seq[(String, Double, Double, Double)],
+                     compress: Boolean): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def n(v: Double) = if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    val shows = blocks.map { case (t, x, y, s) =>
+      s"/F1 ${n(s)} Tf 1 0 0 1 ${n(x)} ${n(y)} Tm (${esc(t)}) Tj "
+    }.mkString
+    wrapContent(("BT " + shows + "ET").getBytes(Ascii), compress)
+  }
+
   /** Wrap raw content-stream bytes into the minimal single-page shell
     * `buildMinimalPdf` uses (shared so both fixture builders stay
     * byte-layout-identical). */

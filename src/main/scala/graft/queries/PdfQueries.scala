@@ -181,5 +181,111 @@ object PdfQueries extends QuerySet {
         .orderBy("doc_id", "grp")
     })
 
-  def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge)
+  // ---------------------------------------------------------------------
+  // Round 7: table-region detection from the extracted geometry (the
+  // Camelot-stream analog, ref `table_extractor.py:566-806`).
+  //
+  // Fixture: every doc renders a page with a PLANTED GRID among prose
+  // noise — Title/Para/Note/Page lines (one column band each, never
+  // table rows), a (doc_id%3+2)×(doc_id%2+2) table anchored at
+  // x=100+j·120+(doc_id%5), y=600−i·24, and for doc_id%4=0 a second 2×2
+  // table below a separating Note line. The oracle predicts the CELLS
+  // from the planting arithmetic only: the engine must rediscover them
+  // through PDF build → parse → row/column banding → island grouping —
+  // a false positive (noise absorbed into a table) or a band split/merge
+  // error changes the cell set and hash-fails.
+
+  private def tableFixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StructField}
+    val base = documents(s, d).select("doc_id")
+    val withPdf = graft.ops.Stages.appendFields(base,
+        Seq(StructField("payload", BinaryType))) { r =>
+      val id = r.getLong(0)
+      val nr = (id % 3 + 2).toInt; val nc = (id % 2 + 2).toInt; val sh = (id % 5).toInt
+      val blocks = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
+      blocks += (("Title " + id, 72.0, 700.0, 16.0))
+      blocks += (("Para " + id + " text", 72.0, 660.0, 10.0))
+      for (i <- 0 until nr; j <- 0 until nc)
+        blocks += (("C" + i + "x" + j + "v" + ((id + i * 7 + j * 13) % 100),
+          100.0 + j * 120 + sh, 600.0 - i * 24, 10.0))
+      blocks += (("Note " + id, 72.0, 400.0, 10.0))
+      if (id % 4 == 0)
+        for (i <- 0 until 2; j <- 0 until 2)
+          blocks += (("D" + i + "x" + j + "v" + ((id * 3 + i * 5 + j * 11) % 100),
+            110.0 + j * 140, 340.0 - i * 20, 10.0))
+      blocks += (("Page 1", 72.0, 100.0, 10.0))
+      Seq(Pdf.buildBlocksPdf(blocks.toSeq, compress = id % 2 == 1))
+    }
+    Pdf.blocksStage(withPdf, "payload", "blocks")
+      .select(col("doc_id"), explode(col("blocks")).as("b"))
+      .select(col("doc_id"), col("b.text").as("text"),
+        col("b.x").as("x"), col("b.y").as("y"), col("b.size").as("font_size"))
+  }
+
+  /** pdf6: the detected cell grid vs the planted ground truth. */
+  val pdf6TableDetect = Q("pdf6_table_detect",
+    Some("""WITH g AS (SELECT doc_id, doc_id % 3 + 2 AS nr, doc_id % 2 + 2 AS nc FROM documents),
+            t1 AS (SELECT doc_id, 0 AS table_idx, CAST(i AS INT) AS row_idx, CAST(j AS INT) AS col_idx,
+                concat('C', CAST(i AS VARCHAR), 'x', CAST(j AS VARCHAR), 'v',
+                  CAST((doc_id + i * 7 + j * 13) % 100 AS VARCHAR)) AS cell_text
+              FROM g, range(0, 4, 1) r(i), range(0, 3, 1) c(j) WHERE i < nr AND j < nc),
+            t2 AS (SELECT doc_id, 1 AS table_idx, CAST(i AS INT) AS row_idx, CAST(j AS INT) AS col_idx,
+                concat('D', CAST(i AS VARCHAR), 'x', CAST(j AS VARCHAR), 'v',
+                  CAST((doc_id * 3 + i * 5 + j * 11) % 100 AS VARCHAR)) AS cell_text
+              FROM (SELECT doc_id FROM g WHERE doc_id % 4 = 0) gg,
+                   range(0, 2, 1) r(i), range(0, 2, 1) c(j))
+            SELECT doc_id, table_idx, row_idx, col_idx, cell_text
+            FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) u
+            ORDER BY doc_id, table_idx, row_idx, col_idx"""),
+    (s, d) => graft.ops.TableDetect.detectTables(tableFixture(s, d))
+      .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
+
+  /** pdf7: the composed table pipeline the reference runs on every
+    * upload — detect (real geometry) → rows (`tableRows`, the
+    * row-content view its content hash uses) → J1 anti-join against an
+    * already-ingested exclusion set → J2 deterministic first-wins
+    * content dedup (doc_id % 300 fixture periodicity plants real
+    * cross-document duplicate tables) → per-row survivor + copy count.
+    * Every stage runs on DETECTED tables; a detection error anywhere
+    * upstream changes survivors/counts and hash-fails. */
+  val pdf7TablePipeline = Q("pdf7_table_pipeline",
+    Some("""WITH g AS (SELECT doc_id, doc_id % 3 + 2 AS nr, doc_id % 2 + 2 AS nc FROM documents),
+            t1 AS (SELECT doc_id, 0 AS table_idx, CAST(i AS INT) AS row_idx,
+                array_to_string(list_transform(range(0, nc, 1), j ->
+                  concat('C', CAST(i AS VARCHAR), 'x', CAST(j AS VARCHAR), 'v',
+                    CAST((doc_id + i * 7 + j * 13) % 100 AS VARCHAR))), ' | ') AS row_text
+              FROM g, range(0, 4, 1) r(i) WHERE i < nr),
+            t2 AS (SELECT doc_id, 1 AS table_idx, CAST(i AS INT) AS row_idx,
+                array_to_string(list_transform(range(0, 2, 1), j ->
+                  concat('D', CAST(i AS VARCHAR), 'x', CAST(j AS VARCHAR), 'v',
+                    CAST((doc_id * 3 + i * 5 + j * 11) % 100 AS VARCHAR))), ' | ') AS row_text
+              FROM (SELECT doc_id FROM g WHERE doc_id % 4 = 0) gg, range(0, 2, 1) r(i)),
+            allr AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+            excl AS (SELECT DISTINCT row_text FROM allr WHERE doc_id % 50 = 0),
+            kept AS (SELECT * FROM allr
+                     WHERE row_text NOT IN (SELECT row_text FROM excl)),
+            dd AS (SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(regexp_replace(row_text, '\s+', ' ', 'g')))
+                ORDER BY doc_id, table_idx, row_idx) AS rn FROM kept),
+            cnt AS (SELECT row_text, CAST(count(*) AS BIGINT) AS n_copies
+                    FROM kept GROUP BY row_text)
+            SELECT d.row_text AS row_text, d.doc_id AS doc_id,
+              d.table_idx AS table_idx, d.row_idx AS row_idx, c.n_copies AS n_copies
+            FROM dd d JOIN cnt c USING (row_text) WHERE rn = 1
+            ORDER BY row_text"""),
+    (s, d) => {
+      val cells = graft.ops.TableDetect.detectTables(tableFixture(s, d))
+      val rows = graft.ops.TableDetect.tableRows(cells)
+      val excl = rows.filter(col("doc_id") % 50 === 0).select("row_text").distinct()
+      val kept = rows.join(excl, Seq("row_text"), "left_anti")
+      val survivors = graft.ops.Dedup.exact(kept, col("row_text"),
+        struct(col("doc_id"), col("table_idx"), col("row_idx")))
+      val counts = kept.groupBy("row_text").agg(count(lit(1)).as("n_copies"))
+      survivors.join(counts, "row_text")
+        .select(col("row_text"), col("doc_id"), col("table_idx"), col("row_idx"), col("n_copies"))
+        .orderBy("row_text")
+    })
+
+  def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge,
+    pdf6TableDetect, pdf7TablePipeline)
 }
