@@ -1491,6 +1491,52 @@ object VectorQueries extends QuerySet {
           .select("vec_id", "label").orderBy("vec_id")
       })
 
+  /** Incremental index maintenance (ref `vector_store.py:165-205`
+    * re-upserts per document): the stored IVF+PQ index mutated through
+    * the full [[Upsert]] lifecycle and queried, against an oracle that
+    * only knows the FINAL logical state — base write where every 10th
+    * vector is CORRUPTED (indexed under the zero vector's cell/codes),
+    * an upsert segment that fixes them (exercising the cell-move
+    * tombstone path whenever the true cell differs from the zero
+    * vector's), then a delete segment for every 17th vector. The pruned
+    * resolved read must surface exactly what a from-scratch rebuild
+    * minus deletions would: any stale row, lost tombstone, or
+    * resolution-order bug leaves a corrupted/deleted vector in (or a
+    * fixed one out of) the top-k and hash-fails. */
+  val v9IndexUpsert: Q = Q("v9_index_upsert",
+    Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $ivfDCols, $pqDCols FROM embeddings),
+            c AS (SELECT vec_id, e, $ivfCellSql AS cell, $pqCodeCols FROM d),
+            q AS (SELECT e AS qv, cell AS qcell FROM c WHERE vec_id = 0),
+            lut AS (SELECT $pqLutCols FROM q)
+            SELECT vec_id, round($pqScoreSql, 6) AS score
+            FROM c, q, lut WHERE c.cell = q.qcell AND vec_id % 17 <> 0
+            ORDER BY score DESC, vec_id LIMIT 5"""),
+    (s, d) => {
+      import graft.index.Upsert
+      val emb = embeddings(s, d)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${Integer.toHexString(d.hashCode)}"
+      val zero = array_repeat(lit(0.0f), 64)
+      def indexed(vec: org.apache.spark.sql.Column) = Seq(
+        Search.pqCodes(vec, pqCodebooks, pqSubDim).as("codes"),
+        Search.ivfCell(vec, ivfCentroids).as("cell"))
+      // base: every 10th vector corrupted to the zero vector's cell/codes
+      val baseVec = when(col("vec_id") % 10 === 0, zero).otherwise(col("embedding"))
+      Upsert.writeBase(emb.select(col("vec_id") +: indexed(baseVec): _*), "cell", out)
+      // segment 1: fix the corrupted vectors (inserts nothing new; moves
+      // cells wherever the true cell differs from the zero vector's)
+      Upsert.upsert(s, out,
+        emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id") +: indexed(col("embedding")): _*))
+      // segment 2: delete every 17th vector
+      Upsert.delete(s, out, emb.filter(col("vec_id") % 17 === 0).select("vec_id"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), Search.ivfCell(col("embedding"), ivfCentroids).as("cell"))
+      Upsert.readPrunedResolved(s, out, q)
+        .select(col("vec_id"),
+          round(Search.pqAdcScore(col("codes"), col("qv"), pqCodebooks, pqSubDim), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(5)
+    })
+
   /** REAL PNG pixel decode, oracle-gated end-to-end: complete PNGs
     * (IHDR/PLTE/IDAT/IEND, CRC'd chunks, deflated scanlines) are encoded
     * executor-side from doc_id arithmetic across all four supported color
@@ -1650,5 +1696,5 @@ object VectorQueries extends QuerySet {
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
-    m7PngDecode, d18ImageNearDup)
+    m7PngDecode, d18ImageNearDup, v9IndexUpsert)
 }
