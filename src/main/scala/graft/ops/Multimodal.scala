@@ -198,6 +198,18 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<sample_rate:int,channels:int,bits:int>"))
   }
 
+  /** MP4/ISO-BMFF metadata — (timescale, duration, n_tracks) from the
+    * moov/mvhd box walk (ISO 14496-12), handling metadata-at-end layouts
+    * (mdat before moov), 64-bit largesize boxes, and both mvhd versions.
+    * Implemented directly as the native `mp4_meta` Expression (the nested
+    * parent/child walk would re-inline catastrophically as a Column fold —
+    * the image_dims lesson, applied from the start). Fail-to-null, never
+    * garbage; reads only box headers, O(boxes) not O(bytes). */
+  def mp4Meta(payload: Column): Column = {
+    graft.functions.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("mp4_meta", payload)
+  }
+
   /** Batch feature-extraction contract over raw payload bytes. */
   trait FeatureExtractor extends Serializable {
     def extractBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]]

@@ -762,6 +762,58 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** REAL MP4/ISO-BMFF metadata decode (the m5 contract for video):
+    * payloads synthesized from doc_id arithmetic exercise the walk's
+    * hard branches — every 4th doc uses the metadata-at-end layout
+    * (`free` + `mdat` BEFORE `moov`, so the top-level hop must skip by
+    * declared sizes), every 5th doc's mdat uses the 64-bit largesize
+    * encoding (`size == 1`), mvhd alternates version 0/1 by parity (32-
+    * vs 64-bit duration at different offsets), and every 9th is garbage
+    * → NULL. The oracle knows only the arithmetic; an offset, version,
+    * or box-skip bug in `Multimodal.mp4Meta` hash-fails. */
+  val m8Mp4Meta = Q("m8_mp4_meta",
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(doc_id % 1000 + 600 AS INT) END AS timescale,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(doc_id % 100000 + 500 AS BIGINT) END AS duration,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(doc_id % 3 + 1 AS INT) END AS n_tracks
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      def be(v: org.apache.spark.sql.Column, bytes: Int) = lpad(hex(v), bytes * 2, "0")
+      val ts = col("doc_id") % 1000 + 600
+      val dur = col("doc_id") % 100000 + 500
+      val nTraks = col("doc_id") % 3 + 1
+      val v1 = col("doc_id") % 2 === 1
+      // mvhd: v0 = 108 bytes (4B ver/flags, 4B+4B times, 4B ts, 4B dur,
+      // 80B rate/volume/matrix tail zero-padded); v1 = 120 (8B times, 8B dur)
+      val mvhdHex = when(v1,
+          concat(be(lit(120), 4), lit("6D766864"), lit("01000000"),
+            expr("repeat('00', 16)"), be(ts, 4), be(dur, 8), expr("repeat('00', 80)")))
+        .otherwise(
+          concat(be(lit(108), 4), lit("6D766864"), lit("00000000"),
+            expr("repeat('00', 8)"), be(ts, 4), be(dur, 4), expr("repeat('00', 80)")))
+      val mvhdSize = when(v1, 120).otherwise(108)
+      val traksHex = expr("repeat('000000087472616B', CAST(doc_id % 3 + 1 AS INT))")
+      val moovHex = concat(be(mvhdSize + nTraks * 8 + 8, 4), lit("6D6F6F76"), mvhdHex, traksHex)
+      val ftypHex = lit("000000106674797069736F6D00000000")
+      val freeN = col("doc_id") % 7 + 1
+      val freeHex = concat(be(freeN + 8, 4), lit("66726565"),
+        expr("repeat('AB', CAST(doc_id % 7 + 1 AS INT))"))
+      val mdatHex = when(col("doc_id") % 5 === 0,
+          concat(lit("000000016D646174"), be(lit(20), 8), lit("DEADBEEF")))
+        .otherwise(lit("0000000C6D646174DEADBEEF"))
+      val mp4Hex = when(col("doc_id") % 4 === 0,
+          concat(ftypHex, freeHex, mdatHex, moovHex))
+        .otherwise(concat(ftypHex, moovHex, mdatHex))
+      val payload = when(col("doc_id") % 9 === 0, unhex(lit("BADC0FFE")))
+        .otherwise(unhex(mp4Hex))
+      documents(s, d)
+        .withColumn("payload", payload)
+        .withColumn("m", graft.ops.Multimodal.mp4Meta(col("payload")))
+        .select(col("doc_id"), col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"), col("m.n_tracks").as("n_tracks"))
+        .orderBy("doc_id")
+    })
+
   /** V2 scale path: SRP-LSH bucketed top-k. The oracle SQL is generated
     * from the same deterministic hyperplanes (seed 42) the Spark side uses,
     * baked in as literals — both engines compute identical bucket ids, so
@@ -1696,5 +1748,5 @@ object VectorQueries extends QuerySet {
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
-    m7PngDecode, d18ImageNearDup, v9IndexUpsert)
+    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta)
 }

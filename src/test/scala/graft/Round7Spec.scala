@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.Mp4Meta
+
+/** Round-7 additions: the MP4/ISO-BMFF box walk. Fixtures here are
+  * hand-authored byte-by-byte (NOT via the m8 query's hex builder) so the
+  * spec and the oracle fixture can't share a common bug. */
+class Round7Spec extends SparkSpec {
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def box(typ: String, content: Array[Byte]): Array[Byte] =
+    be32(content.length + 8L) ++ fourcc(typ) ++ content
+
+  private def mvhdV0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(ts) ++ be32(dur) ++ Array.fill[Byte](80)(0))
+
+  private def mvhdV1(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(ts) ++ be64(dur) ++ Array.fill[Byte](80)(0))
+
+  private val ftyp = box("ftyp", fourcc("isom") ++ be32(0))
+
+  test("Mp4Meta: metadata-first v0 layout") {
+    val moov = box("moov", mvhdV0(1000, 7500) ++ box("trak", Array[Byte]()) ++ box("trak", Array[Byte]()))
+    val mp4 = ftyp ++ moov ++ box("mdat", Array[Byte](1, 2, 3))
+    val r = Mp4Meta.meta(mp4)
+    assert(r.getInt(0) == 1000 && r.getLong(1) == 7500L && r.getInt(2) == 2)
+  }
+
+  test("Mp4Meta: metadata-at-end layout hops mdat and free by declared size") {
+    val moov = box("moov", mvhdV1(90000, 1234567890123L) ++ box("trak", Array[Byte]()))
+    val mp4 = ftyp ++ box("free", Array.fill[Byte](13)(0x41)) ++
+      box("mdat", Array.fill[Byte](100)(0x42)) ++ moov
+    val r = Mp4Meta.meta(mp4)
+    assert(r.getInt(0) == 90000 && r.getLong(1) == 1234567890123L && r.getInt(2) == 1)
+  }
+
+  test("Mp4Meta: 64-bit largesize mdat before moov") {
+    val content = Array.fill[Byte](9)(0x55)
+    val largeMdat = be32(1) ++ fourcc("mdat") ++ be64(16L + content.length) ++ content
+    val mp4 = ftyp ++ largeMdat ++ box("moov", mvhdV0(600, 42))
+    val r = Mp4Meta.meta(mp4)
+    assert(r.getInt(0) == 600 && r.getLong(1) == 42L && r.getInt(2) == 0)
+  }
+
+  test("Mp4Meta: size==0 (to-EOF) moov as last box") {
+    val moovContent = mvhdV0(48000, 96000) ++ box("trak", Array[Byte]())
+    val mp4 = ftyp ++ (be32(0) ++ fourcc("moov") ++ moovContent)
+    val r = Mp4Meta.meta(mp4)
+    assert(r.getInt(0) == 48000 && r.getLong(1) == 96000L && r.getInt(2) == 1)
+  }
+
+  test("Mp4Meta: fail-to-null — garbage, wrong magic, no mvhd, bad version") {
+    assert(Mp4Meta.meta(null) == null)
+    assert(Mp4Meta.meta(Array[Byte](1, 2, 3)) == null)
+    assert(Mp4Meta.meta("not an mp4 at all............".getBytes) == null)
+    // valid leader but moov has no mvhd
+    assert(Mp4Meta.meta(ftyp ++ box("moov", box("trak", Array[Byte]()))) == null)
+    // mvhd version 2 is unknown
+    val badVer = box("mvhd", Array[Byte](2, 0, 0, 0) ++ Array.fill[Byte](100)(0))
+    assert(Mp4Meta.meta(ftyp ++ box("moov", badVer)) == null)
+    // child box overrunning its moov parent
+    val overrun = be32(9999) ++ fourcc("trak")
+    assert(Mp4Meta.meta(ftyp ++ box("moov", mvhdV0(1, 1) ++ overrun)) == null)
+    // malformed size in 2..7
+    assert(Mp4Meta.meta(ftyp ++ be32(5) ++ fourcc("moov")) == null)
+  }
+
+  test("Mp4Meta: truncation sweep never throws — null or the full answer") {
+    val moov = box("moov", mvhdV1(1000, 99999) ++ box("trak", Array[Byte]()))
+    val full = ftyp ++ box("free", Array.fill[Byte](7)(0)) ++ moov ++ box("mdat", Array.fill[Byte](5)(1))
+    for (n <- 0 to full.length) {
+      val r = Mp4Meta.meta(full.take(n)) // must not throw
+      if (r != null) assert(r.getInt(0) == 1000 && r.getLong(1) == 99999L)
+    }
+  }
+
+  test("Mp4Meta: hostile size chain is hop-bounded") {
+    // 20 tiny boxes then moov — beyond the 16-hop budget → null, no spin
+    val filler = (1 to 20).map(_ => box("free", Array[Byte]())).reduce(_ ++ _)
+    val mp4 = ftyp ++ filler ++ box("moov", mvhdV0(10, 10))
+    assert(Mp4Meta.meta(mp4) == null)
+    // and within budget it is found
+    val small = ftyp ++ box("free", Array[Byte]()) ++ box("moov", mvhdV0(10, 10))
+    assert(Mp4Meta.meta(small).getInt(0) == 10)
+  }
+
+  test("mp4_meta expression: codegen and interpreted paths agree over the fixture family") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val moovA = box("moov", mvhdV0(1000, 7500) ++ box("trak", Array[Byte]()))
+    val moovB = box("moov", mvhdV1(90000, 1L << 40) ++ box("trak", Array[Byte]()) ++ box("trak", Array[Byte]()))
+    val rows = Seq(
+      ftyp ++ moovA,
+      ftyp ++ box("mdat", Array.fill[Byte](50)(9)) ++ moovB,
+      "garbage".getBytes,
+      Array[Byte]()
+    ).map(b => Tuple1(b))
+    val df = rows.toDF("payload")
+      .withColumn("m", graft.ops.Multimodal.mp4Meta(col("payload")))
+      .select("m.timescale", "m.duration", "m.n_tracks")
+    val got = df.collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+    assert(got(0) == ((Some(1000), Some(7500L), Some(1))))
+    assert(got(1) == ((Some(90000), Some(1L << 40), Some(2))))
+    assert(got(2) == ((None, None, None)))
+    assert(got(3) == ((None, None, None)))
+  }
+}
