@@ -111,6 +111,31 @@ object Classifier {
       .drop((0 to d).map(j => s"w$j") ++ (0 until d).map(i => s"f$i"): _*)
   }
 
+  /** Multi-model inference in ONE corpus scan — the one-vs-rest /
+    * multi-head case ([[Lid]]): every named weight frame is pivoted to a
+    * single row (columns `<name>_w0..wd`), ALL of them ride one broadcast
+    * chain into the same map-only pass, and each contributes a 9-dp
+    * sigmoid `p_<name>` column. K models cost K broadcast rows + one
+    * scan, never K scans or a join. */
+  def scoreMulti(df: DataFrame, keep: Seq[Column], features: Seq[Column],
+                 weightsByName: Seq[(String, DataFrame)]): DataFrame = {
+    require(weightsByName.nonEmpty, "need at least one weight frame")
+    val d = features.size
+    val cols = keep ++ features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }
+    val withW = weightsByName.foldLeft(df.select(cols: _*)) { case (acc, (name, w)) =>
+      val row = pivotWeights(w, d)
+        .select((0 to d).map(j => col(s"w$j").as(s"${name}_w$j")): _*)
+      acc.crossJoin(broadcast(row))
+    }
+    val scored = weightsByName.foldLeft(withW) { case (acc, (name, _)) =>
+      val m = (0 until d).foldLeft(col(s"${name}_w0"): Column)(
+        (z, i) => z + col(s"f$i") * col(s"${name}_w${i + 1}"))
+      acc.withColumn(s"p_$name", sigmoid(m))
+    }
+    scored.drop(weightsByName.flatMap { case (n, _) => (0 to d).map(j => s"${n}_w$j") } ++
+      (0 until d).map(i => s"f$i"): _*)
+  }
+
   /** Pivot a (feature_idx, weight) frame into one (w0..wd) row, failing
     * LOUDLY on a malformed frame: a missing index would pivot to NULL and
     * a duplicate index to an arbitrary `first`, both of which silently

@@ -1453,6 +1453,79 @@ object MiscQueries extends QuerySet {
         round((col("tp") + col("tn")).cast("double") / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6).as("accuracy"))
     })
 
+  /** Char-ngram language-ID classifier — the fastText-LID shape closed
+    * over the engine's own parts (the x19 script-signal family is the
+    * heuristic prior; this LEARNS from labels): hashed char-bigram bucket
+    * frequencies over a 256-char prefix (codepoint arithmetic
+    * `(c1*31+c2) % 8` — replayable exactly by any engine, unlike murmur)
+    * feed K=5 one-vs-rest logistic regressions trained with ml1's exact
+    * deterministic GD recipe, then ONE map-only inference scan with all
+    * five weight rows broadcast picks the argmax language. The oracle
+    * replays the full lifecycle — feature hash, 5×3 unrolled GD rounds,
+    * argmax with alphabetical tie-break — so a drift anywhere in the
+    * train→infer chain hash-fails. Scale: training is 15 map-side-combined
+    * aggregates over one checkpointed O(prefix)-per-doc frame; inference
+    * is one scan, no shuffle. */
+  val x29Lid: Q = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val B = 8
+    val iters = 3
+    val bsSql = s"""list_transform(range(1, len(s)), i ->
+              (unicode(substr(s, CAST(i AS INT), 1)) * 31 + unicode(substr(s, CAST(i AS INT) + 1, 1))) % $B)"""
+    val featCols = (0 until B).map(b =>
+      s"CAST(len(list_filter(bs, x -> x = $b)) AS DOUBLE) / CAST(greatest(len(bs), 1) AS DOUBLE) AS f$b")
+      .mkString(",\n              ")
+    val featSql = s"""SELECT doc_id, lang, $featCols
+            FROM (SELECT doc_id, lang, $bsSql AS bs
+                  FROM (SELECT doc_id, lang, substr(lower(text), 1, 256) AS s FROM documents))"""
+    val pExpr = s"""round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+              + exp(-(w0 ${(0 until B).map(j => s"+ f$j * w${j + 1}").mkString(" ")}))), 9)"""
+    def trainCtes(l: String): String = {
+      val y = s"CASE WHEN lang = '$l' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      val steps = (1 to iters).map { k =>
+        val gs = (0 to B).map { j =>
+          val term = if (j == 0) "p - y" else s"(p - y) * f${j - 1}"
+          s"CAST(sum(CAST($term AS DECIMAL(25,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS g$j"
+        }.mkString(", ")
+        s"""p_$l$k AS (SELECT f.*, $pExpr AS p FROM f_$l f CROSS JOIN w_$l${k - 1}),
+            g_$l$k AS (SELECT $gs FROM p_$l$k),
+            w_$l$k AS (SELECT ${(0 to B).map(j => s"round(w$j - 0.5 * g$j, 12) AS w$j").mkString(", ")}
+              FROM w_$l${k - 1} CROSS JOIN g_$l$k)"""
+      }.mkString(",\n            ")
+      s"""f_$l AS (SELECT f.*, $y AS y FROM feat f),
+            w_${l}0 AS (SELECT ${(0 to B).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+            $steps,
+            wf_$l AS (SELECT ${(0 to B).map(j => s"w$j AS ${l}w$j").mkString(", ")} FROM w_$l$iters)"""
+    }
+    val pCols = langs.map(l =>
+      s"""round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+              + exp(-(${l}w0 ${(0 until B).map(j => s"+ f$j * ${l}w${j + 1}").mkString(" ")}))), 9) AS p_$l""")
+      .mkString(",\n              ")
+    val crossW = langs.map(l => s"CROSS JOIN wf_$l").mkString(" ")
+    val predCase = "CASE " + langs.map(l =>
+      s"WHEN ${langs.filter(_ != l).map(o => s"p_$l >= p_$o").mkString(" AND ")} THEN '$l'")
+      .mkString(" ") + " END"
+    val greatestP = s"greatest(${langs.map(l => s"p_$l").mkString(", ")})"
+    Q("x29_lid_classifier",
+      Some(s"""WITH feat AS ($featSql),
+            ${langs.map(trainCtes).mkString(",\n            ")},
+            pf AS (SELECT f.doc_id, f.lang, $pCols FROM feat f $crossW)
+            SELECT doc_id, $predCase AS pred_lang, round($greatestP, 6) AS score,
+              $predCase = lang AS is_correct
+            FROM pf ORDER BY doc_id"""),
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("lang"),
+            graft.ops.Lid.bigramBuckets(col("text"), B).as("bs"))
+          .localCheckpoint() // one bigram pass feeds all 5 trainers + inference
+        val feats = graft.ops.Lid.bucketFeatures(col("bs"), B)
+        val wts = graft.ops.Lid.trainOneVsRest(base, feats, col("lang"), langs, iters, 0.5)
+        graft.ops.Lid.classify(base, Seq(col("doc_id"), col("lang")), feats, wts)
+          .select(col("doc_id"), col("pred_lang"), round(col("score"), 6).as("score"),
+            (col("pred_lang") === col("lang")).as("is_correct"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Incremental aggregate maintenance — the materialized-view pattern a
     * 100 TB stats table lives by: per-source token/char/doc stats are
     * computed as TWO batch partials (a "snapshot" and a "delta", split by
@@ -2193,5 +2266,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid)
 }

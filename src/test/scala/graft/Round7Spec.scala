@@ -91,6 +91,44 @@ class Round7Spec extends SparkSpec {
     assert(Mp4Meta.meta(small).getInt(0) == 10)
   }
 
+  test("Lid: learns separable char distributions and ties break to earliest lang") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Lid
+    // two "languages" with disjoint alphabets — separable by bigram buckets
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "aa", "aaaa bbbb aaab baba abab " * 4)
+      // NOTE 'y'≡'a', 'z'≡'b' (mod 8) — a y/z alphabet would hash to
+      // IDENTICAL features at B=8 (found the hard way); e/f has distinct
+      // residues from a/b
+      else (i.toLong, "zz", "eeee ffff eeef fefe efef " * 4)
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), Lid.bigramBuckets(col("text"), 8).as("bs"))
+    val feats = Lid.bucketFeatures(col("bs"), 8)
+    // 20 iters: at 5 the mirror-symmetric models are still underfit and
+    // the aa-model scores zz docs marginally positive (measured)
+    val wts = Lid.trainOneVsRest(df, feats, col("lang"), Seq("aa", "zz"), iters = 20)
+    val out = Lid.classify(df, Seq(col("doc_id"), col("lang")), feats, wts)
+    assert(out.filter(col("pred_lang") === col("lang")).count() == 40) // fully separable
+    // tie-break: identical scores (untrained weights = all zeros → p = 0.5
+    // everywhere) must pick the alphabetically-first language deterministically
+    val zero = spark.range(3).select(
+      explode(sequence(lit(0), lit(8))).as("feature_idx")).distinct()
+      .select(col("feature_idx").cast("int"), lit(0.0).as("weight"))
+    val tied = Lid.classify(df, Seq(col("doc_id")), feats, Seq("mm" -> zero, "aa" -> zero))
+    assert(tied.select("pred_lang").distinct().collect().map(_.getString(0)).toSeq == Seq("mm"))
+  }
+
+  test("Lid.bigramBuckets: short/empty docs yield empty arrays, prefix bounds cost") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Lid
+    val df = Seq("", "a", "ab", "x" * 10000).toDF("text")
+      .select(size(Lid.bigramBuckets(col("text"), 8, prefixChars = 256)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 255))
+  }
+
   test("mp4_meta expression: codegen and interpreted paths agree over the fixture family") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
