@@ -515,6 +515,46 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Aho–Corasick blocklist tagging — x21's scale successor: one compiled
+    * O(text + matches) automaton pass counts ALL occurrences (overlapping
+    * AND nested — the blocklist here is a deliberate substring chain
+    * spark ⊃ park ⊃ ark ⊃ ar, t ⊂ tab ⊂ table, str ⊂ stream ⊅ ream —
+    * so the dict-suffix links are load-bearing in the hash, not just the
+    * trie). The oracle replays the pinned position-scan definition per
+    * pattern; the full per-pattern counts array is in the output, so one
+    * miscounted nested match anywhere hash-fails. Map-only at any corpus
+    * size; the automaton builds once at plan time and rides the plan,
+    * O(text) per row regardless of dictionary size (vs the O(text ×
+    * patterns) regex loop the reference runs). */
+  val x30Blocklist: Q = {
+    val pats = Seq("spark", "park", "ark", "ar", "tab", "table", "t", "str", "stream", "ream", "a")
+    val patSqlList = pats.map(p => s"'$p'").mkString("[", ", ", "]")
+    val cntExprs = pats.map(p =>
+      s"len(list_filter(range(1, len(s) - ${p.length} + 2), i -> substr(s, CAST(i AS INT), ${p.length}) = '$p'))")
+      .mkString("[", ",\n              ", "]")
+    Q("x30_blocklist_hits",
+      Some(s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+            c AS (SELECT doc_id, $cntExprs AS cnts FROM t)
+            SELECT doc_id,
+              list_transform(cnts, x -> CAST(x AS INT)) AS counts,
+              CAST(list_aggregate(cnts, 'sum') AS BIGINT) AS total_hits,
+              CAST(len(list_filter(cnts, x -> x > 0)) AS INT) AS n_terms,
+              ($patSqlList)[CAST(list_position(cnts, list_aggregate(cnts, 'max')) AS INT)] AS top_term
+            FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val patsArr = array(pats.map(lit): _*)
+        documents(s, d)
+          .withColumn("counts", call_function("ac_counts", lower(col("text")), patsArr))
+          .select(col("doc_id"), col("counts"),
+            aggregate(col("counts"), lit(0L), (acc, x) => acc + x).as("total_hits"),
+            size(filter(col("counts"), x => x > 0)).as("n_terms"),
+            element_at(patsArr,
+              array_position(col("counts"), array_max(col("counts"))).cast("int")).as("top_term"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Deterministic sentence-structure synthesis: the corpus text is
     * terminator-free word salad, so sentence boundaries are planted
     * identically in both engines — every 9th token gains a terminator,
@@ -1902,5 +1942,5 @@ object TextQueries extends QuerySet {
     sk1CmsHeavyHitters, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
-    x18WeightedGroup, x19Scripts)
+    x18WeightedGroup, x19Scripts, x30Blocklist)
 }

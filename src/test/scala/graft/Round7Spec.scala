@@ -129,6 +129,59 @@ class Round7Spec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 255))
   }
 
+  test("AcAutomaton: matches the position-scan definition on adversarial fixtures") {
+    import graft.functions.AcAutomaton
+    import org.apache.spark.unsafe.types.UTF8String
+    def brute(s: String, pats: Seq[String]): Seq[Int] =
+      pats.map(p => (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)))
+    def ac(s: String, pats: Seq[String]): Seq[Int] = {
+      val a = new AcAutomaton(pats.toArray)
+      val r = a.counts(UTF8String.fromString(s))
+      (0 until r.numElements()).map(r.getInt)
+    }
+    val cases = Seq(
+      ("aaaa", Seq("aa", "a", "aaa")),                       // self-overlap
+      ("sparkpark parka", Seq("spark", "park", "ark", "ar")), // nested suffix chain
+      ("ababab", Seq("aba", "bab", "ab", "ba")),             // interleaved overlap
+      ("streams dream team", Seq("str", "stream", "ream", "eam", "m")),
+      ("xyz", Seq("spark", "park")),                          // zero hits
+      ("tt", Seq("t", "tt", "ttt")),                          // prefix chain + absent
+      ("mississippi", Seq("issi", "ssi", "ss", "i", "pp", "mississippi")))
+    for ((s, pats) <- cases)
+      assert(ac(s, pats) == brute(s, pats), s"text='$s' pats=$pats")
+    // duplicate patterns each count independently
+    assert(ac("abab", Seq("ab", "ab")) == Seq(2, 2))
+    // pseudo-random sweep: alphabet {a,b,c}, every pattern up to len 3
+    val pats3 = for (l <- 1 to 3; t <- Seq.fill(l)("abc").flatten.combinations(l); p <- t.permutations) yield p.mkString
+    val dict = pats3.distinct.toSeq
+    var seed = 12345L
+    for (_ <- 1 to 20) {
+      val sb = new StringBuilder
+      for (_ <- 1 to 50) { seed = seed * 6364136223846793005L + 1442695040888963407L; sb.append(("abc")(((seed >>> 33) % 3).toInt)) }
+      val s = sb.toString
+      assert(ac(s, dict) == brute(s, dict), s"random text '$s'")
+    }
+  }
+
+  test("ac_counts expression: codegen path, null text, and non-foldable rejection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(Some("sparkpark"), None, Some("")).toDF("t")
+      .select(call_function("ac_counts", col("t"), array(lit("spark"), lit("park"), lit("ark"))).as("c"))
+    val got = df.collect().map(r =>
+      Option(r.get(0)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq))
+    assert(got(0) == Some(Seq(1, 2, 2)))
+    assert(got(1).isEmpty)
+    assert(got(2) == Some(Seq(0, 0, 0)))
+    // non-foldable pattern array must be rejected at analysis, not per row
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", Seq("a"))).toDF("t", "p")
+        .select(call_function("ac_counts", col("t"), col("p"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("mp4_meta expression: codegen and interpreted paths agree over the fixture family") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
