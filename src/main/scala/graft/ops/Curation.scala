@@ -177,4 +177,63 @@ object Curation {
             / greatest(col("tokens"), lit(1L)).cast("double"), 6)
           .as("epochs"))
   }
+
+  /** Capped water-filling token-budget allocation — the DoReMi/LLaMA-style
+    * planning step BETWEEN mixture weights and the sampler: given a total
+    * token budget (`budgetFactor` × corpus tokens) and a repeat ceiling
+    * (`maxEpochs` per domain — data repeated beyond a few epochs stops
+    * helping), allocate target tokens per domain from the temperature
+    * weights, cap each domain at maxEpochs × its tokens, and REDISTRIBUTE
+    * the capped overflow proportionally among still-open domains —
+    * `rounds` fixed-point iterations (k domains converge in ≤ k rounds;
+    * residual overflow after the last round stays unallocated rather than
+    * violating a cap).
+    *
+    * Scale shape: ONE corpus aggregate (per-domain token counts); every
+    * iteration runs on the k-row domain frame with two broadcast scalars
+    * — corpus size never re-enters. Determinism: the ml1 recipe (12-dp
+    * intermediate rounds, DECIMAL(25,15) frame sums, binary-exact factor
+    * constants); sqrt is IEEE-exact. Output: (domain, tokens, weight,
+    * target_tokens, epochs, capped). */
+  def budgetAllocation(docs: DataFrame, domainCol: Column, text: Column,
+                       budgetFactor: Double, maxEpochs: Double, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && budgetFactor > 0 && maxEpochs > 0,
+      s"need rounds >= 1 and positive factors, got rounds=$rounds " +
+        s"budgetFactor=$budgetFactor maxEpochs=$maxEpochs")
+    val per = docs.groupBy(domainCol.as("domain"))
+      .agg(sum(TextAnalysis.tokenCount(text).cast("long")).as("tokens"))
+    val total = per.agg(sum(col("tokens")).cast("double").as("total_tokens"))
+    val shared = per.crossJoin(broadcast(total))
+      .withColumn("s", sqrt(col("tokens").cast("double") / col("total_tokens")))
+    val norm = shared.agg(sum(col("s").cast("decimal(25,15)")).cast("double").as("sum_s"))
+    var frame = shared.crossJoin(broadcast(norm))
+      .withColumn("w", round(col("s") / col("sum_s"), 12))
+      .withColumn("budget", col("total_tokens") * budgetFactor)
+      .withColumn("cap", col("tokens").cast("double") * maxEpochs)
+      .withColumn("t", round(col("budget") * col("w"), 12))
+      .select("domain", "tokens", "w", "budget", "cap", "t")
+    for (_ <- 1 to rounds) {
+      val capped = frame.withColumn("c", least(col("t"), col("cap")))
+      val stats = capped.agg(
+        (max(col("budget")) - sum(col("c").cast("decimal(25,15)")).cast("double")).as("leftover"),
+        sum(when(col("c") < col("cap"), col("w").cast("decimal(25,15)")))
+          .cast("double").as("open_w"))
+      frame = capped.crossJoin(broadcast(stats))
+        .withColumn("t",
+          when(col("c") >= col("cap"), col("cap"))
+            .when(col("open_w").isNull || col("open_w") <= 0.0, col("c"))
+            .otherwise(round(col("c") +
+              greatest(col("leftover"), lit(0.0)) * col("w") / col("open_w"), 12)))
+        .select("domain", "tokens", "w", "budget", "cap", "t")
+    }
+    // final clamp: the last round's refill may overshoot an open domain's
+    // cap with no re-cap pass behind it — the cap contract wins and the
+    // residual stays unallocated (documented above)
+    frame.select(col("domain"), col("tokens"),
+      round(col("w"), 6).as("weight"),
+      round(least(col("t"), col("cap")), 6).as("target_tokens"),
+      round(least(col("t"), col("cap"))
+        / greatest(col("tokens"), lit(1L)).cast("double"), 6).as("epochs"),
+      (col("t") >= col("cap")).as("capped"))
+  }
 }

@@ -2197,6 +2197,57 @@ object MiscQueries extends QuerySet {
         round(lit(1.0) - col("n_unique").cast("double") / nD, 6).as("dup_rate"))
     })
 
+  /** Capped water-filling token-budget allocation — the planning step
+    * BETWEEN dom2's mixture weights and the x17/x18 samplers: budget =
+    * 1.5× corpus tokens, every domain capped at 2 epochs of its own data,
+    * capped overflow redistributed proportionally among open domains over
+    * 3 unrolled fixed-point rounds. The oracle replays the whole chain
+    * (sqrt-temperature weights → per-round least/cap, DECIMAL frame sums,
+    * proportional refill) so a drift in any round hash-fails. ONE corpus
+    * aggregate; all iterations on the 20-row domain frame. */
+  val dom8Budget: Q = {
+    // cap 1.55 sits INSIDE this corpus's 1.40–1.64 unconstrained epoch
+    // spread: some domains cap, the refill lifts others across the line in
+    // later rounds, and the fixed point is mixed — both CASE arms and the
+    // redistribution are load-bearing in the hash (at cap 2.0 nothing
+    // capped; at cap = budget factor the all-capped fixed point is
+    // degenerate)
+    val (bf, me, rounds) = (1.5, 1.55, 3)
+    val steps = (1 to rounds).map { k =>
+      s"""c$k AS (SELECT *, least(t, cap) AS c FROM f${k - 1}),
+            s$k AS (SELECT max(budget) - CAST(sum(CAST(c AS DECIMAL(25,15))) AS DOUBLE) AS leftover,
+                CAST(sum(CASE WHEN c < cap THEN CAST(w AS DECIMAL(25,15)) END) AS DOUBLE) AS open_w
+              FROM c$k),
+            f$k AS (SELECT domain, tokens, w, budget, cap,
+                CASE WHEN c >= cap THEN cap
+                     WHEN open_w IS NULL OR open_w <= 0.0 THEN c
+                     ELSE round(c + greatest(leftover, 0.0) * w / open_w, 12) END AS t
+              FROM c$k CROSS JOIN s$k)"""
+    }.mkString(",\n            ")
+    Q("dom8_budget_allocation",
+      Some(s"""WITH per AS (SELECT source AS domain,
+                CAST(sum(len(${graft.queries.OracleSql.toksSql})) AS BIGINT) AS tokens
+              FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total_tokens FROM per),
+            sh AS (SELECT domain, tokens, total_tokens,
+                sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS s
+              FROM per CROSS JOIN tot),
+            nrm AS (SELECT CAST(sum(CAST(s AS DECIMAL(25,15))) AS DOUBLE) AS sum_s FROM sh),
+            f0a AS (SELECT domain, tokens, round(s / sum_s, 12) AS w,
+                total_tokens * $bf AS budget, CAST(tokens AS DOUBLE) * $me AS cap
+              FROM sh CROSS JOIN nrm),
+            f0 AS (SELECT *, round(budget * w, 12) AS t FROM f0a),
+            $steps
+            SELECT domain, tokens, round(w, 6) AS weight,
+              round(least(t, cap), 6) AS target_tokens,
+              round(least(t, cap) / CAST(greatest(tokens, 1) AS DOUBLE), 6) AS epochs,
+              t >= cap AS capped
+            FROM f$rounds ORDER BY domain"""),
+      (s, d) => graft.ops.Curation.budgetAllocation(documents(s, d), col("source"), col("text"),
+          budgetFactor = bf, maxEpochs = me, rounds = rounds)
+        .orderBy("domain"))
+  }
+
   /** Bradley–Terry strengths from pairwise outcomes — the arena-style
     * leaderboard computation (Hunter 2004 MM updates) over a match log
     * synthesized identically in both engines: docs at stride 1/2/3 play
@@ -2266,5 +2317,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget)
 }

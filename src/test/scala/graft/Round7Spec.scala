@@ -129,6 +129,31 @@ class Round7Spec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 255))
   }
 
+  test("Curation.budgetAllocation: caps never violated, budget conserved on skew") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one giant domain + tiny ones: sqrt temperature up-weights the tiny
+    // domains far past any sane epoch cap, so redistribution must fire
+    val rows = (0 until 400).map(i => (i.toLong, "big", Seq.fill(50)("w").mkString(" "))) ++
+      (0 until 10).map(i => (1000L + i, s"tiny$i", "w w w"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val out = graft.ops.Curation.budgetAllocation(df, col("source"), col("text"),
+      budgetFactor = 1.2, maxEpochs = 3.0, rounds = 5).collect()
+    val byDom = out.map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    for ((dom, tokens, target, epochs, _) <- byDom) {
+      assert(epochs <= 3.0 + 1e-9, s"$dom epochs $epochs violates cap")
+      assert(target <= tokens * 3.0 + 1e-6, s"$dom target $target violates cap")
+    }
+    // every tiny domain wants >> 3 epochs under sqrt temperature → capped;
+    // overflow lands on the big domain
+    assert(byDom.filter(_._1 != "big").forall(_._5), "tiny domains must cap")
+    val total = byDom.map(_._2).sum.toDouble
+    val alloc = byDom.map(_._3).sum
+    assert(alloc <= 1.2 * total + 1e-6)
+    // budget is fully allocatable here (big domain stays far below ITS cap)
+    assert(math.abs(alloc - 1.2 * total) < 1.0, s"alloc $alloc vs budget ${1.2 * total}")
+  }
+
   test("AcAutomaton: matches the position-scan definition on adversarial fixtures") {
     import graft.functions.AcAutomaton
     import org.apache.spark.unsafe.types.UTF8String
