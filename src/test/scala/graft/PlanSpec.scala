@@ -225,6 +225,36 @@ class PlanSpec extends SparkSpec {
       s"CDC must not shuffle (boundaries are per-document local), found $exchanges")
   }
 
+  test("x30 blocklist tagging is map-only: the automaton pass adds no exchange") {
+    val plan = formatted(graft.queries.TextQueries.x30Blocklist.fn(spark, sf))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1, // one rangepartitioning for the deterministic ORDER BY
+      s"ac_counts must not shuffle (per-row automaton scan), found $exchanges")
+    assert(plan.contains("ac_counts"), "the compiled automaton expression must be in the plan")
+  }
+
+  test("x29 LID inference broadcasts all K weight rows, never sort-merges the corpus") {
+    val plan = formatted(graft.queries.MiscQueries.x29Lid.fn(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      "K one-vs-rest weight tables are (d+1)-row frames — they must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "weight attachment must be broadcast nested-loop, not a cartesian")
+  }
+
+  test("dom8 budget allocation never shuffles beyond the domain aggregate") {
+    val plan = formatted(graft.queries.MiscQueries.dom8Budget.fn(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "every fixed-point round joins a broadcast scalar row against the k-row frame")
+  }
+
+  test("m8 builds the mp4 payload once: bounded unhex sites (the m2 lesson)") {
+    val plan = graft.queries.VectorQueries.m8Mp4Meta.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val copies = "unhex".r.findAllIn(plan).length
+    assert(copies <= 6,
+      s"payload synthesis must stay bounded (one binding, ≤6 unhex sites), found $copies")
+  }
+
   test("no catalog query plans an unpartitioned WindowExec") {
     // An empty partitionSpec moves the ENTIRE input to one partition — the
     // one plan shape that silently stops scaling (x13's old global rank
