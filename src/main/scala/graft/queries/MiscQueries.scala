@@ -1519,7 +1519,8 @@ object MiscQueries extends QuerySet {
           .localCheckpoint() // one bigram pass feeds all 5 trainers + inference
         val feats = graft.ops.Lid.bucketFeatures(col("bs"), B)
         val wts = graft.ops.Lid.trainOneVsRest(base, feats, col("lang"), langs, iters, 0.5)
-        graft.ops.Lid.classify(base, Seq(col("doc_id"), col("lang")), feats, wts)
+        graft.ops.Lid.classify(base, Seq(col("doc_id"), col("lang")), feats, wts,
+            trustedWeights = true) // frames straight out of trainOneVsRest
           .select(col("doc_id"), col("pred_lang"), round(col("score"), 6).as("score"),
             (col("pred_lang") === col("lang")).as("is_correct"))
           .orderBy("doc_id")

@@ -895,6 +895,74 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** IVF recall audit — d16's "grade your own approximation" discipline
+    * applied to the ANN family: for a 20-query sample, exact brute-force
+    * top-5 (self excluded) vs the v4 IVF nprobe=1 candidate top-5, per-
+    * query hit count and recall@5. This is the number an operator of the
+    * index watches before trusting v4/v6 at scale — and the fixture
+    * regime (4 cells, near-isotropic embeddings) makes single-probe
+    * recall genuinely imperfect, so the audit measures something real
+    * rather than passing vacuously. Scale shape: the query sample is
+    * bounded (broadcast both sides); exact ranking is one qid-partitioned
+    * window over the Q×N frame (the b3 batched shape), IVF ranking only
+    * over each query's own cell. */
+  val v10IvfRecall: Q = {
+    val dim = 64
+    val centroids = ivfCentroids
+    def cSql(c: Seq[Double]) = vecSql(c)
+    def d2Sql(c: Seq[Double]) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> (e[i]::DOUBLE - (${cSql(c)})[i]) * (e[i]::DOUBLE - (${cSql(c)})[i])))"
+    val dCols = centroids.zipWithIndex.map { case (c, i) => s"${d2Sql(c)} AS d$i" }.mkString(", ")
+    val cellSql = """CASE WHEN d0 <= least(d1, d2, d3) THEN 0
+                          WHEN d1 <= least(d2, d3) THEN 1
+                          WHEN d2 <= d3 THEN 2 ELSE 3 END"""
+    Q("v10_ivf_recall",
+      Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $dCols FROM embeddings),
+            c AS (SELECT vec_id, e, $cellSql AS cell FROM d),
+            q AS (SELECT vec_id AS qid, e AS qv, cell AS qcell FROM c WHERE vec_id < 20),
+            ex AS (SELECT qid, c.vec_id,
+                round(list_dot_product(CAST(e AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+              FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+            exr AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM ex) WHERE rn <= 5),
+            iv AS (SELECT qid, c.vec_id,
+                round(list_dot_product(CAST(e AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS score
+              FROM c JOIN q ON c.cell = q.qcell WHERE c.vec_id <> q.qid),
+            ivr AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM iv) WHERE rn <= 5),
+            hits AS (SELECT e.qid, count(*) AS n_hit
+              FROM exr e JOIN ivr i ON e.qid = i.qid AND e.vec_id = i.vec_id GROUP BY e.qid)
+            SELECT q.qid AS query_id, CAST(coalesce(n_hit, 0) AS INT) AS n_hit,
+              round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 5.0, 2) AS recall_at_5
+            FROM q LEFT JOIN hits ON hits.qid = q.qid ORDER BY query_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val celled = embeddings(s, d)
+          .withColumn("cell", Search.ivfCell(col("embedding"), centroids))
+        val q = celled.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell").as("qcell"))
+        def top5(scored: org.apache.spark.sql.DataFrame) = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exact = top5(celled.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score")))
+        val ivf = top5(celled.join(broadcast(q), col("cell") === col("qcell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score")))
+        val hits = exact.join(ivf, Seq("qid", "vec_id")).groupBy("qid")
+          .agg(count(lit(1)).as("n_hit"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid").as("query_id"),
+            coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 2).as("recall_at_5"))
+          .orderBy("query_id")
+      })
+  }
+
   /** V2 scale path, end-to-end: the SRP index is WRITTEN `partitionBy
     * (bucket)` and read back pruned — the bucket predicate arrives as a
     * dynamic partition filter at the file listing, so the scan touches one
@@ -1748,5 +1816,5 @@ object VectorQueries extends QuerySet {
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
-    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta)
+    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall)
 }

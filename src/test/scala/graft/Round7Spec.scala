@@ -129,6 +129,25 @@ class Round7Spec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 255))
   }
 
+  test("Classifier.logregTrainMulti: bit-identical weights to per-head logregTrain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Classifier
+    val df = (0 until 60).map(i =>
+      (i.toLong, (i % 3).toString, i * 0.017, (i % 7) * 0.31, math.sin(i) + 1.0))
+      .toDF("id", "cls", "f_a", "f_b", "f_c").localCheckpoint()
+    val feats = Seq(col("f_a"), col("f_b"), col("f_c"))
+    val heads = Seq("0", "1", "2").map(c => c -> when(col("cls") === c, 1.0).otherwise(0.0))
+    val multi = Classifier.logregTrainMulti(df, feats, heads, iters = 4)
+    for ((name, y) <- heads) {
+      val single = Classifier.logregTrain(df, feats, y, iters = 4)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      val batched = multi.find(_._1 == name).get._2
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      assert(batched == single, s"head $name drifted: $batched vs $single")
+    }
+  }
+
   test("Curation.budgetAllocation: caps never violated, budget conserved on skew") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
