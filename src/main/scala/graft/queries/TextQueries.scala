@@ -1402,6 +1402,76 @@ object TextQueries extends QuerySet {
         .orderBy(col("cnt").desc, col("term"))
     })
 
+  /** Engine-portable HyperLogLog distinct-count sketch — the sk1
+    * discipline applied to cardinality: md5-derived (bucket, rho)
+    * registers instead of an opaque binary sketch, so the DuckDB oracle
+    * replays registers, REGISTER-WISE-MAX MERGE across parity batches,
+    * and the full estimator (alpha_m·m²/ΣHarmonic + linear-counting
+    * small-range correction) bit-for-bit. The output hash-gates three
+    * things at once: the estimate itself, `merge_consistent` (sketch of
+    * parts merged ≡ sketch of the whole — the EXACT algebra incremental
+    * accounting relies on), and the relative error against the exact
+    * distinct count. Register build is one (source, bucket) aggregate —
+    * ≤ 20×256 rows out of any corpus size; the 4-shingle stream keeps
+    * per-source cardinality in the raw-estimator regime, not the
+    * trivially-corrected one. */
+  val sk2HllDistinct: Q = {
+    val hd = "'0123456789abcdef'"
+    val a2 = graft.ops.Hll.alphaM2Sql
+    // shared SQL: registers over a distinct (keys, w) stream, then the
+    // estimator; generated twice (whole / merged) with different key sets
+    def regSql(src: String, keys: String) =
+      s"""(SELECT $keys, bucket,
+              max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS rho
+            FROM (SELECT $keys,
+                (strpos($hd, substr(dig, 1, 1)) - 1) * 16 + strpos($hd, substr(dig, 2, 1)) - 1 AS bucket,
+                list_sum(list_transform(range(1, 13), i ->
+                  CAST(strpos($hd, substr(dig, CAST(i AS INT) + 2, 1)) - 1 AS BIGINT)
+                    * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS v
+              FROM (SELECT $keys, md5(w) AS dig FROM (SELECT DISTINCT $keys, w FROM $src)))
+            GROUP BY $keys, bucket)"""
+    def estSql(regs: String) =
+      s"""(SELECT source,
+              CASE WHEN ($a2 / (CAST(256 - present AS DOUBLE) + sp)) <= 640.0 AND present < 256
+                   THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+                   ELSE $a2 / (CAST(256 - present AS DOUBLE) + sp) END AS est
+            FROM (SELECT source, count(*) AS present,
+                CAST(sum(CAST(round(1.0 / (1::BIGINT << rho), 12) AS DECIMAL(25,15))) AS DOUBLE) AS sp
+              FROM $regs GROUP BY source))"""
+    Q("sk2_hll_distinct",
+      Some(s"""WITH t AS (SELECT doc_id, source, ${OracleSql.toksSql} AS toks FROM documents),
+            shl AS (SELECT doc_id, source, ${OracleSql.shinglesSql(4)} AS shingles FROM t),
+            g AS (SELECT source, doc_id % 2 AS b, unnest(shingles) AS w FROM shl),
+            rw AS ${regSql("g", "source")},
+            rp AS ${regSql("g", "source, b")},
+            rm AS (SELECT source, bucket, max(rho) AS rho FROM rp GROUP BY source, bucket),
+            ew AS ${estSql("rw")},
+            em AS ${estSql("rm")},
+            ex AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM g GROUP BY source)
+            SELECT ex.source, n_exact, round(ew.est, 4) AS est_hll,
+              round(abs(round(ew.est, 4) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) AS rel_err,
+              round(em.est, 4) = round(ew.est, 4) AS merge_consistent
+            FROM ex JOIN ew ON ew.source = ex.source JOIN em ON em.source = ex.source
+            ORDER BY ex.source"""),
+      (s, d) => {
+        import graft.ops.Hll
+        val g = documents(s, d).select(col("source"), (col("doc_id") % 2).as("b"),
+          explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("w"))
+        val whole = Hll.estimate(Hll.registers(g, Seq("source"), col("w")), Seq("source"))
+          .withColumnRenamed("est_distinct", "est_whole")
+        val merged = Hll.estimate(
+            Hll.merge(Hll.registers(g, Seq("source", "b"), col("w")), Seq("source")), Seq("source"))
+          .withColumnRenamed("est_distinct", "est_merged")
+        val exact = g.groupBy("source").agg(countDistinct("w").as("n_exact"))
+        exact.join(whole, Seq("source")).join(merged, Seq("source"))
+          .select(col("source"), col("n_exact"), col("est_whole").as("est_hll"),
+            round(abs(col("est_whole") - col("n_exact").cast("double"))
+              / col("n_exact").cast("double"), 4).as("rel_err"),
+            (col("est_merged") === col("est_whole")).as("merge_consistent"))
+          .orderBy("source")
+      })
+  }
+
   /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
     * unigram + bigram counts on the corpus itself, score each doc's mean
     * ln(0.7·P_bigram + 0.3·P_unigram) with add-one smoothing. All ratio
@@ -1939,7 +2009,7 @@ object TextQueries extends QuerySet {
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
-    sk1CmsHeavyHitters, x9Bigram,
+    sk1CmsHeavyHitters, sk2HllDistinct, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist)

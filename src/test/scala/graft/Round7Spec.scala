@@ -129,6 +129,26 @@ class Round7Spec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 255))
   }
 
+  test("Hll: merge of arbitrary splits is register-identical; error within 3 sigma") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Hll
+    for (n <- Seq(100, 2000, 20000)) {
+      // 3-way split by a hash unrelated to the item value
+      val df = spark.range(n).select(lit("k").as("g"),
+        (abs(hash(col("id"))) % 3).as("b"), concat(lit("item-"), col("id")).as("w"))
+      val whole = Hll.registers(df, Seq("g"), col("w"))
+      val merged = Hll.merge(Hll.registers(df, Seq("g", "b"), col("w")), Seq("g"))
+      assert(whole.select("g", "bucket", "rho").except(merged.select("g", "bucket", "rho")).isEmpty
+        && merged.select("g", "bucket", "rho").except(whole.select("g", "bucket", "rho")).isEmpty,
+        s"n=$n: merged registers must equal whole-stream registers exactly")
+      val est = Hll.estimate(whole, Seq("g")).head().getDouble(1)
+      val sigma = 1.04 / math.sqrt(Hll.m) // standard HLL relative error
+      assert(math.abs(est - n) / n <= 3 * sigma,
+        s"n=$n: estimate $est outside 3 sigma (${3 * sigma * 100}%)")
+    }
+  }
+
   test("Classifier.logregTrainMulti: bit-identical weights to per-head logregTrain") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
