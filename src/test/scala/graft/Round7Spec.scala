@@ -81,6 +81,21 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("Mp4Meta: seeded random-byte fuzz never throws") {
+    val rnd = new scala.util.Random(20260814)
+    for (_ <- 1 to 300) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      Mp4Meta.meta(b) // null or a parse — never a throw
+      // and with a valid leader grafted on, the walk still can't escape
+      if (b.length >= 8) {
+        System.arraycopy(be32(b.length), 0, b, 0, 4)
+        System.arraycopy(fourcc("ftyp"), 0, b, 4, 4)
+        Mp4Meta.meta(b)
+      }
+    }
+  }
+
   test("Mp4Meta: hostile size chain is hop-bounded") {
     // 20 tiny boxes then moov — beyond the 16-hop budget → null, no spin
     val filler = (1 to 20).map(_ => box("free", Array[Byte]())).reduce(_ ++ _)

@@ -375,6 +375,39 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.toSet == expected && expected.nonEmpty)
   }
 
+  test("HLL register ledger maintained in a foreachBatch loop equals the batch sketch") {
+    // the incremental accounting loop sk2 is for: each micro-batch's
+    // registers are MERGED into a standing ledger (register-wise max) —
+    // after any number of batches the ledger is register-identical to a
+    // one-shot sketch of everything, so estimates never drift from the
+    // batch truth
+    import graft.ops.Hll
+    val docs = graft.tables.TestTables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("w"))
+    val dir = "/tmp/graft_stream_hll"
+    docs.coalesce(4).write.mode("overwrite").parquet(dir) // >1 file → several micro-batches
+    var ledger = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("source", "string").add("bucket", "int").add("rho", "int"))
+    val q = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ledger.synchronized {
+          ledger = Hll.merge(
+            ledger.union(Hll.registers(b, Seq("source"), col("w"))), Seq("source"))
+            .localCheckpoint()
+        }
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming HLL ledger did not finish in time")
+    val whole = Hll.registers(docs, Seq("source"), col("w"))
+    assert(ledger.except(whole).isEmpty && whole.except(ledger).isEmpty,
+      "ledger after N micro-batches must be register-identical to the one-shot sketch")
+    val est = Hll.estimate(ledger, Seq("source"))
+    assert(est.count() > 0 && est.filter(col("est_distinct") <= 0).count() == 0)
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
