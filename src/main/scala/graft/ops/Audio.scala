@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** REAL WAV/PCM sample decode + signal features (prompt family:
+  * multimodal audio; extends the [[Multimodal.wavMeta]] header walk with
+  * the payload half a speech-data pipeline actually runs before its
+  * acoustic model: silence gating, clipping/peak checks, energy stats).
+  *
+  * Zero-dependency by construction: canonical WAV PCM (RIFF chunks,
+  * format tag 1, 8-bit unsigned / 16-bit signed little-endian samples)
+  * is a fixed byte layout, so the decode is a bounded chunk walk plus one
+  * linear pass over the sample bytes — no codec library. Anything else
+  * (compressed format tags, truncated or misaligned data chunks, sizes
+  * past the zip-bomb bound) fails to None, never garbage — the
+  * [[Image.decodePng]] contract.
+  *
+  * All emitted features are EXACT integers (peak, sum of squares,
+  * zero-crossings, silent-sample count) so the correctness gate can
+  * hash them; derived floats (RMS) are computed downstream from the
+  * exact sums with the same expression tree in both engines.
+  *
+  * Scale: the stage is map-only over payload rows (one pass, O(bytes)
+  * per row, constant memory); at 100 TB the feature columns are computed
+  * once at ingest and the prunable integer stats ride the metadata
+  * projection — audits never re-touch payload bytes.
+  *
+  * Ref behavior anchor: the reference stores uploaded media opaquely and
+  * gates on metadata (backend/services/document_service.py routes by
+  * type); the feature surface here is the standard training-pipeline
+  * extension the prompt asks for.
+  */
+object Audio {
+
+  /** Decoded PCM feature bundle — every field exact-integer. `silent`
+    * counts samples with |centered value| < silenceThreshold; `zeroCross`
+    * counts same-channel consecutive-frame sign flips ((s[k] < 0) !=
+    * (s[k+channels] < 0) over the interleaved stream). */
+  final case class PcmFeatures(sampleRate: Int, channels: Int, bits: Int,
+                               nFrames: Int, peak: Int, sumSq: Long,
+                               zeroCross: Long, silent: Long)
+
+  private def le(bytes: Array[Byte], pos: Int, len: Int): Long = {
+    var v = 0L
+    var i = len - 1
+    while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  private def ascii(bytes: Array[Byte], pos: Int): String =
+    new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decode a PCM WAV payload to exact signal features. Supports format
+    * tag 1 (linear PCM), 8-bit unsigned and 16-bit signed LE samples,
+    * any channel count >= 1; chunk order is free (fmt after a JUNK/LIST
+    * chunk, data before fmt) and odd-sized chunks honor RIFF's pad byte.
+    * None on: short/garbage header, missing fmt or data chunk within the
+    * hop budget, non-PCM format, unsupported bit depth, a data chunk
+    * that is truncated, not frame-aligned, or larger than `maxBytes`. */
+  def decodeWavPcm(bytes: Array[Byte], silenceThreshold: Int = 50,
+                   maxBytes: Int = 1 << 26, maxHops: Int = 16): Option[PcmFeatures] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (ascii(bytes, 0) != "RIFF" || ascii(bytes, 8) != "WAVE") return None
+    var off = 12
+    var hops = 0
+    var fmtOff = -1; var fmtSize = 0
+    var dataOff = -1; var dataSize = 0
+    while (off + 8 <= bytes.length && hops < maxHops && (fmtOff < 0 || dataOff < 0)) {
+      val id = ascii(bytes, off)
+      val size = le(bytes, off + 4, 4)
+      if (size < 0 || size > maxBytes) return None // hostile size: fail closed
+      val sz = size.toInt
+      if (id == "fmt ") { fmtOff = off + 8; fmtSize = sz }
+      else if (id == "data") { dataOff = off + 8; dataSize = sz }
+      off += 8 + sz + (sz & 1)
+      hops += 1
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    if (fmtOff + 16 > bytes.length || fmtSize < 16) return None
+    val formatTag = le(bytes, fmtOff, 2).toInt
+    val channels = le(bytes, fmtOff + 2, 2).toInt
+    val sampleRate = le(bytes, fmtOff + 4, 4)
+    val bits = le(bytes, fmtOff + 14, 2).toInt
+    if (formatTag != 1 || channels < 1 || (bits != 8 && bits != 16)) return None
+    if (sampleRate < 1 || sampleRate > Int.MaxValue) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = channels * bytesPerSample
+    // truncated or non-frame-aligned data: quarantine the row, a partial
+    // frame can't be attributed to a channel
+    if (dataOff + dataSize > bytes.length || dataSize % frameBytes != 0) return None
+    val nSamples = dataSize / bytesPerSample
+    val nFrames = nSamples / channels
+    var peak = 0
+    var sumSq = 0L
+    var zc = 0L
+    var silent = 0L
+    def sample(k: Int): Int =
+      if (bits == 8) (bytes(dataOff + k) & 0xff) - 128
+      else (le(bytes, dataOff + k * 2, 2).toShort).toInt
+    var k = 0
+    while (k < nSamples) {
+      val s = sample(k)
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (a < silenceThreshold) silent += 1
+      if (k >= channels && ((sample(k - channels) < 0) != (s < 0))) zc += 1
+      k += 1
+    }
+    Some(PcmFeatures(sampleRate.toInt, channels, bits, nFrames, peak, sumSq, zc, silent))
+  }
+
+  /** The Spark seam: append a PCM feature struct column (null on any
+    * malformation) via the shared row-wise stage — the
+    * [[Image.decodeStatsStage]] shape for audio. */
+  def pcmFeatureStage(df: DataFrame, payloadCol: String, outCol: String,
+                      silenceThreshold: Int = 50): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val sch = StructType(Seq(
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("bits", IntegerType), StructField("n_frames", IntegerType),
+      StructField("peak", IntegerType), StructField("sum_sq", LongType),
+      StructField("zero_cross", LongType), StructField("silent", LongType)))
+    Stages.appendFields(df, Seq(StructField(outCol, sch)))( r =>
+      Seq(decodeWavPcm(r.getAs[Array[Byte]](idx), silenceThreshold) match {
+        case None => null
+        case Some(f) => org.apache.spark.sql.Row(f.sampleRate, f.channels, f.bits,
+          f.nFrames, f.peak, f.sumSq, f.zeroCross, f.silent)
+      }))
+  }
+}

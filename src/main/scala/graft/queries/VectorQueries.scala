@@ -1808,6 +1808,99 @@ object VectorQueries extends QuerySet {
         .orderBy("id_a", "id_b")
     })
 
+  /** REAL WAV/PCM sample decode + signal features, oracle-gated
+    * end-to-end: canonical PCM WAVs are synthesized executor-side from
+    * doc_id arithmetic — frames/channels/bit-depth/rate all vary by
+    * doc_id, every 4th doc hides fmt behind an odd/even-size JUNK chunk
+    * (RIFF pad-byte discipline), every 5th doc stores `data` BEFORE
+    * `fmt ` (chunk order is free in RIFF; the walk must collect both),
+    * and every 9th is garbage → NULL. `Audio.decodeWavPcm` must recover
+    * the planted samples through the chunk walk + LE sample parse; the
+    * oracle predicts peak / energy / zero-crossings / silence from the
+    * same arithmetic, never seeing bytes — an endianness slip, a signed/
+    * unsigned mixup (8-bit is unsigned-centered, 16-bit signed), or an
+    * off-by-channel zero-cross pairing hash-fails. RMS is derived from
+    * the exact integer sums with the same expression tree both sides. */
+  val m9WavPcm = Q("m9_wav_pcm_features",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 50 + 10 AS INT) AS f,
+              CAST(doc_id % 2 + 1 AS INT) AS ch,
+              (doc_id % 3 = 0) AS is8,
+              CAST(doc_id % 48000 + 8000 AS INT) AS rate
+            FROM documents),
+            s AS (SELECT doc_id, f, ch, is8, rate,
+              list_transform(range(0, CAST(f AS BIGINT) * ch, 1), k ->
+                CASE WHEN is8 THEN (doc_id * 13 + k * 7) % 256 - 128
+                     ELSE (doc_id * 31 + k * 77) % 4001 - 2000 END) AS sm
+            FROM p),
+            feat AS (SELECT doc_id, f, ch, is8, rate,
+              CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak,
+              CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS sum_sq,
+              CAST(len(list_filter(range(1, len(sm) - ch + 1, 1),
+                k -> (sm[k] < 0) <> (sm[k + ch] < 0))) AS BIGINT) AS zero_cross,
+              CAST(len(list_filter(sm, x -> abs(x) < 50)) AS BIGINT) AS silent
+            FROM s)
+            SELECT doc_id, doc_id % 9 <> 0 AS ok,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE rate END AS sample_rate,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE ch END AS channels,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(CASE WHEN is8 THEN 8 ELSE 16 END AS INT) END AS bits,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE f END AS n_frames,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE peak END AS peak,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE sum_sq END AS sum_sq,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE zero_cross END AS zero_cross,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE silent END AS silent,
+              CASE WHEN doc_id % 9 = 0 THEN NULL
+                   ELSE sqrt(CAST(sum_sq AS DOUBLE) / (f * ch)) END AS rms
+            FROM feat ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withWav = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        if (id % 9 == 0) Seq(Array[Byte](0xBA.toByte, 0xDC.toByte, 0x0F.toByte, 0xFE.toByte))
+        else {
+          val f = (id % 50 + 10).toInt; val ch = (id % 2 + 1).toInt
+          val is8 = id % 3 == 0; val rate = (id % 48000 + 8000).toInt
+          val bps = if (is8) 1 else 2
+          val n = f * ch
+          val out = new java.io.ByteArrayOutputStream(64 + n * bps)
+          def s4(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+          def le(v: Long, len: Int): Unit =
+            (0 until len).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+          s4("RIFF"); le(36 + n * bps, 4); s4("WAVE")
+          if (id % 4 == 0) { // JUNK of doc-dependent odd/even size + RIFF pad
+            val j = (id % 7 + 1).toInt
+            s4("JUNK"); le(j, 4); (0 until j).foreach(_ => out.write(0xAB))
+            if (j % 2 == 1) out.write(0)
+          }
+          def writeFmt(): Unit = {
+            s4("fmt "); le(16, 4); le(1, 2); le(ch, 2); le(rate, 4)
+            le(rate.toLong * ch * bps, 4); le(ch * bps, 2); le(bps * 8, 2)
+          }
+          def writeData(): Unit = {
+            s4("data"); le(n.toLong * bps, 4)
+            var k = 0
+            while (k < n) {
+              if (is8) out.write(((id * 13 + k * 7) % 256).toInt)
+              else { val v = ((id * 31 + k * 77) % 4001 - 2000).toInt; le(v & 0xffff, 2) }
+              k += 1
+            }
+          }
+          if (id % 5 == 0) { writeData(); writeFmt() } else { writeFmt(); writeData() }
+          Seq(out.toByteArray)
+        }
+      }
+      graft.ops.Audio.pcmFeatureStage(withWav, "payload", "a")
+        .select(col("doc_id"), col("a").isNotNull.as("ok"),
+          col("a.sample_rate").as("sample_rate"), col("a.channels").as("channels"),
+          col("a.bits").as("bits"), col("a.n_frames").as("n_frames"),
+          col("a.peak").as("peak"), col("a.sum_sq").as("sum_sq"),
+          col("a.zero_cross").as("zero_cross"), col("a.silent").as("silent"),
+          sqrt(col("a.sum_sq").cast("double") / (col("a.n_frames") * col("a.channels"))).as("rms"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -1816,5 +1909,5 @@ object VectorQueries extends QuerySet {
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
-    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall)
+    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm)
 }

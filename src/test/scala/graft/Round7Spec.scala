@@ -281,4 +281,72 @@ class Round7Spec extends SparkSpec {
     assert(got(2) == ((None, None, None)))
     assert(got(3) == ((None, None, None)))
   }
+
+  // --- Audio.decodeWavPcm: hand-authored WAV bytes (independent of the m9
+  // query's builder, so spec and oracle fixture can't share a bug) ---
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def fmtChunk(ch: Int, rate: Int, bits: Int): Array[Byte] =
+    fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate.toLong * ch * (bits / 8)) ++ le16(ch * (bits / 8)) ++ le16(bits)
+  private def wav(chunks: Array[Byte]*): Array[Byte] = {
+    val body = fourcc("WAVE") ++ chunks.flatten
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+  private def data16(samples: Int*): Array[Byte] =
+    fourcc("data") ++ le32(samples.length * 2L) ++ samples.flatMap(s => le16(s & 0xffff))
+  private def data8(samples: Int*): Array[Byte] =
+    fourcc("data") ++ le32(samples.length.toLong) ++ samples.map(_.toByte)
+
+  test("Audio.decodeWavPcm: mono 16-bit exact features") {
+    val w = wav(fmtChunk(1, 16000, 16), data16(100, -200, 0, 300, -50))
+    val f = graft.ops.Audio.decodeWavPcm(w).get
+    assert(f.sampleRate == 16000 && f.channels == 1 && f.bits == 16 && f.nFrames == 5)
+    assert(f.peak == 300 && f.sumSq == 142500L)
+    assert(f.zeroCross == 3L) // sign-of-negative flips: +→−, −→+, +→−
+    assert(f.silent == 1L)    // only the exact 0; |−50| is NOT < 50 (strict)
+  }
+
+  test("Audio.decodeWavPcm: stereo pairs zero-crossings per channel, not across") {
+    // interleaved L0 R0 L1 R1: L flips sign once, R never — across-channel
+    // pairing would see 3 flips
+    val w = wav(fmtChunk(2, 8000, 16), data16(10, 5, -10, 7))
+    val f = graft.ops.Audio.decodeWavPcm(w).get
+    assert(f.nFrames == 2 && f.zeroCross == 1L)
+  }
+
+  test("Audio.decodeWavPcm: 8-bit samples are unsigned-centered") {
+    val w = wav(fmtChunk(1, 8000, 8), data8(128, 0, 255, 128))
+    val f = graft.ops.Audio.decodeWavPcm(w).get
+    assert(f.bits == 8 && f.nFrames == 4)
+    assert(f.peak == 128 && f.sumSq == (128L * 128 + 127L * 127))
+    assert(f.zeroCross == 2L && f.silent == 2L)
+  }
+
+  test("Audio.decodeWavPcm: chunk order and JUNK padding don't matter") {
+    val junkOdd = fourcc("JUNK") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // odd size + pad
+    val a = graft.ops.Audio.decodeWavPcm(wav(fmtChunk(1, 44100, 16), data16(7, -7))).get
+    val b = graft.ops.Audio.decodeWavPcm(wav(junkOdd, data16(7, -7), fmtChunk(1, 44100, 16))).get
+    assert(a == b && a.sampleRate == 44100)
+  }
+
+  test("Audio.decodeWavPcm: fail-to-None edges") {
+    val A = graft.ops.Audio
+    assert(A.decodeWavPcm(null).isEmpty)
+    assert(A.decodeWavPcm("not a wav at all".getBytes).isEmpty)
+    // declared data size past the payload end (truncated)
+    val trunc = wav(fmtChunk(1, 8000, 16), fourcc("data") ++ le32(100) ++ le16(1))
+    assert(A.decodeWavPcm(trunc).isEmpty)
+    // stereo 16-bit with a size not divisible by the 4-byte frame
+    val misaligned = wav(fmtChunk(2, 8000, 16), data16(1, 2, 3))
+    assert(A.decodeWavPcm(misaligned).isEmpty)
+    // IEEE-float format tag (3): not PCM, must not parse as it
+    val floatTag = wav(fourcc("fmt ") ++ le32(16) ++ le16(3) ++ le16(1) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(32), data16(1, 2))
+    assert(A.decodeWavPcm(floatTag).isEmpty)
+    // missing data chunk entirely
+    assert(A.decodeWavPcm(wav(fmtChunk(1, 8000, 16))).isEmpty)
+  }
 }
