@@ -1472,6 +1472,69 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Engine-portable KMV / bottom-k distinct sketch — the sk2 ledger's
+    * companion when the pipeline needs the distinct-item SAMPLE, not just
+    * the count (min-hashes are a uniform draw over distinct items, the
+    * basis for snapshot-overlap audits). The output hash-gates the
+    * estimator ((k−1)/v_k from the 48-bit prefix of the k-th minimum,
+    * EXACT counts for keys below k), the relative error, and
+    * `merge_consistent`: bottom-k of the union of per-parity part
+    * sketches ≡ bottom-k of the whole stream — KMV's merge algebra is
+    * exact by construction (every global bottom-k hash is inside its own
+    * part's bottom-k), which is what makes the two-level sharded build
+    * the 100 TB path (each window ranks one shard; the merge input is
+    * k rows per shard, never the corpus). */
+  val sk3KmvDistinct: Q = {
+    val K = graft.ops.Kmv.k
+    def vkSql(h: String) =
+      s"""list_sum(list_transform(range(1, 13), i ->
+            CAST(strpos('0123456789abcdef', substr($h, CAST(i AS INT), 1)) - 1 AS BIGINT)
+              * (1::BIGINT << (4 * (12 - CAST(i AS INT))))))"""
+    def estSql(sk: String) =
+      s"""(SELECT source,
+              CASE WHEN n < $K THEN CAST(n AS DOUBLE)
+                   ELSE ${K - 1}.0 / (CAST(${vkSql("hk")} AS DOUBLE) / 281474976710656.0)
+              END AS est
+            FROM (SELECT source, count(*) AS n, max(h) AS hk FROM $sk GROUP BY source))"""
+    Q("sk3_kmv_distinct",
+      Some(s"""WITH t AS (SELECT doc_id, source, ${OracleSql.toksSql} AS toks FROM documents),
+            shl AS (SELECT doc_id, source, ${OracleSql.shinglesSql(4)} AS shingles FROM t),
+            g AS (SELECT source, doc_id % 2 AS b, unnest(shingles) AS w FROM shl),
+            hw AS (SELECT source, md5(w) AS h FROM (SELECT DISTINCT source, w FROM g)),
+            rw AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS pos FROM hw),
+            skw AS (SELECT source, h FROM rw WHERE pos <= $K),
+            hp AS (SELECT source, b, md5(w) AS h FROM (SELECT DISTINCT source, b, w FROM g)),
+            rp AS (SELECT source, b, h, row_number() OVER (PARTITION BY source, b ORDER BY h) AS pos FROM hp),
+            mu AS (SELECT DISTINCT source, h FROM rp WHERE pos <= $K),
+            rm AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS pos FROM mu),
+            skm AS (SELECT source, h FROM rm WHERE pos <= $K),
+            ew AS ${estSql("skw")},
+            em AS ${estSql("skm")},
+            ex AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM g GROUP BY source)
+            SELECT ex.source, n_exact, round(ew.est, 4) AS est_kmv,
+              round(abs(round(ew.est, 4) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) AS rel_err,
+              round(em.est, 4) = round(ew.est, 4) AS merge_consistent
+            FROM ex JOIN ew ON ew.source = ex.source JOIN em ON em.source = ex.source
+            ORDER BY ex.source"""),
+      (s, d) => {
+        import graft.ops.Kmv
+        val g = documents(s, d).select(col("source"), (col("doc_id") % 2).as("b"),
+          explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("w"))
+        val whole = Kmv.estimate(Kmv.sketch(g, Seq("source"), col("w")), Seq("source"))
+          .withColumnRenamed("est_distinct", "est_whole")
+        val parts = Kmv.sketch(g, Seq("source", "b"), col("w")).select("source", "h")
+        val merged = Kmv.estimate(Kmv.merge(parts, Seq("source")), Seq("source"))
+          .withColumnRenamed("est_distinct", "est_merged")
+        val exact = g.groupBy("source").agg(countDistinct("w").as("n_exact"))
+        exact.join(whole, Seq("source")).join(merged, Seq("source"))
+          .select(col("source"), col("n_exact"), col("est_whole").as("est_kmv"),
+            round(abs(col("est_whole") - col("n_exact").cast("double"))
+              / col("n_exact").cast("double"), 4).as("rel_err"),
+            (col("est_merged") === col("est_whole")).as("merge_consistent"))
+          .orderBy("source")
+      })
+  }
+
   /** Interpolated bigram LM score (the KenLM-shaped quality filter): train
     * unigram + bigram counts on the corpus itself, score each doc's mean
     * ln(0.7·P_bigram + 0.3·P_unigram) with add-one smoothing. All ratio
@@ -2009,7 +2072,7 @@ object TextQueries extends QuerySet {
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
-    sk1CmsHeavyHitters, sk2HllDistinct, x9Bigram,
+    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist)

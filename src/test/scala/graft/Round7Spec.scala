@@ -282,6 +282,26 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  test("Kmv: exact below k, merge is set-identical to whole, 3-sigma error above k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 5000
+    val df = (0 until n).map(i => ("big", i % 3, s"item_$i")).toDF("key", "shard", "w")
+      .union((0 until 20).map(i => ("small", i % 3, s"s_$i")).toDF("key", "shard", "w"))
+    val whole = graft.ops.Kmv.sketch(df, Seq("key"), col("w"))
+    // merge of 3 shard sketches must equal the whole sketch as a SET of
+    // (pos, h) rows — KMV's merge algebra is exact, not approximate
+    val parts = graft.ops.Kmv.sketch(df, Seq("key", "shard"), col("w")).select("key", "h")
+    val merged = graft.ops.Kmv.merge(parts, Seq("key"))
+    assert(whole.select("key", "pos", "h").except(merged.select("key", "pos", "h")).isEmpty)
+    assert(merged.select("key", "pos", "h").except(whole.select("key", "pos", "h")).isEmpty)
+    val est = graft.ops.Kmv.estimate(whole, Seq("key")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 20.0) // below k: the count is exact, not estimated
+    // KMV rel-err stddev ≈ 1/sqrt(k−2) ≈ 0.127 at k=64 → 3σ bound
+    assert(math.abs(est("big") - n) / n < 0.4, s"est=${est("big")}")
+  }
+
   // --- Audio.decodeWavPcm: hand-authored WAV bytes (independent of the m9
   // query's builder, so spec and oracle fixture can't share a bug) ---
 
