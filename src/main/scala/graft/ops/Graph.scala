@@ -64,4 +64,60 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count + local clustering coefficient per node over an
+    * edge list `(src, dst)` (directed/multi input; loops dropped, edges
+    * canonicalized undirected-simple) — the link-graph structure signal
+    * that separates organic neighborhoods (high clustering) from link
+    * farms and spam rings (star/bipartite patterns, near-zero clustering)
+    * before PageRank ever runs.
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (Chiba–Nishizeki /
+    * node-iterator++): each undirected edge points from its lower to its
+    * higher endpoint under the total order (degree, id); wedges are
+    * generated only at a node's LOWER-ordered endpoint and closed with one
+    * equi-join back to the oriented edges. This is the O(m^{3/2})
+    * arboricity bound: a degree-d hub generates wedges only among
+    * neighbors of degree ≥ d, so a 100 TB web graph's celebrity nodes
+    * (in-degree 10⁸) contribute almost no wedge fan-out — the id-ordered
+    * naive orientation would square them. Every step is an equi-join or
+    * hash aggregate on node keys; nothing is all-pairs and nothing
+    * iterates.
+    *
+    * Returns `(node, degree, n_triangles, clustering)` for every node,
+    * clustering = 2T/(d(d−1)) rounded 6dp (0.0 when d < 2). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // feeds degree AND both orientation sides
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dhi"))
+      .localCheckpoint() // feeds both wedge sides and the closing probe
+    // wedge pair (hi1, hi2) kept in the SAME (deg, id) order the
+    // orientation uses, so the closing edge — if present — is oriented
+    // exactly (lo=hi1, hi=hi2) and one equi-join finds it
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") &&
+          (col("e1.dhi") < col("e2.dhi") ||
+            (col("e1.dhi") === col("e2.dhi") && col("e1.hi") < col("e2.hi"))))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val tris = wedges.join(oriented.select(col("lo").as("b"), col("hi").as("c")), Seq("b", "c"))
+    val perNode = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        round(when(col("deg") >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) / (col("deg") * (col("deg") - lit(1.0))))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
 }

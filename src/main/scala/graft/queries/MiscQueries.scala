@@ -2312,11 +2312,53 @@ object MiscQueries extends QuerySet {
       })
   }
 
+  /** Exact triangle count + local clustering coefficient over a link
+    * graph — the structure signal that separates organic neighborhoods
+    * from link farms before PageRank runs (a spam ring is star/bipartite:
+    * clustering ≈ 0 at any degree). Degree-ordered orientation
+    * (Chiba–Nishizeki): wedges generate only at each edge's LOWER
+    * (degree, id) endpoint, the O(m^{3/2}) bound that keeps web-scale
+    * hub nodes from squaring. The fixture graph is a pseudo-random
+    * 30-node multigraph from doc_id arithmetic — self-loops must drop,
+    * duplicate edges must collapse, and the oracle replays orientation,
+    * wedge ordering, and the closing join arithmetically. */
+  val g1Triangles = Q("g1_triangle_clustering",
+    Some("""WITH raw AS (SELECT doc_id % 30 AS a, (doc_id * 7 + 3) % 30 AS b FROM documents),
+            e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                    GROUP BY node),
+            o AS (SELECT
+                CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS lo,
+                CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS hi,
+                CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN dv.deg ELSE du.deg END AS dhi
+              FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+            tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+                AND (e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+              JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+            tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+                   FROM (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+                         UNION ALL SELECT c AS node FROM tri)
+                   GROUP BY node)
+            SELECT deg.node, deg.deg AS degree,
+              coalesce(tn.n_tri, 0) AS n_triangles,
+              round(CASE WHEN deg.deg >= 2
+                         THEN 2.0 * coalesce(tn.n_tri, 0) / (deg.deg * (deg.deg - 1.0))
+                         ELSE 0.0 END, 6) AS clustering
+            FROM deg LEFT JOIN tn ON tn.node = deg.node
+            ORDER BY deg.node"""),
+    (s, d) => {
+      val edges = documents(s, d).select((col("doc_id") % 30).as("src"),
+        ((col("doc_id") * 7 + 3) % 30).as("dst"))
+      graft.ops.Graph.triangleStats(edges).orderBy("node")
+    })
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles)
 }

@@ -282,6 +282,21 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  test("Graph.triangleStats: K4 clique, star, loops and duplicate edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, clustering 1.0), star 5-{6,7} (no triangle),
+    // plus noise the canonicalization must erase: a self-loop, a duplicate
+    // edge, and a reversed duplicate
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (5, 6), (5, 7), (2, 2), (3, 4), (4, 3)).toDF("src", "dst")
+    val got = graft.ops.Graph.triangleStats(edges).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1 to 4).foreach(n => assert(got(n) == ((3L, 3L, 1.0)), s"node $n: ${got(n)}"))
+    assert(got(5) == ((2L, 0L, 0.0)))
+    assert(got(6) == ((1L, 0L, 0.0)) && got(7) == ((1L, 0L, 0.0)))
+  }
+
   test("Kmv: exact below k, merge is set-identical to whole, 3-sigma error above k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
