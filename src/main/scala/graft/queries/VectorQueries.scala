@@ -1901,6 +1901,68 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** REAL GIF decode, oracle-gated end-to-end: complete GIF89a payloads
+    * (screen descriptor, global color table, genuinely-LZW-compressed
+    * pixel data — dictionary growth, width bumps and all — plus the
+    * 4-pass interlace on every 3rd doc) are synthesized executor-side
+    * from doc_id arithmetic; `Gif.decodeGif` must recover the planted
+    * pixels through the LZW stream and interlace remap. The oracle
+    * predicts pixel_sum over RGB bytes and the center-pixel luma from
+    * the same arithmetic — a width-bump convention slip, an interlace
+    * row-map error, or a palette offset bug hash-fails. Every 7th
+    * payload is truncated inside the header → NULL (GIF has no CRC, so
+    * the structural class is what fail-to-null can promise; the spec's
+    * fuzz sweep pins never-throws for everything else). Encoder and
+    * decoder are cross-validated BOTH directions against ImageIO's
+    * independent GIF codec in Round7Spec, so this fixture pair cannot
+    * share a convention bug. */
+  val m10GifDecode = Q("m10_gif_decode",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 11 + 1 AS INT) AS w,
+              CAST((doc_id * 5) % 9 + 1 AS INT) AS h
+            FROM documents),
+            s AS (SELECT doc_id, w, h,
+              CAST(list_sum(list_transform(range(0, CAST(w AS BIGINT) * h, 1), k ->
+                ((((k % w) * 3 + (k // w) * 5 + doc_id) % 16) * 37) % 256
+                + ((((k % w) * 3 + (k // w) * 5 + doc_id) % 16) * 59) % 256
+                + ((((k % w) * 3 + (k // w) * 5 + doc_id) % 16) * 83) % 256)) AS BIGINT) AS pixel_sum,
+              ((w // 2) * 3 + (h // 2) * 5 + doc_id) % 16 AS jm
+            FROM p)
+            SELECT doc_id, doc_id % 7 <> 0 AS ok,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE w END AS width,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE h END AS height,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(16 AS INT) END AS n_colors,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 3 = 0 END AS interlaced,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+              CASE WHEN doc_id % 7 = 0 THEN NULL
+                   ELSE CAST((299 * ((jm * 37) % 256) + 587 * ((jm * 59) % 256)
+                            + 114 * ((jm * 83) % 256)) // 1000 AS INT) END AS gray_mid
+            FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withGif = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 11 + 1).toInt; val h = ((id * 5) % 9 + 1).toInt
+        val pal = Array.tabulate(48) { k =>
+          val j = k / 3
+          (if (k % 3 == 0) j * 37 % 256 else if (k % 3 == 1) j * 59 % 256 else j * 83 % 256).toByte
+        }
+        val idx = Array.tabulate(w * h)(k => (((k % w) * 3 + (k / w) * 5 + id) % 16).toByte)
+        val gif = graft.ops.Gif.encodeGif(w, h, pal, idx, interlace = id % 3 == 0)
+        // header-truncation corruption: always inside signature+descriptor+
+        // GCT (>= 61 bytes), so decode must fail closed
+        Seq(if (id % 7 == 0) java.util.Arrays.copyOf(gif, (8 + id % 5).toInt) else gif)
+      }
+      graft.ops.Gif.decodeStatsStage(withGif, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_colors").as("n_colors"), col("st.interlaced").as("interlaced"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -1909,5 +1971,6 @@ object VectorQueries extends QuerySet {
     d3bSimHashPairs, d3cSimHash64Pairs, m3FrameSample, m4AudioWindows, v7SqTopK, x4Fingerprint,
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
-    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm)
+    m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
+    m10GifDecode)
 }

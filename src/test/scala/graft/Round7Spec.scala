@@ -282,6 +282,92 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  // --- Gif codec: cross-validated BOTH directions against the JDK's
+  // independent ImageIO GIF codec, so encoder and decoder cannot share a
+  // width-bump / KwKwK / interlace convention bug ---
+
+  private def testPalette(n: Int): Array[Byte] = Array.tabulate(3 * n) { k =>
+    val j = k / 3
+    (if (k % 3 == 0) j * 37 % 256 else if (k % 3 == 1) j * 59 % 256 else j * 83 % 256).toByte
+  }
+
+  test("Gif.encodeGif -> ImageIO reader: pixels round-trip (plain and interlaced)") {
+    for (interlace <- Seq(false, true); (w, h) <- Seq((1, 1), (7, 5), (23, 17), (64, 48))) {
+      val pal = testPalette(16)
+      val idx = Array.tabulate(w * h)(k => ((k * 7 + k / w * 3) % 16).toByte)
+      val gif = graft.ops.Gif.encodeGif(w, h, pal, idx, interlace)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"$w x $h i=$interlace")
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = idx(y * w + x) & 0xff
+        val expect = (0xff << 24) | ((j * 37 % 256) << 16) | ((j * 59 % 256) << 8) | (j * 83 % 256)
+        assert(img.getRGB(x, y) == expect, s"($x,$y) w=$w h=$h i=$interlace")
+      }
+    }
+  }
+
+  test("ImageIO writer -> Gif.decodeGif: independent-encoder streams decode") {
+    val n = 16
+    val pal = testPalette(n)
+    val (rs, gs, bs) = (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+    for (j <- 0 until n) { rs(j) = pal(3 * j); gs(j) = pal(3 * j + 1); bs(j) = pal(3 * j + 2) }
+    val cm = new java.awt.image.IndexColorModel(4, n, rs, gs, bs)
+    for ((w, h) <- Seq((5, 3), (31, 29), (80, 60))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (x * 3 + y * 5) % n
+        img.setRGB(x, y, (0xff << 24) | ((pal(3 * j) & 0xff) << 16) |
+          ((pal(3 * j + 1) & 0xff) << 8) | (pal(3 * j + 2) & 0xff))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", baos))
+      val dec = graft.ops.Gif.decodeGif(baos.toByteArray)
+      assert(dec.isDefined, s"$w x $h")
+      val g = dec.get
+      assert(g.width == w && g.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = 3 * (y * w + x)
+        val rgb = ((g.rgb(o) & 0xff) << 16) | ((g.rgb(o + 1) & 0xff) << 8) | (g.rgb(o + 2) & 0xff)
+        assert(rgb == (img.getRGB(x, y) & 0xffffff), s"($x,$y) $w x $h")
+      }
+    }
+  }
+
+  test("Gif.decodeGif: dictionary-growth stress (width bumps past 9 bits)") {
+    // 256-color palette and a low-repetition pixel pattern force the LZW
+    // dictionary through several code-width increases
+    val pal = testPalette(256)
+    val (w, h) = (101, 97)
+    val idx = Array.tabulate(w * h)(k => ((k * 131 + (k / w) * 17) % 256).toByte)
+    val gif = graft.ops.Gif.encodeGif(w, h, pal, idx)
+    val g = graft.ops.Gif.decodeGif(gif).get
+    for (k <- 0 until w * h) {
+      val j = idx(k) & 0xff
+      assert((g.rgb(3 * k) & 0xff) == j * 37 % 256 && (g.rgb(3 * k + 1) & 0xff) == j * 59 % 256)
+    }
+    // and through the 4096-entry cap with a mid-stream clear: enough
+    // distinct-pair pixels to fill the dictionary
+    val big = Array.tabulate(1 << 16)(k => ((k * 251 + k / 256 * 13) % 256).toByte)
+    val gif2 = graft.ops.Gif.encodeGif(256, 256, pal, big)
+    val g2 = graft.ops.Gif.decodeGif(gif2).get
+    for (k <- 0 until big.length)
+      assert((g2.rgb(3 * k + 2) & 0xff) == (big(k) & 0xff) * 83 % 256)
+  }
+
+  test("Gif.decodeGif: fuzz — truncations and bit flips never throw") {
+    val pal = testPalette(16)
+    val gif = graft.ops.Gif.encodeGif(9, 7, pal, Array.tabulate(63)(k => (k % 16).toByte))
+    for (cut <- 0 until gif.length)
+      graft.ops.Gif.decodeGif(java.util.Arrays.copyOf(gif, cut)) // must not throw
+    for (i <- 0 until gif.length) {
+      val m = gif.clone(); m(i) = (m(i) ^ 0x5a).toByte
+      graft.ops.Gif.decodeGif(m) // wrong pixels allowed (no CRC); throwing is not
+    }
+    assert(graft.ops.Gif.decodeGif(null).isEmpty)
+    assert(graft.ops.Gif.decodeGif("GIF89a".getBytes).isEmpty)
+  }
+
   test("Graph.triangleStats: K4 clique, star, loops and duplicate edges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
