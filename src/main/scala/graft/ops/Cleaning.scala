@@ -108,4 +108,39 @@ object Cleaning {
         linkChars(line) * linkDensityDen <= textLen(line) * linkDensityNum)
     concat_ws("\n", transform(kept, l => trim(stripTags(l))))
   }
+
+  /** UTS #39-style confusable skeleton (bounded, explicit table — not the
+    * full Unicode confusables data, the high-traffic subset spam actually
+    * uses): Cyrillic and Greek Latin-lookalikes fold to their Latin
+    * skeletons, fullwidth ASCII folds to ASCII, NBSP to space, zero-width
+    * characters (ZWSP/ZWNJ/ZWJ/WJ/BOM) are REMOVED, then the result is
+    * lowercased. Exact dedup on raw bytes cannot see a homoglyph-spoofed
+    * copy ('раypal' with Cyrillic ра) — hashing the skeleton can, which
+    * makes this the cheap pre-pass before any content-hash dedup at
+    * crawl scale (a single codegen'd translate, map-only). Every mapped
+    * char is BMP, so Spark's UTF-16 translate and DuckDB's codepoint
+    * translate agree. */
+  object Confusables {
+    /** Cyrillic + Greek homoglyphs (both cases) with their Latin targets. */
+    val letterFrom: String = "аеорсхуіѕјёАЕОРСХУІЅЈ" + "οικνΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+    val letterTo: String   = "aeopcxyisjeAEOPCXYISJ" + "oikvABEZHIKMNOPTYX"
+    /** Fullwidth ASCII block U+FF01..U+FF5E → 0x21..0x7E. */
+    val fullwidthFrom: String = (0xff01 to 0xff5e).map(_.toChar).mkString
+    val fullwidthTo: String = (0x21 to 0x7e).map(_.toChar).mkString
+    /** Removed outright: ZWSP, ZWNJ, ZWJ, WORD JOINER, BOM
+      * (escape sequences, never literal invisibles in source). */
+    val zeroWidth: String = "\u200B\u200C\u200D\u2060\uFEFF"
+    /** Mapped from/to for the skeleton fold (zero-width chars trail the
+      * from-string with no counterpart → translate deletes them). */
+    val from: String = letterFrom + fullwidthFrom + "\u00A0" + zeroWidth
+    val to: String = letterTo + fullwidthTo + " "
+    /** Confusable-count probe string (letters + fullwidth, no whitespace
+      * mappings): deleting these and diffing lengths counts them. */
+    val countable: String = letterFrom + fullwidthFrom
+  }
+
+  /** The skeleton fold itself: translate + lowercase, one codegen'd map
+    * expression. Hash this, not the raw text, to catch homoglyph dups. */
+  def confusableSkeleton(c: Column): Column =
+    lower(translate(c, Confusables.from, Confusables.to))
 }

@@ -1472,6 +1472,67 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Homoglyph confusable-skeleton dedup (UTS #39-lite) — the spoof
+    * detector exact content-hash dedup is blind to: Cyrillic/Greek
+    * lookalikes fold to Latin, fullwidth ASCII to ASCII, zero-width
+    * chars are stripped, then the SKELETON is hashed. The fixture
+    * plants SPOOF PAIRS: every (6k+3)rd doc is its own text
+    * fullwidth-obfuscated + a leading ZWSP, and every 6k-th doc is a
+    * CYRILLIC-obfuscated COPY of doc 6k−3's raw text — two raw-distinct
+    * rows whose skeletons collide, so `hidden_dup` marks exactly the
+    * groups raw-hash dedup would have missed (load-bearing: ~83 planted
+    * pairs at sf0.01, zero without the fold). One codegen'd translate
+    * per row, one skeleton aggregate: map + hash-agg at any crawl
+    * size. */
+  val x31Confusable: Q = {
+    val C = graft.ops.Cleaning.Confusables
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val (f, t, cnt, zw) = (q(C.from), q(C.to), q(C.countable), q(C.zeroWidth))
+    Q("x31_confusable_skeleton",
+      Some(s"""WITH c AS (SELECT d.doc_id,
+              CASE WHEN d.doc_id % 6 = 0 THEN translate(coalesce(s.text, d.text, ''), 'aeopcxy', 'аеорсху')
+                   WHEN d.doc_id % 6 = 3 THEN concat(chr(8203), translate(coalesce(d.text, ''), 'lmnst', 'ｌｍｎｓｔ'))
+                   ELSE coalesce(d.text, '') END AS t
+            FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 3 AND d.doc_id % 6 = 0),
+            sk AS (SELECT doc_id, md5(t) AS raw_md5,
+                md5(lower(translate(t, $f, $t))) AS skel_md5,
+                CAST(length(t) - length(translate(t, $cnt, '')) AS BIGINT) AS n_confusable,
+                CAST(length(t) - length(translate(t, $zw, '')) AS BIGINT) AS n_zero_width,
+                lower(translate(t, $f, $t)) <> lower(t) AS skeleton_changed
+              FROM c),
+            g AS (SELECT skel_md5, CAST(count(*) AS BIGINT) AS skeleton_dups,
+                count(DISTINCT raw_md5) > 1 AS hidden_dup
+              FROM sk GROUP BY skel_md5)
+            SELECT doc_id, n_confusable, n_zero_width, skeleton_changed,
+              sk.skel_md5, skeleton_dups, hidden_dup
+            FROM sk JOIN g USING (skel_md5) ORDER BY doc_id"""),
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        // spoof source: 6k-th docs copy doc 6k-3's raw text (shifted-key
+        // self-join; the planted pair generator)
+        val src = base.select((col("doc_id") + 3).as("doc_id"), col("text").as("src_text"))
+        val withSrc = base.join(src.hint("broadcast"), Seq("doc_id"), "left")
+        val txt = coalesce(col("text"), lit(""))
+        val spoofed = when(col("doc_id") % 6 === 0,
+            translate(coalesce(col("src_text"), col("text"), lit("")), "aeopcxy", "аеорсху"))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("\u200B"), translate(txt, "lmnst", "ｌｍｎｓｔ")))
+          .otherwise(txt)
+        val sk = withSrc.withColumn("t", spoofed)
+          .select(col("doc_id"), md5(col("t").cast("binary")).as("raw_md5"),
+            md5(graft.ops.Cleaning.confusableSkeleton(col("t")).cast("binary")).as("skel_md5"),
+            (length(col("t")) - length(translate(col("t"), C.countable, ""))).cast("long").as("n_confusable"),
+            (length(col("t")) - length(translate(col("t"), C.zeroWidth, ""))).cast("long").as("n_zero_width"),
+            (graft.ops.Cleaning.confusableSkeleton(col("t")) =!= lower(col("t"))).as("skeleton_changed"))
+        val g = sk.groupBy("skel_md5").agg(count(lit(1)).as("skeleton_dups"),
+          (countDistinct("raw_md5") > 1).as("hidden_dup"))
+        sk.join(g, Seq("skel_md5"))
+          .select(col("doc_id"), col("n_confusable"), col("n_zero_width"),
+            col("skeleton_changed"), col("skel_md5"), col("skeleton_dups"), col("hidden_dup"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Engine-portable KMV / bottom-k distinct sketch — the sk2 ledger's
     * companion when the pipeline needs the distinct-item SAMPLE, not just
     * the count (min-hashes are a uniform draw over distinct items, the
@@ -2072,7 +2133,7 @@ object TextQueries extends QuerySet {
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
-    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x9Bigram,
+    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist)

@@ -282,6 +282,26 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  test("Cleaning.confusableSkeleton: homoglyphs fold, zero-width strips, table is sane") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val C = graft.ops.Cleaning.Confusables
+    // translate table must stay aligned: every from-char except the
+    // zero-width tail has exactly one target
+    assert(C.from.length == C.to.length + C.zeroWidth.length)
+    assert(C.letterFrom.length == C.letterTo.length)
+    val rows = Seq(
+      "раypаl login",            // Cyrillic р/а spoof of "paypal login"
+      "paypal login",
+      "ＰＡＹＰＡＬ ＬＯＧＩＮ",        // fullwidth + NBSP
+      "pay\u200Bpal log\u200Din")          // zero-width splits
+    val got = rows.toDF("t")
+      .select(graft.ops.Cleaning.confusableSkeleton(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "paypal login" && got(1) == "paypal login")
+    assert(got(2) == "paypal login" && got(3) == "paypal login")
+  }
+
   // --- Gif codec: cross-validated BOTH directions against the JDK's
   // independent ImageIO GIF codec, so encoder and decoder cannot share a
   // width-bump / KwKwK / interlace convention bug ---
