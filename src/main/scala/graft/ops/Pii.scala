@@ -87,4 +87,44 @@ object Pii {
     })
     (lit(10) - s % 10) % 10
   }
+
+  // ---------------------------------------------------------------------
+  // IBAN detection (round 7): ISO 13616 + ISO 7064 mod-97-10. Like Luhn,
+  // a bare [A-Z]{2}\d{2}[A-Z0-9]+ regex false-positives on ticket ids and
+  // product codes — the checksum is what makes redaction precise. The
+  // 34-char max IBAN overflows any int64, so mod-97 runs as the standard
+  // chunked fold ((acc·10 + digit) mod 97 per digit) — exact integer
+  // arithmetic, codegen'd HOFs, map-only at corpus scale.
+
+  /** Candidate IBANs: country code + 2 check digits + 11–30 alphanumerics
+    * (15..34 total — shorter real IBANs exist but below 15 the pattern
+    * drowns in ticket-id noise; RE2-safe, no lookaround). */
+  val IbanPattern = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  def ibanCandidates(text: Column): Column =
+    regexp_extract_all(text, lit(IbanPattern), lit(0))
+
+  /** ISO 7064 rearrangement + digitization: first 4 chars to the end,
+    * then A→10 … Z→35, digits unchanged — a pure digit string. */
+  def ibanDigits(iban: Column): Column = {
+    val r = concat(iban.substr(lit(5), length(iban) - 4), iban.substr(lit(1), lit(4)))
+    array_join(transform(sequence(lit(1), length(r)), i => {
+      val ch = r.substr(i, lit(1))
+      when(ch >= "0" && ch <= "9", ch).otherwise((ascii(ch) - 55).cast("string"))
+    }), "")
+  }
+
+  /** mod 97 of an arbitrary-length digit string — the chunked fold. */
+  def mod97(digits: Column): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0),
+      (acc, i) => (acc * 10 + digits.substr(i, lit(1)).cast("int")) % 97)
+
+  /** ISO 13616 validity: rearranged+digitized value ≡ 1 (mod 97). */
+  def ibanValid(iban: Column): Column = mod97(ibanDigits(iban)) === 1
+
+  /** Check digits for a fixture (country + BBAN): 98 − mod97(digits of
+    * BBAN ∥ country ∥ "00") — lets both engines PLANT valid IBANs from
+    * arithmetic alone (the luhnCheckDigit pattern). */
+  def ibanCheckDigits(country: Column, bban: Column): Column =
+    lpad((lit(98) - mod97(ibanDigits(concat(country, lit("00"), bban)))).cast("string"), 2, "0")
 }

@@ -1018,6 +1018,69 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** IBAN detection with the ISO 7064 mod-97-10 checksum (ISO 13616) —
+    * the pii2 discipline for bank accounts: shape-matching candidates
+    * ([A-Z]{2}\d{2}[A-Z0-9]{11,30}, RE2-safe) are only PII when the
+    * rearranged+digitized value ≡ 1 mod 97, computed as the chunked
+    * digit fold (34-char IBANs overflow int64). Fixtures COMPUTE valid
+    * German IBAN check digits from arithmetic, corrupt the first BBAN
+    * digit on every 4th doc (any single-digit bump shifts the residue —
+    * 10^k mod 97 is never 0 — so invalidity is deterministic), and plant
+    * a too-short decoy that must not surface as a candidate. The oracle
+    * replays the fold with its own list_reduce. */
+  val pii3Iban: Q = {
+    def mod97Sql(x: String) =
+      s"""list_reduce(list_prepend(0, list_transform(range(1, length($x) + 1),
+            i -> CAST(($x)[CAST(i AS INT)] AS INT))), (acc, dg) -> (acc * 10 + dg) % 97)"""
+    def digitizeSql(c: String) =
+      s"""list_aggregate(list_transform(range(1, length($c) + 1),
+            i -> CASE WHEN ($c)[CAST(i AS INT)] BETWEEN '0' AND '9' THEN ($c)[CAST(i AS INT)]
+                      ELSE CAST(ascii(($c)[CAST(i AS INT)]) - 55 AS VARCHAR) END),
+            'string_agg', '')"""
+    Q("pii3_iban",
+      Some(s"""WITH s AS (SELECT doc_id,
+                concat(lpad(CAST((doc_id * 31) % 1000000 AS VARCHAR), 6, '0'),
+                       lpad(CAST((doc_id * 77) % 1000000 AS VARCHAR), 6, '0'),
+                       lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')) AS bban
+              FROM documents),
+            k AS (SELECT doc_id, bban,
+                lpad(CAST(98 - ${mod97Sql("concat(bban, '131400')")} AS VARCHAR), 2, '0') AS cc
+              FROM s),
+            ib AS (SELECT doc_id,
+                concat('DE', cc,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN concat(CAST((CAST(bban[1] AS INT) + 1) % 10 AS VARCHAR), substr(bban, 2, 17))
+                       ELSE bban END) AS iban
+              FROM k),
+            txt AS (SELECT doc_id, concat('pay to ', iban, ' ref AB12SHORT end') AS t FROM ib),
+            cand AS (SELECT doc_id,
+                regexp_extract_all(t, '\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b') AS cs
+              FROM txt),
+            v AS (SELECT doc_id, cs, cs[1] AS iban,
+                ${mod97Sql(s"(${digitizeSql("concat(substr(cs[1], 5), substr(cs[1], 1, 4))")})")} = 1 AS iban_valid
+              FROM cand)
+            SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_candidates, iban, iban_valid
+            FROM v ORDER BY doc_id"""),
+      (s, d) => {
+        import graft.ops.Pii
+        val bban = concat(
+          lpad(((col("doc_id") * 31) % 1000000).cast("string"), 6, "0"),
+          lpad(((col("doc_id") * 77) % 1000000).cast("string"), 6, "0"),
+          lpad((col("doc_id") % 1000000).cast("string"), 6, "0"))
+        val cc = Pii.ibanCheckDigits(lit("DE"), bban)
+        val bbanOut = when(col("doc_id") % 4 === 0,
+            concat(((bban.substr(1, 1).cast("int") + 1) % 10).cast("string"), bban.substr(2, 17)))
+          .otherwise(bban)
+        val t = concat(lit("pay to "), concat(lit("DE"), cc, bbanOut), lit(" ref AB12SHORT end"))
+        documents(s, d)
+          .withColumn("cs", Pii.ibanCandidates(t))
+          .select(col("doc_id"), size(col("cs")).cast("long").as("n_candidates"),
+            element_at(col("cs"), 1).as("iban"),
+            Pii.ibanValid(element_at(col("cs"), 1)).as("iban_valid"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** BM25 keyword retrieval over the corpus: one-row stats agg (N, avgdl,
     * per-term df) broadcast into a map-only scoring scan, global top-15 via
     * TakeOrderedAndProject. The oracle SQL is generated from the SAME term
@@ -2129,7 +2192,7 @@ object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(p1Normalize, p2Noise, p8Metadata, p9Sanitize, f16Classify, a7Intent,
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
-    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, x20CharEntropy, x21Safety,
+    f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, pii3Iban, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,

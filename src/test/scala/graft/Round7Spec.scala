@@ -282,6 +282,26 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  test("Pii.ibanValid: canonical published IBANs pass, any single-char bump fails") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ISO 13616 / ECBS published examples — ground truth independent
+    // of our own check-digit generator
+    val good = Seq("DE89370400440532013000", "GB82WEST12345698765432",
+      "FR1420041010050500013M02606", "NO9386011117947")
+    val bad = good.map(s => s.updated(8, (((s(8) - '0') + 1) % 10 + '0').toChar)) ++
+      Seq("DE00370400440532013000")
+    val got = (good ++ bad).toDF("iban")
+      .select(graft.ops.Pii.ibanValid(col("iban")).as("v")).collect().map(_.getBoolean(0))
+    assert(got.take(good.length).forall(identity), "all published examples must validate")
+    assert(got.drop(good.length).forall(!_), "corrupted digits must fail")
+    // and the fixture generator round-trips: computed check digits validate
+    val cc = Seq(("DE", "370400440532013000")).toDF("ctry", "bban")
+      .select(graft.ops.Pii.ibanCheckDigits(col("ctry"), col("bban")).as("cc"))
+      .collect().head.getString(0)
+    assert(cc == "89") // matches the published DE example
+  }
+
   test("Cleaning.confusableSkeleton: homoglyphs fold, zero-width strips, table is sane") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
