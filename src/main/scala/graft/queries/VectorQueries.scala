@@ -1963,6 +1963,56 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** ColBERT-style late-interaction retrieval — score = Σ_q max_d
+    * cos(e_q, e_d) over TOKEN-level embeddings (md5-bucketed char-bigram
+    * profiles, the V1 deterministic stand-in), so morphological cousins
+    * match without query expansion: the query terms here ('sparkly',
+    * 'joining', 'streams') appear NOWHERE in the corpus — every nonzero
+    * score comes from bigram overlap with 'spark'/'join'/'stream' etc.,
+    * which is exactly the late-interaction property the operator exists
+    * for. Embeddings per DISTINCT (doc, token), query vectors broadcast,
+    * one map-side-combined max aggregate, TakeOrdered top-k; per-term
+    * maxes 6-dp-rounded before ranking (BM25 convention), summed in
+    * fixed order. */
+  val v11MaxSim: Q = {
+    val terms = Seq("sparkly", "joining", "streams")
+    val k = 10
+    def vecSql(t: String) =
+      s"""list_transform(range(0, 16, 1), j -> CAST(len(list_filter(
+            CASE WHEN length($t) >= 2
+                 THEN list_transform(range(1, length($t)), i -> substr($t, CAST(i AS INT), 2))
+                 ELSE [$t] END,
+            g -> strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1 = j)) AS DOUBLE))"""
+    def normSql(v: String) =
+      s"""list_transform($v, x -> CASE WHEN sqrt(list_sum(list_transform($v, y -> y * y))) > 0
+            THEN x / sqrt(list_sum(list_transform($v, y -> y * y))) ELSE 0.0 END)"""
+    val qCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"q$i AS (SELECT ${normSql(s"(${vecSql(s"'$t'")})")} AS qv)"
+    }.mkString(",\n            ")
+    val simCols = terms.indices.map(i =>
+      s"round(list_dot_product(nv, q$i.qv), 6) AS s_$i").mkString(", ")
+    val qJoins = terms.indices.map(i => s"CROSS JOIN q$i").mkString(" ")
+    val maxCols = terms.indices.map(i => s"max(s_$i) AS sim_$i").mkString(", ")
+    val sumExpr = terms.indices.map(i => s"sim_$i").mkString(" + ")
+    Q("v11_maxsim_topk",
+      Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+            e AS (SELECT doc_id, tok, ${normSql(s"(${vecSql("tok")})")} AS nv FROM tok),
+            $qCtes,
+            sims AS (SELECT doc_id, $simCols FROM e $qJoins),
+            m AS (SELECT doc_id, $maxCols FROM sims GROUP BY doc_id),
+            top AS (SELECT doc_id, ${terms.indices.map(i => s"sim_$i").mkString(", ")},
+                round($sumExpr, 6) AS score
+              FROM m ORDER BY score DESC, doc_id LIMIT $k)
+            SELECT * FROM top ORDER BY score DESC, doc_id"""),
+      (s, d) => {
+        graft.index.LateInteraction.maxSimTopK(documents(s, d), "doc_id", "text", terms, k)
+          .select(col("id").as("doc_id") +:
+            (terms.indices.map(i => col(s"sim_$i")) :+ col("score")): _*)
+          .orderBy(col("score").desc, col("doc_id"))
+      })
+  }
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -1972,5 +2022,5 @@ object VectorQueries extends QuerySet {
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
-    m10GifDecode)
+    m10GifDecode, v11MaxSim)
 }

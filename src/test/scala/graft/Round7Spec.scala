@@ -282,6 +282,17 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  test("LateInteraction: identical tokens score 1, cousins graded, disjoint low") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "spark runs fast"), (2L, "sparkly things"), (3L, "qqqq zzzz")).toDF("doc_id", "text")
+    val top = graft.index.LateInteraction.maxSimTopK(docs, "doc_id", "text", Seq("spark"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(top(1L) == 1.0) // exact token present → cos 1
+    assert(top(2L) > 0.8 && top(2L) < 1.0) // morphological cousin graded
+    assert(top(3L) < 0.5, s"disjoint alphabet scored ${top(3L)}")
+  }
+
   test("Pii.ibanValid: canonical published IBANs pass, any single-char bump fails") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
