@@ -309,4 +309,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "the per-anchor top-k must prune via rank pushdown, not sort whole anchors")
   }
+
+  test("g1 triangle wedges close with equi-joins only — no nested loop anywhere") {
+    // the whole point of degree-ordered orientation: wedge generation and
+    // the closing probe are hash/merge equi-joins; a nested loop here
+    // means the orientation keys fell out of the join condition
+    val plan = formatted(graft.queries.MiscQueries.g1Triangles.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must stay equi:\n${plan.take(1200)}")
+  }
+
+  test("v11 maxsim takes top-k without a global sort; token embed join stays equi") {
+    val plan = formatted(graft.queries.VectorQueries.v11MaxSim.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"late-interaction top-k must not globally sort:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"),
+      "only the one-row query-vector frame may broadcast; nothing cross-joins")
+  }
+
+  test("x31 skeleton dedup aggregates partially before the exchange") {
+    val plan = formatted(graft.queries.TextQueries.x31Confusable.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the shifted-key spoof join and the group join must be equi-joins")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "the skeleton-group stats must combine map-side")
+  }
+
+  test("sk3 KMV windows are key-partitioned and the estimate is one aggregate") {
+    val plan = formatted(graft.queries.TextQueries.sk3KmvDistinct.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "sketch/merge/estimate compose from scans, windows and equi-joins only")
+  }
 }

@@ -408,6 +408,37 @@ class StreamingSpec extends SparkSpec {
     assert(est.count() > 0 && est.filter(col("est_distinct") <= 0).count() == 0)
   }
 
+  test("KMV bottom-k ledger maintained in a foreachBatch loop equals the batch sketch") {
+    // sk3's merge algebra under streaming: each micro-batch's bottom-k
+    // rows merge into a standing k-row-per-key ledger; after any number
+    // of batches the ledger is SET-identical (pos and hash) to a one-shot
+    // sketch of everything — the distinct-sample never drifts
+    import graft.ops.Kmv
+    val docs = graft.tables.TestTables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        explode(graft.ops.Dedup.wordShingles(col("text"), 4)).as("w"))
+    val dir = "/tmp/graft_stream_kmv"
+    docs.coalesce(4).write.mode("overwrite").parquet(dir)
+    var ledger = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("source", "string").add("h", "string"))
+    val q = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ledger.synchronized {
+          ledger = Kmv.merge(
+              ledger.union(Kmv.sketch(b, Seq("source"), col("w")).select("source", "h")),
+              Seq("source"))
+            .select("source", "h").localCheckpoint()
+        }
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming KMV ledger did not finish in time")
+    val whole = Kmv.sketch(docs, Seq("source"), col("w")).select("source", "h")
+    assert(ledger.except(whole).isEmpty && whole.except(ledger).isEmpty,
+      "ledger after N micro-batches must be set-identical to the one-shot sketch")
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
