@@ -743,4 +743,34 @@ object TextAnalysis {
         (coalesce(col("dup_tokens"), lit(0L)).cast("double")
           / greatest(col("n_tokens"), lit(1L))).as("dup_frac"))
   }
+
+  /** WordPiece encode of one word (Wu et al. 2016 / BERT): greedy
+    * longest-match-first — start pieces at position 1, `##` continuation
+    * pieces after; ANY unmatchable position turns the WHOLE word into one
+    * [UNK] (BERT's is_bad rule), as does exceeding `maxLen` chars (the
+    * max_input_chars_per_word guard). Bounded fold: each step consumes
+    * ≥ 1 char, so `maxLen` steps always finish. Returns struct(n_pieces,
+    * n_unk). Run once per DISTINCT word and join back (the tok6 plan) —
+    * the fold costs |pieces|·maxLen substring probes. */
+  def wordPieceStats(word: Column, startPieces: Seq[String], contPieces: Seq[String],
+                     maxLen: Int = 16): Column = {
+    require(startPieces.nonEmpty && contPieces.nonEmpty, "need non-empty piece vocabularies")
+    def bestAt(pos: Column, pieces: Seq[String]) =
+      greatest(pieces.map(p =>
+        when(word.substr(pos.cast("int"), lit(p.length)) === p, p.length).otherwise(0)): _*)
+    val st = aggregate(sequence(lit(1), lit(maxLen)),
+      struct(lit(1).as("pos"), lit(0).as("cnt"), (length(word) > maxLen).as("unk")),
+      (s0, _) => {
+        val fin = s0.getField("unk") || s0.getField("pos") > length(word)
+        val best = when(s0.getField("pos") === 1, bestAt(s0.getField("pos"), startPieces))
+          .otherwise(bestAt(s0.getField("pos"), contPieces))
+        struct(
+          when(fin || best === 0, s0.getField("pos")).otherwise(s0.getField("pos") + best).as("pos"),
+          when(fin || best === 0, s0.getField("cnt")).otherwise(s0.getField("cnt") + 1).as("cnt"),
+          when(fin, s0.getField("unk")).when(best === 0, lit(true))
+            .otherwise(s0.getField("unk")).as("unk"))
+      })
+    struct(when(st.getField("unk"), 1).otherwise(st.getField("cnt")).as("n_pieces"),
+      when(st.getField("unk"), 1).otherwise(0).as("n_unk"))
+  }
 }

@@ -1283,6 +1283,72 @@ object TextQueries extends QuerySet {
     * numbers a tokenizer run is judged by. The oracle reads the SAME
     * unrolled chain's final vocabulary (v8), so the Spark encoder output
     * is compared against the oracle's trained state symbol-for-symbol. */
+  /** WordPiece encoding (Wu et al. 2016 / BERT's tokenizer) — greedy
+    * longest-match-first against a fixed vocabulary with `##`
+    * continuations, the third tokenizer family next to BPE (tok3) and
+    * unigram-Viterbi (tok4). BERT semantics exactly: per word, repeatedly
+    * consume the LONGEST matching piece (start pieces at position 1,
+    * continuation pieces after); ANY unmatchable position → the whole
+    * word becomes one [UNK]; words over 16 chars are [UNK] upfront (the
+    * max_input_chars_per_word guard). The fold is a bounded 16-step HOF
+    * per word — each step consumes ≥1 char, so 16 steps always finish a
+    * ≤16-char word — and the oracle replays it as 16 generated step CTEs
+    * (the pr1/tok2 unrolled-iteration convention) from the SAME vocab
+    * list, so the two greedy walks cannot drift. Map-only per doc; one
+    * hash aggregate for the corpus stats. */
+  val tok6WordPiece: Q = {
+    val startPieces = Seq("spark", "stream", "join", "data", "the", "th",
+      "pro", "con", "re", "ing") ++ ('a' to 'z').map(_.toString)
+    val contPieces = Seq("ing", "tion", "ream", "ed", "er", "es", "s") ++
+      ('a' to 'z').map(_.toString)
+    val maxLen = 16
+    def bestSql(pieces: Seq[String]) = "greatest(" + pieces.map(p =>
+      s"CASE WHEN substr(word, CAST(pos AS INT), ${p.length}) = '$p' THEN ${p.length} ELSE 0 END")
+      .mkString(", ") + ")"
+    val stepCtes = (1 to maxLen).map { i =>
+      s"""w$i AS (SELECT doc_id, word,
+            CASE WHEN fin OR best = 0 THEN pos ELSE pos + best END AS pos,
+            CASE WHEN fin OR best = 0 THEN cnt ELSE cnt + 1 END AS cnt,
+            CASE WHEN fin THEN unk WHEN best = 0 THEN true ELSE unk END AS unk
+          FROM (SELECT doc_id, word, pos, cnt, unk,
+                  (unk OR pos > length(word)) AS fin,
+                  CASE WHEN pos = 1 THEN ${bestSql(startPieces)}
+                       ELSE ${bestSql(contPieces)} END AS best
+                FROM w${i - 1}))"""
+    }.mkString(",\n            ")
+    Q("tok6_wordpiece_stats",
+      Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+            w0 AS (SELECT doc_id, word, 1 AS pos, 0 AS cnt,
+                length(word) > $maxLen AS unk FROM words),
+            $stepCtes,
+            pieces AS (SELECT doc_id,
+                CASE WHEN unk THEN 1 ELSE cnt END AS n_pieces,
+                CASE WHEN unk THEN 1 ELSE 0 END AS n_unk
+              FROM w$maxLen)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+              CAST(sum(n_unk) AS BIGINT) AS n_unk
+            FROM pieces GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        def wordFold(word: org.apache.spark.sql.Column) =
+          TextAnalysis.wordPieceStats(word, startPieces, contPieces, maxLen)
+        // fold once per DISTINCT word (the v11 vocab-bounded discipline —
+        // the 16-step × |pieces| match fold runs |vocab| times, not once
+        // per token occurrence), then join the 2-int result back
+        val words = documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        val vocabW = words.select("word").distinct()
+          .withColumn("r", wordFold(col("word")))
+        words.join(vocabW, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("r.n_pieces")).cast("long").as("n_pieces"),
+            sum(col("r.n_unk")).cast("long").as("n_unk"))
+          .orderBy("doc_id")
+      })
+  }
+
   val tok3BpeEncode = Q("tok3_bpe_encode_stats",
     Some(s"""${bpeOracleCtes(8)},
             stats AS (SELECT cnt, length(w) AS n_chars,
@@ -2195,7 +2261,7 @@ object TextQueries extends QuerySet {
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, pii3Iban, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
-    b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, cdc1Chunks, cdc2ChunkDedup,
+    b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, tok6WordPiece, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,

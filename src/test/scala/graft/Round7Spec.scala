@@ -282,6 +282,29 @@ class Round7Spec extends SparkSpec {
     assert(got(3) == ((None, None, None)))
   }
 
+  test("tok6 WordPiece greedy: longest-first, UNK-on-any-failure, 16-char cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val start = Seq("spark", "stream", "join", "data", "the", "th",
+      "pro", "con", "re", "ing") ++ ('a' to 'z').map(_.toString)
+    val cont = Seq("ing", "tion", "ream", "ed", "er", "es", "s") ++
+      ('a' to 'z').map(_.toString)
+    val cases = Seq(
+      "sparking" -> ((2, 0)), // spark + ##ing — longest start piece wins over s/sp
+      "thes" -> ((2, 0)),     // the + ##s — 'the'(3) beats 'th'(2): longest-first
+      "data" -> ((1, 0)),
+      "aaaa" -> ((4, 0)),     // single-char fallback path
+      "a.b" -> ((1, 1)),      // '.' has no piece → whole word is one [UNK]
+      "ééé" -> ((1, 1)),      // out-of-vocab alphabet → [UNK]
+      "abcdefghijklmnopq" -> ((1, 1))) // 17 chars: over the cap → [UNK]
+    val got = cases.map(_._1).toDF("word")
+      .select(col("word"),
+        graft.ops.TextAnalysis.wordPieceStats(col("word"), start, cont).as("r"))
+      .select(col("word"), col("r.n_pieces"), col("r.n_unk"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    cases.foreach { case (w, expect) => assert(got(w) == expect, s"$w: ${got(w)}") }
+  }
+
   test("LateInteraction: identical tokens score 1, cousins graded, disjoint low") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
