@@ -754,6 +754,70 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id", "chunk_id")
     })
 
+  /** Answer attribution / span grounding — the citation step behind the
+    * reference's sources projection (`backend/services/rag.py` returns
+    * source chunks with every answer): given a claim, find the sentence
+    * that SUPPORTS it, as argmax of SQuAD multiset-token F1 (the ev6
+    * metric) over the doc's p16 sentence chain. The claim is synthesized
+    * from sentence (doc_id mod n_sentences) — first 6 tokens + one noise
+    * token — so `attributed` (best == target) is load-bearing: a ranking
+    * slip, an F1 direction swap, or a tie-break drift hash-fails.
+    * Per-sentence F1 is a bounded HOF fold (claims are ≤ 7 tokens —
+    * explode-join would shuffle more than it saves here, the inverse of
+    * the ev6 call); the argmax is a doc-partitioned window. */
+  val ask5Attribution: Q = {
+    def f1Sql(pred: String, gold: String) = {
+      val ov = s"""coalesce(CAST(list_sum(list_transform(list_distinct($pred),
+            tk -> least(len(list_filter($pred, x -> x = tk)),
+                        len(list_filter($gold, x -> x = tk))))) AS BIGINT), 0)"""
+      s"""CASE WHEN $ov = 0 THEN 0.0 ELSE
+            round(2.0 * (CAST($ov AS DOUBLE) / CAST(greatest(len($pred), 1) AS DOUBLE))
+              * (CAST($ov AS DOUBLE) / CAST(greatest(len($gold), 1) AS DOUBLE))
+              / ((CAST($ov AS DOUBLE) / CAST(greatest(len($pred), 1) AS DOUBLE))
+                + (CAST($ov AS DOUBLE) / CAST(greatest(len($gold), 1) AS DOUBLE))), 6) END"""
+    }
+    Q("ask5_attribution",
+      Some(s"""WITH $sentenceCtes,
+            ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent FROM sen GROUP BY doc_id),
+            tgt AS (SELECT sen.doc_id, sen.sent_idx AS target_idx,
+                list_append(list_filter(string_split_regex(sen.sentence, '\\s+'), x -> x <> '')[1:6], 'zz') AS claim
+              FROM sen JOIN ns ON ns.doc_id = sen.doc_id AND sen.sent_idx = sen.doc_id % ns.n_sent),
+            scored AS (SELECT sen.doc_id, t.target_idx, sen.sent_idx,
+                ${f1Sql("t.claim", "list_filter(string_split_regex(sen.sentence, '\\s+'), x -> x <> '')")} AS f1
+              FROM sen JOIN tgt t ON t.doc_id = sen.doc_id),
+            ranked AS (SELECT doc_id, target_idx, sent_idx, f1,
+                row_number() OVER (PARTITION BY doc_id ORDER BY f1 DESC, sent_idx) AS rn
+              FROM scored)
+            SELECT doc_id, target_idx, sent_idx AS best_idx, f1 AS best_f1,
+              sent_idx = target_idx AS attributed
+            FROM ranked WHERE rn = 1 ORDER BY doc_id"""),
+      (s, d) => {
+        val sent = sentencesDf(s, d).select(col("doc_id"), col("sent_idx"),
+          TextAnalysis.tokens(col("sentence")).as("toks"))
+        val ns = sent.groupBy("doc_id").agg(count(lit(1)).as("n_sent"))
+        val tgt = sent.join(ns, "doc_id")
+          .filter(col("sent_idx") === col("doc_id") % col("n_sent"))
+          .select(col("doc_id"), col("sent_idx").as("target_idx"),
+            concat(slice(col("toks"), 1, 6), array(lit("zz"))).as("claim"))
+        val pred = col("claim"); val gold = col("toks")
+        val ov = coalesce(aggregate(array_distinct(pred), lit(0L), (acc, tk) =>
+          acc + least(size(filter(pred, x => x === tk)), size(filter(gold, x => x === tk)))), lit(0L))
+        val scored = sent.join(tgt, "doc_id").withColumn("ov", ov)
+        val prec = col("ov").cast("double") / greatest(size(pred), lit(1)).cast("double")
+        val rec = col("ov").cast("double") / greatest(size(gold), lit(1)).cast("double")
+        val f1 = when(col("ov") === 0, 0.0)
+          .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("f1").desc, col("sent_idx"))
+        scored.withColumn("f1", f1)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("target_idx"), col("sent_idx").as("best_idx"),
+            col("f1").as("best_f1"), (col("sent_idx") === col("target_idx")).as("attributed"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Deflate compression-ratio signal via
     * [[TextAnalysis.compressionStage]] — the LZ-window repetition tell
     * that catches long-range redundancy per-char entropy (x20) cannot.
@@ -2260,7 +2324,7 @@ object TextQueries extends QuerySet {
     f5Entities, f7Overlap, t2Rerank, f9Similarity, f9Difflib, f10Money, f11Canon, f13Md5,
     f14IdFromName, f21Json, x1LangAgg, x3Subword, x5Repetition, x6Sample, x8Unigram, pii1Scrub, pii2Luhn, pii3Iban, x20CharEntropy, x21Safety,
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
-    x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty,
+    x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty, ask5Attribution,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, tok6WordPiece, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,

@@ -450,7 +450,86 @@ object WindowQueries extends QuerySet {
         .orderBy("event_id")
     })
 
+  /** W11: sequential funnel analysis — view → click → purchase, the
+    * product-analytics staple: each step matches the EARLIEST event of
+    * its type STRICTLY AFTER the previous step's match, ordered by
+    * (ts, event_id) so simultaneous events resolve deterministically (a
+    * click in the same microsecond as the view counts only if its
+    * event_id is higher — the pinned tiebreak), INSIDE a conversion
+    * window anchored at funnel entry: clicks count within 24 h of the
+    * first view, purchases within 72 h (exact integer microsecond
+    * comparisons — no interval arithmetic to drift). The windows are
+    * load-bearing on this corpus: they split users across all four
+    * `reached` levels where the unwindowed funnel converts everyone.
+    * No window FUNCTIONS at all: each step is one min-aggregate + one
+    * equi-join on user_id, so the three steps reuse ONE exchange and
+    * the funnel scales as three map-side-combined aggregates at any
+    * event volume. min(struct(ts, id)) is reduction-order-independent,
+    * so shuffle nondeterminism cannot pick a different match. */
+  val w11Funnel = Q("w11_funnel",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, ts FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+            s1b AS (SELECT e.user_id, t1, min(e.event_id) AS id1
+                    FROM e JOIN s1 USING (user_id)
+                    WHERE event_type = 'view' AND ts = t1 GROUP BY e.user_id, t1),
+            s2 AS (SELECT e.user_id, min(ts) AS t2
+                   FROM e JOIN s1b USING (user_id)
+                   WHERE event_type = 'click' AND (ts > t1 OR (ts = t1 AND event_id > id1))
+                     AND epoch_us(ts) <= epoch_us(t1) + 86400000000
+                   GROUP BY e.user_id),
+            s2b AS (SELECT e.user_id, s1b.t1 AS t1a, t2, min(e.event_id) AS id2
+                    FROM e JOIN s2 USING (user_id) JOIN s1b USING (user_id)
+                    WHERE event_type = 'click' AND ts = t2
+                      AND (ts > s1b.t1 OR (ts = s1b.t1 AND event_id > id1))
+                    GROUP BY e.user_id, s1b.t1, t2),
+            s3 AS (SELECT e.user_id, min(ts) AS t3
+                   FROM e JOIN s2b USING (user_id)
+                   WHERE event_type = 'purchase' AND (ts > t2 OR (ts = t2 AND event_id > id2))
+                     AND epoch_us(ts) <= epoch_us(t1a) + 259200000000
+                   GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id,
+              epoch_us(t1) AS t_view_us, epoch_us(t2) AS t_click_us, epoch_us(t3) AS t_purchase_us,
+              CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+            FROM u LEFT JOIN s1b ON s1b.user_id = u.user_id
+            LEFT JOIN s2b ON s2b.user_id = u.user_id
+            LEFT JOIN s3 ON s3.user_id = u.user_id
+            ORDER BY u.user_id"""),
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .localCheckpoint() // feeds all three step scans and the user dim
+      def ordered(t: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+        struct(t.as("ts"), id.as("event_id"))
+      val s1 = e.filter(col("event_type") === "view").groupBy("user_id")
+        .agg(min(ordered(col("ts"), col("event_id"))).as("m1"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "click" &&
+          (col("ts") > col("m1.ts") ||
+            (col("ts") === col("m1.ts") && col("event_id") > col("m1.event_id"))) &&
+          unix_micros(col("ts")) <= unix_micros(col("m1.ts")) + 86400000000L)
+        .groupBy("user_id").agg(min(ordered(col("ts"), col("event_id"))).as("m2"),
+          min(col("m1.ts")).as("t1")) // constant per user — carried for the s3 anchor
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          (col("ts") > col("m2.ts") ||
+            (col("ts") === col("m2.ts") && col("event_id") > col("m2.event_id"))) &&
+          unix_micros(col("ts")) <= unix_micros(col("t1")) + 259200000000L)
+        .groupBy("user_id").agg(min(ordered(col("ts"), col("event_id"))).as("m3"))
+      e.select("user_id").distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("m1.ts")).as("t_view_us"),
+          unix_micros(col("m2.ts")).as("t_click_us"),
+          unix_micros(col("m3.ts")).as("t_purchase_us"),
+          when(col("m3").isNotNull, 3).when(col("m2").isNotNull, 2)
+            .when(col("m1").isNotNull, 1).otherwise(0).cast("int").as("reached"))
+        .orderBy("user_id")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
     w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
-    w8Interpolate, w9Ewma, w10Anomaly)
+    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel)
 }
