@@ -65,6 +65,53 @@ object Graph {
     ranks
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) over a directed edge list
+    * `(src, dst)`: hub/authority mutual recursion — authorities collect
+    * hub mass over in-edges, hubs collect authority mass over out-edges,
+    * each side L2-normalized per round. Complements [[pageRank]]: HITS
+    * separates pages that LINK WELL from pages that ARE linked well,
+    * the directory-vs-content split a crawl scheduler uses.
+    *
+    * Same cross-engine determinism recipe as pageRank (the d9/x8
+    * discipline): mass sums run in DECIMAL(25,15) (exact, reduction-
+    * order-free), both scores iterate as 12-dp-rounded doubles, the L2
+    * norm squares those exact doubles with 12-dp terms DECIMAL-summed —
+    * every step is one IEEE operation on identical operands in both
+    * engines. Scale shape per iteration: two equi-joins with the edge
+    * list + two map-side-combined aggregates + two one-row norm frames
+    * broadcast; lineage truncated per round. Nodes with no in-edges
+    * (resp. out-edges) score authority (resp. hub) 0. */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    def normalize(raw: DataFrame, valCol: String): DataFrame = {
+      val nf = raw.agg(sum(round(col(valCol) * col(valCol), 12).cast("decimal(25,15)"))
+        .cast("double").as("n2"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(nf))
+        .select(col("node"),
+          when(col("n2") > 0, round(coalesce(col(valCol), lit(0.0)) / sqrt(col("n2")), 12))
+            .otherwise(lit(0.0)).as(valCol))
+    }
+    var hubs = nodes.select(col("node"), lit(1.0).as("h"))
+    var auth = nodes.select(col("node"), lit(0.0).as("a"))
+    for (_ <- 1 to iterations) {
+      val aRaw = hubs.join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(col("h").cast("decimal(25,15)")).cast("double").as("a"))
+        .withColumnRenamed("node2", "node")
+      auth = normalize(aRaw, "a").localCheckpoint()
+      val hRaw = auth.join(e, col("node") === col("dst"))
+        .groupBy(col("src").as("node2"))
+        .agg(sum(col("a").cast("decimal(25,15)")).cast("double").as("h"))
+        .withColumnRenamed("node2", "node")
+      hubs = normalize(hRaw, "h").localCheckpoint()
+    }
+    hubs.join(auth, "node").select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Exact triangle count + local clustering coefficient per node over an
     * edge list `(src, dst)` (directed/multi input; loops dropped, edges
     * canonicalized undirected-simple) — the link-graph structure signal

@@ -2354,11 +2354,51 @@ object MiscQueries extends QuerySet {
       graft.ops.Graph.triangleStats(edges).orderBy("node")
     })
 
+  /** HITS hubs/authorities over the directed fixture graph — the
+    * directory-vs-content split next to pr1's PageRank: 3 unrolled
+    * iterations of the mutual recursion, L2-normalized per side per
+    * round, replayed by the oracle as generated CTEs from the same
+    * constants (the pr1 convention). Mass sums DECIMAL(25,15), scores
+    * iterate as 12-dp doubles — bit-identical both engines. */
+  val g2Hits: Q = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, CAST(sum(CAST(h AS DECIMAL(25,15))) AS DOUBLE) AS a
+                 FROM h${i - 1} hh JOIN e ON hh.node = e.src GROUP BY e.dst),
+            an$i AS (SELECT CAST(sum(CAST(round(a * a, 12) AS DECIMAL(25,15))) AS DOUBLE) AS n2 FROM ar$i),
+            a$i AS (SELECT n.node,
+                CASE WHEN nf.n2 > 0 THEN round(coalesce(ar.a, 0.0) / sqrt(nf.n2), 12) ELSE 0.0 END AS a
+              FROM nodes n CROSS JOIN an$i nf LEFT JOIN ar$i ar ON ar.node = n.node),
+            hr$i AS (SELECT e.src AS node, CAST(sum(CAST(a AS DECIMAL(25,15))) AS DOUBLE) AS h
+                 FROM a$i aa JOIN e ON aa.node = e.dst GROUP BY e.src),
+            hn$i AS (SELECT CAST(sum(CAST(round(h * h, 12) AS DECIMAL(25,15))) AS DOUBLE) AS n2 FROM hr$i),
+            h$i AS (SELECT n.node,
+                CASE WHEN nf.n2 > 0 THEN round(coalesce(hr.h, 0.0) / sqrt(nf.n2), 12) ELSE 0.0 END AS h
+              FROM nodes n CROSS JOIN hn$i nf LEFT JOIN hr$i hr ON hr.node = n.node)"""
+    }.mkString(",\n            ")
+    Q("g2_hits",
+      Some(s"""WITH raw AS (SELECT doc_id % 30 AS src, (doc_id * 7 + 3) % 30 AS dst FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+            h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+            $iterCtes
+            SELECT n.node, h$iters.h AS hub, a$iters.a AS authority
+            FROM nodes n JOIN h$iters ON h$iters.node = n.node
+            JOIN a$iters ON a$iters.node = n.node
+            ORDER BY n.node"""),
+      (s, d) => {
+        val edges = documents(s, d).select((col("doc_id") % 30).as("src"),
+          ((col("doc_id") * 7 + 3) % 30).as("dst"))
+        graft.ops.Graph.hits(edges, iters).orderBy("node")
+      })
+  }
+
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles)
+    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }

@@ -442,6 +442,18 @@ class Round7Spec extends SparkSpec {
     assert(graft.ops.Gif.decodeGif("GIF89a".getBytes).isEmpty)
   }
 
+  test("Graph.hits: directed star — center is the hub, leaves are the authorities") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((0, 1), (0, 2), (0, 3), (9, 1)).toDF("src", "dst")
+    val r = graft.ops.Graph.hits(edges, 3).collect()
+      .map(x => x.getInt(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r(0)._1 > 0.9 && r(0)._2 == 0.0) // center: pure hub
+    assert(r(1)._2 > r(2)._2) // node 1 has two in-links → strongest authority
+    assert(r(2)._2 == r(3)._2 && r(2)._2 > 0) // symmetric leaves tie
+    assert(r(1)._1 == 0.0 && r(2)._1 == 0.0) // leaves link nothing → hub 0
+  }
+
   test("Graph.triangleStats: K4 clique, star, loops and duplicate edges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
