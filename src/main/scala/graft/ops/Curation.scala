@@ -236,4 +236,73 @@ object Curation {
         / greatest(col("tokens"), lit(1L)).cast("double"), 6).as("epochs"),
       (col("t") >= col("cap")).as("capped"))
   }
+
+  /** Neyman-optimal stratified sample allocation (Neyman 1934 — the
+    * survey-sampling optimum dom2's temperature mixing doesn't give):
+    * stratum h receives n·(N_h·σ_h)/Σ(N_h·σ_h) of the budget, so
+    * high-variance strata are oversampled exactly where a uniform or
+    * proportional draw wastes budget — the right allocator for building
+    * eval sets from heterogeneous corpora. Integer seats are assigned by
+    * floor + LARGEST REMAINDER (Hamilton), ties → stratum name asc, so
+    * Σ alloc == budget exactly.
+    *
+    * Determinism/scale contract: per-stratum moments are EXACT integer
+    * sums (value must be an integer column — lengths, token counts);
+    * σ_h derives from them with one expression tree; the Neyman weights
+    * are 12-dp-rounded and DECIMAL-summed (order-free); remainder
+    * ranking is a count-join on the k-row strata frame (never a global
+    * window); the draw itself is the seedless md5 order per stratum
+    * (partitioned row_number). One corpus aggregate + one k-row frame +
+    * one partitioned rank — scales as a groupBy at any size. */
+  def neymanSample(docs: DataFrame, stratumCol: Column, intValue: Column,
+                   idCol: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val base = docs.select(stratumCol.as("stratum"), intValue.cast("long").as("v"),
+      idCol.as("id"))
+    val mom = base.groupBy("stratum").agg(
+      count(lit(1)).as("n_h"), sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+    val nD = col("n_h").cast("double")
+    // trailing operator, NEVER leading: a statement-level `x / y\n- z`
+    // parses as two statements under semicolon inference (the - z line is
+    // a discarded unary expression) and silently drops the mean term
+    val variance = (col("s2").cast("double") / nD) -
+      (col("s1").cast("double") / nD) * (col("s1").cast("double") / nD)
+    // 6 dp, NOT 12: weights sit in the thousands, and rounding the 12th
+    // decimal of a ~1e3 double asks for the 16th significant digit -
+    // past IEEE precision, where the two engines legitimately disagree
+    val strata = mom.withColumn("w",
+      round(nD * sqrt(greatest(variance, lit(0.0))), 6))
+    val tot = strata.agg(sum(col("w").cast("decimal(25,12)")).cast("double").as("tw"))
+    val share = strata.crossJoin(broadcast(tot))
+      // all-zero-variance corpus → shares 0; the remainder pass then hands
+      // at most one seat per stratum by the deterministic tie-break
+      .withColumn("share", when(col("tw") > 0, lit(budget) * col("w") / col("tw"))
+        .otherwise(lit(0.0)))
+      .withColumn("fl", floor(col("share")).cast("long"))
+      .withColumn("rem", round(col("share") - col("fl"), 12))
+      .localCheckpoint() // tiny k-row frame, feeds both rank sides
+    // largest-remainder rank via a count-join on the k-row frame (never a
+    // global window): seats left after flooring go to the largest rems.
+    // The probe side is REBUILT with renamed columns — a .as("x")/.as("y")
+    // self-join over a checkpointed frame resolves both sides to the same
+    // attributes and silently scrambles the rank (found the hard way).
+    val ys = share.select(col("stratum").as("y_stratum"), col("rem").as("y_rem"))
+    val r = share.join(ys,
+        col("y_rem") > col("rem") ||
+          (col("y_rem") === col("rem") && col("y_stratum") < col("stratum")), "left")
+      .groupBy(col("stratum"), col("fl"), col("rem"))
+      .agg(count(col("y_stratum")).as("nbigger"))
+    val leftOver = share.agg((lit(budget) - sum("fl")).as("k"))
+    val alloc = r.crossJoin(broadcast(leftOver))
+      .select(col("stratum"),
+        (col("fl") + when(col("nbigger") < col("k"), 1L).otherwise(0L)).as("alloc"))
+    // the draw: per stratum, the alloc smallest md5(id) — seedless,
+    // rerun-stable, cluster-layout-free (the x10/x17 discipline)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    base.join(alloc, "stratum")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("stratum"), col("alloc"), col("id"))
+  }
 }

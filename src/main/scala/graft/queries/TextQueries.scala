@@ -1665,6 +1665,47 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Neyman-optimal stratified sampling — the survey-sampling allocator
+    * (n_h ∝ N_h·σ_h) that oversamples high-variance strata, the right
+    * way to spend an eval-set budget over a heterogeneous corpus (x6's
+    * stratified and x17's weighted draws allocate by size/weight, not
+    * variance). Exact integer moments per stratum, 12-dp DECIMAL-summed
+    * Neyman weights, Hamilton largest-remainder seats (Σ alloc == budget
+    * exactly; remainder rank is a count-join on the k-row strata frame,
+    * never a global window), seedless md5 draw per stratum. */
+  val x32Neyman = Q("x32_neyman_sample",
+    Some("""WITH base AS (SELECT source AS stratum,
+              CAST(length(coalesce(text, '')) AS BIGINT) AS v, doc_id AS id FROM documents),
+            mom AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_h,
+                CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+              FROM base GROUP BY stratum),
+            st AS (SELECT stratum, round(CAST(n_h AS DOUBLE) * sqrt(greatest(
+                CAST(s2 AS DOUBLE) / CAST(n_h AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n_h AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n_h AS DOUBLE)),
+                0.0)), 6) AS w FROM mom),
+            tw AS (SELECT CAST(sum(CAST(w AS DECIMAL(25,12))) AS DOUBLE) AS tw FROM st),
+            sh AS (SELECT stratum, CASE WHEN tw > 0 THEN 100 * w / tw ELSE 0.0 END AS share
+              FROM st CROSS JOIN tw),
+            fr AS (SELECT stratum, CAST(floor(share) AS BIGINT) AS fl,
+                round(share - floor(share), 12) AS rem FROM sh),
+            rk AS (SELECT x.stratum, x.fl, x.rem, count(y.stratum) AS nbigger
+              FROM fr x LEFT JOIN fr y
+                ON y.rem > x.rem OR (y.rem = x.rem AND y.stratum < x.stratum)
+              GROUP BY x.stratum, x.fl, x.rem),
+            ko AS (SELECT 100 - sum(fl) AS k FROM fr),
+            alloc AS (SELECT stratum, fl + CASE WHEN nbigger < k THEN 1 ELSE 0 END AS alloc
+              FROM rk CROSS JOIN ko),
+            drawn AS (SELECT b.stratum, a.alloc, b.id,
+                row_number() OVER (PARTITION BY b.stratum
+                  ORDER BY md5(CAST(b.id AS VARCHAR)), b.id) AS rk2
+              FROM base b JOIN alloc a USING (stratum))
+            SELECT stratum, CAST(alloc AS BIGINT) AS alloc, id AS doc_id
+            FROM drawn WHERE rk2 <= alloc ORDER BY stratum, doc_id"""),
+    (s, d) => graft.ops.Curation.neymanSample(documents(s, d), col("source"),
+        length(coalesce(col("text"), lit(""))), col("doc_id"), budget = 100)
+      .select(col("stratum"), col("alloc"), col("id").as("doc_id"))
+      .orderBy("stratum", "doc_id"))
+
   /** Homoglyph confusable-skeleton dedup (UTS #39-lite) — the spoof
     * detector exact content-hash dedup is blind to: Cyrillic/Greek
     * lookalikes fold to Latin, fullwidth ASCII to ASCII, zero-width
@@ -2326,7 +2367,7 @@ object TextQueries extends QuerySet {
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty, ask5Attribution,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, tok6WordPiece, cdc1Chunks, cdc2ChunkDedup,
-    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x9Bigram,
+    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist)

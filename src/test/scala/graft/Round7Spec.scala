@@ -442,6 +442,24 @@ class Round7Spec extends SparkSpec {
     assert(graft.ops.Gif.decodeGif("GIF89a".getBytes).isEmpty)
   }
 
+  test("Curation.neymanSample: variance-proportional seats, exact budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stratum 'wild' has x10 the spread of 'tame' at equal size → Neyman
+    // gives it ~10/11 of the budget; a proportional allocator would split 50/50
+    val rows = (0 until 200).map { i =>
+      if (i % 2 == 0) ("tame", 1000L + i % 10, i.toLong)
+      else ("wild", 1000L + (i * 37) % 1000, i.toLong)
+    }
+    val df = rows.toDF("s", "v", "id")
+    val out = graft.ops.Curation.neymanSample(df, col("s"), col("v"), col("id"), 50)
+    val alloc = out.groupBy("stratum").agg(first("alloc").as("a"), count(lit(1)).as("got"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(alloc.values.map(_._1).sum == 50, s"seats must sum to the budget: $alloc")
+    assert(alloc("wild")._1 > 40, s"high-variance stratum must dominate: $alloc")
+    assert(alloc.values.forall(v => v._1 == v._2), "draw must fill every seat")
+  }
+
   test("Graph.hits: directed star — center is the hub, leaves are the authorities") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
