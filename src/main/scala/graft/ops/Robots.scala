@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
+  /** Parse a sitemaps.org XML blob into an array of (loc, lastmod,
+    * priority) structs — the discovery half of the crawl frontier (rob1
+    * gates fetches; sitemaps SEED them). Regex-based by design (the
+    * sitemap schema is flat; a DOM is overkill and engine-specific):
+    * `<url>` blocks, then per-block fields, absent optional fields →
+    * null. RE2-safe patterns, map-only, identical trees in any engine. */
+  def parseSitemap(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)), u => {
+      def field(tag: String) = {
+        val v = regexp_extract(u, s"<$tag>\\s*([^<]*?)\\s*</$tag>", 1)
+        when(v === "", lit(null).cast("string")).otherwise(v)
+      }
+      struct(field("loc").as("loc"), field("lastmod").as("lastmod"),
+        field("priority").as("priority"))
+    })
+
   /** Translate a robots path pattern to an anchored regex, as a column
     * expression: regex metacharacters escaped, `*` → `.*`, a trailing
     * literal `$` (already escaped to `\$` by step 1) restored to the

@@ -992,6 +992,89 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Sitemap ingestion — the DISCOVERY half of the crawl frontier (rob1
+    * gates fetches, sitemaps seed them): sitemaps.org XML parsed to
+    * (loc, lastmod, priority) per URL, absent optional fields → null
+    * (priority defaults 0.5 per the spec), then every discovered URL
+    * passes the SAME RFC 9309 verdict machinery rob1 uses — parse and
+    * gate compose, they don't duplicate. Fixture XML varies whitespace
+    * around <loc>, omits fields per-URL, and lands one URL per doc in
+    * robots-disallowed space so `allowed` is load-bearing. Map-only
+    * parse + explode; the rule join is rob1's broadcast shape. */
+  val rob2Sitemap = Q("rob2_sitemap_ingest",
+    Some("""WITH h AS (SELECT doc_id,
+              concat(coalesce(source, ''), '.example.com') AS host,
+              lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+              lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+            FROM documents),
+            x AS (SELECT doc_id, host, concat(
+                '<urlset>\n<url>\n  <loc>  https://', host, '/private/', CAST(doc_id AS VARCHAR),
+                '  </loc>\n  <lastmod>2024-', mm, '-', dd, '</lastmod>\n</url>\n',
+                '<url><loc>https://', host, '/blog/', CAST(doc_id AS VARCHAR),
+                '</loc><priority>0.', CAST(doc_id % 10 AS VARCHAR), '</priority></url>\n',
+                '<url><loc>https://', host, '/public/', CAST(doc_id AS VARCHAR),
+                '</loc></url>\n</urlset>') AS xml
+              FROM h),
+            blocks AS (SELECT doc_id, host, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bs FROM x),
+            idx AS (SELECT unnest(range(1, 9)) AS i),
+            u AS (SELECT doc_id, host, CAST(i - 1 AS BIGINT) AS url_idx, bs[CAST(i AS INT)] AS b
+              FROM blocks CROSS JOIN idx WHERE i <= len(bs)),
+            f AS (SELECT doc_id, host, url_idx,
+                nullif(trim(regexp_extract(b, '<loc>\s*([^<]*?)\s*</loc>', 1)), '') AS loc,
+                nullif(regexp_extract(b, '<lastmod>\s*([^<]*?)\s*</lastmod>', 1), '') AS lastmod,
+                nullif(regexp_extract(b, '<priority>\s*([^<]*?)\s*</priority>', 1), '') AS priority
+              FROM u),
+            p AS (SELECT doc_id, url_idx,
+                lower(regexp_extract(loc, 'https?://([^/]+)', 1)) AS host,
+                regexp_extract(loc, 'https?://[^/]+(/.*)$', 1) AS path,
+                TRY_CAST(lastmod AS DATE) AS lastmod,
+                coalesce(TRY_CAST(priority AS DOUBLE), 0.5) AS priority
+              FROM f),
+            ruleset AS (SELECT * FROM (VALUES
+              (false, '/private'), (true, '/private/4'), (true, '/public'), (false, '/public'),
+              (false, '/tmp/*.html'), (true, '/blog'), (false, '/blog/14$')) t(allow, pattern)),
+            rules AS (SELECT host, allow, pattern,
+                concat('^', regexp_replace(regexp_replace(regexp_replace(pattern,
+                  '([.^$+?()\[\]{}|\\])', '\\\1', 'g'), '\*', '.*', 'g'), '\\\$$', '$')) AS rx
+              FROM (SELECT DISTINCT host FROM p) CROSS JOIN ruleset),
+            m AS (SELECT host, path,
+                max_by(allow, length(pattern) * 2 + CAST(allow AS INT)) AS verdict
+              FROM (SELECT DISTINCT host, path FROM p) q JOIN rules USING (host)
+              WHERE regexp_matches(path, rx)
+              GROUP BY host, path)
+            SELECT doc_id, url_idx, p.host, p.path, lastmod, priority,
+              coalesce(verdict, true) AS allowed
+            FROM p LEFT JOIN m USING (host, path)
+            ORDER BY doc_id, url_idx"""),
+    (s, d) => {
+      val host = concat(coalesce(col("source"), lit("")), lit(".example.com"))
+      val idStr = col("doc_id").cast("string")
+      val mm = lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0")
+      val dd = lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")
+      val xml = concat(
+        lit("<urlset>\n<url>\n  <loc>  https://"), host, lit("/private/"), idStr,
+        lit("  </loc>\n  <lastmod>2024-"), mm, lit("-"), dd, lit("</lastmod>\n</url>\n"),
+        lit("<url><loc>https://"), host, lit("/blog/"), idStr,
+        lit("</loc><priority>0."), (col("doc_id") % 10).cast("string"), lit("</priority></url>\n"),
+        lit("<url><loc>https://"), host, lit("/public/"), idStr,
+        lit("</loc></url>\n</urlset>"))
+      val parsed = documents(s, d)
+        .select(col("doc_id"), posexplode(graft.ops.Robots.parseSitemap(xml)).as(Seq("url_idx", "u")))
+        .select(col("doc_id"), col("url_idx").cast("long").as("url_idx"),
+          lower(regexp_extract(col("u.loc"), "https?://([^/]+)", 1)).as("host"),
+          regexp_extract(col("u.loc"), "https?://[^/]+(/.*)$", 1).as("path"),
+          col("u.lastmod").try_cast("date").as("lastmod"),
+          coalesce(col("u.priority").try_cast("double"), lit(0.5)).as("priority"))
+      val ruleSet = Seq(false -> "/private", true -> "/private/4", true -> "/public",
+        false -> "/public", false -> "/tmp/*.html", true -> "/blog", false -> "/blog/14$")
+      val ruleRows = s.range(1).select(explode(array(ruleSet.map { case (a, p) =>
+        struct(lit(a).as("allow"), lit(p).as("pattern")) }: _*)).as("r")).select("r.*")
+      val rules = parsed.select("host").distinct().crossJoin(broadcast(ruleRows))
+      graft.ops.Robots.decide(parsed, rules)
+        .select("doc_id", "url_idx", "host", "path", "lastmod", "priority", "allowed")
+        .orderBy("doc_id", "url_idx")
+    })
+
   /** Link-graph extraction — the step between a fetched page (warc) and
     * the domain graph PageRank ranks (pr1): absolute hrefs parsed from
     * HTML, host-normalized (lowercased, ports stripped), RELATIVE links
@@ -2397,7 +2480,7 @@ object MiscQueries extends QuerySet {
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
-    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
+    ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)

@@ -429,6 +429,34 @@ class Round7Spec extends SparkSpec {
       assert((g2.rgb(3 * k + 2) & 0xff) == (big(k) & 0xff) * 83 % 256)
   }
 
+  test("cross-format perceptual equality: PNG and GIF of the same pixels share a dHash") {
+    // the property image near-dup dedup rests on: the fingerprint is a
+    // function of PIXELS, not of container format — a re-encoded copy of
+    // an image is a near-dup at Hamming 0 whichever codec carried it
+    val gray = new Array[Int](72)
+    for (y <- 0 until 8) {
+      gray(y * 9) = 128
+      for (x <- 0 until 8)
+        gray(y * 9 + x + 1) = gray(y * 9 + x) + (if ((x * 3 + y * 7) % 2 == 0) 1 else -1)
+    }
+    // PNG path: grayscale color type 0, cycling filters
+    val pngRaw = gray.map(_.toByte)
+    val png = graft.ops.Image.encodePng(9, 8, 0, pngRaw, y => y % 5, null)
+    val pngImg = graft.ops.Image.decodePng(png).get
+    val pngHash = graft.ops.Image.dHashBits(graft.ops.Image.toGray(pngImg), 9, 8)
+    // GIF path: a 256-entry identity-gray palette, interlaced for spice
+    val pal = Array.tabulate(768)(k => (k / 3).toByte)
+    val gif = graft.ops.Gif.encodeGif(9, 8, pal, gray.map(_.toByte), interlace = true)
+    val g = graft.ops.Gif.decodeGif(gif).get
+    val gifGray = Array.tabulate(72) { i =>
+      (299 * (g.rgb(3 * i) & 0xff) + 587 * (g.rgb(3 * i + 1) & 0xff)
+        + 114 * (g.rgb(3 * i + 2) & 0xff)) / 1000
+    }
+    val gifHash = graft.ops.Image.dHashBits(gifGray, 9, 8)
+    assert(pngHash == gifHash, s"png=$pngHash gif=$gifHash")
+    assert(pngHash.length == 64)
+  }
+
   test("Gif.decodeGif: fuzz — truncations and bit flips never throw") {
     val pal = testPalette(16)
     val gif = graft.ops.Gif.encodeGif(9, 7, pal, Array.tabulate(63)(k => (k % 16).toByte))
