@@ -992,6 +992,110 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** CSV source round-trip (the S-family's delimited-text format, next
+    * to S4's JSON): fields with embedded commas, quotes, and NEWLINES
+    * are written by Spark's CSV writer configured RFC 4180 (escape =
+    * `"` — Spark's default backslash escaping is a dialect DuckDB and
+    * every standards reader reject; found by this gate) and read back
+    * multiLine. The ORACLE reads the very same files with DuckDB's
+    * independent CSV parser and compares against expectations rebuilt
+    * from the parquet — so writer dialect, reader dialect, and content
+    * integrity are all pinned against a second implementation. Fixed
+    * tmp path: the oracle string is static (built once), so the path
+    * cannot depend on the sf dir. */
+  val s10CsvRoundtrip: Q = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    Q("s10_csv_roundtrip",
+      Some(s"""WITH c AS (SELECT * FROM read_csv('$out/*.csv', header=true,
+              columns={'doc_id': 'BIGINT', 'f_comma': 'VARCHAR',
+                       'f_quote': 'VARCHAR', 'f_newline': 'VARCHAR'})),
+            e AS (SELECT doc_id,
+                concat('v,', CAST(doc_id AS VARCHAR), ',end') AS e_comma,
+                concat('say "', substr(coalesce(text, ''), 1, 20), '" ok') AS e_quote,
+                concat('line1', chr(10), 'line2-', CAST(doc_id AS VARCHAR)) AS e_newline
+              FROM documents)
+            SELECT c.doc_id,
+              c.f_comma = e.e_comma AS ok_comma,
+              c.f_quote = e.e_quote AS ok_quote,
+              c.f_newline = e.e_newline AS ok_newline,
+              CAST(length(c.f_newline) AS BIGINT) AS len_newline
+            FROM c JOIN e ON e.doc_id = c.doc_id
+            ORDER BY c.doc_id"""),
+      (s, d) => {
+        val idStr = col("doc_id").cast("string")
+        def expected = Seq(
+          concat(lit("v,"), idStr, lit(",end")).as("e_comma"),
+          concat(lit("say \""), substring(coalesce(col("text"), lit("")), 1, 20), lit("\" ok")).as("e_quote"),
+          concat(lit("line1\nline2-"), idStr).as("e_newline"))
+        val src = documents(s, d).select(col("doc_id") +: expected: _*)
+        src.select(col("doc_id"), col("e_comma").as("f_comma"),
+            col("e_quote").as("f_quote"), col("e_newline").as("f_newline"))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(out)
+        val schema = "doc_id LONG, f_comma STRING, f_quote STRING, f_newline STRING"
+        val back = s.read.schema(schema)
+          .option("header", "true").option("escape", "\"").option("multiLine", "true")
+          .csv(out)
+        back.join(src, "doc_id")
+          .select(col("doc_id"),
+            (col("f_comma") === col("e_comma")).as("ok_comma"),
+            (col("f_quote") === col("e_quote")).as("ok_quote"),
+            (col("f_newline") === col("e_newline")).as("ok_newline"),
+            length(col("f_newline")).cast("long").as("len_newline"))
+          .orderBy("doc_id")
+      })
+  }
+
+  /** Small-file compaction planning (the k-family's lakehouse op): pack
+    * each table partition's files into ~128 MiB target bins by
+    * NEXT-FIT-DECREASING — size-desc order, running fill, new bin on
+    * overflow — via the SAME exact stateful scan as w4/x7/p17
+    * (`Chunking.chunkIdExact`, one flatMapGroups stream per partition,
+    * fully distributed on the partition key; a compactor never needs
+    * cross-partition bins). Oversized files (fixture plants sizes up to
+    * 200 MiB) overflow into bins of their own rather than blocking the
+    * stream. The oracle replays the scan as a recursive CTE (the p17
+    * convention). At 100 TB this IS the maintenance pass that keeps scan
+    * parallelism healthy: the plan is one partitioned window + one
+    * per-partition linear scan, never a global sort. */
+  val k5Compaction = Q("k5_compaction_plan",
+    Some("""WITH RECURSIVE f AS (SELECT coalesce(source, '') AS part, doc_id AS file_id,
+              CAST((doc_id * 37) % 200 + 1 AS BIGINT) * 1048576 AS size_bytes
+            FROM documents),
+            base AS (SELECT part, file_id, size_bytes,
+                row_number() OVER (PARTITION BY part ORDER BY size_bytes DESC, file_id) AS rn
+              FROM f),
+            scan AS (
+              SELECT part, rn, file_id, size_bytes,
+                CASE WHEN size_bytes > 134217728 THEN 1 ELSE 0 END AS bin,
+                size_bytes AS run
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.part, b.rn, b.file_id, b.size_bytes,
+                s.bin + CASE WHEN s.run + b.size_bytes > 134217728 THEN 1 ELSE 0 END,
+                CASE WHEN s.run + b.size_bytes > 134217728 THEN b.size_bytes
+                     ELSE s.run + b.size_bytes END
+              FROM scan s JOIN base b ON b.part = s.part AND b.rn = s.rn + 1)
+            SELECT part, file_id, size_bytes, CAST(bin AS BIGINT) AS bin_id
+            FROM scan ORDER BY part, bin_id, file_id"""),
+    (s, d) => {
+      val f = documents(s, d).select(coalesce(col("source"), lit("")).as("part"),
+        col("doc_id").as("file_id"),
+        (((col("doc_id") * 37) % 200) + 1).cast("long").*(lit(1048576L)).as("size_bytes"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
+        .orderBy(col("size_bytes").desc, col("file_id"))
+      val ranked = f.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("brk", lit(false))
+      val packed = graft.ops.Chunking.chunkIdExact(ranked, "part", "rn", "size_bytes",
+        "brk", maxChars = 134217728L)
+        .select(col("part"), col("rn"), col("chunk_id").as("bin_id"))
+      ranked.join(packed, Seq("part", "rn"))
+        .select(col("part"), col("file_id"), col("size_bytes"), col("bin_id"))
+        .orderBy("part", "bin_id", "file_id")
+    })
+
   /** Sitemap ingestion — the DISCOVERY half of the crawl frontier (rob1
     * gates fetches, sitemaps seed them): sitemaps.org XML parsed to
     * (loc, lastmod, priority) per URL, absent optional fields → null
@@ -2478,10 +2582,10 @@ object MiscQueries extends QuerySet {
   }
 
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
-    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, u1Union3,
+    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }
