@@ -357,6 +357,64 @@ object Image {
   }
 
   // ---------------------------------------------------------------------
+  /** EXIF orientation (tag 0x0112) from a JPEG payload — the one EXIF
+    * field an image-training pipeline MUST read before any pixel work
+    * (a dHash of an un-rotated portrait is a different fingerprint than
+    * its rotated twin). Bounded JPEG marker walk to APP1/"Exif\0\0",
+    * then a TIFF IFD scan honoring the header's own endianness (the m6
+    * lesson: endianness is data). Returns 1..8; None on garbage,
+    * truncation, missing APP1, non-TIFF payloads, out-of-range values —
+    * fail-to-None, never garbage. O(markers + entries) header reads. */
+  def exifOrientation(bytes: Array[Byte], maxHops: Int = 12): Option[Int] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var off = 2
+    var hops = 0
+    while (off + 4 <= bytes.length && hops < maxHops) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) return None // EOI/SOS: no APP1 ahead
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > bytes.length) return None
+      if (m == 0xe1 && len >= 10 &&
+          bytes(off + 4) == 'E' && bytes(off + 5) == 'x' && bytes(off + 6) == 'i' &&
+          bytes(off + 7) == 'f' && bytes(off + 8) == 0 && bytes(off + 9) == 0)
+        return tiffOrientation(bytes, off + 10, off + 2 + len)
+      off += 2 + len
+      hops += 1
+    }
+    None
+  }
+
+  private def tiffOrientation(b: Array[Byte], base: Int, end: Int): Option[Int] = {
+    if (base + 8 > end || end > b.length) return None
+    val le = b(base) == 'I' && b(base + 1) == 'I'
+    val be = b(base) == 'M' && b(base + 1) == 'M'
+    if (!le && !be) return None
+    def u16(p: Int): Int =
+      if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (le) (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+      else ((u16(p) & 0xffffL) << 16) | (u16(p + 2) & 0xffffL)
+    if (u16(base + 2) != 42) return None
+    val ifdOff = u32(base + 4)
+    if (ifdOff < 0 || base + ifdOff + 2 > end) return None
+    val ifd = base + ifdOff.toInt
+    val n = u16(ifd)
+    var i = 0
+    while (i < math.min(n, 16)) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > end) return None
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) {
+        val v = u16(e + 8) // SHORT, left-justified in the value field
+        return if (v >= 1 && v <= 8) Some(v) else None
+      }
+      i += 1
+    }
+    None
+  }
+
   // Spark stages (the documented row-wise codec seam, like Warc.gunzipStage).
 
   /** Append decode stats (null struct on any malformation): the
@@ -380,6 +438,14 @@ object Image {
           org.apache.spark.sql.Row(img.width, img.height, img.colorType, img.channels,
             sum, g((img.height / 2) * img.width + img.width / 2))
       }))
+  }
+
+  /** Append the EXIF orientation (1..8, null on any malformation) — the
+    * rotation-normalization input of the image pipeline. */
+  def exifStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    Stages.appendFields(df, Seq(StructField(outCol, IntegerType)))( r =>
+      Seq(exifOrientation(r.getAs[Array[Byte]](idx)).map(Integer.valueOf).orNull))
   }
 
   /** Append the 64-bit dHash bit string (null when the payload doesn't

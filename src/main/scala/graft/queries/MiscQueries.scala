@@ -992,6 +992,66 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Pivot → unpivot round trip (the relational reshape surface):
+    * per-source language counts widen through Spark's pivot (explicit
+    * value list — an inferred list would be a second corpus pass AND
+    * nondeterministic column order) and melt back through unpivot,
+    * zeros filled — the wide detour must be lossless. The oracle builds
+    * the same long table from a srcs×langs frame directly; absent
+    * combinations must surface as 0, not vanish. */
+  val a16Unpivot = Q("a16_pivot_unpivot",
+    Some("""WITH langs AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            cnt AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY source, lang)
+            SELECT s.source, l.lang, coalesce(cnt.n, 0) AS n
+            FROM srcs s CROSS JOIN langs l
+            LEFT JOIN cnt ON cnt.source = s.source AND cnt.lang = l.lang
+            ORDER BY s.source, l.lang"""),
+    (s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = documents(s, d).groupBy("source").pivot("lang", langs).count()
+        .na.fill(0L, langs)
+      wide.unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
+        .select(col("source"), col("lang"), col("n"))
+        .orderBy("source", "lang")
+    })
+
+  /** Schema-evolution read (the S-family's long-lived-dataset reality):
+    * batch 1 wrote (doc_id, text_len); batch 2 later added (lang,
+    * quality). `mergeSchema` reconciles by NAME — old rows surface the
+    * new columns as NULL, nothing rewrites — which is how a 100 TB
+    * corpus absorbs schema growth without a backfill. The oracle reads
+    * the SAME two parquet directories with DuckDB's independent
+    * union_by_name reader, so the merge semantics are pinned
+    * cross-implementation (the s10 discipline for parquet). */
+  val s11SchemaEvolution: Q = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+    Q("s11_schema_evolution",
+      Some(s"""WITH c AS (SELECT * FROM read_parquet(
+                ['$out/b1/*.parquet', '$out/b2/*.parquet'], union_by_name=true))
+            SELECT doc_id, text_len, lang, quality,
+              lang IS NULL AS from_batch1
+            FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("text_len"),
+          coalesce(col("lang"), lit("xx")).as("lang_v"),
+          ((col("doc_id") % 100).cast("double") / 100.0).as("quality_v"))
+        base.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text_len")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b1")
+        base.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text_len"),
+            col("lang_v").as("lang"), col("quality_v").as("quality"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+          .select(col("doc_id"), col("text_len"), col("lang"), col("quality"),
+            col("lang").isNull.as("from_batch1"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** CSV source round-trip (the S-family's delimited-text format, next
     * to S4's JSON): fields with embedded commas, quotes, and NEWLINES
     * are written by Spark's CSV writer configured RFC 4180 (escape =
@@ -1293,6 +1353,46 @@ object MiscQueries extends QuerySet {
     * bounded-key shuffles, fully codegen'd (a nested filter-in-aggregate
     * HOF benched 4.4 s vs 1.5 s for this shape — the lcs_len lesson);
     * the oracle keeps the per-row fold, which IS the semantics spec. */
+  /** pass@k (Chen et al. 2021, Codex) — the unbiased code-eval
+    * estimator: with n samples and c correct, pass@k = 1 − C(n−c,k)/C(n,k),
+    * computed as the numerically-stable ordered product
+    * Π_{j<k}(n−c−j)/(n−j) (never a factorial). The c=0 → 0 and
+    * n−c<k → 1 edges are explicit branches (the product would walk
+    * through negative factors otherwise); the fold is fixed-order so
+    * both engines produce the identical double. Per-doc c varies 0..10
+    * by arithmetic, k ∈ {1, 5, 10} explodes map-only. */
+  val ev7PassAtK: Q = {
+    val n = 10
+    val ks = Seq(1, 5, 10)
+    def prodSql(k: Int) =
+      s"""list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(range(0, $k, 1),
+            j -> (CAST($n - c - j AS DOUBLE)) / (CAST($n - j AS DOUBLE)))), (acc, x) -> acc * x)"""
+    val rowsSql = ks.map(k =>
+      s"""SELECT doc_id, c, CAST($k AS INT) AS k,
+            CASE WHEN c = 0 THEN 0.0 WHEN $n - c < $k THEN 1.0
+                 ELSE round(1.0 - ${prodSql(k)}, 6) END AS pass_at_k
+          FROM t""").mkString("\n            UNION ALL\n            ")
+    Q("ev7_pass_at_k",
+      Some(s"""WITH t AS (SELECT doc_id, CAST(doc_id % 11 AS INT) AS c FROM documents)
+            SELECT doc_id, CAST($n AS INT) AS n, c, k, pass_at_k FROM (
+            $rowsSql) ORDER BY doc_id, k"""),
+      (s, d) => {
+        val c = (col("doc_id") % 11).cast("int")
+        def prodCol(k: Int) = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+          (acc, j) => acc * ((lit(n) - col("c") - j).cast("double") / (lit(n) - j).cast("double")))
+        val base = documents(s, d).select(col("doc_id"), c.as("c"))
+        val withK = base.select(col("doc_id"), col("c"),
+          explode(array(ks.map(k => lit(k)): _*)).as("k"))
+        withK.select(col("doc_id"), lit(n).cast("int").as("n"), col("c"), col("k"),
+            ks.foldLeft(lit(null).cast("double")) { (acc, k) =>
+              when(col("k") === k,
+                when(col("c") === 0, 0.0).when(lit(n) - col("c") < k, 1.0)
+                  .otherwise(round(lit(1.0) - prodCol(k), 6))).otherwise(acc)
+            }.as("pass_at_k"))
+          .orderBy("doc_id", "k")
+      })
+  }
+
   val ev6QaF1: Q = Q("ev6_qa_token_f1",
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS gold FROM documents),
             c AS (SELECT doc_id, gold,
@@ -2582,10 +2682,10 @@ object MiscQueries extends QuerySet {
   }
 
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
-    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, u1Union3,
+    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, a16Unpivot, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }

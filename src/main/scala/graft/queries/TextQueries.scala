@@ -1127,20 +1127,31 @@ object TextQueries extends QuerySet {
             FROM v ORDER BY doc_id"""),
       (s, d) => {
         import graft.ops.Pii
-        val bban = concat(
+        // bind every intermediate to an ATTRIBUTE before the next fold:
+        // mod97 over an inline ibanDigits(...) re-inlines the
+        // regexp+digitize subtree into all ~34 fold steps (76 s/bench at
+        // sf0.1 before binding — the m5/ev6 re-inlining lesson)
+        val withBban = documents(s, d).withColumn("bban", concat(
           lpad(((col("doc_id") * 31) % 1000000).cast("string"), 6, "0"),
           lpad(((col("doc_id") * 77) % 1000000).cast("string"), 6, "0"),
-          lpad((col("doc_id") % 1000000).cast("string"), 6, "0"))
-        val cc = Pii.ibanCheckDigits(lit("DE"), bban)
+          lpad((col("doc_id") % 1000000).cast("string"), 6, "0")))
+        val bban = col("bban")
+        // ibanCheckDigits nests digitize inside the mod-97 fold; binding
+        // the digit string first keeps every fold step O(1)
+        val withCc = withBban
+          .withColumn("dg0", Pii.ibanDigits(concat(lit("DE00"), bban)))
+          .withColumn("cc",
+            lpad((lit(98) - Pii.mod97(col("dg0"))).cast("string"), 2, "0"))
         val bbanOut = when(col("doc_id") % 4 === 0,
             concat(((bban.substr(1, 1).cast("int") + 1) % 10).cast("string"), bban.substr(2, 17)))
           .otherwise(bban)
-        val t = concat(lit("pay to "), concat(lit("DE"), cc, bbanOut), lit(" ref AB12SHORT end"))
-        documents(s, d)
+        val t = concat(lit("pay to "), concat(lit("DE"), col("cc"), bbanOut), lit(" ref AB12SHORT end"))
+        withCc
           .withColumn("cs", Pii.ibanCandidates(t))
+          .withColumn("iban", element_at(col("cs"), 1))
+          .withColumn("dg", Pii.ibanDigits(col("iban")))
           .select(col("doc_id"), size(col("cs")).cast("long").as("n_candidates"),
-            element_at(col("cs"), 1).as("iban"),
-            Pii.ibanValid(element_at(col("cs"), 1)).as("iban_valid"))
+            col("iban"), (Pii.mod97(col("dg")) === 1).as("iban_valid"))
           .orderBy("doc_id")
       })
   }

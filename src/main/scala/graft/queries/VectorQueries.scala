@@ -2013,6 +2013,51 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** EXIF orientation decode (the m2/m5/m8 header-walk family, applied
+    * to the one EXIF field pixel pipelines MUST honor): JPEG marker walk
+    * to APP1/"Exif\0\0", then a TIFF IFD scan whose ENDIANNESS comes
+    * from the payload itself — every 5th doc stores the TIFF big-endian
+    * (MM), every 4th hides APP1 behind an APP0/JFIF segment, a leading
+    * ImageDescription entry must be scanned past, and every 9th is
+    * garbage → NULL. The oracle knows only doc_id % 8 + 1; a byte-order
+    * slip, a wrong IFD offset base, or a value-field misread
+    * hash-fails. */
+  val m11ExifOrientation = Q("m11_exif_orientation",
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      def be16hex(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+      def le16hex(v: org.apache.spark.sql.Column) = {
+        val bx = lpad(hex(v), 4, "0")
+        concat(substring(bx, 3, 2), substring(bx, 1, 2))
+      }
+      val v = col("doc_id") % 8 + 1
+      val isMM = col("doc_id") % 5 === 0
+      // II TIFF: header(8) + count(2) + 2 entries(24) + next-ifd(4) = 38 bytes
+      val tiffII = concat(lit("49492A0008000000"), lit("0200"),
+        lit("0E01"), lit("0200"), lit("04000000"), lit("64657363"), // ImageDescription "desc"
+        lit("1201"), lit("0300"), lit("01000000"), le16hex(v), lit("0000"),
+        lit("00000000"))
+      val tiffMM = concat(lit("4D4D002A00000008"), lit("0002"),
+        lit("010E"), lit("0002"), lit("00000004"), lit("64657363"),
+        lit("0112"), lit("0003"), lit("00000001"), be16hex(v), lit("0000"),
+        lit("00000000"))
+      val tiff = when(isMM, tiffMM).otherwise(tiffII)
+      // APP1: marker(2) + len(2, includes itself) + 'Exif\0\0'(6) + tiff(38) → len 46
+      val app1 = concat(lit("FFE1002E"), lit("457869660000"), tiff)
+      val jfif = concat(lit("FFE00010"), lit("4A46494600"),
+        expr("repeat('00', 9)")) // len 16: 'JFIF\0' + 9 zero bytes
+      val payloadHex = concat(lit("FFD8"),
+        when(col("doc_id") % 4 === 0, jfif).otherwise(lit("")), app1)
+      val payload = when(col("doc_id") % 9 === 0, unhex(lit("BADC0FFE")))
+        .otherwise(unhex(payloadHex))
+      val base = documents(s, d).select(col("doc_id")).withColumn("payload", payload)
+      graft.ops.Image.exifStage(base, "payload", "orientation")
+        .select(col("doc_id"), col("orientation"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -2022,5 +2067,5 @@ object VectorQueries extends QuerySet {
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
-    m10GifDecode, v11MaxSim)
+    m10GifDecode, v11MaxSim, m11ExifOrientation)
 }

@@ -529,7 +529,44 @@ object WindowQueries extends QuerySet {
         .orderBy("user_id")
     })
 
+  /** W12: cohort retention — the day-offset activity matrix product
+    * analytics reads next to w11's funnel: users cohorted by first-event
+    * date, retention(cohort, d) = share of the cohort active d days
+    * later. Everything is aggregates and equi-joins on (user, date) /
+    * (cohort, offset) keys — no windows, map-side combinable; retention
+    * divides two exact integer counts with the same tree both engines
+    * (every user is active at offset 0 by construction, so the
+    * denominator row always exists). */
+  val w12Cohort = Q("w12_cohort_retention",
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+            first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+            act AS (SELECT DISTINCT f.cohort, date_diff('day', f.cohort, e.day) AS day_offset, e.user_id
+              FROM e JOIN first f USING (user_id)),
+            m AS (SELECT cohort, day_offset, CAST(count(*) AS BIGINT) AS n_users
+              FROM act GROUP BY cohort, day_offset),
+            sz AS (SELECT cohort, n_users AS cohort_size FROM m WHERE day_offset = 0)
+            SELECT m.cohort AS cohort_date, CAST(m.day_offset AS INT) AS day_offset,
+              m.n_users, sz.cohort_size,
+              round(CAST(m.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+            FROM m JOIN sz ON sz.cohort = m.cohort
+            ORDER BY cohort_date, day_offset"""),
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      val act = e.join(first, "user_id")
+        .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"), col("user_id"))
+        .distinct()
+      val m = act.groupBy("cohort", "day_offset").agg(count(lit(1)).as("n_users"))
+      val sz = m.filter(col("day_offset") === 0)
+        .select(col("cohort"), col("n_users").as("cohort_size"))
+      m.join(sz, "cohort")
+        .select(col("cohort").as("cohort_date"), col("day_offset").cast("int").as("day_offset"),
+          col("n_users"), col("cohort_size"),
+          round(col("n_users").cast("double") / col("cohort_size").cast("double"), 6).as("retention"))
+        .orderBy("cohort_date", "day_offset")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
     w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
-    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel)
+    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel, w12Cohort)
 }

@@ -470,6 +470,39 @@ class Round7Spec extends SparkSpec {
     assert(graft.ops.Gif.decodeGif("GIF89a".getBytes).isEmpty)
   }
 
+  test("Image.exifOrientation: both endians, APP0-shadowed APP1, fail-to-None edges") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    def tiffLE(orient: Int): Array[Byte] =
+      "II".getBytes ++ Array[Byte](42, 0, 8, 0, 0, 0) ++ // magic + ifd@8
+        Array[Byte](1, 0) ++ // one entry
+        Array[Byte](0x12, 0x01, 3, 0, 1, 0, 0, 0, orient.toByte, 0, 0, 0)
+    def tiffBE(orient: Int): Array[Byte] =
+      "MM".getBytes ++ Array[Byte](0, 42, 0, 0, 0, 8) ++
+        Array[Byte](0, 1) ++
+        Array[Byte](0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, orient.toByte, 0, 0)
+    def exifApp1(tiff: Array[Byte]): Array[Byte] =
+      seg(0xe1, "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val E = graft.ops.Image
+    assert(E.exifOrientation(soi ++ exifApp1(tiffLE(6))).contains(6))
+    assert(E.exifOrientation(soi ++ exifApp1(tiffBE(8))).contains(8))
+    // APP0/JFIF before APP1: the walk must hop over it
+    val jfif = seg(0xe0, "JFIF".getBytes ++ new Array[Byte](9))
+    assert(E.exifOrientation(soi ++ jfif ++ exifApp1(tiffLE(3))).contains(3))
+    assert(E.exifOrientation(null).isEmpty)
+    assert(E.exifOrientation("nope".getBytes).isEmpty)
+    assert(E.exifOrientation(soi ++ jfif).isEmpty) // no APP1 at all
+    assert(E.exifOrientation(soi ++ exifApp1(tiffLE(9))).isEmpty) // out of range
+    // orientation value 0 and truncated TIFF both quarantine
+    assert(E.exifOrientation(soi ++ exifApp1(tiffLE(0))).isEmpty)
+    assert(E.exifOrientation(soi ++ exifApp1(tiffBE(5).take(10))).isEmpty)
+    val full = soi ++ jfif ++ exifApp1(tiffBE(7))
+    for (cut <- 0 until full.length)
+      E.exifOrientation(java.util.Arrays.copyOf(full, cut)) // never throws
+  }
+
   test("Curation.neymanSample: variance-proportional seats, exact budget") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
