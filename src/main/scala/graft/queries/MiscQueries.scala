@@ -1353,6 +1353,72 @@ object MiscQueries extends QuerySet {
     * bounded-key shuffles, fully codegen'd (a nested filter-in-aggregate
     * HOF benched 4.4 s vs 1.5 s for this shape — the lcs_len lesson);
     * the oracle keeps the per-row fold, which IS the semantics spec. */
+  /** Bootstrap confidence interval via the POISSON bootstrap (Chamandy
+    * et al. 2012 — the resampling that scales: each doc's per-replicate
+    * multiplicity is drawn as Poisson(1) from a seedless md5 uniform, so
+    * no index table, no resampling shuffle, map-only fan-out of B
+    * weights per row). Replicate statistics are exact-integer weighted
+    * sums divided once; the 95% CI is the 2nd/49th order statistic of
+    * the B=50 replicate stats, ranked by a count-join on the 50-row
+    * frame (never a global window). Every eval number this engine emits
+    * can carry an uncertainty band this way — deterministic, engine-
+    * portable, rerun-stable. */
+  val ev8BootstrapCi: Q = {
+    val B = 50
+    Q("ev8_bootstrap_ci",
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len(${OracleSql.toksSql}) AS BIGINT) AS x FROM documents),
+            reps AS (SELECT unnest(range(0, $B, 1)) AS rep),
+            u AS (SELECT rep, doc_id, x,
+                CAST(list_sum(list_transform(range(1, 13), i ->
+                  CAST(strpos('0123456789abcdef', substr(md5(concat(CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), CAST(i AS INT), 1)) - 1 AS BIGINT)
+                    * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS DOUBLE) / 281474976710656.0 AS uu
+              FROM t CROSS JOIN reps),
+            w AS (SELECT rep, x,
+                CASE WHEN uu < 0.3679 THEN 0 WHEN uu < 0.7358 THEN 1 WHEN uu < 0.9197 THEN 2
+                     WHEN uu < 0.981 THEN 3 WHEN uu < 0.9963 THEN 4 ELSE 5 END AS w
+              FROM u),
+            s AS (SELECT rep, round(CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS stat
+              FROM w GROUP BY rep),
+            r AS (SELECT a.rep, a.stat, 1 + count(bb.rep) AS rnk
+              FROM s a LEFT JOIN s bb ON bb.stat < a.stat OR (bb.stat = a.stat AND bb.rep < a.rep)
+              GROUP BY a.rep, a.stat),
+            pe AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_tokens FROM t)
+            SELECT pe.n_docs, pe.mean_tokens,
+              (SELECT stat FROM r WHERE rnk = 2) AS ci_lo,
+              (SELECT stat FROM r WHERE rnk = ${B - 1}) AS ci_hi,
+              CAST($B AS INT) AS n_replicates
+            FROM pe"""),
+      (s, d) => {
+        val t = documents(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("x"))
+        val fan = t.select(col("doc_id"), col("x"),
+          explode(sequence(lit(0), lit(B - 1))).as("rep"))
+        val uu = conv(substring(md5(concat(col("rep").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long").cast("double") / lit(281474976710656.0)
+        val wgt = when(uu < 0.3679, 0).when(uu < 0.7358, 1).when(uu < 0.9197, 2)
+          .when(uu < 0.981, 3).when(uu < 0.9963, 4).otherwise(5)
+        val stats = fan.withColumn("w", wgt)
+          .groupBy("rep")
+          .agg(round(sum(col("w") * col("x")).cast("double")
+            / sum(col("w")).cast("double"), 6).as("stat"))
+          .localCheckpoint() // 50-row frame, feeds both rank sides
+        val ys = stats.select(col("rep").as("y_rep"), col("stat").as("y_stat"))
+        val ranked = stats.join(ys,
+            col("y_stat") < col("stat") ||
+              (col("y_stat") === col("stat") && col("y_rep") < col("rep")), "left")
+          .groupBy(col("rep"), col("stat")).agg((count(col("y_rep")) + 1).as("rnk"))
+        val lo = ranked.filter(col("rnk") === 2).select(col("stat").as("ci_lo"))
+        val hi = ranked.filter(col("rnk") === B - 1).select(col("stat").as("ci_hi"))
+        val pe = t.agg(count(lit(1)).as("n_docs"),
+          round(sum("x").cast("double") / count(lit(1)), 6).as("mean_tokens"))
+        pe.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("n_docs"), col("mean_tokens"), col("ci_lo"), col("ci_hi"),
+            lit(B).cast("int").as("n_replicates"))
+      })
+  }
+
   /** pass@k (Chen et al. 2021, Codex) — the unbiased code-eval
     * estimator: with n samples and c correct, pass@k = 1 − C(n−c,k)/C(n,k),
     * computed as the numerically-stable ordered product
@@ -2685,7 +2751,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, a16Unpivot, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }
