@@ -618,6 +618,23 @@ class Round7Spec extends SparkSpec {
     assert(a == b && a.sampleRate == 44100)
   }
 
+  test("Audio.decodeWavPcm: truncation and random-byte fuzz never throws") {
+    val w = wav(fmtChunk(2, 22050, 16), data16(5, -5, 300, -300, 0, 7))
+    for (cut <- 0 to w.length)
+      graft.ops.Audio.decodeWavPcm(java.util.Arrays.copyOf(w, cut)) // must not throw
+    val rnd = new scala.util.Random(20260814)
+    for (_ <- 1 to 300) {
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      graft.ops.Audio.decodeWavPcm(b)
+      if (b.length >= 12) { // valid RIFF/WAVE leader grafted onto noise
+        System.arraycopy("RIFF".getBytes, 0, b, 0, 4)
+        System.arraycopy("WAVE".getBytes, 0, b, 8, 4)
+        graft.ops.Audio.decodeWavPcm(b)
+      }
+    }
+  }
+
   test("Audio.decodeWavPcm: fail-to-None edges") {
     val A = graft.ops.Audio
     assert(A.decodeWavPcm(null).isEmpty)
