@@ -1676,6 +1676,114 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Population-stability-index drift detection — the production
+    * monitoring gate between a reference corpus snapshot and the current
+    * one (doc_id parity stands in for the two snapshots): doc lengths
+    * band into 10 fixed 60-char buckets + overflow, shares are
+    * Laplace-smoothed ((n+1)/(N+B) — ln(0) can't occur), and each
+    * bucket contributes (p−q)·ln(p/q). The conventional read: PSI < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted. One map-only banding +
+    * one tiny aggregate — runs at scan bandwidth at any corpus size. */
+  val x33PsiDrift: Q = {
+    val B = 11 // 10 width-60 bands + overflow
+    Q("x33_psi_drift",
+      Some(s"""WITH b AS (SELECT doc_id % 2 AS half,
+              least(length(coalesce(text, '')) // 60, 10) AS bucket
+            FROM documents),
+            cnt AS (SELECT bucket,
+                CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+              FROM b GROUP BY bucket),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cnt),
+            buckets AS (SELECT unnest(range(0, $B, 1)) AS bucket),
+            p AS (SELECT bk.bucket,
+                coalesce(cnt.n_ref, 0) AS n_ref, coalesce(cnt.n_cur, 0) AS n_cur,
+                (CAST(coalesce(cnt.n_ref, 0) AS DOUBLE) + 1.0) / (CAST(t_ref AS DOUBLE) + $B.0) AS p,
+                (CAST(coalesce(cnt.n_cur, 0) AS DOUBLE) + 1.0) / (CAST(t_cur AS DOUBLE) + $B.0) AS q
+              FROM buckets bk LEFT JOIN cnt ON cnt.bucket = bk.bucket CROSS JOIN tot)
+            SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
+              round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+              round((p - q) * ln(p / q), 6) AS psi_term
+            FROM p ORDER BY bucket"""),
+      (s, d) => {
+        val bucket = least(call_function("div",
+          length(coalesce(col("text"), lit(""))).cast("long"), lit(60L)), lit(10L))
+        val b = documents(s, d).select((col("doc_id") % 2).as("half"), bucket.as("bucket"))
+        val cnt = b.groupBy("bucket").agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+        val tot = cnt.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+        val buckets = s.range(0, B).select(col("id").as("bucket"))
+        val p = (coalesce(col("n_ref"), lit(0L)).cast("double") + 1.0) /
+          (col("t_ref").cast("double") + lit(B.toDouble))
+        val q = (coalesce(col("n_cur"), lit(0L)).cast("double") + 1.0) /
+          (col("t_cur").cast("double") + lit(B.toDouble))
+        buckets.join(cnt, Seq("bucket"), "left").crossJoin(broadcast(tot))
+          .select(col("bucket").cast("int").as("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+            round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
+            round((p - q) * log(p / q), 6).as("psi_term"))
+          .orderBy("bucket")
+      })
+  }
+
+  /** MinHash-LSH parameter planning — the S-curve engineering the d2
+    * chain's (bands, rows) constants come from: for a hash budget H,
+    * every divisor split (b, r) has capture probability
+    * p(s) = 1 − (1 − s^r)^b and implied threshold (1/b)^(1/r); the
+    * planner picks the split whose implied threshold sits closest to
+    * the target (ties → more bands, i.e. recall over precision). Pure
+    * closed-form arithmetic — identical expression trees both engines —
+    * but the decision is exactly what configures a 100 TB dedup run. */
+  val d19LshTuning: Q = {
+    val H = 24
+    val target = 0.8
+    val splits = Seq((1, 24), (2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2), (24, 1))
+    val sims = Seq(0.5, 0.7, 0.8, 0.9)
+    def pSql(b: Int, r: Int, s: String) = s"1.0 - power(1.0 - power($s, $r.0), $b.0)"
+    val rowsSql = splits.map { case (b, r) =>
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+            round(power(1.0 / $b.0, 1.0 / $r.0), 6) AS implied_threshold,
+            ${sims.zipWithIndex.map { case (sv, i) =>
+              s"round(${pSql(b, r, s"$sv")}, 6) AS p_at_${(sv * 100).toInt}" }.mkString(", ")},
+            abs(power(1.0 / $b.0, 1.0 / $r.0) - $target) AS dist"""
+    }.mkString("\n            UNION ALL\n            ")
+    Q("d19_lsh_tuning",
+      Some(s"""WITH cand AS (
+            $rowsSql),
+            best AS (SELECT min(dist) AS md FROM cand)
+            SELECT bands, rows_per_band, implied_threshold,
+              ${sims.map(sv => s"p_at_${(sv * 100).toInt}").mkString(", ")},
+              dist = md AND bands = (SELECT max(bands) FROM cand c2, best b2 WHERE c2.dist = b2.md) AS chosen
+            FROM cand CROSS JOIN best ORDER BY bands"""),
+      (s, d) => {
+        val cand = splits.map { case (b, r) =>
+          val thr = math.pow(1.0 / b, 1.0 / r)
+          (b, r, thr)
+        }
+        val rows = cand.map { case (b, r, thr) =>
+          val cols = Seq(lit(b).cast("int").as("bands"), lit(r).cast("int").as("rows_per_band"),
+            round(pow(lit(1.0) / b, lit(1.0) / r), 6).as("implied_threshold")) ++
+            sims.map(sv => round(lit(1.0) - pow(lit(1.0) - pow(lit(sv), r.toDouble), b.toDouble), 6)
+              .as(s"p_at_${(sv * 100).toInt}"))
+          s.range(1).select(cols: _*)
+        }.reduce(_ union _)
+          .withColumn("dist", abs(pow(lit(1.0) / col("bands").cast("double"),
+            lit(1.0) / col("rows_per_band").cast("double")) - target))
+        val best = rows.agg(min("dist").as("md"))
+        val bestBands = rows.crossJoin(broadcast(best)).filter(col("dist") === col("md"))
+          .agg(max("bands").as("mb"))
+        val outCols = Seq(col("bands"), col("rows_per_band"), col("implied_threshold")) ++
+          sims.map(sv => col(s"p_at_${(sv * 100).toInt}")) :+
+          (col("dist") === col("md") && col("bands") === col("mb")).as("chosen")
+        rows.crossJoin(broadcast(best)).crossJoin(broadcast(bestBands))
+          .select(outCols: _*)
+          .orderBy("bands")
+      })
+  }
+
   /** Neyman-optimal stratified sampling — the survey-sampling allocator
     * (n_h ∝ N_h·σ_h) that oversamples high-variance strata, the right
     * way to spend an eval-set budget over a heterogeneous corpus (x6's
@@ -2378,7 +2486,7 @@ object TextQueries extends QuerySet {
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty, ask5Attribution,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, tok6WordPiece, cdc1Chunks, cdc2ChunkDedup,
-    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x9Bigram,
+    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x33PsiDrift, d19LshTuning, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist)

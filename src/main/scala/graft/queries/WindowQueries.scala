@@ -566,7 +566,47 @@ object WindowQueries extends QuerySet {
         .orderBy("cohort_date", "day_offset")
     })
 
+  /** W13: OHLC bar aggregation — 6-hour bars per user with open/close
+    * picked by an exact integer composite event key ((µs since
+    * 2024-01-01) · 10⁵ + event_id — struct-ordered min/max in Spark, the
+    * same scalar key in the oracle's min_by/max_by, chosen because a
+    * raw epoch-µs × 10⁵ composite would overflow int64). High/low are
+    * plain min/max; the mean divides a DECIMAL(25,6)-exact sum once.
+    * ONE map-side-combined aggregate on (user, bar) — the telemetry
+    * downsampling shape at any event volume; no windows, no sort. */
+  val w13Ohlc = Q("w13_ohlc_bars",
+    Some("""WITH e AS (SELECT user_id, value,
+              epoch_us(ts) // 21600000000 AS bar,
+              (epoch_us(ts) - 1704067200000000) * 100000 + event_id AS k
+            FROM events)
+            SELECT user_id, CAST(bar * 21600000000 AS BIGINT) AS bar_start_us,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min_by(value, k) AS open, max(value) AS high,
+              min(value) AS low, max_by(value, k) AS close,
+              round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_value
+            FROM e GROUP BY user_id, bar
+            ORDER BY user_id, bar_start_us"""),
+    (s, d) => {
+      val us = unix_micros(col("ts"))
+      val k = (us - 1704067200000000L) * 100000L + col("event_id")
+      events(s, d)
+        .select(col("user_id"), col("value"),
+          // integral `div`, not `/` (long / long is DOUBLE division in
+          // Spark; floor-of-double is only exact below 2^53 — m4 lesson)
+          call_function("div", us, lit(21600000000L)).as("bar"), k.as("k"))
+        .groupBy("user_id", "bar")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("k"), col("value"))).getField("value").as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(struct(col("k"), col("value"))).getField("value").as("close"),
+          round(sum(col("value").cast("decimal(25,6)")).cast("double") / count(lit(1)), 6)
+            .as("mean_value"))
+        .select(col("user_id"), (col("bar") * 21600000000L).cast("long").as("bar_start_us"),
+          col("n_events"), col("open"), col("high"), col("low"), col("close"), col("mean_value"))
+        .orderBy("user_id", "bar_start_us")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
     w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
-    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel, w12Cohort)
+    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel, w12Cohort, w13Ohlc)
 }
