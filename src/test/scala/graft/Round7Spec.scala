@@ -470,6 +470,37 @@ class Round7Spec extends SparkSpec {
     assert(graft.ops.Gif.decodeGif("GIF89a".getBytes).isEmpty)
   }
 
+  test("round-7b queries: semantic invariants on the real code paths at sf0.001") {
+    import org.apache.spark.sql.functions._
+    // w13: bars are well-formed — low <= open/close <= high, n >= 1
+    val bars = graft.queries.WindowQueries.w13Ohlc.fn(spark, sf)
+    assert(bars.filter(col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close") ||
+      col("n_events") < 1).isEmpty)
+    // w11: a reached level implies its timestamps exist, in funnel order
+    val fun = graft.queries.WindowQueries.w11Funnel.fn(spark, sf)
+    assert(fun.filter(
+      (col("reached") >= 1 && col("t_view_us").isNull) ||
+      (col("reached") >= 2 && (col("t_click_us").isNull || col("t_click_us") < col("t_view_us"))) ||
+      (col("reached") === 3 && (col("t_purchase_us").isNull || col("t_purchase_us") < col("t_click_us")))).isEmpty)
+    // ask5: attribution flag consistent, F1 in [0, 1]
+    val att = graft.queries.TextQueries.ask5Attribution.fn(spark, sf)
+    assert(att.filter(col("attributed") =!= (col("best_idx") === col("target_idx")) ||
+      col("best_f1") < 0 || col("best_f1") > 1).isEmpty)
+    // x32: every stratum's draw fills its seats and seats sum to the budget
+    val ney = graft.queries.TextQueries.x32Neyman.fn(spark, sf)
+    val perStratum = ney.groupBy("stratum").agg(first("alloc").as("a"), count(lit(1)).as("got"))
+    assert(perStratum.filter(col("a") =!= col("got")).isEmpty)
+    assert(perStratum.agg(sum("a")).collect().head.getLong(0) == 100L)
+    // ev8: the band is ordered and brackets plausibly
+    val ci = graft.queries.MiscQueries.ev8BootstrapCi.fn(spark, sf).collect().head
+    assert(ci.getDouble(2) <= ci.getDouble(3), s"ci_lo > ci_hi: $ci")
+    // x33: PSI terms are finite and each bucket's shares are probabilities
+    val psi = graft.queries.TextQueries.x33PsiDrift.fn(spark, sf)
+    assert(psi.filter(col("p_ref") <= 0 || col("p_ref") >= 1 ||
+      col("p_cur") <= 0 || col("p_cur") >= 1 || isnan(col("psi_term"))).isEmpty)
+  }
+
   test("Image.exifOrientation: both endians, APP0-shadowed APP1, fail-to-None edges") {
     def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
       Array(0xff.toByte, marker.toByte,
