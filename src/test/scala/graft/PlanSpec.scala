@@ -340,4 +340,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "sketch/merge/estimate compose from scans, windows and equi-joins only")
   }
+
+  test("w11 funnel and w13 bars are window-FREE: min/max-struct aggregates only") {
+    // the scale claim both queries make: step matching / open-close picks
+    // happen in reduction-order-free aggregates, never a WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasWindow(p: SparkPlan): Boolean = p match {
+      case _: WindowExec => true
+      case a: AdaptiveSparkPlanExec => hasWindow(a.executedPlan)
+      case s: QueryStageExec => hasWindow(s.plan)
+      case other => other.children.exists(hasWindow)
+    }
+    for (q <- Seq(graft.queries.WindowQueries.w11Funnel, graft.queries.WindowQueries.w13Ohlc)) {
+      val plan = q.fn(spark, sf).queryExecution.executedPlan
+      assert(!hasWindow(plan), s"${q.name} must not plan a WindowExec")
+      val f = formatted(q.fn(spark, sf))
+      assert(!f.contains("CartesianProduct") && !f.contains("BroadcastNestedLoopJoin"))
+      assert(f.contains("partial"), s"${q.name} aggregates must combine map-side")
+    }
+  }
 }
