@@ -1034,10 +1034,13 @@ object MiscQueries extends QuerySet {
               lang IS NULL AS from_batch1
             FROM c ORDER BY doc_id"""),
       (s, d) => {
-        val base = documents(s, d).select(col("doc_id"),
-          length(coalesce(col("text"), lit(""))).cast("long").as("text_len"),
-          coalesce(col("lang"), lit("xx")).as("lang_v"),
-          ((col("doc_id") % 100).cast("double") / 100.0).as("quality_v"))
+        // SF-invariant fixture (range arithmetic, no corpus columns): a
+        // bench rerun at another SF rewrites the fixed tmp dirs with
+        // identical content — the s10 overwrite-hazard rule
+        val base = s.range(0, 500).select(col("id").as("doc_id"),
+          ((col("id") * 37) % 1000 + 20).cast("long").as("text_len"),
+          concat(lit("l"), (col("id") % 5).cast("string")).as("lang_v"),
+          ((col("id") % 100).cast("double") / 100.0).as("quality_v"))
         base.filter(col("doc_id") % 2 === 0)
           .select("doc_id", "text_len")
           .coalesce(1).write.mode("overwrite").parquet(s"$out/b1")
@@ -1069,11 +1072,11 @@ object MiscQueries extends QuerySet {
       Some(s"""WITH c AS (SELECT * FROM read_csv('$out/*.csv', header=true,
               columns={'doc_id': 'BIGINT', 'f_comma': 'VARCHAR',
                        'f_quote': 'VARCHAR', 'f_newline': 'VARCHAR'})),
-            e AS (SELECT doc_id,
-                concat('v,', CAST(doc_id AS VARCHAR), ',end') AS e_comma,
-                concat('say "', substr(coalesce(text, ''), 1, 20), '" ok') AS e_quote,
-                concat('line1', chr(10), 'line2-', CAST(doc_id AS VARCHAR)) AS e_newline
-              FROM documents)
+            e AS (SELECT CAST(i AS BIGINT) AS doc_id,
+                concat('v,', CAST(i AS VARCHAR), ',end') AS e_comma,
+                concat('say "q', CAST(i * 7 AS VARCHAR), '" ok u', chr(252)) AS e_quote,
+                concat('line1', chr(10), 'line2-', CAST(i AS VARCHAR)) AS e_newline
+              FROM range(0, 500) t(i))
             SELECT c.doc_id,
               c.f_comma = e.e_comma AS ok_comma,
               c.f_quote = e.e_quote AS ok_quote,
@@ -1082,12 +1085,16 @@ object MiscQueries extends QuerySet {
             FROM c JOIN e ON e.doc_id = c.doc_id
             ORDER BY c.doc_id"""),
       (s, d) => {
+        // fixture is SF-INVARIANT by design (pure range arithmetic, no
+        // corpus text): a bench rerun at another SF overwrites the fixed
+        // tmp path with IDENTICAL content, so the driver's later DuckDB
+        // read can never observe a different corpus than Verify wrote
         val idStr = col("doc_id").cast("string")
         def expected = Seq(
           concat(lit("v,"), idStr, lit(",end")).as("e_comma"),
-          concat(lit("say \""), substring(coalesce(col("text"), lit("")), 1, 20), lit("\" ok")).as("e_quote"),
+          concat(lit("say \"q"), (col("doc_id") * 7).cast("string"), lit("\" ok u\u00fc")).as("e_quote"),
           concat(lit("line1\nline2-"), idStr).as("e_newline"))
-        val src = documents(s, d).select(col("doc_id") +: expected: _*)
+        val src = s.range(0, 500).select(col("id").as("doc_id") +: expected: _*)
         src.select(col("doc_id"), col("e_comma").as("f_comma"),
             col("e_quote").as("f_quote"), col("e_newline").as("f_newline"))
           .coalesce(1)
