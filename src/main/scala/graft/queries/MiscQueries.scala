@@ -1360,6 +1360,62 @@ object MiscQueries extends QuerySet {
     * bounded-key shuffles, fully codegen'd (a nested filter-in-aggregate
     * HOF benched 4.4 s vs 1.5 s for this shape — the lcs_len lesson);
     * the oracle keeps the per-row fold, which IS the semantics spec. */
+  /** McNemar's paired test (with Edwards' continuity correction) — the
+    * statistically-correct way to compare two classifiers evaluated on
+    * the SAME examples (unpaired accuracy deltas ignore that the errors
+    * correlate): only the DISCORDANT pairs matter — b = A right/B wrong,
+    * c = A wrong/B right — and χ² = (|b−c|−1)²/(b+c). The two
+    * "classifiers" are the engine's own rule gates (a length band vs a
+    * stopword-hit gate) against an arithmetic ground truth, so both
+    * engines replay every prediction. One map-side-combined aggregate:
+    * four exact counters, one double at the end; χ² > 3.841 rejects at
+    * α = 0.05 with 1 dof. */
+  val ev9McNemar = Q("ev9_mcnemar",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks,
+              length(coalesce(text, '')) AS len FROM documents),
+            p AS (SELECT doc_id,
+                doc_id % 3 = 0 AS y,
+                len >= 200 AND len <= 2000 AS pred_a,
+                len(list_intersect(list_distinct(toks),
+                  ['the', 'be', 'to', 'of', 'and'])) >= 2 AS pred_b
+              FROM t),
+            m AS (SELECT
+                CAST(sum(CASE WHEN (pred_a = y) AND (pred_b = y) THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                CAST(sum(CASE WHEN (pred_a = y) AND (pred_b <> y) THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(sum(CASE WHEN (pred_a <> y) AND (pred_b = y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN (pred_a <> y) AND (pred_b <> y) THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+              FROM p)
+            SELECT both_right, b AS only_a_right, c AS only_b_right, both_wrong,
+              round(CASE WHEN b + c = 0 THEN 0.0
+                ELSE (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                   * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                   / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 6) AS chi2,
+              CASE WHEN b + c = 0 THEN false
+                ELSE (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                   * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                   / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) > 3.841 END AS significant
+            FROM m"""),
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val len = length(coalesce(col("text"), lit("")))
+      val p = documents(s, d).select(
+        (col("doc_id") % 3 === 0).as("y"),
+        (len >= 200 && len <= 2000).as("pred_a"),
+        (size(array_intersect(array_distinct(toks),
+          array(Seq("the", "be", "to", "of", "and").map(lit): _*))) >= 2).as("pred_b"))
+      val m = p.agg(
+        sum(when(col("pred_a") === col("y") && col("pred_b") === col("y"), 1L).otherwise(0L)).as("both_right"),
+        sum(when(col("pred_a") === col("y") && col("pred_b") =!= col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("pred_a") =!= col("y") && col("pred_b") === col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("pred_a") =!= col("y") && col("pred_b") =!= col("y"), 1L).otherwise(0L)).as("both_wrong"))
+      val diff = abs(col("b").cast("double") - col("c").cast("double")) - 1.0
+      val chi2 = diff * diff / (col("b").cast("double") + col("c").cast("double"))
+      m.select(col("both_right"), col("b").as("only_a_right"), col("c").as("only_b_right"),
+        col("both_wrong"),
+        round(when(col("b") + col("c") === 0, 0.0).otherwise(chi2), 6).as("chi2"),
+        when(col("b") + col("c") === 0, false).otherwise(chi2 > 3.841).as("significant"))
+    })
+
   /** Bootstrap confidence interval via the POISSON bootstrap (Chamandy
     * et al. 2012 — the resampling that scales: each doc's per-replicate
     * multiplicity is drawn as Poisson(1) from a seedless md5 uniform, so
@@ -2758,7 +2814,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, a16Unpivot, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }

@@ -1676,6 +1676,38 @@ object TextQueries extends QuerySet {
       })
   }
 
+  /** Curriculum data ordering (Bengio et al. 2009, baby-steps
+    * schedule): docs band into fixed difficulty bins by token count
+    * (short = easy; fixed 25-token cuts, capped — quantile bins would
+    * need a second pass and dom8/x32 already own adaptive allocation),
+    * and within each bin the order is the seedless md5 shuffle (x10
+    * discipline) so every epoch replays identically. The emitted
+    * (stage, pos_in_stage) pair IS the training order: stage k unlocks
+    * after k−1, positions shuffle within. One map pass + one
+    * bin-partitioned row_number — no global sort anywhere. */
+  val c2Curriculum = Q("c2_curriculum_order",
+    Some(s"""WITH t AS (SELECT doc_id,
+              CAST(len(${OracleSql.toksSql}) AS BIGINT) AS n_tokens FROM documents),
+            b AS (SELECT doc_id, n_tokens,
+                CAST(least(n_tokens // 25, 4) AS INT) AS stage FROM t),
+            r AS (SELECT doc_id, n_tokens, stage,
+                row_number() OVER (PARTITION BY stage
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos_in_stage
+              FROM b)
+            SELECT doc_id, n_tokens, stage, CAST(pos_in_stage AS BIGINT) AS pos_in_stage
+            FROM r ORDER BY stage, pos_in_stage"""),
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val staged = t.withColumn("stage",
+        least(call_function("div", col("n_tokens"), lit(25L)), lit(4L)).cast("int"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("stage")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      staged.withColumn("pos_in_stage", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("stage"), col("pos_in_stage"))
+        .orderBy("stage", "pos_in_stage")
+    })
+
   /** Population-stability-index drift detection — the production
     * monitoring gate between a reference corpus snapshot and the current
     * one (doc_id parity stands in for the two snapshots): doc lengths
@@ -2486,7 +2518,7 @@ object TextQueries extends QuerySet {
     x22Readability, x23Winsorize, x24DistinctN, x25Compression, p16SentenceSplit,
     x26SpanCorruption, x27FimTransform, tok5VocabCoverage, p17SentenceChunks, x28NgramNovelty, ask5Attribution,
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, tok6WordPiece, cdc1Chunks, cdc2ChunkDedup,
-    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x33PsiDrift, d19LshTuning, x9Bigram,
+    sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x33PsiDrift, d19LshTuning, c2Curriculum, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist)
