@@ -470,6 +470,109 @@ class Round7Spec extends SparkSpec {
     assert(graft.ops.Gif.decodeGif("GIF89a".getBytes).isEmpty)
   }
 
+  test("differential: Pii.mod97 fold equals BigInteger mod 97 on random IBAN shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7197)
+    val cases = (1 to 60).map { _ =>
+      val cc = (1 to 2).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val chk = f"${rnd.nextInt(100)}%02d"
+      val bban = (1 to (11 + rnd.nextInt(20))).map(_ =>
+        if (rnd.nextBoolean()) ('0' + rnd.nextInt(10)).toChar else ('A' + rnd.nextInt(26)).toChar).mkString
+      cc + chk + bban
+    }
+    def refValid(iban: String): Boolean = {
+      val r = iban.drop(4) + iban.take(4)
+      val digits = r.flatMap(c => if (c.isDigit) c.toString else (c - 'A' + 10).toString)
+      new java.math.BigInteger(digits).mod(java.math.BigInteger.valueOf(97)) ==
+        java.math.BigInteger.ONE
+    }
+    val got = cases.toDF("iban")
+      .withColumn("dg", graft.ops.Pii.ibanDigits(col("iban")))
+      .select(col("iban"), (graft.ops.Pii.mod97(col("dg")) === 1).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach(c => assert(got(c) == refValid(c), s"mod97 disagrees with BigInteger on $c"))
+  }
+
+  test("differential: triangleStats equals brute-force enumeration on random graphs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+      val adj = Array.ofDim[Boolean](n, n)
+      for ((a, b) <- edges if a != b) { adj(a)(b) = true; adj(b)(a) = true }
+      val refTri = Array.fill(n)(0)
+      for (a <- 0 until n; b <- a + 1 until n if adj(a)(b);
+           c <- b + 1 until n if adj(a)(c) && adj(b)(c)) {
+        refTri(a) += 1; refTri(b) += 1; refTri(c) += 1
+      }
+      val got = graft.ops.Graph.triangleStats(edges.toDF("src", "dst")).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      for (v <- 0 until n if adj(v).exists(identity))
+        assert(got(v) == refTri(v).toLong, s"trial $trial node $v: ${got(v)} vs ${refTri(v)}")
+    }
+  }
+
+  test("differential: Graph.hits matches a dense-matrix reference iteration") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    val n = 8
+    val edges = (1 to 20).map(_ => (rnd.nextInt(n), rnd.nextInt(n))).filter(e => e._1 != e._2).distinct
+    val iters = 3
+    // dense reference replaying the SAME determinism recipe (12-dp rounds)
+    var h = Array.fill(n)(1.0); var a = Array.fill(n)(0.0)
+    def rnd12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to iters) {
+      val ar = Array.fill(n)(0.0)
+      for ((u, v) <- edges) ar(v) += h(u)
+      val an = math.sqrt(ar.map(x => rnd12(x * x)).sum)
+      a = ar.map(x => if (an > 0) rnd12(x / an) else 0.0)
+      val hr = Array.fill(n)(0.0)
+      for ((u, v) <- edges) hr(u) += a(v)
+      val hn = math.sqrt(hr.map(x => rnd12(x * x)).sum)
+      h = hr.map(x => if (hn > 0) rnd12(x / hn) else 0.0)
+    }
+    val got = graft.ops.Graph.hits(edges.toDF("src", "dst"), iters).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    for (v <- nodes) {
+      assert(math.abs(got(v)._1 - h(v)) < 1e-9, s"hub($v): ${got(v)._1} vs ${h(v)}")
+      assert(math.abs(got(v)._2 - a(v)) < 1e-9, s"auth($v): ${got(v)._2} vs ${a(v)}")
+    }
+  }
+
+  test("differential: wordPieceStats equals a reference greedy tokenizer on random words") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val start = Seq("spark", "stream", "join", "data", "the", "th",
+      "pro", "con", "re", "ing") ++ ('a' to 'z').map(_.toString)
+    val cont = Seq("ing", "tion", "ream", "ed", "er", "es", "s") ++
+      ('a' to 'z').map(_.toString)
+    def ref(word: String): (Int, Int) = {
+      if (word.length > 16) return (1, 1)
+      var pos = 0; var cnt = 0
+      while (pos < word.length) {
+        val pieces = if (pos == 0) start else cont
+        val best = pieces.filter(p => word.startsWith(p, pos)).map(_.length).maxOption.getOrElse(0)
+        if (best == 0) return (1, 1)
+        pos += best; cnt += 1
+      }
+      (cnt, 0)
+    }
+    val rnd = new scala.util.Random(424242)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz.é0"
+    val words = (1 to 120).map(_ =>
+      (1 to (1 + rnd.nextInt(18))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+    val got = words.toDF("w")
+      .select(col("w"), graft.ops.TextAnalysis.wordPieceStats(col("w"), start, cont).as("r"))
+      .select(col("w"), col("r.n_pieces"), col("r.n_unk"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    words.foreach(w => assert(got(w) == ref(w), s"'$w': ${got(w)} vs ${ref(w)}"))
+  }
+
   test("round-7b queries: semantic invariants on the real code paths at sf0.001") {
     import org.apache.spark.sql.functions._
     // w13: bars are well-formed — low <= open/close <= high, n >= 1
