@@ -122,8 +122,8 @@ object Cleaning {
     * translate agree. */
   object Confusables {
     /** Cyrillic + Greek homoglyphs (both cases) with their Latin targets. */
-    val letterFrom: String = "аеорсхуіѕјёАЕОРСХУІЅЈ" + "οικνΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
-    val letterTo: String   = "aeopcxyisjeAEOPCXYISJ" + "oikvABEZHIKMNOPTYX"
+    val letterFrom: String = "аеорсхуіѕјёАЕОРСХУІЅЈЁ" + "οικνΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+    val letterTo: String   = "aeopcxyisjeAEOPCXYISJE" + "oikvABEZHIKMNOPTYX"
     /** Fullwidth ASCII block U+FF01..U+FF5E → 0x21..0x7E. */
     val fullwidthFrom: String = (0xff01 to 0xff5e).map(_.toChar).mkString
     val fullwidthTo: String = (0x21 to 0x7e).map(_.toChar).mkString

@@ -244,7 +244,9 @@ object Curation {
     * proportional draw wastes budget — the right allocator for building
     * eval sets from heterogeneous corpora. Integer seats are assigned by
     * floor + LARGEST REMAINDER (Hamilton), ties → stratum name asc, so
-    * Σ alloc == budget exactly.
+    * Σ alloc == budget exactly — PROVIDED no stratum saturates: seats
+    * cap at the stratum's row count (it cannot supply more), and a
+    * saturated stratum leaves the total short by its shortfall.
     *
     * Determinism/scale contract: per-stratum moments are EXACT integer
     * sums (value must be an integer column — lengths, token counts);
@@ -290,12 +292,17 @@ object Curation {
     val r = share.join(ys,
         col("y_rem") > col("rem") ||
           (col("y_rem") === col("rem") && col("y_stratum") < col("stratum")), "left")
-      .groupBy(col("stratum"), col("fl"), col("rem"))
+      .groupBy(col("stratum"), col("n_h"), col("fl"), col("rem"))
       .agg(count(col("y_stratum")).as("nbigger"))
     val leftOver = share.agg((lit(budget) - sum("fl")).as("k"))
+    // cap at the stratum's population: a stratum cannot supply more rows
+    // than it has; a saturated stratum leaves Sigma alloc short of the
+    // budget by its shortfall (documented) rather than over-reporting an
+    // alloc the draw cannot fill
     val alloc = r.crossJoin(broadcast(leftOver))
       .select(col("stratum"),
-        (col("fl") + when(col("nbigger") < col("k"), 1L).otherwise(0L)).as("alloc"))
+        least(col("fl") + when(col("nbigger") < col("k"), 1L).otherwise(0L), col("n_h"))
+          .as("alloc"))
     // the draw: per stratum, the alloc smallest md5(id) — seedless,
     // rerun-stable, cluster-layout-free (the x10/x17 discipline)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum")

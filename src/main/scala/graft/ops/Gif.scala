@@ -195,6 +195,7 @@ object Gif {
     val nColors = palette.length / 3
     require(nColors >= 4 && nColors <= 256 && Integer.bitCount(nColors) == 1,
       s"palette must be a power-of-two size in [4,256], got $nColors")
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
     require(indices.length == width * height, "indices must be width*height")
     val sizeBits = 31 - Integer.numberOfLeadingZeros(nColors) // log2
     val minCode = math.max(2, sizeBits)

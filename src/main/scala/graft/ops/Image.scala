@@ -403,7 +403,7 @@ object Image {
     val ifd = base + ifdOff.toInt
     val n = u16(ifd)
     var i = 0
-    while (i < math.min(n, 16)) {
+    while (i < math.min(n, 64)) { // ~14 baseline tags precede 0x0112; 16 was too tight
       val e = ifd + 2 + i * 12
       if (e + 12 > end) return None
       if (u16(e) == 0x0112 && u16(e + 2) == 3) {

@@ -1001,16 +1001,20 @@ object MiscQueries extends QuerySet {
     * combinations must surface as 0, not vanish. */
   val a16Unpivot = Q("a16_pivot_unpivot",
     Some("""WITH langs AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang),
-            srcs AS (SELECT DISTINCT source FROM documents),
+            d AS (SELECT coalesce(source, '') AS source, lang FROM documents),
+            srcs AS (SELECT DISTINCT source FROM d),
             cnt AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-              FROM documents WHERE lang IS NOT NULL GROUP BY source, lang)
+              FROM d WHERE lang IS NOT NULL GROUP BY source, lang)
             SELECT s.source, l.lang, coalesce(cnt.n, 0) AS n
             FROM srcs s CROSS JOIN langs l
             LEFT JOIN cnt ON cnt.source = s.source AND cnt.lang = l.lang
             ORDER BY s.source, l.lang"""),
     (s, d) => {
       val langs = Seq("de", "en", "es", "fr", "zh")
-      val wide = documents(s, d).groupBy("source").pivot("lang", langs).count()
+      // coalesce the group key: a NULL source would otherwise join-miss in
+      // the oracle and sort differently across engines (the k5/rob2 rule)
+      val wide = documents(s, d).withColumn("source", coalesce(col("source"), lit("")))
+        .groupBy("source").pivot("lang", langs).count()
         .na.fill(0L, langs)
       wide.unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
         .select(col("source"), col("lang"), col("n"))

@@ -780,10 +780,10 @@ object TextQueries extends QuerySet {
       Some(s"""WITH $sentenceCtes,
             ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent FROM sen GROUP BY doc_id),
             tgt AS (SELECT sen.doc_id, sen.sent_idx AS target_idx,
-                list_append(list_filter(string_split_regex(sen.sentence, '\\s+'), x -> x <> '')[1:6], 'zz') AS claim
+                list_append(list_filter(string_split_regex(lower(sen.sentence), '\\s+'), x -> x <> '')[1:6], 'zz') AS claim
               FROM sen JOIN ns ON ns.doc_id = sen.doc_id AND sen.sent_idx = sen.doc_id % ns.n_sent),
             scored AS (SELECT sen.doc_id, t.target_idx, sen.sent_idx,
-                ${f1Sql("t.claim", "list_filter(string_split_regex(sen.sentence, '\\s+'), x -> x <> '')")} AS f1
+                ${f1Sql("t.claim", "list_filter(string_split_regex(lower(sen.sentence), '\\s+'), x -> x <> '')")} AS f1
               FROM sen JOIN tgt t ON t.doc_id = sen.doc_id),
             ranked AS (SELECT doc_id, target_idx, sent_idx, f1,
                 row_number() OVER (PARTITION BY doc_id ORDER BY f1 DESC, sent_idx) AS rn
@@ -1791,11 +1791,7 @@ object TextQueries extends QuerySet {
               dist = md AND bands = (SELECT max(bands) FROM cand c2, best b2 WHERE c2.dist = b2.md) AS chosen
             FROM cand CROSS JOIN best ORDER BY bands"""),
       (s, d) => {
-        val cand = splits.map { case (b, r) =>
-          val thr = math.pow(1.0 / b, 1.0 / r)
-          (b, r, thr)
-        }
-        val rows = cand.map { case (b, r, thr) =>
+        val rows = splits.map { case (b, r) =>
           val cols = Seq(lit(b).cast("int").as("bands"), lit(r).cast("int").as("rows_per_band"),
             round(pow(lit(1.0) / b, lit(1.0) / r), 6).as("implied_threshold")) ++
             sims.map(sv => round(lit(1.0) - pow(lit(1.0) - pow(lit(sv), r.toDouble), b.toDouble), 6)
@@ -1844,8 +1840,9 @@ object TextQueries extends QuerySet {
                 ON y.rem > x.rem OR (y.rem = x.rem AND y.stratum < x.stratum)
               GROUP BY x.stratum, x.fl, x.rem),
             ko AS (SELECT 100 - sum(fl) AS k FROM fr),
-            alloc AS (SELECT stratum, fl + CASE WHEN nbigger < k THEN 1 ELSE 0 END AS alloc
-              FROM rk CROSS JOIN ko),
+            alloc AS (SELECT r.stratum,
+                least(r.fl + CASE WHEN r.nbigger < k THEN 1 ELSE 0 END, m.n_h) AS alloc
+              FROM rk r JOIN mom m ON m.stratum = r.stratum CROSS JOIN ko),
             drawn AS (SELECT b.stratum, a.alloc, b.id,
                 row_number() OVER (PARTITION BY b.stratum
                   ORDER BY md5(CAST(b.id AS VARCHAR)), b.id) AS rk2

@@ -577,7 +577,7 @@ object WindowQueries extends QuerySet {
   val w13Ohlc = Q("w13_ohlc_bars",
     Some("""WITH e AS (SELECT user_id, value,
               epoch_us(ts) // 21600000000 AS bar,
-              (epoch_us(ts) - 1704067200000000) * 100000 + event_id AS k
+              (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
             FROM events)
             SELECT user_id, CAST(bar * 21600000000 AS BIGINT) AS bar_start_us,
               CAST(count(*) AS BIGINT) AS n_events,
@@ -588,7 +588,10 @@ object WindowQueries extends QuerySet {
             ORDER BY user_id, bar_start_us"""),
     (s, d) => {
       val us = unix_micros(col("ts"))
-      val k = (us - 1704067200000000L) * 100000L + col("event_id")
+      // stride 10^6: event_id must stay below it for the (ts, event_id)
+      // ordering to hold (sf1.0's ids reach ~10^6-1; 10^5 had zero headroom),
+      // while 30 days of relative µs × 10^6 stays under int64
+      val k = (us - 1704067200000000L) * 1000000L + col("event_id")
       events(s, d)
         .select(col("user_id"), col("value"),
           // integral `div`, not `/` (long / long is DOUBLE division in

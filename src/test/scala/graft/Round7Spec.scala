@@ -653,6 +653,14 @@ class Round7Spec extends SparkSpec {
     assert(alloc.values.map(_._1).sum == 50, s"seats must sum to the budget: $alloc")
     assert(alloc("wild")._1 > 40, s"high-variance stratum must dominate: $alloc")
     assert(alloc.values.forall(v => v._1 == v._2), "draw must fill every seat")
+    // saturation: a 3-row stratum with huge spread cannot be allocated more
+    // than its 3 rows — alloc caps at N_h and the draw fills exactly it
+    val tiny = (Seq(("mini", 1L, 0L), ("mini", 9999L, 1L), ("mini", 5000L, 2L)) ++
+      (0 until 100).map(i => ("bulk", 500L + i % 3, (10 + i).toLong))).toDF("s", "v", "id")
+    val sat = graft.ops.Curation.neymanSample(tiny, col("s"), col("v"), col("id"), 40)
+      .groupBy("stratum").agg(first("alloc").as("a"), count(lit(1)).as("got"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sat("mini") == ((3L, 3L)), s"saturated stratum must cap at its size: $sat")
   }
 
   test("Graph.hits: directed star — center is the hub, leaves are the authorities") {
