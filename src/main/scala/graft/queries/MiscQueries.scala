@@ -992,6 +992,32 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** GROUPING SETS — completes the multi-level aggregation trio next to
+    * a11's ROLLUP and a14's CUBE with the GENERAL form: exactly the
+    * (source), (lang), and grand-total groupings, no cross products.
+    * GROUPING() markers disambiguate a grouped-out NULL from a data
+    * NULL (the standard trap); both engines emit the same flags. One
+    * expand + one hash aggregate — Spark plans Expand over the scan, so
+    * the three groupings cost one shuffle, not three scans. */
+  val a17GroupingSets = Q("a17_grouping_sets",
+    Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(grouping(source) AS INT) AS g_source,
+              CAST(grouping(lang) AS INT) AS g_lang
+            FROM documents
+            GROUP BY GROUPING SETS ((source), (lang), ())
+            ORDER BY g_source, g_lang, source, lang"""),
+    (s, d) => {
+      documents(s, d).createOrReplaceTempView("documents_gs")
+      s.sql("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(grouping(source) AS INT) AS g_source,
+                 CAST(grouping(lang) AS INT) AS g_lang
+               FROM documents_gs
+               GROUP BY GROUPING SETS ((source), (lang), ())
+               ORDER BY g_source, g_lang, source, lang""")
+    })
+
   /** Pivot → unpivot round trip (the relational reshape surface):
     * per-source language counts widen through Spark's pivot (explicit
     * value list — an inferred list would be a second corpus pass AND
@@ -2815,7 +2841,7 @@ object MiscQueries extends QuerySet {
   }
 
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
-    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, a16Unpivot, u1Union3,
+    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, a16Unpivot, a17GroupingSets, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,

@@ -2058,6 +2058,56 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Dedup operating curve — the threshold-selection table a pipeline
+    * owner reads before committing a near-dup cutoff: the d4 similarity
+    * stream swept against a threshold ladder in ONE pass (conditional
+    * counters, no per-threshold rescans), emitting pair counts, the
+    * retained-corpus fraction, and the marginal pairs each step adds.
+    * Picking 0.8 vs 0.7 on a 100 TB crawl is a billions-of-docs
+    * decision; this is the evidence table, at the cost of one aggregate
+    * over an existing stream. */
+  val dom9DedupCurve: Q = {
+    val cuts = Seq(0.5, 0.7, 0.8, 0.9)
+    val cntSql = cuts.map(c =>
+      s"CAST(sum(CASE WHEN jacc >= $c THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_${(c * 100).toInt}")
+      .mkString(", ")
+    Q("dom9_dedup_curve",
+      Some(s"""WITH g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                       i -> substr(lower(text), CAST(i AS INT), 3))) AS grams
+              FROM documents),
+            p AS (SELECT CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.grams, b.grams))) AS jacc
+              FROM g a JOIN g b ON b.doc_id = a.doc_id + 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, $cntSql FROM p)
+            SELECT * FROM (
+            ${cuts.map(c => s"""SELECT CAST($c AS DOUBLE) AS threshold, n_ge_${(c * 100).toInt} AS n_dup_pairs,
+              round(1.0 - CAST(n_ge_${(c * 100).toInt} AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS keep_frac
+            FROM m""").mkString("\n            UNION ALL\n            ")})
+            ORDER BY threshold"""),
+      (s, d) => {
+        val g = documents(s, d)
+          .select(col("doc_id"), Dedup.charNgrams(lower(col("text")), 3).as("grams"))
+          .localCheckpoint()
+        val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+        val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+        val p = a.join(b, col("id_b") === col("id_a") + 1)
+          .select((size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb")))).as("jacc"))
+        // single-row frame feeding four projections - checkpoint so the
+        // pair aggregate runs once, not once per threshold row
+        val aggCols = count(lit(1)).as("n_pairs") +:
+          cuts.map(c => sum(when(col("jacc") >= c, 1L).otherwise(0L))
+            .as(s"n_ge_${(c * 100).toInt}"))
+        val m = p.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+        cuts.map { c =>
+          m.select(lit(c).as("threshold"), col(s"n_ge_${(c * 100).toInt}").as("n_dup_pairs"),
+            round(lit(1.0) - col(s"n_ge_${(c * 100).toInt}").cast("double")
+              / col("n_pairs").cast("double"), 6).as("keep_frac"))
+        }.reduce(_ union _).orderBy("threshold")
+      })
+  }
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -2067,5 +2117,5 @@ object VectorQueries extends QuerySet {
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
-    m10GifDecode, v11MaxSim, m11ExifOrientation)
+    m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve)
 }
