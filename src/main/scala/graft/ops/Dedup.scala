@@ -259,11 +259,20 @@ object Dedup {
     * containments additionally escape if all probeK rarest shingles
     * fall in the uncovered < 1−t tail — the trade d16 audits for
     * Jaccard; raise indexDfCap to buy recall back). Fan-out per gram is
-    * df × (docs probing that gram) — naive rare×rare blocking measured
+    * DETERMINISTICALLY bounded: probe grams with df > indexDfCap are
+    * dropped before the join (they cannot match the df-capped index —
+    * identical semantics, smaller shuffle), and each gram keeps only its
+    * `probeCap` lowest-id probers, so one gram emits ≤ probeCap ×
+    * indexDfCap candidate rows no matter how clustered the corpus — the
+    * same recall-for-boundedness trade as the index cap, on the probe
+    * side (a cluster larger than probeCap sharing one rarest gram loses
+    * the pairs among its highest ids for that gram; they stay findable
+    * via their other probeK−1 grams). Naive rare×rare blocking measured
     * 9.7 s on clustered dup corpora (every shared rare gram emits
-    * cluster² pairs); this shape is 2.6 s on the same fixture. */
+    * cluster² pairs); this shape is ≈2.5 s on the same fixture. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       w: Int, probeK: Int, indexDfCap: Int, threshold: Double): DataFrame = {
+                       w: Int, probeK: Int, indexDfCap: Int, threshold: Double,
+                       probeCap: Int = 64): DataFrame = {
     val g = df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))
       .localCheckpoint() // shared by the blocking explode AND both verify joins
     val ex = g.select(col("id"), explode(col("grams")).as("gram"))
@@ -274,23 +283,33 @@ object Dedup {
     val probes = keyed.groupBy("id")
       .agg(slice(sort_array(collect_list(col("k"))), 1, probeK).as("ks"))
       .select(col("id"), explode(col("ks")).as("k"))
+      .filter(substring(col("k"), 1, 10).cast("long") <= indexDfCap)
       .select(col("id"), substring(col("k"), 12, 1000000).as("gram"))
+    // per-gram prober cap: the collect_list is bounded by indexDfCap rows
+    // per gram (a gram's probers are a subset of the docs containing it,
+    // and df > indexDfCap grams were filtered above) — never skew-unsafe
+    val probesCapped = probes.groupBy("gram")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, probeCap).as("pids"))
+      .select(col("gram"), explode(col("pids")).as("pid"))
     val index = keyed.filter(col("df") <= indexDfCap)
       .select(col("id"), substring(col("k"), 12, 1000000).as("gram"))
-    val cand = probes.select(col("gram"), col("id").as("pid"))
+    val cand = probesCapped
       .join(index.select(col("gram"), col("id").as("iid")), "gram")
       .filter(col("pid") =!= col("iid"))
       .select(least(col("pid"), col("iid")).as("id_a"),
         greatest(col("pid"), col("iid")).as("id_b"))
       .distinct()
-    val inter = size(array_intersect(col("ga"), col("gb")))
-    val ca = inter.cast("double") / size(col("ga")).cast("double")
-    val cb = inter.cast("double") / size(col("gb")).cast("double")
-    cand
+    // intersect size bound to an attribute ONCE — the filter and all three
+    // output columns reference it; letting the Column DSL re-inline the
+    // array_intersect per use is the HOF-re-inlining trap on the verify path
+    val verged = cand
       .join(g.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
       .join(g.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
-      .filter(greatest(ca, cb) >= threshold)
-      .select(col("id_a"), col("id_b"), inter.cast("long").as("n_shared"),
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+    val ca = col("inter").cast("double") / size(col("ga")).cast("double")
+    val cb = col("inter").cast("double") / size(col("gb")).cast("double")
+    verged.filter(greatest(ca, cb) >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("n_shared"),
         round(ca, 6).as("cont_a_in_b"), round(cb, 6).as("cont_b_in_a"))
   }
 

@@ -38,6 +38,37 @@ object Hll {
   val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m
   def alphaM2Sql: String = f"$alphaM2%.17g"
 
+  // ---- DuckDB oracle twins (generated SQL replaying the exact register
+  // and estimator algebra above — used by sk2 / a12b so every portable-HLL
+  // query carries a strict hash gate) ----
+  private val hexDigitsSql = "'0123456789abcdef'"
+
+  /** Oracle twin of [[registers]]: (keys..., bucket, rho) over the DISTINCT
+    * (keys, w) stream of `src` (a relation exposing `keys` columns and a
+    * VARCHAR item column `w`). */
+  def regSql(src: String, keys: String): String =
+    s"""(SELECT $keys, bucket,
+            max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS rho
+          FROM (SELECT $keys,
+              (strpos($hexDigitsSql, substr(dig, 1, 1)) - 1) * 16 + strpos($hexDigitsSql, substr(dig, 2, 1)) - 1 AS bucket,
+              list_sum(list_transform(range(1, 13), i ->
+                CAST(strpos($hexDigitsSql, substr(dig, CAST(i AS INT) + 2, 1)) - 1 AS BIGINT)
+                  * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS v
+            FROM (SELECT $keys, md5(w) AS dig FROM (SELECT DISTINCT $keys, w FROM $src)))
+          GROUP BY $keys, bucket)"""
+
+  /** Oracle twin of [[estimate]]: per-key `est` from a register relation
+    * (the 12-dp/DECIMAL(25,15) dyadic-sum recipe, linear-counting branch
+    * at raw ≤ 2.5·m with zeros > 0). */
+  def estSql(regs: String, keys: String): String =
+    s"""(SELECT $keys,
+            CASE WHEN ($alphaM2Sql / (CAST(256 - present AS DOUBLE) + sp)) <= 640.0 AND present < 256
+                 THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+                 ELSE $alphaM2Sql / (CAST(256 - present AS DOUBLE) + sp) END AS est
+          FROM (SELECT $keys, count(*) AS present,
+              CAST(sum(CAST(round(1.0 / (1::BIGINT << rho), 12) AS DECIMAL(25,15))) AS DOUBLE) AS sp
+            FROM $regs GROUP BY $keys))"""
+
   /** (keys..., bucket, rho) registers over the DISTINCT (keys, item)
     * stream. Absent buckets mean register value 0 (the estimator accounts
     * for them); present registers have rho in [1, 49]. */

@@ -86,17 +86,27 @@ object Pdf {
           var dataEnd = end
           if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
           if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          val dict = raw.substring(math.max(0, kw - 512), kw)
-          val dictTail = dict.lastIndexOf("<<") match {
-            case -1 => dict
-            case i => dict.substring(i)
+          val dict = raw.substring(math.max(0, kw - 1024), kw)
+          // this stream's own dictionary starts at its object header (safe
+          // under nested dicts like /DecodeParms << … >>)
+          val dictTail = ObjHeadRe.findAllMatchIn(dict).toSeq.lastOption match {
+            case Some(m) => dict.substring(m.end)
+            case None => dict.lastIndexOf("<<") match {
+              case -1 => dict
+              case i => dict.substring(i)
+            }
           }
-          val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val decoded: Option[Array[Byte]] =
-            if (dictTail.contains("/FlateDecode")) inflate(data) else Some(data)
-          decoded.foreach { d =>
-            if (sb.nonEmpty) sb.append('\n')
-            sb.append(new String(d, Ascii))
+          // image XObject streams hold SAMPLES, not operators — appending
+          // them would let sample bytes (e.g. an unbalanced '(') swallow
+          // later real content in the concatenated parse
+          if (!dictTail.contains("/Image")) {
+            val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            val decoded: Option[Array[Byte]] =
+              if (dictTail.contains("/FlateDecode")) inflate(data) else Some(data)
+            decoded.foreach { d =>
+              if (sb.nonEmpty) sb.append('\n')
+              sb.append(new String(d, Ascii))
+            }
           }
           from = end + "endstream".length
         } else from = afterKw
@@ -452,6 +462,274 @@ object Pdf {
     w("\nendstream endobj\n")
     w("trailer << /Root 1 0 R >>\n%%EOF\n")
     out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // EMBEDDED IMAGE EXTRACTION (round 8): the engine-side analog of the
+  // reference's per-page figure extraction (ref
+  // `ingestion/image_extractor.py:109-179` pulls drawn figure images out
+  // of each PDF page with their bboxes and stores them as PNGs; captioning
+  // stays a pluggable model seam). No library needed here either: image
+  // XObjects live in the same object/stream fabric the text parser already
+  // walks — a dict with /Subtype /Image whose stream holds the raw samples
+  // (usually FlateDecode'd, optionally PNG-predictored — the SAME scanline
+  // filters Image.unfilter already implements, per PDF 32000-1 §7.4.4.4),
+  // and the page CONTENT stream draws them with `cm` + `Do`, which the
+  // existing tokenizer already tokenizes.
+  //
+  // Scope (documented, the fixture+web-common core): 8-bit /DeviceGray and
+  // /DeviceRGB samples, /FlateDecode or raw streams, optional /Predictor
+  // ≥ 10 (PNG row filters); name→object binding via the /XObject resource
+  // dictionaries (no full xref table — same single-generation simplification
+  // as the rest of this parser). DCT (JPEG) streams, CMYK, and sub-8-bit
+  // depths yield a metadata-only record with no pixels (raw = null) —
+  // quarantine-with-visibility, never garbage. Placement is the CTM at the
+  // `Do` operator: origin (e, f) and axis-aligned display size (a, d);
+  // rotated placements report their matrix terms as-is.
+
+  /** One drawn image: decoded samples (`raw`, row-major, `channels` bytes
+    * per pixel — null when the stream can't be decoded) plus its page
+    * placement from the CTM at `Do` time. `colorType` uses the PNG
+    * convention (0 gray, 2 RGB) so [[Image.encodePng]] re-wraps losslessly. */
+  final case class PdfImage(name: String, width: Int, height: Int, colorType: Int,
+                            raw: Array[Byte], x: Double, y: Double,
+                            dispW: Double, dispH: Double)
+
+  private val XObjRefRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
+  private val ObjHeadRe = """(\d+)\s+0\s+obj""".r
+  private def dictInt(dict: String, key: String): Option[Int] =
+    (key + """\s+(\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Raw (objNum → (dict, streamBytes)) for every `N 0 obj … stream …
+    * endstream` in the file, plus every /XObject name→objNum binding seen
+    * in any resources dictionary. */
+  private def objectStreams(bytes: Array[Byte]): (Map[Int, (String, Array[Byte])], Map[String, Int]) = {
+    val raw = new String(bytes, Ascii)
+    val objs = scala.collection.mutable.Map.empty[Int, (String, Array[Byte])]
+    var from = 0
+    var kw = raw.indexOf("stream", from)
+    while (kw >= 0) {
+      val afterKw = kw + "stream".length
+      val dataStart =
+        if (raw.startsWith("\r\n", afterKw)) afterKw + 2
+        else if (raw.startsWith("\n", afterKw) || raw.startsWith("\r", afterKw)) afterKw + 1
+        else -1
+      if (dataStart >= 0) {
+        val end = raw.indexOf("endstream", dataStart)
+        if (end >= 0) {
+          var dataEnd = end
+          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          val head = raw.substring(math.max(0, kw - 1024), kw)
+          // nearest preceding object header binds the stream to its number
+          // AND marks where this object's dict starts (robust under nested
+          // dicts like /DecodeParms << … >>)
+          ObjHeadRe.findAllMatchIn(head).toSeq.lastOption.foreach { m =>
+            objs(m.group(1).toInt) =
+              (head.substring(m.end), java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+          }
+          from = end + "endstream".length
+        } else from = afterKw
+      } else from = afterKw
+      kw = raw.indexOf("stream", from)
+    }
+    // /XObject << /Im0 5 0 R … >> bindings anywhere in the file
+    val names = scala.collection.mutable.Map.empty[String, Int]
+    val xo = """/XObject\s*<<([^>]*)>>""".r
+    for (m <- xo.findAllMatchIn(raw); r <- XObjRefRe.findAllMatchIn(m.group(1)))
+      names(r.group(1)) = r.group(2).toInt
+    (objs.toMap, names.toMap)
+  }
+
+  /** Decode one image XObject's samples per its dict: optional Flate,
+    * optional PNG predictor (≥ 10) via the [[Image.unfilter]] scanline
+    * arithmetic. None on any size/filter/depth mismatch. */
+  private def decodeImageSamples(dict: String, data: Array[Byte],
+                                 w: Int, h: Int, channels: Int): Option[Array[Byte]] = {
+    val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
+    if (bpc != 8) return None
+    if (dict.contains("/DCTDecode") || dict.contains("/LZWDecode")) return None
+    val stride = w * channels
+    val inflated: Option[Array[Byte]] =
+      if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
+    inflated.flatMap { d =>
+      val predictor = dictInt(dict, "/Predictor").getOrElse(1)
+      if (predictor >= 10) {
+        if (d.length != h * (1 + stride)) None
+        else Image.unfilter(d, w, h, channels)
+      } else if (d.length == h * stride) Some(d)
+      else None
+    }
+  }
+
+  private def matMul(m: Array[Double], n: Array[Double]): Array[Double] = Array(
+    m(0) * n(0) + m(1) * n(2), m(0) * n(1) + m(1) * n(3),
+    m(2) * n(0) + m(3) * n(2), m(2) * n(1) + m(3) * n(3),
+    m(4) * n(0) + m(5) * n(2) + n(4), m(4) * n(1) + m(5) * n(3) + n(5))
+
+  /** (name, ctm-at-Do) for every image draw in stream order: tracks the
+    * q/Q graphics-state stack and `cm` concatenation — the placement walk
+    * the text state machine ignores. */
+  private def imagePlacements(content: String): Seq[(String, Array[Double])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Double])]
+    var ctm = Array(1.0, 0, 0, 1, 0, 0)
+    val gs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    def num(fromTop: Int): Double =
+      stack.lift(stack.length - fromTop) match { case Some(TNum(v)) => v; case _ => 0.0 }
+    for (t <- tokenize(content)) t match {
+      case TOp(op) if !op.startsWith("/") =>
+        op match {
+          case "q" => gs += ctm.clone()
+          case "Q" => if (gs.nonEmpty) { ctm = gs.remove(gs.length - 1) }
+          case "cm" =>
+            ctm = matMul(Array(num(6), num(5), num(4), num(3), num(2), num(1)), ctm)
+          case "Do" =>
+            stack.lastOption.collect { case TOp(n) if n.startsWith("/") =>
+              out += ((n.substring(1), ctm.clone()))
+            }
+          case _ => ()
+        }
+        stack.clear()
+      case other => stack += other
+    }
+    out.toSeq
+  }
+
+  /** All DRAWN images of a PDF payload in draw (`Do`) order — the
+    * figure-extraction surface. Never throws; a broken payload yields an
+    * empty list, a broken image stream yields its record with raw = null. */
+  def extractImages(bytes: Array[Byte]): Seq[PdfImage] =
+    try {
+      val (objs, names) = objectStreams(bytes)
+      val content = contentStreams(bytes)
+      imagePlacements(content).flatMap { case (name, ctm) =>
+        for {
+          objNum <- names.get(name)
+          (dict, data) <- objs.get(objNum)
+          if dict.contains("/Subtype") && dict.contains("/Image")
+          w <- dictInt(dict, "/Width") if w > 0 && w <= (1 << 14)
+          h <- dictInt(dict, "/Height") if h > 0 && h <= (1 << 14)
+        } yield {
+          val channels = if (dict.contains("/DeviceRGB")) 3 else 1
+          val colorType = if (channels == 3) 2 else 0
+          val raw = decodeImageSamples(dict, data, w, h, channels).orNull
+          PdfImage(name, w, h, colorType, raw, ctm(4), ctm(5), ctm(0), ctm(3))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** One planted image for [[buildImagesPdf]]: PNG-convention colorType
+    * (0 gray / 2 RGB), row-major `raw` samples, placement, and the two
+    * encode knobs — `predictor` stores the stream PNG-row-filtered behind
+    * /DecodeParms (filter type cycling per row so every unfilter runs),
+    * `corrupt` drops the final sample byte so the decoded size check must
+    * quarantine the image (raw = null) without losing its metadata. */
+  final case class ImageFixture(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+                                x: Double, y: Double, dispW: Double, dispH: Double,
+                                predictor: Boolean, corrupt: Boolean)
+
+  /** Single-page PDF with `text` plus the given image XObjects, each drawn
+    * via `q … cm /ImJ Do Q` — the pdf8/pdf9 fixture builder. Byte-layout
+    * honest: real object numbering, resources dictionary, per-image
+    * filters; SEPARATE from the extractor like every builder here. */
+  def buildImagesPdf(text: String, images: Seq[ImageFixture],
+                     compress: Boolean): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def n(v: Double) = if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    val draws = images.zipWithIndex.map { case (im, j) =>
+      s"q ${n(im.dispW)} 0 0 ${n(im.dispH)} ${n(im.x)} ${n(im.y)} cm /Im$j Do Q "
+    }.mkString
+    val content = (s"BT /F1 12 Tf 72 700 Td (${esc(text)}) Tj ET " + draws).getBytes(Ascii)
+    val (body, filter) =
+      if (compress) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(content); d.finish()
+        val buf = new Array[Byte](content.length * 2 + 64)
+        val nn = d.deflate(buf); d.end()
+        (java.util.Arrays.copyOf(buf, nn), " /Filter /FlateDecode")
+      } else (content, "")
+    def deflateAll(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(b); d.finish()
+        val o = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+        o.toByteArray
+      } finally d.end()
+    }
+    val imObjs = images.zipWithIndex.map { case (im, j) =>
+      val ch = if (im.colorType == 2) 3 else 1
+      val stride = im.w * ch
+      val samples = if (im.corrupt) java.util.Arrays.copyOf(im.raw, im.raw.length - 1) else im.raw
+      val (data, parms) =
+        if (im.predictor && !im.corrupt) {
+          val filtered = new java.io.ByteArrayOutputStream(im.h * (stride + 1))
+          var y = 0
+          while (y < im.h) {
+            val ft = (y + im.w) % 5
+            filtered.write(ft)
+            val line = Image.filterLine(samples, y, stride, ch, ft)
+            filtered.write(line, 0, line.length)
+            y += 1
+          }
+          (deflateAll(filtered.toByteArray),
+            s" /DecodeParms << /Predictor 15 /Colors $ch /Columns ${im.w} >>")
+        } else (deflateAll(samples), "")
+      val cs = if (im.colorType == 2) "/DeviceRGB" else "/DeviceGray"
+      (s"${5 + j} 0 obj << /Type /XObject /Subtype /Image /Width ${im.w} /Height ${im.h} " +
+        s"/ColorSpace $cs /BitsPerComponent 8 /Filter /FlateDecode$parms /Length ${data.length} >> stream\n",
+        data)
+    }
+    val xobj = images.indices.map(j => s"/Im$j ${5 + j} 0 R").mkString(" ")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      (if (images.nonEmpty) s" /Resources << /XObject << $xobj >> >>" else "") +
+      " >> endobj\n")
+    w(s"4 0 obj << /Length ${body.length}$filter >> stream\n")
+    out.write(body)
+    w("\nendstream endobj\n")
+    imObjs.foreach { case (head, data) =>
+      w(head)
+      out.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Distributed figure-extraction stage: binary `payloadCol` → `outCol`
+    * as `array<struct<name,width,height,color_type,x,y,disp_w,disp_h,png>>`
+    * in draw order — `png` is the samples re-wrapped by the REAL
+    * [[Image.encodePng]] writer (null when the stream didn't decode), so
+    * the whole downstream image stack (decodeStatsStage, dhashStage,
+    * imageNearDupPairs) runs on PDF-extracted figures unchanged. Map-only;
+    * one hostile PDF yields an empty array, one hostile image a null png. */
+  def imagesStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val imgType = org.apache.spark.sql.types.StructType(Seq(
+      StructField("name", StringType),
+      StructField("width", org.apache.spark.sql.types.IntegerType),
+      StructField("height", org.apache.spark.sql.types.IntegerType),
+      StructField("color_type", org.apache.spark.sql.types.IntegerType),
+      StructField("x", org.apache.spark.sql.types.DoubleType),
+      StructField("y", org.apache.spark.sql.types.DoubleType),
+      StructField("disp_w", org.apache.spark.sql.types.DoubleType),
+      StructField("disp_h", org.apache.spark.sql.types.DoubleType),
+      StructField("png", BinaryType)))
+    Stages.appendFields(df,
+      Seq(StructField(outCol, org.apache.spark.sql.types.ArrayType(imgType))))(
+      r => Seq(extractImages(r.getAs[Array[Byte]](idx)).map { im =>
+        val png = if (im.raw == null) null
+          else Image.encodePng(im.width, im.height, im.colorType, im.raw)
+        org.apache.spark.sql.Row(im.name, im.width, im.height, im.colorType,
+          im.x, im.y, im.dispW, im.dispH, png)
+      }))
   }
 
   /** Distributed layout stage: binary `payloadCol` → `outCol` as

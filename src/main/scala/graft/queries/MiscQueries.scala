@@ -2325,6 +2325,38 @@ object MiscQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** x14's decile bucketing with cuts from a PORTABLE approximate-quantile
+    * path — a deterministic md5 bottom-k sample (the [[graft.ops.Kmv]]
+    * sketch discipline over doc_ids: min-hashes are a uniform draw, so the
+    * 256 docs with the smallest md5(doc_id) are a uniform corpus sample;
+    * Manku et al. 1998's sampling-based quantiles) with exact interpolated
+    * percentiles over the sample. Unlike x14b's Greenwald–Khanna sketch
+    * (engine-opaque, rows-only), every step here replays in DuckDB, so the
+    * approx-quantile capability carries a strict hash gate. Scale shape:
+    * the bottom-k sample materializes as TakeOrderedAndProject (k rows,
+    * no global sort, no window), cuts aggregate ≤ k values, then one
+    * broadcast of 9 cuts — corpus-size-independent beyond the scan. */
+  val x14cSampleBuckets: Q = Q("x14c_quality_buckets_sample",
+    Some(s"""WITH $qualityCtes,
+            smp AS (SELECT quality FROM q ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 256),
+            cuts AS (SELECT [${(1 to 9).map(i => s"round(quantile_cont(quality, 0.${i}), 6)").mkString(", ")}] AS cs FROM smp)
+            SELECT doc_id, quality,
+              CAST(1 + len(list_filter(cs, c -> c < quality)) AS BIGINT) AS decile
+            FROM q CROSS JOIN cuts ORDER BY doc_id"""),
+    (s, d) => {
+      val scored = documents(s, d).select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      val smp = scored
+        .select(col("quality"), md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+        .orderBy(col("h"), col("doc_id")).limit(256)
+      val cuts = smp.agg(
+        array((1 to 9).map(i => round(percentile(col("quality"), lit(i / 10.0)), 6)): _*).as("cs"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("quality"),
+          (lit(1) + size(filter(col("cs"), c => c < col("quality")))).cast("long").as("decile"))
+        .orderBy("doc_id")
+    })
+
   /** Per-source quality dashboard — the composed profile a curation run
     * reviews before setting mixture weights: doc count, mean x2 quality,
     * mean x20 entropy (bits/char), and the ≥0.5 quality pass count, per
@@ -2846,5 +2878,5 @@ object MiscQueries extends QuerySet {
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
-    x14QualityBuckets, x14bApproxBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
+    x14QualityBuckets, x14bApproxBuckets, x14cSampleBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }

@@ -286,6 +286,153 @@ object PdfQueries extends QuerySet {
         .orderBy("row_text")
     })
 
+  // ---------------------------------------------------------------------
+  // Round 8: embedded-image (figure) extraction — the reference's per-page
+  // image pull (ref `ingestion/image_extractor.py:109-179`: drawn figures
+  // with bboxes, saved as PNGs) running on the real object/stream fabric:
+  // [[Pdf.extractImages]] walks /XObject resource bindings, image dicts
+  // (Flate + optional PNG /Predictor), and the content stream's q/cm/Do
+  // graphics state for placement, then re-wraps samples with the REAL
+  // [[graft.ops.Image.encodePng]] writer so the whole existing image stack
+  // (decodeStatsStage, dhashStage, imageNearDupPairs) consumes PDF figures
+  // unchanged.
+
+  /** pdf8: planted embedded images recovered END-TO-END — build (fixture
+    * arithmetic → samples → Flate/predictor streams → PDF) → extract
+    * (dict + CTM walk) → re-encode PNG → [[graft.ops.Image.decodeStatsStage]]
+    * pixel probes. The oracle predicts geometry, placement, pixel_sum and
+    * the center-gray probe from doc_id arithmetic only; every 11th doc's
+    * first image is truncated by one sample byte and MUST come back as
+    * metadata-with-null-pixels (quarantine, never garbage). Docs with
+    * doc_id % 3 = 0 embed no images and contribute no rows. */
+  val pdf8ImageExtract = Q("pdf8_image_extract",
+    Some("""WITH e AS (SELECT doc_id, CAST(j AS INT) AS img_idx
+              FROM documents, range(0, 2, 1) t(j) WHERE j < doc_id % 3),
+            p AS (SELECT doc_id, img_idx,
+                CAST((doc_id + 5 * img_idx) % 5 + 2 AS INT) AS w,
+                CAST((doc_id * 2 + 3 * img_idx) % 4 + 2 AS INT) AS h,
+                CAST(CASE WHEN (doc_id + img_idx) % 2 = 0 THEN 0 ELSE 2 END AS INT) AS ct,
+                CASE WHEN (doc_id + img_idx) % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                (doc_id % 11 = 0 AND img_idx = 0) AS corrupt
+              FROM e),
+            s AS (SELECT doc_id, img_idx, w, h, ct, ch, corrupt,
+                CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w * ch, 1), k ->
+                  ((k % (w * ch)) // ch * 7 + (k // (w * ch)) * 11 + (k % ch) * 29
+                    + doc_id + img_idx * 13) % 256)) AS BIGINT) AS pixel_sum,
+                w // 2 AS x0, h // 2 AS y0
+              FROM p),
+            g AS (SELECT doc_id, img_idx, w, h, ct, corrupt, pixel_sum,
+                CASE WHEN ct = 0 THEN (x0 * 7 + y0 * 11 + doc_id + img_idx * 13) % 256
+                  ELSE (299 * ((x0 * 7 + y0 * 11 + doc_id + img_idx * 13) % 256)
+                      + 587 * ((x0 * 7 + y0 * 11 + 29 + doc_id + img_idx * 13) % 256)
+                      + 114 * ((x0 * 7 + y0 * 11 + 58 + doc_id + img_idx * 13) % 256)) // 1000
+                END AS gray_mid
+              FROM s)
+            SELECT doc_id, img_idx, concat('Im', CAST(img_idx AS VARCHAR)) AS name,
+              w AS width, h AS height, ct AS color_type,
+              CAST(72 + img_idx * 150 AS DOUBLE) AS x,
+              CAST(500 - img_idx * 160 AS DOUBLE) AS y,
+              CAST(w * 9 AS DOUBLE) AS disp_w, CAST(h * 9 AS DOUBLE) AS disp_h,
+              NOT corrupt AS ok,
+              CASE WHEN corrupt THEN NULL ELSE pixel_sum END AS pixel_sum,
+              CASE WHEN corrupt THEN NULL ELSE CAST(gray_mid AS INT) END AS gray_mid
+            FROM g ORDER BY doc_id, img_idx"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withPdf = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val imgs = (0 until (id % 3).toInt).map { j =>
+          val w = ((id + 5 * j) % 5 + 2).toInt
+          val h = ((id * 2 + 3 * j) % 4 + 2).toInt
+          val ct = if ((id + j) % 2 == 0) 0 else 2
+          val ch = if (ct == 0) 1 else 3
+          val raw = new Array[Byte](w * h * ch)
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+            raw(y * w * ch + x * ch + c) =
+              ((x * 7 + y * 11 + c * 29 + id + j * 13) % 256).toByte
+          Pdf.ImageFixture(w, h, ct, raw,
+            x = 72.0 + j * 150, y = 500.0 - j * 160, dispW = w * 9.0, dispH = h * 9.0,
+            predictor = (id + j) % 3 == 0, corrupt = id % 11 == 0 && j == 0)
+        }
+        Seq(Pdf.buildImagesPdf("Fig doc " + id, imgs, compress = id % 2 == 1))
+      }
+      val imgs = Pdf.imagesStage(withPdf, "payload", "imgs")
+        .select(col("doc_id"), posexplode(col("imgs")).as(Seq("img_idx", "im")))
+        .select(col("doc_id"), col("img_idx"), col("im.name").as("name"),
+          col("im.width").as("width"), col("im.height").as("height"),
+          col("im.color_type").as("color_type"), col("im.x").as("x"), col("im.y").as("y"),
+          col("im.disp_w").as("disp_w"), col("im.disp_h").as("disp_h"),
+          col("im.png").as("png"))
+      graft.ops.Image.decodeStatsStage(imgs, "png", "st")
+        .select(col("doc_id"), col("img_idx"), col("name"), col("width"), col("height"),
+          col("color_type"), col("x"), col("y"), col("disp_w"), col("disp_h"),
+          col("st").isNotNull.as("ok"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id", "img_idx")
+    })
+
+  /** pdf9: the composed figure-dedup chain — PDFs in, near-dup image
+    * pairs out. Each doc embeds ONE 9×8 gradient figure carrying d18's
+    * planted 64-bit signature (groups of 4 docs share a base signature,
+    * member m flips m known bits ⇒ in-group Hamming = |m₁−m₂| ≤ 3);
+    * the engine must extract the figure from the PDF (alternating
+    * gray/RGB, every 3rd doc behind a /Predictor stream), re-encode,
+    * dHash, and band — the d18 machinery fed by PDF extraction instead
+    * of raw PNGs. Oracle = d18's signature/banding/Hamming arithmetic,
+    * byte-blind. */
+  val pdf9ImageDedup = Q("pdf9_image_dedup",
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gb, CAST(doc_id % 4 AS INT) AS m FROM documents),
+            bits AS (SELECT doc_id, i,
+                (((((gb * 48271 + i * 16807) % 1000003) * ((gb * 48271 + i * 16807) % 1000003)) % 1000003) < 500002) <>
+                  list_contains(list_transform(range(CAST(m AS BIGINT)), j -> (gb * 7 + j * 19) % 64), i) AS b
+              FROM d, range(0, 64, 1) t(i)),
+            sig AS (SELECT doc_id, string_agg(CASE WHEN b THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+                    FROM bits GROUP BY doc_id),
+            blk AS (SELECT doc_id, sig,
+                concat(CAST(q AS VARCHAR), ':', substr(sig, CAST(q * 16 + 1 AS INT), 16)) AS blk
+              FROM sig, range(0, 4, 1) t(q)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+                     FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+            ham AS (SELECT id_a, id_b,
+                CAST(len(list_filter(range(1, 65, 1), i -> sig_a[i] <> sig_b[i])) AS BIGINT) AS hamming
+              FROM cand)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withPdf = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val gb = id / 4; val m = (id % 4).toInt
+        val bits = Array.tabulate(64) { i =>
+          val v = (gb * 48271L + i * 16807L) % 1000003
+          v * v % 1000003 < 500002
+        }.zipWithIndex.map { case (b0, i) =>
+          b0 != (0 until m).exists(j => (gb * 7 + j * 19) % 64 == i)
+        }
+        val gray = new Array[Int](72)
+        for (y <- 0 until 8) {
+          gray(y * 9) = 128
+          for (x <- 0 until 8)
+            gray(y * 9 + x + 1) = gray(y * 9 + x) + (if (bits(y * 8 + x)) 1 else -1)
+        }
+        val ct = if (id % 2 == 0) 0 else 2
+        val ch = if (ct == 0) 1 else 3
+        val raw = new Array[Byte](72 * ch)
+        for (i <- 0 until 72; c <- 0 until ch) raw(i * ch + c) = gray(i).toByte
+        val fix = Pdf.ImageFixture(9, 8, ct, raw, x = 100.0, y = 400.0,
+          dispW = 90.0, dispH = 80.0, predictor = id % 3 == 0, corrupt = false)
+        Seq(Pdf.buildImagesPdf("Figure page " + id, Seq(fix), compress = id % 2 == 1))
+      }
+      val figs = Pdf.imagesStage(withPdf, "payload", "imgs")
+        .select(col("doc_id"), col("imgs").getItem(0).getField("png").as("png"))
+      val sigs = graft.ops.Image.dhashStage(figs, "png", "sig")
+      graft.ops.Image.imageNearDupPairs(sigs, "doc_id", "sig", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    })
+
   def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge,
-    pdf6TableDetect, pdf7TablePipeline)
+    pdf6TableDetect, pdf7TablePipeline, pdf8ImageExtract, pdf9ImageDedup)
 }

@@ -525,7 +525,13 @@ object TextQueries extends QuerySet {
     * miscounted nested match anywhere hash-fails. Map-only at any corpus
     * size; the automaton builds once at plan time and rides the plan,
     * O(text) per row regardless of dictionary size (vs the O(text ×
-    * patterns) regex loop the reference runs). */
+    * patterns) regex loop the reference runs).
+    *
+    * The per-pattern counts vector is serialized as a JSON string
+    * (`to_json` in both engines) rather than `array<int>`: the driver's
+    * oracle harness canonical-sorts result rows via pandas, which cannot
+    * lexsort an array column — the full counts information stays in the
+    * hash, just as a driver-sortable scalar. */
   val x30Blocklist: Q = {
     val pats = Seq("spark", "park", "ark", "ar", "tab", "table", "t", "str", "stream", "ream", "a")
     val patSqlList = pats.map(p => s"'$p'").mkString("[", ", ", "]")
@@ -536,7 +542,7 @@ object TextQueries extends QuerySet {
       Some(s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
             c AS (SELECT doc_id, $cntExprs AS cnts FROM t)
             SELECT doc_id,
-              list_transform(cnts, x -> CAST(x AS INT)) AS counts,
+              CAST(to_json(list_transform(cnts, x -> CAST(x AS INT))) AS VARCHAR) AS counts,
               CAST(list_aggregate(cnts, 'sum') AS BIGINT) AS total_hits,
               CAST(len(list_filter(cnts, x -> x > 0)) AS INT) AS n_terms,
               ($patSqlList)[CAST(list_position(cnts, list_aggregate(cnts, 'max')) AS INT)] AS top_term
@@ -546,7 +552,7 @@ object TextQueries extends QuerySet {
         val patsArr = array(pats.map(lit): _*)
         documents(s, d)
           .withColumn("counts", call_function("ac_counts", lower(col("text")), patsArr))
-          .select(col("doc_id"), col("counts"),
+          .select(col("doc_id"), to_json(col("counts")).as("counts"),
             aggregate(col("counts"), lit(0L), (acc, x) => acc + x).as("total_hits"),
             size(filter(col("counts"), x => x > 0)).as("n_terms"),
             element_at(patsArr,
@@ -1620,28 +1626,11 @@ object TextQueries extends QuerySet {
     * per-source cardinality in the raw-estimator regime, not the
     * trivially-corrected one. */
   val sk2HllDistinct: Q = {
-    val hd = "'0123456789abcdef'"
-    val a2 = graft.ops.Hll.alphaM2Sql
-    // shared SQL: registers over a distinct (keys, w) stream, then the
-    // estimator; generated twice (whole / merged) with different key sets
-    def regSql(src: String, keys: String) =
-      s"""(SELECT $keys, bucket,
-              max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS rho
-            FROM (SELECT $keys,
-                (strpos($hd, substr(dig, 1, 1)) - 1) * 16 + strpos($hd, substr(dig, 2, 1)) - 1 AS bucket,
-                list_sum(list_transform(range(1, 13), i ->
-                  CAST(strpos($hd, substr(dig, CAST(i AS INT) + 2, 1)) - 1 AS BIGINT)
-                    * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS v
-              FROM (SELECT $keys, md5(w) AS dig FROM (SELECT DISTINCT $keys, w FROM $src)))
-            GROUP BY $keys, bucket)"""
-    def estSql(regs: String) =
-      s"""(SELECT source,
-              CASE WHEN ($a2 / (CAST(256 - present AS DOUBLE) + sp)) <= 640.0 AND present < 256
-                   THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
-                   ELSE $a2 / (CAST(256 - present AS DOUBLE) + sp) END AS est
-            FROM (SELECT source, count(*) AS present,
-                CAST(sum(CAST(round(1.0 / (1::BIGINT << rho), 12) AS DECIMAL(25,15))) AS DOUBLE) AS sp
-              FROM $regs GROUP BY source))"""
+    // shared SQL (Hll.regSql/estSql — the same generators a12b uses):
+    // registers over a distinct (keys, w) stream, then the estimator;
+    // generated twice (whole / merged) with different key sets
+    def regSql(src: String, keys: String) = graft.ops.Hll.regSql(src, keys)
+    def estSql(regs: String) = graft.ops.Hll.estSql(regs, "source")
     Q("sk2_hll_distinct",
       Some(s"""WITH t AS (SELECT doc_id, source, ${OracleSql.toksSql} AS toks FROM documents),
             shl AS (SELECT doc_id, source, ${OracleSql.shinglesSql(4)} AS shingles FROM t),

@@ -256,7 +256,10 @@ object VectorQueries extends QuerySet {
     * true containment-1.0 pairs exist that have LOW Jaccard; the 0.9
     * threshold also re-finds the corpus's symmetric near-dups. Blocking
     * is probe×index on the (df, gram) order: each doc probes with its
-    * 3 globally-rarest shingles against a df≤200 occurrence index. */
+    * 3 globally-rarest shingles (only those with df ≤ 200 — rarer ones
+    * cannot match the index) against a df≤200 occurrence index, with at
+    * most 64 probers kept per gram — per-gram candidate fan-out is thus
+    * deterministically ≤ 64×200 regardless of corpus clustering. */
   val d17Containment = Q("d17_containment_pairs",
     Some(s"""WITH tt AS (SELECT doc_id, text, ${OracleSql.toksSql} AS toks FROM documents),
             src AS (SELECT a.doc_id AS id,
@@ -270,11 +273,15 @@ object VectorQueries extends QuerySet {
             freq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
             keyed AS (SELECT id, df, concat(lpad(CAST(df AS VARCHAR), 10, '0'), chr(1), gram) AS k
                       FROM ex JOIN freq USING (gram)),
-            probes AS (SELECT id, substr(unnest(array_slice(list_sort(list(k)), 1, 3)), 12) AS gram
+            probes AS (SELECT id, unnest(array_slice(list_sort(list(k)), 1, 3)) AS k2
                        FROM keyed GROUP BY id),
+            pf AS (SELECT id, substr(k2, 12) AS gram FROM probes
+                   WHERE CAST(substr(k2, 1, 10) AS BIGINT) <= 200),
+            pcap AS (SELECT gram, unnest(array_slice(list_sort(list(id)), 1, 64)) AS pid
+                     FROM pf GROUP BY gram),
             idx AS (SELECT id, substr(k, 12) AS gram FROM keyed WHERE df <= 200),
-            cand AS (SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
-                     FROM probes a JOIN idx b ON a.gram = b.gram AND a.id <> b.id),
+            cand AS (SELECT DISTINCT least(a.pid, b.id) AS id_a, greatest(a.pid, b.id) AS id_b
+                     FROM pcap a JOIN idx b ON a.gram = b.gram AND a.pid <> b.id),
             v AS (SELECT id_a, id_b,
                 CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
                 CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / CAST(len(ga.grams) AS DOUBLE) AS ca,
@@ -294,7 +301,7 @@ object VectorQueries extends QuerySet {
               greatest(floor((size(col("ptoks")) * 2) / lit(5)), lit(3)).cast("int")), " "))
             .otherwise(col("text")).as("text"))
       Dedup.containmentPairs(planted, "id", "text", w = 3, probeK = 3,
-          indexDfCap = 200, threshold = 0.9)
+          indexDfCap = 200, threshold = 0.9, probeCap = 64)
         .orderBy("id_a", "id_b")
     })
 
@@ -1036,6 +1043,54 @@ object VectorQueries extends QuerySet {
       .agg(approx_count_distinct(col("source")).as("approx_sources"),
         approx_count_distinct(col("doc_id"), 0.02).as("approx_docs"))
       .orderBy("lang"))
+
+  /** a12's capability (per-lang approximate distinct sources / docs) on
+    * the PORTABLE HLL path ([[graft.ops.Hll]], the sk2 register algebra)
+    * instead of Spark's opaque `approx_count_distinct` sketch — so the
+    * approx-distinct capability itself carries a strict DuckDB hash gate
+    * (the oracle replays registers + estimator bit-for-bit), leaving a12
+    * as the documented engine-native alternate. Two register builds, each
+    * ONE (lang, bucket) aggregate emitting ≤ langs×256 rows out of any
+    * corpus size; distinct-sources sits in the linear-counting regime,
+    * distinct-docs in the raw-estimator regime, so both estimator branches
+    * are load-bearing in the hash. */
+  val a12bApproxPortable: Q = {
+    import graft.ops.Hll
+    Q("a12b_approx_distinct_portable",
+      Some(s"""WITH gs AS (SELECT lang, source AS w FROM documents),
+            gd AS (SELECT lang, CAST(doc_id AS VARCHAR) AS w FROM documents),
+            rs AS ${Hll.regSql("gs", "lang")},
+            rd AS ${Hll.regSql("gd", "lang")},
+            es AS ${Hll.estSql("rs", "lang")},
+            ed AS ${Hll.estSql("rd", "lang")},
+            ex AS (SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources_exact,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_exact
+              FROM documents GROUP BY lang)
+            SELECT ex.lang, n_sources_exact, round(es.est, 4) AS est_sources,
+              n_docs_exact, round(ed.est, 4) AS est_docs,
+              round(abs(round(ed.est, 4) - CAST(n_docs_exact AS DOUBLE))
+                / CAST(n_docs_exact AS DOUBLE), 4) AS rel_err_docs
+            FROM ex JOIN es ON es.lang = ex.lang JOIN ed ON ed.lang = ex.lang
+            ORDER BY ex.lang"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        val gs = docs.select(col("lang"), col("source").as("w"))
+        val gd = docs.select(col("lang"), col("doc_id").cast("string").as("w"))
+        val es = Hll.estimate(Hll.registers(gs, Seq("lang"), col("w")), Seq("lang"))
+          .withColumnRenamed("est_distinct", "est_sources")
+        val ed = Hll.estimate(Hll.registers(gd, Seq("lang"), col("w")), Seq("lang"))
+          .withColumnRenamed("est_distinct", "est_docs")
+        val ex = docs.groupBy("lang").agg(
+          countDistinct(col("source")).as("n_sources_exact"),
+          countDistinct(col("doc_id")).as("n_docs_exact"))
+        ex.join(es, Seq("lang")).join(ed, Seq("lang"))
+          .select(col("lang"), col("n_sources_exact"), col("est_sources"),
+            col("n_docs_exact"), col("est_docs"),
+            round(abs(col("est_docs") - col("n_docs_exact").cast("double"))
+              / col("n_docs_exact").cast("double"), 4).as("rel_err_docs"))
+          .orderBy("lang")
+      })
+  }
 
   /** V2 scale path #3: product quantization — each 64-dim vector becomes 4
     * one-byte codes (argmin centroid per 16-dim subspace), scored against a
@@ -2109,7 +2164,7 @@ object VectorQueries extends QuerySet {
   }
 
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
-    v5PqTopK, v5bPqStored, v6IvfPq, a12Approx,
+    v5PqTopK, v5bPqStored, v6IvfPq, a12Approx, a12bApproxPortable,
     d5EmbedDup, d1Exact, d2MinHash,
     d2MinHashPairs, d3SimHash, d4NgramJaccard, d6Decontaminate, d6bDecontaminateBloom, d15Contamination, d7DedupClusters,
     d7bClusterHistogram, d8Incremental, d9SemDedup, d9bSemKeep, d9cLloyd3, hn1HardNeg,
