@@ -732,6 +732,118 @@ object Pdf {
       }))
   }
 
+  // ---------------------------------------------------------------------
+  // PATH (ruling-line) EXTRACTION (round 8): the geometry source for the
+  // Camelot "lattice" flavor (ref `ingestion/table_extractor.py:566-700`
+  // tries lattice — drawn grid lines — BEFORE stream). Path construction
+  // operators (`m`/`l`/`re`/`h`) and painting operators (`S`/`s`/`f`/
+  // `f*`/`B`/`B*`/`n`) live in the same content streams the text parser
+  // already tokenizes; points are CTM-transformed at construction time
+  // per PDF 32000-1 §8.5. Curves (`c`/`v`/`y`) contribute their
+  // endpoints as straight segments — a curve is never a table rule.
+
+  /** One painted straight segment in device space. */
+  final case class Segment(x0: Double, y0: Double, x1: Double, y1: Double)
+
+  /** All PAINTED path segments of a PDF payload in stream order (clipping
+    * `n` paths are dropped; filled paths emit their outline — a
+    * hairline-filled rectangle is how many writers draw rules). Never
+    * throws; broken payloads yield an empty list. */
+  def extractSegments(bytes: Array[Byte]): Seq[Segment] =
+    try parseSegments(contentStreams(bytes))
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def parseSegments(content: String): Seq[Segment] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
+    val path = scala.collection.mutable.ArrayBuffer.empty[Segment]
+    var ctm = Array(1.0, 0, 0, 1, 0, 0)
+    val gs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var cx, cy = 0.0          // current point (device space)
+    var sx, sy = 0.0          // subpath start (for `h`)
+    var hasCurrent = false
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    def num(fromTop: Int): Double =
+      stack.lift(stack.length - fromTop) match { case Some(TNum(v)) => v; case _ => 0.0 }
+    def dev(x: Double, y: Double): (Double, Double) =
+      (x * ctm(0) + y * ctm(2) + ctm(4), x * ctm(1) + y * ctm(3) + ctm(5))
+    def seg(x1: Double, y1: Double): Unit = {
+      path += Segment(cx, cy, x1, y1); cx = x1; cy = y1
+    }
+    for (t <- tokenize(content)) t match {
+      case TOp(op) if !op.startsWith("/") =>
+        op match {
+          case "q" => gs += ctm.clone()
+          case "Q" => if (gs.nonEmpty) ctm = gs.remove(gs.length - 1)
+          case "cm" =>
+            ctm = matMul(Array(num(6), num(5), num(4), num(3), num(2), num(1)), ctm)
+          case "m" =>
+            val (x, y) = dev(num(2), num(1)); cx = x; cy = y; sx = x; sy = y
+            hasCurrent = true
+          case "l" if hasCurrent =>
+            val (x, y) = dev(num(2), num(1)); seg(x, y)
+          case "c" if hasCurrent => // endpoint only (x3 y3 = top 2 operands)
+            val (x, y) = dev(num(2), num(1)); seg(x, y)
+          case "v" | "y" if hasCurrent =>
+            val (x, y) = dev(num(2), num(1)); seg(x, y)
+          case "h" if hasCurrent => seg(sx, sy)
+          case "re" =>
+            val x = num(4); val y = num(3); val w = num(2); val h = num(1)
+            val (ax, ay) = dev(x, y); val (bx, by) = dev(x + w, y)
+            val (cx2, cy2) = dev(x + w, y + h); val (dx, dy) = dev(x, y + h)
+            path += Segment(ax, ay, bx, by) += Segment(bx, by, cx2, cy2) +=
+              Segment(cx2, cy2, dx, dy) += Segment(dx, dy, ax, ay)
+            cx = ax; cy = ay; sx = ax; sy = ay; hasCurrent = true
+          case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
+            out ++= path; path.clear(); hasCurrent = false
+          case "n" => path.clear(); hasCurrent = false
+          case _ => ()
+        }
+        stack.clear()
+      case other => stack += other
+    }
+    out.toSeq
+  }
+
+  /** Distributed path stage: binary `payloadCol` → `outCol` as
+    * `array<struct<x0,y0,x1,y1>>` of painted segments. */
+  def segmentsStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val D = org.apache.spark.sql.types.DoubleType
+    val segType = org.apache.spark.sql.types.StructType(Seq(
+      StructField("x0", D), StructField("y0", D),
+      StructField("x1", D), StructField("y1", D)))
+    Stages.appendFields(df,
+      Seq(StructField(outCol, org.apache.spark.sql.types.ArrayType(segType))))(
+      r => Seq(extractSegments(r.getAs[Array[Byte]](idx))
+        .map(s => org.apache.spark.sql.Row(s.x0, s.y0, s.x1, s.y1))))
+  }
+
+  /** Lattice-fixture builder: positioned text blocks (the
+    * [[buildBlocksPdf]] shape) PLUS drawn grid rules — horizontal rules
+    * (y, x0, x1) and vertical rules (x, y0, y1), each drawn either as an
+    * `m`/`l` stroke or as a hairline (0.5 unit) filled `re` when
+    * `filledRules` (two real writer styles; the extractor must recover
+    * the same grid from either). */
+  def buildLatticePdf(blocks: Seq[(String, Double, Double, Double)],
+                      hRules: Seq[(Double, Double, Double)],
+                      vRules: Seq[(Double, Double, Double)],
+                      filledRules: Boolean,
+                      compress: Boolean): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def n(v: Double) = if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    val shows = blocks.map { case (t, x, y, s) =>
+      s"/F1 ${n(s)} Tf 1 0 0 1 ${n(x)} ${n(y)} Tm (${esc(t)}) Tj "
+    }.mkString
+    val rules =
+      if (filledRules)
+        hRules.map { case (y, x0, x1) => s"${n(x0)} ${n(y - 0.25)} ${n(x1 - x0)} 0.5 re f " }.mkString +
+          vRules.map { case (x, y0, y1) => s"${n(x - 0.25)} ${n(y0)} 0.5 ${n(y1 - y0)} re f " }.mkString
+      else
+        hRules.map { case (y, x0, x1) => s"${n(x0)} ${n(y)} m ${n(x1)} ${n(y)} l S " }.mkString +
+          vRules.map { case (x, y0, y1) => s"${n(x)} ${n(y0)} m ${n(x)} ${n(y1)} l S " }.mkString
+    wrapContent(("BT " + shows + "ET " + rules).getBytes(Ascii), compress)
+  }
+
   /** Distributed layout stage: binary `payloadCol` → `outCol` as
     * `array<struct<text,x,y,size>>`, one payload at a time. Explode
     * downstream with `posexplode` for per-block rows. */

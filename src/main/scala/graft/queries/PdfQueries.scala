@@ -433,6 +433,140 @@ object PdfQueries extends QuerySet {
         .orderBy("id_a", "id_b")
     })
 
+  // ---------------------------------------------------------------------
+  // Round 8: LATTICE (ruling-line) table detection — the flavor the
+  // reference tries FIRST (ref `ingestion/table_extractor.py:566-700`
+  // lattice = drawn grid lines; 785-801 = lattice-beats-stream priority).
+  // [[graft.ops.Pdf.extractSegments]] recovers painted path segments
+  // (m/l strokes AND hairline-filled `re` rules — two real writer
+  // styles), [[graft.ops.TableDetect.detectLattice]] clusters them into
+  // ruled grids and places the extracted text blocks into cells.
+  //
+  // Fixture: one nr×nc grid (nr = doc_id%3+2, nc = doc_id%2+2) anchored
+  // at x = 80+doc_id%7 with 100×30 cells under prose noise, rules drawn
+  // as strokes (even docs) or hairline filled rects (odd docs), plus a
+  // 6-unit decorative stroke that minLen must ignore; doc_id%4=0 docs add
+  // a second 2×2 grid far enough below that maxRowGap splits the tables.
+
+  private def latticeFixture(s: SparkSession, d: String,
+                             streamOnlyMod5: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StructField}
+    // repartition: the parquet scan is one split at test SF, which would
+    // serialize 5000 PDF builds + two parses onto one core; at corpus
+    // scale the input arrives pre-partitioned and this is a no-op shape
+    val base = documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+    graft.ops.Stages.appendFields(base,
+        Seq(StructField("payload", BinaryType))) { r =>
+      val id = r.getLong(0)
+      val nr = (id % 3 + 2).toInt; val nc = (id % 2 + 2).toInt; val sh = (id % 7).toInt
+      val x0 = 80.0 + sh; val ytop = 640.0
+      val blocks = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
+      val hr = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+      val vr = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+      blocks += (("Title " + id, 72.0, 700.0, 16.0))
+      for (i <- 0 until nr; j <- 0 until nc)
+        blocks += (("L" + i + "x" + j + "v" + ((id + i * 7 + j * 13) % 100),
+          x0 + j * 100 + 20, ytop - i * 30 - 20, 10.0))
+      blocks += (("Note " + id, 72.0, 380.0, 10.0))
+      for (i <- 0 to nr) hr += ((ytop - i * 30, x0 - 5, x0 + nc * 100 + 5))
+      for (j <- 0 to nc) vr += ((x0 + j * 100, ytop - nr * 30 - 5, ytop + 5))
+      if (id % 4 == 0) {
+        for (i <- 0 until 2; j <- 0 until 2)
+          blocks += (("M" + i + "x" + j + "v" + ((id * 3 + i * 5 + j * 11) % 100),
+            110.0 + j * 140 + 20, 240.0 - i * 20 - 10, 10.0))
+        for (i <- 0 to 2) hr += ((240.0 - i * 20, 105.0, 395.0))
+        for (j <- 0 to 2) vr += ((110.0 + j * 140, 195.0, 245.0))
+      }
+      blocks += (("Page 1", 72.0, 80.0, 10.0))
+      hr += ((710.0, 300.0, 306.0)) // decorative 6-unit stroke: under minLen
+      val draw = !(streamOnlyMod5 && id % 5 == 0)
+      Seq(Pdf.buildLatticePdf(blocks.toSeq,
+        if (draw) hr.toSeq else Seq.empty, if (draw) vr.toSeq else Seq.empty,
+        filledRules = id % 2 == 1, compress = id % 3 == 0))
+    }
+  }
+
+  private def latticeInputs(withPdf: DataFrame): (DataFrame, DataFrame) = {
+    // localCheckpoint: blocks AND segs (and in pdf11, the stream detector
+    // too) branch off this frame — without materialization every branch
+    // re-builds and re-parses all the PDFs (the d17 lesson); the frame is
+    // one row per doc with two small arrays, the small end of the DAG
+    val both = Pdf.segmentsStage(Pdf.blocksStage(withPdf, "payload", "blocks"),
+      "payload", "segs")
+      .drop("payload")
+      .localCheckpoint()
+    val blocks = both.select(col("doc_id"), explode(col("blocks")).as("b"))
+      .select(col("doc_id"), col("b.text").as("text"),
+        col("b.x").as("x"), col("b.y").as("y"))
+    val segs = both.select(col("doc_id"), explode(col("segs")).as("g"))
+      .select(col("doc_id"), col("g.x0").as("x0"), col("g.y0").as("y0"),
+        col("g.x1").as("x1"), col("g.y1").as("y1"))
+    (segs, blocks)
+  }
+
+  /** Shared oracle CTE: the planted cells (both grids) from doc_id
+    * arithmetic — what BOTH detection flavors must rediscover. */
+  private val latticeCellsCte =
+    """g AS (SELECT doc_id, doc_id % 3 + 2 AS nr, doc_id % 2 + 2 AS nc FROM documents),
+       lt1 AS (SELECT doc_id, 0 AS table_idx, CAST(i AS INT) AS row_idx, CAST(j AS INT) AS col_idx,
+           concat('L', CAST(i AS VARCHAR), 'x', CAST(j AS VARCHAR), 'v',
+             CAST((doc_id + i * 7 + j * 13) % 100 AS VARCHAR)) AS cell_text
+         FROM g, range(0, 4, 1) r(i), range(0, 3, 1) c(j) WHERE i < nr AND j < nc),
+       lt2 AS (SELECT doc_id, 1 AS table_idx, CAST(i AS INT) AS row_idx, CAST(j AS INT) AS col_idx,
+           concat('M', CAST(i AS VARCHAR), 'x', CAST(j AS VARCHAR), 'v',
+             CAST((doc_id * 3 + i * 5 + j * 11) % 100 AS VARCHAR)) AS cell_text
+         FROM (SELECT doc_id FROM g WHERE doc_id % 4 = 0) gg,
+              range(0, 2, 1) r(i), range(0, 2, 1) c(j)),
+       ltc AS (SELECT * FROM lt1 UNION ALL SELECT * FROM lt2)"""
+
+  /** pdf10: ruled grids rediscovered from real drawn geometry — build
+    * (planted grid → stroke/filled-rect path operators → PDF) → segment
+    * extraction → rule clustering → table grouping → cell placement.
+    * The oracle predicts the cells from the planting arithmetic only; a
+    * missed hairline pair-collapse, a decorative stroke absorbed as a
+    * rule, or a maxRowGap split/merge error changes the cell set and
+    * hash-fails. */
+  val pdf10LatticeDetect = Q("pdf10_lattice_detect",
+    Some(s"""WITH $latticeCellsCte
+            SELECT doc_id, table_idx, row_idx, col_idx, cell_text
+            FROM ltc ORDER BY doc_id, table_idx, row_idx, col_idx"""),
+    (s, d) => {
+      val (segs, blocks) = latticeInputs(latticeFixture(s, d, streamOnlyMod5 = false))
+      graft.ops.TableDetect.detectLattice(segs, blocks)
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    })
+
+  /** pdf11: the reference's extractor PRECEDENCE on real geometry —
+    * lattice first, stream only for documents lattice found nothing in
+    * (ref `table_extractor.py:785-801`), composed through the J1
+    * anti-join (keep-missing). Every 5th doc draws NO rules, so its grid
+    * is only text-alignment-detectable; all others must come out of the
+    * lattice path even though their aligned text would also stream-detect
+    * (the anti-join is what keeps the two flavors from double-reporting).
+    * Both flavors must agree on the planted cells — the oracle only
+    * varies the method column. */
+  val pdf11LatticePriority = Q("pdf11_lattice_priority",
+    Some(s"""WITH $latticeCellsCte
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN 'stream' ELSE 'lattice' END AS method,
+              table_idx, row_idx, col_idx, cell_text
+            FROM ltc ORDER BY doc_id, table_idx, row_idx, col_idx"""),
+    (s, d) => {
+      val (segs, blocks) = latticeInputs(latticeFixture(s, d, streamOnlyMod5 = true))
+      val lattice = graft.ops.TableDetect.detectLattice(segs, blocks)
+      val stream = graft.ops.TableDetect.detectTables(
+        blocks.withColumn("font_size", lit(10.0)))
+      val latticeDocs = lattice.select("doc_id").distinct()
+      val streamKept = stream.join(latticeDocs, Seq("doc_id"), "left_anti")
+      lattice.withColumn("method", lit("lattice"))
+        .unionByName(streamKept.withColumn("method", lit("stream")))
+        .select(col("doc_id"), col("method"), col("table_idx"),
+          col("row_idx"), col("col_idx"), col("cell_text"))
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    })
+
   def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge,
-    pdf6TableDetect, pdf7TablePipeline, pdf8ImageExtract, pdf9ImageDedup)
+    pdf6TableDetect, pdf7TablePipeline, pdf8ImageExtract, pdf9ImageDedup,
+    pdf10LatticeDetect, pdf11LatticePriority)
 }

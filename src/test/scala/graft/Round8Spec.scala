@@ -115,6 +115,71 @@ class Round8Spec extends SparkSpec {
     assert(slack.nonEmpty)
   }
 
+  test("Pdf.extractSegments: strokes, filled rects, curves-as-endpoints, clipping dropped") {
+    val content = ("BT ET " +
+      "100 200 m 300 200 l S " +            // stroked line
+      "50 60 20 10 re f " +                 // filled rect → 4 outline segs
+      "0 0 m 10 10 20 20 30 5 c S " +       // curve → endpoint segment
+      "400 400 m 500 400 l n "              // clipping path → dropped
+      ).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // wrap via the minimal shell: reuse buildMinimalPdf's layout by
+    // patching its content — simpler: hand-assemble the one-stream PDF
+    val pdf = ("%PDF-1.4\n4 0 obj << /Length " + content.length + " >> stream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ content ++
+      "\nendstream endobj\ntrailer\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val segs = Pdf.extractSegments(pdf)
+    assert(segs.contains(Pdf.Segment(100, 200, 300, 200)))
+    assert(segs.count(s => s.x0 == 50 || s.x1 == 50) >= 2) // rect outline present
+    assert(segs.contains(Pdf.Segment(0, 0, 30, 5)))        // curve endpoint
+    assert(!segs.exists(s => s.y0 == 400.0 && s.y1 == 400.0 && s.x1 == 500.0))
+  }
+
+  test("Pdf.extractSegments: cm transforms path points; Q restores") {
+    val content = ("q 2 0 0 3 10 20 cm 1 1 m 5 1 l S Q 1 1 m 5 1 l S ")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n4 0 obj << /Length " + content.length + " >> stream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ content ++
+      "\nendstream endobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val segs = Pdf.extractSegments(pdf)
+    // (1,1) under [2 0 0 3 10 20] → (12, 23); (5,1) → (20, 23)
+    assert(segs.head == Pdf.Segment(12, 23, 20, 23))
+    assert(segs(1) == Pdf.Segment(1, 1, 5, 1))
+  }
+
+  test("TableDetect.latticeGrid: hairline pair collapse, decorative drop, table split") {
+    import graft.ops.TableDetect
+    // grid 1: 3 h rules (rows 2) at y 100/70/40, each as a hairline PAIR
+    // (±0.25); 3 v rules at x 10/60/110
+    val hs = Seq(100.25, 99.75, 70.25, 69.75, 40.25, 39.75).map(y => (y, 5.0, 115.0)) ++
+      Seq((300.0, 50.0, 56.0)) ++                  // decorative — too short? len 6 ≥ minLen? pass minLen=10 via filter upstream; latticeGrid sees only rules — simulate pre-filtered input
+      Seq((500.0, 5.0, 115.0))                     // lone far rule: its own group, < minRows+1 → dropped
+    val vs = Seq((10.0, 35.0, 105.0), (60.0, 35.0, 105.0), (110.0, 35.0, 105.0))
+    val cells = TableDetect.latticeGrid(hs, vs, posTol = 2.0, maxRowGap = 60.0,
+      minCols = 2, minRows = 2)
+    // the 300/500 rules: 500 alone and 300 alone (gaps > 60), both single → dropped
+    assert(cells.map(_._1).distinct == Seq(0))
+    assert(cells.map(c => (c._2, c._3)).toSet ==
+      Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    // hairline pairs collapsed: row 0 bounds are the member means
+    val c00 = cells.find(c => c._2 == 0 && c._3 == 0).get
+    assert(c00._6 == 70.0 && c00._7 == 100.0 && c00._4 == 10.0 && c00._5 == 60.0)
+  }
+
+  test("TableDetect.latticeGrid: vertical rules assign per table; two stacked tables") {
+    import graft.ops.TableDetect
+    val hs = Seq(640.0, 610.0, 580.0).map(y => (y, 75.0, 285.0)) ++
+      Seq(240.0, 220.0, 200.0).map(y => (y, 105.0, 395.0))
+    val vs = Seq((80.0, 575.0, 645.0), (180.0, 575.0, 645.0), (280.0, 575.0, 645.0),
+      (110.0, 195.0, 245.0), (250.0, 195.0, 245.0), (390.0, 195.0, 245.0))
+    val cells = TableDetect.latticeGrid(hs, vs, 2.0, 60.0, 2, 2)
+    assert(cells.map(_._1).distinct.sorted == Seq(0, 1))
+    // table 0 (top) uses only the tall vs; table 1 only the short ones
+    val t0cols = cells.filter(_._1 == 0).map(_._4).distinct.sorted
+    assert(t0cols == Seq(80.0, 180.0))
+    val t1cols = cells.filter(_._1 == 1).map(_._4).distinct.sorted
+    assert(t1cols == Seq(110.0, 250.0))
+  }
+
   test("Hll portable estimate: within 20% on a 1k-distinct stream, exact merge algebra") {
     import spark.implicits._
     import graft.ops.Hll
