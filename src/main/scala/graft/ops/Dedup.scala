@@ -117,6 +117,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SKEW-ROBUST LSH dedup: bucket-REPRESENTATIVE assignment instead of
+    * pair enumeration. Real crawls are Zipfian — one host or one
+    * boilerplate template can put 10⁴+ near-identical docs into the same
+    * LSH buckets, and any pair-emitting chain (d2's included) then
+    * materializes O(cluster²) candidates from those buckets. This
+    * operator never enumerates pairs: each band bucket reduces to its
+    * MINIMUM id in one map-side-combinable aggregate (a 10⁴-doc bucket
+    * costs a combiner min, not 10⁸ pair rows), each doc takes the
+    * smallest representative over its buckets, and exactly ONE verify
+    * join per doc computes true Jaccard against that representative.
+    * Per-doc work is O(bands), output is O(N) — cluster-size-independent,
+    * the shape that survives the skew drill.
+    *
+    * Semantics: one-hop first-wins — rep_id is the smallest SAME-BUCKET
+    * doc id (strictly smaller than the doc's own), `is_dup` gates on
+    * exact Jaccard ≥ threshold vs that rep. A rep may itself be a dup of
+    * an earlier rep; transitive closure stays [[connectedComponents]]'s
+    * job (documented trade: this pass is the bounded streaming-friendly
+    * one). Docs that are their buckets' minima everywhere keep
+    * rep_id = null, is_dup = false — they are the retained survivors. */
+  def bucketRepDedup(df: DataFrame, idCol: String, text: Column,
+                     shingleWidth: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
+                     threshold: Double = 0.7): DataFrame = {
+    val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
+      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("sig", minHashSignature(col("hs"), numHashes))
+      .drop("hs")
+      .localCheckpoint() // bands + both verify joins branch from here
+    val bands = base.select(col("id"),
+      explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
+    val reps = bands.groupBy("band").agg(min(col("id")).as("rep"))
+    val cand = bands.join(reps, Seq("band"))
+      .filter(col("id") =!= col("rep"))
+      .groupBy("id").agg(min(col("rep")).as("rep_id"))
+    val verified = cand
+      .join(base.select(col("id"), col("sh").as("sh_a")), Seq("id"))
+      .join(base.select(col("id").as("rep_id"), col("sh").as("sh_b")), Seq("rep_id"))
+      .select(col("id"), col("rep_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jacc"))
+    base.select(col("id")).join(verified, Seq("id"), "left")
+      .select(col("id"), col("rep_id"), col("jacc"),
+        when(col("jacc") >= threshold, true).otherwise(false).as("is_dup"))
+  }
+
   /** SimHash fingerprint over tokens, engine-portable: bit j of the
     * fingerprint is the sign of sum over tokens of (+1 if the j-th hex char
     * of md5(token) is ≥ '8' else -1). Returns a `bits`-char 0/1 string

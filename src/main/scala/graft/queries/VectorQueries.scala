@@ -305,6 +305,57 @@ object VectorQueries extends QuerySet {
         .orderBy("id_a", "id_b")
     })
 
+  /** SKEW DRILL ([[graft.ops.Dedup.bucketRepDedup]]) — the dedup family
+    * under a Zipfian corpus: every 5th doc (20% of the corpus, all on one
+    * host) is a boilerplate-template near-dup of every other (7 variants,
+    * cross-variant Jaccard 0.8; same-variant exact), synthesized from
+    * doc_id arithmetic so the oracle replays the corpus byte-for-byte.
+    * At sf0.1 that is a single ~1000-doc near-dup cluster — the shape
+    * that makes pair-emitting LSH chains materialize O(cluster²)
+    * candidates. The gated operator never enumerates pairs: bucket→min
+    * aggregate, one rep per doc, one verify per doc — output stays O(N)
+    * regardless of cluster size (the k1-salting story applied to dedup).
+    * A wrong bucket min, a dropped variant, or a rep-chain slip changes
+    * rep assignments and hash-fails. */
+  val d20SkewedDedup = Q("d20_skewed_dedup",
+    Some(s"""WITH src AS (SELECT doc_id AS id,
+              CASE WHEN doc_id % 5 = 0
+                THEN concat('mega boiler plate body text alpha beta gamma delta tail ',
+                  CAST(doc_id % 7 AS VARCHAR))
+                ELSE concat('doc ', CAST(doc_id AS VARCHAR), ' unique content token',
+                  CAST(doc_id % 11 AS VARCHAR), ' filler', CAST(doc_id % 13 AS VARCHAR)) END AS text,
+              CASE WHEN doc_id % 5 = 0 THEN 'mega.example'
+                ELSE concat('h', CAST(doc_id % 97 AS VARCHAR), '.example') END AS host
+            FROM documents),
+            ${OracleSql.bandedCtes("", "src", 3, 6, 2)},
+            reps AS (SELECT band, min(id) AS rep FROM bands GROUP BY band),
+            cand AS (SELECT b.id AS id, min(r.rep) AS rep_id
+                     FROM bands b JOIN reps r USING (band)
+                     WHERE r.rep <> b.id GROUP BY b.id),
+            v AS (SELECT c.id, c.rep_id, ${OracleSql.jaccSql} AS jacc
+                  FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id)
+            SELECT s.id AS doc_id, s.host, v.rep_id, round(v.jacc, 6) AS jacc,
+              coalesce(v.jacc >= 0.7, false) AS is_dup
+            FROM src s LEFT JOIN v ON v.id = s.id ORDER BY doc_id"""),
+    (s, d) => {
+      val src = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("mega boiler plate body text alpha beta gamma delta tail "),
+            (col("doc_id") % 7).cast("string")))
+          .otherwise(concat(lit("doc "), col("doc_id").cast("string"),
+            lit(" unique content token"), (col("doc_id") % 11).cast("string"),
+            lit(" filler"), (col("doc_id") % 13).cast("string"))).as("text"),
+        when(col("doc_id") % 5 === 0, "mega.example")
+          .otherwise(concat(lit("h"), (col("doc_id") % 97).cast("string"),
+            lit(".example"))).as("host"))
+      Dedup.bucketRepDedup(src, "doc_id", col("text"),
+          shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.7)
+        .join(src.select(col("doc_id").as("id"), col("host")), Seq("id"))
+        .select(col("id").as("doc_id"), col("host"), col("rep_id"),
+          round(col("jacc"), 6).as("jacc"), col("is_dup"))
+        .orderBy("doc_id")
+    })
+
   /** Text-analysis fingerprint + quality score. */
   val x4Fingerprint = Q("x4_doc_fingerprint",
     Some(s"""WITH t AS (SELECT doc_id AS id, ${OracleSql.toksSql} AS toks FROM documents),
@@ -1794,6 +1845,114 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** REAL baseline JPEG pixel decode, oracle-gated end-to-end (the last
+    * codec-stub seam closed): complete baseline JPEGs — DQT/SOF0/DHT/SOS,
+    * Annex-K Huffman entropy coding, FDCT — are encoded executor-side
+    * from doc_id arithmetic as per-8×8-block CONSTANT images with a flat
+    * quantization step of 8, which makes the lossy DCT round-trip EXACT
+    * (constant blocks carry only a DC coefficient, 8·(v−128), integral
+    * under /8 — see [[graft.ops.Jpeg]]; JpegSpec pins the same contract
+    * through ImageIO's independent decoder). `Jpeg.decode` must recover
+    * the planted pixels through Huffman + dequant + IDCT; the oracle
+    * predicts pixel_sum and the center probe from the same arithmetic,
+    * never seeing bytes. Every 9th payload is truncated mid-scan and
+    * MUST fail closed to null. */
+  val m12JpegDecode = Q("m12_jpeg_decode",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 21 + 4 AS INT) AS w,
+              CAST((doc_id * 3) % 17 + 4 AS INT) AS h
+            FROM documents),
+            s AS (SELECT doc_id, w, h,
+              CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w, 1), k ->
+                ((k % w) // 8 * 7 + (k // w) // 8 * 11 + doc_id) % 256)) AS BIGINT) AS pixel_sum,
+              ((w // 2) // 8 * 7 + (h // 2) // 8 * 11 + doc_id) % 256 AS gray_mid
+            FROM p)
+            SELECT doc_id, doc_id % 9 <> 0 AS ok,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE w END AS width,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE h END AS height,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 1 END AS components,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(gray_mid AS INT) END AS gray_mid
+            FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withJpg = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 21 + 4).toInt; val h = ((id * 3) % 17 + 4).toInt
+        val px = Array.tabulate(w * h) { k =>
+          val x = k % w; val y = k / w
+          (((x / 8) * 7 + (y / 8) * 11 + id) % 256).toByte
+        }
+        val jpg = graft.ops.Jpeg.encodeGray(w, h, px, qStep = 8)
+        Seq(if (id % 9 == 0) java.util.Arrays.copyOf(jpg, jpg.length - 12) else jpg)
+      }
+      graft.ops.Jpeg.decodeStatsStage(withJpg, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.components").as("components"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id")
+    })
+
+  /** JPEG near-dup pairs — d18's planted-signature dedup chain running
+    * on the web's dominant image format END-TO-END: each doc renders a
+    * 72×64 image whose 8×8 BLOCKS are constant at the d18 gradient-walk
+    * values (each dHash cell box-averages exactly one block, so resize
+    * is exact), encodes it as a REAL baseline JPEG (qStep 8 ⇒ lossless
+    * for block constants), and the engine must decode → dHash → band →
+    * verify. Identical oracle arithmetic to d18: one wrong Huffman run,
+    * IDCT slip, or dHash bit changes pair membership and hash-fails. */
+  val m13JpegNearDup = Q("m13_jpeg_neardup_pairs",
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS gb, CAST(doc_id % 4 AS INT) AS m FROM documents),
+            bits AS (SELECT doc_id, i,
+                (((((gb * 48271 + i * 16807) % 1000003) * ((gb * 48271 + i * 16807) % 1000003)) % 1000003) < 500002) <>
+                  list_contains(list_transform(range(CAST(m AS BIGINT)), j -> (gb * 7 + j * 19) % 64), i) AS b
+              FROM d, range(0, 64, 1) t(i)),
+            sig AS (SELECT doc_id, string_agg(CASE WHEN b THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+                    FROM bits GROUP BY doc_id),
+            blk AS (SELECT doc_id, sig,
+                concat(CAST(q AS VARCHAR), ':', substr(sig, CAST(q * 16 + 1 AS INT), 16)) AS blk
+              FROM sig, range(0, 4, 1) t(q)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+                     FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+            ham AS (SELECT id_a, id_b,
+                CAST(len(list_filter(range(1, 65, 1), i -> sig_a[i] <> sig_b[i])) AS BIGINT) AS hamming
+              FROM cand)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withJpg = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val gb = id / 4; val m = (id % 4).toInt
+        val bits = Array.tabulate(64) { i =>
+          val v = (gb * 48271L + i * 16807L) % 1000003
+          v * v % 1000003 < 500002
+        }.zipWithIndex.map { case (b0, i) =>
+          b0 != (0 until m).exists(j => (gb * 7 + j * 19) % 64 == i)
+        }
+        val walk = new Array[Int](72)
+        for (y <- 0 until 8) {
+          walk(y * 9) = 128
+          for (x <- 0 until 8)
+            walk(y * 9 + x + 1) = walk(y * 9 + x) + (if (bits(y * 8 + x)) 1 else -1)
+        }
+        // 72×64: dHash target cell (cx, cy) box-averages exactly the 8×8
+        // block holding walk(cy*9+cx) — resize is exact, bits are planted
+        val px = Array.tabulate(72 * 64) { k =>
+          val x = k % 72; val y = k / 72
+          walk((y / 8) * 9 + (x / 8)).toByte
+        }
+        Seq(graft.ops.Jpeg.encodeGray(72, 64, px, qStep = 8))
+      }
+      val sigs = graft.ops.Jpeg.dhashStage(withJpg, "payload", "sig")
+      graft.ops.Image.imageNearDupPairs(sigs, "doc_id", "sig", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    })
+
   /** Perceptual-hash image near-dup pairs — the multimodal-dedup operator
     * a training pipeline runs over figure/crawl images, gated end-to-end
     * THROUGH the real PNG decode: each doc renders a 9×8 image whose
@@ -2172,5 +2331,6 @@ object VectorQueries extends QuerySet {
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
-    m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve)
+    m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
+    m13JpegNearDup, d20SkewedDedup)
 }

@@ -180,6 +180,27 @@ class Round8Spec extends SparkSpec {
     assert(t1cols == Seq(110.0, 250.0))
   }
 
+  test("Dedup.bucketRepDedup: giant cluster yields O(N) rows, first-wins reps, no cartesian") {
+    import spark.implicits._
+    // 150-doc exact-dup cluster + 150 unique docs: a pair-emitting chain
+    // would materialize 150·149/2 ≈ 11k candidate rows from one bucket
+    val docs = (0 until 300).map { i =>
+      (i.toLong, if (i % 2 == 0) "mega boiler plate body text alpha beta gamma"
+                 else s"unique doc $i with its own content words ${i * 7}")
+    }.toDF("id", "text")
+    val out = graft.ops.Dedup.bucketRepDedup(docs, "id", col("text"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    val rows = out.collect()
+    assert(rows.length == 300, "output must be one row per doc, never per pair")
+    val dups = rows.filter(_.getBoolean(3))
+    // every clone except doc 0 dedups to doc 0 at Jaccard exactly 1
+    assert(dups.map(_.getLong(0)).sorted.toSeq == (2 until 300 by 2).map(_.toLong))
+    assert(dups.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 1.0))
+    // uniques are never flagged
+    assert(rows.filter(r => r.getLong(0) % 2 == 1).forall(!_.getBoolean(3)))
+  }
+
   test("Hll portable estimate: within 20% on a 1k-distinct stream, exact merge algebra") {
     import spark.implicits._
     import graft.ops.Hll
