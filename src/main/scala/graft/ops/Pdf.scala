@@ -541,14 +541,22 @@ object Pdf {
     (objs.toMap, names.toMap)
   }
 
-  /** Decode one image XObject's samples per its dict: optional Flate,
+  /** Decode one image XObject's samples per its dict: /DCTDecode streams
+    * go through the REAL baseline [[Jpeg]] decoder (the format real PDFs
+    * overwhelmingly embed figures in), otherwise optional Flate plus
     * optional PNG predictor (≥ 10) via the [[Image.unfilter]] scanline
-    * arithmetic. None on any size/filter/depth mismatch. */
+    * arithmetic. Returns (channels, samples); None on any size/filter/
+    * depth mismatch — including a JPEG whose own dimensions disagree
+    * with the dict's. */
   private def decodeImageSamples(dict: String, data: Array[Byte],
-                                 w: Int, h: Int, channels: Int): Option[Array[Byte]] = {
+                                 w: Int, h: Int, channels: Int): Option[(Int, Array[Byte])] = {
     val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
     if (bpc != 8) return None
-    if (dict.contains("/DCTDecode") || dict.contains("/LZWDecode")) return None
+    if (dict.contains("/DCTDecode"))
+      return Jpeg.decode(data)
+        .filter(dec => dec.width == w && dec.height == h)
+        .map(dec => (dec.components, dec.pixels))
+    if (dict.contains("/LZWDecode")) return None
     val stride = w * channels
     val inflated: Option[Array[Byte]] =
       if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
@@ -556,8 +564,8 @@ object Pdf {
       val predictor = dictInt(dict, "/Predictor").getOrElse(1)
       if (predictor >= 10) {
         if (d.length != h * (1 + stride)) None
-        else Image.unfilter(d, w, h, channels)
-      } else if (d.length == h * stride) Some(d)
+        else Image.unfilter(d, w, h, channels).map((channels, _))
+      } else if (d.length == h * stride) Some((channels, d))
       else None
     }
   }
@@ -611,10 +619,14 @@ object Pdf {
           w <- dictInt(dict, "/Width") if w > 0 && w <= (1 << 14)
           h <- dictInt(dict, "/Height") if h > 0 && h <= (1 << 14)
         } yield {
-          val channels = if (dict.contains("/DeviceRGB")) 3 else 1
-          val colorType = if (channels == 3) 2 else 0
-          val raw = decodeImageSamples(dict, data, w, h, channels).orNull
-          PdfImage(name, w, h, colorType, raw, ctm(4), ctm(5), ctm(0), ctm(3))
+          val dictChannels = if (dict.contains("/DeviceRGB")) 3 else 1
+          decodeImageSamples(dict, data, w, h, dictChannels) match {
+            case Some((ch, raw)) =>
+              PdfImage(name, w, h, if (ch == 3) 2 else 0, raw, ctm(4), ctm(5), ctm(0), ctm(3))
+            case None => // quarantined: dict metadata kept, no pixels
+              PdfImage(name, w, h, if (dictChannels == 3) 2 else 0, null,
+                ctm(4), ctm(5), ctm(0), ctm(3))
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -627,7 +639,8 @@ object Pdf {
     * quarantine the image (raw = null) without losing its metadata. */
   final case class ImageFixture(w: Int, h: Int, colorType: Int, raw: Array[Byte],
                                 x: Double, y: Double, dispW: Double, dispH: Double,
-                                predictor: Boolean, corrupt: Boolean)
+                                predictor: Boolean, corrupt: Boolean,
+                                dct: Boolean = false)
 
   /** Single-page PDF with `text` plus the given image XObjects, each drawn
     * via `q … cm /ImJ Do Q` — the pdf8/pdf9 fixture builder. Byte-layout
@@ -662,7 +675,17 @@ object Pdf {
     val imObjs = images.zipWithIndex.map { case (im, j) =>
       val ch = if (im.colorType == 2) 3 else 1
       val stride = im.w * ch
-      val samples = if (im.corrupt) java.util.Arrays.copyOf(im.raw, im.raw.length - 1) else im.raw
+      val samples = if (im.corrupt && !im.dct)
+        java.util.Arrays.copyOf(im.raw, im.raw.length - 1) else im.raw
+      if (im.dct) {
+        // real embedded JPEG (/DCTDecode) — gray only, like real scanners
+        require(im.colorType == 0, "DCT fixture images are grayscale")
+        val jpg0 = Jpeg.encodeGray(im.w, im.h, samples)
+        val jpg = if (im.corrupt) java.util.Arrays.copyOf(jpg0, jpg0.length - 12) else jpg0
+        (s"${5 + j} 0 obj << /Type /XObject /Subtype /Image /Width ${im.w} /Height ${im.h} " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode /Length ${jpg.length} >> stream\n",
+          jpg)
+      } else {
       val (data, parms) =
         if (im.predictor && !im.corrupt) {
           val filtered = new java.io.ByteArrayOutputStream(im.h * (stride + 1))
@@ -681,6 +704,7 @@ object Pdf {
       (s"${5 + j} 0 obj << /Type /XObject /Subtype /Image /Width ${im.w} /Height ${im.h} " +
         s"/ColorSpace $cs /BitsPerComponent 8 /Filter /FlateDecode$parms /Length ${data.length} >> stream\n",
         data)
+      }
     }
     val xobj = images.indices.map(j => s"/Im$j ${5 + j} 0 R").mkString(" ")
     val out = new java.io.ByteArrayOutputStream()

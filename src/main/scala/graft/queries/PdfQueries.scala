@@ -566,7 +566,61 @@ object PdfQueries extends QuerySet {
         .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
     })
 
+  /** pdf12: /DCTDecode figure extraction — the filter real PDFs embed
+    * figures in. Each doc's page draws ONE grayscale JPEG XObject
+    * ([[graft.ops.Jpeg.encodeGray]], per-8×8-block-constant pixels at
+    * qStep 8 ⇒ exact DCT round-trip), and [[graft.ops.Pdf.extractImages]]
+    * must route the stream through the real baseline JPEG decoder, then
+    * the PNG re-wrap + [[graft.ops.Image.decodeStatsStage]] pixel probes
+    * — PDF→JPEG→PNG across three real codecs in one chain. Every 9th
+    * payload's JPEG is truncated mid-scan and must surface as
+    * metadata-with-null-pixels. Oracle = the m12 planting arithmetic. */
+  val pdf12DctExtract = Q("pdf12_dct_image_extract",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 21 + 4 AS INT) AS w,
+              CAST((doc_id * 3) % 17 + 4 AS INT) AS h
+            FROM documents),
+            s AS (SELECT doc_id, w, h,
+              CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w, 1), k ->
+                ((k % w) // 8 * 7 + (k // w) // 8 * 11 + doc_id) % 256)) AS BIGINT) AS pixel_sum,
+              ((w // 2) // 8 * 7 + (h // 2) // 8 * 11 + doc_id) % 256 AS gray_mid
+            FROM p)
+            SELECT doc_id, doc_id % 9 <> 0 AS ok, w AS width, h AS height,
+              CAST(72 AS DOUBLE) AS x, CAST(480 AS DOUBLE) AS y,
+              CAST(w * 4 AS DOUBLE) AS disp_w, CAST(h * 4 AS DOUBLE) AS disp_h,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(gray_mid AS INT) END AS gray_mid
+            FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withPdf = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 21 + 4).toInt; val h = ((id * 3) % 17 + 4).toInt
+        val px = Array.tabulate(w * h) { k =>
+          val x = k % w; val y = k / w
+          (((x / 8) * 7 + (y / 8) * 11 + id) % 256).toByte
+        }
+        val fix = Pdf.ImageFixture(w, h, 0, px, x = 72.0, y = 480.0,
+          dispW = w * 4.0, dispH = h * 4.0, predictor = false,
+          corrupt = id % 9 == 0, dct = true)
+        Seq(Pdf.buildImagesPdf("Scan page " + id, Seq(fix), compress = id % 2 == 1))
+      }
+      val imgs = Pdf.imagesStage(withPdf, "payload", "imgs")
+        .select(col("doc_id"), explode(col("imgs")).as("im"))
+        .select(col("doc_id"), col("im.width").as("width"), col("im.height").as("height"),
+          col("im.x").as("x"), col("im.y").as("y"),
+          col("im.disp_w").as("disp_w"), col("im.disp_h").as("disp_h"),
+          col("im.png").as("png"))
+      graft.ops.Image.decodeStatsStage(imgs, "png", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("width"), col("height"), col("x"), col("y"), col("disp_w"), col("disp_h"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge,
     pdf6TableDetect, pdf7TablePipeline, pdf8ImageExtract, pdf9ImageDedup,
-    pdf10LatticeDetect, pdf11LatticePriority)
+    pdf10LatticeDetect, pdf11LatticePriority, pdf12DctExtract)
 }

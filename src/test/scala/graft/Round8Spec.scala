@@ -67,6 +67,26 @@ class Round8Spec extends SparkSpec {
       out(1).x == 5.0 && out(1).y == 7.0)
   }
 
+  test("Pdf.extractImages: /DCTDecode streams decode through the real JPEG decoder") {
+    val w = 19; val h = 11
+    val px = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      (((x / 8) * 31 + (y / 8) * 17 + 40) % 256).toByte // block-constant: exact round-trip
+    }
+    val pdf = Pdf.buildImagesPdf("scan", Seq(
+      Pdf.ImageFixture(w, h, 0, px, 5, 6, 76, 44, predictor = false,
+        corrupt = false, dct = true)), compress = true)
+    val out = Pdf.extractImages(pdf)
+    assert(out.size == 1)
+    assert(out.head.width == w && out.head.height == h && out.head.colorType == 0)
+    assert(java.util.Arrays.equals(out.head.raw, px))
+    // truncated JPEG stream → metadata kept, pixels quarantined
+    val bad = Pdf.extractImages(Pdf.buildImagesPdf("scan", Seq(
+      Pdf.ImageFixture(w, h, 0, px, 5, 6, 76, 44, predictor = false,
+        corrupt = true, dct = true)), compress = false))
+    assert(bad.size == 1 && bad.head.raw == null && bad.head.width == w)
+  }
+
   test("Pdf.extractImages: no images / garbage / text-only PDFs yield empty") {
     assert(Pdf.extractImages(Pdf.buildMinimalPdf("plain", compress = true)).isEmpty)
     assert(Pdf.extractImages(Array[Byte](1, 2, 3)).isEmpty)
