@@ -431,8 +431,12 @@ object Jpeg {
   /** Encode an 8-bit grayscale image as a baseline JPEG. `qStep` is the
     * flat quantization step for every coefficient (8 makes per-block
     * constants exact — see the object doc). Edge blocks pad by edge
-    * replication. */
-  def encodeGray(w: Int, h: Int, pixels: Array[Byte], qStep: Int = 8): Array[Byte] = {
+    * replication. `restartInterval` > 0 emits a DRI segment and RSTn
+    * markers every that-many MCUs (the resync machinery real encoders
+    * use for error resilience — and the decoder path nothing else
+    * exercises). */
+  def encodeGray(w: Int, h: Int, pixels: Array[Byte], qStep: Int = 8,
+                 restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h, "bad dims")
     require(qStep >= 1 && qStep <= 255, "bad qStep")
     val out = new java.io.ByteArrayOutputStream()
@@ -450,6 +454,7 @@ object Jpeg {
     }
     dht(0, StdDcBits, StdDcVals)
     dht(1, StdAcBits, StdAcVals)
+    if (restartInterval > 0) { b(0xff); b(0xdd); b16(4); b16(restartInterval) } // DRI
     b(0xff); b(0xda); b16(6 + 2); b(1); b(1); b(0x00); b(0); b(63); b(0) // SOS
     val dc = huffCodes(StdDcBits, StdDcVals)
     val ac = huffCodes(StdAcBits, StdAcVals)
@@ -457,10 +462,18 @@ object Jpeg {
     val blk = new Array[Double](64)
     val coefQ = new Array[Int](64)
     var pred = 0
+    var mcu = 0
+    var rstN = 0
     var by = 0
     while (by * 8 < h) {
       var bx = 0
       while (bx * 8 < w) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          b(0xff); b(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          pred = 0
+        }
         // load block with edge replication, level-shifted
         var y = 0
         while (y < 8) {
@@ -523,6 +536,7 @@ object Jpeg {
           k += 1
         }
         if (run > 0) { val (c2, l2) = ac(0x00); bw.put(c2, l2) } // EOB
+        mcu += 1
         bx += 1
       }
       by += 1

@@ -108,6 +108,20 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 48, s"maxDiff $maxDiff") // upsampling flavor at edges
   }
 
+  test("restart markers (DRI + RSTn): my decoder and ImageIO both resync") {
+    val (w, h) = (64, 24) // 24 blocks; interval 5 → RST0..RST3 cycle used
+    val px = blockConstant(w, h, 91)
+    val jpg = Jpeg.encodeGray(w, h, px, qStep = 8, restartInterval = 5)
+    // the stream really contains restart markers
+    assert((0 until jpg.length - 1).exists(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) >= 0xd0 && (jpg(i + 1) & 0xff) <= 0xd7))
+    val mine = Jpeg.decode(jpg).get
+    assert(java.util.Arrays.equals(mine.pixels, px))
+    val ref = imageIoDecode(jpg)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) == (px(y * w + x) & 0xff), s"($x,$y)")
+  }
+
   test("garbage, truncation, and progressive scans fail closed") {
     assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.decode(Array.emptyByteArray).isEmpty)
