@@ -19,10 +19,18 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructFiel
   *  - YCbCr→RGB (the JFIF full-range matrix) for 3-component scans;
   *    1-component scans return the gray plane.
   *
+  * Progressive DCT (SOF2) decodes for real too — T.81 Annex G spectral
+  * selection AND successive approximation: multi-scan marker walk with a
+  * per-component coefficient accumulator, DC first/refine scans
+  * (interleaved or not), AC first scans with EOBn run codes, and the
+  * AC refinement correction-bit pass, all with restart support. A
+  * progressive image pays one coefficient buffer (≤16 ints/pixel, so
+  * the decode-size bound is tighter than baseline's).
+  *
   * Out of scope (→ None, never garbage — the crawl quarantine contract):
-  * progressive (SOF2+), arithmetic coding, 12-bit precision, 4-component
-  * CMYK, sampling factors above 2. Any truncation, bad marker, missing
-  * table, or scan overrun also fails closed.
+  * lossless/hierarchical SOFs, arithmetic coding, 12-bit precision,
+  * 4-component CMYK, sampling factors above 2. Any truncation, bad
+  * marker, missing table, or scan overrun also fails closed.
   *
   * The companion [[encodeGray]] writes single-component baseline JPEGs
   * with the Annex K example Huffman tables and a caller-supplied flat
@@ -169,12 +177,25 @@ object Jpeg {
     var cId: Array[Int] = null; var cH: Array[Int] = null
     var cV: Array[Int] = null; var cQ: Array[Int] = null
     var restartInterval = 0
+    // progressive (SOF2) state: coefficients accumulate across scans in
+    // NATURAL order; fullB* is the MCU-padded block grid, compB* the
+    // component's own (non-interleaved-scan) grid
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var fullBW: Array[Int] = null; var fullBH: Array[Int] = null
+    var compBW: Array[Int] = null; var compBH: Array[Int] = null
+    var mcusX = 0; var mcusY = 0
+    var sawScan = false
     var p = 2
     while (true) {
       if (u8(p) != 0xff) fail()
       val m = u8(p + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { p += 2 } // stray SOI/RST
-      else if (m == 0xd9) return None                        // EOI before SOS
+      else if (m == 0xd9) {                                  // EOI
+        return if (progressive && sawScan)
+          finalizeProgressive(w, h, nComp, cH, cV, cQ, qt, coefs, fullBW, fullBH)
+        else None // EOI before any image data
+      }
       else {
         val len = u16(p + 2)
         if (len < 2 || p + 2 + len > bytes.length) fail()
@@ -207,11 +228,14 @@ object Jpeg {
               if (cls == 0) dcT(id) = huff else acT(id) = huff
               q += 17 + n
             }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline/extended, SOF2 progressive
             if (u8(seg) != 8) return None // 12-bit out of scope
+            progressive = m == 0xc2
             h = u16(seg + 1); w = u16(seg + 3); nComp = u8(seg + 5)
             if (w < 1 || h < 1 || (nComp != 1 && nComp != 3)) return None
-            if (w.toLong * h > (1L << 26)) return None // decode-size bound
+            // decode-size bound; tighter for progressive (its coefficient
+            // accumulator costs up to 16 ints/pixel for 3 components)
+            if (w.toLong * h > (if (progressive) 1L << 22 else 1L << 26)) return None
             cId = new Array[Int](nComp); cH = new Array[Int](nComp)
             cV = new Array[Int](nComp); cQ = new Array[Int](nComp)
             var i = 0
@@ -223,10 +247,10 @@ object Jpeg {
               if (cH(i) < 1 || cH(i) > 2 || cV(i) < 1 || cV(i) > 2 || cQ(i) > 3) return None
               i += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic out of scope
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless/hierarchical/arithmetic out of scope
           case 0xdd => restartInterval = u16(seg)
-          case 0xda => // SOS: decode the scan and return
+          case 0xda if !progressive => // baseline SOS: decode the scan and return
             if (cId == null) fail()
             val ns = u8(seg)
             if (ns != nComp) return None
@@ -242,9 +266,53 @@ object Jpeg {
             }
             return decodeScan(bytes, p + 2 + len, w, h, nComp, cH, cV, cQ,
               dcSel, acSel, qt, dcT, acT, restartInterval)
+          case 0xda => // progressive SOS: accumulate this scan, keep walking
+            if (cId == null) fail()
+            if (coefs == null) { // first scan: size the coefficient grids
+              val hMax = cH.max; val vMax = cV.max
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              fullBW = Array.tabulate(nComp)(c => mcusX * cH(c))
+              fullBH = Array.tabulate(nComp)(c => mcusY * cV(c))
+              compBW = Array.tabulate(nComp)(c => ((w * cH(c) + hMax - 1) / hMax + 7) / 8)
+              compBH = Array.tabulate(nComp)(c => ((h * cV(c) + vMax - 1) / vMax + 7) / 8)
+              coefs = Array.tabulate(nComp)(c => new Array[Int](fullBW(c) * fullBH(c) * 64))
+            }
+            val ns = u8(seg)
+            if (ns < 1 || ns > nComp) fail()
+            val scanC = new Array[Int](ns); val sDc = new Array[Int](ns); val sAc = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val sid = u8(seg + 1 + 2 * i)
+              val ci = cId.indexOf(sid)
+              if (ci < 0) fail()
+              scanC(i) = ci
+              sDc(i) = u8(seg + 2 + 2 * i) >> 4
+              sAc(i) = u8(seg + 2 + 2 * i) & 0x0f
+              i += 1
+            }
+            val ss = u8(seg + 1 + 2 * ns); val se = u8(seg + 2 + 2 * ns)
+            val ahal = u8(seg + 3 + 2 * ns)
+            val endPos = decodeProgressiveScan(bytes, p + 2 + len, scanC, sDc, sAc,
+              ss, se, ahal >> 4, ahal & 0x0f, dcT, acT, restartInterval,
+              coefs, fullBW, compBW, compBH, cH, cV, mcusX, mcusY)
+            sawScan = true
+            // resume the marker walk at the next true marker (skip any
+            // entropy-trailing bytes, stuffed FF00s, and stray RSTns)
+            var np = endPos
+            var found = false
+            while (!found) {
+              if (np + 1 >= bytes.length) fail()
+              if (u8(np) == 0xff) {
+                val mm = u8(np + 1)
+                if (mm != 0x00 && !(mm >= 0xd0 && mm <= 0xd7)) found = true
+                else np += 2
+              } else np += 1
+            }
+            p = np
           case _ => () // APPn / COM / other: skip
         }
-        p += 2 + len
+        if (m != 0xda || !progressive) p += 2 + len
       }
     }
     None
@@ -308,34 +376,8 @@ object Jpeg {
                   k += 1
                 }
               }
-              // separable IDCT
-              var v = 0
-              while (v < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) { acc += coef(v * 8 + u) * CosT(x)(u); u += 1 }
-                  block(v * 8 + x) = acc * 0.5
-                  x += 1
-                }
-                v += 1
-              }
-              val px0 = (mx * cH(c) + bx) * 8
-              val py0 = (my * cV(c) + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var vv = 0
-                  while (vv < 8) { acc += block(vv * 8 + x) * CosT(y)(vv); vv += 1 }
-                  planes(c)((py0 + y) * planeW(c) + px0 + x) =
-                    clamp(math.round(acc * 0.5) + 128).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              idctToPlane(coef, block, planes(c), planeW(c),
+                (mx * cH(c) + bx) * 8, (my * cV(c) + by) * 8)
               bx += 1
             }
             by += 1
@@ -347,7 +389,44 @@ object Jpeg {
       }
       my += 1
     }
-    // assemble: replication upsampling + color conversion
+    assemble(w, h, nComp, cH, cV, planes, planeW)
+  }
+
+  /** Dequantized natural-order 8×8 `coef` → separable IDCT → level-shift
+    * and clamp into `plane` at (px0, py0). Shared by the baseline and
+    * progressive paths (identical numerics). */
+  private def idctToPlane(coef: Array[Int], block: Array[Double], plane: Array[Byte],
+                          planeW: Int, px0: Int, py0: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += coef(v * 8 + u) * CosT(x)(u); u += 1 }
+        block(v * 8 + x) = acc * 0.5
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var vv = 0
+        while (vv < 8) { acc += block(vv * 8 + x) * CosT(y)(vv); vv += 1 }
+        plane((py0 + y) * planeW + px0 + x) = clamp(math.round(acc * 0.5) + 128).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Replication upsampling + YCbCr→RGB assembly of component planes. */
+  private def assemble(w: Int, h: Int, nComp: Int, cH: Array[Int], cV: Array[Int],
+                       planes: Array[Array[Byte]], planeW: Array[Int]): Option[Decoded] = {
+    val hMax = cH.max; val vMax = cV.max
     if (nComp == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
@@ -377,6 +456,216 @@ object Jpeg {
       }
       Some(Decoded(w, h, 3, out))
     }
+  }
+
+  /** One progressive scan (T.81 Annex G): accumulate into the
+    * natural-order coefficient store and return the byte position where
+    * entropy decoding stopped (the caller rescans for the next marker).
+    *
+    *  - DC scans (ss=0): interleaved MCU order when ns>1, the
+    *    component's own block raster when ns=1. First pass (ah=0) is
+    *    Huffman DPCM shifted left by `al`; refinement (ah>0) appends one
+    *    bit at weight 2^al.
+    *  - AC scans (ss>0): always single-component. First pass carries
+    *    EOBn band-run codes; refinement interleaves newly-significant
+    *    coefficients (size must be 1) with correction bits for every
+    *    already-nonzero coefficient it passes — including the remainder
+    *    of the block that an EOB lands in.
+    *  - RSTn resets DC predictors AND the EOB run, as in baseline. */
+  private def decodeProgressiveScan(bytes: Array[Byte], start: Int,
+      scanC: Array[Int], sDc: Array[Int], sAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcT: Array[Huff], acT: Array[Huff], restartInterval: Int,
+      coefs: Array[Array[Int]], fullBW: Array[Int],
+      compBW: Array[Int], compBH: Array[Int], cH: Array[Int], cV: Array[Int],
+      mcusX: Int, mcusY: Int): Int = {
+    if (ss > 63 || se > 63 || se < ss || al > 13) fail()
+    val ns = scanC.length
+    val bits = new Bits(bytes, start)
+    val pred = new Array[Int](ns)
+    var eobrun = 0
+    var mcu = 0
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bits.restart()
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    if (ss == 0) { // DC scan
+      if (se != 0) fail()
+      def dcBlock(si: Int, off: Int): Unit =
+        if (ah == 0) {
+          val s = bits.decode(dcT(sDc(si)))
+          if (s > 11) fail()
+          pred(si) += extend(bits.receive(s), s)
+          coefs(scanC(si))(off) = pred(si) << al
+        } else if (bits.bit() == 1) coefs(scanC(si))(off) |= 1 << al
+      if (ah == 0) { var i = 0; while (i < ns) { if (dcT(sDc(i)) == null) fail(); i += 1 } }
+      if (ns == 1) { // non-interleaved: the component's own raster
+        val c = scanC(0)
+        var br = 0
+        while (br < compBH(c)) {
+          var bc = 0
+          while (bc < compBW(c)) {
+            maybeRestart()
+            dcBlock(0, (br * fullBW(c) + bc) * 64)
+            mcu += 1
+            bc += 1
+          }
+          br += 1
+        }
+      } else { // interleaved MCU order
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var si = 0
+            while (si < ns) {
+              val c = scanC(si)
+              var by = 0
+              while (by < cV(c)) {
+                var bx = 0
+                while (bx < cH(c)) {
+                  dcBlock(si, ((my * cV(c) + by) * fullBW(c) + mx * cH(c) + bx) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+    } else { // AC scan: single component, non-interleaved
+      if (ns != 1) fail()
+      val c = scanC(0)
+      val ac = acT(sAc(0))
+      if (ac == null) fail()
+      val cf = coefs(c)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var br = 0
+      while (br < compBH(c)) {
+        var bc = 0
+        while (bc < compBW(c)) {
+          maybeRestart()
+          val off = (br * fullBW(c) + bc) * 64
+          if (ah == 0) { // first pass: EOBn runs + shifted values
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                val rs = bits.decode(ac)
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += bits.receive(r)
+                    done = true
+                  }
+                } else {
+                  k += r
+                  if (k > se) fail()
+                  cf(off + Zigzag(k)) = extend(bits.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else { // refinement: new values + correction bits
+            var k = ss
+            var blockEob = eobrun > 0
+            if (blockEob) eobrun -= 1
+            while (k <= se && !blockEob) {
+              val rs = bits.decode(ac)
+              var r = rs >> 4; val s = rs & 0x0f
+              var newVal = 0
+              if (s == 0) {
+                if (r != 15) {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += bits.receive(r)
+                  blockEob = true
+                }
+                // r == 15: ZRL — skip 16 zero-history positions
+              } else {
+                if (s != 1) fail()
+                newVal = if (bits.bit() == 1) p1 else m1
+              }
+              if (!blockEob) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = off + Zigzag(k)
+                  if (cf(idx) != 0) {
+                    if (bits.bit() == 1 && (cf(idx) & p1) == 0)
+                      cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+                  } else if (r == 0) {
+                    if (newVal != 0) cf(idx) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0) fail() // ran off the band
+              }
+            }
+            if (blockEob) { // correction bits through the rest of the band
+              while (k <= se) {
+                val idx = off + Zigzag(k)
+                if (cf(idx) != 0) {
+                  if (bits.bit() == 1 && (cf(idx) & p1) == 0)
+                    cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+                }
+                k += 1
+              }
+            }
+          }
+          mcu += 1
+          bc += 1
+        }
+        br += 1
+      }
+    }
+    bits.pos
+  }
+
+  /** After the last progressive scan: dequantize the accumulated
+    * coefficients, IDCT every padded-grid block, assemble. */
+  private def finalizeProgressive(w: Int, h: Int, nComp: Int,
+      cH: Array[Int], cV: Array[Int], cQ: Array[Int], qt: Array[Array[Int]],
+      coefs: Array[Array[Int]], fullBW: Array[Int], fullBH: Array[Int]): Option[Decoded] = {
+    val planeW = new Array[Int](nComp)
+    val planes = new Array[Array[Byte]](nComp)
+    val deq = new Array[Int](64)
+    val block = new Array[Double](64)
+    var c = 0
+    while (c < nComp) {
+      if (qt(cQ(c)) == null) fail()
+      val qNat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qNat(Zigzag(k)) = qt(cQ(c))(k); k += 1 }
+      planeW(c) = fullBW(c) * 8
+      planes(c) = new Array[Byte](planeW(c) * fullBH(c) * 8)
+      val cf = coefs(c)
+      var br = 0
+      while (br < fullBH(c)) {
+        var bc = 0
+        while (bc < fullBW(c)) {
+          val off = (br * fullBW(c) + bc) * 64
+          var i = 0
+          while (i < 64) { deq(i) = cf(off + i) * qNat(i); i += 1 }
+          idctToPlane(deq, block, planes(c), planeW(c), bc * 8, br * 8)
+          bc += 1
+        }
+        br += 1
+      }
+      c += 1
+    }
+    assemble(w, h, nComp, cH, cV, planes, planeW)
   }
 
   // ---------------------------------------------------------------------
@@ -474,44 +763,7 @@ object Jpeg {
           rstN = (rstN + 1) % 8
           pred = 0
         }
-        // load block with edge replication, level-shifted
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val sy = math.min(by * 8 + y, h - 1)
-            val sx = math.min(bx * 8 + x, w - 1)
-            blk(y * 8 + x) = (pixels(sy * w + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // FDCT (separable) + flat quant, emitted in zigzag order
-        val tmp = new Array[Double](64)
-        var v = 0
-        while (v < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var yy = 0
-            while (yy < 8) { acc += blk(yy * 8 + x) * CosT(yy)(v); yy += 1 }
-            tmp(v * 8 + x) = acc * 0.5
-            x += 1
-          }
-          v += 1
-        }
-        var u = 0
-        while (u < 8) {
-          var vv = 0
-          while (vv < 8) {
-            var acc = 0.0
-            var xx = 0
-            while (xx < 8) { acc += tmp(vv * 8 + xx) * CosT(xx)(u); xx += 1 }
-            coefQ(vv * 8 + u) = math.round(acc * 0.5 / qStep).toInt
-            vv += 1
-          }
-          u += 1
-        }
+        fdctQuantBlock(pixels, w, h, bx, by, qStep, blk, coefQ)
         // DC
         val diff = coefQ(0) - pred
         pred = coefQ(0)
@@ -542,6 +794,139 @@ object Jpeg {
       by += 1
     }
     bw.flush()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Block (bx, by) of a gray image: edge-replicated load, level shift,
+    * separable FDCT, flat quantization into natural-order `coefQ`. */
+  private def fdctQuantBlock(pixels: Array[Byte], w: Int, h: Int, bx: Int, by: Int,
+                             qStep: Int, blk: Array[Double], coefQ: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sy = math.min(by * 8 + y, h - 1)
+        val sx = math.min(bx * 8 + x, w - 1)
+        blk(y * 8 + x) = (pixels(sy * w + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 8) { acc += blk(yy * 8 + x) * CosT(yy)(v); yy += 1 }
+        tmp(v * 8 + x) = acc * 0.5
+        x += 1
+      }
+      v += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var vv = 0
+      while (vv < 8) {
+        var acc = 0.0
+        var xx = 0
+        while (xx < 8) { acc += tmp(vv * 8 + xx) * CosT(xx)(u); xx += 1 }
+        coefQ(vv * 8 + u) = math.round(acc * 0.5 / qStep).toInt
+        vv += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Encode an 8-bit grayscale image as a PROGRESSIVE (SOF2) JPEG with a
+    * three-scan script exercising both Annex G dimensions: DC first pass
+    * at Al=1 (point transform), the full 1–63 AC band as a spectral-
+    * selection scan, then the DC successive-approximation refinement
+    * bit. Same flat-quant contract as [[encodeGray]] (qStep 8 + per-block
+    * constants round-trip exactly); AC-refinement DECODE is exercised by
+    * ImageIO's own progressive writer in JpegSpec, whose default script
+    * successively approximates AC too. */
+  def encodeGrayProgressive(w: Int, h: Int, pixels: Array[Byte], qStep: Int = 8): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h, "bad dims")
+    require(qStep >= 1 && qStep <= 255, "bad qStep")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); b16(2 + 1 + 64); b(0x00)
+    var i = 0
+    while (i < 64) { b(qStep); i += 1 }
+    b(0xff); b(0xc2); b16(8 + 3); b(8); b16(h); b16(w); b(1) // SOF2, 1 comp
+    b(1); b(0x11); b(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      b(0xff); b(0xc4); b16(2 + 1 + 16 + vals.length); b(cls << 4)
+      bits.foreach(b); vals.foreach(b)
+    }
+    dht(0, StdDcBits, StdDcVals)
+    dht(1, StdAcBits, StdAcVals)
+    val dc = huffCodes(StdDcBits, StdDcVals)
+    val ac = huffCodes(StdAcBits, StdAcVals)
+    // all blocks up front (raster order, natural-order coefficients)
+    val bwB = (w + 7) / 8; val bhB = (h + 7) / 8
+    val blk = new Array[Double](64)
+    val blocks = Array.tabulate(bhB * bwB) { bi =>
+      val coefQ = new Array[Int](64)
+      fdctQuantBlock(pixels, w, h, bi % bwB, bi / bwB, qStep, blk, coefQ)
+      coefQ
+    }
+    def sos(ss: Int, se: Int, ahal: Int): Unit = {
+      b(0xff); b(0xda); b16(6 + 2); b(1); b(1); b(0x00); b(ss); b(se); b(ahal)
+    }
+    // scan 1: DC first pass, Al=1 — DPCM over the point-transformed DCs
+    sos(0, 0, 0x01)
+    locally {
+      val bw = new BitWriter(out)
+      var pred = 0
+      blocks.foreach { cq =>
+        val cur = cq(0) >> 1
+        val diff = cur - pred
+        pred = cur
+        val s = category(diff)
+        val (c0, l0) = dc(s)
+        bw.put(c0, l0)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      bw.flush()
+    }
+    // scan 2: the whole AC band as one spectral-selection scan, Al=0
+    // (EOB0 per block — a valid degenerate EOBn run)
+    sos(1, 63, 0x00)
+    locally {
+      val bw = new BitWriter(out)
+      blocks.foreach { cq =>
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val cv = cq(Zigzag(k))
+          if (cv == 0) run += 1
+          else {
+            while (run >= 16) { val (c0, l0) = ac(0xf0); bw.put(c0, l0); run -= 16 }
+            val sz = category(cv)
+            val (c1, l1) = ac((run << 4) | sz)
+            bw.put(c1, l1)
+            bw.put(if (cv < 0) cv + (1 << sz) - 1 else cv, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c2, l2) = ac(0x00); bw.put(c2, l2) }
+      }
+      bw.flush()
+    }
+    // scan 3: DC refinement — the bit dropped by scan 1's point transform
+    sos(0, 0, 0x10)
+    locally {
+      val bw = new BitWriter(out)
+      blocks.foreach(cq => bw.put(cq(0) & 1, 1))
+      bw.flush()
+    }
     b(0xff); b(0xd9) // EOI
     out.toByteArray
   }

@@ -1953,6 +1953,57 @@ object VectorQueries extends QuerySet {
         .orderBy("id_a", "id_b")
     })
 
+  /** PROGRESSIVE (SOF2) JPEG pixel decode, oracle-gated end-to-end: the
+    * m12 contract on the multi-scan path. Executor-side fixtures are
+    * encoded with [[graft.ops.Jpeg.encodeGrayProgressive]]'s three-scan
+    * script (DC first pass at Al=1, the 1–63 AC band as a spectral-
+    * selection scan, then the DC successive-approximation refinement
+    * bit), so a decoder that ignored the refinement scan would be off by
+    * one gray level on odd DCs and hash-fail. Block-constant pixels +
+    * flat qStep 8 keep the round trip exact (see m12); the oracle
+    * predicts pixel_sum and the center probe arithmetically. Every 11th
+    * payload is truncated mid-scan and MUST fail closed to null.
+    * JpegSpec pins the same decoder against ImageIO's own progressive
+    * writer (real AC-refinement scans). */
+  val m14ProgressiveDecode = Q("m14_progressive_decode",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 19 + 4 AS INT) AS w,
+              CAST((doc_id * 5) % 15 + 4 AS INT) AS h
+            FROM documents),
+            s AS (SELECT doc_id, w, h,
+              CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w, 1), k ->
+                ((k % w) // 8 * 13 + (k // w) // 8 * 5 + doc_id) % 256)) AS BIGINT) AS pixel_sum,
+              ((w // 2) // 8 * 13 + (h // 2) // 8 * 5 + doc_id) % 256 AS gray_mid
+            FROM p)
+            SELECT doc_id, doc_id % 11 <> 0 AS ok,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE w END AS width,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE h END AS height,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 1 END AS components,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE CAST(gray_mid AS INT) END AS gray_mid
+            FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withJpg = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 19 + 4).toInt; val h = ((id * 5) % 15 + 4).toInt
+        val px = Array.tabulate(w * h) { k =>
+          val x = k % w; val y = k / w
+          (((x / 8) * 13 + (y / 8) * 5 + id) % 256).toByte
+        }
+        val jpg = graft.ops.Jpeg.encodeGrayProgressive(w, h, px, qStep = 8)
+        Seq(if (id % 11 == 0) java.util.Arrays.copyOf(jpg, jpg.length - 10) else jpg)
+      }
+      graft.ops.Jpeg.decodeStatsStage(withJpg, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.components").as("components"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id")
+    })
+
   /** Perceptual-hash image near-dup pairs — the multimodal-dedup operator
     * a training pipeline runs over figure/crawl images, gated end-to-end
     * THROUGH the real PNG decode: each doc renders a 9×8 image whose
@@ -2332,5 +2383,5 @@ object VectorQueries extends QuerySet {
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
-    m13JpegNearDup, d20SkewedDedup)
+    m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode)
 }
