@@ -17,4 +17,15 @@ object Stages {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions(rows => rows.map(r => Row.fromSeq(r.toSeq ++ f(r))))(enc)
   }
+
+  /** One input row → N output rows, each the input row plus one of `f`'s
+    * extension tuples (the row-wise explode for container payloads like
+    * [[Avi.frameStatsStage]] where one binary yields per-member rows).
+    * Output rows stream through the same single-encoder mapPartitions. */
+  def explodeFields(df: DataFrame, newFields: Seq[StructField])(f: Row => Seq[Seq[Any]]): DataFrame = {
+    val outSchema = newFields.foldLeft(df.schema)(_ add _)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions(rows =>
+      rows.flatMap(r => f(r).iterator.map(ext => Row.fromSeq(r.toSeq ++ ext))))(enc)
+  }
 }

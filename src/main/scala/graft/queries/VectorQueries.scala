@@ -2004,6 +2004,73 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** REAL video-frame pixel decode, oracle-gated end-to-end: Motion-JPEG
+    * in an AVI (RIFF) container — the m12/m14 JPEG stack behind a
+    * container walk ([[graft.ops.Avi]]), one output ROW PER FRAME. Each
+    * doc builds an AVI with 1–3 planted block-constant frames, baseline
+    * and PROGRESSIVE JPEG frames alternating, so one stream exercises
+    * both entropy layouts behind one 'vids'/'MJPG' stream header. Both
+    * quarantine granularities are gated: every 13th CONTAINER is
+    * truncated (one all-null row, container_ok=false) and every 5th
+    * doc's LAST FRAME carries corrupt JPEG bytes (frame_ok=false row,
+    * container still sound). The oracle predicts per-frame pixel sums
+    * and the avih timing/frame-count fields arithmetically. */
+  val m15MjpegFrames = Q("m15_mjpeg_frames",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 13 + 4 AS INT) AS w,
+              CAST((doc_id * 7) % 11 + 4 AS INT) AS h,
+              CAST(doc_id % 3 + 1 AS INT) AS nf,
+              CAST(33000 + doc_id % 100 AS INT) AS upf
+            FROM documents),
+            f AS (SELECT p.*, CAST(t.f AS INT) AS f
+                  FROM p, range(0, 3, 1) t(f) WHERE t.f < p.nf AND doc_id % 13 <> 0),
+            s AS (SELECT doc_id, w, h, nf, upf, f,
+              NOT (doc_id % 5 = 0 AND f = nf - 1) AS fok,
+              CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w, 1), k ->
+                ((k % w) // 8 * 3 + (k // w) // 8 * 7 + doc_id + 17 * f) % 256)) AS BIGINT) AS ps,
+              CAST(((w // 2) // 8 * 3 + (h // 2) // 8 * 7 + doc_id + 17 * f) % 256 AS INT) AS gm
+            FROM f)
+            SELECT doc_id, true AS container_ok, upf AS us_per_frame,
+              nf AS declared_frames, w AS width, h AS height, f AS frame_idx,
+              fok AS frame_ok,
+              CASE WHEN fok THEN ps END AS pixel_sum,
+              CASE WHEN fok THEN gm END AS gray_mid
+            FROM s
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 13 = 0
+            ORDER BY doc_id, frame_idx"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withAvi = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 4).toInt; val h = ((id * 7) % 11 + 4).toInt
+        val nf = (id % 3 + 1).toInt; val upf = (33000 + id % 100).toInt
+        val frames = (0 until nf).map { f =>
+          val px = Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            (((x / 8) * 3 + (y / 8) * 7 + id + 17 * f) % 256).toByte
+          }
+          val jpg = if (f % 2 == 0) graft.ops.Jpeg.encodeGray(w, h, px)
+                    else graft.ops.Jpeg.encodeGrayProgressive(w, h, px)
+          if (id % 5 == 0 && f == nf - 1) java.util.Arrays.copyOf(jpg, jpg.length - 8)
+          else jpg
+        }
+        val avi = graft.ops.Avi.encodeMjpegAvi(w, h, upf, frames)
+        Seq(if (id % 13 == 0) java.util.Arrays.copyOf(avi, avi.length - 8) else avi)
+      }
+      graft.ops.Avi.frameStatsStage(withAvi, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("container_ok"),
+          col("st.us_per_frame").as("us_per_frame"),
+          col("st.declared_frames").as("declared_frames"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.frame_idx").as("frame_idx"), col("st.frame_ok").as("frame_ok"),
+          col("st.pixel_sum").as("pixel_sum"), col("st.gray_mid").as("gray_mid"))
+        .orderBy("doc_id", "frame_idx")
+    })
+
   /** Perceptual-hash image near-dup pairs — the multimodal-dedup operator
     * a training pipeline runs over figure/crawl images, gated end-to-end
     * THROUGH the real PNG decode: each doc renders a 9×8 image whose
@@ -2383,5 +2450,5 @@ object VectorQueries extends QuerySet {
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
-    m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode)
+    m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames)
 }
