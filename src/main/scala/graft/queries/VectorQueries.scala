@@ -2071,6 +2071,82 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "frame_idx")
     })
 
+  /** WebDataset shard ingestion, oracle-gated end-to-end: the standard
+    * large-scale multimodal training layout — .tar shards whose members
+    * group into samples by basename (`<key>.jpg` + `<key>.txt` +
+    * `<key>.cls`). Each doc builds a REAL checksummed ustar shard
+    * ([[graft.ops.Tar]], differential-tested against GNU tar) holding
+    * 2–4 samples; the engine walks members (checksums verified), masks
+    * the image bytes through the REAL JPEG decode, and reassembles
+    * samples with ONE hash aggregate (conditional pivot on extension —
+    * no joins, one shuffle on (shard, key), which is why the layout
+    * scales). Every 13th shard has a corrupted header byte and must
+    * quarantine whole (shard_ok=false row): a torn shard must never
+    * yield silently-partial samples. */
+  val wds1WebDataset = Q("wds1_webdataset_samples",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 10 + 4 AS INT) AS w,
+              CAST((doc_id * 3) % 9 + 4 AS INT) AS h,
+              CAST(doc_id % 3 + 2 AS INT) AS ns FROM documents),
+            k AS (SELECT p.*, CAST(t.k AS INT) AS k
+                  FROM p, range(0, 4, 1) t(k) WHERE t.k < p.ns AND doc_id % 13 <> 0),
+            s AS (SELECT doc_id, w, h, k,
+              concat(CAST(doc_id AS VARCHAR), '_', CAST(k AS VARCHAR)) AS sample_key,
+              CAST((doc_id + k) % 20 + 5 AS INT) AS caption_len,
+              CAST((doc_id + 2 * k) % 10 AS INT) AS label,
+              CAST(list_sum(list_transform(range(0, CAST(h AS BIGINT) * w, 1), i ->
+                ((i % w) // 8 * 5 + (i // w) // 8 * 3 + doc_id + 7 * k) % 256)) AS BIGINT) AS pixel_sum
+            FROM k)
+            SELECT doc_id, true AS shard_ok, sample_key, caption_len, label,
+              w AS width, h AS height, pixel_sum
+            FROM s
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 13 = 0
+            ORDER BY doc_id, sample_key"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withTar = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val w = (id % 10 + 4).toInt; val h = ((id * 3) % 9 + 4).toInt
+        val ns = (id % 3 + 2).toInt
+        val members = (0 until ns).flatMap { k =>
+          val key = s"${id}_$k"
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            (((x / 8) * 5 + (y / 8) * 3 + id + 7 * k) % 256).toByte
+          }
+          Seq(s"$key.jpg" -> graft.ops.Jpeg.encodeGray(w, h, px),
+            s"$key.txt" -> ("c" * (((id + k) % 20).toInt + 5)).getBytes("UTF-8"),
+            s"$key.cls" -> ((id + 2 * k) % 10).toString.getBytes("UTF-8"))
+        }
+        val tar = graft.ops.Tar.encodeTar(members)
+        if (id % 13 == 0) tar(1) = (tar(1) ^ 0x01).toByte // checksum break
+        Seq(tar)
+      }
+      val m = graft.ops.Tar.memberStage(withTar, "payload", "m")
+      val bad = m.filter(col("m").isNull).select(col("doc_id"),
+        lit(false).as("shard_ok"), lit(null).cast("string").as("sample_key"),
+        lit(null).cast("int").as("caption_len"), lit(null).cast("int").as("label"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("bigint").as("pixel_sum"))
+      val members = m.filter(col("m").isNotNull)
+        .select(col("doc_id"), col("m.sample_key").as("sample_key"),
+          col("m.ext").as("ext"), col("m.data").as("data"))
+        .withColumn("jpg_data", when(col("ext") === "jpg", col("data")))
+      val withSt = graft.ops.Jpeg.decodeStatsStage(members, "jpg_data", "st")
+      withSt.groupBy("doc_id", "sample_key").agg(
+          max(when(col("ext") === "txt", length(col("data").cast("string")))).as("caption_len"),
+          max(when(col("ext") === "cls", col("data").cast("string").cast("int"))).as("label"),
+          max(col("st.width")).as("width"), max(col("st.height")).as("height"),
+          max(col("st.pixel_sum")).as("pixel_sum"))
+        .select(col("doc_id"), lit(true).as("shard_ok"), col("sample_key"),
+          col("caption_len"), col("label"), col("width"), col("height"), col("pixel_sum"))
+        .unionByName(bad)
+        .orderBy("doc_id", "sample_key")
+    })
+
   /** Perceptual-hash image near-dup pairs — the multimodal-dedup operator
     * a training pipeline runs over figure/crawl images, gated end-to-end
     * THROUGH the real PNG decode: each doc renders a 9×8 image whose
@@ -2450,5 +2526,6 @@ object VectorQueries extends QuerySet {
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
-    m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames)
+    m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
+    wds1WebDataset)
 }
