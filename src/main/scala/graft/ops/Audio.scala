@@ -51,12 +51,35 @@ object Audio {
   private def ascii(bytes: Array[Byte], pos: Int): String =
     new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Decode a PCM WAV payload to exact signal features. Supports format
-    * tag 1 (linear PCM), 8-bit unsigned and 16-bit signed LE samples,
-    * any channel count >= 1; chunk order is free (fmt after a JUNK/LIST
-    * chunk, data before fmt) and odd-sized chunks honor RIFF's pad byte.
-    * None on: short/garbage header, missing fmt or data chunk within the
-    * hop budget, non-PCM format, unsupported bit depth, a data chunk
+  /** G.711 µ-law expansion (ITU-T G.711, the s16 convention shared by
+    * the common codec implementations): byte → signed linear sample. */
+  private[graft] def ulawToLinear(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion (even-bit inversion, segmented): byte →
+    * signed linear sample. */
+  private[graft] def alawToLinear(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    val seg = (a >> 4) & 7
+    val m = a & 0x0f
+    val mag = if (seg == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Decode a WAV payload to exact signal features. Supports format
+    * tag 1 (linear PCM; 8-bit unsigned and 16-bit signed LE), tag 6
+    * (G.711 A-law) and tag 7 (G.711 µ-law) — the telephony/speech-corpus
+    * encodings, expanded per sample with the exact integer G.711
+    * formulas so features stay hashable. Any channel count >= 1; chunk
+    * order is free (fmt after a JUNK/LIST chunk, data before fmt) and
+    * odd-sized chunks honor RIFF's pad byte. None on: short/garbage
+    * header, missing fmt or data chunk within the hop budget, other
+    * format tags, unsupported bit depth (G.711 requires 8), a data chunk
     * that is truncated, not frame-aligned, or larger than `maxBytes`. */
   def decodeWavPcm(bytes: Array[Byte], silenceThreshold: Int = 50,
                    maxBytes: Int = 1 << 26, maxHops: Int = 16): Option[PcmFeatures] = {
@@ -82,7 +105,9 @@ object Audio {
     val channels = le(bytes, fmtOff + 2, 2).toInt
     val sampleRate = le(bytes, fmtOff + 4, 4)
     val bits = le(bytes, fmtOff + 14, 2).toInt
-    if (formatTag != 1 || channels < 1 || (bits != 8 && bits != 16)) return None
+    if (formatTag != 1 && formatTag != 6 && formatTag != 7) return None
+    if (channels < 1 || (bits != 8 && bits != 16)) return None
+    if (formatTag != 1 && bits != 8) return None // G.711 is an 8-bit code
     if (sampleRate < 1 || sampleRate > Int.MaxValue) return None
     val bytesPerSample = bits / 8
     val frameBytes = channels * bytesPerSample
@@ -95,9 +120,13 @@ object Audio {
     var sumSq = 0L
     var zc = 0L
     var silent = 0L
-    def sample(k: Int): Int =
-      if (bits == 8) (bytes(dataOff + k) & 0xff) - 128
-      else (le(bytes, dataOff + k * 2, 2).toShort).toInt
+    def sample(k: Int): Int = formatTag match {
+      case 7 => ulawToLinear(bytes(dataOff + k) & 0xff)
+      case 6 => alawToLinear(bytes(dataOff + k) & 0xff)
+      case _ =>
+        if (bits == 8) (bytes(dataOff + k) & 0xff) - 128
+        else (le(bytes, dataOff + k * 2, 2).toShort).toInt
+    }
     var k = 0
     while (k < nSamples) {
       val s = sample(k)

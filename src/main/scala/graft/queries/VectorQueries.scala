@@ -2071,6 +2071,78 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "frame_idx")
     })
 
+  /** G.711 µ-law/A-law sample decode (WAV format tags 7/6), oracle-gated
+    * end-to-end: the telephony/speech-corpus encoding behind most
+    * call-center and ASR training audio. Payloads are synthesized
+    * executor-side as 8-bit G.711 WAVs; [[graft.ops.Audio.decodeWavPcm]]
+    * expands each code with the EXACT integer G.711 formulas (differential-
+    * tested against the JDK's independent javax.sound codecs on all 256
+    * codes) and the oracle re-derives the expansion arithmetically in
+    * SQL — one wrong bias, shift, or sign convention hash-fails. Every
+    * 7th payload is garbage and must quarantine to null. */
+  val m16G711 = Q("m16_g711_features",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 20 AS INT) AS f,
+              (doc_id % 2 = 0) AS isu FROM documents),
+            s AS (SELECT doc_id, f, isu,
+              list_transform(
+                list_transform(range(0, CAST(f AS BIGINT), 1), k -> (doc_id * 11 + k * 29) % 256),
+                b -> CASE WHEN isu THEN
+                    CASE WHEN 255 - b >= 128
+                      THEN -((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132)
+                      ELSE (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132 END
+                  ELSE
+                    (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+                    (CASE WHEN ((xor(b, 85) // 16) % 8) = 0 THEN (xor(b, 85) % 16) * 16 + 8
+                          ELSE ((xor(b, 85) % 16) * 16 + 264) << (((xor(b, 85) // 16) % 8) - 1) END)
+                  END) AS sm
+            FROM p),
+            feat AS (SELECT doc_id, f, isu,
+              CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak,
+              CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS sum_sq,
+              CAST(len(list_filter(range(1, len(sm), 1),
+                k -> (sm[k] < 0) <> (sm[k + 1] < 0))) AS BIGINT) AS zero_cross,
+              CAST(len(list_filter(sm, x -> abs(x) < 50)) AS BIGINT) AS silent
+            FROM s)
+            SELECT doc_id, doc_id % 7 <> 0 AS ok,
+              CASE WHEN doc_id % 7 = 0 THEN NULL
+                   WHEN isu THEN 'ulaw' ELSE 'alaw' END AS codec,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE f END AS n_frames,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE peak END AS peak,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE sum_sq END AS sum_sq,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE zero_cross END AS zero_cross,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE silent END AS silent
+            FROM feat ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withWav = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        if (id % 7 == 0) Seq(Array[Byte](0x13, 0x37))
+        else {
+          val f = (id % 40 + 20).toInt
+          val tag = if (id % 2 == 0) 7 else 6
+          val out = new java.io.ByteArrayOutputStream(64 + f)
+          def s4(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+          def le(v: Long, len: Int): Unit =
+            (0 until len).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+          s4("RIFF"); le(36 + f, 4); s4("WAVE")
+          s4("fmt "); le(16, 4); le(tag, 2); le(1, 2); le(8000, 4); le(8000, 4); le(1, 2); le(8, 2)
+          s4("data"); le(f, 4)
+          (0 until f).foreach(k => out.write(((id * 11 + k * 29) % 256).toInt))
+          Seq(out.toByteArray)
+        }
+      }
+      graft.ops.Audio.pcmFeatureStage(withWav, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          when(col("st").isNull, lit(null).cast("string"))
+            .when(col("doc_id") % 2 === 0, lit("ulaw")).otherwise(lit("alaw")).as("codec"),
+          col("st.n_frames").as("n_frames"), col("st.peak").as("peak"),
+          col("st.sum_sq").as("sum_sq"), col("st.zero_cross").as("zero_cross"),
+          col("st.silent").as("silent"))
+        .orderBy("doc_id")
+    })
+
   /** WebDataset shard ingestion, oracle-gated end-to-end: the standard
     * large-scale multimodal training layout — .tar shards whose members
     * group into samples by basename (`<key>.jpg` + `<key>.txt` +
@@ -2527,5 +2599,5 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset)
+    wds1WebDataset, m16G711)
 }
