@@ -2071,6 +2071,66 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "frame_idx")
     })
 
+  /** TFRecord + tf.Example ingestion, oracle-gated end-to-end: the
+    * TensorFlow training-data interchange format ([[graft.ops.TfRecord]])
+    * — length framing with BOTH masked-CRC32C checksums verified per
+    * record, then a real protobuf varint/tag walk pulling the
+    * conventional features (label int64, tokens int64 list, text bytes).
+    * Both quarantine levels are gated: every 13th shard has a flipped
+    * data byte (CRC mismatch → the WHOLE shard nulls, framing is
+    * sequential) and every 5th shard carries one CRC-sound record whose
+    * protobuf is broken (parsed=false row, the rest of the shard
+    * survives). The oracle predicts labels/token sums arithmetically. */
+  val tfr1TfExample = Q("tfr1_tfexample_records",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nr FROM documents),
+            r AS (SELECT p.*, CAST(t.j AS INT) AS j
+                  FROM p, range(0, 3, 1) t(j) WHERE t.j < p.nr AND doc_id % 13 <> 0),
+            s AS (SELECT doc_id, j AS record_idx, true AS parsed,
+              CAST((doc_id + j) % 10 AS BIGINT) AS label,
+              CAST((doc_id + j) % 5 + 1 AS INT) AS n_tokens,
+              CAST(list_sum(list_transform(range(0, CAST((doc_id + j) % 5 + 1 AS BIGINT), 1), t ->
+                (doc_id * 7 + j * 3 + t) % 1000)) AS BIGINT) AS token_sum,
+              CAST((doc_id + j) % 9 + 3 AS INT) AS text_len
+            FROM r)
+            SELECT doc_id, true AS shard_ok, record_idx, parsed, label,
+              n_tokens, token_sum, text_len
+            FROM s
+            UNION ALL
+            SELECT doc_id, true, CAST(doc_id % 3 + 1 AS INT), false,
+              NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 13 = 0
+            ORDER BY doc_id, record_idx"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withShard = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val nr = (id % 3 + 1).toInt
+        val recs = (0 until nr).map { j =>
+          val nt = ((id + j) % 5 + 1).toInt
+          graft.ops.TfRecord.encodeExample((id + j) % 10,
+            (0 until nt).map(t => (id * 7 + j * 3 + t) % 1000),
+            ("t" * (((id + j) % 9).toInt + 3)).getBytes("UTF-8"))
+        }
+        val all = if (id % 5 == 0 && id % 13 != 0)
+          recs :+ Array[Byte](0x0A, 0xFF.toByte) // CRC-sound frame, broken proto
+        else recs
+        val shard = graft.ops.TfRecord.encodeShard(all)
+        if (id % 13 == 0) shard(14) = (shard(14) ^ 0x40).toByte // data CRC break
+        Seq(shard)
+      }
+      graft.ops.TfRecord.exampleStage(withShard, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("shard_ok"),
+          col("st.record_idx").as("record_idx"), col("st.parsed").as("parsed"),
+          col("st.label").as("label"), col("st.n_tokens").as("n_tokens"),
+          col("st.token_sum").as("token_sum"), col("st.text_len").as("text_len"))
+        .orderBy("doc_id", "record_idx")
+    })
+
   /** G.711 µ-law/A-law sample decode (WAV format tags 7/6), oracle-gated
     * end-to-end: the telephony/speech-corpus encoding behind most
     * call-center and ASR training audio. Payloads are synthesized
@@ -2599,5 +2659,5 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711)
+    wds1WebDataset, m16G711, tfr1TfExample)
 }
