@@ -2071,6 +2071,103 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "frame_idx")
     })
 
+  /** DOCX (office-document) text extraction, oracle-gated end-to-end:
+    * the enterprise-corpus path. Each doc builds a REAL ZIP
+    * ([[graft.ops.Zip]], differential-tested against java.util.zip both
+    * directions) holding a deflated `word/document.xml` with 1–4 planted
+    * paragraphs (XML entities included, so unescaping is load-bearing);
+    * the engine finds the EOCD, walks the central directory, raw-
+    * inflates the part, verifies CRC-32, and pulls `<w:t>` run text —
+    * the FULL extracted string is a hashed output column. Every 13th
+    * container has a corrupt EOCD (whole-payload null); every 7th has a
+    * corrupt deflate stream in the document part (text null, member
+    * listing still sound). */
+  val docx1Text = Q("docx1_text_extract",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS np FROM documents),
+            t AS (SELECT doc_id, np,
+              string_agg('P' || CAST(j AS VARCHAR) || ' & ' ||
+                         repeat('w', CAST((doc_id + j) % 12 AS INT)), chr(10) ORDER BY j) AS text
+              FROM p, range(0, 4, 1) r(j) WHERE r.j < p.np GROUP BY doc_id, np)
+            SELECT doc_id, doc_id % 13 <> 0 AS zip_ok,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 2 END AS n_members,
+              CASE WHEN doc_id % 13 = 0 OR doc_id % 7 = 0 THEN NULL ELSE text END AS text
+            FROM t ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withZip = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val np = (id % 4 + 1).toInt
+        val paras = (0 until np).map(j =>
+          s"<w:p><w:r><w:t>P$j &amp; ${"w" * ((id + j) % 12).toInt}</w:t></w:r></w:p>").mkString
+        val xml = s"<w:document><w:body>$paras</w:body></w:document>"
+        val zip = graft.ops.Zip.encodeZip(Seq(
+          ("[Content_Types].xml", "<Types/>".getBytes("UTF-8"), false),
+          ("word/document.xml", xml.getBytes("UTF-8"), true)))
+        // member 2's deflate stream starts at a fixed offset for this layout
+        if (id % 7 == 0 && id % 13 != 0) zip(104) = (zip(104) ^ 0x04).toByte
+        if (id % 13 == 0) zip(zip.length - 20) = (zip(zip.length - 20) ^ 0x40).toByte // EOCD
+        Seq(zip)
+      }
+      graft.ops.Zip.docxStage(withZip, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("zip_ok"),
+          col("st.n_members").as("n_members"), col("st.text").as("text"))
+        .orderBy("doc_id")
+    })
+
+  /** XLSX cell extraction, oracle-gated end-to-end: workbooks are ZIPs
+    * of SpreadsheetML parts ([[graft.ops.Xlsx]] over the [[graft.ops.Zip]]
+    * walk) — the engine raw-inflates `xl/worksheets/sheet1.xml` AND
+    * `xl/sharedStrings.xml`, resolves `t="s"` cells through the string
+    * table (entity unescaping load-bearing), decodes A1-style refs to
+    * ordinals, and emits one row per cell with string/number values
+    * verbatim. Every 5th workbook's A1 cell carries an out-of-range
+    * shared-string index (null-VALUE cell, listing sound); every 13th
+    * has a corrupt EOCD (whole-payload null). */
+  val xlsx1Cells = Q("xlsx1_cells",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS nr FROM documents),
+            r AS (SELECT p.*, CAST(t.r AS INT) AS r
+                  FROM p, range(1, 5, 1) t(r) WHERE t.r <= p.nr AND doc_id % 13 <> 0),
+            cells AS (
+              SELECT doc_id, 'A' || CAST(r AS VARCHAR) AS ref, r AS row, 1 AS col,
+                CASE WHEN doc_id % 5 = 0 AND r = 1 THEN NULL
+                     ELSE 's-' || CAST(doc_id AS VARCHAR) || '-' || CAST((r + doc_id) % 3 AS VARCHAR) ||
+                          CASE WHEN (r + doc_id) % 3 = 2 THEN ' & co' ELSE '' END END AS str_val,
+                CAST(NULL AS VARCHAR) AS num_val
+              FROM r
+              UNION ALL
+              SELECT doc_id, 'B' || CAST(r AS VARCHAR), r, 2, NULL,
+                CAST((doc_id * 13 + r) % 1000 AS VARCHAR)
+              FROM r)
+            SELECT doc_id, true AS xlsx_ok, ref, row, col, str_val, num_val FROM cells
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 13 = 0
+            ORDER BY doc_id, row, col"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withXlsx = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val nr = (id % 3 + 2).toInt
+        val shared = (0 until 3).map(k => s"s-$id-$k" + (if (k == 2) " & co" else ""))
+        val cells = (1 to nr).flatMap { rw =>
+          val sIdx = if (id % 5 == 0 && rw == 1) 7 else ((rw + id) % 3).toInt
+          Seq(s"A$rw" -> Left(sIdx), s"B$rw" -> Right(((id * 13 + rw) % 1000).toString))
+        }
+        val xlsx = graft.ops.Xlsx.encodeXlsx(shared, cells)
+        if (id % 13 == 0) xlsx(xlsx.length - 20) = (xlsx(xlsx.length - 20) ^ 0x40).toByte
+        Seq(xlsx)
+      }
+      graft.ops.Xlsx.cellStage(withXlsx, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("xlsx_ok"),
+          col("st.ref").as("ref"), col("st.row").as("row"), col("st.col").as("col"),
+          col("st.str_val").as("str_val"), col("st.num_val").as("num_val"))
+        .orderBy("doc_id", "row", "col")
+    })
+
   /** TFRecord + tf.Example ingestion, oracle-gated end-to-end: the
     * TensorFlow training-data interchange format ([[graft.ops.TfRecord]])
     * — length framing with BOTH masked-CRC32C checksums verified per
@@ -2659,5 +2756,5 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample)
+    wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells)
 }
