@@ -2300,6 +2300,39 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** WebP header dims ([[graft.ops.Webp]]) — the modern crawl image
+    * format, all three container variants (VP8 lossy 14-bit dims after
+    * the start code, VP8L lossless 14+14-bit packing, VP8X 24-bit
+    * canvas), oracle-gated like m2/m6. Every 9th payload is truncated
+    * mid-header and must null. */
+  val m17WebpDims = Q("m17_webp_dims",
+    Some("""WITH p AS (SELECT doc_id,
+              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END AS variant,
+              CAST(doc_id % 300 + 1 AS INT) AS w,
+              CAST((doc_id * 7) % 200 + 1 AS INT) AS h
+            FROM documents)
+            SELECT doc_id, doc_id % 9 <> 0 AS ok,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE variant END AS variant,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE w END AS width,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE h END AS height
+            FROM p ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withWebp = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val v = Seq("vp8", "vp8l", "vp8x")((id % 3).toInt)
+        val webp = graft.ops.Webp.encode(v, (id % 300 + 1).toInt, ((id * 7) % 200 + 1).toInt)
+        Seq(if (id % 9 == 0) java.util.Arrays.copyOf(webp, 24) else webp)
+      }
+      graft.ops.Webp.dimsStage(withWebp, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.variant").as("variant"),
+          col("st.width").as("width"), col("st.height").as("height"))
+        .orderBy("doc_id")
+    })
+
   /** WebDataset shard ingestion, oracle-gated end-to-end: the standard
     * large-scale multimodal training layout — .tar shards whose members
     * group into samples by basename (`<key>.jpg` + `<key>.txt` +
@@ -2756,5 +2789,5 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells)
+    wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims)
 }
