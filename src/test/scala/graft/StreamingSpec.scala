@@ -439,6 +439,50 @@ class StreamingSpec extends SparkSpec {
       "ledger after N micro-batches must be set-identical to the one-shot sketch")
   }
 
+  test("WebDataset tar shards stream through foreachBatch, matching the batch assembly") {
+    // the 100 TB ingest loop for shard corpora: shards land as binary rows,
+    // each micro-batch walks members, decodes images, reassembles samples —
+    // the wds1 shape running incrementally with no semantic drift
+    import graft.ops.{Jpeg, Tar}
+    val shards = (0 until 12).map { s =>
+      val members = (0 until 2).flatMap { k =>
+        val key = s"${s}_$k"
+        val v = (s * 31 + k * 7) % 256
+        Seq(s"$key.jpg" -> Jpeg.encodeGray(8, 8, Array.fill(64)(v.toByte)),
+          s"$key.cls" -> ((s + k) % 10).toString.getBytes("UTF-8"))
+      }
+      (s.toLong, Tar.encodeTar(members))
+    }
+    import spark.implicits._
+    val df = shards.toDF("shard_id", "payload")
+    val dir = "/tmp/graft_stream_wds"
+    df.repartition(3).write.mode("overwrite").parquet(dir) // several micro-batch files
+    def assemble(b: org.apache.spark.sql.DataFrame) = {
+      val m = Tar.memberStage(b, "payload", "m").filter(col("m").isNotNull)
+        .select(col("shard_id"), col("m.sample_key").as("sample_key"),
+          col("m.ext").as("ext"), col("m.data").as("data"))
+        .withColumn("jpg_data", when(col("ext") === "jpg", col("data")))
+      Jpeg.decodeStatsStage(m, "jpg_data", "st")
+        .groupBy("shard_id", "sample_key")
+        .agg(max(when(col("ext") === "cls", col("data").cast("string").cast("int"))).as("label"),
+          max(col("st.pixel_sum")).as("pixel_sum"))
+    }
+    val acc = scala.collection.mutable.Set[(Long, String, Int, Long)]()
+    val q = spark.readStream.schema(df.schema).parquet(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assemble(b).collect().foreach(r => acc.synchronized {
+          acc += ((r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        })
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming shard ingest did not finish in time")
+    val expected = assemble(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(acc.toSet == expected && expected.size == 24)
+    // and the planted values really flowed through the JPEG decode
+    assert(acc.exists { case (s, _, _, ps) => ps == 64L * ((s * 31) % 256) })
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
