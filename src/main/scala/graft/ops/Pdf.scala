@@ -640,7 +640,7 @@ object Pdf {
   final case class ImageFixture(w: Int, h: Int, colorType: Int, raw: Array[Byte],
                                 x: Double, y: Double, dispW: Double, dispH: Double,
                                 predictor: Boolean, corrupt: Boolean,
-                                dct: Boolean = false)
+                                dct: Boolean = false, progressiveDct: Boolean = false)
 
   /** Single-page PDF with `text` plus the given image XObjects, each drawn
     * via `q … cm /ImJ Do Q` — the pdf8/pdf9 fixture builder. Byte-layout
@@ -680,7 +680,8 @@ object Pdf {
       if (im.dct) {
         // real embedded JPEG (/DCTDecode) — gray only, like real scanners
         require(im.colorType == 0, "DCT fixture images are grayscale")
-        val jpg0 = Jpeg.encodeGray(im.w, im.h, samples)
+        val jpg0 = if (im.progressiveDct) Jpeg.encodeGrayProgressive(im.w, im.h, samples)
+                   else Jpeg.encodeGray(im.w, im.h, samples)
         val jpg = if (im.corrupt) java.util.Arrays.copyOf(jpg0, jpg0.length - 12) else jpg0
         (s"${5 + j} 0 obj << /Type /XObject /Subtype /Image /Width ${im.w} /Height ${im.h} " +
           s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode /Length ${jpg.length} >> stream\n",

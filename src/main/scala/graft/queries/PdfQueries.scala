@@ -568,11 +568,13 @@ object PdfQueries extends QuerySet {
 
   /** pdf12: /DCTDecode figure extraction — the filter real PDFs embed
     * figures in. Each doc's page draws ONE grayscale JPEG XObject
-    * ([[graft.ops.Jpeg.encodeGray]], per-8×8-block-constant pixels at
-    * qStep 8 ⇒ exact DCT round-trip), and [[graft.ops.Pdf.extractImages]]
-    * must route the stream through the real baseline JPEG decoder, then
-    * the PNG re-wrap + [[graft.ops.Image.decodeStatsStage]] pixel probes
-    * — PDF→JPEG→PNG across three real codecs in one chain. Every 9th
+    * (per-8×8-block-constant pixels at qStep 8 ⇒ exact DCT round-trip;
+    * every 3rd doc embeds a PROGRESSIVE JPEG — real scanners emit both —
+    * and the pixel oracle is encoder-invariant because both encoders
+    * quantize the same FDCT), and [[graft.ops.Pdf.extractImages]] must
+    * route the stream through the real JPEG decoder, then the PNG
+    * re-wrap + [[graft.ops.Image.decodeStatsStage]] pixel probes —
+    * PDF→JPEG→PNG across three real codecs in one chain. Every 9th
     * payload's JPEG is truncated mid-scan and must surface as
     * metadata-with-null-pixels. Oracle = the m12 planting arithmetic. */
   val pdf12DctExtract = Q("pdf12_dct_image_extract",
@@ -604,7 +606,7 @@ object PdfQueries extends QuerySet {
         }
         val fix = Pdf.ImageFixture(w, h, 0, px, x = 72.0, y = 480.0,
           dispW = w * 4.0, dispH = h * 4.0, predictor = false,
-          corrupt = id % 9 == 0, dct = true)
+          corrupt = id % 9 == 0, dct = true, progressiveDct = id % 3 == 2)
         Seq(Pdf.buildImagesPdf("Scan page " + id, Seq(fix), compress = id % 2 == 1))
       }
       val imgs = Pdf.imagesStage(withPdf, "payload", "imgs")
