@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Content-based format detection + routed decode health — the ingest
+  * front door for a mixed binary corpus. The reference routes uploads
+  * by file extension (`backend/services/document_service.py`); at crawl
+  * scale extensions lie, so the engine sniffs magic bytes and routes
+  * each payload to the matching walker already in the engine, emitting
+  * a per-payload health verdict. One map-only pass; the per-format
+  * decode stages stay the deep gates (m2/m5/m15/wds1/…) — this is the
+  * dispatcher above them.
+  *
+  * Detection order matters where magics nest (RIFF discriminates on the
+  * form fourcc; TAR has its magic at offset 257; TFRecord has NO magic
+  * and is detected LAST by verifying the first record's masked CRC32C —
+  * a 1-in-2³² false-positive rate on truly unknown bytes). */
+object Sniff {
+
+  /** Best-effort format tag, "unknown" when nothing matches. */
+  def detect(b: Array[Byte]): String = {
+    if (b == null || b.length < 8) return "unknown"
+    def at(p: Int, s: String): Boolean =
+      p + s.length <= b.length && (0 until s.length).forall(i => (b(p + i) & 0xff) == s.charAt(i))
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && at(1, "PNG") &&
+        (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a && (b(6) & 0xff) == 0x1a &&
+        (b(7) & 0xff) == 0x0a) "png"
+    else if (at(0, "GIF87a") || at(0, "GIF89a")) "gif"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (at(0, "%PDF-")) "pdf"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(0, "RIFF") && at(8, "WEBP")) "webp"
+    else if (at(0, "PK") && (b(2) & 0xff) == 0x03 && (b(3) & 0xff) == 0x04) "zip"
+    else if (b.length >= 265 && at(257, "ustar")) "tar"
+    else if (at(4, "ftyp")) "mp4"
+    else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
+    else if (at(0, "WARC/")) "warc"
+    else if (b.length >= 16 && TfRecord.readRecords(b, maxRecords = 1 << 20).nonEmpty) "tfrecord"
+    else "unknown"
+  }
+
+  /** Route to the matching walker and report whether it accepts the
+    * payload. Formats whose deep decode lives elsewhere get their
+    * container walk here (health = the walk's quarantine verdict). */
+  def healthy(fmt: String, b: Array[Byte]): Boolean = fmt match {
+    case "png" => Image.decodePng(b).nonEmpty
+    case "gif" => Gif.decodeGif(b).nonEmpty
+    case "jpeg" => Jpeg.decode(b).nonEmpty
+    case "wav" => Audio.decodeWavPcm(b).nonEmpty
+    case "avi" => Avi.decodeMjpeg(b).exists(m => m.frames.forall(_.ok))
+    case "webp" => Webp.dims(b).nonEmpty
+    case "zip" => Zip.listEntries(b).exists(es => es.forall(e => Zip.extract(b, e).nonEmpty))
+    case "tar" => Tar.listMembers(b).nonEmpty
+    case "tfrecord" => TfRecord.readRecords(b).nonEmpty
+    case _ => false
+  }
+
+  /** The Spark seam: (format, ok) per payload. */
+  def routeStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val sch = StructType(Seq(
+      StructField("format", StringType), StructField("ok", BooleanType)))
+    Stages.appendFields(df, Seq(StructField(outCol, sch)))( r => {
+      val b = r.getAs[Array[Byte]](idx)
+      val fmt = detect(b)
+      Seq(org.apache.spark.sql.Row(fmt, fmt != "unknown" && healthy(fmt, b)))
+    })
+  }
+}

@@ -2333,6 +2333,71 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Content-based format routing ([[graft.ops.Sniff]]): the ingest
+    * front door for a mixed binary corpus — extensions lie at crawl
+    * scale, so payloads are sniffed by magic bytes and routed to the
+    * matching container/codec walk for a health verdict, one map-only
+    * pass over NINE formats (every fixture encoder in the engine feeds
+    * one). Every 5th payload is corrupted in a format-appropriate way:
+    * detection survives (the magic is intact) but health fails —
+    * except TFRecord, which has NO magic (detected by first-record CRC)
+    * and so correctly degrades to `unknown` when corrupt. */
+  val sniff1Router = Q("sniff1_format_router",
+    Some("""WITH p AS (SELECT doc_id,
+              CASE CAST(doc_id % 9 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+                WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'webp'
+                WHEN 6 THEN 'zip' WHEN 7 THEN 'tar' ELSE 'tfrecord' END AS fmt,
+              doc_id % 5 = 0 AS corrupt
+            FROM documents)
+            SELECT doc_id,
+              CASE WHEN corrupt AND fmt = 'tfrecord' THEN 'unknown' ELSE fmt END AS format,
+              NOT corrupt AS ok
+            FROM p ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops._
+      val base = documents(s, d).select("doc_id")
+      val withPayload = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val v = (id % 251).toInt
+        val good: Array[Byte] = (id % 9).toInt match {
+          case 0 => Image.encodePng(4, 4, 0, Array.tabulate(16)(k => ((k * 7 + v) % 256).toByte))
+          case 1 => Gif.encodeGif(4, 4, Array.tabulate(12)(k => ((k * 21 + v) % 256).toByte),
+            Array.fill(16)(((v % 4)).toByte))
+          case 2 => Jpeg.encodeGray(8, 8, Array.fill(64)(v.toByte))
+          case 3 =>
+            val o = new java.io.ByteArrayOutputStream()
+            def le(x: Long, n: Int): Unit = (0 until n).foreach(i => o.write(((x >> (8 * i)) & 0xff).toInt))
+            o.write("RIFF".getBytes("US-ASCII")); le(36 + 8, 4); o.write("WAVE".getBytes("US-ASCII"))
+            o.write("fmt ".getBytes("US-ASCII")); le(16, 4); le(1, 2); le(1, 2); le(8000, 4); le(8000, 4); le(1, 2); le(8, 2)
+            o.write("data".getBytes("US-ASCII")); le(8, 4); (0 until 8).foreach(k => o.write((k * 31 + v) % 256))
+            o.toByteArray
+          case 4 => Avi.encodeMjpegAvi(8, 8, 40000, Seq(Jpeg.encodeGray(8, 8, Array.fill(64)(v.toByte))))
+          case 5 => Webp.encode("vp8", (v % 40) + 1, (v % 30) + 1)
+          case 6 => Zip.encodeZip(Seq(("a.txt", s"hello-$id".getBytes("UTF-8"), true)))
+          case 7 => Tar.encodeTar(Seq(("a.txt", s"hello-$id".getBytes("UTF-8"))))
+          case _ => TfRecord.encodeShard(Seq(TfRecord.encodeExample(id % 10, Seq(v.toLong), "x".getBytes)))
+        }
+        val out = if (id % 5 != 0) good else (id % 9).toInt match {
+          case 0 => val b = good.clone(); b(b.length - 8) = (b(b.length - 8) ^ 0x11).toByte; b
+          case 1 => java.util.Arrays.copyOf(good, good.length - 4)
+          case 2 => java.util.Arrays.copyOf(good, good.length - 12)
+          case 3 => java.util.Arrays.copyOf(good, good.length - 3)
+          case 4 => java.util.Arrays.copyOf(good, good.length - 8)
+          case 5 => val b = good.clone(); b(23) = 0x00; b
+          case 6 => val b = good.clone(); b(b.length - 20) = (b(b.length - 20) ^ 0x40).toByte; b
+          case 7 => val b = good.clone(); b(1) = (b(1) ^ 0x01).toByte; b
+          case _ => val b = good.clone(); b(14) = (b(14) ^ 0x40).toByte; b
+        }
+        Seq(out)
+      }
+      graft.ops.Sniff.routeStage(withPayload, "payload", "st")
+        .select(col("doc_id"), col("st.format").as("format"), col("st.ok").as("ok"))
+        .orderBy("doc_id")
+    })
+
   /** WebDataset shard ingestion, oracle-gated end-to-end: the standard
     * large-scale multimodal training layout — .tar shards whose members
     * group into samples by basename (`<key>.jpg` + `<key>.txt` +
@@ -2789,5 +2854,6 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims)
+    wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
+    sniff1Router)
 }
