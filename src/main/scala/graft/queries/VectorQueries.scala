@@ -2168,6 +2168,69 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "row", "col")
     })
 
+  /** XLSX → reference table pipeline, composed end-to-end: extracted
+    * workbook cells assemble into the `array<array<string>>` table shape
+    * every reference table operator consumes, then run the REAL P5
+    * clean ([[graft.ops.TableOps.cleanRows]] — the planted double-space
+    * cells must collapse), the F22 role rule
+    * ([[graft.ops.TableOps.tableRole]] — headers planted to hit all
+    * three branches), and the J2 content hash
+    * ([[graft.ops.TableOps.contentHash]]) whose md5 the oracle
+    * reconstructs arithmetically. Proof that a reference user can run
+    * their table pipeline on spreadsheet input unchanged. */
+  val xlsx2TablePipeline = Q("xlsx2_table_pipeline",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS nd FROM documents),
+            r AS (SELECT p.*, CAST(t.r AS INT) AS r
+                  FROM p, range(2, 7, 1) t(r) WHERE t.r < p.nd + 2),
+            blobs AS (SELECT doc_id, nd,
+              string_agg('v' || CAST(doc_id AS VARCHAR) || '-' || CAST(r AS VARCHAR) ||
+                         CAST((doc_id * 7 + r) % 500 AS VARCHAR), '' ORDER BY r) AS blob
+              FROM r GROUP BY doc_id, nd)
+            SELECT doc_id,
+              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'transaction_table'
+                   WHEN 1 THEN 'summary_table' ELSE 'other_table' END AS role,
+              nd AS n_rows, 2 AS width,
+              md5(lower(blob)) AS content_hash
+            FROM blobs ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withXlsx = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val nd = (id % 3 + 2).toInt
+        val headers = (id % 3).toInt match {
+          case 0 => Seq("Date", "Amount")
+          case 1 => Seq("Summary", "Notes")
+          case _ => Seq("Item", "Qty")
+        }
+        val shared = headers ++ (2 until nd + 2).map(rw => s"v  $id-$rw") // double space: P5 must collapse
+        val cells = Seq("A1" -> Left(0), "B1" -> Left(1)) ++
+          (2 until nd + 2).flatMap(rw => Seq(
+            s"A$rw" -> Left(rw),
+            s"B$rw" -> Right(((id * 7 + rw) % 500).toString)))
+        Seq(graft.ops.Xlsx.encodeXlsx(shared, cells))
+      }
+      val cells = graft.ops.Xlsx.cellStage(withXlsx, "payload", "st")
+        .filter(col("st").isNotNull)
+        .select(col("doc_id"), col("st.row").as("row"), col("st.col").as("c"),
+          coalesce(col("st.str_val"), col("st.num_val")).as("v"))
+      val rowArrays = cells.groupBy("doc_id", "row")
+        .agg(transform(array_sort(collect_list(struct(col("c"), col("v")))),
+          x => x.getField("v")).as("cells"))
+      val tables = rowArrays.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("row"), col("cells")))),
+          x => x.getField("cells")).as("rows"))
+      val body = expr("slice(rows, 2, size(rows) - 1)")
+      val cleaned = graft.ops.TableOps.cleanRows(body)
+      tables.select(col("doc_id"),
+          graft.ops.TableOps.tableRole(element_at(col("rows"), 1)).as("role"),
+          size(cleaned).as("n_rows"),
+          size(element_at(cleaned, 1)).as("width"),
+          graft.ops.TableOps.contentHash(cleaned).as("content_hash"))
+        .orderBy("doc_id")
+    })
+
   /** TFRecord + tf.Example ingestion, oracle-gated end-to-end: the
     * TensorFlow training-data interchange format ([[graft.ops.TfRecord]])
     * — length framing with BOTH masked-CRC32C checksums verified per
@@ -2855,5 +2918,5 @@ object VectorQueries extends QuerySet {
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
-    sniff1Router)
+    sniff1Router, xlsx2TablePipeline)
 }
