@@ -2396,6 +2396,66 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** Compressed-audio metadata decode ([[graft.ops.AudioMeta]]) — the
+    * audio twin of the image dims family: MP3 frame-header walks
+    * (bitrate/samplerate table lookups, frame-length arithmetic, ID3v2
+    * syncsafe skip), FLAC STREAMINFO bit unpacking (20-bit rate, 36-bit
+    * totals), and Ogg page walks (lacing tables, final granule), all
+    * oracle-predicted arithmetically. Every 9th payload is truncated
+    * (a torn final frame/page/block) and must null. */
+  val m18AudioMeta = Q("m18_audio_meta",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS f FROM documents),
+            m AS (SELECT doc_id, f,
+              CASE f WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac' ELSE 'ogg' END AS format,
+              CASE WHEN f = 0 THEN CASE CAST((doc_id // 3) % 3 AS INT)
+                     WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                   WHEN f = 1 THEN CAST(doc_id % 96000 + 1000 AS INT)
+                   ELSE -1 END AS sample_rate,
+              CASE WHEN f = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                   WHEN f = 1 THEN CAST(doc_id % 8 + 1 AS INT)
+                   ELSE -1 END AS channels,
+              CASE WHEN f = 0 THEN CAST(doc_id % 6 + 2 AS BIGINT)
+                   WHEN f = 1 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST(doc_id % 4 + 1 AS BIGINT) END AS frames,
+              CASE WHEN f = 0 THEN CAST((doc_id % 6 + 2) * 1152 AS BIGINT)
+                   WHEN f = 1 THEN CAST((doc_id * 977) % 100000000 AS BIGINT)
+                   ELSE CAST((doc_id * 31) % 1000000 AS BIGINT) END AS total_samples
+            FROM p)
+            SELECT doc_id, doc_id % 9 <> 0 AS ok,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE format END AS format,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE sample_rate END AS sample_rate,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE channels END AS channels,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE frames END AS frames,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE total_samples END AS total_samples
+            FROM m ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops.AudioMeta
+      val base = documents(s, d).select("doc_id")
+      val withAudio = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val good: Array[Byte] = (id % 3).toInt match {
+          case 0 => AudioMeta.encodeMp3((id % 6 + 2).toInt, brIdx = (id % 14 + 1).toInt,
+            srIdx = ((id / 3) % 3).toInt,
+            id3Size = if (id % 4 == 0) (id % 50 + 1).toInt else 0,
+            stereo = id % 2 == 0)
+          case 1 => AudioMeta.encodeFlac((id % 96000 + 1000).toInt, (id % 8 + 1).toInt,
+            (id * 977) % 100000000)
+          case _ => AudioMeta.encodeOgg(
+            (0 until (id % 4 + 1).toInt).map(k => (id % 300 + 37 * k).toInt),
+            (id * 31) % 1000000)
+        }
+        Seq(if (id % 9 == 0) java.util.Arrays.copyOf(good, good.length - 3) else good)
+      }
+      AudioMeta.metaStage(withAudio, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.format").as("format"), col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"), col("st.frames").as("frames"),
+          col("st.total_samples").as("total_samples"))
+        .orderBy("doc_id")
+    })
+
   /** Content-based format routing ([[graft.ops.Sniff]]): the ingest
     * front door for a mixed binary corpus — extensions lie at crawl
     * scale, so payloads are sniffed by magic bytes and routed to the
@@ -2918,5 +2978,5 @@ object VectorQueries extends QuerySet {
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
-    sniff1Router, xlsx2TablePipeline)
+    sniff1Router, xlsx2TablePipeline, m18AudioMeta)
 }
