@@ -2456,6 +2456,58 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** WebM/Matroska (EBML) metadata walk ([[graft.ops.Ebml]]) — the
+    * third video container next to m8's MP4 box walk and m15's AVI:
+    * vint id/size tree descent to DocType, Info (TimestampScale +
+    * float64 Duration scaled to ms), and per-track Video/Audio params,
+    * skipping unknown elements by size (the EBML design point — a Void
+    * element is planted in every fixture). Every 9th payload truncated
+    * → null. */
+  val m19WebmMeta = Q("m19_webm_meta",
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(doc_id % 100000 AS BIGINT) AS ticks,
+              (doc_id % 2 = 0) AS ms_scale,
+              CAST(doc_id % 1900 + 16 AS INT) AS vw,
+              CAST(doc_id % 1060 + 16 AS INT) AS vh,
+              CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+              CAST(doc_id % 8 + 1 AS INT) AS ch
+            FROM documents)
+            SELECT doc_id, doc_id % 9 <> 0 AS ok,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 'webm' END AS doc_type,
+              CASE WHEN doc_id % 9 = 0 THEN NULL
+                   WHEN ms_scale THEN 1000000 ELSE 2000000 END AS timestamp_scale,
+              CASE WHEN doc_id % 9 = 0 THEN NULL
+                   WHEN ms_scale THEN ticks ELSE ticks * 2 END AS duration_ms,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE vw END AS video_w,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE vh END AS video_h,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE rate END AS audio_rate,
+              CASE WHEN doc_id % 9 = 0 THEN NULL ELSE ch END AS audio_channels
+            FROM p ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withWebm = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val webm = graft.ops.Ebml.encodeWebm(
+          durationTicks = (id % 100000).toDouble,
+          tsScale = if (id % 2 == 0) 1000000L else 2000000L,
+          vw = (id % 1900 + 16).toInt, vh = (id % 1060 + 16).toInt,
+          audioRate = Seq(8000.0, 16000.0, 22050.0, 44100.0, 48000.0)((id % 5).toInt),
+          channels = (id % 8 + 1).toInt)
+        Seq(if (id % 9 == 0) java.util.Arrays.copyOf(webm, webm.length - 5) else webm)
+      }
+      graft.ops.Ebml.metaStage(withWebm, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.doc_type").as("doc_type"),
+          col("st.timestamp_scale").cast("int").as("timestamp_scale"),
+          col("st.duration_ms").as("duration_ms"),
+          col("st.video_w").as("video_w"), col("st.video_h").as("video_h"),
+          col("st.audio_rate").as("audio_rate"), col("st.audio_channels").as("audio_channels"))
+        .orderBy("doc_id")
+    })
+
   /** Content-based format routing ([[graft.ops.Sniff]]): the ingest
     * front door for a mixed binary corpus — extensions lie at crawl
     * scale, so payloads are sniffed by magic bytes and routed to the
@@ -2978,5 +3030,5 @@ object VectorQueries extends QuerySet {
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
-    sniff1Router, xlsx2TablePipeline, m18AudioMeta)
+    sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta)
 }
