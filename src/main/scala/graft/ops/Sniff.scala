@@ -37,6 +37,12 @@ object Sniff {
     else if (at(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
     else if (at(0, "WARC/")) "warc"
+    else if (at(0, "fLaC")) "flac"
+    else if (at(0, "OggS")) "ogg"
+    else if ((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+             (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
+    else if (at(0, "ID3") ||
+             ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) "mp3" // after jpeg: FFD8 is claimed
     else if (b.length >= 16 && TfRecord.readRecords(b, maxRecords = 1 << 20).nonEmpty) "tfrecord"
     else "unknown"
   }
@@ -54,6 +60,10 @@ object Sniff {
     case "zip" => Zip.listEntries(b).exists(es => es.forall(e => Zip.extract(b, e).nonEmpty))
     case "tar" => Tar.listMembers(b).nonEmpty
     case "tfrecord" => TfRecord.readRecords(b).nonEmpty
+    case "flac" => AudioMeta.decodeFlac(b).nonEmpty
+    case "ogg" => AudioMeta.decodeOgg(b).nonEmpty
+    case "mp3" => AudioMeta.decodeMp3(b).nonEmpty
+    case "webm" => Ebml.decode(b).nonEmpty
     case _ => false
   }
 

@@ -24,7 +24,11 @@ class SniffSpec extends AnyFunSuite {
     "webp" -> Webp.encode("vp8", 10, 10),
     "zip" -> Zip.encodeZip(Seq(("a.txt", "hello".getBytes, true))),
     "tar" -> Tar.encodeTar(Seq(("a.txt", "hello".getBytes))),
-    "tfrecord" -> TfRecord.encodeShard(Seq(TfRecord.encodeExample(1, Seq(2, 3), "x".getBytes))))
+    "tfrecord" -> TfRecord.encodeShard(Seq(TfRecord.encodeExample(1, Seq(2, 3), "x".getBytes))),
+    "flac" -> AudioMeta.encodeFlac(44100, 2, 99999),
+    "ogg" -> AudioMeta.encodeOgg(Seq(40, 300), 777),
+    "webm" -> Ebml.encodeWebm(100.0, 1000000L, 320, 240, 48000.0, 2),
+    "mp3" -> AudioMeta.encodeMp3(3, 9, 0, id3Size = 20))
 
   test("every fixture encoder detects as its own format and passes health") {
     for ((fmt, bytes) <- fixtures) {
@@ -49,6 +53,7 @@ class SniffSpec extends AnyFunSuite {
         case "jpeg" => java.util.Arrays.copyOf(bytes, bytes.length - 12)
         case "wav" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
         case "avi" => java.util.Arrays.copyOf(bytes, bytes.length - 8)
+        case "flac" | "ogg" | "webm" | "mp3" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
         case _ => bad
       }
       val expectDetect = if (fmt == "tfrecord") "unknown" else fmt
