@@ -188,6 +188,22 @@ class PlanSpec extends SparkSpec {
       s"URL normalization must not shuffle (it is the KEY for a later dedup), found $exchanges:\n${plan.take(1200)}")
   }
 
+  test("wds1 sample assembly is one pivot aggregate: no join operator anywhere") {
+    val plan = formatted(graft.queries.VectorQueries.wds1WebDataset.fn(spark, sf))
+    assert(!plan.contains("Join"),
+      "WebDataset sample reassembly must be a conditional-pivot hash aggregate, not joins")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 3, // (shard,key) aggregate + final order (+AQE variance)
+      s"shard assembly shuffles more than the one (shard,key) aggregate: $exchanges")
+  }
+
+  test("m15 video frame explosion is map-only up to the output order") {
+    val plan = formatted(graft.queries.VectorQueries.m15MjpegFrames.fn(spark, sf))
+    assert(!plan.contains("Join"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"per-frame decode must not shuffle, found $exchanges")
+  }
+
   test("d10 span dedup collapses duplicate spans map-side via a hash aggregate, no sort") {
     val plan = formatted(graft.ops.TextAnalysis.spanDedup(
       graft.tables.TestTables.documents(spark, sf), col("doc_id"), col("text"), 8))
