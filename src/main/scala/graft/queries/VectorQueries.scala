@@ -2456,6 +2456,60 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** MediaWiki dump ingestion ([[graft.ops.Wiki]]) — Wikipedia-style
+    * compressed XML export → one row per `<page>`: entity-unescaped
+    * title, namespace, the PAGE id (the walk must not grab the
+    * revision's own `<id>`), redirect detection with target, and text
+    * length. The container rides the engine's existing gzip member path
+    * ([[graft.ops.Warc.gunzipMember]], CRC-verified). Every 11th
+    * payload has a corrupt deflate body → whole-payload null. */
+  val wiki1DumpPages = Q("wiki1_dump_pages",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np FROM documents),
+            g AS (SELECT p.*, CAST(t.j AS INT) AS j
+                  FROM p, range(0, 3, 1) t(j) WHERE t.j < p.np AND doc_id % 11 <> 0)
+            SELECT doc_id, true AS ok,
+              CASE WHEN j = 0 THEN 'P&' || CAST(doc_id AS VARCHAR)
+                   ELSE 'Page_' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) END AS title,
+              CAST((doc_id + j) % 3 * 2 AS INT) AS ns,
+              doc_id * 10 + j AS page_id,
+              (doc_id + j) % 4 = 0 AS is_redirect,
+              CASE WHEN (doc_id + j) % 4 = 0 THEN 'T_' || CAST(doc_id AS VARCHAR) END AS redirect_target,
+              CAST((doc_id * 3 + j) % 40 + 1 AS INT) AS text_len
+            FROM g
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 11 = 0
+            ORDER BY doc_id, page_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withDump = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val np = (id % 3 + 1).toInt
+        val pages = (0 until np).map { j =>
+          graft.ops.Wiki.PageFixture(
+            title = if (j == 0) s"P&$id" else s"Page_${id}_$j",
+            ns = ((id + j) % 3 * 2).toInt,
+            pageId = id * 10 + j,
+            redirect = if ((id + j) % 4 == 0) Some(s"T_$id") else None,
+            text = "w" * (((id * 3 + j) % 40).toInt + 1))
+        }
+        val gz = graft.ops.Warc.gzipMember(
+          graft.ops.Wiki.encodeDump(pages).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (id % 11 == 0) gz(15) = (gz(15) ^ 0x24).toByte
+        Seq(gz)
+      }
+      graft.ops.Wiki.pageStage(withDump, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.title").as("title"), col("st.ns").as("ns"),
+          col("st.page_id").as("page_id"),
+          when(col("st").isNull, lit(null).cast("boolean"))
+            .otherwise(col("st.redirect").isNotNull).as("is_redirect"),
+          col("st.redirect").as("redirect_target"), col("st.text_len").as("text_len"))
+        .orderBy("doc_id", "page_id")
+    })
+
   /** WebM/Matroska (EBML) metadata walk ([[graft.ops.Ebml]]) — the
     * third video container next to m8's MP4 box walk and m15's AVI:
     * vint id/size tree descent to DocType, Info (TimestampScale +
@@ -3038,5 +3092,5 @@ object VectorQueries extends QuerySet {
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
-    sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta)
+    sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages)
 }
