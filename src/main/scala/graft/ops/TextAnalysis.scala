@@ -773,4 +773,31 @@ object TextAnalysis {
     struct(when(st.getField("unk"), 1).otherwise(st.getField("cnt")).as("n_pieces"),
       when(st.getField("unk"), 1).otherwise(0).as("n_unk"))
   }
+
+  /** SPDX-style license detection for code/doc corpora — the governance
+    * gate every permissively-licensed training set runs before
+    * admission. Each license is identified by its canonical header
+    * phrase (the SPDX license-text anchors, matched case-insensitively);
+    * copyleft detection matters most, so GPL is checked before the
+    * permissive family. Returns (license, family) where family ∈
+    * {permissive, copyleft, cc, none}. Pure Column expression — codegen,
+    * no UDF. */
+  def licenseDetect(text: Column): Column = {
+    val t = lower(text)
+    val license =
+      when(t.contains("gnu general public license"), "GPL-3.0")
+        .when(t.contains("gnu lesser general public license"), "LGPL-3.0")
+        .when(t.contains("mozilla public license"), "MPL-2.0")
+        .when(t.contains("licensed under the apache license, version 2.0"), "Apache-2.0")
+        .when(t.contains("permission is hereby granted, free of charge"), "MIT")
+        .when(t.contains("redistribution and use in source and binary forms"), "BSD-3-Clause")
+        .when(t.contains("creative commons attribution"), "CC-BY-4.0")
+        .otherwise("none")
+    val family =
+      when(license.isin("GPL-3.0", "LGPL-3.0", "MPL-2.0"), "copyleft")
+        .when(license === "CC-BY-4.0", "cc")
+        .when(license === "none", "none")
+        .otherwise("permissive")
+    struct(license.as("license"), family.as("family"))
+  }
 }

@@ -2507,5 +2507,41 @@ object TextQueries extends QuerySet {
     sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x33PsiDrift, d19LshTuning, c2Curriculum, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
     x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
-    x18WeightedGroup, x19Scripts, x30Blocklist)
+    x18WeightedGroup, x19Scripts, x30Blocklist, lic1License)
+
+  /** SPDX-style license detection ([[TextAnalysis.licenseDetect]]) — the
+    * governance gate code/doc training sets run before admission. Texts
+    * are synthesized with one canonical license-anchor phrase each
+    * (every even doc UPPERCASED so case-insensitivity is load-bearing);
+    * the oracle predicts (license, family) from the planting. Pure
+    * codegen expressions, no UDF, map-only. */
+  lazy val lic1License = Q("lic1_license_detect",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS k FROM documents)
+            SELECT doc_id,
+              CASE k WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0' WHEN 2 THEN 'GPL-3.0'
+                     WHEN 3 THEN 'LGPL-3.0' WHEN 4 THEN 'MPL-2.0' WHEN 5 THEN 'BSD-3-Clause'
+                     WHEN 6 THEN 'CC-BY-4.0' ELSE 'none' END AS license,
+              CASE WHEN k IN (2, 3, 4) THEN 'copyleft' WHEN k = 6 THEN 'cc'
+                   WHEN k = 7 THEN 'none' ELSE 'permissive' END AS family
+            FROM p ORDER BY doc_id"""),
+    (s, d) => {
+      val phrases = Seq(
+        "Permission is hereby granted, free of charge, to any person",
+        "Licensed under the Apache License, Version 2.0 (the License)",
+        "under the terms of the GNU General Public License as published",
+        "under the terms of the GNU Lesser General Public License",
+        "subject to the terms of the Mozilla Public License, v. 2.0",
+        "Redistribution and use in source and binary forms, with or without",
+        "licensed under a Creative Commons Attribution 4.0 International License",
+        "all rights reserved; internal use only")
+      val phrase = element_at(
+        array(phrases.map(lit): _*), (col("doc_id") % 8 + 1).cast("int"))
+      val header = when(col("doc_id") % 2 === 0, upper(phrase)).otherwise(phrase)
+      val text = concat(lit("/* "), header, lit(" */\nfn main() {} // id "),
+        col("doc_id").cast("string"))
+      val det = TextAnalysis.licenseDetect(text)
+      documents(s, d).select(col("doc_id"),
+          det.getField("license").as("license"), det.getField("family").as("family"))
+        .orderBy("doc_id")
+    })
 }
