@@ -75,16 +75,28 @@ object Wiki {
     out.toSeq
   }
 
-  /** The Spark seam: gunzip the payload, one row per page (null struct
-    * row on a malformed container). */
-  def pageStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+  /** The Spark seam: decompress the payload, one row per page (null
+    * struct row on a malformed container). Gzip by default; the
+    * bz2 variant below is the format Wikipedia's own dump mirrors
+    * actually serve. */
+  def pageStage(df: DataFrame, payloadCol: String, outCol: String): DataFrame =
+    pageStageWith(df, payloadCol, outCol, b => Warc.gunzipMember(b))
+
+  /** `<page>` extraction from .bz2 dumps via the engine's own
+    * [[Bzip2.decode]] — enwiki-*.xml.bz2, ingested with zero native
+    * dependencies. */
+  def pageStageBz2(df: DataFrame, payloadCol: String, outCol: String): DataFrame =
+    pageStageWith(df, payloadCol, outCol, b => Bzip2.decode(b))
+
+  private def pageStageWith(df: DataFrame, payloadCol: String, outCol: String,
+                            decompress: Array[Byte] => Option[Array[Byte]]): DataFrame = {
     val idx = df.schema.fieldIndex(payloadCol)
     val sch = StructType(Seq(
       StructField("title", StringType), StructField("ns", IntegerType),
       StructField("page_id", LongType), StructField("redirect", StringType),
       StructField("text_len", IntegerType)))
     Stages.explodeFields(df, Seq(StructField(outCol, sch)))( r =>
-      Warc.gunzipMember(r.getAs[Array[Byte]](idx)) match {
+      decompress(r.getAs[Array[Byte]](idx)) match {
         case None => Seq(Seq(null))
         case Some(xml) =>
           parsePages(new String(xml, java.nio.charset.StandardCharsets.UTF_8)).map(p =>

@@ -2510,6 +2510,58 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "page_id")
     })
 
+  /** Wikipedia's ACTUAL dump format: bz2-compressed XML, decoded by the
+    * engine's own zero-dependency [[graft.ops.Bzip2]] (full container:
+    * MTF+RLE2 Huffman groups, inverse BWT, both CRCs — cross-validated
+    * against the system bzip2 binary in Bzip2Spec) feeding the same
+    * `<page>` walk as wiki1. One flipped mid-stream byte must CRC-fail
+    * the whole payload (every 11th doc). */
+  val wiki2Bz2Pages = Q("wiki2_bz2_dump_pages",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS np FROM documents),
+            g AS (SELECT p.*, CAST(t.j AS INT) AS j
+                  FROM p, range(0, 4, 1) t(j) WHERE t.j < p.np AND doc_id % 11 <> 0)
+            SELECT doc_id, true AS ok,
+              'Art_' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS title,
+              CAST((doc_id + j) % 2 * 4 AS INT) AS ns,
+              doc_id * 100 + j AS page_id,
+              (doc_id + j) % 5 = 0 AS is_redirect,
+              CASE WHEN (doc_id + j) % 5 = 0 THEN 'Main_' || CAST(doc_id AS VARCHAR) END AS redirect_target,
+              CAST((doc_id * 7 + j * 3) % 60 + 2 AS INT) AS text_len
+            FROM g
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 11 = 0
+            ORDER BY doc_id, page_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      val base = documents(s, d).select("doc_id")
+      val withDump = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val np = (id % 4 + 1).toInt
+        val pages = (0 until np).map { j =>
+          graft.ops.Wiki.PageFixture(
+            title = s"Art_${id}_$j",
+            ns = ((id + j) % 2 * 4).toInt,
+            pageId = id * 100 + j,
+            redirect = if ((id + j) % 5 == 0) Some(s"Main_$id") else None,
+            text = "t" * (((id * 7 + j * 3) % 60).toInt + 2))
+        }
+        val bz = graft.ops.Bzip2.encode(
+          graft.ops.Wiki.encodeDump(pages).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (id % 11 == 0) bz(bz.length / 2) = (bz(bz.length / 2) ^ 0x08).toByte
+        Seq(bz)
+      }
+      graft.ops.Wiki.pageStageBz2(withDump, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("ok"),
+          col("st.title").as("title"), col("st.ns").as("ns"),
+          col("st.page_id").as("page_id"),
+          when(col("st").isNull, lit(null).cast("boolean"))
+            .otherwise(col("st.redirect").isNotNull).as("is_redirect"),
+          col("st.redirect").as("redirect_target"), col("st.text_len").as("text_len"))
+        .orderBy("doc_id", "page_id")
+    })
+
   /** WebM/Matroska (EBML) metadata walk ([[graft.ops.Ebml]]) — the
     * third video container next to m8's MP4 box walk and m15's AVI:
     * vint id/size tree descent to DocType, Info (TimestampScale +
@@ -3092,5 +3144,6 @@ object VectorQueries extends QuerySet {
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
-    sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages)
+    sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
+    wiki2Bz2Pages)
 }
