@@ -33,6 +33,7 @@ object Sniff {
     else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
     else if (at(0, "RIFF") && at(8, "WEBP")) "webp"
     else if (at(0, "PK") && (b(2) & 0xff) == 0x03 && (b(3) & 0xff) == 0x04) "zip"
+    else if (at(0, "BZh") && b(3) >= '1' && b(3) <= '9') "bz2"
     else if (b.length >= 265 && at(257, "ustar")) "tar"
     else if (at(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
@@ -64,7 +65,9 @@ object Sniff {
     case "ogg" => AudioMeta.decodeOgg(b).nonEmpty
     case "mp3" => AudioMeta.decodeMp3(b).nonEmpty
     case "webm" => Ebml.decode(b).nonEmpty
-    case _ => false
+    case "gzip" => Warc.gunzipMember(b).nonEmpty
+    case "bz2" => Bzip2.decode(b).nonEmpty
+    case _ => false // pdf/mp4/warc: detected here, health-gated by their own deep stages
   }
 
   /** The Spark seam: (format, ok) per payload. */

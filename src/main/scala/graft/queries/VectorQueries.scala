@@ -2618,19 +2618,19 @@ object VectorQueries extends QuerySet {
     * front door for a mixed binary corpus — extensions lie at crawl
     * scale, so payloads are sniffed by magic bytes and routed to the
     * matching container/codec walk for a health verdict, one map-only
-    * pass over THIRTEEN formats (every fixture encoder in the engine
+    * pass over FIFTEEN formats (every fixture encoder in the engine
     * feeds one). Every 5th payload is corrupted in a format-appropriate way:
     * detection survives (the magic is intact) but health fails —
     * except TFRecord, which has NO magic (detected by first-record CRC)
     * and so correctly degrades to `unknown` when corrupt. */
   val sniff1Router = Q("sniff1_format_router",
     Some("""WITH p AS (SELECT doc_id,
-              CASE CAST(doc_id % 13 AS INT)
+              CASE CAST(doc_id % 15 AS INT)
                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
                 WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'webp'
                 WHEN 6 THEN 'zip' WHEN 7 THEN 'tar' WHEN 8 THEN 'tfrecord'
                 WHEN 9 THEN 'flac' WHEN 10 THEN 'ogg' WHEN 11 THEN 'webm'
-                ELSE 'mp3' END AS fmt,
+                WHEN 12 THEN 'mp3' WHEN 13 THEN 'gzip' ELSE 'bz2' END AS fmt,
               doc_id % 5 = 0 AS corrupt
             FROM documents)
             SELECT doc_id,
@@ -2645,7 +2645,7 @@ object VectorQueries extends QuerySet {
           Seq(StructField("payload", BinaryType))) { r =>
         val id = r.getLong(0)
         val v = (id % 251).toInt
-        val good: Array[Byte] = (id % 13).toInt match {
+        val good: Array[Byte] = (id % 15).toInt match {
           case 0 => Image.encodePng(4, 4, 0, Array.tabulate(16)(k => ((k * 7 + v) % 256).toByte))
           case 1 => Gif.encodeGif(4, 4, Array.tabulate(12)(k => ((k * 21 + v) % 256).toByte),
             Array.fill(16)(((v % 4)).toByte))
@@ -2665,10 +2665,12 @@ object VectorQueries extends QuerySet {
           case 9 => AudioMeta.encodeFlac((v % 48000) + 1000, (v % 8) + 1, v * 977L)
           case 10 => AudioMeta.encodeOgg(Seq((v % 200) + 5, (v % 90) + 3), v * 31L)
           case 11 => Ebml.encodeWebm((v % 5000).toDouble, 1000000L, (v % 640) + 8, (v % 480) + 8, 48000.0, 2)
-          case _ => AudioMeta.encodeMp3((v % 5) + 2, brIdx = (v % 14) + 1, srIdx = v % 3,
+          case 12 => AudioMeta.encodeMp3((v % 5) + 2, brIdx = (v % 14) + 1, srIdx = v % 3,
             id3Size = (v % 40) + 1)
+          case 13 => Warc.gzipMember(s"payload-$id-${"y" * (v % 60 + 4)}".getBytes("UTF-8"))
+          case _ => Bzip2.encode(s"payload-$id-${"z" * (v % 60 + 4)}".getBytes("UTF-8"))
         }
-        val out = if (id % 5 != 0) good else (id % 13).toInt match {
+        val out = if (id % 5 != 0) good else (id % 15).toInt match {
           case 0 => val b = good.clone(); b(b.length - 8) = (b(b.length - 8) ^ 0x11).toByte; b
           case 1 => java.util.Arrays.copyOf(good, good.length - 4)
           case 2 => java.util.Arrays.copyOf(good, good.length - 12)
@@ -2678,6 +2680,8 @@ object VectorQueries extends QuerySet {
           case 6 => val b = good.clone(); b(b.length - 20) = (b(b.length - 20) ^ 0x40).toByte; b
           case 7 => val b = good.clone(); b(1) = (b(1) ^ 0x01).toByte; b
           case 8 => val b = good.clone(); b(14) = (b(14) ^ 0x40).toByte; b
+          case 13 | 14 => val b = good.clone() // flip in the CRC trailer region
+                          b(b.length - 5) = (b(b.length - 5) ^ 0x21).toByte; b
           case _ => java.util.Arrays.copyOf(good, good.length - 3) // flac/ogg/webm/mp3: torn tail
         }
         Seq(out)
