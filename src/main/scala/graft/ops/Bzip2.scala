@@ -81,7 +81,7 @@ object Bzip2 {
       if (bytes(0) != 'B' || bytes(1) != 'Z' || bytes(2) != 'h') return None
       val level = bytes(3) - '0'
       if (level < 1 || level > 9) return None
-      val maxBlock = level * 100000
+      var maxBlock = level * 100000
       val in = new BitIn(bytes)
       in.pos = 32
       val out = new java.io.ByteArrayOutputStream()
@@ -92,7 +92,16 @@ object Bzip2 {
         if (magic == 0x177245385090L) { // stream end
           val claimed = in.bits(32).toInt
           if (claimed != streamCrc) fail()
-          done = true
+          // multistream (pbzip2 / Wikipedia multistream dumps): another
+          // complete "BZh" stream may follow on the next BYTE boundary
+          val nextByte = ((in.pos + 7) >> 3).toInt
+          if (nextByte + 4 <= bytes.length && bytes(nextByte) == 'B' &&
+              bytes(nextByte + 1) == 'Z' && bytes(nextByte + 2) == 'h' &&
+              bytes(nextByte + 3) >= '1' && bytes(nextByte + 3) <= '9') {
+            maxBlock = (bytes(nextByte + 3) - '0') * 100000
+            in.pos = (nextByte + 4).toLong << 3
+            streamCrc = 0
+          } else done = true
         } else if (magic != 0x314159265359L) fail()
         else {
           val blockCrcClaimed = in.bits(32).toInt

@@ -55,6 +55,21 @@ class Bzip2Spec extends AnyFunSuite {
     }
   }
 
+  test("multistream: concatenated streams decode end-to-end (the Wikipedia multistream layout)") {
+    val parts = Seq("first stream body. ".getBytes, ("x" * 800).getBytes, "third!".getBytes)
+    val cat = parts.map(Bzip2.encode).reduce(_ ++ _)
+    val dec = Bzip2.decode(cat)
+    assert(dec.nonEmpty)
+    assert(java.util.Arrays.equals(dec.get, parts.reduce(_ ++ _)))
+    // system bzip2 agrees on concatenated streams
+    val bz = Seq("/root/miniconda/bin/bzip2", "/usr/bin/bzip2").find(p => new java.io.File(p).exists)
+    assume(bz.nonEmpty)
+    val p = new ProcessBuilder(bz.get, "-d", "-c").start()
+    p.getOutputStream.write(cat); p.getOutputStream.close()
+    val out = p.getInputStream.readAllBytes()
+    assert(p.waitFor() == 0 && java.util.Arrays.equals(out, parts.reduce(_ ++ _)))
+  }
+
   test("malformations fail closed") {
     val enc = Bzip2.encode("hello bzip2 world, hello again and again".getBytes)
     assert(Bzip2.decode(enc).nonEmpty)
