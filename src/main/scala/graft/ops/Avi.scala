@@ -51,7 +51,8 @@ object Avi {
     * decode stats. None on any container-level malformation (bad RIFF
     * form, missing/undersized avih or strh/strf, a non-'vids' or
     * non-MJPG stream, chunk sizes past the payload or `maxBytes`, more
-    * than `maxFrames` frame chunks). */
+    * than `maxFrames` frame chunks, more than `maxHops` structural
+    * chunks or `4*maxFrames` movi children). */
   def decodeMjpeg(bytes: Array[Byte], maxFrames: Int = 256,
                   maxBytes: Int = 1 << 26, maxHops: Int = 64): Option[AviMeta] = {
     if (bytes == null || bytes.length < 12) return None
@@ -62,12 +63,16 @@ object Avi {
     var width = -1; var height = -1
     var vidsMjpg = false
     val frameSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    var hops = 0
+    var hops = 0       // structural (non-movi) chunks only
+    var moviChunks = 0 // movi children: frames + interleaved audio + pad
     def walk(from: Int, to: Int, inMovi: Boolean): Boolean = { // false = malformed
       var off = from
       while (off + 8 <= to) {
-        hops += 1
-        if (hops > maxHops) return false
+        // `maxHops` bounds header/structure chunks; movi children are
+        // bounded by the frame cap instead (an interleaved A/V clip has
+        // one movi chunk per frame per stream, far more than 64)
+        if (inMovi) { moviChunks += 1; if (moviChunks > 4 * maxFrames) return false }
+        else { hops += 1; if (hops > maxHops) return false }
         val id = ascii(bytes, off)
         val size = le(bytes, off + 4, 4)
         if (size < 0 || size > maxBytes || off + 8 + size > to) return false
@@ -140,6 +145,11 @@ object Avi {
     Stages.explodeFields(df, Seq(StructField(outCol, sch)))( r =>
       decodeMjpeg(r.getAs[Array[Byte]](idx)) match {
         case None => Seq(Seq(null))
+        case Some(m) if m.frames.isEmpty =>
+          // valid container, zero frame chunks: keep the container meta,
+          // null frame fields (vs the all-null row of a malformed payload)
+          Seq(Seq(org.apache.spark.sql.Row(m.usPerFrame, m.declaredFrames,
+            m.width, m.height, null, null, null, null)))
         case Some(m) => m.frames.map { f =>
           Seq(org.apache.spark.sql.Row(m.usPerFrame, m.declaredFrames, m.width, m.height,
             f.idx, f.ok, if (f.ok) f.pixelSum else null, if (f.ok) f.grayMid else null))

@@ -146,6 +146,8 @@ object Jpeg {
       cnt = 0
       if (pos + 1 >= data.length) fail()
       if ((data(pos) & 0xff) != 0xff) fail()
+      // T.81 B.1.1.2: any number of FF fill bytes may precede the RSTn
+      while (pos + 2 < data.length && (data(pos + 1) & 0xff) == 0xff) pos += 1
       val m = data(pos + 1) & 0xff
       if (m < 0xd0 || m > 0xd7) fail()
       pos += 2
@@ -189,6 +191,7 @@ object Jpeg {
     var p = 2
     while (true) {
       if (u8(p) != 0xff) fail()
+      while (u8(p + 1) == 0xff) p += 1 // T.81 B.1.1.2: FF fill bytes before a marker
       val m = u8(p + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { p += 2 } // stray SOI/RST
       else if (m == 0xd9) {                                  // EOI
@@ -775,7 +778,11 @@ object Jpeg {
         var run = 0
         var k = 1
         while (k < 64) {
-          val cv = coefQ(Zigzag(k))
+          // Annex-K AC codes stop at category 10: clamp to ±1023 (only
+          // reachable at qStep < 4 on basis-matched blocks; real encoders
+          // clamp the same way rather than fail)
+          val cv0 = coefQ(Zigzag(k))
+          val cv = if (cv0 > 1023) 1023 else if (cv0 < -1023) -1023 else cv0
           if (cv == 0) run += 1
           else {
             while (run >= 16) { val (c0, l0) = ac(0xf0); bw.put(c0, l0); run -= 16 }
@@ -904,7 +911,9 @@ object Jpeg {
         var run = 0
         var k = 1
         while (k < 64) {
-          val cv = cq(Zigzag(k))
+          // same ±1023 Annex-K clamp as the baseline encoder
+          val cv0 = cq(Zigzag(k))
+          val cv = if (cv0 > 1023) 1023 else if (cv0 < -1023) -1023 else cv0
           if (cv == 0) run += 1
           else {
             while (run >= 16) { val (c0, l0) = ac(0xf0); bw.put(c0, l0); run -= 16 }

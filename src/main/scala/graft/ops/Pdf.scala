@@ -66,15 +66,23 @@ object Pdf {
     out.toByteArray
   }
 
-  /** All decoded content-stream bytes of a PDF, concatenated with \n. */
-  private def contentStreams(bytes: Array[Byte]): String = {
-    val raw = new String(bytes, Ascii)
-    val sb = new StringBuilder
+  /** One `… stream … endstream` span of a PDF payload: nearest preceding
+    * object number (None when headerless), the dict text between that
+    * header (or the last `<<` — safe under nested dicts like
+    * /DecodeParms << … >>) and the `stream` keyword, and the raw
+    * [dataStart, dataEnd) byte span. */
+  private final case class RawStream(objNum: Option[Int], dict: String,
+                                     dataStart: Int, dataEnd: Int)
+
+  /** THE stream walk — shared by [[contentStreams]] and [[objectStreams]]
+    * so a payload is scanned (and its ASCII view allocated) exactly once
+    * per use site. "endstream" contains "stream": only a real stream
+    * keyword is followed by an end-of-line per the spec. */
+  private def rawStreams(raw: String): Seq[RawStream] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RawStream]
     var from = 0
     var kw = raw.indexOf("stream", from)
     while (kw >= 0) {
-      // "endstream" contains "stream" — only a real stream keyword is
-      // followed by an end-of-line per the spec
       val afterKw = kw + "stream".length
       val dataStart =
         if (raw.startsWith("\r\n", afterKw)) afterKw + 2
@@ -86,32 +94,44 @@ object Pdf {
           var dataEnd = end
           if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
           if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          val dict = raw.substring(math.max(0, kw - 1024), kw)
-          // this stream's own dictionary starts at its object header (safe
-          // under nested dicts like /DecodeParms << … >>)
-          val dictTail = ObjHeadRe.findAllMatchIn(dict).toSeq.lastOption match {
-            case Some(m) => dict.substring(m.end)
-            case None => dict.lastIndexOf("<<") match {
-              case -1 => dict
-              case i => dict.substring(i)
-            }
-          }
-          // image XObject streams hold SAMPLES, not operators — appending
-          // them would let sample bytes (e.g. an unbalanced '(') swallow
-          // later real content in the concatenated parse
-          if (!dictTail.contains("/Image")) {
-            val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-            val decoded: Option[Array[Byte]] =
-              if (dictTail.contains("/FlateDecode")) inflate(data) else Some(data)
-            decoded.foreach { d =>
-              if (sb.nonEmpty) sb.append('\n')
-              sb.append(new String(d, Ascii))
-            }
+          val head = raw.substring(math.max(0, kw - 1024), kw)
+          ObjHeadRe.findAllMatchIn(head).toSeq.lastOption match {
+            case Some(m) =>
+              out += RawStream(Some(m.group(1).toInt), head.substring(m.end), dataStart, dataEnd)
+            case None =>
+              val dict = head.lastIndexOf("<<") match {
+                case -1 => head
+                case i => head.substring(i)
+              }
+              out += RawStream(None, dict, dataStart, dataEnd)
           }
           from = end + "endstream".length
         } else from = afterKw
       } else from = afterKw
       kw = raw.indexOf("stream", from)
+    }
+    out.toSeq
+  }
+
+  /** All decoded content-stream bytes of a PDF, concatenated with \n. */
+  private def contentStreams(bytes: Array[Byte]): String =
+    contentStreams(bytes, new String(bytes, Ascii))
+
+  private def contentStreams(bytes: Array[Byte], raw: String): String = {
+    val sb = new StringBuilder
+    rawStreams(raw).foreach { rs =>
+      // image XObject streams hold SAMPLES, not operators — appending
+      // them would let sample bytes (e.g. an unbalanced '(') swallow
+      // later real content in the concatenated parse
+      if (!rs.dict.contains("/Image")) {
+        val data = java.util.Arrays.copyOfRange(bytes, rs.dataStart, rs.dataEnd)
+        val decoded: Option[Array[Byte]] =
+          if (rs.dict.contains("/FlateDecode")) inflate(data) else Some(data)
+        decoded.foreach { d =>
+          if (sb.nonEmpty) sb.append('\n')
+          sb.append(new String(d, Ascii))
+        }
+      }
     }
     sb.toString
   }
@@ -503,35 +523,12 @@ object Pdf {
   /** Raw (objNum → (dict, streamBytes)) for every `N 0 obj … stream …
     * endstream` in the file, plus every /XObject name→objNum binding seen
     * in any resources dictionary. */
-  private def objectStreams(bytes: Array[Byte]): (Map[Int, (String, Array[Byte])], Map[String, Int]) = {
-    val raw = new String(bytes, Ascii)
+  private def objectStreams(bytes: Array[Byte], raw: String): (Map[Int, (String, Array[Byte])], Map[String, Int]) = {
     val objs = scala.collection.mutable.Map.empty[Int, (String, Array[Byte])]
-    var from = 0
-    var kw = raw.indexOf("stream", from)
-    while (kw >= 0) {
-      val afterKw = kw + "stream".length
-      val dataStart =
-        if (raw.startsWith("\r\n", afterKw)) afterKw + 2
-        else if (raw.startsWith("\n", afterKw) || raw.startsWith("\r", afterKw)) afterKw + 1
-        else -1
-      if (dataStart >= 0) {
-        val end = raw.indexOf("endstream", dataStart)
-        if (end >= 0) {
-          var dataEnd = end
-          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          val head = raw.substring(math.max(0, kw - 1024), kw)
-          // nearest preceding object header binds the stream to its number
-          // AND marks where this object's dict starts (robust under nested
-          // dicts like /DecodeParms << … >>)
-          ObjHeadRe.findAllMatchIn(head).toSeq.lastOption.foreach { m =>
-            objs(m.group(1).toInt) =
-              (head.substring(m.end), java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
-          }
-          from = end + "endstream".length
-        } else from = afterKw
-      } else from = afterKw
-      kw = raw.indexOf("stream", from)
+    rawStreams(raw).foreach { rs =>
+      rs.objNum.foreach { n =>
+        objs(n) = (rs.dict, java.util.Arrays.copyOfRange(bytes, rs.dataStart, rs.dataEnd))
+      }
     }
     // /XObject << /Im0 5 0 R … >> bindings anywhere in the file
     val names = scala.collection.mutable.Map.empty[String, Int]
@@ -609,8 +606,10 @@ object Pdf {
     * empty list, a broken image stream yields its record with raw = null. */
   def extractImages(bytes: Array[Byte]): Seq[PdfImage] =
     try {
-      val (objs, names) = objectStreams(bytes)
-      val content = contentStreams(bytes)
+      // one ASCII view + one stream walk feed both lookups
+      val raw = new String(bytes, Ascii)
+      val (objs, names) = objectStreams(bytes, raw)
+      val content = contentStreams(bytes, raw)
       imagePlacements(content).flatMap { case (name, ctm) =>
         for {
           objNum <- names.get(name)
@@ -781,18 +780,39 @@ object Pdf {
   private def parseSegments(content: String): Seq[Segment] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
     val path = scala.collection.mutable.ArrayBuffer.empty[Segment]
+    // finished subpaths of the current path: (startX, startY, endX, endY,
+    // segment count) — needed because `f`-family paints implicitly CLOSE
+    // every open subpath (PDF 32000-1 §8.5.3.2) and `s`/`b`/`b*` are
+    // defined as `h S`/`h B`/`h B*`, so the closing edge must be emitted
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Int)]
     var ctm = Array(1.0, 0, 0, 1, 0, 0)
     val gs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var cx, cy = 0.0          // current point (device space)
     var sx, sy = 0.0          // subpath start (for `h`)
     var hasCurrent = false
+    var subSegs = 0           // segments drawn in the current subpath
     val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
     def num(fromTop: Int): Double =
       stack.lift(stack.length - fromTop) match { case Some(TNum(v)) => v; case _ => 0.0 }
     def dev(x: Double, y: Double): (Double, Double) =
       (x * ctm(0) + y * ctm(2) + ctm(4), x * ctm(1) + y * ctm(3) + ctm(5))
     def seg(x1: Double, y1: Double): Unit = {
-      path += Segment(cx, cy, x1, y1); cx = x1; cy = y1
+      path += Segment(cx, cy, x1, y1); cx = x1; cy = y1; subSegs += 1
+    }
+    def finishSub(): Unit = {
+      if (hasCurrent) subs += ((sx, sy, cx, cy, subSegs))
+      subSegs = 0
+    }
+    def clearPath(): Unit = {
+      path.clear(); subs.clear(); hasCurrent = false; subSegs = 0
+    }
+    // append the implicit closing edge of each recorded subpath that drew
+    // something and is not already closed
+    def closeSubs(onlyLast: Boolean): Unit = {
+      val range = if (onlyLast) subs.takeRight(1) else subs
+      range.foreach { case (x0, y0, ex, ey, n) =>
+        if (n > 0 && (ex != x0 || ey != y0)) path += Segment(ex, ey, x0, y0)
+      }
     }
     for (t <- tokenize(content)) t match {
       case TOp(op) if !op.startsWith("/") =>
@@ -802,6 +822,7 @@ object Pdf {
           case "cm" =>
             ctm = matMul(Array(num(6), num(5), num(4), num(3), num(2), num(1)), ctm)
           case "m" =>
+            finishSub()
             val (x, y) = dev(num(2), num(1)); cx = x; cy = y; sx = x; sy = y
             hasCurrent = true
           case "l" if hasCurrent =>
@@ -812,15 +833,24 @@ object Pdf {
             val (x, y) = dev(num(2), num(1)); seg(x, y)
           case "h" if hasCurrent => seg(sx, sy)
           case "re" =>
+            finishSub()
             val x = num(4); val y = num(3); val w = num(2); val h = num(1)
             val (ax, ay) = dev(x, y); val (bx, by) = dev(x + w, y)
             val (cx2, cy2) = dev(x + w, y + h); val (dx, dy) = dev(x, y + h)
             path += Segment(ax, ay, bx, by) += Segment(bx, by, cx2, cy2) +=
               Segment(cx2, cy2, dx, dy) += Segment(dx, dy, ax, ay)
-            cx = ax; cy = ay; sx = ax; sy = ay; hasCurrent = true
+            // a complete closed subpath: current point at its start
+            cx = ax; cy = ay; sx = ax; sy = ay; hasCurrent = true; subSegs = 0
           case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
-            out ++= path; path.clear(); hasCurrent = false
-          case "n" => path.clear(); hasCurrent = false
+            finishSub()
+            op match {
+              case "s" => closeSubs(onlyLast = true)  // s = h S
+              case "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
+                closeSubs(onlyLast = false)           // fill closes every subpath
+              case _ => ()                            // S strokes as constructed
+            }
+            out ++= path; clearPath()
+          case "n" => clearPath()
           case _ => ()
         }
         stack.clear()

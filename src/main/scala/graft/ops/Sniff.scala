@@ -44,7 +44,7 @@ object Sniff {
              (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
     else if (at(0, "ID3") ||
              ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) "mp3" // after jpeg: FFD8 is claimed
-    else if (b.length >= 16 && TfRecord.readRecords(b, maxRecords = 1 << 20).nonEmpty) "tfrecord"
+    else if (TfRecord.firstRecordValid(b)) "tfrecord"
     else "unknown"
   }
 
@@ -60,7 +60,7 @@ object Sniff {
     case "webp" => Webp.dims(b).nonEmpty
     case "zip" => Zip.listEntries(b).exists(es => es.forall(e => Zip.extract(b, e).nonEmpty))
     case "tar" => Tar.listMembers(b).nonEmpty
-    case "tfrecord" => TfRecord.readRecords(b).nonEmpty
+    case "tfrecord" => TfRecord.readRecords(b, maxRecords = 1 << 20).nonEmpty
     case "flac" => AudioMeta.decodeFlac(b).nonEmpty
     case "ogg" => AudioMeta.decodeOgg(b).nonEmpty
     case "mp3" => AudioMeta.decodeMp3(b).nonEmpty

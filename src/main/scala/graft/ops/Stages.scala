@@ -21,7 +21,13 @@ object Stages {
   /** One input row → N output rows, each the input row plus one of `f`'s
     * extension tuples (the row-wise explode for container payloads like
     * [[Avi.frameStatsStage]] where one binary yields per-member rows).
-    * Output rows stream through the same single-encoder mapPartitions. */
+    * Output rows stream through the same single-encoder mapPartitions.
+    *
+    * Caller convention (every container stage follows it): an empty `f`
+    * result drops the input row entirely, so a VALID-but-empty container
+    * must emit one marker tuple — by convention a NON-null struct with
+    * null members, distinguishable from both the malformed case (null
+    * struct) and an absent payload (no row). */
   def explodeFields(df: DataFrame, newFields: Seq[StructField])(f: Row => Seq[Seq[Any]]): DataFrame = {
     val outSchema = newFields.foldLeft(df.schema)(_ add _)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)

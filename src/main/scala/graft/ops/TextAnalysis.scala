@@ -785,8 +785,12 @@ object TextAnalysis {
   def licenseDetect(text: Column): Column = {
     val t = lower(text)
     val license =
-      when(t.contains("gnu general public license"), "GPL-3.0")
-        .when(t.contains("gnu lesser general public license"), "LGPL-3.0")
+      // LGPL before GPL: the real LGPL-3.0 text contains "GNU General
+      // Public License" verbatim ("…incorporates the terms and conditions
+      // of version 3 of the GNU General Public License…"), so the
+      // more-specific anchor must win
+      when(t.contains("gnu lesser general public license"), "LGPL-3.0")
+        .when(t.contains("gnu general public license"), "GPL-3.0")
         .when(t.contains("mozilla public license"), "MPL-2.0")
         .when(t.contains("licensed under the apache license, version 2.0"), "Apache-2.0")
         .when(t.contains("permission is hereby granted, free of charge"), "MIT")

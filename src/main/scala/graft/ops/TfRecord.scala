@@ -69,6 +69,20 @@ object TfRecord {
     Some(out.toSeq)
   }
 
+  /** True iff the payload STARTS with one complete framed record whose
+    * length-CRC and data-CRC both verify — the cheap detection probe
+    * ([[Sniff.detect]]): O(first record), not O(shard). Full-shard
+    * health stays [[readRecords]]. */
+  def firstRecordValid(bytes: Array[Byte], maxBytes: Int = 1 << 26): Boolean = {
+    if (bytes == null || bytes.length < 16) return false
+    val len = u64le(bytes, 0)
+    if (len < 0 || len > maxBytes) return false
+    if (u32le(bytes, 8) != maskedCrc(bytes, 0, 8)) return false
+    val n = len.toInt
+    if (12 + n + 4 > bytes.length) return false
+    u32le(bytes, 12 + n) == maskedCrc(bytes, 12, n)
+  }
+
   /** One parsed feature: exactly one of the three lists is non-null. */
   final case class Feature(int64s: Seq[Long], floats: Seq[Float], bytess: Seq[Array[Byte]])
 
@@ -220,6 +234,10 @@ object TfRecord {
       val payload = r.getAs[Array[Byte]](idx)
       readRecords(payload) match {
         case None => Seq(Seq(null))
+        case Some(recs) if recs.isEmpty =>
+          // valid zero-record shard: non-null struct, null members (vs the
+          // null struct of a malformed shard)
+          Seq(Seq(org.apache.spark.sql.Row(null, null, null, null, null, null)))
         case Some(recs) => recs.zipWithIndex.map { case ((o, l), i) =>
           parseExample(payload, o, l) match {
             case Some(fm) =>

@@ -99,7 +99,12 @@ object Wiki {
       decompress(r.getAs[Array[Byte]](idx)) match {
         case None => Seq(Seq(null))
         case Some(xml) =>
-          parsePages(new String(xml, java.nio.charset.StandardCharsets.UTF_8)).map(p =>
+          val pages = parsePages(new String(xml, java.nio.charset.StandardCharsets.UTF_8))
+          if (pages.isEmpty)
+            // well-formed dump, zero <page> elements: non-null struct with
+            // null members (vs the null struct of a corrupt payload)
+            Seq(Seq(org.apache.spark.sql.Row(null, null, null, null, null)))
+          else pages.map(p =>
             Seq(org.apache.spark.sql.Row(p.title, p.ns, p.pageId, p.redirect, p.textLen)))
       })
   }

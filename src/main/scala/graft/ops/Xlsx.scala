@@ -160,6 +160,10 @@ object Xlsx {
       } yield sheetCells(new String(sheet, java.nio.charset.StandardCharsets.UTF_8), sh)
       cells match {
         case None => Seq(Seq(null))
+        case Some(cs) if cs.isEmpty =>
+          // valid workbook, zero cells: non-null struct with null members
+          // (vs the null struct of a malformed container)
+          Seq(Seq(org.apache.spark.sql.Row(null, null, null, null, null)))
         case Some(cs) => cs.map(c =>
           Seq(org.apache.spark.sql.Row(c.ref, c.row, c.col, c.str, c.num)))
       }

@@ -2529,7 +2529,12 @@ object TextQueries extends QuerySet {
         "Permission is hereby granted, free of charge, to any person",
         "Licensed under the Apache License, Version 2.0 (the License)",
         "under the terms of the GNU General Public License as published",
-        "under the terms of the GNU Lesser General Public License",
+        // the real LGPL-3.0 body also carries the GPL anchor verbatim —
+        // the fixture plants both so LGPL-before-GPL ordering is
+        // load-bearing (a GPL-first detector misclassifies this doc)
+        "under the terms of the GNU Lesser General Public License, which " +
+          "incorporates the terms and conditions of version 3 of the GNU " +
+          "General Public License",
         "subject to the terms of the Mozilla Public License, v. 2.0",
         "Redistribution and use in source and binary forms, with or without",
         "licensed under a Creative Commons Attribution 4.0 International License",

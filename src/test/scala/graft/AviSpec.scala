@@ -68,4 +68,19 @@ class AviSpec extends AnyFunSuite {
     val m = Avi.decodeMjpeg(Avi.encodeMjpegAvi(w, h, 40000, Seq(wrong))).get
     assert(m.frames.length == 1 && !m.frames.head.ok)
   }
+
+  test("a 100-frame clip decodes whole — movi children never hit the structural hop cap") {
+    val (w, h) = (8, 8)
+    val frame = Jpeg.encodeGray(w, h, blockConstant(w, h, 1))
+    val m = Avi.decodeMjpeg(Avi.encodeMjpegAvi(w, h, 33333, Seq.fill(100)(frame))).get
+    assert(m.frames.length == 100 && m.frames.forall(_.ok))
+    // and the frame cap still binds
+    assert(Avi.decodeMjpeg(
+      Avi.encodeMjpegAvi(w, h, 33333, Seq.fill(257)(frame))).isEmpty)
+  }
+
+  test("a valid container with an empty movi yields meta with zero frames") {
+    val m = Avi.decodeMjpeg(Avi.encodeMjpegAvi(8, 8, 40000, Seq.empty)).get
+    assert(m.frames.isEmpty && m.width == 8 && m.usPerFrame == 40000)
+  }
 }

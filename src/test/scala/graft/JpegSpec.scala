@@ -235,4 +235,46 @@ class JpegSpec extends AnyFunSuite {
     for (cut <- Seq(jpg.length - 3, jpg.length * 3 / 4, jpg.length / 2, 20))
       assert(Jpeg.decode(java.util.Arrays.copyOf(jpg, cut)).isEmpty, s"cut $cut")
   }
+
+  test("FF fill bytes before markers are spec-legal (T.81 B.1.1.2) and skipped") {
+    val px = blockConstant(16, 16, 21)
+    val jpg = Jpeg.encodeGray(16, 16, px)
+    val want = Jpeg.decode(jpg).get.pixels.toSeq
+    // pad the DQT marker (immediately after SOI at offset 2) with fills
+    val padded = jpg.take(2) ++ Array.fill(3)(0xff.toByte) ++ jpg.drop(2)
+    val got = Jpeg.decode(padded)
+    assert(got.nonEmpty, "fill-padded stream must decode")
+    assert(got.get.pixels.toSeq == want)
+    // and before an RSTn inside the entropy stream
+    val rst = Jpeg.encodeGray(24, 24, blockConstant(24, 24, 5), restartInterval = 2)
+    val wantRst = Jpeg.decode(rst).get.pixels.toSeq
+    val ri = rst.indexWhere(_ == 0xff.toByte, 200) match {
+      case -1 => fail("no marker found"); -1
+      case _ =>
+        // find the first FF D0..D7 pair
+        (0 until rst.length - 1).find(i =>
+          (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) >= 0xd0 && (rst(i + 1) & 0xff) <= 0xd7).get
+    }
+    val rstPadded = rst.take(ri) ++ Array.fill(2)(0xff.toByte) ++ rst.drop(ri)
+    val gotRst = Jpeg.decode(rstPadded)
+    assert(gotRst.nonEmpty, "fill bytes before RSTn must decode")
+    assert(gotRst.get.pixels.toSeq == wantRst)
+  }
+
+  test("encodeGray(qStep=1) on a basis-matched extreme block clamps instead of throwing") {
+    // alternating columns at max contrast put the quantized AC coefficient
+    // past Annex-K category 10 at qStep 1 — the encoder must clamp to
+    // ±1023 and still emit a stream both decoders accept
+    val w = 16; val h = 16
+    val px = Array.tabulate(w * h)(k => if (k % 2 == 0) 0.toByte else 255.toByte)
+    for (q <- Seq(1, 2, 3)) {
+      val jpg = Jpeg.encodeGray(w, h, px, qStep = q)
+      val mine = Jpeg.decode(jpg)
+      assert(mine.nonEmpty, s"qStep $q own decode")
+      val io = imageIoDecode(jpg)
+      assert(io != null && io.getWidth == w && io.getHeight == h, s"qStep $q ImageIO")
+      val prog = Jpeg.encodeGrayProgressive(w, h, px, qStep = q)
+      assert(Jpeg.decode(prog).nonEmpty, s"qStep $q progressive")
+    }
+  }
 }

@@ -154,6 +154,34 @@ class Round8Spec extends SparkSpec {
     assert(!segs.exists(s => s.y0 == 400.0 && s.y1 == 400.0 && s.x1 == 500.0))
   }
 
+  test("Pdf.extractSegments: s/b/f emit the implicit close-path edge; S does not") {
+    // a 3-edge open rectangle path: m (10,10) → l (110,10) → l (110,60) → l (10,60)
+    def pdfFor(paint: String): Array[Byte] = {
+      val content = (s"10 10 m 110 10 l 110 60 l 10 60 l $paint ")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      ("%PDF-1.4\n4 0 obj << /Length " + content.length + " >> stream\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ content ++
+        "\nendstream endobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val closing = Pdf.Segment(10, 60, 10, 10)
+    for (paint <- Seq("s", "b", "b*", "f", "f*", "B", "B*")) {
+      val segs = Pdf.extractSegments(pdfFor(paint))
+      assert(segs.length == 4 && segs.contains(closing), s"paint $paint must close")
+    }
+    val open = Pdf.extractSegments(pdfFor("S"))
+    assert(open.length == 3 && !open.contains(closing), "S strokes as constructed")
+    // fill closes EVERY subpath, not just the current one
+    val multi = ("10 10 m 110 10 l 110 60 l 200 10 m 300 10 l 300 60 l f ")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val mpdf = ("%PDF-1.4\n4 0 obj << /Length " + multi.length + " >> stream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ multi ++
+      "\nendstream endobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val msegs = Pdf.extractSegments(mpdf)
+    assert(msegs.contains(Pdf.Segment(110, 60, 10, 10)))
+    assert(msegs.contains(Pdf.Segment(300, 60, 200, 10)))
+    assert(msegs.length == 6)
+  }
+
   test("Pdf.extractSegments: cm transforms path points; Q restores") {
     val content = ("q 2 0 0 3 10 20 cm 1 1 m 5 1 l S Q 1 1 m 5 1 l S ")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -219,6 +247,82 @@ class Round8Spec extends SparkSpec {
     assert(dups.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 1.0))
     // uniques are never flagged
     assert(rows.filter(r => r.getLong(0) % 2 == 1).forall(!_.getBoolean(3)))
+  }
+
+  test("licenseDetect: real LGPL-3.0 text (which embeds the GPL anchor) stays LGPL") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // the actual LGPL-3.0 body contains "GNU General Public License"
+    // verbatim — specificity ordering, not anchor presence, decides
+    val docs = Seq(
+      ("under the terms of the GNU Lesser General Public License, which " +
+        "incorporates the terms and conditions of version 3 of the GNU " +
+        "General Public License", "LGPL-3.0", "copyleft"),
+      ("released under the terms of the GNU General Public License as published", "GPL-3.0", "copyleft"),
+      ("Permission is hereby granted, free of charge, to anyone", "MIT", "permissive"))
+      .toDF("text", "want", "wantFam")
+    val det = TextAnalysis.licenseDetect(col("text"))
+    val rows = docs.select(det.getField("license").as("got"), col("want"),
+      det.getField("family").as("gotFam"), col("wantFam")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1) &&
+      r.getString(2) == r.getString(3), r.toString))
+  }
+
+  test("valid-but-empty containers emit a non-null marker row (≠ malformed, ≠ absent)") {
+    import spark.implicits._
+    import graft.ops.{Avi, Tar, TfRecord, Wiki, Xlsx}
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    // one (empty, malformed) payload pair per container format
+    val tarDf = Seq((1, Tar.encodeTar(Seq.empty)), (2, Array.fill(600)(9.toByte)))
+      .toDF("id", "payload")
+    val tarRows = Tar.memberStage(tarDf, "payload", "m")
+      .select(col("id"), col("m").isNull.as("malformed"), col("m.name").isNull.as("noName"))
+      .collect().map(r => r.getInt(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(tarRows(1) == (false, true), "empty shard: non-null struct, null members")
+    assert(tarRows(2) == (true, true), "malformed shard: null struct")
+    val tfrDf = Seq((1, Array.emptyByteArray), (2, Array.fill(40)(7.toByte))).toDF("id", "payload")
+    val tfrRows = TfRecord.exampleStage(tfrDf, "payload", "e")
+      .select(col("id"), col("e").isNull, col("e.record_idx").isNull)
+      .collect().map(r => (r.getInt(0), (r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(tfrRows(1) == (false, true) && tfrRows(2) == (true, true))
+    val wikiDf = Seq((1, gz(Wiki.encodeDump(Seq.empty))), (2, Array.fill(30)(1.toByte))).toDF("id", "payload")
+    val wikiRows = Wiki.pageStage(wikiDf, "payload", "p")
+      .select(col("id"), col("p").isNull, col("p.title").isNull)
+      .collect().map(r => (r.getInt(0), (r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(wikiRows(1) == (false, true) && wikiRows(2) == (true, true))
+    val xlsxDf = Seq((1, Xlsx.encodeXlsx(Seq.empty, Seq.empty)), (2, Array.fill(80)(2.toByte))).toDF("id", "payload")
+    val xlsxRows = Xlsx.cellStage(xlsxDf, "payload", "c")
+      .select(col("id"), col("c").isNull, col("c.ref").isNull)
+      .collect().map(r => (r.getInt(0), (r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(xlsxRows(1) == (false, true) && xlsxRows(2) == (true, true))
+    val aviDf = Seq((1, Avi.encodeMjpegAvi(8, 8, 40000, Seq.empty)), (2, Array.fill(40)(3.toByte))).toDF("id", "payload")
+    val aviRows = Avi.frameStatsStage(aviDf, "payload", "f")
+      .select(col("id"), col("f").isNull, col("f.frame_idx").isNull, col("f.width"))
+      .collect()
+    val a1 = aviRows.find(_.getInt(0) == 1).get
+    assert(!a1.getBoolean(1) && a1.getBoolean(2) && a1.getInt(3) == 8,
+      "empty movi keeps container meta with null frame fields")
+    val a2 = aviRows.find(_.getInt(0) == 2).get
+    assert(a2.getBoolean(1))
+  }
+
+  test("Tar memberStage: WebDataset key/ext split is over the basename") {
+    import spark.implicits._
+    import graft.ops.Tar
+    val shard = Tar.encodeTar(Seq(
+      ("shard.v1/000017.jpg", Array[Byte](1)),
+      ("data.v1/000017", Array[Byte](2)),      // extensionless under a dotted dir
+      (".hidden", Array[Byte](3))))
+    val rows = Tar.memberStage(Seq((1, shard)).toDF("id", "payload"), "payload", "m")
+      .select(col("m.name"), col("m.sample_key"), col("m.ext"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows("shard.v1/000017.jpg") == ("shard.v1/000017", "jpg"))
+    assert(rows("data.v1/000017") == ("data.v1/000017", ""), "a dotted dir must not donate the dot")
+    assert(rows(".hidden") == (".hidden", ""), "a leading-dot basename has no extension")
   }
 
   test("Hll portable estimate: within 20% on a 1k-distinct stream, exact merge algebra") {

@@ -67,4 +67,21 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.detect("hello world, this is text".getBytes) == "unknown")
     assert(Sniff.detect(Array[Byte](1, 2, 3)) == "unknown")
   }
+
+  test("a 5000-record TFRecord shard detects AND health-passes (no cap mismatch)") {
+    // detection is O(first record); health walks the whole shard — both
+    // must accept a shard larger than any per-call default cap
+    val rec = TfRecord.encodeExample(1, Seq(2L), "z".getBytes)
+    val shard = TfRecord.encodeShard(Seq.fill(5000)(rec))
+    assert(Sniff.detect(shard) == "tfrecord")
+    assert(Sniff.healthy("tfrecord", shard))
+  }
+
+  test("a torn trailing TFRecord record keeps detection but fails health") {
+    val rec = TfRecord.encodeExample(1, Seq(2L), "z".getBytes)
+    val shard = TfRecord.encodeShard(Seq.fill(4)(rec))
+    val torn = java.util.Arrays.copyOf(shard, shard.length - 3)
+    assert(Sniff.detect(torn) == "tfrecord") // first record is intact
+    assert(!Sniff.healthy("tfrecord", torn))
+  }
 }

@@ -74,4 +74,23 @@ class TfRecordSpec extends AnyFunSuite {
     val fm2 = TfRecord.parseExample(features, 0, features.length).get
     assert(fm2("p").int64s == Seq(4L, 5L))
   }
+
+  test("firstRecordValid: O(first record) probe matches full-walk semantics at the head") {
+    val rec = TfRecord.encodeExample(1, Seq(2L), "x".getBytes)
+    val shard = TfRecord.encodeShard(Seq(rec, rec, rec))
+    assert(TfRecord.firstRecordValid(shard))
+    // torn tail: first record intact → probe true, full walk None
+    val torn = java.util.Arrays.copyOf(shard, shard.length - 2)
+    assert(TfRecord.firstRecordValid(torn))
+    assert(TfRecord.readRecords(torn).isEmpty)
+    // corrupt first data byte → probe false
+    val bad = shard.clone(); bad(13) = (bad(13) ^ 0x01).toByte
+    assert(!TfRecord.firstRecordValid(bad))
+    // corrupt length CRC → probe false
+    val badLen = shard.clone(); badLen(9) = (badLen(9) ^ 0x01).toByte
+    assert(!TfRecord.firstRecordValid(badLen))
+    assert(!TfRecord.firstRecordValid(null))
+    assert(!TfRecord.firstRecordValid(Array.emptyByteArray))
+    assert(!TfRecord.firstRecordValid(Array.fill(40)(7.toByte)))
+  }
 }
