@@ -34,6 +34,7 @@ object Sniff {
     else if (at(0, "RIFF") && at(8, "WEBP")) "webp"
     else if (at(0, "PK") && (b(2) & 0xff) == 0x03 && (b(3) & 0xff) == 0x04) "zip"
     else if (at(0, "BZh") && b(3) >= '1' && b(3) <= '9') "bz2"
+    else if (at(0, "Obj") && (b(3) & 0xff) == 0x01) "avro"
     else if (b.length >= 265 && at(257, "ustar")) "tar"
     else if (at(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
@@ -67,6 +68,7 @@ object Sniff {
     case "webm" => Ebml.decode(b).nonEmpty
     case "gzip" => Warc.gunzipMember(b).nonEmpty
     case "bz2" => Bzip2.decode(b).nonEmpty
+    case "avro" => Avro.decode(b).exists(_.blocks.forall(_.ok))
     case _ => false // pdf/mp4/warc: detected here, health-gated by their own deep stages
   }
 

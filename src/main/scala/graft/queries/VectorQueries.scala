@@ -2291,6 +2291,77 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "record_idx")
     })
 
+  /** Avro object-container ingestion, oracle-gated end-to-end: the
+    * data-lake / Kafka-archive shard format ([[graft.ops.Avro]]) — a
+    * zero-dep container walk (bounded varint/JSON-schema parse,
+    * deflate blocks, sync-marker framing) differential-tested BOTH
+    * directions against the Apache Avro reference implementation.
+    * All three quarantine granularities are gated: every 11th shard
+    * has a flipped sync marker (framing lost → the WHOLE shard nulls),
+    * every 5th shard (with ≥2 blocks) carries one truncated block
+    * (its `parsed=false` row; sibling blocks survive — Avro blocks
+    * have no checksum, so corruption is detected structurally and the
+    * sync marker resynchronizes), and the rest round-trip both codecs
+    * (even ids deflate, odd null). The oracle predicts every value
+    * arithmetically. */
+  val avro1Records = Q("avro1_records",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nr FROM documents),
+            r AS (SELECT p.doc_id, p.nr, CAST(t.j AS INT) AS j
+                  FROM p, range(0, 5, 1) t(j) WHERE t.j < p.nr),
+            keep AS (SELECT * FROM r WHERE doc_id % 11 <> 0
+                     AND NOT (doc_id % 5 = 0 AND nr >= 3 AND j IN (2, 3))),
+            rws AS (SELECT doc_id, CAST(j // 2 AS INT) AS block_idx,
+              CAST(j % 2 AS INT) AS record_idx, true AS parsed,
+              doc_id * 10 + j AS id, CAST((doc_id + j) % 7 AS BIGINT) AS label,
+              CAST((doc_id + j) % 13 AS INT) AS text_len,
+              CAST((doc_id * 3 + j) % 40 AS DOUBLE) / 8 AS score,
+              (doc_id + j) % 2 = 0 AS flag
+            FROM keep)
+            SELECT doc_id, true AS shard_ok, block_idx, record_idx, parsed,
+              id, label, text_len, score, flag
+            FROM rws
+            UNION ALL
+            SELECT doc_id, true, 1, NULL, false, NULL, NULL, NULL, NULL, NULL
+            FROM p WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0 AND nr >= 3
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 11 = 0
+            ORDER BY doc_id, block_idx, record_idx"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops.Avro
+      val base = documents(s, d).select("doc_id")
+      val fieldsDef = Seq(
+        Avro.Field("id", "long", nullable = false),
+        Avro.Field("label", "long", nullable = false),
+        Avro.Field("text", "string", nullable = false),
+        Avro.Field("score", "double", nullable = false),
+        Avro.Field("flag", "boolean", nullable = false),
+        Avro.Field("payload", "bytes", nullable = true))
+      val withShard = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val nr = (id % 4 + 2).toInt
+        val recs = (0 until nr).map { j =>
+          Seq[Any](id * 10 + j, (id + j) % 7, "t" * (((id + j) % 13).toInt),
+            ((id * 3 + j) % 40).toDouble / 8.0, (id + j) % 2 == 0,
+            if (j % 3 == 1) null else Array.tabulate(j % 4 + 1)(k => (k * 7 + j).toByte))
+        }
+        Seq(Avro.encode(fieldsDef, recs,
+          codec = if (id % 2 == 0) "deflate" else "null",
+          recordsPerBlock = 2, syncSeed = id,
+          corruptBlock = if (id % 5 == 0 && nr >= 3) Some(1) else None,
+          corruptSync = id % 11 == 0))
+      }
+      Avro.recordStage(withShard, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("shard_ok"),
+          col("st.block_idx").as("block_idx"), col("st.record_idx").as("record_idx"),
+          col("st.parsed").as("parsed"), col("st.id").as("id"),
+          col("st.label").as("label"), col("st.text_len").as("text_len"),
+          col("st.score").as("score"), col("st.flag").as("flag"))
+        .orderBy("doc_id", "block_idx", "record_idx")
+    })
+
   /** G.711 µ-law/A-law sample decode (WAV format tags 7/6), oracle-gated
     * end-to-end: the telephony/speech-corpus encoding behind most
     * call-center and ASR training audio. Payloads are synthesized
@@ -2618,19 +2689,20 @@ object VectorQueries extends QuerySet {
     * front door for a mixed binary corpus — extensions lie at crawl
     * scale, so payloads are sniffed by magic bytes and routed to the
     * matching container/codec walk for a health verdict, one map-only
-    * pass over FIFTEEN formats (every fixture encoder in the engine
+    * pass over SIXTEEN formats (every fixture encoder in the engine
     * feeds one). Every 5th payload is corrupted in a format-appropriate way:
     * detection survives (the magic is intact) but health fails —
     * except TFRecord, which has NO magic (detected by first-record CRC)
     * and so correctly degrades to `unknown` when corrupt. */
   val sniff1Router = Q("sniff1_format_router",
     Some("""WITH p AS (SELECT doc_id,
-              CASE CAST(doc_id % 15 AS INT)
+              CASE CAST(doc_id % 16 AS INT)
                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
                 WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'webp'
                 WHEN 6 THEN 'zip' WHEN 7 THEN 'tar' WHEN 8 THEN 'tfrecord'
                 WHEN 9 THEN 'flac' WHEN 10 THEN 'ogg' WHEN 11 THEN 'webm'
-                WHEN 12 THEN 'mp3' WHEN 13 THEN 'gzip' ELSE 'bz2' END AS fmt,
+                WHEN 12 THEN 'mp3' WHEN 13 THEN 'gzip' WHEN 14 THEN 'bz2'
+                ELSE 'avro' END AS fmt,
               doc_id % 5 = 0 AS corrupt
             FROM documents)
             SELECT doc_id,
@@ -2645,7 +2717,7 @@ object VectorQueries extends QuerySet {
           Seq(StructField("payload", BinaryType))) { r =>
         val id = r.getLong(0)
         val v = (id % 251).toInt
-        val good: Array[Byte] = (id % 15).toInt match {
+        val good: Array[Byte] = (id % 16).toInt match {
           case 0 => Image.encodePng(4, 4, 0, Array.tabulate(16)(k => ((k * 7 + v) % 256).toByte))
           case 1 => Gif.encodeGif(4, 4, Array.tabulate(12)(k => ((k * 21 + v) % 256).toByte),
             Array.fill(16)(((v % 4)).toByte))
@@ -2668,9 +2740,15 @@ object VectorQueries extends QuerySet {
           case 12 => AudioMeta.encodeMp3((v % 5) + 2, brIdx = (v % 14) + 1, srIdx = v % 3,
             id3Size = (v % 40) + 1)
           case 13 => Warc.gzipMember(s"payload-$id-${"y" * (v % 60 + 4)}".getBytes("UTF-8"))
-          case _ => Bzip2.encode(s"payload-$id-${"z" * (v % 60 + 4)}".getBytes("UTF-8"))
+          case 14 => Bzip2.encode(s"payload-$id-${"z" * (v % 60 + 4)}".getBytes("UTF-8"))
+          case _ => Avro.encode(
+            Seq(Avro.Field("id", "long", nullable = false),
+              Avro.Field("text", "string", nullable = false)),
+            (0 until (v % 4 + 1)).map(k => Seq[Any](id * 4 + k, "a" * (v % 9 + 1))),
+            codec = if (id % 2 == 0) "deflate" else "null",
+            recordsPerBlock = 2, syncSeed = id)
         }
-        val out = if (id % 5 != 0) good else (id % 15).toInt match {
+        val out = if (id % 5 != 0) good else (id % 16).toInt match {
           case 0 => val b = good.clone(); b(b.length - 8) = (b(b.length - 8) ^ 0x11).toByte; b
           case 1 => java.util.Arrays.copyOf(good, good.length - 4)
           case 2 => java.util.Arrays.copyOf(good, good.length - 12)
@@ -2682,6 +2760,7 @@ object VectorQueries extends QuerySet {
           case 8 => val b = good.clone(); b(14) = (b(14) ^ 0x40).toByte; b
           case 13 | 14 => val b = good.clone() // flip in the CRC trailer region
                           b(b.length - 5) = (b(b.length - 5) ^ 0x21).toByte; b
+          case 15 => java.util.Arrays.copyOf(good, good.length - 5) // torn tail: sync lost
           case _ => java.util.Arrays.copyOf(good, good.length - 3) // flac/ogg/webm/mp3: torn tail
         }
         Seq(out)
@@ -3147,7 +3226,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }

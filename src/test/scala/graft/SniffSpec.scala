@@ -28,7 +28,10 @@ class SniffSpec extends AnyFunSuite {
     "flac" -> AudioMeta.encodeFlac(44100, 2, 99999),
     "ogg" -> AudioMeta.encodeOgg(Seq(40, 300), 777),
     "webm" -> Ebml.encodeWebm(100.0, 1000000L, 320, 240, 48000.0, 2),
-    "mp3" -> AudioMeta.encodeMp3(3, 9, 0, id3Size = 20))
+    "mp3" -> AudioMeta.encodeMp3(3, 9, 0, id3Size = 20),
+    "avro" -> Avro.encode(
+      Seq(Avro.Field("id", "long", nullable = false)),
+      Seq(Seq(1L), Seq(2L)), "deflate", recordsPerBlock = 2, syncSeed = 4))
 
   test("every fixture encoder detects as its own format and passes health") {
     for ((fmt, bytes) <- fixtures) {
@@ -54,6 +57,7 @@ class SniffSpec extends AnyFunSuite {
         case "wav" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
         case "avi" => java.util.Arrays.copyOf(bytes, bytes.length - 8)
         case "flac" | "ogg" | "webm" | "mp3" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
+        case "avro" => java.util.Arrays.copyOf(bytes, bytes.length - 5) // torn final sync
         case _ => bad
       }
       val expectDetect = if (fmt == "tfrecord") "unknown" else fmt
