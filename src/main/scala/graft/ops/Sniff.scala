@@ -35,6 +35,12 @@ object Sniff {
     else if (at(0, "PK") && (b(2) & 0xff) == 0x03 && (b(3) & 0xff) == 0x04) "zip"
     else if (at(0, "BZh") && b(3) >= '1' && b(3) <= '9') "bz2"
     else if (at(0, "Obj") && (b(3) & 0xff) == 0x01) "avro"
+    else if ((b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+             (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
+    else if ((b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
+             (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "lz4"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0x06 &&
+             (b(2) & 0xff) == 0x00 && (b(3) & 0xff) == 0x00 && at(4, "sNaPpY")) "snappy"
     else if (b.length >= 265 && at(257, "ustar")) "tar"
     else if (at(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
@@ -69,6 +75,9 @@ object Sniff {
     case "gzip" => Warc.gunzipMember(b).nonEmpty
     case "bz2" => Bzip2.decode(b).nonEmpty
     case "avro" => Avro.decode(b).exists(_.blocks.forall(_.ok))
+    case "zstd" => Codecs.unzstd(b).nonEmpty
+    case "lz4" => Codecs.unlz4(b).nonEmpty
+    case "snappy" => Codecs.unsnappy(b).nonEmpty
     case _ => false // pdf/mp4/warc: detected here, health-gated by their own deep stages
   }
 

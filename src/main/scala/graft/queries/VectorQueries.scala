@@ -2362,6 +2362,67 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "block_idx", "record_idx")
     })
 
+  /** Modern compressed-member ingestion ([[graft.ops.Codecs]]):
+    * zstd / LZ4-frame / snappy-framed payloads — the codecs data-lake
+    * exports and dataset mirrors ship beyond gzip/bz2 — detected by
+    * magic through the [[graft.ops.Sniff]] router (this query IS the
+    * routing gate for the three codecs) and decoded through Spark's own
+    * codec libraries under the bomb-bounded fail-closed contract.
+    * Every 5th payload has a torn tail: detection survives (magic
+    * intact), decode quarantines (CodecsSpec pins that truncation
+    * fails ALL three codecs — lz4 and snappy additionally checksum).
+    * The full decoded text is md5-gated. */
+  val m20Compressed = Q("m20_compressed_members",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n,
+              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4'
+                   ELSE 'snappy' END AS fmt,
+              doc_id % 5 = 0 AS corrupt FROM documents),
+            t AS (SELECT doc_id, fmt, corrupt, n,
+              array_to_string(list_transform(range(0, CAST(n AS BIGINT), 1),
+                k -> printf('line-%08d-%d', doc_id, k)), chr(10)) AS txt FROM p)
+            SELECT doc_id, fmt AS format, NOT corrupt AS ok,
+              CASE WHEN corrupt THEN NULL ELSE length(txt) END AS text_len,
+              CASE WHEN corrupt THEN NULL ELSE n END AS n_lines,
+              CASE WHEN corrupt THEN NULL ELSE md5(txt) END AS content_md5
+            FROM t ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+      import graft.ops.{Codecs, Sniff}
+      val base = documents(s, d).select("doc_id")
+      val withPayload = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val n = (id % 5 + 2).toInt
+        val text = (0 until n).map(k => f"line-$id%08d-$k").mkString("\n").getBytes("UTF-8")
+        val good = (id % 3).toInt match {
+          case 0 => Codecs.zstd(text)
+          case 1 => Codecs.lz4(text)
+          case _ => Codecs.snappy(text)
+        }
+        Seq(if (id % 5 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
+      }
+      val decoded = graft.ops.Stages.appendFields(withPayload, Seq(
+          StructField("st", StructType(Seq(
+            StructField("format", StringType), StructField("text", StringType)))))) { r =>
+        val b = r.getAs[Array[Byte]](1)
+        val fmt = Sniff.detect(b)
+        val dec = fmt match {
+          case "zstd" => Codecs.unzstd(b)
+          case "lz4" => Codecs.unlz4(b)
+          case "snappy" => Codecs.unsnappy(b)
+          case _ => None
+        }
+        Seq(org.apache.spark.sql.Row(fmt,
+          dec.map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull))
+      }
+      decoded.select(col("doc_id"), col("st.format").as("format"),
+          col("st.text").isNotNull.as("ok"),
+          length(col("st.text")).as("text_len"),
+          size(split(col("st.text"), "\n")).as("n_lines"),
+          when(col("st.text").isNotNull, md5(col("st.text").cast("binary"))).as("content_md5"))
+        .orderBy("doc_id")
+    })
+
   /** G.711 µ-law/A-law sample decode (WAV format tags 7/6), oracle-gated
     * end-to-end: the telephony/speech-corpus encoding behind most
     * call-center and ASR training audio. Payloads are synthesized
@@ -3226,7 +3287,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, m20Compressed, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }

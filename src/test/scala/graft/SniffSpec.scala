@@ -3,9 +3,11 @@ package graft
 import graft.ops._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Magic-byte format router: every engine fixture encoder is detected
-  * as its format, corrupted payloads keep their detection (except
-  * magic-less TFRecord) but fail health, garbage is unknown. */
+/** Magic-byte format router: every fixture-encoded format here is
+  * detected as itself, corrupted payloads keep their detection (except
+  * magic-less TFRecord) but fail health, garbage is unknown. The
+  * gzip/bz2 health paths are gated by the sniff1 query; pdf/mp4/warc
+  * are detect-only by design. */
 class SniffSpec extends AnyFunSuite {
 
   private def fixtures: Seq[(String, Array[Byte])] = Seq(
@@ -31,7 +33,10 @@ class SniffSpec extends AnyFunSuite {
     "mp3" -> AudioMeta.encodeMp3(3, 9, 0, id3Size = 20),
     "avro" -> Avro.encode(
       Seq(Avro.Field("id", "long", nullable = false)),
-      Seq(Seq(1L), Seq(2L)), "deflate", recordsPerBlock = 2, syncSeed = 4))
+      Seq(Seq(1L), Seq(2L)), "deflate", recordsPerBlock = 2, syncSeed = 4),
+    "zstd" -> Codecs.zstd("zstd member text payload".getBytes),
+    "lz4" -> Codecs.lz4("lz4 member text payload".getBytes),
+    "snappy" -> Codecs.snappy("snappy member text payload".getBytes))
 
   test("every fixture encoder detects as its own format and passes health") {
     for ((fmt, bytes) <- fixtures) {
@@ -58,6 +63,7 @@ class SniffSpec extends AnyFunSuite {
         case "avi" => java.util.Arrays.copyOf(bytes, bytes.length - 8)
         case "flac" | "ogg" | "webm" | "mp3" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
         case "avro" => java.util.Arrays.copyOf(bytes, bytes.length - 5) // torn final sync
+        case "zstd" | "lz4" | "snappy" => java.util.Arrays.copyOf(bytes, bytes.length - 6)
         case _ => bad
       }
       val expectDetect = if (fmt == "tfrecord") "unknown" else fmt
