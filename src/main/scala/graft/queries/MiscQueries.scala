@@ -1145,6 +1145,47 @@ object MiscQueries extends QuerySet {
       })
   }
 
+  /** ORC source/sink round-trip (the S-family's columnar format next to
+    * parquet; Spark's built-in `orc` reader/writer over the classpath
+    * orc-core): a partitioned write, a partition-PRUNED read-back (the
+    * `part` filter must never touch the other five directories — the
+    * 100 TB lake-layout discipline, pinned in OrcSpec's plan
+    * assertion alongside predicate pushdown), and value integrity for
+    * newline/unicode strings, exact doubles, and booleans. DuckDB
+    * cannot read ORC, so the oracle predicts the round-trip
+    * arithmetically (the planted-fixture discipline) while `ok_text`
+    * pins actual-vs-expected equality Spark-side. SF-invariant fixture:
+    * a bench rerun at another SF rewrites the fixed tmp dir with
+    * identical content (the s10 overwrite-hazard rule). */
+  val orc1Roundtrip: Q = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    Q("orc1_roundtrip",
+      Some("""WITH e AS (SELECT CAST(i AS BIGINT) AS doc_id,
+              concat('txt-', CAST(i AS VARCHAR), chr(10), 'u', chr(252)) AS text,
+              CAST(i % 97 AS DOUBLE) / 8 AS score,
+              i % 3 = 0 AS flag,
+              CAST(i % 7 AS BIGINT) AS part
+            FROM range(0, 500) t(i) WHERE i % 7 IN (2, 5))
+            SELECT doc_id, text, score, flag, part, true AS ok_text
+            FROM e ORDER BY doc_id"""),
+      (s, d) => {
+        val src = s.range(0, 500).select(
+          col("id").as("doc_id"),
+          concat(lit("txt-"), col("id").cast("string"), lit("\nuü")).as("text"),
+          ((col("id") % 97).cast("double") / 8).as("score"),
+          (col("id") % 3 === 0).as("flag"),
+          (col("id") % 7).as("part"))
+        src.coalesce(1).write.mode("overwrite").partitionBy("part").orc(out)
+        val back = s.read.orc(out).filter(col("part").isin(2, 5))
+        back.join(src.filter(col("part").isin(2, 5))
+            .select(col("doc_id"), col("text").as("e_text")), "doc_id")
+          .select(col("doc_id"), col("text"), col("score"), col("flag"),
+            col("part").cast("long").as("part"),
+            (col("text") === col("e_text")).as("ok_text"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Small-file compaction planning (the k-family's lakehouse op): pack
     * each table partition's files into ~128 MiB target bins by
     * NEXT-FIT-DECREASING — size-desc order, running fill, new bin on
@@ -2873,7 +2914,7 @@ object MiscQueries extends QuerySet {
   }
 
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
-    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, a16Unpivot, a17GroupingSets, u1Union3,
+    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, orc1Roundtrip, a16Unpivot, a17GroupingSets, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,
