@@ -483,6 +483,46 @@ class StreamingSpec extends SparkSpec {
     assert(acc.exists { case (s, _, _, ps) => ps == 64L * ((s * 31) % 256) })
   }
 
+  test("Avro container shards stream through foreachBatch, matching the batch decode") {
+    // the data-lake twin of the WebDataset loop: Avro shards land as
+    // binary rows, each micro-batch runs the container walk — block
+    // quarantine included — with no semantic drift vs one-shot batch
+    import graft.ops.Avro
+    val fieldsDef = Seq(
+      Avro.Field("id", "long", nullable = false),
+      Avro.Field("text", "string", nullable = false))
+    val shards = (0 until 9).map { s =>
+      val recs = (0 until 4).map(k => Seq[Any](s * 10L + k, "x" * (k + 1)))
+      (s.toLong, Avro.encode(fieldsDef, recs,
+        codec = if (s % 2 == 0) "deflate" else "null", recordsPerBlock = 2,
+        syncSeed = s, corruptBlock = if (s % 3 == 0) Some(1) else None))
+    }
+    import spark.implicits._
+    val df = shards.toDF("shard_id", "payload")
+    val dir = "/tmp/graft_stream_avro"
+    df.repartition(3).write.mode("overwrite").parquet(dir)
+    def decode(b: org.apache.spark.sql.DataFrame) =
+      Avro.recordStage(b, "payload", "st")
+        .select(col("shard_id"), col("st.block_idx").as("bi"),
+          col("st.record_idx").as("ri"), col("st.parsed").as("p"), col("st.id").as("id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    val acc = scala.collection.mutable.Set[(Long, Int, Int, Boolean, Long)]()
+    val q = spark.readStream.schema(df.schema).parquet(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        decode(b).collect().foreach(r => acc.synchronized { acc += key(r) })
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming avro ingest did not finish in time")
+    val expected = decode(df).collect().map(key).toSet
+    assert(acc.toSet == expected)
+    // every third shard really exercised block quarantine mid-stream
+    assert(expected.exists { case (s, bi, _, p, _) => s % 3 == 0 && bi == 1 && !p })
+    assert(expected.count { case (_, _, _, p, _) => p } == 9 * 4 - 3 * 2)
+  }
+
   test("fileIngest foreachBatch runs the batch pipeline per micro-batch") {
     val dir = "/tmp/graft_stream_src"
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
