@@ -42,6 +42,12 @@ object Sniff {
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0x06 &&
              (b(2) & 0xff) == 0x00 && (b(3) & 0xff) == 0x00 && at(4, "sNaPpY")) "snappy"
     else if (b.length >= 265 && at(257, "ustar")) "tar"
+    // parquet/orc AFTER tar: a tar member named "PAR1…"/"ORC…" puts those
+    // bytes at offset 0, but tar's own magic at 257 discriminates
+    else if (at(0, "PAR1")) "parquet"
+    // ORC: head magic AND the postscript's closing "ORC" just before the
+    // final length byte — head alone would misroute text ("ORCHESTRA…")
+    else if (at(0, "ORC") && b.length >= 8 && at(b.length - 4, "ORC")) "orc"
     else if (at(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
     else if (at(0, "WARC/")) "warc"
@@ -78,6 +84,20 @@ object Sniff {
     case "zstd" => Codecs.unzstd(b).nonEmpty
     case "lz4" => Codecs.unlz4(b).nonEmpty
     case "snappy" => Codecs.unsnappy(b).nonEmpty
+    case "parquet" =>
+      // structural footer check (PAR1 head AND tail, bounded footer
+      // length); deep reads go through spark.read.parquet on a PATH
+      b.length >= 12 &&
+        (0 until 4).forall(i => b(b.length - 4 + i) == "PAR1".charAt(i).toByte) && {
+          var fl = 0L
+          var i = 3
+          while (i >= 0) { fl = (fl << 8) | (b(b.length - 8 + i) & 0xffL); i -= 1 }
+          fl > 0 && fl + 12 <= b.length
+        }
+    case "orc" =>
+      // postscript length byte must address a span inside the payload
+      val ps = b(b.length - 1) & 0xff
+      ps > 0 && ps + 4 <= b.length
     case _ => false // pdf/mp4/warc: detected here, health-gated by their own deep stages
   }
 

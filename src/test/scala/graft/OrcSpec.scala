@@ -24,4 +24,37 @@ class OrcSpec extends SparkSpec {
     val row = q.filter(col("doc_id") === 12).select("text").head().getString(0)
     assert(row == "s\nü-12")
   }
+
+  test("the router detects real parquet and ORC payloads; torn tails fail health") {
+    import graft.ops.Sniff
+    def fileBytes(dir: String, suffix: String): Array[Byte] = {
+      val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(suffix)).get
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_sniff_lake").toString
+    val src = spark.range(0, 50).select(col("id"), (col("id") * 3).as("v"))
+    src.coalesce(1).write.mode("overwrite").parquet(s"$base/p")
+    src.coalesce(1).write.mode("overwrite").orc(s"$base/o")
+    val pq = fileBytes(s"$base/p", ".parquet")
+    val orc = fileBytes(s"$base/o", ".orc")
+    assert(Sniff.detect(pq) == "parquet" && Sniff.healthy("parquet", pq))
+    assert(Sniff.detect(orc) == "orc" && Sniff.healthy("orc", orc))
+    // torn tail: head magic keeps detection, the footer check fails health;
+    // a parquet with a LYING footer length does the same
+    val tornPq = java.util.Arrays.copyOf(pq, pq.length - 3)
+    assert(Sniff.detect(tornPq) == "parquet" && !Sniff.healthy("parquet", tornPq))
+    val lying = pq.clone()
+    lying(lying.length - 8) = 0xff.toByte // footer length > file size
+    lying(lying.length - 7) = 0xff.toByte
+    lying(lying.length - 6) = 0xff.toByte
+    assert(Sniff.detect(lying) == "parquet" && !Sniff.healthy("parquet", lying))
+    assert(Sniff.detect(java.util.Arrays.copyOf(orc, orc.length - 2)) == "unknown")
+    // text starting with the ORC magic must stay unknown (head-only
+    // detection would misroute it)
+    assert(Sniff.detect("ORCHESTRA programme notes, 1986".getBytes) == "unknown")
+    // a tar whose first member is named "PAR1…" must stay tar (the
+    // offset-257 magic discriminates before the parquet head check)
+    val trap = graft.ops.Tar.encodeTar(Seq(("PAR1-data.txt", "hello".getBytes)))
+    assert(Sniff.detect(trap) == "tar")
+  }
 }
