@@ -39,6 +39,17 @@ class FuzzSpec extends AnyFunSuite {
       ("flac", AudioMeta.encodeFlac(44100, 2, 12345), b => AudioMeta.decode(b)),
       ("ogg", AudioMeta.encodeOgg(Seq(40, 300), 777), b => AudioMeta.decode(b)),
       ("webm", Ebml.encodeWebm(100.0, 1000000L, 64, 48, 48000.0, 2), b => Ebml.decode(b)),
+      ("avro", Avro.encode(
+        Seq(Avro.Field("id", "long", nullable = false),
+          Avro.Field("text", "string", nullable = false),
+          Avro.Field("payload", "bytes", nullable = true)),
+        (0 until 6).map(k => Seq[Any](k.toLong, "t" * (k + 1),
+          if (k % 2 == 0) null else Array[Byte](1, 2))),
+        "deflate", recordsPerBlock = 2, syncSeed = 7),
+        b => Avro.decode(b)),
+      ("zstd", Codecs.zstd(("fuzz me gently " * 12).getBytes), b => Codecs.unzstd(b)),
+      ("lz4", Codecs.lz4(("fuzz me gently " * 12).getBytes), b => Codecs.unlz4(b)),
+      ("snappy", Codecs.snappy(("fuzz me gently " * 12).getBytes), b => Codecs.unsnappy(b)),
       ("wav-g711", {
         val o = new java.io.ByteArrayOutputStream()
         def le(v: Long, n: Int) = (0 until n).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
