@@ -48,6 +48,8 @@ object Sniff {
     // ORC: head magic AND the postscript's closing "ORC" just before the
     // final length byte — head alone would misroute text ("ORCHESTRA…")
     else if (at(0, "ORC") && b.length >= 8 && at(b.length - 4, "ORC")) "orc"
+    // Arrow IPC file: magic at BOTH ends (same two-ended rule as orc)
+    else if (at(0, "ARROW1") && b.length >= 12 && at(b.length - 6, "ARROW1")) "arrow"
     else if (at(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
     else if (at(0, "WARC/")) "warc"
@@ -94,6 +96,7 @@ object Sniff {
           while (i >= 0) { fl = (fl << 8) | (b(b.length - 8 + i) & 0xffL); i -= 1 }
           fl > 0 && fl + 12 <= b.length
         }
+    case "arrow" => ArrowIpc.decode(b).nonEmpty
     case "orc" =>
       // postscript length byte must address a span inside the payload
       val ps = b(b.length - 1) & 0xff

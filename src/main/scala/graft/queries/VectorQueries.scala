@@ -2362,6 +2362,54 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "block_idx", "record_idx")
     })
 
+  /** Arrow IPC file ingestion ([[graft.ops.ArrowIpc]]): the format the
+    * HuggingFace `datasets` ecosystem memory-maps its corpora into,
+    * read through the Arrow reference library on Spark's own classpath
+    * under a bounded allocator. Quarantine is STRUCTURAL (Arrow carries
+    * no data checksums — documented): every 9th payload has a torn tail
+    * and must null the shard; the rest round-trip with batch boundaries
+    * (`batch_idx`/`record_idx`) and per-field nulls preserved. The
+    * oracle predicts every value arithmetically. */
+  val arrow1Records = Q("arrow1_records",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nr FROM documents),
+            r AS (SELECT p.doc_id, p.nr, CAST(t.j AS INT) AS j
+                  FROM p, range(0, 5, 1) t(j) WHERE t.j < p.nr AND doc_id % 9 <> 0)
+            SELECT doc_id, true AS shard_ok, CAST(j // 3 AS INT) AS batch_idx,
+              CAST(j % 3 AS INT) AS record_idx,
+              doc_id * 10 + j AS id, CAST((doc_id + j) % 7 AS BIGINT) AS label,
+              CAST((doc_id + j) % 13 AS INT) AS text_len,
+              CAST((doc_id * 3 + j) % 40 AS DOUBLE) / 8 AS score,
+              (doc_id + j) % 2 = 0 AS flag
+            FROM r
+            UNION ALL
+            SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 9 = 0
+            ORDER BY doc_id, batch_idx, record_idx"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops.ArrowIpc
+      val base = documents(s, d).select("doc_id")
+      val withShard = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val nr = (id % 4 + 2).toInt
+        val recs = (0 until nr).map { j =>
+          ArrowIpc.FixRec(id * 10 + j, (id + j) % 7, "t" * (((id + j) % 13).toInt),
+            ((id * 3 + j) % 40).toDouble / 8.0, (id + j) % 2 == 0,
+            if (j % 3 == 1) None else Some(Array.tabulate(j % 4 + 1)(k => (k * 7 + j).toByte)))
+        }
+        val good = ArrowIpc.encode(recs, recordsPerBatch = 3)
+        Seq(if (id % 9 == 0) java.util.Arrays.copyOf(good, good.length - 3) else good)
+      }
+      ArrowIpc.recordStage(withShard, "payload", "st")
+        .select(col("doc_id"), col("st").isNotNull.as("shard_ok"),
+          col("st.batch_idx").as("batch_idx"), col("st.record_idx").as("record_idx"),
+          col("st.id").as("id"), col("st.label").as("label"),
+          col("st.text_len").as("text_len"), col("st.score").as("score"),
+          col("st.flag").as("flag"))
+        .orderBy("doc_id", "batch_idx", "record_idx")
+    })
+
   /** Modern compressed-member ingestion ([[graft.ops.Codecs]]):
     * zstd / LZ4-frame / snappy-framed payloads — the codecs data-lake
     * exports and dataset mirrors ship beyond gzip/bz2 — detected by
@@ -3287,7 +3335,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, m20Compressed, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }

@@ -47,6 +47,11 @@ class FuzzSpec extends AnyFunSuite {
           if (k % 2 == 0) null else Array[Byte](1, 2))),
         "deflate", recordsPerBlock = 2, syncSeed = 7),
         b => Avro.decode(b)),
+      ("arrow", ArrowIpc.encode(
+        (0 until 5).map(k => ArrowIpc.FixRec(k.toLong, k % 3, "t" * (k + 1), k / 4.0,
+          k % 2 == 0, if (k % 2 == 0) None else Some(Array[Byte](1, 2)))),
+        recordsPerBatch = 2),
+        b => ArrowIpc.decode(b)),
       ("zstd", Codecs.zstd(("fuzz me gently " * 12).getBytes), b => Codecs.unzstd(b)),
       ("lz4", Codecs.lz4(("fuzz me gently " * 12).getBytes), b => Codecs.unlz4(b)),
       ("snappy", Codecs.snappy(("fuzz me gently " * 12).getBytes), b => Codecs.unsnappy(b)),
