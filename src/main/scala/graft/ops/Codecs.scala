@@ -66,6 +66,17 @@ object Codecs {
       new java.io.ByteArrayInputStream(b), true), maxOut)
   }
 
+  /** XZ decode (magic FD 37 7A 58 5A 00) via the XZ-for-Java library on
+    * the Spark classpath; the format's own CRC32/CRC64/SHA-256 block
+    * checks make bit flips detectable, and the memory-limit constructor
+    * bounds the decoder's dictionary allocation independent of
+    * `maxOut`. */
+  def unxz(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 12) return None
+    drain(new org.tukaani.xz.XZInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16 /* KiB memory limit = 64 MiB */), maxOut)
+  }
+
   // ------------------------------------------------------------------
   // Fixture encoders.
 
@@ -92,6 +103,13 @@ object Codecs {
     val bo = new java.io.ByteArrayOutputStream(data.length + 64)
     val s = new org.xerial.snappy.SnappyFramedOutputStream(bo)
     s.write(data); s.close()
+    bo.toByteArray
+  }
+
+  def xz(data: Array[Byte], preset: Int = 3): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val x = new org.tukaani.xz.XZOutputStream(bo, new org.tukaani.xz.LZMA2Options(preset))
+    x.write(data); x.close()
     bo.toByteArray
   }
 }

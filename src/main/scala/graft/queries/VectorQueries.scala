@@ -2362,6 +2362,53 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "block_idx", "record_idx")
     })
 
+  /** 7z archive ingestion ([[graft.ops.SevenZip]]): the format the
+    * StackExchange data dumps — a canonical pretraining source — ship
+    * in, walked through commons-compress on Spark's own classpath under
+    * the member/total bomb budgets. Each doc builds a StackExchange-
+    * shaped archive (Posts.xml + Users.xml, LZMA2); every 8th payload
+    * has a torn tail and must quarantine whole (7z's header lives at
+    * the END — tearing it loses the member table, exactly like a real
+    * interrupted download). Full member content is md5-gated. */
+  val sz1SevenZip = Q("sz1_7z_members",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS n,
+              doc_id % 8 = 0 AS corrupt FROM documents),
+            t AS (SELECT doc_id, n, corrupt,
+              '<posts>' || array_to_string(list_transform(range(0, CAST(n AS BIGINT), 1),
+                k -> printf('<row Id="%d"/>', doc_id * 5 + k)), '') || '</posts>' AS posts,
+              printf('<users><row Id="%d"/></users>', doc_id % 1000) AS users
+            FROM p)
+            SELECT doc_id, false AS shard_ok, NULL AS name, NULL AS size, NULL AS content_md5
+            FROM t WHERE corrupt
+            UNION ALL
+            SELECT doc_id, true, 'Posts.xml', CAST(length(posts) AS BIGINT), md5(posts)
+            FROM t WHERE NOT corrupt
+            UNION ALL
+            SELECT doc_id, true, 'Users.xml', CAST(length(users) AS BIGINT), md5(users)
+            FROM t WHERE NOT corrupt
+            ORDER BY doc_id, name"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops.SevenZip
+      val base = documents(s, d).select("doc_id")
+      val withShard = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val n = (id % 4 + 1).toInt
+        val posts = "<posts>" +
+          (0 until n).map(k => s"""<row Id="${id * 5 + k}"/>""").mkString + "</posts>"
+        val users = s"""<users><row Id="${id % 1000}"/></users>"""
+        val good = SevenZip.encode(Seq(
+          "Posts.xml" -> posts.getBytes("UTF-8"), "Users.xml" -> users.getBytes("UTF-8")))
+        Seq(if (id % 8 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
+      }
+      SevenZip.memberStage(withShard, "payload", "m")
+        .select(col("doc_id"), col("m").isNotNull.as("shard_ok"),
+          col("m.name").as("name"), col("m.size").as("size"),
+          when(col("m.data").isNotNull, md5(col("m.data"))).as("content_md5"))
+        .orderBy("doc_id", "name")
+    })
+
   /** Arrow IPC file ingestion ([[graft.ops.ArrowIpc]]): the format the
     * HuggingFace `datasets` ecosystem memory-maps its corpora into,
     * read through the Arrow reference library on Spark's own classpath
@@ -2411,19 +2458,20 @@ object VectorQueries extends QuerySet {
     })
 
   /** Modern compressed-member ingestion ([[graft.ops.Codecs]]):
-    * zstd / LZ4-frame / snappy-framed payloads — the codecs data-lake
-    * exports and dataset mirrors ship beyond gzip/bz2 — detected by
-    * magic through the [[graft.ops.Sniff]] router (this query IS the
-    * routing gate for the three codecs) and decoded through Spark's own
-    * codec libraries under the bomb-bounded fail-closed contract.
-    * Every 5th payload has a torn tail: detection survives (magic
-    * intact), decode quarantines (CodecsSpec pins that truncation
-    * fails ALL three codecs — lz4 and snappy additionally checksum).
-    * The full decoded text is md5-gated. */
+    * zstd / LZ4-frame / snappy-framed / xz payloads — the codecs
+    * data-lake exports and dataset mirrors ship beyond gzip/bz2 —
+    * detected by magic through the [[graft.ops.Sniff]] router (this
+    * query IS the routing gate for the four codecs) and decoded through
+    * the codec libraries on Spark's own classpath under the
+    * bomb-bounded fail-closed contract. Every 5th payload has a torn
+    * tail: detection survives (magic intact), decode quarantines
+    * (CodecsSpec pins that truncation fails ALL four codecs — lz4,
+    * snappy, and xz additionally checksum). The full decoded text is
+    * md5-gated. */
   val m20Compressed = Q("m20_compressed_members",
     Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n,
-              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4'
-                   ELSE 'snappy' END AS fmt,
+              CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4'
+                   WHEN 2 THEN 'snappy' ELSE 'xz' END AS fmt,
               doc_id % 5 = 0 AS corrupt FROM documents),
             t AS (SELECT doc_id, fmt, corrupt, n,
               array_to_string(list_transform(range(0, CAST(n AS BIGINT), 1),
@@ -2442,10 +2490,11 @@ object VectorQueries extends QuerySet {
         val id = r.getLong(0)
         val n = (id % 5 + 2).toInt
         val text = (0 until n).map(k => f"line-$id%08d-$k").mkString("\n").getBytes("UTF-8")
-        val good = (id % 3).toInt match {
+        val good = (id % 4).toInt match {
           case 0 => Codecs.zstd(text)
           case 1 => Codecs.lz4(text)
-          case _ => Codecs.snappy(text)
+          case 2 => Codecs.snappy(text)
+          case _ => Codecs.xz(text)
         }
         Seq(if (id % 5 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
       }
@@ -2458,6 +2507,7 @@ object VectorQueries extends QuerySet {
           case "zstd" => Codecs.unzstd(b)
           case "lz4" => Codecs.unlz4(b)
           case "snappy" => Codecs.unsnappy(b)
+          case "xz" => Codecs.unxz(b)
           case _ => None
         }
         Seq(org.apache.spark.sql.Row(fmt,
@@ -3335,7 +3385,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }

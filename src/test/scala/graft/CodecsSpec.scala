@@ -14,7 +14,8 @@ class CodecsSpec extends AnyFunSuite {
   private val codecs: Seq[(String, Array[Byte] => Array[Byte], Array[Byte] => Option[Array[Byte]])] = Seq(
     ("zstd", Codecs.zstd(_, 3), Codecs.unzstd(_, 1 << 26)),
     ("lz4", Codecs.lz4 _, Codecs.unlz4(_, 1 << 26)),
-    ("snappy", Codecs.snappy _, Codecs.unsnappy(_, 1 << 26)))
+    ("snappy", Codecs.snappy _, Codecs.unsnappy(_, 1 << 26)),
+    ("xz", Codecs.xz(_, 3), Codecs.unxz(_, 1 << 26)))
 
   test("round trip all three codecs") {
     for ((name, enc, dec) <- codecs) {
@@ -40,8 +41,10 @@ class CodecsSpec extends AnyFunSuite {
       val out = dec(bad)
       assert(out.isEmpty || !java.util.Arrays.equals(out.get, text),
         s"$name must not silently return the original after a flip")
-      // lz4 (content checksum on) and snappy (per-chunk CRC) must REJECT
-      if (name == "lz4" || name == "snappy") assert(out.isEmpty, s"$name checksum")
+      // lz4 (content checksum on), snappy (per-chunk CRC), and xz
+      // (per-block CRC64) must REJECT
+      if (name == "lz4" || name == "snappy" || name == "xz")
+        assert(out.isEmpty, s"$name checksum")
     }
   }
 
@@ -53,6 +56,7 @@ class CodecsSpec extends AnyFunSuite {
       val tight = name match {
         case "zstd" => Codecs.unzstd(c, maxOut = 1 << 10)
         case "lz4" => Codecs.unlz4(c, maxOut = 1 << 10)
+        case "xz" => Codecs.unxz(c, maxOut = 1 << 10)
         case _ => Codecs.unsnappy(c, maxOut = 1 << 10)
       }
       assert(tight.isEmpty, s"$name bomb bound")

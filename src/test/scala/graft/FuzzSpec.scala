@@ -55,6 +55,9 @@ class FuzzSpec extends AnyFunSuite {
       ("zstd", Codecs.zstd(("fuzz me gently " * 12).getBytes), b => Codecs.unzstd(b)),
       ("lz4", Codecs.lz4(("fuzz me gently " * 12).getBytes), b => Codecs.unlz4(b)),
       ("snappy", Codecs.snappy(("fuzz me gently " * 12).getBytes), b => Codecs.unsnappy(b)),
+      ("xz", Codecs.xz(("fuzz me gently " * 12).getBytes), b => Codecs.unxz(b)),
+      ("7z", SevenZip.encode(Seq("a.xml" -> ("<row/>" * 20).getBytes, "b.txt" -> "text".getBytes)),
+        b => SevenZip.members(b)),
       ("wav-g711", {
         val o = new java.io.ByteArrayOutputStream()
         def le(v: Long, n: Int) = (0 until n).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))

@@ -36,7 +36,11 @@ class SniffSpec extends AnyFunSuite {
       Seq(Seq(1L), Seq(2L)), "deflate", recordsPerBlock = 2, syncSeed = 4),
     "zstd" -> Codecs.zstd("zstd member text payload".getBytes),
     "lz4" -> Codecs.lz4("lz4 member text payload".getBytes),
-    "snappy" -> Codecs.snappy("snappy member text payload".getBytes))
+    "snappy" -> Codecs.snappy("snappy member text payload".getBytes),
+    "xz" -> Codecs.xz("xz member text payload".getBytes),
+    "7z" -> SevenZip.encode(Seq("Posts.xml" -> ("<posts/>" * 8).getBytes)),
+    "arrow" -> ArrowIpc.encode(
+      Seq(ArrowIpc.FixRec(1L, 0L, "t", 0.5, flag = true, None)), recordsPerBatch = 1))
 
   test("every fixture encoder detects as its own format and passes health") {
     for ((fmt, bytes) <- fixtures) {
@@ -63,7 +67,11 @@ class SniffSpec extends AnyFunSuite {
         case "avi" => java.util.Arrays.copyOf(bytes, bytes.length - 8)
         case "flac" | "ogg" | "webm" | "mp3" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
         case "avro" => java.util.Arrays.copyOf(bytes, bytes.length - 5) // torn final sync
-        case "zstd" | "lz4" | "snappy" => java.util.Arrays.copyOf(bytes, bytes.length - 6)
+        case "zstd" | "lz4" | "snappy" | "xz" | "7z" =>
+          java.util.Arrays.copyOf(bytes, bytes.length - 6)
+        case "arrow" =>
+          // keep BOTH magics (two-ended detection) but break the footer
+          val bb = bytes.clone(); bb(bytes.length - 10) = 0x7f.toByte; bb
         case _ => bad
       }
       val expectDetect = if (fmt == "tfrecord") "unknown" else fmt
