@@ -2409,6 +2409,74 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "name")
     })
 
+  /** StackExchange-dump pipeline, composed end-to-end: 7z archive walk
+    * ([[graft.ops.SevenZip]]) → Posts.xml → per-post `Body` attribute
+    * extraction → XML entity unescape → the REAL boilerplate extractor
+    * ([[graft.ops.Cleaning.mainContent]], the jusText line-density
+    * gate) — the actual shape of turning a StackExchange dump into
+    * training text, with every stage the engine's existing operator.
+    * Each post body carries a content paragraph plus a link-dense
+    * "related" block the density gate must kill; the oracle replays
+    * the whole chain (the p15 convention) and the surviving text is
+    * md5-gated. One map-only walk + one explode; no shuffles before
+    * the output sort. */
+  val sz2StackExchange = Q("sz2_stackexchange_pipeline",
+    Some("""WITH p AS (SELECT doc_id, text, CAST(doc_id % 3 + 1 AS INT) AS n FROM documents),
+            posts AS (SELECT doc_id, CAST(t.k AS INT) AS post_idx,
+              concat('<p>', substr(text, CAST(t.k * 40 + 1 AS INT), 60), '</p>', chr(10),
+                '<div><a href="/x">Related link one</a> <a href="/y">Related link two</a></div>')
+                AS body
+              FROM p, range(0, 3, 1) t(k) WHERE t.k < p.n),
+            m AS (SELECT doc_id, post_idx,
+              coalesce(list_aggregate(list_transform(list_filter(string_split(body, chr(10)),
+                line -> length(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) >= 20
+                    AND coalesce(list_sum(list_transform(regexp_extract_all(line, '(?i)<a[^>]*>(.*?)</a>', 1),
+                          x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0) * 3
+                        <= length(trim(regexp_replace(line, '<[^>]*>', '', 'g')))),
+                l -> trim(regexp_replace(l, '<[^>]*>', '', 'g'))), 'string_agg', chr(10)), '') AS main_text
+            FROM posts)
+            SELECT doc_id, post_idx, CAST(length(main_text) AS INT) AS main_len,
+              md5(main_text) AS main_md5
+            FROM m ORDER BY doc_id, post_idx"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops.{Cleaning, SevenZip}
+      val base = documents(s, d).select("doc_id", "text")
+      val withShard = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val n = (id % 3 + 1).toInt
+        def esc(x: String) = x.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;").replace("\"", "&quot;")
+        val rows = (0 until n).map { k =>
+          val from = k * 40
+          val chunk = if (from >= text.length) "" else text.substring(from, math.min(from + 60, text.length))
+          val body = "<p>" + chunk + "</p>\n" +
+            """<div><a href="/x">Related link one</a> <a href="/y">Related link two</a></div>"""
+          s"""<row Id="${id * 7 + k}" Body="${esc(body)}"/>"""
+        }
+        val posts = "<posts>" + rows.mkString + "</posts>"
+        val users = "<users/>"
+        Seq(SevenZip.encode(Seq(
+          "Posts.xml" -> posts.getBytes("UTF-8"), "Users.xml" -> users.getBytes("UTF-8"))))
+      }
+      val xml = SevenZip.memberStage(withShard, "payload", "m")
+        .filter(col("m.name") === "Posts.xml")
+        .select(col("doc_id"), col("m.data").cast("string").as("xml"))
+      val bodies = xml.select(col("doc_id"),
+        posexplode(expr("""regexp_extract_all(xml, 'Body="([^"]*)"', 1)""")).as(Seq("post_idx", "escaped")))
+      // entity unescape — &amp; LAST, the standard ordering trap
+      val unescaped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col("escaped"), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&amp;", "&")
+      bodies.select(col("doc_id"), col("post_idx"),
+          Cleaning.mainContent(unescaped).as("main_text"))
+        .select(col("doc_id"), col("post_idx"),
+          length(col("main_text")).cast("int").as("main_len"),
+          md5(col("main_text").cast("binary")).as("main_md5"))
+        .orderBy("doc_id", "post_idx")
+    })
+
   /** Arrow IPC file ingestion ([[graft.ops.ArrowIpc]]): the format the
     * HuggingFace `datasets` ecosystem memory-maps its corpora into,
     * read through the Arrow reference library on Spark's own classpath
@@ -3385,7 +3453,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }
