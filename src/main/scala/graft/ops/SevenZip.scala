@@ -87,10 +87,23 @@ object SevenZip {
   // ------------------------------------------------------------------
   // Fixture encoder (the library's writer, LZMA2 default).
 
-  def encode(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+  /** `preset` is the LZMA2 preset (0–9); `dictSize` > 0 overrides the
+    * preset's dictionary size. commons-compress initializes one LZMA2
+    * encoder (dictionary allocation included) PER MEMBER — the
+    * preset-6 default costs ~45 ms a member, fine for one real
+    * StackExchange dump, ruinous for thousands of tiny fixture
+    * members — so fixture-heavy callers pass preset 0 with a 4 KiB
+    * dictionary (same format, same decoder). */
+  def encode(members: Seq[(String, Array[Byte])], preset: Int = 6,
+             dictSize: Int = 0): Array[Byte] = {
     val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
     val out = new org.apache.commons.compress.archivers.sevenz.SevenZOutputFile(ch)
     try {
+      val opts = new org.tukaani.xz.LZMA2Options(preset)
+      if (dictSize > 0) opts.setDictSize(dictSize)
+      out.setContentMethods(java.util.Arrays.asList(
+        new org.apache.commons.compress.archivers.sevenz.SevenZMethodConfiguration(
+          org.apache.commons.compress.archivers.sevenz.SevenZMethod.LZMA2, opts)))
       members.foreach { case (name, data) =>
         val e = new org.apache.commons.compress.archivers.sevenz.SevenZArchiveEntry()
         e.setName(name)

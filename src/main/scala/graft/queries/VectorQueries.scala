@@ -2365,48 +2365,49 @@ object VectorQueries extends QuerySet {
   /** 7z archive ingestion ([[graft.ops.SevenZip]]): the format the
     * StackExchange data dumps — a canonical pretraining source — ship
     * in, walked through commons-compress on Spark's own classpath under
-    * the member/total bomb budgets. Each doc builds a StackExchange-
-    * shaped archive (Posts.xml + Users.xml, LZMA2); every 8th payload
-    * has a torn tail and must quarantine whole (7z's header lives at
-    * the END — tearing it loses the member table, exactly like a real
-    * interrupted download). Full member content is md5-gated. */
+    * the member/total bomb budgets. The fixture has the REAL shape:
+    * one big LZMA2 archive per 50-doc shard (StackExchange ships one
+    * archive per site, not per document — and a per-doc archive would
+    * pay the LZMA2 encoder-init cost thousands of times). Every 8th
+    * SHARD has a torn tail and must quarantine whole (7z's member
+    * table lives at the END of the file — tearing it is exactly the
+    * interrupted-download failure). Full member content is md5-gated. */
   val sz1SevenZip = Q("sz1_7z_members",
-    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS n,
-              doc_id % 8 = 0 AS corrupt FROM documents),
-            t AS (SELECT doc_id, n, corrupt,
-              '<posts>' || array_to_string(list_transform(range(0, CAST(n AS BIGINT), 1),
-                k -> printf('<row Id="%d"/>', doc_id * 5 + k)), '') || '</posts>' AS posts,
-              printf('<users><row Id="%d"/></users>', doc_id % 1000) AS users
-            FROM p)
-            SELECT doc_id, false AS shard_ok, NULL AS name, NULL AS size, NULL AS content_md5
-            FROM t WHERE corrupt
+    Some("""WITH p AS (SELECT doc_id, doc_id // 50 AS shard_id,
+              '<posts>' || array_to_string(list_transform(range(0, CAST(doc_id % 4 + 1 AS BIGINT), 1),
+                k -> printf('<row Id="%d"/>', doc_id * 5 + k)), '') || '</posts>' AS posts
+            FROM documents)
+            SELECT shard_id, true AS shard_ok, printf('doc%08d.xml', doc_id) AS name,
+              CAST(length(posts) AS BIGINT) AS size, md5(posts) AS content_md5
+            FROM p WHERE shard_id % 8 <> 0
             UNION ALL
-            SELECT doc_id, true, 'Posts.xml', CAST(length(posts) AS BIGINT), md5(posts)
-            FROM t WHERE NOT corrupt
-            UNION ALL
-            SELECT doc_id, true, 'Users.xml', CAST(length(users) AS BIGINT), md5(users)
-            FROM t WHERE NOT corrupt
-            ORDER BY doc_id, name"""),
+            SELECT DISTINCT shard_id, false, NULL, NULL, NULL
+            FROM p WHERE shard_id % 8 = 0
+            ORDER BY shard_id, name"""),
     (s, d) => {
       import org.apache.spark.sql.types.{BinaryType, StructField}
       import graft.ops.SevenZip
-      val base = documents(s, d).select("doc_id")
-      val withShard = graft.ops.Stages.appendFields(base,
+      val shards = documents(s, d)
+        .groupBy(expr("doc_id DIV 50").as("shard_id"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val withShard = graft.ops.Stages.appendFields(shards,
           Seq(StructField("payload", BinaryType))) { r =>
-        val id = r.getLong(0)
-        val n = (id % 4 + 1).toInt
-        val posts = "<posts>" +
-          (0 until n).map(k => s"""<row Id="${id * 5 + k}"/>""").mkString + "</posts>"
-        val users = s"""<users><row Id="${id % 1000}"/></users>"""
-        val good = SevenZip.encode(Seq(
-          "Posts.xml" -> posts.getBytes("UTF-8"), "Users.xml" -> users.getBytes("UTF-8")))
-        Seq(if (id % 8 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
+        val sid = r.getLong(0)
+        val ids = r.getSeq[Long](1)
+        val members = ids.map { id =>
+          val n = (id % 4 + 1).toInt
+          val posts = "<posts>" +
+            (0 until n).map(k => s"""<row Id="${id * 5 + k}"/>""").mkString + "</posts>"
+          f"doc$id%08d.xml" -> posts.getBytes("UTF-8")
+        }
+        val good = SevenZip.encode(members.toSeq, preset = 0, dictSize = 1 << 12)
+        Seq(if (sid % 8 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
       }
       SevenZip.memberStage(withShard, "payload", "m")
-        .select(col("doc_id"), col("m").isNotNull.as("shard_ok"),
+        .select(col("shard_id"), col("m").isNotNull.as("shard_ok"),
           col("m.name").as("name"), col("m.size").as("size"),
           when(col("m.data").isNotNull, md5(col("m.data"))).as("content_md5"))
-        .orderBy("doc_id", "name")
+        .orderBy("shard_id", "name")
     })
 
   /** StackExchange-dump pipeline, composed end-to-end: 7z archive walk
@@ -2418,8 +2419,8 @@ object VectorQueries extends QuerySet {
     * Each post body carries a content paragraph plus a link-dense
     * "related" block the density gate must kill; the oracle replays
     * the whole chain (the p15 convention) and the surviving text is
-    * md5-gated. One map-only walk + one explode; no shuffles before
-    * the output sort. */
+    * md5-gated. One shard-assembly aggregate + one map-only walk + one
+    * explode before the output sort. */
   val sz2StackExchange = Q("sz2_stackexchange_pipeline",
     Some("""WITH p AS (SELECT doc_id, text, CAST(doc_id % 3 + 1 AS INT) AS n FROM documents),
             posts AS (SELECT doc_id, CAST(t.k AS INT) AS post_idx,
@@ -2441,29 +2442,34 @@ object VectorQueries extends QuerySet {
     (s, d) => {
       import org.apache.spark.sql.types.{BinaryType, StructField}
       import graft.ops.{Cleaning, SevenZip}
-      val base = documents(s, d).select("doc_id", "text")
-      val withShard = graft.ops.Stages.appendFields(base,
+      // one archive per 50-doc shard (the sz1 rationale), one
+      // docNNNNNNNN.xml member per document
+      val shards = documents(s, d)
+        .groupBy(expr("doc_id DIV 50").as("shard_id"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      val withShard = graft.ops.Stages.appendFields(shards,
           Seq(StructField("payload", BinaryType))) { r =>
-        val id = r.getLong(0)
-        val text = r.getString(1)
-        val n = (id % 3 + 1).toInt
         def esc(x: String) = x.replace("&", "&amp;").replace("<", "&lt;")
           .replace(">", "&gt;").replace("\"", "&quot;")
-        val rows = (0 until n).map { k =>
-          val from = k * 40
-          val chunk = if (from >= text.length) "" else text.substring(from, math.min(from + 60, text.length))
-          val body = "<p>" + chunk + "</p>\n" +
-            """<div><a href="/x">Related link one</a> <a href="/y">Related link two</a></div>"""
-          s"""<row Id="${id * 7 + k}" Body="${esc(body)}"/>"""
+        val docs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+        val members = docs.map { dr =>
+          val id = dr.getLong(0)
+          val text = dr.getString(1)
+          val n = (id % 3 + 1).toInt
+          val rows = (0 until n).map { k =>
+            val from = k * 40
+            val chunk = if (from >= text.length) "" else text.substring(from, math.min(from + 60, text.length))
+            val body = "<p>" + chunk + "</p>\n" +
+              """<div><a href="/x">Related link one</a> <a href="/y">Related link two</a></div>"""
+            s"""<row Id="${id * 7 + k}" Body="${esc(body)}"/>"""
+          }
+          f"doc$id%08d.xml" -> ("<posts>" + rows.mkString + "</posts>").getBytes("UTF-8")
         }
-        val posts = "<posts>" + rows.mkString + "</posts>"
-        val users = "<users/>"
-        Seq(SevenZip.encode(Seq(
-          "Posts.xml" -> posts.getBytes("UTF-8"), "Users.xml" -> users.getBytes("UTF-8"))))
+        Seq(SevenZip.encode(members.toSeq, preset = 0, dictSize = 1 << 12))
       }
       val xml = SevenZip.memberStage(withShard, "payload", "m")
-        .filter(col("m.name") === "Posts.xml")
-        .select(col("doc_id"), col("m.data").cast("string").as("xml"))
+        .select(regexp_extract(col("m.name"), "doc(\\d+)\\.xml", 1).cast("long").as("doc_id"),
+          col("m.data").cast("string").as("xml"))
       val bodies = xml.select(col("doc_id"),
         posexplode(expr("""regexp_extract_all(xml, 'Body="([^"]*)"', 1)""")).as(Seq("post_idx", "escaped")))
       // entity unescape — &amp; LAST, the standard ordering trap
@@ -2562,7 +2568,9 @@ object VectorQueries extends QuerySet {
           case 0 => Codecs.zstd(text)
           case 1 => Codecs.lz4(text)
           case 2 => Codecs.snappy(text)
-          case _ => Codecs.xz(text)
+          // preset 0: the format (and its CRC64 integrity) is identical,
+          // the per-payload encoder init is ~10× cheaper at fixture scale
+          case _ => Codecs.xz(text, preset = 0)
         }
         Seq(if (id % 5 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
       }
