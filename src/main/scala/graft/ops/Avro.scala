@@ -36,7 +36,12 @@ import org.apache.spark.sql.types._
   * contract). */
 object Avro {
 
-  final case class Field(name: String, tpe: String, nullable: Boolean)
+  /** `nullFirst` records the union's branch order — the Avro spec allows
+    * BOTH ["null", t] and [t, "null"], and the written branch index
+    * follows the schema's order, so a decoder that hard-codes
+    * null-is-branch-0 misreads value-first files. */
+  final case class Field(name: String, tpe: String, nullable: Boolean,
+                         nullFirst: Boolean = true)
   /** One container block: `ok=false` (no records) when its contents
     * failed the structural parse but the sync marker recovered framing. */
   final case class Block(idx: Int, ok: Boolean, records: Seq[IndexedSeq[Any]])
@@ -175,7 +180,8 @@ object Avro {
           case t: String if Prims(t) => Field(name, t, nullable = false)
           case u: Seq[_] if u.length == 2 && u.contains("null") =>
             u.find(_ != "null") match {
-              case Some(t: String) if Prims(t) => Field(name, t, nullable = true)
+              case Some(t: String) if Prims(t) =>
+                Field(name, t, nullable = true, nullFirst = u.head == "null")
               case _ => bad()
             }
           case _ => bad()
@@ -211,8 +217,9 @@ object Avro {
       val present =
         if (!f.nullable) true
         else in.zlong() match {
-          case 0 => false // branch 0 = "null" (the conventional order; see encode)
-          case 1 => true
+          // the null branch's index follows the SCHEMA's union order
+          case 0 => !f.nullFirst
+          case 1 => f.nullFirst
           case _ => bad()
         }
       if (!present) null
@@ -374,14 +381,18 @@ object Avro {
 
   def schemaJson(fields: Seq[Field]): String =
     """{"type":"record","name":"Rec","fields":[""" + fields.map { f =>
-      val t = if (f.nullable) s"""["null","${f.tpe}"]""" else s""""${f.tpe}""""
+      val t =
+        if (!f.nullable) s""""${f.tpe}""""
+        else if (f.nullFirst) s"""["null","${f.tpe}"]"""
+        else s"""["${f.tpe}","null"]"""
       s"""{"name":"${f.name}","type":$t}"""
     }.mkString(",") + "]}"
 
   private def writeValue(out: java.io.ByteArrayOutputStream, f: Field, v: Any): Unit = {
     if (f.nullable) {
-      if (v == null) { writeZlong(out, 0); return }
-      writeZlong(out, 1)
+      val nullIdx = if (f.nullFirst) 0L else 1L
+      if (v == null) { writeZlong(out, nullIdx); return }
+      writeZlong(out, 1L - nullIdx)
     } else require(v != null, s"null for non-nullable ${f.name}")
     f.tpe match {
       case "int" => writeZlong(out, v.asInstanceOf[Int].toLong)

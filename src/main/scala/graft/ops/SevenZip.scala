@@ -32,6 +32,16 @@ object SevenZip {
       zf = org.apache.commons.compress.archivers.sevenz.SevenZFile.builder()
         .setSeekableByteChannel(
           new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes))
+        // bound the DECODER's allocations too (dictionary declared in the
+        // hostile header, not just extracted output) — without this a
+        // crafted huge-dictionary declaration throws OutOfMemoryError, an
+        // Error that escapes NonFatal and kills the task. 256 MiB admits
+        // every standard preset (9 ⇒ 64 MiB dict + estimate overhead) and
+        // refuses the hostile tail of the range. (NOT the deprecated
+        // setMaxMemoryLimitKb, which silently right-shifts the value by
+        // 10 — 256 MiB would become a 256 KiB limit that rejects every
+        // standard preset.)
+        .setMaxMemoryLimitKiB(256 * 1024)
         .get()
       val out = scala.collection.mutable.ArrayBuffer.empty[Member]
       var total = 0L

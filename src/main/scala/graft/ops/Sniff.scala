@@ -94,7 +94,7 @@ object Sniff {
     case "parquet" =>
       // structural footer check (PAR1 head AND tail, bounded footer
       // length); deep reads go through spark.read.parquet on a PATH
-      b.length >= 12 &&
+      b != null && b.length >= 12 &&
         (0 until 4).forall(i => b(b.length - 4 + i) == "PAR1".charAt(i).toByte) && {
           var fl = 0L
           var i = 3
@@ -104,8 +104,12 @@ object Sniff {
     case "arrow" => ArrowIpc.decode(b).nonEmpty
     case "orc" =>
       // postscript length byte must address a span inside the payload
-      val ps = b(b.length - 1) & 0xff
-      ps > 0 && ps + 4 <= b.length
+      // (guard first: healthy is public API and may see payloads detect
+      // never vetted)
+      b != null && b.length >= 8 && {
+        val ps = b(b.length - 1) & 0xff
+        ps > 0 && ps + 4 <= b.length
+      }
     case _ => false // pdf/mp4/warc: detected here, health-gated by their own deep stages
   }
 

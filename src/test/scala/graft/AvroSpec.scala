@@ -98,6 +98,50 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("value-first unions ([long,\"null\"]) decode correctly — branch order follows the schema") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // the Avro spec allows either union order; only null-first is
+    // conventional — a decoder that hard-codes null=branch-0 misreads this
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"opt","type":["long","null"]}]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    for (k <- 0 until 6) {
+      val g = new GenericData.Record(schema)
+      g.put("id", k.toLong)
+      g.put("opt", if (k % 2 == 0) java.lang.Long.valueOf(k * 100L) else null)
+      w.append(g)
+    }
+    w.close()
+    val f = Avro.decode(out.toByteArray).get
+    assert(f.fields.find(_.name == "opt").exists(fl => fl.nullable && !fl.nullFirst))
+    val recs = f.blocks.flatMap(_.records)
+    assert(recs.length == 6 && recs.forall(_.length == 2))
+    for (k <- 0 until 6) {
+      assert(recs(k)(0) == k.toLong)
+      if (k % 2 == 0) assert(recs(k)(1) == k * 100L) else assert(recs(k)(1) == null)
+    }
+    // and my encoder round-trips the value-first order through the
+    // reference reader too
+    val vf = Seq(Avro.Field("x", "string", nullable = true, nullFirst = false))
+    val mine = Avro.encode(vf, Seq(Seq("hello"), Seq(null)), "null", 2, syncSeed = 3)
+    val lib = {
+      import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+      import org.apache.avro.generic.GenericDatumReader
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(mine), new GenericDatumReader[GenericRecord]())
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      while (r.hasNext) vs += Option(r.next().get("x")).map(_.toString).orNull
+      r.close(); vs.toSeq
+    }
+    assert(lib == Seq("hello", null))
+  }
+
   test("sync corruption quarantines the shard; block corruption only its block") {
     val recs = mkRecords(21)
     val badSync = Avro.encode(fields, recs, "deflate", 7, syncSeed = 9, corruptSync = true)

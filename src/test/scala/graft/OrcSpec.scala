@@ -56,5 +56,10 @@ class OrcSpec extends SparkSpec {
     // offset-257 magic discriminates before the parquet head check)
     val trap = graft.ops.Tar.encodeTar(Seq(("PAR1-data.txt", "hello".getBytes)))
     assert(Sniff.detect(trap) == "tar")
+    // healthy is public API: null/short payloads must answer false, not throw
+    for (fmt <- Seq("parquet", "orc", "arrow")) {
+      assert(!Sniff.healthy(fmt, null), fmt)
+      assert(!Sniff.healthy(fmt, Array[Byte](1, 2, 3)), fmt)
+    }
   }
 }

@@ -42,6 +42,13 @@ class SevenZipSpec extends AnyFunSuite {
     }
     assert(SevenZip.members(null).isEmpty)
     assert(SevenZip.members("not a seven zip archive at all".getBytes).isEmpty)
+    // a header declaring a huge LZMA2 dictionary must quarantine via the
+    // decoder memory limit, never OutOfMemoryError the task (512 MiB
+    // declared dictionary, far past the 256 MiB decode cap)
+    val bigDict = SevenZip.encode(Seq("a.txt" -> "x".getBytes), preset = 9,
+      dictSize = 1 << 29)
+    assert(SevenZip.members(bigDict).isEmpty, "past-cap dictionary must quarantine")
+
   }
 
   test("budgets: oversized members keep metadata with null payload; caps fail closed") {
