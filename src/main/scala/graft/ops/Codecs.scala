@@ -106,9 +106,15 @@ object Codecs {
     bo.toByteArray
   }
 
-  def xz(data: Array[Byte], preset: Int = 3): Array[Byte] = {
+  /** `dictSize` > 0 overrides the preset's dictionary (the 7z
+    * fixture-economics lesson: encoder init is dictionary-dominated —
+    * thousands of tiny fixture payloads want 4 KiB, one real corpus
+    * member wants the preset default). */
+  def xz(data: Array[Byte], preset: Int = 3, dictSize: Int = 0): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val x = new org.tukaani.xz.XZOutputStream(bo, new org.tukaani.xz.LZMA2Options(preset))
+    val opts = new org.tukaani.xz.LZMA2Options(preset)
+    if (dictSize > 0) opts.setDictSize(dictSize)
+    val x = new org.tukaani.xz.XZOutputStream(bo, opts)
     x.write(data); x.close()
     bo.toByteArray
   }

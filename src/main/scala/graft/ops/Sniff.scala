@@ -44,6 +44,7 @@ object Sniff {
     else if ((b(0) & 0xff) == 0xfd && at(1, "7zXZ") && (b(5) & 0xff) == 0x00) "xz"
     else if (at(0, "7z") && (b(2) & 0xff) == 0xbc && (b(3) & 0xff) == 0xaf &&
              (b(4) & 0xff) == 0x27 && (b(5) & 0xff) == 0x1c) "7z"
+    else if (at(0, "!<arch>\n")) "ar"
     else if (b.length >= 265 && at(257, "ustar")) "tar"
     // parquet/orc AFTER tar: a tar member named "PAR1…"/"ORC…" puts those
     // bytes at offset 0, but tar's own magic at 257 discriminates
@@ -91,6 +92,7 @@ object Sniff {
     case "snappy" => Codecs.unsnappy(b).nonEmpty
     case "xz" => Codecs.unxz(b).nonEmpty
     case "7z" => SevenZip.members(b).exists(ms => ms.forall(_.data != null))
+    case "ar" => Ar.members(b).exists(ms => ms.forall(_.data != null))
     case "parquet" =>
       // structural footer check (PAR1 head AND tail, bounded footer
       // length); deep reads go through spark.read.parquet on a PATH

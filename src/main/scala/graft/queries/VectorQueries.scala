@@ -2483,6 +2483,71 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id", "post_idx")
     })
 
+  /** Debian package (.deb) ingestion, composed end-to-end
+    * ([[graft.ops.Ar]]): the real nesting — ar archive holding
+    * `debian-binary`, `control.tar.gz` (through the EXISTING
+    * [[graft.ops.Warc.gunzipMember]] + [[graft.ops.Tar]] walk) and
+    * `data.tar.xz` (through [[graft.ops.Codecs.unxz]] + the same tar
+    * walk) — the shape a code-training pipeline meets when it ingests
+    * distro packages. Every 10th payload has a torn tail and must
+    * quarantine whole; control-file text is md5-gated and the data
+    * manifest (file count + total bytes) is predicted arithmetically.
+    * Map-only per payload. */
+  val deb1Package = Q("deb1_package_members",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS n,
+              doc_id % 10 = 0 AS corrupt FROM documents),
+            t AS (SELECT doc_id, n, corrupt,
+              printf('Package: pkg%d', doc_id) || chr(10) ||
+                printf('Version: 1.%d', doc_id % 50) || chr(10) AS ctrl,
+              CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT), 1),
+                k -> (doc_id + k) % 9 + 1)) AS BIGINT) AS total
+            FROM p)
+            SELECT doc_id, NOT corrupt AS ok,
+              CASE WHEN corrupt THEN NULL ELSE md5(ctrl) END AS control_md5,
+              CASE WHEN corrupt THEN NULL ELSE n END AS n_data_files,
+              CASE WHEN corrupt THEN NULL ELSE total END AS data_bytes
+            FROM t ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+      import graft.ops.{Ar, Codecs, Tar, Warc}
+      val base = documents(s, d).select("doc_id")
+      val withDeb = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val n = (id % 3 + 1).toInt
+        val ctrl = s"Package: pkg$id\nVersion: 1.${id % 50}\n"
+        val controlTgz = Warc.gzipMember(Tar.encodeTar(Seq("./control" -> ctrl.getBytes("UTF-8"))))
+        val dataTxz = Codecs.xz(Tar.encodeTar((0 until n).map { k =>
+          s"./usr/share/doc/f$k" -> ("x" * (((id + k) % 9) + 1).toInt).getBytes("UTF-8")
+        }), preset = 0, dictSize = 1 << 12)
+        val good = Ar.encode(Seq("debian-binary" -> "2.0\n".getBytes,
+          "control.tar.gz" -> controlTgz, "data.tar.xz" -> dataTxz))
+        Seq(if (id % 10 == 0) java.util.Arrays.copyOf(good, good.length - 5) else good)
+      }
+      val decoded = graft.ops.Stages.appendFields(withDeb, Seq(
+          StructField("st", StructType(Seq(
+            StructField("ok", BooleanType), StructField("control", StringType),
+            StructField("n_data", IntegerType), StructField("data_bytes", LongType)))))) { r =>
+        val b = r.getAs[Array[Byte]](1)
+        val st = for {
+          ms <- Ar.members(b)
+          ctlGz <- ms.find(_.name == "control.tar.gz").map(_.data) if ctlGz != null
+          ctlTar <- Warc.gunzipMember(ctlGz)
+          ctl <- Tar.listMembers(ctlTar).flatMap(_.find(_.name == "./control"))
+          dataXz <- ms.find(_.name == "data.tar.xz").map(_.data) if dataXz != null
+          dataTar <- Codecs.unxz(dataXz)
+          files <- Tar.listMembers(dataTar)
+        } yield org.apache.spark.sql.Row(true,
+          new String(ctlTar, ctl.off, ctl.size, java.nio.charset.StandardCharsets.UTF_8),
+          files.length, files.map(_.size.toLong).sum)
+        Seq(st.getOrElse(org.apache.spark.sql.Row(false, null, null, null)))
+      }
+      decoded.select(col("doc_id"), col("st.ok").as("ok"),
+          when(col("st.control").isNotNull, md5(col("st.control").cast("binary"))).as("control_md5"),
+          col("st.n_data").as("n_data_files"), col("st.data_bytes").as("data_bytes"))
+        .orderBy("doc_id")
+    })
+
   /** Arrow IPC file ingestion ([[graft.ops.ArrowIpc]]): the format the
     * HuggingFace `datasets` ecosystem memory-maps its corpora into,
     * read through the Arrow reference library on Spark's own classpath
@@ -2570,7 +2635,7 @@ object VectorQueries extends QuerySet {
           case 2 => Codecs.snappy(text)
           // preset 0: the format (and its CRC64 integrity) is identical,
           // the per-payload encoder init is ~10× cheaper at fixture scale
-          case _ => Codecs.xz(text, preset = 0)
+          case _ => Codecs.xz(text, preset = 0, dictSize = 1 << 12)
         }
         Seq(if (id % 5 == 0) java.util.Arrays.copyOf(good, good.length - 6) else good)
       }
@@ -3461,7 +3526,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }

@@ -58,6 +58,8 @@ class FuzzSpec extends AnyFunSuite {
       ("xz", Codecs.xz(("fuzz me gently " * 12).getBytes), b => Codecs.unxz(b)),
       ("7z", SevenZip.encode(Seq("a.xml" -> ("<row/>" * 20).getBytes, "b.txt" -> "text".getBytes)),
         b => SevenZip.members(b)),
+      ("ar", Ar.encode(Seq("debian-binary" -> "2.0\n".getBytes, "ctl" -> ("c" * 50).getBytes)),
+        b => Ar.members(b)),
       ("wav-g711", {
         val o = new java.io.ByteArrayOutputStream()
         def le(v: Long, n: Int) = (0 until n).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))

@@ -39,6 +39,7 @@ class SniffSpec extends AnyFunSuite {
     "snappy" -> Codecs.snappy("snappy member text payload".getBytes),
     "xz" -> Codecs.xz("xz member text payload".getBytes),
     "7z" -> SevenZip.encode(Seq("Posts.xml" -> ("<posts/>" * 8).getBytes)),
+    "ar" -> Ar.encode(Seq("debian-binary" -> "2.0\n".getBytes)),
     "arrow" -> ArrowIpc.encode(
       Seq(ArrowIpc.FixRec(1L, 0L, "t", 0.5, flag = true, None)), recordsPerBatch = 1))
 
@@ -67,7 +68,7 @@ class SniffSpec extends AnyFunSuite {
         case "avi" => java.util.Arrays.copyOf(bytes, bytes.length - 8)
         case "flac" | "ogg" | "webm" | "mp3" => java.util.Arrays.copyOf(bytes, bytes.length - 3)
         case "avro" => java.util.Arrays.copyOf(bytes, bytes.length - 5) // torn final sync
-        case "zstd" | "lz4" | "snappy" | "xz" | "7z" =>
+        case "zstd" | "lz4" | "snappy" | "xz" | "7z" | "ar" =>
           java.util.Arrays.copyOf(bytes, bytes.length - 6)
         case "arrow" =>
           // keep BOTH magics (two-ended detection) but break the footer
