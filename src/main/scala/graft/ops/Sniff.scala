@@ -45,6 +45,7 @@ object Sniff {
     else if (at(0, "7z") && (b(2) & 0xff) == 0xbc && (b(3) & 0xff) == 0xaf &&
              (b(4) & 0xff) == 0x27 && (b(5) & 0xff) == 0x1c) "7z"
     else if (at(0, "!<arch>\n")) "ar"
+    else if (at(0, "070701") || at(0, "070702")) "cpio" // newc / newc+crc
     else if (b.length >= 265 && at(257, "ustar")) "tar"
     // parquet/orc AFTER tar: a tar member named "PAR1…"/"ORC…" puts those
     // bytes at offset 0, but tar's own magic at 257 discriminates
@@ -93,6 +94,7 @@ object Sniff {
     case "xz" => Codecs.unxz(b).nonEmpty
     case "7z" => SevenZip.members(b).exists(ms => ms.forall(_.data != null))
     case "ar" => Ar.members(b).exists(ms => ms.forall(_.data != null))
+    case "cpio" => Cpio.members(b).exists(ms => ms.forall(_.data != null))
     case "parquet" =>
       // structural footer check (PAR1 head AND tail, bounded footer
       // length); deep reads go through spark.read.parquet on a PATH

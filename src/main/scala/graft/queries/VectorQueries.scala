@@ -2548,6 +2548,51 @@ object VectorQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** RPM-payload-shaped ingestion ([[graft.ops.Cpio]]): modern RPM
+    * packages carry a zstd-compressed cpio(newc) payload — decoded here
+    * through the composed engine codecs ([[graft.ops.Codecs.unzstd]] →
+    * cpio walk), the distro-package world's other half next to deb1.
+    * Every 7th payload has a torn compressed wrapper: detection-by-
+    * magic survives, the zstd decode quarantines the shard. Member
+    * content is md5-gated, the manifest arithmetic. Map-only. */
+  val cpio1Rpm = Q("cpio1_rpm_payload",
+    Some("""WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS n,
+              doc_id % 7 = 0 AS corrupt FROM documents),
+            f AS (SELECT doc_id, corrupt, CAST(t.k AS INT) AS k,
+              printf('./usr/share/pkg%d/file%d', doc_id, t.k) AS name,
+              repeat('d', CAST((doc_id * 2 + t.k) % 11 + 1 AS INT)) AS content
+            FROM p, range(0, 3, 1) t(k) WHERE t.k < p.n)
+            SELECT doc_id, true AS shard_ok, name,
+              CAST(length(content) AS BIGINT) AS size, md5(content) AS content_md5
+            FROM f WHERE NOT corrupt
+            UNION ALL
+            SELECT DISTINCT doc_id, false, NULL, NULL, NULL FROM f WHERE corrupt
+            ORDER BY doc_id, name"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{BinaryType, StructField}
+      import graft.ops.{Codecs, Cpio}
+      val base = documents(s, d).select("doc_id")
+      val withPayload = graft.ops.Stages.appendFields(base,
+          Seq(StructField("payload", BinaryType))) { r =>
+        val id = r.getLong(0)
+        val n = (id % 3 + 1).toInt
+        val ms = (0 until n).map { k =>
+          s"./usr/share/pkg$id/file$k" -> ("d" * (((id * 2 + k) % 11) + 1).toInt).getBytes("UTF-8")
+        }
+        val good = Codecs.zstd(Cpio.encode(ms))
+        Seq(if (id % 7 == 0) java.util.Arrays.copyOf(good, good.length - 5) else good)
+      }
+      val unwrapped = graft.ops.Stages.appendFields(withPayload,
+          Seq(StructField("cpio", BinaryType))) { r =>
+        Seq(Codecs.unzstd(r.getAs[Array[Byte]](1)).orNull)
+      }
+      Cpio.memberStage(unwrapped, "cpio", "m")
+        .select(col("doc_id"), col("m").isNotNull.as("shard_ok"),
+          col("m.name").as("name"), col("m.size").as("size"),
+          when(col("m.data").isNotNull, md5(col("m.data"))).as("content_md5"))
+        .orderBy("doc_id", "name")
+    })
+
   /** Arrow IPC file ingestion ([[graft.ops.ArrowIpc]]): the format the
     * HuggingFace `datasets` ecosystem memory-maps its corpora into,
     * read through the Arrow reference library on Spark's own classpath
@@ -3526,7 +3571,7 @@ object VectorQueries extends QuerySet {
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
-    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, docx1Text, xlsx1Cells, m17WebpDims,
+    wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
     wiki2Bz2Pages)
 }

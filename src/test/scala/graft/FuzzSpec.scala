@@ -60,6 +60,8 @@ class FuzzSpec extends AnyFunSuite {
         b => SevenZip.members(b)),
       ("ar", Ar.encode(Seq("debian-binary" -> "2.0\n".getBytes, "ctl" -> ("c" * 50).getBytes)),
         b => Ar.members(b)),
+      ("cpio", Cpio.encode(Seq("./usr/f" -> ("q" * 60).getBytes, "./etc/c" -> "kv".getBytes)),
+        b => Cpio.members(b)),
       ("wav-g711", {
         val o = new java.io.ByteArrayOutputStream()
         def le(v: Long, n: Int) = (0 until n).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))

@@ -40,6 +40,7 @@ class SniffSpec extends AnyFunSuite {
     "xz" -> Codecs.xz("xz member text payload".getBytes),
     "7z" -> SevenZip.encode(Seq("Posts.xml" -> ("<posts/>" * 8).getBytes)),
     "ar" -> Ar.encode(Seq("debian-binary" -> "2.0\n".getBytes)),
+    "cpio" -> Cpio.encode(Seq("./usr/f" -> "payload".getBytes)),
     "arrow" -> ArrowIpc.encode(
       Seq(ArrowIpc.FixRec(1L, 0L, "t", 0.5, flag = true, None)), recordsPerBatch = 1))
 
@@ -70,6 +71,7 @@ class SniffSpec extends AnyFunSuite {
         case "avro" => java.util.Arrays.copyOf(bytes, bytes.length - 5) // torn final sync
         case "zstd" | "lz4" | "snappy" | "xz" | "7z" | "ar" =>
           java.util.Arrays.copyOf(bytes, bytes.length - 6)
+        case "cpio" => java.util.Arrays.copyOf(bytes, 115) // mid first member (trailer cuts are recoverable)
         case "arrow" =>
           // keep BOTH magics (two-ended detection) but break the footer
           val bb = bytes.clone(); bb(bytes.length - 10) = 0x7f.toByte; bb
