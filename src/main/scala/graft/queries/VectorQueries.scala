@@ -3034,20 +3034,23 @@ object VectorQueries extends QuerySet {
     * front door for a mixed binary corpus — extensions lie at crawl
     * scale, so payloads are sniffed by magic bytes and routed to the
     * matching container/codec walk for a health verdict, one map-only
-    * pass over SIXTEEN formats (every fixture encoder in the engine
+    * pass over TWENTY-FOUR formats (every fixture encoder in the engine
     * feeds one). Every 5th payload is corrupted in a format-appropriate way:
     * detection survives (the magic is intact) but health fails —
     * except TFRecord, which has NO magic (detected by first-record CRC)
     * and so correctly degrades to `unknown` when corrupt. */
   val sniff1Router = Q("sniff1_format_router",
     Some("""WITH p AS (SELECT doc_id,
-              CASE CAST(doc_id % 16 AS INT)
+              CASE CAST(doc_id % 24 AS INT)
                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
                 WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'webp'
                 WHEN 6 THEN 'zip' WHEN 7 THEN 'tar' WHEN 8 THEN 'tfrecord'
                 WHEN 9 THEN 'flac' WHEN 10 THEN 'ogg' WHEN 11 THEN 'webm'
                 WHEN 12 THEN 'mp3' WHEN 13 THEN 'gzip' WHEN 14 THEN 'bz2'
-                ELSE 'avro' END AS fmt,
+                WHEN 15 THEN 'avro' WHEN 16 THEN 'zstd' WHEN 17 THEN 'lz4'
+                WHEN 18 THEN 'snappy' WHEN 19 THEN 'xz' WHEN 20 THEN '7z'
+                WHEN 21 THEN 'ar' WHEN 22 THEN 'cpio'
+                ELSE 'arrow' END AS fmt,
               doc_id % 5 = 0 AS corrupt
             FROM documents)
             SELECT doc_id,
@@ -3062,7 +3065,7 @@ object VectorQueries extends QuerySet {
           Seq(StructField("payload", BinaryType))) { r =>
         val id = r.getLong(0)
         val v = (id % 251).toInt
-        val good: Array[Byte] = (id % 16).toInt match {
+        val good: Array[Byte] = (id % 24).toInt match {
           case 0 => Image.encodePng(4, 4, 0, Array.tabulate(16)(k => ((k * 7 + v) % 256).toByte))
           case 1 => Gif.encodeGif(4, 4, Array.tabulate(12)(k => ((k * 21 + v) % 256).toByte),
             Array.fill(16)(((v % 4)).toByte))
@@ -3086,14 +3089,27 @@ object VectorQueries extends QuerySet {
             id3Size = (v % 40) + 1)
           case 13 => Warc.gzipMember(s"payload-$id-${"y" * (v % 60 + 4)}".getBytes("UTF-8"))
           case 14 => Bzip2.encode(s"payload-$id-${"z" * (v % 60 + 4)}".getBytes("UTF-8"))
-          case _ => Avro.encode(
+          case 15 => Avro.encode(
             Seq(Avro.Field("id", "long", nullable = false),
               Avro.Field("text", "string", nullable = false)),
             (0 until (v % 4 + 1)).map(k => Seq[Any](id * 4 + k, "a" * (v % 9 + 1))),
             codec = if (id % 2 == 0) "deflate" else "null",
             recordsPerBlock = 2, syncSeed = id)
+          case 16 => Codecs.zstd(s"member-$id-${"m" * (v % 50 + 4)}".getBytes("UTF-8"))
+          case 17 => Codecs.lz4(s"member-$id-${"n" * (v % 50 + 4)}".getBytes("UTF-8"))
+          case 18 => Codecs.snappy(s"member-$id-${"o" * (v % 50 + 4)}".getBytes("UTF-8"))
+          case 19 => Codecs.xz(s"member-$id-${"p" * (v % 50 + 4)}".getBytes("UTF-8"), 0, 1 << 12)
+          case 20 => SevenZip.encode(
+            Seq("Posts.xml" -> s"<posts><row Id=\"$id\"/></posts>".getBytes("UTF-8")),
+            preset = 0, dictSize = 1 << 12)
+          case 21 => Ar.encode(Seq("debian-binary" -> "2.0\n".getBytes,
+            "m.txt" -> s"member-$id".getBytes("UTF-8")))
+          case 22 => Cpio.encode(Seq(s"./f$id" -> s"content-$id".getBytes("UTF-8")))
+          case _ => ArrowIpc.encode(Seq(
+            ArrowIpc.FixRec(id, id % 5, "t" * (v % 7 + 1), (v % 16) / 8.0,
+              id % 2 == 0, None)), recordsPerBatch = 1)
         }
-        val out = if (id % 5 != 0) good else (id % 16).toInt match {
+        val out = if (id % 5 != 0) good else (id % 24).toInt match {
           case 0 => val b = good.clone(); b(b.length - 8) = (b(b.length - 8) ^ 0x11).toByte; b
           case 1 => java.util.Arrays.copyOf(good, good.length - 4)
           case 2 => java.util.Arrays.copyOf(good, good.length - 12)
@@ -3105,7 +3121,12 @@ object VectorQueries extends QuerySet {
           case 8 => val b = good.clone(); b(14) = (b(14) ^ 0x40).toByte; b
           case 13 | 14 => val b = good.clone() // flip in the CRC trailer region
                           b(b.length - 5) = (b(b.length - 5) ^ 0x21).toByte; b
-          case 15 => java.util.Arrays.copyOf(good, good.length - 5) // torn tail: sync lost
+          case 15 => java.util.Arrays.copyOf(good, good.length - 5) // avro: sync lost
+          case 16 | 17 | 18 | 19 | 20 | 21 => // codec/7z/ar: torn tail
+            java.util.Arrays.copyOf(good, good.length - 6)
+          case 22 => java.util.Arrays.copyOf(good, 113) // cpio: mid first member
+          case 23 => val b = good.clone() // arrow: keep both magics, break the footer
+                     b(b.length - 10) = 0x7f.toByte; b
           case _ => java.util.Arrays.copyOf(good, good.length - 3) // flac/ogg/webm/mp3: torn tail
         }
         Seq(out)
