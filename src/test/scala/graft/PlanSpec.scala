@@ -377,4 +377,26 @@ class PlanSpec extends SparkSpec {
       assert(f.contains("partial"), s"${q.name} aggregates must combine map-side")
     }
   }
+
+  test("container-source queries stay map-only up to the output sort") {
+    // the 100 TB claim the round-8 source wave makes: one row-wise
+    // decode stage per payload, no shuffle except the final ORDER BY's
+    // range exchange (plus, for the shard-assembly queries, exactly one
+    // aggregate exchange) — a decoder that snuck in a join or a window
+    // would show up as extra exchanges here
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int =
+      (p match { case _: ShuffleExchangeLike => 1; case _ => 0 }) +
+        p.children.map(shuffles).sum
+    import graft.queries.VectorQueries._
+    for ((q, maxEx) <- Seq(avro1Records -> 1, arrow1Records -> 1, m20Compressed -> 1,
+        cpio1Rpm -> 1, sniff1Router -> 1,          // map-only + output sort
+        sz1SevenZip -> 3, sz2StackExchange -> 3,   // + shard collect_list agg (partial+final)
+        deb1Package -> 1)) {
+      // sparkPlan (pre-AQE) so exchange counting is stable
+      val n = shuffles(q.fn(spark, sf).queryExecution.sparkPlan)
+      assert(n <= maxEx, s"${q.name}: $n exchanges (max $maxEx) — a decode stage grew a shuffle")
+    }
+  }
 }
