@@ -2368,7 +2368,10 @@ object VectorQueries extends QuerySet {
     * the member/total bomb budgets. The fixture has the REAL shape:
     * one big LZMA2 archive per 50-doc shard (StackExchange ships one
     * archive per site, not per document — and a per-doc archive would
-    * pay the LZMA2 encoder-init cost thousands of times). Every 8th
+    * pay the LZMA2 encoder-init cost thousands of times). The
+    * shard-assembly collect_list is FIXTURE synthesis only (bounded at
+    * 50 docs by construction); real ingestion receives archives as
+    * payload bytes and runs the map-only walk. Every 8th
     * SHARD has a torn tail and must quarantine whole (7z's member
     * table lives at the END of the file — tearing it is exactly the
     * interrupted-download failure). Full member content is md5-gated. */
