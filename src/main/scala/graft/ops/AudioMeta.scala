@@ -47,7 +47,24 @@ object AudioMeta {
     var rate = -1
     var channels = -1
     var samplesPerFrame = 0
-    while (p + 4 <= b.length) {
+    var done = false
+    while (!done && p + 4 <= b.length) {
+      // Recognized end-of-stream tags, extremely common in real corpora:
+      // ID3v1 ('TAG', exactly 128 bytes) or an APEv2 block ('APETAGEX'
+      // header, 32-byte header + LE size at +12, optionally followed by
+      // ID3v1). Anything else after the last frame is still malformed.
+      if (frames > 0 && b.length - p == 128 && b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G') {
+        p = b.length; done = true
+      } else if (frames > 0 && b.length - p >= 32 && b(p) == 'A' && b(p + 1) == 'P' &&
+        b(p + 2) == 'E' && b(p + 3) == 'T' && b(p + 4) == 'A' && b(p + 5) == 'G' &&
+        b(p + 6) == 'E' && b(p + 7) == 'X') {
+        val apeSize = ((b(p + 12) & 0xffL)) | ((b(p + 13) & 0xffL) << 8) |
+          ((b(p + 14) & 0xffL) << 16) | ((b(p + 15) & 0xffL) << 24)
+        val end = p.toLong + 32 + apeSize
+        if (end == b.length || (end + 128 == b.length && b(end.toInt) == 'T' &&
+          b(end.toInt + 1) == 'A' && b(end.toInt + 2) == 'G')) { p = b.length; done = true }
+        else return None
+      } else {
       val h = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
       if ((h >>> 21) != 0x7ff) return None // desync = malformed
       val version = (h >> 19) & 3   // 0=2.5, 2=MPEG2, 3=MPEG1
@@ -72,6 +89,7 @@ object AudioMeta {
       frames += 1
       if (frames > maxFrames) return None
       p += frameLen
+      }
     }
     if (frames == 0 || p != b.length) return None
     Some(Meta("mp3", rate, channels, frames, frames * samplesPerFrame))

@@ -101,7 +101,14 @@ object Bzip2 {
             maxBlock = (bytes(nextByte + 3) - '0') * 100000
             in.pos = (nextByte + 4).toLong << 3
             streamCrc = 0
-          } else done = true
+          } else {
+            // whole-payload strictness (same contract as decodeMp3/decodeOgg/
+            // TfRecord): anything after the final stream except zero padding
+            // means a corrupted concatenation — quarantine, don't mask it
+            var t = nextByte
+            while (t < bytes.length) { if (bytes(t) != 0) fail(); t += 1 }
+            done = true
+          }
         } else if (magic != 0x314159265359L) fail()
         else {
           val blockCrcClaimed = in.bits(32).toInt

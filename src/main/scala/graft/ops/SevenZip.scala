@@ -64,7 +64,7 @@ object SevenZip {
               var off = 0
               var n = zf.read(a, off, a.length - off)
               while (n > 0 && off + n < a.length) { off += n; n = zf.read(a, off, a.length - off) }
-              if (n < 0 && off + math.max(n, 0) < a.length && a.length > 0) return None // short read
+              if (a.length > 0 && (n < 0 || off + n < a.length)) return None // short read: torn
               a
             }
           out += Member(e.getName, size, data)

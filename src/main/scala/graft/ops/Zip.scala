@@ -86,11 +86,14 @@ object Zip {
   def extract(bytes: Array[Byte], entry: Entry): Option[Array[Byte]] = {
     if ((entry.flags & 0x1) != 0) return None // encrypted
     val lo = entry.localOff
-    if (lo + 30 > bytes.length) return None
+    if (lo < 0 || lo.toLong + 30 > bytes.length) return None
     val nameLen = u16(bytes, lo + 26)
     val extraLen = u16(bytes, lo + 28)
-    val dataOff = lo + 30 + nameLen + extraLen
-    if (dataOff + entry.compSize > bytes.length) return None
+    // Long arithmetic: a hostile local-header offset near Int.MaxValue must
+    // fail the bounds guard, not wrap negative and index out of range.
+    val dataOffL = lo.toLong + 30 + nameLen + extraLen
+    if (dataOffL + entry.compSize > bytes.length) return None
+    val dataOff = dataOffL.toInt
     val data = entry.method match {
       case 0 =>
         if (entry.compSize != entry.uncompSize) return None
