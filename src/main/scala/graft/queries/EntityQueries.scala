@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.TestTables._
+import graft.ops.{Dedup, EntityResolution}
+import graft.functions.GraftFunctions
+
+/** Entity-resolution / fuzzy-matching inventory (training-pipeline
+  * extension family: the record-linkage stage that merges author / site /
+  * license records across crawl sources).
+  *
+  * The dirty-record fixture is planted from doc_id arithmetic by
+  * `EntityResolution.records` / `recordsSql` — ONE generator feeding both
+  * engines (see that scaladoc for the class layout: clean / deletion /
+  * swap / substitution / unlinkable-reversed).
+  */
+object EntityQueries extends QuerySet {
+
+  /** SymSpell fuzzy self-join: all distinct name-token pairs within
+    * Levenshtein distance 2, found by deletion-neighborhood blocking
+    * (hash join on shared ≤2-deletion variants — never a cross product)
+    * and verified with the native codegen `levenshtein`. The oracle IS
+    * the brute-force cross join, so the gate proves the blocking lossless
+    * on this vocabulary. */
+  val er1Symspell = Q("er1_symspell_join",
+    Some(s"""WITH ${EntityResolution.recordsSql},
+            v AS (SELECT DISTINCT tok FROM (
+                    SELECT unnest(string_split(rec, ' ')) AS tok FROM recs)
+                  WHERE tok <> '')
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+              CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+            FROM v a JOIN v b ON a.tok < b.tok
+              AND abs(length(a.tok) - length(b.tok)) <= 2
+              AND levenshtein(a.tok, b.tok) <= 2
+            ORDER BY tok_a, tok_b"""),
+    (s, d) => {
+      val recs = EntityResolution.records(documents(s, d))
+      val vocab = recs.select(explode(split(col("rec"), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      EntityResolution.symspellPairs(vocab, maxEdit = 2)
+        .orderBy("tok_a", "tok_b")
+    })
+
+  /** Blocked record linkage: each dirty record scores against master
+    * names sharing its 2-char prefix block with the DuckDB-bit-exact
+    * `jaro_winkler_sim` expression; best master by (score desc, name asc)
+    * wins; below-threshold records (the planted unlinkable class) drop
+    * out. Blocking is lossless here by fixture construction (planted
+    * edits never touch the first two chars); in general it is the
+    * documented recall trade of record linkage. */
+  val er2Linkage = Q("er2_record_linkage",
+    Some(s"""WITH ${EntityResolution.recordsSql},
+            masters AS (SELECT DISTINCT fullname AS master FROM recs),
+            cand AS (
+              SELECT r.doc_id, r.rec, m.master,
+                jaro_winkler_similarity(r.rec, m.master) AS jw
+              FROM recs r JOIN masters m ON substr(r.rec, 1, 2) = substr(m.master, 1, 2)),
+            best AS (
+              SELECT doc_id, rec, master, jw,
+                row_number() OVER (PARTITION BY doc_id ORDER BY jw DESC, master) AS rk
+              FROM cand)
+            SELECT doc_id, rec, master, round(jw, 9) AS jw
+            FROM best WHERE rk = 1 AND jw >= 0.85
+            ORDER BY doc_id"""),
+    (s, d) => {
+      GraftFunctions.register(s)
+      val recs = EntityResolution.records(documents(s, d))
+      val masters = recs.select(col("fullname").as("master")).distinct()
+      val cand = recs.join(masters,
+          recs("rec").substr(1, 2) === masters("master").substr(1, 2))
+        .select(col("doc_id"), col("rec"), col("master"),
+          call_function("jaro_winkler_sim", col("rec"), col("master")).as("jw"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("jw").desc, col("master"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("jw") >= 0.85)
+        .select(col("doc_id"), col("rec"), col("master"), round(col("jw"), 9).as("jw"))
+        .orderBy("doc_id")
+    })
+
+  /** Entity clusters: transitive closure over the distance-1 token pairs
+    * (er1's tight subset) via `Dedup.connectedComponents` — min-token
+    * labels, singletons keep themselves. The oracle replays the closure
+    * with the shared recursive CTE (`OracleSql.closureCtes`). */
+  val er3Clusters = Q("er3_entity_clusters",
+    Some(s"""WITH RECURSIVE ${EntityResolution.recordsSql},
+            v AS (SELECT DISTINCT tok FROM (
+                    SELECT unnest(string_split(rec, ' ')) AS tok FROM recs)
+                  WHERE tok <> ''),
+            pairs AS (
+              SELECT a.tok AS id_a, b.tok AS id_b
+              FROM v a JOIN v b ON a.tok < b.tok
+                AND abs(length(a.tok) - length(b.tok)) <= 1
+                AND levenshtein(a.tok, b.tok) <= 1),
+            ${OracleSql.closureCtes},
+            final AS (
+              SELECT v.tok, coalesce(l.cluster_id, v.tok) AS cluster_id
+              FROM v LEFT JOIN labels l ON l.id = v.tok)
+            SELECT tok, cluster_id,
+              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+            FROM final ORDER BY tok"""),
+    (s, d) => {
+      val recs = EntityResolution.records(documents(s, d))
+      val vocab = recs.select(explode(split(col("rec"), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val pairs = EntityResolution.symspellPairs(vocab, maxEdit = 1)
+        .select(col("tok_a").as("id_a"), col("tok_b").as("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      vocab.join(labels, vocab("tok") === labels("id"), "left")
+        .select(col("tok"), coalesce(col("cluster_id"), col("tok")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+        .orderBy("tok")
+    })
+
+  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters)
+}

@@ -57,6 +57,66 @@ class Round9Spec extends AnyFunSuite {
     assert(AudioMeta.decodeMp3(clean ++ short).isEmpty)
   }
 
+  // --- Jaro-Winkler: pinned to DuckDB 1.0 bit-exactly -----------------------
+  test("jaro/jaro-winkler match DuckDB-produced reference values exactly") {
+    import graft.functions.JaroWinkler.{jaro, jaroWinkler}
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // values produced by DuckDB 1.0 jaro_similarity / jaro_winkler_similarity
+    val pins = Seq(
+      ("martha", "marhta", 0.9444444444444445, 0.9611111111111111),
+      ("dixon", "dicksonx", 0.7666666666666666, 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964, 0.8962962962962964),
+      ("abcdef", "abdcef", 0.9444444444444445, 0.9555555555555556),
+      ("ab", "ba", 0.0, 0.0),
+      ("a", "", 0.0, 0.0),
+      ("", "", 0.0, 0.0), // DuckDB: both-empty is 0, NOT the classic 1
+      ("abc", "abc", 1.0, 1.0),
+      ("abcdvwxyz", "abcdefghi", 0.6296296296296297, 0.6296296296296297), // no boost at jaro<=0.7
+      ("aaaaa", "aaaaab", 0.9444444444444445, 0.9666666666666667), // prefix capped at 4
+      ("ab", "abcdefghijkl", 0.7222222222222223, 0.7777777777777779),
+      ("CRATE", "TRACE", 0.7333333333333334, 0.7333333333333334),
+      ("abcxxx", "bcaxxx", 0.9444444444444445, 0.9444444444444445), // odd mismatches: t = 3/2 = 1 (int div)
+      ("arnab", "aranb", 0.9333333333333332, 0.9466666666666665))
+    for ((a, b, ej, ejw) <- pins) {
+      assert(jaro(u(a), u(b)) == ej, s"jaro($a,$b)")
+      assert(jaroWinkler(u(a), u(b)) == ejw, s"jw($a,$b)")
+    }
+  }
+
+  test("differential: jaro-winkler vs live DuckDB over random strings") {
+    import scala.sys.process._
+    val py = Seq("/root/.pyenv/shims/python3", "/root/miniconda/bin/python3", "/usr/bin/python3")
+      .find(p => new java.io.File(p).exists && scala.sys.process.Process(Seq(p, "-c", "import duckdb")).! == 0)
+    assume(py.nonEmpty, "no python3")
+    val hasDuck = Seq(py.get, "-c", "import duckdb").! == 0
+    assume(hasDuck, "python duckdb not importable")
+    val rnd = new scala.util.Random(99)
+    val alpha = "abcdx"
+    val cases = (1 to 300).map { _ =>
+      def s() = (0 until rnd.nextInt(10)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (s(), s())
+    }
+    val caseLines = cases.map { case (a, b) => s"$a,$b" }.mkString("\n")
+    val f = java.io.File.createTempFile("jwcases", ".txt")
+    java.nio.file.Files.writeString(f.toPath, caseLines)
+    val script =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |for line in open('${f.getAbsolutePath}'):
+         |    a, b = line.rstrip('\\n').split(',')
+         |    j, w = con.sql("SELECT jaro_similarity(?, ?), jaro_winkler_similarity(?, ?)", params=[a,b,a,b]).fetchone()
+         |    print(repr(j), repr(w))
+         |""".stripMargin
+    val out = Seq(py.get, "-c", script).!!.trim.split("\n")
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    cases.zip(out).foreach { case ((a, b), line) =>
+      val Array(ej, ejw) = line.split(" ")
+      assert(graft.functions.JaroWinkler.jaro(u(a), u(b)) == ej.toDouble, s"jaro($a,$b)")
+      assert(graft.functions.JaroWinkler.jaroWinkler(u(a), u(b)) == ejw.toDouble, s"jw($a,$b)")
+    }
+    f.delete()
+  }
+
   // --- ADVICE item 4: bzip2 whole-payload strictness ------------------------
   test("bzip2: trailing garbage after the final stream quarantines; zero padding ok") {
     val enc = Bzip2.encode("strict tail contract".getBytes("UTF-8"))
@@ -64,5 +124,58 @@ class Round9Spec extends AnyFunSuite {
     assert(Bzip2.decode(enc ++ Array[Byte](0, 0, 0)).nonEmpty, "zero padding tolerated")
     assert(Bzip2.decode(enc ++ "garbage".getBytes).isEmpty, "non-zero tail must fail")
     assert(Bzip2.decode(enc ++ Array[Byte]('B', 'Z')).isEmpty, "torn next stream must fail")
+  }
+}
+
+/** Round-9 Spark-side specs: SymSpell blocking losslessness and the
+  * record-linkage fixture's planted-class recovery. */
+class Round9SparkSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def brute(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("symspellPairs(k) equals the brute-force lev<=k cross product") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val alpha = "abcde"
+    val vocab = ((1 to 120).map(_ => (0 until (3 + rnd.nextInt(6)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString) :+ "abc" :+ "abcd" :+ "acbd").distinct
+    val vdf = vocab.toDF("tok")
+    for (k <- Seq(1, 2)) {
+      val got = graft.ops.EntityResolution.symspellPairs(vdf, maxEdit = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- vocab; b <- vocab if a < b
+        d = brute(a, b) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"k=$k: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("er2 fixture: deletion/swap/substitution classes all recover their true master; reversed class never links") {
+    val docs = graft.tables.TestTables.documents(spark, "/root/testdata/sf0.001")
+    val recs = graft.ops.EntityResolution.records(docs)
+    val linked = graft.queries.EntityQueries.er2Linkage.fn(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "master").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = recs.select("doc_id", "fullname").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    truth.foreach { case (id, full) =>
+      if (id % 5 == 4) assert(!linked.contains(id), s"reversed record $id must not link")
+      else assert(linked.get(id).contains(full), s"record $id (class ${id % 5}) must link to its master")
+    }
+    assert(truth.keys.count(_ % 5 == 4) > 0, "fixture must contain reversed records")
   }
 }
