@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta-style transaction-log table format, miniature but real: an
+  * append-only log of JSON actions (`add` / `remove` file, with per-file
+  * column stats), replayed into a snapshot whose live file set drives
+  * stats-based file skipping and time travel (SURVEY.md §2 extension —
+  * the lakehouse layer under every 100 TB training-data lake; the public
+  * Delta Lake PROTOCOL.md documents this action model).
+  *
+  * Scale shape: the LOG is tiny by design (actions ∝ files, not rows) —
+  * replay is a window over paths; the DATA never moves during replay.
+  * Stats pruning turns a predicate scan into a file-list filter plus a
+  * scan of only overlapping files — the dl3 gate proves soundness by
+  * having the oracle recompute true per-file match counts from raw data
+  * (a pruned file with a nonzero true count would hash-mismatch).
+  *
+  * The fixture "files" are orderkey-range buckets of the orders table
+  * (`bucket = o_orderkey / W`), so both engines derive identical file
+  * stats from arithmetic; the log itself is REAL JSON — built with
+  * to_json, parsed back with from_json against `actionSchema`.
+  * Log history: v0 adds every bucket file; v1 compacts part-0+part-1
+  * into compact-0-1; v2 removes part-2 (a delete); v3 appends append-0
+  * (bucket 3's rows again, as new data).
+  */
+object DeltaLog {
+
+  /** Rows per file bucket. 250 keeps ≥6 files at sf0.001 (the log story
+    * needs buckets 0-3 plus spares) and 600 files at sf0.1. */
+  val W = 250
+
+  val actionSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType), StructField("ordinal", IntegerType),
+    StructField("op", StringType), StructField("path", StringType),
+    StructField("buckets", ArrayType(LongType)), StructField("n_rows", LongType),
+    StructField("min_key", LongType), StructField("max_key", LongType),
+    StructField("cents", LongType)))
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Per-bucket file stats from the orders table. */
+  def buckets(orders: DataFrame): DataFrame =
+    orders.groupBy(floor(col("o_orderkey") / W).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"), sum(cents(col("o_totalprice"))).as("cents"))
+
+  /** The transaction log as JSON lines (one DataFrame column `line`). */
+  def logLines(orders: DataFrame): DataFrame = {
+    val b = buckets(orders)
+    def add(version: Int, ordinal: org.apache.spark.sql.Column,
+            path: org.apache.spark.sql.Column, bks: org.apache.spark.sql.Column) =
+      to_json(struct(lit(version).as("version"), ordinal.cast("int").as("ordinal"),
+        lit("add").as("op"), path.as("path"), bks.as("buckets"),
+        col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+        col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"))).as("line")
+    val v0 = b.select(add(0, col("bucket"), concat(lit("part-"), col("bucket")),
+      array(col("bucket").cast("long"))))
+    val removes = b.sparkSession.range(1).select(explode(array(
+      struct(lit(1).as("version"), lit(0).as("ordinal"), lit("remove").as("op"), lit("part-0").as("path")),
+      struct(lit(1).as("version"), lit(1).as("ordinal"), lit("remove").as("op"), lit("part-1").as("path")),
+      struct(lit(2).as("version"), lit(0).as("ordinal"), lit("remove").as("op"), lit("part-2").as("path"))
+    )).as("a")).select(to_json(col("a")).as("line"))
+    val compact = b.filter(col("bucket") <= 1)
+      .agg(sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+        max("max_key").as("max_key"), sum("cents").as("cents"))
+      .select(add(1, lit(2), lit("compact-0-1"), array(lit(0L), lit(1L))))
+    val append = b.filter(col("bucket") === 3)
+      .select(add(3, lit(0), lit("append-0"), array(lit(3L))))
+    v0.unionByName(removes).unionByName(compact).unionByName(append)
+  }
+
+  /** Parse the JSON log lines back into typed action rows. */
+  def actions(log: DataFrame): DataFrame =
+    log.select(from_json(col("line"), actionSchema).as("a")).select("a.*")
+
+  /** Replay the log into the live file set as of `asOf` (None = latest):
+    * per path, the last action (version, ordinal) wins; live = `add`. */
+  def snapshot(log: DataFrame, asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = actions(log)
+    val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
+    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    bounded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "add")
+      .drop("rn", "op", "version", "ordinal")
+  }
+
+  /** DuckDB mirror of buckets+actions: CTEs `bks` and `acts`, where the
+    * contiguous bucket span is carried as (b_lo, b_hi) instead of an
+    * array. One source of truth for the three dl oracles. */
+  val actionsSql: String =
+    s"""bks AS (
+         SELECT o_orderkey // $W AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1),
+       acts AS (
+         SELECT 0 AS version, CAST(bucket AS INT) AS ordinal, 'add' AS op,
+           'part-' || bucket AS path, bucket AS b_lo, bucket AS b_hi,
+           n_rows, min_key, max_key, cents
+         FROM bks
+         UNION ALL SELECT 1, 0, 'remove', 'part-0', NULL, NULL, NULL, NULL, NULL, NULL
+         UNION ALL SELECT 1, 1, 'remove', 'part-1', NULL, NULL, NULL, NULL, NULL, NULL
+         UNION ALL
+         SELECT 1, 2, 'add', 'compact-0-1', 0, 1, CAST(sum(n_rows) AS BIGINT), min(min_key),
+           max(max_key), CAST(sum(cents) AS BIGINT)
+         FROM bks WHERE bucket <= 1
+         UNION ALL SELECT 2, 0, 'remove', 'part-2', NULL, NULL, NULL, NULL, NULL, NULL
+         UNION ALL
+         SELECT 3, 0, 'add', 'append-0', 3, 3, n_rows, min_key, max_key, cents
+         FROM bks WHERE bucket = 3)"""
+
+  /** Oracle live-set replay as of version `v` (SQL fragment yielding a
+    * subquery; columns path, b_lo, b_hi, n_rows, min_key, max_key, cents). */
+  def liveSql(v: String): String =
+    s"""(SELECT path, b_lo, b_hi, n_rows, min_key, max_key, cents FROM (
+          SELECT *, row_number() OVER (PARTITION BY path
+            ORDER BY version DESC, ordinal DESC) AS rn
+          FROM acts WHERE version <= $v)
+        WHERE rn = 1 AND op = 'add')"""
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.TestTables._
+import graft.ops.DeltaLog
+
+/** Lakehouse table-format inventory: Delta-style log replay, time
+  * travel, stats-based file skipping, SCD2 dimension build, CDC apply.
+  * See `ops/DeltaLog.scala` for the action model and scale notes.
+  */
+object LakehouseQueries extends QuerySet {
+
+  /** Latest-snapshot file listing: build the JSON action log, replay it
+    * (per-path last action wins), emit the live files with their stats.
+    * The oracle replays the same history from arithmetic CTEs. */
+  val dl1Snapshot = Q("dl1_snapshot_files",
+    Some(s"""WITH ${DeltaLog.actionsSql}
+            SELECT path, n_rows, min_key, max_key, cents
+            FROM ${DeltaLog.liveSql("3")} t ORDER BY path"""),
+    (s, d) => DeltaLog.snapshot(DeltaLog.logLines(orders(s, d)))
+      .select("path", "n_rows", "min_key", "max_key", "cents")
+      .orderBy("path"))
+
+  /** Time travel: replay the log as of each version 0-3 — file count,
+    * row count, and money total per snapshot. Version 1 shows compaction
+    * is row-neutral; version 2 shows the delete; version 3 the append. */
+  val dl2TimeTravel = Q("dl2_time_travel",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            reps AS (
+              SELECT r.v, a.* FROM range(0, 4) r(v) JOIN acts a ON a.version <= r.v),
+            live AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY v, path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM reps)
+              WHERE rn = 1 AND op = 'add')
+            SELECT v AS version, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(n_rows) AS BIGINT) AS n_rows,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM live GROUP BY v ORDER BY version"""),
+    (s, d) => {
+      val acts = DeltaLog.actions(DeltaLog.logLines(orders(s, d)))
+      val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
+      val reps = versions.join(acts, acts("version") <= versions("v"))
+      val w = Window.partitionBy(col("v"), col("path"))
+        .orderBy(col("version").desc, col("ordinal").desc)
+      reps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "add")
+        .groupBy(col("v").as("version"))
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+          sum("cents").as("sum_cents"))
+        .orderBy("version")
+    })
+
+  /** Stats-based file skipping: a key-range predicate turns into a
+    * file-list filter on (min_key, max_key); only overlapping files are
+    * scanned for the per-file match counts — pruned files emit zero
+    * WITHOUT reading data. The oracle recomputes TRUE match counts from
+    * raw rows for EVERY live file, so an unsound prune (a skipped file
+    * that actually held matching rows) hash-mismatches the gate. */
+  val dl3StatsPrune = {
+    val lo = 637; val hi = 1041 // crosses part-3/part-4, leaves compact-0-1 prunable
+    Q("dl3_stats_prune",
+      Some(s"""WITH ${DeltaLog.actionsSql},
+              live AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+              flagged AS (
+                SELECT path, b_lo, b_hi,
+                  CASE WHEN min_key <= $hi AND max_key >= $lo THEN 1 ELSE 0 END AS scanned
+                FROM live),
+              m AS (
+                SELECT f.path, CAST(count(*) AS BIGINT) AS n_match,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS match_cents
+                FROM flagged f JOIN orders o
+                  ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi
+                  AND o.o_orderkey BETWEEN $lo AND $hi
+                GROUP BY f.path)
+              SELECT f.path, f.scanned,
+                coalesce(m.n_match, 0) AS n_match,
+                coalesce(m.match_cents, 0) AS match_cents
+              FROM flagged f LEFT JOIN m ON m.path = f.path
+              ORDER BY f.path"""),
+      (s, d) => {
+        val o = orders(s, d)
+        val snap = DeltaLog.snapshot(DeltaLog.logLines(o))
+        val flagged = snap.withColumn("scanned",
+          (col("min_key") <= hi && col("max_key") >= lo).cast("int"))
+        val scanBuckets = flagged.filter(col("scanned") === 1)
+          .select(col("path"), explode(col("buckets")).as("bucket"))
+        val rows = o.filter(col("o_orderkey").between(lo, hi))
+          .select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+            round(col("o_totalprice") * 100).cast("long").as("c"))
+        val m = scanBuckets.join(rows, "bucket")
+          .groupBy("path").agg(count(lit(1)).as("nm"), sum("c").as("mc"))
+        flagged.join(m, Seq("path"), "left")
+          .select(col("path"), col("scanned"),
+            coalesce(col("nm"), lit(0L)).as("n_match"),
+            coalesce(col("mc"), lit(0L)).as("match_cents"))
+          .orderBy("path")
+      })
+  }
+
+  /** SCD2 dimension build: each customer's order-priority history becomes
+    * type-2 dimension rows — consecutive same-value changes compressed,
+    * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
+    * on the open row), is_current on the last. Two windows over the
+    * (customer, date, orderkey) order — one shuffle, scales per key. */
+  val scd1Build = {
+    val openEnd = 253402214400000000L // epoch µs of 9999-12-31T00:00:00Z
+    Q("scd1_scd2_build",
+      Some(s"""WITH ev AS (
+                SELECT o_custkey, o_orderpriority AS priority,
+                  epoch_us(o_orderdate) AS ts_us, o_orderkey,
+                  lag(o_orderpriority) OVER w AS prev
+                FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+              runs AS (
+                SELECT o_custkey, priority, ts_us, o_orderkey FROM ev
+                WHERE prev IS NULL OR priority <> prev),
+              dim AS (
+                SELECT o_custkey, priority, ts_us AS valid_from_us,
+                  lead(ts_us) OVER w2 AS next_us
+                FROM runs WINDOW w2 AS (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey))
+              SELECT o_custkey, priority, valid_from_us,
+                coalesce(next_us, $openEnd) AS valid_to_us,
+                CASE WHEN next_us IS NULL THEN 1 ELSE 0 END AS is_current
+              FROM dim
+              ORDER BY o_custkey, valid_from_us, valid_to_us, priority"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val runs = orders(s, d)
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull || col("o_orderpriority") =!= col("prev"))
+          .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"), col("o_orderkey"))
+        val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("ts_us"), col("o_orderkey"))
+        runs.withColumn("next_us", lead(col("ts_us"), 1).over(w2))
+          .select(col("o_custkey"), col("priority"), col("ts_us").as("valid_from_us"),
+            coalesce(col("next_us"), lit(openEnd)).as("valid_to_us"),
+            when(col("next_us").isNull, 1).otherwise(0).as("is_current"))
+          .orderBy("o_custkey", "valid_from_us", "valid_to_us", "priority")
+      })
+  }
+
+  /** CDC apply: a change batch (upserts + deletes keyed by sequence
+    * number, derived from orders) folds into the customer snapshot —
+    * per key the max-sequence change wins; 'D' drops the row, 'U'
+    * replaces the balance, untouched keys pass through. One window over
+    * the change batch + one outer join against the snapshot. */
+  val cdc1Apply = Q("cdc1_apply_changes",
+    Some("""WITH ch AS (
+              SELECT o_custkey AS k, o_orderkey AS seq,
+                CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS new_cents
+              FROM orders WHERE o_custkey % 5 <> 2),
+            last AS (
+              SELECT k, seq, op, new_cents FROM (
+                SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch)
+              WHERE rn = 1)
+            SELECT c.c_custkey,
+              CAST(CASE WHEN l.op = 'U' THEN l.new_cents
+                   ELSE CAST(round(c.c_acctbal * 100) AS BIGINT) END AS BIGINT) AS final_cents,
+              coalesce(l.seq, -1) AS last_seq
+            FROM customer c LEFT JOIN last l ON l.k = c.c_custkey
+            WHERE l.op IS NULL OR l.op <> 'D'
+            ORDER BY c_custkey"""),
+    (s, d) => {
+      val ch = orders(s, d).filter(col("o_custkey") % 5 =!= 2)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        round(col("o_totalprice") * 100).cast("long").as("new_cents"))
+      val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+      val last = ch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("k", "seq", "op", "new_cents")
+      customer(s, d).join(last, col("c_custkey") === col("k"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          when(col("op") === "U", col("new_cents"))
+            .otherwise(round(col("c_acctbal") * 100).cast("long")).as("final_cents"),
+          coalesce(col("seq"), lit(-1L)).as("last_seq"))
+        .orderBy("c_custkey")
+    })
+
+  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, scd1Build, cdc1Apply)
+}

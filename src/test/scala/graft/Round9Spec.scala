@@ -179,3 +179,61 @@ class Round9SparkSpec extends SparkSpec {
     assert(truth.keys.count(_ % 5 == 4) > 0, "fixture must contain reversed records")
   }
 }
+
+/** Delta-log round trip through a real filesystem _delta_log plus
+  * snapshot-semantics invariants. */
+class DeltaLogSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("log survives a real _delta_log write/read round trip; snapshots match in-memory replay") {
+    val o = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
+    val log = graft.ops.DeltaLog.logLines(o)
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta").toFile
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    // one file per version, Delta-style zero-padded names; the log is
+    // small by design (actions scale with files, not rows)
+    val lines = log.collect().map(_.getString(0))
+    val parsed = lines.map(l => (ujsonVersion(l), l))
+    parsed.groupBy(_._1).foreach { case (v, ls) =>
+      java.nio.file.Files.writeString(
+        new java.io.File(logDir, f"$v%020d.json").toPath, ls.map(_._2).mkString("\n"))
+    }
+    val readBack = spark.read.text(logDir.getAbsolutePath + "/*.json")
+      .withColumnRenamed("value", "line")
+    val a = graft.ops.DeltaLog.snapshot(readBack).drop("buckets")
+      .orderBy("path").collect().toSeq
+    val b = graft.ops.DeltaLog.snapshot(log).drop("buckets")
+      .orderBy("path").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  private def ujsonVersion(line: String): Int = {
+    val m = """"version":(\d+)""".r.findFirstMatchIn(line)
+    m.get.group(1).toInt
+  }
+
+  test("time-travel invariants: compaction is row-neutral, remove drops rows, append adds them") {
+    val o = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
+    val log = graft.ops.DeltaLog.logLines(o)
+    def tot(v: Int): (Long, Long) = {
+      val s = graft.ops.DeltaLog.snapshot(log, Some(v))
+        .agg(count(lit(1)), sum("n_rows")).collect()(0)
+      (s.getLong(0), s.getLong(1))
+    }
+    val (f0, r0) = tot(0); val (f1, r1) = tot(1); val (f2, r2) = tot(2); val (f3, r3) = tot(3)
+    assert(f1 == f0 - 1 && r1 == r0, "compaction merges two files, keeps rows")
+    assert(f2 == f1 - 1 && r2 < r1, "remove drops a file and its rows")
+    assert(f3 == f2 + 1 && r3 == r2 + (r1 - r2), "append restores bucket-3-sized rows")
+    // stats pruning soundness on the real data: for every live file, the
+    // true key span is inside the logged [min_key, max_key]
+    val live = graft.ops.DeltaLog.snapshot(log)
+      .select(col("path"), explode(col("buckets")).as("bucket"),
+        col("min_key"), col("max_key"))
+    val spans = o.groupBy(floor(col("o_orderkey") / graft.ops.DeltaLog.W).as("bucket"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    val bad = live.join(spans, "bucket")
+      .filter(col("lo") < col("min_key") || col("hi") > col("max_key")).count()
+    assert(bad == 0, "logged stats must bound the real data")
+  }
+}
