@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.TestTables._
+
+/** Time-series inventory over the events table: calendar gap-fill with
+  * LOCF, exact-replay EWMA smoothing, and rolling-window anomaly flags —
+  * the feature-engineering ops an activity/telemetry corpus needs before
+  * it can train on per-entity sequences.
+  *
+  * All three are one-shuffle-per-key window/aggregate plans: state is
+  * per user (bounded), the spine join is per-user-sized, and nothing
+  * collects to the driver — the 100 TB shape is groupBy(user) with AQE
+  * handling skewed users.
+  *
+  * Parity notes: days are integer day-numbers (µs/86400e6) so no date
+  * types cross the gate; EWMA folds cents-as-double with the identical
+  * (acc+x)/2 sequence in both engines (same IEEE ops, same order → same
+  * bits); the anomaly test is exact integer algebra —
+  * (n·x − s)² > 9·(n·q − s²) avoids division and sqrt entirely. */
+object TimeSeriesQueries extends QuerySet {
+
+  private val usPerDay = 86400000000L
+
+  /** Daily activity per user with the calendar gaps restored: missing
+    * days appear with n_events = 0 and carry the last seen daily total
+    * forward (LOCF). The spine is built from a bounded index range
+    * (0..59) filtered to each user's [min_day, max_day] — the
+    * fixed-range-then-filter shape that works identically in both
+    * engines (and stays a broadcastable generate-explode at scale). */
+  val ts1GapFill = Q("ts1_gap_fill_locf",
+    Some(s"""WITH ev AS (
+              SELECT user_id, epoch_us(ts) // $usPerDay AS day,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
+            spine AS (
+              SELECT b.user_id, b.d0 + i.i AS day
+              FROM bounds b JOIN (SELECT unnest(range(0, 60)) AS i) i
+                ON b.d0 + i.i <= b.d1),
+            joined AS (
+              SELECT s.user_id, s.day,
+                coalesce(e.n_events, 0) AS n_events,
+                e.day_cents
+              FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day)
+            SELECT user_id, day, n_events,
+              CAST(coalesce(last_value(day_cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS locf_cents,
+              CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS gap
+            FROM joined ORDER BY user_id, day"""),
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${usPerDay}L").as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy("user_id", "day")
+        .agg((sum(col("v")) * 100).cast("long").as("day_cents"),
+          count(lit(1)).as("n_events"))
+      val bounds = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = bounds
+        .select(col("user_id"), explode(sequence(lit(0), lit(59))).as("i"),
+          col("d0"), col("d1"))
+        .filter(col("d0") + col("i") <= col("d1"))
+        .select(col("user_id"), (col("d0") + col("i")).as("day"))
+      val joined = spine.join(ev, Seq("user_id", "day"), "left")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined.select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(last(col("day_cents"), ignoreNulls = true).over(w), lit(0L))
+            .cast("long").as("locf_cents"),
+          when(coalesce(col("n_events"), lit(0L)) === 0, 1).otherwise(0).as("gap"))
+        .orderBy("user_id", "day")
+    })
+
+  /** EWMA (α = 1/2) over each user's value sequence: the fold
+    * e ← (e + v)/2 replays the identical IEEE operation sequence in both
+    * engines (list_reduce seeds with the first element; Spark seeds
+    * aggregate() with arr[0] and folds the tail), so the double is
+    * bit-exact without rounding. Per-user state is one sorted array —
+    * bounded by per-user activity, built by ONE groupBy. */
+  val ts2Ewma = Q("ts2_ewma",
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE) AS cents
+              FROM events),
+            srt AS (
+              SELECT user_id, list(cents ORDER BY ts_us, event_id) AS vs,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM ev GROUP BY user_id)
+            SELECT user_id, n_events,
+              list_reduce(vs, (a, b) -> (a + b) / 2) AS ewma
+            FROM srt ORDER BY user_id"""),
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("double").as("cents")).as("e"))
+      ev.groupBy("user_id").agg(sort_array(collect_list(col("e"))).as("es"),
+          count(lit(1)).as("n_events"))
+        .withColumn("vs", expr("transform(es, x -> x.cents)"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(slice(vs, 2, size(vs) - 1), vs[0], (a, b) -> (a + b) / 2)").as("ewma"))
+        .orderBy("user_id")
+    })
+
+  /** Rolling anomaly flags: each event compares against its user's
+    * trailing baseline (the 7 events before it) with the exact-integer
+    * test (n·x − s)² > 9·(n·q − s²), i.e. |x − μ| > 3σ without ever
+    * forming μ or σ. Events with fewer than 4 baseline points are
+    * unflagged (cold start). One window pass, no self-join. */
+  val ts3Anomaly = Q("ts3_rolling_anomaly",
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+              FROM events),
+            base AS (
+              SELECT user_id, event_id, ts_us, cents,
+                CAST(count(cents) OVER w AS BIGINT) AS n,
+                CAST(sum(cents) OVER w AS BIGINT) AS s,
+                CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id, cents,
+              CASE WHEN n >= 4 AND (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+                   THEN 1 ELSE 0 END AS anomaly
+            FROM base ORDER BY user_id, event_id"""),
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-7, -1)
+      ev.withColumn("n", count(col("cents")).over(w))
+        .withColumn("s", sum(col("cents")).over(w))
+        .withColumn("q", sum(col("cents") * col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          when(col("n") >= 4 &&
+            (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >
+              lit(9) * (col("n") * col("q") - col("s") * col("s")), 1)
+            .otherwise(0).as("anomaly"))
+        .orderBy("user_id", "event_id")
+    })
+
+  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly)
+}

@@ -237,3 +237,67 @@ class DeltaLogSpec extends SparkSpec {
     assert(bad == 0, "logged stats must bound the real data")
   }
 }
+
+/** Time-series family invariants, hand-computed references independent of
+  * the query builders. */
+class TimeSeriesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ts1: spine is contiguous per user; gap rows carry forward the last day's cents") {
+    val rows = graft.queries.TimeSeriesQueries.ts1GapFill.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 }, s"user $u spine not contiguous")
+      var lastCents = -1L
+      rs.sortBy(_._2).foreach { case (_, _, n, locf, gap) =>
+        if (gap == 1) { assert(n == 0); assert(locf == lastCents, s"user $u locf") }
+        else lastCents = locf
+      }
+    }
+    assert(rows.exists(_._5 == 1), "fixture must contain gap days")
+  }
+
+  test("ts2: ewma equals a scala fold over the same ordered values") {
+    val ev = graft.tables.TestTables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).map { case (u, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      u -> vs.tail.foldLeft(vs.head)((a, b) => (a + b) / 2)
+    }
+    val got = graft.queries.TimeSeriesQueries.ts2Ewma.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    want.foreach { case (u, w) =>
+      assert(got(u) == w, s"user $u: ${got(u)} != $w (must be bit-exact)")
+    }
+  }
+
+  test("ts3: anomaly flag equals the brute-force 3-sigma test on the trailing 7") {
+    val ev = graft.tables.TestTables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = scala.collection.mutable.Map[Long, Int]()
+    ev.groupBy(_._1).foreach { case (_, rs) =>
+      val srt = rs.sortBy(r => (r._2, r._3))
+      srt.zipWithIndex.foreach { case ((_, _, eid, x), i) =>
+        val base = srt.slice(math.max(0, i - 7), i).map(_._4)
+        val n = base.length.toLong
+        val flag = if (n >= 4) {
+          val s = base.sum; val q = base.map(v => v * v).sum
+          val lhs = (n * x - s) * (n * x - s)
+          if (lhs > 9 * (n * q - s * s)) 1 else 0
+        } else 0
+        want(eid) = flag
+      }
+    }
+    val got = graft.queries.TimeSeriesQueries.ts3Anomaly.fn(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(got == want.toMap)
+    assert(got.values.sum > 0, "fixture must contain anomalies")
+  }
+}
