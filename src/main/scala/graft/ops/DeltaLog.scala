@@ -88,6 +88,29 @@ object DeltaLog {
       .drop("rn", "op", "version", "ordinal")
   }
 
+  /** Checkpointed read: materialize the snapshot at `v0` (the Delta
+    * checkpoint — a parquet rollup of the live set, so a reader at
+    * version V replays only the tail v0+1..V instead of the whole log),
+    * then fold the tail actions over it with the same last-wins window.
+    * Checkpoint rows enter the replay at (version = v0,
+    * ordinal = Int.MinValue) so ANY tail action on the same path wins.
+    * This is the 100 TB log shape: replay cost ∝ tail length, not table
+    * history. Returns the live set plus a `src` provenance column
+    * ('checkpoint' | 'tail'). */
+  def checkpointedSnapshot(log: DataFrame, v0: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = snapshot(log, Some(v0))
+      .withColumn("version", lit(v0)).withColumn("ordinal", lit(Int.MinValue))
+      .withColumn("op", lit("add"))
+    val tail = actions(log).filter(col("version") > v0)
+    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    cp.unionByName(tail, allowMissingColumns = true)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "add")
+      .withColumn("src", when(col("version") > v0, lit("tail")).otherwise(lit("checkpoint")))
+      .drop("rn", "op", "version", "ordinal")
+  }
+
   /** DuckDB mirror of buckets+actions: CTEs `bks` and `acts`, where the
     * contiguous bucket span is carried as (b_lo, b_hi) instead of an
     * array. One source of truth for the three dl oracles. */

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.TestTables._
+
+/** Privacy-governance inventory: k-anonymity audit, l-diversity audit,
+  * and the generalization-ladder planner that picks the coarsest-needed
+  * quasi-identifier bucketing — the release-gate checks a training
+  * corpus with user-derived records needs before export (complements the
+  * pii1-pii3 detectors: those find identifiers, these measure
+  * re-identification risk of the keyed aggregates).
+  *
+  * All three are single map-side-combined aggregates over the
+  * quasi-identifier key (nation, market segment, balance bucket) — the
+  * 100 TB shape is one shuffle on the QI key; the ladder variant fans
+  * each row into |ladder| keys (bounded ×5) instead of re-scanning. */
+object GovernanceQueries extends QuerySet {
+
+  private val K = 5
+
+  /** k-anonymity audit (k=5): every quasi-identifier group with its
+    * size and whether it meets the threshold — groups under k are the
+    * rows a release would have to suppress. */
+  val gov1K = Q("gov1_k_anonymity",
+    Some(s"""SELECT c_nationkey, c_mktsegment,
+              CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CASE WHEN count(*) >= $K THEN 1 ELSE 0 END AS anonymous
+            FROM customer
+            GROUP BY 1, 2, 3
+            ORDER BY c_nationkey, c_mktsegment, bal_bucket"""),
+    (s, d) => customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"), col("n"),
+        when(col("n") >= K, 1).otherwise(0).as("anonymous"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_bucket"))
+
+  /** l-diversity audit: within each quasi-identifier group, how many
+    * DISTINCT sensitive values (order priority) appear — a k-anonymous
+    * group with l=1 still leaks the sensitive attribute outright. */
+  val gov2L = Q("gov2_l_diversity",
+    Some("""SELECT c.c_nationkey, c.c_mktsegment,
+              CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+              CASE WHEN count(DISTINCT o.o_orderpriority) >= 3 THEN 1 ELSE 0 END AS diverse
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2, 3
+            ORDER BY c_nationkey, c_mktsegment, bal_bucket"""),
+    (s, d) => customer(s, d)
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderpriority")).as("l"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        col("n_orders"), col("l"),
+        when(col("l") >= 3, 1).otherwise(0).as("diverse"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_bucket"))
+
+  /** Generalization-ladder planner: each level coarsens the
+    * quasi-identifier further — finer balance buckets, then dropping
+    * the segment, then the nation, down to total suppression (level 5,
+    * which always satisfies k, so a chosen level always exists). The
+    * planner reports every level's group-size floor and marks the
+    * FINEST level whose every group meets k. One pass: each row fans
+    * into |ladder| (level, key) pairs (the dom9 threshold-ladder
+    * shape) instead of re-scanning per level. */
+  val gov3Ladder = {
+    // (level, DuckDB key expr, Spark key column) — one table drives both
+    def sparkKey(level: Int): org.apache.spark.sql.Column = level match {
+      case 0 => concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      case 1 => concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 5000).cast("long"))
+      case 2 => concat_ws("|", col("c_nationkey"), floor(col("c_acctbal") / 5000).cast("long"))
+      case 3 => col("c_nationkey").cast("string")
+      case 4 => floor(col("c_acctbal") / 10000).cast("long").cast("string")
+      case _ => lit("all")
+    }
+    def duckKey(level: Int): String = level match {
+      case 0 => "c_nationkey || '|' || c_mktsegment || '|' || CAST(floor(c_acctbal / 1000) AS BIGINT)"
+      case 1 => "c_nationkey || '|' || c_mktsegment || '|' || CAST(floor(c_acctbal / 5000) AS BIGINT)"
+      case 2 => "c_nationkey || '|' || CAST(floor(c_acctbal / 5000) AS BIGINT)"
+      case 3 => "CAST(c_nationkey AS VARCHAR)"
+      case 4 => "CAST(CAST(floor(c_acctbal / 10000) AS BIGINT) AS VARCHAR)"
+      case _ => "'all'"
+    }
+    val levels = 0 to 5
+    Q("gov3_generalization_ladder",
+      Some(s"""WITH fanned AS (
+                ${levels.map(l => s"SELECT $l AS level, ${duckKey(l)} AS k FROM customer")
+                  .mkString("\n                UNION ALL ")}),
+              grouped AS (SELECT level, k, count(*) AS n FROM fanned GROUP BY 1, 2),
+              per_level AS (
+                SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(min(n) AS BIGINT) AS min_n,
+                  CASE WHEN min(n) >= $K THEN 1 ELSE 0 END AS ok
+                FROM grouped GROUP BY level)
+              SELECT level, n_groups, min_n, ok,
+                CASE WHEN ok = 1 AND level = min(CASE WHEN ok = 1 THEN level END)
+                  OVER () THEN 1 ELSE 0 END AS chosen
+              FROM per_level ORDER BY level"""),
+      (s, d) => {
+        val fanned = customer(s, d)
+          .select(explode(array(levels.map(l =>
+            struct(lit(l).as("level"), sparkKey(l).as("k"))): _*)).as("e"))
+          .select(col("e.level").as("level"), col("e.k").as("k"))
+        val perLevel = fanned.groupBy("level", "k").agg(count(lit(1)).as("n"))
+          .groupBy("level")
+          .agg(count(lit(1)).as("n_groups"), min("n").as("min_n"))
+          .select(col("level"), col("n_groups"), col("min_n"),
+            when(col("min_n") >= K, 1).otherwise(0).as("ok"))
+        perLevel.withColumn("chosen",
+            when(col("ok") === 1 &&
+              col("level") === min(when(col("ok") === 1, col("level")))
+                .over(Window.partitionBy()), 1).otherwise(0))
+          .orderBy("level")
+      })
+  }
+
+  def all: Seq[Q] = Seq(gov1K, gov2L, gov3Ladder)
+}

@@ -100,6 +100,26 @@ object LakehouseQueries extends QuerySet {
       })
   }
 
+  /** Checkpointed log read: materialize the version-1 snapshot (the
+    * Delta checkpoint) and fold only the tail actions (v2, v3) over it.
+    * The oracle is the FULL replay — so the gate proves
+    * checkpoint + tail ≡ whole-log replay — plus a provenance column
+    * (did the live file come through the checkpoint or the tail?). */
+  val dl4Checkpoint = Q("dl4_log_checkpoint",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            win AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts)
+              WHERE rn = 1 AND op = 'add')
+            SELECT path, n_rows, min_key, max_key, cents,
+              CASE WHEN version > 1 THEN 'tail' ELSE 'checkpoint' END AS src
+            FROM win ORDER BY path"""),
+    (s, d) => DeltaLog.checkpointedSnapshot(DeltaLog.logLines(orders(s, d)), v0 = 1)
+      .select("path", "n_rows", "min_key", "max_key", "cents", "src")
+      .orderBy("path"))
+
   /** SCD2 dimension build: each customer's order-priority history becomes
     * type-2 dimension rows — consecutive same-value changes compressed,
     * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
@@ -180,5 +200,5 @@ object LakehouseQueries extends QuerySet {
         .orderBy("c_custkey")
     })
 
-  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, scd1Build, cdc1Apply)
+  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint, scd1Build, cdc1Apply)
 }
