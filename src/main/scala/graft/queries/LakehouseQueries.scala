@@ -200,5 +200,55 @@ object LakehouseQueries extends QuerySet {
         .orderBy("c_custkey")
     })
 
-  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint, scd1Build, cdc1Apply)
+  /** Incremental view maintenance: the per-nation balance view folds the
+    * CDC feed as PER-EVENT DELTAS (U: new−prev, D: −prev) — the
+    * computation a streaming view maintainer runs — and the emitted
+    * view1 is view0 + Σdeltas. The ORACLE computes view1 directly from
+    * each key's FINAL effective state, so any error in the incremental
+    * delta algebra (a wrong prev, a miscounted delete) hash-mismatches.
+    * One join (changes⋈base values) + one lag window + one aggregate. */
+  val ivm1View = Q("ivm1_incremental_view",
+    Some("""WITH base AS (
+              SELECT c_custkey AS k, c_nationkey AS nation,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS b
+              FROM customer),
+            ch AS (
+              SELECT o_custkey AS k, o_orderkey AS seq,
+                CASE WHEN o_orderkey % 7 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+              FROM orders),
+            finals AS (
+              SELECT k, v FROM (
+                SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch)
+              WHERE rn = 1),
+            view0 AS (
+              SELECT nation, CAST(sum(b) AS BIGINT) AS view0_cents FROM base GROUP BY nation),
+            view1 AS (
+              SELECT b.nation, CAST(sum(coalesce(f.v, b.b)) AS BIGINT) AS view1_cents
+              FROM base b LEFT JOIN finals f ON f.k = b.k GROUP BY b.nation)
+            SELECT v0.nation, v0.view0_cents, v1.view1_cents
+            FROM view0 v0 JOIN view1 v1 ON v1.nation = v0.nation
+            ORDER BY v0.nation"""),
+    (s, d) => {
+      val base = customer(s, d).select(col("c_custkey").as("k"),
+        col("c_nationkey").as("nation"),
+        round(col("c_acctbal") * 100).cast("long").as("b"))
+      val ch = orders(s, d).select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, lit(0L))
+          .otherwise(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      // the IVM path: every change contributes (v - previous effective value)
+      val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+      val deltas = ch.join(base.select(col("k"), col("nation"), col("b")), "k")
+        .withColumn("prev", coalesce(lag(col("v"), 1).over(w), col("b")))
+        .withColumn("delta", col("v") - col("prev"))
+        .groupBy("nation").agg(sum("delta").as("delta_cents"))
+      val view0 = base.groupBy("nation").agg(sum("b").as("view0_cents"))
+      view0.join(deltas, Seq("nation"), "left")
+        .select(col("nation"), col("view0_cents"),
+          (col("view0_cents") + coalesce(col("delta_cents"), lit(0L))).as("view1_cents"))
+        .orderBy("nation")
+    })
+
+  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
+    scd1Build, cdc1Apply, ivm1View)
 }

@@ -144,5 +144,59 @@ object TimeSeriesQueries extends QuerySet {
         .orderBy("user_id", "event_id")
     })
 
-  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly)
+  /** Weekly seasonal-naive baseline error: on the gap-filled daily
+    * series (so day−7 really is one calendar week back), each day's
+    * total compares against the same weekday last week; per user the
+    * MAE and worst miss of that baseline. The forecast-error profile a
+    * pipeline reads before trusting seasonal extrapolation. Exact: the
+    * division is the only double, same expression tree both engines. */
+  val ts4Seasonal = Q("ts4_seasonal_baseline",
+    Some(s"""WITH ev AS (
+              SELECT user_id, epoch_us(ts) // $usPerDay AS day,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
+            spine AS (
+              SELECT b.user_id, b.d0 + i.i AS day
+              FROM bounds b JOIN (SELECT unnest(range(0, 60)) AS i) i ON b.d0 + i.i <= b.d1),
+            filled AS (
+              SELECT s.user_id, s.day, coalesce(e.day_cents, 0) AS cents
+              FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day),
+            lagged AS (
+              SELECT user_id, cents,
+                lag(cents, 7) OVER (PARTITION BY user_id ORDER BY day) AS base
+              FROM filled)
+            SELECT user_id, CAST(count(base) AS BIGINT) AS n_compared,
+              CAST(sum(abs(cents - base)) AS BIGINT) AS sum_abs_err,
+              CAST(sum(abs(cents - base)) AS DOUBLE) / CAST(count(base) AS DOUBLE) AS mae_cents,
+              CAST(max(abs(cents - base)) AS BIGINT) AS worst_cents
+            FROM lagged WHERE base IS NOT NULL
+            GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${usPerDay}L").as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy("user_id", "day")
+        .agg((sum(col("v")) * 100).cast("long").as("day_cents"))
+      val bounds = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = bounds
+        .select(col("user_id"), explode(sequence(lit(0), lit(59))).as("i"), col("d0"), col("d1"))
+        .filter(col("d0") + col("i") <= col("d1"))
+        .select(col("user_id"), (col("d0") + col("i")).as("day"))
+      val filled = spine.join(ev, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("day_cents"), lit(0L)).as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      filled.withColumn("base", lag(col("cents"), 7).over(w))
+        .filter(col("base").isNotNull)
+        .withColumn("ae", abs(col("cents") - col("base")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_compared"), sum("ae").as("sum_abs_err"),
+          max("ae").as("worst_cents"))
+        .select(col("user_id"), col("n_compared"), col("sum_abs_err"),
+          (col("sum_abs_err").cast("double") / col("n_compared").cast("double")).as("mae_cents"),
+          col("worst_cents"))
+        .orderBy("user_id")
+    })
+
+  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal)
 }
