@@ -133,9 +133,10 @@ object TimeSeriesQueries extends QuerySet {
         round(col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(-7, -1)
-      ev.withColumn("n", count(col("cents")).over(w))
-        .withColumn("s", sum(col("cents")).over(w))
-        .withColumn("q", sum(col("cents") * col("cents")).over(w))
+      // one projection → the three frame aggregates share ONE Window node
+      ev.select(col("user_id"), col("event_id"), col("cents"),
+          count(col("cents")).over(w).as("n"), sum(col("cents")).over(w).as("s"),
+          sum(col("cents") * col("cents")).over(w).as("q"))
         .select(col("user_id"), col("event_id"), col("cents"),
           when(col("n") >= 4 &&
             (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >

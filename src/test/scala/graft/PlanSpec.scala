@@ -400,3 +400,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 }
+
+/** Round-9 family plan pins: ER blocking joins, lakehouse replay,
+  * time-series windows. */
+class Round9PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.ExplainMode
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("er1 symspell join is a hash equi-join on the variant — never a cross product") {
+    val plan = formatted(graft.queries.EntityQueries.er1Symspell.fn(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood blocking must plan an equi-join")
+  }
+
+  test("er2 linkage scores only blocked candidates via an equi-join on the prefix") {
+    val plan = formatted(graft.queries.EntityQueries.er2Linkage.fn(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "prefix blocking must plan an equi-join, not score the cross product")
+    assert(plan.contains("jaro_winkler_sim") || plan.contains("JaroWinkler"),
+      "scoring runs the native expression")
+  }
+
+  test("dl1 snapshot replay is one window over the parsed log — no join") {
+    val plan = formatted(graft.queries.LakehouseQueries.dl1Snapshot.fn(spark, sf001))
+    assert(!plan.contains("Join"), "last-wins replay is a window, not a join")
+    assert(plan.contains("Window"))
+  }
+
+  test("ts3 anomaly is a single window pass: no join, one key shuffle + output order") {
+    val df = graft.queries.TimeSeriesQueries.ts3Anomaly.fn(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "rolling baseline must not self-join")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"one key shuffle + output order expected, got $exchanges")
+    val windows = plan.linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(windows == 1, s"the three frame aggregates must share one Window node, got $windows")
+  }
+
+  test("gov3 ladder is one fan-out aggregate: no re-scan per level") {
+    val df = graft.queries.GovernanceQueries.gov3Ladder.fn(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"ladder must scan customer once, got $scans scans")
+  }
+}
