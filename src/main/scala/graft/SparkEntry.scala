@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val querySets: Seq[QuerySet] =
     Seq(Relational, WindowQueries, TextQueries, VectorQueries, StreamingQueries,
-      TableQueries, MiscQueries, PdfQueries, EntityQueries, LakehouseQueries, TimeSeriesQueries, GovernanceQueries)
+      TableQueries, MiscQueries, PdfQueries, EntityQueries, LakehouseQueries, TimeSeriesQueries, GovernanceQueries, FeatureStoreQueries)
 
   private lazy val catalog: Seq[Q] = querySets.flatMap(_.all)
 
