@@ -72,9 +72,18 @@ object DeltaLog {
     v0.unionByName(removes).unionByName(compact).unionByName(append)
   }
 
-  /** Parse the JSON log lines back into typed action rows. */
+  /** Parse the JSON log lines back into typed action rows. STRICT: an
+    * unparseable line fails the read (raise_error in the row path) —
+    * a transaction log with a torn action must never silently replay to
+    * a wrong snapshot (the quarantine-a-row contract of the content
+    * decoders does NOT apply here: dropping one action corrupts every
+    * later snapshot, so the failure unit is the whole log). */
   def actions(log: DataFrame): DataFrame =
-    log.select(from_json(col("line"), actionSchema).as("a")).select("a.*")
+    log.select(from_json(col("line"), actionSchema).as("a"), col("line"))
+      .select(when(col("a").isNull || col("a.op").isNull || col("a.path").isNull,
+        raise_error(concat(lit("unparseable log action: "), col("line"))))
+        .otherwise(col("a")).as("a"))
+      .select("a.*")
 
   /** Replay the log into the live file set as of `asOf` (None = latest):
     * per path, the last action (version, ordinal) wins; live = `add`. */

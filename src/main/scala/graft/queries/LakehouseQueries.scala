@@ -120,6 +120,33 @@ object LakehouseQueries extends QuerySet {
       .select("path", "n_rows", "min_key", "max_key", "cents", "src")
       .orderBy("path"))
 
+  /** Snapshot diff (v1 → v3): per-file added / removed / unchanged
+    * status with row counts — the change manifest an incremental
+    * consumer reads instead of re-scanning the table (log-sized work,
+    * never data-sized). */
+  val dl5Diff = Q("dl5_snapshot_diff",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            v_from AS (SELECT path, n_rows FROM ${DeltaLog.liveSql("1")} t),
+            v_to AS (SELECT path, n_rows FROM ${DeltaLog.liveSql("3")} t)
+            SELECT coalesce(f.path, t.path) AS path,
+              CASE WHEN f.path IS NULL THEN 'added'
+                   WHEN t.path IS NULL THEN 'removed'
+                   ELSE 'unchanged' END AS status,
+              coalesce(t.n_rows, f.n_rows) AS n_rows
+            FROM v_from f FULL JOIN v_to t ON t.path = f.path
+            ORDER BY path"""),
+    (s, d) => {
+      val log = DeltaLog.logLines(orders(s, d))
+      val from = DeltaLog.snapshot(log, Some(1)).select(col("path"), col("n_rows").as("nf"))
+      val to = DeltaLog.snapshot(log, Some(3)).select(col("path"), col("n_rows").as("nt"))
+      from.join(to, Seq("path"), "full")
+        .select(col("path"),
+          when(col("nf").isNull, "added").when(col("nt").isNull, "removed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("nt"), col("nf")).as("n_rows"))
+        .orderBy("path")
+    })
+
   /** SCD2 dimension build: each customer's order-priority history becomes
     * type-2 dimension rows — consecutive same-value changes compressed,
     * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
@@ -250,5 +277,5 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, scd1Build, cdc1Apply, ivm1View)
 }

@@ -359,3 +359,29 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 }
+
+/** The transaction log's strict-parse contract: a torn action fails the
+  * read instead of silently replaying to a wrong snapshot. */
+class DeltaLogStrictSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("a torn log line fails the snapshot read; the intact log still replays") {
+    val o = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
+    val good = graft.ops.DeltaLog.logLines(o)
+    assert(graft.ops.DeltaLog.snapshot(good).count() > 0)
+    val torn = good.unionByName(
+      spark.range(1).select(lit("{\"version\":9,\"ordinal\":").as("line")))
+    val ex = intercept[Exception] {
+      graft.ops.DeltaLog.snapshot(torn).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("unparseable log action")),
+      s"expected the strict-parse error, got: ${messages(ex).mkString(" | ")}")
+    // a structurally-valid JSON object that is missing op/path is also torn
+    val missing = good.unionByName(
+      spark.range(1).select(lit("{\"version\":9}").as("line")))
+    val ex2 = intercept[Exception] { graft.ops.DeltaLog.snapshot(missing).count() }
+    assert(messages(ex2).exists(_.contains("unparseable log action")))
+  }
+}
