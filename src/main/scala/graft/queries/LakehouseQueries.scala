@@ -147,6 +147,80 @@ object LakehouseQueries extends QuerySet {
         .orderBy("path")
     })
 
+  /** Z-order vs linear layout, measured through stats skipping: the same
+    * orders rows sliced into 64 files once sorted linearly (custkey then
+    * day) and once by Morton z-value; per-file (x, y) bounding boxes
+    * then score three predicates — x-only, y-only, both. The classic
+    * result the gate pins: the linear layout prunes the x predicate
+    * perfectly and the y predicate NOT AT ALL (every file spans all of
+    * y), while z-order prunes both to ~√F-ish file counts. File
+    * assignment is ntile over a total order (z/linear key, then
+    * orderkey), so both engines derive identical layouts; the z-value
+    * SQL is GENERATED from the same bit positions as the Spark column
+    * (`ZOrder.zValueSql`). */
+  val dl6Zorder = {
+    val bits = 10; val files = 64
+    val xlo = 96; val xhi = 159; val ylo = 200; val yhi = 299
+    Q("dl6_zorder_skipping",
+      Some(s"""WITH rows0 AS (
+                SELECT o_orderkey AS k, o_custkey % 1024 AS x,
+                  (epoch_us(o_orderdate) // 86400000000) % 1024 AS y
+                FROM orders),
+              rows1 AS (
+                SELECT *, ${graft.ops.ZOrder.zValueSql("x", "y", bits)} AS zkey FROM rows0),
+              assigned AS (
+                SELECT x, y,
+                  ntile($files) OVER (ORDER BY x, y, k) AS f_linear,
+                  ntile($files) OVER (ORDER BY zkey, k) AS f_zorder
+                FROM rows1),
+              stacked AS (
+                SELECT 'linear' AS layout, f_linear AS f, x, y FROM assigned
+                UNION ALL SELECT 'zorder', f_zorder, x, y FROM assigned),
+              stats AS (
+                SELECT layout, f, min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+                  count(*) AS n FROM stacked GROUP BY layout, f),
+              preds AS (SELECT unnest(['x', 'y', 'xy']) AS pred)
+              SELECT s.layout, p.pred,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(CASE WHEN
+                    (p.pred = 'y' OR (s.x0 <= $xhi AND s.x1 >= $xlo)) AND
+                    (p.pred = 'x' OR (s.y0 <= $yhi AND s.y1 >= $ylo))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                CAST(sum(CASE WHEN
+                    (p.pred = 'y' OR (s.x0 <= $xhi AND s.x1 >= $xlo)) AND
+                    (p.pred = 'x' OR (s.y0 <= $yhi AND s.y1 >= $ylo))
+                  THEN s.n ELSE 0 END) AS BIGINT) AS rows_scanned
+              FROM stats s, preds p
+              GROUP BY s.layout, p.pred
+              ORDER BY layout, pred"""),
+      (s, d) => {
+        val rows = orders(s, d).select(col("o_orderkey").as("k"),
+            (col("o_custkey") % 1024).as("x"),
+            (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") % 1024).as("y"))
+          .withColumn("zkey", graft.ops.ZOrder.zValue(col("x"), col("y"), bits))
+        val assigned = rows.select(col("x"), col("y"),
+          ntile(files).over(Window.orderBy(col("x"), col("y"), col("k"))).as("f_linear"),
+          ntile(files).over(Window.orderBy(col("zkey"), col("k"))).as("f_zorder"))
+        val stacked = assigned.select(lit("linear").as("layout"), col("f_linear").as("f"),
+            col("x"), col("y"))
+          .unionByName(assigned.select(lit("zorder").as("layout"), col("f_zorder").as("f"),
+            col("x"), col("y")))
+        val stats = stacked.groupBy("layout", "f")
+          .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"),
+            count(lit(1)).as("n"))
+        val preds = s.range(1).select(explode(array(lit("x"), lit("y"), lit("xy"))).as("pred"))
+        val hitX = col("x0") <= xhi && col("x1") >= xlo
+        val hitY = col("y0") <= yhi && col("y1") >= ylo
+        val hit = (col("pred") === "y" || hitX) && (col("pred") === "x" || hitY)
+        stats.crossJoin(preds)
+          .groupBy("layout", "pred")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(hit, 1L).otherwise(0L)).as("n_scanned"),
+            sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+          .orderBy("layout", "pred")
+      })
+  }
+
   /** SCD2 dimension build: each customer's order-priority history becomes
     * type-2 dimension rows — consecutive same-value changes compressed,
     * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
@@ -277,5 +351,5 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, scd1Build, cdc1Apply, ivm1View)
 }
