@@ -111,7 +111,15 @@ object EntityResolution {
     * The variant generator runs as native HOFs (sequence/transform/
     * flatten) — each intermediate bound to a column so the lambda
     * references attributes, not re-inlined subtrees. */
-  def symspellPairs(vocab: DataFrame, maxEdit: Int = 2): DataFrame = {
+  /** `maxVariantDf`: drop blocking variants shared by more than this
+    * many tokens before the self-join — the d13/d17 skew lever. A
+    * degenerate vocabulary (say 10⁶ ids one char apart around a hub
+    * variant) otherwise concentrates O(df²) candidate pairs on one
+    * variant key. Capped variants lose the pairs that ONLY meet there
+    * (documented recall trade; Round9SparkSpec measures it); the default
+    * Int.MaxValue keeps the join exact. */
+  def symspellPairs(vocab: DataFrame, maxEdit: Int = 2,
+                    maxVariantDf: Int = Int.MaxValue): DataFrame = {
     require(maxEdit == 1 || maxEdit == 2, "deletion neighborhood supports k=1,2")
     val d1 = expr(
       "transform(sequence(1, length(tok)), i -> concat(substring(tok, 1, i-1), substring(tok, i+1, 64)))")
@@ -124,7 +132,16 @@ object EntityResolution {
         base.withColumn("d2", expr(
           "flatten(transform(d1, t -> transform(sequence(1, length(t)), j -> concat(substring(t, 1, j-1), substring(t, j+1, 64)))))"))
           .withColumn("vars", array_distinct(concat(array(col("tok")), col("d1"), col("d2"))))
-    val exploded = withVars.select(col("tok"), explode(col("vars")).as("variant"))
+    val raw = withVars.select(col("tok"), explode(col("vars")).as("variant"))
+    val exploded =
+      if (maxVariantDf == Int.MaxValue) raw
+      else {
+        // one aggregate on the variant key, then a semi filter — the df
+        // histogram is variant-sized, and hot keys never reach the join
+        val ok = raw.groupBy("variant").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxVariantDf).select("variant")
+        raw.join(ok, "variant")
+      }
     val a = exploded.select(col("tok").as("tok_a"), col("variant"))
     val b = exploded.select(col("tok").as("tok_b"), col("variant"))
     a.join(b, "variant")

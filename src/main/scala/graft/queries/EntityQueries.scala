@@ -113,5 +113,63 @@ object EntityQueries extends QuerySet {
         .orderBy("tok")
     })
 
-  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters)
+  /** Fellegi-Sunter probabilistic linkage: each blocked candidate pair
+    * scores a SUM OF LOG-ODDS weights over four agreement fields
+    * (Jaro-Winkler ≥ 0.92, 4-char prefix, exact length, token count) —
+    * the 1969 record-linkage decision model with fixed published-style
+    * m/u weights (no engine-side log: the weights are shared double
+    * constants, so the sum is bit-exact across engines). Pairs at or
+    * above the match threshold survive; the best master per record
+    * wins. */
+  val er4Fs = {
+    // (agree, disagree) log-odds per field — ONE constant table
+    val wJw = (3.0, -1.5); val wPre = (1.2, -0.8)
+    val wLen = (0.8, -0.5); val wTok = (0.6, -1.0)
+    val theta = 3.0
+    Q("er4_fellegi_sunter",
+      Some(s"""WITH ${EntityResolution.recordsSql},
+              masters AS (SELECT DISTINCT fullname AS master FROM recs),
+              cand AS (
+                SELECT r.doc_id, r.rec, m.master,
+                  (CASE WHEN jaro_winkler_similarity(r.rec, m.master) >= 0.92
+                        THEN CAST(${wJw._1} AS DOUBLE) ELSE CAST(${wJw._2} AS DOUBLE) END) +
+                  (CASE WHEN substr(r.rec, 1, 4) = substr(m.master, 1, 4)
+                        THEN CAST(${wPre._1} AS DOUBLE) ELSE CAST(${wPre._2} AS DOUBLE) END) +
+                  (CASE WHEN length(r.rec) = length(m.master)
+                        THEN CAST(${wLen._1} AS DOUBLE) ELSE CAST(${wLen._2} AS DOUBLE) END) +
+                  (CASE WHEN len(string_split(r.rec, ' ')) = len(string_split(m.master, ' '))
+                        THEN CAST(${wTok._1} AS DOUBLE) ELSE CAST(${wTok._2} AS DOUBLE) END) AS score
+                FROM recs r JOIN masters m ON substr(r.rec, 1, 2) = substr(m.master, 1, 2)),
+              best AS (
+                SELECT doc_id, rec, master, score,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, master) AS rk
+                FROM cand)
+              SELECT doc_id, rec, master, score
+              FROM best WHERE rk = 1 AND score >= CAST($theta AS DOUBLE)
+              ORDER BY doc_id"""),
+      (s, d) => {
+        GraftFunctions.register(s)
+        val recs = EntityResolution.records(documents(s, d))
+        val masters = recs.select(col("fullname").as("master")).distinct()
+        val score =
+          when(call_function("jaro_winkler_sim", col("rec"), col("master")) >= 0.92,
+            lit(wJw._1)).otherwise(lit(wJw._2)) +
+          when(col("rec").substr(1, 4) === col("master").substr(1, 4),
+            lit(wPre._1)).otherwise(lit(wPre._2)) +
+          when(length(col("rec")) === length(col("master")),
+            lit(wLen._1)).otherwise(lit(wLen._2)) +
+          when(size(split(col("rec"), " ")) === size(split(col("master"), " ")),
+            lit(wTok._1)).otherwise(lit(wTok._2))
+        val cand = recs.join(masters,
+            recs("rec").substr(1, 2) === masters("master").substr(1, 2))
+          .select(col("doc_id"), col("rec"), col("master"), score.as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("master"))
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1 && col("score") >= theta)
+          .select("doc_id", "rec", "master", "score")
+          .orderBy("doc_id")
+      })
+  }
+
+  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs)
 }

@@ -139,5 +139,40 @@ object FeatureStoreQueries extends QuerySet {
       strict.unionByName(naive).orderBy("method")
     })
 
-  def all: Seq[Q] = Seq(fs1Pit, fs2Matrix, fs3Audit)
+  /** Deterministic stratified train/val/test split: each document lands
+    * in a split by a salted content-free hash of its id (reproducible
+    * forever, no RNG state), 80/10/10 within every source stratum. The
+    * gate emits per-(stratum, split) counts and the realized fraction —
+    * the drift report a split re-run is checked against. Map-only +
+    * one aggregate. */
+  val fs4Split = Q("fs4_stratified_split",
+    Some("""WITH u AS (
+              SELECT source,
+                CAST(list_sum(list_transform(range(1, 13), i ->
+                  CAST(strpos('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), CAST(i AS INT), 1)) - 1 AS BIGINT)
+                    * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS DOUBLE) / 281474976710656.0 AS uu
+              FROM documents),
+            tagged AS (
+              SELECT source,
+                CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val' ELSE 'test' END AS split
+              FROM u),
+            counts AS (
+              SELECT source, split, CAST(count(*) AS BIGINT) AS n FROM tagged GROUP BY 1, 2)
+            SELECT source, split, n,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS frac
+            FROM counts ORDER BY source, split"""),
+    (s, d) => {
+      val uu = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long").cast("double") / lit(281474976710656.0)
+      val tagged = documents(s, d).select(col("source"),
+        when(uu < 0.8, "train").when(uu < 0.9, "val").otherwise("test").as("split"))
+      val counts = tagged.groupBy("source", "split").agg(count(lit(1)).as("n"))
+      counts.select(col("source"), col("split"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("source"))).cast("double")).as("frac"))
+        .orderBy("source", "split")
+    })
+
+  def all: Seq[Q] = Seq(fs1Pit, fs2Matrix, fs3Audit, fs4Split)
 }

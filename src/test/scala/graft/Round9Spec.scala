@@ -385,3 +385,24 @@ class DeltaLogStrictSpec extends SparkSpec {
     assert(messages(ex2).exists(_.contains("unparseable log action")))
   }
 }
+
+/** The symspell df-cap skew lever: a hub variant shared by many tokens
+  * is dropped from blocking; pairs that meet elsewhere survive. */
+class SymspellSkewSpec extends SparkSpec {
+  test("maxVariantDf bounds hub-variant fan-out; only hub-only pairs are lost") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial vocab: 40 tokens of the form 'hubX' — every pair shares
+    // the deletion variant 'hub' (df 40); plus a benign pair apart from it
+    val hubs = (0 until 40).map(i => "hub" + ('a' + i % 26).toChar.toString + i / 26)
+    val vocab = (hubs :+ "benign" :+ "benignx").distinct.toDF("tok")
+    val exact = graft.ops.EntityResolution.symspellPairs(vocab, maxEdit = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val capped = graft.ops.EntityResolution.symspellPairs(vocab, maxEdit = 1, maxVariantDf = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.subsetOf(exact), "cap must only REMOVE pairs, never invent them")
+    assert(capped.contains(("benign", "benignx")), "pairs blocked on cool variants survive")
+    // hub pairs: hubs differing only in their 4th char meet ONLY at 'hub*'-df variants
+    assert(exact.size > capped.size, "the cap must actually drop hub-concentrated pairs")
+  }
+}
