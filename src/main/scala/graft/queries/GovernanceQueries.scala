@@ -101,8 +101,8 @@ object GovernanceQueries extends QuerySet {
                   CASE WHEN min(n) >= $K THEN 1 ELSE 0 END AS ok
                 FROM grouped GROUP BY level)
               SELECT level, n_groups, min_n, ok,
-                CASE WHEN ok = 1 AND level = min(CASE WHEN ok = 1 THEN level END)
-                  OVER () THEN 1 ELSE 0 END AS chosen
+                CASE WHEN ok = 1 AND level = (SELECT min(level) FROM per_level WHERE ok = 1)
+                  THEN 1 ELSE 0 END AS chosen
               FROM per_level ORDER BY level"""),
       (s, d) => {
         val fanned = customer(s, d)
@@ -114,10 +114,17 @@ object GovernanceQueries extends QuerySet {
           .agg(count(lit(1)).as("n_groups"), min("n").as("min_n"))
           .select(col("level"), col("n_groups"), col("min_n"),
             when(col("min_n") >= K, 1).otherwise(0).as("ok"))
-        perLevel.withColumn("chosen",
-            when(col("ok") === 1 &&
-              col("level") === min(when(col("ok") === 1, col("level")))
-                .over(Window.partitionBy()), 1).otherwise(0))
+        // scalar chosen-level via a one-row aggregate broadcast, not a
+        // global window (the catalog bans unpartitioned WindowExec).
+        // perLevel feeds two consumers — materialize the 6-row result so
+        // the chosen branch does not replay the customer scan
+        val perLevelM = perLevel.localCheckpoint()
+        val chosen = perLevelM.filter(col("ok") === 1)
+          .agg(min(col("level")).as("chosen_level"))
+        perLevelM.crossJoin(broadcast(chosen))
+          .withColumn("chosen",
+            when(col("ok") === 1 && col("level") === col("chosen_level"), 1).otherwise(0))
+          .drop("chosen_level")
           .orderBy("level")
       })
   }

@@ -148,15 +148,17 @@ object LakehouseQueries extends QuerySet {
     })
 
   /** Z-order vs linear layout, measured through stats skipping: the same
-    * orders rows sliced into 64 files once sorted linearly (custkey then
-    * day) and once by Morton z-value; per-file (x, y) bounding boxes
-    * then score three predicates — x-only, y-only, both. The classic
-    * result the gate pins: the linear layout prunes the x predicate
-    * perfectly and the y predicate NOT AT ALL (every file spans all of
-    * y), while z-order prunes both to ~√F-ish file counts. File
-    * assignment is ntile over a total order (z/linear key, then
-    * orderkey), so both engines derive identical layouts; the z-value
-    * SQL is GENERATED from the same bit positions as the Spark column
+    * orders rows sliced into 64 files by a linear key range (custkey
+    * buckets — what a (custkey, day) sort produces at file granularity)
+    * and by Morton z-value range (64 space-filling tiles); per-file
+    * (x, y) bounding boxes then score three predicates — x-only,
+    * y-only, both. The classic result the gate pins: the linear layout
+    * prunes the x predicate perfectly and the y predicate NOT AT ALL
+    * (every file spans all of y), while z-order prunes both dimensions.
+    * File assignment is pure bit arithmetic (key >> shift) — no global
+    * sort, no window (the catalog-wide no-unpartitioned-window
+    * invariant applies even to layout exhibits); the z-value SQL is
+    * GENERATED from the same bit positions as the Spark column
     * (`ZOrder.zValueSql`). */
   val dl6Zorder = {
     val bits = 10; val files = 64
@@ -169,10 +171,7 @@ object LakehouseQueries extends QuerySet {
               rows1 AS (
                 SELECT *, ${graft.ops.ZOrder.zValueSql("x", "y", bits)} AS zkey FROM rows0),
               assigned AS (
-                SELECT x, y,
-                  ntile($files) OVER (ORDER BY x, y, k) AS f_linear,
-                  ntile($files) OVER (ORDER BY zkey, k) AS f_zorder
-                FROM rows1),
+                SELECT x, y, x >> 4 AS f_linear, zkey >> 14 AS f_zorder FROM rows1),
               stacked AS (
                 SELECT 'linear' AS layout, f_linear AS f, x, y FROM assigned
                 UNION ALL SELECT 'zorder', f_zorder, x, y FROM assigned),
@@ -199,8 +198,8 @@ object LakehouseQueries extends QuerySet {
             (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") % 1024).as("y"))
           .withColumn("zkey", graft.ops.ZOrder.zValue(col("x"), col("y"), bits))
         val assigned = rows.select(col("x"), col("y"),
-          ntile(files).over(Window.orderBy(col("x"), col("y"), col("k"))).as("f_linear"),
-          ntile(files).over(Window.orderBy(col("zkey"), col("k"))).as("f_zorder"))
+          shiftright(col("x"), 4).as("f_linear"),
+          shiftright(col("zkey"), 14).as("f_zorder"))
         val stacked = assigned.select(lit("linear").as("layout"), col("f_linear").as("f"),
             col("x"), col("y"))
           .unionByName(assigned.select(lit("zorder").as("layout"), col("f_zorder").as("f"),
