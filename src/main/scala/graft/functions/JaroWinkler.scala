@@ -32,10 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinkler {
 
-  /** DuckDB-exact Jaro similarity. */
+  /** DuckDB-exact Jaro similarity. UTF-8 BYTES, not UTF-16 chars:
+    * DuckDB's implementation walks the raw string bytes, so 'é' counts
+    * as two positions — probed live over 500 random non-ASCII cases
+    * (mixed 1/2/3-byte code points), zero mismatches byte-wise vs
+    * guaranteed divergence char-wise ('café'/'cafe' has lengths 5/4 in
+    * bytes but 4/4 in chars, changing the match window and the score). */
   def jaro(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -51,7 +56,7 @@ object JaroWinkler {
       var j = lo
       var done = false
       while (!done && j <= hi) {
-        if (!fb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!fb(j) && a(i) == b(j)) {
           fa(i) = true; fb(j) = true; m += 1; done = true
         }
         j += 1
@@ -59,7 +64,7 @@ object JaroWinkler {
       i += 1
     }
     if (m == 0) return 0.0
-    // mismatches between the two matched-char sequences, in order
+    // mismatches between the two matched-byte sequences, in order
     var mism = 0
     var ai = 0
     var bi = 0
@@ -67,22 +72,23 @@ object JaroWinkler {
     while (k < m) {
       while (!fa(ai)) ai += 1
       while (!fb(bi)) bi += 1
-      if (a.charAt(ai) != b.charAt(bi)) mism += 1
+      if (a(ai) != b(bi)) mism += 1
       ai += 1; bi += 1; k += 1
     }
     val t = mism / 2
     (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3
   }
 
-  /** DuckDB-exact Jaro-Winkler: boost iff jaro > 0.7, prefix cap 4. */
+  /** DuckDB-exact Jaro-Winkler: boost iff jaro > 0.7, common prefix
+    * capped at 4 BYTES (also probed — the cap is byte-positional). */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
     val j = jaro(ua, ub)
     if (j <= 0.7) return j
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val n = math.min(4, math.min(a.length, b.length))
     var p = 0
-    while (p < n && a.charAt(p) == b.charAt(p)) p += 1
+    while (p < n && a(p) == b(p)) p += 1
     j + p * 0.1 * (1 - j)
   }
 }

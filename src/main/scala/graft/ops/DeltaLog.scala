@@ -80,7 +80,12 @@ object DeltaLog {
     * later snapshot, so the failure unit is the whole log). */
   def actions(log: DataFrame): DataFrame =
     log.select(from_json(col("line"), actionSchema).as("a"), col("line"))
-      .select(when(col("a").isNull || col("a.op").isNull || col("a.path").isNull,
+      // version/ordinal are load-bearing for the last-wins replay: a
+      // remove whose version field was lost would sort LAST (nulls) and
+      // never win, silently resurrecting the removed file — so a missing
+      // ordering field is just as torn as unparseable JSON
+      .select(when(col("a").isNull || col("a.op").isNull || col("a.path").isNull ||
+        col("a.version").isNull || col("a.ordinal").isNull,
         raise_error(concat(lit("unparseable log action: "), col("line"))))
         .otherwise(col("a")).as("a"))
       .select("a.*")

@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * The name-record fixture is generated from doc_id arithmetic by
   * `records` / `recordsSql` (ONE constant pool feeding both engines, so
   * the planted perturbations cannot drift between Spark and the oracle).
+  *
+  * Cross-engine unit caveat (matters beyond ASCII): Spark's native
+  * `levenshtein` counts UTF-16 CHARS while DuckDB's counts UTF-8 BYTES
+  * ('é' is one char but two bytes). The er gates use ASCII-only
+  * fixtures where the two agree; a non-ASCII vocabulary needs a
+  * byte-level distance expression on the Spark side (the
+  * `functions.JaroWinkler` expressions already operate byte-wise to
+  * match DuckDB exactly).
   */
 object EntityResolution {
 

@@ -23,6 +23,42 @@ object TimeSeriesQueries extends QuerySet {
 
   private val usPerDay = 86400000000L
 
+  /** ONE source of truth for the per-user daily series + calendar spine
+    * (ts1 and ts4 both ride it — a change to the day derivation, the
+    * cents rule, or the 60-day spine cap cannot desync them). Yields
+    * CTEs `ev(user_id, day, day_cents, n_events)`, `bounds`, and
+    * `spine(user_id, day)`. */
+  private val dailySpineSql: String =
+    s"""ev AS (
+         SELECT user_id, epoch_us(ts) // $usPerDay AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2),
+       bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
+       spine AS (
+         SELECT b.user_id, b.d0 + i.i AS day
+         FROM bounds b JOIN (SELECT unnest(range(0, 60)) AS i) i
+           ON b.d0 + i.i <= b.d1)"""
+
+  /** Spark twin of [[dailySpineSql]]'s `ev`. */
+  private def dailyAgg(s: org.apache.spark.sql.SparkSession, d: String) =
+    events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${usPerDay}L").as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("user_id", "day")
+      .agg((sum(col("v")) * 100).cast("long").as("day_cents"),
+        count(lit(1)).as("n_events"))
+
+  /** Spark twin of [[dailySpineSql]]'s `spine`. */
+  private def daySpine(ev: org.apache.spark.sql.DataFrame) = {
+    val bounds = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+    bounds
+      .select(col("user_id"), explode(sequence(lit(0), lit(59))).as("i"),
+        col("d0"), col("d1"))
+      .filter(col("d0") + col("i") <= col("d1"))
+      .select(col("user_id"), (col("d0") + col("i")).as("day"))
+  }
+
   /** Daily activity per user with the calendar gaps restored: missing
     * days appear with n_events = 0 and carry the last seen daily total
     * forward (LOCF). The spine is built from a bounded index range
@@ -30,17 +66,7 @@ object TimeSeriesQueries extends QuerySet {
     * fixed-range-then-filter shape that works identically in both
     * engines (and stays a broadcastable generate-explode at scale). */
   val ts1GapFill = Q("ts1_gap_fill_locf",
-    Some(s"""WITH ev AS (
-              SELECT user_id, epoch_us(ts) // $usPerDay AS day,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents,
-                CAST(count(*) AS BIGINT) AS n_events
-              FROM events GROUP BY 1, 2),
-            bounds AS (
-              SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
-            spine AS (
-              SELECT b.user_id, b.d0 + i.i AS day
-              FROM bounds b JOIN (SELECT unnest(range(0, 60)) AS i) i
-                ON b.d0 + i.i <= b.d1),
+    Some(s"""WITH $dailySpineSql,
             joined AS (
               SELECT s.user_id, s.day,
                 coalesce(e.n_events, 0) AS n_events,
@@ -53,19 +79,8 @@ object TimeSeriesQueries extends QuerySet {
               CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS gap
             FROM joined ORDER BY user_id, day"""),
     (s, d) => {
-      val ev = events(s, d)
-        .select(col("user_id"), expr(s"unix_micros(ts) div ${usPerDay}L").as("day"),
-          col("value").cast("decimal(18,2)").as("v"))
-        .groupBy("user_id", "day")
-        .agg((sum(col("v")) * 100).cast("long").as("day_cents"),
-          count(lit(1)).as("n_events"))
-      val bounds = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
-      val spine = bounds
-        .select(col("user_id"), explode(sequence(lit(0), lit(59))).as("i"),
-          col("d0"), col("d1"))
-        .filter(col("d0") + col("i") <= col("d1"))
-        .select(col("user_id"), (col("d0") + col("i")).as("day"))
-      val joined = spine.join(ev, Seq("user_id", "day"), "left")
+      val ev = dailyAgg(s, d)
+      val joined = daySpine(ev).join(ev, Seq("user_id", "day"), "left")
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       joined.select(col("user_id"), col("day"),
@@ -152,14 +167,7 @@ object TimeSeriesQueries extends QuerySet {
     * pipeline reads before trusting seasonal extrapolation. Exact: the
     * division is the only double, same expression tree both engines. */
   val ts4Seasonal = Q("ts4_seasonal_baseline",
-    Some(s"""WITH ev AS (
-              SELECT user_id, epoch_us(ts) // $usPerDay AS day,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents
-              FROM events GROUP BY 1, 2),
-            bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
-            spine AS (
-              SELECT b.user_id, b.d0 + i.i AS day
-              FROM bounds b JOIN (SELECT unnest(range(0, 60)) AS i) i ON b.d0 + i.i <= b.d1),
+    Some(s"""WITH $dailySpineSql,
             filled AS (
               SELECT s.user_id, s.day, coalesce(e.day_cents, 0) AS cents
               FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day),
@@ -174,17 +182,8 @@ object TimeSeriesQueries extends QuerySet {
             FROM lagged WHERE base IS NOT NULL
             GROUP BY user_id ORDER BY user_id"""),
     (s, d) => {
-      val ev = events(s, d)
-        .select(col("user_id"), expr(s"unix_micros(ts) div ${usPerDay}L").as("day"),
-          col("value").cast("decimal(18,2)").as("v"))
-        .groupBy("user_id", "day")
-        .agg((sum(col("v")) * 100).cast("long").as("day_cents"))
-      val bounds = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
-      val spine = bounds
-        .select(col("user_id"), explode(sequence(lit(0), lit(59))).as("i"), col("d0"), col("d1"))
-        .filter(col("d0") + col("i") <= col("d1"))
-        .select(col("user_id"), (col("d0") + col("i")).as("day"))
-      val filled = spine.join(ev, Seq("user_id", "day"), "left")
+      val ev = dailyAgg(s, d)
+      val filled = daySpine(ev).join(ev, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day"), coalesce(col("day_cents"), lit(0L)).as("cents"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       filled.withColumn("base", lag(col("cents"), 7).over(w))

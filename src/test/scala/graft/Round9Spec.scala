@@ -91,7 +91,9 @@ class Round9Spec extends AnyFunSuite {
     val hasDuck = Seq(py.get, "-c", "import duckdb").! == 0
     assume(hasDuck, "python duckdb not importable")
     val rnd = new scala.util.Random(99)
-    val alpha = "abcdx"
+    // mixed 1/2/3-byte code points: DuckDB walks UTF-8 BYTES, so the
+    // differential must cover multi-byte characters too
+    val alpha = Seq("a", "b", "c", "d", "x", "\u00e9", "\u00f1", "\u6f22", "\u00df")
     val cases = (1 to 300).map { _ =>
       def s() = (0 until rnd.nextInt(10)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
       (s(), s())
@@ -383,6 +385,13 @@ class DeltaLogStrictSpec extends SparkSpec {
       spark.range(1).select(lit("{\"version\":9}").as("line")))
     val ex2 = intercept[Exception] { graft.ops.DeltaLog.snapshot(missing).count() }
     assert(messages(ex2).exists(_.contains("unparseable log action")))
+    // a version-less remove would sort LAST in the replay window and never
+    // win — the guard must treat a lost ordering field as torn, not let it
+    // silently resurrect the removed file
+    val versionless = good.unionByName(
+      spark.range(1).select(lit("{\"op\":\"remove\",\"path\":\"part-2\"}").as("line")))
+    val ex3 = intercept[Exception] { graft.ops.DeltaLog.snapshot(versionless).count() }
+    assert(messages(ex3).exists(_.contains("unparseable log action")))
   }
 }
 
