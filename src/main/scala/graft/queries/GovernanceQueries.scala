@@ -69,9 +69,9 @@ object GovernanceQueries extends QuerySet {
     * FINEST level whose every group meets k. One pass: each row fans
     * into |ladder| (level, key) pairs (the dom9 threshold-ladder
     * shape) instead of re-scanning per level. */
-  val gov3Ladder = {
-    // (level, DuckDB key expr, Spark key column) — one table drives both
-    def sparkKey(level: Int): org.apache.spark.sql.Column = level match {
+  // (level, DuckDB key expr, Spark key column) — ONE table drives both
+  // engines AND both the planner (gov3) and the release (gov4)
+  private def sparkKey(level: Int): org.apache.spark.sql.Column = level match {
       case 0 => concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long"))
       case 1 => concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
@@ -81,39 +81,53 @@ object GovernanceQueries extends QuerySet {
       case 4 => floor(col("c_acctbal") / 10000).cast("long").cast("string")
       case _ => lit("all")
     }
-    def duckKey(level: Int): String = level match {
-      case 0 => "c_nationkey || '|' || c_mktsegment || '|' || CAST(floor(c_acctbal / 1000) AS BIGINT)"
-      case 1 => "c_nationkey || '|' || c_mktsegment || '|' || CAST(floor(c_acctbal / 5000) AS BIGINT)"
-      case 2 => "c_nationkey || '|' || CAST(floor(c_acctbal / 5000) AS BIGINT)"
-      case 3 => "CAST(c_nationkey AS VARCHAR)"
-      case 4 => "CAST(CAST(floor(c_acctbal / 10000) AS BIGINT) AS VARCHAR)"
-      case _ => "'all'"
-    }
-    val levels = 0 to 5
+  private def duckKey(level: Int): String = level match {
+    case 0 => "c_nationkey || '|' || c_mktsegment || '|' || CAST(floor(c_acctbal / 1000) AS BIGINT)"
+    case 1 => "c_nationkey || '|' || c_mktsegment || '|' || CAST(floor(c_acctbal / 5000) AS BIGINT)"
+    case 2 => "c_nationkey || '|' || CAST(floor(c_acctbal / 5000) AS BIGINT)"
+    case 3 => "CAST(c_nationkey AS VARCHAR)"
+    case 4 => "CAST(CAST(floor(c_acctbal / 10000) AS BIGINT) AS VARCHAR)"
+    case _ => "'all'"
+  }
+  private val levels = 0 to 5
+
+  /** Shared CTE text: every customer fanned into (level, key) for all
+    * six ladder levels, plus per-level group-size floors. */
+  private val ladderSql: String =
+    s"""fanned AS (
+        ${levels.map(l => s"SELECT $l AS level, ${duckKey(l)} AS k FROM customer")
+          .mkString(" UNION ALL ")}),
+      grouped AS (SELECT level, k, count(*) AS n FROM fanned GROUP BY 1, 2),
+      per_level AS (
+        SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(min(n) AS BIGINT) AS min_n,
+          CASE WHEN min(n) >= $K THEN 1 ELSE 0 END AS ok
+        FROM grouped GROUP BY level)"""
+
+  /** Spark twin of [[ladderSql]]'s `fanned`. */
+  private def fannedDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    customer(s, d)
+      .select(explode(array(levels.map(l =>
+        struct(lit(l).as("level"), sparkKey(l).as("k"))): _*)).as("e"))
+      .select(col("e.level").as("level"), col("e.k").as("k"))
+
+  /** Spark twin of [[ladderSql]]'s `per_level`. */
+  private def perLevelDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    fannedDf(s, d).groupBy("level", "k").agg(count(lit(1)).as("n"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_groups"), min("n").as("min_n"))
+      .select(col("level"), col("n_groups"), col("min_n"),
+        when(col("min_n") >= K, 1).otherwise(0).as("ok"))
+
+  val gov3Ladder = {
     Q("gov3_generalization_ladder",
-      Some(s"""WITH fanned AS (
-                ${levels.map(l => s"SELECT $l AS level, ${duckKey(l)} AS k FROM customer")
-                  .mkString("\n                UNION ALL ")}),
-              grouped AS (SELECT level, k, count(*) AS n FROM fanned GROUP BY 1, 2),
-              per_level AS (
-                SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
-                  CAST(min(n) AS BIGINT) AS min_n,
-                  CASE WHEN min(n) >= $K THEN 1 ELSE 0 END AS ok
-                FROM grouped GROUP BY level)
+      Some(s"""WITH $ladderSql
               SELECT level, n_groups, min_n, ok,
                 CASE WHEN ok = 1 AND level = (SELECT min(level) FROM per_level WHERE ok = 1)
                   THEN 1 ELSE 0 END AS chosen
               FROM per_level ORDER BY level"""),
       (s, d) => {
-        val fanned = customer(s, d)
-          .select(explode(array(levels.map(l =>
-            struct(lit(l).as("level"), sparkKey(l).as("k"))): _*)).as("e"))
-          .select(col("e.level").as("level"), col("e.k").as("k"))
-        val perLevel = fanned.groupBy("level", "k").agg(count(lit(1)).as("n"))
-          .groupBy("level")
-          .agg(count(lit(1)).as("n_groups"), min("n").as("min_n"))
-          .select(col("level"), col("n_groups"), col("min_n"),
-            when(col("min_n") >= K, 1).otherwise(0).as("ok"))
+        val perLevel = perLevelDf(s, d)
         // scalar chosen-level via a one-row aggregate broadcast, not a
         // global window (the catalog bans unpartitioned WindowExec).
         // perLevel feeds two consumers — materialize the 6-row result so
@@ -129,5 +143,28 @@ object GovernanceQueries extends QuerySet {
       })
   }
 
-  def all: Seq[Q] = Seq(gov1K, gov2L, gov3Ladder)
+  /** The release itself: global recoding at the gov3-chosen level —
+    * every record re-keyed at the finest level whose EVERY group meets
+    * k, so every released group is ≥ k BY CONSTRUCTION (global
+    * recoding's guarantee; the chosen level is computed dynamically, so
+    * the query is sound at any SF). Composes the planner: the chosen
+    * scalar joins back into the fan-out and keeps only that level's
+    * keys. */
+  val gov4Release = Q("gov4_k_anonymous_release",
+    Some(s"""WITH $ladderSql,
+            chosen AS (SELECT min(level) AS lvl FROM per_level WHERE ok = 1)
+            SELECT g.level AS level, g.k AS released_key, CAST(g.n AS BIGINT) AS n
+            FROM grouped g JOIN chosen c ON g.level = c.lvl
+            ORDER BY released_key"""),
+    (s, d) => {
+      val perLevelM = perLevelDf(s, d).localCheckpoint()
+      val chosen = perLevelM.filter(col("ok") === 1)
+        .agg(min(col("level")).as("lvl"))
+      fannedDf(s, d).groupBy("level", "k").agg(count(lit(1)).as("n"))
+        .join(broadcast(chosen), col("level") === col("lvl"))
+        .select(col("level"), col("k").as("released_key"), col("n"))
+        .orderBy("released_key")
+    })
+
+  def all: Seq[Q] = Seq(gov1K, gov2L, gov3Ladder, gov4Release)
 }
