@@ -171,5 +171,71 @@ object EntityQueries extends QuerySet {
       })
   }
 
-  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs)
+  /** Correction dictionary: every er3 cluster elects its canonical
+    * spelling (highest corpus occurrence count, lexicographic
+    * tiebreak) and each non-canonical member becomes a correction
+    * entry — the SymSpell dictionary a normalization pass applies.
+    * Canonical election is frequency-weighted (clean spellings
+    * dominate the planted 20%-perturbation fixture), so the map sends
+    * variants TO the clean form, not the reverse.
+    *
+    * Documented caveat (visible in the gate output, by design):
+    * transitive closure CHAINS distance-1 links, so genuinely distinct
+    * real names one edit apart (william/williams) — or two edits apart
+    * through a planted variant bridge (jones–janes–james) — merge into
+    * one cluster and the rarer real name becomes a "correction". That
+    * over-merge is inherent to closure-based normalization; a
+    * production corrector adds per-entry guards (edit distance to the
+    * canonical, frequency ratios) exactly because of it. The gate pins
+    * the raw closure semantics. */
+  val er5Canon = Q("er5_canonical_map",
+    Some(s"""WITH RECURSIVE ${EntityResolution.recordsSql},
+            toks AS (SELECT unnest(string_split(rec, ' ')) AS tok FROM recs),
+            occ AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+                    WHERE tok <> '' GROUP BY tok),
+            v AS (SELECT tok FROM occ),
+            pairs AS (
+              SELECT a.tok AS id_a, b.tok AS id_b
+              FROM v a JOIN v b ON a.tok < b.tok
+                AND abs(length(a.tok) - length(b.tok)) <= 1
+                AND levenshtein(a.tok, b.tok) <= 1),
+            ${OracleSql.closureCtes},
+            final AS (
+              SELECT v.tok, coalesce(l.cluster_id, v.tok) AS cluster_id
+              FROM v LEFT JOIN labels l ON l.id = v.tok),
+            canon AS (
+              SELECT cluster_id, tok AS canonical FROM (
+                SELECT f.cluster_id, f.tok,
+                  row_number() OVER (PARTITION BY f.cluster_id
+                    ORDER BY o.n DESC, f.tok) AS rk
+                FROM final f JOIN occ o ON o.tok = f.tok)
+              WHERE rk = 1)
+            SELECT f.tok AS tok, c.canonical, o.n AS n_occurrences,
+              CASE WHEN f.tok <> c.canonical THEN 1 ELSE 0 END AS is_correction
+            FROM final f
+            JOIN canon c ON c.cluster_id = f.cluster_id
+            JOIN occ o ON o.tok = f.tok
+            ORDER BY f.tok"""),
+    (s, d) => {
+      val recs = EntityResolution.records(documents(s, d))
+      val occ = recs.select(explode(split(col("rec"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds vocab, election, and output
+      val pairs = EntityResolution.symspellPairs(occ.select("tok"), maxEdit = 1)
+        .select(col("tok_a").as("id_a"), col("tok_b").as("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      val fin = occ.select("tok").join(labels, col("tok") === col("id"), "left")
+        .select(col("tok"), coalesce(col("cluster_id"), col("tok")).as("cluster_id"))
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("n").desc, col("tok"))
+      val canon = fin.join(occ, "tok")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("tok").as("canonical"))
+      fin.join(canon, "cluster_id").join(occ, "tok")
+        .select(col("tok"), col("canonical"), col("n").as("n_occurrences"),
+          when(col("tok") =!= col("canonical"), 1).otherwise(0).as("is_correction"))
+        .orderBy("tok")
+    })
+
+  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon)
 }

@@ -220,6 +220,38 @@ object LakehouseQueries extends QuerySet {
       })
   }
 
+  /** Vacuum plan (retention boundary R = 2): a data file is removable
+    * iff it is live in NO retained snapshot (versions R..latest) —
+    * deleting it cannot break time travel inside the retention window.
+    * part-0/1 (compacted away at v1) and part-2 (deleted at v2) are
+    * vacuumable; everything live at v2 or v3 must be kept. Log-sized
+    * work: two replays + one anti set, no data touched. */
+  val dl7Vacuum = Q("dl7_vacuum_plan",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            ever AS (
+              SELECT DISTINCT path, n_rows FROM acts WHERE op = 'add'),
+            retained AS (
+              SELECT path FROM ${DeltaLog.liveSql("2")} t
+              UNION SELECT path FROM ${DeltaLog.liveSql("3")} t2)
+            SELECT e.path,
+              CASE WHEN r.path IS NULL THEN 'vacuum' ELSE 'keep' END AS status,
+              CASE WHEN r.path IS NULL THEN e.n_rows ELSE 0 END AS freed_rows
+            FROM ever e LEFT JOIN retained r ON r.path = e.path
+            ORDER BY e.path"""),
+    (s, d) => {
+      val log = DeltaLog.logLines(orders(s, d)).localCheckpoint()
+      val ever = DeltaLog.actions(log).filter(col("op") === "add")
+        .select("path", "n_rows").distinct()
+      val retained = DeltaLog.snapshot(log, Some(2)).select("path")
+        .union(DeltaLog.snapshot(log, Some(3)).select("path")).distinct()
+        .withColumnRenamed("path", "rpath")
+      ever.join(retained, col("path") === col("rpath"), "left")
+        .select(col("path"),
+          when(col("rpath").isNull, "vacuum").otherwise("keep").as("status"),
+          when(col("rpath").isNull, col("n_rows")).otherwise(lit(0L)).as("freed_rows"))
+        .orderBy("path")
+    })
+
   /** SCD2 dimension build: each customer's order-priority history becomes
     * type-2 dimension rows — consecutive same-value changes compressed,
     * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
@@ -350,5 +382,5 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, scd1Build, cdc1Apply, ivm1View)
 }

@@ -198,5 +198,56 @@ object TimeSeriesQueries extends QuerySet {
         .orderBy("user_id")
     })
 
-  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal)
+  /** Lag-1 autocorrelation of the gap-filled daily series, in exact
+    * integer algebra: with S = Σc and n days, r = num/den where
+    * num = Σ_{t≥2}(n·c_t − S)(n·c_{t−1} − S) and
+    * den = Σ_t(n·c_t − S)² — no mean is ever formed, both sums are
+    * exact BIGINTs, and the single double division uses the same
+    * expression tree in both engines. The burstiness diagnostic a
+    * sampling scheduler reads per entity. */
+  val ts5Autocorr = Q("ts5_autocorrelation",
+    Some(s"""WITH $dailySpineSql,
+            filled AS (
+              SELECT s.user_id, s.day, coalesce(e.day_cents, 0) AS c
+              FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day),
+            st AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sm
+              FROM filled GROUP BY user_id),
+            lagged AS (
+              SELECT user_id, day, c,
+                lag(c) OVER (PARTITION BY user_id ORDER BY day) AS prev
+              FROM filled),
+            terms AS (
+              SELECT l.user_id, t.n,
+                CAST(sum(CASE WHEN l.prev IS NOT NULL
+                  THEN (t.n * l.c - t.sm) * (t.n * l.prev - t.sm) ELSE 0 END) AS BIGINT) AS num,
+                CAST(sum((t.n * l.c - t.sm) * (t.n * l.c - t.sm)) AS BIGINT) AS den
+              FROM lagged l JOIN st t ON t.user_id = l.user_id
+              GROUP BY l.user_id, t.n)
+            SELECT user_id, n AS n_days, num, den,
+              CASE WHEN den = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r1
+            FROM terms ORDER BY user_id"""),
+    (s, d) => {
+      val ev = dailyAgg(s, d)
+      val filled = daySpine(ev).join(ev, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("day_cents"), lit(0L)).as("c"))
+      val st = filled.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sm"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val lagged = filled.withColumn("prev", lag(col("c"), 1).over(w))
+      lagged.join(st, "user_id")
+        .groupBy(col("user_id"), col("n"))
+        .agg(
+          sum(when(col("prev").isNotNull,
+            (col("n") * col("c") - col("sm")) * (col("n") * col("prev") - col("sm")))
+            .otherwise(0L)).as("num"),
+          sum((col("n") * col("c") - col("sm")) * (col("n") * col("c") - col("sm"))).as("den"))
+        .select(col("user_id"), col("n").as("n_days"), col("num"), col("den"),
+          when(col("den") === 0, lit(0.0))
+            .otherwise(col("num").cast("double") / col("den").cast("double")).as("r1"))
+        .orderBy("user_id")
+    })
+
+  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr)
 }
