@@ -415,3 +415,48 @@ class SymspellSkewSpec extends SparkSpec {
     assert(exact.size > capped.size, "the cap must actually drop hub-concentrated pairs")
   }
 }
+
+/** Invariants for the late round-9 additions. */
+class Round9LateSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dl7: vacuum never touches a file live in any retained snapshot; freed rows match") {
+    val log = graft.ops.DeltaLog.logLines(graft.tables.TestTables.orders(spark, dir))
+      .localCheckpoint()
+    val plan = graft.queries.LakehouseQueries.dl7Vacuum.fn(spark, dir).collect()
+    val vac = plan.filter(_.getString(1) == "vacuum").map(_.getString(0)).toSet
+    for (v <- Seq(2, 3)) {
+      val live = graft.ops.DeltaLog.snapshot(log, Some(v))
+        .select("path").collect().map(_.getString(0)).toSet
+      assert(vac.intersect(live).isEmpty, s"vacuum set intersects live@$v")
+    }
+    assert(vac == Set("part-0", "part-1", "part-2"))
+    assert(plan.filter(_.getString(1) == "vacuum").map(_.getLong(2)).sum > 0)
+  }
+
+  test("er5: every canonical is its cluster's max-frequency member; corrections are cluster-mates") {
+    val rows = graft.queries.EntityQueries.er5Canon.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val occ = rows.map(r => r._1 -> r._3).toMap
+    // group by canonical (= the cluster's elected rep)
+    rows.groupBy(_._2).foreach { case (canonical, members) =>
+      val best = members.map(m => (occ(m._1), m._1)).max(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+      assert(best._2 == canonical,
+        s"canonical $canonical is not the (max freq, lex-min tiebreak) member: $best")
+    }
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0))
+  }
+
+  test("ts5: r1 matches a scala replica and stays in a sane band") {
+    val got = graft.queries.TimeSeriesQueries.ts5Autocorr.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    got.foreach { case (_, n, num, den, r1) =>
+      if (den != 0) assert(r1 == num.toDouble / den.toDouble)
+      assert(math.abs(r1) <= 1.2, s"implausible lag-1 autocorrelation $r1")
+      assert(n >= 1)
+    }
+    assert(got.map(_._5).distinct.length > 10, "fixture must produce varied r1")
+  }
+}
