@@ -17,6 +17,27 @@ import graft.functions.GraftFunctions
   */
 object EntityQueries extends QuerySet {
 
+  /** ONE copy of the distance-1 candidate CTE (expects a CTE `v(tok)`),
+    * shared by er3 and er5 — the d7/d7b closureCtes convention: the
+    * correction map can never disagree with the clusters it summarizes
+    * because they run the same blocking predicate. */
+  private val lev1PairsSql: String =
+    """pairs AS (
+         SELECT a.tok AS id_a, b.tok AS id_b
+         FROM v a JOIN v b ON a.tok < b.tok
+           AND abs(length(a.tok) - length(b.tok)) <= 1
+           AND levenshtein(a.tok, b.tok) <= 1)"""
+
+  /** Spark twin: distance-1 SymSpell pairs → connected components →
+    * (tok, cluster_id) with singletons keeping themselves. */
+  private def tokenClusters(vocab: org.apache.spark.sql.DataFrame) = {
+    val pairs = EntityResolution.symspellPairs(vocab, maxEdit = 1)
+      .select(col("tok_a").as("id_a"), col("tok_b").as("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    vocab.join(labels, vocab("tok") === labels("id"), "left")
+      .select(col("tok"), coalesce(col("cluster_id"), col("tok")).as("cluster_id"))
+  }
+
   /** SymSpell fuzzy self-join: all distinct name-token pairs within
     * Levenshtein distance 2, found by deletion-neighborhood blocking
     * (hash join on shared ≤2-deletion variants — never a cross product)
@@ -87,11 +108,7 @@ object EntityQueries extends QuerySet {
             v AS (SELECT DISTINCT tok FROM (
                     SELECT unnest(string_split(rec, ' ')) AS tok FROM recs)
                   WHERE tok <> ''),
-            pairs AS (
-              SELECT a.tok AS id_a, b.tok AS id_b
-              FROM v a JOIN v b ON a.tok < b.tok
-                AND abs(length(a.tok) - length(b.tok)) <= 1
-                AND levenshtein(a.tok, b.tok) <= 1),
+            $lev1PairsSql,
             ${OracleSql.closureCtes},
             final AS (
               SELECT v.tok, coalesce(l.cluster_id, v.tok) AS cluster_id
@@ -103,11 +120,7 @@ object EntityQueries extends QuerySet {
       val recs = EntityResolution.records(documents(s, d))
       val vocab = recs.select(explode(split(col("rec"), " ")).as("tok"))
         .filter(col("tok") =!= "").distinct()
-      val pairs = EntityResolution.symspellPairs(vocab, maxEdit = 1)
-        .select(col("tok_a").as("id_a"), col("tok_b").as("id_b"))
-      val labels = Dedup.connectedComponents(pairs)
-      vocab.join(labels, vocab("tok") === labels("id"), "left")
-        .select(col("tok"), coalesce(col("cluster_id"), col("tok")).as("cluster_id"))
+      tokenClusters(vocab)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
         .orderBy("tok")
@@ -194,11 +207,7 @@ object EntityQueries extends QuerySet {
             occ AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
                     WHERE tok <> '' GROUP BY tok),
             v AS (SELECT tok FROM occ),
-            pairs AS (
-              SELECT a.tok AS id_a, b.tok AS id_b
-              FROM v a JOIN v b ON a.tok < b.tok
-                AND abs(length(a.tok) - length(b.tok)) <= 1
-                AND levenshtein(a.tok, b.tok) <= 1),
+            $lev1PairsSql,
             ${OracleSql.closureCtes},
             final AS (
               SELECT v.tok, coalesce(l.cluster_id, v.tok) AS cluster_id
@@ -222,11 +231,7 @@ object EntityQueries extends QuerySet {
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .localCheckpoint() // feeds vocab, election, and output
-      val pairs = EntityResolution.symspellPairs(occ.select("tok"), maxEdit = 1)
-        .select(col("tok_a").as("id_a"), col("tok_b").as("id_b"))
-      val labels = Dedup.connectedComponents(pairs)
-      val fin = occ.select("tok").join(labels, col("tok") === col("id"), "left")
-        .select(col("tok"), coalesce(col("cluster_id"), col("tok")).as("cluster_id"))
+      val fin = tokenClusters(occ.select("tok"))
       val w = Window.partitionBy(col("cluster_id")).orderBy(col("n").desc, col("tok"))
       val canon = fin.join(occ, "tok")
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

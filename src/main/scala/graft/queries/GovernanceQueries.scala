@@ -157,11 +157,15 @@ object GovernanceQueries extends QuerySet {
             FROM grouped g JOIN chosen c ON g.level = c.lvl
             ORDER BY released_key"""),
     (s, d) => {
-      val perLevelM = perLevelDf(s, d).localCheckpoint()
-      val chosen = perLevelM.filter(col("ok") === 1)
-        .agg(min(col("level")).as("lvl"))
-      fannedDf(s, d).groupBy("level", "k").agg(count(lit(1)).as("n"))
-        .join(broadcast(chosen), col("level") === col("lvl"))
+      // ONE customer scan: materialize the grouped fan-out once; both the
+      // planner rollup and the release read the materialized groups
+      val grouped = fannedDf(s, d).groupBy("level", "k")
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val perLevel = grouped.groupBy("level")
+        .agg(min("n").as("min_n"))
+        .filter(col("min_n") >= K)
+      val chosen = perLevel.agg(min(col("level")).as("lvl"))
+      grouped.join(broadcast(chosen), col("level") === col("lvl"))
         .select(col("level"), col("k").as("released_key"), col("n"))
         .orderBy("released_key")
     })

@@ -230,21 +230,32 @@ object LakehouseQueries extends QuerySet {
     Some(s"""WITH ${DeltaLog.actionsSql},
             ever AS (
               SELECT DISTINCT path, n_rows FROM acts WHERE op = 'add'),
+            vers AS (SELECT DISTINCT version AS v FROM acts WHERE version >= 2),
+            reps AS (SELECT r.v, a.* FROM vers r JOIN acts a ON a.version <= r.v),
             retained AS (
-              SELECT path FROM ${DeltaLog.liveSql("2")} t
-              UNION SELECT path FROM ${DeltaLog.liveSql("3")} t2)
+              SELECT DISTINCT path FROM (
+                SELECT *, row_number() OVER (PARTITION BY v, path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM reps)
+              WHERE rn = 1 AND op = 'add')
             SELECT e.path,
               CASE WHEN r.path IS NULL THEN 'vacuum' ELSE 'keep' END AS status,
               CASE WHEN r.path IS NULL THEN e.n_rows ELSE 0 END AS freed_rows
             FROM ever e LEFT JOIN retained r ON r.path = e.path
             ORDER BY e.path"""),
     (s, d) => {
-      val log = DeltaLog.logLines(orders(s, d)).localCheckpoint()
-      val ever = DeltaLog.actions(log).filter(col("op") === "add")
-        .select("path", "n_rows").distinct()
-      val retained = DeltaLog.snapshot(log, Some(2)).select("path")
-        .union(DeltaLog.snapshot(log, Some(3)).select("path")).distinct()
-        .withColumnRenamed("path", "rpath")
+      // retained versions derived FROM THE LOG (R..latest), not frozen
+      // literals — a future log version cannot silently widen the
+      // vacuum set past a still-live file
+      val acts = DeltaLog.actions(DeltaLog.logLines(orders(s, d))).localCheckpoint()
+      val ever = acts.filter(col("op") === "add").select("path", "n_rows").distinct()
+      val vers = acts.select(col("version").as("v")).filter(col("v") >= 2).distinct()
+      val reps = vers.join(acts, acts("version") <= vers("v"))
+      val w = Window.partitionBy(col("v"), col("path"))
+        .orderBy(col("version").desc, col("ordinal").desc)
+      val retained = reps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "add")
+        .select(col("path").as("rpath")).distinct()
       ever.join(retained, col("path") === col("rpath"), "left")
         .select(col("path"),
           when(col("rpath").isNull, "vacuum").otherwise("keep").as("status"),

@@ -38,7 +38,10 @@ object TimeSeriesQueries extends QuerySet {
        spine AS (
          SELECT b.user_id, b.d0 + i.i AS day
          FROM bounds b JOIN (SELECT unnest(range(0, 60)) AS i) i
-           ON b.d0 + i.i <= b.d1)"""
+           ON b.d0 + i.i <= b.d1),
+       filled AS (
+         SELECT s.user_id, s.day, coalesce(e.day_cents, 0) AS c
+         FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day)"""
 
   /** Spark twin of [[dailySpineSql]]'s `ev`. */
   private def dailyAgg(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -58,6 +61,12 @@ object TimeSeriesQueries extends QuerySet {
       .filter(col("d0") + col("i") <= col("d1"))
       .select(col("user_id"), (col("d0") + col("i")).as("day"))
   }
+
+  /** Spark twin of [[dailySpineSql]]'s `filled` — the zero-filled
+    * daily series (user_id, day, c). */
+  private def filledDf(ev: org.apache.spark.sql.DataFrame) =
+    daySpine(ev).join(ev, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("day_cents"), lit(0L)).as("c"))
 
   /** Daily activity per user with the calendar gaps restored: missing
     * days appear with n_events = 0 and carry the last seen daily total
@@ -168,27 +177,22 @@ object TimeSeriesQueries extends QuerySet {
     * division is the only double, same expression tree both engines. */
   val ts4Seasonal = Q("ts4_seasonal_baseline",
     Some(s"""WITH $dailySpineSql,
-            filled AS (
-              SELECT s.user_id, s.day, coalesce(e.day_cents, 0) AS cents
-              FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day),
             lagged AS (
-              SELECT user_id, cents,
-                lag(cents, 7) OVER (PARTITION BY user_id ORDER BY day) AS base
+              SELECT user_id, c,
+                lag(c, 7) OVER (PARTITION BY user_id ORDER BY day) AS base
               FROM filled)
             SELECT user_id, CAST(count(base) AS BIGINT) AS n_compared,
-              CAST(sum(abs(cents - base)) AS BIGINT) AS sum_abs_err,
-              CAST(sum(abs(cents - base)) AS DOUBLE) / CAST(count(base) AS DOUBLE) AS mae_cents,
-              CAST(max(abs(cents - base)) AS BIGINT) AS worst_cents
+              CAST(sum(abs(c - base)) AS BIGINT) AS sum_abs_err,
+              CAST(sum(abs(c - base)) AS DOUBLE) / CAST(count(base) AS DOUBLE) AS mae_cents,
+              CAST(max(abs(c - base)) AS BIGINT) AS worst_cents
             FROM lagged WHERE base IS NOT NULL
             GROUP BY user_id ORDER BY user_id"""),
     (s, d) => {
-      val ev = dailyAgg(s, d)
-      val filled = daySpine(ev).join(ev, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day"), coalesce(col("day_cents"), lit(0L)).as("cents"))
+      val filled = filledDf(dailyAgg(s, d))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      filled.withColumn("base", lag(col("cents"), 7).over(w))
+      filled.withColumn("base", lag(col("c"), 7).over(w))
         .filter(col("base").isNotNull)
-        .withColumn("ae", abs(col("cents") - col("base")))
+        .withColumn("ae", abs(col("c") - col("base")))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_compared"), sum("ae").as("sum_abs_err"),
           max("ae").as("worst_cents"))
@@ -204,19 +208,28 @@ object TimeSeriesQueries extends QuerySet {
     * den = Σ_t(n·c_t − S)² — no mean is ever formed, both sums are
     * exact BIGINTs, and the single double division uses the same
     * expression tree in both engines. The burstiness diagnostic a
-    * sampling scheduler reads per entity. */
+    * sampling scheduler reads per entity.
+    *
+    * int64 headroom: the squared terms are (n·c − S)² summed over
+    * n ≤ 60 days, so day totals must stay under ~5e6 cents for
+    * Σ ≤ 60·(60·5e6·2)² ≈ 2.2e18 < 2^63. Day totals are WINSORIZED at
+    * that bound (x23's lever) with the clamp count reported per user —
+    * unbounded inputs would overflow DIFFERENTLY in the two engines
+    * (DuckDB raises on the HUGEINT cast, Spark wraps silently). */
   val ts5Autocorr = Q("ts5_autocorrelation",
     Some(s"""WITH $dailySpineSql,
-            filled AS (
-              SELECT s.user_id, s.day, coalesce(e.day_cents, 0) AS c
-              FROM spine s LEFT JOIN ev e ON e.user_id = s.user_id AND e.day = s.day),
+            cl AS (
+              SELECT user_id, day, least(c, 5000000) AS c,
+                CASE WHEN c > 5000000 THEN 1 ELSE 0 END AS clw
+              FROM filled),
             st AS (
-              SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sm
-              FROM filled GROUP BY user_id),
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sm,
+                CAST(sum(clw) AS BIGINT) AS n_clamped
+              FROM cl GROUP BY user_id),
             lagged AS (
               SELECT user_id, day, c,
                 lag(c) OVER (PARTITION BY user_id ORDER BY day) AS prev
-              FROM filled),
+              FROM cl),
             terms AS (
               SELECT l.user_id, t.n,
                 CAST(sum(CASE WHEN l.prev IS NOT NULL
@@ -224,18 +237,19 @@ object TimeSeriesQueries extends QuerySet {
                 CAST(sum((t.n * l.c - t.sm) * (t.n * l.c - t.sm)) AS BIGINT) AS den
               FROM lagged l JOIN st t ON t.user_id = l.user_id
               GROUP BY l.user_id, t.n)
-            SELECT user_id, n AS n_days, num, den,
-              CASE WHEN den = 0 THEN CAST(0 AS DOUBLE)
-                   ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r1
-            FROM terms ORDER BY user_id"""),
+            SELECT t.user_id, t.n AS n_days, t.num, t.den, s2.n_clamped,
+              CASE WHEN t.den = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(t.num AS DOUBLE) / CAST(t.den AS DOUBLE) END AS r1
+            FROM terms t JOIN st s2 ON s2.user_id = t.user_id
+            ORDER BY t.user_id"""),
     (s, d) => {
-      val ev = dailyAgg(s, d)
-      val filled = daySpine(ev).join(ev, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day"), coalesce(col("day_cents"), lit(0L)).as("c"))
-      val st = filled.groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum("c").as("sm"))
+      val cl = filledDf(dailyAgg(s, d))
+        .select(col("user_id"), col("day"), least(col("c"), lit(5000000L)).as("c"),
+          when(col("c") > 5000000L, 1L).otherwise(0L).as("clw"))
+      val st = cl.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sm"), sum("clw").as("n_clamped"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val lagged = filled.withColumn("prev", lag(col("c"), 1).over(w))
+      val lagged = cl.withColumn("prev", lag(col("c"), 1).over(w))
       lagged.join(st, "user_id")
         .groupBy(col("user_id"), col("n"))
         .agg(
@@ -243,7 +257,9 @@ object TimeSeriesQueries extends QuerySet {
             (col("n") * col("c") - col("sm")) * (col("n") * col("prev") - col("sm")))
             .otherwise(0L)).as("num"),
           sum((col("n") * col("c") - col("sm")) * (col("n") * col("c") - col("sm"))).as("den"))
+        .join(st.select(col("user_id"), col("n_clamped")), "user_id")
         .select(col("user_id"), col("n").as("n_days"), col("num"), col("den"),
+          col("n_clamped"),
           when(col("den") === 0, lit(0.0))
             .otherwise(col("num").cast("double") / col("den").cast("double")).as("r1"))
         .orderBy("user_id")

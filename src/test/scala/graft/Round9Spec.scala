@@ -451,7 +451,7 @@ class Round9LateSpec extends SparkSpec {
 
   test("ts5: r1 matches a scala replica and stays in a sane band") {
     val got = graft.queries.TimeSeriesQueries.ts5Autocorr.fn(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
     got.foreach { case (_, n, num, den, r1) =>
       if (den != 0) assert(r1 == num.toDouble / den.toDouble)
       assert(math.abs(r1) <= 1.2, s"implausible lag-1 autocorrelation $r1")
