@@ -145,34 +145,92 @@ object FeatureStoreQueries extends QuerySet {
     * gate emits per-(stratum, split) counts and the realized fraction —
     * the drift report a split re-run is checked against. Map-only +
     * one aggregate. */
+  /** ONE copy of the salted-hash split assignment (fs4 and fs5 both
+    * ride it): yields CTE `tagged(source, n_chars, split)`. */
+  private val splitSql: String =
+    """tagged AS (
+        SELECT source, n_chars,
+          CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (
+          SELECT source, n_chars,
+            CAST(list_sum(list_transform(range(1, 13), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), CAST(i AS INT), 1)) - 1 AS BIGINT)
+                * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS DOUBLE) / 281474976710656.0 AS uu
+          FROM documents))"""
+
+  /** Spark twin of [[splitSql]]. */
+  private def taggedDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val uu = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0)
+    documents(s, d).select(col("source"), col("n_chars"),
+      when(uu < 0.8, "train").when(uu < 0.9, "val").otherwise("test").as("split"))
+  }
+
   val fs4Split = Q("fs4_stratified_split",
-    Some("""WITH u AS (
-              SELECT source,
-                CAST(list_sum(list_transform(range(1, 13), i ->
-                  CAST(strpos('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), CAST(i AS INT), 1)) - 1 AS BIGINT)
-                    * (1::BIGINT << (4 * (12 - CAST(i AS INT)))))) AS DOUBLE) / 281474976710656.0 AS uu
-              FROM documents),
-            tagged AS (
-              SELECT source,
-                CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val' ELSE 'test' END AS split
-              FROM u),
+    Some(s"""WITH $splitSql,
             counts AS (
               SELECT source, split, CAST(count(*) AS BIGINT) AS n FROM tagged GROUP BY 1, 2)
             SELECT source, split, n,
               CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS frac
             FROM counts ORDER BY source, split"""),
     (s, d) => {
-      val uu = conv(substring(md5(concat(lit("split:"),
-        col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
-        .cast("long").cast("double") / lit(281474976710656.0)
-      val tagged = documents(s, d).select(col("source"),
-        when(uu < 0.8, "train").when(uu < 0.9, "val").otherwise("test").as("split"))
-      val counts = tagged.groupBy("source", "split").agg(count(lit(1)).as("n"))
+      val counts = taggedDf(s, d).groupBy("source", "split").agg(count(lit(1)).as("n"))
       counts.select(col("source"), col("split"), col("n"),
           (col("n").cast("double") /
             sum(col("n")).over(Window.partitionBy(col("source"))).cast("double")).as("frac"))
         .orderBy("source", "split")
     })
 
-  def all: Seq[Q] = Seq(fs1Pit, fs2Matrix, fs3Audit, fs4Split)
+  /** Split-balance drift audit: PSI of the document-length distribution
+    * between the train and val splits — a hash split should be balanced
+    * on every feature, and this is the audit that proves it (the same
+    * smoothed-PSI machinery as x33's temporal drift, pointed at the
+    * split boundary; a biased splitter shows fat psi terms here long
+    * before a model does). Rides the shared split fragment. */
+  val fs5Drift = {
+    val B = 11 // 10 width-60 n_chars bands + overflow
+    Q("fs5_split_drift",
+      Some(s"""WITH $splitSql,
+              b AS (SELECT split, least(n_chars // 60, 10) AS bucket
+                    FROM tagged WHERE split IN ('train', 'val')),
+              cnt AS (SELECT bucket,
+                  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+                FROM b GROUP BY bucket),
+              tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+                  CAST(sum(n_val) AS BIGINT) AS t_val FROM cnt),
+              buckets AS (SELECT unnest(range(0, $B, 1)) AS bucket),
+              p AS (SELECT bk.bucket,
+                  coalesce(cnt.n_train, 0) AS n_train, coalesce(cnt.n_val, 0) AS n_val,
+                  (CAST(coalesce(cnt.n_train, 0) AS DOUBLE) + 1.0) / (CAST(t_train AS DOUBLE) + $B.0) AS p,
+                  (CAST(coalesce(cnt.n_val, 0) AS DOUBLE) + 1.0) / (CAST(t_val AS DOUBLE) + $B.0) AS q
+                FROM buckets bk LEFT JOIN cnt ON cnt.bucket = bk.bucket CROSS JOIN tot)
+              SELECT CAST(bucket AS INT) AS bucket, n_train, n_val,
+                round(p, 6) AS p_train, round(q, 6) AS p_val,
+                round((p - q) * ln(p / q), 6) AS psi_term
+              FROM p ORDER BY bucket"""),
+      (s, d) => {
+        val b = taggedDf(s, d).filter(col("split").isin("train", "val"))
+          .select(col("split"), least(expr("n_chars div 60"), lit(10L)).as("bucket"))
+        val cnt = b.groupBy("bucket").agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+        val tot = cnt.agg(sum("n_train").as("t_train"), sum("n_val").as("t_val"))
+        val buckets = s.range(0, B).select(col("id").as("bucket"))
+        val p = (coalesce(col("n_train"), lit(0L)).cast("double") + 1.0) /
+          (col("t_train").cast("double") + lit(B.toDouble))
+        val q = (coalesce(col("n_val"), lit(0L)).cast("double") + 1.0) /
+          (col("t_val").cast("double") + lit(B.toDouble))
+        buckets.join(cnt, Seq("bucket"), "left").crossJoin(broadcast(tot))
+          .select(col("bucket").cast("int").as("bucket"),
+            coalesce(col("n_train"), lit(0L)).as("n_train"),
+            coalesce(col("n_val"), lit(0L)).as("n_val"),
+            round(p, 6).as("p_train"), round(q, 6).as("p_val"),
+            round((p - q) * log(p / q), 6).as("psi_term"))
+          .orderBy("bucket")
+      })
+  }
+
+  def all: Seq[Q] = Seq(fs1Pit, fs2Matrix, fs3Audit, fs4Split, fs5Drift)
 }
