@@ -242,5 +242,56 @@ object EntityQueries extends QuerySet {
         .orderBy("tok")
     })
 
-  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon)
+  /** Skew drill for the fuzzy join (the d20 convention): the vocabulary
+    * gains a planted HUB cluster — 3-char tokens 'aa'+letter whose only
+    * shared deletion variant 'aa' collects df = |cluster| — and the join
+    * runs WITH the df cap engaged (maxVariantDf = 10). The oracle
+    * replays the ENTIRE capped SymSpell mechanism in SQL (variant
+    * generation, df histogram, hot-variant drop, candidate join, verify),
+    * so the gate pins the cap's exact semantics, not just its outcome:
+    * hub pairs whose only meeting point is the hot variant are ABSENT
+    * from both engines identically, benign pairs survive. */
+  val er6Skew = {
+    val cap = 10
+    Q("er6_capped_skew_join",
+      Some(s"""WITH ${EntityResolution.recordsSql},
+              hub AS (
+                SELECT DISTINCT 'aa' || substr('abcdefghijklmnopqrstuvwxyz', CAST(1 + doc_id % 26 AS INT), 1) AS tok
+                FROM documents WHERE doc_id % 7 = 0),
+              v AS (
+                SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split(rec, ' ')) AS tok FROM recs
+                  UNION ALL SELECT tok FROM hub)
+                WHERE tok <> ''),
+              vars AS (
+                SELECT tok, unnest(list_distinct(list_append(
+                  list_transform(range(1, length(tok) + 1),
+                    i -> substr(tok, 1, i - 1) || substr(tok, i + 1, 64)), tok))) AS variant
+                FROM v),
+              df AS (SELECT variant, count(*) AS n FROM vars GROUP BY variant),
+              ok AS (SELECT variant FROM df WHERE n <= $cap),
+              cand AS (
+                SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+                FROM vars a
+                JOIN ok o ON o.variant = a.variant
+                JOIN vars b ON b.variant = a.variant AND a.tok < b.tok)
+              SELECT tok_a, tok_b,
+                CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+              FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+              ORDER BY tok_a, tok_b"""),
+      (s, d) => {
+        val recs = EntityResolution.records(documents(s, d))
+        val nameToks = recs.select(explode(split(col("rec"), " ")).as("tok"))
+        val hub = documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select(concat(lit("aa"),
+            substring(lit("abcdefghijklmnopqrstuvwxyz"), lit(1), lit(26))
+              .substr(pmod(col("doc_id"), lit(26)).cast("int") + 1, lit(1))).as("tok"))
+        val vocab = nameToks.unionByName(hub)
+          .filter(col("tok") =!= "").distinct()
+        EntityResolution.symspellPairs(vocab, maxEdit = 1, maxVariantDf = cap)
+          .orderBy("tok_a", "tok_b")
+      })
+  }
+
+  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon, er6Skew)
 }
