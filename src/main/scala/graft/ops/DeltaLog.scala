@@ -125,6 +125,26 @@ object DeltaLog {
       .drop("rn", "op", "version", "ordinal")
   }
 
+  /** Incremental fold: apply a batch of NEW actions (all versions >
+    * `stateVersion`) to a materialized live set — the micro-batch form
+    * of [[checkpointedSnapshot]], used by a streaming log consumer
+    * (DeltaStreamSpec drives it under a checkpointed file source).
+    * State rows enter the replay at (stateVersion, Int.MinValue) so any
+    * newer action on the same path wins; folding waves one at a time
+    * is equivalent to one full replay (same associativity argument as
+    * checkpoint + tail). */
+  def foldSnapshot(state: DataFrame, newActs: DataFrame, stateVersion: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = state
+      .withColumn("version", lit(stateVersion)).withColumn("ordinal", lit(Int.MinValue))
+      .withColumn("op", lit("add"))
+    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    cp.unionByName(newActs, allowMissingColumns = true)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "add")
+      .drop("rn", "op", "version", "ordinal")
+  }
+
   /** DuckDB mirror of buckets+actions: CTEs `bks` and `acts`, where the
     * contiguous bucket span is carried as (b_lo, b_hi) instead of an
     * array. One source of truth for the three dl oracles. */

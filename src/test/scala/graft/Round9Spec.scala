@@ -460,3 +460,51 @@ class Round9LateSpec extends SparkSpec {
     assert(got.map(_._5).distinct.length > 10, "fixture must produce varied r1")
   }
 }
+
+/** Streaming log consumption: versions arrive as a file stream; the
+  * maintained live set (incremental foldSnapshot per micro-batch,
+  * across a checkpointed restart) equals the one-shot full replay. */
+class DeltaStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("streamed version waves fold to the same snapshot as a full replay, across a restart") {
+    val o = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
+    val log = graft.ops.DeltaLog.logLines(o).localCheckpoint()
+    val want = graft.ops.DeltaLog.snapshot(log).drop("buckets")
+      .collect().map(_.toSeq).toSet
+
+    val base = java.nio.file.Files.createTempDirectory("graft_dlstream").toString
+    val landing = s"$base/landing"; val ckpt = s"$base/ckpt"
+    val acts = graft.ops.DeltaLog.actions(log).localCheckpoint()
+    def wave(v: Int) = acts.filter(col("version") === v)
+      .select(to_json(struct(acts.columns.map(col): _*)).as("line"))
+
+    @volatile var state = spark.emptyDataFrame
+    @volatile var stateV = -1
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line", org.apache.spark.sql.types.StringType)))
+    def start() = graft.stream.Ingest.fileIngest(spark, landing, lineSchema,
+        b => b,
+        (b, _) => if (!b.isEmpty) synchronized {
+          val batchActs = graft.ops.DeltaLog.actions(b).localCheckpoint()
+          val maxV = batchActs.agg(max("version")).collect()(0).getInt(0)
+          state =
+            if (stateV < 0) graft.ops.DeltaLog.snapshot(b).localCheckpoint()
+            else graft.ops.DeltaLog.foldSnapshot(state, batchActs, stateV).localCheckpoint()
+          stateV = maxV
+        })
+      .option("checkpointLocation", ckpt).start()
+
+    wave(0).write.mode("overwrite").parquet(landing)
+    wave(1).write.mode("append").parquet(landing)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // versions 2 and 3 land while the consumer is DOWN
+    wave(2).write.mode("append").parquet(landing)
+    wave(3).write.mode("append").parquet(landing)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = state.drop("buckets").collect().map(_.toSeq).toSet
+    assert(got == want, "incremental fold must equal the one-shot replay")
+    assert(stateV == 3)
+  }
+}
