@@ -263,6 +263,62 @@ object LakehouseQueries extends QuerySet {
         .orderBy("path")
     })
 
+  /** Optimistic-concurrency conflict check: three candidate version-4
+    * transactions define their REMOVE sets by predicates over the live
+    * snapshot's stats (a compaction of the key range [500,1100], a
+    * re-tier of files with min_key < 900, and a blind append); two
+    * concurrent transactions conflict iff their remove sets intersect —
+    * the Delta OCC rule that decides who must rebase. Log-sized work:
+    * the check never touches data, only the live file list. */
+  val dl8Occ = Q("dl8_commit_conflicts",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            txns AS (
+              SELECT 'compact_range' AS txn, path FROM live
+                WHERE min_key <= 1100 AND max_key >= 500
+              UNION ALL
+              SELECT 'retier_low', path FROM live WHERE min_key < 900
+              UNION ALL
+              SELECT 'blind_append', path FROM live WHERE 1 = 0),
+            names AS (SELECT unnest(['blind_append', 'compact_range', 'retier_low']) AS txn),
+            pairs AS (
+              SELECT a.txn AS txn_a, b.txn AS txn_b FROM names a JOIN names b ON a.txn < b.txn),
+            ovl AS (
+              SELECT x.txn AS txn_a, y.txn AS txn_b,
+                CAST(count(*) AS BIGINT) AS n_common, min(x.path) AS first_path
+              FROM txns x JOIN txns y ON y.path = x.path AND x.txn < y.txn
+              GROUP BY 1, 2)
+            SELECT p.txn_a AS txn_a, p.txn_b AS txn_b, coalesce(o.n_common, 0) AS n_common,
+              CASE WHEN o.n_common > 0 THEN 1 ELSE 0 END AS conflict,
+              coalesce(o.first_path, 'none') AS first_conflict_path
+            FROM pairs p LEFT JOIN ovl o
+              ON o.txn_a = p.txn_a AND o.txn_b = p.txn_b
+            ORDER BY p.txn_a, p.txn_b"""),
+    (s, d) => {
+      val live = DeltaLog.snapshot(DeltaLog.logLines(orders(s, d))).localCheckpoint()
+      val txns = live.filter(col("min_key") <= 1100 && col("max_key") >= 500)
+          .select(lit("compact_range").as("txn"), col("path"))
+        .unionByName(live.filter(col("min_key") < 900)
+          .select(lit("retier_low").as("txn"), col("path")))
+        .unionByName(live.filter(lit(false))
+          .select(lit("blind_append").as("txn"), col("path")))
+      val names = s.range(1).select(explode(array(
+        lit("blind_append"), lit("compact_range"), lit("retier_low"))).as("txn"))
+      val pairs = names.select(col("txn").as("txn_a"))
+        .join(names.select(col("txn").as("txn_b")), col("txn_a") < col("txn_b"))
+      val x = txns.select(col("txn").as("txn_a"), col("path"))
+      val y = txns.select(col("txn").as("txn_b"), col("path").as("path_b"))
+      val overlaps = x.join(y, col("path_b") === col("path") && col("txn_a") < col("txn_b"))
+        .groupBy("txn_a", "txn_b")
+        .agg(count(lit(1)).as("n_common"), min("path").as("first_path"))
+      pairs.join(overlaps, Seq("txn_a", "txn_b"), "left")
+        .select(col("txn_a"), col("txn_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          when(col("n_common") > 0, 1).otherwise(0).as("conflict"),
+          coalesce(col("first_path"), lit("none")).as("first_conflict_path"))
+        .orderBy("txn_a", "txn_b")
+    })
+
   /** SCD2 dimension build: each customer's order-priority history becomes
     * type-2 dimension rows — consecutive same-value changes compressed,
     * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
@@ -393,5 +449,5 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, dl7Vacuum, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, scd1Build, cdc1Apply, ivm1View)
 }
