@@ -90,16 +90,24 @@ object DeltaLog {
         .otherwise(col("a")).as("a"))
       .select("a.*")
 
+  /** ONE copy of the last-wins replay window (the tie-break rule every
+    * reader shares): per path the highest (version, ordinal) action
+    * wins; survivors are the `add`s. Returns rows WITH version/ordinal
+    * retained so callers can derive provenance before dropping them. */
+  private def lastWins(acts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    acts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "add")
+      .drop("rn")
+  }
+
   /** Replay the log into the live file set as of `asOf` (None = latest):
     * per path, the last action (version, ordinal) wins; live = `add`. */
   def snapshot(log: DataFrame, asOf: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val acts = actions(log)
     val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
-    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    bounded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") === "add")
-      .drop("rn", "op", "version", "ordinal")
+    lastWins(bounded).drop("op", "version", "ordinal")
   }
 
   /** Checkpointed read: materialize the snapshot at `v0` (the Delta
@@ -112,37 +120,36 @@ object DeltaLog {
     * history. Returns the live set plus a `src` provenance column
     * ('checkpoint' | 'tail'). */
   def checkpointedSnapshot(log: DataFrame, v0: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cp = snapshot(log, Some(v0))
       .withColumn("version", lit(v0)).withColumn("ordinal", lit(Int.MinValue))
       .withColumn("op", lit("add"))
     val tail = actions(log).filter(col("version") > v0)
-    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    cp.unionByName(tail, allowMissingColumns = true)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") === "add")
+    lastWins(cp.unionByName(tail, allowMissingColumns = true))
       .withColumn("src", when(col("version") > v0, lit("tail")).otherwise(lit("checkpoint")))
-      .drop("rn", "op", "version", "ordinal")
+      .drop("op", "version", "ordinal")
   }
 
-  /** Incremental fold: apply a batch of NEW actions (all versions >
-    * `stateVersion`) to a materialized live set — the micro-batch form
-    * of [[checkpointedSnapshot]], used by a streaming log consumer
-    * (DeltaStreamSpec drives it under a checkpointed file source).
-    * State rows enter the replay at (stateVersion, Int.MinValue) so any
-    * newer action on the same path wins; folding waves one at a time
-    * is equivalent to one full replay (same associativity argument as
-    * checkpoint + tail). */
+  /** Incremental fold: apply a batch of NEW actions to a materialized
+    * live set — the micro-batch form of [[checkpointedSnapshot]], used
+    * by a streaming log consumer (DeltaStreamSpec drives it under a
+    * checkpointed file source). State rows enter the replay at
+    * (stateVersion, Int.MinValue) so any newer action on the same path
+    * wins; folding waves one at a time is equivalent to one full replay
+    * (same associativity argument as checkpoint + tail) — PROVIDED every
+    * batch action is newer than the state. That precondition is ENFORCED
+    * in the row path (raise_error), because a stale or same-version
+    * action would silently lose/win against the state tag and drift the
+    * live set away from the true replay with no signal. */
   def foldSnapshot(state: DataFrame, newActs: DataFrame, stateVersion: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cp = state
       .withColumn("version", lit(stateVersion)).withColumn("ordinal", lit(Int.MinValue))
       .withColumn("op", lit("add"))
-    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    cp.unionByName(newActs, allowMissingColumns = true)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") === "add")
-      .drop("rn", "op", "version", "ordinal")
+    val guarded = newActs.withColumn("version",
+      when(col("version") <= stateVersion,
+        raise_error(concat(lit(s"stale action (version <= $stateVersion): path="), col("path"))))
+        .otherwise(col("version")))
+    lastWins(cp.unionByName(guarded, allowMissingColumns = true))
+      .drop("op", "version", "ordinal")
   }
 
   /** DuckDB mirror of buckets+actions: CTEs `bks` and `acts`, where the

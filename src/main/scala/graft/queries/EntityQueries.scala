@@ -284,7 +284,7 @@ object EntityQueries extends QuerySet {
         val nameToks = recs.select(explode(split(col("rec"), " ")).as("tok"))
         val hub = documents(s, d).filter(col("doc_id") % 7 === 0)
           .select(concat(lit("aa"),
-            substring(lit("abcdefghijklmnopqrstuvwxyz"), lit(1), lit(26))
+            lit("abcdefghijklmnopqrstuvwxyz")
               .substr(pmod(col("doc_id"), lit(26)).cast("int") + 1, lit(1))).as("tok"))
         val vocab = nameToks.unionByName(hub)
           .filter(col("tok") =!= "").distinct()

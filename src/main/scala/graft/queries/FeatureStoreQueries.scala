@@ -198,37 +198,14 @@ object FeatureStoreQueries extends QuerySet {
                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
                   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
                 FROM b GROUP BY bucket),
-              tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
-                  CAST(sum(n_val) AS BIGINT) AS t_val FROM cnt),
-              buckets AS (SELECT unnest(range(0, $B, 1)) AS bucket),
-              p AS (SELECT bk.bucket,
-                  coalesce(cnt.n_train, 0) AS n_train, coalesce(cnt.n_val, 0) AS n_val,
-                  (CAST(coalesce(cnt.n_train, 0) AS DOUBLE) + 1.0) / (CAST(t_train AS DOUBLE) + $B.0) AS p,
-                  (CAST(coalesce(cnt.n_val, 0) AS DOUBLE) + 1.0) / (CAST(t_val AS DOUBLE) + $B.0) AS q
-                FROM buckets bk LEFT JOIN cnt ON cnt.bucket = bk.bucket CROSS JOIN tot)
-              SELECT CAST(bucket AS INT) AS bucket, n_train, n_val,
-                round(p, 6) AS p_train, round(q, 6) AS p_val,
-                round((p - q) * ln(p / q), 6) AS psi_term
-              FROM p ORDER BY bucket"""),
+              ${OracleSql.psiSql(B, "n_train", "n_val", "p_train", "p_val")}"""),
       (s, d) => {
         val b = taggedDf(s, d).filter(col("split").isin("train", "val"))
           .select(col("split"), least(expr("n_chars div 60"), lit(10L)).as("bucket"))
         val cnt = b.groupBy("bucket").agg(
           sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
           sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
-        val tot = cnt.agg(sum("n_train").as("t_train"), sum("n_val").as("t_val"))
-        val buckets = s.range(0, B).select(col("id").as("bucket"))
-        val p = (coalesce(col("n_train"), lit(0L)).cast("double") + 1.0) /
-          (col("t_train").cast("double") + lit(B.toDouble))
-        val q = (coalesce(col("n_val"), lit(0L)).cast("double") + 1.0) /
-          (col("t_val").cast("double") + lit(B.toDouble))
-        buckets.join(cnt, Seq("bucket"), "left").crossJoin(broadcast(tot))
-          .select(col("bucket").cast("int").as("bucket"),
-            coalesce(col("n_train"), lit(0L)).as("n_train"),
-            coalesce(col("n_val"), lit(0L)).as("n_val"),
-            round(p, 6).as("p_train"), round(q, 6).as("p_val"),
-            round((p - q) * log(p / q), 6).as("psi_term"))
-          .orderBy("bucket")
+        graft.ops.Drift.psiTerms(cnt, B, "n_train", "n_val", "p_train", "p_val")
       })
   }
 

@@ -17,7 +17,7 @@ object LakehouseQueries extends QuerySet {
   val dl1Snapshot = Q("dl1_snapshot_files",
     Some(s"""WITH ${DeltaLog.actionsSql}
             SELECT path, n_rows, min_key, max_key, cents
-            FROM ${DeltaLog.liveSql("3")} t ORDER BY path"""),
+            FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t ORDER BY path"""),
     (s, d) => DeltaLog.snapshot(DeltaLog.logLines(orders(s, d)))
       .select("path", "n_rows", "min_key", "max_key", "cents")
       .orderBy("path"))
@@ -63,7 +63,7 @@ object LakehouseQueries extends QuerySet {
     val lo = 637; val hi = 1041 // crosses part-3/part-4, leaves compact-0-1 prunable
     Q("dl3_stats_prune",
       Some(s"""WITH ${DeltaLog.actionsSql},
-              live AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+              live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
               flagged AS (
                 SELECT path, b_lo, b_hi,
                   CASE WHEN min_key <= $hi AND max_key >= $lo THEN 1 ELSE 0 END AS scanned
@@ -272,7 +272,7 @@ object LakehouseQueries extends QuerySet {
     * the check never touches data, only the live file list. */
   val dl8Occ = Q("dl8_commit_conflicts",
     Some(s"""WITH ${DeltaLog.actionsSql},
-            live AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
             txns AS (
               SELECT 'compact_range' AS txn, path FROM live
                 WHERE min_key <= 1100 AND max_key >= 500

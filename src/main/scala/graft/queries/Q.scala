@@ -125,6 +125,23 @@ object OracleSql {
     * cluster_id)` assigns every pair member its component's minimum id.
     * ONE copy shared by d7 and d7b so the histogram can never disagree
     * with the cluster labels it summarizes. Requires WITH RECURSIVE. */
+  /** Smoothed-PSI tail shared by x33 (temporal drift) and fs5 (split
+    * drift) — expects a CTE `cnt(bucket, refN, curN)`; Spark twin is
+    * `ops.Drift.psiTerms` (one copy of the smoothing/rounding rules). */
+  def psiSql(b: Int, refN: String, curN: String, refP: String, curP: String): String =
+    s"""tot AS (SELECT CAST(sum($refN) AS BIGINT) AS t_ref,
+            CAST(sum($curN) AS BIGINT) AS t_cur FROM cnt),
+        buckets AS (SELECT unnest(range(0, $b, 1)) AS bucket),
+        p AS (SELECT bk.bucket,
+            coalesce(cnt.$refN, 0) AS $refN, coalesce(cnt.$curN, 0) AS $curN,
+            (CAST(coalesce(cnt.$refN, 0) AS DOUBLE) + 1.0) / (CAST(t_ref AS DOUBLE) + $b.0) AS p,
+            (CAST(coalesce(cnt.$curN, 0) AS DOUBLE) + 1.0) / (CAST(t_cur AS DOUBLE) + $b.0) AS q
+          FROM buckets bk LEFT JOIN cnt ON cnt.bucket = bk.bucket CROSS JOIN tot)
+        SELECT CAST(bucket AS INT) AS bucket, $refN, $curN,
+          round(p, 6) AS $refP, round(q, 6) AS $curP,
+          round((p - q) * ln(p / q), 6) AS psi_term
+        FROM p ORDER BY bucket"""
+
   val closureCtes: String =
     """e AS (SELECT id_a AS u, id_b AS v FROM pairs
             UNION SELECT id_b AS u, id_a AS v FROM pairs),

@@ -1715,18 +1715,7 @@ object TextQueries extends QuerySet {
                 CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
                 CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
               FROM b GROUP BY bucket),
-            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
-                CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cnt),
-            buckets AS (SELECT unnest(range(0, $B, 1)) AS bucket),
-            p AS (SELECT bk.bucket,
-                coalesce(cnt.n_ref, 0) AS n_ref, coalesce(cnt.n_cur, 0) AS n_cur,
-                (CAST(coalesce(cnt.n_ref, 0) AS DOUBLE) + 1.0) / (CAST(t_ref AS DOUBLE) + $B.0) AS p,
-                (CAST(coalesce(cnt.n_cur, 0) AS DOUBLE) + 1.0) / (CAST(t_cur AS DOUBLE) + $B.0) AS q
-              FROM buckets bk LEFT JOIN cnt ON cnt.bucket = bk.bucket CROSS JOIN tot)
-            SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
-              round(p, 6) AS p_ref, round(q, 6) AS p_cur,
-              round((p - q) * ln(p / q), 6) AS psi_term
-            FROM p ORDER BY bucket"""),
+            ${OracleSql.psiSql(B, "n_ref", "n_cur", "p_ref", "p_cur")}"""),
       (s, d) => {
         val bucket = least(call_function("div",
           length(coalesce(col("text"), lit(""))).cast("long"), lit(60L)), lit(10L))
@@ -1734,19 +1723,7 @@ object TextQueries extends QuerySet {
         val cnt = b.groupBy("bucket").agg(
           sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
-        val tot = cnt.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
-        val buckets = s.range(0, B).select(col("id").as("bucket"))
-        val p = (coalesce(col("n_ref"), lit(0L)).cast("double") + 1.0) /
-          (col("t_ref").cast("double") + lit(B.toDouble))
-        val q = (coalesce(col("n_cur"), lit(0L)).cast("double") + 1.0) /
-          (col("t_cur").cast("double") + lit(B.toDouble))
-        buckets.join(cnt, Seq("bucket"), "left").crossJoin(broadcast(tot))
-          .select(col("bucket").cast("int").as("bucket"),
-            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-            coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-            round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
-            round((p - q) * log(p / q), 6).as("psi_term"))
-          .orderBy("bucket")
+        graft.ops.Drift.psiTerms(cnt, B, "n_ref", "n_cur", "p_ref", "p_cur")
       })
   }
 
