@@ -57,21 +57,39 @@ object Search {
     * restrict the exact search to the query's cell. At scale the index is
     * written `partitionBy(cell)` so a query reads one partition; `nprobe`
     * generalizes to scanning the n nearest cells. */
-  def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(ivfProbeCells(vec, centroids, 1), 1)
+
+  /** The `nprobe` nearest centroid cells for a vector, ordered
+    * nearest-first (distance ties → lower cell id — [[ivfCell]]'s argmin
+    * rule extended to a prefix). This is the multi-probe IVF read list:
+    * probing p > 1 cells buys back the recall a single-cell read loses
+    * when the true neighbors straddle a Voronoi boundary, at a scanned
+    * fraction of ~p/K instead of 1/K (v10b gates the recall-vs-nprobe
+    * curve; faiss `nprobe` is the public precedent). */
+  def ivfProbeCells(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cv = array(c.map(lit): _*)
       val d2 = aggregate(zip_with(vec, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
         lit(0.0), (acc, x) => acc + x)
       struct(d2.as("d2"), lit(i).as("cell"))
     }
-    element_at(sort_array(array(scored: _*)), 1).getField("cell")
+    transform(slice(sort_array(array(scored: _*)), 1, nprobe), s => s.getField("cell"))
   }
 
   def ivfTopK(index: DataFrame, vecCol: String, idCol: String, query: Column,
-              centroids: Seq[Seq[Double]], k: Int): DataFrame = {
+              centroids: Seq[Seq[Double]], k: Int): DataFrame =
+    ivfTopK(index, vecCol, idCol, query, centroids, k, nprobe = 1)
+
+  /** Multi-probe IVF top-k: exact ranking restricted to the union of the
+    * query's `nprobe` nearest cells. nprobe = 1 is the classic single-cell
+    * read; nprobe = #centroids degrades gracefully to brute force. */
+  def ivfTopK(index: DataFrame, vecCol: String, idCol: String, query: Column,
+              centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
     val celled = index.withColumn("cell", ivfCell(col(vecCol), centroids))
-    val qCell = ivfCell(query, centroids)
-    bruteForceTopK(celled.filter(col("cell") === qCell).drop("cell"), vecCol, idCol, query, k)
+    val probes = ivfProbeCells(query, centroids, nprobe)
+    bruteForceTopK(celled.filter(array_contains(probes, col("cell"))).drop("cell"),
+      vecCol, idCol, query, k)
   }
 
   /** Persist an ANN index partitioned by its bucket/cell assignment so
@@ -103,6 +121,19 @@ object Search {
     val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
     val probes = queryRow.withColumn(bucketCol,
       explode(array(masks.map(m => col(bucketCol).bitwiseXOR(lit(m))): _*)))
+    spark.read.parquet(indexPath).join(broadcast(probes), Seq(bucketCol))
+  }
+
+  /** Multi-probe pruned read for LIST-valued probes — the IVF twin of
+    * [[readPrunedMultiProbe]]: the query row carries an array of cells to
+    * probe (e.g. [[ivfProbeCells]] with nprobe > 1); the broadcast side is
+    * exploded into one row per probed cell, then joined on the partition
+    * column, so the scan's dynamic partition filter lists exactly the
+    * probed partition directories (AnnPruneSpec pins the file counts). */
+  def readPrunedProbes(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       queryRow: DataFrame, probesCol: String = "probes",
+                       bucketCol: String = "bucket"): DataFrame = {
+    val probes = queryRow.withColumn(bucketCol, explode(col(probesCol))).drop(probesCol)
     spark.read.parquet(indexPath).join(broadcast(probes), Seq(bucketCol))
   }
 

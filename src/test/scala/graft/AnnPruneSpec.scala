@@ -129,4 +129,69 @@ class AnnPruneSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty)
     assert(pruned.count() == 5)
   }
+
+  test("multi-probe IVF pruned read lists exactly the nprobe probed cell directories") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val centroids: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(11)
+      Seq.fill(8)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
+    }
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec_ivf8"
+    Search.writePartitionedIndex(emb, Search.ivfCell(col("embedding"), centroids), out, bucketCol = "cell")
+    val nprobe = 2
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        Search.ivfProbeCells(col("embedding"), centroids, nprobe).as("probes"))
+    val pruned = Search.readPrunedProbes(spark, out, q, probesCol = "probes", bucketCol = "cell")
+      .select(col("vec_id"), round(Embed.dot(col("embedding"), transform(col("qv"), x => x.cast("double"))), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+    val scan = indexScan(pruned)
+    assert(scan.partitionFilters.nonEmpty,
+      s"probe cells must reach the scan as a partition filter, got: ${scan.partitionFilters}")
+
+    // exact file-count pin: the scan read precisely the files under the
+    // two probed cell directories, nothing else
+    val probeCells = q.select(explode(col("probes")).as("c")).collect().map(_.getInt(0)).toSet
+    assert(probeCells.size == nprobe)
+    def filesUnder(p: String): Long = {
+      import java.nio.file._
+      val s = Files.walk(Paths.get(p))
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val probedFiles = probeCells.toSeq.map(c => filesUnder(s"$out/cell=$c")).sum
+    val totalFiles = filesUnder(out)
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead == probedFiles && filesRead < totalFiles,
+      s"multi-probe read $filesRead files; expected exactly $probedFiles (of $totalFiles)")
+
+    // semantics: identical to the in-scan multi-probe ivfTopK at the same nprobe
+    val reference = Search.ivfTopK(
+      emb.crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")))),
+      "embedding", "vec_id", transform(col("qv"), x => x.cast("double")), centroids, 5, nprobe)
+      .select(col("vec_id"), round(col("score"), 6).as("score")).collect()
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      reference.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("ivfProbeCells: nearest-first prefix, head equals ivfCell, full width is all cells") {
+    val emb = graft.tables.TestTables.embeddings(spark, sf).limit(50)
+    val centroids: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(11)
+      Seq.fill(8)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
+    }
+    val rows = emb.select(
+        Search.ivfCell(col("embedding"), centroids).as("cell"),
+        Search.ivfProbeCells(col("embedding"), centroids, 3).as("p3"),
+        Search.ivfProbeCells(col("embedding"), centroids, 8).as("p8"))
+      .collect()
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      val p3 = r.getSeq[Int](1).toSeq
+      val p8 = r.getSeq[Int](2).toSeq
+      assert(p3.head == cell, "probe list must start at the assigned cell")
+      assert(p3 == p8.take(3), "probe list must be a prefix of the full ranking")
+      assert(p8.sorted == (0 until 8), "full-width probe list must rank every cell once")
+    }
+  }
 }
