@@ -147,6 +147,8 @@ object GraftFunctions {
       "jaro_sim", exprs => JaroExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler_sim", exprs => JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "levenshtein_bytes", exprs => LevenshteinBytesExpr(exprs(0), exprs(1)), "built-in")
     // Spark ships Bloom expressions for its runtime join filters but does
     // not register them as SQL functions; surfaced here for the
     // decontamination prefilter (analyzer wraps the AggregateFunction)

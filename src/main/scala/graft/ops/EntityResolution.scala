@@ -36,13 +36,13 @@ import org.apache.spark.sql.functions._
   * `records` / `recordsSql` (ONE constant pool feeding both engines, so
   * the planted perturbations cannot drift between Spark and the oracle).
   *
-  * Cross-engine unit caveat (matters beyond ASCII): Spark's native
-  * `levenshtein` counts UTF-16 CHARS while DuckDB's counts UTF-8 BYTES
-  * ('é' is one char but two bytes). The er gates use ASCII-only
-  * fixtures where the two agree; a non-ASCII vocabulary needs a
-  * byte-level distance expression on the Spark side (the
-  * `functions.JaroWinkler` expressions already operate byte-wise to
-  * match DuckDB exactly).
+  * Distance semantics: all verify/scoring distances use
+  * [[graft.functions.LevenshteinBytes]] — UTF-8 BYTE-level edit distance,
+  * pinned to DuckDB's `levenshtein` exactly (like `functions.JaroWinkler`)
+  * — so the family works on any input, not just ASCII. Byte-wise, one
+  * edited CHARACTER costs its encoded byte length (a Thai substitution =
+  * up to 3 byte edits); thresholds on non-ASCII vocabularies must be set
+  * in bytes (er7_unicode_linkage gates exactly this on Thai names).
   */
 object EntityResolution {
 
@@ -112,6 +112,71 @@ object EntityResolution {
                ${sqlArray(lasts)}[1 + (doc_id // 16) % 16] AS fullname
              FROM documents)))"""
 
+  /** 8×8 Thai name pools for the non-ASCII linkage gate (er7) — the
+    * reference's own home domain is a Thai corpus. Every Thai character
+    * is 3 UTF-8 bytes, so char-unit and byte-unit distances diverge on
+    * EVERY edit here: a char deletion costs 3 byte edits, a same-block
+    * substitution costs 1-2 (Thai codepoints share the 0xE0 0xB8/0xB9
+    * lead bytes). One constant pool feeds both engines. */
+  val thaiFirsts: Seq[String] = Seq(
+    "สมชาย", "สมหญิง", "อนันต์", "กัลยา", "ประวิทย์", "มาลี", "วิชัย", "สุนทร")
+  val thaiLasts: Seq[String] = Seq(
+    "ใจดี", "ทองดี", "ศรีสุข", "บุญมา", "แก้วใส", "พูนสุข", "รักไทย", "สายทอง")
+
+  /** U+0E2E HO NOKHUK — absent from both pools, so the planted
+    * substitution never degenerates to identity; also the unlinkable
+    * class's prefix breaker (no master starts with it). */
+  private val thaiSub = "ฮ"
+
+  /** Thai dirty-record generator, Spark side: class = doc_id % 4 —
+    * 0 clean, 1 single-char deletion at char position p, 2 substitution
+    * with [[thaiSub]] at p, 3 unlinkable (prefix-broken by a double
+    * [[thaiSub]] — NOT reverse(): DuckDB reverses grapheme clusters while
+    * Spark reverses code points, which diverges on Thai combining vowels).
+    * p = 3 + (doc_id div 64) % (len-3) ∈ [3, len-1], so 2-char-prefix
+    * blocking stays lossless for classes 0-2 by construction. All string
+    * surgery is CHAR-based substr (identical semantics in both engines);
+    * only the DISTANCE is byte-based. */
+  def thaiRecords(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val d = col(idCol)
+    val fullname = concat(
+      element_at(array(thaiFirsts.map(lit): _*), (pmod(d, lit(8)) + 1).cast("int")),
+      lit(" "),
+      element_at(array(thaiLasts.map(lit): _*),
+        (pmod(expr(s"$idCol div 8"), lit(8)) + 1).cast("int")))
+    docs.select(d.as("doc_id"), fullname.as("fullname"))
+      .withColumn("p", (lit(3) + pmod(expr("doc_id div 64"), length(col("fullname")) - 3)).cast("int"))
+      .withColumn("rec", {
+        val f = col("fullname"); val p = col("p")
+        val del = concat(f.substr(lit(1), p - 1), f.substr(p + 1, lit(64)))
+        val sub = concat(f.substr(lit(1), p - 1), lit(thaiSub), f.substr(p + 1, lit(64)))
+        when(pmod(col("doc_id"), lit(4)) === 0, f)
+          .when(pmod(col("doc_id"), lit(4)) === 1, del)
+          .when(pmod(col("doc_id"), lit(4)) === 2, sub)
+          .otherwise(concat(lit(thaiSub), lit(thaiSub), f))
+      })
+      .select(col("doc_id"), col("fullname"), col("rec"))
+  }
+
+  /** The SAME Thai generator as DuckDB CTE text: `trecs(doc_id, fullname, rec)`. */
+  val thaiRecordsSql: String =
+    s"""trecs AS (
+         SELECT doc_id, fullname,
+           CASE doc_id % 4
+             WHEN 0 THEN fullname
+             WHEN 1 THEN substr(fullname, 1, p - 1) || substr(fullname, p + 1, 64)
+             WHEN 2 THEN substr(fullname, 1, p - 1) || '$thaiSub' || substr(fullname, p + 1, 64)
+             ELSE '$thaiSub$thaiSub' || fullname
+           END AS rec
+         FROM (
+           SELECT doc_id, fullname,
+             CAST(3 + (doc_id // 64) % (length(fullname) - 3) AS INT) AS p
+           FROM (
+             SELECT doc_id,
+               ${sqlArray(thaiFirsts)}[1 + doc_id % 8] || ' ' ||
+               ${sqlArray(thaiLasts)}[1 + (doc_id // 8) % 8] AS fullname
+             FROM documents)))"""
+
   /** All distinct-token pairs within Levenshtein distance `maxEdit` via
     * deletion-neighborhood blocking. `vocab` must have one string column
     * `tok` (distinct). Returns (tok_a, tok_b, dist) with tok_a < tok_b.
@@ -152,10 +217,20 @@ object EntityResolution {
       }
     val a = exploded.select(col("tok").as("tok_a"), col("variant"))
     val b = exploded.select(col("tok").as("tok_b"), col("variant"))
+    graft.functions.GraftFunctions.register(vocab.sparkSession)
     a.join(b, "variant")
       .filter(col("tok_a") < col("tok_b"))
       .select("tok_a", "tok_b").distinct()
-      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      // byte-level verify (DuckDB parity): byte-distance ≥ char-distance
+      // for any pair, so the char-wise deletion blocking above is still a
+      // lossless superset of byte-distance ≤ k — the verify only narrows
+      .withColumn("dist", levBytes(col("tok_a"), col("tok_b")))
       .filter(col("dist") <= maxEdit)
   }
+
+  /** Column wrapper for [[graft.functions.LevenshteinBytes]] — the ONE
+    * distance every er verify/scoring step uses (caller must have a
+    * registered session; [[symspellPairs]] and the er queries do). */
+  def levBytes(a: Column, b: Column): Column =
+    call_function("levenshtein_bytes", a, b)
 }

@@ -293,5 +293,48 @@ object EntityQueries extends QuerySet {
       })
   }
 
-  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon, er6Skew)
+  /** Non-ASCII record linkage on Thai names (the reference's own home
+    * domain): 2-char-prefix-blocked candidates scored with the BYTE-wise
+    * `levenshtein_bytes` expression (DuckDB `levenshtein` parity —
+    * Spark's native levenshtein counts UTF-16 chars and would disagree
+    * with the oracle on EVERY row here); best master per record by
+    * (dist asc, master asc); dist ≤ 6 (two Thai chars) keeps the planted
+    * deletion/substitution classes and drops the prefix-broken unlinkable
+    * class. `rec_bytes` vs `rec_chars` (≈3×) rides the output so the
+    * gate visibly exercises multi-byte input. */
+  val er7Unicode = Q("er7_unicode_linkage",
+    Some(s"""WITH ${EntityResolution.thaiRecordsSql},
+            masters AS (SELECT DISTINCT fullname AS master FROM trecs),
+            cand AS (
+              SELECT r.doc_id, r.rec, m.master,
+                levenshtein(r.rec, m.master) AS dist
+              FROM trecs r JOIN masters m ON substr(r.rec, 1, 2) = substr(m.master, 1, 2)),
+            best AS (
+              SELECT doc_id, rec, master, dist,
+                row_number() OVER (PARTITION BY doc_id ORDER BY dist, master) AS rk
+              FROM cand)
+            SELECT doc_id, rec, master, CAST(dist AS BIGINT) AS dist,
+              CAST(strlen(rec) AS BIGINT) AS rec_bytes,
+              CAST(length(rec) AS BIGINT) AS rec_chars
+            FROM best WHERE rk = 1 AND dist <= 6
+            ORDER BY doc_id"""),
+    (s, d) => {
+      GraftFunctions.register(s)
+      val recs = EntityResolution.thaiRecords(documents(s, d))
+      val masters = recs.select(col("fullname").as("master")).distinct()
+      val cand = recs.join(masters,
+          recs("rec").substr(1, 2) === masters("master").substr(1, 2))
+        .select(col("doc_id"), col("rec"), col("master"),
+          EntityResolution.levBytes(col("rec"), col("master")).as("dist"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("master"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("dist") <= 6)
+        .select(col("doc_id"), col("rec"), col("master"), col("dist"),
+          octet_length(col("rec")).cast("long").as("rec_bytes"),
+          length(col("rec")).cast("long").as("rec_chars"))
+        .orderBy("doc_id")
+    })
+
+  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon, er6Skew,
+    er7Unicode)
 }

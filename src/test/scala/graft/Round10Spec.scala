@@ -35,4 +35,75 @@ class Round10Spec extends SparkSpec {
     // fixture: ~1/8 of the corpus scanned, recall far below 0.9)
     assert(rows.head._2 < 0.9 && rows.head._3 < 0.2)
   }
+
+  // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
+  test("levenshtein_bytes: hand pins incl. multi-byte cases") {
+    import graft.functions.LevenshteinBytes.dist
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val pins = Seq(
+      ("", "", 0L), ("", "abc", 3L), ("abc", "", 3L),
+      ("kitten", "sitting", 3L), ("flaw", "lawn", 2L),
+      ("abc", "abc", 0L),
+      // DuckDB-verified multi-byte pins: byte-unit, not char-unit
+      ("café", "cafe", 2L), // é = 2 bytes: 1 sub + 1 del
+      ("สมชาย ใจดี",
+        "สมชย ใจดี", 3L), // Thai single-char deletion = 3
+      ("กข", "ขก", 2L), // Thai adjacent swap: shared lead bytes -> 2
+      ("漢", "漣", 1L)) // CJK same-block substitution: last byte only
+    for ((a, b, e) <- pins)
+      assert(dist(u(a), u(b)) == e, s"levenshtein_bytes($a, $b)")
+  }
+
+  test("differential: levenshtein_bytes vs live DuckDB over random multi-byte strings") {
+    import scala.sys.process._
+    val py = Seq("/root/.pyenv/shims/python3", "/root/miniconda/bin/python3", "/usr/bin/python3")
+      .find(p => new java.io.File(p).exists && scala.sys.process.Process(Seq(p, "-c", "import duckdb")).! == 0)
+    assume(py.nonEmpty, "no python3 with duckdb")
+    val rnd = new scala.util.Random(101)
+    // 1/2/3-byte code points incl. Thai (the er7 domain)
+    val alpha = Seq("a", "b", "x", "é", "ñ", "漢", "ก", "า", "ี", " ")
+    val cases = (1 to 300).map { _ =>
+      def s() = (0 until rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (s(), s())
+    }
+    val f = java.io.File.createTempFile("levcases", ".txt")
+    java.nio.file.Files.writeString(f.toPath, cases.map { case (a, b) => s"$a\t$b" }.mkString("\n"))
+    val script =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |for line in open('${f.getAbsolutePath}', encoding='utf-8'):
+         |    a, b = line.rstrip('\\n').split('\\t')
+         |    d, = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()
+         |    print(d)
+         |""".stripMargin
+    val out = Seq(py.get, "-c", script).!!.trim.split("\n")
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    cases.zip(out).foreach { case ((a, b), line) =>
+      assert(graft.functions.LevenshteinBytes.dist(u(a), u(b)) == line.trim.toLong,
+        s"levenshtein_bytes($a, $b)")
+    }
+    f.delete()
+  }
+
+  test("er7 fixture: Spark-native char levenshtein DIVERGES from the byte distance on Thai") {
+    // the reason LevenshteinBytes exists: on the er7 domain the two units
+    // disagree on every multi-byte edit
+    val recs = graft.ops.EntityResolution.thaiRecords(
+      graft.tables.TestTables.documents(spark, sf))
+    graft.functions.GraftFunctions.register(spark)
+    val diverging = recs.filter(pmod(col("doc_id"), lit(4)) === 1) // deletion class
+      .select(levenshtein(col("rec"), col("fullname")).cast("long").as("chars"),
+        graft.ops.EntityResolution.levBytes(col("rec"), col("fullname")).as("bytes"))
+      .collect()
+    assert(diverging.nonEmpty)
+    diverging.foreach { r =>
+      val (c, b) = (r.getLong(0), r.getLong(1))
+      // a deleted char is 1 char-edit; 3 byte-edits when Thai, 1 when the
+      // planted position hit the ASCII space
+      assert(c == 1, s"char distance of a single deletion must be 1, got $c")
+      assert(b == 1 || b == 3, s"byte distance must be 1 (space) or 3 (Thai), got $b")
+    }
+    assert(diverging.exists(r => r.getLong(1) == 3L),
+      "at least one deletion must hit a Thai char (bytes=3) or the gate is vacuous")
+  }
 }
