@@ -104,11 +104,56 @@ object DeltaLog {
 
   /** Replay the log into the live file set as of `asOf` (None = latest):
     * per path, the last action (version, ordinal) wins; live = `add`. */
-  def snapshot(log: DataFrame, asOf: Option[Int] = None): DataFrame = {
-    val acts = actions(log)
+  def snapshot(log: DataFrame, asOf: Option[Int] = None): DataFrame =
+    replay(actions(log), asOf)
+
+  /** [[snapshot]] over pre-parsed action rows — for callers that extend
+    * the log in-flight (dl9's OPTIMIZE) or hold a checkpointed parse. */
+  def replay(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
     val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
     lastWins(bounded).drop("op", "version", "ordinal")
   }
+
+  /** OPTIMIZE chosen BY the engine and written AS a real transaction —
+    * the loop every lakehouse runs (Delta OPTIMIZE / bin-packing): pair
+    * adjacent live single-bucket `part-` files (bin = b_lo / 2; only
+    * full pairs compact — rewriting a lone file buys nothing), emit the
+    * version-`version` action rows: one `remove` per input (ordinal =
+    * its bucket) plus one `add` per compacted `opt-lo-hi` file with
+    * SUMMED stats (ordinal = 1000 + lo, after every remove). The
+    * transaction only reshapes files — the replayed row set before and
+    * after is identical, which dl9 hash-gates via data-level signatures.
+    * Log-sized work: the policy reads the live FILE LIST, never data. */
+  def optimizeActions(live: DataFrame, version: Int): DataFrame = {
+    val parts = live.filter(col("path").startsWith("part-"))
+      .withColumn("b_lo", element_at(col("buckets"), 1))
+      .withColumn("bin", floor(col("b_lo") / 2))
+    val bins = parts.groupBy("bin").agg(count(lit(1)).as("nf"),
+        min("b_lo").as("lo"), max("b_lo").as("hi"),
+        sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+        max("max_key").as("max_key"), sum("cents").as("cents"))
+      .filter(col("nf") === 2)
+    val removes = parts.join(bins.select("bin"), "bin")
+      .select(lit(version).as("version"), col("b_lo").cast("int").as("ordinal"),
+        lit("remove").as("op"), col("path"),
+        lit(null).cast(ArrayType(LongType)).as("buckets"),
+        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
+    val adds = bins.select(lit(version).as("version"),
+      (lit(1000) + col("lo")).cast("int").as("ordinal"), lit("add").as("op"),
+      concat(lit("opt-"), col("lo"), lit("-"), col("hi")).as("path"),
+      sequence(col("lo"), col("hi")).as("buckets"),
+      col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+      col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"))
+    removes.unionByName(adds)
+  }
+
+  /** Serialize action rows back to JSON log lines (field order matches
+    * [[logLines]]) — dl9 commits its OPTIMIZE by appending these to the
+    * log and re-reading through the same STRICT [[actions]] parse. */
+  def toLines(acts: DataFrame): DataFrame =
+    acts.select(to_json(struct(col("version"), col("ordinal"), col("op"), col("path"),
+      col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"))).as("line"))
 
   /** Checkpointed read: materialize the snapshot at `v0` (the Delta
     * checkpoint — a parquet rollup of the live set, so a reader at

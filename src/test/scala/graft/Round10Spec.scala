@@ -36,6 +36,37 @@ class Round10Spec extends SparkSpec {
     assert(rows.head._2 < 0.9 && rows.head._3 < 0.2)
   }
 
+  test("dl9: optimize preserves the row set, vacuum frees exactly the replaced+dead files, OCC fires") {
+    val rows = graft.queries.LakehouseQueries.all.find(_.name == "dl9_optimize_cycle").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def sec(s: String) = rows.filter(_._1 == s)
+
+    // (1) row-set preservation: the in-engine equality flag AND the raw signatures
+    val Some(eq) = sec("check").find(_._2 == "rowset_equal")
+    assert(eq._5 == 1L, "optimize must not change the replayed row set")
+    val pre = sec("check").find(_._2 == "rowset_pre").get
+    val post = sec("check").find(_._2 == "rowset_post").get
+    assert((pre._3, pre._4, pre._5) == (post._3, post._4, post._5))
+    assert(pre._3 > 0, "empty row set would make the equality vacuous")
+
+    // (2) vacuum = exactly {optimize inputs (replaced)} + {part-0/1/2 (dead history)}
+    val replaced = sec("vacuum").filter(_._5 == 1L).map(_._2).toSet
+    val optInputs = sec("txn").filter(_._2.startsWith("remove:")).map(_._2.stripPrefix("remove:")).toSet
+    assert(replaced == optInputs, s"replaced $replaced != optimize inputs $optInputs")
+    val historical = sec("vacuum").filter(_._5 == 0L).map(_._2).toSet
+    assert(historical == Set("part-0", "part-1", "part-2"))
+
+    // (3) the compacted adds conserve the removed rows/cents exactly
+    val addRows = sec("txn").filter(_._2.startsWith("add:")).map(_._3).sum
+    val remRows = sec("txn").filter(_._2.startsWith("remove:")).map(_._3).sum
+    assert(addRows == remRows && addRows > 0)
+
+    // (4) OCC: overlapping recluster conflicts, blind append does not
+    assert(sec("occ").find(_._2 == "optimize_vs_recluster").get._5 == 1L)
+    assert(sec("occ").find(_._2 == "optimize_vs_blind_append").get._5 == 0L)
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
