@@ -170,5 +170,75 @@ object GovernanceQueries extends QuerySet {
         .orderBy("released_key")
     })
 
-  def all: Seq[Q] = Seq(gov1K, gov2L, gov3Ladder, gov4Release)
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007) — completes the
+    * governance trio: a k-anonymous, l-diverse group can still leak by
+    * SKEW (all its orders urgent when the corpus is uniform). Per gov1
+    * QI group, the Earth Mover's Distance between the group's
+    * sensitive-attribute distribution (order priority — naturally
+    * ordered, 1-URGENT … 5-LOW) and the GLOBAL distribution, with the
+    * ordered-metric EMD = (1/(m-1)) · Σ_{i<m} |cumP_i − cumQ_i|.
+    *
+    * Exact integer algebra throughout (the ts3 discipline): with group
+    * counts c_j (size n) and global counts g_j (size N),
+    * |cumP_i − cumQ_i| = |cumC_i·N − cumG_i·n| / (n·N), so
+    * emd_numer = Σ_i |cumC_i·N − cumG_i·n| is an exact BIGINT,
+    * emd = numer / (4·n·N) is ONE division (bit-exact double), and the
+    * t = 0.2 gate is the EXACT integer comparison 5·numer ≤ 4·n·N — no
+    * float ever decides the flag. One shuffle on the QI key (priorities
+    * pivot into 5 conditional sums, no second aggregate); the global
+    * distribution is summed FROM the groups and broadcast. */
+  val gov5T = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cSql = prios.zipWithIndex.map { case (p, i) =>
+      s"CAST(count(*) FILTER (o.o_orderpriority = '$p') AS BIGINT) AS c${i + 1}"
+    }.mkString(", ")
+    def cum(pfx: String, i: Int) = (1 to i).map(j => s"$pfx$j").mkString(" + ")
+    val numerSql = (1 to 4)
+      .map(i => s"abs((${cum("c", i)}) * nn - (${cum("g", i)}) * n)").mkString(" + ")
+    Q("gov5_t_closeness",
+      Some(s"""WITH grp AS (
+                SELECT c.c_nationkey, c.c_mktsegment,
+                  CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                  CAST(count(*) AS BIGINT) AS n, $cSql
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2, 3),
+              gtot AS (
+                SELECT CAST(sum(n) AS BIGINT) AS nn,
+                  ${(1 to 5).map(i => s"CAST(sum(c$i) AS BIGINT) AS g$i").mkString(", ")}
+                FROM grp)
+              SELECT c_nationkey, c_mktsegment, bal_bucket, n,
+                $numerSql AS emd_numer,
+                CAST($numerSql AS DOUBLE) / CAST(4 * n * nn AS DOUBLE) AS emd,
+                CASE WHEN 5 * ($numerSql) <= 4 * n * nn THEN 1 ELSE 0 END AS t_close
+              FROM grp CROSS JOIN gtot
+              ORDER BY c_nationkey, c_mktsegment, bal_bucket"""),
+      (s, d) => {
+        val cCols = prios.zipWithIndex.map { case (p, i) =>
+          sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"c${i + 1}")
+        }
+        // grp feeds its own output rows AND the global rollup - materialize
+        // the (small, group-count-sized) frame once
+        val grp = customer(s, d)
+          .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+          .agg(count(lit(1)).as("n"), cCols: _*)
+          .localCheckpoint()
+        val gCols = sum("n").as("nn") +: (1 to 5).map(i => sum(s"c$i").as(s"g$i"))
+        val glob = grp.agg(gCols.head, gCols.tail: _*)
+        def cumC(i: Int): org.apache.spark.sql.Column =
+          (1 to i).map(j => col(s"c$j")).reduce(_ + _)
+        def cumG(i: Int): org.apache.spark.sql.Column =
+          (1 to i).map(j => col(s"g$j")).reduce(_ + _)
+        val numer = (1 to 4).map(i => abs(cumC(i) * col("nn") - cumG(i) * col("n"))).reduce(_ + _)
+        grp.crossJoin(broadcast(glob))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"), col("n"),
+            numer.as("emd_numer"),
+            (numer.cast("double") / (lit(4L) * col("n") * col("nn")).cast("double")).as("emd"),
+            when(lit(5L) * numer <= lit(4L) * col("n") * col("nn"), 1).otherwise(0).as("t_close"))
+          .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      })
+  }
+
+  def all: Seq[Q] = Seq(gov1K, gov2L, gov3Ladder, gov4Release, gov5T)
 }

@@ -67,6 +67,27 @@ class Round10Spec extends SparkSpec {
     assert(sec("occ").find(_._2 == "optimize_vs_blind_append").get._5 == 0L)
   }
 
+  test("gov5: t-closeness EMD is in [0,1], both flag outcomes occur, flag is the exact-integer gate") {
+    val rows = graft.queries.GovernanceQueries.all.find(_.name == "gov5_t_closeness").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6))) // n, numer, emd, t_close
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, numer, emd, _) =>
+      assert(emd >= 0.0 && emd <= 1.0, s"ordered-metric EMD must be in [0,1], got $emd")
+      assert(n > 0 && numer >= 0)
+    }
+    // the flag never disagrees with the raw numerator (exact integer gate,
+    // re-derived here from numer and the reconstructed denominator)
+    val totalN = rows.map(_._1).sum
+    rows.foreach { case (n, numer, emd, f) =>
+      val denom = 4L * n * totalN
+      assert((5L * numer <= denom) == (f == 1), s"flag/integer-gate mismatch at n=$n")
+      assert(math.abs(emd - numer.toDouble / denom) == 0.0, "emd must be the one exact division")
+    }
+    assert(rows.exists(_._4 == 0) && rows.exists(_._4 == 1),
+      "fixture must exercise both t-closeness outcomes")
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
