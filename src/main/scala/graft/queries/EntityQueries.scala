@@ -242,6 +242,74 @@ object EntityQueries extends QuerySet {
         .orderBy("tok")
     })
 
+  /** er5's over-merge mitigation — the RELEASED correction map: same raw
+    * closure + frequency-weighted election as er5, but a member becomes a
+    * released correction only under two per-entry guards (the production
+    * practice er5's caveat pointed at — Norvig-corrector edit bound +
+    * SymSpell frequency dominance): (1) byte-Levenshtein to the elected
+    * canonical ≤ 1 (closure CHAINS distance-1 links, so chained members
+    * sit ≥ 2 edits from the canonical — the jones–janes–james bridge),
+    * and (2) the canonical must dominate 4× in corpus frequency (two
+    * REAL names one edit apart — william/williams — have comparable
+    * counts, so neither "corrects" the other). Both the raw and the
+    * released flags ride the output: the caveat stays VISIBLE in the raw
+    * column and OUT of the released map. er5 is kept unchanged as the
+    * documented raw variant. */
+  val er5bGuarded = Q("er5b_guarded_map",
+    Some(s"""WITH RECURSIVE ${EntityResolution.recordsSql},
+            toks AS (SELECT unnest(string_split(rec, ' ')) AS tok FROM recs),
+            occ AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+                    WHERE tok <> '' GROUP BY tok),
+            v AS (SELECT tok FROM occ),
+            $lev1PairsSql,
+            ${OracleSql.closureCtes},
+            final AS (
+              SELECT v.tok, coalesce(l.cluster_id, v.tok) AS cluster_id
+              FROM v LEFT JOIN labels l ON l.id = v.tok),
+            canon AS (
+              SELECT cluster_id, tok AS canonical FROM (
+                SELECT f.cluster_id, f.tok,
+                  row_number() OVER (PARTITION BY f.cluster_id
+                    ORDER BY o.n DESC, f.tok) AS rk
+                FROM final f JOIN occ o ON o.tok = f.tok)
+              WHERE rk = 1)
+            SELECT f.tok AS tok, c.canonical, o.n AS n_occurrences,
+              CAST(levenshtein(f.tok, c.canonical) AS BIGINT) AS dist_to_canonical,
+              CASE WHEN f.tok <> c.canonical THEN 1 ELSE 0 END AS raw_correction,
+              CASE WHEN f.tok <> c.canonical AND levenshtein(f.tok, c.canonical) <= 1
+                    AND oc.n >= 4 * o.n THEN 1 ELSE 0 END AS released_correction,
+              CASE WHEN f.tok <> c.canonical AND levenshtein(f.tok, c.canonical) <= 1
+                    AND oc.n >= 4 * o.n THEN c.canonical ELSE f.tok END AS released_target
+            FROM final f
+            JOIN canon c ON c.cluster_id = f.cluster_id
+            JOIN occ o ON o.tok = f.tok
+            JOIN occ oc ON oc.tok = c.canonical
+            ORDER BY f.tok"""),
+    (s, d) => {
+      GraftFunctions.register(s)
+      val recs = EntityResolution.records(documents(s, d))
+      val occ = recs.select(explode(split(col("rec"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds vocab, election, member counts, canonical counts
+      val fin = tokenClusters(occ.select("tok"))
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("n").desc, col("tok"))
+      val canon = fin.join(occ, "tok")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("tok").as("canonical"))
+      val dist = EntityResolution.levBytes(col("tok"), col("canonical"))
+      val guarded = col("tok") =!= col("canonical") && dist <= 1 &&
+        col("can_n") >= lit(4L) * col("n")
+      fin.join(canon, "cluster_id").join(occ, "tok")
+        .join(occ.select(col("tok").as("canonical"), col("n").as("can_n")), "canonical")
+        .select(col("tok"), col("canonical"), col("n").as("n_occurrences"),
+          dist.as("dist_to_canonical"),
+          when(col("tok") =!= col("canonical"), 1).otherwise(0).as("raw_correction"),
+          when(guarded, 1).otherwise(0).as("released_correction"),
+          when(guarded, col("canonical")).otherwise(col("tok")).as("released_target"))
+        .orderBy("tok")
+    })
+
   /** Skew drill for the fuzzy join (the d20 convention): the vocabulary
     * gains a planted HUB cluster — 3-char tokens 'aa'+letter whose only
     * shared deletion variant 'aa' collects df = |cluster| — and the join
@@ -335,6 +403,6 @@ object EntityQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
-  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon, er6Skew,
-    er7Unicode)
+  def all: Seq[Q] = Seq(er1Symspell, er2Linkage, er3Clusters, er4Fs, er5Canon, er5bGuarded,
+    er6Skew, er7Unicode)
 }

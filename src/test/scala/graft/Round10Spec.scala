@@ -88,6 +88,35 @@ class Round10Spec extends SparkSpec {
       "fixture must exercise both t-closeness outcomes")
   }
 
+  test("er5b: released map never corrects a real pool name; raw map does (the documented over-merge)") {
+    import graft.ops.EntityResolution.{firsts, lasts}
+    val pool = (firsts ++ lasts).toSet
+    val rows = graft.queries.EntityQueries.all.find(_.name == "er5b_guarded_map").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getString(6)))
+    assert(rows.nonEmpty)
+    // the er5 caveat is VISIBLE in the raw column: closure chains at least
+    // one genuine pool name into another cluster
+    val rawPoolVictims = rows.filter(r => pool(r._1) && r._5 == 1)
+    assert(rawPoolVictims.nonEmpty, "fixture must exhibit the raw over-merge or er5b is vacuous")
+    // ...and ABSENT from the released map: no real name is ever "corrected"
+    rawPoolVictims.foreach { r =>
+      assert(r._6 == 0 && r._7 == r._1,
+        s"real name ${r._1} must survive the guards (raw canonical ${r._2})")
+    }
+    // every released correction satisfies both guards
+    val byTok = rows.map(r => r._1 -> r._3).toMap
+    rows.filter(_._6 == 1).foreach { r =>
+      assert(r._4 <= 1, s"released correction ${r._1} sits ${r._4} edits from ${r._2}")
+      assert(byTok(r._2) >= 4 * r._3, s"released correction ${r._1} lacks 4x dominance")
+      assert(r._7 == r._2)
+    }
+    // the guards keep the map useful: most raw corrections survive
+    val raw = rows.count(_._5 == 1)
+    val released = rows.count(_._6 == 1)
+    assert(released * 2 > raw, s"guards too strict: $released of $raw corrections survive")
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
