@@ -265,5 +265,60 @@ object TimeSeriesQueries extends QuerySet {
         .orderBy("user_id")
     })
 
-  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr)
+  /** Holt double-exponential smoothing (level + trend) — the ts family's
+    * next rung after ts2's bit-exact EWMA: per user over the
+    * (ts, event_id)-ordered value series, the classic Holt recursion
+    * with α = β = 1/2 and the textbook init l₁ = x₁, b₁ = x₂ − x₁:
+    *   l' = (x + (l + b)) / 2,   b' = ((l' − l) + b) / 2
+    * plus the 3-step-ahead forecast l + 3·b. BIT-EXACT cross-engine:
+    * the Spark side folds a STRUCT accumulator through `aggregate()`
+    * over x₂..xₙ; the oracle replays the SAME fixed-order recursion as
+    * a recursive CTE stepping t → t+1 — identical parenthesization, and
+    * every α/β application is a divide-by-2 (pure exponent shift, no
+    * rounding), so the raw doubles hash-match with no rounding anywhere.
+    * Scale shape: one groupBy(user) collect of each user's own series
+    * (per-key bounded, the ts2/w4 shape), then a map-only fold. Users
+    * with a single event carry no trend and are filtered (n ≥ 2). */
+  val ts6Holt = Q("ts6_holt_winters",
+    Some("""WITH RECURSIVE ev AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE) AS cents
+              FROM events),
+            srt AS (
+              SELECT user_id, list(cents ORDER BY ts_us, event_id) AS vs,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM ev GROUP BY user_id HAVING count(*) >= 2),
+            hw(user_id, t, n_events, vs, l, b) AS (
+              SELECT user_id, 1, n_events, vs,
+                CAST(vs[1] AS DOUBLE), CAST(vs[2] - vs[1] AS DOUBLE)
+              FROM srt
+              UNION ALL
+              SELECT user_id, t + 1, n_events, vs,
+                (vs[t + 1] + (l + b)) / 2,
+                (((vs[t + 1] + (l + b)) / 2 - l) + b) / 2
+              FROM hw WHERE t < n_events)
+            SELECT user_id, n_events, l AS level, b AS trend,
+              l + 3 * b AS forecast_3
+            FROM hw WHERE t = n_events ORDER BY user_id"""),
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("double").as("cents")).as("e"))
+      ev.groupBy("user_id").agg(sort_array(collect_list(col("e"))).as("es"),
+          count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= 2)
+        .withColumn("vs", expr("transform(es, x -> x.cents)"))
+        .withColumn("st", expr(
+          """aggregate(slice(vs, 2, size(vs) - 1),
+               named_struct('l', CAST(vs[0] AS DOUBLE), 'b', CAST(vs[1] - vs[0] AS DOUBLE)),
+               (acc, x) -> named_struct(
+                 'l', (x + (acc.l + acc.b)) / 2,
+                 'b', (((x + (acc.l + acc.b)) / 2 - acc.l) + acc.b) / 2))"""))
+        .select(col("user_id"), col("n_events"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          expr("st.l + 3 * st.b").as("forecast_3"))
+        .orderBy("user_id")
+    })
+
+  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr, ts6Holt)
 }

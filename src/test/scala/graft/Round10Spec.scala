@@ -117,6 +117,35 @@ class Round10Spec extends SparkSpec {
     assert(released * 2 > raw, s"guards too strict: $released of $raw corrections survive")
   }
 
+  test("ts6: the HOF fold is bit-identical to a plain-Scala Holt recursion") {
+    val got = graft.queries.TimeSeriesQueries.all.find(_.name == "ts6_holt_winters").get
+      .fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // independent series reconstruction straight from the events table
+    val series = graft.tables.TestTables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(series.exists(_._2.size >= 3), "need a multi-event user for a non-trivial fold")
+    series.filter(_._2.size >= 2).foreach { case (u, vs) =>
+      var l = vs(0)
+      var b = vs(1) - vs(0)
+      vs.drop(1).foreach { x =>
+        val l2 = (x + (l + b)) / 2
+        b = ((l2 - l) + b) / 2
+        l = l2
+      }
+      val (n, gl, gb, gf) = got(u)
+      assert(n == vs.size)
+      assert(gl == l && gb == b, s"user $u: ($gl,$gb) != ($l,$b) bit-exactly")
+      assert(gf == l + 3 * b)
+    }
+    // single-event users are filtered, not emitted with a fabricated trend
+    series.filter(_._2.size < 2).keys.foreach(u => assert(!got.contains(u)))
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
