@@ -85,6 +85,10 @@ object Zip {
     * method, inflate failure, size or CRC mismatch. */
   def extract(bytes: Array[Byte], entry: Entry): Option[Array[Byte]] = {
     if ((entry.flags & 0x1) != 0) return None // encrypted
+    // hostile direct-constructed Entry (same threat model as the localOff
+    // guard below): a negative size would pass the Long bounds check via a
+    // negative sum and reach copyOfRange/Inflater with a negative span
+    if (entry.compSize < 0 || entry.uncompSize < 0) return None
     val lo = entry.localOff
     if (lo < 0 || lo.toLong + 30 > bytes.length) return None
     val nameLen = u16(bytes, lo + 26)

@@ -55,10 +55,14 @@ object FeatureStoreQueries extends QuerySet {
 
   /** Leakage-free training matrix: for every click label, features from
     * the user's STRICTLY-PRIOR activity — event count, money total,
-    * recency, prior views. One window over (user, ts, event_id) with a
-    * ROWS …-1 frame; the label rows are then filtered out of the same
-    * pass (features for non-label rows cost nothing extra — the window
-    * computes once per event). */
+    * recency, prior views. One window over (user, ts) with a RANGE
+    * …-1 frame: strictness is TIME-based (ts_us < current), so a
+    * same-instant event never counts as "prior" even under timestamp
+    * ties — row-position strictness (ROWS … 1 PRECEDING) would leak a
+    * tied event that happens to sort earlier by id (ADVICE r9; the
+    * Round10 spec plants exactly that tie). The label rows are then
+    * filtered out of the same pass (features for non-label rows cost
+    * nothing extra — the window computes once per event). */
   val fs2Matrix = Q("fs2_training_matrix",
     Some("""WITH ev AS (
               SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
@@ -70,8 +74,8 @@ object FeatureStoreQueries extends QuerySet {
                 CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS cents_prior,
                 max(ts_us) OVER w AS last_ts,
                 CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w, 0) AS BIGINT) AS n_prior_views
-              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
             SELECT event_id, user_id, ts_us, n_prior, cents_prior,
               coalesce(ts_us - last_ts, -1) AS us_since_last, n_prior_views
             FROM f WHERE event_type = 'click' ORDER BY event_id"""),
@@ -79,8 +83,8 @@ object FeatureStoreQueries extends QuerySet {
       val ev = events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"),
         round(col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
       ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
           count(lit(1)).over(w).as("n_prior"),
           coalesce(sum(col("cents")).over(w), lit(0L)).as("cents_prior"),
@@ -95,19 +99,21 @@ object FeatureStoreQueries extends QuerySet {
         .orderBy("event_id")
     })
 
-  /** Leakage audit: run the SAME feature assembly strictly (frame ends
-    * at -1) and naively (frame includes the current row) and count
-    * labels whose newest contributing timestamp is ≥ the label's own —
-    * the naive variant leaks on every label, the strict one never does
-    * (ties are impossible by the (ts, event_id) total order). This is
-    * the audit to run over any externally-supplied feature matrix. */
+  /** Leakage audit: run the SAME feature assembly strictly (RANGE frame
+    * ending at ts_us − 1, fs2's time-based strictness — a same-instant
+    * event is NEVER prior, so zero leaks holds even under timestamp
+    * ties, not just on tie-free fixtures) and naively (ROWS frame
+    * including the current row) and count labels whose newest
+    * contributing timestamp is ≥ the label's own — the naive variant
+    * leaks on every label, the strict one never does. This is the audit
+    * to run over any externally-supplied feature matrix. */
   val fs3Audit = Q("fs3_leakage_audit",
     Some("""WITH ev AS (
               SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
             f AS (
               SELECT event_type, ts_us,
-                max(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_ts,
+                max(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_ts,
                 max(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS naive_ts
               FROM ev),
@@ -124,10 +130,11 @@ object FeatureStoreQueries extends QuerySet {
     (s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
+      val ordTs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val labels = ev
         .select(col("event_type"), col("ts_us"),
-          max(col("ts_us")).over(ord.rowsBetween(Window.unboundedPreceding, -1)).as("strict_ts"),
+          max(col("ts_us")).over(ordTs.rangeBetween(Window.unboundedPreceding, -1)).as("strict_ts"),
           max(col("ts_us")).over(ord.rowsBetween(Window.unboundedPreceding, 0)).as("naive_ts"))
         .filter(col("event_type") === "click")
       val strict = labels.agg(count(lit(1)).as("n_labels"),

@@ -146,6 +146,39 @@ class Round10Spec extends SparkSpec {
     series.filter(_._2.size < 2).keys.foreach(u => assert(!got.contains(u)))
   }
 
+  test("fs2/fs3 strictness is time-based: a same-instant event is never 'prior' (ADVICE r9)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // planted timestamp tie: events e1 (view) and e2 (click) share ts=100
+    val ev = Seq((1L, 0L, "view", 50L, 10L), (1L, 1L, "view", 100L, 20L),
+      (1L, 2L, "click", 100L, 30L)).toDF("user_id", "event_id", "event_type", "ts_us", "cents")
+    val strict = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val rowsStrict = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = ev.select(col("event_id"), col("event_type"),
+        count(lit(1)).over(strict).as("n_prior_range"),
+        max(col("ts_us")).over(strict).as("last_ts_range"),
+        count(lit(1)).over(rowsStrict).as("n_prior_rows"))
+      .filter(col("event_type") === "click").collect().head
+    // RANGE (the fs2/fs3 definition): only the ts=50 event is prior
+    assert(got.getLong(2) == 1L && got.getLong(3) == 50L)
+    // the row-based frame WOULD have leaked the tied same-instant view
+    assert(got.getLong(4) == 2L,
+      "tie no longer distinguishes the frames - plant a real tie or the test is vacuous")
+  }
+
+  test("zip: hostile negative compSize/uncompSize quarantines, never a negative-span copy (ADVICE r9)") {
+    import graft.ops.Zip
+    val bytes = Array.fill[Byte](4096)(0)
+    val e = Zip.Entry("evil", method = 0, flags = 0, crc = 0L,
+      compSize = -100, uncompSize = -100, localOff = 0)
+    assert(Zip.extract(bytes, e).isEmpty)
+    assert(Zip.extract(bytes, e.copy(compSize = 10)).isEmpty, "negative uncompSize alone")
+    assert(Zip.extract(bytes, e.copy(uncompSize = 10)).isEmpty, "negative compSize alone")
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist

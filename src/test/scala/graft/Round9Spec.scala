@@ -476,8 +476,14 @@ class DeltaStreamSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_dlstream").toString
     val landing = s"$base/landing"; val ckpt = s"$base/ckpt"
     val acts = graft.ops.DeltaLog.actions(log).localCheckpoint()
+    // ONE file per wave (ADVICE r9): fileIngest caps maxFilesPerTrigger at
+    // 16, so a multi-part wave could split across micro-batches — the first
+    // batch would advance stateV to the wave's max version and the wave's
+    // remainder would then trip foldSnapshot's stale-action guard. A
+    // version's commit is atomic in a real log; coalesce(1) models that.
     def wave(v: Int) = acts.filter(col("version") === v)
       .select(to_json(struct(acts.columns.map(col): _*)).as("line"))
+      .coalesce(1)
 
     @volatile var state = spark.emptyDataFrame
     @volatile var stateV = -1
