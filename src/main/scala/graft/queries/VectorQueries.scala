@@ -1237,6 +1237,75 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** Trained-IVF end-to-end — the production ANN build loop faiss runs
+    * (train a quantizer on the corpus, THEN build the index with it),
+    * closing the loop between the d9c Lloyd trainer and the v4b/v4c
+    * stored layout: 2 DECIMAL-exact Lloyd iterations from the seeded
+    * init → corpus assigned to the TRAINED centroid table (broadcast
+    * min_by argmin, map-side combined) → index written
+    * `partitionBy(cell)` → the query row ranks the trained cells,
+    * carries its top-2 as a probe array, and the pruned multi-probe
+    * read lists 2 of the k directories. The oracle unrolls BOTH Lloyd
+    * iterations (the d9c chain), re-derives the final assignment, the
+    * query's probe ranking, and the top-5 — so training, build and
+    * probe are all hash-gated as one contract. Scale: each Lloyd round
+    * is one assignment pass + one (cell,pos) aggregate; centroids
+    * (k·d rows) broadcast; the stored read is partition-pruned. */
+  val v12TrainedIvf: Q = {
+    val dim = 64
+    val iters = 2
+    val distSql = s"""list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> (e[i] - centroid[i]) * (e[i] - centroid[i])))"""
+    val chain = (1 to iters).map { it =>
+      s"""el$it AS (SELECT cell, i, e[i] AS x FROM a${it - 1}, range(1, ${dim + 1}) t(i)),
+              cent$it AS (SELECT cell, i,
+                  round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+                FROM el$it GROUP BY cell, i),
+              cl$it AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cent$it GROUP BY cell),
+              dd$it AS (SELECT vec_id, e, cl$it.cell AS cell, $distSql AS d2
+                FROM e CROSS JOIN cl$it),
+              a$it AS (SELECT vec_id, e, cell FROM (
+                  SELECT vec_id, e, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dd$it) t WHERE rn = 1)"""
+    }.mkString(",\n              ")
+    Q("v12_trained_ivf",
+      Some(s"""${SemDedup.assignCtes},
+              $chain,
+              q AS (SELECT e AS qv FROM e WHERE vec_id = 0),
+              qd AS (SELECT cl$iters.cell AS cell,
+                  list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> (qv[i] - centroid[i]) * (qv[i] - centroid[i]))) AS d2
+                FROM cl$iters CROSS JOIN q),
+              qp AS (SELECT cell FROM (
+                  SELECT cell, row_number() OVER (ORDER BY d2, cell) AS rn FROM qd)
+                WHERE rn <= 2)
+              SELECT a.vec_id, round(list_dot_product(a.e, qv), 6) AS score
+              FROM a$iters a JOIN qp ON a.cell = qp.cell CROSS JOIN q
+              ORDER BY score DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = graft.ops.Cluster.lloyd(emb, "embedding", "vec_id",
+          SemDedup.init, iterations = iters) // (cell, centroid), checkpointed inside
+        val assigned = graft.ops.Cluster.assign(emb, "embedding", "vec_id", cents)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_tivf_index_${Integer.toHexString(d.hashCode)}"
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val d2q = aggregate(
+          zip_with(col("qv"), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x)
+        val probes = qv.crossJoin(broadcast(cents))
+          .select(struct(d2q.as("d2"), col("cell").as("cell")).as("sc"))
+          .agg(transform(slice(sort_array(collect_list(col("sc"))), 1, 2),
+            x => x.getField("cell")).as("probes"))
+        val qrow = qv.crossJoin(broadcast(probes))
+        Search.readPrunedProbes(s, out, qrow, probesCol = "probes", bucketCol = "cell")
+          .select(col("vec_id"),
+            round(Embed.dot(col("embedding"), transform(col("qv"), x => x.cast("double"))), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+      })
+  }
+
   /** 100 TB distinct-count path: HLL sketch (approx_count_distinct).
     * Engine sketches differ, so no cross-engine oracle — the driver's
     * rows-only check applies; exactness is asserted in ScalaTest against
@@ -3746,7 +3815,7 @@ object VectorQueries extends QuerySet {
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, v10bNprobeCurve,
-    v4cIvfMultiprobePruned, m9WavPcm,
+    v4cIvfMultiprobePruned, v12TrainedIvf, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,
