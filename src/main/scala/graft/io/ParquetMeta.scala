@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet footer introspection — row-group / column-chunk metadata as a
+  * DataFrame (what `parquet-tools meta` prints, and what a lakehouse
+  * stats layer ingests to build the dl3-style file-skipping index when
+  * the table has no transaction log yet: scan footers once, persist the
+  * min/max/null ledger, prune forever after).
+  *
+  * Reads through the PUBLIC parquet-hadoop API (`ParquetFileReader` —
+  * the jars ship with Spark); cross-checked against DuckDB's independent
+  * `parquet_metadata()` reader in the pq1 gate.
+  *
+  * Scale shape: footers are KB-sized regardless of file size, and the
+  * work is one footer read per FILE — so the paths are distributed as a
+  * Dataset and each executor opens only its own files (the Delta stats
+  * collection shape). No row data is ever read.
+  */
+object ParquetMeta {
+
+  case class ChunkMeta(file: String, row_group_id: Int, n_rows: Long, col_path: String,
+                       num_values: Long, null_count: Long, compressed: Long, uncompressed: Long)
+
+  /** List the .parquet part files under a directory (non-recursive). */
+  def partFiles(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    val fs = if (f.isFile) Array(f) else f.listFiles()
+    Option(fs).getOrElse(Array.empty)
+      .filter(p => p.isFile && p.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** Footer metadata for every column chunk of every row group of the
+    * given files, computed ON THE EXECUTORS (one task can own many
+    * files; only footer-sized rows come back). */
+  def footerMeta(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    paths.toDS().flatMap { p =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val name = new java.io.File(p).getName
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, rg) =>
+          block.getColumns.asScala.toSeq.map { c =>
+            ChunkMeta(name, rg, block.getRowCount, c.getPath.toDotString,
+              c.getValueCount,
+              Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L),
+              c.getTotalSize, c.getTotalUncompressedSize)
+          }
+        }
+      } finally reader.close()
+    }.toDF()
+  }
+}

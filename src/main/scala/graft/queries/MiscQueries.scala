@@ -1186,6 +1186,48 @@ object MiscQueries extends QuerySet {
       })
   }
 
+  /** Parquet footer introspection (`io.ParquetMeta`): row-group /
+    * column-chunk metadata of a written parquet file — what
+    * `parquet-tools meta` prints and what a stats-layer bootstrap scans
+    * (dl3's skipping ledger for a log-less table). The fixture is
+    * SF-INVARIANT (pure range arithmetic, fixed tmp path — the s10/orc1
+    * convention) and written coalesce(1) with a 16 KiB block size so it
+    * genuinely spans multiple row groups; the oracle is DuckDB's OWN
+    * independent `parquet_metadata()` reader over the SAME file, so
+    * every row-group row count, per-chunk value/null count and
+    * compressed/uncompressed size is cross-validated between two
+    * unrelated footer parsers. */
+  val pq1Meta = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pqmeta_fixture"
+    Q("pq1_footer_meta",
+      Some(s"""SELECT CAST(row_group_id AS INT) AS row_group_id,
+              CAST(row_group_num_rows AS BIGINT) AS n_rows,
+              path_in_schema AS col_path,
+              CAST(num_values AS BIGINT) AS num_values,
+              CAST(coalesce(stats_null_count, -1) AS BIGINT) AS null_count,
+              CAST(total_compressed_size AS BIGINT) AS compressed,
+              CAST(total_uncompressed_size AS BIGINT) AS uncompressed
+            FROM parquet_metadata('$out/*.parquet')
+            ORDER BY row_group_id, col_path"""),
+      (s, d) => {
+        val src = s.range(0, 2000).select(
+          col("id").as("doc_id"),
+          ((col("id") * 7) % 100).cast("int").as("v"),
+          concat(lit("row-"), col("id").cast("string"), lit("-"),
+            expr("repeat('x', CAST(id % 37 AS INT))")).as("s"),
+          when(col("id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n"), col("id").cast("string"))).as("maybe"))
+        src.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", 16 * 1024)
+          .option("parquet.page.size", 4 * 1024)
+          .parquet(out)
+        graft.io.ParquetMeta.footerMeta(s, graft.io.ParquetMeta.partFiles(out))
+          .select(col("row_group_id"), col("n_rows"), col("col_path"),
+            col("num_values"), col("null_count"), col("compressed"), col("uncompressed"))
+          .orderBy("row_group_id", "col_path")
+      })
+  }
+
   /** Small-file compaction planning (the k-family's lakehouse op): pack
     * each table partition's files into ~128 MiB target bins by
     * NEXT-FIT-DECREASING — size-desc order, running fill, new bin on
@@ -2914,7 +2956,7 @@ object MiscQueries extends QuerySet {
   }
 
   def all: Seq[Q] = Seq(s3Routing, f1BlockType, f2Heading, f3Title, f6Scope, p3Thai, p4Band,
-    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, orc1Roundtrip, a16Unpivot, a17GroupingSets, u1Union3,
+    p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, orc1Roundtrip, pq1Meta, a16Unpivot, a17GroupingSets, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,

@@ -179,6 +179,21 @@ class Round10Spec extends SparkSpec {
     assert(Zip.extract(bytes, e.copy(uncompSize = 10)).isEmpty, "negative compSize alone")
   }
 
+  test("pq1: footer meta spans multiple row groups and conserves rows/values/nulls") {
+    val rows = graft.queries.MiscQueries.all.find(_.name == "pq1_footer_meta").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val rgs = rows.map(_._1).distinct
+    assert(rgs.length > 1, "fixture must span multiple row groups or the gate is single-group-trivial")
+    // per row group: every column chunk carries the group's row count as its value count
+    rows.foreach { case (_, n, _, values, _) => assert(values == n) }
+    // conservation: groups partition the 2000 fixture rows; nulls = the id%5 fifth
+    val perGroup = rows.groupBy(_._1).view.mapValues(_.head._2)
+    assert(perGroup.values.sum == 2000L)
+    assert(rows.filter(_._3 == "maybe").map(_._5).sum == 400L)
+    assert(rows.filter(_._3 != "maybe").forall(_._5 == 0L))
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
