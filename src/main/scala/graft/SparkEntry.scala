@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val querySets: Seq[QuerySet] =
     Seq(Relational, WindowQueries, TextQueries, VectorQueries, StreamingQueries,
-      TableQueries, MiscQueries, PdfQueries, EntityQueries, LakehouseQueries, TimeSeriesQueries, GovernanceQueries, FeatureStoreQueries)
+      TableQueries, MiscQueries, PdfQueries, EntityQueries, LakehouseQueries, TimeSeriesQueries, GovernanceQueries, FeatureStoreQueries,
+      ConversationQueries)
 
   private lazy val catalog: Seq[Q] = querySets.flatMap(_.all)
 

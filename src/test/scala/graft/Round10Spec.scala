@@ -194,6 +194,32 @@ class Round10Spec extends SparkSpec {
     assert(rows.filter(_._3 != "maybe").forall(_._5 == 0L))
   }
 
+  test("cv family: render/validate/pack invariants hold and both validation branches fire") {
+    def run(n: String) = graft.queries.ConversationQueries.all.find(_.name == n).get.fn(spark, sf)
+    val rendered = run("cv1_chat_render").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    rendered.foreach { case (_, nTurns, text) =>
+      assert(text.sliding(7).count(_ == "<|end|>") == nTurns,
+        "rendered template must carry exactly one end marker per turn")
+      assert(text.startsWith("<|"))
+    }
+    val validated = run("cv2_role_validation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(validated.exists(_._4 == 1) && validated.exists(_._4 == 0),
+      "both validation outcomes must occur")
+    validated.filter(_._1 % 7 == 0).foreach { case (c, _, v, wf) =>
+      assert(v == 0 && wf == 1, s"planted alternating conversation $c must validate")
+    }
+    val packed = run("cv3_context_pack").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    packed.foreach { case (n, kept, keptTok, dropped) =>
+      assert(kept + dropped == n, "packing must partition the turns")
+      assert(keptTok <= 64, "kept tokens must fit the budget")
+    }
+    assert(packed.exists(_._4 > 0), "someone must actually be truncated")
+    assert(packed.exists(_._2 > 0), "someone must actually keep turns")
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
