@@ -240,6 +240,49 @@ object PdfQueries extends QuerySet {
     (s, d) => graft.ops.TableDetect.detectTables(tableFixture(s, d))
       .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
 
+  /** pdf13: the bbox-overlay DEBUG EXHIBIT (ref
+    * `scripts/visualize_result.py:28-73` draws block bboxes back onto the
+    * page for eyeballing — the last item on the round-9 missing list),
+    * engine-native: one SVG document per page, a `<rect>` per EXTRACTED
+    * block (origin + estimated 0.6·fs·len glyph box, y flipped into
+    * SVG's top-down frame), all coordinates in EXACT integer arithmetic
+    * so the string hash-gates cleanly. The oracle draws from the
+    * PREDICTED geometry (blocksCte) — an extraction error anywhere moves
+    * a rectangle and fails the hash. The SVG strings are genuinely
+    * viewable (paste into a browser). Map-side render + one ordered
+    * per-doc collect. */
+  val pdf13BboxOverlay = Q("pdf13_bbox_overlay",
+    Some(s"""$blocksCte,
+            r AS (
+              SELECT doc_id, block_idx,
+                CAST(round(x) AS BIGINT) AS rx,
+                CAST(round(792 - y - font_size - 2) AS BIGINT) AS ry,
+                (6 * CAST(round(font_size) AS BIGINT) * length(text)) // 10 AS rw,
+                CAST(round(font_size) AS BIGINT) + 2 AS rh
+              FROM b)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rects,
+              '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 612 792">' ||
+              string_agg('<rect x="' || rx || '" y="' || ry || '" width="' || rw
+                || '" height="' || rh || '" fill="none" stroke="red"/>', ''
+                ORDER BY block_idx) || '</svg>' AS svg
+            FROM r GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val rect = concat(lit("<rect x=\""), round(col("x")).cast("long"),
+        lit("\" y=\""), round(lit(792) - col("y") - col("font_size") - 2).cast("long"),
+        lit("\" width=\""),
+        expr("(6 * CAST(round(font_size) AS BIGINT) * length(text)) div 10"),
+        lit("\" height=\""), round(col("font_size")).cast("long") + 2,
+        lit("\" fill=\"none\" stroke=\"red\"/>"))
+      extracted(s, d)
+        .select(col("doc_id"), struct(col("block_idx"), rect.as("r")).as("br"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rects"),
+          concat(lit("<svg xmlns=\"http://www.w3.org/2000/svg\" viewBox=\"0 0 612 792\">"),
+            array_join(transform(array_sort(collect_list(col("br"))), x => x.getField("r")), ""),
+            lit("</svg>")).as("svg"))
+        .orderBy("doc_id")
+    })
+
   /** pdf7: the composed table pipeline the reference runs on every
     * upload — detect (real geometry) → rows (`tableRows`, the
     * row-content view its content hash uses) → J1 anti-join against an
@@ -628,5 +671,5 @@ object PdfQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(pdf2LayoutBlocks, pdf3ReadingOrder, pdf4HeadingBand, pdf5BlockMerge,
     pdf6TableDetect, pdf7TablePipeline, pdf8ImageExtract, pdf9ImageDedup,
-    pdf10LatticeDetect, pdf11LatticePriority, pdf12DctExtract)
+    pdf10LatticeDetect, pdf11LatticePriority, pdf12DctExtract, pdf13BboxOverlay)
 }
