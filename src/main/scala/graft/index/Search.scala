@@ -132,10 +132,9 @@ object Search {
     * probed partition directories (AnnPruneSpec pins the file counts). */
   def readPrunedProbes(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        queryRow: DataFrame, probesCol: String = "probes",
-                       bucketCol: String = "bucket"): DataFrame = {
-    val probes = queryRow.withColumn(bucketCol, explode(col(probesCol))).drop(probesCol)
-    spark.read.parquet(indexPath).join(broadcast(probes), Seq(bucketCol))
-  }
+                       bucketCol: String = "bucket"): DataFrame =
+    readPruned(spark, indexPath,
+      queryRow.withColumn(bucketCol, explode(col(probesCol))).drop(probesCol), bucketCol)
 
   /** Guarded cosine over pre-joined pair sides named (va, na) × (vb, nb) —
     * the ONE copy of the zero-norm rule shared by every blocked pair join

@@ -37,22 +37,27 @@ object ParquetMeta {
   def footerMeta(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    paths.toDS().flatMap { p =>
+    // one Hadoop Configuration per PARTITION, not per file: the default
+    // XML-resource parse is pure overhead repeated 10k+ times on a real
+    // file listing
+    paths.toDS().mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val name = new java.io.File(p).getName
-        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, rg) =>
-          block.getColumns.asScala.toSeq.map { c =>
-            ChunkMeta(name, rg, block.getRowCount, c.getPath.toDotString,
-              c.getValueCount,
-              Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L),
-              c.getTotalSize, c.getTotalUncompressedSize)
+      it.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val name = new java.io.File(p).getName
+          reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, rg) =>
+            block.getColumns.asScala.toSeq.map { c =>
+              ChunkMeta(name, rg, block.getRowCount, c.getPath.toDotString,
+                c.getValueCount,
+                Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L),
+                c.getTotalSize, c.getTotalUncompressedSize)
+            }
           }
-        }
-      } finally reader.close()
+        } finally reader.close()
+      }
     }.toDF()
   }
 }

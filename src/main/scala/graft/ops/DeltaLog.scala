@@ -125,7 +125,13 @@ object DeltaLog {
     * after is identical, which dl9 hash-gates via data-level signatures.
     * Log-sized work: the policy reads the live FILE LIST, never data. */
   def optimizeActions(live: DataFrame, version: Int): DataFrame = {
-    val parts = live.filter(col("path").startsWith("part-"))
+    // the pairing policy below is defined over SINGLE-bucket files (bin =
+    // bucket/2; the add's coverage = sequence(lo, hi)). Enforce that in
+    // the op, not by naming convention: a multi-bucket 'part-' file from
+    // some future writer must be left alone, or removing it while adding
+    // a 2-bucket replacement would silently drop its other buckets' rows
+    // from every later snapshot
+    val parts = live.filter(col("path").startsWith("part-") && size(col("buckets")) === 1)
       .withColumn("b_lo", element_at(col("buckets"), 1))
       .withColumn("bin", floor(col("b_lo") / 2))
     val bins = parts.groupBy("bin").agg(count(lit(1)).as("nf"),

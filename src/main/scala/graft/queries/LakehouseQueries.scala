@@ -340,7 +340,7 @@ object LakehouseQueries extends QuerySet {
   val dl9Optimize = Q("dl9_optimize_cycle",
     Some(s"""WITH ${DeltaLog.actionsSql},
             live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
-            parts AS (SELECT * FROM live3 WHERE path LIKE 'part-%'),
+            parts AS (SELECT * FROM live3 WHERE path LIKE 'part-%' AND b_lo = b_hi),
             bins AS (
               SELECT b_lo // 2 AS bin, count(*) AS nf, min(b_lo) AS lo, max(b_lo) AS hi,
                 CAST(sum(n_rows) AS BIGINT) AS n_rows, min(min_key) AS min_key,

@@ -1191,7 +1191,10 @@ object MiscQueries extends QuerySet {
     * `parquet-tools meta` prints and what a stats-layer bootstrap scans
     * (dl3's skipping ledger for a log-less table). The fixture is
     * SF-INVARIANT (pure range arithmetic, fixed tmp path — the s10/orc1
-    * convention) and written coalesce(1) with a 16 KiB block size so it
+    * overwrite-hazard convention: the oracle SQL must name the path as a
+    * literal, so a bench rerun at another SF rewrites IDENTICAL content;
+    * concurrent JVMs are excluded by the one-sbt-at-a-time repo
+    * discipline) and written coalesce(1) with a 16 KiB block size so it
     * genuinely spans multiple row groups; the oracle is DuckDB's OWN
     * independent `parquet_metadata()` reader over the SAME file, so
     * every row-group row count, per-chunk value/null count and

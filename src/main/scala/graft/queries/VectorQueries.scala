@@ -1025,7 +1025,10 @@ object VectorQueries extends QuerySet {
     * recall-vs-nprobe curve + the v4c probed stored read) — more cells than
     * the seed-7 four so the curve has room to climb before it degrades to
     * brute force at nprobe = #cells. */
-  private val ivfCentroids8: Seq[Seq[Double]] = {
+  // non-private: AnnPruneSpec pins the stored-layout file counts against
+  // THIS exact centroid set — a spec-local copy would keep passing against
+  // stale geometry if the seed/scale/cell-count were ever tuned here
+  val ivfCentroids8: Seq[Seq[Double]] = {
     val rng = new scala.util.Random(11)
     Seq.fill(8)(Seq.fill(64)(rng.nextGaussian() * 0.05))
   }

@@ -132,10 +132,9 @@ class AnnPruneSpec extends SparkSpec {
 
   test("multi-probe IVF pruned read lists exactly the nprobe probed cell directories") {
     val emb = graft.tables.TestTables.embeddings(spark, sf)
-    val centroids: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(11)
-      Seq.fill(8)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
-    }
+    // the SAME centroid set the v10b/v4c queries use - a spec-local copy
+    // would pin a stale layout if the query-side geometry were tuned
+    val centroids = graft.queries.VectorQueries.ivfCentroids8
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec_ivf8"
     Search.writePartitionedIndex(emb, Search.ivfCell(col("embedding"), centroids), out, bucketCol = "cell")
     val nprobe = 2
@@ -176,10 +175,7 @@ class AnnPruneSpec extends SparkSpec {
 
   test("ivfProbeCells: nearest-first prefix, head equals ivfCell, full width is all cells") {
     val emb = graft.tables.TestTables.embeddings(spark, sf).limit(50)
-    val centroids: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(11)
-      Seq.fill(8)(Seq.fill(dim)(rng.nextGaussian() * 0.05))
-    }
+    val centroids = graft.queries.VectorQueries.ivfCentroids8
     val rows = emb.select(
         Search.ivfCell(col("embedding"), centroids).as("cell"),
         Search.ivfProbeCells(col("embedding"), centroids, 3).as("p3"),
