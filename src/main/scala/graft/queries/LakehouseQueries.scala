@@ -470,6 +470,38 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Clustering-quality metric (the number Snowflake publishes as
+    * SYSTEM$CLUSTERING_INFORMATION's "depth", and what an operator reads
+    * before deciding to run dl9's OPTIMIZE or a k4 re-sort): for every
+    * LIVE file, how many live files' [min_key, max_key] intervals
+    * overlap it (self included — perfectly clustered = depth 1
+    * everywhere). Overlapping files are the ones a point lookup may
+    * have to open despite stats pruning, so depth is the direct cost
+    * model of clustering decay. The fixture live set carries a REAL
+    * overlap (append-0 re-adds bucket 3's key range over part-3), so
+    * depth 2 genuinely fires. Log-sized: the join runs on the file
+    * LIST; at millions of files it is the r1 interval-join shape, never
+    * touching data. */
+  val k6Clustering = Q("k6_clustering_depth",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            d AS (
+              SELECT a.path, a.min_key, a.max_key, CAST(count(*) AS BIGINT) AS depth
+              FROM live a JOIN live b
+                ON a.min_key <= b.max_key AND b.min_key <= a.max_key
+              GROUP BY 1, 2, 3)
+            SELECT path, min_key, max_key, depth FROM d ORDER BY path"""),
+    (s, d) => {
+      val live = DeltaLog.snapshot(DeltaLog.logLines(orders(s, d)))
+        .select(col("path"), col("min_key"), col("max_key")).localCheckpoint()
+      val b = live.select(col("min_key").as("b_min"), col("max_key").as("b_max"))
+      live.join(broadcast(b),
+          col("min_key") <= col("b_max") && col("b_min") <= col("max_key"))
+        .groupBy("path", "min_key", "max_key")
+        .agg(count(lit(1)).as("depth"))
+        .orderBy("path")
+    })
+
   /** SCD2 dimension build: each customer's order-priority history becomes
     * type-2 dimension rows — consecutive same-value changes compressed,
     * valid_from/valid_to from the change timestamps (9999-12-31 sentinel
@@ -600,5 +632,5 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -2352,6 +2352,62 @@ object MiscQueries extends QuerySet {
     * (sort-based) rather than the t-digest approximation so the oracle is
     * bit-checkable; outputs rounded at 6 dp to absorb the two engines'
     * algebraically-equal-but-differently-associated interpolation forms. */
+  /** ANALYZE-style table statistics in ONE pass — the per-column ledger
+    * a cost-based optimizer (and a lakehouse stats layer) ingests:
+    * row/null counts, exact NDV, min/max, and an equi-height histogram
+    * (p25/p50/p75, the a15 exact-percentile parity rule) for every
+    * profiled column, computed in a SINGLE aggregate over the table and
+    * then unpivoted into one row per column (never one scan per column —
+    * the difference between ANALYZE costing O(cols·N) and O(N)).
+    * `amount_ok` nulls out error events so the null path genuinely
+    * fires. */
+  val an1Analyze: Q = {
+    def statsSql(tag: String, e: String) =
+      s"""CAST(count($e) AS BIGINT) AS c_$tag,
+          CAST(count(DISTINCT $e) AS BIGINT) AS d_$tag,
+          round(min($e), 6) AS mn_$tag, round(max($e), 6) AS mx_$tag,
+          round(quantile_cont($e, 0.25), 6) AS q1_$tag,
+          round(quantile_cont($e, 0.5), 6) AS q2_$tag,
+          round(quantile_cont($e, 0.75), 6) AS q3_$tag"""
+    Q("an1_analyze_stats",
+      Some(s"""WITH src AS (
+                SELECT CAST(value AS DOUBLE) AS value,
+                  CASE WHEN event_type = 'error' THEN NULL ELSE CAST(value AS DOUBLE) END AS amount_ok,
+                  CAST(user_id AS DOUBLE) AS user_dbl
+                FROM events),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                ${Seq("value", "amount_ok", "user_dbl").map(c => statsSql(c, c)).mkString(",\n                ")}
+                FROM src)
+              ${Seq("value", "amount_ok", "user_dbl").map(c =>
+                s"""SELECT '$c' AS col_name, n AS n_rows, n - c_$c AS n_nulls, d_$c AS ndv,
+                    mn_$c AS min_v, mx_$c AS max_v, q1_$c AS p25, q2_$c AS p50, q3_$c AS p75
+                    FROM a""").mkString("\n              UNION ALL\n              ")}
+              ORDER BY col_name"""),
+      (s, d) => {
+        val names = Seq("value", "amount_ok", "user_dbl")
+        val src = events(s, d).select(
+          col("value").cast("double").as("value"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value").cast("double")).as("amount_ok"),
+          col("user_id").cast("double").as("user_dbl"))
+        val aggs = count(lit(1)).as("n") +: names.flatMap { c =>
+          Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+            round(min(col(c)), 6).as(s"mn_$c"), round(max(col(c)), 6).as(s"mx_$c"),
+            round(percentile(col(c), lit(0.25)), 6).as(s"q1_$c"),
+            round(percentile(col(c), lit(0.5)), 6).as(s"q2_$c"),
+            round(percentile(col(c), lit(0.75)), 6).as(s"q3_$c"))
+        }
+        val a = src.agg(aggs.head, aggs.tail: _*)
+        a.select(explode(array(names.map(c => struct(
+            lit(c).as("col_name"), col("n").as("n_rows"),
+            (col("n") - col(s"c_$c")).as("n_nulls"), col(s"d_$c").as("ndv"),
+            col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"),
+            col(s"q1_$c").as("p25"), col(s"q2_$c").as("p50"), col(s"q3_$c").as("p75"))): _*)).as("e"))
+          .select(col("e.*"))
+          .orderBy("col_name")
+      })
+  }
+
   val a15Percentiles: Q = Q("a15_percentiles",
     Some("""SELECT event_type,
               round(quantile_cont(value, 0.25), 6) AS p25,
@@ -2963,6 +3019,6 @@ object MiscQueries extends QuerySet {
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
     a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,
-    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, dom2Mixture,
+    c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, an1Analyze, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, x14cSampleBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }
