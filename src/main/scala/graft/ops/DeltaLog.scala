@@ -37,7 +37,12 @@ object DeltaLog {
     StructField("op", StringType), StructField("path", StringType),
     StructField("buckets", ArrayType(LongType)), StructField("n_rows", LongType),
     StructField("min_key", LongType), StructField("max_key", LongType),
-    StructField("cents", LongType)))
+    StructField("cents", LongType),
+    // deletion vector: 0-based row positions (within the file's
+    // o_orderkey order) masked out by an op='dv' action — the Delta
+    // DV / Iceberg position-delete shape: deletes without rewriting
+    // the file (dl10). Null on add/remove actions.
+    StructField("dv", ArrayType(LongType))))
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -111,7 +116,23 @@ object DeltaLog {
     * the log in-flight (dl9's OPTIMIZE) or hold a checkpointed parse. */
   def replay(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
     val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
-    lastWins(bounded).drop("op", "version", "ordinal")
+    // only FILE actions participate in the liveness race: a later
+    // non-file action on the same path (a dv mask, a future stats
+    // refresh) must never out-rank the add and drop the file
+    lastWins(bounded.filter(col("op").isin("add", "remove")))
+      .drop("op", "version", "ordinal")
+  }
+
+  /** The effective deletion vector per path as of `asOf`: the LATEST
+    * op='dv' action wins per path (a rewrite of the mask replaces it —
+    * the Delta DV semantics). Returns (path, dv). */
+  def deletionVectors(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
+    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    bounded.filter(col("op") === "dv")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("path"), col("dv"))
   }
 
   /** OPTIMIZE chosen BY the engine and written AS a real transaction —

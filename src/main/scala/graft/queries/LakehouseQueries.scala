@@ -470,6 +470,73 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Deletion vectors — row-level deletes WITHOUT rewriting files (the
+    * Delta DV / Iceberg position-delete capability, the modern
+    * lakehouse's answer to GDPR-grade point deletes at 100 TB): a
+    * version-4 `dv` action attaches a mask of 0-based row positions
+    * (within the file's o_orderkey order) to a live file; reads subtract
+    * the mask. Liveness is untouched — `replay` races only file actions,
+    * so the dv action never drops its file (the guard added with this
+    * query). Masks: every 7th-position row of part-5 (pos % 7 == 3) and
+    * the first 10 rows of compact-0-1, generated from each file's OWN
+    * row count (`sequence(0, n_rows-1)` + filter) and committed as real
+    * JSON actions through the strict parse. The oracle re-derives the
+    * same masks from its replayed row positions and subtracts them
+    * independently. One path-partitioned window assigns positions; one
+    * anti-join applies the mask — the read-side cost is position
+    * assignment, never a file rewrite. */
+  val dl10Dv = Q("dl10_deletion_vectors",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            rws AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live f JOIN orders o ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dv AS (
+              SELECT path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL
+              SELECT path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 10)
+            SELECT r.path,
+              CAST(count(*) AS BIGINT) AS n_physical,
+              CAST(sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+              CAST(sum(CASE WHEN d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+              CAST(sum(CASE WHEN d.pos IS NULL THEN r.cents ELSE 0 END) AS BIGINT) AS cents_live
+            FROM rws r LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos
+            GROUP BY r.path ORDER BY r.path"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val log = DeltaLog.logLines(ord)
+      // live3 (pre-DV stats) drives mask GENERATION; the masks then
+      // commit as real v4 JSON actions and are read back
+      val live0 = DeltaLog.snapshot(log).localCheckpoint()
+      def dvAct(path: String, ordinal: Int, mask: org.apache.spark.sql.Column) =
+        live0.filter(col("path") === path)
+          .select(to_json(struct(lit(4).as("version"), lit(ordinal).as("ordinal"),
+            lit("dv").as("op"), col("path"), mask.as("dv"))).as("line"))
+      val dvLines = dvAct("part-5", 0,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))
+        .unionByName(dvAct("compact-0-1", 1, sequence(lit(0L), lit(9L))))
+      val acts = DeltaLog.actions(log.unionByName(dvLines)).localCheckpoint()
+      val live = DeltaLog.replay(acts)
+      val dvs = DeltaLog.deletionVectors(acts)
+      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+      val rws = live.select(col("path"), explode(col("buckets")).as("bucket"))
+        .join(ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents")), Seq("bucket"))
+        .select(col("path"), col("o_orderkey"), col("cents"),
+          (row_number().over(w) - 1).cast("long").as("pos"))
+      val del = dvs.select(col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
+      rws.join(broadcast(del), Seq("path", "pos"), "left")
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_physical"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("hit").isNull, col("cents")).otherwise(0L)).as("cents_live"))
+        .orderBy("path")
+    })
+
   /** Clustering-quality metric (the number Snowflake publishes as
     * SYSTEM$CLUSTERING_INFORMATION's "depth", and what an operator reads
     * before deciding to run dl9's OPTIMIZE or a k4 re-sort): for every
@@ -632,5 +699,5 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }
