@@ -96,13 +96,19 @@ object DeltaLog {
       .select("a.*")
 
   /** ONE copy of the last-wins replay window (the tie-break rule every
-    * reader shares): per path the highest (version, ordinal) action
-    * wins; survivors are the `add`s. Returns rows WITH version/ordinal
-    * retained so callers can derive provenance before dropping them. */
+    * reader shares): per path the highest (version, ordinal) FILE action
+    * wins; survivors are the `add`s. Only add/remove participate in the
+    * liveness race — a later non-file action on the same path (a dv
+    * mask, a future stats refresh) must never out-rank the add and drop
+    * the file; the filter lives HERE so every replay path (snapshot,
+    * checkpointed, incremental fold) shares it. Returns rows WITH
+    * version/ordinal retained so callers can derive provenance before
+    * dropping them. */
   private def lastWins(acts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    acts.withColumn("rn", row_number().over(w))
+    acts.filter(col("op").isin("add", "remove"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") === "add")
       .drop("rn")
   }
@@ -116,22 +122,29 @@ object DeltaLog {
     * the log in-flight (dl9's OPTIMIZE) or hold a checkpointed parse. */
   def replay(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
     val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
-    // only FILE actions participate in the liveness race: a later
-    // non-file action on the same path (a dv mask, a future stats
-    // refresh) must never out-rank the add and drop the file
-    lastWins(bounded.filter(col("op").isin("add", "remove")))
-      .drop("op", "version", "ordinal")
+    lastWins(bounded).drop("op", "version", "ordinal")
   }
 
   /** The effective deletion vector per path as of `asOf`: the LATEST
-    * op='dv' action wins per path (a rewrite of the mask replaces it —
-    * the Delta DV semantics). Returns (path, dv). */
+    * op='dv' action wins per path (a rewrite of the mask replaces it),
+    * AND the mask is scoped to the CURRENT FILE INSTANCE — a dv older
+    * than the live file's own add action belonged to a removed/rewritten
+    * predecessor and must be ignored, or a remove + re-add of the same
+    * path would subtract the old mask's positions from the NEW file's
+    * rows (real Delta keys DVs to a file instance, not a path; the
+    * instance-birth version is the equivalent scoping here). Masks on
+    * non-live paths drop out the same way. Returns (path, dv). */
   def deletionVectors(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
     val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    bounded.filter(col("op") === "dv")
+    val latestDv = bounded.filter(col("op") === "dv")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("path"), col("version").as("dv_version"), col("dv"))
+    // live file instances WITH their birth version (lastWins retains it)
+    val liveBirth = lastWins(bounded).select(col("path"), col("version").as("add_version"))
+    latestDv.join(liveBirth, Seq("path"))
+      .filter(col("dv_version") >= col("add_version"))
       .select(col("path"), col("dv"))
   }
 
@@ -165,22 +178,41 @@ object DeltaLog {
         lit("remove").as("op"), col("path"),
         lit(null).cast(ArrayType(LongType)).as("buckets"),
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
+        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+        lit(null).cast(ArrayType(LongType)).as("dv"))
     val adds = bins.select(lit(version).as("version"),
       (lit(1000) + col("lo")).cast("int").as("ordinal"), lit("add").as("op"),
       concat(lit("opt-"), col("lo"), lit("-"), col("hi")).as("path"),
       sequence(col("lo"), col("hi")).as("buckets"),
       col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
-      col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"))
+      col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"))
     removes.unionByName(adds)
   }
 
+  /** A deletion-vector action row for `path`, carrying `mask` (0-based
+    * row positions within the file's key order) — schema-complete so it
+    * round-trips [[toLines]] → [[actions]] losslessly. */
+  def dvAction(live: DataFrame, path: String, version: Int, ordinal: Int,
+               mask: org.apache.spark.sql.Column): DataFrame =
+    live.filter(col("path") === path)
+      .select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+        lit("dv").as("op"), col("path"),
+        lit(null).cast(ArrayType(LongType)).as("buckets"),
+        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+        mask.as("dv"))
+
   /** Serialize action rows back to JSON log lines (field order matches
-    * [[logLines]]) — dl9 commits its OPTIMIZE by appending these to the
-    * log and re-reading through the same STRICT [[actions]] parse. */
+    * [[logLines]]; EVERY [[actionSchema]] field rides, including `dv` —
+    * dropping a field here would silently erase deletion masks on the
+    * round trip while the strict parse happily accepts the torn line) —
+    * dl9 commits its OPTIMIZE and dl10 its DV masks by appending these
+    * and re-reading through the same STRICT [[actions]] parse. */
   def toLines(acts: DataFrame): DataFrame =
     acts.select(to_json(struct(col("version"), col("ordinal"), col("op"), col("path"),
-      col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"))).as("line"))
+      col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"),
+      col("dv"))).as("line"))
 
   /** Checkpointed read: materialize the snapshot at `v0` (the Delta
     * checkpoint — a parquet rollup of the live set, so a reader at

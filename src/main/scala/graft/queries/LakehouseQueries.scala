@@ -510,13 +510,11 @@ object LakehouseQueries extends QuerySet {
       // live3 (pre-DV stats) drives mask GENERATION; the masks then
       // commit as real v4 JSON actions and are read back
       val live0 = DeltaLog.snapshot(log).localCheckpoint()
-      def dvAct(path: String, ordinal: Int, mask: org.apache.spark.sql.Column) =
-        live0.filter(col("path") === path)
-          .select(to_json(struct(lit(4).as("version"), lit(ordinal).as("ordinal"),
-            lit("dv").as("op"), col("path"), mask.as("dv"))).as("line"))
-      val dvLines = dvAct("part-5", 0,
-          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))
-        .unionByName(dvAct("compact-0-1", 1, sequence(lit(0L), lit(9L))))
+      val dvLines = DeltaLog.toLines(
+        DeltaLog.dvAction(live0, "part-5", 4, 0,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1,
+            sequence(lit(0L), lit(9L)))))
       val acts = DeltaLog.actions(log.unionByName(dvLines)).localCheckpoint()
       val live = DeltaLog.replay(acts)
       val dvs = DeltaLog.deletionVectors(acts)

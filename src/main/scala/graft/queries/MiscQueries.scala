@@ -2352,6 +2352,19 @@ object MiscQueries extends QuerySet {
     * (sort-based) rather than the t-digest approximation so the oracle is
     * bit-checkable; outputs rounded at 6 dp to absorb the two engines'
     * algebraically-equal-but-differently-associated interpolation forms. */
+  val a15Percentiles: Q = Q("a15_percentiles",
+    Some("""SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .orderBy("event_type"))
+
   /** ANALYZE-style table statistics in ONE pass — the per-column ledger
     * a cost-based optimizer (and a lakehouse stats layer) ingests:
     * row/null counts, exact NDV, min/max, and an equi-height histogram
@@ -2408,18 +2421,6 @@ object MiscQueries extends QuerySet {
       })
   }
 
-  val a15Percentiles: Q = Q("a15_percentiles",
-    Some("""SELECT event_type,
-              round(quantile_cont(value, 0.25), 6) AS p25,
-              round(quantile_cont(value, 0.5), 6) AS p50,
-              round(quantile_cont(value, 0.9), 6) AS p90
-            FROM events GROUP BY event_type ORDER BY event_type"""),
-    (s, d) => events(s, d)
-      .groupBy("event_type")
-      .agg(round(percentile(col("value"), lit(0.25)), 6).as("p25"),
-        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
-      .orderBy("event_type"))
 
   /** Decile bucketing by quality WITHOUT a global sort: a corpus-scale
     * `ntile` forces every row through one partition, so the cuts come from

@@ -220,6 +220,46 @@ class Round10Spec extends SparkSpec {
     assert(packed.exists(_._2 > 0), "someone must actually keep turns")
   }
 
+  test("dv semantics: masks never affect liveness on ANY replay path, scope to the file instance, round-trip toLines") {
+    import graft.ops.DeltaLog
+    import org.apache.spark.sql.Row
+    def add(v: Int, o: Int, path: String) =
+      Row(v, o, "add", path, Seq(0L), 10L, 1L, 10L, 100L, null)
+    def rem(v: Int, o: Int, path: String) =
+      Row(v, o, "remove", path, null, null, null, null, null, null)
+    def dv(v: Int, o: Int, path: String, mask: Seq[Long]) =
+      Row(v, o, "dv", path, null, null, null, null, null, mask)
+    // f stays live through a v4 dv; g is dv'd at v4, removed at v5, re-added at v6
+    val acts = spark.createDataFrame(
+      java.util.Arrays.asList(add(0, 0, "f"), add(0, 1, "g"), dv(4, 0, "f", Seq(1L, 3L)),
+        dv(4, 1, "g", Seq(2L)), rem(5, 0, "g"), add(6, 0, "g")),
+      DeltaLog.actionSchema)
+
+    // (1) liveness on every replay path: the dv action never drops its file
+    assert(DeltaLog.replay(acts).select("path").collect().map(_.getString(0)).sorted
+      === Array("f", "g"))
+    val cp = DeltaLog.checkpointedSnapshot(
+      DeltaLog.toLines(acts), v0 = 0)
+    assert(cp.select("path").collect().map(_.getString(0)).sorted === Array("f", "g"),
+      "a dv action in the checkpoint tail must not erase its file")
+    val folded = DeltaLog.foldSnapshot(
+      DeltaLog.replay(acts, Some(0)), acts.filter(col("version") > 0), stateVersion = 0)
+    assert(folded.select("path").collect().map(_.getString(0)).sorted === Array("f", "g"),
+      "a dv action in a micro-batch must not erase its file from the fold")
+
+    // (2) instance scoping: f's mask (dv at v4 >= add at v0) applies;
+    // g's v4 mask belonged to the REMOVED instance (re-added v6) and must not
+    val dvs = DeltaLog.deletionVectors(acts).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(dvs == Map("f" -> Seq(1L, 3L)), s"got $dvs")
+
+    // (3) toLines round-trips the mask losslessly through the strict parse
+    val rt = DeltaLog.actions(DeltaLog.toLines(acts))
+    val rtDv = rt.filter(col("op") === "dv" && col("path") === "f")
+      .select("dv").collect().head.getSeq[Long](0).toSeq
+    assert(rtDv == Seq(1L, 3L), "dv must survive the JSON round trip")
+  }
+
   // --- byte-wise Levenshtein: pinned to DuckDB 1.0 -------------------------
   test("levenshtein_bytes: hand pins incl. multi-byte cases") {
     import graft.functions.LevenshteinBytes.dist
