@@ -42,7 +42,12 @@ object DeltaLog {
     // o_orderkey order) masked out by an op='dv' action — the Delta
     // DV / Iceberg position-delete shape: deletes without rewriting
     // the file (dl10). Null on add/remove actions.
-    StructField("dv", ArrayType(LongType))))
+    StructField("dv", ArrayType(LongType)),
+    // table schema carried by an op='meta' action (the Delta metaData
+    // action): the ACTIVE schema at version V = the latest meta ≤ V;
+    // files added before a widening physically lack the new columns and
+    // read back null-backfilled (dl11). Null on all other ops.
+    StructField("schema_str", StringType)))
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -179,14 +184,16 @@ object DeltaLog {
         lit(null).cast(ArrayType(LongType)).as("buckets"),
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-        lit(null).cast(ArrayType(LongType)).as("dv"))
+        lit(null).cast(ArrayType(LongType)).as("dv"),
+        lit(null).cast(StringType).as("schema_str"))
     val adds = bins.select(lit(version).as("version"),
       (lit(1000) + col("lo")).cast("int").as("ordinal"), lit("add").as("op"),
       concat(lit("opt-"), col("lo"), lit("-"), col("hi")).as("path"),
       sequence(col("lo"), col("hi")).as("buckets"),
       col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
       col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
-      lit(null).cast(ArrayType(LongType)).as("dv"))
+      lit(null).cast(ArrayType(LongType)).as("dv"),
+      lit(null).cast(StringType).as("schema_str"))
     removes.unionByName(adds)
   }
 
@@ -201,7 +208,7 @@ object DeltaLog {
         lit(null).cast(ArrayType(LongType)).as("buckets"),
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-        mask.as("dv"))
+        mask.as("dv"), lit(null).cast(StringType).as("schema_str"))
 
   /** Serialize action rows back to JSON log lines (field order matches
     * [[logLines]]; EVERY [[actionSchema]] field rides, including `dv` —
@@ -212,7 +219,32 @@ object DeltaLog {
   def toLines(acts: DataFrame): DataFrame =
     acts.select(to_json(struct(col("version"), col("ordinal"), col("op"), col("path"),
       col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"),
-      col("dv"))).as("line"))
+      col("dv"), col("schema_str"))).as("line"))
+
+  /** An op='meta' action row carrying the table schema as of `version`
+    * (the Delta metaData action; path is the synthetic '_schema' so the
+    * strict parse's non-null-path contract holds — [[lastWins]] races
+    * only file actions, so meta never touches liveness). */
+  def metaAction(spark: SparkSession, version: Int, ordinal: Int, schemaStr: String): DataFrame =
+    spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+      lit("meta").as("op"), lit("_schema").as("path"),
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(schemaStr).as("schema_str"))
+
+  /** The ACTIVE schema as of `asOf` (None = latest): the highest
+    * (version, ordinal) op='meta' action wins. Returns one row
+    * (schema_str, schema_version) — schema_version is what dl11's
+    * backfill accounting compares file add-versions against. */
+  def activeSchema(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
+    val w = Window.partitionBy(col("op")).orderBy(col("version").desc, col("ordinal").desc)
+    bounded.filter(col("op") === "meta")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("schema_str"), col("version").as("schema_version"))
+  }
 
   /** Checkpointed read: materialize the snapshot at `v0` (the Delta
     * checkpoint — a parquet rollup of the live set, so a reader at

@@ -535,6 +535,75 @@ object LakehouseQueries extends QuerySet {
         .orderBy("path")
     })
 
+  /** Schema evolution THROUGH the transaction log — the op='meta' action
+    * (Delta's metaData) completes the action vocabulary
+    * (add/remove/dv/meta): the v0 meta declares the base schema, a v3
+    * meta widens it with a `region` column, and for every version 0-3
+    * the gate reports the ACTIVE schema (latest meta ≤ V) plus the
+    * backfill ledger — live files whose add version predates the active
+    * schema physically lack the new column and read back null-filled,
+    * so their count is exactly what a reader must null-backfill. At v3
+    * every pre-widening file needs backfill while the same-version
+    * append does not, so both branches fire. Meta actions never touch
+    * liveness (lastWins races file actions only — pinned by the dv
+    * regression). Log-sized throughout. */
+  val dl11Schema = Q("dl11_schema_evolution",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            meta(version, ordinal, schema_str) AS (
+              VALUES (0, -1, 'k BIGINT, cents BIGINT'),
+                     (3, -1, 'k BIGINT, cents BIGINT, region VARCHAR')),
+            vers AS (SELECT unnest(range(0, 4)) AS v),
+            livev AS (
+              SELECT v, path, version AS add_version FROM (
+                SELECT vers.v, a.*, row_number() OVER (PARTITION BY vers.v, a.path
+                  ORDER BY a.version DESC, a.ordinal DESC) AS rn
+                FROM vers JOIN acts a ON a.version <= vers.v) t
+              WHERE rn = 1 AND op = 'add'),
+            activem AS (
+              SELECT v, schema_str, mv FROM (
+                SELECT vers.v, m.schema_str, m.version AS mv,
+                  row_number() OVER (PARTITION BY vers.v
+                    ORDER BY m.version DESC, m.ordinal DESC) AS rn
+                FROM vers JOIN meta m ON m.version <= vers.v) t
+              WHERE rn = 1)
+            SELECT a.v AS version, a.schema_str AS active_schema,
+              CAST(count(l.path) AS BIGINT) AS n_live,
+              CAST(coalesce(sum(CASE WHEN l.add_version < a.mv THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS n_backfill_files
+            FROM activem a LEFT JOIN livev l ON l.v = a.v
+            GROUP BY a.v, a.schema_str, a.mv
+            ORDER BY version"""),
+    (s, d) => {
+      val log = DeltaLog.logLines(orders(s, d))
+        .unionByName(DeltaLog.toLines(
+          DeltaLog.metaAction(s, 0, -1, "k BIGINT, cents BIGINT")
+            .unionByName(DeltaLog.metaAction(s, 3, -1, "k BIGINT, cents BIGINT, region VARCHAR"))))
+      // acts feeds the per-version live race AND the per-version schema race
+      val acts = DeltaLog.actions(log).localCheckpoint()
+      val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
+      val wl = Window.partitionBy(col("v"), col("path"))
+        .orderBy(col("version").desc, col("ordinal").desc)
+      // file actions only in the liveness race (the lastWins rule)
+      val livev = versions.join(acts.filter(col("op").isin("add", "remove")),
+          acts("version") <= versions("v"))
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1 && col("op") === "add")
+        .select(col("v"), col("path"), col("version").as("add_version"))
+      val wm = Window.partitionBy(col("v")).orderBy(col("version").desc, col("ordinal").desc)
+      val activem = versions.join(acts.filter(col("op") === "meta"),
+          acts("version") <= versions("v"))
+        .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+        .select(col("v"), col("schema_str"), col("version").as("mv"))
+      activem.join(livev, Seq("v"), "left")
+        .groupBy(col("v"), col("schema_str"), col("mv"))
+        .agg(count(col("path")).as("n_live"),
+          coalesce(sum(when(col("add_version") < col("mv"), 1L).otherwise(0L)), lit(0L))
+            .as("n_backfill_files"))
+        .select(col("v").as("version"), col("schema_str").as("active_schema"),
+          col("n_live"), col("n_backfill_files"))
+        .orderBy("version")
+    })
+
   /** Clustering-quality metric (the number Snowflake publishes as
     * SYSTEM$CLUSTERING_INFORMATION's "depth", and what an operator reads
     * before deciding to run dl9's OPTIMIZE or a k4 re-sort): for every
@@ -697,5 +766,6 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, k6Clustering,
+    scd1Build, cdc1Apply, ivm1View)
 }
