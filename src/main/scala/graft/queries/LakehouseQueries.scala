@@ -147,6 +147,86 @@ object LakehouseQueries extends QuerySet {
         .orderBy("path")
     })
 
+  /** Change data feed — the ROW-level delta between consecutive
+    * versions (Delta CDF / Iceberg incremental read): per transition,
+    * file churn (added/removed paths) AND the multiset row delta
+    * (per-key copy counts at v and v+1; added = Σ max(0, c₁−c₀),
+    * removed = Σ max(0, c₀−c₁)). The pin that makes this a real CDF and
+    * not a file diff: v0→v1 is a COMPACTION — two files removed, one
+    * added, and the row feed reports EXACTLY ZERO change (dataChange =
+    * false, the contract downstream incremental consumers rely on),
+    * while v1→v2 feeds the delete's rows and v2→v3 the append's. ONE
+    * aggregate over the key space (per-key version counts pivot into
+    * four conditional sums — never a per-transition rescan), then three
+    * output rows. */
+  val dl12Cdf = Q("dl12_change_data_feed",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            vers AS (SELECT unnest(range(0, 4)) AS v),
+            livev AS (
+              SELECT v, path, b_lo, b_hi FROM (
+                SELECT vers.v, a.*, row_number() OVER (PARTITION BY vers.v, a.path
+                  ORDER BY a.version DESC, a.ordinal DESC) AS rn
+                FROM vers JOIN acts a ON a.version <= vers.v) t
+              WHERE rn = 1 AND op = 'add'),
+            perkey AS (
+              SELECT o.o_orderkey,
+                ${(0 to 3).map(v => s"CAST(sum(CASE WHEN l.v = $v THEN 1 ELSE 0 END) AS BIGINT) AS c$v").mkString(", ")}
+              FROM livev l JOIN orders o ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN l.b_lo AND l.b_hi
+              GROUP BY 1),
+            chg AS (SELECT
+              ${(0 to 2).map(t => s"""CAST(sum(greatest(c${t + 1} - c$t, 0)) AS BIGINT) AS a$t,
+                 CAST(sum(greatest(c$t - c${t + 1}, 0)) AS BIGINT) AS r$t""").mkString(", ")}
+              FROM perkey),
+            fdiff AS (SELECT
+              ${(0 to 2).map(t => s"""(SELECT CAST(count(*) AS BIGINT) FROM livev n WHERE n.v = ${t + 1}
+                   AND NOT EXISTS (SELECT 1 FROM livev o WHERE o.v = $t AND o.path = n.path)) AS fa$t,
+                 (SELECT CAST(count(*) AS BIGINT) FROM livev o WHERE o.v = $t
+                   AND NOT EXISTS (SELECT 1 FROM livev n WHERE n.v = ${t + 1} AND n.path = o.path)) AS fr$t""").mkString(", ")})
+            ${(0 to 2).map(t =>
+              s"""SELECT $t AS version_from, ${t + 1} AS version_to, fa$t AS files_added,
+                 fr$t AS files_removed, a$t AS rows_added, r$t AS rows_removed
+                 FROM chg CROSS JOIN fdiff""").mkString("\n            UNION ALL\n            ")}
+            ORDER BY version_from"""),
+    (s, d) => {
+      val acts = DeltaLog.actions(DeltaLog.logLines(orders(s, d))).localCheckpoint()
+      val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
+      val wl = Window.partitionBy(col("v"), col("path"))
+        .orderBy(col("version").desc, col("ordinal").desc)
+      // livev feeds the per-key pivot AND both sides of the file diff
+      val livev = versions.join(acts.filter(col("op").isin("add", "remove")),
+          acts("version") <= versions("v"))
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1 && col("op") === "add")
+        .select(col("v"), col("path"), explode(col("buckets")).as("bucket"))
+        .localCheckpoint()
+      val perkey = orders(s, d)
+        .select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"), col("o_orderkey"))
+        .join(broadcast(livev), Seq("bucket"))
+        .groupBy("o_orderkey")
+        .agg((0 to 3).map(v => sum(when(col("v") === v, 1L).otherwise(0L)).as(s"c$v")).head,
+          (0 to 3).map(v => sum(when(col("v") === v, 1L).otherwise(0L)).as(s"c$v")).tail: _*)
+      val chgAggs = (0 to 2).flatMap(t => Seq(
+        sum(greatest(col(s"c${t + 1}") - col(s"c$t"), lit(0L))).as(s"a$t"),
+        sum(greatest(col(s"c$t") - col(s"c${t + 1}"), lit(0L))).as(s"r$t")))
+      val chg = perkey.agg(chgAggs.head, chgAggs.tail: _*)
+      val files = livev.select("v", "path").distinct().localCheckpoint()
+      def fcount(t: Int, added: Boolean) = {
+        val (a, b) = if (added) (t + 1, t) else (t, t + 1)
+        files.filter(col("v") === a)
+          .join(files.filter(col("v") === b).select(col("path").as("p2")),
+            col("path") === col("p2"), "left_anti")
+          .agg(count(lit(1)).as(if (added) s"fa$t" else s"fr$t"))
+      }
+      val fdiff = (0 to 2).flatMap(t => Seq(fcount(t, added = true), fcount(t, added = false)))
+        .map(df => broadcast(df)).reduce(_.crossJoin(_))
+      val rows = (0 to 2).map(t =>
+        chg.crossJoin(broadcast(fdiff)).select(
+          lit(t).as("version_from"), lit(t + 1).as("version_to"),
+          col(s"fa$t").as("files_added"), col(s"fr$t").as("files_removed"),
+          col(s"a$t").as("rows_added"), col(s"r$t").as("rows_removed")))
+      rows.reduce(_ unionByName _).orderBy("version_from")
+    })
+
   /** Z-order vs linear layout, measured through stats skipping: the same
     * orders rows sliced into 64 files by a linear key range (custkey
     * buckets — what a (custkey, day) sort produces at file granularity)
@@ -766,6 +846,6 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, k6Clustering,
-    scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf,
+    k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

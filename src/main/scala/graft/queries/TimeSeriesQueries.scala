@@ -320,46 +320,5 @@ object TimeSeriesQueries extends QuerySet {
         .orderBy("user_id")
     })
 
-  /** OHLC (open/high/low/close) bars — the canonical downsampling of a
-    * value stream into per-(key, day) candles. Open/close are the first/
-    * last values in the (ts, event_id) total order, taken from ONE
-    * ordered collect per group (the cv1/pdf3 shape — no min_by key
-    * packing, which would need int64-fragile composite keys; ties are
-    * resolved by the total order identically in both engines); high/low/
-    * volume ride the same aggregate. Exact cents end to end. */
-  val ts7Ohlc = Q("ts7_ohlc_daily",
-    Some("""WITH ev AS (
-              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-                epoch_us(ts) // 86400000000 AS day,
-                CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-              FROM events)
-            SELECT user_id, day,
-              (list(cents ORDER BY ts_us, event_id))[1] AS open_cents,
-              CAST(max(cents) AS BIGINT) AS high_cents,
-              CAST(min(cents) AS BIGINT) AS low_cents,
-              (list(cents ORDER BY ts_us, event_id))[-1] AS close_cents,
-              CAST(count(*) AS BIGINT) AS n_events,
-              CAST(sum(cents) AS BIGINT) AS vol_cents
-            FROM ev GROUP BY user_id, day ORDER BY user_id, day"""),
-    (s, d) => {
-      val ev = events(s, d).select(col("user_id"),
-        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
-        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
-          round(col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")).as("e"))
-      ev.groupBy("user_id", "day")
-        .agg(sort_array(collect_list(col("e"))).as("es"),
-          max(col("e").getField("cents")).as("high_cents"),
-          min(col("e").getField("cents")).as("low_cents"),
-          count(lit(1)).as("n_events"),
-          sum(col("e").getField("cents")).as("vol_cents"))
-        .select(col("user_id"), col("day"),
-          element_at(col("es"), 1).getField("cents").as("open_cents"),
-          col("high_cents"), col("low_cents"),
-          element_at(col("es"), -1).getField("cents").as("close_cents"),
-          col("n_events"), col("vol_cents"))
-        .orderBy("user_id", "day")
-    })
-
-  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr, ts6Holt,
-    ts7Ohlc)
+  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr, ts6Holt)
 }
