@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-wise Levenshtein distance for the record-linkage family.
@@ -59,8 +59,12 @@ object LevenshteinBytes {
 
 /** `levenshtein_bytes(string, string)` → BIGINT byte-level edit distance
   * (DuckDB `levenshtein` parity). */
-case class LevenshteinBytesExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class LevenshteinBytesExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  // analysis-time type check: non-string arguments fail cleanly instead of
+  // a runtime ClassCastException in nullSafeEval
+  override def inputTypes = Seq(StringType, StringType)
   override def prettyName: String = "levenshtein_bytes"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     LevenshteinBytes.dist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])

@@ -22,13 +22,20 @@ object ParquetMeta {
   case class ChunkMeta(file: String, row_group_id: Int, n_rows: Long, col_path: String,
                        num_values: Long, null_count: Long, compressed: Long, uncompressed: Long)
 
-  /** List the .parquet part files under a directory (non-recursive). */
+  /** List the .parquet part files under a directory (non-recursive).
+    * Listed through the Hadoop FileSystem API — the same path resolution
+    * [[footerMeta]] reads through — so an hdfs:// or s3a:// directory
+    * lists correctly instead of silently yielding an empty local listing. */
   def partFiles(dir: String): Seq[String] = {
-    val f = new java.io.File(dir)
-    val fs = if (f.isFile) Array(f) else f.listFiles()
-    Option(fs).getOrElse(Array.empty)
-      .filter(p => p.isFile && p.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).sorted.toSeq
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val status = fs.getFileStatus(path)
+    val files = if (status.isFile) Array(status) else fs.listStatus(path)
+    files.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s => // local files keep plain-path form; remote URIs keep their scheme
+        val u = s.getPath.toUri
+        if (u.getScheme == null || u.getScheme == "file") u.getPath else s.getPath.toString
+      }.sorted.toSeq
   }
 
   /** Footer metadata for every column chunk of every row group of the
