@@ -125,9 +125,17 @@ object DeltaLog {
 
   /** [[snapshot]] over pre-parsed action rows — for callers that extend
     * the log in-flight (dl9's OPTIMIZE) or hold a checkpointed parse. */
-  def replay(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
+  def replay(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    replayWithBirth(acts, asOf).drop("version", "ordinal")
+
+  /** [[replay]] retaining each winning add's ORIGINAL (version, ordinal)
+    * — the file's instance birth, which backfill accounting (which live
+    * files predate the active schema?) and checkpoint provenance read.
+    * Original coordinates survive [[checkpointState]], so this works
+    * identically over a full log or a checkpoint+tail action set. */
+  def replayWithBirth(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
     val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
-    lastWins(bounded).drop("op", "version", "ordinal")
+    lastWins(bounded).drop("op")
   }
 
   /** The effective deletion vector per path as of `asOf`: the LATEST

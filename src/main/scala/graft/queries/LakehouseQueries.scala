@@ -684,6 +684,276 @@ object LakehouseQueries extends QuerySet {
         .orderBy("version")
     })
 
+  /** Full-state checkpoint read — the round-10 verdict's lead item: a
+    * checkpoint at v0 must persist MORE than file liveness (real Delta
+    * checkpoints carry metaData and DV references precisely because a
+    * reader at checkpoint+tail otherwise silently loses every mask and
+    * schema committed ≤ v0). Fixture log: the base v0–v3 history, meta
+    * actions at v0 (base schema) and v3 (widened), v4 dv masks on part-5
+    * (pos % 7 = 3) and compact-0-1 (first 10), then a TAIL (v5) that
+    * both REPLACES compact-0-1's mask (first 5 — proving tail dvs
+    * override checkpointed ones) and adds append-1 (proving tail file
+    * actions land beside checkpoint files, src='tail'). The reader sees
+    * ONLY `checkpointedActions(acts, 4)` — if the checkpoint dropped dv
+    * or meta state, n_deleted/cents_live/active_schema all diverge from
+    * the oracle's full-log replay and the gate hash-mismatches; if it
+    * rewrote add versions, the backfill ledger (add_version vs the
+    * active schema's version) diverges. Log-sized work + one
+    * position-assignment window over the read rows (the dl10 shape). */
+  val dl13CheckpointFullState = Q("dl13_checkpoint_full_state",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            acts2 AS (
+              SELECT * FROM acts
+              UNION ALL
+              SELECT 5, 1, 'add', 'append-1', 4, 4, n_rows, min_key, max_key, cents
+              FROM bks WHERE bucket = 4),
+            live AS (
+              SELECT path, version AS add_version, b_lo, b_hi FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2) t
+              WHERE rn = 1 AND op = 'add'),
+            rws AS (
+              SELECT l.path, l.add_version, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY l.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live l JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN l.b_lo AND l.b_hi),
+            dv AS (
+              SELECT path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL
+              SELECT path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 5)
+            SELECT r.path,
+              CASE WHEN r.add_version > 4 THEN 'tail' ELSE 'checkpoint' END AS src,
+              CAST(r.add_version AS INT) AS add_version,
+              CASE WHEN r.add_version < 3 THEN 1 ELSE 0 END AS needs_backfill,
+              CAST(count(*) AS BIGINT) AS n_physical,
+              CAST(sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+              CAST(sum(CASE WHEN d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+              CAST(sum(CASE WHEN d.pos IS NULL THEN r.cents ELSE 0 END) AS BIGINT) AS cents_live,
+              'k BIGINT, cents BIGINT, region VARCHAR' AS active_schema
+            FROM rws r LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos
+            GROUP BY r.path, r.add_version
+            ORDER BY r.path"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord)
+      val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
+      val append1 = DeltaLog.buckets(ord).filter(col("bucket") === 4)
+        .select(lit(5).as("version"), lit(1).as("ordinal"), lit("add").as("op"),
+          lit("append-1").as("path"), array(lit(4L)).as("buckets"),
+          col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+          col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
+          lit(null).cast("array<bigint>").as("dv"), lit(null).cast("string").as("schema_str"))
+      val log = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.metaAction(s, 0, -1, "k BIGINT, cents BIGINT")
+          .unionByName(DeltaLog.metaAction(s, 3, -1, "k BIGINT, cents BIGINT, region VARCHAR"))
+          .unionByName(DeltaLog.dvAction(live0, "part-5", 4, 0,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3)))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 0, sequence(lit(0L), lit(4L))))
+          .unionByName(append1)))
+      // the reader's world from here on is ONLY checkpoint(≤4) + tail(5)
+      val cpActs = DeltaLog.checkpointedActions(DeltaLog.actions(log), 4).localCheckpoint()
+      val live = DeltaLog.replayWithBirth(cpActs)
+      val dvs = DeltaLog.deletionVectors(cpActs)
+      val sch = DeltaLog.activeSchema(cpActs).localCheckpoint()
+      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+      val rws = live.select(col("path"), col("version").as("add_version"),
+          explode(col("buckets")).as("bucket"))
+        .join(ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents")), Seq("bucket"))
+        .select(col("path"), col("add_version"), col("o_orderkey"), col("cents"),
+          (row_number().over(w) - 1).cast("long").as("pos"))
+      val del = dvs.select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      rws.join(broadcast(del), Seq("path", "pos"), "left")
+        .groupBy("path", "add_version")
+        .agg(count(lit(1)).as("n_physical"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("hit").isNull, col("cents")).otherwise(0L)).as("cents_live"))
+        .crossJoin(broadcast(sch))
+        .select(col("path"),
+          when(col("add_version") > 4, lit("tail")).otherwise(lit("checkpoint")).as("src"),
+          col("add_version").cast("int").as("add_version"),
+          (col("add_version") < col("schema_version")).cast("int").as("needs_backfill"),
+          col("n_physical"), col("n_deleted"), col("n_live"), col("cents_live"),
+          col("schema_str").as("active_schema"))
+        .orderBy("path")
+    })
+
+  /** OPTIMIZE × deletion vectors — the round-10 verdict's latent
+    * wrong-answer: compacting a masked file on raw stats RESURRECTS its
+    * deleted rows in every later snapshot. Fixture: v4 masks part-4
+    * (pos % 5 = 2) and part-7 (first 7) — both inside compacted pairs
+    * (4,5)/(6,7), each pair MIXED masked+unmasked — plus compact-0-1
+    * (pos % 11 = 0), which OPTIMIZE must leave alone (multi-bucket).
+    * v5 runs `optimizeActions` WITH the effective masks and net-of-mask
+    * stats (computed from data — the rewrite reads its inputs anyway),
+    * committed as real JSON actions. The gate pins all four contracts:
+    * (pre) the masked read before OPTIMIZE, (post) the masked read
+    * after — where compacted files physically lack their inputs' masked
+    * rows and compact-0-1's surviving DV still applies — (check) their
+    * equality flag (no resurrection), (opt) each compacted add's
+    * committed stats equal its actual physical row count/cents (net
+    * stats flowed into the log), and (dvpost) the only effective mask
+    * left is compact-0-1's (the compacted inputs' masks retired with
+    * their files). The oracle replays policy, masks, net stats, commit
+    * and both reads from arithmetic CTEs. */
+  val dl14OptimizeDv = Q("dl14_optimize_dv",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live4 AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            rws4 AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live4 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dv AS (
+              SELECT path, pos FROM rws4 WHERE path = 'part-4' AND pos % 5 = 2
+              UNION ALL SELECT path, pos FROM rws4 WHERE path = 'part-7' AND pos < 7
+              UNION ALL SELECT path, pos FROM rws4 WHERE path = 'compact-0-1' AND pos % 11 = 0),
+            net AS (
+              SELECT r.path, CAST(count(*) AS BIGINT) AS n_rows, min(r.o_orderkey) AS min_key,
+                max(r.o_orderkey) AS max_key, CAST(sum(r.cents) AS BIGINT) AS cents
+              FROM rws4 r LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos
+              WHERE d.pos IS NULL AND r.path IN ('part-4', 'part-7', 'compact-0-1')
+              GROUP BY r.path),
+            eff AS (
+              SELECT l.path, l.b_lo, l.b_hi, coalesce(n.n_rows, l.n_rows) AS n_rows,
+                coalesce(n.min_key, l.min_key) AS min_key, coalesce(n.max_key, l.max_key) AS max_key,
+                coalesce(n.cents, l.cents) AS cents
+              FROM live4 l LEFT JOIN net n ON n.path = l.path),
+            parts AS (SELECT * FROM eff WHERE path LIKE 'part-%' AND b_lo = b_hi),
+            bins AS (
+              SELECT b_lo // 2 AS bin, count(*) AS nf, min(b_lo) AS lo, max(b_lo) AS hi,
+                CAST(sum(n_rows) AS BIGINT) AS n_rows, min(min_key) AS min_key,
+                max(max_key) AS max_key, CAST(sum(cents) AS BIGINT) AS cents
+              FROM parts GROUP BY 1),
+            fullbins AS (SELECT * FROM bins WHERE nf = 2),
+            optadd AS (
+              SELECT 'opt-' || lo || '-' || hi AS path, lo AS b_lo, hi AS b_hi,
+                n_rows, cents FROM fullbins),
+            optrem AS (SELECT p.path FROM parts p JOIN fullbins b ON p.b_lo // 2 = b.bin),
+            live5 AS (
+              SELECT path, b_lo, b_hi FROM live4 WHERE path NOT IN (SELECT path FROM optrem)
+              UNION ALL SELECT path, b_lo, b_hi FROM optadd),
+            maskkeys AS (
+              SELECT r.o_orderkey FROM rws4 r JOIN dv d ON d.path = r.path AND d.pos = r.pos
+              WHERE r.path IN (SELECT path FROM optrem)),
+            rws5 AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live5 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dv5 AS (SELECT path, pos FROM rws5 WHERE path = 'compact-0-1' AND pos % 11 = 0),
+            prerows AS (
+              SELECT r.o_orderkey, r.cents FROM rws4 r
+              LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos WHERE d.pos IS NULL),
+            postrows AS (
+              SELECT r.path, r.o_orderkey, r.cents FROM rws5 r
+              LEFT JOIN dv5 d ON d.path = r.path AND d.pos = r.pos
+              WHERE d.pos IS NULL AND r.o_orderkey NOT IN (SELECT o_orderkey FROM maskkeys)),
+            sigpre AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(sum(o_orderkey) AS BIGINT) AS keysum FROM prerows),
+            sigpost AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(sum(o_orderkey) AS BIGINT) AS keysum FROM postrows),
+            optcheck AS (
+              SELECT a.path, a.n_rows, a.cents,
+                CASE WHEN a.n_rows = p.n AND a.cents = p.c THEN 1 ELSE 0 END AS ok
+              FROM optadd a JOIN (
+                SELECT path, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
+                FROM postrows GROUP BY path) p ON p.path = a.path)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'pre' AS section, 'rowset' AS item, n AS n_rows, cents, keysum AS flag FROM sigpre
+              UNION ALL SELECT 'post', 'rowset', n, cents, keysum FROM sigpost
+              UNION ALL SELECT 'check', 'no_resurrection', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM sigpre) = (SELECT n FROM sigpost)
+                      AND (SELECT cents FROM sigpre) = (SELECT cents FROM sigpost)
+                      AND (SELECT keysum FROM sigpre) = (SELECT keysum FROM sigpost)
+                     THEN 1 ELSE 0 END AS BIGINT)
+              UNION ALL SELECT 'opt', path, n_rows, cents, CAST(ok AS BIGINT) FROM optcheck
+              UNION ALL SELECT 'dvpost', path, CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT) FROM dv5 GROUP BY path
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord)
+      val liveBase = DeltaLog.snapshot(logBase).localCheckpoint()
+      val dvLines = DeltaLog.toLines(
+        DeltaLog.dvAction(liveBase, "part-4", 4, 0,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 5 === 2))
+          .unionByName(DeltaLog.dvAction(liveBase, "part-7", 4, 1, sequence(lit(0L), lit(6L))))
+          .unionByName(DeltaLog.dvAction(liveBase, "compact-0-1", 4, 2,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 11 === 0))))
+      val log4 = logBase.unionByName(dvLines).localCheckpoint()
+      val acts4 = DeltaLog.actions(log4).localCheckpoint()
+      val live4 = DeltaLog.replay(acts4).localCheckpoint()
+      val dvs4 = DeltaLog.deletionVectors(acts4).localCheckpoint()
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def positioned(live: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+        live.select(col("path"), explode(col("buckets")).as("bucket"))
+          .join(obRows, Seq("bucket"))
+          .select(col("path"), col("o_orderkey"), col("cents"),
+            (row_number().over(w) - 1).cast("long").as("pos"))
+      }
+      // rws4 feeds net stats, masked keys and the pre signature
+      val rws4 = positioned(live4).localCheckpoint()
+      val del4 = dvs4.select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      val netStats = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("hit").isNull).join(broadcast(dvs4.select("path")), Seq("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      // the DV-aware OPTIMIZE, committed as real v5 actions
+      val opt = DeltaLog.optimizeActions(live4, 5, Some(dvs4), Some(netStats)).localCheckpoint()
+      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(opt))).localCheckpoint()
+      val live5 = DeltaLog.replay(acts5).localCheckpoint()
+      val dvs5 = DeltaLog.deletionVectors(acts5).localCheckpoint()
+      // post-OPTIMIZE physical read: surviving DVs apply positionally; a
+      // compacted file physically lacks its inputs' masked rows
+      val removed = opt.filter(col("op") === "remove").select("path")
+      val maskKeys = rws4.join(broadcast(del4.drop("hit")), Seq("path", "pos"))
+        .join(broadcast(removed), Seq("path")).select("o_orderkey")
+      val del5 = dvs5.select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      val postrows = positioned(live5)
+        .join(broadcast(del5), Seq("path", "pos"), "left").filter(col("hit").isNull)
+        .join(broadcast(maskKeys), Seq("o_orderkey"), "left_anti")
+        .localCheckpoint() // feeds the post signature AND the per-file opt check
+      val prerows = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("hit").isNull)
+      def sig(rows: org.apache.spark.sql.DataFrame, section: String) = rows
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+        .select(lit(section).as("section"), lit("rowset").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          col("k").cast("long").as("flag"))
+        .localCheckpoint()
+      val sigPre = sig(prerows, "pre")
+      val sigPost = sig(postrows, "post")
+      val equal = sigPre.select(col("n_rows").as("n1"), col("cents").as("c1"), col("flag").as("k1"))
+        .crossJoin(broadcast(sigPost.select(col("n_rows").as("n2"), col("cents").as("c2"), col("flag").as("k2"))))
+        .select(lit("check").as("section"), lit("no_resurrection").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"),
+          when(col("n1") === col("n2") && col("c1") === col("c2") && col("k1") === col("k2"), 1L)
+            .otherwise(0L).as("flag"))
+      val postPerFile = postrows.groupBy("path")
+        .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
+      val optCheck = opt.filter(col("op") === "add")
+        .select(col("path"), col("n_rows"), col("cents"))
+        .join(postPerFile, Seq("path"))
+        .select(lit("opt").as("section"), col("path").as("item"), col("n_rows"), col("cents"),
+          when(col("n_rows") === col("pn") && col("cents") === col("pc"), 1L)
+            .otherwise(0L).as("flag"))
+      val dvPost = dvs5.select(lit("dvpost").as("section"), col("path").as("item"),
+        size(col("dv")).cast("long").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag"))
+      sigPre.unionByName(sigPost).unionByName(equal).unionByName(optCheck).unionByName(dvPost)
+        .orderBy("section", "item")
+    })
+
   /** Clustering-quality metric (the number Snowflake publishes as
     * SYSTEM$CLUSTERING_INFORMATION's "depth", and what an operator reads
     * before deciding to run dl9's OPTIMIZE or a k4 re-sort): for every
@@ -847,5 +1117,5 @@ object LakehouseQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf,
-    k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl13CheckpointFullState, dl14OptimizeDv, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

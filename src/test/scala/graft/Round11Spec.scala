@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.DeltaLog
+
+/** Round-11 regression fixtures: lakehouse state COMPOSITION — full-state
+  * checkpoints, DV-aware OPTIMIZE, instance-scoped masks — plus the
+  * round-10 ADVICE guards. Hand-built action sets, independent of the
+  * query builders.
+  */
+class Round11Spec extends SparkSpec {
+
+  private def add(v: Int, o: Int, path: String, nRows: Long = 10L): Row =
+    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null)
+  private def rem(v: Int, o: Int, path: String): Row =
+    Row(v, o, "remove", path, null, null, null, null, null, null, null)
+  private def dv(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
+    Row(v, o, "dv", path, null, null, null, null, null, mask, null)
+  private def meta(v: Int, o: Int, schema: String): Row =
+    Row(v, o, "meta", "_schema", null, null, null, null, null, null, schema)
+  private def frame(rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
+
+  // ---- checkpoint completeness ------------------------------------------
+
+  test("checkpointState + tail reproduces replay, dv AND meta state at every cut point") {
+    // history exercising all three families across versions: schema at
+    // v0/v5, masks landing, being replaced, and dying with a rewrite
+    val acts = frame(
+      add(0, 0, "a"), add(0, 1, "b"), meta(0, 2, "s0"),
+      dv(1, 0, "a", Seq(1L)),
+      rem(2, 0, "b"), add(2, 1, "c"),
+      dv(3, 0, "a", Seq(1L, 2L)), dv(3, 1, "c", Seq(0L)),
+      rem(4, 0, "a"), add(4, 1, "a"), // rewrite: a's masks die with the old instance
+      meta(5, 0, "s1"), dv(5, 1, "c", Seq(0L, 5L))).localCheckpoint()
+    def liveSet(a: org.apache.spark.sql.DataFrame) =
+      DeltaLog.replay(a).collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    def dvMap(a: org.apache.spark.sql.DataFrame) =
+      DeltaLog.deletionVectors(a).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    def schemaOf(a: org.apache.spark.sql.DataFrame) =
+      DeltaLog.activeSchema(a).collect().map(_.toSeq).toSet
+    for (v0 <- 0 to 5) {
+      val cp = DeltaLog.checkpointedActions(acts, v0).localCheckpoint()
+      assert(liveSet(cp) == liveSet(acts), s"live set differs through checkpoint at v0=$v0")
+      assert(dvMap(cp) == dvMap(acts), s"dv state differs through checkpoint at v0=$v0")
+      assert(schemaOf(cp) == schemaOf(acts), s"meta state differs through checkpoint at v0=$v0")
+    }
+    // ground truth of the final state, independently stated
+    assert(dvMap(acts) == Map("c" -> Seq(0L, 5L)), "a's mask must die with its rewritten instance")
+    assert(schemaOf(acts).head.head == "s1")
+  }
+
+  test("checkpointState persists the winning rows ONLY, with original coordinates") {
+    val acts = frame(
+      add(0, 0, "a"), add(0, 1, "b"), meta(0, 2, "s0"),
+      dv(1, 0, "a", Seq(1L)), dv(2, 0, "a", Seq(2L)), rem(2, 1, "b"))
+    val cp = DeltaLog.checkpointState(acts, Some(2)).collect()
+    assert(cp.length == 3, s"one live add + one effective dv + one meta, got ${cp.toSeq}")
+    val byOp = cp.map(r => r.getString(2) -> (r.getInt(0), r.getInt(1))).toMap
+    assert(byOp("add") == ((0, 0)), "live add keeps its ORIGINAL coordinates")
+    assert(byOp("dv") == ((2, 0)), "only the latest mask survives, original coordinates")
+    assert(byOp("meta") == ((0, 2)))
+    // the removed path is gone entirely — checkpoints carry state, not history
+    assert(!cp.exists(_.getString(3) == "b"))
+  }
+
+  // ---- dv instance scoping: lexicographic (version, ordinal) -------------
+
+  test("a dv ordered BEFORE a same-version re-add belongs to the dead instance") {
+    // v1: dv(ordinal 0) lands, then the path is removed and re-added
+    // (ordinals 1, 2) in the SAME version — the mask predates the new
+    // instance and must not apply
+    val before = frame(add(0, 0, "f"),
+      dv(1, 0, "f", Seq(3L)), rem(1, 1, "f"), add(1, 2, "f"))
+    assert(DeltaLog.deletionVectors(before).isEmpty,
+      "mask ordered before the same-version re-add must be dropped")
+    // same shape but the dv lands AFTER the re-add — now it scopes to the
+    // new instance and applies
+    val after = frame(add(0, 0, "f"),
+      rem(1, 0, "f"), add(1, 1, "f"), dv(1, 2, "f", Seq(3L)))
+    val got = DeltaLog.deletionVectors(after).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == Map("f" -> Seq(3L)))
+  }
+
+  // ---- loud failure guards ------------------------------------------------
+
+  test("dvAction raises on a non-live target path instead of dropping the delete") {
+    val live = DeltaLog.replay(frame(add(0, 0, "f")))
+    val ex = intercept[Exception] {
+      DeltaLog.dvAction(live, "typo-path", 1, 0, array(lit(0L))).collect()
+    }
+    assert(ex.getMessage.contains("non-live path"), ex.getMessage)
+    // and the happy path still emits exactly one schema-complete action row
+    val ok = DeltaLog.dvAction(live, "f", 1, 0, array(lit(0L), lit(2L))).collect()
+    assert(ok.length == 1 && ok.head.getSeq[Long](9) == Seq(0L, 2L))
+  }
+
+  test("optimizeActions raises when a masked input lacks net stats or they disagree") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "part-0", 10L), add(0, 1, "part-1", 10L),
+      dv(1, 0, "part-0", Seq(2L, 4L)))
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
+    val missing = intercept[Exception] {
+      DeltaLog.optimizeActions(live, 2, Some(dvs),
+        Some(Seq.empty[(String, Long, Long, Long, Long)]
+          .toDF("path", "n_rows", "min_key", "max_key", "cents"))).collect()
+    }
+    assert(missing.getMessage.contains("lacks net stats"), missing.getMessage)
+    val disagree = intercept[Exception] {
+      DeltaLog.optimizeActions(live, 2, Some(dvs),
+        Some(Seq(("part-0", 9L, 1L, 10L, 90L))
+          .toDF("path", "n_rows", "min_key", "max_key", "cents"))).collect()
+    }
+    assert(disagree.getMessage.contains("disagree with mask cardinality"), disagree.getMessage)
+  }
+
+  test("DV-aware OPTIMIZE compacts net of the mask; the stats-only path would resurrect") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "part-0", 10L), add(0, 1, "part-1", 10L),
+      dv(1, 0, "part-0", Seq(2L, 4L)))
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
+    val net = Seq(("part-0", 8L, 1L, 10L, 80L))
+      .toDF("path", "n_rows", "min_key", "max_key", "cents")
+    val good = DeltaLog.optimizeActions(live, 2, Some(dvs), Some(net))
+      .filter(col("op") === "add").select("n_rows").as[Long].collect()
+    assert(good.toSeq == Seq(18L), "compacted add must carry mask-net rows (8 + 10)")
+    // the round-10 latent bug, preserved as a negative: raw stats resurrect
+    val raw = DeltaLog.optimizeActions(live, 2)
+      .filter(col("op") === "add").select("n_rows").as[Long].collect()
+    assert(raw.toSeq == Seq(20L),
+      "stats-only compaction counts the masked rows back in — the bug dl14 gates against")
+  }
+
+  // ---- advice: analysis-time type check -----------------------------------
+
+  test("levenshtein_bytes rejects non-string arguments at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(3).select(col("id"), col("id").cast("string").as("s"))
+    val ex = intercept[Exception] {
+      df.select(call_function("levenshtein_bytes", col("id"), col("s"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"), ex.getMessage)
+    val ok = df.select(call_function("levenshtein_bytes", col("s"), col("s")).as("d"))
+      .collect().map(_.getLong(0))
+    assert(ok.forall(_ == 0L))
+  }
+}

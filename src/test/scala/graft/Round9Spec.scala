@@ -513,4 +513,72 @@ class DeltaStreamSpec extends SparkSpec {
     assert(got == want, "incremental fold must equal the one-shot replay")
     assert(stateV == 3)
   }
+
+  test("full-state fold carries dv + meta arriving in LATER micro-batches than their files' adds") {
+    import graft.ops.DeltaLog
+    val o = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
+    val logBase = DeltaLog.logLines(o).localCheckpoint()
+    val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
+    // metas at v0/v3; dv masks land at v4 and are REPLACED at v5 — every
+    // dv arrives micro-batches after its file's add (v0/v1), and v4/v5
+    // arrive after a consumer restart
+    val log = logBase.unionByName(DeltaLog.toLines(
+      DeltaLog.metaAction(spark, 0, -1, "k BIGINT")
+        .unionByName(DeltaLog.metaAction(spark, 3, -1, "k BIGINT, region VARCHAR"))
+        .unionByName(DeltaLog.dvAction(live0, "part-5", 4, 0, sequence(lit(0L), lit(6L))))
+        .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
+        .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 0, sequence(lit(0L), lit(4L))))))
+    val acts = DeltaLog.actions(log).localCheckpoint()
+    // the one-shot truths the fold must reproduce
+    val wantLive = DeltaLog.replay(acts).drop("buckets").collect().map(_.toSeq).toSet
+    val wantDvs = DeltaLog.deletionVectors(acts).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val wantSchema = DeltaLog.activeSchema(acts).collect().map(_.toSeq).toSet
+
+    val base = java.nio.file.Files.createTempDirectory("graft_dlfold").toString
+    val landing = s"$base/landing"; val ckpt = s"$base/ckpt"
+    def wave(v: Int) = acts.filter(col("version") === v)
+      .select(to_json(struct(acts.columns.map(col): _*)).as("line"))
+      .coalesce(1)
+
+    @volatile var state = spark.emptyDataFrame
+    @volatile var stateV = -1
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line", org.apache.spark.sql.types.StringType)))
+    def start() = graft.stream.Ingest.fileIngest(spark, landing, lineSchema,
+        b => b,
+        (b, _) => if (!b.isEmpty) synchronized {
+          val batchActs = DeltaLog.actions(b).localCheckpoint()
+          val maxV = batchActs.agg(max("version")).collect()(0).getInt(0)
+          state =
+            if (stateV < 0) DeltaLog.checkpointState(batchActs).localCheckpoint()
+            else DeltaLog.foldState(state, batchActs, stateV).localCheckpoint()
+          stateV = maxV
+        })
+      .option("checkpointLocation", ckpt).start()
+
+    wave(0).write.mode("overwrite").parquet(landing)
+    wave(1).write.mode("append").parquet(landing)
+    wave(2).write.mode("append").parquet(landing)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // v3 (meta) and v4/v5 (dv waves) land while the consumer is DOWN
+    wave(3).write.mode("append").parquet(landing)
+    wave(4).write.mode("append").parquet(landing)
+    wave(5).write.mode("append").parquet(landing)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(stateV == 5)
+
+    // the folded STATE is a replayable action set: all three state
+    // families must equal the one-shot full-log reads
+    val gotLive = DeltaLog.replay(state).drop("buckets").collect().map(_.toSeq).toSet
+    assert(gotLive == wantLive, "folded live set must equal the one-shot replay")
+    val gotDvs = DeltaLog.deletionVectors(state).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(gotDvs == wantDvs,
+      s"folded dv state must equal the one-shot masks (got $gotDvs want $wantDvs)")
+    assert(gotDvs("compact-0-1") == Seq(0L, 1L, 2L, 3L, 4L), "the v5 replacement mask must win")
+    val gotSchema = DeltaLog.activeSchema(state).collect().map(_.toSeq).toSet
+    assert(gotSchema == wantSchema, "folded meta state must equal the one-shot active schema")
+    assert(gotSchema.head.head == "k BIGINT, region VARCHAR")
+  }
 }
