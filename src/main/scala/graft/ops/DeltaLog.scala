@@ -151,6 +151,16 @@ object DeltaLog {
     effectiveDvRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts))
       .select(col("path"), col("dv"))
 
+  /** Identity view of the effective masks as of `asOf`: the
+    * (path, version, ordinal) coordinates of each dv ACTION that is the
+    * live mask of a live file instance. Vacuum accounting keys on this:
+    * a dv action that is the effective mask of NO retained snapshot is
+    * dead log weight (its instance died, or a later mask superseded it)
+    * and retires with the files it can no longer describe (dl15). */
+  def effectiveDvIds(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    effectiveDvRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts))
+      .select(col("path"), col("version"), col("ordinal"))
+
   /** The winning op='dv' ACTION rows (full [[actionSchema]] columns,
     * ORIGINAL version/ordinal) that are effective over the live file
     * set: per path the latest dv wins, and it must postdate its live

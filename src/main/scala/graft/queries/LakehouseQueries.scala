@@ -227,6 +227,111 @@ object LakehouseQueries extends QuerySet {
       rows.reduce(_ unionByName _).orderBy("version_from")
     })
 
+  /** CDF × deletion vectors — the other half of the incremental-consumer
+    * contract dl12 pinned for compaction: an op='dv' transition changes
+    * ROWS with ZERO file churn, and the feed must report it. Fixture:
+    * the base v0–v3 history, then v4 masks part-5 (pos % 7 = 3) and
+    * compact-0-1 (first 10), and v5 REPLACES compact-0-1's mask with a
+    * narrower one (first 4) — a partial RESTORE, so the v4→v5 feed
+    * reports rows_added = 6 with rows_removed = 0, while v3→v4 reports
+    * pure removals; both with files_added = files_removed = 0. Per-key
+    * copy counts subtract the version's effective mask (the engine loops
+    * the CANONICAL `deletionVectors(acts, asOf)` read per version — one
+    * shared scoping rule, never a re-derivation). One aggregate over the
+    * key space pivots all six versions; five output rows. */
+  val dl12bCdfDv = Q("dl12b_cdf_dv",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            vers AS (SELECT unnest(range(0, 6)) AS v),
+            livev AS (
+              SELECT v, path, b_lo, b_hi FROM (
+                SELECT vers.v, a.*, row_number() OVER (PARTITION BY vers.v, a.path
+                  ORDER BY a.version DESC, a.ordinal DESC) AS rn
+                FROM vers JOIN acts a ON a.version <= vers.v) t
+              WHERE rn = 1 AND op = 'add'),
+            files0 AS (SELECT DISTINCT path, b_lo, b_hi FROM livev),
+            rws AS (
+              SELECT f.path, o.o_orderkey,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM files0 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dvv AS (
+              SELECT 4 AS v, path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL SELECT 4, path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 10
+              UNION ALL SELECT 5, path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL SELECT 5, path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 4),
+            perkey AS (
+              SELECT r.o_orderkey,
+                ${(0 to 5).map(v => s"CAST(sum(CASE WHEN l.v = $v AND d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c$v").mkString(", ")}
+              FROM livev l JOIN rws r ON r.path = l.path
+              LEFT JOIN dvv d ON d.v = l.v AND d.path = r.path AND d.pos = r.pos
+              GROUP BY 1),
+            chg AS (SELECT
+              ${(0 to 4).map(t => s"""CAST(sum(greatest(c${t + 1} - c$t, 0)) AS BIGINT) AS a$t,
+                 CAST(sum(greatest(c$t - c${t + 1}, 0)) AS BIGINT) AS r$t""").mkString(", ")}
+              FROM perkey),
+            fdiff AS (SELECT
+              ${(0 to 4).map(t => s"""(SELECT CAST(count(*) AS BIGINT) FROM livev n WHERE n.v = ${t + 1}
+                   AND NOT EXISTS (SELECT 1 FROM livev o WHERE o.v = $t AND o.path = n.path)) AS fa$t,
+                 (SELECT CAST(count(*) AS BIGINT) FROM livev o WHERE o.v = $t
+                   AND NOT EXISTS (SELECT 1 FROM livev n WHERE n.v = ${t + 1} AND n.path = o.path)) AS fr$t""").mkString(", ")})
+            ${(0 to 4).map(t =>
+              s"""SELECT $t AS version_from, ${t + 1} AS version_to, fa$t AS files_added,
+                 fr$t AS files_removed, a$t AS rows_added, r$t AS rows_removed
+                 FROM chg CROSS JOIN fdiff""").mkString("\n            UNION ALL\n            ")}
+            ORDER BY version_from"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord)
+      val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
+      val log = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.dvAction(live0, "part-5", 4, 0,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 0, sequence(lit(0L), lit(3L))))))
+      val acts = DeltaLog.actions(log).localCheckpoint()
+      // the canonical per-version reads — liveness AND masks — feed both
+      // the pivot and the file diff
+      val livev = (0 to 5).map(v => DeltaLog.replayWithBirth(acts, Some(v))
+          .select(lit(v).as("v"), col("path"), col("buckets")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val dvv = (0 to 5).map(v => DeltaLog.deletionVectors(acts, Some(v))
+          .select(lit(v).as("v"), col("path"), explode(col("dv")).as("pos")))
+        .reduce(_ unionByName _).withColumn("hit", lit(1)).localCheckpoint()
+      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+      val rws = livev.select("path", "buckets").distinct()
+        .select(col("path"), explode(col("buckets")).as("bucket"))
+        .join(ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"), col("o_orderkey")),
+          Seq("bucket"))
+        .select(col("path"), col("o_orderkey"),
+          (row_number().over(w) - 1).cast("long").as("pos"))
+      val pivots = (0 to 5).map(v =>
+        sum(when(col("v") === v && col("hit").isNull, 1L).otherwise(0L)).as(s"c$v"))
+      val perkey = rws.join(broadcast(livev.select("v", "path")), Seq("path"))
+        .join(broadcast(dvv), Seq("v", "path", "pos"), "left")
+        .groupBy("o_orderkey")
+        .agg(pivots.head, pivots.tail: _*)
+      val chgAggs = (0 to 4).flatMap(t => Seq(
+        sum(greatest(col(s"c${t + 1}") - col(s"c$t"), lit(0L))).as(s"a$t"),
+        sum(greatest(col(s"c$t") - col(s"c${t + 1}"), lit(0L))).as(s"r$t")))
+      val chg = perkey.agg(chgAggs.head, chgAggs.tail: _*)
+      val files = livev.select("v", "path").distinct().localCheckpoint()
+      def fcount(t: Int, added: Boolean) = {
+        val (a, b) = if (added) (t + 1, t) else (t, t + 1)
+        files.filter(col("v") === a)
+          .join(files.filter(col("v") === b).select(col("path").as("p2")),
+            col("path") === col("p2"), "left_anti")
+          .agg(count(lit(1)).as(if (added) s"fa$t" else s"fr$t"))
+      }
+      val fdiff = (0 to 4).flatMap(t => Seq(fcount(t, added = true), fcount(t, added = false)))
+        .map(df => broadcast(df)).reduce(_.crossJoin(_))
+      val rows = (0 to 4).map(t =>
+        chg.crossJoin(broadcast(fdiff)).select(
+          lit(t).as("version_from"), lit(t + 1).as("version_to"),
+          col(s"fa$t").as("files_added"), col(s"fr$t").as("files_removed"),
+          col(s"a$t").as("rows_added"), col(s"r$t").as("rows_removed")))
+      rows.reduce(_ unionByName _).orderBy("version_from")
+    })
+
   /** Z-order vs linear layout, measured through stats skipping: the same
     * orders rows sliced into 64 files by a linear key range (custkey
     * buckets — what a (custkey, day) sort produces at file granularity)
@@ -954,6 +1059,112 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Vacuum × DV lifetimes — dl7's removability rule extended to dv
+    * ACTIONS (identified by their (path, version, ordinal) coordinates):
+    * a mask is KEPT iff it is the EFFECTIVE mask of a live file instance
+    * in at least one retained snapshot; otherwise it is dead log weight
+    * and retires with the files it can no longer describe. The fixture
+    * plants all three death modes plus a survivor, with retention
+    * R = 5 (retained = latest only): (a) part-2's v1 mask dies with its
+    * vacuumed file; (b) part-3's v4 mask dies by PATH REUSE — part-3 is
+    * removed and re-added at v5, so the path is live but the mask's
+    * INSTANCE is not (the lexicographic scoping rule decides, shared
+    * with every read path); (c) compact-0-1's v4 mask dies superseded by
+    * the v5 replacement; (d) part-5's v4 mask survives (effective at
+    * v5). File rows keep dl7's path-keyed rule. Log-sized throughout —
+    * masks and files retire from the LOG's coordinates, no data read. */
+  val dl15VacuumDv = Q("dl15_vacuum_dv",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            extra AS (
+              SELECT 5 AS version, 0 AS ordinal, 'remove' AS op, 'part-3' AS path,
+                CAST(NULL AS BIGINT) AS b_lo, CAST(NULL AS BIGINT) AS b_hi,
+                CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS min_key,
+                CAST(NULL AS BIGINT) AS max_key, CAST(NULL AS BIGINT) AS cents
+              UNION ALL
+              SELECT 5, 1, 'add', 'part-3', 3, 3, n_rows, min_key, max_key, cents
+              FROM bks WHERE bucket = 3),
+            acts2 AS (SELECT * FROM acts UNION ALL SELECT * FROM extra),
+            dvacts(path, version, ordinal) AS (VALUES
+              ('part-2', 1, 3), ('part-5', 4, 0), ('part-3', 4, 1),
+              ('compact-0-1', 4, 2), ('compact-0-1', 5, 2)),
+            vers AS (SELECT DISTINCT version AS v FROM acts2 WHERE version >= 5),
+            livev AS (
+              SELECT v, path, version AS add_version, ordinal AS add_ordinal FROM (
+                SELECT r.v, a.*, row_number() OVER (PARTITION BY r.v, a.path
+                  ORDER BY a.version DESC, a.ordinal DESC) AS rn
+                FROM vers r JOIN acts2 a ON a.version <= r.v) t
+              WHERE rn = 1 AND op = 'add'),
+            effdv AS (
+              SELECT DISTINCT d.path, d.version, d.ordinal FROM (
+                SELECT r.v, dd.*, row_number() OVER (PARTITION BY r.v, dd.path
+                  ORDER BY dd.version DESC, dd.ordinal DESC) AS rn
+                FROM vers r JOIN dvacts dd ON dd.version <= r.v) d
+              JOIN livev l ON l.v = d.v AND l.path = d.path
+              WHERE d.rn = 1 AND (d.version > l.add_version
+                OR (d.version = l.add_version AND d.ordinal >= l.add_ordinal))),
+            ever AS (SELECT DISTINCT path, n_rows FROM acts2 WHERE op = 'add'),
+            retained AS (SELECT DISTINCT path FROM livev)
+            SELECT kind, item, status, freed_rows FROM (
+              SELECT 'file' AS kind, e.path AS item,
+                CASE WHEN r.path IS NULL THEN 'vacuum' ELSE 'keep' END AS status,
+                CASE WHEN r.path IS NULL THEN e.n_rows ELSE CAST(0 AS BIGINT) END AS freed_rows
+              FROM ever e LEFT JOIN retained r ON r.path = e.path
+              UNION ALL
+              SELECT 'dv', d.path || '@' || d.version || '.' || d.ordinal,
+                CASE WHEN k.path IS NULL THEN 'vacuum' ELSE 'keep' END, CAST(0 AS BIGINT)
+              FROM dvacts d LEFT JOIN effdv k
+                ON k.path = d.path AND k.version = d.version AND k.ordinal = d.ordinal
+            ) t ORDER BY kind, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord)
+      val liveV0 = DeltaLog.snapshot(logBase, Some(0)).localCheckpoint()
+      val live3 = DeltaLog.snapshot(logBase).localCheckpoint()
+      val remove3 = s.range(1).select(lit(5).as("version"), lit(0).as("ordinal"),
+        lit("remove").as("op"), lit("part-3").as("path"),
+        lit(null).cast("array<bigint>").as("buckets"), lit(null).cast("bigint").as("n_rows"),
+        lit(null).cast("bigint").as("min_key"), lit(null).cast("bigint").as("max_key"),
+        lit(null).cast("bigint").as("cents"), lit(null).cast("array<bigint>").as("dv"),
+        lit(null).cast("string").as("schema_str"))
+      val readd3 = DeltaLog.buckets(ord).filter(col("bucket") === 3)
+        .select(lit(5).as("version"), lit(1).as("ordinal"), lit("add").as("op"),
+          lit("part-3").as("path"), array(lit(3L)).as("buckets"),
+          col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+          col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
+          lit(null).cast("array<bigint>").as("dv"), lit(null).cast("string").as("schema_str"))
+      val log = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.dvAction(liveV0, "part-2", 1, 3, sequence(lit(0L), lit(1L)))
+          .unionByName(DeltaLog.dvAction(live3, "part-5", 4, 0, sequence(lit(0L), lit(4L))))
+          .unionByName(DeltaLog.dvAction(live3, "part-3", 4, 1, sequence(lit(0L), lit(2L))))
+          .unionByName(DeltaLog.dvAction(live3, "compact-0-1", 4, 2, sequence(lit(0L), lit(9L))))
+          .unionByName(remove3).unionByName(readd3)
+          .unionByName(DeltaLog.dvAction(live3, "compact-0-1", 5, 2, sequence(lit(0L), lit(3L))))))
+      val acts = DeltaLog.actions(log).localCheckpoint()
+      // retained window R..latest; the fixture's last version is 5, so
+      // the window is the single latest snapshot (the same loop shape as
+      // the dl12b per-version reads — each member uses the CANONICAL
+      // replay/effectiveDvIds paths, never a re-derived race)
+      val retainedVs = Seq(5)
+      val retainedLive = retainedVs.map(v => DeltaLog.replay(acts, Some(v)).select("path"))
+        .reduce(_ unionByName _).distinct()
+        .withColumnRenamed("path", "rp").localCheckpoint()
+      val ever = acts.filter(col("op") === "add").select("path", "n_rows").distinct()
+      val fileRows = ever.join(broadcast(retainedLive), col("path") === col("rp"), "left")
+        .select(lit("file").as("kind"), col("path").as("item"),
+          when(col("rp").isNull, "vacuum").otherwise("keep").as("status"),
+          when(col("rp").isNull, col("n_rows")).otherwise(lit(0L)).as("freed_rows"))
+      val keepIds = retainedVs.map(v => DeltaLog.effectiveDvIds(acts, Some(v)))
+        .reduce(_ unionByName _).distinct().withColumn("eff", lit(1))
+      val dvRows = acts.filter(col("op") === "dv").select("path", "version", "ordinal")
+        .join(broadcast(keepIds), Seq("path", "version", "ordinal"), "left")
+        .select(lit("dv").as("kind"),
+          concat(col("path"), lit("@"), col("version").cast("string"),
+            lit("."), col("ordinal").cast("string")).as("item"),
+          when(col("eff").isNull, "vacuum").otherwise("keep").as("status"),
+          lit(0L).as("freed_rows"))
+      fileRows.unionByName(dvRows).orderBy("kind", "item")
+    })
+
   /** Clustering-quality metric (the number Snowflake publishes as
     * SYSTEM$CLUSTERING_INFORMATION's "depth", and what an operator reads
     * before deciding to run dl9's OPTIMIZE or a k4 re-sort): for every
@@ -1116,6 +1327,7 @@ object LakehouseQueries extends QuerySet {
     })
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
-    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf,
-    dl13CheckpointFullState, dl14OptimizeDv, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
+    dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv,
+    k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

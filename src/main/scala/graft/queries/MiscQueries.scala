@@ -2245,6 +2245,109 @@ object MiscQueries extends QuerySet {
       graft.eval.Eval.run(questions, identity)._2
     })
 
+  /** The eval REPORT exhibit (ref `backend/scripts/run_eval.py:179-249`
+    * renders the judged golden set to `eval_report.html`, committed at
+    * the repo root — the last reference output artifact with no engine
+    * analog): the j6 golden set, judged by the same `Eval.judgeScore`,
+    * rendered to ONE genuinely-viewable HTML document — summary banner
+    * (total percentage + grade banding + per-level score ledgers) and a
+    * per-question table row with level class and score badge, mirroring
+    * the ref's markup structure. Hash-gated like pdf13's SVG: every
+    * number in the document is EXACT integer arithmetic (percentage as
+    * integer permille, per-level ledgers as sum/n) — no float
+    * formatting, so the string hashes identically cross-engine; truth
+    * prefixes are HTML-escaped by an identical replace chain. ONE hash
+    * aggregate (conditional sums + per-question bounded collect, the cv1
+    * shape) — window-free, scales as one pass over the golden set. */
+  val ev10Report = Q("ev10_eval_report",
+    Some("""WITH qs AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'easy' WHEN doc_id % 3 = 1 THEN 'medium' ELSE 'hard' END AS level,
+                text AS answer,
+                CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 24)
+                     ELSE concat(substr(text, 1, 12), ' zzzq wwwx') END AS truth
+              FROM documents),
+            judged AS (
+              SELECT doc_id, level, truth,
+                CASE WHEN contains(na, nt) THEN 5
+                     WHEN 2 * len(list_filter(tt, t -> contains(na, t))) >= len(tt) THEN 3
+                     ELSE 1 END AS score
+              FROM (
+                SELECT doc_id, level, truth,
+                  lower(regexp_replace(answer, '\s+', ' ', 'g')) AS na,
+                  lower(regexp_replace(truth, '\s+', ' ', 'g')) AS nt,
+                  list_distinct(list_filter(string_split_regex(lower(regexp_replace(truth, '\s+', ' ', 'g')), ' '), t -> t <> '')) AS tt
+                FROM qs) x),
+            rws AS (
+              SELECT doc_id, level, score,
+                '<tr class="' || level || '"><td>q' || doc_id || '</td><td>' || level
+                  || '</td><td>'
+                  || replace(replace(replace(substr(truth, 1, 20), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                  || '</td><td><span class="s-' || score || '">' || score
+                  || '</span></td></tr>' AS rh
+              FROM judged),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_questions,
+                CAST(sum(score) AS BIGINT) AS score_sum,
+                CAST(sum(CASE WHEN level = 'easy' THEN score ELSE 0 END) AS BIGINT) AS se,
+                CAST(sum(CASE WHEN level = 'easy' THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                CAST(sum(CASE WHEN level = 'medium' THEN score ELSE 0 END) AS BIGINT) AS sm,
+                CAST(sum(CASE WHEN level = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+                CAST(sum(CASE WHEN level = 'hard' THEN score ELSE 0 END) AS BIGINT) AS sh,
+                CAST(sum(CASE WHEN level = 'hard' THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+                string_agg(rh, '' ORDER BY doc_id) AS body
+              FROM rws),
+            p AS (SELECT *, (1000 * score_sum) // (5 * n_questions) AS pct10 FROM agg),
+            g AS (SELECT *, CASE WHEN pct10 >= 800 THEN 'Excellent'
+                     WHEN pct10 >= 700 THEN 'Good' WHEN pct10 >= 500 THEN 'Fair'
+                     ELSE 'Poor' END AS grade FROM p)
+            SELECT n_questions, score_sum, pct10, grade,
+              '<!DOCTYPE html><html><head><meta charset="UTF-8"><title>Eval Report</title></head><body><h1>Evaluation Report</h1><div class="summary">Total: '
+                || (pct10 // 10) || '.' || (pct10 % 10) || '% (' || grade
+                || ') | easy ' || se || '/' || ne || ' | medium ' || sm || '/' || nm
+                || ' | hard ' || sh || '/' || nh
+                || '</div><table><tbody>' || body || '</tbody></table></body></html>' AS html
+            FROM g"""),
+    (s, d) => {
+      val questions = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "easy").when(col("doc_id") % 3 === 1, "medium")
+          .otherwise("hard").as("level"),
+        col("text").as("answer"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 1, 24))
+          .otherwise(concat(substring(col("text"), 1, 12), lit(" zzzq wwwx"))).as("truth"))
+      val judged = questions.withColumn("score",
+        graft.eval.Eval.judgeScore(col("answer"), col("truth")))
+      val esc = expr(
+        "replace(replace(replace(substring(truth, 1, 20), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+      val rh = concat(lit("<tr class=\""), col("level"), lit("\"><td>q"), col("doc_id"),
+        lit("</td><td>"), col("level"), lit("</td><td>"), esc,
+        lit("</td><td><span class=\"s-"), col("score"), lit("\">"), col("score"),
+        lit("</span></td></tr>"))
+      val agg = judged.select(col("doc_id"), col("level"), col("score"), rh.as("rh"))
+        .agg(count(lit(1)).cast("long").as("n_questions"),
+          sum("score").cast("long").as("score_sum"),
+          sum(when(col("level") === "easy", col("score")).otherwise(0)).cast("long").as("se"),
+          sum(when(col("level") === "easy", 1).otherwise(0)).cast("long").as("ne"),
+          sum(when(col("level") === "medium", col("score")).otherwise(0)).cast("long").as("sm"),
+          sum(when(col("level") === "medium", 1).otherwise(0)).cast("long").as("nm"),
+          sum(when(col("level") === "hard", col("score")).otherwise(0)).cast("long").as("sh"),
+          sum(when(col("level") === "hard", 1).otherwise(0)).cast("long").as("nh"),
+          concat_ws("", transform(array_sort(collect_list(struct(col("doc_id"), col("rh")))),
+            x => x.getField("rh"))).as("body"))
+      agg.withColumn("pct10", expr("(1000 * score_sum) div (5 * n_questions)"))
+        .withColumn("grade", when(col("pct10") >= 800, "Excellent")
+          .when(col("pct10") >= 700, "Good").when(col("pct10") >= 500, "Fair")
+          .otherwise("Poor"))
+        .select(col("n_questions"), col("score_sum"), col("pct10"), col("grade"),
+          concat(lit("<!DOCTYPE html><html><head><meta charset=\"UTF-8\"><title>Eval Report</title></head><body><h1>Evaluation Report</h1><div class=\"summary\">Total: "),
+            expr("pct10 div 10"), lit("."), expr("pct10 % 10"), lit("% ("), col("grade"),
+            lit(") | easy "), col("se"), lit("/"), col("ne"),
+            lit(" | medium "), col("sm"), lit("/"), col("nm"),
+            lit(" | hard "), col("sh"), lit("/"), col("nh"),
+            lit("</div><table><tbody>"), col("body"),
+            lit("</tbody></table></body></html>")).as("html"))
+    })
+
   /** The full corpus-curation pipeline (quality gate → PII redaction →
     * exact dedup → LSH near-dup clustering → benchmark decontamination →
     * stratified mixing) as ONE oracle-checked query: documents with
@@ -3019,7 +3122,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, orc1Roundtrip, pq1Meta, a16Unpivot, a17GroupingSets, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, ev10Report, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, an1Analyze, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, x14cSampleBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }
