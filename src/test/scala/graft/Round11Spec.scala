@@ -136,6 +136,33 @@ class Round11Spec extends SparkSpec {
       "stats-only compaction counts the masked rows back in — the bug dl14 gates against")
   }
 
+  // ---- clustered ANN: the pruning BENEFIT, not just the mechanism ---------
+
+  test("v13 clustered fixture: high recall at small nprobe with a small scan fraction") {
+    val rows = graft.queries.VectorQueries.v13ClusteredNprobe.fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val byProbe = rows.map(r => r._1 -> r).toMap
+    // the claim v10b's isotropic fixture cannot make: pruning WINS here
+    assert(byProbe(1)._2 >= 0.9, s"recall@nprobe=1 must be >= 0.9, got ${byProbe(1)._2}")
+    assert(byProbe(2)._2 >= 0.9, s"recall@nprobe=2 must be >= 0.9, got ${byProbe(2)._2}")
+    assert(byProbe(2)._3 <= 0.35, s"nprobe=2 must scan <= 35% of rows, got ${byProbe(2)._3}")
+    // kept from the v10b gate family: monotone curve, brute-force anchor
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "recall must be monotone in nprobe")
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) < p(1)), "scan fraction must grow with nprobe")
+    assert(byProbe(8)._2 == 1.0, "nprobe = #cells is brute force: recall exactly 1.0")
+    // independent reconstruction: the fixture is genuinely clustered —
+    // every vector's nearest planted center is its own cluster's (a
+    // centroid-training regression would break this first)
+    def vec(v: Long): Array[Double] = Array.tabulate(64)(i =>
+      (if (i / 8 == v % 8) 2.0 else 0.0) + ((v * 31 + i * 17) % 7 - 3) / 10.0)
+    def center(k: Int): Array[Double] = Array.tabulate(64)(i => if (i / 8 == k) 2.0 else 0.0)
+    for (v <- 0L until 64L) {
+      val d2 = (0 until 8).map(k =>
+        k -> vec(v).zip(center(k)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(d2.minBy(_._2)._1 == (v % 8).toInt, s"vector $v must assign to its own cluster")
+    }
+  }
+
   // ---- advice: analysis-time type check -----------------------------------
 
   test("levenshtein_bytes rejects non-string arguments at analysis time") {
