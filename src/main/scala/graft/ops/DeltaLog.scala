@@ -100,23 +100,39 @@ object DeltaLog {
         .otherwise(col("a")).as("a"))
       .select("a.*")
 
-  /** ONE copy of the last-wins replay window (the tie-break rule every
-    * reader shares): per path the highest (version, ordinal) FILE action
-    * wins; survivors are the `add`s. Only add/remove participate in the
-    * liveness race — a later non-file action on the same path (a dv
-    * mask, a future stats refresh) must never out-rank the add and drop
-    * the file; the filter lives HERE so every replay path (snapshot,
-    * checkpointed, incremental fold) shares it. Returns rows WITH
-    * version/ordinal retained so callers can derive provenance before
-    * dropping them. */
-  private def lastWins(acts: DataFrame): DataFrame = {
+  /** ONE copy of the last-wins FILE race, vectorized over a frame of
+    * as-of versions (column `v`): per (v, path) the highest
+    * (version, ordinal) file action wins; survivors are the `add`s.
+    * Only add/remove participate in the liveness race — a later
+    * non-file action on the same path (a dv mask, a future stats
+    * refresh) must never out-rank the add and drop the file; the filter
+    * lives HERE so every replay path (snapshot, checkpointed,
+    * incremental fold, per-version grids) shares it. Single-version
+    * readers come through [[lastWins]] with a one-row version frame;
+    * per-version readers (time travel, CDF, vacuum retention) pass
+    * their whole version range — same rule, ONE window pass instead of
+    * one scheduling floor per version (six looped replays cost 6× the
+    * stage floor for identical results). Returns rows with `v` and the
+    * winning add's ORIGINAL (version, ordinal) retained. */
+  def replayGrid(acts: DataFrame, versions: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    acts.filter(col("op").isin("add", "remove"))
+    val w = Window.partitionBy(col("v"), col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    versions.join(acts.filter(col("op").isin("add", "remove")), acts("version") <= versions("v"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") === "add")
       .drop("rn")
   }
+
+  /** One-row version frame for the single-as-of readers (None = no
+    * bound — every action participates). */
+  private def oneVersion(spark: SparkSession, asOf: Option[Int]): DataFrame =
+    spark.range(1).select(lit(asOf.getOrElse(Int.MaxValue)).as("v"))
+
+  /** [[replayGrid]] at a single unbounded cut — the shape every
+    * single-snapshot reader shares. Returns rows WITH version/ordinal
+    * retained so callers can derive provenance before dropping them. */
+  private def lastWins(acts: DataFrame): DataFrame =
+    replayGrid(acts, oneVersion(acts.sparkSession, None)).drop("v")
 
   /** Replay the log into the live file set as of `asOf` (None = latest):
     * per path, the last action (version, ordinal) wins; live = `add`. */
@@ -161,28 +177,35 @@ object DeltaLog {
     effectiveDvRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts))
       .select(col("path"), col("version"), col("ordinal"))
 
-  /** The winning op='dv' ACTION rows (full [[actionSchema]] columns,
-    * ORIGINAL version/ordinal) that are effective over the live file
-    * set: per path the latest dv wins, and it must postdate its live
-    * file's birth LEXICOGRAPHICALLY on (version, ordinal) — a dv
-    * committed in the same version as a remove+re-add of the path but
-    * ORDERED BEFORE the re-add belongs to the removed predecessor and
-    * must not mask the new instance. Shared by [[deletionVectors]]
-    * (the read path) and [[checkpointState]] (which persists these
-    * rows verbatim, the way a real Delta checkpoint persists DV
-    * references inline with its file list). */
-  private def effectiveDvRows(bounded: DataFrame): DataFrame = {
+  /** The effective-mask race, vectorized over a version frame like
+    * [[replayGrid]]: per (v, path) the latest op='dv' action wins, and
+    * it must postdate its live file's birth LEXICOGRAPHICALLY on
+    * (version, ordinal) — a dv committed in the same version as a
+    * remove+re-add of the path but ORDERED BEFORE the re-add belongs to
+    * the removed predecessor and must not mask the new instance.
+    * Returns full [[actionSchema]] columns plus `v`. Shared by
+    * [[deletionVectors]] / [[effectiveDvIds]] (single cut), the
+    * per-version CDF/vacuum readers (whole range), and
+    * [[checkpointState]] (which persists the winning rows verbatim, the
+    * way a real Delta checkpoint persists DV references inline with its
+    * file list). */
+  def deletionVectorGrid(acts: DataFrame, versions: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    val latestDv = bounded.filter(col("op") === "dv")
+    val w = Window.partitionBy(col("v"), col("path")).orderBy(col("version").desc, col("ordinal").desc)
+    val latestDv = versions.join(acts.filter(col("op") === "dv"), acts("version") <= versions("v"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    val liveBirth = lastWins(bounded)
-      .select(col("path"), col("version").as("add_version"), col("ordinal").as("add_ordinal"))
-    latestDv.join(liveBirth, Seq("path"))
+    val liveBirth = replayGrid(acts, versions)
+      .select(col("v"), col("path"), col("version").as("add_version"), col("ordinal").as("add_ordinal"))
+    latestDv.join(liveBirth, Seq("v", "path"))
       .filter(col("version") > col("add_version") ||
         (col("version") === col("add_version") && col("ordinal") >= col("add_ordinal")))
       .drop("add_version", "add_ordinal")
   }
+
+  /** [[deletionVectorGrid]] at a single unbounded cut (callers pass
+    * pre-bounded action frames). */
+  private def effectiveDvRows(bounded: DataFrame): DataFrame =
+    deletionVectorGrid(bounded, oneVersion(bounded.sparkSession, None)).drop("v")
 
   /** OPTIMIZE chosen BY the engine and written AS a real transaction —
     * the loop every lakehouse runs (Delta OPTIMIZE / bin-packing): pair

@@ -42,11 +42,7 @@ object LakehouseQueries extends QuerySet {
     (s, d) => {
       val acts = DeltaLog.actions(DeltaLog.logLines(orders(s, d)))
       val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
-      val reps = versions.join(acts, acts("version") <= versions("v"))
-      val w = Window.partitionBy(col("v"), col("path"))
-        .orderBy(col("version").desc, col("ordinal").desc)
-      reps.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") === "add")
+      DeltaLog.replayGrid(acts, versions)
         .groupBy(col("v").as("version"))
         .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
           sum("cents").as("sum_cents"))
@@ -190,13 +186,8 @@ object LakehouseQueries extends QuerySet {
     (s, d) => {
       val acts = DeltaLog.actions(DeltaLog.logLines(orders(s, d))).localCheckpoint()
       val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
-      val wl = Window.partitionBy(col("v"), col("path"))
-        .orderBy(col("version").desc, col("ordinal").desc)
       // livev feeds the per-key pivot AND both sides of the file diff
-      val livev = versions.join(acts.filter(col("op").isin("add", "remove")),
-          acts("version") <= versions("v"))
-        .withColumn("rn", row_number().over(wl))
-        .filter(col("rn") === 1 && col("op") === "add")
+      val livev = DeltaLog.replayGrid(acts, versions)
         .select(col("v"), col("path"), explode(col("buckets")).as("bucket"))
         .localCheckpoint()
       val perkey = orders(s, d)
@@ -209,18 +200,20 @@ object LakehouseQueries extends QuerySet {
         sum(greatest(col(s"c${t + 1}") - col(s"c$t"), lit(0L))).as(s"a$t"),
         sum(greatest(col(s"c$t") - col(s"c${t + 1}"), lit(0L))).as(s"r$t")))
       val chg = perkey.agg(chgAggs.head, chgAggs.tail: _*)
-      val files = livev.select("v", "path").distinct().localCheckpoint()
-      def fcount(t: Int, added: Boolean) = {
-        val (a, b) = if (added) (t + 1, t) else (t, t + 1)
-        files.filter(col("v") === a)
-          .join(files.filter(col("v") === b).select(col("path").as("p2")),
-            col("path") === col("p2"), "left_anti")
-          .agg(count(lit(1)).as(if (added) s"fa$t" else s"fr$t"))
-      }
-      val fdiff = (0 to 2).flatMap(t => Seq(fcount(t, added = true), fcount(t, added = false)))
-        .map(df => broadcast(df)).reduce(_.crossJoin(_))
+      // file diff as ONE per-path presence pivot (a per-transition
+      // anti-join pair spawns 2 jobs per transition for the same counts)
+      val fPivots = (0 to 3).map(v => max(when(col("v") === v, 1).otherwise(0)).as(s"f$v"))
+      val fAggs = (0 to 2).flatMap(t => Seq(
+        sum(when(col(s"f${t + 1}") === 1 && col(s"f$t") === 0, 1L).otherwise(0L)).as(s"fa$t"),
+        sum(when(col(s"f$t") === 1 && col(s"f${t + 1}") === 0, 1L).otherwise(0L)).as(s"fr$t")))
+      val fdiff = livev.select("v", "path").distinct()
+        .groupBy("path").agg(fPivots.head, fPivots.tail: _*)
+        .agg(fAggs.head, fAggs.tail: _*)
+      // ONE row carries every transition's totals; materialize it or each
+      // of the three output branches re-runs the whole per-key aggregate
+      val totals = chg.crossJoin(broadcast(fdiff)).localCheckpoint()
       val rows = (0 to 2).map(t =>
-        chg.crossJoin(broadcast(fdiff)).select(
+        totals.select(
           lit(t).as("version_from"), lit(t + 1).as("version_to"),
           col(s"fa$t").as("files_added"), col(s"fr$t").as("files_removed"),
           col(s"a$t").as("rows_added"), col(s"r$t").as("rows_removed")))
@@ -289,14 +282,18 @@ object LakehouseQueries extends QuerySet {
           .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
           .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 0, sequence(lit(0L), lit(3L))))))
       val acts = DeltaLog.actions(log).localCheckpoint()
-      // the canonical per-version reads — liveness AND masks — feed both
-      // the pivot and the file diff
-      val livev = (0 to 5).map(v => DeltaLog.replayWithBirth(acts, Some(v))
-          .select(lit(v).as("v"), col("path"), col("buckets")))
-        .reduce(_ unionByName _).localCheckpoint()
-      val dvv = (0 to 5).map(v => DeltaLog.deletionVectors(acts, Some(v))
-          .select(lit(v).as("v"), col("path"), explode(col("dv")).as("pos")))
-        .reduce(_ unionByName _).withColumn("hit", lit(1)).localCheckpoint()
+      // the canonical per-version reads — liveness AND masks — in ONE
+      // grid pass each (a looped per-version read costs a stage floor
+      // per version for identical results); both feed the pivot and the
+      // file diff
+      val versionsDf = s.range(0, 6).select(col("id").cast("int").as("v"))
+      val livev = DeltaLog.replayGrid(acts, versionsDf)
+        .select(col("v"), col("path"), col("buckets")).localCheckpoint()
+      // single consumer (the perkey join) over checkpointed acts — no
+      // re-execution to guard, so no materialization job either
+      val dvv = DeltaLog.deletionVectorGrid(acts, versionsDf)
+        .select(col("v"), col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
       val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
       val rws = livev.select("path", "buckets").distinct()
         .select(col("path"), explode(col("buckets")).as("bucket"))
@@ -314,18 +311,19 @@ object LakehouseQueries extends QuerySet {
         sum(greatest(col(s"c${t + 1}") - col(s"c$t"), lit(0L))).as(s"a$t"),
         sum(greatest(col(s"c$t") - col(s"c${t + 1}"), lit(0L))).as(s"r$t")))
       val chg = perkey.agg(chgAggs.head, chgAggs.tail: _*)
-      val files = livev.select("v", "path").distinct().localCheckpoint()
-      def fcount(t: Int, added: Boolean) = {
-        val (a, b) = if (added) (t + 1, t) else (t, t + 1)
-        files.filter(col("v") === a)
-          .join(files.filter(col("v") === b).select(col("path").as("p2")),
-            col("path") === col("p2"), "left_anti")
-          .agg(count(lit(1)).as(if (added) s"fa$t" else s"fr$t"))
-      }
-      val fdiff = (0 to 4).flatMap(t => Seq(fcount(t, added = true), fcount(t, added = false)))
-        .map(df => broadcast(df)).reduce(_.crossJoin(_))
+      // file diff as ONE per-path presence pivot; ONE materialized totals
+      // row feeds all five output branches (each branch would otherwise
+      // re-run the whole per-key aggregate)
+      val fPivots = (0 to 5).map(v => max(when(col("v") === v, 1).otherwise(0)).as(s"f$v"))
+      val fAggs = (0 to 4).flatMap(t => Seq(
+        sum(when(col(s"f${t + 1}") === 1 && col(s"f$t") === 0, 1L).otherwise(0L)).as(s"fa$t"),
+        sum(when(col(s"f$t") === 1 && col(s"f${t + 1}") === 0, 1L).otherwise(0L)).as(s"fr$t")))
+      val fdiff = livev.select("v", "path").distinct()
+        .groupBy("path").agg(fPivots.head, fPivots.tail: _*)
+        .agg(fAggs.head, fAggs.tail: _*)
+      val totals = chg.crossJoin(broadcast(fdiff)).localCheckpoint()
       val rows = (0 to 4).map(t =>
-        chg.crossJoin(broadcast(fdiff)).select(
+        totals.select(
           lit(t).as("version_from"), lit(t + 1).as("version_to"),
           col(s"fa$t").as("files_added"), col(s"fr$t").as("files_removed"),
           col(s"a$t").as("rows_added"), col(s"r$t").as("rows_removed")))
@@ -435,11 +433,7 @@ object LakehouseQueries extends QuerySet {
       val acts = DeltaLog.actions(DeltaLog.logLines(orders(s, d))).localCheckpoint()
       val ever = acts.filter(col("op") === "add").select("path", "n_rows").distinct()
       val vers = acts.select(col("version").as("v")).filter(col("v") >= 2).distinct()
-      val reps = vers.join(acts, acts("version") <= vers("v"))
-      val w = Window.partitionBy(col("v"), col("path"))
-        .orderBy(col("version").desc, col("ordinal").desc)
-      val retained = reps.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") === "add")
+      val retained = DeltaLog.replayGrid(acts, vers)
         .select(col("path").as("rpath")).distinct()
       ever.join(retained, col("path") === col("rpath"), "left")
         .select(col("path"),
@@ -766,13 +760,7 @@ object LakehouseQueries extends QuerySet {
       // acts feeds the per-version live race AND the per-version schema race
       val acts = DeltaLog.actions(log).localCheckpoint()
       val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
-      val wl = Window.partitionBy(col("v"), col("path"))
-        .orderBy(col("version").desc, col("ordinal").desc)
-      // file actions only in the liveness race (the lastWins rule)
-      val livev = versions.join(acts.filter(col("op").isin("add", "remove")),
-          acts("version") <= versions("v"))
-        .withColumn("rn", row_number().over(wl))
-        .filter(col("rn") === 1 && col("op") === "add")
+      val livev = DeltaLog.replayGrid(acts, versions)
         .select(col("v"), col("path"), col("version").as("add_version"))
       val wm = Window.partitionBy(col("v")).orderBy(col("version").desc, col("ordinal").desc)
       val activem = versions.join(acts.filter(col("op") === "meta"),
@@ -842,7 +830,8 @@ object LakehouseQueries extends QuerySet {
             ORDER BY r.path"""),
     (s, d) => {
       val ord = orders(s, d)
-      val logBase = DeltaLog.logLines(ord)
+      // feeds live0, the final log union AND (via buckets) append-1
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
       val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
       val append1 = DeltaLog.buckets(ord).filter(col("bucket") === 4)
         .select(lit(5).as("version"), lit(1).as("ordinal"), lit("add").as("op"),
@@ -858,8 +847,12 @@ object LakehouseQueries extends QuerySet {
           .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
           .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 0, sequence(lit(0L), lit(4L))))
           .unionByName(append1)))
+      // parse ONCE before the races: checkpointState fans into four
+      // branches (file race, dv race ×2, meta race) and each would
+      // otherwise replay the whole log-build DAG back to the orders scan
+      val acts = DeltaLog.actions(log).localCheckpoint()
       // the reader's world from here on is ONLY checkpoint(≤4) + tail(5)
-      val cpActs = DeltaLog.checkpointedActions(DeltaLog.actions(log), 4).localCheckpoint()
+      val cpActs = DeltaLog.checkpointedActions(acts, 4).localCheckpoint()
       val live = DeltaLog.replayWithBirth(cpActs)
       val dvs = DeltaLog.deletionVectors(cpActs)
       val sch = DeltaLog.activeSchema(cpActs).localCheckpoint()
@@ -986,7 +979,7 @@ object LakehouseQueries extends QuerySet {
             ) t ORDER BY section, item"""),
     (s, d) => {
       val ord = orders(s, d)
-      val logBase = DeltaLog.logLines(ord)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
       val liveBase = DeltaLog.snapshot(logBase).localCheckpoint()
       val dvLines = DeltaLog.toLines(
         DeltaLog.dvAction(liveBase, "part-4", 4, 0,
@@ -998,8 +991,10 @@ object LakehouseQueries extends QuerySet {
       val acts4 = DeltaLog.actions(log4).localCheckpoint()
       val live4 = DeltaLog.replay(acts4).localCheckpoint()
       val dvs4 = DeltaLog.deletionVectors(acts4).localCheckpoint()
+      // feeds BOTH position passes (pre and post live sets)
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
         col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
       def positioned(live: org.apache.spark.sql.DataFrame) = {
         val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
         live.select(col("path"), explode(col("buckets")).as("bucket"))
@@ -1017,7 +1012,9 @@ object LakehouseQueries extends QuerySet {
       // the DV-aware OPTIMIZE, committed as real v5 actions
       val opt = DeltaLog.optimizeActions(live4, 5, Some(dvs4), Some(netStats)).localCheckpoint()
       val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(opt))).localCheckpoint()
-      val live5 = DeltaLog.replay(acts5).localCheckpoint()
+      // live5 has a single consumer over checkpointed acts5 — no
+      // re-execution to guard against; dvs5 feeds del5 AND dvPost
+      val live5 = DeltaLog.replay(acts5)
       val dvs5 = DeltaLog.deletionVectors(acts5).localCheckpoint()
       // post-OPTIMIZE physical read: surviving DVs apply positionally; a
       // compacted file physically lacks its inputs' masked rows
@@ -1031,12 +1028,13 @@ object LakehouseQueries extends QuerySet {
         .localCheckpoint() // feeds the post signature AND the per-file opt check
       val prerows = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
         .filter(col("hit").isNull)
+      // both consumers (output row + equality flag) re-aggregate over
+      // ALREADY-checkpointed row frames — cheap, no materialization job
       def sig(rows: org.apache.spark.sql.DataFrame, section: String) = rows
         .agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
         .select(lit(section).as("section"), lit("rowset").as("item"),
           col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
           col("k").cast("long").as("flag"))
-        .localCheckpoint()
       val sigPre = sig(prerows, "pre")
       val sigPost = sig(postrows, "post")
       val equal = sigPre.select(col("n_rows").as("n1"), col("cents").as("c1"), col("flag").as("k1"))
@@ -1117,7 +1115,8 @@ object LakehouseQueries extends QuerySet {
             ) t ORDER BY kind, item"""),
     (s, d) => {
       val ord = orders(s, d)
-      val logBase = DeltaLog.logLines(ord)
+      // feeds both snapshots AND the final log union
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
       val liveV0 = DeltaLog.snapshot(logBase, Some(0)).localCheckpoint()
       val live3 = DeltaLog.snapshot(logBase).localCheckpoint()
       val remove3 = s.range(1).select(lit(5).as("version"), lit(0).as("ordinal"),
@@ -1140,21 +1139,21 @@ object LakehouseQueries extends QuerySet {
           .unionByName(remove3).unionByName(readd3)
           .unionByName(DeltaLog.dvAction(live3, "compact-0-1", 5, 2, sequence(lit(0L), lit(3L))))))
       val acts = DeltaLog.actions(log).localCheckpoint()
-      // retained window R..latest; the fixture's last version is 5, so
-      // the window is the single latest snapshot (the same loop shape as
-      // the dl12b per-version reads — each member uses the CANONICAL
-      // replay/effectiveDvIds paths, never a re-derived race)
-      val retainedVs = Seq(5)
-      val retainedLive = retainedVs.map(v => DeltaLog.replay(acts, Some(v)).select("path"))
-        .reduce(_ unionByName _).distinct()
+      // retained window R..latest DERIVED FROM THE LOG (a future log
+      // version cannot silently widen the vacuum set), read through the
+      // canonical per-version grids in one pass each
+      val retainedVs = acts.filter(col("version") >= 5)
+        .select(col("version").as("v")).distinct()
+      val retainedLive = DeltaLog.replayGrid(acts, retainedVs)
+        .select(col("path")).distinct()
         .withColumnRenamed("path", "rp").localCheckpoint()
       val ever = acts.filter(col("op") === "add").select("path", "n_rows").distinct()
       val fileRows = ever.join(broadcast(retainedLive), col("path") === col("rp"), "left")
         .select(lit("file").as("kind"), col("path").as("item"),
           when(col("rp").isNull, "vacuum").otherwise("keep").as("status"),
           when(col("rp").isNull, col("n_rows")).otherwise(lit(0L)).as("freed_rows"))
-      val keepIds = retainedVs.map(v => DeltaLog.effectiveDvIds(acts, Some(v)))
-        .reduce(_ unionByName _).distinct().withColumn("eff", lit(1))
+      val keepIds = DeltaLog.deletionVectorGrid(acts, retainedVs)
+        .select("path", "version", "ordinal").distinct().withColumn("eff", lit(1))
       val dvRows = acts.filter(col("op") === "dv").select("path", "version", "ordinal")
         .join(broadcast(keepIds), Seq("path", "version", "ordinal"), "left")
         .select(lit("dv").as("kind"),

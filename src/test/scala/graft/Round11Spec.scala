@@ -66,6 +66,33 @@ class Round11Spec extends SparkSpec {
     assert(!cp.exists(_.getString(3) == "b"))
   }
 
+  // ---- per-version grids ≡ looped single-version reads --------------------
+
+  test("replayGrid / deletionVectorGrid equal the single-as-of reads at every version") {
+    val acts = frame(
+      add(0, 0, "a"), add(0, 1, "b"),
+      dv(1, 0, "a", Seq(1L)),
+      rem(2, 0, "b"), add(2, 1, "c"),
+      dv(3, 0, "c", Seq(0L)),
+      rem(4, 0, "a"), add(4, 1, "a"),
+      dv(5, 0, "c", Seq(0L, 5L))).localCheckpoint()
+    val versions = spark.range(0, 6).select(col("id").cast("int").as("v"))
+    val gridLive = DeltaLog.replayGrid(acts, versions).collect()
+      .map(r => (r.getInt(0), r.getString(4), r.getInt(1), r.getInt(2))).toSet
+    val loopLive = (0 to 5).flatMap(v => DeltaLog.replayWithBirth(acts, Some(v)).collect()
+      .map(r => (v, r.getString(2), r.getInt(0), r.getInt(1)))).toSet
+    assert(gridLive == loopLive, "one grid pass must equal the per-version replays")
+    val gridDv = DeltaLog.deletionVectorGrid(acts, versions).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](10).toSeq)).toSet
+    val loopDv = (0 to 5).flatMap(v => DeltaLog.deletionVectors(acts, Some(v)).collect()
+      .map(r => (v, r.getString(0), r.getSeq[Long](1).toSeq))).toSet
+    assert(gridDv == loopDv, "one dv grid pass must equal the per-version mask reads")
+    // and the fixture is non-trivial: masks change, die with a rewrite
+    assert(loopDv.nonEmpty && loopDv.exists(_._3 == Seq(0L, 5L)))
+    assert(!loopDv.exists { case (v, p, _) => v >= 4 && p == "a" },
+      "a's mask must be dead from v4 (instance rewritten)")
+  }
+
   // ---- dv instance scoping: lexicographic (version, ordinal) -------------
 
   test("a dv ordered BEFORE a same-version re-add belongs to the dead instance") {
