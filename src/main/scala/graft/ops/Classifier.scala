@@ -250,4 +250,40 @@ object Classifier {
       .agg(sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("n_correct"),
         count(lit(1)).as("n_total"))
   }
+
+  /** Exact tie-aware AUC-ROC (Mann–Whitney U): over rows with a score
+    * column and a 0/1 label column, U = Σ_{pos,neg} [s⁺ > s⁻] +
+    * ½[s⁺ = s⁻], carried as the INTEGER 2U so ties stay exact; one
+    * double division at the end (bit-identical cross-engine). Returns
+    * one row (n_pos, n_neg, u2, auc, gini).
+    *
+    * Distributed shape: group to distinct scores (map-side combine),
+    * then the global "negatives strictly below" running sum as a
+    * TWO-PHASE bucketed scan — a per-bucket partitioned window plus a
+    * broadcast triangular prefix over `nBuckets` totals — never a global
+    * unpartitioned window (the single-reducer bottleneck at 100 TB, and
+    * banned catalog-wide). Scores are assumed in [0, 1) for bucketing
+    * (clamped at the top). */
+  def aucExact(scored: DataFrame, score: Column, label: Column, nBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.select(score.cast("double").as("score"), label.cast("double").as("y"))
+      .groupBy("score")
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nn"))
+      .withColumn("bkt", least(floor(col("score") * nBuckets), lit(nBuckets - 1).cast("double")).cast("long"))
+      .localCheckpoint() // feeds bucket totals AND the ranked scan
+    val btot = g.groupBy("bkt").agg(sum("nn").as("bnn"))
+    val prefix = btot
+      .join(btot.select(col("bkt").as("b2"), col("bnn").as("nn2")), col("b2") < col("bkt"), "left")
+      .groupBy("bkt").agg(coalesce(sum("nn2"), lit(0L)).as("prefix_nn"))
+    val w = Window.partitionBy("bkt").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("nn_below", col("prefix_nn") + coalesce(sum("nn").over(w), lit(0L)))
+    c.agg(sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"),
+        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") / (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"),
+        (col("u2").cast("double") / (col("n_pos") * col("n_neg")).cast("double") - 1.0).as("gini"))
+  }
 }

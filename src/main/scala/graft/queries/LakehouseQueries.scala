@@ -1164,6 +1164,82 @@ object LakehouseQueries extends QuerySet {
       fileRows.unionByName(dvRows).orderBy("kind", "item")
     })
 
+  /** OPTIMIZE × schema evolution — the third composition pin of the
+    * round-11 theme (after checkpoint×state and OPTIMIZE×DV): a file
+    * REWRITE materializes the active schema, so compaction changes the
+    * backfill ledger. Fixture: dl11's meta history (v0 base schema, v3
+    * widened) + a v4 OPTIMIZE committed through the log. The gate emits
+    * the per-file ledger at v3 AND v4: at v3 every pre-widening file
+    * needs null-backfill; at v4 the compacted `opt-*` files (born at
+    * v4 > the widening) need NONE — the rewrite wrote the new column —
+    * while surviving old files still do. A reader that keyed backfill on
+    * path instead of instance birth, or a checkpoint that rewrote add
+    * versions, diverges here. Log-sized throughout (ONE replayGrid pass
+    * for both versions; the meta race is two rows). */
+  val dl16OptimizeSchema = Q("dl16_optimize_schema",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            parts AS (SELECT * FROM live3 WHERE path LIKE 'part-%' AND b_lo = b_hi),
+            bins AS (
+              SELECT b_lo // 2 AS bin, count(*) AS nf, min(b_lo) AS lo, max(b_lo) AS hi,
+                CAST(sum(n_rows) AS BIGINT) AS n_rows, min(min_key) AS min_key,
+                max(max_key) AS max_key, CAST(sum(cents) AS BIGINT) AS cents
+              FROM parts GROUP BY 1),
+            fullbins AS (SELECT * FROM bins WHERE nf = 2),
+            acts2 AS (
+              SELECT version, ordinal, op, path FROM acts
+              UNION ALL
+              SELECT 4, CAST(p.b_lo AS INT), 'remove', p.path
+              FROM parts p JOIN fullbins b ON p.b_lo // 2 = b.bin
+              UNION ALL
+              SELECT 4, CAST(1000 + lo AS INT), 'add', 'opt-' || lo || '-' || hi
+              FROM fullbins),
+            meta(version, ordinal, schema_str) AS (
+              VALUES (0, -1, 'k BIGINT, cents BIGINT'),
+                     (3, -1, 'k BIGINT, cents BIGINT, region VARCHAR')),
+            vers AS (SELECT unnest([3, 4]) AS v),
+            livev AS (
+              SELECT v, path, version AS add_version FROM (
+                SELECT vers.v, a.*, row_number() OVER (PARTITION BY vers.v, a.path
+                  ORDER BY a.version DESC, a.ordinal DESC) AS rn
+                FROM vers JOIN acts2 a ON a.version <= vers.v) t
+              WHERE rn = 1 AND op = 'add'),
+            activem AS (
+              SELECT v, schema_str, mv FROM (
+                SELECT vers.v, m.schema_str, m.version AS mv,
+                  row_number() OVER (PARTITION BY vers.v
+                    ORDER BY m.version DESC, m.ordinal DESC) AS rn
+                FROM vers JOIN meta m ON m.version <= vers.v) t
+              WHERE rn = 1)
+            SELECT l.v AS version, l.path, CAST(l.add_version AS INT) AS add_version,
+              CAST(a.mv AS INT) AS schema_version,
+              CASE WHEN l.add_version < a.mv THEN 1 ELSE 0 END AS needs_backfill
+            FROM livev l JOIN activem a ON a.v = l.v
+            ORDER BY version, path"""),
+    (s, d) => {
+      val metaLines = DeltaLog.toLines(
+        DeltaLog.metaAction(s, 0, -1, "k BIGINT, cents BIGINT")
+          .unionByName(DeltaLog.metaAction(s, 3, -1, "k BIGINT, cents BIGINT, region VARCHAR")))
+      val log = DeltaLog.logLines(orders(s, d)).unionByName(metaLines).localCheckpoint()
+      val acts = DeltaLog.actions(log).localCheckpoint()
+      val live3 = DeltaLog.replay(acts, Some(3)).localCheckpoint()
+      // the OPTIMIZE commits through the log like dl9 (toLines -> strict parse)
+      val opt = DeltaLog.optimizeActions(live3, 4)
+      val acts4 = acts.unionByName(DeltaLog.actions(DeltaLog.toLines(opt))).localCheckpoint()
+      val versions = s.range(3, 5).select(col("id").cast("int").as("v"))
+      val livev = DeltaLog.replayGrid(acts4, versions)
+        .select(col("v"), col("path"), col("version").as("add_version"))
+      val activem = Seq(3, 4).map(v => DeltaLog.activeSchema(acts4, Some(v))
+          .select(lit(v).as("v"), col("schema_version").as("mv")))
+        .reduce(_ unionByName _)
+      livev.join(broadcast(activem), Seq("v"))
+        .select(col("v").as("version"), col("path"),
+          col("add_version").cast("int").as("add_version"),
+          col("mv").cast("int").as("schema_version"),
+          when(col("add_version") < col("mv"), 1).otherwise(0).as("needs_backfill"))
+        .orderBy("version", "path")
+    })
+
   /** Clustering-quality metric (the number Snowflake publishes as
     * SYSTEM$CLUSTERING_INFORMATION's "depth", and what an operator reads
     * before deciding to run dl9's OPTIMIZE or a k4 re-sort): for every
@@ -1327,6 +1403,6 @@ object LakehouseQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
-    dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv,
+    dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

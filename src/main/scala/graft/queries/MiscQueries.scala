@@ -1943,6 +1943,47 @@ object MiscQueries extends QuerySet {
         .orderBy("bin")
     })
 
+  /** Exact tie-aware AUC-ROC for the shared quality classifier — the
+    * threshold-free grade the ml family still lacked (ml5's confusion is
+    * one operating point; AUC ranks them all): the Mann–Whitney U
+    * formulation, U = Σ_{pos,neg} [s⁺ > s⁻] + ½[s⁺ = s⁻], kept EXACT by
+    * carrying 2U as an integer (ties contribute odd halves) and dividing
+    * once at the end — the same doubles bit-for-bit in both engines.
+    * Distributed shape: group to distinct scores (map-side combine),
+    * then the global "negatives below" running sum via the TWO-PHASE
+    * bucketed scan — per-score-bucket partitioned window plus a
+    * broadcast triangular prefix over the 16 bucket totals — because a
+    * global unpartitioned window is banned catalog-wide (and is the
+    * single-reducer bottleneck at 100 TB; the oracle, which has no such
+    * constraint, uses the plain window and must agree exactly). */
+  val ml7Auc: Q = Q("ml7_auc",
+    Some(s"""WITH $mlTrainCtes,
+            pf AS (SELECT f.doc_id, f.y, $mlPSql AS p FROM feat f CROSS JOIN w$mlIters),
+            g AS (SELECT p AS score,
+                CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+              FROM pf GROUP BY p),
+            c AS (SELECT np, nn,
+                CAST(coalesce(sum(nn) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nn_below
+              FROM g),
+            a AS (SELECT CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS u2,
+                CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+              FROM c)
+            SELECT n_pos, n_neg, u2,
+              CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+              CAST(u2 AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE) - 1.0 AS gini
+            FROM a"""),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+      val wts = graft.ops.Classifier.logregTrain(base, mlFeatures, y, iters = mlIters, lr = 0.5)
+      val scored = graft.ops.Classifier.score(base.withColumn("y", y),
+        Seq(col("doc_id"), col("y")), mlFeatures, wts)
+      graft.ops.Classifier.aucExact(scored, col("p"), col("y"))
+    })
+
   /** Confusion matrix + precision/recall/F1 for the shared quality
     * classifier — the completion of the ml family's evaluation story
     * (ml1 trains, ml3 scores, ml4 calibrates, this grades): one
@@ -3122,7 +3163,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, orc1Roundtrip, pq1Meta, a16Unpivot, a17GroupingSets, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, ev10Report, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ml7Auc, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, ev10Report, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, an1Analyze, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, x14cSampleBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }

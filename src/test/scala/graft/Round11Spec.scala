@@ -66,6 +66,22 @@ class Round11Spec extends SparkSpec {
     assert(!cp.exists(_.getString(3) == "b"))
   }
 
+  test("checkpoint state round-trips the JSON log format losslessly") {
+    // a real checkpoint is PERSISTED — serialize the full state through
+    // toLines, re-read through the strict parse, and the reads must not
+    // notice (catches any actionSchema field dropped for dv/meta rows)
+    val acts = frame(
+      add(0, 0, "a"), add(0, 1, "b"), meta(0, 2, "s0"),
+      dv(1, 0, "a", Seq(1L, 4L)), rem(2, 0, "b"), meta(2, 1, "s1"))
+    val cp = DeltaLog.checkpointState(acts, Some(2))
+    val rt = DeltaLog.actions(DeltaLog.toLines(cp)).localCheckpoint()
+    assert(DeltaLog.replay(rt).collect().map(_.getString(0)).toSeq == Seq("a"))
+    val dvs = DeltaLog.deletionVectors(rt).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(dvs == Map("a" -> Seq(1L, 4L)), s"mask must survive serialization, got $dvs")
+    assert(DeltaLog.activeSchema(rt).collect().head.getString(0) == "s1")
+  }
+
   // ---- per-version grids ≡ looped single-version reads --------------------
 
   test("replayGrid / deletionVectorGrid equal the single-as-of reads at every version") {
@@ -188,6 +204,31 @@ class Round11Spec extends SparkSpec {
         k -> vec(v).zip(center(k)).map { case (a, b) => (a - b) * (a - b) }.sum)
       assert(d2.minBy(_._2)._1 == (v % 8).toInt, s"vector $v must assign to its own cluster")
     }
+  }
+
+  // ---- exact AUC: hand-computed pins incl. ties ---------------------------
+
+  test("aucExact matches hand-computed Mann-Whitney values, ties included") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Double)]): (Long, Double) = {
+      val r = graft.ops.Classifier.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      (r.getLong(2), r.getDouble(3))
+    }
+    // perfect separation: every positive above every negative -> AUC 1
+    assert(auc(Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))) == ((8L, 1.0)))
+    // perfect inversion -> AUC 0
+    assert(auc(Seq((0.1, 1.0), (0.9, 0.0))) == ((0L, 0.0)))
+    // all scores tied -> AUC exactly 0.5 regardless of labels
+    assert(auc(Seq((0.5, 1.0), (0.5, 1.0), (0.5, 0.0), (0.5, 0.0))) == ((4L, 0.5)))
+    // mixed with one tie: pos {0.8, 0.5}, neg {0.5, 0.2}
+    // U = [0.8>0.5] + [0.8>0.2] + 0.5*[0.5=0.5] + [0.5>0.2] = 3.5 -> 2U=7, AUC=7/8
+    assert(auc(Seq((0.8, 1.0), (0.5, 1.0), (0.5, 0.0), (0.2, 0.0))) == ((7L, 0.875)))
+    // scores straddling bucket boundaries exercise the two-phase prefix
+    val many = (0 until 64).map(i => (i / 64.0, if (i % 2 == 0) 1.0 else 0.0))
+    // evens are positives at even positions: for each pos at 2k, negs below = k
+    // U = sum k for k=0..31 = 496; 2U = 992; AUC = 496/1024
+    assert(auc(many) == ((992L, 496.0 / 1024.0)))
   }
 
   // ---- advice: analysis-time type check -----------------------------------
