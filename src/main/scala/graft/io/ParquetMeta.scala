@@ -25,10 +25,18 @@ object ParquetMeta {
   /** List the .parquet part files under a directory (non-recursive).
     * Listed through the Hadoop FileSystem API — the same path resolution
     * [[footerMeta]] reads through — so an hdfs:// or s3a:// directory
-    * lists correctly instead of silently yielding an empty local listing. */
+    * lists correctly instead of silently yielding an empty local
+    * listing. The active Spark session's hadoopConfiguration is used
+    * when present (remote filesystems carry credentials/endpoints via
+    * spark.hadoop.*); a missing directory lists as empty, matching the
+    * historical local-listing contract. */
   def partFiles(dir: String): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return Seq.empty
     val status = fs.getFileStatus(path)
     val files = if (status.isFile) Array(status) else fs.listStatus(path)
     files.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -282,7 +282,13 @@ object Classifier {
       .withColumn("nn_below", col("prefix_nn") + coalesce(sum("nn").over(w), lit(0L)))
     c.agg(sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"),
         sum("np").as("n_pos"), sum("nn").as("n_neg"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
+      .select(
+        // AUC over a single class is undefined — raise instead of
+        // emitting a silent NaN (the file's loud-guard convention)
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          raise_error(lit("aucExact: need at least one positive and one negative label")))
+          .otherwise(col("n_pos")).as("n_pos"),
+        col("n_neg"), col("u2"),
         (col("u2").cast("double") / (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"),
         (col("u2").cast("double") / (col("n_pos") * col("n_neg")).cast("double") - 1.0).as("gini"))
   }

@@ -167,16 +167,6 @@ object DeltaLog {
     effectiveDvRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts))
       .select(col("path"), col("dv"))
 
-  /** Identity view of the effective masks as of `asOf`: the
-    * (path, version, ordinal) coordinates of each dv ACTION that is the
-    * live mask of a live file instance. Vacuum accounting keys on this:
-    * a dv action that is the effective mask of NO retained snapshot is
-    * dead log weight (its instance died, or a later mask superseded it)
-    * and retires with the files it can no longer describe (dl15). */
-  def effectiveDvIds(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
-    effectiveDvRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts))
-      .select(col("path"), col("version"), col("ordinal"))
-
   /** The effective-mask race, vectorized over a version frame like
     * [[replayGrid]]: per (v, path) the latest op='dv' action wins, and
     * it must postdate its live file's birth LEXICOGRAPHICALLY on
@@ -329,6 +319,28 @@ object DeltaLog {
       col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"),
       col("dv"), col("schema_str"))).as("line"))
 
+  /** A schema-complete `add` action row per input stats row (columns
+    * n_rows/min_key/max_key/cents, coverage from `bks`) — companion to
+    * [[metaAction]]/[[dvAction]] so fixture builders never hand-roll the
+    * 11-column literal: a widening of [[actionSchema]] must touch the
+    * action builders in ONE place or [[toLines]] round-trips a torn row. */
+  def addAction(stats: DataFrame, version: Int, ordinal: Int, path: String,
+                bks: org.apache.spark.sql.Column): DataFrame =
+    stats.select(lit(version).as("version"), lit(ordinal).as("ordinal"), lit("add").as("op"),
+      lit(path).as("path"), bks.as("buckets"),
+      col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+      col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"))
+
+  /** A schema-complete `remove` action row. */
+  def removeAction(spark: SparkSession, version: Int, ordinal: Int, path: String): DataFrame =
+    spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+      lit("remove").as("op"), lit(path).as("path"),
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"))
+
   /** An op='meta' action row carrying the table schema as of `version`
     * (the Delta metaData action; path is the synthetic '_schema' so the
     * strict parse's non-null-path contract holds — [[lastWins]] races
@@ -393,9 +405,12 @@ object DeltaLog {
   /** Checkpointed live-set read (dl4's shape): replay checkpoint + tail,
     * plus a `src` provenance column ('checkpoint' | 'tail') — original
     * versions survive the checkpoint, so provenance is just the winning
-    * add's version vs v0. */
+    * add's version vs v0. The parse is materialized HERE: checkpointState
+    * fans it into four race branches plus the tail, and each branch
+    * would otherwise replay the caller's whole log-build DAG (the dl13
+    * hot spot, fixed once for every caller of this convenience reader). */
   def checkpointedSnapshot(log: DataFrame, v0: Int): DataFrame =
-    lastWins(checkpointedActions(actions(log), v0))
+    lastWins(checkpointedActions(actions(log).localCheckpoint(), v0))
       .withColumn("src", when(col("version") > v0, lit("tail")).otherwise(lit("checkpoint")))
       .drop("op", "version", "ordinal")
 

@@ -833,12 +833,8 @@ object LakehouseQueries extends QuerySet {
       // feeds live0, the final log union AND (via buckets) append-1
       val logBase = DeltaLog.logLines(ord).localCheckpoint()
       val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
-      val append1 = DeltaLog.buckets(ord).filter(col("bucket") === 4)
-        .select(lit(5).as("version"), lit(1).as("ordinal"), lit("add").as("op"),
-          lit("append-1").as("path"), array(lit(4L)).as("buckets"),
-          col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
-          col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
-          lit(null).cast("array<bigint>").as("dv"), lit(null).cast("string").as("schema_str"))
+      val append1 = DeltaLog.addAction(DeltaLog.buckets(ord).filter(col("bucket") === 4),
+        5, 1, "append-1", array(lit(4L)))
       val log = logBase.unionByName(DeltaLog.toLines(
         DeltaLog.metaAction(s, 0, -1, "k BIGINT, cents BIGINT")
           .unionByName(DeltaLog.metaAction(s, 3, -1, "k BIGINT, cents BIGINT, region VARCHAR"))
@@ -1119,18 +1115,9 @@ object LakehouseQueries extends QuerySet {
       val logBase = DeltaLog.logLines(ord).localCheckpoint()
       val liveV0 = DeltaLog.snapshot(logBase, Some(0)).localCheckpoint()
       val live3 = DeltaLog.snapshot(logBase).localCheckpoint()
-      val remove3 = s.range(1).select(lit(5).as("version"), lit(0).as("ordinal"),
-        lit("remove").as("op"), lit("part-3").as("path"),
-        lit(null).cast("array<bigint>").as("buckets"), lit(null).cast("bigint").as("n_rows"),
-        lit(null).cast("bigint").as("min_key"), lit(null).cast("bigint").as("max_key"),
-        lit(null).cast("bigint").as("cents"), lit(null).cast("array<bigint>").as("dv"),
-        lit(null).cast("string").as("schema_str"))
-      val readd3 = DeltaLog.buckets(ord).filter(col("bucket") === 3)
-        .select(lit(5).as("version"), lit(1).as("ordinal"), lit("add").as("op"),
-          lit("part-3").as("path"), array(lit(3L)).as("buckets"),
-          col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
-          col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
-          lit(null).cast("array<bigint>").as("dv"), lit(null).cast("string").as("schema_str"))
+      val remove3 = DeltaLog.removeAction(s, 5, 0, "part-3")
+      val readd3 = DeltaLog.addAction(DeltaLog.buckets(ord).filter(col("bucket") === 3),
+        5, 1, "part-3", array(lit(3L)))
       val log = logBase.unionByName(DeltaLog.toLines(
         DeltaLog.dvAction(liveV0, "part-2", 1, 3, sequence(lit(0L), lit(1L)))
           .unionByName(DeltaLog.dvAction(live3, "part-5", 4, 0, sequence(lit(0L), lit(4L))))

@@ -1170,7 +1170,7 @@ object VectorQueries extends QuerySet {
       Some(s"""WITH fix AS (
               SELECT vec_id, list_transform(range(0, 64), i ->
                 (CASE WHEN i // 8 = vec_id % 8 THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-                + ((vec_id * 31 + i * 17) % 7 - 3) / 10.0) AS e
+                + ((vec_id * 31 + i * 17) % 11 - 5) / 10.0) AS e
               FROM embeddings),
             cents AS (
               SELECT cell, list_transform(range(0, 64), i ->
@@ -1214,7 +1214,7 @@ object VectorQueries extends QuerySet {
         val fix = embeddings(s, d).select(col("vec_id"),
           transform(sequence(lit(0), lit(63)), i =>
             when(floor(i / 8) === col("vec_id") % 8, lit(2.0)).otherwise(lit(0.0))
-              + ((col("vec_id") * 31 + i * 17) % 7 - 3).cast("double") / lit(10.0))
+              + ((col("vec_id") * 31 + i * 17) % 11 - 5).cast("double") / lit(10.0))
             .as("embedding"))
         // feeds the exact branch AND the candidate branch - materialize once
         val celled = fix.withColumn("cell", Search.ivfCell(col("embedding"), centers))

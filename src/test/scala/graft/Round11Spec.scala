@@ -197,7 +197,7 @@ class Round11Spec extends SparkSpec {
     // every vector's nearest planted center is its own cluster's (a
     // centroid-training regression would break this first)
     def vec(v: Long): Array[Double] = Array.tabulate(64)(i =>
-      (if (i / 8 == v % 8) 2.0 else 0.0) + ((v * 31 + i * 17) % 7 - 3) / 10.0)
+      (if (i / 8 == v % 8) 2.0 else 0.0) + ((v * 31 + i * 17) % 11 - 5) / 10.0)
     def center(k: Int): Array[Double] = Array.tabulate(64)(i => if (i / 8 == k) 2.0 else 0.0)
     for (v <- 0L until 64L) {
       val d2 = (0 until 8).map(k =>
