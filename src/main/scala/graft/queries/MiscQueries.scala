@@ -1984,6 +1984,119 @@ object MiscQueries extends QuerySet {
       graft.ops.Classifier.aucExact(scored, col("p"), col("y"))
     })
 
+  /** Association-rule mining (support / confidence / lift — the Agrawal
+    * et al. market-basket classic, and what a curation pipeline runs to
+    * find co-occurring domains/tags before mixing): baskets are orders,
+    * items the DISTINCT part brands they contain (25-item vocabulary,
+    * ~3.8 items/basket). Directed rules A→B with support ≥ 2% of
+    * baskets; confidence and lift are single divisions of exact BIGINT
+    * counts (bit-identical cross-engine, no rounding). Scale shape:
+    * pair generation is a self-join WITHIN the basket key (per-basket
+    * bounded, never a cross product), item counts broadcast back, one
+    * shuffle per aggregate — the d-family blocking discipline applied
+    * to co-occurrence. */
+  val a18Association: Q = Q("a18_association_rules",
+    Some("""WITH bi AS (
+              SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM bi),
+            ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM bi GROUP BY 1),
+            pr AS (
+              SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS n_ab
+              FROM bi a JOIN bi b ON b.ok = a.ok AND a.item < b.item GROUP BY 1, 2),
+            dir AS (SELECT i1 AS ant, i2 AS cons, n_ab FROM pr
+                    UNION ALL SELECT i2, i1, n_ab FROM pr)
+            SELECT d.ant, d.cons, d.n_ab, x.n_item AS n_ant, y.n_item AS n_cons,
+              CAST(d.n_ab AS DOUBLE) / CAST(x.n_item AS DOUBLE) AS confidence,
+              CAST(d.n_ab * n.n_baskets AS DOUBLE) / CAST(x.n_item * y.n_item AS DOUBLE) AS lift
+            FROM dir d JOIN ic x ON x.item = d.ant JOIN ic y ON y.item = d.cons CROSS JOIN n
+            WHERE d.n_ab * 50 >= n.n_baskets
+            ORDER BY d.ant, d.cons"""),
+    (s, d) => {
+      // feeds basket count, item counts AND the pair self-join
+      val items = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand").as("item")),
+          Seq("l_partkey"))
+        .select("ok", "item").distinct().localCheckpoint()
+      val n = items.agg(count_distinct(col("ok")).as("n_baskets"))
+      val ic = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+      // probe side rebuilt with renamed columns (checkpointed self-join)
+      val pairs = items.join(items.select(col("ok"), col("item").as("item2")), Seq("ok"))
+        .filter(col("item") < col("item2"))
+        .groupBy("item", "item2").agg(count(lit(1)).as("n_ab"))
+      val directed = pairs.select(col("item").as("ant"), col("item2").as("cons"), col("n_ab"))
+        .unionByName(pairs.select(col("item2").as("ant"), col("item").as("cons"), col("n_ab")))
+      directed
+        .join(broadcast(ic.select(col("item").as("ant"), col("n_item").as("n_ant"))), Seq("ant"))
+        .join(broadcast(ic.select(col("item").as("cons"), col("n_item").as("n_cons"))), Seq("cons"))
+        .crossJoin(broadcast(n))
+        .filter(col("n_ab") * 50 >= col("n_baskets"))
+        .select(col("ant"), col("cons"), col("n_ab"), col("n_ant"), col("n_cons"),
+          (col("n_ab").cast("double") / col("n_ant").cast("double")).as("confidence"),
+          ((col("n_ab") * col("n_baskets")).cast("double")
+            / (col("n_ant") * col("n_cons")).cast("double")).as("lift"))
+        .orderBy("ant", "cons")
+    })
+
+  /** Krippendorff's alpha (nominal, 3 raters, no missing data) — the
+    * inter-annotator reliability number every RLHF/annotation pipeline
+    * gates a labeling batch on (ev5's Cohen kappa handles 2 raters;
+    * alpha generalizes). Fixture: a deterministic truth label per doc
+    * plus three pseudo-judges who each deviate on their own 20% slice,
+    * so all-agree, 2-1 split and all-differ units all occur. The
+    * coincidence algebra stays EXACT: per-unit disagreeing pairs
+    * m² − Σ o_c², expected pairs N² − Σ n_c², and
+    * alpha = 1 − dis·(N−1)/(2·de) — one double division of exact
+    * BIGINTs (m = 3 makes n·m·(m−1) = 2N·... fold into the constant).
+    * ONE aggregate over the ratings — no per-category shuffle. */
+  val ev11Krippendorff: Q = Q("ev11_krippendorff_alpha",
+    Some("""WITH r AS (
+              SELECT doc_id,
+                (doc_id + n_chars) % 3 AS t,
+                CASE WHEN (doc_id * 31) % 5 = 0 THEN ((doc_id + n_chars) % 3 + 1) % 3
+                     ELSE (doc_id + n_chars) % 3 END AS r0,
+                CASE WHEN (doc_id * 31 + 17) % 5 = 0 THEN ((doc_id + n_chars) % 3 + 2) % 3
+                     ELSE (doc_id + n_chars) % 3 END AS r1,
+                CASE WHEN (doc_id * 31 + 34) % 5 = 0 THEN ((doc_id + n_chars) % 3 + 1) % 3
+                     ELSE (doc_id + n_chars) % 3 END AS r2
+              FROM documents),
+            o AS (SELECT
+                (CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS o0,
+                (CASE WHEN r0 = 1 THEN 1 ELSE 0 END + CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+                 + CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS o1,
+                (CASE WHEN r0 = 2 THEN 1 ELSE 0 END + CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+                 + CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS o2
+              FROM r),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                CAST(sum(o0) AS BIGINT) AS n0, CAST(sum(o1) AS BIGINT) AS n1,
+                CAST(sum(o2) AS BIGINT) AS n2,
+                CAST(sum(9 - (o0*o0 + o1*o1 + o2*o2)) AS BIGINT) AS dis
+              FROM o)
+            SELECT n_units, n0, n1, n2, dis AS disagree_pairs,
+              CAST((3*n_units)*(3*n_units) - (n0*n0 + n1*n1 + n2*n2) AS BIGINT) AS de_pairs,
+              CAST(1 AS DOUBLE) - CAST(dis * (3*n_units - 1) AS DOUBLE)
+                / CAST(2 * ((3*n_units)*(3*n_units) - (n0*n0 + n1*n1 + n2*n2)) AS DOUBLE) AS alpha
+            FROM a"""),
+    (s, d) => {
+      val t = (col("doc_id") + col("n_chars")) % 3
+      def judge(j: Int) = // deviation offset cycles 1,2,1 (an offset of 3 would be a no-op)
+        when((col("doc_id") * 31 + j * 17) % 5 === 0, (t + (j % 2) + 1) % 3).otherwise(t)
+      val rated = documents(s, d).select((0 to 2).map(j => judge(j).as(s"r$j")): _*)
+      val o = rated.select((0 to 2).map(c =>
+        (0 to 2).map(j => when(col(s"r$j") === c, 1).otherwise(0)).reduce(_ + _).as(s"o$c")): _*)
+      val a = o.agg(count(lit(1)).as("n_units"),
+        sum("o0").as("n0"), sum("o1").as("n1"), sum("o2").as("n2"),
+        sum(lit(9) - (col("o0") * col("o0") + col("o1") * col("o1")
+          + col("o2") * col("o2"))).as("dis"))
+      val de = (lit(3) * col("n_units")) * (lit(3) * col("n_units")) -
+        (col("n0") * col("n0") + col("n1") * col("n1") + col("n2") * col("n2"))
+      a.select(col("n_units"), col("n0"), col("n1"), col("n2"),
+        col("dis").as("disagree_pairs"), de.cast("long").as("de_pairs"),
+        (lit(1.0) - (col("dis") * (lit(3) * col("n_units") - 1)).cast("double")
+          / (lit(2) * de).cast("double")).as("alpha"))
+    })
+
   /** Confusion matrix + precision/recall/F1 for the shared quality
     * classifier — the completion of the ml family's evaluation story
     * (ml1 trains, ml3 scores, ml4 calibrates, this grades): one
@@ -3163,7 +3276,7 @@ object MiscQueries extends QuerySet {
     p7Relevance, p10Html, f15Qna, f18Intent, f20ToJson, s4FromJson, s10CsvRoundtrip, s11SchemaEvolution, orc1Roundtrip, pq1Meta, a16Unpivot, a17GroupingSets, u1Union3,
     t5Caps, dt1Dates, a3Collect, a5MergeGroups, a6ChunkRollup, x2Quality,
     ask1Pipeline, ask2ShowTable, ask3Embedding, ev1Retrieval, ev2Bleu, ev3RougeL, warc1Parse, warc2Gzip, warc3Split, rob1Robots, rob2Sitemap, crawl1Frontier, crawl2LinkGraph, p15Boilerplate, ocr1Otsu, sel1Importance,
-    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ml7Auc, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, ev10Report, inc1Merge, j6Eval,
+    a13Validator, k1SaltedAgg, k2SkewJoin, k3Bucketed, k4ZOrder, k5Compaction, ml1LogReg, ml3Inference, ml4Calibration, ml5Confusion, ml6Brier, ml7Auc, a18Association, ev11Krippendorff, ev6QaF1, ev7PassAtK, ev8BootstrapCi, ev9McNemar, ev10Report, inc1Merge, j6Eval,
     c1Curation, c1bCurationStored, dom1DomainStats, a15Percentiles, an1Analyze, dom2Mixture,
     x14QualityBuckets, x14bApproxBuckets, x14cSampleBuckets, dom3Overlap, dom4Kl, dom5Profile, dom6Gini, dom7Datacard, ev5JudgeKappa, ml2Powerlaw, pref1DpoPairs, pref2BradleyTerry, pr1PageRank, x29Lid, dom8Budget, g1Triangles, g2Hits)
 }
