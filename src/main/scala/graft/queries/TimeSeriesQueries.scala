@@ -320,5 +320,78 @@ object TimeSeriesQueries extends QuerySet {
         .orderBy("user_id")
     })
 
-  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr, ts6Holt)
+  /** TS7: Kaplan–Meier survival with right-censoring (the product-limit
+    * estimator — churn/retention's principled answer where w12's cohort
+    * matrix has no censoring concept): a customer's lifetime is the
+    * integer WEEKS between first and last order; customers whose last
+    * order falls in the final 90 days of the global window are CENSORED
+    * (still active — they leave the risk set without counting as churn;
+    * 476 of 1500 at sf0.01, so both branches carry real mass). Per
+    * distinct lifetime t: n_risk (customers with lifetime ≥ t), churn
+    * events d, censored c, and S(t) = Π_{t'≤t} (1 − d/n_risk) — the
+    * coupled (remaining, survival) recursion folds a STRUCT accumulator
+    * over the ordered step array in ONE `aggregate()` (the ts6 Holt
+    * shape), and the oracle replays the IDENTICAL fixed-order recursion
+    * as a recursive CTE, so the survival doubles hash-match unrounded.
+    * Step count is bounded by the CALENDAR span in weeks (~350), never
+    * by data size, so the one-row fold is O(steps²) on a trivial k —
+    * the heavy work (per-customer min/max, per-step counts) is all hash
+    * aggregates. */
+  val ts7KaplanMeier = Q("ts7_kaplan_meier",
+    Some("""WITH RECURSIVE eu AS (
+              SELECT o_custkey, min(epoch_us(o_orderdate)) AS first_us,
+                max(epoch_us(o_orderdate)) AS last_us
+              FROM orders GROUP BY 1),
+            g AS (SELECT max(last_us) AS gmax FROM eu),
+            u AS (SELECT (last_us - first_us) // 604800000000 AS dur,
+                CASE WHEN last_us > g.gmax - 7776000000000 THEN 1 ELSE 0 END AS censored
+              FROM eu CROSS JOIN g),
+            s AS (SELECT dur, CAST(sum(1 - censored) AS BIGINT) AS d,
+                CAST(sum(censored) AS BIGINT) AS c FROM u GROUP BY 1),
+            n AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM s),
+            seq AS (SELECT dur, d, c, row_number() OVER (ORDER BY dur) AS rn FROM s),
+            walk AS (
+              SELECT rn, dur, d, c, total AS n_risk,
+                CAST(1 AS DOUBLE) * (1 - CAST(d AS DOUBLE) / CAST(total AS DOUBLE)) AS surv
+              FROM seq CROSS JOIN n WHERE rn = 1
+              UNION ALL
+              SELECT s2.rn, s2.dur, s2.d, s2.c, w.n_risk - w.d - w.c,
+                w.surv * (1 - CAST(s2.d AS DOUBLE) / CAST(w.n_risk - w.d - w.c AS DOUBLE))
+              FROM walk w JOIN seq s2 ON s2.rn = w.rn + 1)
+            SELECT dur AS t_weeks, n_risk, d AS n_events, c AS n_censored, surv AS survival
+            FROM walk ORDER BY t_weeks"""),
+    (s, d) => {
+      val ts = col("o_orderdate").cast("timestamp")
+      val eu = orders(s, d).groupBy("o_custkey")
+        .agg(min(unix_micros(ts)).as("first_us"), max(unix_micros(ts)).as("last_us"))
+        .localCheckpoint() // feeds the global max AND the per-customer lifetimes
+      val gmax = eu.agg(max("last_us").as("gmax"))
+      val steps = eu.crossJoin(broadcast(gmax))
+        .select(expr("(last_us - first_us) div 604800000000").as("dur"),
+          (col("last_us") > col("gmax") - 7776000000000L).cast("int").as("censored"))
+        .groupBy("dur")
+        .agg(sum(lit(1) - col("censored")).as("d"), sum(col("censored")).as("c"))
+      steps
+        .agg(array_sort(collect_list(struct(col("dur"), col("d"), col("c")))).as("st"),
+          sum(col("d") + col("c")).as("total"))
+        .select(expr("""
+          aggregate(st,
+            named_struct('rem', CAST(total AS BIGINT), 'surv', CAST(1.0 AS DOUBLE),
+              'out', CAST(array() AS ARRAY<STRUCT<dur: BIGINT, n_risk: BIGINT,
+                d: BIGINT, c: BIGINT, surv: DOUBLE>>)),
+            (acc, x) -> named_struct(
+              'rem', acc.rem - x.d - x.c,
+              'surv', acc.surv * (1.0 - CAST(x.d AS DOUBLE) / CAST(acc.rem AS DOUBLE)),
+              'out', concat(acc.out, array(named_struct('dur', x.dur, 'n_risk', acc.rem,
+                'd', x.d, 'c', x.c,
+                'surv', acc.surv * (1.0 - CAST(x.d AS DOUBLE) / CAST(acc.rem AS DOUBLE)))))),
+            acc -> acc.out) AS out"""))
+        .select(explode(col("out")).as("st"))
+        .select(col("st.dur").as("t_weeks"), col("st.n_risk"), col("st.d").as("n_events"),
+          col("st.c").as("n_censored"), col("st.surv").as("survival"))
+        .orderBy("t_weeks")
+    })
+
+  def all: Seq[Q] = Seq(ts1GapFill, ts2Ewma, ts3Anomaly, ts4Seasonal, ts5Autocorr, ts6Holt,
+    ts7KaplanMeier)
 }

@@ -609,7 +609,44 @@ object WindowQueries extends QuerySet {
         .orderBy("user_id", "bar_start_us")
     })
 
+  /** W14: first-order Markov transition matrix over per-user event
+    * sequences — the sequence-analytics classic beside w11's funnel
+    * (what a product or agent-trace pipeline reads to find dominant
+    * paths and dead ends): consecutive event pairs per user (ordered by
+    * (ts, event_id) — the w13 total-order key), counted into a
+    * (from, to) matrix with per-from outgoing totals and transition
+    * probability as ONE exact-integer division. One user-partitioned
+    * lag window + one bounded (|types|² ≤ 25-row) aggregate. */
+  val w14Markov = Q("w14_markov_transitions",
+    Some("""WITH e AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM events),
+            t AS (SELECT prev AS from_type, event_type AS to_type,
+                CAST(count(*) AS BIGINT) AS n_trans
+              FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+            f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from FROM t GROUP BY 1)
+            SELECT t.from_type, t.to_type, t.n_trans, f.n_from,
+              CAST(t.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS prob
+            FROM t JOIN f USING (from_type)
+            ORDER BY t.from_type, t.to_type"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .localCheckpoint() // ≤25 rows; feeds the outgoing totals AND the output join
+      val f = t.groupBy("from_type").agg(sum("n_trans").as("n_from"))
+      t.join(broadcast(f), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+          (col("n_trans").cast("double") / col("n_from").cast("double")).as("prob"))
+        .orderBy("from_type", "to_type")
+    })
+
   def all: Seq[Q] = Seq(w1Order, w2Session, w3Ffill, w4Chunk, w4Exact, w5Split,
     w6Budget, a1Median, a9Argmax, f17AnyFlag, j7Asof, r1Range, r2Overlap, x7Pack, w7Rolling,
-    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel, w12Cohort, w13Ohlc)
+    w8Interpolate, w9Ewma, w10Anomaly, w11Funnel, w12Cohort, w13Ohlc, w14Markov)
 }
