@@ -48,15 +48,22 @@ object ParquetMeta {
 
   /** Footer metadata for every column chunk of every row group of the
     * given files, computed ON THE EXECUTORS (one task can own many
-    * files; only footer-sized rows come back). */
+    * files; only footer-sized rows come back). The session's Hadoop
+    * settings (spark.hadoop.* — remote-FS credentials/endpoints) ride to
+    * the executors as a plain key/value capture, so a path [[partFiles]]
+    * could list is a path this can open. */
   def footerMeta(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
+    val confEntries: Seq[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
     // one Hadoop Configuration per PARTITION, not per file: the default
     // XML-resource parse is pure overhead repeated 10k+ times on a real
     // file listing
     paths.toDS().mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       it.flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p), conf)

@@ -280,11 +280,13 @@ object Classifier {
       .rowsBetween(Window.unboundedPreceding, -1)
     val c = g.join(broadcast(prefix), Seq("bkt"))
       .withColumn("nn_below", col("prefix_nn") + coalesce(sum("nn").over(w), lit(0L)))
-    c.agg(sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"),
-        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+    c.agg(coalesce(sum(col("np") * (col("nn_below") * 2 + col("nn"))), lit(0L)).as("u2"),
+        coalesce(sum("np"), lit(0L)).as("n_pos"), coalesce(sum("nn"), lit(0L)).as("n_neg"))
       .select(
         // AUC over a single class is undefined — raise instead of
-        // emitting a silent NaN (the file's loud-guard convention)
+        // emitting a silent NaN (the file's loud-guard convention); the
+        // coalesces make EMPTY input hit this guard too (null sums would
+        // otherwise null the comparison past the raise)
         when(col("n_pos") === 0 || col("n_neg") === 0,
           raise_error(lit("aucExact: need at least one positive and one negative label")))
           .otherwise(col("n_pos")).as("n_pos"),

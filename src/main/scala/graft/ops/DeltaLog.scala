@@ -174,7 +174,7 @@ object DeltaLog {
     * remove+re-add of the path but ORDERED BEFORE the re-add belongs to
     * the removed predecessor and must not mask the new instance.
     * Returns full [[actionSchema]] columns plus `v`. Shared by
-    * [[deletionVectors]] / [[effectiveDvIds]] (single cut), the
+    * [[deletionVectors]] (single cut), the
     * per-version CDF/vacuum readers (whole range), and
     * [[checkpointState]] (which persists the winning rows verbatim, the
     * way a real Delta checkpoint persists DV references inline with its

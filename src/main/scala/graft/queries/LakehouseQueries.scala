@@ -1168,9 +1168,7 @@ object LakehouseQueries extends QuerySet {
             live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
             parts AS (SELECT * FROM live3 WHERE path LIKE 'part-%' AND b_lo = b_hi),
             bins AS (
-              SELECT b_lo // 2 AS bin, count(*) AS nf, min(b_lo) AS lo, max(b_lo) AS hi,
-                CAST(sum(n_rows) AS BIGINT) AS n_rows, min(min_key) AS min_key,
-                max(max_key) AS max_key, CAST(sum(cents) AS BIGINT) AS cents
+              SELECT b_lo // 2 AS bin, count(*) AS nf, min(b_lo) AS lo, max(b_lo) AS hi
               FROM parts GROUP BY 1),
             fullbins AS (SELECT * FROM bins WHERE nf = 2),
             acts2 AS (

@@ -2042,8 +2042,10 @@ object MiscQueries extends QuerySet {
     * inter-annotator reliability number every RLHF/annotation pipeline
     * gates a labeling batch on (ev5's Cohen kappa handles 2 raters;
     * alpha generalizes). Fixture: a deterministic truth label per doc
-    * plus three pseudo-judges who each deviate on their own 20% slice,
-    * so all-agree, 2-1 split and all-differ units all occur. The
+    * plus three pseudo-judges with OVERLAPPING deviation slices and
+    * distinct offsets, so all-agree, 2-1 split AND all-differ units all
+    * occur (doc_id ≡ 3 mod 15 puts judges 1 and 2 on different wrong
+    * labels). The
     * coincidence algebra stays EXACT: per-unit disagreeing pairs
     * m² − Σ o_c², expected pairs N² − Σ n_c², and
     * alpha = 1 − dis·(N−1)/(2·de) — one double division of exact
@@ -2057,7 +2059,7 @@ object MiscQueries extends QuerySet {
                      ELSE (doc_id + n_chars) % 3 END AS r0,
                 CASE WHEN (doc_id * 31 + 17) % 5 = 0 THEN ((doc_id + n_chars) % 3 + 2) % 3
                      ELSE (doc_id + n_chars) % 3 END AS r1,
-                CASE WHEN (doc_id * 31 + 34) % 5 = 0 THEN ((doc_id + n_chars) % 3 + 1) % 3
+                CASE WHEN doc_id % 3 = 0 THEN ((doc_id + n_chars) % 3 + 1) % 3
                      ELSE (doc_id + n_chars) % 3 END AS r2
               FROM documents),
             o AS (SELECT
@@ -2080,8 +2082,15 @@ object MiscQueries extends QuerySet {
             FROM a"""),
     (s, d) => {
       val t = (col("doc_id") + col("n_chars")) % 3
-      def judge(j: Int) = // deviation offset cycles 1,2,1 (an offset of 3 would be a no-op)
-        when((col("doc_id") * 31 + j * 17) % 5 === 0, (t + (j % 2) + 1) % 3).otherwise(t)
+      // judges 0/1 deviate on DISJOINT doc_id (mod 5) slices with offsets
+      // +1/+2; judge 2 on the OVERLAPPING doc_id % 3 slice with +1 — the
+      // overlap is what makes all-differ units occur (doc_id ≡ 3 mod 15:
+      // judges 1 and 2 deviate with different offsets), alongside
+      // same-offset double deviations (≡ 0 mod 15) and plain 2-1 splits
+      def judge(j: Int) = j match {
+        case 2 => when(col("doc_id") % 3 === 0, (t + 1) % 3).otherwise(t)
+        case _ => when((col("doc_id") * 31 + j * 17) % 5 === 0, (t + j + 1) % 3).otherwise(t)
+      }
       val rated = documents(s, d).select((0 to 2).map(j => judge(j).as(s"r$j")): _*)
       val o = rated.select((0 to 2).map(c =>
         (0 to 2).map(j => when(col(s"r$j") === c, 1).otherwise(0)).reduce(_ + _).as(s"o$c")): _*)
