@@ -114,25 +114,29 @@ object DeltaLog {
     * one scheduling floor per version (six looped replays cost 6× the
     * stage floor for identical results). Returns rows with `v` and the
     * winning add's ORIGINAL (version, ordinal) retained. */
-  def replayGrid(acts: DataFrame, versions: DataFrame): DataFrame = {
+  def replayGrid(acts: DataFrame, versions: DataFrame): DataFrame =
+    fileRace(versions.join(acts.filter(col("op").isin("add", "remove")),
+      acts("version") <= versions("v")))
+
+  /** The race core both replay shapes share: per (v, path) the highest
+    * (version, ordinal) file action wins; survivors are the adds. */
+  private def fileRace(actsWithV: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("v"), col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    versions.join(acts.filter(col("op").isin("add", "remove")), acts("version") <= versions("v"))
+    actsWithV.filter(col("op").isin("add", "remove"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") === "add")
       .drop("rn")
   }
 
-  /** One-row version frame for the single-as-of readers (None = no
-    * bound — every action participates). */
-  private def oneVersion(spark: SparkSession, asOf: Option[Int]): DataFrame =
-    spark.range(1).select(lit(asOf.getOrElse(Int.MaxValue)).as("v"))
-
-  /** [[replayGrid]] at a single unbounded cut — the shape every
-    * single-snapshot reader shares. Returns rows WITH version/ordinal
+  /** The single unbounded cut every single-snapshot reader shares —
+    * same [[fileRace]], with a CONSTANT v column instead of a version
+    * join (callers pre-bound with `version <= asOf`; adding a one-row
+    * join here would put a join operator into every snapshot plan,
+    * which the dl1 plan pin forbids). Returns rows WITH version/ordinal
     * retained so callers can derive provenance before dropping them. */
   private def lastWins(acts: DataFrame): DataFrame =
-    replayGrid(acts, oneVersion(acts.sparkSession, None)).drop("v")
+    fileRace(acts.withColumn("v", lit(Int.MaxValue))).drop("v")
 
   /** Replay the log into the live file set as of `asOf` (None = latest):
     * per path, the last action (version, ordinal) wins; live = `add`. */
@@ -179,12 +183,20 @@ object DeltaLog {
     * [[checkpointState]] (which persists the winning rows verbatim, the
     * way a real Delta checkpoint persists DV references inline with its
     * file list). */
-  def deletionVectorGrid(acts: DataFrame, versions: DataFrame): DataFrame = {
+  def deletionVectorGrid(acts: DataFrame, versions: DataFrame): DataFrame =
+    dvRace(
+      versions.join(acts.filter(col("op") === "dv"), acts("version") <= versions("v")),
+      replayGrid(acts, versions))
+
+  /** The mask-race core both dv shapes share: per (v, path) the latest
+    * dv wins, then the lexicographic instance-scoping filter against
+    * the live add's birth. */
+  private def dvRace(dvWithV: DataFrame, liveWithV: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("v"), col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    val latestDv = versions.join(acts.filter(col("op") === "dv"), acts("version") <= versions("v"))
+    val latestDv = dvWithV.filter(col("op") === "dv")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    val liveBirth = replayGrid(acts, versions)
+    val liveBirth = liveWithV
       .select(col("v"), col("path"), col("version").as("add_version"), col("ordinal").as("add_ordinal"))
     latestDv.join(liveBirth, Seq("v", "path"))
       .filter(col("version") > col("add_version") ||
@@ -193,9 +205,12 @@ object DeltaLog {
   }
 
   /** [[deletionVectorGrid]] at a single unbounded cut (callers pass
-    * pre-bounded action frames). */
-  private def effectiveDvRows(bounded: DataFrame): DataFrame =
-    deletionVectorGrid(bounded, oneVersion(bounded.sparkSession, None)).drop("v")
+    * pre-bounded action frames) — constant-v like [[lastWins]], no
+    * version join. */
+  private def effectiveDvRows(bounded: DataFrame): DataFrame = {
+    val withV = bounded.withColumn("v", lit(Int.MaxValue))
+    dvRace(withV, fileRace(withV)).drop("v")
+  }
 
   /** OPTIMIZE chosen BY the engine and written AS a real transaction —
     * the loop every lakehouse runs (Delta OPTIMIZE / bin-packing): pair

@@ -879,9 +879,12 @@ object LakehouseQueries extends QuerySet {
   /** OPTIMIZE × deletion vectors — the round-10 verdict's latent
     * wrong-answer: compacting a masked file on raw stats RESURRECTS its
     * deleted rows in every later snapshot. Fixture: v4 masks part-4
-    * (pos % 5 = 2) and part-7 (first 7) — both inside compacted pairs
-    * (4,5)/(6,7), each pair MIXED masked+unmasked — plus compact-0-1
-    * (pos % 11 = 0), which OPTIMIZE must leave alone (multi-bucket).
+    * (pos % 5 = 2) inside the compacted pair (4,5) — a MIXED pair, so
+    * the rewrite folds one masked and one clean input — plus
+    * compact-0-1 (pos % 11 = 0), which OPTIMIZE must leave alone
+    * (multi-bucket). Bucket 5 is the highest the sf0.001 fixture
+    * guarantees (6 buckets), so no mask targets a higher part — the
+    * dvAction liveness guard would correctly refuse it.
     * v5 runs `optimizeActions` WITH the effective masks and net-of-mask
     * stats (computed from data — the rewrite reads its inputs anyway),
     * committed as real JSON actions. The gate pins all four contracts:
@@ -905,13 +908,12 @@ object LakehouseQueries extends QuerySet {
                 ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
             dv AS (
               SELECT path, pos FROM rws4 WHERE path = 'part-4' AND pos % 5 = 2
-              UNION ALL SELECT path, pos FROM rws4 WHERE path = 'part-7' AND pos < 7
               UNION ALL SELECT path, pos FROM rws4 WHERE path = 'compact-0-1' AND pos % 11 = 0),
             net AS (
               SELECT r.path, CAST(count(*) AS BIGINT) AS n_rows, min(r.o_orderkey) AS min_key,
                 max(r.o_orderkey) AS max_key, CAST(sum(r.cents) AS BIGINT) AS cents
               FROM rws4 r LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos
-              WHERE d.pos IS NULL AND r.path IN ('part-4', 'part-7', 'compact-0-1')
+              WHERE d.pos IS NULL AND r.path IN ('part-4', 'compact-0-1')
               GROUP BY r.path),
             eff AS (
               SELECT l.path, l.b_lo, l.b_hi, coalesce(n.n_rows, l.n_rows) AS n_rows,
@@ -980,7 +982,6 @@ object LakehouseQueries extends QuerySet {
       val dvLines = DeltaLog.toLines(
         DeltaLog.dvAction(liveBase, "part-4", 4, 0,
             filter(sequence(lit(0L), col("n_rows") - 1), p => p % 5 === 2))
-          .unionByName(DeltaLog.dvAction(liveBase, "part-7", 4, 1, sequence(lit(0L), lit(6L))))
           .unionByName(DeltaLog.dvAction(liveBase, "compact-0-1", 4, 2,
             filter(sequence(lit(0L), col("n_rows") - 1), p => p % 11 === 0))))
       val log4 = logBase.unionByName(dvLines).localCheckpoint()
