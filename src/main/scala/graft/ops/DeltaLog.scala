@@ -47,7 +47,18 @@ object DeltaLog {
     // action): the ACTIVE schema at version V = the latest meta ≤ V;
     // files added before a widening physically lack the new columns and
     // read back null-backfilled (dl11). Null on all other ops.
-    StructField("schema_str", StringType)))
+    StructField("schema_str", StringType),
+    // commit timestamp (epoch µs) — a per-VERSION property stamped onto
+    // every action of the commit (real Delta keys it to the commit file;
+    // the action carries it here so TIMESTAMP AS OF and time-based
+    // vacuum resolve from the log alone, dl2b). Null on unstamped logs.
+    StructField("ts", LongType),
+    // minimum reader version carried by an op='protocol' action (the
+    // Delta protocol action): a reader whose version is below the
+    // ACTIVE min_reader must fail loudly instead of silently misreading
+    // a table whose features (e.g. deletion vectors) it can't honor
+    // (dl19). Null on all other ops.
+    StructField("min_reader", IntegerType)))
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -228,17 +239,19 @@ object DeltaLog {
     * file resurrects the masked rows in every later snapshot (the
     * round-10 verdict's latent wrong-answer). Pass the effective masks
     * ([[deletionVectors]]) plus per-masked-file NET-of-mask stats
-    * (path, n_rows, min_key, max_key, cents) — net stats come from the
-    * caller because computing them reads data, which the REWRITE pays
-    * anyway (OPTIMIZE physically rewrites its inputs; the log layer
-    * itself still never touches rows). A masked input's stats are
-    * replaced by the net stats before binning, so the compacted add
+    * (path, n_rows, min_key, max_key, cents, masked_cents) — net stats
+    * come from the caller because computing them reads data, which the
+    * REWRITE pays anyway (OPTIMIZE physically rewrites its inputs; the
+    * log layer itself still never touches rows). A masked input's stats
+    * are replaced by the net stats before binning, so the compacted add
     * carries mask-net rows/stats and NO dv — the mask is retired with
     * the removed input (deletionVectors drops masks on non-live
-    * instances). Two row-path guards keep this loud: a masked input
-    * without net stats raises, and net n_rows must equal
-    * n_rows − |in-range mask positions| (a net-stats frame that
-    * disagrees with the mask would silently commit wrong stats). */
+    * instances). Three row-path guards keep this loud: a masked input
+    * without net stats raises; net n_rows must equal
+    * n_rows − |in-range mask positions|; and net cents + masked_cents
+    * (the mask's own cents, from the same data pass) must reconcile
+    * against the COMMITTED original cents (a net-stats frame that
+    * disagrees would silently commit wrong stats). */
   def optimizeActions(live: DataFrame, version: Int,
                       dvs: Option[DataFrame] = None,
                       netStats: Option[DataFrame] = None): DataFrame = {
@@ -249,7 +262,7 @@ object DeltaLog {
         val d = dv.select(col("path"), col("dv").as("_mask"))
         val n = net.select(col("path"), col("n_rows").as("_net_rows"),
           col("min_key").as("_net_min"), col("max_key").as("_net_max"),
-          col("cents").as("_net_cents"))
+          col("cents").as("_net_cents"), col("masked_cents").as("_net_masked"))
         val inRange = size(filter(col("_mask"), p => p >= 0 && p < col("n_rows")))
         live.join(d, Seq("path"), "left").join(n, Seq("path"), "left")
           .select(col("path"), col("buckets"),
@@ -262,7 +275,18 @@ object DeltaLog {
               .otherwise(col("n_rows")).as("n_rows"),
             when(col("_mask").isNotNull, col("_net_min")).otherwise(col("min_key")).as("min_key"),
             when(col("_mask").isNotNull, col("_net_max")).otherwise(col("max_key")).as("max_key"),
-            when(col("_mask").isNotNull, col("_net_cents")).otherwise(col("cents")).as("cents"))
+            // cents is the SUMMABLE stat a disagreeing net frame corrupts
+            // silently (the compacted add sums it into the log): the net
+            // frame must carry the mask's own cents (`masked_cents`, from
+            // the same data pass) so net + masked reconciles against the
+            // COMMITTED original — an independent source the frame can't
+            // have derived its error from. min/max have no such algebra
+            // (a max can shrink arbitrarily under a mask) and stay
+            // oracle-gated.
+            when(col("_mask").isNotNull && (col("_net_masked").isNull ||
+                col("_net_cents") + col("_net_masked") =!= col("cents")),
+              raise_error(concat(lit("net cents disagree with committed stats: "), col("path"))))
+              .when(col("_mask").isNotNull, col("_net_cents")).otherwise(col("cents")).as("cents"))
       case _ => live
     }
     optimizeOver(effLive, version)
@@ -290,7 +314,8 @@ object DeltaLog {
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
         lit(null).cast(ArrayType(LongType)).as("dv"),
-        lit(null).cast(StringType).as("schema_str"))
+        lit(null).cast(StringType).as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
     val adds = bins.select(lit(version).as("version"),
       (lit(1000) + col("lo")).cast("int").as("ordinal"), lit("add").as("op"),
       concat(lit("opt-"), col("lo"), lit("-"), col("hi")).as("path"),
@@ -298,7 +323,8 @@ object DeltaLog {
       col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
       col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"),
-      lit(null).cast(StringType).as("schema_str"))
+      lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
     removes.unionByName(adds)
   }
 
@@ -321,7 +347,8 @@ object DeltaLog {
         lit(null).cast(ArrayType(LongType)).as("buckets"),
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-        mask.as("dv"), lit(null).cast(StringType).as("schema_str"))
+        mask.as("dv"), lit(null).cast(StringType).as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
 
   /** Serialize action rows back to JSON log lines (field order matches
     * [[logLines]]; EVERY [[actionSchema]] field rides, including `dv` —
@@ -332,7 +359,7 @@ object DeltaLog {
   def toLines(acts: DataFrame): DataFrame =
     acts.select(to_json(struct(col("version"), col("ordinal"), col("op"), col("path"),
       col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"),
-      col("dv"), col("schema_str"))).as("line"))
+      col("dv"), col("schema_str"), col("ts"), col("min_reader"))).as("line"))
 
   /** A schema-complete `add` action row per input stats row (columns
     * n_rows/min_key/max_key/cents, coverage from `bks`) — companion to
@@ -345,7 +372,8 @@ object DeltaLog {
       lit(path).as("path"), bks.as("buckets"),
       col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
       col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
-      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"))
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
 
   /** A schema-complete `remove` action row. */
   def removeAction(spark: SparkSession, version: Int, ordinal: Int, path: String): DataFrame =
@@ -354,7 +382,8 @@ object DeltaLog {
       lit(null).cast(ArrayType(LongType)).as("buckets"),
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"))
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
 
   /** An op='meta' action row carrying the table schema as of `version`
     * (the Delta metaData action; path is the synthetic '_schema' so the
@@ -366,7 +395,8 @@ object DeltaLog {
       lit(null).cast(ArrayType(LongType)).as("buckets"),
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-      lit(null).cast(ArrayType(LongType)).as("dv"), lit(schemaStr).as("schema_str"))
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(schemaStr).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
 
   /** The ACTIVE schema as of `asOf` (None = latest): the highest
     * (version, ordinal) op='meta' action wins. Returns one row
@@ -379,10 +409,17 @@ object DeltaLog {
   /** The winning op='meta' ACTION row (full [[actionSchema]] columns,
     * ORIGINAL version/ordinal) — shared by [[activeSchema]] and
     * [[checkpointState]]. */
-  private def activeMetaRow(bounded: DataFrame): DataFrame = {
+  private def activeMetaRow(bounded: DataFrame): DataFrame =
+    activeOpRow(bounded, "meta")
+
+  /** The latest-wins race for a SINGLETON action family (meta, protocol):
+    * the highest (version, ordinal) action of the given op wins. One
+    * shared core so every table-level property (schema, protocol) obeys
+    * the same rule the file and mask races do. */
+  private def activeOpRow(bounded: DataFrame, opName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("op")).orderBy(col("version").desc, col("ordinal").desc)
-    bounded.filter(col("op") === "meta")
+    bounded.filter(col("op") === opName)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
@@ -407,6 +444,10 @@ object DeltaLog {
     lastWins(bounded).select(cols: _*)
       .unionByName(effectiveDvRows(bounded).select(cols: _*))
       .unionByName(activeMetaRow(bounded).select(cols: _*))
+      // the protocol action is state, not history: a checkpoint reader
+      // that lost it would silently read a table whose features it can't
+      // honor — exactly what the protocol exists to prevent (dl19)
+      .unionByName(activeOpRow(bounded, "protocol").select(cols: _*))
   }
 
   /** Checkpoint + tail as ONE replayable action set ≡ the full log —
@@ -457,9 +498,12 @@ object DeltaLog {
     * foldState ∘ foldState ≡ one checkpointState over the whole log
     * (DeltaStreamSpec drives this across a restart, with a dv arriving
     * in a LATER micro-batch than its file's add). The same stale-action
-    * guard as [[foldSnapshot]] raises in the row path. */
+    * guard as [[foldSnapshot]] raises in the row path. The returned
+    * state is MATERIALIZED (localCheckpoint — log-sized, trivial):
+    * chained folds otherwise compound the three-race lineage DAG across
+    * waves, re-running every earlier wave's races on each new batch. */
   def foldState(state: DataFrame, newActs: DataFrame, stateVersion: Int): DataFrame =
-    checkpointState(state.unionByName(staleGuard(newActs, stateVersion)))
+    checkpointState(state.unionByName(staleGuard(newActs, stateVersion))).localCheckpoint()
 
   /** Row-path guard: a batch action at version ≤ the state's version
     * would silently lose/win against the state tag and drift the fold
@@ -469,6 +513,191 @@ object DeltaLog {
       when(col("version") <= stateVersion,
         raise_error(concat(lit(s"stale action (version <= $stateVersion): path="), col("path"))))
         .otherwise(col("version")))
+
+  // ---- predicate-driven DML (dl17/dl18) ------------------------------------
+
+  /** DELETE WHERE, derived THROUGH the log — the top of the DML funnel
+    * (the single most common lakehouse write operation): given the live
+    * snapshot, the current effective masks ([[deletionVectors]]), and the
+    * table's physical rows with their file positions (`positioned`:
+    * path, pos, plus whatever columns the predicate reads — the ONE data
+    * pass a row-level delete pays), emit the version-`version`
+    * transaction:
+    *   - a file with surviving rows gets ONE op='dv' action whose mask is
+    *     the UNION of the old effective mask and the newly matched
+    *     positions (a dv REPLACES its predecessor in the mask race, so
+    *     the union must be carried, not the delta);
+    *   - a file whose union covers every physical row becomes an
+    *     op='remove' (keeping a fully-dead file live behind a total mask
+    *     would make every later read pay its scan for zero rows);
+    *   - a file the predicate touches in no LIVE row gets NO action (a
+    *     match on an already-masked position is already deleted).
+    * Loud guards in the row path: a mask position outside [0, n_rows)
+    * means `positioned` disagrees with the committed stats (raise), and a
+    * matched path absent from `live` raises rather than dropping the
+    * delete (the dvAction contract). Ordinals are all 0 — one DELETE
+    * touches each path at most once, so no intra-version race exists.
+    * Work: one data pass for the predicate + log-sized aggregation; no
+    * file is rewritten. */
+  def deleteActions(live: DataFrame, dvs: DataFrame, positioned: DataFrame,
+                    pred: org.apache.spark.sql.Column, version: Int): DataFrame = {
+    val newPos = positioned.filter(pred)
+      .select(col("path"), col("pos").cast("long").as("pos")).distinct()
+    val oldPos = dvs.select(col("path"), explode(col("dv")).as("pos"))
+    // only files where the predicate kills a LIVE row transact
+    val touched = newPos.join(oldPos, Seq("path", "pos"), "left_anti")
+      .select("path").distinct()
+    val merged = newPos.unionByName(oldPos).distinct()
+      .join(touched, Seq("path"))
+      .groupBy("path")
+      .agg(sort_array(collect_list(col("pos"))).as("mask"), count(lit(1)).as("n_masked"))
+    val withLive = merged
+      .join(live.select(col("path"), col("n_rows"), lit(1).as("_live_hit")), Seq("path"), "left")
+      .select(col("path"), col("mask"), col("n_rows"),
+        // the guard lives on n_masked because BOTH output branches read
+        // it: an out-of-range position could otherwise inflate n_masked
+        // to n_rows and turn a partial delete into a silent full remove
+        when(col("_live_hit").isNull,
+          raise_error(concat(lit("delete targets non-live path: "), col("path"))))
+          .when(size(filter(col("mask"), p => p < 0 || p >= col("n_rows"))) > 0,
+            raise_error(concat(lit("delete mask position outside file range: "), col("path"))))
+          .otherwise(col("n_masked")).as("n_masked"))
+    val nulls = Seq(
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
+    val tail = Seq(lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+    val dvRows = withLive.filter(col("n_masked") < col("n_rows"))
+      .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("dv").as("op"),
+        col("path")) ++ nulls ++ (col("mask").as("dv") +: tail): _*)
+    val removeRows = withLive.filter(col("n_masked") === col("n_rows"))
+      .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("remove").as("op"),
+        col("path")) ++ nulls ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
+    dvRows.unionByName(removeRows)
+  }
+
+  /** MERGE expressed AS one log transaction (dl18): the matched rows
+    * (update-or-delete targets) leave through [[deleteActions]]' dv /
+    * remove derivation, and the rewrite files (updated rows +
+    * not-matched inserts) arrive as caller-built `add` rows — all at ONE
+    * version, adds ordered after every delete action (callers use
+    * ordinals ≥ 1000, the optimize convention). The add rows' version is
+    * ENFORCED in the row path: an add at any other version would split
+    * the transaction, letting a reader observe the deletes without the
+    * inserts. The add files' CONTENT (updated rows, inserted rows) is
+    * the caller's rewrite — the log layer commits its stats, never the
+    * rows. */
+  def mergeActions(live: DataFrame, dvs: DataFrame, positioned: DataFrame,
+                   matched: org.apache.spark.sql.Column, version: Int,
+                   adds: DataFrame): DataFrame = {
+    val guarded = adds.withColumn("version",
+      when(col("version") =!= version,
+        raise_error(concat(lit(s"merge add outside transaction version $version: "), col("path"))))
+        .otherwise(col("version")))
+    deleteActions(live, dvs, positioned, matched, version).unionByName(guarded)
+  }
+
+  // ---- protocol / reader feature gate (dl19) --------------------------------
+
+  /** An op='protocol' action row (the Delta protocol action): declares
+    * the minimum reader version the table requires from `version` on.
+    * Writers commit it alongside the first action using a feature an old
+    * reader can't honor (a dv mask needs a DV-aware reader — a reader
+    * that ignored masks would silently resurrect deleted rows). */
+  def protocolAction(spark: SparkSession, version: Int, ordinal: Int, minReader: Int): DataFrame =
+    spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+      lit("protocol").as("op"), lit("_protocol").as("path"),
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(minReader).as("min_reader"))
+
+  /** The ACTIVE protocol as of `asOf` (None = latest): one row
+    * (min_reader, protocol_version), or zero rows on an unversioned
+    * table — [[requireReader]] defaults that to min_reader = 1, the base
+    * protocol. Latest (version, ordinal) wins, the singleton race every
+    * table-level property shares. */
+  def activeProtocol(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    activeOpRow(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), "protocol")
+      .select(col("min_reader"), col("version").as("protocol_version"))
+
+  /** Reader admission gate: ONE row (min_reader) that RAISES when the
+    * table's active protocol exceeds `readerVersion` — materialize it
+    * before reading (or crossJoin it into the read) so an incompatible
+    * reader fails loudly instead of silently ignoring features it can't
+    * honor. A table with no protocol action admits every reader
+    * (min_reader = 1). */
+  def requireReader(acts: DataFrame, readerVersion: Int, asOf: Option[Int] = None): DataFrame =
+    activeProtocol(acts, asOf).select(col("min_reader"))
+      .unionByName(acts.sparkSession.range(1).select(lit(1).as("min_reader")))
+      .agg(max("min_reader").as("min_reader"))
+      .select(
+        when(col("min_reader") > readerVersion,
+          raise_error(concat(lit(s"reader version $readerVersion below table protocol min_reader "),
+            col("min_reader").cast("string"))))
+          .otherwise(col("min_reader")).as("min_reader"))
+
+  // ---- commit timestamps: TIMESTAMP AS OF + time-based retention (dl2b) ----
+
+  /** Stamp every action with its commit timestamp (epoch µs) — a
+    * per-VERSION property, so `tsOf` normally derives from
+    * col("version"). Real Delta keys the timestamp to the commit file;
+    * the action carries it here so the log alone resolves TIMESTAMP AS
+    * OF and time-based vacuum horizons. */
+  def stampTs(acts: DataFrame, tsOf: org.apache.spark.sql.Column): DataFrame =
+    acts.withColumn("ts", tsOf.cast("long"))
+
+  /** Per-version ADJUSTED commit timestamps: the raw per-version ts
+    * (guarded — two actions of one version disagreeing on ts is a torn
+    * commit, raise), made MONOTONE non-decreasing the way real Delta
+    * adjusts out-of-order commit timestamps before resolving TIMESTAMP
+    * AS OF (a later version must never resolve EARLIER than its
+    * predecessor). The running max is a version×version join —
+    * log-sized (versions², never data) and window-free. Returns
+    * (version, ts). */
+  def commitTimestamps(acts: DataFrame): DataFrame = {
+    val per = acts.filter(col("ts").isNotNull)
+      .groupBy("version")
+      .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+      .select(col("version"),
+        when(col("ts_min") =!= col("ts_max"),
+          raise_error(concat(lit("torn commit timestamp at version "), col("version").cast("string"))))
+          .otherwise(col("ts_max")).as("ts"))
+    val earlier = per.select(col("version").as("v2"), col("ts").as("ts2"))
+    per.join(earlier, col("v2") <= col("version"))
+      .groupBy(col("version")).agg(max("ts2").as("ts"))
+  }
+
+  /** TIMESTAMP AS OF, vectorized over a probe frame (column `p_ts`,
+    * epoch µs): each probe resolves to the LATEST version whose adjusted
+    * commit timestamp is ≤ the probe (real Delta's rule). A probe before
+    * the first commit resolves to the sentinel version −1 — real Delta
+    * raises there; the gate pins the sentinel so the edge case is
+    * load-bearing rather than an untested error string (dl2b). Returns
+    * the probe columns plus `version`. */
+  def versionAsOf(acts: DataFrame, probes: DataFrame): DataFrame = {
+    val commits = commitTimestamps(acts)
+    probes.join(commits, commits("ts") <= probes("p_ts"), "left")
+      .groupBy(probes.columns.map(col).toSeq: _*)
+      .agg(coalesce(max("version"), lit(-1)).as("version"))
+  }
+
+  /** The versions a TIME-based retention keeps (vacuum horizon `hTs`,
+    * epoch µs): every version committed at-or-after the horizon PLUS the
+    * boundary version (the latest commit ≤ horizon — that snapshot IS
+    * the table as-of the horizon instant, so its files must survive).
+    * dl7's count-based removability rule then applies over this set
+    * unchanged. Returns one column `v`. */
+  def retainedVersionsAsOf(acts: DataFrame, hTs: Long): DataFrame = {
+    // two consumers (recent filter + boundary max) over a log-sized frame
+    val commits = commitTimestamps(acts).localCheckpoint()
+    val recent = commits.filter(col("ts") >= hTs).select(col("version").as("v"))
+    val boundary = commits.filter(col("ts") <= hTs)
+      .agg(max("version").as("v")).filter(col("v").isNotNull)
+    recent.unionByName(boundary).distinct()
+  }
 
   /** DuckDB mirror of buckets+actions: CTEs `bks` and `acts`, where the
     * contiguous bucket span is carried as (b_lo, b_hi) instead of an

@@ -1002,10 +1002,17 @@ object LakehouseQueries extends QuerySet {
       // rws4 feeds net stats, masked keys and the pre signature
       val rws4 = positioned(live4).localCheckpoint()
       val del4 = dvs4.select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      // net AND masked cents from the SAME pass — optimizeActions
+      // reconciles net + masked against the committed original (the
+      // round-12 cents guard)
       val netStats = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
-        .filter(col("hit").isNull).join(broadcast(dvs4.select("path")), Seq("path"))
-        .groupBy("path").agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
-          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+        .join(broadcast(dvs4.select("path")), Seq("path"))
+        .groupBy("path").agg(
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_rows"),
+          min(when(col("hit").isNull, col("o_orderkey"))).as("min_key"),
+          max(when(col("hit").isNull, col("o_orderkey"))).as("max_key"),
+          sum(when(col("hit").isNull, col("cents")).otherwise(0L)).as("cents"),
+          sum(when(col("hit").isNotNull, col("cents")).otherwise(0L)).as("masked_cents"))
       // the DV-aware OPTIMIZE, committed as real v5 actions
       val opt = DeltaLog.optimizeActions(live4, 5, Some(dvs4), Some(netStats)).localCheckpoint()
       val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(opt))).localCheckpoint()

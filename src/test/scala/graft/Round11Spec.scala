@@ -12,13 +12,13 @@ import graft.ops.DeltaLog
 class Round11Spec extends SparkSpec {
 
   private def add(v: Int, o: Int, path: String, nRows: Long = 10L): Row =
-    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null)
+    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null, null, null)
   private def rem(v: Int, o: Int, path: String): Row =
-    Row(v, o, "remove", path, null, null, null, null, null, null, null)
+    Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
   private def dv(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
-    Row(v, o, "dv", path, null, null, null, null, null, mask, null)
+    Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null)
   private def meta(v: Int, o: Int, schema: String): Row =
-    Row(v, o, "meta", "_schema", null, null, null, null, null, null, schema)
+    Row(v, o, "meta", "_schema", null, null, null, null, null, null, schema, null, null)
   private def frame(rows: Row*) =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
 
@@ -149,14 +149,14 @@ class Round11Spec extends SparkSpec {
     val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
     val missing = intercept[Exception] {
       DeltaLog.optimizeActions(live, 2, Some(dvs),
-        Some(Seq.empty[(String, Long, Long, Long, Long)]
-          .toDF("path", "n_rows", "min_key", "max_key", "cents"))).collect()
+        Some(Seq.empty[(String, Long, Long, Long, Long, Long)]
+          .toDF("path", "n_rows", "min_key", "max_key", "cents", "masked_cents"))).collect()
     }
     assert(missing.getMessage.contains("lacks net stats"), missing.getMessage)
     val disagree = intercept[Exception] {
       DeltaLog.optimizeActions(live, 2, Some(dvs),
-        Some(Seq(("part-0", 9L, 1L, 10L, 90L))
-          .toDF("path", "n_rows", "min_key", "max_key", "cents"))).collect()
+        Some(Seq(("part-0", 9L, 1L, 10L, 90L, 10L))
+          .toDF("path", "n_rows", "min_key", "max_key", "cents", "masked_cents"))).collect()
     }
     assert(disagree.getMessage.contains("disagree with mask cardinality"), disagree.getMessage)
   }
@@ -167,8 +167,8 @@ class Round11Spec extends SparkSpec {
       dv(1, 0, "part-0", Seq(2L, 4L)))
     val live = DeltaLog.replay(acts).localCheckpoint()
     val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
-    val net = Seq(("part-0", 8L, 1L, 10L, 80L))
-      .toDF("path", "n_rows", "min_key", "max_key", "cents")
+    val net = Seq(("part-0", 8L, 1L, 10L, 80L, 20L))
+      .toDF("path", "n_rows", "min_key", "max_key", "cents", "masked_cents")
     val good = DeltaLog.optimizeActions(live, 2, Some(dvs), Some(net))
       .filter(col("op") === "add").select("n_rows").as[Long].collect()
     assert(good.toSeq == Seq(18L), "compacted add must carry mask-net rows (8 + 10)")
