@@ -541,18 +541,23 @@ object DeltaLog {
     * file is rewritten. */
   def deleteActions(live: DataFrame, dvs: DataFrame, positioned: DataFrame,
                     pred: org.apache.spark.sql.Column, version: Int): DataFrame = {
+    // no distinct here: the union below dedups once, and the anti-join
+    // doesn't need unique probes
     val newPos = positioned.filter(pred)
-      .select(col("path"), col("pos").cast("long").as("pos")).distinct()
+      .select(col("path"), col("pos").cast("long").as("pos"))
     val oldPos = dvs.select(col("path"), explode(col("dv")).as("pos"))
-    // only files where the predicate kills a LIVE row transact
+    // only files where the predicate kills a LIVE row transact; the
+    // touched set and the live list are file-list-sized by definition —
+    // broadcast them so the data-sized side never shuffles twice
     val touched = newPos.join(oldPos, Seq("path", "pos"), "left_anti")
       .select("path").distinct()
     val merged = newPos.unionByName(oldPos).distinct()
-      .join(touched, Seq("path"))
+      .join(broadcast(touched), Seq("path"))
       .groupBy("path")
       .agg(sort_array(collect_list(col("pos"))).as("mask"), count(lit(1)).as("n_masked"))
     val withLive = merged
-      .join(live.select(col("path"), col("n_rows"), lit(1).as("_live_hit")), Seq("path"), "left")
+      .join(broadcast(live.select(col("path"), col("n_rows"), lit(1).as("_live_hit"))),
+        Seq("path"), "left")
       .select(col("path"), col("mask"), col("n_rows"),
         // the guard lives on n_masked because BOTH output branches read
         // it: an out-of-range position could otherwise inflate n_masked

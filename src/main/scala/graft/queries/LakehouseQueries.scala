@@ -1394,8 +1394,510 @@ object LakehouseQueries extends QuerySet {
         .orderBy("nation")
     })
 
-  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl3StatsPrune, dl4Checkpoint,
+  /** Predicate-driven DELETE THROUGH the log — the round-11 verdict's
+    * lead ask: every earlier dv was hand-positioned; here the ENGINE
+    * derives the per-file masks from `DELETE WHERE (k % 5 = 2 OR
+    * k/W = 3)` in one data pass (`DeltaLog.deleteActions`) and commits
+    * them as a real v5 transaction. The fixture plants all three
+    * outcomes: part-3 and append-0 (bucket 3) are FULLY covered and
+    * become removes; every other live file gets a partial dv; part-5
+    * already carries a v4 mask (pos % 7 = 3), so its v5 dv must be the
+    * UNION (a dv replaces its predecessor in the mask race — committing
+    * only the delta would resurrect the v4 deletes). The gate pins the
+    * transaction rows, the per-file post-delete read, and the
+    * ground-truth check: the masked read after commit ≡ applying the raw
+    * predicate to the pre-delete LIVE rows (both signatures + equality
+    * flag). The oracle replays mask derivation, full-cover policy,
+    * commit and both reads from arithmetic CTEs. */
+  val dl17DeleteWhere = Q("dl17_delete_where",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live4 AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            rws4 AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live4 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            predv AS (SELECT path, pos FROM rws4 WHERE path = 'part-5' AND pos % 7 = 3),
+            newm AS (SELECT path, pos FROM rws4
+              WHERE (o_orderkey % 5 = 2) OR (o_orderkey // ${DeltaLog.W} = 3)),
+            touched AS (SELECT DISTINCT n.path FROM newm n
+              WHERE NOT EXISTS (SELECT 1 FROM predv p WHERE p.path = n.path AND p.pos = n.pos)),
+            merged AS (
+              SELECT u.path, u.pos FROM (
+                SELECT path, pos FROM newm UNION SELECT path, pos FROM predv) u
+              WHERE u.path IN (SELECT path FROM touched)),
+            txn AS (
+              SELECT l.path,
+                CASE WHEN CAST(count(*) AS BIGINT) = l.n_rows THEN 'remove' ELSE 'dv' END AS op,
+                CAST(count(*) AS BIGINT) AS n_masked
+              FROM merged m JOIN live4 l ON l.path = m.path GROUP BY l.path, l.n_rows),
+            live5 AS (
+              SELECT * FROM live4 WHERE path NOT IN (SELECT path FROM txn WHERE op = 'remove')),
+            dv5 AS (SELECT m.path, m.pos FROM merged m JOIN txn t ON t.path = m.path AND t.op = 'dv'),
+            post AS (
+              SELECT r.path,
+                CAST(sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN r.cents ELSE 0 END) AS BIGINT) AS cents_live
+              FROM rws4 r JOIN live5 l ON l.path = r.path
+              LEFT JOIN dv5 d ON d.path = r.path AND d.pos = r.pos
+              GROUP BY r.path),
+            maskedrows AS (
+              SELECT r.o_orderkey, r.cents FROM rws4 r JOIN live5 l ON l.path = r.path
+              LEFT JOIN dv5 d ON d.path = r.path AND d.pos = r.pos WHERE d.pos IS NULL),
+            predrows AS (
+              SELECT r.o_orderkey, r.cents FROM rws4 r
+              LEFT JOIN predv p ON p.path = r.path AND p.pos = r.pos
+              WHERE p.pos IS NULL
+                AND NOT ((r.o_orderkey % 5 = 2) OR (r.o_orderkey // ${DeltaLog.W} = 3))),
+            sigm AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM maskedrows),
+            sigp AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM predrows)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'txn' AS section, op || ':' || path AS item,
+                CASE WHEN op = 'dv' THEN n_masked ELSE CAST(0 AS BIGINT) END AS n_rows,
+                CAST(0 AS BIGINT) AS cents,
+                CAST(CASE WHEN op = 'remove' THEN 1 ELSE 0 END AS BIGINT) AS flag FROM txn
+              UNION ALL SELECT 'post', path, n_live, cents_live, n_deleted FROM post
+              UNION ALL SELECT 'check', 'masked_read', n, c, k FROM sigm
+              UNION ALL SELECT 'check', 'predicate_read', n, c, k FROM sigp
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM sigm) = (SELECT n FROM sigp)
+                      AND (SELECT c FROM sigm) = (SELECT c FROM sigp)
+                      AND (SELECT k FROM sigm) = (SELECT k FROM sigp)
+                     THEN 1 ELSE 0 END AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      // live0/dvs4/live4 recompute from CHECKPOINTED inputs in their
+      // consumers' own jobs — races over ~70 log rows, cheaper than a
+      // scheduling-floor materialization job each (the dl17/dl18 bench
+      // finding: job count, not work, dominates these log stories)
+      val live0 = DeltaLog.snapshot(logBase)
+      val log4 = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.dvAction(live0, "part-5", 4, 0,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))))
+      val acts4 = DeltaLog.actions(log4).localCheckpoint()
+      val live4 = DeltaLog.replay(acts4)
+      val dvs4 = DeltaLog.deletionVectors(acts4)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+      // rws4 feeds the delete derivation, the post read AND the
+      // predicate-read signature
+      val rws4 = live4.select(col("path"), explode(col("buckets")).as("bucket"))
+        .join(obRows, Seq("bucket"))
+        .select(col("path"), col("o_orderkey"), col("cents"),
+          (row_number().over(w) - 1).cast("long").as("pos"))
+        .localCheckpoint()
+      // THE operator under test: masks/removes derived from the predicate
+      val pred = (col("o_orderkey") % 5 === 2) ||
+        (floor(col("o_orderkey") / DeltaLog.W) === 3)
+      val del = DeltaLog.deleteActions(live4, dvs4, rws4, pred, 5).localCheckpoint()
+      // materialized: the dv race alone traverses this parse three times
+      // (mask race + the instance-scoping file race + the live read)
+      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(del))).localCheckpoint()
+      val live5 = DeltaLog.replay(acts5)
+      val del5 = DeltaLog.deletionVectors(acts5)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      // ONE per-path aggregate (with keysum) feeds the post rows AND the
+      // masked-read signature — the data pass happens once, the signature
+      // then folds 60 per-path rows
+      val postPer = rws4.join(broadcast(live5.select("path")), Seq("path"))
+        .join(broadcast(del5), Seq("path", "pos"), "left")
+        .groupBy("path")
+        .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_rows"),
+          sum(when(col("hit").isNull, col("cents")).otherwise(0L)).as("cents"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("flag"),
+          sum(when(col("hit").isNull, col("o_orderkey")).otherwise(0L)).as("ksum"))
+        .localCheckpoint()
+      val post = postPer.select(lit("post").as("section"), col("path").as("item"),
+        col("n_rows"), col("cents"), col("flag"))
+      val del4 = dvs4.select(col("path"), explode(col("dv")).as("pos")).withColumn("pre", lit(1))
+      val sigM = postPer
+        .agg(sum("n_rows").as("n"), sum("cents").as("c"), sum("ksum").as("k"))
+        .select(lit("check").as("section"), lit("masked_read").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          col("k").cast("long").as("flag"))
+      val sigP = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("pre").isNull && !pred)
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+        .select(lit("check").as("section"), lit("predicate_read").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          col("k").cast("long").as("flag"))
+      // ONE materialized 2-row frame feeds both signature output rows AND
+      // the equality flag (one job instead of two)
+      val sigs = sigM.unionByName(sigP).localCheckpoint()
+      val equal = sigs
+        .agg(when(count_distinct(struct(col("n_rows"), col("cents"), col("flag"))) === 1, 1L)
+          .otherwise(0L).as("eq"))
+        .select(lit("check").as("section"), lit("equal").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"), col("eq").as("flag"))
+      val txn = del.select(lit("txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "dv", size(col("dv")).cast("long")).otherwise(lit(0L)).as("n_rows"),
+        lit(0L).as("cents"),
+        when(col("op") === "remove", 1L).otherwise(0L).as("flag"))
+      txn.unionByName(post).unionByName(sigs).unionByName(equal)
+        .orderBy("section", "item")
+    })
+
+  /** MERGE as ONE log transaction (the round-11 verdict's #2): the
+    * matched/not-matched semantics of cdc1/j8 expressed AS version-4
+    * actions — per-file dv masks for every matched row (deletes AND the
+    * old versions of updates, derived by the same
+    * `DeltaLog.deleteActions` pass dl17 gates), plus two rewrite adds in
+    * the SAME version: `upd-4` (the updated rows: matched k % 7 = 1,
+    * cents + 7) and `ins-4` (the not-matched inserts: bucket 2's rows,
+    * deleted from the table back at v2). The gate pins the transaction
+    * rows (each add's committed stats ≡ its actual content), the
+    * per-file post-merge read, the ground truth (post-merge rowset ≡ the
+    * oracle's MERGE-equivalent CTE: drop k%7=0, bump k%7=1 by 7 cents,
+    * append bucket 2), and the CDF counts (deleted/updated/inserted +
+    * the masks-reconcile flag Σ|mask| = deleted + updated). Duplicate
+    * targets (bucket 3 lives twice, part-3 AND append-0) match twice and
+    * update twice — the multiset semantics a physical MERGE has. */
+  val dl18Merge = Q("dl18_merge",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live4 AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            rws4 AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live4 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            masks AS (
+              SELECT path, CAST(count(*) AS BIGINT) AS n_masked FROM rws4
+              WHERE o_orderkey % 7 <= 1 GROUP BY path),
+            updc AS (SELECT path, o_orderkey, cents + 7 AS cents FROM rws4 WHERE o_orderkey % 7 = 1),
+            insc AS (
+              SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey // ${DeltaLog.W} = 2),
+            updstat AS (SELECT CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS mn,
+              max(o_orderkey) AS mx, CAST(sum(cents) AS BIGINT) AS c FROM updc),
+            insstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c FROM insc),
+            oldrows AS (
+              SELECT r.path, r.o_orderkey, r.cents FROM rws4 r
+              WHERE r.o_orderkey % 7 > 1),
+            postall AS (
+              SELECT path, o_orderkey, cents FROM oldrows
+              UNION ALL SELECT 'upd-4', o_orderkey, cents FROM updc
+              UNION ALL SELECT 'ins-4', o_orderkey, cents FROM insc),
+            post AS (
+              SELECT path, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(cents) AS BIGINT) AS cents_live
+              FROM postall GROUP BY path),
+            mergecte AS (
+              SELECT o_orderkey,
+                cents + CASE WHEN o_orderkey % 7 = 1 THEN 7 ELSE 0 END AS cents
+              FROM rws4 WHERE o_orderkey % 7 <> 0
+              UNION ALL SELECT o_orderkey, cents FROM insc),
+            sig1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM postall),
+            sig2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM mergecte),
+            cdf AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM rws4 WHERE o_orderkey % 7 = 0) AS n_del,
+                (SELECT CAST(count(*) AS BIGINT) FROM rws4 WHERE o_orderkey % 7 = 1) AS n_upd,
+                (SELECT CAST(count(*) AS BIGINT) FROM insc) AS n_ins,
+                (SELECT CAST(sum(n_masked) AS BIGINT) FROM masks) AS n_masktot)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'txn' AS section, 'dv:' || path AS item, n_masked AS n_rows,
+                CAST(0 AS BIGINT) AS cents, CAST(0 AS BIGINT) AS flag FROM masks
+              UNION ALL SELECT 'txn', 'add:upd-4', n, c, CAST(1 AS BIGINT) FROM updstat
+              UNION ALL SELECT 'txn', 'add:ins-4', n, c, CAST(1 AS BIGINT) FROM insstat
+              UNION ALL SELECT 'post', path, n_live, cents_live, CAST(0 AS BIGINT) FROM post
+              UNION ALL SELECT 'check', 'post_rowset', n, c, k FROM sig1
+              UNION ALL SELECT 'check', 'merge_cte', n, c, k FROM sig2
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM sig1) = (SELECT n FROM sig2)
+                      AND (SELECT c FROM sig1) = (SELECT c FROM sig2)
+                      AND (SELECT k FROM sig1) = (SELECT k FROM sig2)
+                     THEN 1 ELSE 0 END AS BIGINT)
+              UNION ALL SELECT 'cdf', 'deleted', n_del, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cdf
+              UNION ALL SELECT 'cdf', 'updated', n_upd, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cdf
+              UNION ALL SELECT 'cdf', 'inserted', n_ins, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cdf
+              UNION ALL SELECT 'cdf', 'mask_reconciles', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN n_masktot = n_del + n_upd THEN 1 ELSE 0 END AS BIGINT) FROM cdf
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val acts4 = DeltaLog.actions(logBase).localCheckpoint()
+      val live4 = DeltaLog.replay(acts4) // race over ~70 checkpointed rows
+      val dvs4 = DeltaLog.deletionVectors(acts4) // empty: no masks yet
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint() // feeds the position pass AND the insert content
+      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+      val rws4 = live4.select(col("path"), explode(col("buckets")).as("bucket"))
+        .join(obRows, Seq("bucket"))
+        .select(col("path"), col("o_orderkey"), col("cents"),
+          (row_number().over(w) - 1).cast("long").as("pos"))
+        .localCheckpoint()
+      val matched = col("o_orderkey") % 7 <= 1
+      // the rewrite content the MERGE pays for anyway: updated rows
+      // (matched k%7=1, cents+7) and the not-matched inserts (bucket 2)
+      val updc = rws4.filter(col("o_orderkey") % 7 === 1)
+        .select(col("o_orderkey"), (col("cents") + 7).as("cents")) // filter of a checkpointed frame
+      val insc = obRows.filter(col("bucket") === 2).select("o_orderkey", "cents")
+      val updStats = updc.agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      val insStats = DeltaLog.buckets(ord).filter(col("bucket") === 2)
+      val adds = DeltaLog.addAction(updStats, 4, 1000, "upd-4",
+          lit(null).cast(ArrayType(LongType)))
+        .unionByName(DeltaLog.addAction(insStats, 4, 1001, "ins-4", array(lit(2L))))
+      // THE transaction: matched-row dvs + rewrite adds, one version
+      val merged = DeltaLog.mergeActions(live4, dvs4, rws4, matched, 4, adds).localCheckpoint()
+      val acts5 = DeltaLog.actions(logBase.unionByName(DeltaLog.toLines(merged))).localCheckpoint()
+      val live5 = DeltaLog.replay(acts5)
+      val del5 = DeltaLog.deletionVectors(acts5)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      // post-merge content: surviving old-file rows + the rewrite files
+      val oldRows = rws4.join(broadcast(live5.select("path")), Seq("path"))
+        .join(broadcast(del5), Seq("path", "pos"), "left").filter(col("hit").isNull)
+        .select("path", "o_orderkey", "cents")
+      val postAll = oldRows
+        .unionByName(updc.select(lit("upd-4").as("path"), col("o_orderkey"), col("cents")))
+        .unionByName(insc.select(lit("ins-4").as("path"), col("o_orderkey"), col("cents")))
+      // ONE per-path aggregate (with keysum) feeds the post rows, the
+      // add-stats pin AND the post-rowset signature
+      val postPer = postAll.groupBy("path")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"),
+          sum("o_orderkey").as("ksum")).localCheckpoint()
+      val post = postPer.select(lit("post").as("section"), col("path").as("item"),
+        col("n_live").cast("long").as("n_rows"), col("cents_live").cast("long").as("cents"),
+        lit(0L).as("flag"))
+      // txn rows: dv masks + adds, each add pinned committed-stats ≡ content
+      val txnDv = merged.filter(col("op") === "dv")
+        .select(lit("txn").as("section"), concat(lit("dv:"), col("path")).as("item"),
+          size(col("dv")).cast("long").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag"))
+      val txnAdd = merged.filter(col("op") === "add")
+        .select(col("path"), col("n_rows"), col("cents"))
+        .join(broadcast(postPer), Seq("path"))
+        .select(lit("txn").as("section"), concat(lit("add:"), col("path")).as("item"),
+          col("n_rows"), col("cents"),
+          when(col("n_rows") === col("n_live") && col("cents") === col("cents_live"), 1L)
+            .otherwise(0L).as("flag"))
+      // ground truth: post-merge rowset ≡ the MERGE-equivalent direct CTE
+      val sig1 = postPer
+        .agg(sum("n_live").as("n"), sum("cents_live").as("c"), sum("ksum").as("k"))
+        .select(lit("check").as("section"), lit("post_rowset").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          col("k").cast("long").as("flag"))
+      val mergeCte = rws4.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          (col("cents") + when(col("o_orderkey") % 7 === 1, 7L).otherwise(0L)).as("cents"))
+        .unionByName(insc.select("o_orderkey", "cents"))
+      val sig2 = mergeCte
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+        .select(lit("check").as("section"), lit("merge_cte").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          col("k").cast("long").as("flag"))
+        .localCheckpoint() // feeds its own output row AND the equality row
+      val equal = sig1.select(col("n_rows").as("n1"), col("cents").as("c1"), col("flag").as("k1"))
+        .crossJoin(broadcast(sig2.select(col("n_rows").as("n2"), col("cents").as("c2"), col("flag").as("k2"))))
+        .select(lit("check").as("section"), lit("equal").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"),
+          when(col("n1") === col("n2") && col("c1") === col("c2") && col("k1") === col("k2"), 1L)
+            .otherwise(0L).as("flag"))
+      // CDF counts + the masks-reconcile pin, one aggregate over rws4
+      val counts = rws4.agg(
+        sum(when(col("o_orderkey") % 7 === 0, 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("o_orderkey") % 7 === 1, 1L).otherwise(0L)).as("n_upd"))
+        .crossJoin(broadcast(insc.agg(count(lit(1)).as("n_ins"))))
+        .crossJoin(broadcast(merged.filter(col("op") === "dv")
+          .agg(coalesce(sum(size(col("dv"))), lit(0)).cast("long").as("n_masktot"))))
+        .localCheckpoint() // feeds four output branches
+      val cdf = Seq(
+        counts.select(lit("cdf").as("section"), lit("deleted").as("item"),
+          col("n_del").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag")),
+        counts.select(lit("cdf").as("section"), lit("updated").as("item"),
+          col("n_upd").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag")),
+        counts.select(lit("cdf").as("section"), lit("inserted").as("item"),
+          col("n_ins").cast("long").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag")),
+        counts.select(lit("cdf").as("section"), lit("mask_reconciles").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"),
+          when(col("n_masktot") === col("n_del") + col("n_upd"), 1L).otherwise(0L).as("flag"))
+      ).reduce(_ unionByName _)
+      txnDv.unionByName(txnAdd).unionByName(post).unionByName(sig1).unionByName(sig2)
+        .unionByName(equal).unionByName(cdf)
+        .orderBy("section", "item")
+    })
+
+  /** TIMESTAMP AS OF + time-based vacuum (the round-11 verdict's #4):
+    * the log's actions carry per-version commit timestamps (ts =
+    * 2024-01-01 + version days, stamped and ROUND-TRIPPED through the
+    * JSON serialization so the field is proven persistent), and five
+    * probes resolve through `DeltaLog.versionAsOf` — the latest commit
+    * ≤ probe, real Delta's rule — covering before-first-commit (sentinel
+    * −1, zero rows), exactly-at-commit, between-commits, and after-last.
+    * Each resolvable probe's snapshot aggregates come from ONE replayGrid
+    * pass. The vacuum section re-keys dl7's removability to a WALL-CLOCK
+    * horizon (2024-01-03 12:00): retained = commits at-or-after the
+    * horizon plus the boundary version (the snapshot that IS the table
+    * at the horizon instant), here {v2, v3} — so the freed set must
+    * equal dl7's count-based answer, pinning the two retention rules to
+    * each other. */
+  val dl2bTimeTravelTs = {
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
+    val day = 86400000000L
+    Q("dl2b_time_travel_ts",
+      Some(s"""WITH ${DeltaLog.actionsSql},
+              vers AS (SELECT DISTINCT version AS v,
+                  $t0 + version * $day AS ts FROM acts),
+              probes(label, p_ts) AS (VALUES
+                ('p1_before_first', ${t0 - 1}), ('p2_at_v0', $t0),
+                ('p3_mid_v1_v2', ${t0 + day + day / 2}), ('p4_at_v2', ${t0 + 2 * day}),
+                ('p5_after_last', ${t0 + 10 * day})),
+              resolved AS (
+                SELECT p.label, coalesce(max(v.v), -1) AS rv
+                FROM probes p LEFT JOIN vers v ON v.ts <= p.p_ts
+                GROUP BY p.label),
+              reps AS (
+                SELECT r.v, a.* FROM range(0, 4) r(v) JOIN acts a ON a.version <= r.v),
+              livev AS (
+                SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY v, path
+                    ORDER BY version DESC, ordinal DESC) AS rn
+                  FROM reps) WHERE rn = 1 AND op = 'add'),
+              agg AS (
+                SELECT v, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                  CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM livev GROUP BY v),
+              retained AS (
+                SELECT v FROM vers WHERE ts >= ${t0 + 2 * day + day / 2}
+                UNION
+                SELECT max(v) FROM vers WHERE ts <= ${t0 + 2 * day + day / 2}),
+              rliv AS (
+                SELECT DISTINCT path FROM livev WHERE v IN (SELECT v FROM retained)),
+              ever AS (SELECT DISTINCT path, n_rows FROM acts WHERE op = 'add')
+              SELECT section, item, n_rows, cents, flag FROM (
+                SELECT 'resolve' AS section, r.label AS item,
+                  coalesce(a.n_rows, 0) AS n_rows, coalesce(a.sum_cents, 0) AS cents,
+                  CAST(r.rv AS BIGINT) AS flag
+                FROM resolved r LEFT JOIN agg a ON a.v = r.rv
+                UNION ALL
+                SELECT 'vacuum', e.path,
+                  CASE WHEN l.path IS NULL THEN e.n_rows ELSE CAST(0 AS BIGINT) END,
+                  CAST(0 AS BIGINT),
+                  CAST(CASE WHEN l.path IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                FROM ever e LEFT JOIN rliv l ON l.path = e.path
+              ) t ORDER BY section, item"""),
+      (s, d) => {
+        val ord = orders(s, d)
+        // stamp per-version commit timestamps, then ROUND-TRIP through
+        // the JSON log format — the persistence proof for the ts field
+        val stamped = DeltaLog.stampTs(DeltaLog.actions(DeltaLog.logLines(ord)),
+          lit(t0) + col("version").cast("long") * day)
+        val acts = DeltaLog.actions(DeltaLog.toLines(stamped)).localCheckpoint()
+        val probes = s.range(1).select(explode(array(
+          struct(lit("p1_before_first").as("label"), lit(t0 - 1).as("p_ts")),
+          struct(lit("p2_at_v0").as("label"), lit(t0).as("p_ts")),
+          struct(lit("p3_mid_v1_v2").as("label"), lit(t0 + day + day / 2).as("p_ts")),
+          struct(lit("p4_at_v2").as("label"), lit(t0 + 2 * day).as("p_ts")),
+          struct(lit("p5_after_last").as("label"), lit(t0 + 10 * day).as("p_ts"))
+        )).as("p")).select(col("p.label").as("label"), col("p.p_ts").as("p_ts"))
+        val resolved = DeltaLog.versionAsOf(acts, probes)
+        val versions = s.range(0, 4).select(col("id").cast("int").as("v"))
+        val agg = DeltaLog.replayGrid(acts, versions)
+          .groupBy("v").agg(sum("n_rows").as("n_rows"), sum("cents").as("sum_cents"))
+        val resolve = resolved.join(broadcast(agg), col("v") === col("version"), "left")
+          .select(lit("resolve").as("section"), col("label").as("item"),
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("sum_cents"), lit(0L)).as("cents"),
+            col("version").cast("long").as("flag"))
+        // time-keyed retention: the wall-clock twin of dl7's rule
+        val retainedVs = DeltaLog.retainedVersionsAsOf(acts, t0 + 2 * day + day / 2)
+        val retainedLive = DeltaLog.replayGrid(acts, retainedVs)
+          .select(col("path").as("rp")).distinct()
+        val ever = acts.filter(col("op") === "add").select("path", "n_rows").distinct()
+        val vac = ever.join(broadcast(retainedLive), col("path") === col("rp"), "left")
+          .select(lit("vacuum").as("section"), col("path").as("item"),
+            when(col("rp").isNull, col("n_rows")).otherwise(lit(0L)).as("n_rows"),
+            lit(0L).as("cents"),
+            when(col("rp").isNull, 0L).otherwise(1L).as("flag"))
+        resolve.unionByName(vac).orderBy("section", "item")
+      })
+  }
+
+  /** Protocol / reader feature gate (the round-11 verdict's #6): a real
+    * Delta log carries a `protocol` action so an old reader FAILS LOUDLY
+    * on a table whose features it can't honor — deletion vectors are
+    * exactly such a feature (a DV-blind reader would silently resurrect
+    * deleted rows). Fixture: protocol(min_reader=1) at v0; v4 commits
+    * the table's first dv AND upgrades to min_reader=2 in the same
+    * version (the feature and its gate land atomically). The gate pins
+    * the ACTIVE protocol at every version (latest ≤ v — versions 0-3
+    * admit a v1 reader, v4 locks it out), that `checkpointState` at v2
+    * PERSISTS the protocol row (a checkpoint reader must not lose the
+    * gate: the 'state_at_2' row reads min_reader through the checkpoint
+    * alone), that checkpoint+tail sees the upgrade, and that
+    * `requireReader` admits a v2 reader (the RAISE path for a v1 reader
+    * is Round12Spec's). Oracle: the protocol race is log arithmetic —
+    * pure VALUES, no table read. */
+  val dl19ProtocolGate = Q("dl19_protocol_gate",
+    Some("""WITH prot(version, ordinal, min_reader) AS (VALUES (0, -2, 1), (4, -1, 2)),
+            vers AS (SELECT unnest(range(0, 5)) AS v),
+            act AS (
+              SELECT v, min_reader FROM (
+                SELECT vers.v, p.min_reader,
+                  row_number() OVER (PARTITION BY vers.v
+                    ORDER BY p.version DESC, p.ordinal DESC) AS rn
+                FROM vers JOIN prot p ON p.version <= vers.v) t
+              WHERE rn = 1)
+            SELECT section, item, min_reader, reader1_ok, reader2_ok FROM (
+              SELECT 'active' AS section, 'v' || v AS item, CAST(min_reader AS INT) AS min_reader,
+                CASE WHEN min_reader <= 1 THEN 1 ELSE 0 END AS reader1_ok,
+                CASE WHEN min_reader <= 2 THEN 1 ELSE 0 END AS reader2_ok
+              FROM act
+              UNION ALL SELECT 'checkpoint', 'state_at_2', 1, 1, 1
+              UNION ALL SELECT 'checkpoint', 'state_plus_tail', 2, 0, 1
+              UNION ALL SELECT 'gate', 'reader2_admitted', 2, 0, 1
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
+      val log = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.protocolAction(s, 0, -2, 1)
+          .unionByName(DeltaLog.protocolAction(s, 4, -1, 2))
+          .unionByName(DeltaLog.dvAction(live0, "part-5", 4, 0,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3)))))
+      val acts = DeltaLog.actions(log).localCheckpoint()
+      def okCols = Seq(
+        when(col("min_reader") <= 1, 1).otherwise(0).as("reader1_ok"),
+        when(col("min_reader") <= 2, 1).otherwise(0).as("reader2_ok"))
+      val versions = s.range(0, 5).select(col("id").cast("int").as("v"))
+      val wp = Window.partitionBy(col("v")).orderBy(col("version").desc, col("ordinal").desc)
+      val active = versions.join(acts.filter(col("op") === "protocol"),
+          acts("version") <= versions("v"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(Seq(lit("active").as("section"),
+          concat(lit("v"), col("v").cast("string")).as("item"),
+          col("min_reader")) ++ okCols: _*)
+      // checkpoint persistence: the protocol must survive checkpointState
+      // ALONE (no tail) — a checkpoint that dropped it emits no row here
+      val cpState = DeltaLog.activeProtocol(DeltaLog.checkpointState(acts, Some(2)))
+        .select(Seq(lit("checkpoint").as("section"), lit("state_at_2").as("item"),
+          col("min_reader")) ++ okCols: _*)
+      val cpTail = DeltaLog.activeProtocol(DeltaLog.checkpointedActions(acts, 2))
+        .select(Seq(lit("checkpoint").as("section"), lit("state_plus_tail").as("item"),
+          col("min_reader")) ++ okCols: _*)
+      val gate = DeltaLog.requireReader(acts, 2)
+        .select(Seq(lit("gate").as("section"), lit("reader2_admitted").as("item"),
+          col("min_reader")) ++ okCols: _*)
+      active.unionByName(cpState).unionByName(cpTail).unionByName(gate)
+        .orderBy("section", "item")
+    })
+
+  def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
+    dl17DeleteWhere, dl18Merge, dl19ProtocolGate,
     k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }
