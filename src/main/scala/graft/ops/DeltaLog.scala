@@ -556,16 +556,14 @@ object DeltaLog {
       .groupBy("path")
       .agg(sort_array(collect_list(col("pos"))).as("mask"), count(lit(1)).as("n_masked"))
     val withLive = merged
-      .join(broadcast(live.select(col("path"), col("n_rows"), lit(1).as("_live_hit"))),
-        Seq("path"), "left")
+      .join(broadcast(live.select(col("path"), col("n_rows"))), Seq("path"))
       .select(col("path"), col("mask"), col("n_rows"),
-        // the guard lives on n_masked because BOTH output branches read
-        // it: an out-of-range position could otherwise inflate n_masked
-        // to n_rows and turn a partial delete into a silent full remove
-        when(col("_live_hit").isNull,
-          raise_error(concat(lit("delete targets non-live path: "), col("path"))))
-          .when(size(filter(col("mask"), p => p < 0 || p >= col("n_rows"))) > 0,
-            raise_error(concat(lit("delete mask position outside file range: "), col("path"))))
+        // the range guard lives on n_masked because BOTH output branches
+        // read it: an out-of-range position could otherwise inflate
+        // n_masked to n_rows and turn a partial delete into a silent
+        // full remove
+        when(size(filter(col("mask"), p => p < 0 || p >= col("n_rows"))) > 0,
+          raise_error(concat(lit("delete mask position outside file range: "), col("path"))))
           .otherwise(col("n_masked")).as("n_masked"))
     val nulls = Seq(
       lit(null).cast(ArrayType(LongType)).as("buckets"),
@@ -579,7 +577,19 @@ object DeltaLog {
     val removeRows = withLive.filter(col("n_masked") === col("n_rows"))
       .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("remove").as("op"),
         col("path")) ++ nulls ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
-    dvRows.unionByName(removeRows)
+    // non-live guard as its OWN anti-join branch, not a left-join null
+    // check: the n_masked < n_rows filters above are null-intolerant, so
+    // Catalyst rightly infers isnotnull(n_rows), converts a left join to
+    // inner, and a raise hidden in the when-chain folds away — silently
+    // dropping the delete (caught by Round12Spec's ghost test against the
+    // first implementation). An anti-join branch cannot be elided.
+    val ghostGuard = merged.join(broadcast(live.select("path")), Seq("path"), "left_anti")
+      .select(Seq(
+        raise_error(concat(lit("delete targets non-live path: "), col("path")))
+          .cast(IntegerType).as("version"),
+        lit(0).as("ordinal"), lit("dv").as("op"), col("path")) ++ nulls ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
+    dvRows.unionByName(removeRows).unionByName(ghostGuard)
   }
 
   /** MERGE expressed AS one log transaction (dl18): the matched rows

@@ -1259,6 +1259,154 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** TRAINED centroids × the clustered fixture — the composition gate
+    * the round-11 verdict asked for: v13 proves the pruning benefit with
+    * PLANTED true centers, v12 proves Lloyd training on its own fixture;
+    * nothing gated that TRAINED centroids achieve the v13 benefit on
+    * clustered data — the contract that breaks first when centroid
+    * training regresses on realistic input. Here v12's production loop
+    * (`Cluster.lloyd`, 2 DECIMAL-exact iterations) trains on v13's
+    * clustered embeddings from a Forgy-style init (the first vector of
+    * each planted cluster, vec_id 0-7 — data points, not the answer:
+    * each carries full per-coordinate noise), the corpus is assigned to
+    * the TRAINED table (`Cluster.assign`), queries rank the trained
+    * cells, and the SAME nprobe curve runs. The oracle unrolls init
+    * assignment, both Lloyd rounds, the final assignment, the query
+    * probe ranking and the curve — training, assignment and pruning
+    * hash-gated as one contract; Round12Spec pins recall ≥ 0.9 at
+    * nprobe ≤ 2 with ≤ 35% scanned. Numerically validated: Lloyd-2 from
+    * this init converges to the pure planted clustering at every SF
+    * (8 equal cells), so the curve matches v13's planted-center one. */
+  val v13bTrainedClustered: Q = {
+    val dim = 64
+    val distSql = s"""list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> (f.e[i] - c.centroid[i]) * (f.e[i] - c.centroid[i])))"""
+    Q("v13b_trained_clustered_nprobe",
+      Some(s"""WITH fix AS (
+              SELECT vec_id, list_transform(range(0, 64), i ->
+                (CASE WHEN i // 8 = vec_id % 8 THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                + ((vec_id * 31 + i * 17) % 11 - 5) / 10.0) AS e
+              FROM embeddings),
+            cents0 AS (SELECT vec_id AS cell, e AS centroid FROM fix WHERE vec_id < 8),
+            dd0 AS (SELECT f.vec_id, f.e, c.cell, $distSql AS d2
+              FROM fix f CROSS JOIN cents0 c),
+            a0 AS (SELECT vec_id, e, cell FROM (
+                SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                FROM dd0) t WHERE rn = 1),
+            el1 AS (SELECT cell, i, e[i] AS x FROM a0, range(1, ${dim + 1}) t(i)),
+            cent1 AS (SELECT cell, i,
+                round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+              FROM el1 GROUP BY cell, i),
+            cl1 AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cent1 GROUP BY cell),
+            dd1 AS (SELECT f.vec_id, f.e, c.cell, $distSql AS d2
+              FROM fix f CROSS JOIN cl1 c),
+            a1 AS (SELECT vec_id, e, cell FROM (
+                SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                FROM dd1) t WHERE rn = 1),
+            el2 AS (SELECT cell, i, e[i] AS x FROM a1, range(1, ${dim + 1}) t(i)),
+            cent2 AS (SELECT cell, i,
+                round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+              FROM el2 GROUP BY cell, i),
+            cl2 AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cent2 GROUP BY cell),
+            dd2 AS (SELECT f.vec_id, f.e, c.cell, $distSql AS d2
+              FROM fix f CROSS JOIN cl2 c),
+            a2 AS (SELECT vec_id, e, cell FROM (
+                SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                FROM dd2) t WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, e AS qv FROM fix WHERE vec_id < 20),
+            qd AS (SELECT q.qid, c.cell,
+                list_sum(list_transform(range(1, ${dim + 1}),
+                  i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))) AS d2
+              FROM cl2 c CROSS JOIN q),
+            qrank AS (SELECT qid, cell,
+                row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS crank FROM qd),
+            ex AS (SELECT qid, f.vec_id,
+                round(list_dot_product(f.e, qv), 6) AS score
+              FROM fix f CROSS JOIN q WHERE f.vec_id <> q.qid),
+            exr AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM ex) WHERE rn <= 5),
+            cand AS (SELECT qr.qid, a.vec_id, qr.crank,
+                round(list_dot_product(a.e, q.qv), 6) AS score
+              FROM a2 a JOIN qrank qr ON a.cell = qr.cell JOIN q ON q.qid = qr.qid
+              WHERE a.vec_id <> qr.qid),
+            probes(nprobe) AS (VALUES (1), (2), (4), (8)),
+            pc AS (SELECT nprobe, qid, vec_id, score FROM cand CROSS JOIN probes WHERE crank <= nprobe),
+            ivr AS (SELECT nprobe, qid, vec_id FROM (
+                SELECT nprobe, qid, vec_id, row_number() OVER (PARTITION BY nprobe, qid ORDER BY score DESC, vec_id) AS rn
+                FROM pc) WHERE rn <= 5),
+            hits AS (SELECT nprobe, count(*) AS total_hits
+              FROM ivr i JOIN exr e ON i.qid = e.qid AND i.vec_id = e.vec_id GROUP BY nprobe),
+            scans AS (SELECT nprobe, count(*) AS scanned FROM pc GROUP BY nprobe),
+            n AS (SELECT count(*) AS n_vec FROM fix)
+            SELECT p.nprobe AS nprobe,
+              CAST(coalesce(total_hits, 0) AS INT) AS total_hits,
+              CAST(coalesce(total_hits, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS mean_recall_at_5,
+              CAST(coalesce(scanned, 0) AS DOUBLE) / CAST(20 * n_vec AS DOUBLE) AS scanned_frac
+            FROM probes p LEFT JOIN hits USING (nprobe) LEFT JOIN scans USING (nprobe) CROSS JOIN n
+            ORDER BY nprobe"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // Forgy init: the first point of each planted cluster (vec_id < 8
+        // has cluster = vec_id), from the SAME arithmetic both engines use
+        val trainInit: Seq[Seq[Double]] = Seq.tabulate(8)(v => Seq.tabulate(64)(i =>
+          (if (i / 8 == v) 2.0 else 0.0) + ((v * 31 + i * 17) % 11 - 5) / 10.0))
+        // feeds the Lloyd passes, the final assignment, the query set AND
+        // the brute branch
+        val fix = embeddings(s, d).select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            when(floor(i / 8) === col("vec_id") % 8, lit(2.0)).otherwise(lit(0.0))
+              + ((col("vec_id") * 31 + i * 17) % 11 - 5).cast("double") / lit(10.0))
+            .as("embedding"))
+          .localCheckpoint()
+        // v12's production loop, on the CLUSTERED fixture
+        val cents = graft.ops.Cluster.lloyd(fix, "embedding", "vec_id", trainInit, iterations = 2)
+        val assigned = graft.ops.Cluster.assign(fix, "embedding", "vec_id", cents)
+          .localCheckpoint() // feeds the candidate branch AND nothing else twice? candidate only; kept for the pc fan-out below
+        val q = fix.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val d2q = aggregate(
+          zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        val qranked = q.crossJoin(broadcast(cents))
+          .select(col("qid"), col("qv"), col("cell"), d2q.as("d2"))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("cell"))))
+          .select("qid", "qv", "crank", "cell")
+        val exr = fix.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val cand = assigned.join(broadcast(qranked), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("crank"),
+            round(Embed.dot(col("embedding"), col("qv")), 6).as("score"))
+        val probesDf = s.range(1)
+          .select(explode(array(lit(1), lit(2), lit(4), lit(8))).as("nprobe"))
+        // feeds the ranking branch AND the scanned-count branch
+        val pc = cand.crossJoin(broadcast(probesDf))
+          .filter(col("crank") <= col("nprobe")).localCheckpoint()
+        val ivr = pc.withColumn("rn", row_number().over(
+            Window.partitionBy("nprobe", "qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("nprobe", "qid", "vec_id")
+        val hits = ivr.join(exr, Seq("qid", "vec_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("total_hits"))
+        val scans = pc.groupBy("nprobe").agg(count(lit(1)).as("scanned"))
+        val nVec = fix.agg(count(lit(1)).as("n_vec"))
+        probesDf.join(hits, Seq("nprobe"), "left").join(scans, Seq("nprobe"), "left")
+          .crossJoin(broadcast(nVec))
+          .select(col("nprobe"),
+            coalesce(col("total_hits"), lit(0L)).cast("int").as("total_hits"),
+            (coalesce(col("total_hits"), lit(0L)).cast("double") / lit(100).cast("double"))
+              .as("mean_recall_at_5"),
+            (coalesce(col("scanned"), lit(0L)).cast("double")
+              / (lit(20L) * col("n_vec")).cast("double")).as("scanned_frac"))
+          .orderBy("nprobe")
+      })
+  }
+
   /** The multi-probe STORED read — v4b's production layout (index written
     * `partitionBy(cell)`) read back at nprobe = 2: the query row carries
     * its 2 nearest cells as an array, the broadcast side explodes to one
@@ -3930,7 +4078,7 @@ object VectorQueries extends QuerySet {
     m1Binary, m2ImageDims, pdf1TextExtract, d12SoftDedup, m5WavMeta, v8PcaTop,
     rrf1Hybrid, mmr1Diverse, ask4Hybrid, d13PrefixJaccard, m6TiffDims, d14Outliers, d16LshRecall, d17Containment,
     m7PngDecode, d18ImageNearDup, v9IndexUpsert, m8Mp4Meta, v10IvfRecall, v10bNprobeCurve,
-    v4cIvfMultiprobePruned, v12TrainedIvf, v13ClusteredNprobe, m9WavPcm,
+    v4cIvfMultiprobePruned, v12TrainedIvf, v13ClusteredNprobe, v13bTrainedClustered, m9WavPcm,
     m10GifDecode, v11MaxSim, m11ExifOrientation, dom9DedupCurve, m12JpegDecode,
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,

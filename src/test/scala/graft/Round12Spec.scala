@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.DeltaLog
+
+/** Round-12 regression fixtures: predicate-driven DML through the log
+  * (DELETE WHERE / MERGE), commit timestamps (TIMESTAMP AS OF +
+  * time-based retention), the protocol reader gate, the optimizeActions
+  * cents guard, and the trained-centroid × clustered-fixture ANN
+  * composition. Hand-built action sets, independent of the query
+  * builders.
+  */
+class Round12Spec extends SparkSpec {
+
+  private def add(v: Int, o: Int, path: String, nRows: Long = 10L): Row =
+    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null, null, null)
+  private def frame(rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
+  /** 10 physical rows per file: part-0 carries keys 0-9, part-1 keys
+    * 10-19, each at position = key % 10 and 10 cents per row. */
+  private def positioned = {
+    import spark.implicits._
+    (0L to 9L).map(p => ("part-0", p, p, 10L))
+      .++((0L to 9L).map(p => ("part-1", p, 10L + p, 10L)))
+      .toDF("path", "pos", "k", "cents")
+  }
+
+  // ---- predicate-driven DELETE --------------------------------------------
+
+  test("deleteActions: partial masks, union with existing, full cover becomes remove") {
+    val acts0 = frame(add(0, 0, "part-0"), add(0, 1, "part-1")).localCheckpoint()
+    val live0 = DeltaLog.replay(acts0).localCheckpoint()
+    def dvMap(a: org.apache.spark.sql.DataFrame) =
+      DeltaLog.deletionVectors(a).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+
+    // DELETE 1 (v1): k % 3 = 0 — partial masks on both files
+    val d1 = DeltaLog.deleteActions(live0, DeltaLog.deletionVectors(acts0), positioned,
+      col("k") % 3 === 0, 1).localCheckpoint()
+    assert(d1.collect().forall(_.getString(2) == "dv"), "no file is fully covered yet")
+    val acts1 = acts0.unionByName(d1).localCheckpoint()
+    assert(dvMap(acts1) == Map("part-0" -> Seq(0L, 3L, 6L, 9L), "part-1" -> Seq(2L, 5L, 8L)))
+
+    // DELETE 2 (v2): 5 <= k < 15 — the committed masks must be the UNION
+    val d2 = DeltaLog.deleteActions(DeltaLog.replay(acts1), DeltaLog.deletionVectors(acts1),
+      positioned, col("k") >= 5 && col("k") < 15, 2).localCheckpoint()
+    val acts2 = acts1.unionByName(d2).localCheckpoint()
+    assert(dvMap(acts2) == Map(
+      "part-0" -> Seq(0L, 3L, 5L, 6L, 7L, 8L, 9L),
+      "part-1" -> Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L)),
+      s"union semantics, got ${dvMap(acts2)}")
+
+    // DELETE 3 (v3): k < 5 — covers all of a's surviving rows -> remove;
+    // kills NO live row of b (all its k<15 rows are already masked) -> no action
+    val d3 = DeltaLog.deleteActions(DeltaLog.replay(acts2), DeltaLog.deletionVectors(acts2),
+      positioned, col("k") < 5, 3).localCheckpoint()
+    val d3rows = d3.collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(d3rows == Set(("remove", "part-0")),
+      s"full cover must remove, untouched file silent: $d3rows")
+    val acts3 = acts2.unionByName(d3).localCheckpoint()
+    assert(DeltaLog.replay(acts3).collect().map(_.getString(0)).toSeq == Seq("part-1"))
+    // part-0's masks died with its instance (nothing effective on a non-live path)
+    assert(dvMap(acts3) == Map("part-1" -> Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L)))
+
+    // CDF composition: per-version live-row counts from positioned minus
+    // the effective masks must match the predicate algebra
+    def liveRowCount(acts: org.apache.spark.sql.DataFrame): Long = {
+      val masks = DeltaLog.deletionVectors(acts)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      positioned.join(DeltaLog.replay(acts).select("path"), Seq("path"))
+        .join(masks, Seq("path", "pos"), "left").filter(col("hit").isNull).count()
+    }
+    assert(liveRowCount(acts0) == 20L)
+    assert(liveRowCount(acts1) == 13L) // 7 multiples of 3 in 0..19
+    assert(liveRowCount(acts2) == 6L)  // k in {1,2,4,16,17,19}
+    assert(liveRowCount(acts3) == 3L)  // part-0 removed: {16,17,19}
+
+    // VACUUM composition (retain latest only): part-0 is live in no
+    // retained snapshot and frees; its dead masks retire with it (dl15's
+    // rule via the same grids)
+    val retained = acts3.select(col("version").as("v")).filter(col("v") >= 3).distinct()
+    val retainedPaths = DeltaLog.replayGrid(acts3, retained)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(retainedPaths == Set("part-1"))
+    val keptMasks = DeltaLog.deletionVectorGrid(acts3, retained)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(keptMasks == Set("part-1"), "part-0's masks must be vacuumable once it is removed")
+
+    // OPTIMIZE composition: a DV-aware compaction AFTER the deletes folds
+    // the surviving masks net (no resurrection). v4 adds part-2 so a full
+    // bin-0 pair exists: part-1 (delete-masked, 3 net rows) + part-2
+    // (clean, 10 rows)
+    import spark.implicits._
+    val acts4 = acts3.unionByName(frame(add(4, 0, "part-2", 10L))).localCheckpoint()
+    val live4 = DeltaLog.replay(acts4).localCheckpoint()
+    val dvs4 = DeltaLog.deletionVectors(acts4).localCheckpoint()
+    val net = Seq(("part-1", 3L, 1L, 10L, 30L, 70L))
+      .toDF("path", "n_rows", "min_key", "max_key", "cents", "masked_cents")
+    val opt = DeltaLog.optimizeActions(live4, 5, Some(dvs4), Some(net))
+    val optAdd = opt.filter(col("op") === "add").select("n_rows").as[Long].collect()
+    assert(optAdd.toSeq == Seq(13L),
+      s"compaction after DELETE must carry mask-net rows (3 + 10), got ${optAdd.toSeq}")
+  }
+
+  test("deleteActions raises on non-live targets and out-of-range positions") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "a")).localCheckpoint()
+    val live = DeltaLog.replay(acts)
+    val dvs = DeltaLog.deletionVectors(acts)
+    // positioned claims a path the live set doesn't have
+    val ghost = Seq(("ghost", 0L, 1L, 10L)).toDF("path", "pos", "k", "cents")
+    val ex1 = intercept[Exception] {
+      DeltaLog.deleteActions(live, dvs, ghost, col("k") === 1, 1).collect()
+    }
+    assert(ex1.getMessage.contains("non-live path"), ex1.getMessage)
+    // positioned claims a position beyond the file's committed n_rows
+    val oob = Seq(("a", 99L, 1L, 10L)).toDF("path", "pos", "k", "cents")
+    val ex2 = intercept[Exception] {
+      DeltaLog.deleteActions(live, dvs, oob, col("k") === 1, 1).collect()
+    }
+    assert(ex2.getMessage.contains("outside file range"), ex2.getMessage)
+  }
+
+  test("mergeActions enforces the single transaction version on its adds") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "part-0")).localCheckpoint()
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val dvs = DeltaLog.deletionVectors(acts)
+    val stats = Seq((5L, 1L, 5L, 50L)).toDF("n_rows", "min_key", "max_key", "cents")
+    val goodAdd = DeltaLog.addAction(stats, 1, 1000, "ins-1", array(lit(0L)))
+    val onFile = positioned.filter(col("path") === "part-0")
+    val merged = DeltaLog.mergeActions(live, dvs, onFile,
+      col("k") % 2 === 0, 1, goodAdd).collect()
+    assert(merged.map(_.getString(2)).sorted.toSeq == Seq("add", "dv"))
+    val badAdd = DeltaLog.addAction(stats, 2, 1000, "ins-2", array(lit(0L)))
+    val ex = intercept[Exception] {
+      DeltaLog.mergeActions(live, dvs, onFile, col("k") % 2 === 0, 1, badAdd).collect()
+    }
+    assert(ex.getMessage.contains("outside transaction version"), ex.getMessage)
+  }
+
+  // ---- optimizeActions: the cents reconciliation guard --------------------
+
+  test("optimizeActions raises when net cents + masked cents disagree with committed stats") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "part-0", 10L), add(0, 1, "part-1", 10L),
+      Row(1, 0, "dv", "part-0", null, null, null, null, null, Seq(2L, 4L), null, null, null))
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
+    // cardinality agrees (8 = 10 - 2) but 85 + 20 != committed 100
+    val badCents = Seq(("part-0", 8L, 1L, 10L, 85L, 20L))
+      .toDF("path", "n_rows", "min_key", "max_key", "cents", "masked_cents")
+    val ex = intercept[Exception] {
+      DeltaLog.optimizeActions(live, 2, Some(dvs), Some(badCents)).collect()
+    }
+    assert(ex.getMessage.contains("net cents disagree"), ex.getMessage)
+    // a null masked_cents is just as torn — never silently trusted
+    val nullMasked = Seq(("part-0", 8L, 1L, 10L, 80L, Option.empty[Long]))
+      .toDF("path", "n_rows", "min_key", "max_key", "cents", "masked_cents")
+    val ex2 = intercept[Exception] {
+      DeltaLog.optimizeActions(live, 2, Some(dvs), Some(nullMasked)).collect()
+    }
+    assert(ex2.getMessage.contains("net cents disagree"), ex2.getMessage)
+  }
+
+  // ---- commit timestamps ----------------------------------------------------
+
+  test("versionAsOf resolves latest-commit-<=, with monotonic adjustment and edge sentinels") {
+    import spark.implicits._
+    val acts = DeltaLog.stampTs(
+      frame(add(0, 0, "a"), add(1, 0, "b"), add(2, 0, "c"), add(3, 0, "d")),
+      // v2's raw ts goes BACKWARDS (90 < v1's 200): adjusted must clamp to 200
+      when(col("version") === 0, 100L).when(col("version") === 1, 200L)
+        .when(col("version") === 2, 90L).otherwise(400L)).localCheckpoint()
+    val commits = DeltaLog.commitTimestamps(acts).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(commits == Map(0 -> 100L, 1 -> 200L, 2 -> 200L, 3 -> 400L),
+      s"monotonic adjustment, got $commits")
+    val probes = Seq(("before", 99L), ("at0", 100L), ("mid", 150L), ("at_adj2", 200L),
+      ("pre400", 399L), ("after", 1000L)).toDF("label", "p_ts")
+    val got = DeltaLog.versionAsOf(acts, probes).collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(got == Map("before" -> -1, "at0" -> 0, "mid" -> 0, "at_adj2" -> 2,
+      "pre400" -> 2, "after" -> 3), s"got $got")
+    // time-based retention: horizon 250 keeps {v2 (boundary), v3}
+    val kept = DeltaLog.retainedVersionsAsOf(acts, 250L).collect().map(_.getInt(0)).toSet
+    assert(kept == Set(2, 3), s"got $kept")
+  }
+
+  test("a torn commit timestamp (two actions of one version disagreeing) raises") {
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b"))
+      .withColumn("ts", when(col("ordinal") === 0, 100L).otherwise(101L))
+    val ex = intercept[Exception] { DeltaLog.commitTimestamps(acts).collect() }
+    assert(ex.getMessage.contains("torn commit timestamp"), ex.getMessage)
+  }
+
+  test("ts round-trips the JSON log format") {
+    val stamped = DeltaLog.stampTs(frame(add(0, 0, "a"), add(1, 0, "b")),
+      lit(1000L) + col("version") * 10L)
+    val rt = DeltaLog.actions(DeltaLog.toLines(stamped)).collect()
+      .map(r => r.getInt(0) -> r.getLong(11)).toMap
+    assert(rt == Map(0 -> 1000L, 1 -> 1010L), s"ts must survive serialization, got $rt")
+  }
+
+  // ---- protocol gate --------------------------------------------------------
+
+  test("requireReader raises below the active protocol, admits at-or-above, defaults to 1") {
+    val acts = frame(add(0, 0, "a"))
+      .unionByName(DeltaLog.protocolAction(spark, 1, 0, 2)).localCheckpoint()
+    val ex = intercept[Exception] { DeltaLog.requireReader(acts, 1).collect() }
+    assert(ex.getMessage.contains("below table protocol"), ex.getMessage)
+    assert(DeltaLog.requireReader(acts, 2).collect().head.getInt(0) == 2)
+    // no protocol action: every reader admitted at the base protocol
+    val bare = frame(add(0, 0, "a"))
+    assert(DeltaLog.requireReader(bare, 1).collect().head.getInt(0) == 1)
+    // protocol races latest-wins and never touches file liveness
+    val upgraded = acts.unionByName(DeltaLog.protocolAction(spark, 2, 0, 3))
+    assert(DeltaLog.activeProtocol(upgraded).collect().head.getInt(0) == 3)
+    assert(DeltaLog.replay(upgraded).collect().map(_.getString(0)).toSeq == Seq("a"))
+    // and the checkpoint persists it ALONE (no tail)
+    assert(DeltaLog.activeProtocol(DeltaLog.checkpointState(upgraded, Some(2)))
+      .collect().head.getInt(0) == 3)
+  }
+
+  // ---- trained centroids on the clustered fixture ---------------------------
+
+  test("v13b: TRAINED centroids keep the clustered pruning benefit") {
+    val rows = graft.queries.VectorQueries.v13bTrainedClustered.fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val byProbe = rows.map(r => r._1 -> r).toMap
+    // the round-11 verdict's composition ask: v12's training loop must
+    // achieve v13's benefit thresholds on the clustered fixture
+    assert(byProbe(1)._2 >= 0.9, s"recall@nprobe=1 must be >= 0.9, got ${byProbe(1)._2}")
+    assert(byProbe(2)._2 >= 0.9, s"recall@nprobe=2 must be >= 0.9, got ${byProbe(2)._2}")
+    assert(byProbe(2)._3 <= 0.35, s"nprobe=2 must scan <= 35% of rows, got ${byProbe(2)._3}")
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "recall monotone in nprobe")
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) < p(1)), "scan fraction grows with nprobe")
+    assert(byProbe(8)._2 == 1.0, "nprobe = #cells is brute force: recall exactly 1.0")
+    // independent reconstruction (pure Scala, no Spark): Lloyd-2 from the
+    // Forgy init converges to the PURE planted clustering — the training
+    // contract whose regression the curve above would surface
+    def vec(v: Long): Array[Double] = Array.tabulate(64)(i =>
+      (if (i / 8 == v % 8) 2.0 else 0.0) + ((v * 31 + i * 17) % 11 - 5) / 10.0)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val n = 500 // the sf0.001/sf0.01 corpus size
+    val vs = Array.tabulate(n)(v => vec(v.toLong))
+    var cents = Array.tabulate(8)(k => vs(k).clone())
+    for (_ <- 1 to 2) {
+      val asn = vs.map(e => (0 until 8).minBy(c => (d2(e, cents(c)), c)))
+      cents = Array.tabulate(8) { c =>
+        val mem = vs.indices.filter(asn(_) == c)
+        Array.tabulate(64)(i => BigDecimal(mem.map(v => vs(v)(i)).sum / mem.size)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val finalAsn = vs.indices.map(v => (0 until 8).minBy(c => (d2(vs(v), cents(c)), c)))
+    assert(vs.indices.forall(v => finalAsn(v) == finalAsn(v % 8)),
+      "every vector must land in its own planted cluster's trained cell")
+    assert(finalAsn.take(8).toSet.size == 8, "the 8 trained cells stay distinct")
+  }
+}
