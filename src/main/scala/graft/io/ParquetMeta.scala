@@ -28,8 +28,12 @@ object ParquetMeta {
     * lists correctly instead of silently yielding an empty local
     * listing. The active Spark session's hadoopConfiguration is used
     * when present (remote filesystems carry credentials/endpoints via
-    * spark.hadoop.*); a missing directory lists as empty, matching the
-    * historical local-listing contract. */
+    * spark.hadoop.*); a missing directory lists as empty. Every entry is
+    * returned FULLY QUALIFIED (`fs.makeQualified` — scheme + authority):
+    * a bare path re-resolves through fs.defaultFS at READ time, so a
+    * session that reconfigures its default filesystem between list and
+    * read would silently open the same string against a different
+    * filesystem. */
   def partFiles(dir: String): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
@@ -40,10 +44,7 @@ object ParquetMeta {
     val status = fs.getFileStatus(path)
     val files = if (status.isFile) Array(status) else fs.listStatus(path)
     files.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s => // local files keep plain-path form; remote URIs keep their scheme
-        val u = s.getPath.toUri
-        if (u.getScheme == null || u.getScheme == "file") u.getPath else s.getPath.toString
-      }.sorted.toSeq
+      .map(s => fs.makeQualified(s.getPath).toString).sorted.toSeq
   }
 
   /** Footer metadata for every column chunk of every row group of the

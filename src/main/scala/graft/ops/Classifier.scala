@@ -257,6 +257,14 @@ object Classifier {
     * double division at the end (bit-identical cross-engine). Returns
     * one row (n_pos, n_neg, u2, auc, gini).
     *
+    * Overflow: 2U and n_pos·n_neg are O(N²) in the label counts, so they
+    * accumulate in DECIMAL(38,0) — exact to ~10¹⁹ labeled rows per class
+    * (a LongType sum overflows silently past ~3·10⁹). The emitted `u2`
+    * column stays BIGINT for the catalog's no-decimal-output rule, with
+    * a loud raise if the exact value ever exceeds Long range; auc/gini
+    * divide the decimals (exact integers, so the doubles are identical
+    * to the long path's wherever both are defined).
+    *
     * Distributed shape: group to distinct scores (map-side combine),
     * then the global "negatives strictly below" running sum as a
     * TWO-PHASE bucketed scan — a per-bucket partitioned window plus a
@@ -280,7 +288,10 @@ object Classifier {
       .rowsBetween(Window.unboundedPreceding, -1)
     val c = g.join(broadcast(prefix), Seq("bkt"))
       .withColumn("nn_below", col("prefix_nn") + coalesce(sum("nn").over(w), lit(0L)))
-    c.agg(coalesce(sum(col("np") * (col("nn_below") * 2 + col("nn"))), lit(0L)).as("u2"),
+    val pnProduct = col("n_pos").cast("decimal(19,0)") * col("n_neg").cast("decimal(19,0)")
+    c.agg(coalesce(sum(col("np").cast("decimal(19,0)")
+            * (col("nn_below") * 2 + col("nn")).cast("decimal(19,0)")),
+          lit(0).cast("decimal(38,0)")).as("u2d"),
         coalesce(sum("np"), lit(0L)).as("n_pos"), coalesce(sum("nn"), lit(0L)).as("n_neg"))
       .select(
         // AUC over a single class is undefined — raise instead of
@@ -290,8 +301,13 @@ object Classifier {
         when(col("n_pos") === 0 || col("n_neg") === 0,
           raise_error(lit("aucExact: need at least one positive and one negative label")))
           .otherwise(col("n_pos")).as("n_pos"),
-        col("n_neg"), col("u2"),
-        (col("u2").cast("double") / (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"),
-        (col("u2").cast("double") / (col("n_pos") * col("n_neg")).cast("double") - 1.0).as("gini"))
+        col("n_neg"),
+        // the exact decimal is the truth; the BIGINT projection of it
+        // must fail loudly rather than wrap
+        when(col("u2d") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("aucExact: 2U exceeds BIGINT range — read the decimal internally")))
+          .otherwise(col("u2d").cast("long")).as("u2"),
+        (col("u2d").cast("double") / (pnProduct * 2).cast("double")).as("auc"),
+        (col("u2d").cast("double") / pnProduct.cast("double") - 1.0).as("gini"))
   }
 }

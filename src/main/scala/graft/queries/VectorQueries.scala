@@ -1154,8 +1154,9 @@ object VectorQueries extends QuerySet {
     * exists for. Fixture (generated ARITHMETICALLY in both engines from
     * vec_id, never stored): 8 orthogonal centers (coordinate block
     * [8k, 8k+7] = 2.0), vector v = center_{v % 8} + deterministic
-    * per-coordinate noise in [-0.3, 0.3] — within-cluster dot ≈ 32 vs
-    * cross-cluster ≈ 0, the published regime where probing p of K cells
+    * per-coordinate noise in [-0.5, 0.5] (((v·31+i·17) mod 11 − 5)/10) —
+    * within-cluster dot ≈ 32 ± noise vs cross-cluster ≈ 0 ± noise, the
+    * published regime where probing p of K cells
     * scans ~p/K of the data at high recall. The IVF cells are the true
     * centers, so the curve isolates the PRUNING claim: recall ≥ 0.9 at
     * nprobe ≤ 2 while scanning ≤ 35% of rows (Round11Spec pins the
