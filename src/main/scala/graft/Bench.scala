@@ -54,6 +54,60 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
     }
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // ---- chain self-adjudication (round-11 verdict #8) ---------------------
+    // Two rounds straight the closing sf0.1 chain landed in a degraded host
+    // window and needed hand adjudication. Flag any chain row that is (a)
+    // >2x its RECORDED isolated median (bench_isolated.json, refreshed by
+    // dedicated isolated runs), (b) over the 4.5 s watch line, or (c) >2.5x
+    // its own min (an in-chain stall) — then RE-MEASURE it at the end of
+    // the same run, a later window, so the artifact carries both numbers
+    // and self-adjudicates.
+    val isolatedPath = java.nio.file.Paths.get("bench_isolated.json")
+    val recorded: Map[String, Double] =
+      if (java.nio.file.Files.exists(isolatedPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(isolatedPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val flagged = raw.flatMap { case (name, times) =>
+      if (times.contains(-1.0)) None else {
+        val med = times.sorted.apply(reps / 2)
+        val why =
+          if (recorded.get(name).exists(iso => med > 2 * iso)) Some("gt_2x_recorded_isolated")
+          else if (med > 4.5) Some("gt_4.5s_line")
+          else if (reps >= 3 && med > 2.5 * times.min) Some("stall_vs_own_min")
+          else None
+        why.map(w => (name, med, w))
+      }
+    }.take(12) // bound the adjudication pass; 12 flags = the run is the problem
+    val adjudicated = flagged.map { case (name, chainMed, why) =>
+      val fn = SparkEntry.queries(name)
+      val times2 = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { materialize(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        spark.catalog.clearCache()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val isoMed = if (times2.contains(-1.0)) -1.0 else times2.sorted.apply(reps / 2)
+      (name, chainMed, isoMed, why)
+    }
+    val adjJson = adjudicated.map { case (name, chain, iso, why) =>
+      "\"" + name + "\":{\"chain\":" + fmt(chain) + ",\"remeasured\":" + fmt(iso) +
+        ",\"why\":\"" + why + "\"" +
+        recorded.get(name).map(r => ",\"recorded_isolated\":" + fmt(r)).getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    // optional sidecar refresh (dev use): record the re-measures as the new
+    // isolated baseline for the next run's 2x comparison
+    if (sys.env.contains("SPARK_GRAFT_BENCH_WRITE_ISOLATED") && adjudicated.nonEmpty) {
+      val merged = recorded ++ adjudicated.collect {
+        case (name, _, iso, _) if iso > 0 => name -> iso
+      }
+      val txt = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}\n")
+      java.nio.file.Files.write(isolatedPath,
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query spread alongside the median: the round-6 weak flag (12.0 s
@@ -87,8 +141,8 @@ object Bench {
     val byName = results.toMap
     val qsHead = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    val jsonCompact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"detail":"BENCH.json","sf":"$sfDir"}"""
-    val jsonFull = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"stats":$statsFull,"sf":"$sfDir"}"""
+    val jsonCompact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"n_adjudicated":${adjudicated.size},"detail":"BENCH.json","sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"stats":$statsFull,"adjudicated":$adjJson,"sf":"$sfDir"}"""
     println(jsonCompact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
