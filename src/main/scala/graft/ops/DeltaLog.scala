@@ -613,6 +613,82 @@ object DeltaLog {
     deleteActions(live, dvs, positioned, matched, version).unionByName(guarded)
   }
 
+  /** RESTORE TABLE ... VERSION AS OF `target`, expressed AS one
+    * version-`version` transaction (the Delta RESTORE command): diff the
+    * CURRENT state against the target snapshot and emit exactly the
+    * actions that flip it back —
+    *   - a path live now but not at target: `remove`;
+    *   - a path live at target but not now, or live in BOTH with a
+    *     DIFFERENT instance (removed + re-added since target): `remove`
+    *     (ordinal 0) + `add` re-committing the TARGET instance's stats
+    *     (ordinal 1000 — wins the same-version race);
+    *   - the target's effective mask re-committed (ordinal 2000 — after
+    *     the re-add, so instance scoping binds it to the new instance)
+    *     wherever the current effective mask differs: a re-added
+    *     instance whose target had a mask, a drifted mask on a surviving
+    *     instance, and an EMPTY mask to clear a file the target didn't
+    *     mask at all;
+    *   - untouched paths: NO action (restore is a diff, not a rewrite).
+    * Like real RESTORE, re-adds assume the target instance's data file
+    * still exists — restoring past a vacuum horizon is the caller's
+    * contract (dl7/dl15 decide what vacuum may free). Log-sized: two
+    * replays + two mask races + one full outer join on the file LIST. */
+  def restoreActions(acts: DataFrame, target: Int, version: Int): DataFrame = {
+    // BOTH cuts (current and target) from ONE grid pass each for the
+    // file race and the mask race — the round-11 vectorization rule: a
+    // second single-as-of read costs a second scheduling floor for the
+    // same window. The grids are log-sized; materialize them once for
+    // their two consumers each.
+    val versions = acts.sparkSession.range(1).select(
+      explode(array(lit(target), lit(Int.MaxValue))).as("v"))
+    val grid = replayGrid(acts, versions).localCheckpoint()
+    val dvGrid = deletionVectorGrid(acts, versions)
+      .select(col("v"), col("path"), col("dv")).localCheckpoint()
+    val now = grid.filter(col("v") === Int.MaxValue).select(col("path"),
+      col("version").as("now_v"), col("ordinal").as("now_o"))
+    val at = grid.filter(col("v") === target).select(col("path"),
+      col("buckets").as("at_buckets"), col("n_rows").as("at_rows"),
+      col("min_key").as("at_min"), col("max_key").as("at_max"),
+      col("cents").as("at_cents"),
+      col("version").as("at_v"), col("ordinal").as("at_o"))
+    val files = now.join(at, Seq("path"), "full")
+    val differs = col("at_v") =!= col("now_v") || col("at_o") =!= col("now_o")
+    val nulls = Seq(
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
+    val tail = Seq(lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+    val removes = files.filter(col("now_v").isNotNull && (col("at_v").isNull || differs))
+      .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("remove").as("op"),
+        col("path")) ++ nulls ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
+    val adds = files.filter(col("at_v").isNotNull && (col("now_v").isNull || differs))
+      .select(Seq(lit(version).as("version"), lit(1000).as("ordinal"), lit("add").as("op"),
+        col("path"), col("at_buckets").as("buckets"), col("at_rows").as("n_rows"),
+        col("at_min").as("min_key"), col("at_max").as("max_key"),
+        col("at_cents").as("cents"),
+        lit(null).cast(ArrayType(LongType)).as("dv")) ++ tail: _*)
+    // mask diff over the paths live at target; empty array = the explicit
+    // "no rows masked" state (clears a drifted mask without a rewrite)
+    val emptyMask = array().cast(ArrayType(LongType))
+    val dvNow = dvGrid.filter(col("v") === Int.MaxValue)
+      .select(col("path"), col("dv").as("dv_now"))
+    val dvAt = dvGrid.filter(col("v") === target)
+      .select(col("path"), col("dv").as("dv_at"))
+    val reAdded = adds.select(col("path")).withColumn("_readd", lit(1))
+    val dvRows = at.select("path")
+      .join(dvNow, Seq("path"), "left").join(dvAt, Seq("path"), "left")
+      .join(reAdded, Seq("path"), "left")
+      .filter(
+        (col("_readd").isNotNull && col("dv_at").isNotNull) ||
+          (col("_readd").isNull &&
+            coalesce(col("dv_now"), emptyMask) =!= coalesce(col("dv_at"), emptyMask)))
+      .select(Seq(lit(version).as("version"), lit(2000).as("ordinal"), lit("dv").as("op"),
+        col("path")) ++ nulls ++
+        (coalesce(col("dv_at"), emptyMask).as("dv") +: tail): _*)
+    removes.unionByName(adds).unionByName(dvRows)
+  }
+
   // ---- protocol / reader feature gate (dl19) --------------------------------
 
   /** An op='protocol' action row (the Delta protocol action): declares

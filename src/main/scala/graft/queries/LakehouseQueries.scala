@@ -1895,9 +1895,173 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** RESTORE to a previous version AS a transaction (the Delta RESTORE
+    * command — the last DML verb after DELETE/MERGE): v6 diffs the
+    * current state against the v4 snapshot and commits exactly the
+    * flip-back actions. The fixture plants every branch: `append-1`
+    * (added v5) is REMOVED; `part-4` (removed + re-added at v5) gets
+    * remove + re-add of the TARGET instance; `compact-0-1`'s mask
+    * drifted (v5 narrowed first-10 to first-4) and is re-committed to
+    * the target's first-10; `part-3` gained a v5 mask the target never
+    * had and is cleared with an EMPTY mask; `part-5`'s unchanged mask
+    * and every untouched file emit NO action. The gate pins the
+    * transaction rows (mechanically re-derived by the oracle's own file
+    * and mask diffs) and that the post-restore masked read ≡ the direct
+    * v4 masked read (signatures + equality flag). */
+  val dl20Restore = Q("dl20_restore",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            b4 AS (SELECT * FROM bks WHERE bucket = 4),
+            acts2 AS (
+              SELECT version, ordinal, op, path, b_lo, b_hi, n_rows, min_key, max_key, cents
+              FROM acts
+              UNION ALL SELECT 5, 0, 'remove', 'part-4', NULL, NULL, NULL, NULL, NULL, NULL
+              UNION ALL SELECT 5, 1, 'add', 'part-4', 4, 4, n_rows, min_key, max_key, cents FROM b4
+              UNION ALL SELECT 5, 2, 'add', 'append-1', 4, 4, n_rows, min_key, max_key, cents FROM b4),
+            livenow AS (
+              SELECT path, b_lo, b_hi, n_rows, min_key, max_key, cents,
+                version AS add_v, ordinal AS add_o FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2) t WHERE rn = 1 AND op = 'add'),
+            liveat AS (
+              SELECT path, b_lo, b_hi, n_rows, min_key, max_key, cents,
+                version AS add_v, ordinal AS add_o FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2 WHERE version <= 4) t WHERE rn = 1 AND op = 'add'),
+            rws AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM liveat f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dvat AS (
+              SELECT path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL SELECT path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 10),
+            dvnow AS (
+              SELECT path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL SELECT path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 4
+              UNION ALL SELECT path, pos FROM rws WHERE path = 'part-3' AND pos < 2),
+            fdiff AS (
+              SELECT coalesce(n.path, a.path) AS path,
+                n.path IS NOT NULL AND (a.path IS NULL
+                  OR a.add_v <> n.add_v OR a.add_o <> n.add_o) AS is_remove,
+                a.path IS NOT NULL AND (n.path IS NULL
+                  OR a.add_v <> n.add_v OR a.add_o <> n.add_o) AS is_add,
+                a.n_rows AS at_rows, a.cents AS at_cents
+              FROM livenow n FULL JOIN liveat a ON a.path = n.path),
+            mnow AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM dvnow GROUP BY path),
+            mat AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM dvat GROUP BY path),
+            mdiff AS (
+              SELECT l.path, coalesce(mat.n, 0) AS target_size
+              FROM liveat l LEFT JOIN mnow ON mnow.path = l.path
+              LEFT JOIN mat ON mat.path = l.path
+              LEFT JOIN fdiff f ON f.path = l.path
+              WHERE (f.is_add AND mat.n IS NOT NULL)
+                OR (NOT f.is_add AND (
+                  coalesce(mnow.n, 0) <> coalesce(mat.n, 0)
+                  OR EXISTS (SELECT 1 FROM dvnow x LEFT JOIN dvat y
+                      ON y.path = x.path AND y.pos = x.pos
+                      WHERE x.path = l.path AND y.pos IS NULL)
+                  OR EXISTS (SELECT 1 FROM dvat y LEFT JOIN dvnow x
+                      ON x.path = y.path AND x.pos = y.pos
+                      WHERE y.path = l.path AND x.pos IS NULL)))),
+            postrows AS (
+              SELECT r.path, r.o_orderkey, r.cents,
+                CASE WHEN d.pos IS NULL THEN 0 ELSE 1 END AS deleted
+              FROM rws r LEFT JOIN dvat d ON d.path = r.path AND d.pos = r.pos),
+            post AS (
+              SELECT path, CAST(sum(1 - deleted) AS BIGINT) AS n_live,
+                CAST(sum(CASE WHEN deleted = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_live,
+                CAST(sum(deleted) AS BIGINT) AS n_deleted
+              FROM postrows GROUP BY path),
+            sig AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+                CAST(sum(o_orderkey) AS BIGINT) AS k
+              FROM postrows WHERE deleted = 0)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'txn' AS section, 'remove:' || path AS item, CAST(0 AS BIGINT) AS n_rows,
+                CAST(0 AS BIGINT) AS cents, CAST(1 AS BIGINT) AS flag
+              FROM fdiff WHERE is_remove
+              UNION ALL
+              SELECT 'txn', 'add:' || path, at_rows, at_cents, CAST(0 AS BIGINT)
+              FROM fdiff WHERE is_add
+              UNION ALL
+              SELECT 'txn', 'dv:' || path, target_size, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM mdiff
+              UNION ALL SELECT 'post', path, n_live, cents_live, n_deleted FROM post
+              UNION ALL SELECT 'check', 'restored_read', n, c, k FROM sig
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      // base actions parsed ONCE: live0 (4 dvAction guards) and the
+      // re-add stats both derive from it — the v0 add lines already
+      // carry each bucket's stats, so no second orders scan is paid
+      val baseActs = DeltaLog.actions(logBase).localCheckpoint()
+      val live0 = DeltaLog.replay(baseActs)
+      val b4 = baseActs.filter(col("op") === "add" && col("path") === "part-4")
+        .select("n_rows", "min_key", "max_key", "cents")
+      val log5 = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.dvAction(live0, "part-5", 4, 0,
+            filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
+          .unionByName(DeltaLog.removeAction(s, 5, 0, "part-4"))
+          .unionByName(DeltaLog.addAction(b4, 5, 1, "part-4", array(lit(4L))))
+          .unionByName(DeltaLog.addAction(b4, 5, 2, "append-1", array(lit(4L))))
+          .unionByName(DeltaLog.dvAction(live0, "part-3", 5, 3, sequence(lit(0L), lit(1L))))
+          .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 4, sequence(lit(0L), lit(3L))))))
+        .localCheckpoint()
+      val acts5 = DeltaLog.actions(log5).localCheckpoint()
+      // THE operator under test: the engine diffs v5-current vs the v4
+      // snapshot and commits the flip-back transaction
+      val restore = DeltaLog.restoreActions(acts5, 4, 6).localCheckpoint()
+      val acts6 = DeltaLog.actions(log5.unionByName(DeltaLog.toLines(restore))).localCheckpoint()
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint() // feeds BOTH position passes
+      def positioned(live: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+        live.select(col("path"), explode(col("buckets")).as("bucket"))
+          .join(obRows, Seq("bucket"))
+          .select(col("path"), col("o_orderkey"), col("cents"),
+            (row_number().over(w) - 1).cast("long").as("pos"))
+      }
+      // post-restore masked read, from the COMMITTED transaction
+      val del6 = DeltaLog.deletionVectors(acts6)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      val postPer = positioned(DeltaLog.replay(acts6))
+        .join(broadcast(del6), Seq("path", "pos"), "left")
+        .groupBy("path")
+        .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("hit").isNull, col("cents")).otherwise(0L)).as("cents_live"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("hit").isNull, col("o_orderkey")).otherwise(0L)).as("ksum"))
+        .localCheckpoint() // feeds post rows AND the restored signature
+      val post = postPer.select(lit("post").as("section"), col("path").as("item"),
+        col("n_live").as("n_rows"), col("cents_live").as("cents"), col("n_deleted").as("flag"))
+      // the oracle's post/sig rows derive from the TARGET state (liveat +
+      // dvat) while these derive from the COMMITTED transaction — the
+      // per-file hash comparison IS the restored ≡ target proof, so no
+      // second engine-side target read is paid
+      val sigRestored = postPer
+        .agg(sum("n_live").as("n"), sum("cents_live").as("c"), sum("ksum").as("k"))
+        .select(lit("check").as("section"), lit("restored_read").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          col("k").cast("long").as("flag"))
+      val txn = restore.select(lit("txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "dv", size(col("dv")).cast("long"))
+          .when(col("op") === "add", col("n_rows")).otherwise(lit(0L)).as("n_rows"),
+        when(col("op") === "add", col("cents")).otherwise(lit(0L)).as("cents"),
+        when(col("op") === "remove", 1L).otherwise(0L).as("flag"))
+      txn.unionByName(post).unionByName(sigRestored)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
-    dl17DeleteWhere, dl18Merge, dl19ProtocolGate,
+    dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore,
     k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -223,6 +223,44 @@ class Round12Spec extends SparkSpec {
       .collect().head.getInt(0) == 3)
   }
 
+  // ---- RESTORE as a transaction ---------------------------------------------
+
+  test("restoreActions flips files, instances and masks back to the target") {
+    def rem(v: Int, o: Int, path: String): Row =
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
+    def dv(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
+      Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null)
+    val acts = frame(
+      add(0, 0, "a"), add(0, 1, "b"),
+      dv(1, 0, "a", Seq(1L, 2L)),     // a masked at v1
+      rem(2, 0, "b"), add(2, 1, "c"), // b removed, c added at v2
+      dv(3, 0, "a", Seq(1L))          // a's mask narrowed at v3
+    ).localCheckpoint()
+    val r = DeltaLog.restoreActions(acts, 1, 4).localCheckpoint()
+    val ops = r.collect().map(x => (x.getString(2), x.getString(3))).toSet
+    assert(ops == Set(("remove", "c"), ("add", "b"), ("dv", "a")),
+      s"restore to v1 must drop c, re-add b, re-widen a's mask — got $ops")
+    val acts4 = acts.unionByName(r).localCheckpoint()
+    assert(DeltaLog.replay(acts4).collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    val dvs = DeltaLog.deletionVectors(acts4).collect()
+      .map(x => x.getString(0) -> x.getSeq[Long](1).toSeq).toMap
+    assert(dvs == Map("a" -> Seq(1L, 2L)), s"target mask re-committed, got $dvs")
+    // re-added b keeps its ORIGINAL stats through the re-add
+    val b = DeltaLog.replay(acts4).filter(col("path") === "b").collect().head
+    assert(b.getLong(2) == 10L && b.getLong(5) == 100L)
+    // restore to v0 (pre-mask): a's mask must be CLEARED with an empty dv
+    val r0 = DeltaLog.restoreActions(acts, 0, 4)
+    val dvRow = r0.filter(col("op") === "dv").collect()
+    assert(dvRow.length == 1 && dvRow.head.getSeq[Long](9).isEmpty,
+      "restore past the first mask commits an explicit empty mask")
+    val cleared = DeltaLog.deletionVectors(acts.unionByName(r0)).collect()
+      .map(x => x.getString(0) -> x.getSeq[Long](1).toSeq).toMap
+    assert(cleared == Map("a" -> Seq()), s"got $cleared")
+    // idempotence: restoring to the CURRENT state emits nothing
+    assert(DeltaLog.restoreActions(acts, 3, 4).isEmpty,
+      "restore to the current state is a no-op transaction")
+  }
+
   // ---- trained centroids on the clustered fixture ---------------------------
 
   test("v13b: TRAINED centroids keep the clustered pruning benefit") {
