@@ -63,13 +63,20 @@ object Bench {
     // the same run, a later window, so the artifact carries both numbers
     // and self-adjudicates.
     val isolatedPath = java.nio.file.Paths.get("bench_isolated.json")
-    val recorded: Map[String, Double] =
+    // baselines are SCALE-FACTOR-SCOPED ("sf0.1:query" keys): a sub-second
+    // sf0.001 median is not a baseline for an sf0.1 chain row, and a
+    // sidecar refresh from one SF must never corrupt another's records
+    val sfKey = new java.io.File(sfDir).getName
+    val allRecorded: Map[String, Double] =
       if (java.nio.file.Files.exists(isolatedPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(isolatedPath),
           java.nio.charset.StandardCharsets.UTF_8)
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
+    val recorded: Map[String, Double] = allRecorded.collect {
+      case (k, v) if k.startsWith(sfKey + ":") => k.stripPrefix(sfKey + ":") -> v
+    }
     val flagged = raw.flatMap { case (name, times) =>
       if (times.contains(-1.0)) None else {
         val med = times.sorted.apply(reps / 2)
@@ -80,7 +87,9 @@ object Bench {
           else None
         why.map(w => (name, med, w))
       }
-    }.take(12) // bound the adjudication pass; 12 flags = the run is the problem
+      // worst rows first: if the 12-flag cap binds, the re-measures must
+      // cover the MOST degraded rows, not the alphabetically earliest
+    }.sortBy(-_._2).take(12) // bound the pass; 12 flags = the run is the problem
     val adjudicated = flagged.map { case (name, chainMed, why) =>
       val fn = SparkEntry.queries(name)
       val times2 = (1 to reps).map { _ =>
@@ -100,8 +109,8 @@ object Bench {
     // optional sidecar refresh (dev use): record the re-measures as the new
     // isolated baseline for the next run's 2x comparison
     if (sys.env.contains("SPARK_GRAFT_BENCH_WRITE_ISOLATED") && adjudicated.nonEmpty) {
-      val merged = recorded ++ adjudicated.collect {
-        case (name, _, iso, _) if iso > 0 => name -> iso
+      val merged = allRecorded ++ adjudicated.collect {
+        case (name, _, iso, _) if iso > 0 => (sfKey + ":" + name) -> iso
       }
       val txt = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}\n")

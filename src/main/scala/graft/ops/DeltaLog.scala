@@ -284,6 +284,7 @@ object DeltaLog {
             // (a max can shrink arbitrarily under a mask) and stay
             // oracle-gated.
             when(col("_mask").isNotNull && (col("_net_masked").isNull ||
+                col("_net_cents").isNull ||
                 col("_net_cents") + col("_net_masked") =!= col("cents")),
               raise_error(concat(lit("net cents disagree with committed stats: "), col("path"))))
               .when(col("_mask").isNotNull, col("_net_cents")).otherwise(col("cents")).as("cents"))
@@ -749,15 +750,24 @@ object DeltaLog {
     * log-sized (versions², never data) and window-free. Returns
     * (version, ts). */
   def commitTimestamps(acts: DataFrame): DataFrame = {
-    val per = acts.filter(col("ts").isNotNull)
-      .groupBy("version")
-      .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+    val per = acts.groupBy("version")
+      .agg(min("ts").as("ts_min"), max("ts").as("ts_max"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null"))
+    // enforcement scope: on a FULLY unstamped log (no ts anywhere) the
+    // timestamp APIs see zero commits (versionAsOf resolves everything
+    // to the sentinel) — but once ANY version is stamped, a version
+    // with a missing or mixed-null ts is torn and must raise: silently
+    // dropping it would hand retainedVersionsAsOf a version set missing
+    // the newest commit, freeing files that are live RIGHT NOW.
+    val anyStamped = per.agg(max(col("ts_max")).isNotNull.as("_stamped"))
+    val guarded = per.crossJoin(broadcast(anyStamped)).filter(col("_stamped"))
       .select(col("version"),
-        when(col("ts_min") =!= col("ts_max"),
-          raise_error(concat(lit("torn commit timestamp at version "), col("version").cast("string"))))
+        when(col("ts_max").isNull || col("n_null") > 0 || col("ts_min") =!= col("ts_max"),
+          raise_error(concat(lit("unstamped or torn commit timestamp at version "),
+            col("version").cast("string"))))
           .otherwise(col("ts_max")).as("ts"))
-    val earlier = per.select(col("version").as("v2"), col("ts").as("ts2"))
-    per.join(earlier, col("v2") <= col("version"))
+    val earlier = guarded.select(col("version").as("v2"), col("ts").as("ts2"))
+    guarded.join(earlier, col("v2") <= col("version"))
       .groupBy(col("version")).agg(max("ts2").as("ts"))
   }
 

@@ -1362,8 +1362,9 @@ object VectorQueries extends QuerySet {
           .localCheckpoint()
         // v12's production loop, on the CLUSTERED fixture
         val cents = graft.ops.Cluster.lloyd(fix, "embedding", "vec_id", trainInit, iterations = 2)
+        // single consumer (cand) over checkpointed inputs — no
+        // materialization needed; pc below is the real fan-out point
         val assigned = graft.ops.Cluster.assign(fix, "embedding", "vec_id", cents)
-          .localCheckpoint() // feeds the candidate branch AND nothing else twice? candidate only; kept for the pc fan-out below
         val q = fix.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val d2q = aggregate(

@@ -193,6 +193,15 @@ class Round12Spec extends SparkSpec {
       .withColumn("ts", when(col("ordinal") === 0, 100L).otherwise(101L))
     val ex = intercept[Exception] { DeltaLog.commitTimestamps(acts).collect() }
     assert(ex.getMessage.contains("torn commit timestamp"), ex.getMessage)
+    // a stamped log with an entirely UNSTAMPED later version is torn too:
+    // silently dropping it would hand a time-keyed vacuum a version set
+    // missing the newest commit, freeing files that are live RIGHT NOW
+    val mixed = DeltaLog.stampTs(frame(add(0, 0, "a")), lit(100L))
+      .unionByName(frame(add(1, 0, "b")))
+    val ex2 = intercept[Exception] { DeltaLog.commitTimestamps(mixed).collect() }
+    assert(ex2.getMessage.contains("unstamped or torn"), ex2.getMessage)
+    // while a FULLY unstamped log sees zero commits (sentinel resolution)
+    assert(DeltaLog.commitTimestamps(frame(add(0, 0, "a"))).isEmpty)
   }
 
   test("ts round-trips the JSON log format") {

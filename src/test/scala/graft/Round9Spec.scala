@@ -552,7 +552,7 @@ class DeltaStreamSpec extends SparkSpec {
           val maxV = batchActs.agg(max("version")).collect()(0).getInt(0)
           state =
             if (stateV < 0) DeltaLog.checkpointState(batchActs).localCheckpoint()
-            else DeltaLog.foldState(state, batchActs, stateV).localCheckpoint()
+            else DeltaLog.foldState(state, batchActs, stateV) // materialized inside foldState
           stateV = maxV
         })
       .option("checkpointLocation", ckpt).start()
