@@ -268,8 +268,8 @@ object DeltaLog {
           .select(col("path"), col("buckets"),
             when(col("_mask").isNotNull && col("_net_rows").isNull,
               raise_error(concat(lit("masked input lacks net stats: "), col("path"))))
-              .when(col("_mask").isNotNull &&
-                  col("_net_rows") =!= col("n_rows") - inRange,
+              .when(col("_mask").isNotNull && (col("n_rows").isNull ||
+                  col("_net_rows") =!= col("n_rows") - inRange),
                 raise_error(concat(lit("net stats disagree with mask cardinality: "), col("path"))))
               .when(col("_mask").isNotNull, col("_net_rows"))
               .otherwise(col("n_rows")).as("n_rows"),
@@ -284,7 +284,7 @@ object DeltaLog {
             // (a max can shrink arbitrarily under a mask) and stay
             // oracle-gated.
             when(col("_mask").isNotNull && (col("_net_masked").isNull ||
-                col("_net_cents").isNull ||
+                col("_net_cents").isNull || col("cents").isNull ||
                 col("_net_cents") + col("_net_masked") =!= col("cents")),
               raise_error(concat(lit("net cents disagree with committed stats: "), col("path"))))
               .when(col("_mask").isNotNull, col("_net_cents")).otherwise(col("cents")).as("cents"))
@@ -558,7 +558,13 @@ object DeltaLog {
       .agg(sort_array(collect_list(col("pos"))).as("mask"), count(lit(1)).as("n_masked"))
     val withLive = merged
       .join(broadcast(live.select(col("path"), col("n_rows"))), Seq("path"))
-      .select(col("path"), col("mask"), col("n_rows"),
+      .select(col("path"), col("mask"),
+        // a live file with NULL committed n_rows would null BOTH branch
+        // filters below and the file would land in neither — the delete
+        // silently dropped; raise instead (same class as the other guards)
+        when(col("n_rows").isNull,
+          raise_error(concat(lit("delete target has null committed n_rows: "), col("path"))))
+          .otherwise(col("n_rows")).as("n_rows"),
         // the range guard lives on n_masked because BOTH output branches
         // read it: an out-of-range position could otherwise inflate
         // n_masked to n_rows and turn a partial delete into a silent
@@ -713,7 +719,14 @@ object DeltaLog {
     * table-level property shares. */
   def activeProtocol(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
     activeOpRow(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), "protocol")
-      .select(col("min_reader"), col("version").as("protocol_version"))
+      .select(
+        // a protocol action whose payload was dropped is torn, not
+        // permissive: max(null, 1) in requireReader would otherwise admit
+        // every reader to a table that HAS a protocol
+        when(col("min_reader").isNull,
+          raise_error(lit("protocol action missing min_reader (torn payload)")))
+          .otherwise(col("min_reader")).as("min_reader"),
+        col("version").as("protocol_version"))
 
   /** Reader admission gate: ONE row (min_reader) that RAISES when the
     * table's active protocol exceeds `readerVersion` — materialize it
@@ -779,10 +792,16 @@ object DeltaLog {
     * load-bearing rather than an untested error string (dl2b). Returns
     * the probe columns plus `version`. */
   def versionAsOf(acts: DataFrame, probes: DataFrame): DataFrame = {
+    // the result appends `version`; internal commit columns are renamed so
+    // probe frames carrying log-adjacent names (ts, ...) never resolve
+    // ambiguously against the join
+    require(!probes.columns.contains("version"),
+      "versionAsOf appends a `version` column; rename the probe frame's own")
     val commits = commitTimestamps(acts)
-    probes.join(commits, commits("ts") <= probes("p_ts"), "left")
-      .groupBy(probes.columns.map(col).toSeq: _*)
-      .agg(coalesce(max("version"), lit(-1)).as("version"))
+      .select(col("version").as("_commit_v"), col("ts").as("_commit_ts"))
+    probes.join(commits, col("_commit_ts") <= probes("p_ts"), "left")
+      .groupBy(probes.columns.map(probes(_)).toSeq: _*)
+      .agg(coalesce(max("_commit_v"), lit(-1)).as("version"))
   }
 
   /** The versions a TIME-based retention keeps (vacuum horizon `hTs`,

@@ -11,6 +11,20 @@ import graft.ops.DeltaLog
   */
 object LakehouseQueries extends QuerySet {
 
+  /** Physical rows of the given live files with their 0-based positions
+    * in o_orderkey order — THE position convention every dv mask is keyed
+    * to, in ONE place (a divergent re-derivation in one gate would
+    * silently skew its masks against the committed stats all the others
+    * agree on). `obRows`: (bucket, o_orderkey, cents) from orders. */
+  private def positionedRows(live: org.apache.spark.sql.DataFrame,
+                             obRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+    live.select(col("path"), explode(col("buckets")).as("bucket"))
+      .join(obRows, Seq("bucket"))
+      .select(col("path"), col("o_orderkey"), col("cents"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+  }
+
   /** Latest-snapshot file listing: build the JSON action log, replay it
     * (per-path last action wins), emit the live files with their stats.
     * The oracle replays the same history from arithmetic CTEs. */
@@ -992,15 +1006,8 @@ object LakehouseQueries extends QuerySet {
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
         col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
         .localCheckpoint()
-      def positioned(live: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
-        live.select(col("path"), explode(col("buckets")).as("bucket"))
-          .join(obRows, Seq("bucket"))
-          .select(col("path"), col("o_orderkey"), col("cents"),
-            (row_number().over(w) - 1).cast("long").as("pos"))
-      }
       // rws4 feeds net stats, masked keys and the pre signature
-      val rws4 = positioned(live4).localCheckpoint()
+      val rws4 = positionedRows(live4, obRows).localCheckpoint()
       val del4 = dvs4.select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
       // net AND masked cents from the SAME pass — optimizeActions
       // reconciles net + masked against the committed original (the
@@ -1026,7 +1033,7 @@ object LakehouseQueries extends QuerySet {
       val maskKeys = rws4.join(broadcast(del4.drop("hit")), Seq("path", "pos"))
         .join(broadcast(removed), Seq("path")).select("o_orderkey")
       val del5 = dvs5.select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
-      val postrows = positioned(live5)
+      val postrows = positionedRows(live5, obRows)
         .join(broadcast(del5), Seq("path", "pos"), "left").filter(col("hit").isNull)
         .join(broadcast(maskKeys), Seq("o_orderkey"), "left_anti")
         .localCheckpoint() // feeds the post signature AND the per-file opt check
@@ -1485,14 +1492,9 @@ object LakehouseQueries extends QuerySet {
       val dvs4 = DeltaLog.deletionVectors(acts4)
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
         col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
       // rws4 feeds the delete derivation, the post read AND the
       // predicate-read signature
-      val rws4 = live4.select(col("path"), explode(col("buckets")).as("bucket"))
-        .join(obRows, Seq("bucket"))
-        .select(col("path"), col("o_orderkey"), col("cents"),
-          (row_number().over(w) - 1).cast("long").as("pos"))
-        .localCheckpoint()
+      val rws4 = positionedRows(live4, obRows).localCheckpoint()
       // THE operator under test: masks/removes derived from the predicate
       val pred = (col("o_orderkey") % 5 === 2) ||
         (floor(col("o_orderkey") / DeltaLog.W) === 3)
@@ -1633,12 +1635,7 @@ object LakehouseQueries extends QuerySet {
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
         col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
         .localCheckpoint() // feeds the position pass AND the insert content
-      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
-      val rws4 = live4.select(col("path"), explode(col("buckets")).as("bucket"))
-        .join(obRows, Seq("bucket"))
-        .select(col("path"), col("o_orderkey"), col("cents"),
-          (row_number().over(w) - 1).cast("long").as("pos"))
-        .localCheckpoint()
+      val rws4 = positionedRows(live4, obRows).localCheckpoint()
       val matched = col("o_orderkey") % 7 <= 1
       // the rewrite content the MERGE pays for anyway: updated rows
       // (matched k%7=1, cents+7) and the not-matched inserts (bucket 2)
@@ -2020,17 +2017,10 @@ object LakehouseQueries extends QuerySet {
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
         col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
         .localCheckpoint() // feeds BOTH position passes
-      def positioned(live: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
-        live.select(col("path"), explode(col("buckets")).as("bucket"))
-          .join(obRows, Seq("bucket"))
-          .select(col("path"), col("o_orderkey"), col("cents"),
-            (row_number().over(w) - 1).cast("long").as("pos"))
-      }
       // post-restore masked read, from the COMMITTED transaction
       val del6 = DeltaLog.deletionVectors(acts6)
         .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
-      val postPer = positioned(DeltaLog.replay(acts6))
+      val postPer = positionedRows(DeltaLog.replay(acts6), obRows)
         .join(broadcast(del6), Seq("path", "pos"), "left")
         .groupBy("path")
         .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_live"),

@@ -120,6 +120,17 @@ class Round12Spec extends SparkSpec {
       DeltaLog.deleteActions(live, dvs, oob, col("k") === 1, 1).collect()
     }
     assert(ex2.getMessage.contains("outside file range"), ex2.getMessage)
+    // a live file with NULL committed n_rows would null both branch
+    // filters and silently drop the delete — raise instead
+    val nullStats = frame(Row(0, 0, "add", "a", Seq(0L), null, 1L, 10L, 100L,
+      null, null, null, null)).localCheckpoint()
+    val ex3 = intercept[Exception] {
+      DeltaLog.deleteActions(DeltaLog.replay(nullStats),
+        DeltaLog.deletionVectors(nullStats),
+        Seq(("a", 0L, 1L, 10L)).toDF("path", "pos", "k", "cents"),
+        col("k") === 1, 1).collect()
+    }
+    assert(ex3.getMessage.contains("null committed n_rows"), ex3.getMessage)
   }
 
   test("mergeActions enforces the single transaction version on its adds") {
@@ -223,6 +234,11 @@ class Round12Spec extends SparkSpec {
     // no protocol action: every reader admitted at the base protocol
     val bare = frame(add(0, 0, "a"))
     assert(DeltaLog.requireReader(bare, 1).collect().head.getInt(0) == 1)
+    // a protocol action with a DROPPED payload is torn, not permissive
+    val torn = frame(add(0, 0, "a"),
+      Row(1, 0, "protocol", "_protocol", null, null, null, null, null, null, null, null, null))
+    val exTorn = intercept[Exception] { DeltaLog.requireReader(torn, 99).collect() }
+    assert(exTorn.getMessage.contains("missing min_reader"), exTorn.getMessage)
     // protocol races latest-wins and never touches file liveness
     val upgraded = acts.unionByName(DeltaLog.protocolAction(spark, 2, 0, 3))
     assert(DeltaLog.activeProtocol(upgraded).collect().head.getInt(0) == 3)
