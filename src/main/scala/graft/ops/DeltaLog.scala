@@ -744,6 +744,49 @@ object DeltaLog {
             col("min_reader").cast("string"))))
           .otherwise(col("min_reader")).as("min_reader"))
 
+  // ---- optimistic concurrency: rebase / retry (dl21) ------------------------
+
+  /** The OCC conflict set between a PREPARED transaction (action rows
+    * built against the `readVersion` snapshot) and every commit that
+    * landed after it: a concurrent file action (add OR remove) on a path
+    * the transaction removes — its inputs were rewritten or deleted
+    * under it — or a concurrent add colliding with a path it adds (the
+    * Delta commit-protocol checks). Returns the conflicting concurrent
+    * action rows (path, version, ordinal, op); empty = rebase is legal.
+    * Log-sized: the check reads file LISTS, never data. */
+  def rebaseConflicts(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
+    val concurrent = acts.filter(col("version") > readVersion && col("op").isin("add", "remove"))
+    val txnRemoves = txn.filter(col("op") === "remove").select("path").distinct()
+    val txnAdds = txn.filter(col("op") === "add").select("path").distinct()
+    concurrent.join(broadcast(txnRemoves), Seq("path"))
+      .unionByName(concurrent.filter(col("op") === "add")
+        .join(broadcast(txnAdds), Seq("path")))
+      .select("path", "version", "ordinal", "op").distinct()
+  }
+
+  /** Rebase the prepared transaction onto the current log head: renumber
+    * its actions to `newVersion` (ordinals preserved — intra-transaction
+    * ordering is part of the transaction) IFF [[rebaseConflicts]] is
+    * empty; a conflict RAISES in the row path (the transaction must be
+    * re-derived against the new snapshot, not silently replayed — a
+    * compaction re-committed over a concurrent delete of its input would
+    * resurrect the deleted rows). The raise rides an anti-joinable guard
+    * branch, the deleteActions pattern. */
+  def rebase(txn: DataFrame, acts: DataFrame, readVersion: Int, newVersion: Int): DataFrame = {
+    val conflictGuard = rebaseConflicts(txn, acts, readVersion)
+      .select(Seq(
+        raise_error(concat(lit("rebase conflict: concurrent "), col("op"),
+          lit(" of "), col("path"), lit(" at version "), col("version").cast("string")))
+          .cast(IntegerType).as("version"),
+        lit(0).as("ordinal"), lit("remove").as("op"), col("path"),
+        lit(null).cast(ArrayType(LongType)).as("buckets"),
+        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+        lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader")): _*)
+    txn.withColumn("version", lit(newVersion)).unionByName(conflictGuard)
+  }
+
   // ---- commit timestamps: TIMESTAMP AS OF + time-based retention (dl2b) ----
 
   /** Stamp every action with its commit timestamp (epoch µs) — a

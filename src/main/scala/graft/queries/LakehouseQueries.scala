@@ -2049,9 +2049,138 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** OCC rebase / retry — the RESOLUTION step after dl8's conflict
+    * detection (the Delta commit protocol's retry loop): three
+    * transactions PREPARED against the v1 snapshot meet the v2/v3
+    * commits that landed under them. `compact_all` (the engine's own
+    * optimizeActions over the v1 live set) removes part-2 — which v2
+    * also removed — and must ABORT (conflict part-2@2); `retier_45`
+    * (remove part-4/5 + opt-4-5) touches nothing the concurrent commits
+    * touched and REBASES to v4 (actions renumbered, ordinals preserved,
+    * committed through the strict parse); `blind_append` then rebases
+    * onto the head INCLUDING retier's fresh v4 commit (removes nothing,
+    * no add collision) and lands at v5. The gate pins each decision
+    * (conflict count + first conflicting path/version), the committed
+    * rebased actions, and the final live set. Log-sized throughout —
+    * conflicts are file-list joins. */
+  val dl21OccRebase = Q("dl21_occ_rebase",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live1 AS (SELECT * FROM ${DeltaLog.liveSql("1")} t),
+            live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            parts AS (SELECT * FROM live1 WHERE path LIKE 'part-%' AND b_lo = b_hi),
+            bins AS (SELECT b_lo // 2 AS bin, count(*) AS nf FROM parts GROUP BY 1),
+            aremoves AS (SELECT p.path FROM parts p JOIN bins b
+              ON p.b_lo // 2 = b.bin AND b.nf = 2),
+            aadds AS (SELECT 'opt-' || CAST(2 * bin AS VARCHAR) || '-' ||
+                CAST(2 * bin + 1 AS VARCHAR) AS path FROM bins WHERE nf = 2),
+            confa AS (
+              SELECT DISTINCT a.path, a.version FROM acts a
+              WHERE a.version > 1 AND a.op IN ('add', 'remove')
+                AND (a.path IN (SELECT path FROM aremoves)
+                  OR (a.op = 'add' AND a.path IN (SELECT path FROM aadds)))),
+            confb AS (
+              SELECT DISTINCT a.path, a.version FROM acts a
+              WHERE a.version > 1 AND a.op IN ('add', 'remove')
+                AND (a.path IN ('part-4', 'part-5')
+                  OR (a.op = 'add' AND a.path = 'opt-4-5'))),
+            actsb AS (
+              SELECT version, ordinal, op, path FROM acts
+              UNION ALL SELECT 4, 0, 'remove', 'part-4'
+              UNION ALL SELECT 4, 1, 'remove', 'part-5'
+              UNION ALL SELECT 4, 1000, 'add', 'opt-4-5'),
+            confc AS (
+              SELECT DISTINCT a.path, a.version FROM actsb a
+              WHERE a.version > 1 AND a.op IN ('add', 'remove')
+                AND a.op = 'add' AND a.path = 'append-9'),
+            b45 AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS cents
+              FROM live1 WHERE path IN ('part-4', 'part-5')),
+            b5 AS (SELECT n_rows, cents FROM bks WHERE bucket = 5)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'decision' AS section,
+                'compact_all@' || coalesce(min(path), 'none') AS item,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(coalesce(min(version), -1) AS BIGINT) AS cents,
+                CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS flag
+              FROM confa
+              UNION ALL
+              SELECT 'decision', 'retier_45@' || coalesce(min(path), 'none'),
+                CAST(count(*) AS BIGINT), CAST(coalesce(min(version), -1) AS BIGINT),
+                CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT)
+              FROM confb
+              UNION ALL
+              SELECT 'decision', 'blind_append@' || coalesce(min(path), 'none'),
+                CAST(count(*) AS BIGINT), CAST(coalesce(min(version), -1) AS BIGINT),
+                CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT)
+              FROM confc
+              UNION ALL SELECT 'txn', 'remove:part-4', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(4 AS BIGINT)
+              UNION ALL SELECT 'txn', 'remove:part-5', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(4 AS BIGINT)
+              UNION ALL SELECT 'txn', 'add:opt-4-5', n_rows, cents, CAST(4 AS BIGINT) FROM b45
+              UNION ALL SELECT 'txn', 'add:append-9', n_rows, cents, CAST(5 AS BIGINT) FROM b5
+              UNION ALL
+              SELECT 'post', path, n_rows, cents, CAST(0 AS BIGINT)
+              FROM (
+                SELECT path, n_rows, cents FROM live3
+                WHERE path NOT IN ('part-4', 'part-5')
+                UNION ALL SELECT 'opt-4-5', n_rows, cents FROM b45
+                UNION ALL SELECT 'append-9', n_rows, cents FROM b5) t2
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val acts3 = DeltaLog.actions(logBase).localCheckpoint()
+      val live1 = DeltaLog.replay(acts3, Some(1)).localCheckpoint()
+      // the three prepared transactions, all built against the v1 snapshot
+      val txnA = DeltaLog.optimizeActions(live1, 90)
+      val opt45Stats = live1.filter(col("path").isin("part-4", "part-5"))
+        .agg(sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+          max("max_key").as("max_key"), sum("cents").as("cents"))
+      val txnB = DeltaLog.removeAction(s, 90, 0, "part-4")
+        .unionByName(DeltaLog.removeAction(s, 90, 1, "part-5"))
+        .unionByName(DeltaLog.addAction(opt45Stats, 90, 1000, "opt-4-5",
+          array(lit(4L), lit(5L))))
+      // blind append: bucket 5's rows as a new file, stats from the LOG's
+      // own part-5 add line (no data scan)
+      val txnC = DeltaLog.addAction(
+        acts3.filter(col("op") === "add" && col("path") === "part-5")
+          .select("n_rows", "min_key", "max_key", "cents"),
+        90, 0, "append-9", array(lit(5L)))
+      def decision(name: String, txn: org.apache.spark.sql.DataFrame,
+                   acts: org.apache.spark.sql.DataFrame) =
+        DeltaLog.rebaseConflicts(txn, acts, readVersion = 1)
+          .agg(count(lit(1)).as("nc"), min("path").as("fp"), min("version").as("fv"))
+          .select(lit("decision").as("section"),
+            concat(lit(name), lit("@"), coalesce(col("fp"), lit("none"))).as("item"),
+            col("nc").cast("long").as("n_rows"),
+            coalesce(col("fv"), lit(-1)).cast("long").as("cents"),
+            when(col("nc") === 0, 1L).otherwise(0L).as("flag"))
+      val decA = decision("compact_all", txnA, acts3)
+      val decB = decision("retier_45", txnB, acts3)
+      // retier rebases to v4 and COMMITS through the strict parse
+      val rbB = DeltaLog.rebase(txnB, acts3, 1, 4).localCheckpoint()
+      val log4 = logBase.unionByName(DeltaLog.toLines(rbB))
+      val acts4 = DeltaLog.actions(log4).localCheckpoint()
+      // the blind append rebases onto the head INCLUDING retier's commit
+      val decC = decision("blind_append", txnC, acts4)
+      val rbC = DeltaLog.rebase(txnC, acts4, 1, 5).localCheckpoint()
+      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(rbC)))
+      val txnRows = rbB.unionByName(rbC).select(lit("txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "add", col("n_rows")).otherwise(lit(0L)).as("n_rows"),
+        when(col("op") === "add", col("cents")).otherwise(lit(0L)).as("cents"),
+        col("version").cast("long").as("flag"))
+      val post = DeltaLog.replay(acts5).select(lit("post").as("section"),
+        col("path").as("item"), col("n_rows"), col("cents"), lit(0L).as("flag"))
+      decA.unionByName(decB).unionByName(decC).unionByName(txnRows).unionByName(post)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
-    dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore,
+    dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase,
     k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

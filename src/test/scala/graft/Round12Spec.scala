@@ -248,6 +248,35 @@ class Round12Spec extends SparkSpec {
       .collect().head.getInt(0) == 3)
   }
 
+  // ---- OCC rebase -------------------------------------------------------------
+
+  test("rebase renumbers a clean transaction and raises on concurrent conflicts") {
+    def rem(v: Int, o: Int, path: String): Row =
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
+    // prepared at v0; v1 concurrently removed a and added c
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b"),
+      rem(1, 0, "a"), add(1, 1, "c")).localCheckpoint()
+    // remove-set conflict: the txn's input was deleted under it
+    val exR = intercept[Exception] {
+      DeltaLog.rebase(frame(rem(90, 0, "a")), acts, 0, 2).collect()
+    }
+    assert(exR.getMessage.contains("rebase conflict"), exR.getMessage)
+    // add-collision conflict: the txn's output path was taken under it
+    val exA = intercept[Exception] {
+      DeltaLog.rebase(frame(add(90, 0, "c")), acts, 0, 2).collect()
+    }
+    assert(exA.getMessage.contains("rebase conflict"), exA.getMessage)
+    // a clean txn renumbers (ordinals preserved) and replays correctly
+    val clean = frame(rem(90, 3, "b"), add(90, 1000, "d"))
+    val rb = DeltaLog.rebase(clean, acts, 0, 2).collect()
+    assert(rb.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq ==
+      Seq((2, 3, "remove"), (2, 1000, "add")).sorted)
+    val live = DeltaLog.replay(acts.unionByName(DeltaLog.rebase(clean, acts, 0, 2)))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(live == Seq("c", "d"),
+      s"a died at v1, b removed and d added by the rebased commit — got $live")
+  }
+
   // ---- RESTORE as a transaction ---------------------------------------------
 
   test("restoreActions flips files, instances and masks back to the target") {
