@@ -53,12 +53,16 @@ object DeltaLog {
     // the action carries it here so TIMESTAMP AS OF and time-based
     // vacuum resolve from the log alone, dl2b). Null on unstamped logs.
     StructField("ts", LongType),
-    // minimum reader version carried by an op='protocol' action (the
-    // Delta protocol action): a reader whose version is below the
-    // ACTIVE min_reader must fail loudly instead of silently misreading
-    // a table whose features (e.g. deletion vectors) it can't honor
-    // (dl19). Null on all other ops.
-    StructField("min_reader", IntegerType)))
+    // minimum reader/writer versions carried by an op='protocol' action
+    // (the Delta protocol action carries BOTH): a reader below the ACTIVE
+    // min_reader must fail loudly instead of silently misreading a table
+    // whose features (e.g. deletion vectors) it can't honor, and a writer
+    // below min_writer must fail before COMMITTING (a DV-blind writer
+    // compacting masked files on raw stats would resurrect deleted rows
+    // for everyone — the dl14 bug class, caused by an old client). Null
+    // on all other ops (dl19).
+    StructField("min_reader", IntegerType),
+    StructField("min_writer", IntegerType)))
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -316,7 +320,8 @@ object DeltaLog {
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
         lit(null).cast(ArrayType(LongType)).as("dv"),
         lit(null).cast(StringType).as("schema_str"),
-        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
     val adds = bins.select(lit(version).as("version"),
       (lit(1000) + col("lo")).cast("int").as("ordinal"), lit("add").as("op"),
       concat(lit("opt-"), col("lo"), lit("-"), col("hi")).as("path"),
@@ -325,7 +330,8 @@ object DeltaLog {
       col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"),
       lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
     removes.unionByName(adds)
   }
 
@@ -349,7 +355,8 @@ object DeltaLog {
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
         mask.as("dv"), lit(null).cast(StringType).as("schema_str"),
-        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
 
   /** Serialize action rows back to JSON log lines (field order matches
     * [[logLines]]; EVERY [[actionSchema]] field rides, including `dv` —
@@ -360,7 +367,8 @@ object DeltaLog {
   def toLines(acts: DataFrame): DataFrame =
     acts.select(to_json(struct(col("version"), col("ordinal"), col("op"), col("path"),
       col("buckets"), col("n_rows"), col("min_key"), col("max_key"), col("cents"),
-      col("dv"), col("schema_str"), col("ts"), col("min_reader"))).as("line"))
+      col("dv"), col("schema_str"), col("ts"), col("min_reader"),
+      col("min_writer"))).as("line"))
 
   /** A schema-complete `add` action row per input stats row (columns
     * n_rows/min_key/max_key/cents, coverage from `bks`) — companion to
@@ -374,7 +382,8 @@ object DeltaLog {
       col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
       col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
 
   /** A schema-complete `remove` action row. */
   def removeAction(spark: SparkSession, version: Int, ordinal: Int, path: String): DataFrame =
@@ -384,7 +393,8 @@ object DeltaLog {
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
 
   /** An op='meta' action row carrying the table schema as of `version`
     * (the Delta metaData action; path is the synthetic '_schema' so the
@@ -397,7 +407,8 @@ object DeltaLog {
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"), lit(schemaStr).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
 
   /** The ACTIVE schema as of `asOf` (None = latest): the highest
     * (version, ordinal) op='meta' action wins. Returns one row
@@ -577,7 +588,8 @@ object DeltaLog {
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
     val tail = Seq(lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
     val dvRows = withLive.filter(col("n_masked") < col("n_rows"))
       .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("dv").as("op"),
         col("path")) ++ nulls ++ (col("mask").as("dv") +: tail): _*)
@@ -665,7 +677,8 @@ object DeltaLog {
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
     val tail = Seq(lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
     val removes = files.filter(col("now_v").isNotNull && (col("at_v").isNull || differs))
       .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("remove").as("op"),
         col("path")) ++ nulls ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
@@ -703,14 +716,16 @@ object DeltaLog {
     * Writers commit it alongside the first action using a feature an old
     * reader can't honor (a dv mask needs a DV-aware reader — a reader
     * that ignored masks would silently resurrect deleted rows). */
-  def protocolAction(spark: SparkSession, version: Int, ordinal: Int, minReader: Int): DataFrame =
+  def protocolAction(spark: SparkSession, version: Int, ordinal: Int, minReader: Int,
+                     minWriter: Int = 1): DataFrame =
     spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
       lit("protocol").as("op"), lit("_protocol").as("path"),
       lit(null).cast(ArrayType(LongType)).as("buckets"),
       lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
       lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(minReader).as("min_reader"))
+      lit(null).cast(LongType).as("ts"), lit(minReader).as("min_reader"),
+      lit(minWriter).as("min_writer"))
 
   /** The ACTIVE protocol as of `asOf` (None = latest): one row
     * (min_reader, protocol_version), or zero rows on an unversioned
@@ -726,6 +741,9 @@ object DeltaLog {
         when(col("min_reader").isNull,
           raise_error(lit("protocol action missing min_reader (torn payload)")))
           .otherwise(col("min_reader")).as("min_reader"),
+        when(col("min_writer").isNull,
+          raise_error(lit("protocol action missing min_writer (torn payload)")))
+          .otherwise(col("min_writer")).as("min_writer"),
         col("version").as("protocol_version"))
 
   /** Reader admission gate: ONE row (min_reader) that RAISES when the
@@ -743,6 +761,21 @@ object DeltaLog {
           raise_error(concat(lit(s"reader version $readerVersion below table protocol min_reader "),
             col("min_reader").cast("string"))))
           .otherwise(col("min_reader")).as("min_reader"))
+
+  /** Writer admission gate — [[requireReader]]'s commit-side twin: a
+    * writer below the table's min_writer must fail BEFORE committing (an
+    * old writer that compacted masked files on raw stats would resurrect
+    * deleted rows for every reader — the dl14 bug class caused by an old
+    * client instead of a code path). Same default-1 and one-row shape. */
+  def requireWriter(acts: DataFrame, writerVersion: Int, asOf: Option[Int] = None): DataFrame =
+    activeProtocol(acts, asOf).select(col("min_writer"))
+      .unionByName(acts.sparkSession.range(1).select(lit(1).as("min_writer")))
+      .agg(max("min_writer").as("min_writer"))
+      .select(
+        when(col("min_writer") > writerVersion,
+          raise_error(concat(lit(s"writer version $writerVersion below table protocol min_writer "),
+            col("min_writer").cast("string"))))
+          .otherwise(col("min_writer")).as("min_writer"))
 
   // ---- optimistic concurrency: rebase / retry (dl21) ------------------------
 
@@ -783,7 +816,8 @@ object DeltaLog {
         lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
         lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
         lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
-        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader")): _*)
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer")): _*)
     txn.withColumn("version", lit(newVersion)).unionByName(conflictGuard)
   }
 

@@ -1838,37 +1838,42 @@ object LakehouseQueries extends QuerySet {
     * is Round12Spec's). Oracle: the protocol race is log arithmetic —
     * pure VALUES, no table read. */
   val dl19ProtocolGate = Q("dl19_protocol_gate",
-    Some("""WITH prot(version, ordinal, min_reader) AS (VALUES (0, -2, 1), (4, -1, 2)),
+    Some("""WITH prot(version, ordinal, min_reader, min_writer) AS (
+              VALUES (0, -2, 1, 1), (4, -1, 2, 2)),
             vers AS (SELECT unnest(range(0, 5)) AS v),
             act AS (
-              SELECT v, min_reader FROM (
-                SELECT vers.v, p.min_reader,
+              SELECT v, min_reader, min_writer FROM (
+                SELECT vers.v, p.min_reader, p.min_writer,
                   row_number() OVER (PARTITION BY vers.v
                     ORDER BY p.version DESC, p.ordinal DESC) AS rn
                 FROM vers JOIN prot p ON p.version <= vers.v) t
               WHERE rn = 1)
-            SELECT section, item, min_reader, reader1_ok, reader2_ok FROM (
-              SELECT 'active' AS section, 'v' || v AS item, CAST(min_reader AS INT) AS min_reader,
+            SELECT section, item, min_reader, min_writer, reader1_ok, reader2_ok, writer1_ok FROM (
+              SELECT 'active' AS section, 'v' || v AS item,
+                CAST(min_reader AS INT) AS min_reader, CAST(min_writer AS INT) AS min_writer,
                 CASE WHEN min_reader <= 1 THEN 1 ELSE 0 END AS reader1_ok,
-                CASE WHEN min_reader <= 2 THEN 1 ELSE 0 END AS reader2_ok
+                CASE WHEN min_reader <= 2 THEN 1 ELSE 0 END AS reader2_ok,
+                CASE WHEN min_writer <= 1 THEN 1 ELSE 0 END AS writer1_ok
               FROM act
-              UNION ALL SELECT 'checkpoint', 'state_at_2', 1, 1, 1
-              UNION ALL SELECT 'checkpoint', 'state_plus_tail', 2, 0, 1
-              UNION ALL SELECT 'gate', 'reader2_admitted', 2, 0, 1
+              UNION ALL SELECT 'checkpoint', 'state_at_2', 1, 1, 1, 1, 1
+              UNION ALL SELECT 'checkpoint', 'state_plus_tail', 2, 2, 0, 1, 0
+              UNION ALL SELECT 'gate', 'reader2_admitted', 2, 2, 0, 1, 0
+              UNION ALL SELECT 'gate', 'writer2_admitted', 2, 2, 0, 1, 0
             ) t ORDER BY section, item"""),
     (s, d) => {
       val ord = orders(s, d)
       val logBase = DeltaLog.logLines(ord).localCheckpoint()
       val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
       val log = logBase.unionByName(DeltaLog.toLines(
-        DeltaLog.protocolAction(s, 0, -2, 1)
-          .unionByName(DeltaLog.protocolAction(s, 4, -1, 2))
+        DeltaLog.protocolAction(s, 0, -2, 1, 1)
+          .unionByName(DeltaLog.protocolAction(s, 4, -1, 2, 2))
           .unionByName(DeltaLog.dvAction(live0, "part-5", 4, 0,
             filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3)))))
       val acts = DeltaLog.actions(log).localCheckpoint()
       def okCols = Seq(
         when(col("min_reader") <= 1, 1).otherwise(0).as("reader1_ok"),
-        when(col("min_reader") <= 2, 1).otherwise(0).as("reader2_ok"))
+        when(col("min_reader") <= 2, 1).otherwise(0).as("reader2_ok"),
+        when(col("min_writer") <= 1, 1).otherwise(0).as("writer1_ok"))
       val versions = s.range(0, 5).select(col("id").cast("int").as("v"))
       val wp = Window.partitionBy(col("v")).orderBy(col("version").desc, col("ordinal").desc)
       val active = versions.join(acts.filter(col("op") === "protocol"),
@@ -1876,19 +1881,25 @@ object LakehouseQueries extends QuerySet {
         .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
         .select(Seq(lit("active").as("section"),
           concat(lit("v"), col("v").cast("string")).as("item"),
-          col("min_reader")) ++ okCols: _*)
+          col("min_reader"), col("min_writer")) ++ okCols: _*)
       // checkpoint persistence: the protocol must survive checkpointState
       // ALONE (no tail) — a checkpoint that dropped it emits no row here
       val cpState = DeltaLog.activeProtocol(DeltaLog.checkpointState(acts, Some(2)))
         .select(Seq(lit("checkpoint").as("section"), lit("state_at_2").as("item"),
-          col("min_reader")) ++ okCols: _*)
+          col("min_reader"), col("min_writer")) ++ okCols: _*)
       val cpTail = DeltaLog.activeProtocol(DeltaLog.checkpointedActions(acts, 2))
         .select(Seq(lit("checkpoint").as("section"), lit("state_plus_tail").as("item"),
-          col("min_reader")) ++ okCols: _*)
-      val gate = DeltaLog.requireReader(acts, 2)
+          col("min_reader"), col("min_writer")) ++ okCols: _*)
+      // both admission gates, each one row read through its own guard
+      val gateR = DeltaLog.requireReader(acts, 2)
+        .crossJoin(broadcast(DeltaLog.requireWriter(acts, 2)))
         .select(Seq(lit("gate").as("section"), lit("reader2_admitted").as("item"),
-          col("min_reader")) ++ okCols: _*)
-      active.unionByName(cpState).unionByName(cpTail).unionByName(gate)
+          col("min_reader"), col("min_writer")) ++ okCols: _*)
+      val gateW = DeltaLog.requireWriter(acts, 2)
+        .crossJoin(broadcast(DeltaLog.requireReader(acts, 2)))
+        .select(Seq(lit("gate").as("section"), lit("writer2_admitted").as("item"),
+          col("min_reader"), col("min_writer")) ++ okCols: _*)
+      active.unionByName(cpState).unionByName(cpTail).unionByName(gateR).unionByName(gateW)
         .orderBy("section", "item")
     })
 

@@ -224,11 +224,11 @@ class Round10Spec extends SparkSpec {
     import graft.ops.DeltaLog
     import org.apache.spark.sql.Row
     def add(v: Int, o: Int, path: String) =
-      Row(v, o, "add", path, Seq(0L), 10L, 1L, 10L, 100L, null, null, null, null)
+      Row(v, o, "add", path, Seq(0L), 10L, 1L, 10L, 100L, null, null, null, null, null)
     def rem(v: Int, o: Int, path: String) =
-      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null, null)
     def dv(v: Int, o: Int, path: String, mask: Seq[Long]) =
-      Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null)
+      Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null, null)
     // f stays live through a v4 dv; g is dv'd at v4, removed at v5, re-added at v6
     val acts = spark.createDataFrame(
       java.util.Arrays.asList(add(0, 0, "f"), add(0, 1, "g"), dv(4, 0, "f", Seq(1L, 3L)),

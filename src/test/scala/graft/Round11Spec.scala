@@ -12,13 +12,13 @@ import graft.ops.DeltaLog
 class Round11Spec extends SparkSpec {
 
   private def add(v: Int, o: Int, path: String, nRows: Long = 10L): Row =
-    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null, null, null)
+    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null, null, null, null)
   private def rem(v: Int, o: Int, path: String): Row =
-    Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
+    Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null, null)
   private def dv(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
-    Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null)
+    Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null, null)
   private def meta(v: Int, o: Int, schema: String): Row =
-    Row(v, o, "meta", "_schema", null, null, null, null, null, null, schema, null, null)
+    Row(v, o, "meta", "_schema", null, null, null, null, null, null, schema, null, null, null)
   private def frame(rows: Row*) =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
 

@@ -14,7 +14,7 @@ import graft.ops.DeltaLog
 class Round12Spec extends SparkSpec {
 
   private def add(v: Int, o: Int, path: String, nRows: Long = 10L): Row =
-    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null, null, null)
+    Row(v, o, "add", path, Seq(0L), nRows, 1L, 10L, 100L, null, null, null, null, null)
   private def frame(rows: Row*) =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
   /** 10 physical rows per file: part-0 carries keys 0-9, part-1 keys
@@ -123,7 +123,7 @@ class Round12Spec extends SparkSpec {
     // a live file with NULL committed n_rows would null both branch
     // filters and silently drop the delete — raise instead
     val nullStats = frame(Row(0, 0, "add", "a", Seq(0L), null, 1L, 10L, 100L,
-      null, null, null, null)).localCheckpoint()
+      null, null, null, null, null)).localCheckpoint()
     val ex3 = intercept[Exception] {
       DeltaLog.deleteActions(DeltaLog.replay(nullStats),
         DeltaLog.deletionVectors(nullStats),
@@ -156,7 +156,7 @@ class Round12Spec extends SparkSpec {
   test("optimizeActions raises when net cents + masked cents disagree with committed stats") {
     import spark.implicits._
     val acts = frame(add(0, 0, "part-0", 10L), add(0, 1, "part-1", 10L),
-      Row(1, 0, "dv", "part-0", null, null, null, null, null, Seq(2L, 4L), null, null, null))
+      Row(1, 0, "dv", "part-0", null, null, null, null, null, Seq(2L, 4L), null, null, null, null))
     val live = DeltaLog.replay(acts).localCheckpoint()
     val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
     // cardinality agrees (8 = 10 - 2) but 85 + 20 != committed 100
@@ -234,9 +234,16 @@ class Round12Spec extends SparkSpec {
     // no protocol action: every reader admitted at the base protocol
     val bare = frame(add(0, 0, "a"))
     assert(DeltaLog.requireReader(bare, 1).collect().head.getInt(0) == 1)
+    // the writer-side twin: a v1 writer must fail BEFORE committing
+    val exW = intercept[Exception] {
+      DeltaLog.requireWriter(
+        frame(add(0, 0, "a")).unionByName(DeltaLog.protocolAction(spark, 1, 0, 1, 2)),
+        1).collect()
+    }
+    assert(exW.getMessage.contains("below table protocol min_writer"), exW.getMessage)
     // a protocol action with a DROPPED payload is torn, not permissive
     val torn = frame(add(0, 0, "a"),
-      Row(1, 0, "protocol", "_protocol", null, null, null, null, null, null, null, null, null))
+      Row(1, 0, "protocol", "_protocol", null, null, null, null, null, null, null, null, null, null))
     val exTorn = intercept[Exception] { DeltaLog.requireReader(torn, 99).collect() }
     assert(exTorn.getMessage.contains("missing min_reader"), exTorn.getMessage)
     // protocol races latest-wins and never touches file liveness
@@ -252,7 +259,7 @@ class Round12Spec extends SparkSpec {
 
   test("rebase renumbers a clean transaction and raises on concurrent conflicts") {
     def rem(v: Int, o: Int, path: String): Row =
-      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null, null)
     // prepared at v0; v1 concurrently removed a and added c
     val acts = frame(add(0, 0, "a"), add(0, 1, "b"),
       rem(1, 0, "a"), add(1, 1, "c")).localCheckpoint()
@@ -281,9 +288,9 @@ class Round12Spec extends SparkSpec {
 
   test("restoreActions flips files, instances and masks back to the target") {
     def rem(v: Int, o: Int, path: String): Row =
-      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null)
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null, null)
     def dv(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
-      Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null)
+      Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null, null)
     val acts = frame(
       add(0, 0, "a"), add(0, 1, "b"),
       dv(1, 0, "a", Seq(1L, 2L)),     // a masked at v1
