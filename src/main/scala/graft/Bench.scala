@@ -53,7 +53,10 @@ object Bench {
     val results = raw.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
     }
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the sidecar write-then-reparse round-trip must never
+    // emit a comma decimal separator on a non-English default locale
+    def fmt(v: Double) = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // ---- chain self-adjudication (round-11 verdict #8) ---------------------
     // Two rounds straight the closing sf0.1 chain landed in a degraded host
     // window and needed hand adjudication. Flag any chain row that is (a)

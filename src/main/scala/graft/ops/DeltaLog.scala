@@ -526,6 +526,24 @@ object DeltaLog {
         raise_error(concat(lit(s"stale action (version <= $stateVersion): path="), col("path"))))
         .otherwise(col("version")))
 
+  /** The stat columns of a non-add action, nulled — shared by every
+    * derived-transaction builder so an [[actionSchema]] widening touches
+    * ONE more place here instead of one per call site. */
+  private def nullStatCols = Seq(
+    lit(null).cast(ArrayType(LongType)).as("buckets"),
+    lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+    lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
+
+  /** The trailing non-file fields (schema_str, ts, min_reader,
+    * min_writer), nulled. Committers stamp `ts` afterwards via
+    * [[stampTs]] — on a timestamp-stamped table EVERY new transaction
+    * (delete/merge/restore/rebase output included) must be stamped
+    * before it is appended, or the commitTimestamps tear guard will
+    * (correctly) raise on the unstamped version. */
+  private def nullTailCols = Seq(lit(null).cast(StringType).as("schema_str"),
+    lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+    lit(null).cast(IntegerType).as("min_writer"))
+
   // ---- predicate-driven DML (dl17/dl18) ------------------------------------
 
   /** DELETE WHERE, derived THROUGH the log — the top of the DML funnel
@@ -583,13 +601,8 @@ object DeltaLog {
         when(size(filter(col("mask"), p => p < 0 || p >= col("n_rows"))) > 0,
           raise_error(concat(lit("delete mask position outside file range: "), col("path"))))
           .otherwise(col("n_masked")).as("n_masked"))
-    val nulls = Seq(
-      lit(null).cast(ArrayType(LongType)).as("buckets"),
-      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
-    val tail = Seq(lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-      lit(null).cast(IntegerType).as("min_writer"))
+    val nulls = nullStatCols
+    val tail = nullTailCols
     val dvRows = withLive.filter(col("n_masked") < col("n_rows"))
       .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("dv").as("op"),
         col("path")) ++ nulls ++ (col("mask").as("dv") +: tail): _*)
@@ -672,13 +685,8 @@ object DeltaLog {
       col("version").as("at_v"), col("ordinal").as("at_o"))
     val files = now.join(at, Seq("path"), "full")
     val differs = col("at_v") =!= col("now_v") || col("at_o") =!= col("now_o")
-    val nulls = Seq(
-      lit(null).cast(ArrayType(LongType)).as("buckets"),
-      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"))
-    val tail = Seq(lit(null).cast(StringType).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-      lit(null).cast(IntegerType).as("min_writer"))
+    val nulls = nullStatCols
+    val tail = nullTailCols
     val removes = files.filter(col("now_v").isNotNull && (col("at_v").isNull || differs))
       .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("remove").as("op"),
         col("path")) ++ nulls ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
@@ -706,7 +714,27 @@ object DeltaLog {
       .select(Seq(lit(version).as("version"), lit(2000).as("ordinal"), lit("dv").as("op"),
         col("path")) ++ nulls ++
         (coalesce(col("dv_at"), emptyMask).as("dv") +: tail): _*)
-    removes.unionByName(adds).unionByName(dvRows)
+    // the target's ACTIVE meta is state too (real RESTORE re-commits the
+    // target version's metadata): when the winning meta action drifted
+    // after the target, re-commit the target's schema at ordinal 3000 —
+    // a schema-dependent reader (dl11 backfill) would otherwise read the
+    // restored files against the POST-target schema. A table with no
+    // meta at the target has nothing to restore to (emit nothing).
+    // Protocol is deliberately NOT restored: real Delta never downgrades
+    // a protocol, restore or not.
+    val mNow = activeOpRow(acts, "meta")
+      .select(col("version").as("mv"), col("ordinal").as("mo")).withColumn("k", lit(1))
+    val mAt = activeOpRow(acts.filter(col("version") <= target), "meta")
+      .select(col("schema_str").as("m_schema"), col("version").as("av"),
+        col("ordinal").as("ao")).withColumn("k", lit(1))
+    val metaRows = mAt.join(mNow, Seq("k"), "left")
+      .filter(col("mv").isNull || col("mv") =!= col("av") || col("mo") =!= col("ao"))
+      .select(Seq(lit(version).as("version"), lit(3000).as("ordinal"), lit("meta").as("op"),
+        lit("_schema").as("path")) ++ nulls ++
+        Seq(lit(null).cast(ArrayType(LongType)).as("dv"), col("m_schema").as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
+    removes.unionByName(adds).unionByName(dvRows).unionByName(metaRows)
   }
 
   // ---- protocol / reader feature gate (dl19) --------------------------------
@@ -753,14 +781,20 @@ object DeltaLog {
     * honor. A table with no protocol action admits every reader
     * (min_reader = 1). */
   def requireReader(acts: DataFrame, readerVersion: Int, asOf: Option[Int] = None): DataFrame =
-    activeProtocol(acts, asOf).select(col("min_reader"))
-      .unionByName(acts.sparkSession.range(1).select(lit(1).as("min_reader")))
-      .agg(max("min_reader").as("min_reader"))
+    requireVersion(acts, "min_reader", "reader", readerVersion, asOf)
+
+  /** ONE copy of the admission-gate shape (default-1 union, max, raise)
+    * shared by the reader and writer gates. */
+  private def requireVersion(acts: DataFrame, field: String, label: String,
+                             clientVersion: Int, asOf: Option[Int]): DataFrame =
+    activeProtocol(acts, asOf).select(col(field))
+      .unionByName(acts.sparkSession.range(1).select(lit(1).as(field)))
+      .agg(max(field).as(field))
       .select(
-        when(col("min_reader") > readerVersion,
-          raise_error(concat(lit(s"reader version $readerVersion below table protocol min_reader "),
-            col("min_reader").cast("string"))))
-          .otherwise(col("min_reader")).as("min_reader"))
+        when(col(field) > clientVersion,
+          raise_error(concat(lit(s"$label version $clientVersion below table protocol $field "),
+            col(field).cast("string"))))
+          .otherwise(col(field)).as(field))
 
   /** Writer admission gate — [[requireReader]]'s commit-side twin: a
     * writer below the table's min_writer must fail BEFORE committing (an
@@ -768,30 +802,35 @@ object DeltaLog {
     * deleted rows for every reader — the dl14 bug class caused by an old
     * client instead of a code path). Same default-1 and one-row shape. */
   def requireWriter(acts: DataFrame, writerVersion: Int, asOf: Option[Int] = None): DataFrame =
-    activeProtocol(acts, asOf).select(col("min_writer"))
-      .unionByName(acts.sparkSession.range(1).select(lit(1).as("min_writer")))
-      .agg(max("min_writer").as("min_writer"))
-      .select(
-        when(col("min_writer") > writerVersion,
-          raise_error(concat(lit(s"writer version $writerVersion below table protocol min_writer "),
-            col("min_writer").cast("string"))))
-          .otherwise(col("min_writer")).as("min_writer"))
+    requireVersion(acts, "min_writer", "writer", writerVersion, asOf)
 
   // ---- optimistic concurrency: rebase / retry (dl21) ------------------------
 
   /** The OCC conflict set between a PREPARED transaction (action rows
     * built against the `readVersion` snapshot) and every commit that
-    * landed after it: a concurrent file action (add OR remove) on a path
-    * the transaction removes — its inputs were rewritten or deleted
-    * under it — or a concurrent add colliding with a path it adds (the
-    * Delta commit-protocol checks). Returns the conflicting concurrent
-    * action rows (path, version, ordinal, op); empty = rebase is legal.
-    * Log-sized: the check reads file LISTS, never data. */
+    * landed after it — the Delta commit-protocol checks, with dv actions
+    * as first-class conflict surfaces on BOTH sides (a partial DELETE is
+    * a dv-ONLY transaction here, so a file-action-only rule would be
+    * blind to exactly the row-level writes the engine models):
+    *   - a concurrent add/remove/dv on a path the txn REMOVES (its input
+    *     was rewritten, deleted, or row-deleted under it — a compaction
+    *     re-committed over a concurrent partial delete would resurrect
+    *     the deleted rows from raw stats, the dl14 bug class);
+    *   - a concurrent add/remove/dv on a path the txn DVs (the txn's
+    *     mask was computed against an instance or mask state that no
+    *     longer holds: a concurrent remove kills the instance, a
+    *     concurrent dv would be silently REPLACED by the txn's — the dv
+    *     race is latest-wins — and a re-add changes the instance);
+    *   - a concurrent add colliding with a path the txn adds.
+    * Returns the conflicting concurrent action rows (path, version,
+    * ordinal, op); empty = rebase is legal. Log-sized: file/mask LISTS,
+    * never data. */
   def rebaseConflicts(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
-    val concurrent = acts.filter(col("version") > readVersion && col("op").isin("add", "remove"))
-    val txnRemoves = txn.filter(col("op") === "remove").select("path").distinct()
+    val concurrent = acts.filter(col("version") > readVersion &&
+      col("op").isin("add", "remove", "dv"))
+    val txnTouches = txn.filter(col("op").isin("remove", "dv")).select("path").distinct()
     val txnAdds = txn.filter(col("op") === "add").select("path").distinct()
-    concurrent.join(broadcast(txnRemoves), Seq("path"))
+    concurrent.join(broadcast(txnTouches), Seq("path"))
       .unionByName(concurrent.filter(col("op") === "add")
         .join(broadcast(txnAdds), Seq("path")))
       .select("path", "version", "ordinal", "op").distinct()
@@ -811,13 +850,8 @@ object DeltaLog {
         raise_error(concat(lit("rebase conflict: concurrent "), col("op"),
           lit(" of "), col("path"), lit(" at version "), col("version").cast("string")))
           .cast(IntegerType).as("version"),
-        lit(0).as("ordinal"), lit("remove").as("op"), col("path"),
-        lit(null).cast(ArrayType(LongType)).as("buckets"),
-        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-        lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
-        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-      lit(null).cast(IntegerType).as("min_writer")): _*)
+        lit(0).as("ordinal"), lit("remove").as("op"), col("path")) ++ nullStatCols ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
     txn.withColumn("version", lit(newVersion)).unionByName(conflictGuard)
   }
 

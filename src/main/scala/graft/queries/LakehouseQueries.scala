@@ -711,12 +711,9 @@ object LakehouseQueries extends QuerySet {
       val acts = DeltaLog.actions(log.unionByName(dvLines)).localCheckpoint()
       val live = DeltaLog.replay(acts)
       val dvs = DeltaLog.deletionVectors(acts)
-      val w = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
-      val rws = live.select(col("path"), explode(col("buckets")).as("bucket"))
-        .join(ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
-          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents")), Seq("bucket"))
-        .select(col("path"), col("o_orderkey"), col("cents"),
-          (row_number().over(w) - 1).cast("long").as("pos"))
+      val rws = positionedRows(live,
+        ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents")))
       val del = dvs.select(col("path"), explode(col("dv")).as("pos"))
         .withColumn("hit", lit(1))
       rws.join(broadcast(del), Seq("path", "pos"), "left")
@@ -1890,16 +1887,14 @@ object LakehouseQueries extends QuerySet {
       val cpTail = DeltaLog.activeProtocol(DeltaLog.checkpointedActions(acts, 2))
         .select(Seq(lit("checkpoint").as("section"), lit("state_plus_tail").as("item"),
           col("min_reader"), col("min_writer")) ++ okCols: _*)
-      // both admission gates, each one row read through its own guard
-      val gateR = DeltaLog.requireReader(acts, 2)
+      // both admission gates evaluated ONCE, fanned to two label rows
+      val gates = DeltaLog.requireReader(acts, 2)
         .crossJoin(broadcast(DeltaLog.requireWriter(acts, 2)))
-        .select(Seq(lit("gate").as("section"), lit("reader2_admitted").as("item"),
+        .crossJoin(broadcast(s.range(1).select(explode(array(
+          lit("reader2_admitted"), lit("writer2_admitted"))).as("item"))))
+        .select(Seq(lit("gate").as("section"), col("item"),
           col("min_reader"), col("min_writer")) ++ okCols: _*)
-      val gateW = DeltaLog.requireWriter(acts, 2)
-        .crossJoin(broadcast(DeltaLog.requireReader(acts, 2)))
-        .select(Seq(lit("gate").as("section"), lit("writer2_admitted").as("item"),
-          col("min_reader"), col("min_writer")) ++ okCols: _*)
-      active.unionByName(cpState).unionByName(cpTail).unionByName(gateR).unionByName(gateW)
+      active.unionByName(cpState).unionByName(cpTail).unionByName(gates)
         .orderBy("section", "item")
     })
 

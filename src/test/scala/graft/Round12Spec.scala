@@ -284,6 +284,37 @@ class Round12Spec extends SparkSpec {
       s"a died at v1, b removed and d added by the rebased commit — got $live")
   }
 
+  test("rebase treats dv actions as conflict surfaces on both sides") {
+    def rem(v: Int, o: Int, path: String): Row =
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null, null)
+    def dv(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
+      Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null, null)
+    // concurrent PARTIAL DELETE (dv-only commit) on a file the prepared
+    // compaction removes: rebasing would resurrect the deleted rows
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b"), dv(1, 0, "a", Seq(2L))).localCheckpoint()
+    val exCompact = intercept[Exception] {
+      DeltaLog.rebase(frame(rem(90, 0, "a"), add(90, 1000, "opt-a")), acts, 0, 2).collect()
+    }
+    assert(exCompact.getMessage.contains("rebase conflict"), exCompact.getMessage)
+    // a prepared dv-only DELETE vs a concurrent dv on the same path: the
+    // dv race is latest-wins, so committing would REPLACE the concurrent
+    // delete's mask and resurrect its rows
+    val exDv = intercept[Exception] {
+      DeltaLog.rebase(frame(dv(90, 0, "a", Seq(5L))), acts, 0, 2).collect()
+    }
+    assert(exDv.getMessage.contains("rebase conflict"), exDv.getMessage)
+    // and vs a concurrent remove of its target (mask would scope to a
+    // dead instance and the delete silently vanish)
+    val acts2 = frame(add(0, 0, "c"), rem(1, 0, "c")).localCheckpoint()
+    val exDead = intercept[Exception] {
+      DeltaLog.rebase(frame(dv(90, 0, "c", Seq(1L))), acts2, 0, 2).collect()
+    }
+    assert(exDead.getMessage.contains("rebase conflict"), exDead.getMessage)
+    // a dv txn on an UNTOUCHED path still rebases cleanly
+    val ok = DeltaLog.rebase(frame(dv(90, 0, "b", Seq(1L))), acts, 0, 2).collect()
+    assert(ok.length == 1 && ok.head.getInt(0) == 2)
+  }
+
   // ---- RESTORE as a transaction ---------------------------------------------
 
   test("restoreActions flips files, instances and masks back to the target") {
@@ -320,6 +351,20 @@ class Round12Spec extends SparkSpec {
     // idempotence: restoring to the CURRENT state emits nothing
     assert(DeltaLog.restoreActions(acts, 3, 4).isEmpty,
       "restore to the current state is a no-op transaction")
+    // META is state too: a post-target schema widening is rolled back by
+    // re-committing the TARGET's winning meta (real RESTORE restores the
+    // target version's metadata; protocol is never downgraded)
+    def meta(v: Int, o: Int, sch: String): Row =
+      Row(v, o, "meta", "_schema", null, null, null, null, null, null, sch, null, null, null)
+    val withMeta = acts.unionByName(frame(meta(0, 5, "s0"), meta(3, 5, "s1"))).localCheckpoint()
+    val rM = DeltaLog.restoreActions(withMeta, 1, 4)
+    val metaRow = rM.filter(col("op") === "meta").collect()
+    assert(metaRow.length == 1 && metaRow.head.getString(10) == "s0",
+      s"restore to v1 must re-commit the v0 schema, got ${metaRow.toSeq}")
+    assert(DeltaLog.activeSchema(withMeta.unionByName(rM)).collect().head.getString(0) == "s0")
+    // unchanged meta (restore to v3, whose winner IS the current one):
+    // no meta action rides a same-state restore
+    assert(DeltaLog.restoreActions(withMeta, 3, 4).filter(col("op") === "meta").isEmpty)
   }
 
   // ---- trained centroids on the clustered fixture ---------------------------
