@@ -109,16 +109,27 @@ object Bench {
         ",\"why\":\"" + why + "\"" +
         recorded.get(name).map(r => ",\"recorded_isolated\":" + fmt(r)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    // optional sidecar refresh (dev use): record the re-measures as the new
-    // isolated baseline for the next run's 2x comparison
-    if (sys.env.contains("SPARK_GRAFT_BENCH_WRITE_ISOLATED") && adjudicated.nonEmpty) {
-      val merged = allRecorded ++ adjudicated.collect {
-        case (name, _, iso, _) if iso > 0 => (sfKey + ":" + name) -> iso
+    // optional sidecar refresh (dev use): record the measured medians as the
+    // new isolated baseline for the next run's 2x comparison. ONLY honored in
+    // SPARK_GRAFT_BENCH_ONLY (dedicated isolated) runs: the in-chain
+    // re-measures run in a hot JVM right after the full chain (warm JIT,
+    // warm page cache) and are systematically FASTER than true isolated
+    // runs — writing them back would ratchet the baselines downward and
+    // make the 2x flag progressively over-trigger (ADVICE round 12).
+    if (sys.env.contains("SPARK_GRAFT_BENCH_WRITE_ISOLATED")) {
+      if (only.isEmpty)
+        System.err.println("[bench] SPARK_GRAFT_BENCH_WRITE_ISOLATED ignored: " +
+          "sidecar baselines must come from dedicated isolated runs " +
+          "(set SPARK_GRAFT_BENCH_ONLY); chain-warm re-measures would ratchet them down")
+      else {
+        val merged = allRecorded ++ results.collect {
+          case (name, med) if med > 0 => (sfKey + ":" + name) -> med
+        }
+        val txt = merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}\n")
+        java.nio.file.Files.write(isolatedPath,
+          txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      val txt = merged.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}\n")
-      java.nio.file.Files.write(isolatedPath,
-        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

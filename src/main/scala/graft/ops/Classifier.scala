@@ -258,8 +258,14 @@ object Classifier {
     * one row (n_pos, n_neg, u2, auc, gini).
     *
     * Overflow: 2U and n_pos·n_neg are O(N²) in the label counts, so they
-    * accumulate in DECIMAL(38,0) — exact to ~10¹⁹ labeled rows per class
-    * (a LongType sum overflows silently past ~3·10⁹). The emitted `u2`
+    * accumulate in DECIMAL(38,0) — exact to ~10¹⁸ labeled rows per class
+    * (2U ≈ 2·n_pos·n_neg caps out DECIMAL(38,0) near 7·10¹⁸ per class; a
+    * LongType sum overflows silently past ~3·10⁹). The per-term
+    * 2·nn_below + nn is computed IN decimal too — in LongType it would
+    * overflow first, at ~4.6·10¹⁸ negatives. Past the decimal bound
+    * Spark's non-ANSI decimal overflow yields NULL, not a raise — so the
+    * final projection raises loudly on a null 2U over non-empty two-class
+    * input instead of coalescing it to a silent 0. The emitted `u2`
     * column stays BIGINT for the catalog's no-decimal-output rule, with
     * a loud raise if the exact value ever exceeds Long range; auc/gini
     * divide the decimals (exact integers, so the doubles are identical
@@ -289,9 +295,11 @@ object Classifier {
     val c = g.join(broadcast(prefix), Seq("bkt"))
       .withColumn("nn_below", col("prefix_nn") + coalesce(sum("nn").over(w), lit(0L)))
     val pnProduct = col("n_pos").cast("decimal(19,0)") * col("n_neg").cast("decimal(19,0)")
-    c.agg(coalesce(sum(col("np").cast("decimal(19,0)")
-            * (col("nn_below") * 2 + col("nn")).cast("decimal(19,0)")),
-          lit(0).cast("decimal(38,0)")).as("u2d"),
+    // 2·nn_below + nn in DECIMAL: the LongType intermediate would be the
+    // FIRST thing to overflow (~4.6·10¹⁸ negatives), before the product
+    val nnTerm = (col("nn_below").cast("decimal(19,0)") * 2 + col("nn").cast("decimal(19,0)"))
+      .cast("decimal(20,0)") // 2·nn_below alone can pass 10¹⁹ — 19,0 would null at the edge
+    c.agg(sum(col("np").cast("decimal(19,0)") * nnTerm).as("u2d"),
         coalesce(sum("np"), lit(0L)).as("n_pos"), coalesce(sum("nn"), lit(0L)).as("n_neg"))
       .select(
         // AUC over a single class is undefined — raise instead of
@@ -302,11 +310,16 @@ object Classifier {
           raise_error(lit("aucExact: need at least one positive and one negative label")))
           .otherwise(col("n_pos")).as("n_pos"),
         col("n_neg"),
-        // the exact decimal is the truth; the BIGINT projection of it
-        // must fail loudly rather than wrap
-        when(col("u2d") > lit(Long.MaxValue).cast("decimal(38,0)"),
-          raise_error(lit("aucExact: 2U exceeds BIGINT range — read the decimal internally")))
-          .otherwise(col("u2d").cast("long")).as("u2"),
+        // non-ANSI decimal overflow is a silent NULL — over non-empty
+        // two-class input a null 2U can ONLY mean the sum overflowed
+        // DECIMAL(38,0) (~10¹⁸ rows per class); raise, never coalesce it
+        // to 0. The BIGINT projection of the exact decimal must likewise
+        // fail loudly rather than wrap.
+        when(col("n_pos") > 0 && col("n_neg") > 0 && col("u2d").isNull,
+          raise_error(lit("aucExact: 2U overflowed DECIMAL(38,0) (~10^18 rows per class)")))
+          .when(col("u2d") > lit(Long.MaxValue).cast("decimal(38,0)"),
+            raise_error(lit("aucExact: 2U exceeds BIGINT range — read the decimal internally")))
+          .otherwise(coalesce(col("u2d"), lit(0).cast("decimal(38,0)")).cast("long")).as("u2"),
         (col("u2d").cast("double") / (pnProduct * 2).cast("double")).as("auc"),
         (col("u2d").cast("double") / pnProduct.cast("double") - 1.0).as("gini"))
   }

@@ -614,12 +614,19 @@ object DeltaLog {
     // Catalyst rightly infers isnotnull(n_rows), converts a left join to
     // inner, and a raise hidden in the when-chain folds away — silently
     // dropping the delete (caught by Round12Spec's ghost test against the
-    // first implementation). An anti-join branch cannot be elided.
+    // first implementation). An anti-join branch cannot be elided — but a
+    // guard row whose op/path are LITERALS can still be FILTER-elided: a
+    // consumer filtering op === 'add' would drop the 'dv'-literal guard
+    // row before the raise column is touched. So the raise rides EVERY
+    // column a downstream race or filter reads (op, path, version) — any
+    // consumer that classifies, partitions, or orders the row detonates
+    // it (ADVICE round 12).
+    val ghostBoom = raise_error(concat(lit("delete targets non-live path: "), col("path")))
     val ghostGuard = merged.join(broadcast(live.select("path")), Seq("path"), "left_anti")
       .select(Seq(
-        raise_error(concat(lit("delete targets non-live path: "), col("path")))
-          .cast(IntegerType).as("version"),
-        lit(0).as("ordinal"), lit("dv").as("op"), col("path")) ++ nulls ++
+        ghostBoom.cast(IntegerType).as("version"),
+        lit(0).as("ordinal"), ghostBoom.cast(StringType).as("op"),
+        ghostBoom.cast(StringType).as("path")) ++ nulls ++
         (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
     dvRows.unionByName(removeRows).unionByName(ghostGuard)
   }
@@ -821,18 +828,27 @@ object DeltaLog {
     *     longer holds: a concurrent remove kills the instance, a
     *     concurrent dv would be silently REPLACED by the txn's — the dv
     *     race is latest-wins — and a re-add changes the instance);
-    *   - a concurrent add colliding with a path the txn adds.
+    *   - a concurrent add colliding with a path the txn adds;
+    *   - a concurrent op='protocol' or op='meta' action, UNCONDITIONALLY
+    *     (Delta's ProtocolChangedException / MetadataChangedException): a
+    *     writer admitted by requireWriter at its READ version must not
+    *     rebase past an upgrade that would now lock it out, and a
+    *     transaction prepared under one schema must not land under
+    *     another — path overlap is irrelevant for table-level state.
     * Returns the conflicting concurrent action rows (path, version,
     * ordinal, op); empty = rebase is legal. Log-sized: file/mask LISTS,
     * never data. */
   def rebaseConflicts(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
     val concurrent = acts.filter(col("version") > readVersion &&
       col("op").isin("add", "remove", "dv"))
+    val tableLevel = acts.filter(col("version") > readVersion &&
+      col("op").isin("protocol", "meta"))
     val txnTouches = txn.filter(col("op").isin("remove", "dv")).select("path").distinct()
     val txnAdds = txn.filter(col("op") === "add").select("path").distinct()
     concurrent.join(broadcast(txnTouches), Seq("path"))
       .unionByName(concurrent.filter(col("op") === "add")
         .join(broadcast(txnAdds), Seq("path")))
+      .unionByName(tableLevel)
       .select("path", "version", "ordinal", "op").distinct()
   }
 
@@ -845,12 +861,16 @@ object DeltaLog {
     * resurrect the deleted rows). The raise rides an anti-joinable guard
     * branch, the deleteActions pattern. */
   def rebase(txn: DataFrame, acts: DataFrame, readVersion: Int, newVersion: Int): DataFrame = {
+    // like deleteActions' ghostGuard, the raise rides op/path/version so
+    // an op- or path-filtering consumer cannot FILTER-elide the guard row
+    // before touching the raise column (ADVICE round 12)
+    val boom = raise_error(concat(lit("rebase conflict: concurrent "), col("op"),
+      lit(" of "), col("path"), lit(" at version "), col("version").cast("string")))
     val conflictGuard = rebaseConflicts(txn, acts, readVersion)
       .select(Seq(
-        raise_error(concat(lit("rebase conflict: concurrent "), col("op"),
-          lit(" of "), col("path"), lit(" at version "), col("version").cast("string")))
-          .cast(IntegerType).as("version"),
-        lit(0).as("ordinal"), lit("remove").as("op"), col("path")) ++ nullStatCols ++
+        boom.cast(IntegerType).as("version"),
+        lit(0).as("ordinal"), boom.cast(StringType).as("op"),
+        boom.cast(StringType).as("path")) ++ nullStatCols ++
         (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
     txn.withColumn("version", lit(newVersion)).unionByName(conflictGuard)
   }
