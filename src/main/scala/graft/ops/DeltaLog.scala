@@ -435,6 +435,19 @@ object DeltaLog {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** [[activeOpRow]] vectorized over a version frame (column `v`) — the
+    * singleton-race twin of [[replayGrid]]: per v, the highest
+    * (version, ordinal) action of the given op at-or-below v wins. ONE
+    * window pass for a whole version range instead of one scheduling
+    * floor per version (dl11/dl19 inlined this shape; new readers share
+    * it from here). */
+  def activeOpGrid(acts: DataFrame, versions: DataFrame, opName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("v")).orderBy(col("version").desc, col("ordinal").desc)
+    versions.join(acts.filter(col("op") === opName), acts("version") <= versions("v"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** FULL checkpoint state at `v0` (None = latest): the winning action
     * rows ONLY, each keeping its ORIGINAL (version, ordinal) — one `add`
     * per live file, the effective `dv` per live path, the active `meta`.
@@ -874,6 +887,130 @@ object DeltaLog {
         (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
     txn.withColumn("version", lit(newVersion)).unionByName(conflictGuard)
   }
+
+  // ---- column mapping: RENAME / DROP COLUMN as log-only txns (dl22) --------
+
+  /** Serialize a column mapping — (logical, physical, type) triples — as
+    * the meta action's schema_str: `logical:physical:TYPE,…`. Real Delta
+    * carries this as per-field `delta.columnMapping.physicalName` /
+    * `.id` metadata inside the metaData action's schemaString; the
+    * miniature keeps the same shape (the mapping IS table metadata,
+    * racing through the one meta race every schema read already obeys).
+    * RENAME changes a LOGICAL name and keeps the physical; DROP removes
+    * the entry — both are one meta action, NO file is rewritten, which is
+    * the entire point at 100 TB (a rename that rewrote every file would
+    * be a full-table write). Requires min_reader 2 / min_writer 5 — the
+    * Delta protocol's columnMapping feature versions — committed through
+    * the dl19 gate. */
+  def mappingSchemaStr(pairs: Seq[(String, String, String)]): String =
+    pairs.map { case (l, p, t) => s"$l:$p:$t" }.mkString(",")
+
+  /** Parse the winning meta's mapping, vectorized over a version frame:
+    * per v, (pos, logical_name, physical_name, col_type,
+    * mapping_version). STRICT row-path parse: an entry without exactly
+    * three `:` parts is a torn mapping — a reader that shrugged it off
+    * would project the wrong physical column into a logical name. */
+  def columnMappingGrid(acts: DataFrame, versions: DataFrame): DataFrame =
+    activeOpGrid(acts, versions, "meta")
+      .select(col("v"), col("version").as("mapping_version"),
+        posexplode(split(col("schema_str"), ",")))
+      .withColumn("parts", split(col("col"), ":"))
+      .select(col("v"), col("pos"),
+        when(size(col("parts")) =!= 3,
+          raise_error(concat(lit("torn column-mapping entry: "), col("col"))))
+          .otherwise(element_at(col("parts"), 1)).as("logical_name"),
+        element_at(col("parts"), 2).as("physical_name"),
+        element_at(col("parts"), 3).as("col_type"),
+        col("mapping_version"))
+
+  /** The ACTIVE column mapping as of `asOf` (None = latest) — the
+    * single-cut [[columnMappingGrid]]. */
+  def columnMapping(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
+    val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
+    columnMappingGrid(bounded, bounded.sparkSession.range(1)
+      .select(lit(Int.MaxValue).as("v"))).drop("v")
+  }
+
+  /** RENAME COLUMN as ONE log-only meta transaction: derive the new
+    * mapping from the ACTIVE one with `from`'s logical name swapped to
+    * `to` (physical name and type untouched — files never know), emit
+    * the version-`version` meta action row. Row-path guards: renaming a
+    * column the mapping doesn't have must raise, not silently no-op
+    * (the never-silently-lose-an-action contract), and renaming ONTO an
+    * existing logical name would make two logicals claim one name. */
+  def renameColumn(acts: DataFrame, from: String, to: String,
+                   version: Int, ordinal: Int): DataFrame =
+    rewriteMapping(acts, version, ordinal,
+      m => m.withColumn("logical_name",
+        when(col("logical_name") === from, to).otherwise(col("logical_name"))),
+      hitCount = m => sum(when(col("logical_name") === from, 1L).otherwise(0L)),
+      guardMsg = s"rename source column not in mapping: $from",
+      collideCount = Some((m: DataFrame) =>
+        sum(when(col("logical_name") === to, 1L).otherwise(0L))),
+      collideMsg = s"rename target column already mapped: $to")
+
+  /** DROP COLUMN as ONE log-only meta transaction: the new mapping is
+    * the active one minus `name`'s entry — the physical column stays in
+    * every file (readers just stop projecting it; that is what makes
+    * DROP free at 100 TB). Raises on a column the mapping doesn't have,
+    * and on dropping the LAST column (an empty table schema is torn, not
+    * minimal). */
+  def dropColumn(acts: DataFrame, name: String, version: Int, ordinal: Int): DataFrame =
+    rewriteMapping(acts, version, ordinal,
+      m => m.filter(col("logical_name") =!= name),
+      hitCount = m => sum(when(col("logical_name") === name, 1L).otherwise(0L)),
+      guardMsg = s"drop column not in mapping: $name",
+      minRemaining = 1)
+
+  /** The shared RENAME/DROP core: read the active mapping, transform its
+    * entries, re-serialize IN ORIGINAL ENTRY ORDER, and emit one meta
+    * action row — with the existence/collision/emptiness guards in the
+    * row path (one-row aggregates; the mapping is column-count-sized). */
+  private def rewriteMapping(acts: DataFrame, version: Int, ordinal: Int,
+                             transformEntries: DataFrame => DataFrame,
+                             hitCount: DataFrame => org.apache.spark.sql.Column,
+                             guardMsg: String,
+                             collideCount: Option[DataFrame => org.apache.spark.sql.Column] = None,
+                             collideMsg: String = "",
+                             minRemaining: Int = 0): DataFrame = {
+    // no materialization: the mapping is column-count-sized and its two
+    // consumers (guards + rebuild) re-run a trivial race — an eager
+    // checkpoint here would cost a scheduling-floor job per DDL statement
+    val m = columnMapping(acts)
+    val hits = m.agg(hitCount(m).as("n_hit"),
+      collideCount.map(c => c(m)).getOrElse(lit(0L)).as("n_collide"))
+    val rebuilt = transformEntries(m)
+      .select(struct(col("pos"),
+        concat_ws(":", col("logical_name"), col("physical_name"), col("col_type")).as("e")).as("pe"))
+      .agg(sort_array(collect_list("pe")).as("pes"), count(lit(1)).as("n_left"))
+      .select(concat_ws(",", transform(col("pes"), pe => pe.getField("e"))).as("schema_str"),
+        col("n_left"))
+    hits.crossJoin(rebuilt)
+      .select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+        lit("meta").as("op"), lit("_schema").as("path"),
+        lit(null).cast(ArrayType(LongType)).as("buckets"),
+        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+        lit(null).cast(ArrayType(LongType)).as("dv"),
+        when(col("n_hit") =!= 1, raise_error(lit(guardMsg)))
+          .when(col("n_collide") > 0, raise_error(lit(collideMsg)))
+          .when(col("n_left") < minRemaining,
+            raise_error(lit("column mapping would become empty")))
+          .otherwise(col("schema_str")).as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+        lit(null).cast(IntegerType).as("min_writer"))
+  }
+
+  /** The read-side of column mapping: a MELTED physical read — rows of
+    * (physical_name, value…) the columnar scan produced — resolved
+    * against a mapping frame. Only mapped physical columns survive, each
+    * under its logical name: after RENAME the same physical data reads
+    * under the new name; after DROP the column's rows disappear without
+    * any file change. The mapping side is column-count-sized —
+    * broadcast; its extra columns (a grid's `v`, mapping_version)
+    * survive the join so per-version reads resolve in ONE pass. */
+  def resolvePhysical(melted: DataFrame, mapping: DataFrame): DataFrame =
+    melted.join(broadcast(mapping), Seq("physical_name"))
 
   // ---- commit timestamps: TIMESTAMP AS OF + time-based retention (dl2b) ----
 

@@ -80,4 +80,61 @@ class Round13Spec extends SparkSpec {
     val ex = intercept[Exception] { rb.filter(col("op") === "add").collect() }
     assert(ex.getMessage.contains("rebase conflict"), ex.getMessage)
   }
+
+  // ---- column mapping (dl22) ------------------------------------------------
+
+  private def mappedActs = frame(add(0, 0, "part-0"))
+    .unionByName(DeltaLog.protocolAction(spark, 1, -1, 2, 5))
+    .unionByName(DeltaLog.metaAction(spark, 1, 0, DeltaLog.mappingSchemaStr(
+      Seq(("k", "p_key", "BIGINT"), ("cents", "p_cents", "BIGINT")))))
+    .localCheckpoint()
+
+  test("renameColumn / dropColumn round-trip through the log and guard misuse") {
+    def mapOf(acts: org.apache.spark.sql.DataFrame) =
+      DeltaLog.columnMapping(acts).collect()
+        .map(r => r.getAs[String]("logical_name") -> r.getAs[String]("physical_name")).toMap
+
+    assert(mapOf(mappedActs) == Map("k" -> "p_key", "cents" -> "p_cents"))
+    // RENAME round-trips the JSON log format and keeps the physical name
+    val acts2 = DeltaLog.actions(DeltaLog.toLines(mappedActs).unionByName(
+      DeltaLog.toLines(DeltaLog.renameColumn(mappedActs, "cents", "price", 2, 0))))
+      .localCheckpoint()
+    assert(mapOf(acts2) == Map("k" -> "p_key", "price" -> "p_cents"))
+    // DROP removes the entry; file actions are untouched
+    val acts3 = acts2.unionByName(DeltaLog.dropColumn(acts2, "k", 3, 0)).localCheckpoint()
+    assert(mapOf(acts3) == Map("price" -> "p_cents"))
+    assert(DeltaLog.replay(acts3).count() == 1, "mapping commits must be log-only")
+
+    // renaming a column the mapping doesn't have must raise, not no-op
+    val exMiss = intercept[Exception] {
+      DeltaLog.renameColumn(mappedActs, "ghost", "g2", 2, 0).collect()
+    }
+    assert(exMiss.getMessage.contains("not in mapping"), exMiss.getMessage)
+    // renaming ONTO an existing logical name must raise
+    val exCollide = intercept[Exception] {
+      DeltaLog.renameColumn(mappedActs, "cents", "k", 2, 0).collect()
+    }
+    assert(exCollide.getMessage.contains("already mapped"), exCollide.getMessage)
+    // dropping a missing column, and dropping the last column, must raise
+    val exDropMiss = intercept[Exception] {
+      DeltaLog.dropColumn(mappedActs, "ghost", 2, 0).collect()
+    }
+    assert(exDropMiss.getMessage.contains("not in mapping"), exDropMiss.getMessage)
+    val exLast = intercept[Exception] {
+      DeltaLog.dropColumn(acts3, "price", 4, 0).collect()
+    }
+    assert(exLast.getMessage.contains("would become empty"), exLast.getMessage)
+  }
+
+  test("a pre-mapping reader raises through requireReader; torn mapping entries raise") {
+    // the mapping feature was committed with protocol(min_reader=2) — a
+    // version-1 reader must fail loudly, not misread physical names
+    val ex = intercept[Exception] { DeltaLog.requireReader(mappedActs, 1).collect() }
+    assert(ex.getMessage.contains("below table protocol"), ex.getMessage)
+    // a mapping entry without logical:physical:TYPE is torn
+    val torn = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.metaAction(spark, 1, 0, "k:p_key:BIGINT,cents_missing_parts"))
+    val exTorn = intercept[Exception] { DeltaLog.columnMapping(torn).collect() }
+    assert(exTorn.getMessage.contains("torn column-mapping entry"), exTorn.getMessage)
+  }
 }
