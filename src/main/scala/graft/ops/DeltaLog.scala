@@ -473,6 +473,9 @@ object DeltaLog {
       // that lost it would silently read a table whose features it can't
       // honor — exactly what the protocol exists to prevent (dl19)
       .unionByName(activeOpRow(bounded, "protocol").select(cols: _*))
+      // so is the constraint spec (dl23): a writer resuming from a
+      // checkpoint that dropped it would stop enforcing the contract
+      .unionByName(activeOpRow(bounded, "constraint").select(cols: _*))
   }
 
   /** Checkpoint + tail as ONE replayable action set ≡ the full log —
@@ -538,6 +541,21 @@ object DeltaLog {
       when(col("version") <= stateVersion,
         raise_error(concat(lit(s"stale action (version <= $stateVersion): path="), col("path"))))
         .otherwise(col("version")))
+
+  /** Wrap a guard-row raise in a non-deterministic identity
+    * (monotonically_increasing_id() ≥ 0 is always true) so Catalyst can
+    * never push a consumer's predicate BELOW the guard branch's own
+    * projection: the raise rides op/path/version (round-13's
+    * filter-elision fix), and a predicate like `op === 'add'` whose
+    * rewritten condition references only left-side attributes is
+    * otherwise pushable THROUGH the guard's anti-join / violation filter
+    * — evaluating the raise on every PRE-filter row and detonating false
+    * positives (caught by Round13Spec's merge-rewrite test: the dl17/18
+    * gates only survived because they localCheckpoint before filtering).
+    * Non-determinism blocks PushPredicateThroughProject; a REAL guard
+    * row still detonates under any classifying consumer. */
+  private def guardBoom(boom: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(monotonically_increasing_id() >= 0, boom)
 
   /** The stat columns of a non-add action, nulled — shared by every
     * derived-transaction builder so an [[actionSchema]] widening touches
@@ -634,7 +652,8 @@ object DeltaLog {
     // column a downstream race or filter reads (op, path, version) — any
     // consumer that classifies, partitions, or orders the row detonates
     // it (ADVICE round 12).
-    val ghostBoom = raise_error(concat(lit("delete targets non-live path: "), col("path")))
+    val ghostBoom = guardBoom(
+      raise_error(concat(lit("delete targets non-live path: "), col("path"))))
     val ghostGuard = merged.join(broadcast(live.select("path")), Seq("path"), "left_anti")
       .select(Seq(
         ghostBoom.cast(IntegerType).as("version"),
@@ -877,8 +896,8 @@ object DeltaLog {
     // like deleteActions' ghostGuard, the raise rides op/path/version so
     // an op- or path-filtering consumer cannot FILTER-elide the guard row
     // before touching the raise column (ADVICE round 12)
-    val boom = raise_error(concat(lit("rebase conflict: concurrent "), col("op"),
-      lit(" of "), col("path"), lit(" at version "), col("version").cast("string")))
+    val boom = guardBoom(raise_error(concat(lit("rebase conflict: concurrent "), col("op"),
+      lit(" of "), col("path"), lit(" at version "), col("version").cast("string"))))
     val conflictGuard = rebaseConflicts(txn, acts, readVersion)
       .select(Seq(
         boom.cast(IntegerType).as("version"),
@@ -1011,6 +1030,104 @@ object DeltaLog {
     * survive the join so per-version reads resolve in ONE pass. */
   def resolvePhysical(melted: DataFrame, mapping: DataFrame): DataFrame =
     melted.join(broadcast(mapping), Seq("physical_name"))
+
+  // ---- writer invariants: CHECK constraints at commit (dl23) ---------------
+
+  /** An op='constraint' action declaring per-stat CHECK constraints the
+    * table enforces ON EVERY COMMIT from `version` on (the Delta CHECK
+    * constraints feature — writer version 3: admission via requireWriter
+    * says who MAY write; this says what they may write). The spec rides
+    * schema_str as `name:field:kind:bound;…` with kind ∈ {notnull, min,
+    * max} over the committed stats fields (n_rows/min_key/max_key/cents)
+    * — bound empty for notnull. Latest (version, ordinal) constraint
+    * action wins, the singleton race every table-level property shares. */
+  def constraintAction(spark: SparkSession, version: Int, ordinal: Int, spec: String): DataFrame =
+    spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+      lit("constraint").as("op"), lit("_constraint").as("path"),
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(spec).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
+
+  /** The ACTIVE constraints as of `asOf`: (c_name, field, kind, bound,
+    * constraint_version) rows, parsed STRICTLY (a torn entry raises — a
+    * writer that shrugged off half the spec would enforce half the
+    * contract). kind must be one of notnull/min/max; min/max bounds must
+    * parse as integers (a malformed bound would null the comparison and
+    * silently admit every violation). */
+  def activeConstraints(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    activeOpRow(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), "constraint")
+      .select(col("version").as("constraint_version"),
+        explode(split(col("schema_str"), ";")).as("ent"))
+      .withColumn("parts", split(col("ent"), ":"))
+      .select(
+        when(size(col("parts")) =!= 4,
+          raise_error(concat(lit("torn constraint entry: "), col("ent"))))
+          .otherwise(element_at(col("parts"), 1)).as("c_name"),
+        element_at(col("parts"), 2).as("field"),
+        when(!element_at(col("parts"), 3).isin("notnull", "min", "max"),
+          raise_error(concat(lit("unknown constraint kind: "), col("ent"))))
+          .otherwise(element_at(col("parts"), 3)).as("kind"),
+        // try_cast: notnull entries carry an EMPTY bound, which an ANSI
+        // cast would throw on for every row; min/max bounds that fail to
+        // parse still raise loudly
+        when(element_at(col("parts"), 3).isin("min", "max") &&
+            element_at(col("parts"), 4).try_cast("long").isNull,
+          raise_error(concat(lit("unparseable constraint bound: "), col("ent"))))
+          .otherwise(element_at(col("parts"), 4).try_cast("long")).as("bound"),
+        col("constraint_version"))
+
+  /** Enforce the table's active constraints on a prepared transaction:
+    * every `add` row's committed stats are checked against the active
+    * spec BEFORE the line is written — an add whose stats violate a
+    * declared NOT NULL / range constraint must raise at commit, not land
+    * silently for every future reader to trust (the round-12 verdict's
+    * #2: requireWriter admits WRITERS; nothing validated their DATA).
+    * Violations surface as the deleteActions guard-row pattern — an
+    * anti-elidable branch unioned into the returned transaction, raise
+    * riding op/path/version so no downstream filter drops it before it
+    * detonates. Non-add actions (removes, dvs, meta) pass through
+    * untouched: constraints bind data commits. Log-sized: the melt is
+    * 4 rows per add; the constraint side is spec-sized and broadcast. */
+  def enforceInvariants(acts: DataFrame, txn: DataFrame): DataFrame = {
+    val violations = invariantChecks(acts, txn).filter(col("violated"))
+    val boom = guardBoom(raise_error(concat(lit("writer invariant violated: "), col("c_name"),
+      lit(" ("), col("field"), lit(" "), col("kind"),
+      lit(") by add "), col("path"))))
+    val guard = violations.select(Seq(
+      boom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+      boom.cast(StringType).as("op"), boom.cast(StringType).as("path")) ++ nullStatCols ++
+      (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    txn.unionByName(guard)
+  }
+
+  /** The per-check evaluation [[enforceInvariants]] raises over, exposed
+    * so a commit audit can pin that every declared constraint was
+    * actually evaluated against every add (a gate whose enforcement
+    * never matched anything would pass vacuously): one row per
+    * (add-stat, matching constraint) pair — (path, field, value, c_name,
+    * kind, bound, violated). */
+  def invariantChecks(acts: DataFrame, txn: DataFrame): DataFrame = {
+    val cons = activeConstraints(acts)
+    val melted = txn.filter(col("op") === "add")
+      .select(col("path"), explode(array(
+        struct(lit("n_rows").as("field"), col("n_rows").as("value")),
+        struct(lit("min_key").as("field"), col("min_key").as("value")),
+        struct(lit("max_key").as("field"), col("max_key").as("value")),
+        struct(lit("cents").as("field"), col("cents").as("value")))).as("m"))
+      .select(col("path"), col("m.field"), col("m.value"))
+    melted.join(broadcast(cons), Seq("field"))
+      // coalesce: a NULL value under a min/max constraint nulls the
+      // comparison — that is NOT a violation (notnull is the explicit
+      // opt-in for null rejection), and a null `violated` would leak
+      // into audits
+      .withColumn("violated", coalesce(
+        (col("kind") === "notnull" && col("value").isNull) ||
+        (col("kind") === "min" && col("value") < col("bound")) ||
+        (col("kind") === "max" && col("value") > col("bound")), lit(false)))
+  }
 
   // ---- commit timestamps: TIMESTAMP AS OF + time-based retention (dl2b) ----
 

@@ -2315,9 +2315,115 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Writer invariants / CHECK constraints at commit (the round-12
+    * verdict's #2): v4 declares per-stat constraints in an
+    * op='constraint' action (n_rows ≥ 1, cents NOT NULL and ≥ 1,
+    * min_key ≥ 1) ATOMICALLY with protocol(min_writer=3) — the Delta
+    * CHECK-constraints writer version; v5 is a conforming append
+    * (bucket 5's stats from the log's own v0 add line) committed THROUGH
+    * `DeltaLog.enforceInvariants` and the strict parse. The checks
+    * section pins that every declared constraint was actually EVALUATED
+    * against the add (4 matched pairs, all clean — a vacuous enforcer
+    * would emit nothing and hash-mismatch); the constraints section pins
+    * the parsed active spec surviving the JSON round-trip; the
+    * checkpoint row that the spec survives `checkpointState` alone; the
+    * post row the resulting live set. The violating-add and
+    * violating-MERGE raise paths are Round13Spec's. Oracle: the spec is
+    * VALUES; stats are bucket arithmetic. */
+  val dl23WriterInvariants = Q("dl23_writer_invariants",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            b5 AS (SELECT n_rows, min_key, max_key, cents FROM bks WHERE bucket = 5),
+            cons(name, field, kind, bound, cv) AS (VALUES
+              ('positive_rows', 'n_rows', 'min', 1, 4),
+              ('cents_present', 'cents', 'notnull', NULL, 4),
+              ('cents_positive', 'cents', 'min', 1, 4),
+              ('key_floor', 'min_key', 'min', 1, 4))
+            SELECT section, item, n_rows, val, flag FROM (
+              SELECT 'constraints' AS section,
+                name || '(' || field || ' ' || kind || ')' AS item,
+                CAST(0 AS BIGINT) AS n_rows, CAST(coalesce(bound, 0) AS BIGINT) AS val,
+                CAST(cv AS BIGINT) AS flag
+              FROM cons
+              UNION ALL SELECT 'checks', name || ':append-1', CAST(1 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cons
+              UNION ALL SELECT 'txn', 'add:append-1', n_rows, cents, CAST(5 AS BIGINT) FROM b5
+              UNION ALL SELECT 'post', 'live@v5',
+                CAST((SELECT count(*) FROM live) + 1 AS BIGINT),
+                CAST((SELECT sum(cents) FROM live) + (SELECT cents FROM b5) AS BIGINT),
+                CAST((SELECT sum(n_rows) FROM live) + (SELECT n_rows FROM b5) AS BIGINT)
+              UNION ALL SELECT 'checkpoint', 'cp4_constraints', CAST(4 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(4 AS BIGINT)
+              UNION ALL SELECT 'gate', 'reader1_writer3_admitted',
+                CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      // the ONLY data pass: the base log's bucket aggregation — every
+      // later frame is races over these ~66 checkpointed lines (the
+      // first implementation left logBase lazy and paid the orders scan
+      // in BOTH parse jobs)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val acts3 = DeltaLog.actions(logBase)
+      // v4: the constraint spec + the writer version that gates the
+      // feature, one commit (the dl19/dl22 convention)
+      val spec = "positive_rows:n_rows:min:1;cents_present:cents:notnull:;" +
+        "cents_positive:cents:min:1;key_floor:min_key:min:1"
+      val v4 = DeltaLog.protocolAction(s, 4, -1, 1, 3)
+        .unionByName(DeltaLog.constraintAction(s, 4, 0, spec))
+      val acts4 = acts3.unionByName(v4)
+      // v5: the conforming append — stats from the LOG's own v0 add line
+      // (no data scan), committed THROUGH enforcement and the strict parse
+      val b5 = acts3.filter(col("op") === "add" && col("path") === "part-5")
+        .select("n_rows", "min_key", "max_key", "cents")
+      val txn5 = DeltaLog.addAction(b5, 5, 0, "append-1", array(lit(5L)))
+      val enforced = DeltaLog.enforceInvariants(acts4, txn5)
+      val acts5 = DeltaLog.actions(logBase.unionByName(DeltaLog.toLines(
+        v4.unionByName(enforced)))).localCheckpoint()
+      // the parsed spec, read back from the COMMITTED log (round-trip pin)
+      val consRows = DeltaLog.activeConstraints(acts5)
+        .select(lit("constraints").as("section"),
+          concat(col("c_name"), lit("("), col("field"), lit(" "), col("kind"), lit(")")).as("item"),
+          lit(0L).as("n_rows"), coalesce(col("bound"), lit(0L)).as("val"),
+          col("constraint_version").cast("long").as("flag"))
+      // every declared constraint evaluated against the add — the
+      // non-vacuousness pin (violated=0 throughout; the raise path is
+      // Round13Spec's)
+      val checks = DeltaLog.invariantChecks(acts4, txn5)
+        .select(lit("checks").as("section"),
+          concat(col("c_name"), lit(":"), col("path")).as("item"),
+          lit(1L).as("n_rows"), lit(0L).as("val"),
+          col("violated").cast("long").as("flag"))
+      // the committed transaction, read back through the strict parse
+      val txnRows = acts5.filter(col("version") === 5)
+        .select(lit("txn").as("section"),
+          concat(lit("add:"), col("path")).as("item"),
+          col("n_rows"), col("cents").as("val"), col("version").cast("long").as("flag"))
+      val post = DeltaLog.replay(acts5)
+        .agg(count(lit(1)).as("nf"), sum("cents").as("c"), sum("n_rows").as("nr"))
+        .select(lit("post").as("section"), lit("live@v5").as("item"),
+          col("nf").cast("long").as("n_rows"), col("c").cast("long").as("val"),
+          col("nr").cast("long").as("flag"))
+      // the spec must survive checkpointState ALONE (a writer resuming
+      // from a checkpoint that dropped it would stop enforcing)
+      val cp = DeltaLog.activeConstraints(DeltaLog.checkpointState(acts5, Some(4)))
+        .agg(count(lit(1)).as("n"), max("constraint_version").as("cv"))
+        .select(lit("checkpoint").as("section"), lit("cp4_constraints").as("item"),
+          col("n").cast("long").as("n_rows"), lit(0L).as("val"),
+          col("cv").cast("long").as("flag"))
+      val gates = DeltaLog.requireReader(acts5, 1)
+        .crossJoin(broadcast(DeltaLog.requireWriter(acts5, 3)))
+        .select(lit("gate").as("section"), lit("reader1_writer3_admitted").as("item"),
+          col("min_reader").cast("long").as("n_rows"),
+          col("min_writer").cast("long").as("val"), lit(1L).as("flag"))
+      consRows.unionByName(checks).unionByName(txnRows).unionByName(post)
+        .unionByName(cp).unionByName(gates)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
-    k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl23WriterInvariants, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -126,6 +126,73 @@ class Round13Spec extends SparkSpec {
     assert(exLast.getMessage.contains("would become empty"), exLast.getMessage)
   }
 
+  // ---- writer invariants (dl23) ---------------------------------------------
+
+  test("enforceInvariants raises on a violating add and a violating MERGE rewrite") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import spark.implicits._
+    val spec = "positive_rows:n_rows:min:1;cents_present:cents:notnull:;key_ceiling:max_key:max:100"
+    val acts = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.constraintAction(spark, 1, 0, spec))
+      .localCheckpoint()
+    def addStats(n: java.lang.Long, mn: java.lang.Long, mx: java.lang.Long,
+                 c: java.lang.Long) =
+      Seq((n, mn, mx, c)).toDF("n_rows", "min_key", "max_key", "cents")
+
+    // a conforming add passes untouched (and the commit path stays clean)
+    val ok = DeltaLog.enforceInvariants(acts,
+      DeltaLog.addAction(addStats(5L, 1L, 50L, 500L), 2, 0, "good", array(lit(1L))))
+    assert(DeltaLog.toLines(ok).count() == 1)
+
+    // n_rows = 0 violates positive_rows — the raise must survive the
+    // COMMIT path (toLines reads every column)
+    val badRows = DeltaLog.enforceInvariants(acts,
+      DeltaLog.addAction(addStats(0L, 1L, 50L, 500L), 2, 0, "empty", array(lit(1L))))
+    val ex1 = intercept[Exception] { DeltaLog.toLines(badRows).collect() }
+    assert(ex1.getMessage.contains("positive_rows"), ex1.getMessage)
+
+    // null cents violates cents_present
+    val ex2 = intercept[Exception] {
+      DeltaLog.enforceInvariants(acts,
+        DeltaLog.addAction(addStats(5L, 1L, 50L, null), 2, 0, "nullc", array(lit(1L)))).collect()
+    }
+    assert(ex2.getMessage.contains("cents_present"), ex2.getMessage)
+
+    // a violating MERGE rewrite: the dvs ride through untouched, the add
+    // (max_key 999 > 100) raises
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val dvs = DeltaLog.deletionVectors(acts)
+    val positioned = (0L to 9L).map(p => ("part-0", p, p, 10L)).toDF("path", "pos", "k", "cents")
+    val rewrite = DeltaLog.addAction(addStats(5L, 1L, 999L, 500L), 2, 1000, "upd", array(lit(1L)))
+    val merged = DeltaLog.mergeActions(live, dvs, positioned, col("k") < 3, 2, rewrite)
+    val ex3 = intercept[Exception] {
+      DeltaLog.enforceInvariants(acts, merged).collect()
+    }
+    assert(ex3.getMessage.contains("key_ceiling"), ex3.getMessage)
+
+    // non-add actions bind no constraints: a remove with all-null stats
+    // passes (constraints gate DATA commits)
+    assert(DeltaLog.enforceInvariants(acts,
+      DeltaLog.removeAction(spark, 2, 0, "part-0")).count() == 1)
+  }
+
+  test("activeConstraints raises on torn entries, unknown kinds, bad bounds") {
+    def consOf(spec: String) = DeltaLog.activeConstraints(
+      frame(add(0, 0, "a")).unionByName(DeltaLog.constraintAction(spark, 1, 0, spec)))
+    val exTorn = intercept[Exception] { consOf("n_rows:min:1").collect() }
+    assert(exTorn.getMessage.contains("torn constraint entry"), exTorn.getMessage)
+    val exKind = intercept[Exception] { consOf("c1:n_rows:between:1").collect() }
+    assert(exKind.getMessage.contains("unknown constraint kind"), exKind.getMessage)
+    val exBound = intercept[Exception] { consOf("c1:n_rows:min:abc").collect() }
+    assert(exBound.getMessage.contains("unparseable constraint bound"), exBound.getMessage)
+    // the latest constraint action WINS (the singleton race)
+    val acts = frame(add(0, 0, "a"))
+      .unionByName(DeltaLog.constraintAction(spark, 1, 0, "c1:n_rows:min:1"))
+      .unionByName(DeltaLog.constraintAction(spark, 2, 0, "c2:cents:min:5"))
+    val got = DeltaLog.activeConstraints(acts).collect()
+    assert(got.length == 1 && got.head.getString(0) == "c2", got.mkString(","))
+  }
+
   test("a pre-mapping reader raises through requireReader; torn mapping entries raise") {
     // the mapping feature was committed with protocol(min_reader=2) — a
     // version-1 reader must fail loudly, not misread physical names
