@@ -907,6 +907,79 @@ object DeltaLog {
     txn.withColumn("version", lit(newVersion)).unionByName(conflictGuard)
   }
 
+  /** One decision of a [[commitWithRetry]] loop: which attempt, the
+    * version it targeted, how many conflicting concurrent actions the
+    * check found, and the outcome (`committed`, `retry_version_taken`,
+    * `abort_conflict`). */
+  final case class CommitAttempt(attempt: Int, target: Int, nConflicts: Long, outcome: String)
+
+  /** Rebase-until-commit — the loop a real multi-writer table runs on
+    * every write (the Delta commit protocol): read the head, check the
+    * prepared transaction's conflicts against every commit that landed
+    * after its read version, and try to take the next version slot; if a
+    * concurrent writer takes the slot first, re-check against ITS commit
+    * and try the next slot — until the transaction lands, a GENUINE
+    * semantic conflict aborts it, or `maxAttempts` is exhausted (a loud
+    * IllegalStateException: unbounded retry under livelock is an outage,
+    * not progress). `contention(attempt)` injects a concurrent commit
+    * into the race window between the conflict check and the write —
+    * how tests and the dl24 gate interleave writers deterministically.
+    *
+    * Scale shape: commit COORDINATION is inherently driver-side in every
+    * real lakehouse — the writer lists the log directory and reads
+    * version files (both log-sized) to decide; the head read and
+    * conflict count here are that listing, never a data scan. The data
+    * plane (the transaction's file contents) moved before this loop ran
+    * and never moves again. Returns the extended action set (each commit
+    * checkpointed — log-sized) and the per-attempt decisions. */
+  def commitWithRetry(acts0: DataFrame, txn: DataFrame, readVersion: Int,
+                      maxAttempts: Int = 10,
+                      contention: Int => Option[DataFrame] = _ => None): (DataFrame, Seq[CommitAttempt]) = {
+    var acts = acts0
+    // the prepared transaction is re-referenced every attempt (conflict
+    // probe) and once at commit — materialize it ONCE (log-sized) or each
+    // evaluation replays the caller's whole stats-derivation DAG
+    val txnM = txn.localCheckpoint()
+    val decisions = scala.collection.mutable.Buffer.empty[CommitAttempt]
+    var attempt = 0
+    var done = false
+    while (!done && attempt < maxAttempts) {
+      attempt += 1
+      // head + conflict count in ONE driver action per attempt (the log
+      // listing real writers pay): a second collect per attempt doubles
+      // the loop's scheduling floor for no information
+      val probe = acts.agg(max(col("version")).as("head")).crossJoin(
+        rebaseConflicts(txnM, acts, readVersion).agg(count(lit(1)).as("nc"))).head()
+      val head = probe.getInt(0)
+      val nConf = probe.getLong(1)
+      val target = head + 1
+      if (nConf > 0) {
+        decisions += CommitAttempt(attempt, target, nConf, "abort_conflict")
+        done = true
+      } else contention(attempt) match {
+        case Some(concurrent) =>
+          // the race window: a concurrent commit landed on OUR slot —
+          // fold it in and go around (the next check sees its actions)
+          acts = acts.unionByName(concurrent).localCheckpoint()
+          decisions += CommitAttempt(attempt, target, 0L, "retry_version_taken")
+        case None =>
+          // renumber WITHOUT rebase()'s guard branch: the probe just
+          // proved the conflict set empty against this same immutable
+          // acts frame, and re-deriving it in the commit job would pay
+          // the two joins again for a provably identical answer (direct
+          // rebase() callers keep the guard — they have no probe)
+          acts = acts.unionByName(txnM.withColumn("version", lit(target)))
+            .localCheckpoint()
+          decisions += CommitAttempt(attempt, target, 0L, "committed")
+          done = true
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"commitWithRetry: no commit after $maxAttempts attempts (livelock bound)")
+    (acts, decisions.toSeq)
+  }
+
   // ---- column mapping: RENAME / DROP COLUMN as log-only txns (dl22) --------
 
   /** Serialize a column mapping — (logical, physical, type) triples — as

@@ -2421,9 +2421,109 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Multi-writer retry — rebase-until-commit under live contention (the
+    * round-12 verdict's #3, composing dl21's primitives into the loop a
+    * production table actually runs): writers A (compact part-4+part-5
+    * into opt-4-5) and B (blind append append-9) both prepare at
+    * readVersion 3. A commits cleanly at v4 — INSIDE B's race window, so
+    * B's first attempt finds its v4 slot taken
+    * (`retry_version_taken`), re-checks conflicts against A's landed
+    * commit (disjoint paths — none) and lands at v5 on attempt 2. Writer
+    * C, a SECOND compactor racing A with the identical transaction,
+    * aborts on 3 genuine conflicts (A's two removes + the add
+    * collision). Every decision flows through
+    * `DeltaLog.commitWithRetry` — the gate pins the per-attempt
+    * (target, conflict-count, outcome) rows, the committed transactions
+    * read back through the strict parse, and the final live set. The
+    * liveness bound (loud failure at maxAttempts under permanent
+    * contention) is Round13Spec's. Oracle: decisions are deterministic
+    * VALUES; stats are dl21's bucket arithmetic. */
+  val dl24RetryLoop = Q("dl24_retry_loop",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            b45 AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS cents
+              FROM live3 WHERE path IN ('part-4', 'part-5')),
+            b5 AS (SELECT n_rows, cents FROM bks WHERE bucket = 5),
+            dec(item, n_conflicts, target, committed) AS (VALUES
+              ('A:a1:committed', 0, 4, 1),
+              ('B:a1:retry_version_taken', 0, 4, 0),
+              ('B:a2:committed', 0, 5, 1),
+              ('C:a1:abort_conflict', 3, 6, 0))
+            SELECT section, item, n_rows, val, flag FROM (
+              SELECT 'decision' AS section, item,
+                CAST(n_conflicts AS BIGINT) AS n_rows, CAST(target AS BIGINT) AS val,
+                CAST(committed AS BIGINT) AS flag
+              FROM dec
+              UNION ALL SELECT 'txn', 'remove:part-4', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(4 AS BIGINT)
+              UNION ALL SELECT 'txn', 'remove:part-5', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(4 AS BIGINT)
+              UNION ALL SELECT 'txn', 'add:opt-4-5', n_rows, cents, CAST(4 AS BIGINT) FROM b45
+              UNION ALL SELECT 'txn', 'add:append-9', n_rows, cents, CAST(5 AS BIGINT) FROM b5
+              UNION ALL
+              SELECT 'post', path, n_rows, cents, CAST(0 AS BIGINT)
+              FROM (
+                SELECT path, n_rows, cents FROM live3
+                WHERE path NOT IN ('part-4', 'part-5')
+                UNION ALL SELECT 'opt-4-5', n_rows, cents FROM b45
+                UNION ALL SELECT 'append-9', n_rows, cents FROM b5) t2
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      import s.implicits._
+      val ord = orders(s, d)
+      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).localCheckpoint()
+      val live3 = DeltaLog.replay(acts3)
+      // the three prepared transactions, all against the v3 snapshot
+      val opt45Stats = live3.filter(col("path").isin("part-4", "part-5"))
+        .agg(sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+          max("max_key").as("max_key"), sum("cents").as("cents"))
+      def compaction = DeltaLog.removeAction(s, 90, 0, "part-4")
+        .unionByName(DeltaLog.removeAction(s, 90, 1, "part-5"))
+        .unionByName(DeltaLog.addAction(opt45Stats, 90, 1000, "opt-4-5",
+          array(lit(4L), lit(5L))))
+      val txnA = compaction
+      val txnB = DeltaLog.addAction(
+        acts3.filter(col("op") === "add" && col("path") === "part-5")
+          .select("n_rows", "min_key", "max_key", "cents"),
+        90, 0, "append-9", array(lit(5L)))
+      val txnC = compaction // a second compactor racing A
+      // A through the loop: clean commit, attempt 1. Its committed rows
+      // (already checkpointed by the loop) are what land INSIDE B's race
+      // window — filtered from the loop output, never rebuilt.
+      val (actsA, decA) = DeltaLog.commitWithRetry(acts3, txnA, 3)
+      val rbA = actsA.filter(col("version") === 4)
+      // B through the loop: A takes B's v4 slot between check and write
+      val (acts5, decB) = DeltaLog.commitWithRetry(acts3, txnB, 3,
+        contention = a => if (a == 1) Some(rbA) else None)
+      // C through the loop over the settled head: genuine conflict, abort
+      val (_, decC) = DeltaLog.commitWithRetry(acts5, txnC, 3)
+      val decisions = Seq(("A", decA), ("B", decB), ("C", decC))
+        .flatMap { case (w, ds) =>
+          ds.map(dc => (s"$w:a${dc.attempt}:${dc.outcome}",
+            dc.nConflicts, dc.target.toLong,
+            if (dc.outcome == "committed") 1L else 0L))
+        }
+        .toDF("item", "n_rows", "val", "flag")
+        .select(lit("decision").as("section"), col("item"), col("n_rows"),
+          col("val"), col("flag"))
+      // committed transactions read back from the settled log
+      val txnRows = acts5.filter(col("version") >= 4)
+        .select(lit("txn").as("section"),
+          concat(col("op"), lit(":"), col("path")).as("item"),
+          when(col("op") === "add", col("n_rows")).otherwise(lit(0L)).as("n_rows"),
+          when(col("op") === "add", col("cents")).otherwise(lit(0L)).as("val"),
+          col("version").cast("long").as("flag"))
+      val post = DeltaLog.replay(acts5).select(lit("post").as("section"),
+        col("path").as("item"), col("n_rows"), col("cents").as("val"), lit(0L).as("flag"))
+      decisions.unionByName(txnRows).unionByName(post)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
-    dl23WriterInvariants, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl23WriterInvariants, dl24RetryLoop, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -81,6 +81,45 @@ class Round13Spec extends SparkSpec {
     assert(ex.getMessage.contains("rebase conflict"), ex.getMessage)
   }
 
+  // ---- multi-writer retry loop (dl24) ---------------------------------------
+
+  test("commitWithRetry terminates: bounded attempts raise loudly under permanent contention") {
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b")).localCheckpoint()
+    val txn = frame(rem(90, 0, "b"))
+    // a contender lands on our slot on EVERY attempt (touching only its
+    // own fresh path, so no semantic conflict ever develops — pure
+    // livelock)
+    val ex = intercept[IllegalStateException] {
+      DeltaLog.commitWithRetry(acts, txn, 0, maxAttempts = 3,
+        contention = a => Some(frame(add(100 + a, 0, s"contender-$a"))))
+    }
+    assert(ex.getMessage.contains("no commit after 3 attempts"), ex.getMessage)
+  }
+
+  test("commitWithRetry: retry then abort when the contending commit creates a genuine conflict") {
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b")).localCheckpoint()
+    val txn = frame(rem(90, 0, "b")) // our txn removes b
+    // attempt 1: slot taken by a commit that ALSO removes b; attempt 2:
+    // the re-check against it must abort, not blindly rebase (the dl14
+    // resurrection class)
+    val (actsOut, dec) = DeltaLog.commitWithRetry(acts, txn, 0, maxAttempts = 5,
+      contention = a => if (a == 1) Some(frame(rem(1, 0, "b"))) else None)
+    assert(dec.map(_.outcome) == Seq("retry_version_taken", "abort_conflict"),
+      dec.mkString(","))
+    assert(dec.last.nConflicts == 1L)
+    // the aborted txn must NOT be in the log
+    assert(actsOut.filter(col("version") === 2).isEmpty,
+      "an aborted transaction must not land")
+
+    // and the clean-interleave twin: disjoint contender, lands on retry
+    val (actsOk, decOk) = DeltaLog.commitWithRetry(acts, txn, 0, maxAttempts = 5,
+      contention = a => if (a == 1) Some(frame(add(1, 0, "c"))) else None)
+    assert(decOk.map(_.outcome) == Seq("retry_version_taken", "committed"), decOk.mkString(","))
+    assert(decOk.last.target == 2)
+    val live = DeltaLog.replay(actsOk).collect().map(_.getString(0)).toSet
+    assert(live == Set("a", "c"), s"b removed by the rebased commit, c added by the contender: $live")
+  }
+
   // ---- column mapping (dl22) ------------------------------------------------
 
   private def mappedActs = frame(add(0, 0, "part-0"))
