@@ -684,6 +684,47 @@ object DeltaLog {
     deleteActions(live, dvs, positioned, matched, version).unionByName(guarded)
   }
 
+  /** UPDATE WHERE, derived THROUGH the log (the verb users type far more
+    * often than MERGE, gated so the derivation is pinned rather than
+    * implied): the matched LIVE rows leave through [[deleteActions]]'
+    * dv/remove derivation and the caller's rewrite file(s) — the same
+    * rows with the SET applied — arrive as `add` rows at the SAME
+    * version, exactly [[mergeActions]] minus the not-matched branch,
+    * PLUS the invariant that distinguishes UPDATE from MERGE in the row
+    * path: the rewrite must carry EXACTLY as many rows as the predicate
+    * newly killed (an UPDATE that changes the table's cardinality is a
+    * corrupted rewrite — rows silently dropped or duplicated). The
+    * newly-killed count excludes positions an earlier delete already
+    * masked (they are not live; UPDATE cannot touch them) — the same
+    * accounting [[deleteActions]] commits. Work: the ONE data pass the
+    * predicate needs; guards are one-row aggregates. */
+  def updateActions(live: DataFrame, dvs: DataFrame, positioned: DataFrame,
+                    pred: org.apache.spark.sql.Column, version: Int,
+                    adds: DataFrame): DataFrame = {
+    val guarded = adds.withColumn("version",
+      when(col("version") =!= version,
+        raise_error(concat(lit(s"update add outside transaction version $version: "), col("path"))))
+        .otherwise(col("version")))
+    val newlyKilled = positioned.filter(pred)
+      .select(col("path"), col("pos").cast("long").as("pos"))
+      .join(dvs.select(col("path"), explode(col("dv")).as("pos")), Seq("path", "pos"), "left_anti")
+      .join(broadcast(live.select("path")), Seq("path"))
+      .agg(count(lit(1)).as("n_killed"))
+    val cardBoom = guardBoom(
+      raise_error(concat(lit("update rewrite cardinality mismatch: killed "),
+        col("n_killed").cast("string"), lit(" rows, rewrite carries "),
+        col("n_rewrite").cast("string"))))
+    val cardGuard = newlyKilled
+      .crossJoin(adds.agg(coalesce(sum("n_rows"), lit(0L)).as("n_rewrite")))
+      .filter(col("n_killed") =!= col("n_rewrite"))
+      .select(Seq(
+        cardBoom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        cardBoom.cast(StringType).as("op"), cardBoom.cast(StringType).as("path")) ++
+        nullStatCols ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    deleteActions(live, dvs, positioned, pred, version)
+      .unionByName(guarded).unionByName(cardGuard)
+  }
+
   /** RESTORE TABLE ... VERSION AS OF `target`, expressed AS one
     * version-`version` transaction (the Delta RESTORE command): diff the
     * CURRENT state against the target snapshot and emit exactly the

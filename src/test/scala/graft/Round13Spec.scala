@@ -120,6 +120,51 @@ class Round13Spec extends SparkSpec {
     assert(live == Set("a", "c"), s"b removed by the rebased commit, c added by the contender: $live")
   }
 
+  // ---- UPDATE WHERE (dl25) --------------------------------------------------
+
+  test("updateActions enforces the row-count invariant and skips already-deleted rows") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import spark.implicits._
+    // part-0: keys 0-9; an earlier delete masked pos 2 and 4
+    val acts = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.dvAction(
+        DeltaLog.replay(frame(add(0, 0, "part-0"))), "part-0", 1, 0,
+        array(lit(2L), lit(4L))))
+      .localCheckpoint()
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val dvs = DeltaLog.deletionVectors(acts).localCheckpoint()
+    val positioned = (0L to 9L).map(p => ("part-0", p, p, 10L)).toDF("path", "pos", "k", "cents")
+    // UPDATE k % 2 = 0: matches pos 0,2,4,6,8 but 2 and 4 are ALREADY
+    // DELETED — only 3 live rows update
+    val pred = col("k") % 2 === 0
+    def statsOf(n: Long) = Seq((n, 0L, 8L, n * 11L))
+      .toDF("n_rows", "min_key", "max_key", "cents")
+    val goodAdds = DeltaLog.addAction(statsOf(3L), 2, 1000, "upd",
+      lit(null).cast(ArrayType(LongType)))
+    val upd = DeltaLog.updateActions(live, dvs, positioned, pred, 2, goodAdds)
+      .localCheckpoint()
+    // the committed mask is the union {0,2,4,6,8}; the rewrite carries 3
+    val gotMask = DeltaLog.deletionVectors(acts.unionByName(upd)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(gotMask == Map("part-0" -> Seq(0L, 2L, 4L, 6L, 8L)), gotMask.toString)
+    assert(upd.filter(col("op") === "add").select("n_rows").as[Long].collect().toSeq == Seq(3L))
+
+    // a rewrite claiming 5 rows (the naive pred count, ignoring the
+    // existing masks) is a cardinality corruption — raise
+    val ex = intercept[Exception] {
+      DeltaLog.updateActions(live, dvs, positioned, pred, 2,
+        DeltaLog.addAction(statsOf(5L), 2, 1000, "upd",
+          lit(null).cast(ArrayType(LongType)))).collect()
+    }
+    assert(ex.getMessage.contains("cardinality mismatch"), ex.getMessage)
+    // ... and so is an UPDATE with NO rewrite at all while rows matched
+    val ex2 = intercept[Exception] {
+      DeltaLog.updateActions(live, dvs, positioned, pred, 2,
+        goodAdds.filter(col("path") === "nope")).collect()
+    }
+    assert(ex2.getMessage.contains("cardinality mismatch"), ex2.getMessage)
+  }
+
   // ---- column mapping (dl22) ------------------------------------------------
 
   private def mappedActs = frame(add(0, 0, "part-0"))
