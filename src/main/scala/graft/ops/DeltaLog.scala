@@ -533,6 +533,39 @@ object DeltaLog {
   def foldState(state: DataFrame, newActs: DataFrame, stateVersion: Int): DataFrame =
     checkpointState(state.unionByName(staleGuard(newActs, stateVersion))).localCheckpoint()
 
+  /** The change-data-feed delta between two checkpoint states (the
+    * incremental twin of dl12/dl12b's batch grids): per-key live copy
+    * counts at each state — live files minus effective masks, the
+    * CANONICAL reads over the state action set — diffed into
+    * (files_added, files_removed, rows_added, rows_removed), one row. A
+    * streaming log consumer folds each version wave into its state
+    * ([[foldState]]) and calls this on (before, after) to EMIT the
+    * feed incrementally; CdfStreamSpec pins the accumulated stream ≡
+    * the one-shot batch grid, across a checkpointed restart. `rws` is
+    * the positioned row set (path, pos, key) — the one data-sized input;
+    * everything else is log-sized races. */
+  def cdfBetween(stateFrom: DataFrame, stateTo: DataFrame, rws: DataFrame): DataFrame = {
+    def copies(state: DataFrame, tag: String) = {
+      val masks = deletionVectors(state)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      rws.join(broadcast(replay(state).select("path")), Seq("path"))
+        .join(broadcast(masks), Seq("path", "pos"), "left").filter(col("hit").isNull)
+        .groupBy("key").agg(count(lit(1)).as(tag))
+    }
+    val rows = copies(stateFrom, "c0").join(copies(stateTo, "c1"), Seq("key"), "full")
+      .select(coalesce(col("c0"), lit(0L)).as("c0"), coalesce(col("c1"), lit(0L)).as("c1"))
+      .agg(coalesce(sum(greatest(col("c1") - col("c0"), lit(0L))), lit(0L)).as("rows_added"),
+        coalesce(sum(greatest(col("c0") - col("c1"), lit(0L))), lit(0L)).as("rows_removed"))
+    val pf = replay(stateFrom).select("path").withColumn("f0", lit(1))
+    val pt = replay(stateTo).select("path").withColumn("f1", lit(1))
+    val files = pf.join(pt, Seq("path"), "full")
+      .agg(coalesce(sum(when(col("f1").isNotNull && col("f0").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("files_added"),
+        coalesce(sum(when(col("f0").isNotNull && col("f1").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("files_removed"))
+    files.crossJoin(rows)
+  }
+
   /** Row-path guard: a batch action at version ≤ the state's version
     * would silently lose/win against the state tag and drift the fold
     * away from the true replay — fail loudly instead. */

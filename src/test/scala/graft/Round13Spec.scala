@@ -289,3 +289,99 @@ class Round13Spec extends SparkSpec {
     assert(exTorn.getMessage.contains("torn column-mapping entry"), exTorn.getMessage)
   }
 }
+
+/** Streaming change-data-feed source (the round-12 verdict's #5): the
+  * dl12b fixture's versions arrive as a file stream; the consumer folds
+  * each version wave into its checkpoint state and emits the per-
+  * transition delta via `DeltaLog.cdfBetween` — the accumulated feed,
+  * across a checkpointed restart mid-feed, must equal the one-shot
+  * batch grid (`dl12b_change feed` semantics: dv-only transitions report
+  * row deltas with zero file churn). */
+class CdfStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.DeltaLog
+
+  test("stream-accumulated per-version CDF equals the batch change feed, across a restart") {
+    val dir = "/root/testdata/sf0.001"
+    val ord = graft.tables.TestTables.orders(spark, dir)
+    val logBase = DeltaLog.logLines(ord)
+    val live0 = DeltaLog.snapshot(logBase).localCheckpoint()
+    // the dl12b fixture exactly: v4 masks part-5 (pos%7=3) and
+    // compact-0-1 (first 10); v5 REPLACES compact-0-1's mask (first 4)
+    val log = logBase.unionByName(DeltaLog.toLines(
+      DeltaLog.dvAction(live0, "part-5", 4, 0,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))
+        .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 4, 1, sequence(lit(0L), lit(9L))))
+        .unionByName(DeltaLog.dvAction(live0, "compact-0-1", 5, 0, sequence(lit(0L), lit(3L))))))
+    val acts = DeltaLog.actions(log).localCheckpoint()
+
+    // the batch truth: the dl12b grid computation over the same fixture
+    val want = graft.queries.LakehouseQueries.dl12bCdfDv.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+
+    // positioned rows over every path the fixture ever adds (the one
+    // data-sized input cdfBetween reads)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("key"))
+    val rws = acts.filter(col("op") === "add")
+      .select(col("path"), explode(col("buckets")).as("bucket")).distinct()
+      .join(ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey").as("key")), Seq("bucket"))
+      .select(col("path"), col("key"), (row_number().over(w) - 1).cast("long").as("pos"))
+      .localCheckpoint()
+
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfstream").toString
+    val landing = s"$base/landing"; val ckpt = s"$base/ckpt"
+    def wave(v: Int) = acts.filter(col("version") === v)
+      .select(to_json(struct(acts.columns.map(col): _*)).as("line"))
+      .coalesce(1)
+
+    @volatile var state = spark.emptyDataFrame
+    @volatile var stateV = -1
+    val cdfRows = scala.collection.mutable.Buffer.empty[(Int, Int, Long, Long, Long, Long)]
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line", org.apache.spark.sql.types.StringType)))
+    def start() = graft.stream.Ingest.fileIngest(spark, landing, lineSchema,
+        b => b,
+        (b, _) => if (!b.isEmpty) synchronized {
+          val batchActs = DeltaLog.actions(b).localCheckpoint()
+          // a micro-batch may pack several version waves — the feed is
+          // per-version, so fold and emit one transition at a time
+          val versions = batchActs.select("version").distinct()
+            .collect().map(_.getInt(0)).sorted
+          versions.foreach { v =>
+            val wv = batchActs.filter(col("version") === v)
+            val newState =
+              if (stateV < 0) DeltaLog.checkpointState(wv).localCheckpoint()
+              else DeltaLog.foldState(state, wv, stateV)
+            if (stateV >= 0) {
+              val r = DeltaLog.cdfBetween(state, newState, rws).head()
+              cdfRows += ((stateV, v, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            }
+            state = newState; stateV = v
+          }
+        })
+      .option("checkpointLocation", ckpt).start()
+
+    wave(0).write.mode("overwrite").parquet(landing)
+    wave(1).write.mode("append").parquet(landing)
+    wave(2).write.mode("append").parquet(landing)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // v3 and both dv waves land while the consumer is DOWN
+    wave(3).write.mode("append").parquet(landing)
+    wave(4).write.mode("append").parquet(landing)
+    wave(5).write.mode("append").parquet(landing)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(stateV == 5)
+
+    assert(cdfRows.toSeq == want,
+      s"stream-accumulated CDF must equal the batch feed\n got: ${cdfRows.toSeq}\nwant: $want")
+    // the dv-only transitions are the load-bearing part: v3→v4 removes
+    // rows with zero file churn, v4→v5 restores some of them
+    val dvT = cdfRows.toSeq.filter(t => t._1 >= 3)
+    assert(dvT.forall(t => t._3 == 0 && t._4 == 0), s"dv transitions must move no files: $dvT")
+    assert(dvT.head._6 > 0 && dvT.last._5 > 0,
+      s"v3->v4 must remove rows and v4->v5 must restore rows: $dvT")
+  }
+}
