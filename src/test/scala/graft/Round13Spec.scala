@@ -120,6 +120,34 @@ class Round13Spec extends SparkSpec {
     assert(live == Set("a", "c"), s"b removed by the rebased commit, c added by the contender: $live")
   }
 
+  // ---- nprobe auto-planning (v14) --------------------------------------------
+
+  test("v14 plan: minimal nprobe meets the recall target; clustered stays cheap") {
+    val rows = graft.queries.VectorQueries.v14NprobePlan.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // every chosen operating point meets the target
+    val chosen = rows.filter(_._1.endsWith(":chosen"))
+    assert(chosen.keySet == Set("isotropic:chosen", "clustered:chosen"), rows.keySet.toString)
+    chosen.values.foreach { case (_, hits, recall, _) =>
+      assert(hits >= 90 && recall >= 0.9, s"chosen point misses the target: $rows")
+    }
+    // the clustered regime keeps the v13 contract: tiny probe, tiny scan
+    val (cNp, _, _, cScan) = rows("clustered:chosen")
+    assert(cNp <= 2 && cScan <= 0.35,
+      s"clustered plan must stay cheap (nprobe<=2, scan<=35%): $rows")
+    // minimality: any runner_up sits strictly below its chosen nprobe AND
+    // misses the target — the witness that no cheaper setting sufficed
+    rows.filter(_._1.endsWith(":runner_up")).foreach { case (item, (np, hits, _, _)) =>
+      val fixture = item.stripSuffix(":runner_up")
+      assert(np < rows(s"$fixture:chosen")._1 && hits < 90,
+        s"runner_up must be the failing next-cheaper setting: $rows")
+    }
+    // isotropic is the honest hard case: it must pay MORE probes than
+    // clustered (if equal, the fixture stopped being isotropic)
+    assert(rows("isotropic:chosen")._1 > cNp, rows.toString)
+  }
+
   // ---- UPDATE WHERE (dl25) --------------------------------------------------
 
   test("updateActions enforces the row-count invariant and skips already-deleted rows") {
