@@ -775,10 +775,14 @@ object DeltaLog {
     *     mask at all;
     *   - untouched paths: NO action (restore is a diff, not a rewrite).
     * Like real RESTORE, re-adds assume the target instance's data file
-    * still exists — restoring past a vacuum horizon is the caller's
-    * contract (dl7/dl15 decide what vacuum may free). Log-sized: two
-    * replays + two mask races + one full outer join on the file LIST. */
-  def restoreActions(acts: DataFrame, target: Int, version: Int): DataFrame = {
+    * still exists — pass `freed` (the paths a vacuum actually deleted,
+    * dl7/dl15's rule) to make that contract LOUD: a re-add targeting a
+    * freed file raises instead of committing a pointer to deleted data
+    * (the reader would fail much later, on a table that claimed the
+    * restore succeeded). Log-sized: two replays + two mask races + one
+    * full outer join on the file LIST. */
+  def restoreActions(acts: DataFrame, target: Int, version: Int,
+                     freed: Option[DataFrame] = None): DataFrame = {
     // BOTH cuts (current and target) from ONE grid pass each for the
     // file race and the mask race — the round-11 vectorization rule: a
     // second single-as-of read costs a second scheduling floor for the
@@ -803,12 +807,26 @@ object DeltaLog {
     val removes = files.filter(col("now_v").isNotNull && (col("at_v").isNull || differs))
       .select(Seq(lit(version).as("version"), lit(0).as("ordinal"), lit("remove").as("op"),
         col("path")) ++ nulls ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: tail): _*)
-    val adds = files.filter(col("at_v").isNotNull && (col("now_v").isNull || differs))
+    val adds0 = files.filter(col("at_v").isNotNull && (col("now_v").isNull || differs))
       .select(Seq(lit(version).as("version"), lit(1000).as("ordinal"), lit("add").as("op"),
         col("path"), col("at_buckets").as("buckets"), col("at_rows").as("n_rows"),
         col("at_min").as("min_key"), col("at_max").as("max_key"),
         col("at_cents").as("cents"),
         lit(null).cast(ArrayType(LongType)).as("dv")) ++ tail: _*)
+    // vacuum-horizon guard: a re-add of a physically-freed file is a
+    // committed pointer to deleted data — its own anti-elidable branch,
+    // raise riding op/path/version (the deleteActions guard pattern)
+    val adds = freed match {
+      case Some(f) =>
+        val boom = guardBoom(raise_error(concat(
+          lit("restore re-adds a vacuumed file: "), col("path"))))
+        val bad = adds0.join(broadcast(f.select("path")), Seq("path"))
+          .select(Seq(boom.cast(IntegerType).as("version"), lit(1000).as("ordinal"),
+            boom.cast(StringType).as("op"), boom.cast(StringType).as("path")) ++
+            nullStatCols ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+        adds0.unionByName(bad)
+      case None => adds0
+    }
     // mask diff over the paths live at target; empty array = the explicit
     // "no rows masked" state (clears a drifted mask without a rewrite)
     val emptyMask = array().cast(ArrayType(LongType))
@@ -1077,8 +1095,26 @@ object DeltaLog {
     * three `:` parts is a torn mapping — a reader that shrugged it off
     * would project the wrong physical column into a logical name. */
   def columnMappingGrid(acts: DataFrame, versions: DataFrame): DataFrame =
-    activeOpGrid(acts, versions, "meta")
-      .select(col("v"), col("version").as("mapping_version"),
+    parseMapping(activeOpGrid(acts, versions, "meta")
+      .select(col("v"), col("version"), col("schema_str")))
+
+  /** The ACTIVE column mapping as of `asOf` (None = latest) — the
+    * single-cut twin, through [[activeOpRow]]'s attribute-keyed race
+    * (NOT the grid with a one-row constant frame: Catalyst folds a
+    * constant partition key out of the window spec, leaving an
+    * unpartitioned WindowExec — the one plan shape the catalog bans). */
+  def columnMapping(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
+    val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
+    parseMapping(activeOpRow(bounded, "meta")
+      .select(lit(null).cast(IntegerType).as("v"), col("version"), col("schema_str")))
+      .drop("v")
+  }
+
+  /** The strict mapping parse both cuts share: (v, version, schema_str)
+    * rows → per-entry (v, pos, logical_name, physical_name, col_type,
+    * mapping_version). */
+  private def parseMapping(metas: DataFrame): DataFrame =
+    metas.select(col("v"), col("version").as("mapping_version"),
         posexplode(split(col("schema_str"), ",")))
       .withColumn("parts", split(col("col"), ":"))
       .select(col("v"), col("pos"),
@@ -1088,14 +1124,6 @@ object DeltaLog {
         element_at(col("parts"), 2).as("physical_name"),
         element_at(col("parts"), 3).as("col_type"),
         col("mapping_version"))
-
-  /** The ACTIVE column mapping as of `asOf` (None = latest) — the
-    * single-cut [[columnMappingGrid]]. */
-  def columnMapping(acts: DataFrame, asOf: Option[Int] = None): DataFrame = {
-    val bounded = asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
-    columnMappingGrid(bounded, bounded.sparkSession.range(1)
-      .select(lit(Int.MaxValue).as("v"))).drop("v")
-  }
 
   /** RENAME COLUMN as ONE log-only meta transaction: derive the new
     * mapping from the ACTIVE one with `from`'s logical name swapped to
@@ -1162,6 +1190,52 @@ object DeltaLog {
           .when(col("n_collide") > 0, raise_error(lit(collideMsg)))
           .when(col("n_left") < minRemaining,
             raise_error(lit("column mapping would become empty")))
+          .otherwise(col("schema_str")).as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+        lit(null).cast(IntegerType).as("min_writer"))
+  }
+
+  /** ADD COLUMN under column mapping, as ONE log-only meta transaction —
+    * with the guard that makes mapping-by-name safe: a physical name
+    * that was EVER mapped (by any meta in the log's history, active or
+    * not) must never be reused, because files written under the old
+    * mapping still carry data in that physical column — a new logical
+    * column reusing it would silently read GHOST data out of every old
+    * file (real Delta prevents this with monotonically-assigned column
+    * ids; the name-keyed miniature enforces the same invariant by
+    * history scan, which is log-sized). Also raises on a logical-name
+    * collision with the ACTIVE mapping. A table with no mapping yet gets
+    * a fresh single-entry one. */
+  def addColumn(acts: DataFrame, logical: String, physical: String, colType: String,
+                version: Int, ordinal: Int): DataFrame = {
+    val m = columnMapping(acts)
+    // every physical name ANY meta ever mapped — lenient 3-part filter so
+    // plain (non-mapping) schema metas on mixed tables don't trip it
+    val history = acts.filter(col("op") === "meta")
+      .select(explode(split(col("schema_str"), ",")).as("ent"))
+      .withColumn("parts", split(col("ent"), ":"))
+      .filter(size(col("parts")) === 3)
+      .agg(coalesce(sum(when(element_at(col("parts"), 2) === physical, 1L).otherwise(0L)),
+        lit(0L)).as("n_phys"))
+    val rebuilt = m
+      .select(struct(col("pos"),
+        concat_ws(":", col("logical_name"), col("physical_name"), col("col_type")).as("e")).as("pe"),
+        col("logical_name"))
+      .agg(sort_array(collect_list("pe")).as("pes"),
+        coalesce(sum(when(col("logical_name") === logical, 1L).otherwise(0L)), lit(0L)).as("n_log"))
+      .select(concat_ws(",", concat(transform(col("pes"), pe => pe.getField("e")),
+        array(lit(s"$logical:$physical:$colType")))).as("schema_str"), col("n_log"))
+    history.crossJoin(rebuilt)
+      .select(lit(version).as("version"), lit(ordinal).as("ordinal"),
+        lit("meta").as("op"), lit("_schema").as("path"),
+        lit(null).cast(ArrayType(LongType)).as("buckets"),
+        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+        lit(null).cast(ArrayType(LongType)).as("dv"),
+        when(col("n_phys") > 0,
+          raise_error(lit(s"physical name was already mapped (ghost data in old files): $physical")))
+          .when(col("n_log") > 0,
+            raise_error(lit(s"logical column already mapped: $logical")))
           .otherwise(col("schema_str")).as("schema_str"),
         lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
         lit(null).cast(IntegerType).as("min_writer"))

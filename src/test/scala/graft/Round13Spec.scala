@@ -305,6 +305,72 @@ class Round13Spec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(0) == "c2", got.mkString(","))
   }
 
+  test("addColumn guards against physical-name reuse — even of a DROPPED column") {
+    def mapOf(acts: org.apache.spark.sql.DataFrame) =
+      DeltaLog.columnMapping(acts).collect()
+        .map(r => r.getAs[String]("logical_name") -> r.getAs[String]("physical_name")).toMap
+    // a fresh physical name lands, round-tripping the JSON format
+    val acts2 = DeltaLog.actions(DeltaLog.toLines(mappedActs).unionByName(DeltaLog.toLines(
+      DeltaLog.addColumn(mappedActs, "region", "p_region", "VARCHAR", 2, 0))))
+      .localCheckpoint()
+    assert(mapOf(acts2) == Map("k" -> "p_key", "cents" -> "p_cents", "region" -> "p_region"))
+    // reusing a LIVE physical name raises
+    val exLive = intercept[Exception] {
+      DeltaLog.addColumn(mappedActs, "fresh", "p_cents", "BIGINT", 2, 0).collect()
+    }
+    assert(exLive.getMessage.contains("already mapped (ghost data"), exLive.getMessage)
+    // the sharp edge: DROP cents, then reuse p_cents — the active mapping
+    // no longer has it, but every pre-drop file still carries its data;
+    // a reuse would read ghost values out of them
+    val dropped = acts2.unionByName(DeltaLog.dropColumn(acts2, "cents", 3, 0)).localCheckpoint()
+    assert(mapOf(dropped) == Map("k" -> "p_key", "region" -> "p_region"))
+    val exGhost = intercept[Exception] {
+      DeltaLog.addColumn(dropped, "price", "p_cents", "BIGINT", 4, 0).collect()
+    }
+    assert(exGhost.getMessage.contains("ghost data"), exGhost.getMessage)
+    // a logical collision raises; a table with no mapping gets a fresh one
+    val exLog = intercept[Exception] {
+      DeltaLog.addColumn(mappedActs, "k", "p_k2", "BIGINT", 2, 0).collect()
+    }
+    assert(exLog.getMessage.contains("logical column already mapped"), exLog.getMessage)
+    val fresh = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.addColumn(frame(add(0, 0, "part-0")), "k", "p_key", "BIGINT", 1, 0))
+    assert(mapOf(fresh) == Map("k" -> "p_key"))
+  }
+
+  // ---- restore × vacuum horizon ----------------------------------------------
+
+  test("restoreActions raises when a re-add targets a vacuumed file") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b"), rem(1, 0, "a")).localCheckpoint()
+    // restore to v0 re-adds a; a vacuum that freed it makes that a
+    // committed pointer to deleted data — raise
+    val freed = Seq("a").toDF("path")
+    val ex = intercept[Exception] {
+      DeltaLog.restoreActions(acts, 0, 2, Some(freed)).collect()
+    }
+    assert(ex.getMessage.contains("re-adds a vacuumed file"), ex.getMessage)
+    // a vacuum that freed something ELSE leaves the restore intact
+    val ok = DeltaLog.restoreActions(acts, 0, 2, Some(Seq("zzz").toDF("path")))
+    val live = DeltaLog.replay(acts.unionByName(ok)).collect().map(_.getString(0)).toSet
+    assert(live == Set("a", "b"), live.toString)
+  }
+
+  // ---- retry loop × protocol upgrade ------------------------------------------
+
+  test("commitWithRetry aborts when the contending commit is a protocol upgrade") {
+    val acts = frame(add(0, 0, "a"), add(0, 1, "b")).localCheckpoint()
+    val txn = frame(rem(90, 0, "b"))
+    // a concurrent protocol upgrade lands in the race window: the retry's
+    // re-check must ABORT (the upgrade may lock this writer out), never
+    // blindly rebase past it — the round-13 conflict rule composing with
+    // the loop
+    val (actsOut, dec) = DeltaLog.commitWithRetry(acts, txn, 0, maxAttempts = 5,
+      contention = a => if (a == 1) Some(DeltaLog.protocolAction(spark, 1, 0, 2, 2)) else None)
+    assert(dec.map(_.outcome) == Seq("retry_version_taken", "abort_conflict"), dec.mkString(","))
+    assert(actsOut.filter(col("version") === 2).isEmpty, "the locked-out txn must not land")
+  }
+
   test("a pre-mapping reader raises through requireReader; torn mapping entries raise") {
     // the mapping feature was committed with protocol(min_reader=2) — a
     // version-1 reader must fail loudly, not misread physical names
