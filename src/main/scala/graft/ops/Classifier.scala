@@ -296,10 +296,27 @@ object Classifier {
       .withColumn("nn_below", col("prefix_nn") + coalesce(sum("nn").over(w), lit(0L)))
     val pnProduct = col("n_pos").cast("decimal(19,0)") * col("n_neg").cast("decimal(19,0)")
     // 2·nn_below + nn in DECIMAL: the LongType intermediate would be the
-    // FIRST thing to overflow (~4.6·10¹⁸ negatives), before the product
+    // FIRST thing to overflow (~4.6·10¹⁸ negatives), before the product.
+    // decimal(21,0) CANNOT overflow from Long inputs (≤ ~2.8·10¹⁹).
     val nnTerm = (col("nn_below").cast("decimal(19,0)") * 2 + col("nn").cast("decimal(19,0)"))
-      .cast("decimal(20,0)") // 2·nn_below alone can pass 10¹⁹ — 19,0 would null at the edge
-    c.agg(sum(col("np").cast("decimal(19,0)") * nnTerm).as("u2d"),
+      .cast("decimal(21,0)")
+    // the PER-ROW product can itself overflow DECIMAL(38,0) → NULL, and
+    // sum() SKIPS nulls — the total would come back non-null but missing
+    // terms, silently wrong. Raise inside the sum instead: np/nnTerm are
+    // count-derived and never null, so a null product can only be
+    // overflow.
+    val rowTerm = col("np").cast("decimal(19,0)") * nnTerm
+    val guardedTerm = when(rowTerm.isNull,
+      raise_error(lit("aucExact: per-score 2U term overflowed DECIMAL(38,0)"))
+        .cast("decimal(38,0)")).otherwise(rowTerm)
+    // overflow guard shared by EVERY projection of the total: a null
+    // decimal sum over non-empty two-class input can only be overflow
+    val overflowGuarded =
+      when(col("n_pos") > 0 && col("n_neg") > 0 && col("u2d").isNull,
+        raise_error(lit("aucExact: 2U overflowed DECIMAL(38,0) (~10^18 rows per class)"))
+          .cast("decimal(38,0)"))
+        .otherwise(coalesce(col("u2d"), lit(0).cast("decimal(38,0)")))
+    c.agg(sum(guardedTerm).as("u2d"),
         coalesce(sum("np"), lit(0L)).as("n_pos"), coalesce(sum("nn"), lit(0L)).as("n_neg"))
       .select(
         // AUC over a single class is undefined — raise instead of
@@ -310,17 +327,16 @@ object Classifier {
           raise_error(lit("aucExact: need at least one positive and one negative label")))
           .otherwise(col("n_pos")).as("n_pos"),
         col("n_neg"),
-        // non-ANSI decimal overflow is a silent NULL — over non-empty
-        // two-class input a null 2U can ONLY mean the sum overflowed
-        // DECIMAL(38,0) (~10¹⁸ rows per class); raise, never coalesce it
-        // to 0. The BIGINT projection of the exact decimal must likewise
-        // fail loudly rather than wrap.
-        when(col("n_pos") > 0 && col("n_neg") > 0 && col("u2d").isNull,
-          raise_error(lit("aucExact: 2U overflowed DECIMAL(38,0) (~10^18 rows per class)")))
-          .when(col("u2d") > lit(Long.MaxValue).cast("decimal(38,0)"),
-            raise_error(lit("aucExact: 2U exceeds BIGINT range — read the decimal internally")))
-          .otherwise(coalesce(col("u2d"), lit(0).cast("decimal(38,0)")).cast("long")).as("u2"),
-        (col("u2d").cast("double") / (pnProduct * 2).cast("double")).as("auc"),
-        (col("u2d").cast("double") / pnProduct.cast("double") - 1.0).as("gini"))
+        // the BIGINT projection of the exact decimal must fail loudly
+        // rather than wrap (auc/gini below stay defined past Long range —
+        // they divide the decimal)
+        when(overflowGuarded > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("aucExact: 2U exceeds BIGINT range — read the decimal internally"))
+            .cast("decimal(38,0)"))
+          .otherwise(overflowGuarded).cast("long").as("u2"),
+        // auc/gini divide the SAME guarded decimal: a consumer selecting
+        // only auc must hit the overflow raise too, not a silent null
+        (overflowGuarded.cast("double") / (pnProduct * 2).cast("double")).as("auc"),
+        (overflowGuarded.cast("double") / pnProduct.cast("double") - 1.0).as("gini"))
   }
 }

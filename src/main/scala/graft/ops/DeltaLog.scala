@@ -396,19 +396,27 @@ object DeltaLog {
       lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
       lit(null).cast(IntegerType).as("min_writer"))
 
+  /** ONE spelling for every table-state action row (meta, constraint —
+    * null stats, a payload in schema_str), built over a one-row frame so
+    * derived builders (rewriteMapping, addColumn) can compute the
+    * payload column: an [[actionSchema]] widening touches HERE, not one
+    * hand-spelled 14-column literal per builder (the nullStatCols
+    * contract, extended to the table-state family). */
+  private def tableStateRow(df: DataFrame, opName: String, pathName: String,
+                            version: Int, ordinal: Int,
+                            payload: org.apache.spark.sql.Column): DataFrame =
+    df.select(Seq(lit(version).as("version"), lit(ordinal).as("ordinal"),
+      lit(opName).as("op"), lit(pathName).as("path")) ++ nullStatCols ++
+      Seq(lit(null).cast(ArrayType(LongType)).as("dv"), payload.as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+        lit(null).cast(IntegerType).as("min_writer")): _*)
+
   /** An op='meta' action row carrying the table schema as of `version`
     * (the Delta metaData action; path is the synthetic '_schema' so the
     * strict parse's non-null-path contract holds — [[lastWins]] races
     * only file actions, so meta never touches liveness). */
   def metaAction(spark: SparkSession, version: Int, ordinal: Int, schemaStr: String): DataFrame =
-    spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
-      lit("meta").as("op"), lit("_schema").as("path"),
-      lit(null).cast(ArrayType(LongType)).as("buckets"),
-      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-      lit(null).cast(ArrayType(LongType)).as("dv"), lit(schemaStr).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-      lit(null).cast(IntegerType).as("min_writer"))
+    tableStateRow(spark.range(1).toDF(), "meta", "_schema", version, ordinal, lit(schemaStr))
 
   /** The ACTIVE schema as of `asOf` (None = latest): the highest
     * (version, ordinal) op='meta' action wins. Returns one row
@@ -953,12 +961,15 @@ object DeltaLog {
     *     concurrent dv would be silently REPLACED by the txn's — the dv
     *     race is latest-wins — and a re-add changes the instance);
     *   - a concurrent add colliding with a path the txn adds;
-    *   - a concurrent op='protocol' or op='meta' action, UNCONDITIONALLY
-    *     (Delta's ProtocolChangedException / MetadataChangedException): a
-    *     writer admitted by requireWriter at its READ version must not
-    *     rebase past an upgrade that would now lock it out, and a
+    *   - a concurrent op='protocol', op='meta' or op='constraint' action,
+    *     UNCONDITIONALLY (Delta's ProtocolChangedException /
+    *     MetadataChangedException class — constraints live in metadata
+    *     there): a writer admitted by requireWriter at its READ version
+    *     must not rebase past an upgrade that would now lock it out, a
     *     transaction prepared under one schema must not land under
-    *     another — path overlap is irrelevant for table-level state.
+    *     another, and adds validated by enforceInvariants against the
+    *     OLD constraints must not land under tightened ones — path
+    *     overlap is irrelevant for table-level state.
     * Returns the conflicting concurrent action rows (path, version,
     * ordinal, op); empty = rebase is legal. Log-sized: file/mask LISTS,
     * never data. */
@@ -966,7 +977,7 @@ object DeltaLog {
     val concurrent = acts.filter(col("version") > readVersion &&
       col("op").isin("add", "remove", "dv"))
     val tableLevel = acts.filter(col("version") > readVersion &&
-      col("op").isin("protocol", "meta"))
+      col("op").isin("protocol", "meta", "constraint"))
     val txnTouches = txn.filter(col("op").isin("remove", "dv")).select("path").distinct()
     val txnAdds = txn.filter(col("op") === "add").select("path").distinct()
     concurrent.join(broadcast(txnTouches), Seq("path"))
@@ -1113,17 +1124,25 @@ object DeltaLog {
   /** The strict mapping parse both cuts share: (v, version, schema_str)
     * rows → per-entry (v, pos, logical_name, physical_name, col_type,
     * mapping_version). */
-  private def parseMapping(metas: DataFrame): DataFrame =
+  private def parseMapping(metas: DataFrame): DataFrame = {
+    // the torn raise rides BOTH logical_name and physical_name:
+    // physical_name is resolvePhysical's JOIN KEY, and a torn entry
+    // whose raise lived only on logical_name would null the key, match
+    // nothing, and drop the column from every read with no error (the
+    // join-elision class again)
+    def torn(part: Int) =
+      when(size(col("parts")) =!= 3,
+        raise_error(concat(lit("torn column-mapping entry: "), col("col"))))
+        .otherwise(element_at(col("parts"), part))
     metas.select(col("v"), col("version").as("mapping_version"),
         posexplode(split(col("schema_str"), ",")))
       .withColumn("parts", split(col("col"), ":"))
       .select(col("v"), col("pos"),
-        when(size(col("parts")) =!= 3,
-          raise_error(concat(lit("torn column-mapping entry: "), col("col"))))
-          .otherwise(element_at(col("parts"), 1)).as("logical_name"),
-        element_at(col("parts"), 2).as("physical_name"),
+        torn(1).as("logical_name"),
+        torn(2).as("physical_name"),
         element_at(col("parts"), 3).as("col_type"),
         col("mapping_version"))
+  }
 
   /** RENAME COLUMN as ONE log-only meta transaction: derive the new
     * mapping from the ACTIVE one with `from`'s logical name swapped to
@@ -1179,20 +1198,12 @@ object DeltaLog {
       .agg(sort_array(collect_list("pe")).as("pes"), count(lit(1)).as("n_left"))
       .select(concat_ws(",", transform(col("pes"), pe => pe.getField("e"))).as("schema_str"),
         col("n_left"))
-    hits.crossJoin(rebuilt)
-      .select(lit(version).as("version"), lit(ordinal).as("ordinal"),
-        lit("meta").as("op"), lit("_schema").as("path"),
-        lit(null).cast(ArrayType(LongType)).as("buckets"),
-        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-        lit(null).cast(ArrayType(LongType)).as("dv"),
-        when(col("n_hit") =!= 1, raise_error(lit(guardMsg)))
-          .when(col("n_collide") > 0, raise_error(lit(collideMsg)))
-          .when(col("n_left") < minRemaining,
-            raise_error(lit("column mapping would become empty")))
-          .otherwise(col("schema_str")).as("schema_str"),
-        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-        lit(null).cast(IntegerType).as("min_writer"))
+    tableStateRow(hits.crossJoin(rebuilt), "meta", "_schema", version, ordinal,
+      when(col("n_hit") =!= 1, raise_error(lit(guardMsg)))
+        .when(col("n_collide") > 0, raise_error(lit(collideMsg)))
+        .when(col("n_left") < minRemaining,
+          raise_error(lit("column mapping would become empty")))
+        .otherwise(col("schema_str")))
   }
 
   /** ADD COLUMN under column mapping, as ONE log-only meta transaction —
@@ -1204,11 +1215,14 @@ object DeltaLog {
     * file (real Delta prevents this with monotonically-assigned column
     * ids; the name-keyed miniature enforces the same invariant by
     * history scan, which is log-sized). Also raises on a logical-name
-    * collision with the ACTIVE mapping. A table with no mapping yet gets
-    * a fresh single-entry one. */
+    * collision with the ACTIVE mapping. Bootstrapping: a table with no
+    * meta at all, OR whose active meta is a PLAIN (non-mapping) schema
+    * like dl11's `k BIGINT, ...`, gets a fresh single-entry mapping —
+    * that is the real migration command (the plain schema stays in
+    * history); an active meta MIXING mapping and plain entries is torn
+    * and raises rather than silently dropping the unparseable part. */
   def addColumn(acts: DataFrame, logical: String, physical: String, colType: String,
                 version: Int, ordinal: Int): DataFrame = {
-    val m = columnMapping(acts)
     // every physical name ANY meta ever mapped — lenient 3-part filter so
     // plain (non-mapping) schema metas on mixed tables don't trip it
     val history = acts.filter(col("op") === "meta")
@@ -1217,28 +1231,32 @@ object DeltaLog {
       .filter(size(col("parts")) === 3)
       .agg(coalesce(sum(when(element_at(col("parts"), 2) === physical, 1L).otherwise(0L)),
         lit(0L)).as("n_phys"))
-    val rebuilt = m
-      .select(struct(col("pos"),
-        concat_ws(":", col("logical_name"), col("physical_name"), col("col_type")).as("e")).as("pe"),
-        col("logical_name"))
-      .agg(sort_array(collect_list("pe")).as("pes"),
-        coalesce(sum(when(col("logical_name") === logical, 1L).otherwise(0L)), lit(0L)).as("n_log"))
-      .select(concat_ws(",", concat(transform(col("pes"), pe => pe.getField("e")),
-        array(lit(s"$logical:$physical:$colType")))).as("schema_str"), col("n_log"))
-    history.crossJoin(rebuilt)
-      .select(lit(version).as("version"), lit(ordinal).as("ordinal"),
-        lit("meta").as("op"), lit("_schema").as("path"),
-        lit(null).cast(ArrayType(LongType)).as("buckets"),
-        lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-        lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-        lit(null).cast(ArrayType(LongType)).as("dv"),
-        when(col("n_phys") > 0,
+    // the ACTIVE meta's entries, classified rather than strictly parsed:
+    // all-mapping → extend; all-plain or absent → bootstrap fresh;
+    // mixed → torn (the strict columnMapping parse would also refuse it)
+    val activeEntries = activeOpRow(acts, "meta")
+      .select(posexplode(split(col("schema_str"), ",")))
+      .withColumn("parts", split(col("col"), ":"))
+      .withColumn("is_map", size(col("parts")) === 3)
+    val rebuilt = activeEntries
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(sum(when(col("is_map"), 1L).otherwise(0L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("is_map") && element_at(col("parts"), 1) === logical, 1L)
+          .otherwise(0L)), lit(0L)).as("n_log"),
+        concat_ws(",", concat(
+          transform(
+            sort_array(collect_list(when(col("is_map"),
+              struct(col("pos"), col("col").as("e"))))),
+            pe => pe.getField("e")),
+          array(lit(s"$logical:$physical:$colType")))).as("schema_str"))
+    tableStateRow(history.crossJoin(rebuilt), "meta", "_schema", version, ordinal,
+      when(col("n3") > 0 && col("n3") =!= col("n"),
+        raise_error(lit("active meta mixes mapping and plain entries (torn)")))
+        .when(col("n_phys") > 0,
           raise_error(lit(s"physical name was already mapped (ghost data in old files): $physical")))
-          .when(col("n_log") > 0,
-            raise_error(lit(s"logical column already mapped: $logical")))
-          .otherwise(col("schema_str")).as("schema_str"),
-        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-        lit(null).cast(IntegerType).as("min_writer"))
+        .when(col("n_log") > 0,
+          raise_error(lit(s"logical column already mapped: $logical")))
+        .otherwise(col("schema_str")))
   }
 
   /** The read-side of column mapping: a MELTED physical read — rows of
@@ -1263,14 +1281,7 @@ object DeltaLog {
     * — bound empty for notnull. Latest (version, ordinal) constraint
     * action wins, the singleton race every table-level property shares. */
   def constraintAction(spark: SparkSession, version: Int, ordinal: Int, spec: String): DataFrame =
-    spark.range(1).select(lit(version).as("version"), lit(ordinal).as("ordinal"),
-      lit("constraint").as("op"), lit("_constraint").as("path"),
-      lit(null).cast(ArrayType(LongType)).as("buckets"),
-      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
-      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
-      lit(null).cast(ArrayType(LongType)).as("dv"), lit(spec).as("schema_str"),
-      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
-      lit(null).cast(IntegerType).as("min_writer"))
+    tableStateRow(spark.range(1).toDF(), "constraint", "_constraint", version, ordinal, lit(spec))
 
   /** The ACTIVE constraints as of `asOf`: (c_name, field, kind, bound,
     * constraint_version) rows, parsed STRICTLY (a torn entry raises — a
@@ -1287,7 +1298,17 @@ object DeltaLog {
         when(size(col("parts")) =!= 4,
           raise_error(concat(lit("torn constraint entry: "), col("ent"))))
           .otherwise(element_at(col("parts"), 1)).as("c_name"),
-        element_at(col("parts"), 2).as("field"),
+        // the torn/unknown-field raises MUST ride `field` itself: it is
+        // the JOIN KEY in invariantChecks, so a raise carried only by
+        // c_name/kind would be join-elided — a torn or misspelled entry
+        // would match no stat row and the constraint would silently
+        // never bind (the enforcement-defeating twin of the guard-row
+        // elision class)
+        when(size(col("parts")) =!= 4,
+          raise_error(concat(lit("torn constraint entry: "), col("ent"))))
+          .when(!element_at(col("parts"), 2).isin("n_rows", "min_key", "max_key", "cents"),
+            raise_error(concat(lit("unknown constraint field: "), col("ent"))))
+          .otherwise(element_at(col("parts"), 2)).as("field"),
         when(!element_at(col("parts"), 3).isin("notnull", "min", "max"),
           raise_error(concat(lit("unknown constraint kind: "), col("ent"))))
           .otherwise(element_at(col("parts"), 3)).as("kind"),
@@ -1312,8 +1333,15 @@ object DeltaLog {
     * detonates. Non-add actions (removes, dvs, meta) pass through
     * untouched: constraints bind data commits. Log-sized: the melt is
     * 4 rows per add; the constraint side is spec-sized and broadcast. */
-  def enforceInvariants(acts: DataFrame, txn: DataFrame): DataFrame = {
-    val violations = invariantChecks(acts, txn).filter(col("violated"))
+  def enforceInvariants(acts: DataFrame, txn: DataFrame): DataFrame =
+    enforceInvariantsChecked(txn, invariantChecks(acts, txn))
+
+  /** [[enforceInvariants]] over a PRE-COMPUTED checks frame — so a commit
+    * path that also audits the evaluation (the dl23 gate) derives the
+    * checks once instead of re-running the constraint parse and join for
+    * an identical answer. */
+  def enforceInvariantsChecked(txn: DataFrame, checks: DataFrame): DataFrame = {
+    val violations = checks.filter(col("violated"))
     val boom = guardBoom(raise_error(concat(lit("writer invariant violated: "), col("c_name"),
       lit(" ("), col("field"), lit(" "), col("kind"),
       lit(") by add "), col("path"))))

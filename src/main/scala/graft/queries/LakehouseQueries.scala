@@ -2377,7 +2377,11 @@ object LakehouseQueries extends QuerySet {
       val b5 = acts3.filter(col("op") === "add" && col("path") === "part-5")
         .select("n_rows", "min_key", "max_key", "cents")
       val txn5 = DeltaLog.addAction(b5, 5, 0, "append-1", array(lit(5L)))
-      val enforced = DeltaLog.enforceInvariants(acts4, txn5)
+      // the checks are derived ONCE and feed both the enforcement and the
+      // audit rows (enforceInvariants would re-run the constraint parse
+      // and join for an identical answer)
+      val checks0 = DeltaLog.invariantChecks(acts4, txn5).localCheckpoint()
+      val enforced = DeltaLog.enforceInvariantsChecked(txn5, checks0)
       val acts5 = DeltaLog.actions(logBase.unionByName(DeltaLog.toLines(
         v4.unionByName(enforced)))).localCheckpoint()
       // the parsed spec, read back from the COMMITTED log (round-trip pin)
@@ -2389,7 +2393,7 @@ object LakehouseQueries extends QuerySet {
       // every declared constraint evaluated against the add — the
       // non-vacuousness pin (violated=0 throughout; the raise path is
       // Round13Spec's)
-      val checks = DeltaLog.invariantChecks(acts4, txn5)
+      val checks = checks0
         .select(lit("checks").as("section"),
           concat(col("c_name"), lit(":"), col("path")).as("item"),
           lit(1L).as("n_rows"), lit(0L).as("val"),

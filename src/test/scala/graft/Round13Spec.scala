@@ -45,6 +45,14 @@ class Round13Spec extends SparkSpec {
     assert(confM.map(_.getString(3)).toSet == Set("meta"),
       s"a concurrent meta commit must conflict: ${confM.toSeq}")
 
+    // concurrent constraint change: a txn validated under the OLD
+    // constraints must not land under tightened ones
+    val actsC = frame(add(0, 0, "a"), add(0, 1, "b"))
+      .unionByName(DeltaLog.constraintAction(spark, 1, 0, "c1:cents:min:100"))
+    val confC = DeltaLog.rebaseConflicts(txn, actsC, 0).collect()
+    assert(confC.map(_.getString(3)).toSet == Set("constraint"),
+      s"a concurrent constraint commit must conflict: ${confC.toSeq}")
+
     // a protocol/meta action AT OR BELOW the read version is NOT concurrent
     val actsOld = frame(add(0, 0, "a"), add(0, 1, "b"), add(1, 0, "c"))
       .unionByName(DeltaLog.protocolAction(spark, 0, -1, 2, 2))
@@ -297,6 +305,18 @@ class Round13Spec extends SparkSpec {
     assert(exKind.getMessage.contains("unknown constraint kind"), exKind.getMessage)
     val exBound = intercept[Exception] { consOf("c1:n_rows:min:abc").collect() }
     assert(exBound.getMessage.contains("unparseable constraint bound"), exBound.getMessage)
+
+    // the enforcement-defeating elision: a torn or misspelled entry must
+    // raise THROUGH invariantChecks' join (field is the join key — the
+    // raise must ride it, or the entry silently never binds and a
+    // violating add commits cleanly)
+    def checksOf(spec: String) = DeltaLog.invariantChecks(
+      frame(add(0, 0, "a")).unionByName(DeltaLog.constraintAction(spark, 1, 0, spec)),
+      frame(add(1, 0, "new-file")))
+    val exJoinTorn = intercept[Exception] { checksOf("cents:notnull").collect() }
+    assert(exJoinTorn.getMessage.contains("torn constraint entry"), exJoinTorn.getMessage)
+    val exJoinField = intercept[Exception] { checksOf("c1:nrow:min:1").collect() }
+    assert(exJoinField.getMessage.contains("unknown constraint field"), exJoinField.getMessage)
     // the latest constraint action WINS (the singleton race)
     val acts = frame(add(0, 0, "a"))
       .unionByName(DeltaLog.constraintAction(spark, 1, 0, "c1:n_rows:min:1"))
@@ -381,6 +401,36 @@ class Round13Spec extends SparkSpec {
       .unionByName(DeltaLog.metaAction(spark, 1, 0, "k:p_key:BIGINT,cents_missing_parts"))
     val exTorn = intercept[Exception] { DeltaLog.columnMapping(torn).collect() }
     assert(exTorn.getMessage.contains("torn column-mapping entry"), exTorn.getMessage)
+    // ... and it must raise THROUGH resolvePhysical's join too (the raise
+    // rides physical_name, the join key — a torn entry must not silently
+    // drop its column from every read)
+    import spark.implicits._
+    val melted = Seq(("p_key", 1L)).toDF("physical_name", "value")
+    val exJoin = intercept[Exception] {
+      DeltaLog.resolvePhysical(melted, DeltaLog.columnMapping(torn)).collect()
+    }
+    assert(exJoin.getMessage.contains("torn column-mapping entry"), exJoin.getMessage)
+  }
+
+  test("addColumn bootstraps a mapping over a plain-schema table; mixed metas are torn") {
+    // dl11-style table: the active meta is a PLAIN schema — the first
+    // mapping-enabling addColumn is the migration command and must work
+    val plain = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.metaAction(spark, 1, 0, "k BIGINT, cents BIGINT"))
+    val acts2 = plain.unionByName(
+      DeltaLog.addColumn(plain, "region", "p_region", "VARCHAR", 2, 0)).localCheckpoint()
+    val got = DeltaLog.columnMapping(acts2).collect()
+      .map(r => r.getAs[String]("logical_name") -> r.getAs[String]("physical_name")).toMap
+    assert(got == Map("region" -> "p_region"),
+      s"plain schema bootstraps to a fresh single-entry mapping: $got")
+    // an active meta MIXING mapping and plain entries is torn — raise,
+    // never silently drop the unparseable part
+    val mixed = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.metaAction(spark, 1, 0, "k:p_key:BIGINT,cents BIGINT"))
+    val exMixed = intercept[Exception] {
+      DeltaLog.addColumn(mixed, "region", "p_region", "VARCHAR", 2, 0).collect()
+    }
+    assert(exMixed.getMessage.contains("mixes mapping and plain"), exMixed.getMessage)
   }
 }
 
@@ -427,6 +477,7 @@ class CdfStreamSpec extends SparkSpec {
 
     val base = java.nio.file.Files.createTempDirectory("graft_cdfstream").toString
     val landing = s"$base/landing"; val ckpt = s"$base/ckpt"
+    val stateDir = s"$base/state"; val stateVPath = java.nio.file.Paths.get(s"$base/stateV")
     def wave(v: Int) = acts.filter(col("version") === v)
       .select(to_json(struct(acts.columns.map(col): _*)).as("line"))
       .coalesce(1)
@@ -455,6 +506,12 @@ class CdfStreamSpec extends SparkSpec {
             }
             state = newState; stateV = v
           }
+          // durable state, batch granularity (the source checkpoint also
+          // advances per batch, so a clean stop between batches recovers
+          // exactly; mid-batch crash idempotence would need batchId
+          // gating — out of scope here)
+          state.write.mode("overwrite").parquet(stateDir)
+          java.nio.file.Files.write(stateVPath, stateV.toString.getBytes)
         })
       .option("checkpointLocation", ckpt).start()
 
@@ -462,7 +519,14 @@ class CdfStreamSpec extends SparkSpec {
     wave(1).write.mode("append").parquet(landing)
     wave(2).write.mode("append").parquet(landing)
     val q1 = start(); q1.processAllAvailable(); q1.stop()
-    // v3 and both dv waves land while the consumer is DOWN
+    // v3 and both dv waves land while the consumer is DOWN — and the
+    // consumer itself DIES: in-memory state is wiped and must recover
+    // from the durable store, the part of a restart JVM-local vars would
+    // otherwise mask
+    state = spark.emptyDataFrame; stateV = -1
+    state = spark.read.parquet(stateDir).localCheckpoint()
+    stateV = new String(java.nio.file.Files.readAllBytes(stateVPath)).trim.toInt
+    assert(stateV == 2, "recovered state must sit exactly at the last folded version")
     wave(3).write.mode("append").parquet(landing)
     wave(4).write.mode("append").parquet(landing)
     wave(5).write.mode("append").parquet(landing)
