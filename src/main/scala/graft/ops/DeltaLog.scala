@@ -484,6 +484,10 @@ object DeltaLog {
       // so is the constraint spec (dl23): a writer resuming from a
       // checkpoint that dropped it would stop enforcing the contract
       .unionByName(activeOpRow(bounded, "constraint").select(cols: _*))
+      // and the table-properties map (dl28): a checkpoint reader that
+      // lost appendOnly=true would happily commit the delete the
+      // property exists to forbid
+      .unionByName(activeOpRow(bounded, "props").select(cols: _*))
   }
 
   /** Checkpoint + tail as ONE replayable action set ≡ the full log —
@@ -876,6 +880,138 @@ object DeltaLog {
     removes.unionByName(adds).unionByName(dvRows).unionByName(metaRows)
   }
 
+  // ---- shallow clone (dl26) -------------------------------------------------
+
+  /** SHALLOW CLONE at `atVersion` (the Delta `CLONE` command's zero-copy
+    * form): the clone's version-0 commit is exactly the SOURCE's
+    * checkpoint state — one `add` per live file REFERENCING the source's
+    * data file (no data moves), the effective `dv` per masked path, and
+    * the active meta / protocol / constraint singletons — so a reader of
+    * the clone resolves the same bytes the source resolved at
+    * `atVersion`, and every later commit on either log is invisible to
+    * the other. Coordinates are renumbered to version 0 with ordinals
+    * assigned PER PATH in original (version, ordinal) order: every race
+    * the readers run is per-path (file liveness, mask scoping) or
+    * per-singleton-op, so preserving the per-path order is sufficient
+    * for the clone's v0 to replay to the same state — and the dv that
+    * won against its add in the source (version strictly greater) still
+    * wins here (same version 0, ordinal strictly greater). Log-sized:
+    * one checkpointState + one window over the state rows. */
+  def cloneActions(srcActs: DataFrame, atVersion: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("path")).orderBy(col("version"), col("ordinal"))
+    val cols = actionSchema.fieldNames.map(col).toSeq
+    checkpointState(srcActs, Some(atVersion))
+      .withColumn("new_ord", (row_number().over(w) - 1).cast(IntegerType))
+      .withColumn("version", lit(0)).withColumn("ordinal", col("new_ord"))
+      .drop("new_ord")
+      .select(cols: _*)
+  }
+
+  /** The shallow-clone operational hazard, surfaced as a file list: a
+    * VACUUM on the SOURCE keeps only files live in some retained source
+    * snapshot (versions `retainFrom`..latest — dl7's rule); the clone's
+    * adds still point at source files by path, so any source-vacuumable
+    * file the CLONE's current live set references is a read the clone
+    * will fail AFTER the vacuum runs. Real Delta documents exactly this
+    * hazard for shallow clones; an engine that can enumerate the
+    * breakage before the vacuum (log-sized — two replays and an
+    * anti-join on file lists, no data) lets the operator deep-copy or
+    * re-clone first. Returns (path, n_rows) of at-risk files. */
+  def cloneBreakage(srcActs: DataFrame, cloneActs: DataFrame, retainFrom: Int): DataFrame = {
+    val ever = srcActs.filter(col("op") === "add").select("path", "n_rows").distinct()
+    val vers = srcActs.select(col("version").as("v"))
+      .filter(col("v") >= retainFrom).distinct()
+    val retained = replayGrid(srcActs, vers).select(col("path")).distinct()
+      .withColumn("_kept", lit(1))
+    val vacuumable = ever.join(retained, Seq("path"), "left")
+      .filter(col("_kept").isNull).select("path", "n_rows")
+    vacuumable.join(replay(cloneActs).select("path").distinct(), Seq("path"))
+  }
+
+  // ---- table properties: configuration map + append-only (dl28) -------------
+
+  /** An op='props' action carrying the FULL table configuration as a
+    * sorted `k=v;k=v` string (the Delta metaData action's
+    * `configuration` map — carried whole per commit, not as deltas, so
+    * the latest action IS the active map; same singleton race as meta /
+    * protocol / constraint). Path is the synthetic '_props' for the
+    * strict parse's non-null contract. */
+  def propsAction(spark: SparkSession, version: Int, ordinal: Int, props: String): DataFrame =
+    tableStateRow(spark.range(1).toDF(), "props", "_props", version, ordinal, lit(props))
+
+  /** The ACTIVE table properties as of `asOf`: (key, value,
+    * props_version) rows parsed STRICTLY from the winning props action —
+    * a torn `k=v` entry raises, riding `key` (the column every consumer
+    * filters or joins on, so no downstream predicate can elide the
+    * raise — the dl23 torn-entry rule). An empty map ('' payload) and a
+    * table with no props action both yield zero rows. */
+  def activeProps(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    activeOpRow(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), "props")
+      .select(col("version").as("props_version"),
+        explode(split(col("schema_str"), ";")).as("ent"))
+      .filter(length(col("ent")) > 0)
+      .withColumn("parts", split(col("ent"), "="))
+      .select(
+        when(size(col("parts")) =!= 2 || length(element_at(col("parts"), 1)) === 0,
+          raise_error(concat(lit("torn table property entry: "), col("ent"))))
+          .otherwise(element_at(col("parts"), 1)).as("key"),
+        element_at(col("parts"), 2).as("value"),
+        col("props_version"))
+
+  /** Serialize a (key, value) frame back to the canonical sorted payload
+    * — ONE row even for an empty map, so SET/UNSET below always emit an
+    * action. */
+  private def propsPayload(ents: DataFrame): DataFrame =
+    ents.agg(coalesce(
+      array_join(sort_array(collect_list(concat(col("key"), lit("="), col("value")))), ";"),
+      lit("")).as("_payload"))
+
+  /** TBLPROPERTIES SET: a new props action whose map is the active map
+    * with `key` set to `value` (replacing any existing entry). Log-sized:
+    * the map is spec-sized; the aggregate is one row. */
+  def setPropAction(acts: DataFrame, key: String, value: String,
+                    version: Int, ordinal: Int): DataFrame = {
+    val kept = activeProps(acts).filter(col("key") =!= key).select("key", "value")
+    val ents = kept.unionByName(
+      acts.sparkSession.range(1).select(lit(key).as("key"), lit(value).as("value")))
+    tableStateRow(propsPayload(ents), "props", "_props", version, ordinal, col("_payload"))
+  }
+
+  /** TBLPROPERTIES UNSET: the active map minus `key` (a no-op unset
+    * still commits the unchanged map — same as real Delta, which commits
+    * a metaData action regardless). */
+  def unsetPropAction(acts: DataFrame, key: String,
+                      version: Int, ordinal: Int): DataFrame = {
+    val kept = activeProps(acts).filter(col("key") =!= key).select("key", "value")
+    tableStateRow(propsPayload(kept), "props", "_props", version, ordinal, col("_payload"))
+  }
+
+  /** Append-only enforcement (the `delta.appendOnly` table property —
+    * writer feature: a table whose history is an audit log must reject
+    * row deletion at COMMIT, not trust every client to remember): when
+    * the active props at the transaction's base contain
+    * appendOnly=true, any `remove` or `dv` action in the prepared
+    * transaction raises in the row path BEFORE the strict parse admits
+    * the line. Adds and table-state actions pass through — including the
+    * UNSET that lifts the restriction (real Delta also lets a
+    * sufficiently-versioned writer flip the property). The violation
+    * surfaces as the anti-elidable guard-row branch (raise riding
+    * op/path/version — the enforceInvariants pattern). */
+  def enforceAppendOnly(acts: DataFrame, txn: DataFrame): DataFrame = {
+    val ao = activeProps(acts)
+      .filter(col("key") === "appendOnly" && col("value") === "true")
+      .select(lit(1).as("_ao"))
+    val boom = guardBoom(raise_error(concat(
+      lit("append-only table: "), col("op"), lit(" on "), col("path"))))
+    val guard = txn.filter(col("op").isin("remove", "dv"))
+      .crossJoin(broadcast(ao))
+      .select(Seq(boom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        boom.cast(StringType).as("op"), boom.cast(StringType).as("path")) ++ nullStatCols ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    txn.unionByName(guard)
+  }
+
   // ---- protocol / reader feature gate (dl19) --------------------------------
 
   /** An op='protocol' action row (the Delta protocol action): declares
@@ -977,7 +1113,7 @@ object DeltaLog {
     val concurrent = acts.filter(col("version") > readVersion &&
       col("op").isin("add", "remove", "dv"))
     val tableLevel = acts.filter(col("version") > readVersion &&
-      col("op").isin("protocol", "meta", "constraint"))
+      col("op").isin("protocol", "meta", "constraint", "props"))
     val txnTouches = txn.filter(col("op").isin("remove", "dv")).select("path").distinct()
     val txnAdds = txn.filter(col("op") === "add").select("path").distinct()
     concurrent.join(broadcast(txnTouches), Seq("path"))

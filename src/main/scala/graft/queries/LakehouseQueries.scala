@@ -2692,9 +2692,225 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** SHALLOW CLONE (Delta `CLONE` zero-copy): clone the source at v4
+    * (post-dv), then prove FOUR properties in one gate — (1) the clone's
+    * v0 transaction is the source's checkpoint state with per-path
+    * renumbered coordinates (`clone_txn`: the dv cloned alongside its
+    * add, ordinal 1 > 0 so the mask still wins); (2) the clone READS
+    * identical to the source at the clone point (`clone_read`: masked
+    * per-file rows/cents); (3) the logs are INDEPENDENT after the split —
+    * a DELETE (dv) committed on the clone never shows in the source, a
+    * remove committed on the source never shows in the clone
+    * (`clone_after` keeps part-4 and masks compact-0-1; `src_after`
+    * drops part-4 and does NOT mask compact-0-1); (4) the operational
+    * hazard is ENUMERABLE: files a source VACUUM (retention v5) would
+    * free that the clone still references (`hazard` = part-4 — removed
+    * from the source but live in the clone). Work shape: TWO data
+    * passes (stats build + positioned rows, both shared), everything
+    * else log-sized races; the three masked reads share ONE positioned
+    * frame. */
+  val dl26ShallowClone = Q("dl26_shallow_clone",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            acts2 AS (
+              SELECT version, ordinal, op, path, b_lo, b_hi, n_rows, min_key, max_key, cents
+              FROM acts
+              UNION ALL SELECT 5, 0, 'remove', 'part-4', NULL, NULL, NULL, NULL, NULL, NULL),
+            live4 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            live5 AS (
+              SELECT path, n_rows FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2) t WHERE rn = 1 AND op = 'add'),
+            rws AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live4 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dv5 AS (SELECT path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3),
+            dvc AS (SELECT path, pos FROM rws WHERE path = 'compact-0-1' AND pos < 5),
+            ctxn AS (
+              SELECT 'clone_txn' AS section, 'add:' || path AS item, n_rows, cents,
+                CAST(0 AS BIGINT) AS flag
+              FROM live4
+              UNION ALL
+              SELECT 'clone_txn', 'dv:part-5', CAST(count(*) AS BIGINT),
+                CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM dv5),
+            cread AS (
+              SELECT 'clone_read' AS section, r.path AS item,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN r.cents ELSE 0 END) AS BIGINT) AS cents,
+                CAST(0 AS BIGINT) AS flag
+              FROM rws r LEFT JOIN dv5 d ON d.path = r.path AND d.pos = r.pos
+              GROUP BY r.path),
+            cafter AS (
+              SELECT 'clone_after' AS section, r.path AS item,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN r.cents ELSE 0 END) AS BIGINT) AS cents,
+                CAST(0 AS BIGINT) AS flag
+              FROM rws r LEFT JOIN (SELECT * FROM dv5 UNION ALL SELECT * FROM dvc) d
+                ON d.path = r.path AND d.pos = r.pos
+              GROUP BY r.path),
+            safter AS (
+              SELECT 'src_after' AS section, r.path AS item,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN d.pos IS NULL THEN r.cents ELSE 0 END) AS BIGINT) AS cents,
+                CAST(0 AS BIGINT) AS flag
+              FROM rws r LEFT JOIN dv5 d ON d.path = r.path AND d.pos = r.pos
+              WHERE r.path <> 'part-4'
+              GROUP BY r.path),
+            hz AS (
+              SELECT 'hazard' AS section, e.path AS item, e.n_rows,
+                CAST(0 AS BIGINT) AS cents, CAST(1 AS BIGINT) AS flag
+              FROM (SELECT DISTINCT path, n_rows FROM acts2 WHERE op = 'add') e
+              LEFT JOIN live5 r ON r.path = e.path
+              JOIN live4 c ON c.path = e.path
+              WHERE r.path IS NULL)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT * FROM ctxn
+              UNION ALL SELECT * FROM cread
+              UNION ALL SELECT * FROM cafter
+              UNION ALL SELECT * FROM safter
+              UNION ALL SELECT * FROM hz
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val baseActs = DeltaLog.actions(logBase).localCheckpoint()
+      val live0 = DeltaLog.replay(baseActs)
+      // source v4: a dv on part-5 — the clone must carry it or silently
+      // resurrect the masked rows for every clone reader
+      val srcActs5 = baseActs.unionByName(
+        DeltaLog.dvAction(live0, "part-5", 4, 0,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3)))
+        .localCheckpoint()
+      // THE operator under test: zero-copy clone at v4
+      val cloneV0 = DeltaLog.cloneActions(srcActs5, 4).localCheckpoint()
+      // divergent writes: DELETE on the clone (dv), remove on the source
+      val cloneActs1 = cloneV0.unionByName(
+        DeltaLog.dvAction(DeltaLog.replay(cloneV0), "compact-0-1", 1, 0,
+          sequence(lit(0L), lit(4L)))).localCheckpoint()
+      val srcActs6 = srcActs5.unionByName(DeltaLog.removeAction(s, 5, 0, "part-4"))
+        .localCheckpoint()
+      // ONE positioned data pass feeds all three masked reads (live@v4 is
+      // a path superset of every later cut on either log)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val positioned = positionedRows(DeltaLog.replay(srcActs5), obRows).localCheckpoint()
+      def readOf(state: org.apache.spark.sql.DataFrame, section: String) = {
+        val masks = DeltaLog.deletionVectors(state)
+          .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+        positioned.join(broadcast(DeltaLog.replay(state).select("path")), Seq("path"))
+          .join(broadcast(masks), Seq("path", "pos"), "left")
+          .groupBy("path")
+          .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_rows"),
+            sum(when(col("hit").isNull, col("cents")).otherwise(0L)).as("cents"))
+          .select(lit(section).as("section"), col("path").as("item"),
+            col("n_rows").cast("long").as("n_rows"), col("cents").cast("long").as("cents"),
+            lit(0L).as("flag"))
+      }
+      val txn = cloneV0.select(lit("clone_txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "dv", size(col("dv")).cast("long"))
+          .otherwise(coalesce(col("n_rows"), lit(0L))).as("n_rows"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        col("ordinal").cast("long").as("flag"))
+      val hz = DeltaLog.cloneBreakage(srcActs6, cloneActs1, 5)
+        .select(lit("hazard").as("section"), col("path").as("item"),
+          col("n_rows").cast("long").as("n_rows"), lit(0L).as("cents"), lit(1L).as("flag"))
+      txn.unionByName(readOf(cloneV0, "clone_read"))
+        .unionByName(readOf(cloneActs1, "clone_after"))
+        .unionByName(readOf(srcActs6, "src_after"))
+        .unionByName(hz)
+        .orderBy("section", "item")
+    })
+
+  /** Table properties as a versioned configuration map + the
+    * appendOnly writer feature (Delta TBLPROPERTIES / delta.appendOnly):
+    * SET owner (v4), SET appendOnly=true (v5), an APPEND committed
+    * through the enforcement while the restriction is active (v6 — adds
+    * pass), UNSET appendOnly (v7), then a remove committed through the
+    * SAME enforcement now that the restriction is lifted (v8). The
+    * `props` section pins the ACTIVE map per version from ONE grid pass
+    * (latest-wins singleton race; SET derives the new map from the old —
+    * v5's payload must contain BOTH keys, sorted); `commit` rows hash
+    * the ENFORCED transactions (the enforcement join is in the hashed
+    * path — a vacuous enforcement would still pass, which is why the
+    * REJECTION twin lives in Round13Spec as raise tests); `live` pins
+    * the final file set. Log-sized throughout: props parse is
+    * spec-sized, enforcement is a broadcast of a 0/1-row flag. */
+  val dl28TableProps = Q("dl28_table_props",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            b2 AS (SELECT * FROM bks WHERE bucket = 2),
+            props AS (
+              SELECT 'props' AS section, 'v4' AS item, 'owner=graft' AS val_s,
+                CAST(4 AS BIGINT) AS n1
+              UNION ALL SELECT 'props', 'v5', 'appendOnly=true;owner=graft', 5
+              UNION ALL SELECT 'props', 'v6', 'appendOnly=true;owner=graft', 5
+              UNION ALL SELECT 'props', 'v7', 'owner=graft', 7
+              UNION ALL SELECT 'props', 'v8', 'owner=graft', 7),
+            commits AS (
+              SELECT 'commit' AS section, 'v6:add:append-2' AS item, '' AS val_s, n_rows AS n1
+              FROM b2
+              UNION ALL SELECT 'commit', 'v8:remove:part-4', '', CAST(0 AS BIGINT)),
+            acts2 AS (
+              SELECT version, ordinal, op, path, n_rows FROM acts
+              UNION ALL SELECT 6, 0, 'add', 'append-2', n_rows FROM b2
+              UNION ALL SELECT 8, 0, 'remove', 'part-4', NULL),
+            live AS (
+              SELECT 'live' AS section, path AS item, '' AS val_s, n_rows AS n1 FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2) t WHERE rn = 1 AND op = 'add')
+            SELECT section, item, val_s, n1 FROM (
+              SELECT * FROM props
+              UNION ALL SELECT * FROM commits
+              UNION ALL SELECT * FROM live
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val baseActs = DeltaLog.actions(DeltaLog.logLines(orders(s, d))).localCheckpoint()
+      val acts4 = baseActs.unionByName(
+        DeltaLog.setPropAction(baseActs, "owner", "graft", 4, 0)).localCheckpoint()
+      val acts5 = acts4.unionByName(
+        DeltaLog.setPropAction(acts4, "appendOnly", "true", 5, 0)).localCheckpoint()
+      // the v6 append goes THROUGH enforceAppendOnly while the
+      // restriction is active — adds must pass (and the guard branch is
+      // in the committed lineage, so an over-eager guard would detonate
+      // in every section below)
+      val b2 = baseActs.filter(col("op") === "add" && col("path") === "part-2")
+        .select("n_rows", "min_key", "max_key", "cents")
+      val add6 = DeltaLog.enforceAppendOnly(acts5,
+        DeltaLog.addAction(b2, 6, 0, "append-2", array(lit(2L))))
+      val acts6 = acts5.unionByName(add6).localCheckpoint()
+      val acts7 = acts6.unionByName(
+        DeltaLog.unsetPropAction(acts6, "appendOnly", 7, 0)).localCheckpoint()
+      // the v8 remove goes through the SAME enforcement — now lifted
+      val rm8 = DeltaLog.enforceAppendOnly(acts7, DeltaLog.removeAction(s, 8, 0, "part-4"))
+      val acts8 = acts7.unionByName(rm8).localCheckpoint()
+      val vers = s.range(4, 9).select(col("id").cast("int").as("v"))
+      val propRows = DeltaLog.activeOpGrid(acts8, vers, "props")
+        .select(lit("props").as("section"), concat(lit("v"), col("v")).as("item"),
+          col("schema_str").as("val_s"), col("version").cast("long").as("n1"))
+      val commitRows = add6.filter(col("op") === "add")
+        .select(lit("commit").as("section"),
+          concat(lit("v6:add:"), col("path")).as("item"), lit("").as("val_s"),
+          col("n_rows").cast("long").as("n1"))
+        .unionByName(rm8.filter(col("op") === "remove")
+          .select(lit("commit").as("section"),
+            concat(lit("v8:remove:"), col("path")).as("item"), lit("").as("val_s"),
+            lit(0L).as("n1")))
+      val liveRows = DeltaLog.replay(acts8)
+        .select(lit("live").as("section"), col("path").as("item"), lit("").as("val_s"),
+          col("n_rows").cast("long").as("n1"))
+      propRows.unionByName(commitRows).unionByName(liveRows)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
-    dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl28TableProps,
+    k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

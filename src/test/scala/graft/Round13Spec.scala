@@ -432,7 +432,108 @@ class Round13Spec extends SparkSpec {
     }
     assert(exMixed.getMessage.contains("mixes mapping and plain"), exMixed.getMessage)
   }
-}
+
+  // ---- shallow clone (dl26) -------------------------------------------------
+
+  private def dvRow(v: Int, o: Int, path: String, mask: Seq[Long]): Row =
+    Row(v, o, "dv", path, null, null, null, null, null, mask, null, null, null, null)
+
+  test("cloneActions renumbers per path so a cloned dv still outranks its add") {
+    // source: add at v0, REPLACING add at v2 (remove+re-add), dv on the
+    // new instance at v3 — the clone's v0 must keep (winning add, dv) in
+    // that order per path, and drop the dead first instance entirely
+    val src = frame(add(0, 0, "a", 10L), add(0, 1, "b", 10L), rem(2, 0, "a"),
+      add(2, 1, "a", 8L), dvRow(3, 0, "a", Seq(1L, 3L)))
+    val clone = DeltaLog.cloneActions(src, 3).collect()
+    assert(clone.forall(_.getInt(0) == 0), s"all clone actions sit at version 0: ${clone.toSeq}")
+    val aRows = clone.filter(_.getString(3) == "a").sortBy(_.getInt(1))
+    assert(aRows.map(_.getString(2)).toSeq == Seq("add", "dv"),
+      s"winning add then its dv, in ordinal order: ${aRows.toSeq}")
+    assert(aRows(0).getInt(1) < aRows(1).getInt(1), "dv ordinal must outrank the add's")
+    assert(aRows(0).getLong(5) == 8L, "the clone carries the WINNING instance's stats")
+    // the clone replays to the source's state and the mask survives
+    val masks = DeltaLog.deletionVectors(frame(clone.toIndexedSeq: _*)).collect()
+    assert(masks.length == 1 && masks(0).getSeq[Long](1) == Seq(1L, 3L),
+      s"cloned mask must still bind to the cloned add: ${masks.toSeq}")
+  }
+
+  test("clone and source logs are independent after the split") {
+    val src = frame(add(0, 0, "a", 10L), add(0, 1, "b", 10L))
+    val clone0 = DeltaLog.cloneActions(src, 0)
+    val cloneAfter = clone0.unionByName(frame(rem(1, 0, "a")))
+    val srcAfter = src.unionByName(frame(rem(1, 0, "b")))
+    assert(DeltaLog.replay(cloneAfter).collect().map(_.getString(0)).toSet == Set("b"))
+    assert(DeltaLog.replay(srcAfter).collect().map(_.getString(0)).toSet == Set("a"),
+      "a remove on the clone must not leak into the source")
+  }
+
+  test("cloneBreakage lists exactly the source-vacuumable files the clone references") {
+    val src = frame(add(0, 0, "a", 10L), add(0, 1, "b", 10L), rem(2, 0, "a"))
+    val clone = DeltaLog.cloneActions(src, 0) // references a AND b
+    // retention v2..: only the v2 snapshot retained -> 'a' vacuumable, clone breaks on it
+    val broken = DeltaLog.cloneBreakage(src, clone, 2).collect()
+    assert(broken.map(_.getString(0)).toSeq == Seq("a"), s"got: ${broken.toSeq}")
+    // retention from v0 keeps every snapshot -> nothing vacuumable, no breakage
+    assert(DeltaLog.cloneBreakage(src, clone, 0).isEmpty)
+  }
+
+  // ---- table properties / append-only (dl28) -------------------------------
+
+  test("enforceAppendOnly raises on remove and dv while active, passes adds and lifts on unset") {
+    val base = frame(add(0, 0, "a", 10L), add(0, 1, "b", 10L))
+    val acts = base.unionByName(DeltaLog.setPropAction(base, "appendOnly", "true", 1, 0))
+    val exR = intercept[Exception] {
+      DeltaLog.enforceAppendOnly(acts, frame(rem(2, 0, "a"))).collect()
+    }
+    assert(exR.getMessage.contains("append-only table"), exR.getMessage)
+    val exD = intercept[Exception] {
+      DeltaLog.enforceAppendOnly(acts, frame(dvRow(2, 0, "a", Seq(1L)))).collect()
+    }
+    assert(exD.getMessage.contains("append-only table"), exD.getMessage)
+    // adds pass through unchanged
+    assert(DeltaLog.enforceAppendOnly(acts, frame(add(2, 0, "c", 5L))).count() == 1)
+    // ...and an op-filtering consumer cannot elide the guard (ADVICE r12)
+    val exF = intercept[Exception] {
+      DeltaLog.enforceAppendOnly(acts, frame(rem(2, 0, "a")))
+        .filter(col("op") === "remove").collect()
+    }
+    assert(exF.getMessage.contains("append-only table"), exF.getMessage)
+    // unset lifts the restriction
+    val acts2 = acts.unionByName(DeltaLog.unsetPropAction(acts, "appendOnly", 2, 0))
+    assert(DeltaLog.enforceAppendOnly(acts2, frame(rem(3, 0, "a"))).count() == 1)
+  }
+
+  test("activeProps parses strictly and SET replaces an existing key") {
+    val base = frame(add(0, 0, "a", 10L))
+    val a1 = base.unionByName(DeltaLog.setPropAction(base, "owner", "x", 1, 0))
+    val a2 = a1.unionByName(DeltaLog.setPropAction(a1, "owner", "y", 2, 0))
+    val props = DeltaLog.activeProps(a2).collect()
+    assert(props.length == 1 && props(0).getString(0) == "owner" &&
+      props(0).getString(1) == "y", s"SET must replace, not duplicate: ${props.toSeq}")
+    // torn entry raises, riding the key column
+    val torn = base.unionByName(DeltaLog.propsAction(spark, 1, 0, "owner=x;garbage"))
+    val ex = intercept[Exception] { DeltaLog.activeProps(torn).collect() }
+    assert(ex.getMessage.contains("torn table property"), ex.getMessage)
+    // empty map parses to zero entries (no raise)
+    val empty = base.unionByName(DeltaLog.propsAction(spark, 1, 0, ""))
+    assert(DeltaLog.activeProps(empty).isEmpty)
+  }
+
+  test("props survive checkpointState and a concurrent props commit conflicts a rebase") {
+    val base = frame(add(0, 0, "a", 10L), add(0, 1, "b", 10L))
+    val acts = base.unionByName(DeltaLog.setPropAction(base, "appendOnly", "true", 1, 0))
+    // a reader resuming from the checkpoint still sees (and enforces) the map
+    val cp = DeltaLog.checkpointState(acts)
+    val ex = intercept[Exception] {
+      DeltaLog.enforceAppendOnly(cp, frame(rem(2, 0, "a"))).collect()
+    }
+    assert(ex.getMessage.contains("append-only table"), ex.getMessage)
+    // a txn prepared at v0 must not rebase past a concurrent appendOnly
+    // flip (its remove was legal when prepared, illegal now)
+    val conf = DeltaLog.rebaseConflicts(frame(rem(90, 0, "b")), acts, 0).collect()
+    assert(conf.map(_.getString(3)).toSet == Set("props"),
+      s"a concurrent props commit must conflict: ${conf.toSeq}")
+  }}
 
 /** Streaming change-data-feed source (the round-12 verdict's #5): the
   * dl12b fixture's versions arrive as a file stream; the consumer folds
