@@ -205,11 +205,16 @@ object DeltaLog {
 
   /** The mask-race core both dv shapes share: per (v, path) the latest
     * dv wins, then the lexicographic instance-scoping filter against
-    * the live add's birth. */
-  private def dvRace(dvWithV: DataFrame, liveWithV: DataFrame): DataFrame = {
+    * the live add's birth. `opName` generalizes the race to every
+    * INSTANCE-SCOPED side-action family — dv masks and row-id segment
+    * maps (op='rids', dl27) obey the identical rule: latest per path
+    * wins, and an action older than the live instance's birth belonged
+    * to a dead predecessor and must not bind. */
+  private def dvRace(dvWithV: DataFrame, liveWithV: DataFrame,
+                     opName: String = "dv"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("v"), col("path")).orderBy(col("version").desc, col("ordinal").desc)
-    val latestDv = dvWithV.filter(col("op") === "dv")
+    val latestDv = dvWithV.filter(col("op") === opName)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val liveBirth = liveWithV
       .select(col("v"), col("path"), col("version").as("add_version"), col("ordinal").as("add_ordinal"))
@@ -222,9 +227,15 @@ object DeltaLog {
   /** [[deletionVectorGrid]] at a single unbounded cut (callers pass
     * pre-bounded action frames) — constant-v like [[lastWins]], no
     * version join. */
-  private def effectiveDvRows(bounded: DataFrame): DataFrame = {
+  private def effectiveDvRows(bounded: DataFrame): DataFrame =
+    effectiveSideRows(bounded, "dv")
+
+  /** The single-cut instance-scoped race for ANY side-action family
+    * (op='dv', op='rids'): latest action per path, bound to the live
+    * instance's birth. */
+  private def effectiveSideRows(bounded: DataFrame, opName: String): DataFrame = {
     val withV = bounded.withColumn("v", lit(Int.MaxValue))
-    dvRace(withV, fileRace(withV)).drop("v")
+    dvRace(withV, fileRace(withV), opName).drop("v")
   }
 
   /** OPTIMIZE chosen BY the engine and written AS a real transaction —
@@ -488,6 +499,11 @@ object DeltaLog {
       // lost appendOnly=true would happily commit the delete the
       // property exists to forbid
       .unionByName(activeOpRow(bounded, "props").select(cols: _*))
+      // and the effective row-id segment map per live file (dl27): ids
+      // are STABLE state — a checkpoint reader that lost them would
+      // re-assign fresh ids and silently break every downstream lineage
+      // join keyed on row_id
+      .unionByName(effectiveSideRows(bounded, "rids").select(cols: _*))
   }
 
   /** Checkpoint + tail as ONE replayable action set ≡ the full log —
@@ -1012,6 +1028,154 @@ object DeltaLog {
     txn.unionByName(guard)
   }
 
+  // ---- row tracking: stable row ids (dl27) -----------------------------------
+
+  /** Row tracking (the Delta `rowTracking` feature — minWriter 7): every
+    * physical row carries a STABLE id that survives file rewrites, so
+    * lineage joins (training-run provenance, incremental downstream
+    * materializations) key on `row_id` instead of (path, pos) — which
+    * OPTIMIZE invalidates. The id map of a file instance rides an
+    * op='rids' side action whose payload is a SEGMENT LIST in
+    * schema_str: `pos:rid:len;…` sorted by pos, meaning rows at
+    * positions p ∈ [pos, pos+len) carry row_id = rid + (p − pos). A
+    * fresh add is one segment `0:hwm:n_rows`; a compaction concatenates
+    * its sources' segments shifted by the row offset — the ids
+    * themselves never change. Real Delta carries baseRowId ON the add
+    * action; the side-action spelling here is keyed to the file
+    * INSTANCE exactly like a deletion vector, so the existing dv race,
+    * checkpoint persistence, and OCC conflict rules apply verbatim.
+    * Parsing is strict where it must be loud: a torn segment raises
+    * (riding `pos`, the field every consumer reads). */
+  private def ridSegsOf(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(split(s, ";"), e =>
+      struct(
+        when(size(split(e, ":")) =!= 3,
+          raise_error(concat(lit("torn rid segment: "), e)))
+          .otherwise(element_at(split(e, ":"), 1).try_cast("long")).as("pos"),
+        element_at(split(e, ":"), 2).try_cast("long").as("rid"),
+        element_at(split(e, ":"), 3).try_cast("long").as("len")))
+
+  /** The effective row-id segment map per LIVE file instance as of
+    * `asOf` — the dv race applied to op='rids'. Returns (path, segs)
+    * with segs = array<struct<pos, rid, len>> sorted by pos. */
+  def ridSegments(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    effectiveSideRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), "rids")
+      .select(col("path"), ridSegsOf(col("schema_str")).as("segs"))
+
+  /** The row-id high-water mark: ids are NEVER reused, so the mark is
+    * the max over EVERY rids action ever committed — live or dead
+    * instances — of (rid + len) across its segments. One row (`hwm`),
+    * 0 for an untracked log. A segment whose rid/len failed to parse
+    * raises HERE: a silently-low mark would hand out duplicate ids,
+    * the one corruption row tracking exists to prevent. */
+  def ridHighWaterMark(acts: DataFrame): DataFrame =
+    acts.filter(col("op") === "rids")
+      .select(explode(ridSegsOf(col("schema_str"))).as("seg"))
+      .select(when(col("seg.rid").isNull || col("seg.len").isNull || col("seg.pos").isNull,
+        raise_error(lit("unparseable rid segment in high-water scan")))
+        .otherwise(col("seg.rid") + col("seg.len")).as("end"))
+      .agg(coalesce(max("end"), lit(0L)).as("hwm"))
+
+  /** Fresh-assign row ids to a batch of prepared `add` rows: one
+    * op='rids' action per add, single segment `0:base:n_rows`, where
+    * base = hwm + Σ n_rows of adds EARLIER in the batch (ordinal
+    * order — the deterministic intra-commit order every builder already
+    * maintains). The side action rides its add's (version, ordinal), so
+    * the instance race binds it for exactly as long as the add wins.
+    * Log-sized: the offset is a self-join over the batch's file LIST. */
+  def assignRidActions(acts: DataFrame, adds: DataFrame): DataFrame = {
+    val hwm = ridHighWaterMark(acts)
+    val prior = adds.select(col("ordinal").as("o_ord"), col("n_rows").as("o_rows"))
+    val off = adds.filter(col("op") === "add")
+      .join(broadcast(prior), col("o_ord") < col("ordinal"), "left")
+      .groupBy("version", "ordinal", "path", "n_rows")
+      .agg(coalesce(sum("o_rows"), lit(0L)).as("offset"))
+    off.crossJoin(broadcast(hwm))
+      .select(Seq(col("version").cast(IntegerType).as("version"),
+        col("ordinal").cast(IntegerType).as("ordinal"),
+        lit("rids").as("op"), col("path")) ++ nullStatCols ++
+        Seq(lit(null).cast(ArrayType(LongType)).as("dv"),
+          concat(lit("0:"), col("hwm") + col("offset"), lit(":"), col("n_rows"))
+            .as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
+  }
+
+  /** Rid preservation through OPTIMIZE: for every compaction the
+    * [[optimizeActions]] policy would commit (adjacent single-bucket
+    * `part-` pairs, bin = b_lo/2), emit the compacted file's op='rids'
+    * action — the sources' segment lists concatenated in key order
+    * (source buckets cover disjoint key ranges, so the compacted file's
+    * position order IS the sources' order by b_lo), each shifted by the
+    * cumulative row offset. Same (version, 1000+lo) coordinate as the
+    * compacted add, so the race binds map to instance atomically.
+    * A compaction input carrying a deletion vector is REFUSED (raise):
+    * masking re-numbers the survivors' positions, which would need id
+    * materialization into the rewritten data file — a different write
+    * path than this log-only derivation (real Delta materializes the
+    * row-id column in exactly that case). */
+  def compactRidActions(live: DataFrame, segs: DataFrame, version: Int,
+                        dvs: Option[DataFrame] = None): DataFrame = {
+    val parts = live.filter(col("path").startsWith("part-") && size(col("buckets")) === 1)
+      .withColumn("b_lo", element_at(col("buckets"), 1))
+      .withColumn("bin", floor(col("b_lo") / 2))
+    val bins = parts.groupBy("bin").agg(count(lit(1)).as("nf"),
+        min("b_lo").as("lo"), max("b_lo").as("hi"))
+      .filter(col("nf") === 2).select("bin", "lo", "hi")
+    val masked = dvs.getOrElse(live.sparkSession.range(0).select(lit("").as("path")))
+      .select(col("path"), lit(1).as("_masked"))
+    val srcs = parts.join(bins, Seq("bin")).join(segs, Seq("path"))
+      .join(broadcast(masked), Seq("path"), "left")
+      .withColumn("segs", when(col("_masked").isNotNull,
+        raise_error(concat(lit("rid compaction over a masked input needs materialization: "),
+          col("path")))).otherwise(col("segs")))
+    val prior = srcs.select(col("bin").as("o_bin"), col("b_lo").as("o_lo"),
+      col("n_rows").as("o_rows"))
+    val off = srcs.join(broadcast(prior),
+        col("o_bin") === col("bin") && col("o_lo") < col("b_lo"), "left")
+      .groupBy("bin", "lo", "hi", "path", "b_lo", "segs")
+      .agg(coalesce(sum("o_rows"), lit(0L)).as("offset"))
+    val shifted = off.select(col("bin"), col("lo"), col("hi"),
+        explode(col("segs")).as("seg"), col("offset"))
+      .select(col("bin"), col("lo"), col("hi"),
+        struct((col("seg.pos") + col("offset")).as("pos"), col("seg.rid").as("rid"),
+          col("seg.len").as("len")).as("seg"))
+    shifted.groupBy("bin", "lo", "hi")
+      .agg(sort_array(collect_list(col("seg"))).as("ss"))
+      .select(Seq(lit(version).as("version"),
+        (lit(1000) + col("lo")).cast(IntegerType).as("ordinal"),
+        lit("rids").as("op"),
+        concat(lit("opt-"), col("lo"), lit("-"), col("hi")).as("path")) ++ nullStatCols ++
+        Seq(lit(null).cast(ArrayType(LongType)).as("dv"),
+          array_join(transform(col("ss"),
+            s => concat_ws(":", s("pos"), s("rid"), s("len"))), ";").as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
+  }
+
+  /** Resolve each physical row's stable id: join the positioned rows
+    * (path, pos, …) to the effective segment map per live file and pick
+    * the row's segment with an ARRAY expression — `filter` keeps the
+    * sorted prefix with pos ≤ p, `element_at(-1)` is the binding
+    * segment; NO extra shuffle beyond the broadcast of the log-sized
+    * map. Loud guards in the row path: a file with no map in a tracked
+    * read, and a position outside every segment (the map disagrees with
+    * the data), both raise. */
+  def rowIds(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame = {
+    val segs = ridSegments(acts, asOf)
+    positioned.join(broadcast(segs), Seq("path"), "left")
+      .withColumn("_seg", element_at(filter(col("segs"), s => s("pos") <= col("pos")), -1))
+      .withColumn("row_id",
+        when(col("segs").isNull,
+          raise_error(concat(lit("file without a row-id map in a tracked read: "), col("path"))))
+          .when(col("_seg").isNull || col("_seg.rid").isNull || col("_seg.len").isNull ||
+            col("pos") >= col("_seg.pos") + col("_seg.len"),
+            raise_error(concat(lit("position outside row-id segments: "), col("path"),
+              lit("@"), col("pos").cast("string"))))
+          .otherwise(col("_seg.rid") + col("pos") - col("_seg.pos")))
+      .drop("_seg", "segs")
+  }
+
   // ---- protocol / reader feature gate (dl19) --------------------------------
 
   /** An op='protocol' action row (the Delta protocol action): declares
@@ -1111,7 +1275,7 @@ object DeltaLog {
     * never data. */
   def rebaseConflicts(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
     val concurrent = acts.filter(col("version") > readVersion &&
-      col("op").isin("add", "remove", "dv"))
+      col("op").isin("add", "remove", "dv", "rids"))
     val tableLevel = acts.filter(col("version") > readVersion &&
       col("op").isin("protocol", "meta", "constraint", "props"))
     val txnTouches = txn.filter(col("op").isin("remove", "dv")).select("path").distinct()

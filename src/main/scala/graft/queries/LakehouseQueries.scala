@@ -2826,6 +2826,139 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Row tracking — stable row ids through OPTIMIZE (the Delta
+    * rowTracking feature, minWriter 7): v0 adds every bucket file with
+    * fresh ids assigned batch-wise from the high-water mark (one
+    * op='rids' segment map per add, riding the add's own coordinates),
+    * plus the protocol action the feature requires; v1 compacts every
+    * adjacent pair and PRESERVES ids by concatenating the sources'
+    * segment maps shifted by row offset; v2 appends a file whose
+    * o_orderkeys DUPLICATE bucket 3's — its rows must get FRESH ids
+    * above the mark (stable ids identify physical rows, not key
+    * values). `read0`/`read2` pin per-file id signatures at both cuts —
+    * the oracle derives read2's compacted files from the SAME arithmetic
+    * as read0 (base + in-bucket rank), so a compaction that renumbered a
+    * single row hash-mismatches; `check` pins id uniqueness across the
+    * duplicate-key append (distinct = total), the high-water mark, the
+    * append's floor id = the pre-append mark, and the writer admission
+    * at version 7. Work: TWO data passes (stats, positioned rows) +
+    * one materialized id frame; maps and races are log-sized and the
+    * per-row segment pick is an array expression, not a join. */
+  val dl27RowTracking = Q("dl27_row_tracking",
+    Some(s"""WITH bks AS (
+              SELECT o_orderkey // ${DeltaLog.W} AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM orders GROUP BY 1),
+            base AS (
+              SELECT bucket, n_rows,
+                COALESCE(sum(n_rows) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM bks),
+            rws AS (
+              SELECT o_orderkey // ${DeltaLog.W} AS bucket, o_orderkey,
+                row_number() OVER (PARTITION BY o_orderkey // ${DeltaLog.W}
+                  ORDER BY o_orderkey) - 1 AS pos
+              FROM orders),
+            rid0 AS (
+              SELECT r.bucket, r.o_orderkey, b.base + r.pos AS rid
+              FROM rws r JOIN base b USING (bucket)),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            n3t AS (SELECT n_rows AS nb FROM bks WHERE bucket = 3),
+            r0 AS (
+              SELECT 'read0' AS section, 'part-' || bucket AS item,
+                CAST(count(*) AS BIGINT) AS n1, CAST(sum(rid) AS BIGINT) AS n2,
+                CAST(sum(rid * (o_orderkey % 97)) AS BIGINT) AS n3
+              FROM rid0 GROUP BY bucket),
+            binz AS (
+              SELECT bucket, count(*) OVER (PARTITION BY bucket // 2) AS cnt FROM bks),
+            paths2 AS (
+              SELECT bucket, CASE WHEN cnt = 2
+                THEN 'opt-' || (bucket - bucket % 2) || '-' || (bucket - bucket % 2 + 1)
+                ELSE 'part-' || bucket END AS path
+              FROM binz),
+            r2 AS (
+              SELECT 'read2' AS section, p.path AS item, CAST(count(*) AS BIGINT) AS n1,
+                CAST(sum(r.rid) AS BIGINT) AS n2,
+                CAST(sum(r.rid * (r.o_orderkey % 97)) AS BIGINT) AS n3
+              FROM rid0 r JOIN paths2 p USING (bucket) GROUP BY p.path
+              UNION ALL
+              SELECT 'read2', 'append-0', CAST(count(*) AS BIGINT),
+                CAST(sum(t.n + w.pos) AS BIGINT),
+                CAST(sum((t.n + w.pos) * (w.o_orderkey % 97)) AS BIGINT)
+              FROM rws w, tot t WHERE w.bucket = 3),
+            chk AS (
+              SELECT 'check' AS section, 'append_min' AS item, t.n AS n1, t.n AS n2,
+                CAST(0 AS BIGINT) AS n3 FROM tot t
+              UNION ALL SELECT 'check', 'hwm', t.n + x.nb, CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT) FROM tot t, n3t x
+              UNION ALL SELECT 'check', 'unique', t.n + x.nb, t.n + x.nb,
+                CAST(0 AS BIGINT) FROM tot t, n3t x
+              UNION ALL SELECT 'check', 'writer7', CAST(7 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT))
+            SELECT section, item, n1, n2, n3 FROM (
+              SELECT * FROM r0 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM chk
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val v0adds = DeltaLog.actions(DeltaLog.logLines(ord))
+        .filter(col("version") === 0).localCheckpoint()
+      // v0: every bucket file, ids assigned batch-wise from hwm=0, plus
+      // the protocol the feature requires (reader 3 / writer 7)
+      val acts0 = v0adds
+        .unionByName(DeltaLog.assignRidActions(v0adds, v0adds))
+        .unionByName(DeltaLog.protocolAction(s, 0, 10000, 3, 7))
+        .localCheckpoint()
+      val live0 = DeltaLog.replay(acts0)
+      // v1: compact every adjacent pair; ids preserved via shifted maps
+      val acts1 = acts0
+        .unionByName(DeltaLog.optimizeActions(live0, 1))
+        .unionByName(DeltaLog.compactRidActions(live0, DeltaLog.ridSegments(acts0), 1))
+        .localCheckpoint()
+      // v2: append bucket 3's rows AGAIN — duplicate keys, fresh ids
+      val b3 = v0adds.filter(col("path") === "part-3")
+        .select("n_rows", "min_key", "max_key", "cents")
+      val add2 = DeltaLog.addAction(b3, 2, 0, "append-0", array(lit(3L)))
+      val acts2 = acts1.unionByName(add2)
+        .unionByName(DeltaLog.assignRidActions(acts1, add2))
+        .localCheckpoint()
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      def sig(ids: org.apache.spark.sql.DataFrame, section: String) =
+        ids.groupBy("path")
+          .agg(count(lit(1)).as("n1"), sum("row_id").as("n2"),
+            sum(col("row_id") * (col("o_orderkey") % 97)).as("n3"))
+          .select(lit(section).as("section"), col("path").as("item"),
+            col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+            col("n3").cast("long").as("n3"))
+      val ids0 = DeltaLog.rowIds(acts0, positionedRows(live0, obRows))
+      // ONE materialized id frame feeds the read2 signature, the
+      // uniqueness audit, and the append floor row
+      val ids2 = DeltaLog.rowIds(acts2, positionedRows(DeltaLog.replay(acts2), obRows))
+        .localCheckpoint()
+      val totRow = obRows.agg(count(lit(1)).cast("long").as("n"))
+      val appendMin = ids2.filter(col("path") === "append-0")
+        .agg(min("row_id").cast("long").as("n1"))
+        .crossJoin(broadcast(totRow))
+        .select(lit("check").as("section"), lit("append_min").as("item"),
+          col("n1"), col("n").as("n2"), lit(0L).as("n3"))
+      val uniq = ids2.agg(countDistinct(col("row_id")).cast("long").as("n1"),
+          count(lit(1)).cast("long").as("n2"))
+        .select(lit("check").as("section"), lit("unique").as("item"),
+          col("n1"), col("n2"), lit(0L).as("n3"))
+      val hwm = DeltaLog.ridHighWaterMark(acts2)
+        .select(lit("check").as("section"), lit("hwm").as("item"),
+          col("hwm").cast("long").as("n1"), lit(0L).as("n2"), lit(0L).as("n3"))
+      // the admission gate is IN the hashed path: an under-versioned
+      // table (or a raise) would break this row
+      val writer = DeltaLog.requireWriter(acts2, 7)
+        .select(lit("check").as("section"), lit("writer7").as("item"),
+          col("min_writer").cast("long").as("n1"), lit(0L).as("n2"), lit(0L).as("n3"))
+      sig(ids0, "read0").unionByName(sig(ids2, "read2"))
+        .unionByName(appendMin).unionByName(uniq).unionByName(hwm).unionByName(writer)
+        .orderBy("section", "item")
+    })
+
   /** Table properties as a versioned configuration map + the
     * appendOnly writer feature (Delta TBLPROPERTIES / delta.appendOnly):
     * SET owner (v4), SET appendOnly=true (v5), an APPEND committed
@@ -2911,6 +3044,6 @@ object LakehouseQueries extends QuerySet {
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
-    dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl28TableProps,
-    k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
+    dl28TableProps, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }
