@@ -72,9 +72,15 @@ object DeltaLog {
       .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
         max("o_orderkey").as("max_key"), sum(cents(col("o_totalprice"))).as("cents"))
 
-  /** The transaction log as JSON lines (one DataFrame column `line`). */
+  /** The transaction log as JSON lines (one DataFrame column `line`).
+    * The bucket stats are MATERIALIZED here (log-sized — one row per
+    * file): three of the four history branches derive from `b`, and
+    * without the checkpoint each branch re-runs the full orders
+    * aggregation — from_json downstream hides any version filter from
+    * branch pruning, so every logLines consumer paid three data scans
+    * for one log (measured: dl27's first draft spent 3.5 s here). */
   def logLines(orders: DataFrame): DataFrame = {
-    val b = buckets(orders)
+    val b = buckets(orders).coalesce(1).localCheckpoint()
     def add(version: Int, ordinal: org.apache.spark.sql.Column,
             path: org.apache.spark.sql.Column, bks: org.apache.spark.sql.Column) =
       to_json(struct(lit(version).as("version"), ordinal.cast("int").as("ordinal"),
@@ -390,6 +396,20 @@ object DeltaLog {
                 bks: org.apache.spark.sql.Column): DataFrame =
     stats.select(lit(version).as("version"), lit(ordinal).as("ordinal"), lit("add").as("op"),
       lit(path).as("path"), bks.as("buckets"),
+      col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+      col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
+
+  /** [[addAction]]'s column-based twin: one `add` row per input row,
+    * coordinates and coverage from COLUMNS (`ordinal`, `path`,
+    * `buckets` alongside the stats) — for fixture builders emitting a
+    * whole wave of adds from one stats frame, where the per-path
+    * [[addAction]] would cost a union branch (and a scan) per file. */
+  def addActions(rows: DataFrame, version: Int): DataFrame =
+    rows.select(lit(version).as("version"), col("ordinal").cast(IntegerType).as("ordinal"),
+      lit("add").as("op"), col("path"), col("buckets"),
       col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
       col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
       lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
@@ -1151,6 +1171,71 @@ object DeltaLog {
             s => concat_ws(":", s("pos"), s("rid"), s("len"))), ";").as("schema_str"),
           lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
           lit(null).cast(IntegerType).as("min_writer")): _*)
+  }
+
+  /** OPTIMIZE on a row-tracked table as ONE atomic derivation: the
+    * [[optimizeActions]] pairing policy (adjacent single-bucket `part-`
+    * pairs, bin = b_lo/2) emitting remove + add + rids rows from a
+    * SINGLE parts/bins computation — committing the file reshape and the
+    * id map in one transaction is not just cheaper than
+    * optimizeActions ∘ compactRidActions (which re-derive the same
+    * pairing twice), it is REQUIRED: a compacted add whose rids lagged
+    * a version would leave the new instance untracked for every reader
+    * in between (Round13Spec pins the fused output ≡ the composed
+    * pair). Masked inputs are refused exactly like
+    * [[compactRidActions]]. */
+  def optimizeActionsTracked(live: DataFrame, segs: DataFrame, version: Int,
+                             dvs: Option[DataFrame] = None): DataFrame = {
+    val masked = dvs.getOrElse(live.sparkSession.range(0).select(lit("").as("path")))
+      .select(col("path"), lit(1).as("_masked"))
+    val parts = live.join(segs, Seq("path")).join(broadcast(masked), Seq("path"), "left")
+      .filter(col("path").startsWith("part-") && size(col("buckets")) === 1)
+      .withColumn("segs", when(col("_masked").isNotNull,
+        raise_error(concat(lit("rid compaction over a masked input needs materialization: "),
+          col("path")))).otherwise(col("segs")))
+      .withColumn("b_lo", element_at(col("buckets"), 1))
+      .withColumn("bin", floor(col("b_lo") / 2))
+    val bins = parts.groupBy("bin").agg(count(lit(1)).as("nf"),
+        min("b_lo").as("lo"), max("b_lo").as("hi"),
+        sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+        max("max_key").as("max_key"), sum("cents").as("cents"))
+      .filter(col("nf") === 2)
+    val srcs = parts.join(bins.select("bin", "lo", "hi"), Seq("bin"))
+    val prior = srcs.select(col("bin").as("o_bin"), col("b_lo").as("o_lo"),
+      col("n_rows").as("o_rows"))
+    val off = srcs.join(broadcast(prior),
+        col("o_bin") === col("bin") && col("o_lo") < col("b_lo"), "left")
+      .groupBy("bin", "lo", "hi", "path", "b_lo", "segs")
+      .agg(coalesce(sum("o_rows"), lit(0L)).as("offset"))
+    val shifted = off.select(col("bin"), col("lo"), col("hi"),
+        explode(col("segs")).as("seg"), col("offset"))
+      .select(col("bin"), col("lo"), col("hi"),
+        struct((col("seg.pos") + col("offset")).as("pos"), col("seg.rid").as("rid"),
+          col("seg.len").as("len")).as("seg"))
+    val removes = srcs.select(Seq(lit(version).as("version"),
+      col("b_lo").cast(IntegerType).as("ordinal"), lit("remove").as("op"),
+      col("path")) ++ nullStatCols ++
+      (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    val optPath = concat(lit("opt-"), col("lo"), lit("-"), col("hi"))
+    val adds = bins.select(lit(version).as("version"),
+      (lit(1000) + col("lo")).cast(IntegerType).as("ordinal"), lit("add").as("op"),
+      optPath.as("path"), sequence(col("lo"), col("hi")).as("buckets"),
+      col("n_rows").cast("long").as("n_rows"), col("min_key").cast("long").as("min_key"),
+      col("max_key").cast("long").as("max_key"), col("cents").cast("long").as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
+    val rids = shifted.groupBy("bin", "lo", "hi")
+      .agg(sort_array(collect_list(col("seg"))).as("ss"))
+      .select(Seq(lit(version).as("version"),
+        (lit(1000) + col("lo")).cast(IntegerType).as("ordinal"),
+        lit("rids").as("op"), optPath.as("path")) ++ nullStatCols ++
+        Seq(lit(null).cast(ArrayType(LongType)).as("dv"),
+          array_join(transform(col("ss"),
+            s => concat_ws(":", s("pos"), s("rid"), s("len"))), ";").as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
+    removes.unionByName(adds).unionByName(rids)
   }
 
   /** Resolve each physical row's stable id: join the positioned rows

@@ -2900,30 +2900,44 @@ object LakehouseQueries extends QuerySet {
             ) t ORDER BY section, item"""),
     (s, d) => {
       val ord = orders(s, d)
-      val v0adds = DeltaLog.actions(DeltaLog.logLines(ord))
-        .filter(col("version") === 0).localCheckpoint()
+      // ONE orders scan for the whole gate: positioned rows AND the
+      // per-bucket stats both derive from this frame (the first dl27
+      // draft paid FOUR scans — logLines' three union branches re-ran
+      // the bucket aggregation, from_json hiding the version filter
+      // from branch pruning, plus a separate obRows pass; 6.5 → 4 s)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val bks = obRows.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
       // v0: every bucket file, ids assigned batch-wise from hwm=0, plus
-      // the protocol the feature requires (reader 3 / writer 7)
+      // the protocol the feature requires (reader 3 / writer 7). Log
+      // checkpoints ride ONE partition: every race below is a window
+      // over ≤2k rows, and 32-way shuffles of that pay 32 task floors
+      // per stage for nothing.
+      val v0adds = DeltaLog.addActions(bks.select(col("bucket").as("ordinal"),
+        concat(lit("part-"), col("bucket")).as("path"),
+        array(col("bucket")).as("buckets"),
+        col("n_rows"), col("min_key"), col("max_key"), col("cents")), 0)
+        .coalesce(1).localCheckpoint()
       val acts0 = v0adds
         .unionByName(DeltaLog.assignRidActions(v0adds, v0adds))
         .unionByName(DeltaLog.protocolAction(s, 0, 10000, 3, 7))
-        .localCheckpoint()
-      val live0 = DeltaLog.replay(acts0)
-      // v1: compact every adjacent pair; ids preserved via shifted maps
-      val acts1 = acts0
-        .unionByName(DeltaLog.optimizeActions(live0, 1))
-        .unionByName(DeltaLog.compactRidActions(live0, DeltaLog.ridSegments(acts0), 1))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
+      // v1: compact every adjacent pair; file reshape + id maps in ONE
+      // fused transaction (optimizeActionsTracked)
+      val acts1 = acts0.unionByName(DeltaLog.optimizeActionsTracked(
+        DeltaLog.replay(acts0), DeltaLog.ridSegments(acts0), 1))
       // v2: append bucket 3's rows AGAIN — duplicate keys, fresh ids
       val b3 = v0adds.filter(col("path") === "part-3")
         .select("n_rows", "min_key", "max_key", "cents")
       val add2 = DeltaLog.addAction(b3, 2, 0, "append-0", array(lit(3L)))
+      // ONE log checkpoint at the head: six consumers (two id reads,
+      // hwm, writer gate, replay) race over ~1.8k materialized lines
       val acts2 = acts1.unionByName(add2)
         .unionByName(DeltaLog.assignRidActions(acts1, add2))
-        .localCheckpoint()
-      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
-        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
       def sig(ids: org.apache.spark.sql.DataFrame, section: String) =
         ids.groupBy("path")
           .agg(count(lit(1)).as("n1"), sum("row_id").as("n2"),
@@ -2931,11 +2945,34 @@ object LakehouseQueries extends QuerySet {
           .select(lit(section).as("section"), col("path").as("item"),
             col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
             col("n3").cast("long").as("n3"))
-      val ids0 = DeltaLog.rowIds(acts0, positionedRows(live0, obRows))
+      // ONE positioned window (v0 files = one file per bucket, so pos0 is
+      // the in-bucket rank); the v2 cut's positions derive ARITHMETICALLY
+      // from it — a file concatenates whole buckets in key order, so
+      // pos2 = pos0 + Σ n_rows of earlier buckets in the same file. That
+      // kills the second data-sized sort the naive twin positionedRows
+      // call would pay (6.5 s → ~4 s isolated at sf0.1).
+      val positioned0 = positionedRows(DeltaLog.replay(acts0), obRows).localCheckpoint()
+      val ids0 = DeltaLog.rowIds(acts0, positioned0)
+      val live2 = DeltaLog.replay(acts2)
+      val bucketMap = live2.select(col("path").as("path2"),
+          posexplode(col("buckets")).as(Seq("bidx", "bucket")))
+        .join(v0adds.select(element_at(col("buckets"), 1).as("bucket"),
+          col("n_rows").as("b_rows"), col("path").as("path0")), Seq("bucket"))
+      // offset of a bucket within its v2 file = rows of earlier buckets
+      // (self-join cumsum over the log-sized bucket list, window-free)
+      val prior = bucketMap.select(col("path2").as("o_path"), col("bidx").as("o_bidx"),
+        col("b_rows").as("o_rows"))
+      val offsets = bucketMap.join(broadcast(prior),
+          col("o_path") === col("path2") && col("o_bidx") < col("bidx"), "left")
+        .groupBy("path2", "path0")
+        .agg(coalesce(sum("o_rows"), lit(0L)).as("off"))
+      val positioned2 = positioned0.withColumnRenamed("path", "path0")
+        .join(broadcast(offsets), Seq("path0"))
+        .select(col("path2").as("path"), col("o_orderkey"), col("cents"),
+          (col("pos") + col("off")).as("pos"))
       // ONE materialized id frame feeds the read2 signature, the
       // uniqueness audit, and the append floor row
-      val ids2 = DeltaLog.rowIds(acts2, positionedRows(DeltaLog.replay(acts2), obRows))
-        .localCheckpoint()
+      val ids2 = DeltaLog.rowIds(acts2, positioned2).localCheckpoint()
       val totRow = obRows.agg(count(lit(1)).cast("long").as("n"))
       val appendMin = ids2.filter(col("path") === "append-0")
         .agg(min("row_id").cast("long").as("n1"))

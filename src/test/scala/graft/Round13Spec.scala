@@ -618,6 +618,32 @@ class Round13Spec extends SparkSpec {
     // an old writer must fail before committing to a row-tracked table
     val ex = intercept[Exception] { DeltaLog.requireWriter(acts, 6).collect() }
     assert(ex.getMessage.contains("below table protocol"), ex.getMessage)
+  }
+
+  test("optimizeActionsTracked equals optimizeActions plus compactRidActions") {
+    val acts = frame(
+      Row(0, 0, "add", "part-0", Seq(0L), 3L, 1L, 10L, 100L, null, null, null, null, null),
+      Row(0, 1, "add", "part-1", Seq(1L), 2L, 11L, 20L, 60L, null, null, null, null, null),
+      Row(0, 2, "add", "part-2", Seq(2L), 4L, 21L, 30L, 80L, null, null, null, null, null),
+      ridsRow(0, 0, "part-0", "0:0:3"), ridsRow(0, 1, "part-1", "0:3:2"),
+      ridsRow(0, 2, "part-2", "0:5:4"))
+    val live = DeltaLog.replay(acts).localCheckpoint()
+    val segs = DeltaLog.ridSegments(acts).localCheckpoint()
+    def key(r: Row) = (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+      r.getAs[String]("schema_str"), Option(r.getAs[Seq[Long]]("buckets")),
+      Option(r.getAs[Any]("n_rows")), Option(r.getAs[Any]("cents")))
+    val fused = DeltaLog.optimizeActionsTracked(live, segs, 1).collect().map(key).toSet
+    val composed = (DeltaLog.optimizeActions(live, 1).collect() ++
+      DeltaLog.compactRidActions(live, segs, 1).collect()).map(key).toSet
+    assert(fused == composed, s"fused:\n$fused\ncomposed:\n$composed")
+    // only the full pair compacts; part-2's lone bin is left alone
+    assert(!fused.exists(_._4 == "part-2"), "a lone file must not be touched")
+    // masked input refusal carries over to the fused path
+    val ex = intercept[Exception] {
+      DeltaLog.optimizeActionsTracked(live, segs, 1,
+        dvs = Some(positioned(("part-0", 0L, 0L)).select(col("path")))).collect()
+    }
+    assert(ex.getMessage.contains("needs materialization"), ex.getMessage)
   }}
 
 /** Streaming change-data-feed source (the round-12 verdict's #5): the
