@@ -1706,6 +1706,33 @@ object DeltaLog {
           .otherwise(element_at(col("parts"), 4).try_cast("long")).as("bound"),
         col("constraint_version"))
 
+  /** ALTER TABLE ADD CONSTRAINT with EXISTING-DATA validation (dl29 —
+    * real Delta scans every existing row before admitting a CHECK
+    * constraint; here the committed per-file stats ARE the scannable
+    * summary): the new spec = the ACTIVE spec plus `entry`, validated
+    * against every CURRENT live add's stats through the SAME
+    * [[invariantChecks]]/[[enforceInvariantsChecked]] machinery the
+    * commit path runs — a table whose existing data already violates
+    * the contract must refuse the DDL (raise riding the returned
+    * action rows), not admit a constraint that every subsequent read
+    * proves false. Validating the FULL combined spec (not just the new
+    * entry) is deliberate: it also re-proves the standing contract
+    * before re-committing it. Log-sized: live file LIST × spec. */
+  def addConstraintValidated(acts: DataFrame, entry: String,
+                             version: Int, ordinal: Int): DataFrame = {
+    val activeSpec = activeOpRow(acts, "constraint")
+      .select(col("schema_str").as("_spec"))
+    val payload = activeSpec
+      .unionByName(acts.sparkSession.range(1).select(lit(null).cast(StringType).as("_spec")))
+      .agg(max("_spec").as("_old"))
+      .select(when(col("_old").isNull, lit(entry))
+        .otherwise(concat(col("_old"), lit(";"), lit(entry))).as("_payload"))
+    val cand = tableStateRow(payload, "constraint", "_constraint", version, ordinal,
+      col("_payload"))
+    val liveTxn = replay(acts).withColumn("op", lit("add"))
+    enforceInvariantsChecked(cand, invariantChecks(acts.unionByName(cand), liveTxn))
+  }
+
   /** Enforce the table's active constraints on a prepared transaction:
     * every `add` row's committed stats are checked against the active
     * spec BEFORE the line is written — an add whose stats violate a

@@ -3077,10 +3077,88 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** ALTER TABLE ADD CONSTRAINT with existing-data validation (Delta
+    * validates every existing row before admitting a CHECK constraint;
+    * the committed per-file stats are the scannable summary here): two
+    * DDLs land against conforming data (v4 `c1:n_rows:min:1`, v5
+    * appending `c2:cents:min:1` to the ACTIVE spec — the combined
+    * payload is the pinned proof the ADD derives from the old spec, not
+    * replaces it), then an append commits THROUGH the combined
+    * enforcement at v6. `spec` pins the active payload per version from
+    * one grid pass; `checks` pins non-vacuity — each constraint
+    * evaluated against every live file (count = constraints × live
+    * set); the REFUSAL twin (adding a constraint existing data already
+    * violates) is Round13Spec's raise test. Log-sized: live LIST ×
+    * spec-sized melt. */
+  val dl29AddConstraint = Q("dl29_add_constraint",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            b2 AS (SELECT * FROM bks WHERE bucket = 2),
+            acts2 AS (
+              SELECT version, ordinal, op, path, n_rows FROM acts
+              UNION ALL SELECT 6, 0, 'add', 'append-2', n_rows FROM b2),
+            live AS (
+              SELECT path, n_rows FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2) t WHERE rn = 1 AND op = 'add'),
+            nlive AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live),
+            spec AS (
+              SELECT 'spec' AS section, 'v4' AS item, 'c1:n_rows:min:1' AS val_s,
+                CAST(4 AS BIGINT) AS n1
+              UNION ALL SELECT 'spec', 'v5', 'c1:n_rows:min:1;c2:cents:min:1', 5
+              UNION ALL SELECT 'spec', 'v6', 'c1:n_rows:min:1;c2:cents:min:1', 5),
+            chk AS (
+              SELECT 'checks' AS section, 'c1' AS item, '' AS val_s, n AS n1 FROM nlive
+              UNION ALL SELECT 'checks', 'c2', '', n FROM nlive),
+            commitr AS (
+              SELECT 'commit' AS section, 'v6:add:append-2' AS item, '' AS val_s,
+                n_rows AS n1 FROM b2),
+            liver AS (
+              SELECT 'live' AS section, path AS item, '' AS val_s, n_rows AS n1 FROM live)
+            SELECT section, item, val_s, n1 FROM (
+              SELECT * FROM spec UNION ALL SELECT * FROM chk
+              UNION ALL SELECT * FROM commitr UNION ALL SELECT * FROM liver
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val baseActs = DeltaLog.actions(DeltaLog.logLines(orders(s, d)))
+        .coalesce(1).localCheckpoint()
+      // THE operator under test, twice: the second ADD must derive its
+      // payload from the first's (validated against live stats each time)
+      val acts4 = baseActs.unionByName(
+        DeltaLog.addConstraintValidated(baseActs, "c1:n_rows:min:1", 4, 0))
+      val acts5 = acts4.unionByName(
+        DeltaLog.addConstraintValidated(acts4, "c2:cents:min:1", 5, 0))
+        .coalesce(1).localCheckpoint()
+      val b2 = baseActs.filter(col("op") === "add" && col("path") === "part-2")
+        .select("n_rows", "min_key", "max_key", "cents")
+      val add6 = DeltaLog.enforceInvariants(acts5,
+        DeltaLog.addAction(b2, 6, 0, "append-2", array(lit(2L))))
+      val acts6 = acts5.unionByName(add6).coalesce(1).localCheckpoint()
+      val vers = s.range(4, 7).select(col("id").cast("int").as("v"))
+      val specRows = DeltaLog.activeOpGrid(acts6, vers, "constraint")
+        .select(lit("spec").as("section"), concat(lit("v"), col("v")).as("item"),
+          col("schema_str").as("val_s"), col("version").cast("long").as("n1"))
+      val checkRows = DeltaLog.invariantChecks(acts6,
+          DeltaLog.replay(acts6).withColumn("op", lit("add")))
+        .groupBy("c_name")
+        .agg(count(lit(1)).as("n1"))
+        .select(lit("checks").as("section"), col("c_name").as("item"),
+          lit("").as("val_s"), col("n1").cast("long").as("n1"))
+      val commitRows = add6.filter(col("op") === "add")
+        .select(lit("commit").as("section"),
+          concat(lit("v6:add:"), col("path")).as("item"), lit("").as("val_s"),
+          col("n_rows").cast("long").as("n1"))
+      val liveRows = DeltaLog.replay(acts6)
+        .select(lit("live").as("section"), col("path").as("item"), lit("").as("val_s"),
+          col("n_rows").cast("long").as("n1"))
+      specRows.unionByName(checkRows).unionByName(commitRows).unionByName(liveRows)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
-    dl28TableProps, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl28TableProps, dl29AddConstraint, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -4086,6 +4086,76 @@ object VectorQueries extends QuerySet {
     * choice is the smallest probe, so it has no runner_up row — the
     * 3-row shape is itself load-bearing. Oracle: both curves re-derived
     * under namespaced CTEs + the same integer selection. */
+  /** Two-stage PQ retrieval — ADC shortlist, exact re-rank (the
+    * production shape every quantized ANN deployment runs: the
+    * compressed scan is cheap but lossy, so the top-C=25 ADC candidates
+    * are re-scored against their RAW vectors and the final top-5 ranks
+    * on exact dot products; at 100 TB the exact pass touches 25 vectors,
+    * not the corpus — the full-corpus exact frame here exists only for
+    * the recall AUDIT rows). `refined` pins the re-ranked top-5 with
+    * exact scores; `audit_refined` / `audit_adc` pin overlap@5 against
+    * the exact brute-force truth — the refinement's value is the pinned
+    * gap (ADC alone ranks quantized, refined recovers the exact head).
+    * Both stages rank on ROUNDED scores with vec_id ties (the v5
+    * cross-engine determinism rule). */
+  val v15PqRefine: Q = Q("v15_pq_refine",
+    Some(s"""WITH d AS (SELECT vec_id, embedding AS e, $pqDCols FROM embeddings),
+            c AS (SELECT vec_id, $pqCodeCols FROM d),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            lut AS (SELECT $pqLutCols FROM q),
+            adc AS (SELECT vec_id, round($pqScoreSql, 6) AS adc FROM c, lut),
+            cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 25),
+            exact AS (
+              SELECT e2.vec_id,
+                round(list_dot_product(CAST(e2.embedding AS DOUBLE[]),
+                  CAST(qv AS DOUBLE[])), 6) AS score
+              FROM embeddings e2, q),
+            refined AS (
+              SELECT x.vec_id, x.score FROM exact x JOIN cand USING (vec_id)
+              ORDER BY x.score DESC, x.vec_id LIMIT 5),
+            truth AS (SELECT vec_id FROM exact ORDER BY score DESC, vec_id LIMIT 5),
+            adc5 AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 5)
+            SELECT section, vec_id, score, hits FROM (
+              SELECT 'refined' AS section, vec_id, score, CAST(0 AS BIGINT) AS hits
+              FROM refined
+              UNION ALL SELECT 'audit_adc', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+                (SELECT CAST(count(*) AS BIGINT) FROM adc5 a JOIN truth t USING (vec_id))
+              UNION ALL SELECT 'audit_refined', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+                (SELECT CAST(count(*) AS BIGINT) FROM refined r JOIN truth t USING (vec_id))
+            ) t ORDER BY section, vec_id"""),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // stage 1: compressed scan — 4 tinyint codes per vector, LUT ADC
+      val adc = emb.withColumn("codes", Search.pqCodes(col("embedding"), pqCodebooks, pqSubDim))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Search.pqAdcScore(col("codes"), col("qv"), pqCodebooks, pqSubDim), 6).as("adc"))
+        .localCheckpoint() // feeds the shortlist AND the audit's adc5 cut
+      val cand = adc.orderBy(col("adc").desc, col("vec_id")).limit(25).select("vec_id")
+      // full exact frame ONLY for the truth audit; the refined read joins
+      // the broadcast 25-id shortlist (the 100 TB path fetches 25 rows)
+      val exact = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), round(Embed.dot(col("embedding"), col("qv")), 6).as("score"))
+        .localCheckpoint()
+      val refined = exact.join(broadcast(cand), Seq("vec_id"))
+        .orderBy(col("score").desc, col("vec_id")).limit(5)
+        .localCheckpoint() // output rows AND the audit overlap
+      val truth = exact.orderBy(col("score").desc, col("vec_id")).limit(5)
+        .select(col("vec_id").as("t_id"))
+      val adc5 = adc.orderBy(col("adc").desc, col("vec_id")).limit(5).select("vec_id")
+      def overlap(cut: org.apache.spark.sql.DataFrame, tag: String) =
+        cut.join(broadcast(truth), col("vec_id") === col("t_id"))
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .select(lit(tag).as("section"), lit(0L).as("vec_id"),
+            lit(0.0).as("score"), col("hits"))
+      refined.select(lit("refined").as("section"), col("vec_id"),
+          col("score").cast("double").as("score"), lit(0L).as("hits"))
+        .unionByName(overlap(adc5, "audit_adc"))
+        .unionByName(overlap(refined.select("vec_id"), "audit_refined"))
+        .orderBy("section", "vec_id")
+    })
+
   val v14NprobePlan: Q = {
     val isoCentroids = ivfCentroids8
     val isoCentVals = isoCentroids.zipWithIndex
@@ -4222,5 +4292,5 @@ object VectorQueries extends QuerySet {
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
-    wiki2Bz2Pages, v14NprobePlan)
+    wiki2Bz2Pages, v14NprobePlan, v15PqRefine)
 }

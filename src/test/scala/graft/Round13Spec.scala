@@ -644,6 +644,29 @@ class Round13Spec extends SparkSpec {
         dvs = Some(positioned(("part-0", 0L, 0L)).select(col("path")))).collect()
     }
     assert(ex.getMessage.contains("needs materialization"), ex.getMessage)
+  }
+
+  // ---- ADD CONSTRAINT validates existing data (dl29) ------------------------
+
+  test("addConstraintValidated refuses a constraint existing data violates") {
+    // files with n_rows 10 (helper default): a min:100 bound is already false
+    val acts = frame(add(0, 0, "a", 10L), add(0, 1, "b", 10L))
+    val ex = intercept[Exception] {
+      DeltaLog.addConstraintValidated(acts, "c1:n_rows:min:100", 1, 0).collect()
+    }
+    assert(ex.getMessage.contains("writer invariant violated"), ex.getMessage)
+    // a conforming constraint commits, and the SECOND add derives the
+    // combined payload — re-validating the standing entry too
+    val acts1 = acts.unionByName(
+      DeltaLog.addConstraintValidated(acts, "c1:n_rows:min:1", 1, 0))
+    val a2 = DeltaLog.addConstraintValidated(acts1, "c2:cents:max:1000", 2, 0).collect()
+    assert(a2.length == 1 && a2(0).getAs[String]("schema_str") ==
+      "c1:n_rows:min:1;c2:cents:max:1000", a2.toSeq.toString)
+    // the combined spec refuses when the NEW entry is the violator
+    val ex2 = intercept[Exception] {
+      DeltaLog.addConstraintValidated(acts1, "c3:cents:max:10", 2, 0).collect()
+    }
+    assert(ex2.getMessage.contains("c3"), ex2.getMessage)
   }}
 
 /** Streaming change-data-feed source (the round-12 verdict's #5): the
