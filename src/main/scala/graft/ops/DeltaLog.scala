@@ -1238,16 +1238,92 @@ object DeltaLog {
     removes.unionByName(adds).unionByName(rids)
   }
 
-  /** Resolve each physical row's stable id: join the positioned rows
-    * (path, pos, …) to the effective segment map per live file and pick
-    * the row's segment with an ARRAY expression — `filter` keeps the
-    * sorted prefix with pos ≤ p, `element_at(-1)` is the binding
-    * segment; NO extra shuffle beyond the broadcast of the log-sized
-    * map. Loud guards in the row path: a file with no map in a tracked
-    * read, and a position outside every segment (the map disagrees with
-    * the data), both raise. */
-  def rowIds(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame = {
-    val segs = ridSegments(acts, asOf)
+  /** Copy-on-write DELETE on a row-tracked table (dl30) — the
+    * materialization path [[compactRidActions]] refuses is implemented
+    * HERE, where it belongs: survivors of a predicate delete are
+    * rewritten into a `cow-` file and their positions renumber, so
+    * their stable ids must be MATERIALIZED into a new segment map (real
+    * Delta writes the row-id column into the rewritten file in exactly
+    * this case). The survivor map splits at every deleted run: within a
+    * contiguous survivor run of one ORIGINAL segment,
+    * row_id − new_pos is CONSTANT (rid = seg base + old pos; new_pos
+    * lags old pos by the deletes before it, which strictly grows past
+    * every deleted run) — so the segments are a plain groupBy on
+    * (original segment, row_id − new_pos): the gaps-and-islands
+    * identity, no per-segment iteration, collision-free because the
+    * original-segment key separates arbitrary rid jumps. Per matched
+    * file the transaction carries
+    *   remove(file) + add(cow-file, survivor stats) + rids(split map);
+    * a FULLY-matched file becomes a bare remove, an unmatched file
+    * emits nothing, and a matched path with no id map raises inside
+    * the resolution (tracked tables never guess ids). `positioned` is
+    * the one data pass a COW delete pays anyway — it REWRITES the
+    * survivors; the log layer commits stats only. */
+  def deleteActionsTracked(live: DataFrame, segs: DataFrame, positioned: DataFrame,
+                           pred: org.apache.spark.sql.Column, version: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = resolveSegs(segs,
+        positioned.join(broadcast(live.select("path", "buckets")), Seq("path")))
+      .withColumn("_del", coalesce(pred, lit(false)))
+    val stats = flagged.groupBy("path")
+      .agg(sum(when(col("_del"), 1L).otherwise(0L)).as("n_del"),
+        count(lit(1)).as("n_all"),
+        min(when(!col("_del"), col("o_orderkey"))).as("s_min"),
+        max(when(!col("_del"), col("o_orderkey"))).as("s_max"),
+        sum(when(!col("_del"), col("cents")).otherwise(0L)).as("s_cents"),
+        first(col("buckets")).as("buckets"))
+      .filter(col("n_del") > 0)
+      .localCheckpoint() // log-sized; three consumers below
+    val w = Window.partitionBy(col("path")).orderBy(col("pos"))
+    val surv = flagged.join(broadcast(stats.select("path")), Seq("path"))
+      .filter(!col("_del"))
+      .withColumn("new_pos", (row_number().over(w) - 1).cast("long"))
+    val islands = surv
+      .groupBy(col("path"), col("seg_pos"), (col("row_id") - col("new_pos")).as("k"))
+      .agg(min("new_pos").as("pos"), min("row_id").as("rid"), count(lit(1)).as("len"))
+      .groupBy("path")
+      .agg(sort_array(collect_list(struct(col("pos"), col("rid"), col("len")))).as("ss"))
+    val removes = stats.select(Seq(lit(version).as("version"), lit(0).as("ordinal"),
+      lit("remove").as("op"), col("path")) ++ nullStatCols ++
+      (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    val rewrites = stats.filter(col("n_del") < col("n_all"))
+    val adds = rewrites.select(lit(version).as("version"), lit(1000).as("ordinal"),
+      lit("add").as("op"), concat(lit("cow-"), col("path")).as("path"),
+      col("buckets"),
+      (col("n_all") - col("n_del")).cast("long").as("n_rows"),
+      col("s_min").cast("long").as("min_key"), col("s_max").cast("long").as("max_key"),
+      col("s_cents").cast("long").as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
+    val rids = islands.join(broadcast(rewrites.select("path")), Seq("path"))
+      .select(Seq(lit(version).as("version"), lit(1000).as("ordinal"),
+        lit("rids").as("op"), concat(lit("cow-"), col("path")).as("path")) ++ nullStatCols ++
+        Seq(lit(null).cast(ArrayType(LongType)).as("dv"),
+          array_join(transform(col("ss"),
+            s => concat_ws(":", s("pos"), s("rid"), s("len"))), ";").as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
+    // ghost guard (the deleteActions contract): a predicate match on a
+    // path absent from `live` must raise, never silently drop the delete
+    val boom = guardBoom(raise_error(concat(
+      lit("tracked delete targets non-live path: "), col("path"))))
+    val ghost = positioned.filter(pred).select("path").distinct()
+      .join(live.select("path").withColumn("_live", lit(1)), Seq("path"), "left")
+      .filter(col("_live").isNull)
+      .select(Seq(boom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        boom.cast(StringType).as("op"), boom.cast(StringType).as("path")) ++ nullStatCols ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    removes.unionByName(adds).unionByName(rids).unionByName(ghost)
+  }
+
+  /** The segment-resolution core shared by [[rowIds]] and
+    * [[deleteActionsTracked]]: positioned rows × broadcast segment maps,
+    * per-row binding segment by array expression, loud raises for
+    * untracked files and out-of-range positions. Returns the input plus
+    * `row_id` and `seg_pos` (the binding segment's origin — the
+    * materialization groupBy needs it to keep islands collision-free). */
+  private def resolveSegs(segs: DataFrame, positioned: DataFrame): DataFrame =
     positioned.join(broadcast(segs), Seq("path"), "left")
       .withColumn("_seg", element_at(filter(col("segs"), s => s("pos") <= col("pos")), -1))
       .withColumn("row_id",
@@ -1258,8 +1334,19 @@ object DeltaLog {
             raise_error(concat(lit("position outside row-id segments: "), col("path"),
               lit("@"), col("pos").cast("string"))))
           .otherwise(col("_seg.rid") + col("pos") - col("_seg.pos")))
+      .withColumn("seg_pos", col("_seg.pos"))
       .drop("_seg", "segs")
-  }
+
+  /** Resolve each physical row's stable id: join the positioned rows
+    * (path, pos, …) to the effective segment map per live file and pick
+    * the row's segment with an ARRAY expression — `filter` keeps the
+    * sorted prefix with pos ≤ p, `element_at(-1)` is the binding
+    * segment; NO extra shuffle beyond the broadcast of the log-sized
+    * map. Loud guards in the row path: a file with no map in a tracked
+    * read, and a position outside every segment (the map disagrees with
+    * the data), both raise. */
+  def rowIds(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame =
+    resolveSegs(ridSegments(acts, asOf), positioned).drop("seg_pos")
 
   // ---- protocol / reader feature gate (dl19) --------------------------------
 

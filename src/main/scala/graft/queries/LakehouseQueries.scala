@@ -2996,6 +2996,172 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Copy-on-write DELETE on a row-tracked table — the OTHER delete
+    * path (dl17 is merge-on-read via masks; engines pick per table):
+    * survivors are rewritten into `cow-` files, positions renumber, and
+    * the stable ids are MATERIALIZED into split segment maps (the
+    * gaps-and-islands derivation — the case compactRidActions refuses).
+    * The predicate kills every 7th key in buckets 2–3 (partial → remove
+    * + cow add + split rids) and ALL of bucket 5 (full → bare remove).
+    * `txn` pins the transaction shape incl. survivor stats and segment
+    * counts; `seg` pins every committed segment of both cow files
+    * (pos/rid/len — one renumbered row breaks a row); `read` pins
+    * post-delete per-file id signatures THROUGH the committed maps
+    * (survivors keep their original ids; untouched files unchanged);
+    * `check` pins global id uniqueness, total = N − deleted, and the
+    * high-water mark UNCHANGED at N (ids of deleted rows retire, never
+    * recycle). Work: the survivor pass is the rewrite's own data pass;
+    * races and maps are log-sized. */
+  val dl30CowDelete = Q("dl30_cow_delete_tracked",
+    Some(s"""WITH bks AS (
+              SELECT o_orderkey // ${DeltaLog.W} AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM orders GROUP BY 1),
+            base AS (
+              SELECT bucket, n_rows,
+                COALESCE(sum(n_rows) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM bks),
+            rws AS (
+              SELECT o_orderkey // ${DeltaLog.W} AS bucket, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY o_orderkey // ${DeltaLog.W}
+                  ORDER BY o_orderkey) - 1 AS pos
+              FROM orders),
+            rid0 AS (
+              SELECT r.bucket, r.o_orderkey, r.cents, r.pos, b.base + r.pos AS rid
+              FROM rws r JOIN base b USING (bucket)),
+            del AS (
+              SELECT *, (bucket IN (2, 3) AND o_orderkey % 7 = 3) OR bucket = 5 AS f
+              FROM rid0),
+            tstats AS (
+              SELECT bucket,
+                CAST(count(*) AS BIGINT) AS n_all,
+                CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+                CAST(sum(CASE WHEN f THEN 0 ELSE cents END) AS BIGINT) AS s_cents
+              FROM del GROUP BY bucket HAVING sum(CASE WHEN f THEN 1 ELSE 0 END) > 0),
+            surv AS (
+              SELECT bucket, rid, cents, o_orderkey,
+                row_number() OVER (PARTITION BY bucket ORDER BY pos) - 1 AS new_pos
+              FROM del WHERE NOT f AND bucket IN (2, 3)),
+            isl AS (
+              SELECT bucket, rid - new_pos AS k, CAST(min(new_pos) AS BIGINT) AS pos,
+                CAST(min(rid) AS BIGINT) AS rid, CAST(count(*) AS BIGINT) AS len
+              FROM surv GROUP BY bucket, rid - new_pos),
+            txn AS (
+              SELECT 'txn' AS section, 'remove:part-' || bucket AS item,
+                CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3
+              FROM tstats
+              UNION ALL
+              SELECT 'txn', 'add:cow-part-' || bucket, n_all - n_del, s_cents, CAST(0 AS BIGINT)
+              FROM tstats WHERE n_del < n_all
+              UNION ALL
+              SELECT 'txn', 'rids:cow-part-' || bucket, CAST(count(*) AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM isl GROUP BY bucket),
+            segr AS (
+              SELECT 'seg' AS section,
+                'cow-part-' || bucket || '#' || CAST(row_number()
+                  OVER (PARTITION BY bucket ORDER BY pos) - 1 AS VARCHAR) AS item,
+                pos AS n1, rid AS n2, len AS n3
+              FROM isl),
+            readr AS (
+              SELECT 'read' AS section, 'part-' || bucket AS item,
+                CAST(count(*) AS BIGINT) AS n1, CAST(sum(rid) AS BIGINT) AS n2,
+                CAST(sum(rid * (o_orderkey % 97)) AS BIGINT) AS n3
+              FROM rid0 WHERE bucket NOT IN (2, 3, 5) GROUP BY bucket
+              UNION ALL
+              SELECT 'read', 'cow-part-' || bucket, CAST(count(*) AS BIGINT),
+                CAST(sum(rid) AS BIGINT), CAST(sum(rid * (o_orderkey % 97)) AS BIGINT)
+              FROM surv GROUP BY bucket),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            ndel AS (SELECT CAST(count(*) AS BIGINT) AS n FROM del WHERE f),
+            chk AS (
+              SELECT 'check' AS section, 'unique' AS item, t.n - d.n AS n1, t.n - d.n AS n2,
+                CAST(0 AS BIGINT) AS n3 FROM tot t, ndel d
+              UNION ALL SELECT 'check', 'hwm', t.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM tot t
+              UNION ALL SELECT 'check', 'deleted', d.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM ndel d)
+            SELECT section, item, n1, n2, n3 FROM (
+              SELECT * FROM txn UNION ALL SELECT * FROM segr
+              UNION ALL SELECT * FROM readr UNION ALL SELECT * FROM chk
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val bks2 = obRows.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      val v0adds = DeltaLog.addActions(bks2.select(col("bucket").as("ordinal"),
+        concat(lit("part-"), col("bucket")).as("path"),
+        array(col("bucket")).as("buckets"),
+        col("n_rows"), col("min_key"), col("max_key"), col("cents")), 0)
+        .coalesce(1).localCheckpoint()
+      val acts0 = v0adds
+        .unionByName(DeltaLog.assignRidActions(v0adds, v0adds))
+        .unionByName(DeltaLog.protocolAction(s, 0, 10000, 3, 7))
+        .coalesce(1).localCheckpoint()
+      val live0 = DeltaLog.replay(acts0)
+      val positioned0 = positionedRows(live0, obRows).localCheckpoint()
+      val bkt = floor(col("o_orderkey") / DeltaLog.W)
+      val pred = (bkt.isin(2, 3) && col("o_orderkey") % 7 === 3) || bkt === 5
+      // THE operator under test: COW delete with id materialization
+      val del1 = DeltaLog.deleteActionsTracked(live0, DeltaLog.ridSegments(acts0),
+        positioned0, pred, 1).coalesce(1).localCheckpoint()
+      val acts1 = acts0.unionByName(del1).coalesce(1).localCheckpoint()
+      val txnRows = del1.select(lit("txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "add", col("n_rows"))
+          .when(col("op") === "rids",
+            size(split(col("schema_str"), ";")).cast("long")).otherwise(0L).as("n1"),
+        when(col("op") === "add", col("cents")).otherwise(0L).as("n2"),
+        lit(0L).as("n3"))
+      // every committed segment of both cow files, through the race
+      val segRows = DeltaLog.ridSegments(acts1)
+        .filter(col("path").startsWith("cow-"))
+        .select(col("path"), posexplode(col("segs")).as(Seq("i", "seg")))
+        .select(lit("seg").as("section"),
+          concat(col("path"), lit("#"), col("i")).as("item"),
+          col("seg.pos").as("n1"), col("seg.rid").as("n2"), col("seg.len").as("n3"))
+      // post-delete read: survivors re-positioned per the cow convention
+      // (the same renumbering the rewrite wrote), ids THROUGH the
+      // committed maps
+      val live1 = DeltaLog.replay(acts1).localCheckpoint()
+      val cowSrc = live1.filter(col("path").startsWith("cow-"))
+        .select(expr("substring(path, 5)").as("path"), col("path").as("path_cow"))
+      val survPos = positioned0.join(broadcast(cowSrc), Seq("path"))
+        .filter(!pred)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("path_cow")).orderBy(col("o_orderkey"))).cast("long") - 1)
+        .select(col("path_cow").as("path"), col("o_orderkey"), col("cents"), col("pos"))
+      val untouched = positioned0.join(
+        broadcast(live1.filter(!col("path").startsWith("cow-")).select("path")), Seq("path"))
+      val ids1 = DeltaLog.rowIds(acts1, untouched.unionByName(survPos)).localCheckpoint()
+      val readRows = ids1.groupBy("path")
+        .agg(count(lit(1)).as("n1"), sum("row_id").as("n2"),
+          sum(col("row_id") * (col("o_orderkey") % 97)).as("n3"))
+        .select(lit("read").as("section"), col("path").as("item"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          col("n3").cast("long").as("n3"))
+      val uniq = ids1.agg(countDistinct(col("row_id")).cast("long").as("n1"),
+          count(lit(1)).cast("long").as("n2"))
+        .select(lit("check").as("section"), lit("unique").as("item"),
+          col("n1"), col("n2"), lit(0L).as("n3"))
+      val hwm = DeltaLog.ridHighWaterMark(acts1)
+        .select(lit("check").as("section"), lit("hwm").as("item"),
+          col("hwm").cast("long").as("n1"), lit(0L).as("n2"), lit(0L).as("n3"))
+      val deleted = positioned0.filter(pred)
+        .agg(count(lit(1)).cast("long").as("n1"))
+        .select(lit("check").as("section"), lit("deleted").as("item"),
+          col("n1"), lit(0L).as("n2"), lit(0L).as("n3"))
+      txnRows.unionByName(segRows).unionByName(readRows)
+        .unionByName(uniq).unionByName(hwm).unionByName(deleted)
+        .orderBy("section", "item")
+    })
+
   /** Table properties as a versioned configuration map + the
     * appendOnly writer feature (Delta TBLPROPERTIES / delta.appendOnly):
     * SET owner (v4), SET appendOnly=true (v5), an APPEND committed
@@ -3160,5 +3326,5 @@ object LakehouseQueries extends QuerySet {
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
-    dl28TableProps, dl29AddConstraint, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl28TableProps, dl29AddConstraint, dl30CowDelete, k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -667,6 +667,60 @@ class Round13Spec extends SparkSpec {
       DeltaLog.addConstraintValidated(acts1, "c3:cents:max:10", 2, 0).collect()
     }
     assert(ex2.getMessage.contains("c3"), ex2.getMessage)
+  }
+
+  // ---- COW delete with id materialization (dl30) ----------------------------
+
+  test("deleteActionsTracked splits segments at deleted runs, across original segment joints") {
+    import spark.implicits._
+    // ONE file whose map already has two segments (a prior compaction):
+    // positions 0-2 carry ids 100-102, positions 3-4 carry ids 500-501
+    val acts = frame(
+      Row(0, 0, "add", "a", Seq(0L), 5L, 1L, 5L, 50L, null, null, null, null, null),
+      ridsRow(0, 0, "a", "0:100:3;3:500:2"))
+    val live = DeltaLog.replay(acts)
+    val segs = DeltaLog.ridSegments(acts)
+    val positioned = Seq(("a", 0L, 1L, 10L), ("a", 1L, 2L, 10L), ("a", 2L, 3L, 10L),
+      ("a", 3L, 4L, 10L), ("a", 4L, 5L, 10L)).toDF("path", "pos", "o_orderkey", "cents")
+    // delete position 1 (inside segment 1): survivors 0,2,3,4 renumber to
+    // 0,1,2,3 — ids 100,102,500,501 → three islands: [0:100:1][1:102:1][2:500:2]
+    val txn = DeltaLog.deleteActionsTracked(live, segs, positioned,
+      col("o_orderkey") === 2, 1).collect()
+    val byOp = txn.groupBy(_.getString(2)).view.mapValues(_.toSeq).toMap
+    assert(byOp("remove").map(_.getString(3)) == Seq("a"))
+    val add = byOp("add").head
+    assert(add.getString(3) == "cow-a" && add.getLong(5) == 4L && add.getLong(8) == 40L,
+      add.toString)
+    assert(byOp("rids").head.getAs[String]("schema_str") == "0:100:1;1:102:1;2:500:2",
+      byOp("rids").head.toString)
+    // the committed map resolves the survivors' ORIGINAL ids — through a
+    // full JSON round trip of the transaction
+    val acts1 = DeltaLog.actions(DeltaLog.toLines(
+      acts.unionByName(frame(txn.toIndexedSeq: _*))))
+    val survPos = Seq(("cow-a", 0L, 1L, 10L), ("cow-a", 1L, 3L, 10L),
+      ("cow-a", 2L, 4L, 10L), ("cow-a", 3L, 5L, 10L)).toDF("path", "pos", "o_orderkey", "cents")
+    val ids = DeltaLog.rowIds(acts1, survPos).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("row_id")).toMap
+    assert(ids == Map(0L -> 100L, 1L -> 102L, 2L -> 500L, 3L -> 501L), ids.toString)
+  }
+
+  test("deleteActionsTracked: full cover is a bare remove; ghost match raises") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "a", 2L), ridsRow(0, 0, "a", "0:0:2"))
+    val live = DeltaLog.replay(acts)
+    val segs = DeltaLog.ridSegments(acts)
+    val positioned = Seq(("a", 0L, 1L, 10L), ("a", 1L, 2L, 10L))
+      .toDF("path", "pos", "o_orderkey", "cents")
+    val txn = DeltaLog.deleteActionsTracked(live, segs, positioned, lit(true), 1).collect()
+    assert(txn.map(_.getString(2)).toSeq == Seq("remove"),
+      s"a fully-matched file is a bare remove: ${txn.toSeq}")
+    // a predicate match on a non-live path must raise, never drop silently
+    val ghost = positioned.unionByName(
+      Seq(("zombie", 0L, 99L, 1L)).toDF("path", "pos", "o_orderkey", "cents"))
+    val ex = intercept[Exception] {
+      DeltaLog.deleteActionsTracked(live, segs, ghost, col("o_orderkey") === 99, 1).collect()
+    }
+    assert(ex.getMessage.contains("non-live path"), ex.getMessage)
   }}
 
 /** Streaming change-data-feed source (the round-12 verdict's #5): the
