@@ -1647,6 +1647,42 @@ object DeltaLog {
       guardMsg = s"drop column not in mapping: $name",
       minRemaining = 1)
 
+  /** The type-widening lattice rank: integer family TINYINT(1) <
+    * SMALLINT(2) < INT(3) < BIGINT(4); float family FLOAT(11) <
+    * DOUBLE(12); 0 = not widenable (strings, dates — no safe in-place
+    * representation change). Families don't mix: INT→DOUBLE is a value
+    * REWRITE (precision semantics change), not a widening. */
+  private def typeRank(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(upper(t) === "TINYINT", 1).when(upper(t) === "SMALLINT", 2)
+      .when(upper(t).isin("INT", "INTEGER"), 3).when(upper(t) === "BIGINT", 4)
+      .when(upper(t) === "FLOAT", 11).when(upper(t) === "DOUBLE", 12)
+      .otherwise(0)
+
+  /** ALTER COLUMN TYPE — widening only (the Delta typeWidening feature,
+    * dl31): a LOG-ONLY meta transaction flipping one mapping entry's
+    * type; every existing file keeps its narrow physical encoding and
+    * reads back widened (what makes the DDL free at 100 TB — the
+    * alternative is rewriting every file). The lattice guard is the
+    * whole point: NARROWING (BIGINT→INT) would silently truncate every
+    * out-of-range value in old files, and a cross-family change
+    * (INT→DOUBLE) silently changes arithmetic semantics — both raise in
+    * the row path before the action is emitted. */
+  def widenColumn(acts: DataFrame, name: String, newType: String,
+                  version: Int, ordinal: Int): DataFrame = {
+    val legal = (m: org.apache.spark.sql.Column) =>
+      typeRank(m) > 0 && typeRank(lit(newType)) > 0 &&
+        (typeRank(m) >= 10) === (typeRank(lit(newType)) >= 10) &&
+        typeRank(lit(newType)) > typeRank(m)
+    rewriteMapping(acts, version, ordinal,
+      m => m.withColumn("col_type",
+        when(col("logical_name") === name, newType).otherwise(col("col_type"))),
+      hitCount = m => sum(when(col("logical_name") === name, 1L).otherwise(0L)),
+      guardMsg = s"widen source column not in mapping: $name",
+      collideCount = Some((m: DataFrame) =>
+        sum(when(col("logical_name") === name && !legal(col("col_type")), 1L).otherwise(0L))),
+      collideMsg = s"illegal type change (widening within a family only): $name -> $newType")
+  }
+
   /** The shared RENAME/DROP core: read the active mapping, transform its
     * entries, re-serialize IN ORIGINAL ENTRY ORDER, and emit one meta
     * action row — with the existence/collision/emptiness guards in the

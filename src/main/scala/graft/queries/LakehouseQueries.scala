@@ -2996,6 +2996,99 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Type widening — ALTER COLUMN TYPE as a log-only meta transaction
+    * (the Delta typeWidening feature; completes the schema-DDL verb set:
+    * dl11 widening ADD, dl22 RENAME/DROP, dl29 ADD CONSTRAINT, here
+    * TYPE): v4 maps both columns at INT, v5 widens price cents to
+    * BIGINT, v6 widens the key — each flip is ONE meta action deriving
+    * from the active mapping; no file is touched, which `files` pins
+    * (identical live set at v3 and v6) and `read` proves (resolved
+    * values identical under the widened types). The lattice guards —
+    * narrowing and cross-family changes raise — are Round13Spec's. */
+  val dl31TypeWidening = Q("dl31_type_widening",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            rows_ AS (
+              SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM live f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            mapping(v, logical, typ, mv) AS (VALUES
+              (4, 'k', 'INT', 4), (4, 'cents', 'INT', 4),
+              (5, 'k', 'INT', 5), (5, 'cents', 'BIGINT', 5),
+              (6, 'k', 'BIGINT', 6), (6, 'cents', 'BIGINT', 6)),
+            readrows AS (
+              SELECT 'k' AS logical, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS s FROM rows_
+              UNION ALL SELECT 'cents', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT) FROM rows_)
+            SELECT section, item, n_rows, val, flag FROM (
+              SELECT 'mapping' AS section,
+                'v' || CAST(v AS VARCHAR) || ':' || logical || ':' || typ AS item,
+                CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS val,
+                CAST(mv AS BIGINT) AS flag
+              FROM mapping
+              UNION ALL SELECT 'read', 'read@v6:' || logical, n, s, CAST(0 AS BIGINT)
+              FROM readrows
+              UNION ALL SELECT 'files', 'files@v' || CAST(v AS VARCHAR),
+                CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT), CAST(0 AS BIGINT)
+              FROM live, (VALUES (3), (6)) AS t2(v) GROUP BY t2.v
+              UNION ALL SELECT 'gate', 'reader2_writer5_admitted',
+                CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord)
+      val protoV4 = DeltaLog.protocolAction(s, 4, -1, 2, 5)
+      val metaV4 = DeltaLog.metaAction(s, 4, 0, DeltaLog.mappingSchemaStr(
+        Seq(("k", "p_key", "INT"), ("cents", "p_cents", "INT"))))
+      // v5/v6: two widenings derived THROUGH the active mapping
+      val w5 = DeltaLog.widenColumn(metaV4, "cents", "BIGINT", 5, 0)
+        .localCheckpoint() // feeds v6's input AND the committed log
+      val w6 = DeltaLog.widenColumn(metaV4.unionByName(w5), "k", "BIGINT", 6, 0)
+      val acts6 = DeltaLog.actions(logBase.unionByName(DeltaLog.toLines(
+        protoV4.unionByName(metaV4).unionByName(w5).unionByName(w6))))
+        .coalesce(1).localCheckpoint()
+      val vers456 = s.range(4, 7).select(col("id").cast("int").as("v"))
+      val mappingRows = DeltaLog.columnMappingGrid(acts6, vers456)
+        .select(lit("mapping").as("section"),
+          concat(lit("v"), col("v").cast("string"), lit(":"), col("logical_name"),
+            lit(":"), col("col_type")).as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("val"),
+          col("mapping_version").cast("long").as("flag"))
+      // resolved read at v6: the same physical values under widened types
+      val live = DeltaLog.replay(acts6)
+      val rows = live.select(col("path"), explode(col("buckets")).as("bucket"))
+        .join(ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents")),
+          Seq("bucket"))
+      val melted = rows.select(explode(array(
+        struct(lit("p_key").as("physical_name"), col("o_orderkey").as("value")),
+        struct(lit("p_cents").as("physical_name"), col("cents").as("value")))).as("m"))
+        .select("m.*")
+      val readRows = DeltaLog.resolvePhysical(melted,
+          DeltaLog.columnMapping(acts6).select("physical_name", "logical_name"))
+        .groupBy("logical_name")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .select(lit("read").as("section"),
+          concat(lit("read@v6:"), col("logical_name")).as("item"),
+          col("n").cast("long").as("n_rows"), col("s").cast("long").as("val"),
+          lit(0L).as("flag"))
+      val vers36 = s.range(1).select(explode(array(lit(3), lit(6))).as("v"))
+      val files = DeltaLog.replayGrid(acts6, vers36)
+        .groupBy("v").agg(count(lit(1)).as("nf"), sum("n_rows").as("nr"))
+        .select(lit("files").as("section"),
+          concat(lit("files@v"), col("v").cast("string")).as("item"),
+          col("nf").cast("long").as("n_rows"), col("nr").cast("long").as("val"),
+          lit(0L).as("flag"))
+      val gates = DeltaLog.requireReader(acts6, 2)
+        .crossJoin(broadcast(DeltaLog.requireWriter(acts6, 5)))
+        .select(lit("gate").as("section"), lit("reader2_writer5_admitted").as("item"),
+          col("min_reader").cast("long").as("n_rows"),
+          col("min_writer").cast("long").as("val"), lit(1L).as("flag"))
+      mappingRows.unionByName(readRows).unionByName(files).unionByName(gates)
+        .orderBy("section", "item")
+    })
+
   /** Copy-on-write DELETE on a row-tracked table — the OTHER delete
     * path (dl17 is merge-on-read via masks; engines pick per table):
     * survivors are rewritten into `cow-` files, positions renumber, and
@@ -3326,5 +3419,6 @@ object LakehouseQueries extends QuerySet {
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
-    dl28TableProps, dl29AddConstraint, dl30CowDelete, k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening,
+    k6Clustering, scd1Build, cdc1Apply, ivm1View)
 }

@@ -721,6 +721,42 @@ class Round13Spec extends SparkSpec {
       DeltaLog.deleteActionsTracked(live, segs, ghost, col("o_orderkey") === 99, 1).collect()
     }
     assert(ex.getMessage.contains("non-live path"), ex.getMessage)
+  }
+
+  // ---- type widening (dl31) -------------------------------------------------
+
+  test("widenColumn walks the lattice up only; narrowing and family jumps raise") {
+    val base = frame(add(0, 0, "part-0"))
+      .unionByName(DeltaLog.metaAction(spark, 1, 0,
+        "a:p_a:TINYINT,b:p_b:BIGINT,c:p_c:FLOAT,d:p_d:VARCHAR"))
+    // legal chain: TINYINT -> SMALLINT -> BIGINT (skipping a rank is fine)
+    val w1 = DeltaLog.widenColumn(base, "a", "SMALLINT", 2, 0).localCheckpoint()
+    val w2 = DeltaLog.widenColumn(base.unionByName(w1), "a", "BIGINT", 3, 0)
+    val types = DeltaLog.columnMapping(base.unionByName(w1).unionByName(w2)).collect()
+      .map(r => r.getAs[String]("logical_name") -> r.getAs[String]("col_type")).toMap
+    assert(types("a") == "BIGINT" && types("b") == "BIGINT", types.toString)
+    // narrowing truncates old files' values — raise
+    val exN = intercept[Exception] {
+      DeltaLog.widenColumn(base, "b", "INT", 2, 0).collect()
+    }
+    assert(exN.getMessage.contains("illegal type change"), exN.getMessage)
+    // cross-family changes arithmetic semantics — raise (both directions)
+    val exF = intercept[Exception] {
+      DeltaLog.widenColumn(base, "a", "DOUBLE", 2, 0).collect()
+    }
+    assert(exF.getMessage.contains("illegal type change"), exF.getMessage)
+    // FLOAT -> DOUBLE is the float family's one legal widening
+    assert(DeltaLog.widenColumn(base, "c", "DOUBLE", 2, 0).count() == 1)
+    // unwidenable family (VARCHAR) and unknown targets raise
+    val exV = intercept[Exception] {
+      DeltaLog.widenColumn(base, "d", "BIGINT", 2, 0).collect()
+    }
+    assert(exV.getMessage.contains("illegal type change"), exV.getMessage)
+    // a column the mapping doesn't have raises the existence guard
+    val exM = intercept[Exception] {
+      DeltaLog.widenColumn(base, "zz", "BIGINT", 2, 0).collect()
+    }
+    assert(exM.getMessage.contains("not in mapping"), exM.getMessage)
   }}
 
 /** Streaming change-data-feed source (the round-12 verdict's #5): the
