@@ -1398,6 +1398,100 @@ object LakehouseQueries extends QuerySet {
         .orderBy("nation")
     })
 
+  /** Incremental maintenance of a JOIN view — ivm1's aggregate rule
+    * extended to the bilinear case (the classic delta rule every IVM
+    * engine implements): for V = A ⋈ B, an insert wave (ΔA, ΔB) changes
+    * the view by EXACTLY ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — three joins that
+    * never rescan A₀⋈B₀, which is the whole point at 100 TB (the base
+    * join is the expensive thing; the deltas are small and ΔA
+    * broadcasts). The ENGINE computes view1 = view0 + the three delta
+    * terms; the ORACLE computes view1 by FULL RECOMPUTE over (A₀∪ΔA) ⋈
+    * (B₀∪ΔB) — the hash equality IS the delta-rule proof. The three
+    * terms are also pinned individually (the oracle re-derives each), so
+    * a sign error in one term can't hide behind a lucky cancellation. */
+  val ivm2JoinView = Q("ivm2_join_view",
+    Some("""WITH cust AS (
+              SELECT c_custkey AS k, c_nationkey AS nation FROM customer),
+            ords AS (
+              SELECT o_custkey AS k, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            a0 AS (SELECT * FROM cust WHERE k % 10 <> 0),
+            da AS (SELECT * FROM cust WHERE k % 10 = 0),
+            b0 AS (SELECT * FROM ords WHERE o_orderkey % 10 < 8),
+            db AS (SELECT * FROM ords WHERE o_orderkey % 10 >= 8),
+            v0 AS (
+              SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS c
+              FROM a0 JOIN b0 USING (k) GROUP BY nation),
+            tab AS (
+              SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS c
+              FROM da JOIN b0 USING (k) GROUP BY nation),
+            tba AS (
+              SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS c
+              FROM a0 JOIN db USING (k) GROUP BY nation),
+            tdd AS (
+              SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS c
+              FROM da JOIN db USING (k) GROUP BY nation),
+            v1 AS (
+              SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS c
+              FROM cust JOIN ords USING (k) GROUP BY nation)
+            SELECT v1.nation,
+              coalesce(v0.n, 0) AS view0_pairs, coalesce(v0.c, 0) AS view0_cents,
+              coalesce(tab.n, 0) AS d_ab_pairs, coalesce(tab.c, 0) AS d_ab_cents,
+              coalesce(tba.n, 0) AS d_ba_pairs, coalesce(tba.c, 0) AS d_ba_cents,
+              coalesce(tdd.n, 0) AS d_dd_pairs, coalesce(tdd.c, 0) AS d_dd_cents,
+              v1.n AS view1_pairs, v1.c AS view1_cents
+            FROM v1 LEFT JOIN v0 ON v0.nation = v1.nation
+            LEFT JOIN tab ON tab.nation = v1.nation
+            LEFT JOIN tba ON tba.nation = v1.nation
+            LEFT JOIN tdd ON tdd.nation = v1.nation
+            ORDER BY v1.nation"""),
+    (s, d) => {
+      val cust = customer(s, d).select(col("c_custkey").as("k"),
+        col("c_nationkey").as("nation"))
+      val ords = orders(s, d).select(col("o_custkey").as("k"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val a0 = cust.filter(col("k") % 10 =!= 0)
+      val da = cust.filter(col("k") % 10 === 0)
+      val b0 = ords.filter(col("o_orderkey") % 10 < 8)
+      val db = ords.filter(col("o_orderkey") % 10 >= 8).localCheckpoint() // 2 consumers
+      def term(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+               broadcastLeft: Boolean) = {
+        val j = if (broadcastLeft) b.join(broadcast(a), Seq("k")) else a.join(b, Seq("k"))
+        j.groupBy("nation").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      }
+      val view0 = term(a0, b0, broadcastLeft = false)
+        .select(col("nation"), col("n").as("v0n"), col("c").as("v0c"))
+      // the three delta terms: ΔA is small — broadcast it; A₀ ⋈ ΔB
+      // shuffles on k like the base join but over the DELTA only
+      val tAB = term(da, b0, broadcastLeft = true)
+        .select(col("nation"), col("n").as("abn"), col("c").as("abc"))
+      val tBA = term(a0, db, broadcastLeft = false)
+        .select(col("nation"), col("n").as("ban"), col("c").as("bac"))
+      val tDD = term(da, db, broadcastLeft = true)
+        .select(col("nation"), col("n").as("ddn"), col("c").as("ddc"))
+      val z = lit(0L)
+      view0.join(tAB, Seq("nation"), "full").join(tBA, Seq("nation"), "full")
+        .join(tDD, Seq("nation"), "full")
+        .select(col("nation"),
+          coalesce(col("v0n"), z).as("view0_pairs"), coalesce(col("v0c"), z).as("view0_cents"),
+          coalesce(col("abn"), z).as("d_ab_pairs"), coalesce(col("abc"), z).as("d_ab_cents"),
+          coalesce(col("ban"), z).as("d_ba_pairs"), coalesce(col("bac"), z).as("d_ba_cents"),
+          coalesce(col("ddn"), z).as("d_dd_pairs"), coalesce(col("ddc"), z).as("d_dd_cents"),
+          // the IVM sum — the oracle's view1 column is a FULL recompute
+          (coalesce(col("v0n"), z) + coalesce(col("abn"), z) + coalesce(col("ban"), z) +
+            coalesce(col("ddn"), z)).as("view1_pairs"),
+          (coalesce(col("v0c"), z) + coalesce(col("abc"), z) + coalesce(col("bac"), z) +
+            coalesce(col("ddc"), z)).as("view1_cents"))
+        .filter(col("view1_pairs") > 0)
+        .orderBy("nation")
+    })
+
   /** Predicate-driven DELETE THROUGH the log — the round-11 verdict's
     * lead ask: every earlier dv was hand-positioned; here the ENGINE
     * derives the per-file masks from `DELETE WHERE (k % 5 = 2 OR
@@ -3420,5 +3514,5 @@ object LakehouseQueries extends QuerySet {
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening,
-    k6Clustering, scd1Build, cdc1Apply, ivm1View)
+    k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }
