@@ -1348,6 +1348,42 @@ object DeltaLog {
   def rowIds(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame =
     resolveSegs(ridSegments(acts, asOf), positioned).drop("seg_pos")
 
+  // ---- generated coverage: bucket = floor(key / W) enforced (dl32) ----------
+
+  /** Generated-column enforcement (the Delta generatedColumns feature,
+    * applied to the ONE derived column this table model has): the
+    * table's files declare their bucket coverage, and the bucket IS a
+    * generated column — bucket = floor(key / W) — so an add whose
+    * `buckets` endpoints disagree with floor(min_key/W)..floor(max_key/W)
+    * is committing a COVERAGE LIE: partition-pruned readers (dl3's
+    * stats skipping, positionedRows' bucket join) would silently skip or
+    * double-read its rows forever. Declared via the table property
+    * `gen.buckets=key_div_w` ([[setPropAction]]); when active, every add
+    * in a prepared transaction is checked at COMMIT — endpoints must
+    * match the stats-derived values and the coverage must be CONTIGUOUS
+    * (size = hi − lo + 1); violations raise through the anti-elidable
+    * guard-row branch. Adds with null stats are the strict parse's
+    * problem, not silently admitted: a declared generated column with
+    * unverifiable stats raises too. */
+  def enforceGeneratedCoverage(acts: DataFrame, txn: DataFrame): DataFrame = {
+    val gen = activeProps(acts)
+      .filter(col("key") === "gen.buckets" && col("value") === "key_div_w")
+      .select(lit(1).as("_gen"))
+    val lo = floor(col("min_key") / W)
+    val hi = floor(col("max_key") / W)
+    val bad = col("min_key").isNull || col("max_key").isNull || col("buckets").isNull ||
+      element_at(col("buckets"), 1) =!= lo || element_at(col("buckets"), -1) =!= hi ||
+      size(col("buckets")) =!= (hi - lo + 1).cast(IntegerType)
+    val boom = guardBoom(raise_error(concat(
+      lit("generated bucket coverage disagrees with key stats: "), col("path"))))
+    val guard = txn.filter(col("op") === "add").filter(bad)
+      .crossJoin(broadcast(gen))
+      .select(Seq(boom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        boom.cast(StringType).as("op"), boom.cast(StringType).as("path")) ++ nullStatCols ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    txn.unionByName(guard)
+  }
+
   // ---- protocol / reader feature gate (dl19) --------------------------------
 
   /** An op='protocol' action row (the Delta protocol action): declares

@@ -3183,6 +3183,96 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Generated-column coverage enforced at commit (Delta
+    * generatedColumns on the model's one derived column — bucket =
+    * floor(key/W)): v4 declares `gen.buckets=key_div_w` as a table
+    * property; v5 commits an append and v6 the engine's own OPTIMIZE
+    * THROUGH the enforcement — conforming coverage passes (the opt adds
+    * carry sequence(lo,hi), exactly the contiguity the check demands);
+    * the corrupted-coverage raise (endpoints or contiguity lies) is
+    * Round13Spec's. Pins the enforced commits and the final live set.
+    * Log-sized: the check is per-add arithmetic against a broadcast
+    * 0/1-row flag. */
+  val dl32GeneratedCoverage = Q("dl32_generated_coverage",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            b4 AS (SELECT * FROM bks WHERE bucket = 4),
+            live4 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            parts AS (
+              SELECT path, b_lo, n_rows, min_key, max_key, cents
+              FROM live4 WHERE path LIKE 'part-%' AND b_lo = b_hi),
+            bins AS (
+              SELECT b_lo // 2 AS bin, count(*) AS nf, min(b_lo) AS lo, max(b_lo) AS hi,
+                CAST(sum(n_rows) AS BIGINT) AS n_rows, min(min_key) AS min_key,
+                max(max_key) AS max_key, CAST(sum(cents) AS BIGINT) AS cents
+              FROM parts GROUP BY 1 HAVING count(*) = 2),
+            acts2 AS (
+              SELECT version, ordinal, op, path, n_rows, cents FROM acts
+              UNION ALL SELECT 5, 0, 'add', 'append-4', n_rows, cents FROM b4
+              UNION ALL SELECT 6, CAST(lo AS INT), 'remove', 'part-' || lo,
+                NULL, NULL FROM bins
+              UNION ALL SELECT 6, CAST(hi AS INT), 'remove', 'part-' || hi,
+                NULL, NULL FROM bins
+              UNION ALL SELECT 6, CAST(1000 + lo AS INT), 'add',
+                'opt-' || lo || '-' || hi, n_rows, cents FROM bins),
+            commits AS (
+              SELECT 'commit' AS section, 'v5:add:append-4' AS item, n_rows AS n1, cents AS n2
+              FROM b4
+              UNION ALL SELECT 'commit', 'v6:add:opt-' || lo || '-' || hi, n_rows, cents
+              FROM bins),
+            live AS (
+              SELECT 'live' AS section, path AS item, n_rows AS n1, cents AS n2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY path
+                  ORDER BY version DESC, ordinal DESC) AS rn
+                FROM acts2) t WHERE rn = 1 AND op = 'add'),
+            propr AS (
+              SELECT 'props' AS section, 'gen.buckets=key_div_w' AS item,
+                CAST(4 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2)
+            SELECT section, item, n1, n2 FROM (
+              SELECT * FROM commits UNION ALL SELECT * FROM live
+              UNION ALL SELECT * FROM propr
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val baseActs = DeltaLog.actions(DeltaLog.logLines(orders(s, d)))
+        .coalesce(1).localCheckpoint()
+      val acts4 = baseActs.unionByName(
+        DeltaLog.setPropAction(baseActs, "gen.buckets", "key_div_w", 4, 0))
+        .coalesce(1).localCheckpoint()
+      // v5: a conforming append THROUGH the enforcement. Both enforced
+      // txns are MATERIALIZED once (log-sized): each has two consumers
+      // (the committed log and its commit-section rows), and the
+      // optimize derivation re-run per consumer was the whole 5.4 s
+      val b4 = baseActs.filter(col("op") === "add" && col("path") === "part-4")
+        .select("n_rows", "min_key", "max_key", "cents")
+      val add5 = DeltaLog.enforceGeneratedCoverage(acts4,
+        DeltaLog.addAction(b4, 5, 0, "append-4", array(lit(4L))))
+        .coalesce(1).localCheckpoint()
+      val acts5 = acts4.unionByName(add5)
+      // v6: the engine's own OPTIMIZE, also through the enforcement —
+      // its sequence(lo,hi) coverage satisfies the generated contract
+      val opt6 = DeltaLog.enforceGeneratedCoverage(acts5,
+        DeltaLog.optimizeActions(DeltaLog.replay(baseActs), 6))
+        .coalesce(1).localCheckpoint()
+      val acts6 = acts5.unionByName(opt6)
+      val commitRows = add5.filter(col("op") === "add")
+        .select(lit("commit").as("section"),
+          concat(lit("v5:add:"), col("path")).as("item"),
+          col("n_rows").cast("long").as("n1"), col("cents").cast("long").as("n2"))
+        .unionByName(opt6.filter(col("op") === "add")
+          .select(lit("commit").as("section"),
+            concat(lit("v6:add:"), col("path")).as("item"),
+            col("n_rows").cast("long").as("n1"), col("cents").cast("long").as("n2")))
+      val liveRows = DeltaLog.replay(acts6)
+        .select(lit("live").as("section"), col("path").as("item"),
+          col("n_rows").cast("long").as("n1"), col("cents").cast("long").as("n2"))
+      val propRows = DeltaLog.activeProps(acts6)
+        .filter(col("key") === "gen.buckets")
+        .select(lit("props").as("section"),
+          concat(col("key"), lit("="), col("value")).as("item"),
+          col("props_version").cast("long").as("n1"), lit(0L).as("n2"))
+      commitRows.unionByName(liveRows).unionByName(propRows)
+        .orderBy("section", "item")
+    })
+
   /** Copy-on-write DELETE on a row-tracked table — the OTHER delete
     * path (dl17 is merge-on-read via masks; engines pick per table):
     * survivors are rewritten into `cow-` files, positions renumber, and
@@ -3513,6 +3603,6 @@ object LakehouseQueries extends QuerySet {
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
-    dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening,
+    dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
     k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

@@ -757,6 +757,44 @@ class Round13Spec extends SparkSpec {
       DeltaLog.widenColumn(base, "zz", "BIGINT", 2, 0).collect()
     }
     assert(exM.getMessage.contains("not in mapping"), exM.getMessage)
+  }
+
+  // ---- generated coverage (dl32) --------------------------------------------
+
+  test("enforceGeneratedCoverage raises on coverage lies, passes clean adds, off when undeclared") {
+    def addCov(v: Int, path: String, bks: Seq[Long], minK: Long, maxK: Long): Row =
+      Row(v, 0, "add", path, bks, 10L, minK, maxK, 100L, null, null, null, null, null)
+    // W = 250: keys 1..4 live in bucket 0, 251.. in bucket 1, 501.. in 2
+    val base = frame(addCov(0, "part-0", Seq(0L), 1L, 4L))
+    val acts = base.unionByName(
+      DeltaLog.setPropAction(base, "gen.buckets", "key_div_w", 1, 0))
+    // clean single-bucket and clean contiguous multi-bucket adds pass
+    assert(DeltaLog.enforceGeneratedCoverage(acts,
+      frame(addCov(2, "x", Seq(1L), 251L, 253L))).count() == 1)
+    assert(DeltaLog.enforceGeneratedCoverage(acts,
+      frame(addCov(2, "y", Seq(0L, 1L), 1L, 253L))).count() == 1)
+    // endpoint lie: declared bucket 1, keys live in bucket 2
+    val exE = intercept[Exception] {
+      DeltaLog.enforceGeneratedCoverage(acts,
+        frame(addCov(2, "z", Seq(1L), 501L, 502L))).collect()
+    }
+    assert(exE.getMessage.contains("coverage disagrees"), exE.getMessage)
+    // contiguity lie: endpoints right, a bucket missing in the middle
+    val exC = intercept[Exception] {
+      DeltaLog.enforceGeneratedCoverage(acts,
+        frame(addCov(2, "w", Seq(0L, 2L), 1L, 502L))).collect()
+    }
+    assert(exC.getMessage.contains("coverage disagrees"), exC.getMessage)
+    // stats the check can't verify are not silently admitted
+    val exS = intercept[Exception] {
+      DeltaLog.enforceGeneratedCoverage(acts, frame(
+        Row(2, 0, "add", "q", Seq(0L), 10L, null, null, 100L,
+          null, null, null, null, null))).collect()
+    }
+    assert(exS.getMessage.contains("coverage disagrees"), exS.getMessage)
+    // without the declaration the gate is inert (legacy tables unchanged)
+    assert(DeltaLog.enforceGeneratedCoverage(base,
+      frame(addCov(2, "z", Seq(1L), 501L, 502L))).count() == 1)
   }}
 
 /** Streaming change-data-feed source (the round-12 verdict's #5): the
