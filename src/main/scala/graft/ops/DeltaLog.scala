@@ -524,6 +524,26 @@ object DeltaLog {
       // re-assign fresh ids and silently break every downstream lineage
       // join keyed on row_id
       .unionByName(effectiveSideRows(bounded, "rids").select(cols: _*))
+      // and the identity segment maps (dl35) — same stable-key argument,
+      // PLUS the high-water mark derives from them: a checkpoint that
+      // dropped one could hand a later insert an already-issued key
+      .unionByName(effectiveSideRows(bounded, "ident").select(cols: _*))
+      // and the latest txn marker per appId (dl33): real Delta
+      // checkpoints retain txn actions for exactly this reason — a
+      // restarting streaming writer reading checkpoint+tail must still
+      // see its last committed epoch or it re-applies the batch
+      .unionByName(latestPerPath(bounded, "txn").select(cols: _*))
+  }
+
+  /** Latest action per path for a PER-PATH-singleton family (op='txn':
+    * one live marker per appId) — the file race's rule without the
+    * add-only filter. */
+  private def latestPerPath(bounded: DataFrame, opName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("path"))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    bounded.filter(col("op") === opName)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
   /** Checkpoint + tail as ONE replayable action set ≡ the full log —
@@ -765,6 +785,54 @@ object DeltaLog {
     deleteActions(live, dvs, positioned, matched, version).unionByName(guarded)
   }
 
+  /** MERGE with the FULL three-branch surface (Delta 2.4's `WHEN NOT
+    * MATCHED BY SOURCE` — the standard sync-a-dimension shape): matched
+    * target rows leave through the dv/remove derivation and return
+    * updated in the rewrite; source rows with no target match arrive as
+    * inserts in the rewrite; target rows ABSENT from the source (the
+    * third branch) leave through the SAME mask derivation and do NOT
+    * return — all at one version, one transaction. `matched` /
+    * `notMatchedBySource` are predicates over `positioned` (callers
+    * derive membership by joining the source's key set in and flagging
+    * — the scale-correct spelling: the flag join shuffles once on the
+    * key, the log layer never rescans); `notMatchedBySource` may carry
+    * an extra condition (Delta's `AND <cond>` form — without one, the
+    * three-branch MERGE degenerates to replace-table). The row-path
+    * invariant that distinguishes this from two stacked DMLs: the
+    * rewrite's cardinality must equal newly-killed MATCHED rows +
+    * `nInserts` (one-row frame, column n_ins) — NMBS rows are killed
+    * and never rewritten, so a rewrite that smuggled them back (or
+    * dropped an update) raises. */
+  def mergeActionsBySource(live: DataFrame, dvs: DataFrame, positioned: DataFrame,
+                           matched: org.apache.spark.sql.Column,
+                           notMatchedBySource: org.apache.spark.sql.Column,
+                           version: Int, adds: DataFrame, nInserts: DataFrame): DataFrame = {
+    val guarded = adds.withColumn("version",
+      when(col("version") =!= version,
+        raise_error(concat(lit(s"merge add outside transaction version $version: "), col("path"))))
+        .otherwise(col("version")))
+    val preMasked = dvs.select(col("path"), explode(col("dv")).as("pos"))
+    val nMatched = positioned.filter(matched)
+      .select(col("path"), col("pos").cast("long").as("pos"))
+      .join(preMasked, Seq("path", "pos"), "left_anti")
+      .join(broadcast(live.select("path")), Seq("path"))
+      .agg(count(lit(1)).as("n_matched"))
+    val cardBoom = guardBoom(raise_error(concat(
+      lit("merge rewrite cardinality mismatch: matched "), col("n_matched").cast("string"),
+      lit(" + inserts "), col("n_ins").cast("string"),
+      lit(", rewrite carries "), col("n_rewrite").cast("string"))))
+    val cardGuard = nMatched
+      .crossJoin(nInserts.select(col("n_ins").cast(LongType).as("n_ins")))
+      .crossJoin(adds.agg(coalesce(sum("n_rows"), lit(0L)).as("n_rewrite")))
+      .filter(col("n_rewrite") =!= col("n_matched") + col("n_ins"))
+      .select(Seq(
+        cardBoom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        cardBoom.cast(StringType).as("op"), cardBoom.cast(StringType).as("path")) ++
+        nullStatCols ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    deleteActions(live, dvs, positioned, matched || notMatchedBySource, version)
+      .unionByName(guarded).unionByName(cardGuard)
+  }
+
   /** UPDATE WHERE, derived THROUGH the log (the verb users type far more
     * often than MERGE, gated so the derivation is pinned rather than
     * implied): the matched LIVE rows leave through [[deleteActions]]'
@@ -931,13 +999,25 @@ object DeltaLog {
     * per-singleton-op, so preserving the per-path order is sufficient
     * for the clone's v0 to replay to the same state — and the dv that
     * won against its add in the source (version strictly greater) still
-    * wins here (same version 0, ordinal strictly greater). Log-sized:
-    * one checkpointState + one window over the state rows. */
+    * wins here (same version 0, ordinal strictly greater). A SIDE action
+    * (rids, and any future per-file op) rides its add's EXACT
+    * (version, ordinal) — assignRidActions' convention — so the window
+    * breaks that tie with an explicit add-first rank: without it,
+    * row_number could renumber the rids row BEFORE its add and the
+    * instance-birth filter (side coords >= add coords) would stop
+    * binding the map in the clone (r13 ADVICE — the old code passed
+    * only via union-order luck). Log-sized: one checkpointState + one
+    * window over the state rows. */
   def cloneActions(srcActs: DataFrame, atVersion: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("path")).orderBy(col("version"), col("ordinal"))
+    val w = Window.partitionBy(col("path")).orderBy(col("version"), col("ordinal"),
+      when(col("op") === "add", 0).otherwise(1))
     val cols = actionSchema.fieldNames.map(col).toSeq
     checkpointState(srcActs, Some(atVersion))
+      // real CLONE does not carry the source's streaming txn markers:
+      // the clone is a NEW table, and a writer app resuming against it
+      // must not have its epochs fenced by the source's history
+      .filter(col("op") =!= "txn")
       .withColumn("new_ord", (row_number().over(w) - 1).cast(IntegerType))
       .withColumn("version", lit(0)).withColumn("ordinal", col("new_ord"))
       .drop("new_ord")
@@ -955,7 +1035,11 @@ object DeltaLog {
     * anti-join on file lists, no data) lets the operator deep-copy or
     * re-clone first. Returns (path, n_rows) of at-risk files. */
   def cloneBreakage(srcActs: DataFrame, cloneActs: DataFrame, retainFrom: Int): DataFrame = {
-    val ever = srcActs.filter(col("op") === "add").select("path", "n_rows").distinct()
+    // ONE row per path: a removed-and-re-added path with different
+    // n_rows would otherwise survive distinct() twice and duplicate its
+    // at-risk row (r13 ADVICE); latest instance wins, same as the race
+    val ever = srcActs.filter(col("op") === "add").groupBy("path")
+      .agg(max_by(col("n_rows"), struct(col("version"), col("ordinal"))).as("n_rows"))
     val vers = srcActs.select(col("version").as("v"))
       .filter(col("v") >= retainFrom).distinct()
     val retained = replayGrid(srcActs, vers).select(col("path")).distinct()
@@ -987,7 +1071,10 @@ object DeltaLog {
       .select(col("version").as("props_version"),
         explode(split(col("schema_str"), ";")).as("ent"))
       .filter(length(col("ent")) > 0)
-      .withColumn("parts", split(col("ent"), "="))
+      // split on the FIRST '=' only (limit 2): values legitimately
+      // contain '=' (URLs, base64 tokens — real Delta configuration
+      // maps do), so only a missing '=' or an empty key is torn
+      .withColumn("parts", split(col("ent"), "=", 2))
       .select(
         when(size(col("parts")) =!= 2 || length(element_at(col("parts"), 1)) === 0,
           raise_error(concat(lit("torn table property entry: "), col("ent"))))
@@ -1089,10 +1176,17 @@ object DeltaLog {
     * raises HERE: a silently-low mark would hand out duplicate ids,
     * the one corruption row tracking exists to prevent. */
   def ridHighWaterMark(acts: DataFrame): DataFrame =
-    acts.filter(col("op") === "rids")
+    segHighWaterMark(acts, "rids")
+
+  /** The high-water race shared by BOTH monotonic-key families — row
+    * ids (op='rids', dl27) and identity columns (op='ident', dl35):
+    * keys are never reused, so the mark scans EVERY action of the
+    * family ever committed, live or dead instances alike. */
+  private def segHighWaterMark(acts: DataFrame, opName: String): DataFrame =
+    acts.filter(col("op") === opName)
       .select(explode(ridSegsOf(col("schema_str"))).as("seg"))
       .select(when(col("seg.rid").isNull || col("seg.len").isNull || col("seg.pos").isNull,
-        raise_error(lit("unparseable rid segment in high-water scan")))
+        raise_error(lit(s"unparseable $opName segment in high-water scan")))
         .otherwise(col("seg.rid") + col("seg.len")).as("end"))
       .agg(coalesce(max("end"), lit(0L)).as("hwm"))
 
@@ -1103,8 +1197,15 @@ object DeltaLog {
     * maintains). The side action rides its add's (version, ordinal), so
     * the instance race binds it for exactly as long as the add wins.
     * Log-sized: the offset is a self-join over the batch's file LIST. */
-  def assignRidActions(acts: DataFrame, adds: DataFrame): DataFrame = {
-    val hwm = ridHighWaterMark(acts)
+  def assignRidActions(acts: DataFrame, adds: DataFrame): DataFrame =
+    assignSegActions(acts, adds, "rids")
+
+  /** The fresh-assignment core [[assignRidActions]] (op='rids', dl27)
+    * and identity columns ([[assignIdentActions]], op='ident', dl35)
+    * share: one side action per add, single segment `0:base:n_rows`,
+    * base = hwm + Σ n_rows of adds earlier in the batch. */
+  private def assignSegActions(acts: DataFrame, adds: DataFrame, opName: String): DataFrame = {
+    val hwm = segHighWaterMark(acts, opName)
     val prior = adds.select(col("ordinal").as("o_ord"), col("n_rows").as("o_rows"))
     val off = adds.filter(col("op") === "add")
       .join(broadcast(prior), col("o_ord") < col("ordinal"), "left")
@@ -1113,7 +1214,7 @@ object DeltaLog {
     off.crossJoin(broadcast(hwm))
       .select(Seq(col("version").cast(IntegerType).as("version"),
         col("ordinal").cast(IntegerType).as("ordinal"),
-        lit("rids").as("op"), col("path")) ++ nullStatCols ++
+        lit(opName).as("op"), col("path")) ++ nullStatCols ++
         Seq(lit(null).cast(ArrayType(LongType)).as("dv"),
           concat(lit("0:"), col("hwm") + col("offset"), lit(":"), col("n_rows"))
             .as("schema_str"),
@@ -1348,6 +1449,101 @@ object DeltaLog {
   def rowIds(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame =
     resolveSegs(ridSegments(acts, asOf), positioned).drop("seg_pos")
 
+  // ---- identity columns: generated monotonic keys at commit (dl35) ----------
+
+  /** Identity columns (the Delta identityColumns writer feature): the
+    * TABLE owns a monotonic key generator and assigns every inserted
+    * row's key AT COMMIT — users never supply one, gaps are allowed
+    * (an aborted range is burned, same as every real sequence), reuse
+    * never is. Assigned ranges ride op='ident' side actions with the
+    * SAME segment payload, instance race, and high-water rule as row
+    * tracking (dl27): `pos:base:len` means positions p ∈ [pos, pos+len)
+    * of the file carry identity key base + (p − pos). Real Delta keeps
+    * the mark in table metadata and makes concurrent identity writers
+    * CONFLICT (the generator is table-level state, not per-file);
+    * [[rebaseConflicts]] applies the same rule — any concurrent 'ident'
+    * action conflicts with a transaction that assigns identities — so
+    * two writers racing through [[commitWithRetry]] land DISJOINT
+    * ranges: the loser aborts, re-reads the mark, re-prepares (the dl35
+    * gate pins the interleave). */
+  def identHighWaterMark(acts: DataFrame): DataFrame = segHighWaterMark(acts, "ident")
+
+  /** Fresh-assign identity ranges to a batch of prepared adds — the
+    * dl27 assignment core under the 'ident' family. */
+  def assignIdentActions(acts: DataFrame, adds: DataFrame): DataFrame =
+    assignSegActions(acts, adds, "ident")
+
+  /** The effective identity segment map per live file (instance-scoped,
+    * latest per path — the dv/rids race). */
+  def identSegments(acts: DataFrame, asOf: Option[Int] = None): DataFrame =
+    effectiveSideRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), "ident")
+      .select(col("path"), ridSegsOf(col("schema_str")).as("segs"))
+
+  /** Resolve each physical row's assigned identity key — [[rowIds]]'
+    * segment-resolution core over the 'ident' family. */
+  def identityKeys(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame =
+    resolveSegs(identSegments(acts, asOf), positioned)
+      .withColumnRenamed("row_id", "ident_key").drop("seg_pos")
+
+  // ---- streaming transaction identifiers: exactly-once sink (dl33) ----------
+
+  /** An op='txn' action row (the Delta txn action: appId + version):
+    * records that writer application `appId` committed its epoch
+    * `appVersion` in this table version. Path is the synthetic
+    * '_txn:appId' (per-app singleton — the race partitions by path, so
+    * apps never shadow each other); the epoch rides schema_str. This is
+    * how a streaming foreachBatch sink gets EXACTLY-ONCE into the log:
+    * the epoch id travels in the same atomic commit as the data, so a
+    * replayed batch (checkpoint restart re-delivers the last epoch) is
+    * detected from the log alone. */
+  def txnAction(spark: SparkSession, version: Int, ordinal: Int,
+                appId: String, appVersion: Long): DataFrame =
+    tableStateRow(spark.range(1).toDF(), "txn", s"_txn:$appId", version, ordinal,
+      lit(appVersion.toString))
+
+  /** The last epoch `appId` committed, from the log alone: max over its
+    * txn actions (epochs commit in order, so max ≡ latest). −1 for a
+    * never-seen app. STRICT: a torn epoch payload raises — a silently
+    * low answer would re-apply an epoch, the exact double-write this
+    * action family exists to prevent. */
+  def lastTxnVersion(acts: DataFrame, appId: String): DataFrame =
+    acts.filter(col("op") === "txn" && col("path") === s"_txn:${appId}")
+      .select(when(col("schema_str").isNull || !col("schema_str").rlike("^[0-9]+$"),
+        raise_error(concat(lit("torn txn action payload for "), col("path"))))
+        .otherwise(col("schema_str").cast(LongType)).as("av"))
+      .agg(coalesce(max("av"), lit(-1L)).as("last_txn_version"))
+
+  /** One epoch's fate through [[commitEpochIdempotent]]. */
+  final case class EpochOutcome(appId: String, epoch: Long, outcome: String,
+                                attempts: Seq[CommitAttempt])
+
+  /** Idempotent transactional epoch commit — the exactly-once streaming
+    * sink contract (Delta's idempotent writes: txn appId/version +
+    * atomic commit): if the log already records `appId` at an epoch ≥
+    * this one, the WHOLE batch is a no-op (`skipped_duplicate` — the
+    * replay after a checkpoint restart); otherwise the prepared
+    * transaction goes through [[commitWithRetry]] carrying its txn
+    * action IN the same commit, so data and epoch marker land atomically
+    * or not at all — a crash between them is impossible by construction.
+    * Driver work: ONE idempotence probe (log-sized aggregate) plus the
+    * retry loop's per-attempt listing; the data plane moved before this
+    * was called, exactly like every other commit. */
+  def commitEpochIdempotent(acts0: DataFrame, txn: DataFrame, appId: String, epoch: Long,
+                            readVersion: Int, maxAttempts: Int = 10,
+                            contention: Int => Option[DataFrame] = _ => None): (DataFrame, EpochOutcome) = {
+    val last = lastTxnVersion(acts0, appId).head().getLong(0)
+    if (epoch <= last) (acts0, EpochOutcome(appId, epoch, "skipped_duplicate", Nil))
+    else {
+      // ordinal 100000: after every data action of the transaction (adds
+      // use the ≥1000 convention) — the version is provisional, the
+      // retry loop renumbers the whole transaction to its slot
+      val stamped = txn.unionByName(
+        txnAction(acts0.sparkSession, 0, 100000, appId, epoch))
+      val (acts1, dec) = commitWithRetry(acts0, stamped, readVersion, maxAttempts, contention)
+      (acts1, EpochOutcome(appId, epoch, "committed", dec))
+    }
+  }
+
   // ---- generated coverage: bucket = floor(key / W) enforced (dl32) ----------
 
   /** Generated-column enforcement (the Delta generatedColumns feature,
@@ -1371,9 +1567,12 @@ object DeltaLog {
       .select(lit(1).as("_gen"))
     val lo = floor(col("min_key") / W)
     val hi = floor(col("max_key") / W)
+    // compare the WHOLE array against the generated sequence: endpoint +
+    // size checks admit a duplicate-entry lie ([0,0,2] for span 0..2 —
+    // right ends, right size, bucket 1 still uncovered; r13 ADVICE).
+    // Exact equality subsumes both and bans duplicates/disorder too.
     val bad = col("min_key").isNull || col("max_key").isNull || col("buckets").isNull ||
-      element_at(col("buckets"), 1) =!= lo || element_at(col("buckets"), -1) =!= hi ||
-      size(col("buckets")) =!= (hi - lo + 1).cast(IntegerType)
+      col("buckets") =!= sequence(lo, hi)
     val boom = guardBoom(raise_error(concat(
       lit("generated bucket coverage disagrees with key stats: "), col("path"))))
     val guard = txn.filter(col("op") === "add").filter(bad)
@@ -1483,15 +1682,32 @@ object DeltaLog {
     * never data. */
   def rebaseConflicts(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
     val concurrent = acts.filter(col("version") > readVersion &&
-      col("op").isin("add", "remove", "dv", "rids"))
+      col("op").isin("add", "remove", "dv", "rids", "ident"))
     val tableLevel = acts.filter(col("version") > readVersion &&
       col("op").isin("protocol", "meta", "constraint", "props"))
     val txnTouches = txn.filter(col("op").isin("remove", "dv")).select("path").distinct()
     val txnAdds = txn.filter(col("op") === "add").select("path").distinct()
+    // streaming txn identifiers: a concurrent commit by the SAME appId is
+    // Delta's ConcurrentTransactionException — two instances of one
+    // writer racing would double-apply the epoch the id exists to fence
+    val txnIds = txn.filter(col("op") === "txn").select("path").distinct()
+    val concTxn = acts.filter(col("version") > readVersion && col("op") === "txn")
+      .join(broadcast(txnIds), Seq("path"))
+    // identity assignment is TABLE-level state (the key generator's
+    // high-water mark): if this transaction assigns identities, ANY
+    // concurrent ident commit moved the mark it read — ranges would
+    // overlap; abort and re-derive (real Delta conflicts on the
+    // metadata high-water update for the same reason)
+    val txnHasIdent = txn.filter(col("op") === "ident")
+      .select(lit(1).as("_has")).distinct()
+    val concIdent = acts.filter(col("version") > readVersion && col("op") === "ident")
+      .crossJoin(broadcast(txnHasIdent)).drop("_has")
     concurrent.join(broadcast(txnTouches), Seq("path"))
       .unionByName(concurrent.filter(col("op") === "add")
         .join(broadcast(txnAdds), Seq("path")))
       .unionByName(tableLevel)
+      .unionByName(concTxn)
+      .unionByName(concIdent)
       .select("path", "version", "ordinal", "op").distinct()
   }
 

@@ -3598,11 +3598,404 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Idempotent streaming transactional sink (dl33 — the ref's S8
+    * upload loop `backend/main.py:233-332` as a real exactly-once
+    * writer, Delta's txn appId/version actions): app-A commits epochs
+    * 0,1,2 (one appended file each) through
+    * `DeltaLog.commitEpochIdempotent`, with epoch 1 REPLAYED mid-stream
+    * — the checkpoint-restart duplicate — which must be a no-op (no
+    * file lands, no version burns); app-B's independent epoch 0 shows per-app
+    * fencing (B's marker never shadows A's). The gate pins every
+    * decision (committed target version / skipped), the txn marker rows
+    * read back from the settled log, each app's last committed epoch,
+    * and the final live set (ep-1 present ONCE — the oracle computes it
+    * from bucket arithmetic, so a double-apply hash-mismatches). */
+  val dl33StreamTxnSink = Q("dl33_stream_txn_sink",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            eps AS (SELECT bucket, n_rows, cents FROM bks WHERE bucket <= 2),
+            epb AS (SELECT n_rows, cents FROM bks WHERE bucket = 3),
+            dec(item, ep, target, committed) AS (VALUES
+              ('A:e0:committed', 0, 4, 1),
+              ('A:e1:committed', 1, 5, 1),
+              ('A:e1:skipped_duplicate', 1, -1, 0),
+              ('A:e2:committed', 2, 6, 1),
+              ('B:e0:committed', 0, 7, 1),
+              ('B:e0:skipped_duplicate', 0, -1, 0))
+            SELECT section, item, n_rows, val, flag FROM (
+              SELECT 'decision' AS section, item, CAST(ep AS BIGINT) AS n_rows,
+                CAST(target AS BIGINT) AS val, CAST(committed AS BIGINT) AS flag
+              FROM dec
+              UNION ALL
+              SELECT 'txn', '_txn:app-A@' || CAST(bucket AS VARCHAR),
+                CAST(bucket AS BIGINT), CAST(0 AS BIGINT), CAST(bucket + 4 AS BIGINT)
+              FROM eps
+              UNION ALL SELECT 'txn', '_txn:app-B@0', CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(7 AS BIGINT)
+              UNION ALL SELECT 'last', 'app-A', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'last', 'app-B', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'post', path, n_rows, cents, CAST(0 AS BIGINT) FROM (
+                SELECT path, n_rows, cents FROM live3
+                UNION ALL SELECT 'ep-' || CAST(bucket AS VARCHAR), n_rows, cents FROM eps
+                UNION ALL SELECT 'epB-0', n_rows, cents FROM epb) t2
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      import s.implicits._
+      val ord = orders(s, d)
+      val b = DeltaLog.buckets(ord).coalesce(1).localCheckpoint()
+      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).localCheckpoint()
+      def epAdd(bucket: Int, path: String) = DeltaLog.addAction(
+        b.filter(col("bucket") === bucket).select("n_rows", "min_key", "max_key", "cents"),
+        90, 1000, path, array(lit(bucket.toLong)))
+      // the foreachBatch loop's driver shape: probe + commit per epoch,
+      // all log-sized; the duplicate delivery (A:e1 again — exactly what
+      // a checkpoint restart re-sends) must leave the log untouched
+      var acts = acts3; var head = 3
+      val outs = scala.collection.mutable.Buffer.empty[(String, DeltaLog.EpochOutcome)]
+      def run(app: String, ep: Long, txn: org.apache.spark.sql.DataFrame): Unit = {
+        val (a2, out) = DeltaLog.commitEpochIdempotent(acts, txn, app, ep, head)
+        if (out.outcome == "committed") head += 1
+        acts = a2; outs += ((app.takeRight(1), out))
+      }
+      run("app-A", 0, epAdd(0, "ep-0"))
+      run("app-A", 1, epAdd(1, "ep-1"))
+      run("app-A", 1, epAdd(1, "ep-1-dup")) // the replay: must never land
+      run("app-A", 2, epAdd(2, "ep-2"))
+      run("app-B", 0, epAdd(3, "epB-0"))
+      run("app-B", 0, epAdd(3, "epB-0-dup"))
+      val decisions = outs.toSeq.map { case (w, o) =>
+        val target = o.attempts.lastOption.map(_.target.toLong).getOrElse(-1L)
+        (s"$w:e${o.epoch}:${o.outcome}", o.epoch, target,
+          if (o.outcome == "committed") 1L else 0L)
+      }.toDF("item", "n_rows", "val", "flag")
+        .select(lit("decision").as("section"), col("item"), col("n_rows"),
+          col("val"), col("flag"))
+      val txnRows = acts.filter(col("op") === "txn")
+        .select(lit("txn").as("section"),
+          concat(col("path"), lit("@"), col("schema_str")).as("item"),
+          col("schema_str").cast("long").as("n_rows"), lit(0L).as("val"),
+          col("version").cast("long").as("flag"))
+      val lastRows = Seq("app-A", "app-B").map { app =>
+        DeltaLog.lastTxnVersion(acts, app)
+          .select(lit("last").as("section"), lit(app).as("item"),
+            col("last_txn_version").as("n_rows"), lit(0L).as("val"), lit(0L).as("flag"))
+      }.reduce(_ unionByName _)
+      val post = DeltaLog.replay(acts).select(lit("post").as("section"),
+        col("path").as("item"), col("n_rows"), col("cents").as("val"), lit(0L).as("flag"))
+      decisions.unionByName(txnRows).unionByName(lastRows).unionByName(post)
+        .orderBy("section", "item")
+    })
+
+  /** MERGE with the full three-branch surface (dl34 — Delta 2.4's WHEN
+    * NOT MATCHED BY SOURCE, the sync-a-dimension verb): v4 pre-masks
+    * part-5 (pos % 7 = 3, the dl17 fixture), then v5 merges a source of
+    * {every key ≡ 0 (mod 3), cents+7} ∪ {5 brand-new keys} into the
+    * table through `DeltaLog.mergeActionsBySource` — matched rows leave
+    * and return updated in `mrg-upd`, the 5 source-only rows insert as
+    * `mrg-ins`, and target rows ABSENT from the source satisfying the
+    * NMBS condition (key % 5 = 1) are deleted in the SAME transaction.
+    * Pre-masked rows are untouchable by every branch. The gate pins the
+    * transaction rows, per-file post state, CDF for all THREE change
+    * kinds (update pre/post, delete, insert), and ground truth: the
+    * post-merge rowset signature ≡ the oracle's direct full-outer CASE
+    * merge — computed by a DIFFERENT derivation, so a branch leak
+    * (NMBS rows smuggled into the rewrite, an update lost) cannot pass. */
+  val dl34MergeBySource = Q("dl34_merge_by_source",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live4 AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            rws4 AS (
+              SELECT f.path, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live4 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            predv AS (SELECT path, pos FROM rws4 WHERE path = 'part-5' AND pos % 7 = 3),
+            liverows AS (
+              SELECT r.* FROM rws4 r LEFT JOIN predv p
+                ON p.path = r.path AND p.pos = r.pos WHERE p.pos IS NULL),
+            mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+            ins AS (SELECT mk + i AS o_orderkey, CAST(100 * i AS BIGINT) AS cents
+                    FROM mx, range(1, 6) t(i)),
+            upd AS (SELECT path, pos, o_orderkey, cents + 7 AS cents
+                    FROM liverows WHERE o_orderkey % 3 = 0),
+            nmbs AS (SELECT path, pos, o_orderkey, cents FROM liverows
+                     WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 1),
+            predpos AS (
+              SELECT path, pos FROM rws4
+              WHERE o_orderkey % 3 = 0 OR (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 1)),
+            newly AS (
+              SELECT n.path, n.pos FROM predpos n LEFT JOIN predv p
+                ON p.path = n.path AND p.pos = n.pos WHERE p.pos IS NULL),
+            touched AS (SELECT DISTINCT path FROM newly),
+            merged AS (
+              SELECT u.path, u.pos FROM (
+                SELECT path, pos FROM predpos UNION SELECT path, pos FROM predv) u
+              WHERE u.path IN (SELECT path FROM touched)),
+            masks AS (SELECT path, CAST(count(*) AS BIGINT) AS n_masked
+                      FROM merged GROUP BY path),
+            dv5 AS (
+              SELECT path, pos FROM merged
+              UNION ALL SELECT path, pos FROM predv
+              WHERE path NOT IN (SELECT path FROM touched)),
+            oldrows AS (
+              SELECT r.path, r.o_orderkey, r.cents FROM rws4 r
+              LEFT JOIN dv5 d ON d.path = r.path AND d.pos = r.pos WHERE d.pos IS NULL),
+            updstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM upd),
+            nmbsstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM nmbs),
+            insstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM ins),
+            postall AS (
+              SELECT path, o_orderkey, cents FROM oldrows
+              UNION ALL SELECT 'mrg-upd', o_orderkey, cents FROM upd
+              UNION ALL SELECT 'mrg-ins', o_orderkey, cents FROM ins),
+            post AS (
+              SELECT path, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(cents) AS BIGINT) AS cents_live
+              FROM postall GROUP BY path),
+            mergecte AS (
+              SELECT o_orderkey,
+                cents + CASE WHEN o_orderkey % 3 = 0 THEN 7 ELSE 0 END AS cents
+              FROM liverows
+              WHERE o_orderkey % 3 = 0 OR NOT (o_orderkey % 5 = 1)
+              UNION ALL SELECT o_orderkey, cents FROM ins),
+            sig1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM postall),
+            sig2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM mergecte)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'txn' AS section, 'dv:' || path AS item, n_masked AS n_rows,
+                CAST(0 AS BIGINT) AS cents, CAST(0 AS BIGINT) AS flag FROM masks
+              UNION ALL SELECT 'txn', 'add:mrg-upd', n, c, CAST(1 AS BIGINT) FROM updstat
+              UNION ALL SELECT 'txn', 'add:mrg-ins', n, c, CAST(1 AS BIGINT) FROM insstat
+              UNION ALL SELECT 'post', path, n_live, cents_live, CAST(0 AS BIGINT) FROM post
+              UNION ALL SELECT 'cdf', 'update_preimage', n, c - 7 * n, k FROM updstat
+              UNION ALL SELECT 'cdf', 'update_postimage', n, c, k FROM updstat
+              UNION ALL SELECT 'cdf', 'delete', n, c, k FROM nmbsstat
+              UNION ALL SELECT 'cdf', 'insert', n, c, k FROM insstat
+              UNION ALL SELECT 'check', 'post_rowset', n, c, k FROM sig1
+              UNION ALL SELECT 'check', 'merge_cte', n, c, k FROM sig2
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM sig1) = (SELECT n FROM sig2)
+                      AND (SELECT c FROM sig1) = (SELECT c FROM sig2)
+                      AND (SELECT k FROM sig1) = (SELECT k FROM sig2)
+                     THEN 1 ELSE 0 END AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val live0 = DeltaLog.snapshot(logBase)
+      val log4 = logBase.unionByName(DeltaLog.toLines(
+        DeltaLog.dvAction(live0, "part-5", 4, 0,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))))
+      val acts4 = DeltaLog.actions(log4).localCheckpoint()
+      val live4 = DeltaLog.replay(acts4)
+      val dvs4 = DeltaLog.deletionVectors(acts4)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // the source: every key ≡ 0 (mod 3) updated (+7 cents) plus 5 new
+      // keys past the table's max — membership is derived by JOINING the
+      // source's key set in (the scale-correct spelling: one shuffle on
+      // the key, the log layer never rescans)
+      val srcKeys = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(1).as("_m"))
+      val rws4 = positionedRows(live4, obRows)
+        .join(srcKeys, Seq("o_orderkey"), "left")
+        .withColumn("is_matched", col("_m").isNotNull).drop("_m")
+        .localCheckpoint()
+      val matched = col("is_matched")
+      val nmbsCond = !col("is_matched") && col("o_orderkey") % 5 === 1
+      val del4 = dvs4.select(col("path"), explode(col("dv")).as("pos"))
+        .withColumn("pre", lit(1))
+      // newly-matched LIVE rows with the update applied (the rewrite)
+      val updc = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("pre").isNull && matched)
+        .select(col("o_orderkey"), (col("cents") + 7).as("cents"))
+        .localCheckpoint()
+      // NMBS victims (for CDF only — they leave via the mask, no rewrite)
+      val nmbsc = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("pre").isNull && nmbsCond)
+        .select(col("o_orderkey"), col("cents"))
+      // the 5 inserts: keys past max, deterministic cents
+      val insc = ord.agg(max("o_orderkey").as("mk"))
+        .crossJoin(s.range(1, 6).select(col("id")))
+        .select((col("mk") + col("id")).as("o_orderkey"),
+          (col("id") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val updStats = updc.agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      val insStats = insc.agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      val adds = DeltaLog.addAction(updStats, 5, 1000, "mrg-upd",
+          lit(null).cast(ArrayType(LongType)))
+        .unionByName(DeltaLog.addAction(insStats, 5, 1001, "mrg-ins",
+          lit(null).cast(ArrayType(LongType))))
+      val nIns = insc.agg(count(lit(1)).as("n_ins"))
+      // THE operator under test
+      val mrg = DeltaLog.mergeActionsBySource(live4, dvs4, rws4, matched, nmbsCond,
+        5, adds, nIns).localCheckpoint()
+      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(mrg))).localCheckpoint()
+      // post-merge content: surviving old-file rows + both rewrite files
+      val del5 = DeltaLog.deletionVectors(acts5)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      val oldPaths = DeltaLog.replay(acts5)
+        .filter(!col("path").isin("mrg-upd", "mrg-ins")).select("path")
+      val oldRows = rws4.join(broadcast(oldPaths), Seq("path"))
+        .join(broadcast(del5), Seq("path", "pos"), "left").filter(col("hit").isNull)
+        .select("path", "o_orderkey", "cents")
+      val postAll = oldRows
+        .unionByName(updc.select(lit("mrg-upd").as("path"), col("o_orderkey"), col("cents")))
+        .unionByName(insc.select(lit("mrg-ins").as("path"), col("o_orderkey"), col("cents")))
+        .localCheckpoint()
+      val post = postAll.groupBy("path")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
+        .select(lit("post").as("section"), col("path").as("item"),
+          col("n_live").cast("long").as("n_rows"), col("cents_live").cast("long").as("cents"),
+          lit(0L).as("flag"))
+      val txn = mrg.select(lit("txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "dv", size(col("dv")).cast("long"))
+          .otherwise(col("n_rows")).as("n_rows"),
+        when(col("op") === "add", col("cents")).otherwise(lit(0L)).as("cents"),
+        when(col("op") === "add", 1L).otherwise(0L).as("flag"))
+      def sig(df: org.apache.spark.sql.DataFrame, item: String, shift: Long = 0L) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+          .select(lit("cdf").as("section"), lit(item).as("item"),
+            col("n").cast("long").as("n_rows"),
+            (col("c") + lit(shift) * col("n")).cast("long").as("cents"),
+            col("k").cast("long").as("flag"))
+      val cdf = sig(updc, "update_preimage", -7L)
+        .unionByName(sig(updc, "update_postimage"))
+        .unionByName(sig(nmbsc, "delete"))
+        .unionByName(sig(insc, "insert"))
+      // ground truth: the direct CASE merge over live rows — a different
+      // derivation than the mask arithmetic postAll went through
+      val mergeCte = rws4.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("pre").isNull)
+        .filter(matched || !(col("o_orderkey") % 5 === 1))
+        .select(col("o_orderkey"),
+          (col("cents") + when(matched, 7L).otherwise(0L)).as("cents"))
+        .unionByName(insc)
+      def checkSig(df: org.apache.spark.sql.DataFrame, item: String) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+          .select(lit("check").as("section"), lit(item).as("item"),
+            col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+            col("k").cast("long").as("flag"))
+      val s1 = checkSig(postAll.select("o_orderkey", "cents"), "post_rowset")
+      val s2 = checkSig(mergeCte, "merge_cte")
+      val eq = s1.select(col("n_rows").as("n1"), col("cents").as("c1"), col("flag").as("k1"))
+        .crossJoin(s2.select(col("n_rows").as("n2"), col("cents").as("c2"), col("flag").as("k2")))
+        .select(lit("check").as("section"), lit("equal").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"),
+          (col("n1") === col("n2") && col("c1") === col("c2") && col("k1") === col("k2"))
+            .cast("long").as("flag"))
+      txn.unionByName(post).unionByName(cdf)
+        .unionByName(s1).unionByName(s2).unionByName(eq)
+        .orderBy("section", "item")
+    })
+
+  /** Identity columns under multi-writer OCC (dl35 — the Delta
+    * identityColumns feature off dl27's high-water machinery): writers A
+    * and B each prepare an append (buckets 1 and 2 re-appended as idA /
+    * idB) with identity ranges assigned from the SAME read snapshot —
+    * both would start at 0. A commits first (v4); B's retry loop must
+    * ABORT on the concurrent 'ident' action (the generator is
+    * table-level state — real Delta conflicts on its metadata
+    * high-water update), re-read the mark, re-assign, and land at v5
+    * with a DISJOINT range. The gate pins the three decisions, the
+    * committed segment maps ([0,n1) then [n1,n1+n2)), the final
+    * high-water mark, and the per-row resolution: identityKeys over
+    * both files' physical rows yields exactly count/min/max of the
+    * assigned ranges — no key reused, no gap lied about. */
+  val dl35IdentityOcc = Q("dl35_identity_occ",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            n1 AS (SELECT n_rows FROM bks WHERE bucket = 1),
+            n2 AS (SELECT n_rows FROM bks WHERE bucket = 2),
+            dec(item, nc, target, committed) AS (VALUES
+              ('A:a1:committed', 0, 4, 1),
+              ('B1:a1:abort_conflict', 1, 5, 0),
+              ('B2:a1:committed', 0, 5, 1))
+            SELECT section, item, n_rows, val, flag FROM (
+              SELECT 'decision' AS section, item, CAST(nc AS BIGINT) AS n_rows,
+                CAST(target AS BIGINT) AS val, CAST(committed AS BIGINT) AS flag
+              FROM dec
+              UNION ALL SELECT 'ident', 'idA', CAST(0 AS BIGINT), n_rows,
+                CAST(4 AS BIGINT) FROM n1
+              UNION ALL SELECT 'ident', 'idB', (SELECT n_rows FROM n1), n_rows,
+                CAST(5 AS BIGINT) FROM n2
+              UNION ALL SELECT 'hwm', 'hwm',
+                (SELECT n_rows FROM n1) + (SELECT n_rows FROM n2),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL SELECT 'keys', 'idA', n_rows, CAST(0 AS BIGINT),
+                n_rows - 1 FROM n1
+              UNION ALL SELECT 'keys', 'idB', n_rows, (SELECT n_rows FROM n1),
+                (SELECT n_rows FROM n1) + n_rows - 1 FROM n2
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      import s.implicits._
+      val ord = orders(s, d)
+      val b = DeltaLog.buckets(ord).coalesce(1).localCheckpoint()
+      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).localCheckpoint()
+      def prep(acts: org.apache.spark.sql.DataFrame, bucket: Int, path: String) = {
+        val add = DeltaLog.addAction(
+          b.filter(col("bucket") === bucket).select("n_rows", "min_key", "max_key", "cents"),
+          90, 1000, path, array(lit(bucket.toLong)))
+        add.unionByName(DeltaLog.assignIdentActions(acts, add))
+      }
+      // both writers prepare against the v3 snapshot: identical marks
+      val txnA = prep(acts3, 1, "idA")
+      val txnB = prep(acts3, 2, "idB")
+      val (acts4, decA) = DeltaLog.commitWithRetry(acts3, txnA, 3)
+      // B races: its read version is still 3, A's ident landed at 4 —
+      // the concurrent-ident rule must abort it (overlapping ranges)
+      val (_, decB1) = DeltaLog.commitWithRetry(acts4, txnB, 3)
+      // B re-prepares from the settled head: fresh mark, disjoint range
+      val (acts5, decB2) = DeltaLog.commitWithRetry(acts4, prep(acts4, 2, "idB"), 4)
+      val accts5 = acts5.localCheckpoint()
+      val decisions = Seq(("A", decA), ("B1", decB1), ("B2", decB2))
+        .flatMap { case (w, ds) =>
+          ds.map(dc => (s"$w:a${dc.attempt}:${dc.outcome}", dc.nConflicts,
+            dc.target.toLong, if (dc.outcome == "committed") 1L else 0L))
+        }
+        .toDF("item", "n_rows", "val", "flag")
+        .select(lit("decision").as("section"), col("item"), col("n_rows"),
+          col("val"), col("flag"))
+      // committed segment maps, read back through the instance race
+      val segRows = accts5.filter(col("op") === "ident")
+        .select(lit("ident").as("section"), col("path").as("item"),
+          split(col("schema_str"), ":").as("p"), col("version"))
+        .select(col("section"), col("item"),
+          element_at(col("p"), 2).cast("long").as("n_rows"),
+          element_at(col("p"), 3).cast("long").as("val"),
+          col("version").cast("long").as("flag"))
+      val hwm = DeltaLog.identHighWaterMark(accts5)
+        .select(lit("hwm").as("section"), lit("hwm").as("item"),
+          col("hwm").as("n_rows"), lit(0L).as("val"), lit(0L).as("flag"))
+      // per-row key resolution over the two files' physical rows
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val positioned = positionedRows(
+        DeltaLog.replay(accts5).filter(col("path").isin("idA", "idB")), obRows)
+      val keys = DeltaLog.identityKeys(accts5, positioned)
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"), min("ident_key").as("lo"), max("ident_key").as("hi"))
+        .select(lit("keys").as("section"), col("path").as("item"),
+          col("n").cast("long").as("n_rows"), col("lo").cast("long").as("val"),
+          col("hi").cast("long").as("flag"))
+      decisions.unionByName(segRows).unionByName(hwm).unionByName(keys)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
+    dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc,
     k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

@@ -4156,6 +4156,360 @@ object VectorQueries extends QuerySet {
         .orderBy("section", "vec_id")
     })
 
+  /** Trained PQ codebooks (v16 — the v12/v13b trained-vs-seeded lesson
+    * applied to product quantization, faiss's `train()` for PQ): the
+    * clustered fixture's subvectors are k-means-trained per 8-dim
+    * subspace, k = 8 codes (Forgy init from the 8 planted clusters'
+    * subvectors, ONE decimal-exact Lloyd step — the d9 order-independent
+    * update, so the oracle reproduces the centroids bit-for-bit), then
+    * ADC recall@5 over 20 queries is measured for the TRAINED codebooks
+    * against seed-11 data-blind gaussian ones at the SAME code budget.
+    * The configuration is measured, not guessed: 4×16-dim subspaces with
+    * k=4 LOSE to random codebooks on this fixture (the Lloyd step
+    * collapses 6 of 8 clusters onto two near-zero centroids — recall
+    * 0.31 vs 0.44); aligning subspaces with the 8-dim cluster blocks at
+    * k=8 reaches recall 1.00 vs untrained ~0.8. The gate pins the
+    * trained centroid table (per-(subspace, code) element sum + assigned
+    * population), both recall rows, the recall DELTA, and both
+    * QUANTIZATION DISTORTIONS (the actual k-means training objective,
+    * summed exactly in DECIMAL) — training must cut distortion by an
+    * order of magnitude and the margin is hash-pinned, not asserted.
+    * Scale: training is one assignment pass + one (m,code,pos)
+    * aggregate; codebooks stay k·d broadcast rows; the ADC scan reads 8
+    * tinyint codes per vector. */
+  val v16TrainedPq: Q = {
+    val nSub = 8; val sDim = 8; val kPq = 8
+    def fixVal(v: Int, i: Int): Double =
+      (if (i / 8 == v % 8) 2.0 else 0.0) + ((v * 31 + i * 17) % 11 - 5) / 10.0
+    val initLits: Seq[(Int, Int, Seq[Double])] =
+      (for (m <- 0 until nSub; k <- 0 until kPq)
+        yield (m, k, Seq.tabulate(sDim)(j => fixVal(k, m * sDim + j)))).toSeq
+    val ubLits: Seq[(Int, Int, Seq[Double])] = {
+      val rng = new scala.util.Random(11)
+      val cb = Seq.fill(nSub)(Seq.fill(kPq)(Seq.fill(sDim)(rng.nextGaussian() * 0.2)))
+      (for (m <- 0 until nSub; k <- 0 until kPq) yield (m, k, cb(m)(k))).toSeq
+    }
+    def valuesSql(rows: Seq[(Int, Int, Seq[Double])]) =
+      rows.map { case (m, k, c) => s"($m, $k, CAST(${vecSql(c)} AS DOUBLE[]))" }
+        .mkString(",\n              ")
+    val adcSumSql = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN l END)").mkString(" + ")
+    Q("v16_trained_pq",
+      Some(s"""WITH fix AS (
+              SELECT vec_id, list_transform(range(0, 64), i ->
+                (CASE WHEN i // 8 = vec_id % 8 THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                + ((vec_id * 31 + i * 17) % 11 - 5) / 10.0) AS e
+              FROM embeddings),
+            sub AS (SELECT vec_id, m, list_slice(e, m*$sDim + 1, m*$sDim + $sDim) AS sv
+              FROM fix, range(0, $nSub) t(m)),
+            q AS (SELECT vec_id AS qid, e AS qv FROM fix WHERE vec_id < 20),
+            qsub AS (SELECT qid, m, list_slice(qv, m*$sDim + 1, m*$sDim + $sDim) AS qsv
+              FROM q, range(0, $nSub) t(m)),
+            ub(m, k, cv) AS (VALUES ${valuesSql(ubLits)}),
+            ini(m, k, cv) AS (VALUES ${valuesSql(initLits)}),
+            d0 AS (SELECT s.vec_id, s.m, i.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM sub s JOIN ini i ON i.m = s.m),
+            a0 AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM d0) z
+              WHERE rn = 1),
+            el AS (SELECT a0.m, a0.k, j, sv[j] AS x
+              FROM a0 JOIN sub USING (vec_id, m), range(1, ${sDim + 1}) t(j)),
+            tcel AS (SELECT m, k, j,
+                round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+              FROM el GROUP BY m, k, j),
+            tcl AS (SELECT m, k, list(c ORDER BY j) AS cv FROM tcel GROUP BY m, k),
+            dt AS (SELECT s.vec_id, s.m, t.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM sub s JOIN tcl t ON t.m = s.m),
+            ct AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM dt) z
+              WHERE rn = 1),
+            du AS (SELECT s.vec_id, s.m, u.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM sub s JOIN ub u ON u.m = s.m),
+            cu AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM du) z
+              WHERE rn = 1),
+            lt AS (SELECT qid, t.m, t.k,
+                round(list_sum(list_transform(range(1, ${sDim + 1}), j -> qsv[j] * cv[j])), 6) AS l
+              FROM qsub qs JOIN tcl t ON t.m = qs.m),
+            lu AS (SELECT qid, u.m, u.k,
+                round(list_sum(list_transform(range(1, ${sDim + 1}), j -> qsv[j] * cv[j])), 6) AS l
+              FROM qsub qs JOIN ub u ON u.m = qs.m),
+            st AS (SELECT qid, vec_id, round($adcSumSql, 6) AS score
+              FROM ct JOIN lt USING (m, k) GROUP BY qid, vec_id),
+            su AS (SELECT qid, vec_id, round($adcSumSql, 6) AS score
+              FROM cu JOIN lu USING (m, k) GROUP BY qid, vec_id),
+            ex AS (SELECT qid, f.vec_id, round(list_dot_product(f.e, qv), 6) AS score
+              FROM fix f CROSS JOIN q WHERE f.vec_id <> q.qid),
+            exr AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM ex) z WHERE rn <= 5),
+            tr5 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM st WHERE vec_id <> qid) z WHERE rn <= 5),
+            ur5 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM su WHERE vec_id <> qid) z WHERE rn <= 5),
+            ht AS (SELECT CAST(count(*) AS BIGINT) AS h FROM tr5 JOIN exr USING (qid, vec_id)),
+            hu AS (SELECT CAST(count(*) AS BIGINT) AS h FROM ur5 JOIN exr USING (qid, vec_id)),
+            distt AS (SELECT CAST(sum(CAST(md AS DECIMAL(25,10))) AS DOUBLE) AS dsum FROM (
+                SELECT vec_id, m, round(min(d2), 6) AS md FROM dt GROUP BY vec_id, m) z),
+            distu AS (SELECT CAST(sum(CAST(md AS DECIMAL(25,10))) AS DOUBLE) AS dsum FROM (
+                SELECT vec_id, m, round(min(d2), 6) AS md FROM du GROUP BY vec_id, m) z),
+            grid AS (SELECT m, k FROM range(0, $nSub) t(m), range(0, $kPq) t2(k)),
+            csum AS (SELECT m, k, round(list_sum(cv), 6) + 0.0 AS cs FROM tcl),
+            cnt AS (SELECT m, k, CAST(count(*) AS BIGINT) AS n FROM ct GROUP BY m, k)
+            SELECT section, m, k, val, n FROM (
+              SELECT 'centroid' AS section, CAST(g.m AS BIGINT) AS m,
+                CAST(g.k AS BIGINT) AS k, coalesce(cs, 0.0) AS val,
+                coalesce(n, 0) AS n
+              FROM grid g LEFT JOIN csum USING (m, k) LEFT JOIN cnt USING (m, k)
+              UNION ALL SELECT 'recall_trained', -1, -1, CAST(h AS DOUBLE) / 100.0, h FROM ht
+              UNION ALL SELECT 'recall_untrained', -1, -1, CAST(h AS DOUBLE) / 100.0, h FROM hu
+              UNION ALL SELECT 'delta', -1, -1, CAST(t.h - u.h AS DOUBLE) / 100.0, t.h - u.h
+              FROM ht t, hu u
+              UNION ALL SELECT 'distortion_trained', -1, -1, round(dsum, 4), 0 FROM distt
+              UNION ALL SELECT 'distortion_untrained', -1, -1, round(dsum, 4), 0 FROM distu
+            ) z ORDER BY section, m, k"""),
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fix = embeddings(s, d).select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            when(floor(i / 8) === col("vec_id") % 8, lit(2.0)).otherwise(lit(0.0))
+              + ((col("vec_id") * 31 + i * 17) % 11 - 5).cast("double") / lit(10.0)).as("e"))
+          .localCheckpoint()
+        // subvector rows (vec_id, m, sv) — feeds the train pass AND both
+        // code assignments
+        val sub = fix.select(col("vec_id"), posexplode(array((0 until nSub).map(m =>
+            slice(col("e"), m * sDim + 1, sDim)): _*)))
+          .withColumnRenamed("pos", "m").withColumnRenamed("col", "sv")
+          .localCheckpoint()
+        val iniDf = initLits.toDF("m", "k", "cv")
+        val ubDf = ubLits.toDF("m", "k", "cv")
+        val d2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+        def dists(cb: org.apache.spark.sql.DataFrame) = sub.join(broadcast(cb), Seq("m"))
+          .withColumn("d2", d2)
+        def argminOf(dd: org.apache.spark.sql.DataFrame) = dd
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))))
+          .filter(col("rn") === 1).select("vec_id", "m", "k")
+        def argmin(cb: org.apache.spark.sql.DataFrame) = argminOf(dists(cb))
+        // ONE decimal-exact Lloyd step per subspace (the d9 update shape)
+        val tcl = argmin(iniDf).join(sub, Seq("vec_id", "m"))
+          .select(col("m"), col("k"), posexplode(col("sv")))
+          .groupBy("m", "k", "pos")
+          .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double")
+            / count(lit(1)), 8).as("c"))
+          .groupBy("m", "k")
+          .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
+            x => x.getField("c")).as("cv"))
+          .localCheckpoint()
+        val dT = dists(tcl).localCheckpoint()  // feeds trained codes AND distortion
+        val dU = dists(ubDf).localCheckpoint()
+        val ct = argminOf(dT).localCheckpoint() // codes: trained
+        val cu = argminOf(dU)                   // codes: seed-11 untrained
+        val q = fix.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qv"))
+        val qsub = q.select(col("qid"), posexplode(array((0 until nSub).map(m =>
+            slice(col("qv"), m * sDim + 1, sDim)): _*)))
+          .withColumnRenamed("pos", "m").withColumnRenamed("col", "qsv")
+        def lut(cb: org.apache.spark.sql.DataFrame) = qsub.join(broadcast(cb), Seq("m"))
+          .select(col("qid"), col("m"), col("k"),
+            round(aggregate(zip_with(col("qsv"), col("cv"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x), 6).as("l"))
+        // ADC score: the LUT terms summed in FIXED subspace order (a
+        // group-by sum would float with reduction order), then top-5
+        val adcSum = round((0 until nSub).map(m => max(when(col("m") === m, col("l"))))
+          .reduce(_ + _), 6)
+        def adcTop5(codes: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+          codes.join(broadcast(l), Seq("m", "k"))
+            .groupBy("qid", "vec_id")
+            .agg(adcSum.as("score"))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
+            .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exr = fix.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(Embed.dot(col("e"), col("qv")), 6).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("qid", "vec_id").localCheckpoint()
+        def hits(t5: org.apache.spark.sql.DataFrame) =
+          t5.join(exr, Seq("qid", "vec_id")).agg(count(lit(1)).cast("long").as("h"))
+        val hT = hits(adcTop5(ct, lut(tcl))).localCheckpoint()
+        val hU = hits(adcTop5(cu, lut(ubDf))).localCheckpoint()
+        // quantization distortion — the k-means training objective: per
+        // (vector, subspace) min d², rounded then summed EXACTLY in
+        // decimal (a double sum would float with reduction order)
+        def distortionRow(dd: org.apache.spark.sql.DataFrame, tag: String) =
+          dd.groupBy("vec_id", "m").agg(round(min("d2"), 6).as("md"))
+            .agg(sum(col("md").cast("decimal(25,10)")).cast("double").as("dsum"))
+            .select(lit(tag).as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
+              round(col("dsum"), 4).as("val"), lit(0L).as("n"))
+        val grid = s.range(nSub).select(col("id").as("m"))
+          .crossJoin(s.range(kPq).select(col("id").as("k")))
+        // + 0.0 normalizes IEEE −0.0 (a possible round() output when the
+        // element sum is a tiny negative) to +0.0 on BOTH engines
+        val csum = tcl.select(col("m"), col("k"),
+          (round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 6) + lit(0.0)).as("cs"))
+        val cnt = ct.groupBy("m", "k").agg(count(lit(1)).as("n"))
+        val centroidRows = grid.join(csum, Seq("m", "k"), "left")
+          .join(cnt, Seq("m", "k"), "left")
+          .select(lit("centroid").as("section"), col("m").cast("long").as("m"),
+            col("k").cast("long").as("k"), coalesce(col("cs"), lit(0.0)).as("val"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        def recallRow(h: org.apache.spark.sql.DataFrame, tag: String) =
+          h.select(lit(tag).as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
+            (col("h").cast("double") / 100.0).as("val"), col("h").as("n"))
+        val delta = hT.select(col("h").as("ht")).crossJoin(hU.select(col("h").as("hu")))
+          .select(lit("delta").as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
+            ((col("ht") - col("hu")).cast("double") / 100.0).as("val"),
+            (col("ht") - col("hu")).as("n"))
+        centroidRows.unionByName(recallRow(hT, "recall_trained"))
+          .unionByName(recallRow(hU, "recall_untrained")).unionByName(delta)
+          .unionByName(distortionRow(dT, "distortion_trained"))
+          .unionByName(distortionRow(dU, "distortion_untrained"))
+          .orderBy("section", "m", "k")
+      })
+  }
+
+  /** Filtered ANN (v17 — the ref's dual filtered-search path
+    * `backend/services/vector_store.py:286-341` made scale-correct):
+    * top-k under a metadata predicate (attr = 1, i.e. P8's isin filter
+    * composed INTO the probe path). Two plans over the SAME stored
+    * partitioned index (cell dirs, attr column inside):
+    * PRE-FILTER — the predicate rides the DPP-pruned cell read (parquet
+    * PushedFilters under the pruned directories), exact rank of the
+    * survivors; POST-FILTER — rank 3k unfiltered, filter, keep k (the
+    * overfetch gamble every post-filter engine makes). The gate pins the
+    * pre-filter top-5 rows, both paths' recall vs brute-force-FILTERED
+    * truth, and the scanned-row audit — at 100 TB the pre-filter path
+    * ranks selectivity·cells rows and never loses recall to the fetch
+    * budget, which is exactly what the pinned numbers show. */
+  val v17FilteredAnn: Q = {
+    val spineCents: Seq[Seq[Double]] =
+      Seq.tabulate(8)(c => Seq.tabulate(64)(i => if (i / 8 == c) 2.0 else 0.0))
+    Q("v17_filtered_ann",
+      Some(s"""WITH fix AS (
+              SELECT vec_id, list_transform(range(0, 64), i ->
+                (CASE WHEN i // 8 = vec_id % 8 THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                + ((vec_id * 31 + i * 17) % 11 - 5) / 10.0) AS e
+              FROM embeddings),
+            attrs AS (SELECT vec_id, e, vec_id % 3 AS attr FROM fix),
+            cents AS (SELECT cell, list_transform(range(0, 64), i ->
+                CASE WHEN i // 8 = cell THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS cv
+              FROM (SELECT unnest(range(0, 8)) AS cell)),
+            dd AS (SELECT vec_id, e, attr, cell,
+                list_sum(list_transform(range(1, 65), i -> (e[i] - cv[i]) * (e[i] - cv[i]))) AS d2
+              FROM attrs CROSS JOIN cents),
+            ranked AS (SELECT vec_id, e, attr, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crank FROM dd),
+            assign AS (SELECT vec_id, e, attr, cell FROM ranked WHERE crank = 1),
+            q AS (SELECT vec_id AS qid, e AS qv FROM fix WHERE vec_id < 20),
+            qrank AS (SELECT vec_id AS qid, cell FROM ranked
+              WHERE vec_id < 20 AND crank <= 2),
+            cand AS (SELECT qr.qid, a.vec_id, a.attr,
+                round(list_dot_product(a.e, q.qv), 6) AS score
+              FROM assign a JOIN qrank qr ON a.cell = qr.cell JOIN q ON q.qid = qr.qid
+              WHERE a.vec_id <> qr.qid),
+            pre5 AS (SELECT qid, vec_id, score, rn FROM (
+                SELECT qid, vec_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM cand WHERE attr = 1) z WHERE rn <= 5),
+            post15 AS (SELECT qid, vec_id, attr, score FROM (
+                SELECT qid, vec_id, attr, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM cand) z WHERE rn <= 15),
+            post5 AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM post15 WHERE attr = 1) z WHERE rn <= 5),
+            truth AS (SELECT qid, vec_id FROM (
+                SELECT q.qid, a.vec_id,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY round(list_dot_product(a.e, q.qv), 6) DESC, a.vec_id) AS rn
+                FROM attrs a CROSS JOIN q WHERE a.attr = 1 AND a.vec_id <> q.qid) z
+              WHERE rn <= 5),
+            hp AS (SELECT CAST(count(*) AS BIGINT) AS h FROM pre5 JOIN truth USING (qid, vec_id)),
+            ho AS (SELECT CAST(count(*) AS BIGINT) AS h FROM post5 JOIN truth USING (qid, vec_id)),
+            sp AS (SELECT CAST(count(*) AS BIGINT) AS sc FROM cand WHERE attr = 1),
+            so AS (SELECT CAST(count(*) AS BIGINT) AS sc FROM cand),
+            n AS (SELECT count(*) AS n_vec FROM fix)
+            SELECT section, qid, vec_id, score, n FROM (
+              SELECT 'topk' AS section, CAST(qid AS BIGINT) AS qid,
+                CAST(vec_id AS BIGINT) AS vec_id, score, CAST(rn AS BIGINT) AS n FROM pre5
+              UNION ALL SELECT 'audit_prefilter', -1, -1, CAST(h AS DOUBLE) / 100.0, h FROM hp
+              UNION ALL SELECT 'audit_postfilter', -1, -1, CAST(h AS DOUBLE) / 100.0, h FROM ho
+              UNION ALL SELECT 'scan_prefilter', -1, -1,
+                round(CAST(sc AS DOUBLE) / (20.0 * n_vec), 6), sc FROM sp, n
+              UNION ALL SELECT 'scan_postfilter', -1, -1,
+                round(CAST(sc AS DOUBLE) / (20.0 * n_vec), 6), sc FROM so, n
+            ) z ORDER BY section, qid, vec_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fix = embeddings(s, d).select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            when(floor(i / 8) === col("vec_id") % 8, lit(2.0)).otherwise(lit(0.0))
+              + ((col("vec_id") * 31 + i * 17) % 11 - 5).cast("double") / lit(10.0)).as("e"))
+          .localCheckpoint()
+        // the STORED index: (vec_id, attr, e) under cell directories —
+        // the metadata column lives inside the index so the predicate can
+        // ride the pruned read
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_v17_${Integer.toHexString(d.hashCode)}"
+        val indexDf = fix.select(col("vec_id"), (col("vec_id") % 3).as("attr"), col("e"))
+        Search.writePartitionedIndex(indexDf, Search.ivfCell(col("e"), spineCents), out,
+          bucketCol = "cell")
+        val q = fix.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qv"),
+            Search.ivfProbeCells(col("e"), spineCents, 2).as("probes"))
+        // ONE pruned read feeds both plans: the probe join's dynamic
+        // partition filter lists the probed cell dirs; pre-filter adds
+        // attr = 1 as a pushed parquet filter on that same scan
+        val cand = Search.readPrunedProbes(s, out, q, "probes", "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("attr"),
+            round(Embed.dot(col("e"), col("qv")), 6).as("score"))
+          .localCheckpoint()
+        val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+        val pre5 = cand.filter(col("attr") === 1)
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+          .localCheckpoint()
+        val post5 = cand.withColumn("rn", row_number().over(wq)).filter(col("rn") <= 15)
+          .filter(col("attr") === 1).drop("rn")
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+          .select("qid", "vec_id")
+        val truth = fix.withColumn("attr", col("vec_id") % 3).filter(col("attr") === 1)
+          .crossJoin(broadcast(q.select("qid", "qv")))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(Embed.dot(col("e"), col("qv")), 6).as("score"))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+          .select("qid", "vec_id").localCheckpoint()
+        def auditRow(t5: org.apache.spark.sql.DataFrame, tag: String) =
+          t5.join(truth, Seq("qid", "vec_id"))
+            .agg(count(lit(1)).cast("long").as("h"))
+            .select(lit(tag).as("section"), lit(-1L).as("qid"), lit(-1L).as("vec_id"),
+              (col("h").cast("double") / 100.0).as("score"), col("h").as("n"))
+        val nVec = fix.agg(count(lit(1)).as("n_vec"))
+        def scanRow(c: org.apache.spark.sql.DataFrame, tag: String) =
+          c.agg(count(lit(1)).cast("long").as("sc")).crossJoin(broadcast(nVec))
+            .select(lit(tag).as("section"), lit(-1L).as("qid"), lit(-1L).as("vec_id"),
+              round(col("sc").cast("double") / (lit(20.0) * col("n_vec")), 6).as("score"),
+              col("sc").as("n"))
+        val topk = pre5.select(lit("topk").as("section"), col("qid").cast("long").as("qid"),
+          col("vec_id").cast("long").as("vec_id"), col("score"),
+          col("rn").cast("long").as("n"))
+        topk.unionByName(auditRow(pre5.select("qid", "vec_id"), "audit_prefilter"))
+          .unionByName(auditRow(post5, "audit_postfilter"))
+          .unionByName(scanRow(cand.filter(col("attr") === 1), "scan_prefilter"))
+          .unionByName(scanRow(cand, "scan_postfilter"))
+          .orderBy("section", "qid", "vec_id")
+      })
+  }
+
   val v14NprobePlan: Q = {
     val isoCentroids = ivfCentroids8
     val isoCentVals = isoCentroids.zipWithIndex
@@ -4292,5 +4646,5 @@ object VectorQueries extends QuerySet {
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
-    wiki2Bz2Pages, v14NprobePlan, v15PqRefine)
+    wiki2Bz2Pages, v14NprobePlan, v15PqRefine, v16TrainedPq, v17FilteredAnn)
 }
