@@ -1522,26 +1522,64 @@ object DeltaLog {
     * atomic commit): if the log already records `appId` at an epoch ≥
     * this one, the WHOLE batch is a no-op (`skipped_duplicate` — the
     * replay after a checkpoint restart); otherwise the prepared
-    * transaction goes through [[commitWithRetry]] carrying its txn
-    * action IN the same commit, so data and epoch marker land atomically
-    * or not at all — a crash between them is impossible by construction.
-    * Driver work: ONE idempotence probe (log-sized aggregate) plus the
-    * retry loop's per-attempt listing; the data plane moved before this
-    * was called, exactly like every other commit. */
+    * transaction commits carrying its txn action IN the same commit, so
+    * data and epoch marker land atomically or not at all — a crash
+    * between them is impossible by construction.
+    *
+    * This is [[commitWithRetry]]'s rebase-until-commit loop with the
+    * idempotence check FUSED into the per-attempt probe: head +
+    * last-committed epoch + conflict count in ONE driver action (a
+    * streaming sink pays this path once per micro-batch, and a separate
+    * lastTxnVersion collect per epoch doubled the loop's scheduling
+    * floor for no information — the dl24 lesson applied to the epoch
+    * probe). The duplicate path runs the probe and touches NOTHING
+    * else; commits renumber the stamped transaction directly (the probe
+    * just proved the conflict set empty, same argument as the dl24
+    * loop) and checkpoint the extended log on one partition. */
   def commitEpochIdempotent(acts0: DataFrame, txn: DataFrame, appId: String, epoch: Long,
                             readVersion: Int, maxAttempts: Int = 10,
                             contention: Int => Option[DataFrame] = _ => None): (DataFrame, EpochOutcome) = {
-    val last = lastTxnVersion(acts0, appId).head().getLong(0)
-    if (epoch <= last) (acts0, EpochOutcome(appId, epoch, "skipped_duplicate", Nil))
-    else {
-      // ordinal 100000: after every data action of the transaction (adds
-      // use the ≥1000 convention) — the version is provisional, the
-      // retry loop renumbers the whole transaction to its slot
-      val stamped = txn.unionByName(
-        txnAction(acts0.sparkSession, 0, 100000, appId, epoch))
-      val (acts1, dec) = commitWithRetry(acts0, stamped, readVersion, maxAttempts, contention)
-      (acts1, EpochOutcome(appId, epoch, "committed", dec))
+    // ordinal 100000: after every data action of the transaction (adds
+    // use the ≥1000 convention) — the version is provisional, the commit
+    // renumbers the whole transaction to its slot. NOT materialized: a
+    // single clean attempt evaluates it once in the probe and once in
+    // the commit union — cheaper than a checkpoint job per epoch.
+    val stamped = txn.unionByName(
+      txnAction(acts0.sparkSession, 0, 100000, appId, epoch))
+    var acts = acts0
+    val decisions = scala.collection.mutable.Buffer.empty[CommitAttempt]
+    var attempt = 0
+    var outcome: String = null
+    while (outcome == null && attempt < maxAttempts) {
+      attempt += 1
+      val probe = acts.agg(max(col("version")).as("head"))
+        .crossJoin(lastTxnVersion(acts, appId))
+        .crossJoin(rebaseConflicts(stamped, acts, readVersion).agg(count(lit(1)).as("nc")))
+        .head()
+      val head = probe.getInt(0)
+      val last = probe.getLong(1)
+      val nConf = probe.getLong(2)
+      val target = head + 1
+      if (epoch <= last) {
+        outcome = "skipped_duplicate"
+      } else if (nConf > 0) {
+        decisions += CommitAttempt(attempt, target, nConf, "abort_conflict")
+        outcome = "abort_conflict"
+      } else contention(attempt) match {
+        case Some(concurrent) =>
+          acts = acts.unionByName(concurrent).coalesce(1).localCheckpoint()
+          decisions += CommitAttempt(attempt, target, 0L, "retry_version_taken")
+        case None =>
+          acts = acts.unionByName(stamped.withColumn("version", lit(target)))
+            .coalesce(1).localCheckpoint()
+          decisions += CommitAttempt(attempt, target, 0L, "committed")
+          outcome = "committed"
+      }
     }
+    if (outcome == null)
+      throw new IllegalStateException(
+        s"commitEpochIdempotent: no commit after $maxAttempts attempts (livelock bound)")
+    (acts, EpochOutcome(appId, epoch, outcome, decisions.toSeq))
   }
 
   // ---- generated coverage: bucket = floor(key / W) enforced (dl32) ----------

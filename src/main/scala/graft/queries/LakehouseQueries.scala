@@ -3644,8 +3644,13 @@ object LakehouseQueries extends QuerySet {
     (s, d) => {
       import s.implicits._
       val ord = orders(s, d)
-      val b = DeltaLog.buckets(ord).coalesce(1).localCheckpoint()
-      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).localCheckpoint()
+      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).coalesce(1).localCheckpoint()
+      // per-bucket stats from the v0 add actions — logLines already paid
+      // the orders aggregation; a DeltaLog.buckets(ord) here would scan
+      // the data a second time for numbers the log carries (dl13 lesson)
+      val b = acts3.filter(col("version") === 0 && col("op") === "add")
+        .select(element_at(col("buckets"), 1).as("bucket"), col("n_rows"),
+          col("min_key"), col("max_key"), col("cents"))
       def epAdd(bucket: Int, path: String) = DeltaLog.addAction(
         b.filter(col("bucket") === bucket).select("n_rows", "min_key", "max_key", "cents"),
         90, 1000, path, array(lit(bucket.toLong)))
@@ -3792,7 +3797,7 @@ object LakehouseQueries extends QuerySet {
       val log4 = logBase.unionByName(DeltaLog.toLines(
         DeltaLog.dvAction(live0, "part-5", 4, 0,
           filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))))
-      val acts4 = DeltaLog.actions(log4).localCheckpoint()
+      val acts4 = DeltaLog.actions(log4).coalesce(1).localCheckpoint()
       val live4 = DeltaLog.replay(acts4)
       val dvs4 = DeltaLog.deletionVectors(acts4)
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
@@ -3803,8 +3808,11 @@ object LakehouseQueries extends QuerySet {
       // the key, the log layer never rescans)
       val srcKeys = ord.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), lit(1).as("_m"))
+      // broadcast: the source KEY SET of a MERGE delta is small relative
+      // to the table (the sync-a-dimension shape); a too-big source falls
+      // back to the one key shuffle the docstring describes
       val rws4 = positionedRows(live4, obRows)
-        .join(srcKeys, Seq("o_orderkey"), "left")
+        .join(broadcast(srcKeys), Seq("o_orderkey"), "left")
         .withColumn("is_matched", col("_m").isNotNull).drop("_m")
         .localCheckpoint()
       val matched = col("is_matched")
@@ -3838,7 +3846,8 @@ object LakehouseQueries extends QuerySet {
       // THE operator under test
       val mrg = DeltaLog.mergeActionsBySource(live4, dvs4, rws4, matched, nmbsCond,
         5, adds, nIns).localCheckpoint()
-      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(mrg))).localCheckpoint()
+      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(mrg)))
+        .coalesce(1).localCheckpoint()
       // post-merge content: surviving old-file rows + both rewrite files
       val del5 = DeltaLog.deletionVectors(acts5)
         .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
@@ -3847,10 +3856,12 @@ object LakehouseQueries extends QuerySet {
       val oldRows = rws4.join(broadcast(oldPaths), Seq("path"))
         .join(broadcast(del5), Seq("path", "pos"), "left").filter(col("hit").isNull)
         .select("path", "o_orderkey", "cents")
+      // no ckpt: both consumers (post, s1) are branches of the ONE output
+      // job over checkpointed inputs — a materialization here is a whole
+      // scheduling-floor job to save a cheap re-union (the dl25 rule)
       val postAll = oldRows
         .unionByName(updc.select(lit("mrg-upd").as("path"), col("o_orderkey"), col("cents")))
         .unionByName(insc.select(lit("mrg-ins").as("path"), col("o_orderkey"), col("cents")))
-        .localCheckpoint()
       val post = postAll.groupBy("path")
         .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
         .select(lit("post").as("section"), col("path").as("item"),
@@ -3938,8 +3949,11 @@ object LakehouseQueries extends QuerySet {
     (s, d) => {
       import s.implicits._
       val ord = orders(s, d)
-      val b = DeltaLog.buckets(ord).coalesce(1).localCheckpoint()
-      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).localCheckpoint()
+      val acts3 = DeltaLog.actions(DeltaLog.logLines(ord)).coalesce(1).localCheckpoint()
+      // bucket stats from the v0 adds — no second orders scan (dl13 rule)
+      val b = acts3.filter(col("version") === 0 && col("op") === "add")
+        .select(element_at(col("buckets"), 1).as("bucket"), col("n_rows"),
+          col("min_key"), col("max_key"), col("cents"))
       def prep(acts: org.apache.spark.sql.DataFrame, bucket: Int, path: String) = {
         val add = DeltaLog.addAction(
           b.filter(col("bucket") === bucket).select("n_rows", "min_key", "max_key", "cents"),
