@@ -833,6 +833,106 @@ object DeltaLog {
       .unionByName(guarded).unionByName(cardGuard)
   }
 
+  /** INSERT OVERWRITE ... REPLACE WHERE (Delta's `replaceWhere` write
+    * option — the partition-overwrite verb generalized to an arbitrary
+    * predicate): every LIVE row matching `pred` leaves through
+    * [[deleteActions]]' dv/remove derivation and the caller's new
+    * content arrives as `add` rows — one atomic transaction, so a reader
+    * never sees the region half-swapped. The new content need NOT
+    * correspond to the old rows (that is what distinguishes REPLACE from
+    * UPDATE — no cardinality invariant); the invariant real Delta
+    * enforces instead is CONTAINMENT: written data must itself satisfy
+    * the predicate, or rows would land outside the region the user
+    * declared they were replacing (and a later REPLACE of a disjoint
+    * region would silently miss them). The log layer checks it against
+    * each add's committed STATS via `statsGuard` — the caller's
+    * stats-level translation of `pred` (e.g. min_key ≥ lo ∧ max_key ≤ hi
+    * for a key-range predicate); an add whose stats violate the guard,
+    * or whose stats are null (unverifiable), raises through the
+    * anti-elidable guard-row branch. Work: the ONE data pass the
+    * predicate needs; guards are log-sized. */
+  def replaceWhereActions(live: DataFrame, dvs: DataFrame, positioned: DataFrame,
+                          pred: org.apache.spark.sql.Column, version: Int,
+                          adds: DataFrame,
+                          statsGuard: org.apache.spark.sql.Column): DataFrame = {
+    val guarded = adds.withColumn("version",
+      when(col("version") =!= version,
+        raise_error(concat(lit(s"replaceWhere add outside transaction version $version: "),
+          col("path"))))
+        .otherwise(col("version")))
+    val boom = guardBoom(raise_error(concat(
+      lit("replaceWhere add outside the declared predicate region: "), col("path"))))
+    val rangeGuard = adds.filter(col("op") === "add")
+      .filter(!coalesce(statsGuard, lit(false)))
+      .select(Seq(boom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        boom.cast(StringType).as("op"), boom.cast(StringType).as("path")) ++ nullStatCols ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    deleteActions(live, dvs, positioned, pred, version)
+      .unionByName(guarded).unionByName(rangeGuard)
+  }
+
+  /** REORG TABLE ... APPLY (PURGE) (the Delta verb): rewrite every live
+    * file carrying a deletion vector into its net form and RETIRE the
+    * mask — the maintenance pass that turns merge-on-read debt back into
+    * clean files (vacuum can then free the old instances, and readers
+    * stop paying the mask subtraction on every scan). Strictly
+    * read-neutral: the replayed rowset before and after is identical,
+    * which the dl37 gate hash-proves. Per masked live file: one `remove`
+    * (ordinal = its lead bucket — the optimizeActions single-bucket
+    * keying convention) and one `add` of `purged-<path>` carrying the
+    * caller's NET-of-mask stats under the SAME bucket coverage, no dv
+    * (the retired mask dies with the removed instance — the dl14/dl15
+    * rule). `netStats` (path, n_rows, min_key, max_key, cents) comes
+    * from the caller because computing it reads data, which the rewrite
+    * pays anyway; three row-path guards keep the contract loud: a masked
+    * file with NO net stats raises (a silent skip would leave the mask
+    * debt half-paid while claiming the reorg ran), a net-stats row for a
+    * path that is not masked-live raises (caller confusion — purging an
+    * unmasked file is a no-op that must not emit a rewrite), and net
+    * rows ≠ gross − masked raises (a rewrite that dropped or invented
+    * rows). Unmasked files emit NOTHING — reorg is a diff, not a
+    * rewrite of the table. */
+  def reorgPurgeActions(live: DataFrame, dvs: DataFrame, netStats: DataFrame,
+                        version: Int): DataFrame = {
+    val maskedLive = live
+      .select(col("path"), col("buckets"), col("n_rows").as("gross_rows"))
+      .join(dvs.select(col("path"), size(col("dv")).as("n_masked")), Seq("path"))
+    val ns = netStats.select(col("path"), col("n_rows").as("net_rows"),
+      col("min_key").as("net_min"), col("max_key").as("net_max"),
+      col("cents").as("net_cents"))
+    val paired = maskedLive.join(ns.withColumn("_ns", lit(1)), Seq("path"), "left")
+      .withColumn("net_rows",
+        when(col("_ns").isNull,
+          raise_error(concat(lit("reorg purge: masked file without net stats: "), col("path"))))
+          .when(col("net_rows") =!= col("gross_rows") - col("n_masked"),
+            raise_error(concat(lit("reorg purge: net cardinality disagrees with mask: "),
+              col("path"))))
+          .otherwise(col("net_rows")))
+      .withColumn("ord", element_at(col("buckets"), 1).cast(IntegerType))
+    val removes = paired
+      .select(Seq(lit(version).as("version"), col("ord").as("ordinal"),
+        lit("remove").as("op"), col("path")) ++ nullStatCols ++
+        (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    val rewrites = paired
+      .select(lit(version).as("version"), (lit(1000) + col("ord")).cast(IntegerType).as("ordinal"),
+        lit("add").as("op"), concat(lit("purged-"), col("path")).as("path"),
+        col("buckets"),
+        col("net_rows").cast(LongType).as("n_rows"), col("net_min").cast(LongType).as("min_key"),
+        col("net_max").cast(LongType).as("max_key"), col("net_cents").cast(LongType).as("cents"),
+        lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+        lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+        lit(null).cast(IntegerType).as("min_writer"))
+    // stray net-stats rows: anti-join branch (the deleteActions ghost
+    // pattern — a when-chain check could be join-elided)
+    val strayBoom = guardBoom(raise_error(concat(
+      lit("reorg purge: net stats for a path that is not masked-live: "), col("path"))))
+    val stray = ns.join(maskedLive.select("path"), Seq("path"), "left_anti")
+      .select(Seq(strayBoom.cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        strayBoom.cast(StringType).as("op"), strayBoom.cast(StringType).as("path")) ++
+        nullStatCols ++ (lit(null).cast(ArrayType(LongType)).as("dv") +: nullTailCols): _*)
+    removes.unionByName(rewrites).unionByName(stray)
+  }
+
   /** UPDATE WHERE, derived THROUGH the log (the verb users type far more
     * often than MERGE, gated so the derivation is pinned rather than
     * implied): the matched LIVE rows leave through [[deleteActions]]'

@@ -721,9 +721,16 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<pos:int,gram:string>>")).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-    val marked = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("c") >= 2).select("doc_id", "pos")
+    // hot-gram marking via hash AGGREGATE, not a count-over-window: the
+    // window form sorts the whole gram table by the 8-token STRING key
+    // before counting; the aggregate hashes it (one shuffle, no sort) and
+    // re-emits only the duplicated positions (r14 — d11 sat in the 4.4-5 s
+    // band and the sort was its single data-sized extra pass)
+    val marked = grams.groupBy("gram")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.pos").as("pos"))
     // two length-w intervals [p1, p1+w) and [p2, p2+w), p2 > p1, belong to
     // one maximal span iff p2 <= p1 + w (overlap or touch) — first row's
     // NULL lag falls to the otherwise(0) branch and opens island 0

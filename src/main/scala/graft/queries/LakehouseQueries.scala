@@ -4004,12 +4004,270 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** REPLACE WHERE (dl36 — Delta's `replaceWhere` write option, the
+    * partition-overwrite verb generalized to a predicate): v4 atomically
+    * swaps the key region [2W, 4.5W] — every live row in range leaves
+    * through the dv/remove derivation (part-3 and append-0 fall entirely
+    * inside and become bare removes; part-4 is cut mid-file and gets a
+    * mask) and the NEW region content (the even keys of the range —
+    * note: including bucket-2 keys that were NOT live, REPLACE admits
+    * arbitrary in-region content) arrives as `rw-4`. The containment
+    * invariant — written data must satisfy the predicate — is enforced
+    * against the add's committed stats (Round14Spec pins the raise).
+    * The gate pins the transaction rows, per-file post state, CDF
+    * delete/insert, and ground truth: post rowset ≡ the oracle's direct
+    * keep-or-replace CTE. */
+  val dl36ReplaceWhere = {
+    val lo = 2 * DeltaLog.W; val hi = 4 * DeltaLog.W + DeltaLog.W / 2
+    Q("dl36_replace_where",
+      Some(s"""WITH ${DeltaLog.actionsSql},
+            live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            rws AS (
+              SELECT f.path, f.n_rows AS f_rows, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM live3 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dead AS (SELECT path, f_rows, o_orderkey, cents FROM rws
+              WHERE o_orderkey BETWEEN $lo AND $hi),
+            repl AS (
+              SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey BETWEEN $lo AND $hi AND o_orderkey % 2 = 0),
+            masks AS (SELECT path, f_rows, CAST(count(*) AS BIGINT) AS n_masked
+              FROM dead GROUP BY path, f_rows),
+            txnrows AS (
+              SELECT CASE WHEN n_masked = f_rows THEN 'remove:' || path
+                          ELSE 'dv:' || path END AS item,
+                CASE WHEN n_masked = f_rows THEN CAST(0 AS BIGINT) ELSE n_masked END AS n_rows
+              FROM masks),
+            rstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM repl),
+            dstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM dead),
+            postall AS (
+              SELECT path, o_orderkey, cents FROM rws
+              WHERE o_orderkey NOT BETWEEN $lo AND $hi
+              UNION ALL SELECT 'rw-4', o_orderkey, cents FROM repl),
+            post AS (SELECT path, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(cents) AS BIGINT) AS cents_live FROM postall GROUP BY path),
+            sig1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM postall),
+            replcte AS (
+              SELECT o_orderkey, cents FROM rws WHERE o_orderkey NOT BETWEEN $lo AND $hi
+              UNION ALL SELECT o_orderkey, cents FROM repl),
+            sig2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM replcte)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'txn' AS section, item, n_rows, CAST(0 AS BIGINT) AS cents,
+                CAST(0 AS BIGINT) AS flag FROM txnrows
+              UNION ALL SELECT 'txn', 'add:rw-4', n, c, CAST(1 AS BIGINT) FROM rstat
+              UNION ALL SELECT 'post', path, n_live, cents_live, CAST(0 AS BIGINT) FROM post
+              UNION ALL SELECT 'cdf', 'delete', n, c, k FROM dstat
+              UNION ALL SELECT 'cdf', 'insert', n, c, k FROM rstat
+              UNION ALL SELECT 'check', 'post_rowset', n, c, k FROM sig1
+              UNION ALL SELECT 'check', 'replace_cte', n, c, k FROM sig2
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM sig1) = (SELECT n FROM sig2)
+                      AND (SELECT c FROM sig1) = (SELECT c FROM sig2)
+                      AND (SELECT k FROM sig1) = (SELECT k FROM sig2)
+                     THEN 1 ELSE 0 END AS BIGINT)
+            ) t ORDER BY section, item"""),
+      (s, d) => {
+        import org.apache.spark.sql.types.{ArrayType, LongType}
+        val ord = orders(s, d)
+        val logBase = DeltaLog.logLines(ord).localCheckpoint()
+        val acts3 = DeltaLog.actions(logBase).coalesce(1).localCheckpoint()
+        val live3 = DeltaLog.replay(acts3)
+        val dvs3 = DeltaLog.deletionVectors(acts3) // none at v3
+        val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        // feeds the delete derivation, the post read, the CDF delete row
+        // AND both ground-truth signatures
+        val rws = positionedRows(live3, obRows).localCheckpoint()
+        val pred = col("o_orderkey").between(lo, hi)
+        // the replacement region content: arbitrary in-region rows (the
+        // even keys — includes never-live bucket-2 keys)
+        val repl = ord.filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .localCheckpoint()
+        val rStats = repl.agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+        val adds = DeltaLog.addAction(rStats, 4, 1000, "rw-4",
+          lit(null).cast(ArrayType(LongType)))
+        // THE operator under test — containment checked against stats
+        val rw = DeltaLog.replaceWhereActions(live3, dvs3, rws, pred, 4, adds,
+          col("min_key") >= lo && col("max_key") <= hi).localCheckpoint()
+        val acts4 = DeltaLog.actions(logBase.unionByName(DeltaLog.toLines(rw)))
+          .coalesce(1).localCheckpoint()
+        val del4 = DeltaLog.deletionVectors(acts4)
+          .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+        val oldPaths = DeltaLog.replay(acts4).filter(col("path") =!= "rw-4").select("path")
+        val oldRows = rws.join(broadcast(oldPaths), Seq("path"))
+          .join(broadcast(del4), Seq("path", "pos"), "left").filter(col("hit").isNull)
+          .select("path", "o_orderkey", "cents")
+        val postAll = oldRows
+          .unionByName(repl.select(lit("rw-4").as("path"), col("o_orderkey"), col("cents")))
+        val post = postAll.groupBy("path")
+          .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
+          .select(lit("post").as("section"), col("path").as("item"),
+            col("n_live").cast("long").as("n_rows"), col("cents_live").cast("long").as("cents"),
+            lit(0L).as("flag"))
+        val txn = rw.select(lit("txn").as("section"),
+          concat(col("op"), lit(":"), col("path")).as("item"),
+          when(col("op") === "dv", size(col("dv")).cast("long"))
+            .otherwise(when(col("op") === "add", col("n_rows")).otherwise(lit(0L))).as("n_rows"),
+          when(col("op") === "add", col("cents")).otherwise(lit(0L)).as("cents"),
+          when(col("op") === "add", 1L).otherwise(0L).as("flag"))
+        def sig(df: org.apache.spark.sql.DataFrame, section: String, item: String) =
+          df.agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+            .select(lit(section).as("section"), lit(item).as("item"),
+              col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+              col("k").cast("long").as("flag"))
+        val cdf = sig(rws.filter(pred), "cdf", "delete")
+          .unionByName(sig(repl, "cdf", "insert"))
+        val replCte = rws.filter(!pred).select("o_orderkey", "cents").unionByName(repl)
+        val s1 = sig(postAll.select("o_orderkey", "cents"), "check", "post_rowset")
+        val s2 = sig(replCte, "check", "replace_cte")
+        val eq = s1.select(col("n_rows").as("n1"), col("cents").as("c1"), col("flag").as("k1"))
+          .crossJoin(s2.select(col("n_rows").as("n2"), col("cents").as("c2"), col("flag").as("k2")))
+          .select(lit("check").as("section"), lit("equal").as("item"),
+            lit(0L).as("n_rows"), lit(0L).as("cents"),
+            (col("n1") === col("n2") && col("c1") === col("c2") && col("k1") === col("k2"))
+              .cast("long").as("flag"))
+        txn.unionByName(post).unionByName(cdf).unionByName(s1).unionByName(s2)
+          .unionByName(eq)
+          .orderBy("section", "item")
+      })
+  }
+
+  /** REORG PURGE (dl37 — Delta's `REORG TABLE ... APPLY (PURGE)`): v4
+    * masks part-5 (pos ≡ 3 mod 7) and part-4 (pos ≡ 1 mod 3); v5 purges
+    * — each masked file becomes remove + `purged-` add carrying
+    * NET-of-mask stats under the same coverage, masks retired with the
+    * dead instances, unmasked files untouched. Read-NEUTRAL by
+    * construction, and the gate hash-proves it: the pre-purge masked
+    * read and the post-purge clean read produce identical signatures
+    * (a purge that resurrected masked rows or dropped survivors
+    * mismatches). The post-purge effective-mask count (0) is pinned —
+    * readers stop paying the mask subtraction, which is the entire
+    * point of the verb at 100 TB. */
+  val dl37ReorgPurge = Q("dl37_reorg_purge",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            live3 AS (SELECT * FROM ${DeltaLog.liveSql("3")} t),
+            rws AS (
+              SELECT f.path, f.n_rows AS f_rows, o.o_orderkey,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY f.path ORDER BY o.o_orderkey) - 1 AS pos
+              FROM live3 f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            dv AS (
+              SELECT path, pos FROM rws WHERE path = 'part-5' AND pos % 7 = 3
+              UNION ALL SELECT path, pos FROM rws WHERE path = 'part-4' AND pos % 3 = 1),
+            net AS (
+              SELECT r.path, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(r.cents) AS BIGINT) AS c, CAST(sum(r.o_orderkey) AS BIGINT) AS k
+              FROM rws r LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos
+              WHERE d.pos IS NULL AND r.path IN ('part-5', 'part-4')
+              GROUP BY r.path),
+            prerows AS (
+              SELECT r.path, r.o_orderkey, r.cents FROM rws r
+              LEFT JOIN dv d ON d.path = r.path AND d.pos = r.pos WHERE d.pos IS NULL),
+            postrows AS (
+              SELECT CASE WHEN path IN ('part-5', 'part-4')
+                     THEN 'purged-' || path ELSE path END AS path, o_orderkey, cents
+              FROM prerows),
+            post AS (SELECT path, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(cents) AS BIGINT) AS cents_live FROM postrows GROUP BY path),
+            sig1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM prerows),
+            sig2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+              CAST(sum(o_orderkey) AS BIGINT) AS k FROM postrows)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'txn' AS section, 'remove:' || path AS item, CAST(0 AS BIGINT) AS n_rows,
+                CAST(0 AS BIGINT) AS cents, CAST(0 AS BIGINT) AS flag FROM net
+              UNION ALL SELECT 'txn', 'add:purged-' || path, n, c, CAST(1 AS BIGINT) FROM net
+              UNION ALL SELECT 'post', path, n_live, cents_live, CAST(0 AS BIGINT) FROM post
+              UNION ALL SELECT 'state', 'n_effective_dvs', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'check', 'pre_masked_read', n, c, k FROM sig1
+              UNION ALL SELECT 'check', 'post_clean_read', n, c, k FROM sig2
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM sig1) = (SELECT n FROM sig2)
+                      AND (SELECT c FROM sig1) = (SELECT c FROM sig2)
+                      AND (SELECT k FROM sig1) = (SELECT k FROM sig2)
+                     THEN 1 ELSE 0 END AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val logBase = DeltaLog.logLines(ord).localCheckpoint()
+      val live0 = DeltaLog.snapshot(logBase)
+      val log4 = logBase
+        .unionByName(DeltaLog.toLines(DeltaLog.dvAction(live0, "part-5", 4, 0,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 7 === 3))))
+        .unionByName(DeltaLog.toLines(DeltaLog.dvAction(live0, "part-4", 4, 1,
+          filter(sequence(lit(0L), col("n_rows") - 1), p => p % 3 === 1))))
+      val acts4 = DeltaLog.actions(log4).coalesce(1).localCheckpoint()
+      val live4 = DeltaLog.replay(acts4)
+      val dvs4 = DeltaLog.deletionVectors(acts4)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // feeds net stats, the pre-purge read AND the post-purge read
+      val rws = positionedRows(live4, obRows).localCheckpoint()
+      val del4 = dvs4.select(col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
+      // survivors of the two masked files — the rewrite the purge pays
+      val netRows = rws.join(broadcast(del4), Seq("path", "pos"), "left")
+        .filter(col("hit").isNull).drop("hit").localCheckpoint()
+      val netStats = netRows.filter(col("path").isin("part-5", "part-4"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      // THE operator under test
+      val purge = DeltaLog.reorgPurgeActions(live4, dvs4, netStats, 5).localCheckpoint()
+      val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(purge)))
+        .coalesce(1).localCheckpoint()
+      // post-purge read: live files + masks as a READER would resolve them
+      val del5 = DeltaLog.deletionVectors(acts5)
+      val postRows = netRows.withColumn("path",
+        when(col("path").isin("part-5", "part-4"),
+          concat(lit("purged-"), col("path"))).otherwise(col("path")))
+      val post = postRows.groupBy("path")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
+        .select(lit("post").as("section"), col("path").as("item"),
+          col("n_live").cast("long").as("n_rows"), col("cents_live").cast("long").as("cents"),
+          lit(0L).as("flag"))
+      val txn = purge.select(lit("txn").as("section"),
+        concat(col("op"), lit(":"), col("path")).as("item"),
+        when(col("op") === "add", col("n_rows")).otherwise(lit(0L)).as("n_rows"),
+        when(col("op") === "add", col("cents")).otherwise(lit(0L)).as("cents"),
+        when(col("op") === "add", 1L).otherwise(0L).as("flag"))
+      // the verb's payoff, pinned: zero effective masks after the purge
+      val ndv = del5.agg(count(lit(1)).as("n"))
+        .select(lit("state").as("section"), lit("n_effective_dvs").as("item"),
+          col("n").cast("long").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag"))
+      def sig(df: org.apache.spark.sql.DataFrame, item: String) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("c"), sum("o_orderkey").as("k"))
+          .select(lit("check").as("section"), lit(item).as("item"),
+            col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+            col("k").cast("long").as("flag"))
+      val s1 = sig(netRows, "pre_masked_read")
+      val s2 = sig(postRows, "post_clean_read")
+      val eq = s1.select(col("n_rows").as("n1"), col("cents").as("c1"), col("flag").as("k1"))
+        .crossJoin(s2.select(col("n_rows").as("n2"), col("cents").as("c2"), col("flag").as("k2")))
+        .select(lit("check").as("section"), lit("equal").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"),
+          (col("n1") === col("n2") && col("c1") === col("c2") && col("k1") === col("k2"))
+            .cast("long").as("flag"))
+      txn.unionByName(post).unionByName(ndv).unionByName(s1).unionByName(s2)
+        .unionByName(eq)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
     dl17DeleteWhere, dl18Merge, dl19ProtocolGate, dl20Restore, dl21OccRebase, dl22ColumnMapping,
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
-    dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc,
+    dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc, dl36ReplaceWhere, dl37ReorgPurge,
     k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

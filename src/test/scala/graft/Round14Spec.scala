@@ -200,6 +200,78 @@ class Round14Spec extends SparkSpec {
     assert(ex.getMessage.contains("merge rewrite cardinality mismatch"), ex.getMessage)
   }
 
+  // ---- dl36: REPLACE WHERE containment guard -------------------------------
+
+  test("replaceWhereActions raises when written data falls outside the predicate region") {
+    import spark.implicits._
+    val acts = frame(add(0, 0, "a", 10L, 1L, 100L)).localCheckpoint()
+    val live = DeltaLog.replay(acts)
+    val dvs = DeltaLog.deletionVectors(acts)
+    val positioned = (0L until 10L).map(p => ("a", p, p * 10 + 1, 100L))
+      .toDF("path", "pos", "o_orderkey", "cents")
+    val pred = col("o_orderkey").between(1, 50)
+    def addWith(minK: Long, maxK: Long) = DeltaLog.addAction(
+      spark.range(1).select(lit(3L).as("n_rows"), lit(minK).as("min_key"),
+        lit(maxK).as("max_key"), lit(300L).as("cents")),
+      1, 1000, "rw", lit(null).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+    val guard = col("min_key") >= 1 && col("max_key") <= 50
+    // in-region content commits
+    val ok = DeltaLog.replaceWhereActions(live, dvs, positioned, pred, 1,
+      addWith(5, 45), guard).collect()
+    assert(ok.exists(r => r.getString(2) == "add" && r.getString(3) == "rw"))
+    // content leaking past the region raises — the Delta replaceWhere
+    // containment invariant
+    val ex = intercept[Exception] {
+      DeltaLog.replaceWhereActions(live, dvs, positioned, pred, 1,
+        addWith(5, 77), guard).collect()
+    }
+    assert(ex.getMessage.contains("outside the declared predicate region"), ex.getMessage)
+    // unverifiable (null) stats are not silently admitted
+    val nullAdd = addWith(5, 45).withColumn("max_key",
+      lit(null).cast(org.apache.spark.sql.types.LongType))
+    val ex2 = intercept[Exception] {
+      DeltaLog.replaceWhereActions(live, dvs, positioned, pred, 1, nullAdd, guard).collect()
+    }
+    assert(ex2.getMessage.contains("outside the declared predicate region"), ex2.getMessage)
+  }
+
+  // ---- dl37: REORG PURGE guards --------------------------------------------
+
+  test("reorgPurgeActions guards: missing net stats, stray stats, wrong cardinality") {
+    import spark.implicits._
+    val acts = frame(
+      Row(0, 0, "add", "m", Seq(3L), 10L, 1L, 10L, 100L, null, null, null, null, null),
+      Row(0, 1, "add", "clean", Seq(4L), 5L, 11L, 20L, 50L, null, null, null, null, null),
+      Row(1, 0, "dv", "m", null, null, null, null, null, Seq(2L, 5L), null, null, null, null))
+      .localCheckpoint()
+    val live = DeltaLog.replay(acts)
+    val dvs = DeltaLog.deletionVectors(acts)
+    def stats(rows: (String, Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("path", "n_rows", "min_key", "max_key", "cents")
+    // clean purge: one remove + one purged- add, nothing for 'clean'
+    val okRows = DeltaLog.reorgPurgeActions(live, dvs, stats(("m", 8L, 1L, 10L, 80L)), 2)
+      .collect()
+    assert(okRows.map(r => (r.getString(2), r.getString(3))).toSet ==
+      Set(("remove", "m"), ("add", "purged-m")), okRows.toSeq.toString)
+    // masked file with no net stats: loud, never a silent skip
+    val exMissing = intercept[Exception] {
+      DeltaLog.reorgPurgeActions(live, dvs, stats(), 2).collect()
+    }
+    assert(exMissing.getMessage.contains("without net stats"), exMissing.getMessage)
+    // net stats for an unmasked path: caller confusion, refuse
+    val exStray = intercept[Exception] {
+      DeltaLog.reorgPurgeActions(live, dvs,
+        stats(("m", 8L, 1L, 10L, 80L), ("clean", 5L, 11L, 20L, 50L)), 2).collect()
+    }
+    assert(exStray.getMessage.contains("not masked-live"), exStray.getMessage)
+    // a rewrite that dropped a survivor: cardinality must match the mask
+    val exCard = intercept[Exception] {
+      DeltaLog.reorgPurgeActions(live, dvs, stats(("m", 7L, 1L, 10L, 70L)), 2).collect()
+    }
+    assert(exCard.getMessage.contains("net cardinality disagrees"), exCard.getMessage)
+  }
+
   // ---- dl35: concurrent identity assignment is a conflict ------------------
 
   test("rebaseConflicts flags concurrent ident commits only for identity-assigning txns") {
