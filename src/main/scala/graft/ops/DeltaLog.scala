@@ -533,7 +533,32 @@ object DeltaLog {
       // restarting streaming writer reading checkpoint+tail must still
       // see its last committed epoch or it re-applies the batch
       .unionByName(latestPerPath(bounded, "txn").select(cols: _*))
+      // and the never-reuse marks themselves: the races above keep only
+      // LIVE instances' side actions, but the rids/ident high-water scan
+      // counts DEAD instances too — a checkpoint taken after the
+      // highest-id file was removed would REGRESS the mark and a
+      // checkpoint+tail writer would re-issue ids (real Delta stores
+      // rowIdHighWaterMark in table metadata for exactly this reason)
+      .unionByName(hwmStateRow(bounded, "rids").select(cols: _*))
+      .unionByName(hwmStateRow(bounded, "ident").select(cols: _*))
   }
+
+  /** The persisted never-reuse mark for a monotonic-key family: one
+    * synthetic ZERO-LENGTH segment action (path '_hwm', payload
+    * `0:<mark>:0`, version −1 so it precedes every real action at any
+    * as-of cut). [[segHighWaterMark]]'s family-wide scan reads it
+    * (max(rid + len) = mark); segment READS never do — it binds to no
+    * live instance, so the dv/rids race drops it. Emitted only when the
+    * family has ever issued a key; repeated checkpoints stack marks and
+    * max() keeps the highest. */
+  private def hwmStateRow(bounded: DataFrame, opName: String): DataFrame =
+    segHighWaterMark(bounded, opName).filter(col("hwm") > 0)
+      .select(Seq(lit(-1).cast(IntegerType).as("version"), lit(0).as("ordinal"),
+        lit(opName).as("op"), lit("_hwm").as("path")) ++ nullStatCols ++
+        Seq(lit(null).cast(ArrayType(LongType)).as("dv"),
+          concat(lit("0:"), col("hwm"), lit(":0")).as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
 
   /** Latest action per path for a PER-PATH-singleton family (op='txn':
     * one live marker per appId) — the file race's rule without the
@@ -1110,8 +1135,11 @@ object DeltaLog {
     * window over the state rows. */
   def cloneActions(srcActs: DataFrame, atVersion: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // final op tie-break: the two never-reuse marks (rids + ident) share
+    // the synthetic ('_hwm', −1, 0) coordinates — semantics don't care
+    // which renumbers first, but hash-pinned gates need ONE order
     val w = Window.partitionBy(col("path")).orderBy(col("version"), col("ordinal"),
-      when(col("op") === "add", 0).otherwise(1))
+      when(col("op") === "add", 0).otherwise(1), col("op"))
     val cols = actionSchema.fieldNames.map(col).toSeq
     checkpointState(srcActs, Some(atVersion))
       // real CLONE does not carry the source's streaming txn markers:

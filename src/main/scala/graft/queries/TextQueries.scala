@@ -2444,6 +2444,96 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023):
+    * the data-selection pass that picks raw-corpus documents LOOKING
+    * LIKE a target domain. Hashed n-gram features (unigrams + bigrams →
+    * 64 md5 buckets, the portable-hash idiom), two add-1-smoothed
+    * multinomials over the buckets (target = the doc_id % 13 = 0 eval
+    * slice — d6's convention; raw = everything else), per-document
+    * importance weight Σ_b count_b · log(p_b/q_b), and a top-20%
+    * selection cut from ONE exact-percentile aggregate over the
+    * 6-dp-rounded weights (the sel2 rule: never a corpus-wide rank).
+    * Determinism follows x8's ln discipline: λ_b combines four ln terms
+    * in one pinned parenthesization, per-doc terms sum in
+    * DECIMAL(25,15) (order-independent), weights round to 6 dp.
+    * Scale: the bucket models are 64-row broadcast frames; the corpus
+    * is touched by exactly two map-side-combinable aggregates — no
+    * pairwise anything. */
+  val sel3Dsir = Q("sel3_dsir",
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+            g0 AS (
+              SELECT doc_id, unnest(toks) AS g FROM t
+              UNION ALL
+              SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM t WHERE len(toks) >= 2),
+            g AS (SELECT doc_id,
+                ((strpos('0123456789abcdef', md5(g)[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', md5(g)[2]) - 1)) % 64 AS b,
+                doc_id % 13 = 0 AS is_tgt
+              FROM g0),
+            bc AS (SELECT b,
+                CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+                CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS rc
+              FROM g GROUP BY b),
+            grid AS (SELECT unnest(range(0, 64)) AS b),
+            bcf AS (SELECT grid.b AS b, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+              FROM grid LEFT JOIN bc ON bc.b = grid.b),
+            tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt, CAST(sum(rc) AS DOUBLE) AS rt
+              FROM bcf),
+            lam AS (SELECT b,
+                (ln(tc + 1.0) - ln(tt + 64.0)) - (ln(rc + 1.0) - ln(rt + 64.0)) AS lam
+              FROM bcf CROSS JOIN tot),
+            db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+              FROM g WHERE NOT is_tgt GROUP BY doc_id, b),
+            w AS (SELECT doc_id,
+                round(CAST(sum(CAST(cnt * lam AS DECIMAL(25,15))) AS DOUBLE), 6) AS weight,
+                CAST(sum(cnt) AS BIGINT) AS n_feats
+              FROM db JOIN lam USING (b) GROUP BY doc_id),
+            cut AS (SELECT round(quantile_cont(weight, 0.8), 6) AS c FROM w)
+            SELECT doc_id, n_feats, weight, weight > c AS selected
+            FROM w CROSS JOIN cut ORDER BY doc_id"""),
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("toks"))
+      val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val g = t.select(col("doc_id"),
+          explode(concat(col("toks"), bigrams)).as("g"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int") % 64).as("b"),
+          (col("doc_id") % 13 === 0).as("is_tgt"))
+        .localCheckpoint() // feeds the bucket models AND the per-doc counts
+      val bc = g.groupBy("b").agg(
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("is_tgt"), 0L).otherwise(1L)).as("rc"))
+      val grid = s.range(64).select(col("id").cast("int").as("b"))
+      val bcf = grid.join(bc, Seq("b"), "left")
+        .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+          coalesce(col("rc"), lit(0L)).as("rc"))
+      val tot = bcf.agg(sum("tc").cast("double").as("tt"), sum("rc").cast("double").as("rt"))
+      // the pinned parenthesization — both engines combine the four ln
+      // terms in exactly this order
+      val lam = bcf.crossJoin(broadcast(tot))
+        .select(col("b"),
+          ((log(col("tc") + 1.0) - log(col("tt") + 64.0))
+            - (log(col("rc") + 1.0) - log(col("rt") + 64.0))).as("lam"))
+      val db = g.filter(!col("is_tgt")).groupBy("doc_id", "b")
+        .agg(count(lit(1)).as("cnt"))
+      val w = db.join(broadcast(lam), Seq("b"))
+        .groupBy("doc_id")
+        .agg(round(sum((col("cnt") * col("lam")).cast("decimal(25,15)")).cast("double"), 6)
+          .as("weight"), sum("cnt").as("n_feats"))
+        .localCheckpoint() // feeds the percentile cut AND the output rows
+      val cut = w.agg(round(percentile(col("weight"), lit(0.8)), 6).as("c"))
+      w.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"), col("weight"),
+          (col("weight") > col("c")).as("selected"))
+        .orderBy("doc_id")
+    })
+
   /** ExactSubstr-style duplicated-substring spans (Lee et al. 2022):
     * 8-token OVERLAPPING grams mark duplicated positions corpus-wide;
     * overlapping marks merge into maximal spans (so a shared 20-token run
@@ -2483,7 +2573,7 @@ object TextQueries extends QuerySet {
     b1Bm25, b2Rm3, b3BatchBm25, tok1BpePairs, tok2BpeMerges, tok3BpeEncode, tok6WordPiece, cdc1Chunks, cdc2ChunkDedup,
     sk1CmsHeavyHitters, sk2HllDistinct, sk3KmvDistinct, x31Confusable, x32Neyman, x33PsiDrift, d19LshTuning, c2Curriculum, x9Bigram,
     x10Split, x11Winnow, x12Tfidf, p13Nfc, x13Zipf, p14Url, d10SpanDedup, f23Chat,
-    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, tok4Viterbi, x17Weighted,
+    x15Backoff, x16Gopher, d11DupSubstr, sel2Perplexity, sel3Dsir, tok4Viterbi, x17Weighted,
     x18WeightedGroup, x19Scripts, x30Blocklist, lic1License)
 
   /** SPDX-style license detection ([[TextAnalysis.licenseDetect]]) — the
