@@ -2341,6 +2341,23 @@ object DeltaLog {
   def stampTs(acts: DataFrame, tsOf: org.apache.spark.sql.Column): DataFrame =
     acts.withColumn("ts", tsOf.cast("long"))
 
+  /** In-commit timestamps (the Delta `inCommitTimestamp` table feature,
+    * Delta 3.x): the WRITER stamps its transaction with
+    * ts = max(wall clock, last committed ts + 1) AT COMMIT, so the
+    * log's timestamps are monotone BY CONSTRUCTION and TIMESTAMP AS OF
+    * needs no read-side adjustment ([[commitTimestamps]]' running-max
+    * is the legacy-log path — it exists because file-modification
+    * clocks regress between writers: NTP steps, different hosts; this
+    * feature moves the fix into the commit itself, where it also
+    * survives log copies that lose file mtimes). Log-sized: one max
+    * aggregate over the log. */
+  def stampInCommit(acts: DataFrame, txn: DataFrame, wallTs: Long): DataFrame = {
+    val last = acts.agg(coalesce(max(col("ts")), lit(Long.MinValue)).as("_last"))
+    txn.crossJoin(broadcast(last))
+      .withColumn("ts", greatest(lit(wallTs), col("_last") + 1))
+      .drop("_last")
+  }
+
   /** Per-version ADJUSTED commit timestamps: the raw per-version ts
     * (guarded — two actions of one version disagreeing on ts is a torn
     * commit, raise), made MONOTONE non-decreasing the way real Delta

@@ -14,6 +14,25 @@ class PlanSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("v17's pre-filter predicate reaches the stored index scan as a pushed filter") {
+    // the filtered-ANN claim: the metadata predicate rides the DPP-pruned
+    // cell read as a parquet PushedFilter — a post-scan Filter would read
+    // (and decode) every row of the probed cells. The gate's own output
+    // plan hides the scan behind localCheckpoints, so the probe read is
+    // rebuilt here over the index the gate writes.
+    graft.queries.VectorQueries.v17FilteredAnn.fn(spark, sf).collect() // writes the index
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_v17_${Integer.toHexString(sf.hashCode)}"
+    val spine = Seq.tabulate(8)(c => Seq.tabulate(64)(i => if (i / 8 == c) 2.0 else 0.0))
+    val q = graft.tables.TestTables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"),
+        graft.index.Search.ivfProbeCells(col("embedding"), spine, 2).as("probes"))
+    val read = graft.index.Search.readPrunedProbes(spark, out, q, "probes", "cell")
+      .filter(col("attr") === 1)
+    val plan = formatted(read)
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(attr,1)"),
+      s"attr = 1 must be pushed into the pruned index scan:\n${plan.take(1500)}")
+  }
+
   test("p8 metadata filters reach the parquet scan as pushed filters") {
     val plan = formatted(graft.queries.TextQueries.p8Metadata.fn(spark, sf))
     assert(plan.contains("PushedFilters:") && plan.contains("In(lang,"),

@@ -147,6 +147,40 @@ class Round14Spec extends SparkSpec {
     assert(DeltaLog.lastTxnVersion(acts, "ingest-app").head().getLong(0) == 1L)
   }
 
+  test("commitEpochIdempotent race window: slot theft retries; same-app theft skips") {
+    val base = frame(add(0, 0, "seed")).localCheckpoint()
+    def ep(path: String) = DeltaLog.addAction(
+      spark.range(1).select(lit(5L).as("n_rows"), lit(1L).as("min_key"),
+        lit(5L).as("max_key"), lit(50L).as("cents")),
+      90, 1000, path, array(lit(0L)))
+    // an UNRELATED writer steals the slot between probe and write: the
+    // epoch loop must go around and land on the next slot
+    val other = DeltaLog.addAction(
+      spark.range(1).select(lit(2L).as("n_rows"), lit(6L).as("min_key"),
+        lit(7L).as("max_key"), lit(20L).as("cents")),
+      1, 0, "other", array(lit(1L)))
+    val (acts1, out1) = DeltaLog.commitEpochIdempotent(base, ep("e0"), "app", 0L, 0,
+      contention = a => if (a == 1) Some(other) else None)
+    assert(out1.outcome == "committed" &&
+      out1.attempts.map(_.outcome) == Seq("retry_version_taken", "committed") &&
+      out1.attempts.last.target == 2, out1.toString)
+    assert(DeltaLog.replay(acts1).collect().map(_.getString(0)).toSet ==
+      Set("seed", "other", "e0"))
+    // ANOTHER INSTANCE OF THE SAME APP commits our epoch in the race
+    // window: the retry's fused probe must discover it and SKIP — this is
+    // the double-write the txn marker exists to fence
+    val twinCommit = ep("e1-twin")
+      .unionByName(DeltaLog.txnAction(spark, 0, 100000, "app", 1L))
+      .withColumn("version", lit(3))
+    val (acts2, out2) = DeltaLog.commitEpochIdempotent(acts1, ep("e1-mine"), "app", 1L, 2,
+      contention = a => if (a == 1) Some(twinCommit) else None)
+    assert(out2.outcome == "skipped_duplicate", out2.toString)
+    val paths = DeltaLog.replay(acts2).collect().map(_.getString(0)).toSet
+    assert(paths.contains("e1-twin") && !paths.contains("e1-mine"),
+      s"the twin's epoch stands, ours never lands: $paths")
+    assert(DeltaLog.lastTxnVersion(acts2, "app").head().getLong(0) == 1L)
+  }
+
   test("txn markers: strict parse, checkpoint retention, clone drops them") {
     val acts = frame(add(0, 0, "a"))
       .unionByName(DeltaLog.txnAction(spark, 1, 0, "app-X", 3L))
