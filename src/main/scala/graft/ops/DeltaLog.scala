@@ -1672,8 +1672,17 @@ object DeltaLog {
     // renumbers the whole transaction to its slot. NOT materialized: a
     // single clean attempt evaluates it once in the probe and once in
     // the commit union — cheaper than a checkpoint job per epoch.
+    // The marker inherits the transaction's commit ts (max over the txn's
+    // stamped actions — per-version ts is a constant, so max ≡ the stamp):
+    // a ts=null marker on a stamped table would make every epoch commit a
+    // mixed-null version and commitTimestamps would raise forever after.
+    // On an unstamped txn, max is null and the marker stays null — uniform
+    // either way.
+    val markerTs = txn.agg(max(col("ts")).as("_mts"))
     val stamped = txn.unionByName(
-      txnAction(acts0.sparkSession, 0, 100000, appId, epoch))
+      txnAction(acts0.sparkSession, 0, 100000, appId, epoch)
+        .crossJoin(broadcast(markerTs))
+        .withColumn("ts", col("_mts")).drop("_mts"))
     var acts = acts0
     val decisions = scala.collection.mutable.Buffer.empty[CommitAttempt]
     var attempt = 0
@@ -2367,7 +2376,12 @@ object DeltaLog {
     * log-sized (versions², never data) and window-free. Returns
     * (version, ts). */
   def commitTimestamps(acts: DataFrame): DataFrame = {
-    val per = acts.groupBy("version")
+    // synthetic checkpoint state rows (hwmStateRow's version −1 / path
+    // '_hwm' never-reuse marks) are NOT commits: they carry no ts by
+    // design, and counting them as a version would make every
+    // checkpoint+tail read of a stamped rids/ident table raise on a
+    // phantom unstamped version −1
+    val per = acts.filter(col("version") >= 0).groupBy("version")
       .agg(min("ts").as("ts_min"), max("ts").as("ts_max"),
         sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null"))
     // enforcement scope: on a FULLY unstamped log (no ts anywhere) the

@@ -723,14 +723,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     // hot-gram marking via hash AGGREGATE, not a count-over-window: the
     // window form sorts the whole gram table by the 8-token STRING key
-    // before counting; the aggregate hashes it (one shuffle, no sort) and
-    // re-emits only the duplicated positions (r14 — d11 sat in the 4.4-5 s
-    // band and the sort was its single data-sized extra pass)
-    val marked = grams.groupBy("gram")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-      .select(explode(col("ps")).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("p.pos").as("pos"))
+    // before counting; the aggregate hashes it (one shuffle, no sort).
+    // BOUNDED state (r15): the agg reduces to a count — never a
+    // collect_list of every (doc_id,pos), which on a boilerplate gram
+    // repeated at corpus scale is unbounded per-group executor memory.
+    // Positions come back via a semi-join of grams against the hot keys;
+    // the hot side is duplicated-grams-only (tiny vs the corpus), so AQE
+    // turns the join-back into a broadcast — the gram table is shuffled
+    // once (the agg), never twice.
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram")
+    val marked = grams.join(hot, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
     // two length-w intervals [p1, p1+w) and [p2, p2+w), p2 > p1, belong to
     // one maximal span iff p2 <= p1 + w (overlap or touch) — first row's
     // NULL lag falls to the otherwise(0) branch and opens island 0

@@ -4225,11 +4225,27 @@ object LakehouseQueries extends QuerySet {
       val purge = DeltaLog.reorgPurgeActions(live4, dvs4, netStats, 5).localCheckpoint()
       val acts5 = DeltaLog.actions(log4.unionByName(DeltaLog.toLines(purge)))
         .coalesce(1).localCheckpoint()
-      // post-purge read: live files + masks as a READER would resolve them
+      // post-purge read THROUGH the log (r15, the dl36 discipline): live
+      // paths from replay(acts5), masks from deletionVectors(acts5), over
+      // a physical content store — original files' bytes are rws, the
+      // purged files' bytes are what the writer wrote (netRows, renamed,
+      // re-positioned). A purge that left a masked file live, dropped a
+      // survivor file, or retired a mask without rewriting would change
+      // the rowset and mismatch; the old derivation renamed netRows on
+      // both sides and could not fail.
       val del5 = DeltaLog.deletionVectors(acts5)
-      val postRows = netRows.withColumn("path",
-        when(col("path").isin("part-5", "part-4"),
-          concat(lit("purged-"), col("path"))).otherwise(col("path")))
+      val wp = Window.partitionBy(col("path")).orderBy(col("o_orderkey"))
+      val purgedContent = netRows.filter(col("path").isin("part-5", "part-4"))
+        .select(concat(lit("purged-"), col("path")).as("path"),
+          col("o_orderkey"), col("cents"))
+        .withColumn("pos", (row_number().over(wp) - 1).cast("long"))
+      val contentStore = rws.unionByName(purgedContent)
+      val live5Paths = DeltaLog.replay(acts5).select("path")
+      val del5Rows = del5.select(col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
+      val postRows = contentStore.join(broadcast(live5Paths), Seq("path"))
+        .join(broadcast(del5Rows), Seq("path", "pos"), "left")
+        .filter(col("hit").isNull).select("path", "o_orderkey", "cents")
       val post = postRows.groupBy("path")
         .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
         .select(lit("post").as("section"), col("path").as("item"),
