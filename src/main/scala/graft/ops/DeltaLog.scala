@@ -427,6 +427,21 @@ object DeltaLog {
       lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
       lit(null).cast(IntegerType).as("min_writer"))
 
+  /** [[removeAction]]'s column-based twin: one `remove` row per input
+    * row, path and ordinal from COLUMNS — for transaction builders
+    * retiring a whole wave of files from one frame (dl38's log-to-log
+    * mirror), where the per-path [[removeAction]] costs a union branch
+    * and a range scan per file. */
+  def removeActions(rows: DataFrame, version: Int): DataFrame =
+    rows.select(lit(version).as("version"), col("ordinal").cast(IntegerType).as("ordinal"),
+      lit("remove").as("op"), col("path"),
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), lit(null).cast(StringType).as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
+
   /** ONE spelling for every table-state action row (meta, constraint —
     * null stats, a payload in schema_str), built over a one-row frame so
     * derived builders (rewriteMapping, addColumn) can compute the
