@@ -4278,6 +4278,249 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** End-to-end exactly-once pipeline through TWO logs (dl38 — the
+    * materialized-downstream-table pattern: Delta's CDF source feeding an
+    * idempotent foreachBatch sink): each upstream commit v becomes one
+    * sink epoch — the wave folds into the reader's state
+    * ([[DeltaLog.foldState]], the r13 incremental source), the per-wave
+    * file/mask delta is derived by replaying state-before vs state-after
+    * THROUGH the log, the changed files' net rows are transformed (keep
+    * even keys, double the cents), and the result commits into a SECOND
+    * log via [[DeltaLog.commitEpochIdempotent]] (the r14 sink) — removes
+    * retire the downstream twin of every upstream-retired file, adds land
+    * epoch-stamped `ds:<epoch>:<path>` files, and the txn marker rides the
+    * same atomic commit. Mid-stream the pipeline "crashes": epoch 2 is
+    * re-delivered (exactly what a checkpoint restart does) and must be
+    * `skipped_duplicate` from the downstream log alone — the epoch-stamped
+    * file names make a silent double-apply VISIBLE (a replayed epoch that
+    * landed would leave a second live `ds:2:…` file and break the final
+    * state hash, unlike a path-idempotent blind re-add). Upstream wave 4
+    * is a deletion-vector mask, so the downstream rewrite path (retire +
+    * re-add net of mask) is exercised too. The gate pins: per-epoch
+    * decisions, the per-wave change feed ([[DeltaLog.cdfBetween]] on the
+    * wave-touched rowset — untouched files' per-key copies cancel in the
+    * diff, so restricting the positioned rows to touched paths is exact
+    * and keeps each wave's feed proportional to the CHANGE, the 100 TB
+    * shape), downstream txn markers, and ground truth: the downstream
+    * final state (from log STATS) ≡ the batch transform recomputed from
+    * the upstream final snapshot (from DATA) — two derivations, so a
+    * lost update, double-applied epoch, or missed rewrite cannot pass. */
+  val dl38LogToLog = Q("dl38_log_to_log",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS nfiles,
+                          CAST(sum(n_rows) AS BIGINT) AS nrows FROM bks),
+            ob AS (SELECT o_orderkey // ${DeltaLog.W} AS bucket, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+            ev AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                     CAST(2 * sum(cents) AS BIGINT) AS c
+                   FROM ob WHERE o_orderkey % 2 = 0 GROUP BY bucket),
+            ap AS (SELECT o_orderkey, cents,
+                     row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+                   FROM ob WHERE bucket = 3),
+            apnet AS (SELECT * FROM ap WHERE pos % 5 <> 0),
+            apstat AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(2 * sum(cents) AS BIGINT) AS c
+                       FROM apnet WHERE o_orderkey % 2 = 0 HAVING count(*) > 0),
+            n2 AS (SELECT CAST(n_rows AS BIGINT) AS v FROM bks WHERE bucket = 2),
+            n3 AS (SELECT CAST(n_rows AS BIGINT) AS v FROM bks WHERE bucket = 3),
+            dec(item, ep, target, committed) AS (VALUES
+              ('e0:committed', 0, 1, 1), ('e1:committed', 1, 2, 1),
+              ('e2:committed', 2, 3, 1), ('e2:skipped_duplicate', 2, -1, 0),
+              ('e3:committed', 3, 4, 1), ('e4:committed', 4, 5, 1)),
+            postf AS (
+              SELECT 'ds:0:part-' || CAST(bucket AS VARCHAR) AS path, n, c
+              FROM ev WHERE bucket >= 3
+              UNION ALL
+              SELECT 'ds:1:compact-0-1', CAST(sum(n) AS BIGINT), CAST(sum(c) AS BIGINT)
+              FROM ev WHERE bucket <= 1 HAVING count(*) > 0
+              UNION ALL SELECT 'ds:4:append-0', n, c FROM apstat),
+            down AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS c
+                     FROM postf),
+            batch AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(2 * sum(cents) AS BIGINT) AS c
+                      FROM (SELECT o_orderkey, cents FROM ob
+                              WHERE bucket <= 1 OR bucket >= 3
+                            UNION ALL SELECT o_orderkey, cents FROM apnet) t
+                      WHERE o_orderkey % 2 = 0)
+            SELECT section, item, n_rows, cents, flag FROM (
+              SELECT 'decision' AS section, item, CAST(ep AS BIGINT) AS n_rows,
+                CAST(target AS BIGINT) AS cents, CAST(committed AS BIGINT) AS flag
+              FROM dec
+              UNION ALL SELECT 'cdf', 'e0:files', nfiles, CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT) FROM nb
+              UNION ALL SELECT 'cdf', 'e0:rows', nrows, CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT) FROM nb
+              UNION ALL SELECT 'cdf', 'e1:files', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'cdf', 'e1:rows', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'cdf', 'e2:files', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'cdf', 'e2:rows', CAST(0 AS BIGINT), v, CAST(0 AS BIGINT)
+              FROM n2
+              UNION ALL SELECT 'cdf', 'e3:files', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'cdf', 'e3:rows', v, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM n3
+              UNION ALL SELECT 'cdf', 'e4:files', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'cdf', 'e4:rows', CAST(0 AS BIGINT),
+                CAST((v + 4) // 5 AS BIGINT), CAST(0 AS BIGINT) FROM n3
+              UNION ALL SELECT 'txn', '_txn:pipe@' || CAST(ep AS VARCHAR),
+                CAST(ep AS BIGINT), CAST(0 AS BIGINT), CAST(target AS BIGINT)
+              FROM dec WHERE committed = 1
+              UNION ALL SELECT 'last', 'pipe', CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT)
+              UNION ALL SELECT 'post', path, n, c, CAST(0 AS BIGINT) FROM postf
+              UNION ALL SELECT 'check', 'down_total', n, c, CAST(0 AS BIGINT) FROM down
+              UNION ALL SELECT 'check', 'batch_recompute', n, c, CAST(0 AS BIGINT)
+              FROM batch
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(CASE WHEN (SELECT n FROM down) = (SELECT n FROM batch)
+                      AND (SELECT c FROM down) = (SELECT c FROM batch)
+                     THEN 1 ELSE 0 END AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val upLines = DeltaLog.logLines(ord).localCheckpoint()
+      val live3 = DeltaLog.snapshot(upLines)
+      // upstream wave 4: a mask on append-0 — the CDF wave that forces the
+      // downstream rewrite path
+      val dv4 = DeltaLog.dvAction(live3, "append-0", 4, 0,
+        filter(sequence(lit(0L), col("n_rows") - 1), p => p % 5 === 0))
+      val upActs = DeltaLog.actions(upLines).unionByName(dv4)
+        .coalesce(1).localCheckpoint()
+      // the physical content map: every path ever added, with coverage —
+      // rws feeds the per-epoch transform stats AND the change feed
+      val allFiles = upActs.filter(col("op") === "add").select("path", "buckets")
+      val rws = positionedRows(allFiles, obRows).localCheckpoint()
+      // ---- source side: fold each upstream commit into the reader state
+      val states = scala.collection.mutable.Buffer.empty[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]
+      var upState = upActs.filter(lit(false))
+      for (v <- 0 to 4) {
+        val before = upState
+        upState = DeltaLog.foldState(before, upActs.filter(col("version") === v), v - 1)
+        states += ((before, upState))
+      }
+      // ---- sink side: one idempotent epoch per wave into the SECOND log
+      var dsActs = DeltaLog.metaAction(s, 0, 0, "mirror-v0").coalesce(1).localCheckpoint()
+      var dsHead = 0
+      val outs = scala.collection.mutable.Buffer.empty[DeltaLog.EpochOutcome]
+      def buildTxn(v: Int): org.apache.spark.sql.DataFrame = {
+        val (before, after) = states(v)
+        val beforeLive = DeltaLog.replay(before).select("path")
+        val afterLive = DeltaLog.replay(after).select("path", "buckets")
+        val addsU = afterLive
+          .join(beforeLive.withColumn("h", lit(1)), Seq("path"), "left")
+          .filter(col("h").isNull).select("path", "buckets")
+        val remsU = beforeLive
+          .join(afterLive.select("path").withColumn("h", lit(1)), Seq("path"), "left")
+          .filter(col("h").isNull).select("path")
+        // mask-changed live files are downstream REWRITES: retire + re-add
+        val dvB = DeltaLog.deletionVectors(before).withColumnRenamed("dv", "dv0")
+        val dvA = DeltaLog.deletionVectors(after)
+        val dvChanged = dvA.join(dvB, Seq("path"), "left")
+          .filter(col("dv0").isNull || col("dv") =!= col("dv0")).select("path")
+        val upAdds = addsU.unionByName(dvChanged.join(afterLive, Seq("path")))
+        val upRems = remsU.unionByName(dvChanged)
+        // downstream removes resolve through the DOWNSTREAM log: the live
+        // ds twin of each retired upstream path (epoch-stamped names, so
+        // the upstream path is the suffix)
+        val dsLive = DeltaLog.replay(dsActs)
+          .select(col("path"), substring_index(col("path"), ":", -1).as("up"))
+        val dsRems = DeltaLog.removeActions(
+          dsLive.join(broadcast(upRems.withColumnRenamed("path", "up")), Seq("up"))
+            .select(col("path"), lit(0).as("ordinal")), 90)
+        // the transform: net rows of each added path under the AFTER
+        // state's masks → keep even keys, double the cents
+        val masks = DeltaLog.deletionVectors(after)
+          .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+        val tstats = rws.join(broadcast(upAdds.select("path")), Seq("path"))
+          .join(broadcast(masks), Seq("path", "pos"), "left").filter(col("hit").isNull)
+          .filter(col("o_orderkey") % 2 === 0)
+          .groupBy("path").agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"), (sum("cents") * 2).as("cents"))
+        val dsAdds = DeltaLog.addActions(
+          tstats.join(upAdds, Seq("path"))
+            .select(concat(lit(s"ds:$v:"), col("path")).as("path"),
+              (lit(1000) + element_at(col("buckets"), 1)).as("ordinal"),
+              col("buckets"), col("n_rows"), col("min_key"), col("max_key"),
+              col("cents")), 90)
+        dsRems.unionByName(dsAdds)
+      }
+      def deliver(v: Int): Unit = {
+        val (a2, out) = DeltaLog.commitEpochIdempotent(dsActs, buildTxn(v), "pipe", v, dsHead)
+        if (out.outcome == "committed") dsHead += 1
+        dsActs = a2; outs += out
+      }
+      deliver(0); deliver(1); deliver(2)
+      deliver(2) // the crash-restart replay: must be a downstream no-op
+      deliver(3); deliver(4)
+      // ---- the pinned output
+      import s.implicits._
+      val decisions = outs.toSeq.map { o =>
+        val target = o.attempts.lastOption.map(_.target.toLong).getOrElse(-1L)
+        (s"e${o.epoch}:${o.outcome}", o.epoch, target,
+          if (o.outcome == "committed") 1L else 0L)
+      }.toDF("item", "n_rows", "cents", "flag")
+        .select(lit("decision").as("section"), col("item"), col("n_rows"),
+          col("cents"), col("flag"))
+      val cdf = (0 to 4).map { v =>
+        val (before, after) = states(v)
+        val touched = upActs.filter(col("version") === v).select("path").distinct()
+        DeltaLog.cdfBetween(before, after,
+          rws.select(col("path"), col("pos"), col("o_orderkey").as("key"))
+            .join(broadcast(touched), Seq("path")))
+          .select(explode(array(
+            struct(lit(s"e$v:files").as("item"), col("files_added").as("a"),
+              col("files_removed").as("b")),
+            struct(lit(s"e$v:rows").as("item"), col("rows_added").as("a"),
+              col("rows_removed").as("b")))).as("r"))
+          .select(lit("cdf").as("section"), col("r.item").as("item"),
+            col("r.a").cast("long").as("n_rows"), col("r.b").cast("long").as("cents"),
+            lit(0L).as("flag"))
+      }.reduce(_ unionByName _)
+      val txnRows = dsActs.filter(col("op") === "txn")
+        .select(lit("txn").as("section"),
+          concat(col("path"), lit("@"), col("schema_str")).as("item"),
+          col("schema_str").cast("long").as("n_rows"), lit(0L).as("cents"),
+          col("version").cast("long").as("flag"))
+      val lastRow = DeltaLog.lastTxnVersion(dsActs, "pipe")
+        .select(lit("last").as("section"), lit("pipe").as("item"),
+          col("last_txn_version").as("n_rows"), lit(0L).as("cents"), lit(0L).as("flag"))
+      val post = DeltaLog.replay(dsActs).select(lit("post").as("section"),
+        col("path").as("item"), col("n_rows"), col("cents"), lit(0L).as("flag"))
+      // ground truth, two derivations: downstream totals from log STATS vs
+      // the batch transform recomputed from upstream v-final DATA
+      val downTotal = DeltaLog.replay(dsActs)
+        .agg(sum("n_rows").as("n"), sum("cents").as("c"))
+        .select(lit("check").as("section"), lit("down_total").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          lit(0L).as("flag"))
+      val upFinal = states(4)._2
+      val finMasks = DeltaLog.deletionVectors(upFinal)
+        .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
+      val batch = rws
+        .join(broadcast(DeltaLog.replay(upFinal).select("path")), Seq("path"))
+        .join(broadcast(finMasks), Seq("path", "pos"), "left").filter(col("hit").isNull)
+        .filter(col("o_orderkey") % 2 === 0)
+        .agg(count(lit(1)).as("n"), (sum("cents") * 2).as("c"))
+        .select(lit("check").as("section"), lit("batch_recompute").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
+          lit(0L).as("flag"))
+      val eq = downTotal.select(col("n_rows").as("n1"), col("cents").as("c1"))
+        .crossJoin(batch.select(col("n_rows").as("n2"), col("cents").as("c2")))
+        .select(lit("check").as("section"), lit("equal").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("cents"),
+          (col("n1") === col("n2") && col("c1") === col("c2")).cast("long").as("flag"))
+      decisions.unionByName(cdf).unionByName(txnRows).unionByName(lastRow)
+        .unionByName(post).unionByName(downTotal).unionByName(batch).unionByName(eq)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
@@ -4285,5 +4528,5 @@ object LakehouseQueries extends QuerySet {
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
     dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc, dl36ReplaceWhere, dl37ReorgPurge,
-    k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
+    dl38LogToLog, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DeltaLog
+
+/** Round-15 fixtures: the log-to-log exactly-once pipeline (dl38) driven
+  * through a REAL Structured Streaming file source with a checkpoint
+  * restart — the upstream log's tail is the stream, foreachBatch folds
+  * each wave into the reader state and commits the transformed delta into
+  * a SECOND log via the idempotent epoch sink. The gate pins the batch
+  * equivalence; this spec pins the streaming lifecycle: replay of the
+  * last epoch after a crash is a downstream no-op, and a restart resumes
+  * epochs without losing or double-applying a wave.
+  */
+class Round15Spec extends SparkSpec {
+
+  test("log-to-log pipeline: CDF source -> transform -> idempotent sink across restart") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val base = java.nio.file.Files.createTempDirectory("graft_log2log").toString
+    val landing = s"$base/uplog"; val ckpt = s"$base/ckpt"
+    val lineSchema = StructType(Seq(StructField("line", StringType)))
+
+    def addLine(v: Int, o: Int, path: String, bucket: Long, n: Long, cents: Long): String =
+      s"""{"version":$v,"ordinal":$o,"op":"add","path":"$path","buckets":[$bucket],""" +
+        s""""n_rows":$n,"min_key":1,"max_key":$n,"cents":$cents}"""
+    def remLine(v: Int, o: Int, path: String): String =
+      s"""{"version":$v,"ordinal":$o,"op":"remove","path":"$path"}"""
+
+    // ---- the pipeline's driver state (what a real job keeps in memory,
+    // rebuilt from the two logs on restart)
+    @volatile var upState = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), DeltaLog.actionSchema)
+    @volatile var upVersion = -1
+    @volatile var dsActs = DeltaLog.metaAction(spark, 0, 0, "mirror-v0")
+      .coalesce(1).localCheckpoint()
+    @volatile var dsHead = 0
+    val outcomes = scala.collection.mutable.Buffer.empty[String]
+    val lock = new Object
+
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = lock.synchronized {
+      val wave = DeltaLog.actions(batch).coalesce(1).localCheckpoint()
+      val newVersion = wave.agg(max("version")).head().getInt(0)
+      val before = upState
+      // a replayed wave (version not past the folded state) is already in
+      // the state — folding it would trip the stale guard; the delta below
+      // is then empty and the txn marker alone fences the duplicate epoch
+      val after = if (newVersion > upVersion)
+        DeltaLog.foldState(before, wave, upVersion) else before
+      // transform: downstream twin per upstream add (cents doubled — a
+      // log-stats-level transform; the gate does the data-level one),
+      // retire the ds twin of every upstream-removed path
+      val beforeLive = DeltaLog.replay(before).select("path")
+      val afterLive = DeltaLog.replay(after)
+      val addsU = afterLive.join(beforeLive.withColumn("h", lit(1)), Seq("path"), "left")
+        .filter(col("h").isNull)
+      val remsU = beforeLive.join(afterLive.select("path").withColumn("h", lit(1)),
+        Seq("path"), "left").filter(col("h").isNull).select("path")
+      val dsLive = DeltaLog.replay(dsActs)
+        .select(col("path"), substring_index(col("path"), ":", -1).as("up"))
+      val dsRems = DeltaLog.removeActions(
+        dsLive.join(remsU.withColumnRenamed("path", "up"), Seq("up"))
+          .select(col("path"), lit(0).as("ordinal")), 90)
+      val dsAdds = DeltaLog.addActions(
+        addsU.select(concat(lit(s"ds:$id:"), col("path")).as("path"),
+          lit(1000).as("ordinal"), col("buckets"), col("n_rows"), col("min_key"),
+          col("max_key"), (col("cents") * 2).as("cents")), 90)
+      val (a2, out) = DeltaLog.commitEpochIdempotent(
+        dsActs, dsRems.unionByName(dsAdds), "pipe", id, dsHead)
+      if (out.outcome == "committed") {
+        dsHead += 1
+        upState = after; upVersion = newVersion
+      }
+      dsActs = a2; outcomes += s"$id:${out.outcome}"
+    }
+
+    def start() = spark.readStream.schema(lineSchema).parquet(landing)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt).start()
+
+    // wave 0: upstream v0 — two files
+    import spark.implicits._
+    Seq(addLine(0, 0, "part-0", 0L, 10L, 100L), addLine(0, 1, "part-1", 1L, 20L, 200L))
+      .toDF("line").coalesce(1).write.mode("overwrite").parquet(landing)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(outcomes.toSeq == Seq("0:committed"), outcomes.mkString(","))
+    assert(DeltaLog.replay(dsActs).select("path").collect().map(_.getString(0)).toSet ==
+      Set("ds:0:part-0", "ds:0:part-1"))
+
+    // the crash-restart replay contract: the last epoch may be re-delivered;
+    // re-deliver it by hand — the downstream log alone must make it a no-op
+    sink(spark.read.parquet(landing), 0L)
+    assert(outcomes.last == "0:skipped_duplicate", outcomes.mkString(","))
+    assert(DeltaLog.replay(dsActs).select("path").collect().map(_.getString(0)).toSet ==
+      Set("ds:0:part-0", "ds:0:part-1"),
+      "a replayed epoch must not change the downstream live set")
+
+    // wave 1 lands while the query is down: v1 compacts part-0/part-1
+    Seq(remLine(1, 0, "part-0"), remLine(1, 1, "part-1"),
+      addLine(1, 2, "compact-0-1", 0L, 30L, 300L))
+      .toDF("line").coalesce(1).write.mode("append").parquet(landing)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(outcomes.toSeq == Seq("0:committed", "0:skipped_duplicate", "1:committed"),
+      outcomes.mkString(","))
+    val finalLive = DeltaLog.replay(dsActs)
+      .select("path", "n_rows", "cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(finalLive == Set(("ds:1:compact-0-1", 30L, 600L)),
+      s"downstream final state must mirror the transformed upstream head: $finalLive")
+    assert(DeltaLog.lastTxnVersion(dsActs, "pipe").head().getLong(0) == 1L)
+    // downstream state == batch recompute from the upstream final snapshot
+    val batchRecompute = DeltaLog.replay(upState)
+      .select(col("path"), col("n_rows"), (col("cents") * 2).as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchRecompute == Set(("compact-0-1", 30L, 600L)))
+  }
+}
