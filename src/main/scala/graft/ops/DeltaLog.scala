@@ -442,6 +442,30 @@ object DeltaLog {
       lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
       lit(null).cast(IntegerType).as("min_writer"))
 
+  /** Per-file sidecar-metadata actions (columns `path`, `ordinal`,
+    * `payload`): one op=`opName` row per file, payload in schema_str —
+    * the rids/ident side-action shape opened to new families (dl39's
+    * per-file bloom filters commit through this). Instance-scoped like
+    * every side action: [[effectiveSidePayloads]] races them against the
+    * file's add, so a rewrite of the file retires its sidecar. */
+  def sideActions(rows: DataFrame, opName: String, version: Int): DataFrame =
+    rows.select(lit(version).as("version"), col("ordinal").cast(IntegerType).as("ordinal"),
+      lit(opName).as("op"), col("path"),
+      lit(null).cast(ArrayType(LongType)).as("buckets"),
+      lit(null).cast(LongType).as("n_rows"), lit(null).cast(LongType).as("min_key"),
+      lit(null).cast(LongType).as("max_key"), lit(null).cast(LongType).as("cents"),
+      lit(null).cast(ArrayType(LongType)).as("dv"), col("payload").as("schema_str"),
+      lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+      lit(null).cast(IntegerType).as("min_writer"))
+
+  /** The effective sidecar payload per LIVE file instance for a side
+    * family (latest op=`opName` row postdating the live add wins; rows on
+    * dead instances drop — the dv/rids race). Returns (path, payload). */
+  def effectiveSidePayloads(acts: DataFrame, opName: String,
+                            asOf: Option[Int] = None): DataFrame =
+    effectiveSideRows(asOf.map(v => acts.filter(col("version") <= v)).getOrElse(acts), opName)
+      .select(col("path"), col("schema_str").as("payload"))
+
   /** ONE spelling for every table-state action row (meta, constraint —
     * null stats, a payload in schema_str), built over a one-row frame so
     * derived builders (rewriteMapping, addColumn) can compute the

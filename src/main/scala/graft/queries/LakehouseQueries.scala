@@ -4521,6 +4521,156 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Bloom-filter file skipping (dl39 — Delta/Parquet bloom indexes): a
+    * point lookup on a HIGH-CARDINALITY, NON-CLUSTERED key (o_custkey —
+    * files are laid out by o_orderkey, so every file's custkey [min,max]
+    * spans nearly the whole domain and min/max stats prune almost
+    * nothing). Each live file commits a 4096-bit / 3-hash bloom over its
+    * distinct custkeys as an instance-scoped sidecar action
+    * ([[DeltaLog.sideActions]], op='bloom' — a rewrite of the file
+    * retires its bloom with the dead instance, the rids/ident race); the
+    * hash is md5-derived so the DuckDB oracle RECOMPUTES the whole
+    * filter from first principles while Spark reads candidates through
+    * the COMMITTED bit string. The skipping plan is the COMPOSED one a
+    * real reader runs — bloom ∩ min/max (min/max still wins on
+    * out-of-range needles; the three absent probes past max(custkey) pin
+    * that) — and the dl3 discipline applies: `n_rows_found` comes from
+    * scanning ONLY the composed candidate files, so an unsound prune
+    * (a dropped true file) reads LOW and hash-mismatches the oracle's
+    * independent true counts. The audit row pins composed ≪ stats-only
+    * (point lookups touch ~true+fp files instead of ~every file — the
+    * entire point of the index at 100 TB). */
+  val dl39BloomSkipping = {
+    val M = 4096 // bits per file; ~230 distinct keys x 3 hashes -> ~0.4% fp
+    def bitSql(v: String) =
+      s"""(list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' ||
+              CAST($v AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT)
+            * (1::BIGINT << (4 * (8 - CAST(j AS INT)))))) % $M)"""
+    Q("dl39_bloom_skipping",
+      Some(s"""WITH ${DeltaLog.actionsSql},
+            live AS (SELECT * FROM ${DeltaLog.liveSql("(SELECT max(version) FROM acts)")} t),
+            frows AS (
+              SELECT f.path, o.o_custkey FROM live f JOIN orders o
+                ON (o.o_orderkey // ${DeltaLog.W}) BETWEEN f.b_lo AND f.b_hi),
+            pk AS (SELECT DISTINCT path, o_custkey FROM frows),
+            fbits AS (SELECT DISTINCT path, ${bitSql("o_custkey")} AS bit
+                      FROM pk CROSS JOIN range(0, 3) r(i)),
+            fstats AS (SELECT path, min(o_custkey) AS lo, max(o_custkey) AS hi
+                       FROM frows GROUP BY path),
+            probes AS (
+              SELECT DISTINCT o_custkey AS probe FROM orders WHERE o_custkey % 101 = 7
+              UNION ALL SELECT max(o_custkey) + 1 FROM orders
+              UNION ALL SELECT max(o_custkey) + 2 FROM orders
+              UNION ALL SELECT max(o_custkey) + 3 FROM orders),
+            pbits AS (SELECT probe, i, ${bitSql("probe")} AS bit
+                      FROM probes CROSS JOIN range(0, 3) r(i)),
+            bloomc AS (
+              SELECT p.probe, b.path FROM pbits p JOIN fbits b ON b.bit = p.bit
+              GROUP BY p.probe, b.path HAVING count(DISTINCT p.i) = 3),
+            statsc AS (SELECT p.probe, f.path FROM probes p
+                       JOIN fstats f ON p.probe BETWEEN f.lo AND f.hi),
+            comp AS (SELECT probe, path FROM bloomc
+                     INTERSECT SELECT probe, path FROM statsc),
+            truec AS (SELECT c.probe, CAST(count(*) AS BIGINT) AS n
+                      FROM comp c JOIN frows r ON r.path = c.path
+                        AND r.o_custkey = c.probe GROUP BY c.probe),
+            bc AS (SELECT probe, CAST(count(*) AS BIGINT) AS n FROM bloomc GROUP BY probe),
+            sc AS (SELECT probe, CAST(count(*) AS BIGINT) AS n FROM statsc GROUP BY probe),
+            cc AS (SELECT probe, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY probe),
+            per AS (
+              SELECT p.probe, CAST(coalesce(t.n, 0) AS BIGINT) AS n_rows_found,
+                CAST(coalesce(bc.n, 0) AS BIGINT) AS bloom_files,
+                CAST(coalesce(sc.n, 0) AS BIGINT) AS stats_files,
+                CAST(coalesce(cc.n, 0) AS BIGINT) AS composed_files
+              FROM probes p LEFT JOIN truec t ON t.probe = p.probe
+              LEFT JOIN bc ON bc.probe = p.probe LEFT JOIN sc ON sc.probe = p.probe
+              LEFT JOIN cc ON cc.probe = p.probe)
+            SELECT probe, n_rows_found, bloom_files, stats_files, composed_files, flag
+            FROM (
+              SELECT probe, n_rows_found, bloom_files, stats_files, composed_files,
+                CAST(0 AS BIGINT) AS flag FROM per
+              UNION ALL
+              SELECT CAST(-1 AS BIGINT), CAST(sum(n_rows_found) AS BIGINT),
+                CAST(sum(bloom_files) AS BIGINT), CAST(sum(stats_files) AS BIGINT),
+                CAST(sum(composed_files) AS BIGINT),
+                CAST(CASE WHEN sum(composed_files) < sum(stats_files)
+                     THEN 1 ELSE 0 END AS BIGINT)
+              FROM per
+            ) t ORDER BY probe"""),
+      (s, d) => {
+        val ord = orders(s, d)
+        val acts0 = DeltaLog.actions(DeltaLog.logLines(ord)).coalesce(1).localCheckpoint()
+        val live = DeltaLog.replay(acts0)
+        val obc = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+          col("o_custkey").cast("long").as("o_custkey"))
+        // three consumers: bloom build, per-file min/max stats, pruned scan
+        val fRows = live.select(col("path"), explode(col("buckets")).as("bucket"))
+          .join(obc, Seq("bucket")).select("path", "o_custkey").localCheckpoint()
+        def bitOf(i: Int, key: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit(s"$i:"), key.cast("string")).cast("binary")),
+            1, 8), 16, 10).cast("long") % M
+        val bits = fRows.distinct()
+          .select(col("path"), explode(array(
+            (0 to 2).map(i => bitOf(i, col("o_custkey"))): _*)).as("bit"))
+          .groupBy("path").agg(collect_set(col("bit")).as("bs"))
+          .select(col("path"), lit(1000).as("ordinal"),
+            concat_ws("", transform(sequence(lit(0L), lit(M - 1L)),
+              b => when(array_contains(col("bs"), b), lit("1")).otherwise(lit("0"))))
+              .as("payload"))
+        // THE operator: per-file blooms committed as instance-scoped sidecars
+        val acts1 = acts0.unionByName(DeltaLog.sideActions(bits, "bloom", 4))
+          .coalesce(1).localCheckpoint()
+        val blooms = DeltaLog.effectiveSidePayloads(acts1, "bloom")
+        val probes = ord.select(col("o_custkey").cast("long").as("probe"))
+          .filter(col("probe") % 101 === 7).distinct()
+          .unionByName(ord.agg(max(col("o_custkey")).cast("long").as("m"))
+            .select(explode(array(col("m") + 1, col("m") + 2, col("m") + 3)).as("probe")))
+          .localCheckpoint()
+        // bloom plan: candidates read through the COMMITTED bit string
+        // both pair frames feed the composed plan AND their own counts;
+        // materializing also cuts the shared `probes` lineage the
+        // ambiguous-self-join check would otherwise reject
+        val bloomPairs = blooms.crossJoin(broadcast(probes))
+          .filter((0 to 2).map(i =>
+            col("payload").substr((bitOf(i, col("probe")) + 1).cast("int"), lit(1)) === "1")
+            .reduce(_ && _))
+          .select(col("path"), col("probe")).localCheckpoint()
+        val fstats = fRows.groupBy("path")
+          .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+        val statsPairs = fstats.crossJoin(broadcast(probes))
+          .filter(col("probe").between(col("lo"), col("hi")))
+          .select(col("path"), col("probe")).localCheckpoint()
+        val compPairs = bloomPairs.join(statsPairs, Seq("path", "probe"), "left_semi")
+          .localCheckpoint() // feeds the pruned scan AND the composed counts
+        // the dl3 discipline: scan ONLY composed candidates; found rows must
+        // equal the oracle's independent truth or the prune was unsound
+        val found = fRows.join(
+            compPairs.select(col("path"), col("probe").as("fprobe")), Seq("path"))
+          .filter(col("o_custkey") === col("fprobe"))
+          .groupBy("fprobe").agg(count(lit(1)).as("nf"))
+          .select(col("fprobe").as("probe"), col("nf"))
+        def cnt(pairs: org.apache.spark.sql.DataFrame, as: String) =
+          pairs.groupBy("probe").agg(count(lit(1)).as(as))
+        val per = probes.join(found, Seq("probe"), "left")
+          .join(cnt(bloomPairs, "nb"), Seq("probe"), "left")
+          .join(cnt(statsPairs, "ns"), Seq("probe"), "left")
+          .join(cnt(compPairs, "nc"), Seq("probe"), "left")
+          .select(col("probe"), coalesce(col("nf"), lit(0L)).as("n_rows_found"),
+            coalesce(col("nb"), lit(0L)).as("bloom_files"),
+            coalesce(col("ns"), lit(0L)).as("stats_files"),
+            coalesce(col("nc"), lit(0L)).as("composed_files"))
+          .localCheckpoint() // feeds the rows AND the audit aggregate
+        val audit = per.agg(sum("n_rows_found").as("nf"), sum("bloom_files").as("nb"),
+            sum("stats_files").as("ns"), sum("composed_files").as("nc"))
+          .select(lit(-1L).as("probe"), col("nf").as("n_rows_found"),
+            col("nb").as("bloom_files"), col("ns").as("stats_files"),
+            col("nc").as("composed_files"),
+            (col("nc") < col("ns")).cast("long").as("flag"))
+        per.withColumn("flag", lit(0L)).unionByName(audit).orderBy("probe")
+      })
+  }
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
@@ -4528,5 +4678,5 @@ object LakehouseQueries extends QuerySet {
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
     dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc, dl36ReplaceWhere, dl37ReorgPurge,
-    dl38LogToLog, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
+    dl38LogToLog, dl39BloomSkipping, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

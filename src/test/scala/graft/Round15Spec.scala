@@ -114,4 +114,37 @@ class Round15Spec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(batchRecompute == Set(("compact-0-1", 30L, 600L)))
   }
+
+  // ---- dl39: bloom sidecars are instance-scoped like every side action ----
+
+  test("bloom side actions bind to the file INSTANCE: a rewrite retires the bloom") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    def add(v: Int, o: Int, path: String): Row =
+      Row(v, o, "add", path, Seq(0L), 10L, 1L, 10L, 100L, null, null, null, null, null)
+    def rem(v: Int, o: Int, path: String): Row =
+      Row(v, o, "remove", path, null, null, null, null, null, null, null, null, null, null)
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(add(0, 0, "a"), add(0, 1, "b")), DeltaLog.actionSchema)
+    val blooms = DeltaLog.sideActions(
+      Seq(("a", 0, "1010"), ("b", 1, "0101")).toDF("path", "ordinal", "payload"), "bloom", 1)
+    val acts1 = base.unionByName(blooms)
+    assert(DeltaLog.effectiveSidePayloads(acts1, "bloom").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "1010"), ("b", "0101")))
+    // rewrite file a (remove + re-add at v2): the old bloom belonged to the
+    // DEAD instance — serving it against the new file's rows would skip
+    // rows the new file actually contains
+    val acts2 = acts1.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(rem(2, 0, "a"), add(2, 1, "a")), DeltaLog.actionSchema))
+    assert(DeltaLog.effectiveSidePayloads(acts2, "bloom").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("b", "0101")),
+      "a rewritten file must not inherit its predecessor's bloom")
+    // a fresh bloom committed for the NEW instance wins
+    val acts3 = acts2.unionByName(DeltaLog.sideActions(
+      Seq(("a", 0, "1111")).toDF("path", "ordinal", "payload"), "bloom", 3))
+    assert(DeltaLog.effectiveSidePayloads(acts3, "bloom").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "1111"), ("b", "0101")))
+  }
 }
