@@ -1616,6 +1616,87 @@ object DeltaLog {
   def rowIds(acts: DataFrame, positioned: DataFrame, asOf: Option[Int] = None): DataFrame =
     resolveSegs(ridSegments(acts, asOf), positioned).drop("seg_pos")
 
+  // ---- row-level OCC: mask transactions merge on disjoint rows (dl40) -------
+
+  /** Translate a mask-only transaction's (path, pos) targets into STABLE
+    * row ids under the snapshot it READ (`readVersion`), then re-key each
+    * id onto the HEAD's live instances through the head's segment maps —
+    * the row-tracking payoff (dl27): a concurrent OPTIMIZE renumbered
+    * positions and retired the file instance the mask was keyed to, but
+    * the IDS survived the rewrite, so the edit can follow its rows.
+    * Returns (path, pos, row_id, new_path, new_pos); a null new_path
+    * means the row no longer exists at head. All log-sized: the position
+    * sets are mask-sized, the maps per-file. */
+  private def translatedMasks(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
+    val oldPos = txn.filter(col("op") === "dv")
+      .select(col("path"), explode(col("dv")).as("pos"))
+    val ids = rowIds(acts, oldPos, Some(readVersion))
+    val segRows = ridSegments(acts)
+      .select(col("path").as("new_path"), explode(col("segs")).as("s"))
+    ids.join(broadcast(segRows),
+        col("row_id") >= col("s.rid") && col("row_id") < col("s.rid") + col("s.len"), "left")
+      .select(col("path"), col("pos"), col("row_id"), col("new_path"),
+        (col("s.pos") + col("row_id") - col("s.rid")).as("new_pos"))
+  }
+
+  /** Row-level OCC probe for a mask-only (DELETE) transaction that lost
+    * the FILE-level race ([[rebaseConflicts]] non-empty): decide whether
+    * the conflict is resolvable at ROW granularity — Delta's stated
+    * direction for write contention, and what dl27's stable row ids
+    * exist to enable. One row, one driver action, all log-sized:
+    *   - n_file_conflicts: the concurrent actions that made file-level
+    *     OCC abort (>0 is the interesting case — merge INSTEAD of abort);
+    *   - n_blocking: concurrent table-level actions (meta/protocol/
+    *     constraint/props/txn/ident) — never row-resolvable;
+    *   - n_nondv: the transaction's own non-mask actions — this path
+    *     only merges pure deletes;
+    *   - n_homeless: masked rows with no live home at head (deleted or
+    *     dropped by a concurrent writer — both edited the same row);
+    *   - n_overlap: masked row ids ALREADY masked at head (two writers
+    *     deleted the same row — the textbook row conflict).
+    * Resolvable iff blocking = nondv = homeless = overlap = 0. */
+  def dvRowLevelProbe(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
+    val t = translatedMasks(txn, acts, readVersion)
+    val confl = rebaseConflicts(txn, acts, readVersion)
+    val headMasked = rowIds(acts, deletionVectors(acts)
+      .select(col("path"), explode(col("dv")).as("pos")))
+    confl.agg(count(lit(1)).as("n_file_conflicts"))
+      .crossJoin(confl.filter(!col("op").isin("add", "remove", "dv", "rids"))
+        .agg(count(lit(1)).as("n_blocking")))
+      .crossJoin(txn.filter(col("op") =!= "dv").agg(count(lit(1)).as("n_nondv")))
+      .crossJoin(t.agg(count(lit(1)).as("n_masks"),
+        coalesce(sum(when(col("new_path").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_homeless")))
+      .crossJoin(t.join(headMasked.select("row_id"), Seq("row_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap")))
+  }
+
+  /** The row-level rebase a clean [[dvRowLevelProbe]] licenses: the
+    * transaction's masks re-keyed by stable row id onto the head's live
+    * instances and MERGED with the head's effective masks on those
+    * files (two writers masking disjoint rows of one file both land —
+    * the un-abort). Emits one op='dv' action per touched head file at
+    * `newVersion`; a masked row with no live home raises in the row
+    * path (the probe's contract, kept loud here too). */
+  def dvRowLevelRebase(txn: DataFrame, acts: DataFrame, readVersion: Int,
+                       newVersion: Int): DataFrame = {
+    val t = translatedMasks(txn, acts, readVersion)
+      .withColumn("new_path", when(col("new_path").isNull,
+        raise_error(concat(lit("row-level rebase: masked row no longer live: "),
+          col("path"), lit("@"), col("pos").cast("string"))))
+        .otherwise(col("new_path")))
+    val touched = t.select(col("new_path").as("path")).distinct()
+    val headDv = deletionVectors(acts).join(broadcast(touched), Seq("path"), "left_semi")
+      .select(col("path"), explode(col("dv")).as("new_pos"))
+    t.select(col("new_path").as("path"), col("new_pos")).unionByName(headDv)
+      .groupBy("path").agg(sort_array(collect_set(col("new_pos"))).as("dvm"))
+      .select(Seq(lit(newVersion).as("version"), lit(0).as("ordinal"),
+        lit("dv").as("op"), col("path")) ++ nullStatCols ++
+        Seq(col("dvm").as("dv"), lit(null).cast(StringType).as("schema_str"),
+          lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
+          lit(null).cast(IntegerType).as("min_writer")): _*)
+  }
+
   // ---- identity columns: generated monotonic keys at commit (dl35) ----------
 
   /** Identity columns (the Delta identityColumns writer feature): the

@@ -4671,6 +4671,175 @@ object LakehouseQueries extends QuerySet {
       })
   }
 
+  /** Row-level conflict resolution (dl40 — the dl27 capstone): two
+    * concurrent transactions touching DISJOINT rows of the SAME file
+    * merge instead of aborting. A tracked OPTIMIZE (v1) compacts every
+    * adjacent file pair — retiring the instances two prepared DELETE
+    * masks were keyed to, so FILE-level OCC ([[DeltaLog.rebaseConflicts]])
+    * would abort both. The row-level path
+    * ([[DeltaLog.dvRowLevelProbe]]/[[DeltaLog.dvRowLevelRebase]])
+    * translates each mask's positions into stable row ids under the
+    * snapshot it read, re-keys them onto the head's live instances
+    * through the head's segment maps, and merges with the head's
+    * effective masks: txn B (part-5 rows ≡1 mod 4) lands at v2 on
+    * `opt-4-5` with positions shifted by |part-4|; txn D (part-4 rows
+    * ≡2 mod 5 — disjoint ids, SAME head file) lands at v3 merged into
+    * one mask; txn C (part-5 rows ≡1 mod 8 — ids ⊂ B's) hits
+    * n_overlap > 0 and ABORTS, the textbook same-row conflict. The gate
+    * pins the probe counters (file conflicts > 0 on every attempt — the
+    * merges happened IN SPITE of the file race), the committed mask
+    * contents (position sums pin the id translation arithmetic, not just
+    * counts), the post rowset per file, and the masked/live id sums the
+    * oracle recomputes from closed-form ranges. */
+  val dl40RowConflict = Q("dl40_row_conflict",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            pairs AS (SELECT bucket // 2 AS bin, CAST(count(*) AS BIGINT) AS nf,
+                min(bucket) AS lo, max(bucket) AS hi,
+                CAST(sum(n_rows) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
+              FROM bks GROUP BY 1),
+            livef AS (SELECT CASE WHEN nf = 2
+                  THEN 'opt-' || CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                  ELSE 'part-' || CAST(lo AS VARCHAR) END AS path, n, c FROM pairs),
+            rws5 AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (ORDER BY o_orderkey) - 1 AS p
+              FROM orders WHERE o_orderkey // ${DeltaLog.W} = 5),
+            rws4 AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (ORDER BY o_orderkey) - 1 AS p
+              FROM orders WHERE o_orderkey // ${DeltaLog.W} = 4),
+            mb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+                CAST(sum(p) AS BIGINT) AS sp FROM rws5 WHERE p % 4 = 1),
+            mc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rws5 WHERE p % 8 = 1),
+            md AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+                CAST(sum(p) AS BIGINT) AS sp FROM rws4 WHERE p % 5 = 2),
+            n4 AS (SELECT CAST(n_rows AS BIGINT) AS v FROM bks WHERE bucket = 4),
+            b4 AS (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS v
+                   FROM bks WHERE bucket < 4),
+            b5 AS (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS v
+                   FROM bks WHERE bucket < 5),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            midsum AS (SELECT
+                (SELECT CAST(sum((SELECT v FROM b5) + p) AS BIGINT)
+                 FROM rws5 WHERE p % 4 = 1)
+              + (SELECT CAST(sum((SELECT v FROM b4) + p) AS BIGINT)
+                 FROM rws4 WHERE p % 5 = 2) AS s)
+            SELECT section, item, n_rows, aux, aux2, flag FROM (
+              SELECT 'decision' AS section, 'B:merged' AS item, n AS n_rows,
+                CAST(0 AS BIGINT) AS aux, CAST(1 AS BIGINT) AS aux2,
+                CAST(2 AS BIGINT) AS flag FROM mb
+              UNION ALL SELECT 'decision', 'C:abort_conflict', n, n, CAST(1 AS BIGINT),
+                CAST(-1 AS BIGINT) FROM mc
+              UNION ALL SELECT 'decision', 'D:merged', n, CAST(0 AS BIGINT),
+                CAST(1 AS BIGINT), CAST(3 AS BIGINT) FROM md
+              UNION ALL SELECT 'txn', 'dv:opt-4-5@2', (SELECT n FROM mb),
+                (SELECT n FROM mb) * (SELECT v FROM n4) + (SELECT sp FROM mb),
+                CAST(0 AS BIGINT), CAST(2 AS BIGINT)
+              UNION ALL SELECT 'txn', 'dv:opt-4-5@3',
+                (SELECT n FROM mb) + (SELECT n FROM md),
+                (SELECT n FROM mb) * (SELECT v FROM n4) + (SELECT sp FROM mb)
+                  + (SELECT sp FROM md),
+                CAST(0 AS BIGINT), CAST(3 AS BIGINT)
+              UNION ALL SELECT 'state', 'n_effective_dvs', CAST(1 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL SELECT 'post', path,
+                CASE WHEN path = 'opt-4-5'
+                  THEN n - (SELECT n FROM mb) - (SELECT n FROM md) ELSE n END,
+                CASE WHEN path = 'opt-4-5'
+                  THEN c - (SELECT c FROM mb) - (SELECT c FROM md) ELSE c END,
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM livef
+              UNION ALL SELECT 'check', 'masked_ids',
+                (SELECT n FROM mb) + (SELECT n FROM md), (SELECT s FROM midsum),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL SELECT 'check', 'live_ids',
+                (SELECT n FROM tot) - (SELECT n FROM mb) - (SELECT n FROM md),
+                (SELECT n FROM tot) * ((SELECT n FROM tot) - 1) // 2
+                  - (SELECT s FROM midsum),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val bks = obRows.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+      val v0adds = DeltaLog.addActions(bks.select(col("bucket").as("ordinal"),
+        concat(lit("part-"), col("bucket")).as("path"),
+        array(col("bucket")).as("buckets"),
+        col("n_rows"), col("min_key"), col("max_key"), col("cents")), 0)
+        .coalesce(1).localCheckpoint()
+      val acts0 = v0adds
+        .unionByName(DeltaLog.assignRidActions(v0adds, v0adds))
+        .unionByName(DeltaLog.protocolAction(s, 0, 10000, 3, 7))
+        .coalesce(1).localCheckpoint()
+      // the concurrent writer: a tracked OPTIMIZE lands FIRST (v1),
+      // retiring the instances both prepared masks are keyed to
+      val acts1 = acts0.unionByName(DeltaLog.optimizeActionsTracked(
+        DeltaLog.replay(acts0), DeltaLog.ridSegments(acts0), 1))
+        .coalesce(1).localCheckpoint()
+      // three DELETE transactions, all prepared against v0 (readVersion 0)
+      val live0 = DeltaLog.replay(acts0)
+      def mask(path: String, m: Int, r: Int) = DeltaLog.dvAction(live0, path, 90, 0,
+        filter(sequence(lit(0L), col("n_rows") - 1), p => p % m === r))
+      var acts = acts1; var head = 1
+      val decisions = scala.collection.mutable.Buffer.empty[(String, Long, Long, Long, Long)]
+      def attempt(name: String, txn: org.apache.spark.sql.DataFrame): Unit = {
+        val p = DeltaLog.dvRowLevelProbe(txn, acts, 0).head()
+        val (nfc, nblk, nnondv) = (p.getLong(0), p.getLong(1), p.getLong(2))
+        val (nMasks, nHome, nOver) = (p.getLong(3), p.getLong(4), p.getLong(5))
+        if (nblk == 0 && nnondv == 0 && nHome == 0 && nOver == 0) {
+          acts = acts.unionByName(DeltaLog.dvRowLevelRebase(txn, acts, 0, head + 1))
+            .coalesce(1).localCheckpoint()
+          head += 1
+          decisions += ((s"$name:merged", nMasks, nOver, nfc, head.toLong))
+        } else decisions += ((s"$name:abort_conflict", nMasks, nOver, nfc, -1L))
+      }
+      attempt("B", mask("part-5", 4, 1))
+      attempt("C", mask("part-5", 8, 1)) // ids a subset of B's -> overlap
+      attempt("D", mask("part-4", 5, 2)) // disjoint ids, SAME head file
+      import s.implicits._
+      val decRows = decisions.toSeq.toDF("item", "n_rows", "aux", "aux2", "flag")
+        .select(lit("decision").as("section"), col("item"), col("n_rows"),
+          col("aux"), col("aux2"), col("flag"))
+      val txnRows = acts.filter(col("op") === "dv")
+        .select(lit("txn").as("section"),
+          concat(lit("dv:"), col("path"), lit("@"), col("version")).as("item"),
+          size(col("dv")).cast("long").as("n_rows"),
+          aggregate(col("dv"), lit(0L), (a, x) => a + x).as("aux"),
+          lit(0L).as("aux2"), col("version").cast("long").as("flag"))
+      val finalDvs = DeltaLog.deletionVectors(acts).localCheckpoint()
+      val stateRow = finalDvs.agg(count(lit(1)).as("n"))
+        .select(lit("state").as("section"), lit("n_effective_dvs").as("item"),
+          col("n").cast("long").as("n_rows"), lit(0L).as("aux"), lit(0L).as("aux2"),
+          lit(0L).as("flag"))
+      // post read + id audits resolve through the REAL machinery: positions
+      // from the data, masks from the log, ids from the head segment maps
+      val rws = positionedRows(DeltaLog.replay(acts), obRows).localCheckpoint()
+      val maskRows = finalDvs.select(col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
+      val netRows = rws.join(broadcast(maskRows), Seq("path", "pos"), "left")
+        .filter(col("hit").isNull).drop("hit")
+      val post = netRows.groupBy("path")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+        .select(lit("post").as("section"), col("path").as("item"),
+          col("n").cast("long").as("n_rows"), col("c").cast("long").as("aux"),
+          lit(0L).as("aux2"), lit(0L).as("flag"))
+      val maskedIds = DeltaLog.rowIds(acts,
+          finalDvs.select(col("path"), explode(col("dv")).as("pos")))
+        .agg(count(lit(1)).as("n"), sum("row_id").as("sid"))
+        .select(lit("check").as("section"), lit("masked_ids").as("item"),
+          col("n").cast("long").as("n_rows"), col("sid").cast("long").as("aux"),
+          lit(0L).as("aux2"), lit(0L).as("flag"))
+      val liveIds = DeltaLog.rowIds(acts, netRows.select("path", "pos"))
+        .agg(count(lit(1)).as("n"), sum("row_id").as("sid"))
+        .select(lit("check").as("section"), lit("live_ids").as("item"),
+          col("n").cast("long").as("n_rows"), col("sid").cast("long").as("aux"),
+          lit(0L).as("aux2"), lit(0L).as("flag"))
+      decRows.unionByName(txnRows).unionByName(stateRow).unionByName(post)
+        .unionByName(maskedIds).unionByName(liveIds)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
@@ -4678,5 +4847,5 @@ object LakehouseQueries extends QuerySet {
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
     dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc, dl36ReplaceWhere, dl37ReorgPurge,
-    dl38LogToLog, dl39BloomSkipping, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
+    dl38LogToLog, dl39BloomSkipping, dl40RowConflict, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

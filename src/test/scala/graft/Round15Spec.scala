@@ -147,4 +147,51 @@ class Round15Spec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("a", "1111"), ("b", "0101")))
   }
+
+  // ---- dl40: row-level OCC interleaves ------------------------------------
+
+  test("row-level OCC: disjoint-row masks merge through a rewrite; same-row, dead-row and table-level conflicts abort") {
+    import org.apache.spark.sql.Row
+    def row(v: Int, o: Int, op: String, path: String, n: java.lang.Long,
+            dv: Seq[Long], segs: String): Row =
+      Row(v, o, op, path, if (op == "add") Seq(0L) else null, n,
+        if (op == "add") java.lang.Long.valueOf(1L) else null,
+        if (op == "add") n else null,
+        if (op == "add") java.lang.Long.valueOf(100L) else null,
+        dv, segs, null, null, null)
+    def frame(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
+    // v0: file `a` (10 rows, ids 0..9); v1: a COW delete of rows 4,5 rewrote
+    // it into `a2` — survivors keep their ids: pos 0..3 -> ids 0..3,
+    // pos 4..7 -> ids 6..9
+    val acts0 = frame(row(0, 0, "add", "a", 10L, null, null),
+      row(0, 0, "rids", "a", null, null, "0:0:10"))
+    val head = acts0.unionByName(frame(
+      row(1, 0, "remove", "a", null, null, null),
+      row(1, 1, "add", "a2", 8L, null, null),
+      row(1, 1, "rids", "a2", null, null, "0:0:4;4:6:4"))).localCheckpoint()
+    def maskA(ps: Long*): org.apache.spark.sql.DataFrame =
+      frame(row(90, 0, "dv", "a", null, ps, null))
+    // B masks OLD positions 1 and 7 (ids 1, 7) — both live in a2; the
+    // file-level race is lost (a was removed) but rows are untouched
+    val pB = DeltaLog.dvRowLevelProbe(maskA(1L, 7L), head, 0).head()
+    assert((pB.getLong(0), pB.getLong(1), pB.getLong(4), pB.getLong(5)) == ((1L, 0L, 0L, 0L)),
+      s"B must be row-resolvable despite the file conflict: $pB")
+    val rebased = DeltaLog.dvRowLevelRebase(maskA(1L, 7L), head, 0, 2)
+    val got = rebased.select("path", "dv").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    // id 1 -> a2 pos 1; id 7 -> a2 pos 4 + (7-6) = 5
+    assert(got == Seq(("a2", Seq(1L, 5L))), got.toString)
+    val head2 = head.unionByName(rebased).localCheckpoint()
+    // C masks OLD position 4 (id 4) — deleted by the rewrite: homeless
+    val pC = DeltaLog.dvRowLevelProbe(maskA(4L), head2, 0).head()
+    assert(pC.getLong(4) == 1L, s"a concurrently-deleted row must abort: $pC")
+    // D masks OLD position 1 (id 1) — B already masked it: overlap
+    val pD = DeltaLog.dvRowLevelProbe(maskA(1L), head2, 0).head()
+    assert(pD.getLong(5) == 1L, s"a same-row double delete must abort: $pD")
+    // E is fine row-wise, but a concurrent TABLE-level action blocks
+    val head3 = head2.unionByName(DeltaLog.metaAction(spark, 3, 0, "s2")).localCheckpoint()
+    val pE = DeltaLog.dvRowLevelProbe(maskA(2L), head3, 0).head()
+    assert(pE.getLong(1) == 1L, s"a concurrent meta change is never row-resolvable: $pE")
+  }
 }
