@@ -1697,6 +1697,44 @@ object DeltaLog {
           lit(null).cast(IntegerType).as("min_writer")): _*)
   }
 
+  // ---- incremental clustering OPTIMIZE (dl41) --------------------------------
+
+  /** Incremental clustering OPTIMIZE (dl41 — the liquid-clustering
+    * shape): cluster ONLY the live files that do not yet carry the
+    * effective `clus` mark, leaving clustered files untouched — so the
+    * nightly OPTIMIZE of a 100 TB table costs ∝ NEW data, not table
+    * size. Emits removes for every unmarked live file, one clustered
+    * `clus-<version>` add with summed stats and the union of their
+    * coverage, and the output's own `clus` mark IN THE SAME transaction
+    * (the optimizeActionsTracked fusion rule: an output whose mark
+    * lagged a version would be re-clustered by the next run). The mark
+    * is an instance-scoped side action ([[sideActions]]), so a later
+    * rewrite of a clustered file RETIRES its mark and the rewrite
+    * output re-enters the candidate set — marks are never inherited
+    * across instances. Zero unmarked files → an empty transaction (the
+    * steady-state no-op). Log-sized throughout: the policy reads the
+    * file list and the mark race, never data; the caller pays the
+    * physical rewrite of exactly the selected files. Real binning
+    * (size-bounded outputs) is a policy refinement over the same
+    * selection; the selection is what this verb pins. */
+  def clusterIncrementalActions(acts: DataFrame, version: Int): DataFrame = {
+    val live = replay(acts)
+    val marked = effectiveSidePayloads(acts, "clus").select("path")
+    val targets = live.join(broadcast(marked), Seq("path"), "left_anti")
+    val removes = removeActions(targets.select(col("path"), lit(0).as("ordinal")), version)
+    val stats = targets.agg(sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+        max("max_key").as("max_key"), sum("cents").as("cents"),
+        sort_array(array_distinct(flatten(collect_list(col("buckets"))))).as("bks"),
+        count(lit(1)).as("nf"))
+      .filter(col("nf") > 0)
+    val add = addActions(stats.select(lit(1000).as("ordinal"),
+      lit(s"clus-$version").as("path"), col("bks").as("buckets"),
+      col("n_rows"), col("min_key"), col("max_key"), col("cents")), version)
+    val mark = sideActions(stats.select(lit(s"clus-$version").as("path"),
+      lit(1000).as("ordinal"), lit("1").as("payload")), "clus", version)
+    removes.unionByName(add).unionByName(mark)
+  }
+
   // ---- identity columns: generated monotonic keys at commit (dl35) ----------
 
   /** Identity columns (the Delta identityColumns writer feature): the

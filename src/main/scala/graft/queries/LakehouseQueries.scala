@@ -4840,6 +4840,140 @@ object LakehouseQueries extends QuerySet {
         .orderBy("section", "item")
     })
 
+  /** Incremental clustering OPTIMIZE (dl41 — liquid clustering's cost
+    * model): v1 clusters the whole v0 table into `clus-1` (everything is
+    * unmarked on first run), v2 ingests three NEW files, and v3 — THE
+    * operator under test ([[DeltaLog.clusterIncrementalActions]]) —
+    * clusters ONLY the three unmarked files into `clus-3`, skipping the
+    * marked `clus-1` entirely. The gate pins both transactions' contents,
+    * the skip audit (1 file skipped; rewritten rows = NEW data rows, with
+    * the v2 table size as the denominator — the ∝-new-data guarantee a
+    * 100 TB nightly OPTIMIZE lives on), the marked-flag per final live
+    * file, and read-neutrality: the v2 and v3 data-level reads (rows
+    * through live coverage) hash-equal — clustering reshapes files,
+    * never the rowset. A fourth no-op run is pinned empty: the
+    * steady-state where everything is already clustered. */
+  val dl41ClusterIncremental = Q("dl41_cluster_incremental",
+    Some(s"""WITH ${DeltaLog.actionsSql},
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+                CAST(sum(n_rows) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c,
+                CAST(min(min_key) AS BIGINT) AS mn, CAST(max(max_key) AS BIGINT) AS mx
+              FROM bks),
+            nw AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS c
+              FROM bks WHERE bucket IN (1, 2, 3)),
+            ob AS (SELECT o_orderkey // ${DeltaLog.W} AS bucket, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+            rd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS k, CAST(sum(cents) AS BIGINT) AS c
+              FROM (SELECT o_orderkey, cents FROM ob
+                    UNION ALL SELECT o_orderkey, cents FROM ob WHERE bucket IN (1, 2, 3)) t)
+            SELECT section, item, n_rows, aux, flag FROM (
+              SELECT 'txn' AS section, 'v1:add:clus-1' AS item, n AS n_rows, c AS aux,
+                CAST(1 AS BIGINT) AS flag FROM tot
+              UNION ALL SELECT 'txn', 'v1:n_removed', nb, CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT) FROM tot
+              UNION ALL SELECT 'txn', 'v3:add:clus-3', n, c, CAST(1 AS BIGINT) FROM nw
+              UNION ALL SELECT 'txn', 'v3:n_removed', CAST(3 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL SELECT 'txn', 'v4:n_actions', CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL SELECT 'skip', 'v3_skipped_files', CAST(1 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL SELECT 'skip', 'v3_rewritten_rows', (SELECT n FROM nw),
+                (SELECT n FROM tot) + (SELECT n FROM nw),
+                CAST(CASE WHEN (SELECT n FROM nw) * 3
+                      < (SELECT n FROM tot) + (SELECT n FROM nw)
+                     THEN 1 ELSE 0 END AS BIGINT)
+              UNION ALL SELECT 'post', 'clus-1', n, c, CAST(1 AS BIGINT) FROM tot
+              UNION ALL SELECT 'post', 'clus-3', n, c, CAST(1 AS BIGINT) FROM nw
+              UNION ALL SELECT 'check', 'read_v2', n, k, c FROM rd
+              UNION ALL SELECT 'check', 'read_v3', n, k, c FROM rd
+              UNION ALL SELECT 'check', 'equal', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(1 AS BIGINT)
+            ) t ORDER BY section, item"""),
+    (s, d) => {
+      val ord = orders(s, d)
+      val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val bks = obRows.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"), sum("cents").as("cents"))
+        .coalesce(1).localCheckpoint()
+      val acts0 = DeltaLog.addActions(bks.select(col("bucket").as("ordinal"),
+        concat(lit("part-"), col("bucket")).as("path"),
+        array(col("bucket")).as("buckets"),
+        col("n_rows"), col("min_key"), col("max_key"), col("cents")), 0)
+        .coalesce(1).localCheckpoint()
+      // v1: first OPTIMIZE — everything unmarked, the whole table clusters
+      val t1 = DeltaLog.clusterIncrementalActions(acts0, 1).coalesce(1).localCheckpoint()
+      val acts1 = acts0.unionByName(t1).coalesce(1).localCheckpoint()
+      // v2: fresh ingest — three new files re-adding buckets 1..3
+      val acts2 = acts1.unionByName(DeltaLog.addActions(
+        bks.filter(col("bucket").isin(1, 2, 3)).select(col("bucket").as("ordinal"),
+          concat(lit("new-"), col("bucket")).as("path"),
+          array(col("bucket")).as("buckets"),
+          col("n_rows"), col("min_key"), col("max_key"), col("cents")), 2))
+        .coalesce(1).localCheckpoint()
+      // v3: THE operator — only the unmarked files cluster
+      val t3 = DeltaLog.clusterIncrementalActions(acts2, 3).coalesce(1).localCheckpoint()
+      val acts3 = acts2.unionByName(t3).coalesce(1).localCheckpoint()
+      // steady state: a fourth run with everything marked is a no-op
+      val t4n = DeltaLog.clusterIncrementalActions(acts3, 4)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("txn").as("section"), lit("v4:n_actions").as("item"),
+          col("n").cast("long").as("n_rows"), lit(0L).as("aux"), lit(0L).as("flag"))
+      def txnRows(t: org.apache.spark.sql.DataFrame, v: Int) = {
+        val marks = t.filter(col("op") === "clus").select(col("path"), lit(1L).as("_m"))
+        t.filter(col("op") === "add").join(broadcast(marks), Seq("path"), "left")
+          .select(lit("txn").as("section"),
+            concat(lit(s"v$v:add:"), col("path")).as("item"),
+            col("n_rows"), col("cents").as("aux"),
+            coalesce(col("_m"), lit(0L)).as("flag"))
+          .unionByName(t.filter(col("op") === "remove").agg(count(lit(1)).as("n"))
+            .select(lit("txn").as("section"), lit(s"v$v:n_removed").as("item"),
+              col("n").cast("long").as("n_rows"), lit(0L).as("aux"), lit(0L).as("flag")))
+      }
+      // skip audit: candidates the mark excluded, and rewritten rows over
+      // the table size the run saw — the ∝-new-data pin
+      val skipped = DeltaLog.replay(acts2)
+        .join(broadcast(DeltaLog.effectiveSidePayloads(acts2, "clus").select("path")),
+          Seq("path"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("skip").as("section"), lit("v3_skipped_files").as("item"),
+          col("n").cast("long").as("n_rows"), lit(0L).as("aux"), lit(0L).as("flag"))
+      val rewritten = t3.filter(col("op") === "add").agg(sum("n_rows").as("rw"))
+        .crossJoin(DeltaLog.replay(acts2).agg(sum("n_rows").as("tbl")))
+        .select(lit("skip").as("section"), lit("v3_rewritten_rows").as("item"),
+          col("rw").cast("long").as("n_rows"), col("tbl").cast("long").as("aux"),
+          (col("rw") * 3 < col("tbl")).cast("long").as("flag"))
+      val post = DeltaLog.replay(acts3)
+        .join(broadcast(DeltaLog.effectiveSidePayloads(acts3, "clus").select("path")
+          .withColumn("_m", lit(1L))), Seq("path"), "left")
+        .select(lit("post").as("section"), col("path").as("item"), col("n_rows"),
+          col("cents").as("aux"), coalesce(col("_m"), lit(0L)).as("flag"))
+      // read-neutrality: the v2 and v3 DATA-level reads are identical
+      def readSig(acts: org.apache.spark.sql.DataFrame, item: String) =
+        DeltaLog.replay(acts).select(col("path"), explode(col("buckets")).as("bucket"))
+          .join(obRows, Seq("bucket"))
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("k"), sum("cents").as("c"))
+          .select(lit("check").as("section"), lit(item).as("item"),
+            col("n").cast("long").as("n_rows"), col("k").cast("long").as("aux"),
+            col("c").cast("long").as("flag"))
+      val s2 = readSig(acts2, "read_v2"); val s3 = readSig(acts3, "read_v3")
+      val eq = s2.select(col("n_rows").as("n1"), col("aux").as("k1"), col("flag").as("c1"))
+        .crossJoin(s3.select(col("n_rows").as("n2"), col("aux").as("k2"), col("flag").as("c2")))
+        .select(lit("check").as("section"), lit("equal").as("item"),
+          lit(0L).as("n_rows"), lit(0L).as("aux"),
+          (col("n1") === col("n2") && col("k1") === col("k2") && col("c1") === col("c2"))
+            .cast("long").as("flag"))
+      txnRows(t1, 1).unionByName(txnRows(t3, 3)).unionByName(t4n)
+        .unionByName(skipped).unionByName(rewritten).unionByName(post)
+        .unionByName(s2).unionByName(s3).unionByName(eq)
+        .orderBy("section", "item")
+    })
+
   def all: Seq[Q] = Seq(dl1Snapshot, dl2TimeTravel, dl2bTimeTravelTs, dl3StatsPrune, dl4Checkpoint,
     dl5Diff, dl6Zorder, dl7Vacuum, dl8Occ, dl9Optimize, dl10Dv, dl11Schema, dl12Cdf, dl12bCdfDv,
     dl13CheckpointFullState, dl14OptimizeDv, dl15VacuumDv, dl16OptimizeSchema,
@@ -4847,5 +4981,5 @@ object LakehouseQueries extends QuerySet {
     dl23WriterInvariants, dl24RetryLoop, dl25UpdateWhere, dl26ShallowClone, dl27RowTracking,
     dl28TableProps, dl29AddConstraint, dl30CowDelete, dl31TypeWidening, dl32GeneratedCoverage,
     dl33StreamTxnSink, dl34MergeBySource, dl35IdentityOcc, dl36ReplaceWhere, dl37ReorgPurge,
-    dl38LogToLog, dl39BloomSkipping, dl40RowConflict, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
+    dl38LogToLog, dl39BloomSkipping, dl40RowConflict, dl41ClusterIncremental, k6Clustering, scd1Build, cdc1Apply, ivm1View, ivm2JoinView)
 }

@@ -194,4 +194,36 @@ class Round15Spec extends SparkSpec {
     val pE = DeltaLog.dvRowLevelProbe(maskA(2L), head3, 0).head()
     assert(pE.getLong(1) == 1L, s"a concurrent meta change is never row-resolvable: $pE")
   }
+
+  // ---- dl41: incremental clustering selects by mark, marks die with instances
+
+  test("incremental clustering: only unmarked files rewrite; a rewrite re-enters the candidate set") {
+    import org.apache.spark.sql.Row
+    def add(v: Int, o: Int, path: String, b: Long): Row =
+      Row(v, o, "add", path, Seq(b), 10L, 1L, 10L, 100L, null, null, null, null, null)
+    def frame(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), DeltaLog.actionSchema)
+    val acts0 = frame(add(0, 0, "a", 0L), add(0, 1, "b", 1L)).localCheckpoint()
+    val acts1 = acts0.unionByName(DeltaLog.clusterIncrementalActions(acts0, 1))
+      .localCheckpoint()
+    assert(DeltaLog.replay(acts1).select("path").collect().map(_.getString(0)).toSet ==
+      Set("clus-1"))
+    // steady state: everything marked -> the next run is an empty txn
+    assert(DeltaLog.clusterIncrementalActions(acts1, 2).count() == 0L)
+    // new ingest -> ONLY the new file clusters; clus-1 is untouched
+    val acts2 = acts1.unionByName(frame(add(2, 0, "c", 2L))).localCheckpoint()
+    val t3 = DeltaLog.clusterIncrementalActions(acts2, 3).localCheckpoint()
+    assert(t3.filter(col("op") === "remove").select("path").collect()
+      .map(_.getString(0)).toSet == Set("c"))
+    val acts3 = acts2.unionByName(t3).localCheckpoint()
+    // a rewrite of a clustered file retires its mark: the rewrite output
+    // is a candidate again (marks bind to instances, never paths)
+    val acts4 = acts3.unionByName(frame(
+      Row(4, 0, "remove", "clus-1", null, null, null, null, null, null, null, null, null, null),
+      add(4, 1, "clus-1", 0L))).localCheckpoint()
+    val t5 = DeltaLog.clusterIncrementalActions(acts4, 5)
+    assert(t5.filter(col("op") === "remove").select("path").collect()
+      .map(_.getString(0)).toSet == Set("clus-1"),
+      "the re-added instance lost its predecessor's mark and must re-cluster")
+  }
 }
