@@ -4632,6 +4632,282 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** Residual IVF-PQ / IVFADC (v18 — Jégou et al. 2011, the FAISS
+    * 100 TB standard; the v12 × v16 composition): instead of
+    * PQ-encoding raw vectors, encode each vector's RESIDUAL against its
+    * assigned coarse centroid — the coarse quantizer absorbs the
+    * between-cluster structure, so the per-subspace codebooks spend
+    * their whole budget on the within-cluster noise and the codes land
+    * tighter at the same bit cost. ADC composes as
+    * dot(q, c_cell) + Σ_m LUT(q_m, residual codeword) — one extra
+    * 16-entry coarse table per query, nothing else changes at scan time.
+    * The gate trains BOTH arms with the same one-step DECIMAL-exact
+    * Lloyd at the SAME code budget (8 subspaces × 8 codewords) on the
+    * clustered fixture and pins: the residual codebook (per-(m,k)
+    * centroid sums + usage counts), per-cell coarse assignment counts,
+    * recall@5 of residual vs raw ADC against brute-force truth (the
+    * residual arm's margin is the verb's payoff), and both quantization
+    * distortions (residual ≪ raw — the training objective the margin
+    * comes from). */
+  val v18ResidualPq: Q = {
+    val nSub = 8; val sDim = 8; val kPq = 8; val nCells = 16
+    // 16 dense pseudo-random cluster centers touching EVERY subspace —
+    // more clusters than codewords per subspace, and deliberately NOT
+    // axis-aligned with the PQ split (an axis-aligned spine lets raw PQ
+    // dedicate one codeword per cluster and erases the residual margin;
+    // real embedding clusters are never subspace-aligned)
+    def center(c: Int, i: Int): Double = ((c * 7 + i * 11) % 17 - 8) / 2.0
+    def rVal(k: Int, i: Int): Double = (((k * 37 + i * 13) % 11) - 5) / 10.0
+    // the raw arm's init covers HALF the centers (the best an 8-codeword
+    // budget could hope for); the residual arm's init is noise-scale
+    val iniLits: Seq[(Int, Int, Seq[Double])] =
+      (for (m <- 0 until nSub; k <- 0 until kPq)
+        yield (m, k, Seq.tabulate(sDim)(j => center(2 * k, m * sDim + j)))).toSeq
+    val rIniLits: Seq[(Int, Int, Seq[Double])] =
+      (for (m <- 0 until nSub; k <- 0 until kPq)
+        yield (m, k, Seq.tabulate(sDim)(j => rVal(k, m * sDim + j)))).toSeq
+    def valuesSql(rows: Seq[(Int, Int, Seq[Double])]) =
+      rows.map { case (m, k, c) => s"($m, $k, CAST(${vecSql(c)} AS DOUBLE[]))" }
+        .mkString(",\n              ")
+    val adcSumSql = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN l END)").mkString(" + ")
+    Q("v18_residual_pq",
+      Some(s"""WITH fix AS (
+              SELECT vec_id, list_transform(range(0, 64), i ->
+                CAST((((vec_id % $nCells) * 7 + i * 11) % 17 - 8) AS DOUBLE) / 2.0
+                + ((vec_id * 31 + i * 17) % 11 - 5) / 10.0) AS e
+              FROM embeddings),
+            cents AS (SELECT cell, list_transform(range(0, 64), i ->
+                CAST(((cell * 7 + i * 11) % 17 - 8) AS DOUBLE) / 2.0) AS cv
+              FROM (SELECT unnest(range(0, $nCells)) AS cell)),
+            dd AS (SELECT vec_id, e, cell,
+                list_sum(list_transform(range(1, 65), i -> (e[i] - cv[i]) * (e[i] - cv[i]))) AS d2
+              FROM fix CROSS JOIN cents),
+            assign AS (SELECT vec_id, e, cell FROM (SELECT vec_id, e, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd) z
+              WHERE rn = 1),
+            res AS (SELECT a.vec_id, a.cell,
+                list_transform(range(1, 65), i -> a.e[i] - c.cv[i]) AS r
+              FROM assign a JOIN cents c USING (cell)),
+            rsub AS (SELECT vec_id, m, list_slice(r, m*$sDim + 1, m*$sDim + $sDim) AS sv
+              FROM res, range(0, $nSub) t(m)),
+            sub AS (SELECT vec_id, m, list_slice(e, m*$sDim + 1, m*$sDim + $sDim) AS sv
+              FROM fix, range(0, $nSub) t(m)),
+            rini(m, k, cv) AS (VALUES ${valuesSql(rIniLits)}),
+            ini(m, k, cv) AS (VALUES ${valuesSql(iniLits)}),
+            rd0 AS (SELECT s.vec_id, s.m, i.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM rsub s JOIN rini i ON i.m = s.m),
+            ra0 AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM rd0) z
+              WHERE rn = 1),
+            rel AS (SELECT ra0.m, ra0.k, j, sv[j] AS x
+              FROM ra0 JOIN rsub USING (vec_id, m), range(1, ${sDim + 1}) t(j)),
+            rcel AS (SELECT m, k, j,
+                round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+              FROM rel GROUP BY m, k, j),
+            rcl AS (SELECT m, k, list(c ORDER BY j) AS cv FROM rcel GROUP BY m, k),
+            d0 AS (SELECT s.vec_id, s.m, i.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM sub s JOIN ini i ON i.m = s.m),
+            a0 AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM d0) z
+              WHERE rn = 1),
+            el AS (SELECT a0.m, a0.k, j, sv[j] AS x
+              FROM a0 JOIN sub USING (vec_id, m), range(1, ${sDim + 1}) t(j)),
+            tcel AS (SELECT m, k, j,
+                round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*), 8) AS c
+              FROM el GROUP BY m, k, j),
+            tcl AS (SELECT m, k, list(c ORDER BY j) AS cv FROM tcel GROUP BY m, k),
+            rdt AS (SELECT s.vec_id, s.m, t.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM rsub s JOIN rcl t ON t.m = s.m),
+            rct AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM rdt) z
+              WHERE rn = 1),
+            dt AS (SELECT s.vec_id, s.m, t.k,
+                list_sum(list_transform(range(1, ${sDim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+              FROM sub s JOIN tcl t ON t.m = s.m),
+            ct AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM dt) z
+              WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, e AS qv FROM fix WHERE vec_id < 20),
+            qsub AS (SELECT qid, m, list_slice(qv, m*$sDim + 1, m*$sDim + $sDim) AS qsv
+              FROM q, range(0, $nSub) t(m)),
+            lr AS (SELECT qid, t.m, t.k,
+                round(list_sum(list_transform(range(1, ${sDim + 1}), j -> qsv[j] * cv[j])), 6) AS l
+              FROM qsub qs JOIN rcl t ON t.m = qs.m),
+            lraw AS (SELECT qid, t.m, t.k,
+                round(list_sum(list_transform(range(1, ${sDim + 1}), j -> qsv[j] * cv[j])), 6) AS l
+              FROM qsub qs JOIN tcl t ON t.m = qs.m),
+            qc AS (SELECT qid, cell, round(list_dot_product(qv, cv), 6) AS qcs
+              FROM q CROSS JOIN cents),
+            sresadc AS (SELECT qid, vec_id, round($adcSumSql, 6) AS adc
+              FROM rct JOIN lr USING (m, k) GROUP BY qid, vec_id),
+            sres AS (SELECT s.qid, s.vec_id, round(qc.qcs + s.adc, 6) AS score
+              FROM sresadc s JOIN assign a ON a.vec_id = s.vec_id
+              JOIN qc ON qc.qid = s.qid AND qc.cell = a.cell),
+            sraw AS (SELECT qid, vec_id, round($adcSumSql, 6) AS score
+              FROM ct JOIN lraw USING (m, k) GROUP BY qid, vec_id),
+            ex AS (SELECT qid, f.vec_id, round(list_dot_product(f.e, qv), 6) AS score
+              FROM fix f CROSS JOIN q WHERE f.vec_id <> q.qid),
+            exr AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM ex) z WHERE rn <= 5),
+            rr5 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM sres WHERE vec_id <> qid) z WHERE rn <= 5),
+            wr5 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM sraw WHERE vec_id <> qid) z WHERE rn <= 5),
+            hr AS (SELECT CAST(count(*) AS BIGINT) AS h FROM rr5 JOIN exr USING (qid, vec_id)),
+            hw AS (SELECT CAST(count(*) AS BIGINT) AS h FROM wr5 JOIN exr USING (qid, vec_id)),
+            distr AS (SELECT CAST(sum(CAST(md AS DECIMAL(25,10))) AS DOUBLE) AS dsum FROM (
+                SELECT vec_id, m, round(min(d2), 6) AS md FROM rdt GROUP BY vec_id, m) z),
+            distw AS (SELECT CAST(sum(CAST(md AS DECIMAL(25,10))) AS DOUBLE) AS dsum FROM (
+                SELECT vec_id, m, round(min(d2), 6) AS md FROM dt GROUP BY vec_id, m) z),
+            grid AS (SELECT m, k FROM range(0, $nSub) t(m), range(0, $kPq) t2(k)),
+            csum AS (SELECT m, k, round(list_sum(cv), 6) + 0.0 AS cs FROM rcl),
+            cnt AS (SELECT m, k, CAST(count(*) AS BIGINT) AS n FROM rct GROUP BY m, k),
+            coarse AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY cell)
+            SELECT section, m, k, val, n FROM (
+              SELECT 'centroid' AS section, CAST(g.m AS BIGINT) AS m,
+                CAST(g.k AS BIGINT) AS k, coalesce(cs, 0.0) AS val, coalesce(n, 0) AS n
+              FROM grid g LEFT JOIN csum USING (m, k) LEFT JOIN cnt USING (m, k)
+              UNION ALL SELECT 'coarse', CAST(cell AS BIGINT), -1, 0.0, n FROM coarse
+              UNION ALL SELECT 'recall_residual', -1, -1, CAST(h AS DOUBLE) / 100.0, h FROM hr
+              UNION ALL SELECT 'recall_raw', -1, -1, CAST(h AS DOUBLE) / 100.0, h FROM hw
+              UNION ALL SELECT 'delta', -1, -1, CAST(r.h - w.h AS DOUBLE) / 100.0, r.h - w.h
+              FROM hr r, hw w
+              UNION ALL SELECT 'distortion_residual', -1, -1, round(dsum, 4), 0 FROM distr
+              UNION ALL SELECT 'distortion_raw', -1, -1, round(dsum, 4), 0 FROM distw
+            ) z ORDER BY section, m, k"""),
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fix = embeddings(s, d).select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (((col("vec_id") % nCells) * 7 + i * 11) % 17 - 8).cast("double") / lit(2.0)
+              + ((col("vec_id") * 31 + i * 17) % 11 - 5).cast("double") / lit(10.0)).as("e"))
+          .localCheckpoint()
+        val centsDf = (0 until nCells).map(c =>
+            (c, Seq.tabulate(64)(i => center(c, i))))
+          .toDF("cell", "cv")
+        val dist64 = aggregate(zip_with(col("e"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+        // coarse assignment: exact argmin over the 8 spine centroids
+        val assign = fix.crossJoin(broadcast(centsDf)).withColumn("d2", dist64)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cell"), col("e"),
+            zip_with(col("e"), col("cv"), (x, y) => x - y).as("r"))
+          .localCheckpoint()
+        def subOf(src: org.apache.spark.sql.DataFrame, vcol: String) =
+          src.select(col("vec_id"), posexplode(array((0 until nSub).map(m =>
+              slice(col(vcol), m * sDim + 1, sDim)): _*)))
+            .withColumnRenamed("pos", "m").withColumnRenamed("col", "sv")
+        val rsub = subOf(assign, "r").localCheckpoint()
+        val sub = subOf(fix, "e").localCheckpoint()
+        val rIniDf = rIniLits.toDF("m", "k", "cv")
+        val iniDf = iniLits.toDF("m", "k", "cv")
+        val d2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+        def dists(src: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame) =
+          src.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
+        def argminOf(dd: org.apache.spark.sql.DataFrame) = dd
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))))
+          .filter(col("rn") === 1).select("vec_id", "m", "k")
+        // ONE decimal-exact Lloyd step per arm (the v16 training shape)
+        def lloyd(src: org.apache.spark.sql.DataFrame, ini: org.apache.spark.sql.DataFrame) =
+          argminOf(dists(src, ini)).join(src, Seq("vec_id", "m"))
+            .select(col("m"), col("k"), posexplode(col("sv")))
+            .groupBy("m", "k", "pos")
+            .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double")
+              / count(lit(1)), 8).as("c"))
+            .groupBy("m", "k")
+            .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
+              x => x.getField("c")).as("cv"))
+            .localCheckpoint()
+        val rcl = lloyd(rsub, rIniDf)
+        val tcl = lloyd(sub, iniDf)
+        val rdt = dists(rsub, rcl).localCheckpoint() // codes + distortion
+        val dt = dists(sub, tcl).localCheckpoint()
+        val rct = argminOf(rdt).localCheckpoint()    // also feeds usage counts
+        val ct = argminOf(dt)
+        val q = fix.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qv")).localCheckpoint()
+        val qsub = q.select(col("qid"), posexplode(array((0 until nSub).map(m =>
+            slice(col("qv"), m * sDim + 1, sDim)): _*)))
+          .withColumnRenamed("pos", "m").withColumnRenamed("col", "qsv")
+        def lut(cb: org.apache.spark.sql.DataFrame) = qsub.join(broadcast(cb), Seq("m"))
+          .select(col("qid"), col("m"), col("k"),
+            round(aggregate(zip_with(col("qsv"), col("cv"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x), 6).as("l"))
+        val adcSum = round((0 until nSub).map(m => max(when(col("m") === m, col("l"))))
+          .reduce(_ + _), 6)
+        def top5(scored: org.apache.spark.sql.DataFrame) = scored
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        // residual ADC: the coarse dot table (8 entries per query) plus the
+        // residual LUT sum — scored against EVERY vector's (cell, codes)
+        val qcTab = q.crossJoin(broadcast(centsDf))
+          .select(col("qid"), col("cell"),
+            round(aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x), 6).as("qcs"))
+        val sres = rct.join(broadcast(lut(rcl)), Seq("m", "k"))
+          .groupBy("qid", "vec_id").agg(adcSum.as("adc"))
+          .join(assign.select("vec_id", "cell"), Seq("vec_id"))
+          .join(broadcast(qcTab), Seq("qid", "cell"))
+          .select(col("qid"), col("vec_id"), round(col("qcs") + col("adc"), 6).as("score"))
+        val sraw = ct.join(broadcast(lut(tcl)), Seq("m", "k"))
+          .groupBy("qid", "vec_id").agg(adcSum.as("score"))
+        val exr = fix.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(Embed.dot(col("e"), col("qv")), 6).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("qid", "vec_id").localCheckpoint()
+        def hits(t5: org.apache.spark.sql.DataFrame) =
+          t5.join(exr, Seq("qid", "vec_id")).agg(count(lit(1)).cast("long").as("h"))
+        val hR = hits(top5(sres)).localCheckpoint()
+        val hW = hits(top5(sraw)).localCheckpoint()
+        def distortionRow(dd: org.apache.spark.sql.DataFrame, tag: String) =
+          dd.groupBy("vec_id", "m").agg(round(min("d2"), 6).as("md"))
+            .agg(sum(col("md").cast("decimal(25,10)")).cast("double").as("dsum"))
+            .select(lit(tag).as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
+              round(col("dsum"), 4).as("val"), lit(0L).as("n"))
+        val grid = s.range(nSub).select(col("id").as("m"))
+          .crossJoin(s.range(kPq).select(col("id").as("k")))
+        val csum = rcl.select(col("m"), col("k"),
+          (round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 6) + lit(0.0)).as("cs"))
+        val cnt = rct.groupBy("m", "k").agg(count(lit(1)).as("n"))
+        val centroidRows = grid.join(csum, Seq("m", "k"), "left")
+          .join(cnt, Seq("m", "k"), "left")
+          .select(lit("centroid").as("section"), col("m").cast("long").as("m"),
+            col("k").cast("long").as("k"), coalesce(col("cs"), lit(0.0)).as("val"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val coarseRows = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+          .select(lit("coarse").as("section"), col("cell").cast("long").as("m"),
+            lit(-1L).as("k"), lit(0.0).as("val"), col("n").cast("long").as("n"))
+        def recallRow(h: org.apache.spark.sql.DataFrame, tag: String) =
+          h.select(lit(tag).as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
+            (col("h").cast("double") / 100.0).as("val"), col("h").as("n"))
+        val delta = hR.select(col("h").as("hr")).crossJoin(hW.select(col("h").as("hw")))
+          .select(lit("delta").as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
+            ((col("hr") - col("hw")).cast("double") / 100.0).as("val"),
+            (col("hr") - col("hw")).as("n"))
+        centroidRows.unionByName(coarseRows)
+          .unionByName(recallRow(hR, "recall_residual"))
+          .unionByName(recallRow(hW, "recall_raw")).unionByName(delta)
+          .unionByName(distortionRow(rdt, "distortion_residual"))
+          .unionByName(distortionRow(dt, "distortion_raw"))
+          .orderBy("section", "m", "k")
+      })
+  }
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx, a12bApproxPortable,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -4646,5 +4922,5 @@ object VectorQueries extends QuerySet {
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
-    wiki2Bz2Pages, v14NprobePlan, v15PqRefine, v16TrainedPq, v17FilteredAnn)
+    wiki2Bz2Pages, v14NprobePlan, v15PqRefine, v16TrainedPq, v17FilteredAnn, v18ResidualPq)
 }
