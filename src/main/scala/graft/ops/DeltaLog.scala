@@ -580,6 +580,14 @@ object DeltaLog {
       // rowIdHighWaterMark in table metadata for exactly this reason)
       .unionByName(hwmStateRow(bounded, "rids").select(cols: _*))
       .unionByName(hwmStateRow(bounded, "ident").select(cols: _*))
+      // and the generic per-file sidecar families (dl39 blooms, dl41
+      // cluster marks): instance-scoped state like rids — a checkpoint
+      // reader that lost the blooms silently loses file skipping (every
+      // point lookup scans every file), and one that lost the cluster
+      // marks re-clusters the WHOLE table on the next OPTIMIZE, the
+      // exact cost dl41 exists to avoid
+      .unionByName(effectiveSideRows(bounded, "bloom").select(cols: _*))
+      .unionByName(effectiveSideRows(bounded, "clus").select(cols: _*))
   }
 
   /** The persisted never-reuse mark for a monotonic-key family: one

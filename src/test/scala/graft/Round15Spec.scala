@@ -226,4 +226,32 @@ class Round15Spec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("clus-1"),
       "the re-added instance lost its predecessor's mark and must re-cluster")
   }
+
+  test("checkpoints retain bloom and cluster-mark sidecars (state, not history)") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    def add(v: Int, o: Int, path: String): Row =
+      Row(v, o, "add", path, Seq(0L), 10L, 1L, 10L, 100L, null, null, null, null, null)
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(add(0, 0, "a"), add(0, 1, "b")), DeltaLog.actionSchema)
+    val acts = base
+      .unionByName(DeltaLog.sideActions(
+        Seq(("a", 0, "1010"), ("b", 1, "0101")).toDF("path", "ordinal", "payload"), "bloom", 1))
+      .unionByName(DeltaLog.sideActions(
+        Seq(("a", 0, "1")).toDF("path", "ordinal", "payload"), "clus", 2))
+      .localCheckpoint()
+    val cp = DeltaLog.checkpointState(acts, Some(2)).localCheckpoint()
+    // a checkpoint+tail reader resolves the SAME sidecars as a full-log one
+    assert(DeltaLog.effectiveSidePayloads(cp, "bloom").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "1010"), ("b", "0101")),
+      "a checkpoint that loses blooms silently loses file skipping")
+    assert(DeltaLog.effectiveSidePayloads(cp, "clus").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("a", "1")),
+      "a checkpoint that loses cluster marks re-clusters the whole table")
+    // and the incremental OPTIMIZE over the checkpoint selects only `b`
+    val t = DeltaLog.clusterIncrementalActions(cp, 3)
+    assert(t.filter(col("op") === "remove").select("path").collect()
+      .map(_.getString(0)).toSet == Set("b"))
+  }
 }
