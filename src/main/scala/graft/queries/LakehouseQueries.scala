@@ -4393,16 +4393,26 @@ object LakehouseQueries extends QuerySet {
       val upActs = DeltaLog.actions(upLines).unionByName(dv4)
         .coalesce(1).localCheckpoint()
       // the physical content map: every path ever added, with coverage —
-      // rws feeds the per-epoch transform stats AND the change feed
+      // rws feeds the per-epoch transform stats AND the change feed; a
+      // handful of partitions, because ten downstream log-sized shuffles
+      // re-read it and 32-way task floors dominate at this row count
       val allFiles = upActs.filter(col("op") === "add").select("path", "buckets")
-      val rws = positionedRows(allFiles, obRows).localCheckpoint()
-      // ---- source side: fold each upstream commit into the reader state
+      val rws = positionedRows(allFiles, obRows).coalesce(8).localCheckpoint()
+      // ---- source side: each upstream commit appends to the reader's
+      // state ACTION SET; the compacting fold (checkpointState's 12 race
+      // branches) runs on the Delta checkpoint CADENCE — once, at the
+      // restart point — not per commit (five per-wave foldState calls
+      // measured 15 s of race-window floors for a 5-wave log; a real
+      // stream checkpoints every N commits for exactly this reason, and
+      // the restart then resumes FROM the compacted state)
       val states = scala.collection.mutable.Buffer.empty[(org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)]
-      var upState = upActs.filter(lit(false))
+      var upState = upActs.filter(lit(false)).coalesce(1).localCheckpoint()
       for (v <- 0 to 4) {
         val before = upState
-        upState = DeltaLog.foldState(before, upActs.filter(col("version") === v), v - 1)
+        val wave = upActs.filter(col("version") === v)
+        upState = if (v == 2) DeltaLog.foldState(before, wave, v - 1)
+          else before.unionByName(wave).coalesce(1).localCheckpoint()
         states += ((before, upState))
       }
       // ---- sink side: one idempotent epoch per wave into the SECOND log
@@ -4419,9 +4429,11 @@ object LakehouseQueries extends QuerySet {
         val remsU = beforeLive
           .join(afterLive.select("path").withColumn("h", lit(1)), Seq("path"), "left")
           .filter(col("h").isNull).select("path")
-        // mask-changed live files are downstream REWRITES: retire + re-add
+        // mask-changed live files are downstream REWRITES: retire + re-add;
+        // ONE dv race over the after-state feeds the change detection AND
+        // the net-stats masks below
         val dvB = DeltaLog.deletionVectors(before).withColumnRenamed("dv", "dv0")
-        val dvA = DeltaLog.deletionVectors(after)
+        val dvA = DeltaLog.deletionVectors(after).coalesce(1).localCheckpoint()
         val dvChanged = dvA.join(dvB, Seq("path"), "left")
           .filter(col("dv0").isNull || col("dv") =!= col("dv0")).select("path")
         val upAdds = addsU.unionByName(dvChanged.join(afterLive, Seq("path")))
@@ -4436,7 +4448,7 @@ object LakehouseQueries extends QuerySet {
             .select(col("path"), lit(0).as("ordinal")), 90)
         // the transform: net rows of each added path under the AFTER
         // state's masks → keep even keys, double the cents
-        val masks = DeltaLog.deletionVectors(after)
+        val masks = dvA
           .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
         val tstats = rws.join(broadcast(upAdds.select("path")), Seq("path"))
           .join(broadcast(masks), Seq("path", "pos"), "left").filter(col("hit").isNull)
@@ -4452,7 +4464,13 @@ object LakehouseQueries extends QuerySet {
         dsRems.unionByName(dsAdds)
       }
       def deliver(v: Int): Unit = {
-        val (a2, out) = DeltaLog.commitEpochIdempotent(dsActs, buildTxn(v), "pipe", v, dsHead)
+        // materialize the prepared transaction FIRST: unlike dl33's
+        // log-sized epochs, this txn's add stats carry a DATA-sized
+        // lineage (the rws transform join), and the OCC loop evaluates
+        // the txn in the probe AND the commit — unmaterialized, that is
+        // two extra data passes per epoch (measured ~3x the gate)
+        val txn = buildTxn(v).coalesce(1).localCheckpoint()
+        val (a2, out) = DeltaLog.commitEpochIdempotent(dsActs, txn, "pipe", v, dsHead)
         if (out.outcome == "committed") dsHead += 1
         dsActs = a2; outs += out
       }
@@ -4468,21 +4486,53 @@ object LakehouseQueries extends QuerySet {
       }.toDF("item", "n_rows", "cents", "flag")
         .select(lit("decision").as("section"), col("item"), col("n_rows"),
           col("cents"), col("flag"))
-      val cdf = (0 to 4).map { v =>
-        val (before, after) = states(v)
-        val touched = upActs.filter(col("version") === v).select("path").distinct()
-        DeltaLog.cdfBetween(before, after,
-          rws.select(col("path"), col("pos"), col("o_orderkey").as("key"))
-            .join(broadcast(touched), Seq("path")))
-          .select(explode(array(
-            struct(lit(s"e$v:files").as("item"), col("files_added").as("a"),
-              col("files_removed").as("b")),
-            struct(lit(s"e$v:rows").as("item"), col("rows_added").as("a"),
-              col("rows_removed").as("b")))).as("r"))
-          .select(lit("cdf").as("section"), col("r.item").as("item"),
-            col("r.a").cast("long").as("n_rows"), col("r.b").cast("long").as("cents"),
-            lit(0L).as("flag"))
-      }.reduce(_ unionByName _)
+      // per-wave change feed in ONE vectorized pass (the dl12 grid):
+      // per-(version, key) live-copy counts, self-diffed to adjacent
+      // versions. The per-epoch cdfBetween form is the SAME computation
+      // incrementally (CdfStreamSpec pins stream ≡ batch); five
+      // incremental calls here would pay 20 race windows and 10 data
+      // aggregations for numbers one grid pass produces (measured ~3x
+      // the gate's cost before this rewrite).
+      val versions = s.range(0, 5).select(col("id").cast("int").as("v"))
+      val liveGrid = DeltaLog.replayGrid(upActs, versions)
+        .select("v", "path").coalesce(1).localCheckpoint()
+      val maskGrid = DeltaLog.deletionVectorGrid(upActs, versions)
+        .select(col("v"), col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
+      val copies = rws.withColumnRenamed("o_orderkey", "key")
+        .join(broadcast(liveGrid), Seq("path"))
+        .join(broadcast(maskGrid), Seq("v", "path", "pos"), "left")
+        .filter(col("hit").isNull)
+        .groupBy("v", "key").agg(count(lit(1)).as("c"))
+        .coalesce(8).localCheckpoint() // both sides of the self-diff
+      val prevC = copies.select((col("v") + 1).as("v"), col("key"), col("c").as("c0"))
+      val rowsCdf = copies.select(col("v"), col("key"), col("c").as("c1"))
+        .join(prevC, Seq("v", "key"), "full")
+        .filter(col("v").between(0, 4))
+        .groupBy("v").agg(
+          coalesce(sum(greatest(coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)),
+            lit(0L))), lit(0L)).as("ra"),
+          coalesce(sum(greatest(coalesce(col("c0"), lit(0L)) - coalesce(col("c1"), lit(0L)),
+            lit(0L))), lit(0L)).as("rr"))
+      val prevF = liveGrid.select((col("v") + 1).as("v"), col("path"))
+        .withColumn("f0", lit(1))
+      val filesCdf = liveGrid.withColumn("f1", lit(1))
+        .join(prevF, Seq("v", "path"), "full")
+        .filter(col("v").between(0, 4))
+        .groupBy("v").agg(
+          coalesce(sum(when(col("f1").isNotNull && col("f0").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("fa"),
+          coalesce(sum(when(col("f0").isNotNull && col("f1").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("fr"))
+      val cdf = filesCdf.join(rowsCdf, Seq("v"))
+        .select(explode(array(
+          struct(concat(lit("e"), col("v"), lit(":files")).as("item"),
+            col("fa").as("a"), col("fr").as("b")),
+          struct(concat(lit("e"), col("v"), lit(":rows")).as("item"),
+            col("ra").as("a"), col("rr").as("b")))).as("r"))
+        .select(lit("cdf").as("section"), col("r.item").as("item"),
+          col("r.a").cast("long").as("n_rows"), col("r.b").cast("long").as("cents"),
+          lit(0L).as("flag"))
       val txnRows = dsActs.filter(col("op") === "txn")
         .select(lit("txn").as("section"),
           concat(col("path"), lit("@"), col("schema_str")).as("item"),
@@ -4606,18 +4656,29 @@ object LakehouseQueries extends QuerySet {
           col("o_custkey").cast("long").as("o_custkey"))
         // three consumers: bloom build, per-file min/max stats, pruned scan
         val fRows = live.select(col("path"), explode(col("buckets")).as("bucket"))
-          .join(obc, Seq("bucket")).select("path", "o_custkey").localCheckpoint()
+          .join(obc, Seq("bucket")).select("path", "o_custkey")
+          .coalesce(8).localCheckpoint()
         def bitOf(i: Int, key: org.apache.spark.sql.Column) =
           conv(substring(md5(concat(lit(s"$i:"), key.cast("string")).cast("binary")),
             1, 8), 16, 10).cast("long") % M
+        // bit-string build by GAP FILL over the sorted set bits — O(m + set
+        // bits) per file; the naive transform(sequence(0, M-1),
+        // array_contains) is O(M x set bits) per file and measured ~25 s of
+        // pure compute at sf0.1 (600 files x 4096 positions x ~700-element
+        // scans)
         val bits = fRows.distinct()
           .select(col("path"), explode(array(
             (0 to 2).map(i => bitOf(i, col("o_custkey"))): _*)).as("bit"))
-          .groupBy("path").agg(collect_set(col("bit")).as("bs"))
+          .groupBy("path").agg(sort_array(collect_set(col("bit"))).as("bs"))
           .select(col("path"), lit(1000).as("ordinal"),
-            concat_ws("", transform(sequence(lit(0L), lit(M - 1L)),
-              b => when(array_contains(col("bs"), b), lit("1")).otherwise(lit("0"))))
-              .as("payload"))
+            aggregate(col("bs"),
+              struct(lit("").as("s"), lit(-1L).as("prev")),
+              (acc, b) => struct(
+                concat(acc.getField("s"),
+                  repeat(lit("0"), (b - acc.getField("prev") - 1).cast("int")),
+                  lit("1")).as("s"),
+                b.as("prev")),
+              acc => rpad(acc.getField("s"), M, "0")).as("payload"))
         // THE operator: per-file blooms committed as instance-scoped sidecars
         val acts1 = acts0.unionByName(DeltaLog.sideActions(bits, "bloom", 4))
           .coalesce(1).localCheckpoint()
@@ -4693,13 +4754,12 @@ object LakehouseQueries extends QuerySet {
     * oracle recomputes from closed-form ranges. */
   val dl40RowConflict = Q("dl40_row_conflict",
     Some(s"""WITH ${DeltaLog.actionsSql},
-            pairs AS (SELECT bucket // 2 AS bin, CAST(count(*) AS BIGINT) AS nf,
-                min(bucket) AS lo, max(bucket) AS hi,
-                CAST(sum(n_rows) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
-              FROM bks GROUP BY 1),
-            livef AS (SELECT CASE WHEN nf = 2
-                  THEN 'opt-' || CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
-                  ELSE 'part-' || CAST(lo AS VARCHAR) END AS path, n, c FROM pairs),
+            livef AS (
+              SELECT 'part-' || CAST(bucket AS VARCHAR) AS path,
+                CAST(n_rows AS BIGINT) AS n, CAST(cents AS BIGINT) AS c
+              FROM bks WHERE bucket NOT IN (4, 5)
+              UNION ALL SELECT 'opt-4-5', CAST(sum(n_rows) AS BIGINT),
+                CAST(sum(cents) AS BIGINT) FROM bks WHERE bucket IN (4, 5)),
             rws5 AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                 row_number() OVER (ORDER BY o_orderkey) - 1 AS p
               FROM orders WHERE o_orderkey // ${DeltaLog.W} = 5),
@@ -4759,7 +4819,8 @@ object LakehouseQueries extends QuerySet {
       val ord = orders(s, d)
       val obRows = ord.select(floor(col("o_orderkey") / DeltaLog.W).as("bucket"),
         col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .localCheckpoint()
+        .coalesce(8).localCheckpoint() // a handful of partitions: every
+        // downstream shuffle re-reads it, and 32-way task floors dominate
       val bks = obRows.groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
           max("o_orderkey").as("max_key"), sum("cents").as("cents"))
@@ -4772,10 +4833,15 @@ object LakehouseQueries extends QuerySet {
         .unionByName(DeltaLog.assignRidActions(v0adds, v0adds))
         .unionByName(DeltaLog.protocolAction(s, 0, 10000, 3, 7))
         .coalesce(1).localCheckpoint()
-      // the concurrent writer: a tracked OPTIMIZE lands FIRST (v1),
-      // retiring the instances both prepared masks are keyed to
+      // the concurrent writer: a tracked OPTIMIZE of the (part-4, part-5)
+      // pair lands FIRST (v1), retiring exactly the instances both
+      // prepared masks are keyed to (the policy over the full live set is
+      // dl27's gate; here only the contended pair matters, and the
+      // restricted input halves the fixture's race-window bill)
+      val live0all = DeltaLog.replay(acts0)
       val acts1 = acts0.unionByName(DeltaLog.optimizeActionsTracked(
-        DeltaLog.replay(acts0), DeltaLog.ridSegments(acts0), 1))
+        live0all.filter(col("path").isin("part-4", "part-5")),
+        DeltaLog.ridSegments(acts0), 1))
         .coalesce(1).localCheckpoint()
       // three DELETE transactions, all prepared against v0 (readVersion 0)
       val live0 = DeltaLog.replay(acts0)
@@ -4814,7 +4880,8 @@ object LakehouseQueries extends QuerySet {
           lit(0L).as("flag"))
       // post read + id audits resolve through the REAL machinery: positions
       // from the data, masks from the log, ids from the head segment maps
-      val rws = positionedRows(DeltaLog.replay(acts), obRows).localCheckpoint()
+      val rws = positionedRows(DeltaLog.replay(acts), obRows)
+        .coalesce(8).localCheckpoint()
       val maskRows = finalDvs.select(col("path"), explode(col("dv")).as("pos"))
         .withColumn("hit", lit(1))
       val netRows = rws.join(broadcast(maskRows), Seq("path", "pos"), "left")
