@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4 defaults spark.sql.ui.explainMode=formatted and computes a
+      // FORMATTED explain string for EVERY execution event even with the
+      // UI off; on this catalog's biggest composed plans (dl38's two-log
+      // assembly) ExplainUtils.getSubqueries burned minutes of driver CPU
+      // per action (jstack-verified). The event text is unread here.
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =

@@ -244,6 +244,31 @@ object DeltaLog {
     dvRace(withV, fileRace(withV), opName).drop("v")
   }
 
+  /** ALL instance-scoped side families raced in ONE pass: the window
+    * partitions by (op, path), so one sort + one birth join covers
+    * dv + rids + ident + bloom + clus — checkpointState previously paid
+    * a separate file race AND side window per family (5 of each), and
+    * every added family made every checkpoint/fold measurably slower
+    * (dl13 doubled when bloom/clus retention landed; this fusion made
+    * the 7-family checkpoint CHEAPER than the round-14 5-family one).
+    * Union-of-per-family-races ≡ this multi-race exactly: the partition
+    * key gains `op`, nothing else changes. */
+  private def effectiveSideRowsMulti(bounded: DataFrame, opNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withV = bounded.withColumn("v", lit(Int.MaxValue))
+    val w = Window.partitionBy(col("op"), col("v"), col("path"))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val latest = withV.filter(col("op").isin(opNames: _*))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val liveBirth = fileRace(withV)
+      .select(col("v"), col("path"), col("version").as("add_version"),
+        col("ordinal").as("add_ordinal"))
+    latest.join(liveBirth, Seq("v", "path"))
+      .filter(col("version") > col("add_version") ||
+        (col("version") === col("add_version") && col("ordinal") >= col("add_ordinal")))
+      .drop("add_version", "add_ordinal", "v")
+  }
+
   /** OPTIMIZE chosen BY the engine and written AS a real transaction —
     * the loop every lakehouse runs (Delta OPTIMIZE / bin-packing): pair
     * adjacent live single-bucket `part-` files (bin = b_lo / 2; only
@@ -545,7 +570,17 @@ object DeltaLog {
     val bounded = v0.map(v => acts.filter(col("version") <= v)).getOrElse(acts)
     val cols = actionSchema.fieldNames.map(col).toSeq
     lastWins(bounded).select(cols: _*)
-      .unionByName(effectiveDvRows(bounded).select(cols: _*))
+      // ALL instance-scoped side families (dv masks, rids/ident segment
+      // maps, bloom sidecars, cluster marks) ride ONE fused race — see
+      // effectiveSideRowsMulti; the per-family rationale rows below are
+      // kept with their families' history:
+      //  - dv: real checkpoints persist DV references inline;
+      //  - rids (dl27) / ident (dl35): stable-key state — losing one
+      //    re-assigns ids or re-issues keys;
+      //  - bloom (dl39): losing one silently loses file skipping;
+      //  - clus (dl41): losing one re-clusters the whole table.
+      .unionByName(effectiveSideRowsMulti(bounded,
+        Seq("dv", "rids", "ident", "bloom", "clus")).select(cols: _*))
       .unionByName(activeMetaRow(bounded).select(cols: _*))
       // the protocol action is state, not history: a checkpoint reader
       // that lost it would silently read a table whose features it can't
@@ -558,15 +593,6 @@ object DeltaLog {
       // lost appendOnly=true would happily commit the delete the
       // property exists to forbid
       .unionByName(activeOpRow(bounded, "props").select(cols: _*))
-      // and the effective row-id segment map per live file (dl27): ids
-      // are STABLE state — a checkpoint reader that lost them would
-      // re-assign fresh ids and silently break every downstream lineage
-      // join keyed on row_id
-      .unionByName(effectiveSideRows(bounded, "rids").select(cols: _*))
-      // and the identity segment maps (dl35) — same stable-key argument,
-      // PLUS the high-water mark derives from them: a checkpoint that
-      // dropped one could hand a later insert an already-issued key
-      .unionByName(effectiveSideRows(bounded, "ident").select(cols: _*))
       // and the latest txn marker per appId (dl33): real Delta
       // checkpoints retain txn actions for exactly this reason — a
       // restarting streaming writer reading checkpoint+tail must still
@@ -580,14 +606,6 @@ object DeltaLog {
       // rowIdHighWaterMark in table metadata for exactly this reason)
       .unionByName(hwmStateRow(bounded, "rids").select(cols: _*))
       .unionByName(hwmStateRow(bounded, "ident").select(cols: _*))
-      // and the generic per-file sidecar families (dl39 blooms, dl41
-      // cluster marks): instance-scoped state like rids — a checkpoint
-      // reader that lost the blooms silently loses file skipping (every
-      // point lookup scans every file), and one that lost the cluster
-      // marks re-clusters the WHOLE table on the next OPTIMIZE, the
-      // exact cost dl41 exists to avoid
-      .unionByName(effectiveSideRows(bounded, "bloom").select(cols: _*))
-      .unionByName(effectiveSideRows(bounded, "clus").select(cols: _*))
   }
 
   /** The persisted never-reuse mark for a monotonic-key family: one
