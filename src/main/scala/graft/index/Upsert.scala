@@ -99,6 +99,50 @@ object Upsert {
       .write.mode("append").partitionBy(cellCol).parquet(out)
   }
 
+  /** [[upsert]] with the segment number and the current (id, cell) view
+    * supplied by the CALLER — the manifest-driven form (v19): at 100 TB
+    * the next segment id comes from the index's manifest log, never from
+    * a `max(seg)` scan over the physical index, and the ids-only current
+    * view is read once per epoch by the caller (column-pruned — the
+    * [[upsert]] contract) and shared between the tombstone derivation
+    * and whatever else the epoch needs. Batch contract as [[upsert]]
+    * (at most one row per id; the caller's manifest commit is the
+    * enforcement point). Returns the per-cell write inventory
+    * (cell, n_live, n_tombstones) so the caller can commit manifest rows
+    * WITHOUT re-listing files. */
+  def upsertSeg(batch: DataFrame, current: DataFrame, seg: Long, out: String,
+                idCol: String = "vec_id", cellCol: String = "cell"): DataFrame = {
+    val payloadCols = batch.columns.filterNot(c => c == idCol || c == cellCol)
+    val moveTombstones = batch.select(col(idCol), col(cellCol).as("_new_cell"))
+      .join(current.select(col(idCol), col(cellCol)), Seq(idCol))
+      .filter(col(cellCol) =!= col("_new_cell"))
+      .select(Seq(col(idCol), col(cellCol)) ++
+        payloadCols.map(c => lit(null).cast(batch.schema(c).dataType).as(c)): _*)
+      .withColumn("deleted", lit(true))
+    val rows = batch.withColumn("deleted", lit(false)).unionByName(moveTombstones)
+      .withColumn("seg", lit(seg)).localCheckpoint() // one compute: write + inventory
+    rows.write.mode("append").partitionBy(cellCol).parquet(out)
+    rows.groupBy(col(cellCol)).agg(
+      sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_live"),
+      sum(when(col("deleted"), 1L).otherwise(0L)).as("n_tombstones"))
+  }
+
+  /** [[delete]]'s manifest-driven twin: the caller supplies the victims
+    * WITH their current cells (from its ids-only view) and the segment
+    * number; `template` supplies the payload schema for the null
+    * columns. Returns the per-cell inventory like [[upsertSeg]]. */
+  def deleteSeg(victims: DataFrame, template: DataFrame, seg: Long, out: String,
+                idCol: String = "vec_id", cellCol: String = "cell"): DataFrame = {
+    val payloadCols = template.columns.filterNot(c => c == idCol || c == cellCol)
+    val rows = victims.select(Seq(col(idCol), col(cellCol)) ++
+        payloadCols.map(c => lit(null).cast(template.schema(c).dataType).as(c)): _*)
+      .withColumn("deleted", lit(true)).withColumn("seg", lit(seg)).localCheckpoint()
+    rows.write.mode("append").partitionBy(cellCol).parquet(out)
+    rows.groupBy(col(cellCol)).agg(
+      sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_live"),
+      sum(when(col("deleted"), 1L).otherwise(0L)).as("n_tombstones"))
+  }
+
   /** Fold all segments into a fresh seg-0 index at `dst` (tombstones and
     * superseded rows dropped). Query-equivalence with the un-compacted
     * index is the v9 gate's invariant. */

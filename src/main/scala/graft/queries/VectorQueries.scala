@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.TestTables._
-import graft.ops.{Dedup, TextAnalysis}
-import graft.index.{Embed, Search}
+import graft.ops.{Dedup, DeltaLog, TextAnalysis}
+import graft.index.{Embed, Search, Upsert}
+import org.apache.spark.sql.Column
 
 /** Vector / dedup / similarity inventory (SURVEY.md §2.9 V1–V2; prompt
   * families: deduplication, similarity search, multimodal, text analysis).
@@ -4908,6 +4909,217 @@ object VectorQueries extends QuerySet {
       })
   }
 
+  /** Streaming index maintenance with exactly-once epochs (v19 — the
+    * ref's full S8 loop `backend/main.py:233-332` ending where it
+    * actually ends: upload → ingest → INDEX; Delta-backed vector stores
+    * run exactly this shape): each upstream commit becomes one epoch of
+    * LSM maintenance against the stored cell-partitioned index —
+    * inserts, payload updates (cell moves write their old-cell
+    * tombstone), deletes, and a re-insert after a delete — fenced by a
+    * MANIFEST log whose txn marker rides the same commit as the
+    * segment inventory. The manifest is load-bearing, not bookkeeping:
+    * segment numbers are DERIVED from it (at 100 TB the next seg id
+    * cannot come from a max() scan of the physical index —
+    * [[graft.index.Upsert.upsertSeg]]), the per-cell write inventory is
+    * committed from the write's own one-pass aggregate (never a file
+    * re-listing), and a re-delivered epoch (what a checkpoint restart
+    * does) is `skipped_duplicate` from the manifest ALONE — the replay
+    * consumes NO segment number, which the seg:3 manifest row pins
+    * (a blind re-apply would shift every later segment id). Freshness
+    * is pinned per epoch, not just at the end: the segment numbering
+    * gives the index time travel for free (state at epoch e = segments
+    * ≤ e), so one scan + one epoch-grid resolution yields each epoch's
+    * live state, and the gate pins per-epoch live counts/cell spreads
+    * AND the top-3 search answer for a pinned query as it CHANGES
+    * under the updates — the "search results track upstream commits"
+    * claim, recomputed independently by the oracle from the wave
+    * formulas. */
+  val v19StreamingIndex: Q = {
+    val centroids = ivfCentroids8
+    val centVals = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, CAST(${vecSql(c)} AS DOUBLE[]))" }
+      .mkString(",\n              ")
+    def cellRank(dcol: String, name: String) =
+      s"""$name AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY $dcol, cell) AS rn
+            FROM dd) z WHERE rn = 1)"""
+    Q("v19_streaming_index",
+      Some(s"""WITH cents(cell, cv) AS (VALUES $centVals),
+            pay AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS eo,
+                list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS en,
+                list_transform(CAST(embedding AS DOUBLE[]), x -> 2 * x) AS ed
+              FROM embeddings),
+            dd AS (SELECT vec_id, cell,
+                list_sum(list_transform(range(1, 65), i -> (eo[i] - cv[i]) * (eo[i] - cv[i]))) AS do2,
+                list_sum(list_transform(range(1, 65), i -> (en[i] - cv[i]) * (en[i] - cv[i]))) AS dn2,
+                list_sum(list_transform(range(1, 65), i -> (ed[i] - cv[i]) * (ed[i] - cv[i]))) AS dd2
+              FROM pay CROSS JOIN cents),
+            ${cellRank("do2", "co")}, ${cellRank("dn2", "cn")}, ${cellRank("dd2", "cd")},
+            cells AS (SELECT p.vec_id, co.cell AS cello, cn.cell AS celln, cd.cell AS celld
+              FROM pay p JOIN co ON co.vec_id = p.vec_id
+              JOIN cn ON cn.vec_id = p.vec_id JOIN cd ON cd.vec_id = p.vec_id),
+            -- current (id, cell) after epoch 1: everything is live
+            cur1 AS (SELECT vec_id,
+                CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 4 THEN celln ELSE cello END AS cell
+              FROM cells),
+            s0rows AS (SELECT vec_id, cello AS cell, 1 AS live FROM cells WHERE vec_id % 5 <> 4),
+            s1rows AS (
+              SELECT vec_id, cello AS cell, 1 AS live FROM cells WHERE vec_id % 5 = 4
+              UNION ALL SELECT vec_id, celln, 1 FROM cells
+                WHERE vec_id % 7 = 0 AND vec_id % 5 <> 4
+              UNION ALL SELECT vec_id, cello, 0 FROM cells
+                WHERE vec_id % 7 = 0 AND vec_id % 5 <> 4 AND celln <> cello),
+            s2rows AS (SELECT vec_id, cell, 0 AS live FROM cur1 WHERE vec_id % 11 = 0),
+            s3rows AS (
+              SELECT vec_id, celld AS cell, 1 AS live FROM cells WHERE vec_id % 13 = 0
+              UNION ALL SELECT c.vec_id, u.cell, 0 FROM cells c JOIN cur1 u USING (vec_id)
+                WHERE c.vec_id % 13 = 0 AND c.vec_id % 11 <> 0 AND u.cell <> c.celld),
+            manifest AS (
+              SELECT 'seg:0' AS item, CAST(sum(live) AS BIGINT) AS a,
+                CAST(count(*) - sum(live) AS BIGINT) AS b,
+                CAST(count(DISTINCT cell) AS DOUBLE) AS val FROM s0rows
+              UNION ALL SELECT 'seg:1', CAST(sum(live) AS BIGINT),
+                CAST(count(*) - sum(live) AS BIGINT),
+                CAST(count(DISTINCT cell) AS DOUBLE) FROM s1rows
+              UNION ALL SELECT 'seg:2', CAST(sum(live) AS BIGINT),
+                CAST(count(*) - sum(live) AS BIGINT),
+                CAST(count(DISTINCT cell) AS DOUBLE) FROM s2rows
+              UNION ALL SELECT 'seg:3', CAST(sum(live) AS BIGINT),
+                CAST(count(*) - sum(live) AS BIGINT),
+                CAST(count(DISTINCT cell) AS DOUBLE) FROM s3rows),
+            -- per-epoch live state (vec_id, cell, payload)
+            pv AS (
+              SELECT vec_id, 0 AS epoch, cello AS cell, eo AS e FROM pay
+                JOIN cells USING (vec_id) WHERE vec_id % 5 <> 4
+              UNION ALL SELECT vec_id, 1, u.cell,
+                CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 4 THEN en ELSE eo END
+              FROM pay JOIN cur1 u USING (vec_id)
+              UNION ALL SELECT vec_id, 2, u.cell,
+                CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 4 THEN en ELSE eo END
+              FROM pay JOIN cur1 u USING (vec_id) WHERE vec_id % 11 <> 0
+              UNION ALL SELECT p.vec_id, 3,
+                CASE WHEN p.vec_id % 13 = 0 THEN c.celld ELSE u.cell END,
+                CASE WHEN p.vec_id % 13 = 0 THEN ed
+                     WHEN p.vec_id % 7 = 0 AND p.vec_id % 5 <> 4 THEN en ELSE eo END
+              FROM pay p JOIN cells c USING (vec_id) JOIN cur1 u USING (vec_id)
+              WHERE p.vec_id % 11 <> 0 OR p.vec_id % 13 = 0),
+            state AS (SELECT 'e' || CAST(epoch AS VARCHAR) AS item,
+                CAST(count(*) AS BIGINT) AS a, CAST(sum(vec_id) AS BIGINT) AS b,
+                CAST(count(DISTINCT cell) AS DOUBLE) AS val
+              FROM pv GROUP BY epoch),
+            q AS (SELECT epoch, e AS qv FROM pv WHERE vec_id = 1),
+            sc AS (SELECT pv.epoch, pv.vec_id,
+                round(list_dot_product(pv.e, q.qv), 6) AS score
+              FROM pv JOIN q USING (epoch) WHERE pv.vec_id <> 1),
+            fresh AS (SELECT 'e' || CAST(epoch AS VARCHAR) || ':r' || CAST(rn AS VARCHAR) AS item,
+                CAST(vec_id AS BIGINT) AS a, CAST(rn AS BIGINT) AS b, score AS val
+              FROM (SELECT epoch, vec_id, score,
+                  row_number() OVER (PARTITION BY epoch ORDER BY score DESC, vec_id) AS rn
+                FROM sc) z WHERE rn <= 3),
+            dec(item, a, b) AS (VALUES
+              ('e0:committed', 0, 1), ('e1:committed', 1, 1), ('e2:committed', 2, 1),
+              ('e2:skipped_duplicate', 2, 0), ('e3:committed', 3, 1))
+            SELECT section, item, a, b, val FROM (
+              SELECT 'decision' AS section, item, CAST(a AS BIGINT) AS a,
+                CAST(b AS BIGINT) AS b, CAST(0 AS DOUBLE) AS val FROM dec
+              UNION ALL SELECT 'manifest', item, a, b, val FROM manifest
+              UNION ALL SELECT 'state', item, a, b, val FROM state
+              UNION ALL SELECT 'fresh', item, a, b, val FROM fresh
+            ) t ORDER BY section, item"""),
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_v19s_${Integer.toHexString(d.hashCode)}"
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        def cellOf(e: Column) = Search.ivfCell(e.cast("array<double>"), centroids)
+        val negv = emb.select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        val dblv = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        def currentIds() = Upsert.resolveView(
+          s.read.parquet(dir).select(col("vec_id"), col("cell"), col("seg"), col("deleted")),
+          "vec_id")
+        // ---- the epoch loop: manifest-fenced, seg id = epoch's manifest row
+        var man = DeltaLog.metaAction(s, 0, 0, "v19-index").coalesce(1).localCheckpoint()
+        val outcomes = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+        def commitEpoch(epoch: Int, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+          val last = DeltaLog.lastTxnVersion(man, "v19idx").head().getLong(0)
+          if (epoch <= last) outcomes += ((s"e$epoch:skipped_duplicate", epoch.toLong, 0L))
+          else {
+            val inv = mk() // the physical write; returns (cell, n_live, n_tombstones)
+            val adds = DeltaLog.addActions(
+              inv.select(concat(lit(s"seg:$epoch/cell:"), col("cell")).as("path"),
+                (col("cell") + 1).as("ordinal"), array(col("cell").cast("long")).as("buckets"),
+                (col("n_live") + col("n_tombstones")).as("n_rows"),
+                col("n_live").as("min_key"), col("n_tombstones").as("max_key"),
+                lit(0L).as("cents")), epoch)
+            man = man.unionByName(adds)
+              .unionByName(DeltaLog.txnAction(s, epoch, 9999, "v19idx", epoch.toLong))
+              .coalesce(1).localCheckpoint()
+            outcomes += ((s"e$epoch:committed", epoch.toLong, 1L))
+          }
+        }
+        commitEpoch(0, () => { // base build
+          val base = emb.filter(col("vec_id") % 5 =!= 4)
+            .withColumn("cell", cellOf(col("embedding"))).localCheckpoint()
+          Upsert.writeBase(base, "cell", dir)
+          base.groupBy("cell").agg(count(lit(1)).as("n_live"),
+            lit(0L).as("n_tombstones"))
+        })
+        val batch1 = emb.filter(col("vec_id") % 5 === 4)
+          .unionByName(negv.filter(col("vec_id") % 7 === 0 && col("vec_id") % 5 =!= 4))
+          .withColumn("cell", cellOf(col("embedding")))
+        commitEpoch(1, () => Upsert.upsertSeg(batch1, currentIds(), 1L, dir))
+        commitEpoch(2, () => Upsert.deleteSeg(
+          currentIds().filter(col("vec_id") % 11 === 0).select("vec_id", "cell"),
+          batch1, 2L, dir))
+        commitEpoch(2, () => sys.error("a skipped epoch must never write")) // the replay
+        val batch3 = dblv.filter(col("vec_id") % 13 === 0)
+          .withColumn("cell", cellOf(col("embedding")))
+        commitEpoch(3, () => Upsert.upsertSeg(batch3, currentIds(), 3L, dir))
+        // ---- one scan, every epoch: segment numbering is time travel
+        val epochs = s.range(0, 4).select(col("id").cast("int").as("epoch"))
+        val segs = s.read.parquet(dir)
+          .select(col("vec_id"), col("cell"), col("seg"), col("deleted"), col("embedding"))
+        val w = Window.partitionBy(col("epoch"), col("vec_id"))
+          .orderBy(col("seg").desc, col("deleted").asc)
+        val resolved = segs.crossJoin(broadcast(epochs)).filter(col("seg") <= col("epoch"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && !col("deleted"))
+          .select("epoch", "vec_id", "cell", "embedding").localCheckpoint()
+        val stateRows = resolved.groupBy("epoch").agg(count(lit(1)).as("a"),
+            sum("vec_id").as("b"), countDistinct("cell").cast("double").as("val"))
+          .select(lit("state").as("section"), concat(lit("e"), col("epoch")).as("item"),
+            col("a").cast("long").as("a"), col("b").cast("long").as("b"), col("val"))
+        val qv = resolved.filter(col("vec_id") === 1)
+          .select(col("epoch"), col("embedding").as("qv"))
+        val freshRows = resolved.filter(col("vec_id") =!= 1)
+          .join(broadcast(qv), Seq("epoch"))
+          .select(col("epoch"), col("vec_id"),
+            round(Embed.dot(col("embedding").cast("array<double>"),
+              col("qv").cast("array<double>")), 6).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("epoch").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .select(lit("fresh").as("section"),
+            concat(lit("e"), col("epoch"), lit(":r"), col("rn")).as("item"),
+            col("vec_id").cast("long").as("a"), col("rn").cast("long").as("b"),
+            col("score").as("val"))
+        // the manifest section reads the LOG, not the files
+        val manRows = man.filter(col("op") === "add")
+          .groupBy("version").agg(sum("min_key").as("a"), sum("max_key").as("b"),
+            count(lit(1)).cast("double").as("val"))
+          .select(lit("manifest").as("section"),
+            concat(lit("seg:"), col("version")).as("item"),
+            col("a").cast("long").as("a"), col("b").cast("long").as("b"), col("val"))
+        val decRows = outcomes.toSeq.toDF("item", "a", "b")
+          .select(lit("decision").as("section"), col("item"), col("a"), col("b"),
+            lit(0.0).as("val"))
+        decRows.unionByName(manRows).unionByName(stateRows).unionByName(freshRows)
+          .orderBy("section", "item")
+      })
+  }
+
   def all: Seq[Q] = Seq(v1Embed, v2AnnTopK, v3LshTopK, v4IvfTopK, v3bLshPruned, v4bIvfPruned,
     v5PqTopK, v5bPqStored, v6IvfPq, a12Approx, a12bApproxPortable,
     d5EmbedDup, d1Exact, d2MinHash,
@@ -4922,5 +5134,6 @@ object VectorQueries extends QuerySet {
     m13JpegNearDup, d20SkewedDedup, m14ProgressiveDecode, m15MjpegFrames,
     wds1WebDataset, m16G711, tfr1TfExample, avro1Records, arrow1Records, m20Compressed, sz1SevenZip, sz2StackExchange, deb1Package, cpio1Rpm, docx1Text, xlsx1Cells, m17WebpDims,
     sniff1Router, xlsx2TablePipeline, m18AudioMeta, m19WebmMeta, wiki1DumpPages,
-    wiki2Bz2Pages, v14NprobePlan, v15PqRefine, v16TrainedPq, v17FilteredAnn, v18ResidualPq)
+    wiki2Bz2Pages, v14NprobePlan, v15PqRefine, v16TrainedPq, v17FilteredAnn, v18ResidualPq,
+    v19StreamingIndex)
 }
