@@ -420,6 +420,52 @@ class PlanSpec extends SparkSpec {
   }
 }
 
+/** Round-15 job-count budgets for the lifecycle gates: these queries'
+  * cost is job-count × per-job scheduling floor on log-sized frames (the
+  * data term is negligible at every SF — PERF.md Round 15), so the
+  * regression that matters is a STRUCTURAL job blow-up: a per-wave state
+  * fold sneaking back (measured +15 s on dl38 before the checkpoint-
+  * cadence rewrite), an unmaterialized data-sized txn evaluated twice
+  * per OCC attempt (~3x), a per-epoch incremental change feed replacing
+  * the one-pass grid (~3x). Budgets are measured job counts (local[32],
+  * sf0.001: dl38 256, dl39 43, dl40 164, dl41 30, v18 66, v19 47) with
+  * ~1.5x headroom — generous to config drift, far below any of the
+  * regression shapes above. */
+class Round15PlanSpec extends SparkSpec {
+  import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+  private def jobCount(df: => org.apache.spark.sql.DataFrame): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      df.collect()
+      // the listener bus delivers asynchronously; wait for the count to
+      // settle (an undercount only ever makes the budget EASIER to meet)
+      var prev = -1
+      while (counter.get != prev) { prev = counter.get; Thread.sleep(200) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    counter.get
+  }
+
+  test("lifecycle gates stay inside their job-count budgets") {
+    val budgets = Seq(
+      ("dl38_log_to_log", 380), ("dl39_bloom_skipping", 70),
+      ("dl40_row_conflict", 250), ("dl41_cluster_incremental", 50),
+      ("v18_residual_pq", 100), ("v19_streaming_index", 75))
+    val catalog = (graft.queries.LakehouseQueries.all ++ graft.queries.VectorQueries.all)
+      .map(q => q.name -> q).toMap
+    for ((name, budget) <- budgets) {
+      val n = jobCount(catalog(name).fn(spark, sf))
+      assert(n <= budget,
+        s"$name ran $n Spark jobs (budget $budget) — a structural job blow-up " +
+          "(per-wave fold? twice-evaluated txn? incremental feed instead of the grid?)")
+    }
+  }
+}
+
 /** Round-9 family plan pins: ER blocking joins, lakehouse replay,
   * time-series windows. */
 class Round9PlanSpec extends SparkSpec {
