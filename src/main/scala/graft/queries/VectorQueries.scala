@@ -4933,7 +4933,15 @@ object VectorQueries extends QuerySet {
     * AND the top-3 search answer for a pinned query as it CHANGES
     * under the updates — the "search results track upstream commits"
     * claim, recomputed independently by the oracle from the wave
-    * formulas. */
+    * formulas.
+    *
+    * Scope: the fence here is the SINGLE-WRITER streaming form (one
+    * maintenance pipeline owns the index — the ref's shape; the epoch
+    * check is one log-sized lastTxnVersion probe). Racing maintenance
+    * writers would commit the same manifest rows through
+    * [[graft.ops.DeltaLog.commitEpochIdempotent]] instead — the OCC +
+    * fence composition dl33/dl38 already gate — with zero change to the
+    * segment layout, since seg ids come from the manifest either way. */
   val v19StreamingIndex: Q = {
     val centroids = ivfCentroids8
     val centVals = centroids.zipWithIndex
