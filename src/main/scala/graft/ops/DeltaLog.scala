@@ -1860,9 +1860,16 @@ object DeltaLog {
     // stamped actions — per-version ts is a constant, so max ≡ the stamp):
     // a ts=null marker on a stamped table would make every epoch commit a
     // mixed-null version and commitTimestamps would raise forever after.
-    // On an unstamped txn, max is null and the marker stays null — uniform
-    // either way.
-    val markerTs = txn.agg(max(col("ts")).as("_mts"))
+    // An EMPTY epoch (a real sink advances its epoch on an empty trigger
+    // batch — the delta is zero rows, the fence still moves) has no stamp
+    // to inherit, so on a stamped table the marker derives last committed
+    // ts + 1 — the [[stampInCommit]] rule with no wall clock — keeping
+    // the log monotone with zero caller changes. On a fully unstamped
+    // table both terms are null and the marker stays null — uniform.
+    val markerTs = txn.agg(max(col("ts")).as("_t"))
+      .crossJoin(broadcast(acts0.agg(max(col("ts")).as("_l"))))
+      .select(coalesce(col("_t"),
+        when(col("_l").isNotNull, col("_l") + 1)).as("_mts"))
     val stamped = txn.unionByName(
       txnAction(acts0.sparkSession, 0, 100000, appId, epoch)
         .crossJoin(broadcast(markerTs))

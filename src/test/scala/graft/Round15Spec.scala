@@ -255,6 +255,43 @@ class Round15Spec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("b"))
   }
 
+  // ---- empty epochs compose with in-commit timestamps ---------------------
+
+  test("an EMPTY epoch on a stamped table derives its marker ts; time travel keeps working") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    def add(v: Int, o: Int, path: String): Row =
+      Row(v, o, "add", path, Seq(0L), 10L, 1L, 10L, 100L, null, null, null, null, null)
+    val acts0 = DeltaLog.stampTs(
+      spark.createDataFrame(java.util.Arrays.asList(add(0, 0, "a"), add(1, 0, "b")),
+        DeltaLog.actionSchema),
+      when(col("version") === 0, 100L).otherwise(200L)).coalesce(1).localCheckpoint()
+    // a real sink advances its epoch on an empty trigger batch: the delta
+    // is zero rows, only the fence moves — the marker must not poison the
+    // stamped log with a null-ts version
+    val empty = acts0.filter(lit(false))
+    val (acts1, out1) = DeltaLog.commitEpochIdempotent(acts0, empty, "sink", 0L, 1)
+    assert(out1.outcome == "committed")
+    val commits = DeltaLog.commitTimestamps(acts1).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(commits == Map(0 -> 100L, 1 -> 200L, 2 -> 201L),
+      s"the empty epoch's marker must stamp last+1, got $commits")
+    // the fence advanced, and a replay of the empty epoch is still a no-op
+    assert(DeltaLog.lastTxnVersion(acts1, "sink").head().getLong(0) == 0L)
+    val (acts2, out2) = DeltaLog.commitEpochIdempotent(acts1, empty, "sink", 0L, 2)
+    assert(out2.outcome == "skipped_duplicate")
+    assert(acts2.count() == acts1.count())
+    // a STAMPED data-carrying epoch still inherits its own stamp
+    val txn = DeltaLog.stampTs(
+      spark.createDataFrame(java.util.Arrays.asList(add(0, 1000, "c")),
+        DeltaLog.actionSchema), lit(500L))
+    val (acts3, out3) = DeltaLog.commitEpochIdempotent(acts1, txn, "sink", 1L, 2)
+    assert(out3.outcome == "committed")
+    val c3 = DeltaLog.commitTimestamps(acts3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(c3 == Map(0 -> 100L, 1 -> 200L, 2 -> 201L, 3 -> 500L), s"got $c3")
+  }
+
   // ---- v19: manifest-driven LSM index maintenance -------------------------
 
   test("upsertSeg cell move: each cell partition resolves correctly ALONE; delete then re-insert revives") {
