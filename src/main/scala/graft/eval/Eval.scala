@@ -44,21 +44,27 @@ object Eval {
         .otherwise(transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
     val base = docs.select(col(idCol), col(refCol).as("_ref"), col(candCol).as("_cand"))
-    def clipped(n: Int): DataFrame = {
-      val gram = (c: org.apache.spark.sql.Column) => if (n == 1) c else bigrams(c)
-      val cg = base.select(col(idCol), explode(gram(col("_cand"))).as("g"))
-        .groupBy(idCol, "g").agg(count(lit(1)).as("c_cnt"))
-      val rg = base.select(col(idCol), explode(gram(col("_ref"))).as("g"))
-        .groupBy(idCol, "g").agg(count(lit(1)).as("r_cnt"))
-      cg.join(rg, Seq(idCol, "g"), "left")
-        .groupBy(idCol)
-        .agg(sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as(s"p${n}_num"))
-    }
+    // ONE gram pass for all four tables (cand/ref × uni/bi): tag each gram
+    // with (n, side) and explode once — the previous per-table form
+    // re-tokenized the corpus four times and shuffled four gram tables for
+    // counts one exchange produces. Clipping is unchanged arithmetic:
+    // Σ least(c_cnt, r_cnt) over the merged groups ≡ the cand-side left
+    // join (ref-only groups have c_cnt = 0 and contribute least(0, r) = 0).
+    def tagged(c: org.apache.spark.sql.Column, n: Int, side: Int) =
+      transform(c, g => struct(lit(n).as("n"), g.as("g"), lit(side.toLong).as("cside")))
+    val grams = base.select(col(idCol), explode(concat(
+        tagged(col("_cand"), 1, 1), tagged(col("_ref"), 1, 0),
+        tagged(bigrams(col("_cand")), 2, 1), tagged(bigrams(col("_ref")), 2, 0))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"), col("t.cside").as("cside"))
+    val nums = grams.groupBy(idCol, "n", "g")
+      .agg(sum(col("cside")).as("c_cnt"), sum(lit(1L) - col("cside")).as("r_cnt"))
+      .groupBy(idCol)
+      .agg(sum(when(col("n") === 1, least(col("c_cnt"), col("r_cnt"))).otherwise(0L)).as("p1_num"),
+        sum(when(col("n") === 2, least(col("c_cnt"), col("r_cnt"))).otherwise(0L)).as("p2_num"))
     val lens = base.select(col(idCol),
       size(col("_ref")).cast("long").as("r_len"), size(col("_cand")).cast("long").as("c_len"))
     val out = lens
-      .join(clipped(1), Seq(idCol), "left")
-      .join(clipped(2), Seq(idCol), "left")
+      .join(nums, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("p1_num"), lit(0L)).as("p1_num"), col("c_len").as("p1_den"),
         coalesce(col("p2_num"), lit(0L)).as("p2_num"),

@@ -1644,6 +1644,14 @@ object DeltaLog {
 
   // ---- row-level OCC: mask transactions merge on disjoint rows (dl40) -------
 
+  /** Caller-visible handle on [[translatedMasks]] so an OCC loop can
+    * materialize the translation ONCE per attempt and hand the same frame
+    * to [[dvRowLevelProbe]] and (on a clean probe) [[dvRowLevelRebase]] —
+    * the rebase otherwise recomputes the whole rowIds/segment chain the
+    * probe just evaluated. Values are identical by construction. */
+  def translatedMasksOf(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame =
+    translatedMasks(txn, acts, readVersion)
+
   /** Translate a mask-only transaction's (path, pos) targets into STABLE
     * row ids under the snapshot it READ (`readVersion`), then re-key each
     * id onto the HEAD's live instances through the head's segment maps —
@@ -1681,8 +1689,9 @@ object DeltaLog {
     *   - n_overlap: masked row ids ALREADY masked at head (two writers
     *     deleted the same row — the textbook row conflict).
     * Resolvable iff blocking = nondv = homeless = overlap = 0. */
-  def dvRowLevelProbe(txn: DataFrame, acts: DataFrame, readVersion: Int): DataFrame = {
-    val t = translatedMasks(txn, acts, readVersion)
+  def dvRowLevelProbe(txn: DataFrame, acts: DataFrame, readVersion: Int,
+                      masks: Option[DataFrame] = None): DataFrame = {
+    val t = masks.getOrElse(translatedMasks(txn, acts, readVersion))
     val confl = rebaseConflicts(txn, acts, readVersion)
     val headMasked = rowIds(acts, deletionVectors(acts)
       .select(col("path"), explode(col("dv")).as("pos")))
@@ -1705,8 +1714,8 @@ object DeltaLog {
     * `newVersion`; a masked row with no live home raises in the row
     * path (the probe's contract, kept loud here too). */
   def dvRowLevelRebase(txn: DataFrame, acts: DataFrame, readVersion: Int,
-                       newVersion: Int): DataFrame = {
-    val t = translatedMasks(txn, acts, readVersion)
+                       newVersion: Int, masks: Option[DataFrame] = None): DataFrame = {
+    val t = masks.getOrElse(translatedMasks(txn, acts, readVersion))
       .withColumn("new_path", when(col("new_path").isNull,
         raise_error(concat(lit("row-level rebase: masked row no longer live: "),
           col("path"), lit("@"), col("pos").cast("string"))))

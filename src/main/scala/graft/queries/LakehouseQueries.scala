@@ -4419,10 +4419,22 @@ object LakehouseQueries extends QuerySet {
       var dsActs = DeltaLog.metaAction(s, 0, 0, "mirror-v0").coalesce(1).localCheckpoint()
       var dsHead = 0
       val outs = scala.collection.mutable.Buffer.empty[DeltaLog.EpochOutcome]
+      // per-version live sets and effective masks for EVERY epoch's txn
+      // build in TWO vectorized grid passes (the dl12 grid, already the
+      // change feed's shape below) — the per-epoch form paid 4 race
+      // computations per buildTxn call × 6 calls (replay before/after +
+      // dv race before/after, plus a per-epoch dvA checkpoint job); the
+      // grids are checkpoint-equivalent to replaying states(v) (the
+      // foldState invariant: compacted state replays identically), and
+      // the source-side state fold above still runs as the restart story.
+      val vGridAll = s.range(-1, 5).select(col("id").cast("int").as("v"))
+      val liveG = DeltaLog.replayGrid(upActs, vGridAll).select("v", "path", "buckets")
+        .coalesce(1).localCheckpoint()
+      val dvG = DeltaLog.deletionVectorGrid(upActs, vGridAll).select("v", "path", "dv")
+        .coalesce(1).localCheckpoint()
       def buildTxn(v: Int): org.apache.spark.sql.DataFrame = {
-        val (before, after) = states(v)
-        val beforeLive = DeltaLog.replay(before).select("path")
-        val afterLive = DeltaLog.replay(after).select("path", "buckets")
+        val beforeLive = liveG.filter(col("v") === v - 1).select("path")
+        val afterLive = liveG.filter(col("v") === v).select("path", "buckets")
         val addsU = afterLive
           .join(beforeLive.withColumn("h", lit(1)), Seq("path"), "left")
           .filter(col("h").isNull).select("path", "buckets")
@@ -4432,8 +4444,9 @@ object LakehouseQueries extends QuerySet {
         // mask-changed live files are downstream REWRITES: retire + re-add;
         // ONE dv race over the after-state feeds the change detection AND
         // the net-stats masks below
-        val dvB = DeltaLog.deletionVectors(before).withColumnRenamed("dv", "dv0")
-        val dvA = DeltaLog.deletionVectors(after).coalesce(1).localCheckpoint()
+        val dvB = dvG.filter(col("v") === v - 1)
+          .select(col("path"), col("dv").as("dv0"))
+        val dvA = dvG.filter(col("v") === v).select("path", "dv")
         val dvChanged = dvA.join(dvB, Seq("path"), "left")
           .filter(col("dv0").isNull || col("dv") =!= col("dv0")).select("path")
         val upAdds = addsU.unionByName(dvChanged.join(afterLive, Seq("path")))
@@ -4493,10 +4506,8 @@ object LakehouseQueries extends QuerySet {
       // incremental calls here would pay 20 race windows and 10 data
       // aggregations for numbers one grid pass produces (measured ~3x
       // the gate's cost before this rewrite).
-      val versions = s.range(0, 5).select(col("id").cast("int").as("v"))
-      val liveGrid = DeltaLog.replayGrid(upActs, versions)
-        .select("v", "path").coalesce(1).localCheckpoint()
-      val maskGrid = DeltaLog.deletionVectorGrid(upActs, versions)
+      val liveGrid = liveG.filter(col("v") >= 0).select("v", "path")
+      val maskGrid = dvG.filter(col("v") >= 0)
         .select(col("v"), col("path"), explode(col("dv")).as("pos"))
         .withColumn("hit", lit(1))
       val copies = rws.withColumnRenamed("o_orderkey", "key")
@@ -4550,11 +4561,10 @@ object LakehouseQueries extends QuerySet {
         .select(lit("check").as("section"), lit("down_total").as("item"),
           col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
           lit(0L).as("flag"))
-      val upFinal = states(4)._2
-      val finMasks = DeltaLog.deletionVectors(upFinal)
+      val finMasks = dvG.filter(col("v") === 4)
         .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
       val batch = rws
-        .join(broadcast(DeltaLog.replay(upFinal).select("path")), Seq("path"))
+        .join(broadcast(liveG.filter(col("v") === 4).select("path")), Seq("path"))
         .join(broadcast(finMasks), Seq("path", "pos"), "left").filter(col("hit").isNull)
         .filter(col("o_orderkey") % 2 === 0)
         .agg(count(lit(1)).as("n"), (sum("cents") * 2).as("c"))
@@ -4850,11 +4860,16 @@ object LakehouseQueries extends QuerySet {
       var acts = acts1; var head = 1
       val decisions = scala.collection.mutable.Buffer.empty[(String, Long, Long, Long, Long)]
       def attempt(name: String, txn: org.apache.spark.sql.DataFrame): Unit = {
-        val p = DeltaLog.dvRowLevelProbe(txn, acts, 0).head()
+        // ONE translated-mask race per attempt, shared by the probe and
+        // (on a clean probe) the rebase — the rebase otherwise recomputes
+        // the rowIds/segment chain the probe just evaluated (measured as
+        // the bulk of each merged attempt's second job)
+        val t = DeltaLog.translatedMasksOf(txn, acts, 0).coalesce(1).localCheckpoint()
+        val p = DeltaLog.dvRowLevelProbe(txn, acts, 0, Some(t)).head()
         val (nfc, nblk, nnondv) = (p.getLong(0), p.getLong(1), p.getLong(2))
         val (nMasks, nHome, nOver) = (p.getLong(3), p.getLong(4), p.getLong(5))
         if (nblk == 0 && nnondv == 0 && nHome == 0 && nOver == 0) {
-          acts = acts.unionByName(DeltaLog.dvRowLevelRebase(txn, acts, 0, head + 1))
+          acts = acts.unionByName(DeltaLog.dvRowLevelRebase(txn, acts, 0, head + 1, Some(t)))
             .coalesce(1).localCheckpoint()
           head += 1
           decisions += ((s"$name:merged", nMasks, nOver, nfc, head.toLong))
@@ -4891,19 +4906,18 @@ object LakehouseQueries extends QuerySet {
         .select(lit("post").as("section"), col("path").as("item"),
           col("n").cast("long").as("n_rows"), col("c").cast("long").as("aux"),
           lit(0L).as("aux2"), lit(0L).as("flag"))
-      val maskedIds = DeltaLog.rowIds(acts,
-          finalDvs.select(col("path"), explode(col("dv")).as("pos")))
-        .agg(count(lit(1)).as("n"), sum("row_id").as("sid"))
-        .select(lit("check").as("section"), lit("masked_ids").as("item"),
-          col("n").cast("long").as("n_rows"), col("sid").cast("long").as("aux"),
-          lit(0L).as("aux2"), lit(0L).as("flag"))
-      val liveIds = DeltaLog.rowIds(acts, netRows.select("path", "pos"))
-        .agg(count(lit(1)).as("n"), sum("row_id").as("sid"))
-        .select(lit("check").as("section"), lit("live_ids").as("item"),
+      // both id audits through ONE rowIds resolution (tagged union) — the
+      // segment-map join ran twice for two disjoint position sets
+      val idAudit = DeltaLog.rowIds(acts,
+          finalDvs.select(col("path"), explode(col("dv")).as("pos"))
+            .withColumn("_aud", lit("masked_ids"))
+            .unionByName(netRows.select("path", "pos").withColumn("_aud", lit("live_ids"))))
+        .groupBy("_aud").agg(count(lit(1)).as("n"), sum("row_id").as("sid"))
+        .select(lit("check").as("section"), col("_aud").as("item"),
           col("n").cast("long").as("n_rows"), col("sid").cast("long").as("aux"),
           lit(0L).as("aux2"), lit(0L).as("flag"))
       decRows.unionByName(txnRows).unionByName(stateRow).unionByName(post)
-        .unionByName(maskedIds).unionByName(liveIds)
+        .unionByName(idAudit)
         .orderBy("section", "item")
     })
 

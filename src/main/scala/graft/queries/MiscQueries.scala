@@ -3183,13 +3183,21 @@ object MiscQueries extends QuerySet {
           FROM p$iters JOIN nm ON nm.src = p$iters.src LEFT JOIN w ON w.src = p$iters.src
           ORDER BY item"""),
       (s, d) => {
+        // ONE qualityScore pass, materialized: the stride pairing below
+        // reads it twice (probe + build) instead of re-tokenizing the
+        // corpus six times (2 join sides × 3 stride joins); the three
+        // joins fuse into ONE equi-join on an exploded (a_id + st) key —
+        // same pair multiset, two fewer shuffles.
         val dq = documents(s, d).select(col("doc_id"), col("source"),
           graft.ops.TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
-        def side(n: String) = dq.select(col("doc_id").as(s"${n}_id"),
-          col("source").as(s"${n}_src"), col("quality").as(s"${n}_q"))
-        val pairs = (1 to 3).map { st =>
-          side("a").join(side("b"), col("b_id") === col("a_id") + st)
-        }.reduce(_ unionByName _)
+          .localCheckpoint()
+        val aSide = dq.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+            col("quality").as("a_q"))
+          .withColumn("st", explode(array(lit(1), lit(2), lit(3))))
+          .withColumn("b_id", col("a_id") + col("st"))
+        val bSide = dq.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+          col("quality").as("b_q"))
+        val pairs = aSide.join(bSide, Seq("b_id"))
         val aWins = col("a_q") >= col("b_q")
         val matches = pairs.filter(col("a_src") =!= col("b_src"))
           .select(when(aWins, col("a_src")).otherwise(col("b_src")).as("winner"),

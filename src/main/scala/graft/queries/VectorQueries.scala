@@ -4292,15 +4292,19 @@ object VectorQueries extends QuerySet {
         val ubDf = ubLits.toDF("m", "k", "cv")
         val d2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (a, x) => a + x)
+        // both codebook arms (arm 0 = trained, arm 1 = data-blind seed-11)
+        // ride ONE tagged frame through coding, scoring and auditing — the
+        // v18 fusion: the arms are independent and structurally identical,
+        // so fusing halves the job count; every aggregate below groups by
+        // `arm`, keeping per-arm arithmetic bit-identical.
         def dists(cb: org.apache.spark.sql.DataFrame) = sub.join(broadcast(cb), Seq("m"))
           .withColumn("d2", d2)
         def argminOf(dd: org.apache.spark.sql.DataFrame) = dd
           .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))))
-          .filter(col("rn") === 1).select("vec_id", "m", "k")
-        def argmin(cb: org.apache.spark.sql.DataFrame) = argminOf(dists(cb))
+            Window.partitionBy("arm", "vec_id", "m").orderBy(col("d2"), col("k"))))
+          .filter(col("rn") === 1).select("arm", "vec_id", "m", "k")
         // ONE decimal-exact Lloyd step per subspace (the d9 update shape)
-        val tcl = argmin(iniDf).join(sub, Seq("vec_id", "m"))
+        val tcl = argminOf(dists(iniDf.withColumn("arm", lit(0)))).join(sub, Seq("vec_id", "m"))
           .select(col("m"), col("k"), posexplode(col("sv")))
           .groupBy("m", "k", "pos")
           .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double")
@@ -4309,48 +4313,52 @@ object VectorQueries extends QuerySet {
           .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
             x => x.getField("c")).as("cv"))
           .localCheckpoint()
-        val dT = dists(tcl).localCheckpoint()  // feeds trained codes AND distortion
-        val dU = dists(ubDf).localCheckpoint()
-        val ct = argminOf(dT).localCheckpoint() // codes: trained
-        val cu = argminOf(dU)                   // codes: seed-11 untrained
+        val cbs = tcl.withColumn("arm", lit(0)).unionByName(ubDf.withColumn("arm", lit(1)))
+        val dBoth = dists(cbs).localCheckpoint() // feeds both codes AND distortion
+        val cBoth = argminOf(dBoth).localCheckpoint()
+        val ct = cBoth.filter(col("arm") === 0).drop("arm") // feeds usage counts
         val q = fix.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qv"))
         val qsub = q.select(col("qid"), posexplode(array((0 until nSub).map(m =>
             slice(col("qv"), m * sDim + 1, sDim)): _*)))
           .withColumnRenamed("pos", "m").withColumnRenamed("col", "qsv")
-        def lut(cb: org.apache.spark.sql.DataFrame) = qsub.join(broadcast(cb), Seq("m"))
-          .select(col("qid"), col("m"), col("k"),
+        val luts = qsub.join(broadcast(cbs), Seq("m"))
+          .select(col("arm"), col("qid"), col("m"), col("k"),
             round(aggregate(zip_with(col("qsv"), col("cv"), (x, y) => x * y),
               lit(0.0), (a, x) => a + x), 6).as("l"))
         // ADC score: the LUT terms summed in FIXED subspace order (a
         // group-by sum would float with reduction order), then top-5
         val adcSum = round((0 until nSub).map(m => max(when(col("m") === m, col("l"))))
           .reduce(_ + _), 6)
-        def adcTop5(codes: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
-          codes.join(broadcast(l), Seq("m", "k"))
-            .groupBy("qid", "vec_id")
-            .agg(adcSum.as("score"))
-            .filter(col("vec_id") =!= col("qid"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
-            .filter(col("rn") <= 5).select("qid", "vec_id")
+        val top5Both = cBoth.join(broadcast(luts), Seq("arm", "m", "k"))
+          .groupBy("arm", "qid", "vec_id")
+          .agg(adcSum.as("score"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("arm", "qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("arm", "qid", "vec_id")
         val exr = fix.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), round(Embed.dot(col("e"), col("qv")), 6).as("score"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
           .filter(col("rn") <= 5).select("qid", "vec_id").localCheckpoint()
-        def hits(t5: org.apache.spark.sql.DataFrame) =
-          t5.join(exr, Seq("qid", "vec_id")).agg(count(lit(1)).cast("long").as("h"))
-        val hT = hits(adcTop5(ct, lut(tcl))).localCheckpoint()
-        val hU = hits(adcTop5(cu, lut(ubDf))).localCheckpoint()
+        // both arms' recall in ONE pass; the static arm frame keeps a
+        // zero-hit arm as an explicit h=0 row (groupBy would drop it)
+        val hitsAll = Seq(0, 1).toDF("arm")
+          .join(top5Both.join(exr, Seq("qid", "vec_id"))
+            .groupBy("arm").agg(count(lit(1)).cast("long").as("h")), Seq("arm"), "left")
+          .select(col("arm"), coalesce(col("h"), lit(0L)).as("h")).localCheckpoint()
+        val hT = hitsAll.filter(col("arm") === 0).select("h")
+        val hU = hitsAll.filter(col("arm") === 1).select("h")
         // quantization distortion — the k-means training objective: per
         // (vector, subspace) min d², rounded then summed EXACTLY in
         // decimal (a double sum would float with reduction order)
-        def distortionRow(dd: org.apache.spark.sql.DataFrame, tag: String) =
-          dd.groupBy("vec_id", "m").agg(round(min("d2"), 6).as("md"))
-            .agg(sum(col("md").cast("decimal(25,10)")).cast("double").as("dsum"))
-            .select(lit(tag).as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
-              round(col("dsum"), 4).as("val"), lit(0L).as("n"))
+        val distBoth = dBoth.groupBy("arm", "vec_id", "m").agg(round(min("d2"), 6).as("md"))
+          .groupBy("arm").agg(sum(col("md").cast("decimal(25,10)")).cast("double").as("dsum"))
+          .select(when(col("arm") === 0, lit("distortion_trained"))
+            .otherwise(lit("distortion_untrained")).as("section"),
+            lit(-1L).as("m"), lit(-1L).as("k"),
+            round(col("dsum"), 4).as("val"), lit(0L).as("n"))
         val grid = s.range(nSub).select(col("id").as("m"))
           .crossJoin(s.range(kPq).select(col("id").as("k")))
         // + 0.0 normalizes IEEE −0.0 (a possible round() output when the
@@ -4372,8 +4380,7 @@ object VectorQueries extends QuerySet {
             (col("ht") - col("hu")).as("n"))
         centroidRows.unionByName(recallRow(hT, "recall_trained"))
           .unionByName(recallRow(hU, "recall_untrained")).unionByName(delta)
-          .unionByName(distortionRow(dT, "distortion_trained"))
-          .unionByName(distortionRow(dU, "distortion_untrained"))
+          .unionByName(distBoth)
           .orderBy("section", "m", "k")
       })
   }
@@ -4804,46 +4811,52 @@ object VectorQueries extends QuerySet {
           .select(col("vec_id"), col("cell"), col("e"),
             zip_with(col("e"), col("cv"), (x, y) => x - y).as("r"))
           .localCheckpoint()
+        // BOTH PQ arms (arm 0 = residual, arm 1 = raw) ride ONE tagged
+        // frame through training, coding, scoring, and auditing: the two
+        // arms are structurally identical and independent, so fusing them
+        // halves the gate's job count (each had its own Lloyd step, dists
+        // checkpoint, argmin, LUT, top-5 and distortion chain — pure
+        // scheduling floors on a 2000-vector fixture). Every aggregate
+        // below groups by `arm`, so per-arm arithmetic (DECIMAL sums,
+        // rounding points) is bit-identical to the unfused form.
         def subOf(src: org.apache.spark.sql.DataFrame, vcol: String) =
           src.select(col("vec_id"), posexplode(array((0 until nSub).map(m =>
               slice(col(vcol), m * sDim + 1, sDim)): _*)))
             .withColumnRenamed("pos", "m").withColumnRenamed("col", "sv")
-        val rsub = subOf(assign, "r").localCheckpoint()
-        val sub = subOf(fix, "e").localCheckpoint()
-        val rIniDf = rIniLits.toDF("m", "k", "cv")
-        val iniDf = iniLits.toDF("m", "k", "cv")
+        val subs = subOf(assign, "r").withColumn("arm", lit(0))
+          .unionByName(subOf(fix, "e").withColumn("arm", lit(1)))
+          .localCheckpoint()
+        val iniAll = rIniLits.toDF("m", "k", "cv").withColumn("arm", lit(0))
+          .unionByName(iniLits.toDF("m", "k", "cv").withColumn("arm", lit(1)))
         val d2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (a, x) => a + x)
         def dists(src: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame) =
-          src.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
+          src.join(broadcast(cb), Seq("arm", "m")).withColumn("d2", d2)
         def argminOf(dd: org.apache.spark.sql.DataFrame) = dd
           .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))))
-          .filter(col("rn") === 1).select("vec_id", "m", "k")
-        // ONE decimal-exact Lloyd step per arm (the v16 training shape)
-        def lloyd(src: org.apache.spark.sql.DataFrame, ini: org.apache.spark.sql.DataFrame) =
-          argminOf(dists(src, ini)).join(src, Seq("vec_id", "m"))
-            .select(col("m"), col("k"), posexplode(col("sv")))
-            .groupBy("m", "k", "pos")
-            .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double")
-              / count(lit(1)), 8).as("c"))
-            .groupBy("m", "k")
-            .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
-              x => x.getField("c")).as("cv"))
-            .localCheckpoint()
-        val rcl = lloyd(rsub, rIniDf)
-        val tcl = lloyd(sub, iniDf)
-        val rdt = dists(rsub, rcl).localCheckpoint() // codes + distortion
-        val dt = dists(sub, tcl).localCheckpoint()
-        val rct = argminOf(rdt).localCheckpoint()    // also feeds usage counts
-        val ct = argminOf(dt)
+            Window.partitionBy("arm", "vec_id", "m").orderBy(col("d2"), col("k"))))
+          .filter(col("rn") === 1).select("arm", "vec_id", "m", "k")
+        // ONE decimal-exact Lloyd step covering both arms (the v16 shape)
+        val cls = argminOf(dists(subs, iniAll)).join(subs, Seq("arm", "vec_id", "m"))
+          .select(col("arm"), col("m"), col("k"), posexplode(col("sv")))
+          .groupBy("arm", "m", "k", "pos")
+          .agg(round(sum(col("col").cast("decimal(25,10)")).cast("double")
+            / count(lit(1)), 8).as("c"))
+          .groupBy("arm", "m", "k")
+          .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
+            x => x.getField("c")).as("cv"))
+          .localCheckpoint()
+        val dt2 = dists(subs, cls).localCheckpoint() // codes + distortion, both arms
+        val cts = argminOf(dt2).localCheckpoint()    // also feeds usage counts
+        val rcl = cls.filter(col("arm") === 0).drop("arm")
+        val rct = cts.filter(col("arm") === 0).drop("arm")
         val q = fix.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qv")).localCheckpoint()
         val qsub = q.select(col("qid"), posexplode(array((0 until nSub).map(m =>
             slice(col("qv"), m * sDim + 1, sDim)): _*)))
           .withColumnRenamed("pos", "m").withColumnRenamed("col", "qsv")
-        def lut(cb: org.apache.spark.sql.DataFrame) = qsub.join(broadcast(cb), Seq("m"))
-          .select(col("qid"), col("m"), col("k"),
+        val luts = qsub.join(broadcast(cls), Seq("m"))
+          .select(col("arm"), col("qid"), col("m"), col("k"),
             round(aggregate(zip_with(col("qsv"), col("cv"), (x, y) => x * y),
               lit(0.0), (a, x) => a + x), 6).as("l"))
         val adcSum = round((0 until nSub).map(m => max(when(col("m") === m, col("l"))))
@@ -4851,35 +4864,42 @@ object VectorQueries extends QuerySet {
         def top5(scored: org.apache.spark.sql.DataFrame) = scored
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("rn", row_number().over(
-            Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
-          .filter(col("rn") <= 5).select("qid", "vec_id")
+            Window.partitionBy("arm", "qid").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).select("arm", "qid", "vec_id")
         // residual ADC: the coarse dot table (8 entries per query) plus the
-        // residual LUT sum — scored against EVERY vector's (cell, codes)
+        // residual LUT sum — scored against EVERY vector's (cell, codes);
+        // the raw arm's score is the LUT sum alone (same fused pass, the
+        // coarse term gated by arm)
         val qcTab = q.crossJoin(broadcast(centsDf))
           .select(col("qid"), col("cell"),
             round(aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
               lit(0.0), (a, x) => a + x), 6).as("qcs"))
-        val sres = rct.join(broadcast(lut(rcl)), Seq("m", "k"))
-          .groupBy("qid", "vec_id").agg(adcSum.as("adc"))
+        val scoredBoth = cts.join(broadcast(luts), Seq("arm", "m", "k"))
+          .groupBy("arm", "qid", "vec_id").agg(adcSum.as("adc"))
           .join(assign.select("vec_id", "cell"), Seq("vec_id"))
           .join(broadcast(qcTab), Seq("qid", "cell"))
-          .select(col("qid"), col("vec_id"), round(col("qcs") + col("adc"), 6).as("score"))
-        val sraw = ct.join(broadcast(lut(tcl)), Seq("m", "k"))
-          .groupBy("qid", "vec_id").agg(adcSum.as("score"))
+          .select(col("arm"), col("qid"), col("vec_id"),
+            when(col("arm") === 0, round(col("qcs") + col("adc"), 6))
+              .otherwise(col("adc")).as("score"))
         val exr = fix.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), round(Embed.dot(col("e"), col("qv")), 6).as("score"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))))
           .filter(col("rn") <= 5).select("qid", "vec_id").localCheckpoint()
-        def hits(t5: org.apache.spark.sql.DataFrame) =
-          t5.join(exr, Seq("qid", "vec_id")).agg(count(lit(1)).cast("long").as("h"))
-        val hR = hits(top5(sres)).localCheckpoint()
-        val hW = hits(top5(sraw)).localCheckpoint()
-        def distortionRow(dd: org.apache.spark.sql.DataFrame, tag: String) =
-          dd.groupBy("vec_id", "m").agg(round(min("d2"), 6).as("md"))
-            .agg(sum(col("md").cast("decimal(25,10)")).cast("double").as("dsum"))
-            .select(lit(tag).as("section"), lit(-1L).as("m"), lit(-1L).as("k"),
-              round(col("dsum"), 4).as("val"), lit(0L).as("n"))
+        // both arms' recall in ONE pass; the static arm frame keeps a
+        // zero-hit arm as an explicit h=0 row (groupBy would drop it)
+        val hitsAll = Seq(0, 1).toDF("arm")
+          .join(top5(scoredBoth).join(exr, Seq("qid", "vec_id"))
+            .groupBy("arm").agg(count(lit(1)).cast("long").as("h")), Seq("arm"), "left")
+          .select(col("arm"), coalesce(col("h"), lit(0L)).as("h")).localCheckpoint()
+        val hR = hitsAll.filter(col("arm") === 0).select("h")
+        val hW = hitsAll.filter(col("arm") === 1).select("h")
+        val distBoth = dt2.groupBy("arm", "vec_id", "m").agg(round(min("d2"), 6).as("md"))
+          .groupBy("arm").agg(sum(col("md").cast("decimal(25,10)")).cast("double").as("dsum"))
+          .select(when(col("arm") === 0, lit("distortion_residual"))
+            .otherwise(lit("distortion_raw")).as("section"),
+            lit(-1L).as("m"), lit(-1L).as("k"),
+            round(col("dsum"), 4).as("val"), lit(0L).as("n"))
         val grid = s.range(nSub).select(col("id").as("m"))
           .crossJoin(s.range(kPq).select(col("id").as("k")))
         val csum = rcl.select(col("m"), col("k"),
@@ -4903,8 +4923,7 @@ object VectorQueries extends QuerySet {
         centroidRows.unionByName(coarseRows)
           .unionByName(recallRow(hR, "recall_residual"))
           .unionByName(recallRow(hW, "recall_raw")).unionByName(delta)
-          .unionByName(distortionRow(rdt, "distortion_residual"))
-          .unionByName(distortionRow(dt, "distortion_raw"))
+          .unionByName(distBoth)
           .orderBy("section", "m", "k")
       })
   }
