@@ -88,7 +88,17 @@ object Dedup {
     * array transfer. Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. */
   def minHashDuplicates(df: DataFrame, idCol: String, text: Column,
                         shingleWidth: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
-                        threshold: Double = 0.7): DataFrame = {
+                        threshold: Double = 0.7): DataFrame =
+    minHashDuplicatesFrom(
+      df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh")),
+      numHashes, rowsPerBand, threshold)
+
+  /** [[minHashDuplicates]] over a pre-shingled `(id, sh)` frame — lets a
+    * caller that ALSO runs an exact pass over the same shingles (d16's
+    * recall audit) share ONE tokenize+shingle scan between both sides
+    * instead of re-deriving it per operator. */
+  def minHashDuplicatesFrom(shingled: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
+                            threshold: Double = 0.7): DataFrame = {
     // localCheckpoint (not cache): the signature computation feeds both
     // join sides and the verification re-fetch, so it must materialize
     // once — but a .cache() registers in the CacheManager and pins
@@ -96,7 +106,7 @@ object Dedup {
     // calls (d2/d7/c1 each build one); checkpointed blocks are released
     // when the frame is garbage-collected. Shingles and digests are
     // separate projections so each is evaluated once.
-    val base = df.select(col(idCol).as("id"), wordShingles(text, shingleWidth).as("sh"))
+    val base = shingled
       .withColumn("hs", shingleHashes(col("sh")))
       .withColumn("sig", minHashSignature(col("hs"), numHashes))
       .drop("hs")
@@ -359,9 +369,16 @@ object Dedup {
   }
 
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         w: Int, threshold: Double): DataFrame = {
-    val g = df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))
-      .localCheckpoint()
+                         w: Int, threshold: Double): DataFrame =
+    prefixJaccardPairsFrom(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))
+        .localCheckpoint(), threshold)
+
+  /** [[prefixJaccardPairs]] over a pre-shingled, ALREADY-MATERIALIZED
+    * `(id, grams)` frame (the frame feeds both self-join sides and the
+    * final verify — pass it localCheckpoint-ed). Shares the d16 recall
+    * audit's single shingle scan with the LSH side. */
+  def prefixJaccardPairsFrom(g: DataFrame, threshold: Double): DataFrame = {
     val ex = g.select(col("id"), explode(col("grams")).as("gram"))
     val freq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
     val keyed = ex.join(freq, "gram")

@@ -238,9 +238,15 @@ object VectorQueries extends QuerySet {
             FROM ne CROSS JOIN nl CROSS JOIN hit"""),
     (s, d) => {
       val docs = documents(s, d)
-      val lsh = Dedup.minHashDuplicates(docs, "doc_id", col("text"),
-        shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.5).select("id_a", "id_b")
-      val exact = Dedup.prefixJaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.5)
+      // ONE tokenize+shingle scan shared by the LSH side and the exact
+      // verify — each operator previously re-derived the same w=3 word
+      // shingles from text (two full corpus scans for one gram table)
+      val shingled = docs.select(col("doc_id").as("id"),
+        Dedup.wordShingles(col("text"), 3).as("sh")).localCheckpoint()
+      val lsh = Dedup.minHashDuplicatesFrom(shingled,
+        numHashes = 6, rowsPerBand = 2, threshold = 0.5).select("id_a", "id_b")
+      val exact = Dedup.prefixJaccardPairsFrom(
+        shingled.withColumnRenamed("sh", "grams"), threshold = 0.5)
         .select("id_a", "id_b")
       val hit = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
