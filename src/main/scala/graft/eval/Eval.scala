@@ -50,8 +50,15 @@ object Eval {
     // counts one exchange produces. Clipping is unchanged arithmetic:
     // Σ least(c_cnt, r_cnt) over the merged groups ≡ the cand-side left
     // join (ref-only groups have c_cnt = 0 and contribute least(0, r) = 0).
+    // coalesce each side to an empty array BEFORE tagging: concat() of the
+    // four tagged arrays returns NULL if any ONE input is null, which would
+    // drop the non-null side's grams too (numerically masked today by
+    // least(_, 0) = 0, but a fragile coupling for any future consumer of
+    // c_cnt/r_cnt). A null side now drops only its own grams. Lengths
+    // below stay on the RAW columns — size(null) semantics unchanged.
     def tagged(c: org.apache.spark.sql.Column, n: Int, side: Int) =
-      transform(c, g => struct(lit(n).as("n"), g.as("g"), lit(side.toLong).as("cside")))
+      transform(coalesce(c, array().cast("array<string>")),
+        g => struct(lit(n).as("n"), g.as("g"), lit(side.toLong).as("cside")))
     val grams = base.select(col(idCol), explode(concat(
         tagged(col("_cand"), 1, 1), tagged(col("_ref"), 1, 0),
         tagged(bigrams(col("_cand")), 2, 1), tagged(bigrams(col("_ref")), 2, 0))).as("t"))

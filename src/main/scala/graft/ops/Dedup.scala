@@ -372,13 +372,22 @@ object Dedup {
                          w: Int, threshold: Double): DataFrame =
     prefixJaccardPairsFrom(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), w).as("grams"))
-        .localCheckpoint(), threshold)
+        .localCheckpoint(), "grams", threshold)
 
-  /** [[prefixJaccardPairs]] over a pre-shingled, ALREADY-MATERIALIZED
-    * `(id, grams)` frame (the frame feeds both self-join sides and the
-    * final verify — pass it localCheckpoint-ed). Shares the d16 recall
-    * audit's single shingle scan with the LSH side. */
-  def prefixJaccardPairsFrom(g: DataFrame, threshold: Double): DataFrame = {
+  /** [[prefixJaccardPairs]] over a pre-shingled `(id, <gramsCol>)` frame
+    * that MUST already be materialized (localCheckpoint-ed): it feeds
+    * both self-join sides and the final verify, so an unmaterialized
+    * frame recomputes its corpus scan once per consumer. `gramsCol`
+    * names the shingle-array column explicitly (asserted present) so a
+    * caller sharing one scan between operators (d16's recall audit)
+    * never relies on an ad-hoc rename to satisfy an implicit column
+    * contract. */
+  def prefixJaccardPairsFrom(gMaterialized: DataFrame, gramsCol: String,
+                             threshold: Double): DataFrame = {
+    require(gMaterialized.columns.contains(gramsCol) && gMaterialized.columns.contains("id"),
+      s"prefixJaccardPairsFrom needs columns (id, $gramsCol); got " +
+        gMaterialized.columns.mkString("(", ", ", ")"))
+    val g = gMaterialized.select(col("id"), col(gramsCol).as("grams"))
     val ex = g.select(col("id"), explode(col("grams")).as("gram"))
     val freq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
     val keyed = ex.join(freq, "gram")

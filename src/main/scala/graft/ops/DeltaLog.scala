@@ -1720,6 +1720,15 @@ object DeltaLog {
         raise_error(concat(lit("row-level rebase: masked row no longer live: "),
           col("path"), lit("@"), col("pos").cast("string"))))
         .otherwise(col("new_path")))
+    dvRebaseActions(t, acts, newVersion)
+  }
+
+  /** The rebase transaction rows over an already-translated mask frame —
+    * shared by [[dvRowLevelRebase]] (loud: homeless rows raise in the
+    * caller-built `t`) and [[dvRowLevelAttempt]] (probe-gated: homeless
+    * rows pre-filtered, the candidate adopted only when the probe proved
+    * there are none). */
+  private def dvRebaseActions(t: DataFrame, acts: DataFrame, newVersion: Int): DataFrame = {
     val touched = t.select(col("new_path").as("path")).distinct()
     val headDv = deletionVectors(acts).join(broadcast(touched), Seq("path"), "left_semi")
       .select(col("path"), explode(col("dv")).as("new_pos"))
@@ -1731,6 +1740,15 @@ object DeltaLog {
           lit(null).cast(LongType).as("ts"), lit(null).cast(IntegerType).as("min_reader"),
           lit(null).cast(IntegerType).as("min_writer")): _*)
   }
+
+  // NOTE (r16): a fused one-collect OCC attempt — probe counters riding
+  // the candidate rebased log as an op='_probe' row, one action per
+  // attempt — was built and measured WORSE than the probe+rebase pair
+  // below at sf0.1 (dl40 8.10 → 11.24 s with LocalRelation adoption,
+  // → 9.52 s with checkpoint adoption, same window, job count 158→141):
+  // the probe's scalar aggregates are cheap as their own action, and the
+  // fused frame serializes them behind the rebase's groupBy in one
+  // single-partition materialization. Shape kept deliberately.
 
   // ---- incremental clustering OPTIMIZE (dl41) --------------------------------
 
@@ -1853,10 +1871,24 @@ object DeltaLog {
     * streaming sink pays this path once per micro-batch, and a separate
     * lastTxnVersion collect per epoch doubled the loop's scheduling
     * floor for no information — the dl24 lesson applied to the epoch
-    * probe). The duplicate path runs the probe and touches NOTHING
-    * else; commits renumber the stamped transaction directly (the probe
+    * probe). The duplicate path touches NOTHING beyond the probe;
+    * commits renumber the stamped transaction directly (the probe
     * just proved the conflict set empty, same argument as the dl24
-    * loop) and checkpoint the extended log on one partition. */
+    * loop) and checkpoint the extended log on one partition.
+    *
+    * SHAPE PINNED BY MEASUREMENT (r16): fusing the probe INTO the commit
+    * action — one frame acts ∪ stamped@(head+1) ∪ probe-row evaluated by
+    * a single action per attempt — was tried twice and measured WORSE
+    * both times at sf0.1 despite cutting listener job counts (dl33
+    * 109→78 jobs but 3.97→5.37 s with LocalRelation adoption of the
+    * collected log, 3.97→4.57 s with coalesce(1)+localCheckpoint
+    * adoption; dl38/dl40 moved the same direction). The probe is a
+    * 3-scalar aggregate the scheduler executes in milliseconds as its
+    * own action, while the fused candidate funnels the probe's
+    * aggregates plus the whole stamped union through one
+    * single-partition materialization — a longer critical path than two
+    * short actions. The two-action shape below is therefore the
+    * measured optimum, not an oversight. */
   def commitEpochIdempotent(acts0: DataFrame, txn: DataFrame, appId: String, epoch: Long,
                             readVersion: Int, maxAttempts: Int = 10,
                             contention: Int => Option[DataFrame] = _ => None): (DataFrame, EpochOutcome) = {

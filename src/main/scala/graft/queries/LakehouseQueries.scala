@@ -4398,23 +4398,14 @@ object LakehouseQueries extends QuerySet {
       // re-read it and 32-way task floors dominate at this row count
       val allFiles = upActs.filter(col("op") === "add").select("path", "buckets")
       val rws = positionedRows(allFiles, obRows).coalesce(8).localCheckpoint()
-      // ---- source side: each upstream commit appends to the reader's
-      // state ACTION SET; the compacting fold (checkpointState's 12 race
-      // branches) runs on the Delta checkpoint CADENCE — once, at the
-      // restart point — not per commit (five per-wave foldState calls
-      // measured 15 s of race-window floors for a 5-wave log; a real
-      // stream checkpoints every N commits for exactly this reason, and
-      // the restart then resumes FROM the compacted state)
-      val states = scala.collection.mutable.Buffer.empty[(org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame)]
-      var upState = upActs.filter(lit(false)).coalesce(1).localCheckpoint()
-      for (v <- 0 to 4) {
-        val before = upState
-        val wave = upActs.filter(col("version") === v)
-        upState = if (v == 2) DeltaLog.foldState(before, wave, v - 1)
-          else before.unionByName(wave).coalesce(1).localCheckpoint()
-        states += ((before, upState))
-      }
+      // ---- source side: the reader's per-wave state fold (the restart
+      // story — append each wave to the state action set, compact on the
+      // Delta checkpoint cadence via foldState) produced frames nothing
+      // below consumes: the grids are checkpoint-equivalent to replaying
+      // the folded state (the foldState invariant, spec-pinned in
+      // Round15Spec), so the fold was pure dead compute here — 6
+      // materialization jobs plus the v=2 foldState race — and is gone
+      // (r16). The invariant itself stays exercised where it is pinned.
       // ---- sink side: one idempotent epoch per wave into the SECOND log
       var dsActs = DeltaLog.metaAction(s, 0, 0, "mirror-v0").coalesce(1).localCheckpoint()
       var dsHead = 0
@@ -4424,33 +4415,55 @@ object LakehouseQueries extends QuerySet {
       // change feed's shape below) — the per-epoch form paid 4 race
       // computations per buildTxn call × 6 calls (replay before/after +
       // dv race before/after, plus a per-epoch dvA checkpoint job); the
-      // grids are checkpoint-equivalent to replaying states(v) (the
-      // foldState invariant: compacted state replays identically), and
-      // the source-side state fold above still runs as the restart story.
+      // grids are checkpoint-equivalent to replaying the folded reader
+      // state (the foldState invariant: compacted state replays
+      // identically — spec-pinned, see the source-side note above).
       val vGridAll = s.range(-1, 5).select(col("id").cast("int").as("v"))
       val liveG = DeltaLog.replayGrid(upActs, vGridAll).select("v", "path", "buckets")
         .coalesce(1).localCheckpoint()
       val dvG = DeltaLog.deletionVectorGrid(upActs, vGridAll).select("v", "path", "dv")
         .coalesce(1).localCheckpoint()
+      // per-version adds/removes/mask-changes and the TRANSFORM STATS of
+      // every epoch's added paths in ONE vectorized pass each (r16):
+      // upAdds/upRems/dvChanged depend only on the two grids — never on
+      // the downstream log — so the per-epoch rws transform join (a
+      // DATA-sized txn lineage that previously forced a checkpoint job
+      // per epoch, 6 data passes total) vectorizes over v exactly like
+      // the change feed below. The shifted-v self-joins below are the
+      // same before/after diffs the per-epoch form computed, keyed by
+      // (v, path) instead of evaluated once per v.
+      val beforeLiveG = liveG.select((col("v") + 1).as("v"), col("path"))
+        .withColumn("h0", lit(1))
+      val addsG = liveG.join(beforeLiveG, Seq("v", "path"), "left")
+        .filter(col("h0").isNull).select("v", "path", "buckets")
+      val remsG = beforeLiveG.drop("h0")
+        .join(liveG.select(col("v"), col("path")).withColumn("h1", lit(1)),
+          Seq("v", "path"), "left")
+        .filter(col("h1").isNull).select("v", "path")
+      // mask-changed live files are downstream REWRITES: retire + re-add
+      val dvBG = dvG.select((col("v") + 1).as("v"), col("path"), col("dv").as("dv0"))
+      val dvChangedG = dvG.join(dvBG, Seq("v", "path"), "left")
+        .filter(col("dv0").isNull || col("dv") =!= col("dv0")).select("v", "path")
+      val upAddsG = addsG.unionByName(dvChangedG.join(liveG, Seq("v", "path")))
+        .filter(col("v").between(0, 4)).coalesce(1).localCheckpoint()
+      val upRemsG = remsG.unionByName(dvChangedG)
+        .filter(col("v").between(0, 4)).coalesce(1).localCheckpoint()
+      // the transform: net rows of each added path under the AFTER
+      // state's masks → keep even keys, double the cents — one data pass
+      // for all six epochs, checkpointed log-sized (one row per (v, path))
+      val masksG = dvG.select(col("v"), col("path"), explode(col("dv")).as("pos"))
+        .withColumn("hit", lit(1))
+      val tstatsG = rws.join(broadcast(upAddsG.select("v", "path")), Seq("path"))
+        .join(broadcast(masksG), Seq("v", "path", "pos"), "left")
+        .filter(col("hit").isNull)
+        .filter(col("o_orderkey") % 2 === 0)
+        .groupBy("v", "path").agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          (sum("cents") * 2).as("cents"))
+        .coalesce(1).localCheckpoint()
       def buildTxn(v: Int): org.apache.spark.sql.DataFrame = {
-        val beforeLive = liveG.filter(col("v") === v - 1).select("path")
-        val afterLive = liveG.filter(col("v") === v).select("path", "buckets")
-        val addsU = afterLive
-          .join(beforeLive.withColumn("h", lit(1)), Seq("path"), "left")
-          .filter(col("h").isNull).select("path", "buckets")
-        val remsU = beforeLive
-          .join(afterLive.select("path").withColumn("h", lit(1)), Seq("path"), "left")
-          .filter(col("h").isNull).select("path")
-        // mask-changed live files are downstream REWRITES: retire + re-add;
-        // ONE dv race over the after-state feeds the change detection AND
-        // the net-stats masks below
-        val dvB = dvG.filter(col("v") === v - 1)
-          .select(col("path"), col("dv").as("dv0"))
-        val dvA = dvG.filter(col("v") === v).select("path", "dv")
-        val dvChanged = dvA.join(dvB, Seq("path"), "left")
-          .filter(col("dv0").isNull || col("dv") =!= col("dv0")).select("path")
-        val upAdds = addsU.unionByName(dvChanged.join(afterLive, Seq("path")))
-        val upRems = remsU.unionByName(dvChanged)
+        val upAdds = upAddsG.filter(col("v") === v).select("path", "buckets")
+        val upRems = upRemsG.filter(col("v") === v).select("path")
         // downstream removes resolve through the DOWNSTREAM log: the live
         // ds twin of each retired upstream path (epoch-stamped names, so
         // the upstream path is the suffix)
@@ -4459,15 +4472,7 @@ object LakehouseQueries extends QuerySet {
         val dsRems = DeltaLog.removeActions(
           dsLive.join(broadcast(upRems.withColumnRenamed("path", "up")), Seq("up"))
             .select(col("path"), lit(0).as("ordinal")), 90)
-        // the transform: net rows of each added path under the AFTER
-        // state's masks → keep even keys, double the cents
-        val masks = dvA
-          .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
-        val tstats = rws.join(broadcast(upAdds.select("path")), Seq("path"))
-          .join(broadcast(masks), Seq("path", "pos"), "left").filter(col("hit").isNull)
-          .filter(col("o_orderkey") % 2 === 0)
-          .groupBy("path").agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
-            max("o_orderkey").as("max_key"), (sum("cents") * 2).as("cents"))
+        val tstats = tstatsG.filter(col("v") === v).drop("v")
         val dsAdds = DeltaLog.addActions(
           tstats.join(upAdds, Seq("path"))
             .select(concat(lit(s"ds:$v:"), col("path")).as("path"),
@@ -4477,11 +4482,11 @@ object LakehouseQueries extends QuerySet {
         dsRems.unionByName(dsAdds)
       }
       def deliver(v: Int): Unit = {
-        // materialize the prepared transaction FIRST: unlike dl33's
-        // log-sized epochs, this txn's add stats carry a DATA-sized
-        // lineage (the rws transform join), and the OCC loop evaluates
-        // the txn in the probe AND the commit — unmaterialized, that is
-        // two extra data passes per epoch (measured ~3x the gate)
+        // the checkpoint now materializes a LOG-sized transaction (the
+        // data term lives in tstatsG above — the r15 shape paid a full
+        // rws transform join here, once per epoch); it is kept because
+        // the OCC loop evaluates the txn in the probe AND the commit,
+        // and each evaluation still walks replay(dsActs) + four joins
         val txn = buildTxn(v).coalesce(1).localCheckpoint()
         val (a2, out) = DeltaLog.commitEpochIdempotent(dsActs, txn, "pipe", v, dsHead)
         if (out.outcome == "committed") dsHead += 1
@@ -4555,29 +4560,34 @@ object LakehouseQueries extends QuerySet {
       val post = DeltaLog.replay(dsActs).select(lit("post").as("section"),
         col("path").as("item"), col("n_rows"), col("cents"), lit(0L).as("flag"))
       // ground truth, two derivations: downstream totals from log STATS vs
-      // the batch transform recomputed from upstream v-final DATA
-      val downTotal = DeltaLog.replay(dsActs)
-        .agg(sum("n_rows").as("n"), sum("cents").as("c"))
-        .select(lit("check").as("section"), lit("down_total").as("item"),
-          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
-          lit(0L).as("flag"))
+      // the batch transform recomputed from upstream v-final DATA. All
+      // three check rows (down_total, batch_recompute, equal) explode out
+      // of ONE crossJoined frame — the r15 shape referenced the downTotal
+      // and batch aggregates twice each (their own section row + the eq
+      // row), evaluating the batch DATA pass and the replay aggregate
+      // twice inside the final job.
+      val downTotalAgg = DeltaLog.replay(dsActs)
+        .agg(sum("n_rows").cast("long").as("n1"), sum("cents").cast("long").as("c1"))
       val finMasks = dvG.filter(col("v") === 4)
         .select(col("path"), explode(col("dv")).as("pos")).withColumn("hit", lit(1))
-      val batch = rws
+      val batchAgg = rws
         .join(broadcast(liveG.filter(col("v") === 4).select("path")), Seq("path"))
         .join(broadcast(finMasks), Seq("path", "pos"), "left").filter(col("hit").isNull)
         .filter(col("o_orderkey") % 2 === 0)
-        .agg(count(lit(1)).as("n"), (sum("cents") * 2).as("c"))
-        .select(lit("check").as("section"), lit("batch_recompute").as("item"),
-          col("n").cast("long").as("n_rows"), col("c").cast("long").as("cents"),
-          lit(0L).as("flag"))
-      val eq = downTotal.select(col("n_rows").as("n1"), col("cents").as("c1"))
-        .crossJoin(batch.select(col("n_rows").as("n2"), col("cents").as("c2")))
-        .select(lit("check").as("section"), lit("equal").as("item"),
-          lit(0L).as("n_rows"), lit(0L).as("cents"),
-          (col("n1") === col("n2") && col("c1") === col("c2")).cast("long").as("flag"))
+        .agg(count(lit(1)).cast("long").as("n2"), (sum("cents") * 2).cast("long").as("c2"))
+      val checks = downTotalAgg.crossJoin(batchAgg)
+        .select(explode(array(
+          struct(lit("down_total").as("item"), col("n1").as("n"), col("c1").as("c"),
+            lit(0L).as("f")),
+          struct(lit("batch_recompute").as("item"), col("n2").as("n"), col("c2").as("c"),
+            lit(0L).as("f")),
+          struct(lit("equal").as("item"), lit(0L).as("n"), lit(0L).as("c"),
+            (col("n1") === col("n2") && col("c1") === col("c2")).cast("long").as("f"))))
+          .as("r"))
+        .select(lit("check").as("section"), col("r.item").as("item"),
+          col("r.n").as("n_rows"), col("r.c").as("cents"), col("r.f").as("flag"))
       decisions.unionByName(cdf).unionByName(txnRows).unionByName(lastRow)
-        .unionByName(post).unionByName(downTotal).unionByName(batch).unionByName(eq)
+        .unionByName(post).unionByName(checks)
         .orderBy("section", "item")
     })
 
@@ -4863,7 +4873,10 @@ object LakehouseQueries extends QuerySet {
         // ONE translated-mask race per attempt, shared by the probe and
         // (on a clean probe) the rebase — the rebase otherwise recomputes
         // the rowIds/segment chain the probe just evaluated (measured as
-        // the bulk of each merged attempt's second job)
+        // the bulk of each merged attempt's second job). Fusing probe and
+        // rebase into one collect was measured WORSE (r16 — see the note
+        // at DeltaLog.dvRebaseActions); this two-action shape is pinned
+        // by that measurement.
         val t = DeltaLog.translatedMasksOf(txn, acts, 0).coalesce(1).localCheckpoint()
         val p = DeltaLog.dvRowLevelProbe(txn, acts, 0, Some(t)).head()
         val (nfc, nblk, nnondv) = (p.getLong(0), p.getLong(1), p.getLong(2))
@@ -4907,14 +4920,21 @@ object LakehouseQueries extends QuerySet {
           col("n").cast("long").as("n_rows"), col("c").cast("long").as("aux"),
           lit(0L).as("aux2"), lit(0L).as("flag"))
       // both id audits through ONE rowIds resolution (tagged union) — the
-      // segment-map join ran twice for two disjoint position sets
-      val idAudit = DeltaLog.rowIds(acts,
+      // segment-map join ran twice for two disjoint position sets. The
+      // static two-tag frame keeps an EMPTY audit side as an explicit
+      // n=0 row (the replaced global aggregates always emitted both rows;
+      // a bare groupBy would silently drop a tag with no positions — the
+      // v16/v18 hitsAll rule applied here).
+      val audTags = Seq("masked_ids", "live_ids").toDF("_aud")
+      val idAudit = audTags.join(DeltaLog.rowIds(acts,
           finalDvs.select(col("path"), explode(col("dv")).as("pos"))
             .withColumn("_aud", lit("masked_ids"))
             .unionByName(netRows.select("path", "pos").withColumn("_aud", lit("live_ids"))))
-        .groupBy("_aud").agg(count(lit(1)).as("n"), sum("row_id").as("sid"))
+        .groupBy("_aud").agg(count(lit(1)).as("n"), sum("row_id").as("sid")),
+          Seq("_aud"), "left")
         .select(lit("check").as("section"), col("_aud").as("item"),
-          col("n").cast("long").as("n_rows"), col("sid").cast("long").as("aux"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_rows"),
+          col("sid").cast("long").as("aux"),
           lit(0L).as("aux2"), lit(0L).as("flag"))
       decRows.unionByName(txnRows).unionByName(stateRow).unionByName(post)
         .unionByName(idAudit)

@@ -245,8 +245,7 @@ object VectorQueries extends QuerySet {
         Dedup.wordShingles(col("text"), 3).as("sh")).localCheckpoint()
       val lsh = Dedup.minHashDuplicatesFrom(shingled,
         numHashes = 6, rowsPerBand = 2, threshold = 0.5).select("id_a", "id_b")
-      val exact = Dedup.prefixJaccardPairsFrom(
-        shingled.withColumnRenamed("sh", "grams"), threshold = 0.5)
+      val exact = Dedup.prefixJaccardPairsFrom(shingled, "sh", threshold = 0.5)
         .select("id_a", "id_b")
       val hit = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
