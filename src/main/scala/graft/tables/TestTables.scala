@@ -11,8 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * relational operator inventory.
   */
 object TestTables {
+  // One ANALYZED DataFrame per (session, file): every `spark.read.parquet`
+  // call re-resolves the source and re-reads parquet footers for schema
+  // inference — pure per-query driver overhead when a 396-query session
+  // reads the same seven tables hundreds of times. Memoizing the
+  // DataFrame reuses the resolved plan node (what a catalog table gives a
+  // warm production session); NO data is cached — every action still
+  // scans parquet. Keyed on the session so tests with fresh sessions
+  // never see a stale plan; ConcurrentHashMap because Verify reads from
+  // four threads.
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
