@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Repartition a FEW-SPLIT input to cluster parallelism before heavy
+    * per-row compute (guide §2.5: an unsplittable or single-file input
+    * serializes the whole map stage on one task while the rest of the
+    * cluster idles — the corpus here is one small parquet file at every
+    * SF, and a real crawl shard behind gzip has the same shape).
+    * Strictly scale-adaptive: a scan already carrying ≥
+    * defaultParallelism splits (the 100 TB case) passes through
+    * UNTOUCHED — this never adds an exchange where the input is already
+    * parallel. When it fires, one round-robin exchange of raw rows
+    * (deterministic under retries —
+    * spark.sql.execution.sortBeforeRepartition is on) is paid once and
+    * every heavy map after it uses the whole cluster.
+    *
+    * Apply at RAW-SCAN call sites only: the split probe
+    * (`df.rdd.getNumPartitions`) physically plans `df`, which is free on
+    * a bare table read but re-plans the whole upstream pipeline on a
+    * composed frame — measured as a regression when this sat inside the
+    * dedup operators and c1's curation chain flowed through it (c1 +18%,
+    * d17 +24% min-merged), versus −27…−36% on the direct-scan gates. */
+  def spreadSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Stopword-profile language ID: score each language by hits of its
     * marker words; highest count wins (ties → lexicographic language id).
     * The n-gram-heuristic shape of fastText-style LID with a deterministic

@@ -2209,9 +2209,13 @@ object MiscQueries extends QuerySet {
               $predCase = lang AS is_correct
             FROM pf ORDER BY doc_id"""),
       (s, d) => {
-        val base = documents(s, d).select(col("doc_id"), col("lang"),
+        val base = TextAnalysis.spreadSmallInput(documents(s, d))
+          .select(col("doc_id"), col("lang"),
             graft.ops.Lid.bigramBuckets(col("text"), B).as("bs"))
-          .localCheckpoint() // one bigram pass feeds all 5 trainers + inference
+          .localCheckpoint() // one bigram pass feeds all 5 trainers +
+          // inference; spread first (§2.5) — the single-file scan made
+          // the bigram pass AND the checkpointed frame one partition, so
+          // every training aggregate downstream ran serial too
         val feats = graft.ops.Lid.bucketFeatures(col("bs"), B)
         val wts = graft.ops.Lid.trainOneVsRest(base, feats, col("lang"), langs, iters, 0.5)
         graft.ops.Lid.classify(base, Seq(col("doc_id"), col("lang")), feats, wts,
@@ -2797,9 +2801,13 @@ object MiscQueries extends QuerySet {
               CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
             FROM j GROUP BY source ORDER BY source"""),
     (s, d) => {
-      val q = documents(s, d).select(col("source"), col("doc_id"),
+      // one spread scan feeds both the quality and the entropy branch
+      // (§2.5: the per-char histogram + quality expressions are the whole
+      // compute and ran on the single-file scan's one task)
+      val src = TextAnalysis.spreadSmallInput(documents(s, d))
+      val q = src.select(col("source"), col("doc_id"),
         TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
-      val e = TextAnalysis.charEntropy(documents(s, d), col("doc_id"), col("text"))
+      val e = TextAnalysis.charEntropy(src, col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("h"))
       q.join(e, Seq("doc_id"), "left")
         .select(col("source"), col("quality"),

@@ -197,6 +197,9 @@ object PdfQueries extends QuerySet {
 
   private def tableFixture(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, StructField}
+    // NOT spread: measured flat on pdf6 and +6% on pdf7 (r16 A/B) — this
+    // fixture's parse is light enough that the exchange doesn't pay here,
+    // unlike the image fixtures below
     val base = documents(s, d).select("doc_id")
     val withPdf = graft.ops.Stages.appendFields(base,
         Seq(StructField("payload", BinaryType))) { r =>
@@ -386,7 +389,10 @@ object PdfQueries extends QuerySet {
             FROM g ORDER BY doc_id, img_idx"""),
     (s, d) => {
       import org.apache.spark.sql.types.{BinaryType, StructField}
-      val base = documents(s, d).select("doc_id")
+      val base = graft.ops.TextAnalysis.spreadSmallInput( // one-split scan would
+      // serialize the per-doc PDF build+parse onto one core (the
+      // latticeFixture rationale); no-op on an already-parallel input
+      documents(s, d).select("doc_id"))
       val withPdf = graft.ops.Stages.appendFields(base,
           Seq(StructField("payload", BinaryType))) { r =>
         val id = r.getLong(0)
@@ -448,7 +454,10 @@ object PdfQueries extends QuerySet {
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""),
     (s, d) => {
       import org.apache.spark.sql.types.{BinaryType, StructField}
-      val base = documents(s, d).select("doc_id")
+      val base = graft.ops.TextAnalysis.spreadSmallInput( // one-split scan would
+      // serialize the per-doc PDF build+parse onto one core (the
+      // latticeFixture rationale); no-op on an already-parallel input
+      documents(s, d).select("doc_id"))
       val withPdf = graft.ops.Stages.appendFields(base,
           Seq(StructField("payload", BinaryType))) { r =>
         val id = r.getLong(0)
@@ -498,11 +507,12 @@ object PdfQueries extends QuerySet {
   private def latticeFixture(s: SparkSession, d: String,
                              streamOnlyMod5: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, StructField}
-    // repartition: the parquet scan is one split at test SF, which would
-    // serialize 5000 PDF builds + two parses onto one core; at corpus
-    // scale the input arrives pre-partitioned and this is a no-op shape
-    val base = documents(s, d).select("doc_id")
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread: the parquet scan is one split at test SF, which would
+    // serialize 5000 PDF builds + two parses onto one core; the guarded
+    // form replaces the previous unconditional repartition, so an
+    // already-parallel corpus-scale input passes through untouched
+    val base = graft.ops.TextAnalysis.spreadSmallInput(
+      documents(s, d).select("doc_id"))
     graft.ops.Stages.appendFields(base,
         Seq(StructField("payload", BinaryType))) { r =>
       val id = r.getLong(0)
@@ -642,7 +652,10 @@ object PdfQueries extends QuerySet {
             FROM s ORDER BY doc_id"""),
     (s, d) => {
       import org.apache.spark.sql.types.{BinaryType, StructField}
-      val base = documents(s, d).select("doc_id")
+      val base = graft.ops.TextAnalysis.spreadSmallInput( // one-split scan would
+      // serialize the per-doc PDF build+parse onto one core (the
+      // latticeFixture rationale); no-op on an already-parallel input
+      documents(s, d).select("doc_id"))
       val withPdf = graft.ops.Stages.appendFields(base,
           Seq(StructField("payload", BinaryType))) { r =>
         val id = r.getLong(0)

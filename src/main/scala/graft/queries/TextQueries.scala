@@ -465,7 +465,10 @@ object TextQueries extends QuerySet {
               round(coalesce(h, 0.0) / 0.6931471805599453, 6) AS bits_per_char
             FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id ORDER BY d.doc_id"""),
     (s, d) => {
-      val e = TextAnalysis.charEntropy(documents(s, d), col("doc_id"), col("text"))
+      // §2.5: the per-char histogram is the query's whole compute and ran
+      // on the single-file scan's one task — spread first (no-op at scale)
+      val e = TextAnalysis.charEntropy(
+        TextAnalysis.spreadSmallInput(documents(s, d)), col("doc_id"), col("text"))
       documents(s, d).select(col("doc_id"))
         .join(e.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -2033,7 +2036,8 @@ object TextQueries extends QuerySet {
             SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
               list_aggregate(fp, 'min') AS fp_min, list_aggregate(fp, 'max') AS fp_max
             FROM f ORDER BY doc_id"""),
-    (s, d) => documents(s, d)
+    (s, d) => TextAnalysis.spreadSmallInput(documents(s, d)) // §2.5: map-only
+      // fingerprint compute otherwise serializes on the one-task scan
       .withColumn("fp", TextAnalysis.winnowingFingerprints(lower(col("text")), k = 5, w = 4))
       .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
         array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))

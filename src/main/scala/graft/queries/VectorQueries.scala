@@ -132,7 +132,7 @@ object VectorQueries extends QuerySet {
     Some(s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
             ${OracleSql.lshPairsCtes("src", shingleWidth = 3, numHashes = 6, rows = 2, threshold = 0.8)}
             SELECT id_a, id_b, round(jacc, 6) AS jaccard FROM pairs ORDER BY id_a, id_b"""),
-    (s, d) => Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+    (s, d) => Dedup.minHashDuplicates(graft.ops.TextAnalysis.spreadSmallInput(documents(s, d)), "doc_id", col("text"),
         shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b"))
@@ -241,8 +241,9 @@ object VectorQueries extends QuerySet {
       // ONE tokenize+shingle scan shared by the LSH side and the exact
       // verify — each operator previously re-derived the same w=3 word
       // shingles from text (two full corpus scans for one gram table)
-      val shingled = docs.select(col("doc_id").as("id"),
-        Dedup.wordShingles(col("text"), 3).as("sh")).localCheckpoint()
+      val shingled = graft.ops.TextAnalysis.spreadSmallInput(docs)
+        .select(col("doc_id").as("id"),
+          Dedup.wordShingles(col("text"), 3).as("sh")).localCheckpoint()
       val lsh = Dedup.minHashDuplicatesFrom(shingled,
         numHashes = 6, rowsPerBand = 2, threshold = 0.5).select("id_a", "id_b")
       val exact = Dedup.prefixJaccardPairsFrom(shingled, "sh", threshold = 0.5)
@@ -368,7 +369,8 @@ object VectorQueries extends QuerySet {
             sh AS (SELECT id, ${OracleSql.shinglesSql(4)} AS shingles FROM t)
             SELECT id AS doc_id, list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp
             FROM sh ORDER BY doc_id"""),
-    (s, d) => documents(s, d)
+    (s, d) => TextAnalysis.spreadSmallInput(documents(s, d)) // §2.5: map-only
+      // shingle+md5 compute otherwise serializes on the one-task scan
       .select(col("doc_id"), TextAnalysis.fingerprint(lower(col("text")), 4).as("fp"))
       .orderBy("doc_id"))
 
@@ -554,6 +556,8 @@ object VectorQueries extends QuerySet {
               round(lam, 6) AS eigenvalue
             FROM v$iters v CROSS JOIN lam ORDER BY dim_idx"""),
       (s, d) => {
+        // NOT spread: measured +37% (r16 A/B) — the covariance pass is
+        // dominated by its (i, j) aggregate shuffle, not the scan stage
         val cov = graft.index.Pca.covariance(embeddings(s, d), "vec_id", "embedding", dim)
         val v = graft.index.Pca.powerIteration(cov, dim, iters)
         val wf = graft.index.Pca.matvec(cov, v)
@@ -1863,7 +1867,7 @@ object VectorQueries extends QuerySet {
             SELECT id, CAST(cluster_id AS BIGINT) AS cluster_id
             FROM labels ORDER BY id"""),
     (s, d) => {
-      val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+      val pairs = Dedup.minHashDuplicates(graft.ops.TextAnalysis.spreadSmallInput(documents(s, d)), "doc_id", col("text"),
         shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
       Dedup.connectedComponents(pairs).orderBy("id")
     })
@@ -1882,7 +1886,7 @@ object VectorQueries extends QuerySet {
             SELECT cluster_size, count(*) AS n_clusters FROM sizes
             GROUP BY cluster_size ORDER BY cluster_size"""),
     (s, d) => {
-      val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+      val pairs = Dedup.minHashDuplicates(graft.ops.TextAnalysis.spreadSmallInput(documents(s, d)), "doc_id", col("text"),
         shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
       Dedup.connectedComponents(pairs)
         .groupBy("cluster_id").agg(count(lit(1)).cast("long").as("cluster_size"))
@@ -1910,7 +1914,7 @@ object VectorQueries extends QuerySet {
             FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
             ORDER BY doc_id"""),
     (s, d) => {
-      val pairs = Dedup.minHashDuplicates(documents(s, d), "doc_id", col("text"),
+      val pairs = Dedup.minHashDuplicates(graft.ops.TextAnalysis.spreadSmallInput(documents(s, d)), "doc_id", col("text"),
         shingleWidth = 3, numHashes = 6, rowsPerBand = 2, threshold = 0.8)
       val labels = Dedup.connectedComponents(pairs)
       val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cs"))
